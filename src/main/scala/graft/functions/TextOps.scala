@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions, all codegen'd builtins (no UDFs), designed
+  * to be expressible 1:1 in the DuckDB oracle.
+  *
+  * Covers SURVEY §2.10's scalar-function families plus the training-data
+  * pipeline additions (token counting, fingerprinting, shingling, quality
+  * features, stopword-based language ID).
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens; empty tokens dropped so leading/trailing
+    * separators don't produce phantom tokens (C1's whitespace-token semantic,
+    * reference: backend/chunker.py:31 fallback `len(text.split())`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles over the token array (dedup/similarity input). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array())
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, n), " ")
+        )
+      )
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct token
+    * set — stable under token reordering; the cheap exact-near-dup key.
+    */
+  def bagOfWordsFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Filename sanitization chain (reference: backend/ingestion.py:27-55):
+    * basename → strip control chars → replace reserved chars with '_' →
+    * cap at 200 chars → empty fallback "unnamed_file". Pure expressions.
+    */
+  def sanitizeFilename(name: Column): Column = {
+    val base     = element_at(split(name, "[/\\\\]"), -1)
+    val noCtrl   = regexp_replace(base, "[\\x00-\\x1f\\x7f]", "")
+    val replaced = regexp_replace(noCtrl, "[<>:\"/\\\\|?*]", "_")
+    val capped   = substring(trim(replaced), 1, 200)
+    when(capped.isNull || capped === "", lit("unnamed_file")).otherwise(capped)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + fixed so the oracle can inline them.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "sur"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "eine"),
+  )
+
+  /** Count of distinct tokens that appear in `words` (language-ID feature). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(array_intersect(toks, array(words.map(lit): _*)))
+
+  /** Stopword-voting language ID: argmax over [[stopwords]] hit counts with a
+    * deterministic tie-break (lexicographic language code); no hits → "und"
+    * (undetermined), mirroring fasttext-style ID at heuristic fidelity.
+    */
+  def langId(text: Column): Column = {
+    val toks  = tokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    val hits  = langs.map(l => l -> stopwordHits(toks, stopwords(l)))
+    val best  = greatest(hits.map(_._2): _*)
+    val pick = hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h === best && h > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight + when-chain picks the FIRST (lexicographically smallest)
+    // language reaching the max, because earlier whens win.
+    pick
+  }
+
+  /** Quality features in one struct: length, token stats, punctuation and
+    * alpha ratios, plus a composite [0,1] score — the reference-free analog
+    * of heuristic corpus-quality filters (Gopher/C4-style rules).
+    */
+  def qualityFeatures(text: Column): Column = {
+    val nChars   = length(text)
+    val toks     = tokens(text)
+    val nToks    = size(toks)
+    val avgLen   = when(nToks > 0, aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks).otherwise(lit(0.0))
+    val punct    = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+    val punctR   = when(nChars > 0, punct.cast("double") / nChars).otherwise(lit(0.0))
+    val alpha    = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val alphaR   = when(nChars > 0, alpha.cast("double") / nChars).otherwise(lit(0.0))
+    val allStops = stopwords.values.flatten.toSeq.distinct.sorted
+    val stopR    = when(nToks > 0, stopwordHits(toks, allStops).cast("double") / nToks).otherwise(lit(0.0))
+    val score =
+      when(nToks === 0, lit(0.0)).otherwise(
+        least(lit(1.0), nToks.cast("double") / 20) * lit(0.5)
+          + least(lit(1.0), alphaR * lit(1.25)) * lit(0.3)
+          + least(lit(1.0), stopR * lit(5.0)) * lit(0.2)
+      )
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      avgLen.as("avg_token_len"),
+      punctR.as("punct_ratio"),
+      alphaR.as("alpha_ratio"),
+      stopR.as("stopword_ratio"),
+      score.as("quality_score"),
+    )
+  }
+}

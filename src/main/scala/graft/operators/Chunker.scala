@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One emitted chunk (reference payload shape: backend/chunker.py:119-126 —
+  * {text, chunk_index, token_count}; document linkage added by the caller).
+  */
+final case class Chunk(doc_id: Long, chunk_index: Int, text: String, token_count: Int)
+
+/** Input row for chunking (driver testdata `documents` schema). */
+final case class DocRow(doc_id: Long, text: String, lang: String)
+
+/** Generator-shaped (1 row → N rows) chunking operators, run as
+  * `Dataset.flatMap` so Spark distributes them per-partition with no shuffle.
+  *
+  * Semantics mirror the reference chunker:
+  *  - token counting: whitespace split (reference: backend/chunker.py:31 —
+  *    the declared v1 semantic per SURVEY §2.7 C1);
+  *  - sentence split regex (backend/chunker.py:89);
+  *  - greedy sentence packing to ≤ maxTokens per chunk (backend/chunker.py:109-133);
+  *  - overlap: backtrack whole sentences until ≥ overlapTokens, never all of
+  *    them — the infinite-loop guard (backend/chunker.py:135-152);
+  *  - oversized single sentences: greedy word packing (backend/chunker.py:33-61);
+  *  - code files: top-level-block splitting by indentation/keyword boundaries,
+  *    the declared JVM deviation from Python-AST chunking
+  *    (backend/chunker.py:156-211; fallback mirror of 206-209).
+  */
+object Chunker extends Serializable {
+
+  val MaxTokens     = 500
+  val OverlapTokens = 50
+
+  /** Whitespace token count — C1's declared fallback semantic. */
+  def countTokens(text: String): Int = {
+    val t = text.trim
+    if (t.isEmpty) 0 else t.split("\\s+").length
+  }
+
+  private val SentenceSplit = "(?<=[.!?])\\s+(?=[A-Z])|(?<=[.!?])\\s*$"
+
+  def splitSentences(text: String): Vector[String] =
+    text.split(SentenceSplit).iterator.map(_.trim).filter(_.nonEmpty).toVector
+
+  /** Greedy word-packing of an oversized sentence into ≤ maxTokens pieces
+    * (reference: backend/chunker.py:33-61).
+    */
+  def splitOversized(sentence: String, maxTokens: Int = MaxTokens): Vector[String] =
+    sentence.trim.split("\\s+").filter(_.nonEmpty).grouped(maxTokens).map(_.mkString(" ")).toVector
+
+  /** Prose chunker (reference: backend/chunker.py:83-154). Deterministic. */
+  def chunkProse(
+      text: String,
+      maxTokens: Int = MaxTokens,
+      overlapTokens: Int = OverlapTokens,
+  ): Vector[(String, Int)] = {
+    val sentences0 = splitSentences(text)
+    val sentences =
+      (if (sentences0.isEmpty && text.trim.nonEmpty) Vector(text.trim) else sentences0)
+        .flatMap(s => if (countTokens(s) > maxTokens) splitOversized(s, maxTokens) else Vector(s))
+    if (sentences.isEmpty) return Vector.empty
+
+    val counts = sentences.map(countTokens)
+    val chunks = Vector.newBuilder[(String, Int)]
+    var current = Vector.empty[Int] // indices of sentences in the current chunk
+    var currentTokens = 0
+
+    def flush(): Unit = if (current.nonEmpty) {
+      val textOut = current.map(sentences).mkString(" ")
+      chunks += ((textOut, currentTokens))
+    }
+
+    var i = 0
+    while (i < sentences.length) {
+      if (currentTokens + counts(i) > maxTokens && current.nonEmpty) {
+        flush()
+        // Overlap: walk back whole sentences until >= overlapTokens, but
+        // never take ALL of the previous chunk (infinite-loop guard,
+        // reference: backend/chunker.py:135-152).
+        var keep = Vector.empty[Int]
+        var keepTokens = 0
+        var j = current.length - 1
+        while (j > 0 && keepTokens < overlapTokens) {
+          keep = current(j) +: keep
+          keepTokens += counts(current(j))
+          j -= 1
+        }
+        current = keep
+        currentTokens = keepTokens
+      }
+      current = current :+ i
+      currentTokens += counts(i)
+      i += 1
+    }
+    flush()
+    chunks.result()
+  }
+
+  private val CodeBoundary = "^(def |class |@|function |public |private |protected |static |fn |object |trait )".r
+
+  /** Code chunker: split at unindented top-level boundaries, then pack blocks
+    * greedily to ≤ maxTokens (declared deviation from the reference's
+    * Python-AST walk — same packing, regex/indentation boundaries).
+    */
+  def chunkCode(text: String, maxTokens: Int = MaxTokens): Vector[(String, Int)] = {
+    val lines = text.split("\n", -1)
+    val blocks = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    for (line <- lines) {
+      val isBoundary = CodeBoundary.findFirstIn(line).isDefined && !line.startsWith(" ") && !line.startsWith("\t")
+      if (isBoundary && cur.nonEmpty) {
+        blocks += cur.result(); cur.clear()
+      }
+      if (cur.nonEmpty) cur.append('\n')
+      cur.append(line)
+    }
+    if (cur.nonEmpty) blocks += cur.result()
+    val bs = blocks.result().map(_.trim).filter(_.nonEmpty)
+    if (bs.isEmpty) return Vector.empty
+
+    // Greedy block packing, oversized blocks fall back to prose chunking
+    // (reference fallback: backend/chunker.py:206-209).
+    val packed = Vector.newBuilder[(String, Int)]
+    var acc = Vector.empty[String]
+    var accTokens = 0
+    def flush(): Unit = if (acc.nonEmpty) { packed += ((acc.mkString("\n\n"), accTokens)); acc = Vector.empty; accTokens = 0 }
+    for (b <- bs) {
+      val n = countTokens(b)
+      if (n > maxTokens) { flush(); packed ++= chunkProse(b, maxTokens, 0) }
+      else {
+        if (accTokens + n > maxTokens) flush()
+        acc = acc :+ b; accTokens += n
+      }
+    }
+    flush()
+    packed.result()
+  }
+
+  private val CodeLangs = Set("py", "js", "java", "cpp", "python", "javascript", "scala")
+
+  /** Code-vs-prose dispatch (reference: backend/chunker.py:63-81). */
+  def chunkDocument(doc: DocRow, maxTokens: Int = MaxTokens): Vector[Chunk] = {
+    val pieces =
+      if (doc.lang != null && CodeLangs.contains(doc.lang.toLowerCase)) chunkCode(Option(doc.text).getOrElse(""), maxTokens)
+      else chunkProse(Option(doc.text).getOrElse(""), maxTokens)
+    pieces.zipWithIndex.map { case ((t, n), i) => Chunk(doc.doc_id, i, t, n) }
+  }
+
+  /** Distributed chunking: documents(doc_id, text, lang) → chunks. Narrow
+    * (no shuffle); scales linearly with input partitions.
+    */
+  def chunk(spark: SparkSession, documents: DataFrame, maxTokens: Int = MaxTokens): Dataset[Chunk] = {
+    import spark.implicits._
+    documents
+      .selectExpr("doc_id", "text", "lang")
+      .as[DocRow]
+      .flatMap(chunkDocument(_, maxTokens))
+  }
+}
