@@ -27,7 +27,7 @@ object TextOps {
       .otherwise(
         transform(
           sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, n), " ")
+          i => array_join(slice(toks, i + 1, lit(n)), " ")
         )
       )
 
