@@ -1,13 +1,624 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.functions.{TextOps, VectorOps}
+import graft.streaming.EventWindows
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline additions), each with a
+  * semantically identical DuckDB `oracleSql` where the semantics are
+  * SQL-expressible (hash-based signatures like MinHash/SimHash are
+  * rows-only checked: DuckDB has no xxhash64).
+  *
+  * Conventions keeping the Spark result and the DuckDB result hash-equal:
+  *  - every query ends with a deterministic ORDER BY on both sides;
+  *  - computed doubles are `round(x, 4)` on both sides (raw column
+  *    passthroughs stay unrounded — they're bit-identical from parquet);
+  *  - computed integers are cast to long on the Spark side (DuckDB's
+  *    len()/count() return BIGINT);
+  *  - timestamps in outputs are formatted to strings on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Deterministic query vector shared by every vector-search query and its
+    * oracle: the hash embedder (V2) applied to a fixed query string, so the
+    * exact same doubles are inlined into the DuckDB SQL.
+    */
+  private val qVec: Seq[Double] =
+    Embedder.default.embed("spark engine vector search").map(_.toDouble).toSeq
+  private val qVecSql: String = qVec.mkString("[", ", ", "]")
+
+  /** Flagship: the reference's canonical read path (§3.1) on sf0.001 —
+    * embed query (V2) → filtered cosine top-k (V1/F4/T1) → hydrate text
+    * (J2) → format (V4).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t    = Tables(spark, "/root/testdata/sf0.001")
+    val hits = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 5, Seq(col("label") =!= 3))
+    Search.formatHits(
+      Joins.hydrate(hits.select("vec_id", "score"), t.documents.withColumnRenamed("doc_id", "vec_id"), "vec_id"),
+      "vec_id",
+      Seq("text", "lang"),
+    ).orderBy(desc("score"), col("vec_id"))
+  }
+
+  // ---- shared fixture fragments (kept textually parallel to the oracle) ----
+
+  /** Synthetic file extension used by F7/U3: cycle pdf/txt/exe/md by doc_id. */
+  private def extCol = {
+    val m = col("doc_id") % 4
+    when(m === 0, "pdf").when(m === 1, "txt").when(m === 2, "exe").otherwise("md")
+  }
+  private val extSql  = "CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'txt' WHEN 2 THEN 'exe' ELSE 'md' END"
+  private val allowed = Seq("pdf", "txt", "md")
+
+  /** Torture filename for F8 (reserved chars, tab, length cap, empty case). */
+  private def dirtyName = when(
+    col("doc_id") % 97 === 0,
+    lit("/"),
+  ).otherwise(
+    concat(
+      lit("docs/su\\b/ <"), col("lang"), lit(">:t\t\""), col("source"), lit("|q?*"),
+      expr("repeat('x', cast(doc_id % 230 as int))"),
+    )
+  )
+  private val dirtyNameSql =
+    raw"""CASE WHEN doc_id % 97 = 0 THEN '/' ELSE 'docs/su\b/ <' || lang || '>:t' || chr(9) || '"' || source || '|q?*' || repeat('x', (doc_id % 230)::INT) END"""
+
+  /** DuckDB token pipeline mirroring TextOps.tokens. */
+  private val toksSql = raw"""list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- F: filters / projections -----------------------------
+    "f1_eq" -> ((s, d) => Tables(s, d).documents
+      .where(Filters.eq("lang", "en"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")),
+
+    "f2_in" -> ((s, d) => Tables(s, d).customer
+      .where(Filters.inList("c_mktsegment", Seq("BUILDING", "AUTOMOBILE")))
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")),
+
+    "f3_range" -> ((s, d) => Tables(s, d).orders
+      .where(Filters.range("o_orderdate", Some("1995-01-01"), Some("1995-06-30 23:59:59")))
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("o_totalprice"))
+      .orderBy("o_orderkey")),
+
+    "f4_conjunction" -> ((s, d) => Tables(s, d).lineitem
+      .where(Filters.conjunction(Seq(
+        Filters.eq("l_returnflag", "R"),
+        col("l_quantity").between(10, 20),
+        col("l_discount") <= 0.05,
+      )))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
+    "f5_cluster_coerce" -> ((s, d) => Tables(s, d).embeddings
+      .where(Filters.clusterFilter("label", "3"))
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")),
+
+    "f6_projection" -> ((s, d) => Tables(s, d).embeddings
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")),
+
+    "f7_ext_gate" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), extCol.as("ext"))
+      .withColumn("allowed", Filters.extAllowed(col("ext"), allowed))
+      .orderBy("doc_id")),
+
+    "f8_sanitize" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), TextOps.sanitizeFilename(dirtyName).as("clean_name"))
+      .orderBy("doc_id")),
+
+    "f9_coalesce" -> ((s, d) => Tables(s, d).documents
+      .select(
+        col("doc_id"),
+        coalesce(when(col("source") === "src3", lit(null)).otherwise(col("source")), concat(lit("course_"), col("lang"))).as("name"),
+      )
+      .orderBy("doc_id")),
+
+    // ---------------- J: joins ---------------------------------------------
+    "j1_anti" -> ((s, d) => {
+      val t  = Tables(s, d)
+      val ff = t.documents.where(col("doc_id") % 3 === 0 && col("doc_id") < 300).select("doc_id")
+      Joins.unsorted(t.documents, ff, "doc_id").select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    "j2_hydrate" -> ((s, d) => {
+      val t    = Tables(s, d)
+      val hits = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10).select("vec_id", "score")
+      Joins.hydrate(hits, t.embeddings.select("vec_id", "label"), "vec_id")
+        .select(col("vec_id"), round(col("score"), 4).as("score"), col("label"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
+    "j3_zip" -> ((s, d) => {
+      val t = Tables(s, d)
+      Joins.zipJoin(
+        t.documents.select("doc_id", "n_chars"), col("doc_id").asc,
+        t.embeddings.select("vec_id", "label"), col("vec_id").desc,
+      ).select("doc_id", "vec_id", "label").orderBy("doc_id")
+    }),
+
+    "j4_key_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .join(t.region, col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "j5_folder_paths" -> ((s, d) => {
+      val t = Tables(s, d)
+      val folders = t.region
+        .select(concat(lit("r"), col("r_regionkey")).as("id"), col("r_name").as("name"), lit(null).cast("string").as("parent_id"))
+        .unionByName(t.nation.select(concat(lit("n"), col("n_nationkey")).as("id"), col("n_name").as("name"), concat(lit("r"), col("n_regionkey")).as("parent_id")))
+        .unionByName(t.customer.where(col("c_custkey") <= 100)
+          .select(concat(lit("c"), col("c_custkey")).as("id"), col("c_name").as("name"), concat(lit("n"), col("c_nationkey")).as("parent_id")))
+      Joins.folderPaths(folders).orderBy("id")
+    }),
+
+    "j6_firstwins" -> ((s, d) => Joins.firstWins(Tables(s, d).documents, "source", "doc_id")
+      .select("source", "doc_id", "n_chars")
+      .orderBy("source")),
+
+    // ---------------- A: aggregations ---------------------------------------
+    "a1_distinct_clusters" -> ((s, d) => Aggs.distinctClusters(
+      Tables(s, d).embeddings.withColumn("cluster_name", concat(lit("cluster_"), col("label"))),
+      "label", "cluster_name")),
+
+    "a2_count_distinct" -> ((s, d) => Tables(s, d).documents
+      .groupBy("lang")
+      .agg(countDistinct("source").as("n_sources"), count(lit(1)).as("n_docs"))
+      .orderBy("lang")),
+
+    "a3_cluster_stats" -> ((s, d) => Aggs.clusterStats(
+      Tables(s, d).embeddings.withColumn("label", when(col("vec_id") % 7 === 0, -1).otherwise(col("label"))),
+      "label")),
+
+    "a4_group_list" -> ((s, d) => Aggs.groupToList(Tables(s, d).documents, "source", "doc_id")),
+
+    "a5_cluster_corpus" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.embeddings.join(t.documents, col("vec_id") === col("doc_id"))
+        .groupBy("label")
+        .agg(md5(array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("text")))), r => r("text")),
+          " ")).as("corpus_md5"))
+        .orderBy("label")
+    }),
+
+    "a6_tfidf_keywords" -> ((s, d) => {
+      val t = Tables(s, d)
+      val labeled = t.embeddings.join(t.documents, col("vec_id") === col("doc_id"))
+        .select(col("label"), col("text"))
+      Aggs.tfidfKeywords(labeled, "label", "text", 3)
+    }),
+
+    "a7_registry" -> ((s, d) => Aggs.registry(Tables(s, d).lineitem, "l_orderkey", "l_linenumber")
+      .withColumnRenamed("document_id", "order_id")),
+
+    "a8_counters" -> ((s, d) => Tables(s, d).documents
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"), round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")),
+
+    "a9_jobs_topn" -> ((s, d) => Tables(s, d).events
+      .orderBy(desc("ts"), col("event_id"))
+      .limit(50)
+      .select(col("event_id"), col("event_type"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"), col("value"))),
+
+    // ---------------- T/U: sorts & set ops ----------------------------------
+    "t2_sort" -> ((s, d) => Tables(s, d).embeddings.select("label").distinct().orderBy("label")),
+
+    "t4_noise_last" -> ((s, d) => Tables(s, d).embeddings
+      .withColumn("label", when(col("vec_id") % 7 === 0, -1).otherwise(col("label")))
+      .select("label").distinct()
+      .orderBy(when(col("label") === -1, 1).otherwise(0).asc, col("label").asc)),
+
+    "u1_except" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.documents.select("doc_id")
+        .except(t.documents.where(col("doc_id") % 3 === 0 && col("doc_id") < 300).select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "u3_partition_counts" -> ((s, d) => Tables(s, d).documents
+      .select(Filters.extAllowed(extCol, allowed).as("allowed"))
+      .groupBy("allowed").agg(count(lit(1)).as("n"))
+      .orderBy("allowed")),
+
+    // ---------------- S: scans & maintenance sinks --------------------------
+    "s12_scan" -> ((s, d) => Tables(s, d).embeddings
+      .select(col("vec_id"), col("label"), round(VectorOps.l2Norm(VectorOps.asDouble(col("embedding"))), 4).as("norm"))
+      .orderBy("vec_id")),
+
+    "s13_point_lookup" -> ((s, d) => Tables(s, d).embeddings
+      .where(col("vec_id").isin(3L, 77L, 150L, 421L))
+      .select("vec_id", "label")
+      .orderBy("vec_id")),
+
+    "s14_delete" -> ((s, d) => Maintenance.deleteWhere(Tables(s, d).embeddings, Filters.eq("label", 5))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy("label")),
+
+    "s15_join_update" -> ((s, d) => {
+      val base = Tables(s, d).embeddings.select("vec_id", "label")
+      val upd  = base.where(col("vec_id") % 10 === 0).select(col("vec_id"), lit(99).as("label"))
+      Maintenance.joinUpdate(base, upd, "vec_id").orderBy("vec_id")
+    }),
+
+    "s11_upsert" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables(s, d).embeddings.select("vec_id", "label")
+      val upd = base.where(col("vec_id") < 5).withColumn("label", lit(77))
+        .unionByName(Seq((9001L, 1), (9002L, 2)).toDF("vec_id", "label"))
+      Maintenance.upsert(base, upd, "vec_id").orderBy("vec_id")
+    }),
+
+    "s16_reset" -> ((s, d) => Maintenance.reset(Tables(s, d).embeddings.select("vec_id", "label"))),
+
+    // ---------------- V: vector search --------------------------------------
+    "v1_cosine_topk" -> ((s, d) => Search.topK(
+      Tables(s, d).embeddings, "embedding", "vec_id", qVec, 10,
+      Seq(Filters.conjunction(Seq(col("label") =!= 3))))
+      .select(col("vec_id"), round(col("score"), 4).as("score"), col("label"))),
+
+    "v2_embed" -> ((s, d) => {
+      val e = Embedder.embedText(s, Tables(s, d).documents, "doc_id", "text")
+      e.toDF().select(
+        col("id").as("doc_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(VectorOps.l2Norm(VectorOps.asDouble(col("embedding"))), 4).as("norm"),
+      ).orderBy("doc_id")
+    }),
+
+    "v5_knn_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      Search.knnJoin(
+        t.embeddings.where(col("vec_id") < 20), t.embeddings,
+        "embedding", "vec_id", "embedding", "vec_id", 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "v6_ivf_ann" -> ((s, d) => {
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.assign(t.embeddings, "embedding", 8)
+      Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 3)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // ---------------- D: dedup suite ----------------------------------------
+    "d1_exact_groups" -> ((s, d) => Dedup.exactDupGroups(
+      Tables(s, d).documents.withColumn("text", concat(col("lang"), lit(" "), col("source"))),
+      "doc_id", "text")
+      .orderBy("text_hash")),
+
+    "d2_fingerprint" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), TextOps.bagOfWordsFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")),
+
+    "d3_minhash_candidates" -> ((s, d) => Dedup.minHashCandidates(
+      Tables(s, d).documents, "doc_id", "text", 3, 16, 8)
+      .orderBy("id_a", "id_b")),
+
+    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
+      Tables(s, d).documents.where(col("doc_id") < 200), "doc_id", "text", 3, 0.005)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")),
+
+    "d5_jaccard_lsh_pruned" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val cand = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.005, Some(cand))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d6_simhash" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      .withColumn("bits_set", Dedup.popCount(col("simhash")).cast("long"))
+      .orderBy("doc_id")),
+
+    "d7_embed_neardup" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val corpus = e.select("vec_id", "embedding")
+        .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 16, 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------- X: text analysis --------------------------------------
+    "x1_token_count" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")),
+
+    "x2_lang_id" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")),
+
+    "x3_quality" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), TextOps.qualityFeatures(col("text")).as("q"))
+      .select(
+        col("doc_id"),
+        col("q.n_chars").cast("long").as("n_chars"),
+        col("q.n_tokens").cast("long").as("n_tokens"),
+        round(col("q.avg_token_len"), 4).as("avg_token_len"),
+        round(col("q.punct_ratio"), 4).as("punct_ratio"),
+        round(col("q.alpha_ratio"), 4).as("alpha_ratio"),
+        round(col("q.stopword_ratio"), 4).as("stopword_ratio"),
+        round(col("q.quality_score"), 4).as("quality_score"),
+      )
+      .orderBy("doc_id")),
+
+    // ---------------- C: chunking -------------------------------------------
+    "c1_chunk" -> ((s, d) => Chunker.chunk(s, Tables(s, d).documents)
+      .toDF()
+      .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+        col("token_count").cast("long").as("token_count"), md5(col("text")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_index")),
+
+    "c2_chunk_oversized" -> ((s, d) => {
+      val big = Tables(s, d).documents
+        .where(col("doc_id") < 50)
+        .withColumn("text", trim(expr("repeat(text || ' ', 12)")))
+      Chunker.chunk(s, big)
+        .toDF()
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("token_count").cast("long").as("token_count"), md5(col("text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    // ---------------- W: windowed event analytics ---------------------------
+    "w1_tumbling" -> ((s, d) => EventWindows.tumbling(Tables(s, d).events, "ts", "10 minutes")
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start", "event_type")),
+
+    "w2_sliding" -> ((s, d) => EventWindows.sliding(Tables(s, d).events, "ts", "10 minutes", "5 minutes")
+      .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("window_start")),
+
+    // ---------------- H: relational headline (bench anchors) ----------------
+    "h1_pricing_summary" -> ((s, d) => Tables(s, d).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("long").as("base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long")).cast("long").as("disc_cents"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "h3_top_orders" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.where(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long")).cast("long").as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---------------- M: ML (invariant-tested; rows-only here) --------------
+    "m3_pca_3d" -> ((s, d) => {
+      val out = Ml.pca3d(Tables(s, d).embeddings, "embedding", "vec_id")
+      out.select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"), round(col("z"), 4).as("z"))
+        .orderBy("vec_id")
+    }),
+
+    "m1_kmeans" -> ((s, d) => {
+      val (assigned, _) = Ivf.assign(Tables(s, d).embeddings, "embedding", 10)
+      assigned.groupBy("list_id").agg(count(lit(1)).as("n")).orderBy("list_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "f1_eq" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    "f2_in" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY c_custkey",
+    "f3_range" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1995-06-30 23:59:59' ORDER BY o_orderkey",
+    "f4_conjunction" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20 AND l_discount <= 0.05 ORDER BY l_orderkey, l_linenumber",
+    "f5_cluster_coerce" ->
+      "SELECT vec_id, label FROM embeddings WHERE label = 3 ORDER BY vec_id",
+    "f6_projection" ->
+      "SELECT vec_id, label FROM embeddings ORDER BY vec_id",
+    "f7_ext_gate" ->
+      s"SELECT doc_id, $extSql AS ext, $extSql IN ('pdf','txt','md') AS allowed FROM documents ORDER BY doc_id",
+    "f8_sanitize" -> {
+      val base = raw"""list_extract(string_split_regex($dirtyNameSql, '[/\\]'), -1)"""
+      val noCtrl = raw"""regexp_replace($base, '[\x00-\x1f\x7f]', '', 'g')"""
+      val repl = raw"""regexp_replace($noCtrl, '[<>:"/\\|?*]', '_', 'g')"""
+      val capped = raw"""substr(trim($repl), 1, 200)"""
+      raw"""SELECT doc_id, CASE WHEN $capped IS NULL OR $capped = '' THEN 'unnamed_file' ELSE $capped END AS clean_name FROM documents ORDER BY doc_id"""
+    },
+    "f9_coalesce" ->
+      "SELECT doc_id, coalesce(CASE WHEN source = 'src3' THEN NULL ELSE source END, 'course_' || lang) AS name FROM documents ORDER BY doc_id",
+
+    "j1_anti" ->
+      "SELECT doc_id, source FROM documents d WHERE NOT EXISTS (SELECT 1 FROM documents f WHERE f.doc_id % 3 = 0 AND f.doc_id < 300 AND f.doc_id = d.doc_id) ORDER BY doc_id",
+    "j2_hydrate" ->
+      s"""WITH scored AS (SELECT vec_id, label, list_cosine_similarity(embedding::DOUBLE[], $qVecSql) AS sim FROM embeddings),
+         | topk AS (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
+         | SELECT t.vec_id, round(t.sim, 4) AS score, s.label FROM topk t JOIN scored s ON t.vec_id = s.vec_id ORDER BY t.sim DESC, t.vec_id""".stripMargin,
+    "j3_zip" ->
+      """WITH l AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY doc_id ASC) AS pos FROM documents),
+        | r AS (SELECT vec_id, label, row_number() OVER (ORDER BY vec_id DESC) AS pos FROM embeddings)
+        | SELECT doc_id, vec_id, label FROM l JOIN r USING (pos) ORDER BY doc_id""".stripMargin,
+    "j4_key_join" ->
+      "SELECT c_custkey, n_name, r_name FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey",
+    "j5_folder_paths" ->
+      """WITH RECURSIVE folders AS (
+        |   SELECT 'r' || r_regionkey AS id, r_name AS name, NULL AS parent_id FROM region
+        |   UNION ALL SELECT 'n' || n_nationkey, n_name, 'r' || n_regionkey FROM nation
+        |   UNION ALL SELECT 'c' || c_custkey, c_name, 'n' || c_nationkey FROM customer WHERE c_custkey <= 100
+        | ), r AS (
+        |   SELECT id, name, parent_id, name AS path, parent_id AS cursor FROM folders
+        |   UNION ALL
+        |   SELECT r.id, r.name, r.parent_id, f.name || '/' || r.path, f.parent_id FROM r JOIN folders f ON r.cursor = f.id
+        | )
+        | SELECT id, name, parent_id, path FROM r WHERE cursor IS NULL ORDER BY id""".stripMargin,
+    "j6_firstwins" ->
+      "SELECT source, doc_id, n_chars FROM documents QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) = 1 ORDER BY source",
+
+    "a1_distinct_clusters" ->
+      "SELECT label AS cluster, max('cluster_' || label) AS cluster_name FROM embeddings WHERE label IS NOT NULL GROUP BY label ORDER BY cluster",
+    "a2_count_distinct" ->
+      "SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+    "a3_cluster_stats" ->
+      """WITH e AS (SELECT CASE WHEN vec_id % 7 = 0 THEN -1 ELSE label END AS label FROM embeddings)
+        | SELECT count(DISTINCT CASE WHEN label <> -1 THEN label END) AS n_clusters, count(CASE WHEN label = -1 THEN 1 END) AS n_noise FROM e""".stripMargin,
+    "a4_group_list" ->
+      "SELECT coalesce(source::VARCHAR, 'null') AS group_key, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members, count(*) AS n_members FROM documents GROUP BY 1 ORDER BY group_key",
+    "a5_cluster_corpus" ->
+      "SELECT label, md5(string_agg(text, ' ' ORDER BY doc_id)) AS corpus_md5 FROM embeddings JOIN documents ON vec_id = doc_id GROUP BY label ORDER BY label",
+    "a6_tfidf_keywords" ->
+      raw"""WITH d AS (SELECT label, $toksSql AS toks FROM embeddings JOIN documents ON vec_id = doc_id),
+           | terms AS (SELECT label, unnest(list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS term FROM d),
+           | tf AS (SELECT label, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           | nl AS (SELECT count(DISTINCT label) AS n_labels FROM tf),
+           | top3 AS (
+           |   SELECT tf.label, tf.term, row_number() OVER (PARTITION BY tf.label ORDER BY tf.tf * ln(nl.n_labels / dfq.df) DESC, tf.term ASC) AS rk
+           |   FROM tf JOIN dfq USING (term) CROSS JOIN nl
+           |   QUALIFY rk <= 3)
+           | SELECT label, string_agg(array_to_string(list_transform(string_split(term, ' '), w -> upper(w[1:1]) || w[2:]), ' '), ' & ' ORDER BY rk) AS cluster_name
+           | FROM top3 GROUP BY label ORDER BY label""".stripMargin,
+    "a7_registry" ->
+      "SELECT l_orderkey AS order_id, count(*) AS total_chunks, min(l_linenumber) AS first_chunk, max(l_linenumber) AS last_chunk FROM lineitem GROUP BY 1 ORDER BY order_id",
+    "a8_counters" ->
+      "SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang ORDER BY lang",
+    "a9_jobs_topn" ->
+      "SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, value FROM events ORDER BY ts DESC, event_id LIMIT 50",
+
+    "t2_sort" ->
+      "SELECT DISTINCT label FROM embeddings ORDER BY label",
+    "t4_noise_last" ->
+      """WITH e AS (SELECT DISTINCT CASE WHEN vec_id % 7 = 0 THEN -1 ELSE label END AS label FROM embeddings)
+        | SELECT label FROM e ORDER BY CASE WHEN label = -1 THEN 1 ELSE 0 END ASC, label ASC""".stripMargin,
+    "u1_except" ->
+      "SELECT doc_id FROM documents EXCEPT SELECT doc_id FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300 ORDER BY doc_id",
+    "u3_partition_counts" ->
+      s"SELECT $extSql IN ('pdf','txt','md') AS allowed, count(*) AS n FROM documents GROUP BY 1 ORDER BY allowed",
+
+    "s12_scan" ->
+      "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm FROM embeddings ORDER BY vec_id",
+    "s13_point_lookup" ->
+      "SELECT vec_id, label FROM embeddings WHERE vec_id IN (3, 77, 150, 421) ORDER BY vec_id",
+    "s14_delete" ->
+      "SELECT label, count(*) AS n FROM embeddings WHERE NOT (label = 5) GROUP BY label ORDER BY label",
+    "s15_join_update" ->
+      "SELECT vec_id, CASE WHEN vec_id % 10 = 0 THEN 99 ELSE label END AS label FROM embeddings ORDER BY vec_id",
+    "s11_upsert" ->
+      """SELECT vec_id, CASE WHEN vec_id < 5 THEN 77 ELSE label END AS label FROM embeddings
+        | UNION ALL SELECT 9001, 1 UNION ALL SELECT 9002, 2 ORDER BY vec_id""".stripMargin,
+    "s16_reset" ->
+      "SELECT vec_id, label FROM embeddings WHERE 1 = 0",
+
+    "v1_cosine_topk" ->
+      s"""WITH scored AS (SELECT vec_id, label, list_cosine_similarity(embedding::DOUBLE[], $qVecSql) AS sim FROM embeddings WHERE label <> 3)
+         | SELECT vec_id, round(sim, 4) AS score, label FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "v5_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+         | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         | s AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS sim,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
+         |   FROM q JOIN c ON query_id <> neighbor_id QUALIFY rank <= 5)
+         | SELECT query_id, neighbor_id, round(sim, 4) AS score, rank FROM s ORDER BY query_id, rank""".stripMargin,
+
+    "d1_exact_groups" ->
+      """WITH d AS (SELECT doc_id, lang || ' ' || source AS text FROM documents)
+        | SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id FROM d GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
+    "d2_fingerprint" ->
+      raw"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp FROM documents ORDER BY doc_id""",
+    "d4_ngram_jaccard" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 200),
+           | sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t WHERE len(toks) >= 3),
+           | e AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+           | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           | sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+           | SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b, round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+           | FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           | WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.005 ORDER BY id_a, id_b""".stripMargin,
+    "d7_embed_neardup" ->
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |   UNION ALL SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings)
+        | SELECT a.id AS id_a, b.id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        | FROM c a JOIN c b ON a.id < b.id WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "x1_token_count" ->
+      raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",
+    "x2_lang_id" ->
+      raw"""WITH h AS (SELECT doc_id,
+           |   len(list_intersect(list_distinct($toksSql), ['der','die','und','das','ist','von','mit','den','ein','eine'])) AS h_de,
+           |   len(list_intersect(list_distinct($toksSql), ['the','and','of','to','in','is','that','with','for','was'])) AS h_en,
+           |   len(list_intersect(list_distinct($toksSql), ['el','la','de','que','y','en','los','una','por','con'])) AS h_es,
+           |   len(list_intersect(list_distinct($toksSql), ['le','la','les','des','est','une','dans','que','pour','sur'])) AS h_fr
+           | FROM documents)
+           | SELECT doc_id, CASE
+           |   WHEN h_de = best AND h_de > 0 THEN 'de'
+           |   WHEN h_en = best AND h_en > 0 THEN 'en'
+           |   WHEN h_es = best AND h_es > 0 THEN 'es'
+           |   WHEN h_fr = best AND h_fr > 0 THEN 'fr'
+           |   ELSE 'und' END AS lang_pred
+           | FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM h) ORDER BY doc_id""".stripMargin,
+    "x3_quality" -> {
+      val stops = TextOps.stopwords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+      raw"""WITH q AS (SELECT doc_id, text, $toksSql AS toks, len(text) AS n_chars FROM documents),
+           | f AS (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           |   CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) ELSE 0.0 END AS avg_token_len,
+           |   CASE WHEN n_chars > 0 THEN (n_chars - len(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+           |   CASE WHEN n_chars > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars ELSE 0.0 END AS alpha_ratio,
+           |   CASE WHEN len(toks) > 0 THEN len(list_intersect(list_distinct(toks), $stops))::DOUBLE / len(toks) ELSE 0.0 END AS stopword_ratio
+           | FROM q)
+           | SELECT doc_id, n_chars, n_tokens, round(avg_token_len, 4) AS avg_token_len, round(punct_ratio, 4) AS punct_ratio,
+           |   round(alpha_ratio, 4) AS alpha_ratio, round(stopword_ratio, 4) AS stopword_ratio,
+           |   round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE least(1.0, n_tokens / 20) * 0.5 + least(1.0, alpha_ratio * 1.25) * 0.3 + least(1.0, stopword_ratio * 5.0) * 0.2 END, 4) AS quality_score
+           | FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "c1_chunk" ->
+      raw"""SELECT doc_id, 0::BIGINT AS chunk_index, len(string_split_regex(trim(text), '\s+')) AS token_count, md5(trim(text)) AS chunk_md5 FROM documents ORDER BY doc_id, chunk_index""",
+    "c2_chunk_oversized" ->
+      raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(repeat(text || ' ', 12)), '\s+') AS toks FROM documents WHERE doc_id < 50)
+           | SELECT doc_id, i AS chunk_index, len(toks[(i*500+1):((i+1)*500)]) AS token_count,
+           |   md5(array_to_string(toks[(i*500+1):((i+1)*500)], ' ')) AS chunk_md5
+           | FROM d, unnest(range(0, cast(ceil(len(toks) / 500.0) AS BIGINT))) t(i)
+           | ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "w1_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        | count(*) AS n_events, round(sum(round(value * 100)::BIGINT)::DOUBLE / 100.0, 4) AS sum_value
+        | FROM events GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type ORDER BY window_start, event_type""".stripMargin,
+    "w2_sliding" ->
+      """WITH ev AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, value FROM events),
+        | w AS (SELECT unnest([b5, b5 - INTERVAL '5 minutes']) AS ws, value FROM ev)
+        | SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events,
+        |   round(sum(round(value * 100)::BIGINT)::DOUBLE / 100.0 / count(*), 4) AS avg_value
+        | FROM w GROUP BY ws ORDER BY window_start""".stripMargin,
+
+    "h1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS base_cents,
+        | sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS disc_cents,
+        | count(*) AS count_order
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "h3_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
+        | FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        | GROUP BY o_orderkey, o_orderdate ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+  )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The reference's aggregation surface (SURVEY §2.4). All of these ride
+  * Spark's partial+final aggregation (map-side combine before the shuffle)
+  * for free — the reference computes them as driver-side Python loops over a
+  * full scroll (e.g. backend/main.py:886-911), which is exactly the
+  * collect-and-loop shape we must not reproduce.
+  */
+object Aggs {
+
+  /** A1 — distinct cluster ids + names, sorted by id
+    * (backend/main.py:886-911). The reference's dict is last-write-wins over
+    * scroll order; we declare the deterministic variant: max name per id.
+    */
+  def distinctClusters(chunks: DataFrame, labelCol: String, nameCol: String): DataFrame =
+    chunks
+      .where(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("cluster"))
+      .agg(max(col(nameCol)).as("cluster_name"))
+      .orderBy("cluster")
+
+  /** A3 — cluster stats: n_clusters excludes the −1 noise label, n_noise
+    * counts it (backend/clustering.py:64-66; backend/main.py:833-834).
+    */
+  def clusterStats(chunks: DataFrame, labelCol: String): DataFrame =
+    chunks.agg(
+      countDistinct(when(col(labelCol) =!= -1, col(labelCol))).as("n_clusters"),
+      count(when(col(labelCol) === -1, 1)).as("n_noise"),
+    )
+
+  /** A4 — members-per-group as a deterministic sorted list rendered to csv
+    * (backend/filesystem_db.py:135-149; NULL group key → literal "null").
+    */
+  def groupToList(df: DataFrame, keyCol: String, memberCol: String): DataFrame =
+    df.groupBy(coalesce(col(keyCol).cast("string"), lit("null")).as("group_key"))
+      .agg(
+        array_join(transform(sort_array(collect_list(col(memberCol))), _.cast("string")), ",").as("members"),
+        count(lit(1)).as("n_members"),
+      )
+      .orderBy("group_key")
+
+  /** A7 — document registry: the maintained per-document summary the
+    * reference keeps in documents.json (backend/document_registry.py:180-207),
+    * derivable as one aggregation over chunks.
+    */
+  def registry(chunks: DataFrame, docCol: String, orderCol: String): DataFrame =
+    chunks
+      .groupBy(col(docCol).as("document_id"))
+      .agg(
+        count(lit(1)).as("total_chunks"),
+        min(col(orderCol)).as("first_chunk"),
+        max(col(orderCol)).as("last_chunk"),
+      )
+      .orderBy("document_id")
+
+  /** A6/M2/T5 — per-cluster TF-IDF top-k keywords, the cluster-naming chain
+    * (backend/clustering.py:100-147): unigram+bigram terms, tf = term count
+    * in the cluster corpus, idf = ln(n_clusters / df), top-k by score with a
+    * deterministic (score desc, term asc) tie-break, joined " & " in Title
+    * Case; declared deviation from sklearn's TfidfVectorizer: plain ln idf,
+    * no min_df/max_df/max_features pruning — the selection is fully
+    * distributed instead of per-cluster sklearn fits.
+    */
+  def tfidfKeywords(docs: DataFrame, labelCol: String, textCol: String, topK: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val terms = docs.select(
+      col(labelCol).as("label"),
+      explode(concat(toks, TextOps.wordShingles(toks, 2))).as("term"),
+    )
+    val tf       = terms.groupBy("label", "term").agg(count(lit(1)).as("tf"))
+    val docFreq  = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nLabels  = tf.select(countDistinct(col("label")).as("n_labels"))
+    val scored = tf
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nLabels))
+      .withColumn("tfidf", col("tf") * log(col("n_labels").cast("double") / col("df")))
+    val w = Window.partitionBy("label").orderBy(desc("tfidf"), asc("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .groupBy("label")
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("rk"), col("term")))), s => initcap(s("term"))), " & ")
+          .as("cluster_name")
+      )
+      .orderBy("label")
+  }
+}

@@ -86,10 +86,17 @@ object Chunker extends Serializable {
         }
         current = keep
         currentTokens = keepTokens
+        // Do NOT append sentence i yet: re-enter the size check with the
+        // overlap as the current chunk, mirroring the reference's return
+        // into its packing loop (backend/chunker.py:135-152). If the
+        // overlap + sentence i still exceeds maxTokens, the overlap-only
+        // chunk is flushed (keep shrinks strictly each pass — terminates),
+        // so no chunk ever exceeds maxTokens.
+      } else {
+        current = current :+ i
+        currentTokens += counts(i)
+        i += 1
       }
-      current = current :+ i
-      currentTokens += counts(i)
-      i += 1
     }
     flush()
     chunks.result()
@@ -135,7 +142,11 @@ object Chunker extends Serializable {
     packed.result()
   }
 
-  private val CodeLangs = Set("py", "js", "java", "cpp", "python", "javascript", "scala")
+  /** Only py/python route to the code chunker, matching the reference exactly
+    * (backend/chunker.py:77-80: `if is_code and language in ["py","python"]`).
+    * js/java/cpp/javascript fall through to prose there too.
+    */
+  private val CodeLangs = Set("py", "python")
 
   /** Code-vs-prose dispatch (reference: backend/chunker.py:63-81). */
   def chunkDocument(doc: DocRow, maxTokens: Int = MaxTokens): Vector[Chunk] = {

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   * All stages are codegen'd column expressions; the only shuffles are the
   * final groupBy/join on the dedup key — exactly the shuffles the algorithms
   * require. Designed so each stage scales linearly: per-row signatures are
-  * narrow, candidate generation shuffles signatures (tiny) not documents.
+  * narrow, candidate generation shuffles signatures (tiny) not documents,
+  * and pairwise verification only ever runs on LSH-pruned candidate pairs.
   */
 object Dedup {
 
@@ -25,12 +26,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .where(col("n_docs") > 1)
 
+  /** Distinct word shingles of a text column (dedup signature input). */
+  def shingleSet(text: Column, shingleSize: Int): Column =
+    array_distinct(TextOps.wordShingles(TextOps.tokens(text), shingleSize))
+
   /** MinHash signature: for each of `numHashes` seeds, the min over the
     * document's distinct shingles of xxhash64(shingle, seed). Pure
     * per-row expression work — no shuffle, no MLlib model fit.
     */
   def minHashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val shingles = array_distinct(TextOps.wordShingles(TextOps.tokens(text), shingleSize))
+    val shingles = shingleSet(text, shingleSize)
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       seed =>
@@ -43,11 +48,16 @@ object Dedup {
     * docs sharing any (band_index, band_hash) become candidate pairs.
     * Emits (band, band_hash, id) — the only thing shuffled is this tiny
     * triple, never the documents.
+    *
+    * Docs with zero shingles (fewer than shingleSize tokens) are excluded:
+    * they would all share the degenerate all-MaxValue signature and collapse
+    * into one quadratic bucket of false candidates.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val sig  = minHashSignature(col(textCol), shingleSize, numHashes)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+    df.select(col(idCol).as("id"), sig.as("sig"), size(shingleSet(col(textCol), shingleSize)).as("n_sh"))
+      .where(col("n_sh") > 0)
       .select(
         col("id"),
         posexplode(
@@ -59,9 +69,25 @@ object Dedup {
       )
   }
 
-  /** MinHash-LSH candidate pairs (id_a < id_b), deduped across bands. */
-  def minHashCandidates(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val b  = lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+  /** MinHash-LSH candidate pairs (id_a < id_b), deduped across bands.
+    *
+    * `maxBucketSize` caps pathological hot buckets (e.g. boilerplate shared
+    * by millions of docs): buckets larger than the cap are dropped before the
+    * self-join, bounding the worst case at cap² per bucket instead of n².
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+      .withColumn("bucket_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val b2 = b.select(col("band"), col("band_hash"), col("id").as("id_b"))
     b.join(b2, Seq("band", "band_hash"))
       .where(col("id") < col("id_b"))
@@ -69,31 +95,58 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for candidate verification / oracle
-    * checking: explode distinct shingles, self-join on shingle, then
-    * jaccard = |A∩B| / (|A| + |B| − |A∩B|). The join key is the shingle —
-    * at scale, apply AFTER LSH candidate pruning (pass candidates to
-    * restrict) or on a salted top-frequency-filtered shingle set.
+  /** Exact n-gram Jaccard similarity: jaccard = |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * With `candidates` (id_a, id_b — e.g. [[minHashCandidates]] output), the
+    * scalable path: join each side's shingle set onto the candidate pairs and
+    * intersect per pair — work is O(|candidates|), never all-pairs, and only
+    * candidate rows carry shingle arrays through a shuffle.
+    *
+    * Without `candidates`, falls back to the exact exploded self-join keyed
+    * on the shingle — quadratic on frequent shingles; use only at oracle/test
+    * scale or on a pre-pruned corpus.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double,
+      candidates: Option[DataFrame] = None,
+  ): DataFrame = {
     val shingled = df.select(
       col(idCol).as("id"),
-      array_distinct(TextOps.wordShingles(TextOps.tokens(col(textCol)), shingleSize)).as("shingles"),
+      shingleSet(col(textCol), shingleSize).as("shingles"),
     )
-    val sizes    = shingled.select(col("id"), size(col("shingles")).as("n"))
-    val exploded = shingled.select(col("id"), explode(col("shingles")).as("sh"))
-    val e2       = exploded.select(col("sh"), col("id").as("id_b"))
-    val inter = exploded
-      .join(e2, Seq("sh"))
-      .where(col("id") < col("id_b"))
-      .groupBy(col("id").as("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
-      .withColumn("jaccard", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    candidates match {
+      case Some(cand) =>
+        val a = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+        val b = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+        cand.select("id_a", "id_b")
+          .join(a, Seq("id_a"))
+          .join(b, Seq("id_b"))
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("n_a", size(col("sh_a")))
+          .withColumn("n_b", size(col("sh_b")))
+          .withColumn("jaccard", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      case None =>
+        val sizes    = shingled.select(col("id"), size(col("shingles")).as("n"))
+        val exploded = shingled.select(col("id"), explode(col("shingles")).as("sh"))
+        val e2       = exploded.select(col("sh"), col("id").as("id_b"))
+        val inter = exploded
+          .join(e2, Seq("sh"))
+          .where(col("id") < col("id_b"))
+          .groupBy(col("id").as("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+          .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+          .withColumn("jaccard", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .where(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    }
   }
 
   /** The 64 bit masks (1L << j) as an array literal — shift-by-column isn't
@@ -132,15 +185,73 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = popCount(a.bitwiseXOR(b))
 
-  /** Embedding-cosine near-duplicate pairs via bucketed candidate generation:
-    * bucket = sign-bits of a few random-ish projections (cheap LSH), verify
-    * candidates with exact cosine ≥ threshold.
+  /** Deterministic ±1 sign-projection vectors for embedding LSH — derived
+    * from murmur3 so Spark and the DuckDB oracle can inline the exact same
+    * literals. Row j is the j-th hyperplane.
     */
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  def signProjections(dim: Int, numBits: Int): Seq[Seq[Double]] = {
+    import scala.util.hashing.MurmurHash3
+    (0 until numBits).map { j =>
+      (0 until dim).map { i =>
+        if (((MurmurHash3.stringHash(s"graft_proj_${j}_$i", 42) >>> 31) & 1) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Banded sign-bit LSH buckets over an embedding column: bit j = sign of
+    * the dot product with fixed hyperplane j; `numBits` bits split into
+    * `bands` bands; rows sharing any (band, band-bit-pattern) are candidates.
+    * Only (id, band, pattern) triples are shuffled — never the vectors.
+    */
+  def embeddingCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numBits: Int = 16,
+      bands: Int = 4,
+  ): DataFrame = {
     import graft.functions.VectorOps._
-    val v  = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
-    val v2 = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
-    v.join(v2, col("id_a") < col("id_b"))
+    val rowsPerBand = numBits / bands
+    val projs       = signProjections(dim, numBits)
+    val bits = array(projs.map(p => when(dot(asDouble(col(vecCol)), typedLit(p)) > 0, lit("1")).otherwise(lit("0"))): _*)
+    val buckets = df
+      .select(col(idCol).as("id"), bits.as("bits"))
+      .select(
+        col("id"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)), b => array_join(slice(col("bits"), b * rowsPerBand + 1, lit(rowsPerBand)), ""))
+        ).as(Seq("band", "pattern")),
+      )
+    val b2 = buckets.select(col("band"), col("pattern"), col("id").as("id_b"))
+    buckets
+      .join(b2, Seq("band", "pattern"))
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded sign-bit LSH candidate
+    * generation ([[embeddingCandidates]]) followed by exact-cosine
+    * verification of candidate pairs only. No all-pairs join anywhere:
+    * the largest shuffle is |candidates| rows each carrying two vectors.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      numBits: Int = 16,
+      bands: Int = 4,
+  ): DataFrame = {
+    import graft.functions.VectorOps._
+    val cand = embeddingCandidates(df, idCol, vecCol, dim, numBits, bands)
+    val va   = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val vb   = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    cand
+      .join(va, Seq("id_a"))
+      .join(vb, Seq("id_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

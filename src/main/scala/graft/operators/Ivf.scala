@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.VectorOps._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the 100 TB scale
+  * path for the reference's HNSW search (reference: backend/vector_db.py:41,
+  * tech report §5.3; HNSW itself is a single-node in-memory structure, so the
+  * Spark-native analog is coarse quantization + partition pruning).
+  *
+  * Build: fit `nList` KMeans centroids (on a sample), assign every corpus row
+  * to its nearest centroid (`list_id`), and write the corpus partitioned by
+  * `list_id`. Search: rank centroids against the query on the driver (tiny —
+  * nList floats), take the `nProbe` closest lists, and run the exact
+  * [[Search.topK]] over only those partitions — `list_id IN (...)` prunes at
+  * the parquet partition level, so a 1000-executor scan touches
+  * nProbe/nList of the data instead of all of it.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+
+    /** nProbe closest centroid ids to the query (exact, driver-side). */
+    def probeLists(queryVec: Seq[Double], nProbe: Int): Seq[Int] = {
+      def sq(a: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += (a(i) - queryVec(i)) * (a(i) - queryVec(i)); i += 1 }
+        s
+      }
+      centroids.zipWithIndex.sortBy { case (c, i) => (sq(c), i) }.take(nProbe).map(_._2).toSeq
+    }
+  }
+
+  /** Assign every row its nearest-centroid `list_id`. Narrow (no shuffle):
+    * the fitted centroids ride along as a broadcast inside the model.
+    */
+  def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L): (DataFrame, Model) = {
+    val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans()
+      .setK(nList)
+      .setSeed(seed)
+      .setFeaturesCol("__v")
+      .setPredictionCol("list_id")
+    val model     = km.fit(withVec)
+    val assigned  = model.transform(withVec).drop("__v")
+    val centroids = model.clusterCenters.map(_.toArray)
+    (assigned, Model(centroids))
+  }
+
+  /** Persist the indexed corpus partitioned by list — this is what makes the
+    * probe a partition-pruned scan instead of a filter over everything.
+    */
+  def writeIndexed(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** ANN top-k: exact search restricted to the nProbe nearest lists. */
+  def search(
+      indexed: DataFrame,
+      model: Model,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      nProbe: Int,
+      filters: Seq[Column] = Nil,
+  ): DataFrame = {
+    val lists = model.probeLists(queryVec, nProbe)
+    Search.topK(
+      indexed.where(col("list_id").isin(lists: _*)),
+      vecCol,
+      idCol,
+      queryVec,
+      k,
+      filters,
+    )
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The reference's join surface (SURVEY §2.3). Its "joins" are cross-store
+  * dict lookups in Python; here they become first-class relational joins so
+  * Catalyst picks broadcast vs sort-merge — every dimension side in the
+  * reference (folders, file_folders, hit lists) is tiny, so these all plan
+  * as broadcast joins with no big-side shuffle.
+  */
+object Joins {
+
+  /** J1 — anti join: documents not assigned to any folder ("unsorted files",
+    * backend/filesystem_db.py:151-163 — a Python set difference).
+    */
+  def unsorted(documents: DataFrame, fileFolders: DataFrame, key: String): DataFrame =
+    documents.join(fileFolders, Seq(key), "left_anti")
+
+  /** J2 — lookup join: hydrate small hit lists with full payload rows
+    * (backend/main.py:723-745 neighbor_map). Hit side is k rows → broadcast.
+    */
+  def hydrate(hits: DataFrame, chunks: DataFrame, key: String): DataFrame =
+    broadcast(hits).join(chunks, Seq(key), "inner")
+
+  /** J3 — zip join: positional pairing of two equally-ordered sets
+    * (backend/clustering.py:89 `zip(all_data, labels)`). Spark has no
+    * ordered-zip of DataFrames; the faithful distributed form is a join on
+    * `row_number` over an explicit per-side ordering.
+    */
+  def zipJoin(left: DataFrame, leftOrder: org.apache.spark.sql.Column, right: DataFrame, rightOrder: org.apache.spark.sql.Column): DataFrame = {
+    val lw = Window.orderBy(leftOrder)
+    val rw = Window.orderBy(rightOrder)
+    val l  = left.withColumn("__pos", row_number().over(lw))
+    val r  = right.withColumn("__pos", row_number().over(rw))
+    l.join(r, Seq("__pos")).drop("__pos")
+  }
+
+  /** J5 — hierarchical folder-path resolution (backend/main.py:929-951;
+    * backend/filesystem_db.py:179-223). The reference recurses per folder
+    * with memoization; Spark has no recursive CTE, so this is the iterative
+    * self-join fixpoint: each pass joins the frontier's parent pointer one
+    * level up, with a depth cap as the cycle guard (the reference would
+    * stack-overflow on a cycle; we must not).
+    *
+    * folders: (id, name, parent_id — null for roots).
+    * Returns (id, name, parent_id, path) with '/'-joined full paths; rows
+    * still unresolved at maxDepth (cycles / orphans) are dropped.
+    */
+  def folderPaths(folders: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val base = folders.select(
+      col("id"), col("name"), col("parent_id"),
+      col("name").as("path"),
+      col("parent_id").as("cursor"),
+    )
+    var frontier = base
+    var depth    = 0
+    while (depth < maxDepth) {
+      val parents = folders.select(
+        col("id").as("p_id"), col("name").as("p_name"), col("parent_id").as("p_parent"),
+      )
+      frontier = frontier
+        .join(broadcast(parents), frontier("cursor") === parents("p_id"), "left")
+        .select(
+          col("id"), col("name"), col("parent_id"),
+          when(col("p_id").isNotNull, concat(col("p_name"), lit("/"), col("path"))).otherwise(col("path")).as("path"),
+          when(col("p_id").isNotNull, col("p_parent")).otherwise(lit(null)).as("cursor"),
+        )
+      depth += 1
+    }
+    frontier.where(col("cursor").isNull).select("id", "name", "parent_id", "path")
+  }
+
+  /** J6/U2 — first-wins dedup with an explicit deterministic ordering
+    * (backend/document_registry.py:195-203 relies on scroll order; we declare
+    * the order instead).
+    */
+  def firstWins(df: DataFrame, key: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Clustering + dimensionality reduction (SURVEY §2.6).
+  *
+  * M3/M4 — PCA to 3-D mirrors the reference's sklearn flow
+  * (backend/dimensionality_reduction.py:50-158), including the n<3 rule:
+  * with fewer samples than components, fit min(n, 3) components and zero-pad
+  * the missing coordinates. MLlib's PCA is the distributed drop-in — the
+  * covariance/SVD runs as a treeAggregate over partitions, so it scales with
+  * executors instead of collecting vectors to the driver.
+  *
+  * M1 — the reference clusters with HDBSCAN (backend/clustering.py:17-70),
+  * which has no scalable JVM analog; per SURVEY §7.2 the declared deviation
+  * is a [[Clusterer]] seam with a KMeans-family default. Noise semantics
+  * (−1 labels) are reproduced by distance-threshold marking, and the
+  * adaptive sizing thresholds (3/5/10 at 50/200 chunks,
+  * backend/main.py:795-801) live in [[adaptiveMinClusterSize]].
+  */
+object Ml {
+
+  /** The reference's adaptive min_cluster_size (backend/main.py:795-801). */
+  def adaptiveMinClusterSize(corpusSize: Long): Int =
+    if (corpusSize < 50) 3 else if (corpusSize < 200) 5 else 10
+
+  /** M3 — fit+transform to 3-D with the reference's zero-pad rule. Output:
+    * idCol, x, y, z.
+    */
+  def pca3d(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val n = df.limit(4).count()
+    val k = math.min(n, 3L).toInt
+    if (k == 0) return df.sparkSession.emptyDataFrame
+    val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+    val model   = new PCA().setK(k).setInputCol("__v").setOutputCol("__pca").fit(withVec)
+    val arr     = vector_to_array(col("__pca"))
+    def coord(i: Int) = if (i < k) element_at(arr, i + 1) else lit(0.0)
+    model.transform(withVec)
+      .select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
+  }
+
+  /** M4 — project new vectors with an already-fitted model (the reference's
+    * transform-single-query path): fit on `fitDf`, apply to `applyDf`.
+    */
+  def pcaProject(fitDf: DataFrame, applyDf: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val prep  = (d: DataFrame) => d.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(prep(fitDf))
+    val arr   = vector_to_array(col("__pca"))
+    model.transform(prep(applyDf))
+      .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+  }
+
+  /** M1 seam — pluggable clusterer returning (idCol, label) with −1 noise. */
+  trait Clusterer extends Serializable {
+    def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame
+  }
+
+  /** Default KMeans-family clusterer (declared HDBSCAN deviation): k fixed,
+    * rows farther than `noiseQuantile` of the distance distribution from
+    * their centroid are marked −1 (noise), echoing HDBSCAN's outlier
+    * semantics without its density model.
+    */
+  final class KMeansClusterer(k: Int, seed: Long = 42L, noiseQuantile: Double = 0.95) extends Clusterer {
+    override def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+      val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+      val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v").setPredictionCol("__label")
+        .setDistanceMeasure("euclidean").fit(withVec)
+      val assigned = model.transform(withVec)
+      val centers  = model.clusterCenters.map(_.toArray.toSeq)
+      val centerCol = element_at(
+        typedLit(centers),
+        col("__label") + 1,
+      )
+      val dist = sqrt(graft.functions.VectorOps.sqDist(col(vecCol).cast("array<double>"), centerCol))
+      val scored = assigned.withColumn("__dist", dist)
+      val cut = scored.stat.approxQuantile("__dist", Array(noiseQuantile), 0.001).head
+      scored
+        .select(col(idCol), when(col("__dist") > cut, -1).otherwise(col("__label")).as("label"))
+    }
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
+import graft.functions.TopKScored
 import graft.functions.VectorOps._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -14,9 +14,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   * partition + driver merge, no full sort, no shuffle of the corpus. Filters
   * are plain `where` clauses so they push down to the parquet scan.
   *
-  * Scale path (100 TB): [[IvfIndex]] prunes partitions by coarse centroid
-  * before the exact scan; exact scoring then touches only nProbe/nList of
-  * the data.
+  * Scale path (100 TB): [[Ivf]] prunes the scan to the nProbe closest
+  * coarse-centroid partitions before exact scoring.
   */
 object Search {
 
@@ -39,9 +38,12 @@ object Search {
   }
 
   /** Brute-force k-NN join: top-k corpus neighbors for EVERY query row.
-    * Queries are broadcast (small side); ranking is a per-query-partition
-    * window — the corpus is never shuffled by more than the window's
-    * partitionBy on query id.
+    *
+    * Queries are broadcast (small side) so scoring is a narrow pass over the
+    * corpus. The per-query top-k then runs as [[TopKScored]] — an Aggregator
+    * with map-side partial aggregation — so the shuffle carries at most
+    * k × |queries| rows per corpus partition, never the scored cross
+    * product itself.
     */
   def knnJoin(
       queries: DataFrame,
@@ -63,12 +65,18 @@ object Search {
     )
     val crossed = c
       .join(broadcast(q), if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("score", cosine(col("__cv"), col("__qv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("__cv"), col("__qv")).as("score"))
+    val topk = TopKScored.udafFor(k)
     crossed
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("score")).as("nns"))
+      .select(col("query_id"), posexplode(col("nns")).as(Seq("pos", "nn")))
+      .select(
+        col("query_id"),
+        col("nn.id").as("neighbor_id"),
+        col("nn.score").as("score"),
+        (col("pos") + 1).as("rank"),
+      )
   }
 
   /** Search-result formatting (reference: backend/vector_db.py:172-180):
