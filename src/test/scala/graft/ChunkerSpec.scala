@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Chunker, DocRow}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2 chunker properties (invariants embedded in the reference's
+  * packing loop, backend/chunker.py:109-152). Property-style via ScalaCheck
+  * generators sampled deterministically (scalatestplus bridge isn't in the
+  * offline cache).
+  */
+class ChunkerSpec extends AnyFunSuite {
+
+  private val word     = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "Zeta", "a", "quantum")
+  private val sentence = for {
+    n  <- Gen.choose(1, 40)
+    ws <- Gen.listOfN(n, word)
+    p  <- Gen.oneOf(".", "!", "?")
+  } yield ws.mkString(" ").capitalize + p
+  private val textGen = for {
+    n  <- Gen.choose(0, 60)
+    ss <- Gen.listOfN(n, sentence)
+  } yield ss.mkString(" ")
+
+  private def samples(n: Int): Seq[String] =
+    (0 until n).flatMap(i => textGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("every chunk is at most maxTokens tokens — including after overlap re-entry") {
+    samples(200).foreach { text =>
+      Chunker.chunkProse(text).foreach { case (t, n) =>
+        assert(n <= Chunker.MaxTokens, s"chunk of $n tokens > ${Chunker.MaxTokens}")
+        assert(Chunker.countTokens(t) == n, "token_count must match the chunk text")
+      }
+    }
+  }
+
+  test("non-empty text produces chunks; chunk_index is dense from 0") {
+    samples(200).foreach { text =>
+      val chunks = Chunker.chunkDocument(DocRow(1L, text, "en"))
+      if (text.trim.nonEmpty) assert(chunks.nonEmpty)
+      assert(chunks.map(_.chunk_index) == chunks.indices.toVector)
+    }
+  }
+
+  test("oversized single sentences are word-packed to <= maxTokens") {
+    val huge  = ("word " * 1205).trim
+    val parts = Chunker.splitOversized(huge)
+    assert(parts.map(Chunker.countTokens) == Vector(500, 500, 205))
+    val chunks = Chunker.chunkProse(huge)
+    assert(chunks.map(_._2).sum == 1205)
+    assert(chunks.forall(_._2 <= Chunker.MaxTokens))
+  }
+
+  test("overlap: consecutive chunks share trailing sentences when feasible") {
+    // 30 sentences x 30 tokens: chunks of 16 sentences (480 tok) with
+    // ~2-sentence (60 >= 50 token) overlap expected.
+    val s      = (1 to 30).map(i => ("w" + i + " ") * 29 + "end" + i + ".").map(_.capitalize)
+    val text   = s.mkString(" ")
+    val chunks = Chunker.chunkProse(text)
+    assert(chunks.length > 1)
+    chunks.map(_._1).sliding(2).foreach {
+      case Seq(a, b) =>
+        val aSent = a.split("(?<=\\.)\\s+").toSet
+        val bSent = b.split("(?<=\\.)\\s+").toSet
+        assert(aSent.intersect(bSent).nonEmpty, "adjacent chunks should overlap")
+      case _ => ()
+    }
+  }
+
+  test("dispatch: only py/python route to the code chunker (reference parity)") {
+    val code = "def f():\n    return 1\n\ndef g():\n    return 2\n"
+    val py   = Chunker.chunkDocument(DocRow(1, code, "py"))
+    val js   = Chunker.chunkDocument(DocRow(1, code, "js"))
+    val none = Chunker.chunkDocument(DocRow(1, code, null))
+    // code path packs blocks joined by \n\n; prose path joins "sentences" with spaces
+    assert(py.head.text.contains("\n\n"))
+    assert(js == none)
+  }
+
+  test("code chunker splits at top-level boundaries and packs to <= maxTokens") {
+    val blocks = (1 to 50).map(i => s"def f$i():\n" + ("    x = 1\n" * 30))
+    val chunks = Chunker.chunkCode(blocks.mkString(""))
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_._2 <= Chunker.MaxTokens))
+  }
+}

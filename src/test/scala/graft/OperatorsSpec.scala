@@ -1,0 +1,182 @@
+package graft
+
+import graft.functions.{TextOps, VectorOps}
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs per operator family (SURVEY §5.5): sanitization torture
+  * strings, folder-path fixpoint (deep + cycle), first-wins dedup, dedup
+  * candidate generation, k-NN join vs brute force, search end-to-end with
+  * the deterministic hash embedder.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- F8 sanitization (reference: backend/ingestion.py:27-55) ------------
+  test("sanitizeFilename: traversal, reserved chars, length cap, empty fallback") {
+    val in = Seq(
+      "../../etc/passwd",
+      "dir\\sub\\file<>:\"|?*.txt",
+      "x" * 300,
+      "/",
+      "  spaced  ",
+      "tab\there",
+    ).toDF("name")
+    val out = in.select(TextOps.sanitizeFilename(col("name")).as("c")).as[String].collect()
+    assert(out(0) == "passwd")
+    assert(out(1) == "file_______.txt")
+    assert(out(2) == "x" * 200)
+    assert(out(3) == "unnamed_file")
+    assert(out(4) == "spaced")
+    assert(out(5) == "tabhere")
+  }
+
+  // ---- J5 folder-path fixpoint + cycle guard ------------------------------
+  test("folderPaths resolves deep chains and drops cycles instead of hanging") {
+    val folders = Seq(
+      ("a", "root", null: String),
+      ("b", "mid", "a"),
+      ("c", "leaf", "b"),
+      ("x", "cy1", "y"), // cycle
+      ("y", "cy2", "x"),
+    ).toDF("id", "name", "parent_id")
+    val paths = Joins.folderPaths(folders, maxDepth = 10).orderBy("id")
+      .select("id", "path").as[(String, String)].collect().toMap
+    assert(paths == Map("a" -> "root", "b" -> "root/mid", "c" -> "root/mid/leaf"))
+  }
+
+  // ---- J6/U2 first-wins ---------------------------------------------------
+  test("firstWins keeps the lowest-ordered row per key") {
+    val df = Seq(("k1", 3, "c"), ("k1", 1, "a"), ("k2", 2, "b")).toDF("k", "ord", "v")
+    val out = Joins.firstWins(df, "k", "ord").orderBy("k").as[(String, Int, String)].collect()
+    assert(out.toSeq == Seq(("k1", 1, "a"), ("k2", 2, "b")))
+  }
+
+  // ---- dedup --------------------------------------------------------------
+  test("minHashCandidates finds exact-duplicate texts and skips short docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with many unusual words here today"),
+      (4L, "hi"), // < shingleSize tokens: must not become a candidate
+      (5L, "yo"),
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramJaccardPairs: candidate-restricted result is a subset of exact with same scores") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "z y x w v u t s"),
+    ).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val cand   = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val pruned = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.1, Some(cand))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pruned.subsetOf(exact))
+    assert(pruned.nonEmpty)
+  }
+
+  test("embeddingNearDupPairs finds planted duplicate vectors via sign-bit LSH") {
+    val vecs = (0 until 20).map { i =>
+      val v = Embedder.default.embed(s"document number $i with some words")
+      (i.toLong, v)
+    }
+    val planted = vecs :+ (99L, vecs(7)._2) // exact clone of vec 7
+    val df      = planted.toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDupPairs(df, "id", "vec", 0.999, 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 99L)))
+  }
+
+  test("simHash: near-identical texts have small hamming distance") {
+    val df = Seq(
+      (1L, "spark is a distributed engine for large scale data processing"),
+      (2L, "spark is a distributed engine for large scale data processing today"),
+      (3L, "cats purr softly under warm blankets during long winter nights"),
+    ).toDF("id", "text").withColumn("sh", Dedup.simHash(col("text")))
+    val m  = df.select("id", "sh").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 8)
+  }
+
+  // ---- V: search ----------------------------------------------------------
+  test("topK returns cosine-ranked ids with deterministic tie-break") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(0.9f, 0.1f)), (4L, Array(1f, 0f)),
+    ).toDF("id", "vec")
+    val hits = Search.topK(corpus, "vec", "id", Seq(1.0, 0.0), 3)
+      .select("id").as[Long].collect().toSeq
+    assert(hits == Seq(1L, 4L, 3L)) // ties (1,4 score 1.0) broken by id
+  }
+
+  test("knnJoin matches brute-force ranking") {
+    val vecs = (0 until 15).map(i => (i.toLong, Embedder.default.embed(s"text $i payload")))
+    val df   = vecs.toDF("id", "vec")
+    val knn = Search.knnJoin(df.where(col("id") < 3), df, "vec", "id", "vec", "id", k = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // brute force per query
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d  = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    for (q <- 0 until 3) {
+      val expect = vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(vecs(q)._2, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(4).map(_._1)
+      assert(knn(q.toLong) == expect, s"query $q")
+    }
+  }
+
+  test("end-to-end: ingest -> chunk -> embed -> search finds the on-topic document") {
+    val docs = Seq(
+      (1L, "Cats and kittens meow. Cats purr loudly. Kittens love cats.", "en"),
+      (2L, "Databases store rows. Queries scan tables. Indexes speed lookups.", "en"),
+      (3L, "Rockets launch into orbit. Satellites circle the planet quickly.", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val chunks = Chunker.chunk(spark, docs).toDF()
+    val emb    = Embedder.embedText(spark, chunks, "doc_id", "text").toDF()
+    val q      = Embedder.default.embed("cats meow and purr").map(_.toDouble).toSeq
+    val top    = Search.topK(emb, "embedding", "id", q, 1).select("id").as[Long].head()
+    assert(top == 1L)
+  }
+
+  // ---- M: PCA invariants --------------------------------------------------
+  test("pca3d emits 3 coordinates; zero-pads when samples < 3") {
+    val df  = (0 until 40).map(i => (i.toLong, Embedder.default.embed(s"sample $i"))).toDF("id", "vec")
+    val out = Ml.pca3d(df, "vec", "id")
+    assert(out.columns.toSeq == Seq("id", "x", "y", "z"))
+    assert(out.count() == 40)
+    val tiny    = df.where(col("id") < 2)
+    val tinyOut = Ml.pca3d(tiny, "vec", "id")
+    assert(tinyOut.select("z").as[Double].collect().forall(_ == 0.0), "z must be zero-padded for n=2")
+  }
+
+  test("KMeansClusterer labels are in {-1, 0..k-1}") {
+    val df = (0 until 60).map(i => (i.toLong, Embedder.default.embed(s"point $i group ${i % 3}"))).toDF("id", "vec")
+    val labels = new Ml.KMeansClusterer(3).cluster(df, "vec", "id")
+      .select("label").as[Int].collect().toSet
+    assert(labels.forall(l => l == -1 || (l >= 0 && l < 3)))
+  }
+
+  // ---- Maintenance --------------------------------------------------------
+  test("upsert: updates replace, new keys append; joinUpdate coalesces") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val upd  = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val up   = Maintenance.upsert(base, upd, "id").orderBy("id").as[(Long, String)].collect().toSeq
+    assert(up == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    val ju = Maintenance.joinUpdate(base, Seq((2L, "ZZ")).toDF("id", "v"), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(ju == Seq((1L, "a"), (2L, "ZZ")))
+  }
+}
