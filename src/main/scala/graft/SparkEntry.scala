@@ -331,7 +331,7 @@ object SparkEntry {
       val e = Tables(s, d).embeddings
       val corpus = e.select("vec_id", "embedding")
         .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 16, 4)
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 32, 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),
