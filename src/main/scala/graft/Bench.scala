@@ -19,24 +19,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results: Map[String, Either[String, Double]] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Each query runs twice: the first (cold) execution pays one-off JVM /
+    // whole-stage-codegen compilation and file-listing costs, the second
+    // (warm) measures the operator itself — the apples-to-apples comparison
+    // with BASELINE.md, whose reference numbers are steady-state (warm
+    // Qdrant server, pre-loaded model). Headline value = warm total; cold
+    // total is reported alongside.
+    val results: Map[String, Either[String, (Double, Double)]] = SparkEntry.queries.map { case (name, fn) =>
       val r =
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          val t0 = System.nanoTime(); fn(spark, sfDir).count()
+          val cold = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); fn(spark, sfDir).count()
+          val warm = (System.nanoTime() - t1) / 1e9
+          Right((cold, warm))
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
         }
       name -> r
     }
     val qs = results.toSeq.sortBy(_._1).map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
-      case (k, Left(_))  => "\"" + k + "\":-1"
+      case (k, Right((_, w))) => "\"" + k + "\":" + w
+      case (k, Left(_))       => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     val ok    = results.values.collect { case Right(v) => v }
-    val total = if (ok.nonEmpty) ok.sum else 0.0
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val cold  = if (ok.nonEmpty) ok.map(_._1).sum else 0.0
     val nErr  = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"cold_total":$cold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

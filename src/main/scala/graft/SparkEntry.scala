@@ -263,6 +263,28 @@ object SparkEntry {
 
     "s16_reset" -> ((s, d) => Maintenance.reset(Tables(s, d).embeddings.select("vec_id", "label"))),
 
+    // ---------------- S: ingestion sources ----------------------------------
+    "s1_factory" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), extCol.as("ext"))
+      .withColumn("extractor", coalesce(graft.sources.FileSources.extractorFor(col("ext")), lit("error:unsupported")))
+      .orderBy("doc_id")),
+
+    "s6_csv_scan" -> ((s, _) =>
+      graft.sources.FileSources.csvDocument(s, "/root/repo/fixtures/s6.csv", "id")),
+
+    "s8_text_scan" -> ((s, _) => graft.sources.FileSources.wholeTextFiles(s, "/root/repo/fixtures/text")
+      .select(col("file_name"), md5(col("text")).as("text_md5"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
+      .orderBy("file_name")),
+
+    "s9_code_scan" -> ((s, _) => graft.sources.FileSources.codeScan(s, "/root/repo/fixtures/code")
+      .select(col("file_name"), col("language"), col("n_lines"), md5(col("text")).as("text_md5"))
+      .orderBy("file_name")),
+
+    "s10_cs_scan" -> ((s, _) => graft.sources.FileSources.csScan(s, "/root/repo/fixtures/code")
+      .select(col("file_name"), col("namespace"), col("n_lines"), col("file_size"))
+      .orderBy("file_name")),
+
     // ---------------- V: vector search --------------------------------------
     "v1_cosine_topk" -> ((s, d) => Search.topK(
       Tables(s, d).embeddings, "embedding", "vec_id", qVec, 10,
@@ -511,6 +533,35 @@ object SparkEntry {
       "SELECT doc_id FROM documents EXCEPT SELECT doc_id FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300 ORDER BY doc_id",
     "u3_partition_counts" ->
       s"SELECT $extSql IN ('pdf','txt','md') AS allowed, count(*) AS n FROM documents GROUP BY 1 ORDER BY allowed",
+
+    "s1_factory" -> {
+      val route =
+        """CASE lower(ext)
+          | WHEN 'pdf' THEN 'PdfExtractor' WHEN 'docx' THEN 'DocxExtractor' WHEN 'pptx' THEN 'PptxExtractor'
+          | WHEN 'xlsx' THEN 'XlsxExtractor' WHEN 'csv' THEN 'CsvExtractor' WHEN 'png' THEN 'ImageExtractor'
+          | WHEN 'jpg' THEN 'ImageExtractor' WHEN 'txt' THEN 'TextExtractor' WHEN 'md' THEN 'TextExtractor'
+          | WHEN 'py' THEN 'CodeExtractor' WHEN 'js' THEN 'CodeExtractor' WHEN 'cs' THEN 'CsExtractor'
+          | ELSE 'error:unsupported' END""".stripMargin
+      s"WITH e AS (SELECT doc_id, $extSql AS ext FROM documents) SELECT doc_id, ext, $route AS extractor FROM e ORDER BY doc_id"
+    },
+    "s6_csv_scan" ->
+      """WITH c AS (SELECT * FROM read_csv('/root/repo/fixtures/s6.csv', header=true, all_varchar=true))
+        | SELECT string_agg(id || ' | ' || name || ' | ' || category || ' | ' || score, chr(10) ORDER BY id::BIGINT) AS text,
+        |   count(*) AS n_rows, 4::BIGINT AS n_cols FROM c""".stripMargin,
+    "s8_text_scan" ->
+      raw"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, md5(content) AS text_md5,
+           | len(string_split(content, chr(10))) AS n_lines
+           | FROM read_text('/root/repo/fixtures/text/*.md') ORDER BY file_name""".stripMargin,
+    "s9_code_scan" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/code/*'))
+           | SELECT file_name, regexp_extract(file_name, '\.(\w+)$$', 1) AS language,
+           |   len(string_split(content, chr(10))) AS n_lines, md5(content) AS text_md5
+           | FROM f ORDER BY file_name""".stripMargin,
+    "s10_cs_scan" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/code/*.cs'))
+           | SELECT file_name, regexp_extract(array_to_string((string_split(content, chr(10)))[1:20], chr(10)), 'namespace\s+([\w.]+)', 1) AS namespace,
+           |   len(string_split(content, chr(10))) AS n_lines, len(content) AS file_size
+           | FROM f ORDER BY file_name""".stripMargin,
 
     "s12_scan" ->
       "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm FROM embeddings ORDER BY vec_id",

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ingestion sources (SURVEY §2.1 S1, S6, S8–S10). The reference's binary
+  * extractors (PDF/DOCX/PPTX/OCR — S2-S5/S7) need native libs that are out
+  * of a Spark-core engine's scope (SURVEY marks them non-oracle); the
+  * text-family extractors below are full re-expressions:
+  *
+  *  - S6 CSV: `spark.read.csv` + the reference's "a | b | c" row join
+  *    (backend/extractors/csv_extractor.py:74-80); Spark's distributed CSV
+  *    reader replaces the driver-side sniffer (delimiter passed explicitly).
+  *  - S8 text/markdown: `wholetext` read (backend/extractors/text_extractor.py:14-24).
+  *  - S9 code: `wholetext` + language-from-extension metadata
+  *    (backend/extractors/code_extractor.py:14-28).
+  *  - S10 C#: S9 + line_count/file_size/namespace sniff from the first 20
+  *    lines (backend/extractors/cs_extractor.py:41-45).
+  *  - S1 factory: extension → extractor routing with unknown-ext error
+  *    (backend/extractors/factory.py:22-71), as a pure column expression.
+  */
+object FileSources {
+
+  /** S1 — extension → extractor name; unknown extensions map to an error
+    * marker instead of throwing, so a batch with one bad file still flows.
+    */
+  def extractorFor(ext: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = Map(
+      "pdf" -> "PdfExtractor", "docx" -> "DocxExtractor", "pptx" -> "PptxExtractor",
+      "xlsx" -> "XlsxExtractor", "csv" -> "CsvExtractor", "png" -> "ImageExtractor",
+      "jpg" -> "ImageExtractor", "txt" -> "TextExtractor", "md" -> "TextExtractor",
+      "py" -> "CodeExtractor", "js" -> "CodeExtractor", "cs" -> "CsExtractor",
+    )
+    m.foldLeft(lit(null).cast("string")) { case (acc, (e, x)) =>
+      when(lower(ext) === e, lit(x)).otherwise(acc)
+    }.as("extractor")
+  }
+
+  /** S6 — CSV file → one document: rows rendered "a | b | c" (reference row
+    * join), joined by newline in first-column order; row/col counts as
+    * metadata.
+    */
+  def csvDocument(spark: SparkSession, path: String, orderCol: String): DataFrame = {
+    val df   = spark.read.option("header", "true").csv(path)
+    val cols = df.columns
+    val rendered = df.select(
+      col(orderCol).cast("long").as("__ord"),
+      concat_ws(" | ", cols.map(col): _*).as("row_text"),
+    )
+    rendered.agg(
+      array_join(transform(sort_array(collect_list(struct(col("__ord"), col("row_text")))), r => r("row_text")), "\n").as("text"),
+      count(lit(1)).as("n_rows"),
+    ).withColumn("n_cols", lit(cols.length).cast("long"))
+  }
+
+  /** S8/S9 — whole-file text rows: (file_name, text). */
+  def wholeTextFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      .withColumn("file_name", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .withColumnRenamed("value", "text")
+
+  /** S9 — code scan: language = raw extension (reference keeps the ext). */
+  def codeScan(spark: SparkSession, dir: String): DataFrame =
+    wholeTextFiles(spark, dir)
+      .withColumn("language", regexp_extract(col("file_name"), "\\.(\\w+)$", 1))
+      .withColumn("n_lines", size(split(col("text"), "\n", -1)).cast("long"))
+
+  /** S10 — C# scan: namespace sniffed from the first 20 lines. */
+  def csScan(spark: SparkSession, dir: String): DataFrame =
+    codeScan(spark, dir)
+      .where(col("language") === "cs")
+      .withColumn("namespace",
+        regexp_extract(array_join(slice(split(col("text"), "\n", -1), 1, 20), "\n"), "namespace\\s+([\\w.]+)", 1))
+      .withColumn("file_size", length(col("text")).cast("long"))
+}
