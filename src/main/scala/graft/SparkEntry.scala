@@ -82,6 +82,12 @@ object SparkEntry {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")),
 
+    "f2_tags_overlap" -> ((s, d) => Tables(s, d).documents
+      .withColumn("tags", array(col("lang"), col("source")))
+      .where(Filters.anyOverlap("tags", Seq("de", "src3")))
+      .select(col("doc_id"), col("tags"))
+      .orderBy("doc_id")),
+
     "f3_range" -> ((s, d) => Tables(s, d).orders
       .where(Filters.range("o_orderdate", Some("1995-01-01"), Some("1995-06-30 23:59:59")))
       .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("o_totalprice"))
@@ -441,6 +447,49 @@ object SparkEntry {
       val (assigned, _) = Ivf.assign(Tables(s, d).embeddings, "embedding", 10)
       assigned.groupBy("list_id").agg(count(lit(1)).as("n")).orderBy("list_id")
     }),
+
+    "m2_cluster_naming" -> ((s, d) => {
+      val t = Tables(s, d)
+      val chunks = t.embeddings.join(t.documents, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("text"))
+      Ml.clusterAndName(chunks, "embedding", "vec_id", "text", new Ml.KMeansClusterer(5))
+        .groupBy("label", "cluster_name").agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
+
+    "m4_pca_project" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      Ml.pcaProject(e, e.where(col("vec_id") < 20), "embedding", "vec_id")
+        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"), round(col("z"), 4).as("z"))
+        .orderBy("vec_id")
+    }),
+
+    // ---------------- MM: multimodal binary columns -------------------------
+    "mm1_binary_scan" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
+      b.select(col("file_name"), col("n_bytes"), Multimodal.sniffFormat(col("content")).as("format"))
+        .orderBy("file_name")
+    }),
+
+    "mm2_media_features" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
+      Multimodal.extractFeatures(s, b).toDF()
+        .select(col("file_name"), col("n_bytes"),
+          size(col("features")).cast("long").as("dim"),
+          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x), 4).as("hist_sum"))
+        .orderBy("file_name")
+    }),
+
+    // ---------------- P: ingest pipeline (upload-path throughput) ----------
+    "p1_ingest_pipeline" -> ((s, d) => {
+      val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
+      val emb    = Embedder.embedText(s, chunks, "doc_id", "text").toDF()
+      emb.agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("id")).as("n_docs"),
+        max(size(col("embedding"))).cast("long").as("dim"),
+      )
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -448,6 +497,8 @@ object SparkEntry {
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     "f2_in" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY c_custkey",
+    "f2_tags_overlap" ->
+      "SELECT doc_id, [lang, source] AS tags FROM documents WHERE len(list_intersect([lang, source], ['de', 'src3'])) > 0 ORDER BY doc_id",
     "f3_range" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1995-06-30 23:59:59' ORDER BY o_orderkey",
     "f4_conjunction" ->
@@ -658,6 +709,14 @@ object SparkEntry {
         | SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events,
         |   round(sum(round(value * 100)::BIGINT)::DOUBLE / 100.0 / count(*), 4) AS avg_value
         | FROM w GROUP BY ws ORDER BY window_start""".stripMargin,
+
+    "mm1_binary_scan" ->
+      raw"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, size AS n_bytes,
+           | CASE WHEN filename LIKE '%.png' THEN 'png' WHEN filename LIKE '%.jpg' THEN 'jpeg'
+           |      WHEN filename LIKE '%.gif' THEN 'gif' ELSE 'unknown' END AS format
+           | FROM read_blob('/root/repo/fixtures/media/*') ORDER BY file_name""".stripMargin,
+    "p1_ingest_pipeline" ->
+      "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

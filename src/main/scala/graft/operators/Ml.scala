@@ -59,6 +59,32 @@ object Ml {
     def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame
   }
 
+  /** §3.3 — the full analytics job as ONE lineage: cluster → TF-IDF naming →
+    * join-update write-back. The reference runs this as scroll-all →
+    * in-process HDBSCAN → per-point HTTP set_payload loop
+    * (backend/main.py:781-830, the known O(n) anti-pattern); here the
+    * write-back is a single broadcast join (S15) and naming is the
+    * distributed TF-IDF agg (A6), so the whole job is three shuffles
+    * regardless of corpus size.
+    */
+  def clusterAndName(
+      chunks: DataFrame,
+      vecCol: String,
+      idCol: String,
+      textCol: String,
+      clusterer: Clusterer,
+  ): DataFrame = {
+    val labels  = clusterer.cluster(chunks, vecCol, idCol)
+    val labeled = chunks.join(labels, Seq(idCol))
+    val names = Aggs.tfidfKeywords(labeled.where(col("label") =!= -1), "label", textCol)
+      .withColumnRenamed("label", "__nl")
+    labeled
+      .join(broadcast(names), labeled("label") === col("__nl"), "left")
+      .withColumn("cluster_name",
+        when(col("label") === -1, lit("Uncategorized")).otherwise(coalesce(col("cluster_name"), concat(lit("Cluster "), col("label")))))
+      .drop("__nl")
+  }
+
   /** Default KMeans-family clusterer (declared HDBSCAN deviation): k fixed,
     * rows farther than `noiseQuantile` of the distance distribution from
     * their centroid are marked −1 (noise), echoing HDBSCAN's outlier

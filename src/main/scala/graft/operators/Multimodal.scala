@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata (the training-data-pipeline extension; no analog in the
+  * reference, which only OCRs images driver-side via Tesseract —
+  * backend/extractors/image_extractor.py:18-68).
+  *
+  * The Spark-side plumbing — binaryFile source, schema, partitioning, batch
+  * shape of the per-partition feature extraction — is real and tested. The
+  * DECODE step is a deterministic STUB (byte-histogram features, offset
+  * frame sampling): real image/audio codecs are not in this container; a
+  * production deployment swaps [[StubDecoder]] for a codec-backed one with
+  * the same signature.
+  */
+object Multimodal {
+
+  /** Opaque-binary table from a directory: (file_name, n_bytes, content).
+    * `binaryFile` is Spark's distributed binary source — each file is one
+    * row, read on executors, never collected to the driver.
+    */
+  def binaryTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length").as("n_bytes"),
+        col("content"),
+      )
+
+  /** Content-based format sniff from magic bytes (real, not a stub). */
+  def sniffFormat(content: Column): Column = {
+    val h = upper(hex(content))
+    when(h.startsWith("89504E47"), "png")
+      .when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("47494638"), "gif")
+      .when(h.startsWith("52494646"), "riff") // wav/avi container
+      .otherwise("unknown")
+  }
+
+  final case class MediaFeatures(file_name: String, n_bytes: Long, features: Array[Float])
+  final case class Frame(file_name: String, frame_index: Int, frame_bytes: Array[Byte])
+
+  /** Decoder seam: batch of (name, bytes) → fixed-dim feature vectors. */
+  trait Decoder extends Serializable {
+    def dim: Int
+    def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[Array[Float]]
+  }
+
+  /** STUB decode: L1-normalized 16-bin byte histogram. Deterministic fake
+    * standing in for codec decode + model features; the Spark plumbing
+    * around it (mapPartitions batching, schema) is the real contract.
+    */
+  final class StubDecoder(val dim: Int = 16) extends Decoder {
+    override def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
+      batch.map { case (_, bytes) =>
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) * dim / 256) += 1f; i += 1 }
+        if (bytes.length > 0) { var j = 0; while (j < dim) { hist(j) /= bytes.length; j += 1 } }
+        hist
+      }
+  }
+
+  /** Distributed feature extraction: one decoder per partition, inputs
+    * drained in batches (same shape as [[Embedder.embedText]]). Narrow —
+    * no shuffle.
+    */
+  def extractFeatures(
+      spark: SparkSession,
+      binaries: DataFrame,
+      decoder: Decoder = new StubDecoder(),
+      batchSize: Int = 32,
+  ): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("n_bytes").cast("long"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = decoder.decodeBatch(batch.map(r => (r._1, r._3)))
+          batch.iterator.zip(feats.iterator).map { case ((name, n, _), f) => MediaFeatures(name, n, f) }
+        }
+      }
+  }
+
+  /** Frame sampling STUB: every `stride`-th `frameSize`-byte window, capped
+    * at `maxFrames` (a real video decoder samples keyframes; the schema and
+    * fan-out shape are what downstream operators consume).
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      binaries: DataFrame,
+      frameSize: Int,
+      stride: Int,
+      maxFrames: Int,
+  ): Dataset[Frame] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        Iterator.range(0, math.max(bytes.length - frameSize + 1, 0), stride)
+          .take(maxFrames)
+          .zipWithIndex
+          .map { case (off, idx) => Frame(name, idx, bytes.slice(off, off + frameSize)) }
+      }
+  }
+}
