@@ -54,6 +54,20 @@ object Ml {
       .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
   }
 
+  /** M6 — model persistence (reference pickles the fitted reducer,
+    * backend/dimensionality_reduction.py:160-187; MLlib writers are the
+    * native equivalent and cluster-readable).
+    */
+  def fitPca(df: DataFrame, vecCol: String, k: Int): org.apache.spark.ml.feature.PCAModel =
+    new PCA().setK(k).setInputCol("__v").setOutputCol("__pca")
+      .fit(df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>"))))
+
+  def savePca(model: org.apache.spark.ml.feature.PCAModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadPca(path: String): org.apache.spark.ml.feature.PCAModel =
+    org.apache.spark.ml.feature.PCAModel.load(path)
+
   /** M1 seam — pluggable clusterer returning (idCol, label) with −1 noise. */
   trait Clusterer extends Serializable {
     def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame

@@ -42,6 +42,49 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming file-watch ingestion: drop files -> AvailableNow drain ->
+  * chunk+embed -> parquet, end to end through the real source/sink.
+  */
+class IngestStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("AvailableNow ingestion drains a drop dir through chunk+embed to parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val drop = s"$base/drop"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(drop).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/a.txt"),
+      "Cats meow loudly. Dogs bark at night. Birds sing in the morning.")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/b.txt"),
+      "Spark processes data in parallel. Partitions keep work distributed.")
+
+    val q = graft.streaming.IngestStream.start(spark, drop, out, ckpt)
+    q.awaitTermination(60000)
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == 2) // 1 chunk per small file
+    assert(result.columns.toSet == Set("doc_id", "text", "chunk_index", "token_count", "embedding"))
+    import org.apache.spark.sql.functions._
+    val dims = result.select(size(col("embedding"))).as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSet
+    assert(dims == Set(64))
+  }
+}
+
+/** M6 model persistence: save/load round-trip produces identical projections. */
+class PersistenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("PCA model save/load round-trip") {
+    import spark.implicits._
+    import graft.operators.{Embedder, Ml}
+    val df    = (0 until 30).map(i => (i.toLong, Embedder.default.embed(s"doc $i"))).toDF("id", "vec")
+    val model = Ml.fitPca(df, "vec", 3)
+    val path  = java.nio.file.Files.createTempDirectory("graft_pca").toString + "/model"
+    Ml.savePca(model, path)
+    val loaded = Ml.loadPca(path)
+    assert(loaded.pc == model.pc) // identical principal components matrix
+  }
+}
+
 /** Driver-contract smoke: the flagship query returns rows and every declared
   * oracle key has a matching query entry (the column-name contract is
   * exercised for real by Verify + tools/check_oracle.py).
