@@ -37,6 +37,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
         }
+      // Release per-query state so later queries aren't taxed by earlier
+      // ones: ContextCleaner frees broadcasts/shuffles only after driver GC,
+      // and 60 queries of lag showed up as a 15x slowdown on one of them.
+      spark.catalog.clearCache()
+      System.gc()
       name -> r
     }
     val qs = results.toSeq.sortBy(_._1).map {

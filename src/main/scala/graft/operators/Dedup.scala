@@ -241,7 +241,8 @@ object Dedup {
     import graft.functions.VectorOps._
     val rowsPerBand = numBits / bands
     val projs       = signProjections(dim, numBits)
-    val bits = array(projs.map(p => when(dot(asDouble(col(vecCol)), typedLit(p)) > 0, lit("1")).otherwise(lit("0"))): _*)
+    val bits = array(projs.map(p =>
+      when(graft.functions.VectorExpressions.dotFast(asDouble(col(vecCol)), typedLit(p)) > 0, lit("1")).otherwise(lit("0"))): _*)
     val buckets = df
       .select(col(idCol).as("id"), bits.as("bits"))
       .select(
@@ -279,7 +280,7 @@ object Dedup {
     cand
       .join(va, Seq("id_a"))
       .join(vb, Seq("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", graft.functions.VectorExpressions.cosineFast(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -33,10 +33,9 @@ object Search {
       k: Int,
       filters: Seq[Column] = Nil,
   ): DataFrame = {
-    val q     = typedLit(queryVec)
-    val qNorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
+    val q = typedLit(queryVec)
     val scored = corpus
-      .withColumn("score", dot(asDouble(col(vecCol)), q) / (l2Norm(asDouble(col(vecCol))) * lit(qNorm)))
+      .withColumn("score", graft.functions.VectorExpressions.cosineFast(asDouble(col(vecCol)), q))
     filters
       .foldLeft(scored)((df, f) => df.where(f))
       .orderBy(desc("score"), col(idCol))
@@ -61,20 +60,18 @@ object Search {
       k: Int,
       excludeSelf: Boolean = true,
   ): DataFrame = {
-    // Norms are hoisted into per-side projections BELOW the join, so each is
-    // computed once per input row instead of once per crossed pair.
     val q = queries.select(
       col(queryIdCol).as("query_id"),
       asDouble(col(queryVecCol)).as("__qv"),
-    ).withColumn("__qn", l2Norm(col("__qv")))
+    )
     val c = corpus.select(
       col(corpusIdCol).as("neighbor_id"),
       asDouble(col(corpusVecCol)).as("__cv"),
-    ).withColumn("__cn", l2Norm(col("__cv")))
+    )
     val crossed = c
       .join(broadcast(q), if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn"))).as("score"))
+        graft.functions.VectorExpressions.cosineFast(col("__cv"), col("__qv")).as("score"))
     val topk = TopKScored.udafFor(k)
     crossed
       .groupBy("query_id")
