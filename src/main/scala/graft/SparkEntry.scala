@@ -443,10 +443,9 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    "m1_kmeans" -> ((s, d) => {
-      val (assigned, _) = Ivf.assign(Tables(s, d).embeddings, "embedding", 10)
-      assigned.groupBy("list_id").agg(count(lit(1)).as("n")).orderBy("list_id")
-    }),
+    "m1_kmeans" -> ((s, d) => new Ml.KMeansClusterer(10)
+      .cluster(Tables(s, d).embeddings, "embedding", "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")),
 
     "m2_cluster_naming" -> ((s, d) => {
       val t = Tables(s, d)
@@ -559,7 +558,7 @@ object SparkEntry {
     "a6_tfidf_keywords" ->
       raw"""WITH d AS (SELECT label, $toksSql AS toks FROM embeddings JOIN documents ON vec_id = doc_id),
            | terms AS (SELECT label, unnest(list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS term FROM d),
-           | tf AS (SELECT label, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           | tf AS (SELECT label, term, count(*) AS tf FROM terms GROUP BY 1, 2 HAVING count(*) >= 2),
            | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
            | nl AS (SELECT count(DISTINCT label) AS n_labels FROM tf),
            | top3 AS (

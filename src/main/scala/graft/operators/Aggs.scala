@@ -66,13 +66,18 @@ object Aggs {
     * no min_df/max_df/max_features pruning — the selection is fully
     * distributed instead of per-cluster sklearn fits.
     */
-  def tfidfKeywords(docs: DataFrame, labelCol: String, textCol: String, topK: Int = 3): DataFrame = {
+  def tfidfKeywords(docs: DataFrame, labelCol: String, textCol: String, topK: Int = 3, minTf: Int = 2): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val terms = docs.select(
       col(labelCol).as("label"),
       explode(concat(toks, TextOps.wordShingles(toks, 2))).as("term"),
     )
-    val tf       = terms.groupBy("label", "term").agg(count(lit(1)).as("tf"))
+    // minTf mirrors the reference's TfidfVectorizer(min_df=2)
+    // (backend/clustering.py:118-128): once-seen terms can't be keywords, and
+    // pruning them before the doc-frequency join drops most of the bigram
+    // tail from the shuffle.
+    val tf = terms.groupBy("label", "term").agg(count(lit(1)).as("tf"))
+      .where(col("tf") >= minTf)
     val docFreq  = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nLabels  = tf.select(countDistinct(col("label")).as("n_labels"))
     val scored = tf

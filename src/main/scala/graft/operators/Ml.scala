@@ -103,23 +103,91 @@ object Ml {
     * rows farther than `noiseQuantile` of the distance distribution from
     * their centroid are marked −1 (noise), echoing HDBSCAN's outlier
     * semantics without its density model.
+    *
+    * Two fit paths, same contract:
+    *  - corpora up to `maxDriverFitRows` fit with seeded Lloyd's iterations
+    *    on the driver — the reference's own in-proc shape (SURVEY §2.6
+    *    option (c)); at 2k points MLlib's ~25 driver-roundtrip jobs cost
+    *    ~8 s of pure scheduling, the local fit microseconds;
+    *  - larger corpora fit distributed via MLlib KMeans, with assignment +
+    *    noise-marking as broadcast-centroid expressions (no collect).
     */
-  final class KMeansClusterer(k: Int, seed: Long = 42L, noiseQuantile: Double = 0.95) extends Clusterer {
+  final class KMeansClusterer(
+      k: Int,
+      seed: Long = 42L,
+      noiseQuantile: Double = 0.95,
+      maxDriverFitRows: Long = 100000L,
+  ) extends Clusterer {
+
+    private def nearest(p: Array[Double], cs: Array[Array[Double]]): (Int, Double) = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < p.length) { val t = p(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best, bestD)
+    }
+
+    private def lloyd(points: Array[Array[Double]], maxIter: Int = 20): Array[Array[Double]] = {
+      val rnd       = new scala.util.Random(seed)
+      val kEff      = math.min(k, points.length)
+      var centroids = rnd.shuffle(points.indices.toVector).take(kEff).map(i => points(i).clone()).toArray
+      val dim       = points.headOption.map(_.length).getOrElse(0)
+      var it        = 0
+      var moved     = true
+      while (it < maxIter && moved) {
+        val sums   = Array.fill(kEff)(new Array[Double](dim))
+        val counts = new Array[Long](kEff)
+        points.foreach { p =>
+          val (c, _) = nearest(p, centroids)
+          counts(c) += 1
+          var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
+        }
+        moved = false
+        val next = Array.tabulate(kEff) { c =>
+          if (counts(c) == 0) centroids(c)
+          else { val m = new Array[Double](dim); var i = 0; while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }; m }
+        }
+        moved = next.zip(centroids).exists { case (a, b) => !java.util.Arrays.equals(a, b) }
+        centroids = next
+        it += 1
+      }
+      centroids
+    }
+
     override def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
-      val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-      val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v").setPredictionCol("__label")
-        .setDistanceMeasure("euclidean").fit(withVec)
-      val assigned = model.transform(withVec)
-      val centers  = model.clusterCenters.map(_.toArray.toSeq)
-      val centerCol = element_at(
-        typedLit(centers),
-        col("__label") + 1,
-      )
-      val dist = sqrt(graft.functions.VectorOps.sqDist(col(vecCol).cast("array<double>"), centerCol))
-      val scored = assigned.withColumn("__dist", dist)
-      val cut = scored.stat.approxQuantile("__dist", Array(noiseQuantile), 0.001).head
-      scored
-        .select(col(idCol), when(col("__dist") > cut, -1).otherwise(col("__label")).as("label"))
+      val spark = df.sparkSession
+      val n     = df.count()
+      if (n == 0) return df.select(col(idCol), lit(-1).as("label")).where(lit(false))
+      if (n <= maxDriverFitRows) {
+        // Driver fit, driver assignment (the corpus is already small).
+        val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
+        val pts  = rows.map(_.getSeq[Double](1).toArray)
+        val cs   = lloyd(pts)
+        val assigned = rows.zip(pts).map { case (r, p) =>
+          val (c, d) = nearest(p, cs); (r.getLong(0), c, math.sqrt(d))
+        }
+        val cut = {
+          val ds = assigned.map(_._3).sorted
+          ds(math.min(ds.length - 1, (noiseQuantile * ds.length).toInt))
+        }
+        import spark.implicits._
+        assigned.toSeq.toDF("__id", "__c", "__d")
+          .select(col("__id").as(idCol), when(col("__d") > cut, -1).otherwise(col("__c")).as("label"))
+      } else {
+        val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+        val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__v").setPredictionCol("__label")
+          .setDistanceMeasure("euclidean").fit(withVec)
+        val assigned = model.transform(withVec)
+        val centers  = model.clusterCenters.map(_.toArray.toSeq)
+        val centerCol = element_at(typedLit(centers), col("__label") + 1)
+        val dist   = sqrt(graft.functions.VectorOps.sqDist(col(vecCol).cast("array<double>"), centerCol))
+        val scored = assigned.withColumn("__dist", dist)
+        val cut    = scored.stat.approxQuantile("__dist", Array(noiseQuantile), 0.001).head
+        scored.select(col(idCol), when(col("__dist") > cut, -1).otherwise(col("__label")).as("label"))
+      }
     }
   }
 }
