@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions for SQL use:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * SELECT id FROM chunks ORDER BY cosine_similarity(embedding, :q) DESC LIMIT 5
+  * }}}
+  *
+  * For an already-built session, `GraftBridge.registerFunctions(spark)` does
+  * the same at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1)),
+    ))
+  }
+}

@@ -414,6 +414,9 @@ object SparkEntry {
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("window_start")),
 
+    "w3_sessionize" -> ((s, d) => graft.streaming.Sessions.sessionize(Tables(s, d).events, 30)
+      .orderBy("user_id", "session_id")),
+
     // ---------------- H: relational headline (bench anchors) ----------------
     "h1_pricing_summary" -> ((s, d) => Tables(s, d).lineitem
       .groupBy("l_returnflag", "l_linestatus")
@@ -716,6 +719,16 @@ object SparkEntry {
            | FROM read_blob('/root/repo/fixtures/media/*') ORDER BY file_name""".stripMargin,
     "p1_ingest_pipeline" ->
       "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
+
+    "w3_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL OR datediff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM g)
+        | SELECT user_id, session_id, count(*) AS n_events,
+        |   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        | FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
 
     "h1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -35,19 +35,41 @@ object Ivf {
   }
 
   /** Assign every row its nearest-centroid `list_id`. Narrow (no shuffle):
-    * the fitted centroids ride along as a broadcast inside the model.
+    * the fitted centroids ride along as literals/broadcast.
+    *
+    * Fit path mirrors [[Ml.KMeansClusterer]]: small corpora fit with seeded
+    * Lloyd's on the driver (MLlib's per-iteration jobs dominate at small
+    * scale), then assignment runs DISTRIBUTED as an argmin over
+    * codegen'd dot products — `dist²(v,c) = v·v − 2·v·c + c·c` with `c·c`
+    * folded driver-side. Large corpora fit via MLlib.
     */
-  def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L): (DataFrame, Model) = {
-    val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-    val km = new KMeans()
-      .setK(nList)
-      .setSeed(seed)
-      .setFeaturesCol("__v")
-      .setPredictionCol("list_id")
-    val model     = km.fit(withVec)
-    val assigned  = model.transform(withVec).drop("__v")
-    val centroids = model.clusterCenters.map(_.toArray)
-    (assigned, Model(centroids))
+  def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitRows: Long = 100000L): (DataFrame, Model) = {
+    import graft.functions.VectorExpressions.dotFast
+    val n = df.count()
+    if (n > 0 && n <= maxDriverFitRows) {
+      val pts = df.select(col(vecCol).cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cs = Ml.lloydFit(pts, nList, seed)
+      val v  = col(vecCol).cast("array<double>")
+      val dists = array(cs.map { c =>
+        val cc = c.map(x => x * x).sum
+        dotFast(v, v) - lit(2.0) * dotFast(v, typedLit(c.toSeq)) + lit(cc)
+      }: _*)
+      val assigned = df.withColumn("list_id",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+      (assigned, Model(cs))
+    } else {
+      val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+      val km = new KMeans()
+        .setK(nList)
+        .setSeed(seed)
+        .setFeaturesCol("__v")
+        .setPredictionCol("list_id")
+      val model     = km.fit(withVec)
+      val assigned  = model.transform(withVec).drop("__v")
+      val centroids = model.clusterCenters.map(_.toArray)
+      (assigned, Model(centroids))
+    }
   }
 
   /** Persist the indexed corpus partitioned by list — this is what makes the

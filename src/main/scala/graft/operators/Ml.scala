@@ -73,6 +73,49 @@ object Ml {
     def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame
   }
 
+  /** Nearest centroid + squared distance (shared by the driver-fit paths). */
+  private[operators] def nearestCentroid(p: Array[Double], cs: Array[Array[Double]]): (Int, Double) = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < p.length) { val t = p(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** Seeded Lloyd's iterations on in-memory points — the driver-side fit
+    * used when a corpus (or sample) is small enough that MLlib's per-
+    * iteration scheduler round-trips dominate (SURVEY §2.6 option (c):
+    * driver-local fit + distributed broadcast assignment).
+    */
+  private[operators] def lloydFit(points: Array[Array[Double]], k: Int, seed: Long, maxIter: Int = 20): Array[Array[Double]] = {
+    val rnd       = new scala.util.Random(seed)
+    val kEff      = math.min(k, points.length)
+    var centroids = rnd.shuffle(points.indices.toVector).take(kEff).map(i => points(i).clone()).toArray
+    val dim       = points.headOption.map(_.length).getOrElse(0)
+    var it        = 0
+    var moved     = true
+    while (it < maxIter && moved) {
+      val sums   = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      points.foreach { p =>
+        val (c, _) = nearestCentroid(p, centroids)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      val next = Array.tabulate(kEff) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = new Array[Double](dim); var i = 0; while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }; m }
+      }
+      moved = next.zip(centroids).exists { case (a, b) => !java.util.Arrays.equals(a, b) }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
   /** §3.3 — the full analytics job as ONE lineage: cluster → TF-IDF naming →
     * join-update write-back. The reference runs this as scroll-all →
     * in-process HDBSCAN → per-point HTTP set_payload loop
@@ -119,44 +162,6 @@ object Ml {
       maxDriverFitRows: Long = 100000L,
   ) extends Clusterer {
 
-    private def nearest(p: Array[Double], cs: Array[Array[Double]]): (Int, Double) = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < p.length) { val t = p(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      (best, bestD)
-    }
-
-    private def lloyd(points: Array[Array[Double]], maxIter: Int = 20): Array[Array[Double]] = {
-      val rnd       = new scala.util.Random(seed)
-      val kEff      = math.min(k, points.length)
-      var centroids = rnd.shuffle(points.indices.toVector).take(kEff).map(i => points(i).clone()).toArray
-      val dim       = points.headOption.map(_.length).getOrElse(0)
-      var it        = 0
-      var moved     = true
-      while (it < maxIter && moved) {
-        val sums   = Array.fill(kEff)(new Array[Double](dim))
-        val counts = new Array[Long](kEff)
-        points.foreach { p =>
-          val (c, _) = nearest(p, centroids)
-          counts(c) += 1
-          var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
-        }
-        moved = false
-        val next = Array.tabulate(kEff) { c =>
-          if (counts(c) == 0) centroids(c)
-          else { val m = new Array[Double](dim); var i = 0; while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }; m }
-        }
-        moved = next.zip(centroids).exists { case (a, b) => !java.util.Arrays.equals(a, b) }
-        centroids = next
-        it += 1
-      }
-      centroids
-    }
-
     override def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
       val spark = df.sparkSession
       val n     = df.count()
@@ -165,9 +170,9 @@ object Ml {
         // Driver fit, driver assignment (the corpus is already small).
         val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
         val pts  = rows.map(_.getSeq[Double](1).toArray)
-        val cs   = lloyd(pts)
+        val cs   = Ml.lloydFit(pts, k, seed)
         val assigned = rows.zip(pts).map { case (r, p) =>
-          val (c, d) = nearest(p, cs); (r.getLong(0), c, math.sqrt(d))
+          val (c, d) = Ml.nearestCentroid(p, cs); (r.getLong(0), c, math.sqrt(d))
         }
         val cut = {
           val ds = assigned.map(_._3).sorted

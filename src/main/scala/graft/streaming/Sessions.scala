@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Gap-based user sessionization over the events stream.
+  *
+  * Batch form: lag/cumulative-sum window functions — one shuffle on user_id,
+  * SQL-expressible, oracle-checkable. Streaming form: custom state via
+  * `flatMapGroupsWithState` (per-user open session in `GroupState`,
+  * event-time timeout closes it) — the Structured Streaming analog that
+  * produces the same sessions incrementally over an unbounded stream.
+  */
+object Sessions {
+
+  /** Batch sessionization: a new session starts when the gap since the
+    * user's previous event exceeds `gapMinutes`. Output: one row per
+    * (user_id, session) with count and span.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull || unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+      )
+  }
+
+  final case class Event(user_id: Long, ts: Timestamp)
+  final case class SessionOut(user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Streaming sessionization with explicit state: events grouped by user;
+    * an in-batch gap closes and emits the open session; event-time timeout
+    * (watermark-driven) flushes sessions whose user went quiet.
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMinutes: Int,
+  ): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.n, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionOut]
+            var cur    = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs => cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.n, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(t, t, 1))
+                case None => cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

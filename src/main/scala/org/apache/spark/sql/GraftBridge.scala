@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column     = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register graft's native expressions on a live session so `spark.sql`
+    * can call them by name (the runtime analog of [[graft.GraftExtensions]],
+    * which does the same at session build time for spark-submit users).
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "cosine_similarity", args => graft.functions.CosineSimilarity(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "dot_product", args => graft.functions.DotProduct(args(0), args(1)), "built-in")
+  }
 }

@@ -169,6 +169,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.forall(l => l == -1 || (l >= 0 && l < 3)))
   }
 
+  // ---- SQL surface for the native expressions -----------------------------
+  test("cosine_similarity / dot_product callable from spark.sql after registration") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[(Double, Double)].head()
+    assert(r == ((1.0, 11.0)))
+  }
+
   // ---- Maintenance --------------------------------------------------------
   test("upsert: updates replace, new keys append; joinUpdate coalesces") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

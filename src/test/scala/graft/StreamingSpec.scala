@@ -42,6 +42,53 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+/** Custom streaming state: flatMapGroupsWithState sessionization emits the
+  * same sessions the batch window-function form computes.
+  */
+class SessionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming sessionization (flatMapGroupsWithState) matches batch on closed sessions") {
+    import graft.streaming.Sessions
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1700000000000L
+    // user 1: two sessions (gap 45 min); user 2: one session
+    val events = Seq(
+      (1L, 0L), (1L, 5L), (1L, 10L),
+      (1L, 55L), (1L, 60L),
+      (2L, 7L), (2L, 17L),
+    ).map { case (u, m) => Sessions.Event(u, new Timestamp(base + m * 60000L)) }
+    // sentinel far in the future advances the watermark so timeouts flush
+    val flush = Seq(Sessions.Event(99L, new Timestamp(base + 100L * 3600000L)))
+
+    val mem = MemoryStream[Sessions.Event]
+    val withWm = mem.toDS().withWatermark("ts", "1 minute").as[Sessions.Event]
+    val q = Sessions.sessionizeStream(spark, withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    mem.addData(flush: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_out")
+      .as[Sessions.SessionOut].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.n_events, s.session_start.getTime, s.session_end.getTime)).toSet
+
+    val batch = Sessions.sessionize(
+      events.map(e => (e.user_id * 1000 + e.ts.getTime % 1000000, e.ts, e.user_id)).toDF("event_id", "ts", "user_id"), 30)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("n_events"))))
+      .toSeq.sorted
+
+    assert(streamed.map(s => (s._1, s._2)).toSeq.sorted == batch)
+    assert(streamed.size == 3)
+  }
+}
+
 /** Streaming file-watch ingestion: drop files -> AvailableNow drain ->
   * chunk+embed -> parquet, end to end through the real source/sink.
   */
