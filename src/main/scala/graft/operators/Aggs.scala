@@ -67,10 +67,13 @@ object Aggs {
     * distributed instead of per-cluster sklearn fits.
     */
   def tfidfKeywords(docs: DataFrame, labelCol: String, textCol: String, topK: Int = 3, minTf: Int = 2): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val terms = docs.select(
-      col(labelCol).as("label"),
-      explode(concat(toks, TextOps.wordShingles(toks, 2))).as("term"),
+    // Tokens materialize in their own projection: referenced twice below
+    // (unigrams + bigram shingles), and higher-order functions are
+    // interpreted with no CSE — inlining would tokenize every text twice.
+    val withToks = docs.select(col(labelCol).as("label"), TextOps.tokens(col(textCol)).as("__toks"))
+    val terms = withToks.select(
+      col("label"),
+      explode(concat(col("__toks"), TextOps.wordShingles(col("__toks"), 2))).as("term"),
     )
     // minTf mirrors the reference's TfidfVectorizer(min_df=2)
     // (backend/clustering.py:118-128): once-seen terms can't be keywords, and
