@@ -417,6 +417,18 @@ object SparkEntry {
     "w3_sessionize" -> ((s, d) => graft.streaming.Sessions.sessionize(Tables(s, d).events, 30)
       .orderBy("user_id", "session_id")),
 
+    "w4_salted_agg" -> ((s, d) => Skew.saltedAggregate(
+      Tables(s, d).events, "event_type", 8,
+      partials = Seq(count(lit(1)).as("pc"), sum(round(col("value") * 100, 0).cast("long")).as("pv")),
+      merges   = Seq(sum(col("pc")).cast("long").as("n_events"), (sum(col("pv")).cast("double") / 100.0).as("sum_value")),
+    ).orderBy("event_type")),
+
+    "a10_approx_distinct" -> ((s, d) => Tables(s, d).events
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+      )),
+
     // ---------------- H: relational headline (bench anchors) ----------------
     "h1_pricing_summary" -> ((s, d) => Tables(s, d).lineitem
       .groupBy("l_returnflag", "l_linestatus")
@@ -719,6 +731,10 @@ object SparkEntry {
            | FROM read_blob('/root/repo/fixtures/media/*') ORDER BY file_name""".stripMargin,
     "p1_ingest_pipeline" ->
       "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
+
+    "w4_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events, sum(round(value * 100)::BIGINT)::DOUBLE / 100.0 AS sum_value
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "w3_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts,

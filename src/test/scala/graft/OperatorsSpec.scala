@@ -169,6 +169,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.forall(l => l == -1 || (l >= 0 && l < 3)))
   }
 
+  // ---- skew + sketches ----------------------------------------------------
+  test("saltedAggregate merges to the same totals as a direct groupBy") {
+    val df = (0 until 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble)).toDF("k", "v")
+    val salted = Skew.saltedAggregate(df, "k", 8,
+      partials = Seq(count(lit(1)).as("pc"), sum(col("v")).as("pv")),
+      merges   = Seq(sum(col("pc")).cast("long").as("n"), sum(col("pv")).as("s")))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    val direct = df.groupBy("k").agg(count(lit(1)).cast("long").as("n"), sum("v").as("s"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("approx_count_distinct within 5% of exact on events-like ids") {
+    val df = (0 until 20000).map(i => i % 1375L).toDF("id")
+    val (exact, approx) = df
+      .agg(countDistinct(col("id")), approx_count_distinct(col("id"), 0.01))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   // ---- SQL surface for the native expressions -----------------------------
   test("cosine_similarity / dot_product callable from spark.sql after registration") {
     org.apache.spark.sql.GraftBridge.registerFunctions(spark)
