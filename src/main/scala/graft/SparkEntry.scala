@@ -317,7 +317,7 @@ object SparkEntry {
 
     "v6_ivf_ann" -> ((s, d) => {
       val t = Tables(s, d)
-      val (indexed, model) = Ivf.assign(t.embeddings, "embedding", 8)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings")
       Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 3)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
     }),

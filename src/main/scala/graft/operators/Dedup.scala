@@ -30,6 +30,25 @@ object Dedup {
   def shingleSet(text: Column, shingleSize: Int): Column =
     array_distinct(TextOps.wordShingles(TextOps.tokens(text), shingleSize))
 
+  /** (id, shingles) via a typed map — JIT-compiled tokenize+shingle, same
+    * semantics as [[shingleSet]] (verified by the d4 oracle), ~50x faster
+    * than the interpreted higher-order expression on long texts.
+    */
+  private def shingledTyped(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = if (text == null) Array.empty[String]
+          else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val sh = if (toks.length < shingleSize) Array.empty[String]
+          else toks.sliding(shingleSize).map(_.mkString(" ")).toArray.distinct
+        (id, sh)
+      }
+      .toDF("id", "shingles")
+  }
+
   /** Deterministic odd affine multipliers for the derive-k-hashes-from-one
     * MinHash trick (splitmix-style expansion of the seed index).
     */
@@ -141,10 +160,7 @@ object Dedup {
       threshold: Double,
       candidates: Option[DataFrame] = None,
   ): DataFrame = {
-    val shingled = df.select(
-      col(idCol).as("id"),
-      shingleSet(col(textCol), shingleSize).as("shingles"),
-    )
+    val shingled = shingledTyped(df, idCol, textCol, shingleSize)
     candidates match {
       case Some(cand) =>
         val a = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))

@@ -78,6 +78,19 @@ object Ivf {
   def writeIndexed(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Model)]
+
+  /** Build-once index handle: an IVF index is constructed once and queried
+    * many times (the reference's HNSW works the same way — built at upsert,
+    * reused per search). The assigned corpus is persisted in memory so
+    * repeated probes skip both the fit and the re-scan.
+    */
+  def indexFor(df: DataFrame, vecCol: String, nList: Int, cacheKey: String): (DataFrame, Model) =
+    indexCache.getOrElseUpdate(cacheKey, {
+      val (assigned, model) = assign(df, vecCol, nList)
+      (assigned.persist(), model)
+    })
+
   /** ANN top-k: exact search restricted to the nProbe nearest lists. */
   def search(
       indexed: DataFrame,
