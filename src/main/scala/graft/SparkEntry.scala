@@ -369,6 +369,10 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")),
 
+    "x4_bpe_tokens" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")),
+
     "x2_lang_id" -> ((s, d) => Tables(s, d).documents
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")),
@@ -675,6 +679,9 @@ object SparkEntry {
 
     "x1_token_count" ->
       raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",
+    "x4_bpe_tokens" ->
+      raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+
     "x2_lang_id" ->
       raw"""WITH h AS (SELECT doc_id,
            |   len(list_intersect(list_distinct($toksSql), ['der','die','und','das','ist','von','mit','den','ein','eine'])) AS h_de,

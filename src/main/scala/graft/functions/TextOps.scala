@@ -21,6 +21,16 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword token estimate: counts GPT-style lexer matches
+    * (letter runs, single digits, punctuation) — the cheap pre-tokenizer
+    * approximation of a real BPE vocabulary (which would need the merges
+    * table; the reference's HF tokenizer plays that role,
+    * backend/chunker.py:19-31). Deliberately lookahead-free so Java and
+    * RE2-family regex engines agree.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+
   /** Word n-gram shingles over the token array (dedup/similarity input). */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array())
