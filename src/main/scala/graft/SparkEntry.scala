@@ -278,6 +278,12 @@ object SparkEntry {
     "s6_csv_scan" -> ((s, _) =>
       graft.sources.FileSources.csvDocument(s, "/root/repo/fixtures/s6.csv", "id")),
 
+    "s5_xlsx_modeled" -> ((s, _) => graft.sources.FileSources.xlsxModeled(
+      s,
+      Seq("products" -> "/root/repo/fixtures/sheet_products.csv", "sales" -> "/root/repo/fixtures/sheet_sales.csv"),
+      "id")
+      .select(md5(col("text")).as("text_md5"), col("sheet_count"), col("total_rows"))),
+
     "s8_text_scan" -> ((s, _) => graft.sources.FileSources.wholeTextFiles(s, "/root/repo/fixtures/text")
       .select(col("file_name"), md5(col("text")).as("text_md5"),
         size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
@@ -617,6 +623,15 @@ object SparkEntry {
       """WITH c AS (SELECT * FROM read_csv('/root/repo/fixtures/s6.csv', header=true, all_varchar=true))
         | SELECT string_agg(id || ' | ' || name || ' | ' || category || ' | ' || score, chr(10) ORDER BY id::BIGINT) AS text,
         |   count(*) AS n_rows, 4::BIGINT AS n_cols FROM c""".stripMargin,
+    "s5_xlsx_modeled" ->
+      """WITH p AS (SELECT string_agg(id || ' | ' || product || ' | ' || price, chr(10) ORDER BY id::BIGINT) AS t, count(*) AS n
+        |   FROM read_csv('/root/repo/fixtures/sheet_products.csv', header=true, all_varchar=true)),
+        | s AS (SELECT string_agg(id || ' | ' || region || ' | ' || amount, chr(10) ORDER BY id::BIGINT) AS t, count(*) AS n
+        |   FROM read_csv('/root/repo/fixtures/sheet_sales.csv', header=true, all_varchar=true))
+        | SELECT md5('Sheet: products' || chr(10) || repeat('-', 20) || chr(10) || p.t || chr(10) || chr(10)
+        |   || 'Sheet: sales' || chr(10) || repeat('-', 20) || chr(10) || s.t) AS text_md5,
+        |   2::BIGINT AS sheet_count, (p.n + s.n)::BIGINT AS total_rows FROM p, s""".stripMargin,
+
     "s8_text_scan" ->
       raw"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, md5(content) AS text_md5,
            | len(string_split(content, chr(10))) AS n_lines

@@ -53,6 +53,30 @@ object FileSources {
     ).withColumn("n_cols", lit(cols.length).cast("long"))
   }
 
+  /** S5 — XLSX modeled as one CSV per sheet (SURVEY §2.1: `spark.read.excel`
+    * is not core, so the workbook text rendering is re-expressed over CSV
+    * sheets): each sheet renders as "Sheet: <name>" + 20-dash rule + " | "
+    * rows (the reference's separator format,
+    * backend/extractors/xlsx_extractor.py:46-58), sheets joined by blank
+    * lines; metadata = sheet_count + per-sheet row counts.
+    */
+  def xlsxModeled(spark: SparkSession, sheets: Seq[(String, String)], orderCol: String): DataFrame = {
+    val rendered = sheets.map { case (name, path) =>
+      csvDocument(spark, path, orderCol)
+        .select(
+          concat(lit(s"Sheet: $name\n"), lit("-" * 20), lit("\n"), col("text")).as("sheet_text"),
+          col("n_rows"),
+        )
+        .withColumn("sheet_name", lit(name))
+    }
+    rendered.reduce(_ unionByName _)
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("sheet_name"), col("sheet_text")))), r => r("sheet_text")), "\n\n").as("text"),
+        count(lit(1)).cast("long").as("sheet_count"),
+        sum(col("n_rows")).cast("long").as("total_rows"),
+      )
+  }
+
   /** S8/S9 — whole-file text rows: (file_name, text). */
   def wholeTextFiles(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("wholetext", "true").text(dir)
