@@ -379,6 +379,19 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")),
 
+    "x5_json_props" -> ((s, d) => Tables(s, d).events
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_mod")),
+
+    "d8_simhash_neardup" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val withDups = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.simHashNearDupPairs(withDups, "doc_id", "text", maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x2_lang_id" -> ((s, d) => Tables(s, d).documents
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")),
@@ -696,6 +709,9 @@ object SparkEntry {
       raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",
     "x4_bpe_tokens" ->
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+    "x5_json_props" ->
+      raw"""WITH e AS (SELECT event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events)
+           | SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k FROM e GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "x2_lang_id" ->
       raw"""WITH h AS (SELECT doc_id,

@@ -228,6 +228,39 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = popCount(a.bitwiseXOR(b))
 
+  /** Banded hamming index over 64-bit simhashes: split into `bands` bit
+    * slices; two docs within hamming distance < `bands` of each other must
+    * share at least one identical band (pigeonhole), so bucketing on
+    * (band, slice) finds all pairs with hamming ≤ bands−1 — no pairwise
+    * scan. Candidates are then exact-verified with [[hammingDist]].
+    * Only (id, band, slice) triples shuffle.
+    */
+  def simHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      bands: Int = 4,
+  ): DataFrame = {
+    require(maxHamming < bands, s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val bits = 64 / bands
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val slices = (0 until bands).map(b =>
+      struct(lit(b).as("band"), shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)).as("slice")))
+    val buckets = sigs.select(
+      col("id"), col("sig"),
+      explode(array(slices: _*)).as("bs"),
+    ).select(col("id"), col("sig"), col("bs.band").as("band"), col("bs.slice").as("slice"))
+    val b2 = buckets.select(col("band"), col("slice"), col("id").as("id_b"), col("sig").as("sig_b"))
+    buckets
+      .join(b2, Seq("band", "slice"))
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"), hammingDist(col("sig"), col("sig_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Deterministic ±1 sign-projection vectors for embedding LSH — derived
     * from murmur3 so Spark and the DuckDB oracle can inline the exact same
     * literals. Row j is the j-th hyperplane.

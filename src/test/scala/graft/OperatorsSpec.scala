@@ -95,6 +95,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((7L, 99L)))
   }
 
+  test("simHashNearDupPairs: banded hamming index finds planted near-dups, skips unrelated") {
+    val df = Seq(
+      (1L, "spark is a distributed engine for large scale data processing"),
+      (2L, "spark is a distributed engine for large scale data processing today"),
+      (3L, "cats purr softly under warm blankets during long winter nights"),
+      (4L, "spark is a distributed engine for large scale data processing"),
+    ).toDF("id", "text")
+    val pairs = Dedup.simHashNearDupPairs(df, "id", "text", maxHamming = 10, bands = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, hamming 0
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simHash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing"),
