@@ -183,6 +183,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(labels.forall(l => l == -1 || (l >= 0 && l < 3)))
   }
 
+  // ---- bucketed co-located join -------------------------------------------
+  test("bucketed tables join without any shuffle exchange") {
+    val docs   = (0L until 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val labels = (0L until 500L).map(i => (i, (i % 7).toInt)).toDF("doc_id", "label")
+    Bucketing.writeBucketed(docs, "b_docs", "doc_id", 4)
+    Bucketing.writeBucketed(labels, "b_labels", "doc_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ, not broadcast
+      val joined = Bucketing.cogroupJoin(spark, "b_docs", "b_labels", "doc_id")
+      assert(joined.count() == 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---- skew + sketches ----------------------------------------------------
   test("saltedAggregate merges to the same totals as a direct groupBy") {
     val df = (0 until 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble)).toDF("k", "v")
