@@ -16,21 +16,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"); None }
+      catch { case e: Throwable => Some(s"${e.getClass.getName}: ${e.getMessage}") }
     // Queries are independent; run them through a small thread pool so the
-    // Spark scheduler overlaps their jobs (FIFO is fine — stages are tiny).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Spark scheduler overlaps their jobs. A few MLlib fits aren't reliably
+    // thread-safe under concurrent construction, so anything that fails in
+    // the pool is retried once serially before being reported.
+    val pool   = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
-        override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+        override def run(): Unit = if (runOne(name, fn).isDefined) failed.add(name)
       })
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    failed.forEach { name =>
+      runOne(name, SparkEntry.queries(name)).foreach(err => System.err.println(s"[verify] $name failed: $err"))
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -221,9 +221,8 @@ object Dedup {
     )
   }
 
-  /** Population count via mask array (portable across Spark minor versions). */
-  def popCount(x: Column): Column =
-    aggregate(transform(bitMasks, m => when(x.bitwiseAND(m) =!= 0, lit(1)).otherwise(lit(0))), lit(0), (a, b) => a + b)
+  /** Population count (codegen'd builtin). */
+  def popCount(x: Column): Column = bit_count(x).cast("int")
 
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = popCount(a.bitwiseXOR(b))
@@ -235,6 +234,26 @@ object Dedup {
     * scan. Candidates are then exact-verified with [[hammingDist]].
     * Only (id, band, slice) triples shuffle.
     */
+  /** 64-bit SimHash in plain Scala (JIT-compiled; the expression form in
+    * [[simHash]] runs ~64 interpreted lambda evals per token).
+    */
+  private[operators] def simHash64(text: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    val toks = if (text == null) Array.empty[String]
+      else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
+        (MurmurHash3.stringHash(t, 777).toLong & 0xffffffffL)
+      var j = 0
+      while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   def simHashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -243,8 +262,13 @@ object Dedup {
       bands: Int = 4,
   ): DataFrame = {
     require(maxHamming < bands, s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
-    val bits = 64 / bands
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    val bits  = 64 / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simHash64(text)) }
+      .toDF("id", "sig")
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val slices = (0 until bands).map(b =>
       struct(lit(b).as("band"), shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)).as("slice")))
