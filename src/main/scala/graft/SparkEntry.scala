@@ -474,6 +474,29 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "h2_having" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("total_cents"))
+        .where(col("n_orders") >= 10)
+        .orderBy("c_custkey")
+    }),
+
+    "h5_region_revenue" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.region.where(col("r_name") === "ASIA")
+        .join(t.nation, col("n_regionkey") === col("r_regionkey"))
+        .join(t.customer, col("c_nationkey") === col("n_nationkey"))
+        .join(t.orders, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long")).cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue_cents"), col("n_name"))
+    }),
+
     // ---------------- M: ML (invariant-tested; rows-only here) --------------
     "m3_pca_3d" -> ((s, d) => {
       val out = Ml.pca3d(Tables(s, d).embeddings, "embedding", "vec_id")
@@ -790,6 +813,19 @@ object SparkEntry {
         | sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS disc_cents,
         | count(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "h2_having" ->
+      """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+        | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_custkey, c_mktsegment HAVING count(*) >= 10 ORDER BY c_custkey""".stripMargin,
+    "h5_region_revenue" ->
+      """SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents, count(*) AS n_items
+        | FROM region JOIN nation ON n_regionkey = r_regionkey
+        |   JOIN customer ON c_nationkey = n_nationkey
+        |   JOIN orders ON o_custkey = c_custkey
+        |   JOIN lineitem ON l_orderkey = o_orderkey
+        | WHERE r_name = 'ASIA'
+        | GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "h3_top_orders" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         | sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents
