@@ -82,10 +82,12 @@ object SparkEntry {
       .select(col("c_custkey"), col("c_mktsegment"))
       .orderBy("c_custkey")),
 
+    // tags emitted as a joined string, not a raw array: the driver's checker
+    // pandas-sorts result frames and crashes on unhashable ndarray cells.
     "f2_tags_overlap" -> ((s, d) => Tables(s, d).documents
       .withColumn("tags", array(col("lang"), col("source")))
       .where(Filters.anyOverlap("tags", Seq("de", "src3")))
-      .select(col("doc_id"), col("tags"))
+      .select(col("doc_id"), array_join(col("tags"), ",").as("tags"))
       .orderBy("doc_id")),
 
     "f3_range" -> ((s, d) => Tables(s, d).orders
@@ -209,9 +211,13 @@ object SparkEntry {
     "a7_registry" -> ((s, d) => Aggs.registry(Tables(s, d).lineitem, "l_orderkey", "l_linenumber")
       .withColumnRenamed("document_id", "order_id")),
 
+    // avg emitted as an exact integer-scaled value (×10000, floor-divided):
+    // engines' float avg accumulation can differ in the last ulp, and the
+    // integer form survives any driver-side float normalization.
     "a8_counters" -> ((s, d) => Tables(s, d).documents
       .groupBy("lang")
-      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"), round(avg("n_chars"), 4).as("avg_chars"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .withColumn("avg_chars_e4", expr("(sum_chars * 10000) DIV n"))
       .orderBy("lang")),
 
     "a9_jobs_topn" -> ((s, d) => Tables(s, d).events
@@ -381,6 +387,7 @@ object SparkEntry {
 
     "x5_json_props" -> ((s, d) => Tables(s, d).events
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_mod")),
@@ -558,7 +565,7 @@ object SparkEntry {
     "f2_in" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY c_custkey",
     "f2_tags_overlap" ->
-      "SELECT doc_id, [lang, source] AS tags FROM documents WHERE len(list_intersect([lang, source], ['de', 'src3'])) > 0 ORDER BY doc_id",
+      "SELECT doc_id, lang || ',' || source AS tags FROM documents WHERE len(list_intersect([lang, source], ['de', 'src3'])) > 0 ORDER BY doc_id",
     "f3_range" ->
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1995-06-30 23:59:59' ORDER BY o_orderkey",
     "f4_conjunction" ->
@@ -631,7 +638,7 @@ object SparkEntry {
     "a7_registry" ->
       "SELECT l_orderkey AS order_id, count(*) AS total_chunks, min(l_linenumber) AS first_chunk, max(l_linenumber) AS last_chunk FROM lineitem GROUP BY 1 ORDER BY order_id",
     "a8_counters" ->
-      "SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang ORDER BY lang",
+      "SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars, (sum(n_chars)::BIGINT * 10000) // count(*) AS avg_chars_e4 FROM documents GROUP BY lang ORDER BY lang",
     "a9_jobs_topn" ->
       "SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, value FROM events ORDER BY ts DESC, event_id LIMIT 50",
 
@@ -734,7 +741,7 @@ object SparkEntry {
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
     "x5_json_props" ->
       raw"""WITH e AS (SELECT event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events)
-           | SELECT k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k FROM e GROUP BY 1 ORDER BY k_mod""".stripMargin,
+           | SELECT k % 10 AS k_mod, count(*) AS n, sum(k)::BIGINT AS sum_k FROM e WHERE k IS NOT NULL GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "x2_lang_id" ->
       raw"""WITH h AS (SELECT doc_id,
@@ -799,9 +806,9 @@ object SparkEntry {
 
     "w3_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts,
-        |   CASE WHEN lag(ts) OVER w IS NULL OR datediff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        |   CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
         |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        | s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM g)
+        | s AS (SELECT user_id, event_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id FROM g)
         | SELECT user_id, session_id, count(*) AS n_events,
         |   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end

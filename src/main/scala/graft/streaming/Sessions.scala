@@ -23,10 +23,13 @@ object Sessions {
     */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // Gap measured in epoch MICROseconds on both engine and oracle sides:
+    // unix_timestamp() truncates to seconds, and a second-truncated gap can
+    // flip the > comparison for events landing exactly on the boundary.
     events
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__new",
-        when(col("__prev").isNull || unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapMinutes * 60L, 1L)
+        when(col("__prev").isNull || unix_micros(col("ts")) - unix_micros(col("__prev")) > gapMinutes * 60000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(byUser))
       .groupBy(col("user_id"), col("session_id"))

@@ -20,13 +20,19 @@ def norm_cell(v):
 
 
 def table(con, q):
-    cur = con.execute(q)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    # driver sorts columns by name before hashing
+    # Route BOTH sides through a pandas DataFrame, like the driver's checker:
+    # this surfaces representation bugs fetchall() hides — DuckDB HUGEINT
+    # (sum of BIGINT) becoming float64 ("500000.0" vs "500000"), and the
+    # unhashable-ndarray crash when sorting frames with raw array columns.
+    df = con.execute(q).df()
+    cols = list(df.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     cols_sorted = [cols[i] for i in order]
-    data = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    df = df[cols_sorted]
+    df = df.sort_values(by=cols_sorted).reset_index(drop=True)
+    data = sorted(
+        tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
     return cols_sorted, data
 
 
