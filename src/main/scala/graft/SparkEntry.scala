@@ -70,6 +70,43 @@ object SparkEntry {
   /** DuckDB token pipeline mirroring TextOps.tokens. */
   private val toksSql = raw"""list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"""
 
+  // ---- closed-vocabulary hash constants for the dedup oracles ------------
+  //
+  // MinHash/SimHash aren't SQL-computable over arbitrary text, but over the
+  // documents table's closed (lang, source) vocabulary the per-token hashes
+  // are CONSTANTS of the algorithm. Inlining them lets DuckDB reproduce the
+  // whole signature + banded-bucket-join pipeline declaratively — turning
+  // d3/d6/d8 from rows-only into full hash-equality checks of the
+  // distributed implementation.
+
+  private val langVocab = Seq("de", "en", "es", "fr", "zh")
+  private val srcVocab  = (0 until 20).map("src" + _)
+  private val dmVocab   = (0 until 10).map(_.toString)
+
+  /** Spark's xxhash64 (seed 42) of a string — the hash [[Dedup.simHash]]
+    * (the expression form) votes with, evaluated driver-side for inlining.
+    */
+  private def xx64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  private def caseOver(keyExpr: String, entries: Seq[(String, String)]): String =
+    entries.map { case (k, v) => s"WHEN '$k' THEN $v" }
+      .mkString(s"CASE $keyExpr ", " ", " END")
+
+  /** The synthetic 3-token text d6/d8 hash: lang, source, 'd'||doc_id%10 —
+    * all three tokens from closed vocabularies. SimHash of 3 distinct
+    * tokens is the per-bit majority vote: (a&b)|(a&c)|(b&c).
+    */
+  private def vocabTextCol = concat_ws(" ", col("lang"), col("source"), concat(lit("d"), col("doc_id") % 10))
+  private def simVocabSql(tokHash: String => Long): String = {
+    val a = caseOver("lang", langVocab.map(l => l -> tokHash(l).toString))
+    val b = caseOver("source", srcVocab.map(s0 => s0 -> tokHash(s0).toString))
+    val c = caseOver("(doc_id % 10)::VARCHAR", dmVocab.map(m => m -> tokHash("d" + m).toString))
+    s"SELECT doc_id, $a AS a, $b AS b, $c AS c"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- F: filters / projections -----------------------------
     "f1_eq" -> ((s, d) => Tables(s, d).documents
@@ -327,11 +364,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN recall check: IVF top-10 at nProbe=6 of nList=8 (2 lists pruned —
+    // the pruning lands in PartitionFilters, asserted by IvfSpec) joined
+    // against the EXACT top-10; ≥8 of 10 must be found. The exact top-10 is
+    // itself oracle-verified (v1/j2), and a recall floor — unlike exact
+    // equality — is the honest scale-stable contract for an approximate
+    // index (recall@fixed-nProbe varies with corpus size).
     "v6_ivf_ann" -> ((s, d) => {
       val t = Tables(s, d)
       val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings")
-      Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 3)
-        .select(col("vec_id"), round(col("score"), 4).as("score"))
+      val ivf   = Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 6).select("vec_id")
+      val exact = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10).select("vec_id")
+      ivf.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
     // ---------------- D: dedup suite ----------------------------------------
@@ -344,8 +390,12 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.bagOfWordsFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")),
 
+    // Closed-vocab text makes the band hashes SQL constants, so the oracle
+    // reproduces the full signature→band→bucket-join pipeline in DuckDB and
+    // checks this output exactly. (Real-text LSH feeds d5 below.)
     "d3_minhash_candidates" -> ((s, d) => Dedup.minHashCandidates(
-      Tables(s, d).documents, "doc_id", "text", 3, 16, 8)
+      Tables(s, d).documents.withColumn("text", concat_ws(" ", col("lang"), col("source"))),
+      "doc_id", "text", 1, 16, 8)
       .orderBy("id_a", "id_b")),
 
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
@@ -354,16 +404,25 @@ object SparkEntry {
         col("n_b").cast("long").as("n_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")),
 
+    // Completeness floor of the real-text LSH pipeline: every pair with
+    // IDENTICAL shingle sets (jaccard = 1.0) has identical MinHash
+    // signatures, so LSH MUST emit it as a candidate — the oracle computes
+    // those pairs independently (shingle-set-equality join) and the outputs
+    // must match exactly. A dropped-by-pruning true duplicate fails this.
     "d5_jaccard_lsh_pruned" -> ((s, d) => {
       val docs = Tables(s, d).documents
       val cand = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.005, Some(cand))
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 1.0, Some(cand))
+        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
+    // Closed-vocab 3-token text: the oracle inlines xxhash64 constants and
+    // recomputes the per-bit majority vote, hash-checking the whole simhash
+    // expression tree (aggregate + zip_with + mask logic).
     "d6_simhash" -> ((s, d) => Tables(s, d).documents
-      .select(col("doc_id"), Dedup.simHash(col("text")).as("simhash"))
+      .withColumn("__t", vocabTextCol)
+      .select(col("doc_id"), Dedup.simHash(col("__t")).as("simhash"))
       .withColumn("bits_set", Dedup.popCount(col("simhash")).cast("long"))
       .orderBy("doc_id")),
 
@@ -392,10 +451,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy("k_mod")),
 
+    // Same vocab trick over the TYPED simHash64 + banded hamming index: the
+    // oracle computes every signature from inlined murmur3 constants and
+    // does the all-pairs hamming ≤ 3 scan — by the pigeonhole guarantee the
+    // banded pipeline must find exactly that set, so this is a full
+    // correctness + completeness check of the index.
     "d8_simhash_neardup" -> ((s, d) => {
-      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), vocabTextCol.as("text"))
       val withDups = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
       Dedup.simHashNearDupPairs(withDups, "doc_id", "text", maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -453,10 +519,16 @@ object SparkEntry {
       merges   = Seq(sum(col("pc")).cast("long").as("n_events"), (sum(col("pv")).cast("double") / 100.0).as("sum_value")),
     ).orderBy("event_type")),
 
+    // The exact column is oracle-checked; the HLL estimate is checked as a
+    // bounded-relative-error boolean (the sketch itself isn't SQL-portable).
     "a10_approx_distinct" -> ((s, d) => Tables(s, d).events
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+      )
+      .select(
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users") <= 0.05).as("approx_ok"),
       )),
 
     // ---------------- H: relational headline (bench anchors) ----------------
@@ -707,6 +779,14 @@ object SparkEntry {
     "v1_cosine_topk" ->
       s"""WITH scored AS (SELECT vec_id, label, list_cosine_similarity(embedding::DOUBLE[], $qVecSql) AS sim FROM embeddings WHERE label <> 3)
          | SELECT vec_id, round(sim, 4) AS score, label FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "v2_embed" ->
+      raw"""SELECT doc_id, 64::BIGINT AS dim,
+           | CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE 1.0 END AS norm
+           | FROM documents ORDER BY doc_id""".stripMargin,
+    "v6_ivf_ann" ->
+      "SELECT 10::BIGINT AS k, true AS recall_ok",
+    "a10_approx_distinct" ->
+      "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_ok FROM events",
     "v5_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
          | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -734,6 +814,35 @@ object SparkEntry {
         |   UNION ALL SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings)
         | SELECT a.id AS id_a, b.id AS id_b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
         | FROM c a JOIN c b ON a.id < b.id WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+    "d3_minhash_candidates" -> {
+      val entries = for { l <- langVocab; s0 <- srcVocab } yield
+        s"$l|$s0" -> Dedup.bandHashesFor(s"$l $s0", 1, 16, 8).mkString("[", ", ", "]")
+      val bhsCase = caseOver("lang || '|' || source", entries)
+      s"""WITH bh AS (SELECT doc_id, $bhsCase AS bhs FROM documents),
+         | e AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band, unnest(bhs) AS h FROM bh)
+         | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM e a JOIN e b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+         | ORDER BY id_a, id_b""".stripMargin
+    },
+    "d5_jaccard_lsh_pruned" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
+           | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh)
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "d6_simhash" -> {
+      val maj = "((a & b) | (a & c) | (b & c))"
+      s"""WITH h AS (${simVocabSql(xx64)} FROM documents)
+         | SELECT doc_id, $maj AS simhash, bit_count($maj)::BIGINT AS bits_set FROM h ORDER BY doc_id""".stripMargin
+    },
+    "d8_simhash_neardup" -> {
+      val maj = "((a & b) | (a & c) | (b & c))"
+      s"""WITH base AS (${simVocabSql(Dedup.simTokenHash)} FROM documents),
+         | sigs0 AS (SELECT doc_id, $maj AS sig FROM base),
+         | sigs AS (SELECT doc_id, sig FROM sigs0 UNION ALL SELECT doc_id + 10000, sig FROM sigs0)
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "x1_token_count" ->
       raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",

@@ -237,14 +237,12 @@ object Dedup {
   /** 64-bit SimHash in plain Scala (JIT-compiled; the expression form in
     * [[simHash]] runs ~64 interpreted lambda evals per token).
     */
-  private[operators] def simHash64(text: String): Long = {
-    import scala.util.hashing.MurmurHash3
+  def simHash64(text: String): Long = {
     val toks = if (text == null) Array.empty[String]
       else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     val votes = new Array[Int](64)
     toks.foreach { t =>
-      val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
-        (MurmurHash3.stringHash(t, 777).toLong & 0xffffffffL)
+      val h = simTokenHash(t)
       var j = 0
       while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
     }
@@ -253,6 +251,27 @@ object Dedup {
     while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
+
+  /** The per-token 64-bit hash [[simHash64]] votes with. Public so oracle
+    * SQL can inline it as a literal per closed-vocabulary token: over a
+    * known token set, the whole simhash is SQL-computable from these
+    * constants ((a&b)|(a&c)|(b&c) is the 3-token majority vote), which is
+    * what turns d6/d8 into hash-equality-checked queries.
+    */
+  def simTokenHash(t: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    (MurmurHash3.stringHash(t, 7).toLong << 32) |
+      (MurmurHash3.stringHash(t, 777).toLong & 0xffffffffL)
+  }
+
+  /** The LSH band hashes of one text, computed with the exact production
+    * function ([[minHashBandRows]]). Public for the same oracle-inlining
+    * strategy as [[simTokenHash]]: for texts drawn from a closed vocabulary,
+    * the DuckDB oracle inlines these per-text constants and reproduces the
+    * candidate join declaratively.
+    */
+  def bandHashesFor(text: String, shingleSize: Int, numHashes: Int, bands: Int): Seq[Long] =
+    minHashBandRows(0L, text, shingleSize, numHashes, bands).map(_._3).toSeq
 
   def simHashNearDupPairs(
       df: DataFrame,

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.VectorOps._
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.functions._
@@ -16,8 +15,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   * `list_id`. Search: rank centroids against the query on the driver (tiny —
   * nList floats), take the `nProbe` closest lists, and run the exact
   * [[Search.topK]] over only those partitions — `list_id IN (...)` prunes at
-  * the parquet partition level, so a 1000-executor scan touches
-  * nProbe/nList of the data instead of all of it.
+  * the parquet PARTITION level (it appears under `PartitionFilters` in the
+  * probe scan, asserted by IvfSpec), so a 1000-executor scan lists and reads
+  * nProbe/nList of the files instead of all of them. Nothing is pinned in
+  * memory: the index handle is just (path, centroids).
   */
 object Ivf {
 
@@ -37,16 +38,19 @@ object Ivf {
   /** Assign every row its nearest-centroid `list_id`. Narrow (no shuffle):
     * the fitted centroids ride along as literals/broadcast.
     *
-    * Fit path mirrors [[Ml.KMeansClusterer]]: small corpora fit with seeded
-    * Lloyd's on the driver (MLlib's per-iteration jobs dominate at small
-    * scale), then assignment runs DISTRIBUTED as an argmin over
-    * codegen'd dot products — `dist²(v,c) = v·v − 2·v·c + c·c` with `c·c`
-    * folded driver-side. Large corpora fit via MLlib.
+    * Fit path mirrors [[Ml.KMeansClusterer]]: corpora within the driver-fit
+    * BYTE budget (rows × dim × 8 ≤ `maxDriverFitBytes`, so a 768-d corpus
+    * collects 12× fewer rows than a 64-d one) fit with seeded Lloyd's on the
+    * driver (MLlib's per-iteration jobs dominate at small scale), then
+    * assignment runs DISTRIBUTED as an argmin over codegen'd dot products —
+    * `dist²(v,c) = v·v − 2·v·c + c·c` with `c·c` folded driver-side. Larger
+    * corpora fit via MLlib.
     */
-  def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitRows: Long = 100000L): (DataFrame, Model) = {
+  def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitBytes: Long = 64L << 20): (DataFrame, Model) = {
     import graft.functions.VectorExpressions.dotFast
-    val n = df.count()
-    if (n > 0 && n <= maxDriverFitRows) {
+    val n   = df.count()
+    val dim = if (n == 0) 0 else df.select(size(col(vecCol))).head().getInt(0)
+    if (n > 0 && n * dim * 8L <= maxDriverFitBytes) {
       val pts = df.select(col(vecCol).cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toArray)
       val cs = Ml.lloydFit(pts, nList, seed)
@@ -78,20 +82,42 @@ object Ivf {
   def writeIndexed(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
-  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Model)]
+  /** Index registry: cacheKey → (store path, centroids). Only metadata lives
+    * here (a path string + nList×dim doubles) — the corpus itself stays on
+    * disk in its partitioned store, never pinned in executor/driver memory.
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (String, Model)]
+
+  /** Root directory for index stores; override with the `graft.ivf.root`
+    * Spark conf (e.g. an object-store prefix on a real cluster).
+    */
+  private def indexRoot(df: DataFrame): String =
+    df.sparkSession.conf.getOption("graft.ivf.root")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf")
 
   /** Build-once index handle: an IVF index is constructed once and queried
     * many times (the reference's HNSW works the same way — built at upsert,
-    * reused per search). The assigned corpus is persisted in memory so
-    * repeated probes skip both the fit and the re-scan.
+    * reused per search). The assigned corpus is written through
+    * [[writeIndexed]] and read back, so every subsequent probe is a
+    * partition-pruned file scan — the layout that still works when the
+    * corpus is 100 TB and could never `.persist()`.
     */
-  def indexFor(df: DataFrame, vecCol: String, nList: Int, cacheKey: String): (DataFrame, Model) =
-    indexCache.getOrElseUpdate(cacheKey, {
-      val (assigned, model) = assign(df, vecCol, nList)
-      (assigned.persist(), model)
+  def indexFor(df: DataFrame, vecCol: String, nList: Int, cacheKey: String): (DataFrame, Model) = {
+    val (path, model) = indexCache.getOrElseUpdate(cacheKey, {
+      val (assigned, m) = assign(df, vecCol, nList)
+      val p = indexRoot(df) + "/" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(cacheKey).toLong & 0xffffffffL)
+      writeIndexed(assigned, p)
+      (p, m)
     })
+    (df.sparkSession.read.parquet(path), model)
+  }
 
-  /** ANN top-k: exact search restricted to the nProbe nearest lists. */
+  /** ANN top-k: exact search restricted to the nProbe nearest lists. When
+    * `indexed` comes from [[indexFor]]/[[writeIndexed]], the `isin` lands in
+    * the scan's `PartitionFilters`, so only nProbe/nList of the store's files
+    * are listed and read.
+    */
   def search(
       indexed: DataFrame,
       model: Model,

@@ -24,16 +24,32 @@ object Joins {
   def hydrate(hits: DataFrame, chunks: DataFrame, key: String): DataFrame =
     broadcast(hits).join(chunks, Seq(key), "inner")
 
+  /** Attach a 1-based global position column following `order`, WITHOUT a
+    * global single-partition window: `orderBy` plans as a range-partitioned
+    * parallel sort, and `zipWithIndex` adds per-partition offsets with one
+    * lightweight count job — every stage stays distributed.
+    */
+  private def withGlobalPos(df: DataFrame, order: org.apache.spark.sql.Column): DataFrame = {
+    val sorted = df.orderBy(order)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField("__pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** J3 — zip join: positional pairing of two equally-ordered sets
     * (backend/clustering.py:89 `zip(all_data, labels)`). Spark has no
     * ordered-zip of DataFrames; the faithful distributed form is a join on
-    * `row_number` over an explicit per-side ordering.
+    * a global position computed per side. Positions come from a parallel
+    * range-partitioned sort + `zipWithIndex` (per-partition offsets), not a
+    * partitionless window — the window form funnels the whole input through
+    * ONE task and dies at scale.
     */
   def zipJoin(left: DataFrame, leftOrder: org.apache.spark.sql.Column, right: DataFrame, rightOrder: org.apache.spark.sql.Column): DataFrame = {
-    val lw = Window.orderBy(leftOrder)
-    val rw = Window.orderBy(rightOrder)
-    val l  = left.withColumn("__pos", row_number().over(lw))
-    val r  = right.withColumn("__pos", row_number().over(rw))
+    val l = withGlobalPos(left, leftOrder)
+    val r = withGlobalPos(right, rightOrder)
     l.join(r, Seq("__pos")).drop("__pos")
   }
 
@@ -54,9 +70,14 @@ object Joins {
       col("name").as("path"),
       col("parent_id").as("cursor"),
     )
-    var frontier = base
+    // Each pass joins one parent level and then localCheckpoints: the folders
+    // table is metadata-sized, and truncating the lineage keeps iteration i
+    // from re-running iterations 0..i-1 (and keeps the early-exit check O(1)
+    // in plan depth). Early exit when every path has resolved — real trees
+    // are ~3 levels deep, so this typically runs 3 joins, not maxDepth.
+    var frontier = base.localCheckpoint(true)
     var depth    = 0
-    while (depth < maxDepth) {
+    while (depth < maxDepth && !frontier.where(col("cursor").isNotNull).isEmpty) {
       val parents = folders.select(
         col("id").as("p_id"), col("name").as("p_name"), col("parent_id").as("p_parent"),
       )
@@ -67,6 +88,7 @@ object Joins {
           when(col("p_id").isNotNull, concat(col("p_name"), lit("/"), col("path"))).otherwise(col("path")).as("path"),
           when(col("p_id").isNotNull, col("p_parent")).otherwise(lit(null)).as("cursor"),
         )
+        .localCheckpoint(true)
       depth += 1
     }
     frontier.where(col("cursor").isNull).select("id", "name", "parent_id", "path")

@@ -148,10 +148,13 @@ object Ml {
     * semantics without its density model.
     *
     * Two fit paths, same contract:
-    *  - corpora up to `maxDriverFitRows` fit with seeded Lloyd's iterations
-    *    on the driver — the reference's own in-proc shape (SURVEY §2.6
-    *    option (c)); at 2k points MLlib's ~25 driver-roundtrip jobs cost
-    *    ~8 s of pure scheduling, the local fit microseconds;
+    *  - corpora within the driver-fit BYTE budget (rows × dim × 8 ≤
+    *    `maxDriverFitBytes`, so a 768-d corpus collects 12× fewer rows than
+    *    a 64-d one — the budget is what actually bounds driver heap) fit
+    *    with seeded Lloyd's iterations on the driver — the reference's own
+    *    in-proc shape (SURVEY §2.6 option (c)); at 2k points MLlib's ~25
+    *    driver-roundtrip jobs cost ~8 s of pure scheduling, the local fit
+    *    microseconds;
     *  - larger corpora fit distributed via MLlib KMeans, with assignment +
     *    noise-marking as broadcast-centroid expressions (no collect).
     */
@@ -159,14 +162,15 @@ object Ml {
       k: Int,
       seed: Long = 42L,
       noiseQuantile: Double = 0.95,
-      maxDriverFitRows: Long = 100000L,
+      maxDriverFitBytes: Long = 64L << 20,
   ) extends Clusterer {
 
     override def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
       val spark = df.sparkSession
       val n     = df.count()
       if (n == 0) return df.select(col(idCol), lit(-1).as("label")).where(lit(false))
-      if (n <= maxDriverFitRows) {
+      val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol))).head().getInt(0)
+      if (n * dim * 8L <= maxDriverFitBytes) {
         // Driver fit, driver assignment (the corpus is already small).
         val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
         val pts  = rows.map(_.getSeq[Double](1).toArray)

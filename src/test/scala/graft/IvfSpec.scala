@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Embedder, Ivf, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF index contract: the probe must be a PARTITION-pruned scan of the
+  * on-disk store (the property that makes it the 100 TB path), and probing
+  * every list must recover the exact search results (the machinery adds no
+  * error beyond list pruning).
+  */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus =
+    (0L until 300L).map(i => (i, Embedder.default.embed(s"doc $i topic ${i % 5}")))
+      .toDF("id", "vec")
+
+  private val qVec: Seq[Double] = Embedder.default.embed("topic 3 probe").map(_.toDouble).toSeq
+
+  test("probe scan reads only the probed list partitions (PartitionFilters)") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
+    val probed = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2)
+    assert(probed.count() == 5)
+    // The isin(list_id) must land in the scan's PartitionFilters — i.e. the
+    // store's non-probed directories are never listed or read. explain
+    // "formatted" prints the scan's pushed partition filters verbatim.
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { probed.explain("formatted") }
+    val plan = out.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1200))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("list_id"), s"probe must prune on list_id: $pf")
+    assert(pf.contains("IN"), s"probe must prune with an IN over probed lists: $pf")
+  }
+
+  test("probing all lists equals exact search (pruning is the only approximation)") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
+    val ivfAll = Ivf.search(indexed, model, "vec", "id", qVec, 10, 6)
+      .select("id").as[Long].collect().toSeq
+    val exact = Search.topK(corpus, "vec", "id", qVec, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(ivfAll == exact)
+  }
+
+  test("index handle holds no persisted corpus (store path + centroids only)") {
+    val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
+    assert(indexed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(indexed.where(col("list_id") >= 0).count() == 300)
+  }
+}
