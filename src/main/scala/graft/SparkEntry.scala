@@ -340,6 +340,51 @@ object SparkEntry {
       .select(col("file_name"), col("namespace"), col("n_lines"), col("file_size"))
       .orderBy("file_name")),
 
+    // S2-family seam: distributed binaryFile → Extractor-registry dispatch →
+    // (text, metadata) rows; the bound text-family extractors are checked
+    // end-to-end here (binary formats are Unbound registration points).
+    "s2_extract_seam" -> ((s, _) => {
+      val bin = Multimodal.binaryTable(s, "/root/repo/fixtures/code")
+        .unionByName(Multimodal.binaryTable(s, "/root/repo/fixtures/text"))
+      graft.sources.Extractors.extractAll(s, bin).toDF()
+        .select(
+          col("file_name"), col("extractor"), md5(col("text")).as("text_md5"),
+          col("metadata")("language").as("language"),
+          col("metadata")("namespace").as("namespace"),
+        )
+        .orderBy("file_name")
+    }),
+
+    // S17 — export path resolution: uploads ⋈ file_folders ⋈ resolved folder
+    // tree (main.py:953-980 arcname rules: mapped → path/file, root sentinel
+    // → file, unmapped → unsorted/file). The zip write itself is I/O glue
+    // out of engine scope (SURVEY §2.1).
+    "s17_export_paths" -> ((s, d) => {
+      val t = Tables(s, d)
+      val folders = t.region
+        .select(concat(lit("r"), col("r_regionkey")).as("id"), col("r_name").as("name"), lit(null).cast("string").as("parent_id"))
+        .unionByName(t.nation.select(concat(lit("n"), col("n_nationkey")).as("id"), col("n_name").as("name"), concat(lit("r"), col("n_regionkey")).as("parent_id")))
+        .unionByName(t.customer.where(col("c_custkey") <= 100)
+          .select(concat(lit("c"), col("c_custkey")).as("id"), col("c_name").as("name"), concat(lit("n"), col("c_nationkey")).as("parent_id")))
+      val paths = Joins.folderPaths(folders).select(col("id").as("folder_id"), col("path"))
+      val files = t.documents.select(
+        col("doc_id"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("filename"),
+        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 5 === 1, lit("__root__"))
+          .otherwise(concat(lit("c"), col("doc_id") % 100 + 1)).as("folder_id"),
+      )
+      files.join(broadcast(paths), Seq("folder_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("folder_id").isNull, concat(lit("unsorted/"), col("filename")))
+            .when(col("folder_id") === "__root__", col("filename"))
+            .when(col("path").isNotNull, concat(col("path"), lit("/"), col("filename")))
+            .otherwise(concat(lit("unsorted/"), col("filename"))).as("arcname"),
+        )
+        .orderBy("doc_id")
+    }),
+
     // ---------------- V: vector search --------------------------------------
     "v1_cosine_topk" -> ((s, d) => Search.topK(
       Tables(s, d).embeddings, "embedding", "vec_id", qVec, 10,
@@ -353,6 +398,21 @@ object SparkEntry {
         size(col("embedding")).cast("long").as("dim"),
         round(VectorOps.l2Norm(VectorOps.asDouble(col("embedding"))), 4).as("norm"),
       ).orderBy("doc_id")
+    }),
+
+    // V4 — hit formatting (vector_db.py:172-180: {id, score, payload, text})
+    // over the full read path: embed-query → filtered top-k → hydrate →
+    // format.
+    "v4_format_hits" -> ((s, d) => {
+      val t    = Tables(s, d)
+      val hits = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 5, Seq(col("label") =!= 3))
+      Search.formatHits(
+        Joins.hydrate(hits.select("vec_id", "score"), t.documents.withColumnRenamed("doc_id", "vec_id"), "vec_id"),
+        "vec_id",
+        Seq("text", "lang"),
+      )
+        .select(col("vec_id"), round(col("score"), 4).as("score"), md5(col("text")).as("text_md5"), col("lang"))
+        .orderBy(desc("score"), col("vec_id"))
     }),
 
     "v5_knn_join" -> ((s, d) => {
@@ -496,6 +556,39 @@ object SparkEntry {
         .withColumn("text", trim(expr("repeat(text || ' ', 12)")))
       Chunker.chunk(s, big)
         .toDF()
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("token_count").cast("long").as("token_count"), md5(col("text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    // C4 — code chunker over synthetic py sources whose block structure is
+    // SQL-reconstructible: 4-token `def` blocks pack 125 to a 500-token
+    // chunk, so DuckDB rebuilds every chunk's exact text and md5.
+    "c4_chunk_code" -> ((s, d) => {
+      val docs = Tables(s, d).documents.where(col("doc_id") < 40)
+        .select(
+          col("doc_id"),
+          expr("array_join(transform(sequence(0, 99 + cast(doc_id % 61 as int)), i -> concat('def f', i, '(): return ', lang)), '\n')").as("text"),
+          lit("py").as("lang"),
+        )
+      Chunker.chunk(s, docs).toDF()
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("token_count").cast("long").as("token_count"), md5(col("text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
+    // C5 — dispatch: the SAME synthetic source under lang=js must fall
+    // through to PROSE chunking (reference AST-chunks only py/python,
+    // chunker.py:77-80), i.e. 500-word oversized packing — also exactly
+    // SQL-reconstructible, so both dispatch arms are oracle-checked.
+    "c5_dispatch" -> ((s, d) => {
+      val docs = Tables(s, d).documents.where(col("doc_id") < 40)
+        .select(
+          col("doc_id"),
+          expr("array_join(transform(sequence(0, 99 + cast(doc_id % 61 as int)), i -> concat('def f', i, '(): return ', lang)), '\n')").as("text"),
+          lit("js").as("lang"),
+        )
+      Chunker.chunk(s, docs).toDF()
         .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
           col("token_count").cast("long").as("token_count"), md5(col("text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_index")
@@ -762,6 +855,41 @@ object SparkEntry {
            |   len(string_split(content, chr(10))) AS n_lines, len(content) AS file_size
            | FROM f ORDER BY file_name""".stripMargin,
 
+    "s2_extract_seam" ->
+      raw"""WITH f AS (
+           |   SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/code/*')
+           |   UNION ALL
+           |   SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/text/*.md')),
+           | e AS (SELECT file_name, regexp_extract(file_name, '\.(\w+)$$', 1) AS ext, content FROM f)
+           | SELECT file_name,
+           |   CASE ext WHEN 'js' THEN 'CodeExtractor' WHEN 'py' THEN 'CodeExtractor' WHEN 'cs' THEN 'CsExtractor'
+           |        WHEN 'md' THEN 'TextExtractor' WHEN 'txt' THEN 'TextExtractor' END AS extractor,
+           |   md5(content) AS text_md5,
+           |   CASE WHEN ext IN ('js','py','cs') THEN ext END AS language,
+           |   CASE WHEN ext = 'cs' THEN regexp_extract(array_to_string((string_split(content, chr(10)))[1:20], chr(10)), 'namespace\s+([\w.]+)', 1) END AS namespace
+           | FROM e ORDER BY file_name""".stripMargin,
+    "s17_export_paths" ->
+      """WITH RECURSIVE folders AS (
+        |   SELECT 'r' || r_regionkey AS id, r_name AS name, NULL AS parent_id FROM region
+        |   UNION ALL SELECT 'n' || n_nationkey, n_name, 'r' || n_regionkey FROM nation
+        |   UNION ALL SELECT 'c' || c_custkey, c_name, 'n' || c_nationkey FROM customer WHERE c_custkey <= 100
+        | ), r AS (
+        |   SELECT id, name, parent_id, name AS path, parent_id AS cursor FROM folders
+        |   UNION ALL
+        |   SELECT r.id, r.name, r.parent_id, f.name || '/' || r.path, f.parent_id FROM r JOIN folders f ON r.cursor = f.id
+        | ), paths AS (SELECT id, path FROM r WHERE cursor IS NULL),
+        | files AS (
+        |   SELECT doc_id, 'doc_' || doc_id || '.txt' AS filename,
+        |     CASE WHEN doc_id % 5 = 0 THEN NULL
+        |          WHEN doc_id % 5 = 1 THEN '__root__'
+        |          ELSE 'c' || (doc_id % 100 + 1) END AS folder_id
+        |   FROM documents)
+        | SELECT doc_id,
+        |   CASE WHEN folder_id IS NULL THEN 'unsorted/' || filename
+        |        WHEN folder_id = '__root__' THEN filename
+        |        WHEN p.path IS NOT NULL THEN p.path || '/' || filename
+        |        ELSE 'unsorted/' || filename END AS arcname
+        | FROM files LEFT JOIN paths p ON p.id = files.folder_id ORDER BY doc_id""".stripMargin,
     "s12_scan" ->
       "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm FROM embeddings ORDER BY vec_id",
     "s13_point_lookup" ->
@@ -881,6 +1009,31 @@ object SparkEntry {
            | FROM f ORDER BY doc_id""".stripMargin
     },
 
+    "v4_format_hits" ->
+      s"""WITH scored AS (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], $qVecSql) AS sim FROM embeddings WHERE label <> 3),
+         | topk AS (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 5)
+         | SELECT t.vec_id, round(t.sim, 4) AS score, md5(d.text) AS text_md5, d.lang
+         | FROM topk t JOIN documents d ON d.doc_id = t.vec_id ORDER BY t.sim DESC, t.vec_id""".stripMargin,
+    "c4_chunk_code" ->
+      """WITH d AS (SELECT doc_id, lang, 100 + doc_id % 61 AS nb FROM documents WHERE doc_id < 40),
+        | ch AS (SELECT doc_id, lang, nb, unnest(range(0, (nb + 124) // 125)) AS chunk_index FROM d),
+        | b AS (SELECT doc_id, lang, chunk_index, chunk_index * 125 AS lo, least(nb, (chunk_index + 1) * 125) AS hi FROM ch),
+        | t AS (SELECT doc_id, chunk_index, (hi - lo) * 4 AS token_count,
+        |   array_to_string(list_transform(range(lo, hi), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
+        |   FROM b)
+        | SELECT doc_id, chunk_index, token_count, md5(text) AS chunk_md5 FROM t ORDER BY doc_id, chunk_index""".stripMargin,
+    // ≤500-token sources stay ONE untouched chunk (original newlines kept);
+    // only oversized single-sentence text gets word-packed and re-joined
+    // with spaces — mirroring chunkProse's two arms.
+    "c5_dispatch" ->
+      """WITH d AS (SELECT doc_id, lang, 100 + doc_id % 61 AS nb FROM documents WHERE doc_id < 40),
+        | w AS (SELECT doc_id, nb, lang, flatten(list_transform(range(0, nb), i -> ['def', 'f' || i || '():', 'return', lang])) AS words FROM d),
+        | ch AS (SELECT doc_id, nb, lang, words, unnest(range(0, (len(words) + 499) // 500)) AS chunk_index FROM w),
+        | t AS (SELECT doc_id, chunk_index, nb, lang, words[(chunk_index * 500 + 1):((chunk_index + 1) * 500)] AS ws FROM ch)
+        | SELECT doc_id, chunk_index, len(ws) AS token_count,
+        |   CASE WHEN nb * 4 <= 500 THEN md5(array_to_string(list_transform(range(0, nb), i -> 'def f' || i || '(): return ' || lang), chr(10)))
+        |        ELSE md5(array_to_string(ws, ' ')) END AS chunk_md5
+        | FROM t ORDER BY doc_id, chunk_index""".stripMargin,
     "c1_chunk" ->
       raw"""SELECT doc_id, 0::BIGINT AS chunk_index, len(string_split_regex(trim(text), '\s+')) AS token_count, md5(trim(text)) AS chunk_md5 FROM documents ORDER BY doc_id, chunk_index""",
     "c2_chunk_oversized" ->

@@ -21,20 +21,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FileSources {
 
-  /** S1 — extension → extractor name; unknown extensions map to an error
-    * marker instead of throwing, so a batch with one bad file still flows.
+  /** S1 — extension → extractor name, derived from the pluggable
+    * [[Extractors.defaultRegistry]] (the same instances [[Extractors
+    * .extractAll]] dispatches to, so routing and execution can't drift);
+    * unknown extensions map to an error marker instead of throwing, so a
+    * batch with one bad file still flows.
     */
-  def extractorFor(ext: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val m = Map(
-      "pdf" -> "PdfExtractor", "docx" -> "DocxExtractor", "pptx" -> "PptxExtractor",
-      "xlsx" -> "XlsxExtractor", "csv" -> "CsvExtractor", "png" -> "ImageExtractor",
-      "jpg" -> "ImageExtractor", "txt" -> "TextExtractor", "md" -> "TextExtractor",
-      "py" -> "CodeExtractor", "js" -> "CodeExtractor", "cs" -> "CsExtractor",
-    )
-    m.foldLeft(lit(null).cast("string")) { case (acc, (e, x)) =>
-      when(lower(ext) === e, lit(x)).otherwise(acc)
+  def extractorFor(ext: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Extractors.defaultRegistry.foldLeft(lit(null).cast("string")) { case (acc, (e, x)) =>
+      when(lower(ext) === e, lit(x.name)).otherwise(acc)
     }.as("extractor")
-  }
 
   /** S6 — CSV file → one document: rows rendered "a | b | c" (reference row
     * join), joined by newline in first-column order; row/col counts as

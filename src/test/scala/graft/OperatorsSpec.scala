@@ -229,6 +229,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == ((1.0, 11.0)))
   }
 
+  // ---- M6 model persistence (dimensionality_reduction.py:160-187) --------
+  test("PCA save/load round-trip projects identically") {
+    val df = (0L until 50L).map(i => (i, Embedder.default.embed(s"persist doc $i"))).toDF("id", "vec")
+    val model = Ml.fitPca(df, "vec", 3)
+    val dir   = java.nio.file.Files.createTempDirectory("graft_pca").toString + "/m"
+    Ml.savePca(model, dir)
+    val loaded = Ml.loadPca(dir)
+    assert(loaded.pc == model.pc && loaded.explainedVariance == model.explainedVariance)
+    val before = Ml.pcaProject(df, df.where(col("id") < 5), "vec", "id")
+      .orderBy("id").as[(Long, Double, Double, Double)].collect().toSeq
+    assert(before.size == 5) // fit+apply path stays consistent post-round-trip
+  }
+
+  // ---- S2-family extractor seam -------------------------------------------
+  test("Extractor registry: text-family bound, binary formats fail loudly, unknown ext is None") {
+    import graft.sources.Extractors
+    val (t, m) = Extractors.defaultRegistry("cs").extract(
+      "using X;\nnamespace Acme.Engine;\nclass A {}\n".getBytes("UTF-8"), "a.cs")
+    assert(t.startsWith("using X;") && m("namespace") == "Acme.Engine" && m("line_count") == "3")
+    assert(Extractors.forFile("x.exe").isEmpty)
+    assert(Extractors.forFile("x.PDF").exists(_.name == "PdfExtractor"))
+    intercept[UnsupportedOperationException] {
+      Extractors.defaultRegistry("pdf").extract(Array[Byte](1, 2), "x.pdf")
+    }
+  }
+
   // ---- Maintenance --------------------------------------------------------
   test("upsert: updates replace, new keys append; joinUpdate coalesces") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
