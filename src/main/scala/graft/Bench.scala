@@ -44,6 +44,16 @@ object Bench {
       System.gc()
       name -> r
     }
+    // Per-query job FLOOR: the steady-state cost of scheduling one trivial
+    // parquet-backed job (scan 1 column, limit 1). Reported so per-query
+    // ratios vs BASELINE.md can subtract Spark's fixed overhead — a 0.15 s
+    // "query" that is 0.1 s floor is not a 3x-slower operator.
+    val floor = {
+      val q = () => Tables(spark, sfDir).embeddings.select("vec_id").limit(1).count()
+      q(); q() // warm
+      val ts = (1 to 3).map { _ => val t0 = System.nanoTime(); q(); (System.nanoTime() - t0) / 1e9 }
+      ts.sorted.apply(1) // median of 3
+    }
     val qs = results.toSeq.sortBy(_._1).map {
       case (k, Right((_, w))) => "\"" + k + "\":" + w
       case (k, Left(_))       => "\"" + k + "\":-1"
@@ -52,7 +62,7 @@ object Bench {
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val cold  = if (ok.nonEmpty) ok.map(_._1).sum else 0.0
     val nErr  = results.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"cold_total":$cold,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"cold_total":$cold,"floor":$floor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

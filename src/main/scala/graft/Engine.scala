@@ -31,9 +31,15 @@ object Engine {
   *
   * Plain parquet scans: Catalyst handles column pruning + predicate pushdown,
   * so every query should show `PushedFilters`/narrow `ReadSchema` in explain.
+  *
+  * Handles are memoized per (session, dir, table): `spark.read.parquet` runs
+  * a file-listing + footer schema-inference job every call, a fixed per-query
+  * tax that dominated sub-second operators in the bench. The cached handle is
+  * just the analyzed plan — data stays on disk, scans stay lazy.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame =
+    Tables.handleCache.getOrElseUpdate((spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -56,4 +62,9 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  private val handleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 }

@@ -452,9 +452,14 @@ object SparkEntry {
 
     // Closed-vocab text makes the band hashes SQL constants, so the oracle
     // reproduces the full signature→band→bucket-join pipeline in DuckDB and
-    // checks this output exactly. (Real-text LSH feeds d5 below.)
+    // checks this output exactly. Bounded to 1000 docs: with only 100
+    // distinct vocab texts the candidate set is quadratic per bucket BY
+    // CONSTRUCTION, so the slice caps verification cost without weakening
+    // the check (every pipeline stage still runs; real-text LSH perf is
+    // d5's job).
     "d3_minhash_candidates" -> ((s, d) => Dedup.minHashCandidates(
-      Tables(s, d).documents.withColumn("text", concat_ws(" ", col("lang"), col("source"))),
+      Tables(s, d).documents.where(col("doc_id") < 1000)
+        .withColumn("text", concat_ws(" ", col("lang"), col("source"))),
       "doc_id", "text", 1, 16, 8)
       .orderBy("id_a", "id_b")),
 
@@ -946,7 +951,7 @@ object SparkEntry {
       val entries = for { l <- langVocab; s0 <- srcVocab } yield
         s"$l|$s0" -> Dedup.bandHashesFor(s"$l $s0", 1, 16, 8).mkString("[", ", ", "]")
       val bhsCase = caseOver("lang || '|' || source", entries)
-      s"""WITH bh AS (SELECT doc_id, $bhsCase AS bhs FROM documents),
+      s"""WITH bh AS (SELECT doc_id, $bhsCase AS bhs FROM documents WHERE doc_id < 1000),
          | e AS (SELECT doc_id, unnest(generate_series(0, 7)) AS band, unnest(bhs) AS h FROM bh)
          | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM e a JOIN e b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id

@@ -82,11 +82,12 @@ object Ivf {
   def writeIndexed(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
-  /** Index registry: cacheKey → (store path, centroids). Only metadata lives
-    * here (a path string + nList×dim doubles) — the corpus itself stays on
-    * disk in its partitioned store, never pinned in executor/driver memory.
+  /** Index registry: cacheKey → (read handle over the store, centroids).
+    * The handle is a lazy analyzed plan (re-listing the store per probe was
+    * a measurable fixed cost); the corpus itself stays on disk in its
+    * partitioned store, never pinned in executor/driver memory.
     */
-  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (String, Model)]
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Model)]
 
   /** Root directory for index stores; override with the `graft.ivf.root`
     * Spark conf (e.g. an object-store prefix on a real cluster).
@@ -102,16 +103,14 @@ object Ivf {
     * partition-pruned file scan — the layout that still works when the
     * corpus is 100 TB and could never `.persist()`.
     */
-  def indexFor(df: DataFrame, vecCol: String, nList: Int, cacheKey: String): (DataFrame, Model) = {
-    val (path, model) = indexCache.getOrElseUpdate(cacheKey, {
+  def indexFor(df: DataFrame, vecCol: String, nList: Int, cacheKey: String): (DataFrame, Model) =
+    indexCache.getOrElseUpdate(cacheKey, {
       val (assigned, m) = assign(df, vecCol, nList)
       val p = indexRoot(df) + "/" + java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(cacheKey).toLong & 0xffffffffL)
       writeIndexed(assigned, p)
-      (p, m)
+      (df.sparkSession.read.parquet(p), m)
     })
-    (df.sparkSession.read.parquet(path), model)
-  }
 
   /** ANN top-k: exact search restricted to the nProbe nearest lists. When
     * `indexed` comes from [[indexFor]]/[[writeIndexed]], the `isin` lands in
