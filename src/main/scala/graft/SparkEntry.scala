@@ -717,6 +717,29 @@ object SparkEntry {
         .orderBy("file_name")
     }),
 
+    // P2 — the MCP create path (main.py:1080-1125): content → chunk → embed
+    // → the exact per-point payload shape {text, filename, document_id,
+    // chunk_index, total_chunks, source:'mcp'}.
+    "p2_mcp_create" -> ((s, d) => {
+      val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
+        .withColumn("cid", col("doc_id") * 1000 + col("chunk_index"))
+      val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("total_chunks"))
+      val emb    = Embedder.embedText(s, chunks, "cid", "text").toDF()
+      chunks
+        .join(totals, Seq("doc_id"))
+        .join(emb.select(col("id").as("cid"), col("embedding")), Seq("cid"))
+        .select(
+          col("doc_id").as("document_id"),
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("filename"),
+          col("chunk_index").cast("long").as("chunk_index"),
+          col("total_chunks"),
+          lit("mcp").as("source"),
+          md5(col("text")).as("text_md5"),
+          size(col("embedding")).cast("long").as("dim"),
+        )
+        .orderBy("document_id", "chunk_index")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -1066,6 +1089,10 @@ object SparkEntry {
            | FROM read_blob('/root/repo/fixtures/media/*') ORDER BY file_name""".stripMargin,
     "p1_ingest_pipeline" ->
       "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
+    "p2_mcp_create" ->
+      """SELECT doc_id AS document_id, 'doc_' || doc_id || '.txt' AS filename, 0::BIGINT AS chunk_index,
+        | 1::BIGINT AS total_chunks, 'mcp' AS source, md5(trim(text)) AS text_md5, 64::BIGINT AS dim
+        | FROM documents ORDER BY document_id, chunk_index""".stripMargin,
 
     "w4_salted_agg" ->
       """SELECT event_type, count(*) AS n_events, sum(round(value * 100)::BIGINT)::DOUBLE / 100.0 AS sum_value
