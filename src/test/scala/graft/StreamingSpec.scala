@@ -42,6 +42,34 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming exact dedup must agree with the batch first-wins dedup on the
+  * same data (within the watermark horizon).
+  */
+class DedupStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dropDuplicatesWithinWatermark keeps one row per text, matching batch distinct") {
+    import graft.streaming.DedupStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = (0 until 200).map { i =>
+      (new Timestamp(1700000000000L + i * 1000L), i.toLong, s"doc body ${i % 40}")
+    }
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    mem.addData(rows: _*)
+    val deduped = DedupStream.exactTextDedup(
+      mem.toDF().toDF("ts", "id", "text"), "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out").select("text").as[String].collect().toSeq
+    assert(out.size == 40, s"expected one row per distinct text, got ${out.size}")
+    assert(out.toSet == rows.map(_._3).toSet)
+  }
+}
+
 /** Custom streaming state: flatMapGroupsWithState sessionization emits the
   * same sessions the batch window-function form computes.
   */
