@@ -1079,7 +1079,7 @@ object SparkEntry {
       """WITH ev AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS b5, value FROM events),
         | w AS (SELECT unnest([b5, b5 - INTERVAL '5 minutes']) AS ws, value FROM ev)
         | SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events,
-        |   round(sum(round(value * 100)::BIGINT)::DOUBLE / 100.0 / count(*), 4) AS avg_value
+        |   (sum(round(value * 100)::BIGINT)::BIGINT * 100) // count(*) AS avg_value_e4
         | FROM w GROUP BY ws ORDER BY window_start""".stripMargin,
 
     "mm1_binary_scan" ->

@@ -31,13 +31,17 @@ object EventWindows {
         col("sum_value"),
       )
 
-  /** Sliding-window aggregation (each event lands in duration/slide windows). */
+  /** Sliding-window aggregation (each event lands in duration/slide windows).
+    * The average is an exact integer-scaled value (cents × 100, floor-
+    * divided): two double divisions can differ in the last ulp between
+    * engines and flip a round(…,4) — the integer form can't.
+    */
   def sliding(events: DataFrame, tsCol: String, duration: String, slide: String): DataFrame =
     events
       .groupBy(window(col(tsCol), duration, slide).as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sumCents(col("value")).cast("double") / 100.0 / count(lit(1)), 4).as("avg_value"),
+        expr("(sum(cast(round(value * 100, 0) as long)) * 100) DIV count(1)").as("avg_value_e4"),
       )
-      .select(col("w.start").as("window_start"), col("n_events"), col("avg_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("avg_value_e4"))
 }
