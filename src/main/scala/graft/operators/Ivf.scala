@@ -48,11 +48,17 @@ object Ivf {
     */
   def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitBytes: Long = 64L << 20): (DataFrame, Model) = {
     import graft.functions.VectorExpressions.dotFast
-    val n   = df.count()
-    val dim = if (n == 0) 0 else df.select(size(col(vecCol))).head().getInt(0)
-    if (n > 0 && n * dim * 8L <= maxDriverFitBytes) {
-      val pts = df.select(col(vecCol).cast("array<double>"))
+    val head = df.select(size(col(vecCol))).limit(1).collect()
+    val dim  = if (head.isEmpty) 0 else head(0).getInt(0)
+    // One bounded collect decides the fit path AND provides the fit sample
+    // (lloydFit is collect-order-independent, so limit's arbitrary row
+    // order is harmless); over-budget corpora fit distributed via MLlib.
+    val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
+    val pts =
+      if (dim == 0) Array.empty[Array[Double]]
+      else df.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
         .collect().map(_.getSeq[Double](0).toArray)
+    if (pts.nonEmpty && pts.length <= maxRows) {
       val cs = Ml.lloydFit(pts, nList, seed)
       val v  = col(vecCol).cast("array<double>")
       val dists = array(cs.map { c =>

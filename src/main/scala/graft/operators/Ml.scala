@@ -85,15 +85,36 @@ object Ml {
     (best, bestD)
   }
 
+  /** Content hash of a point, salted by `seed` — the basis for ORDER-
+    * INDEPENDENT centroid seeding: `collect()` row order is not stable
+    * across executors/runs on a real cluster, so any seeding keyed on
+    * collection order (index shuffle, "first k") silently makes the fit
+    * nondeterministic at scale. Hashing coordinates makes the same point
+    * set produce the same centroids regardless of arrival order.
+    */
+  private def pointHash(p: Array[Double], seed: Long): Long = {
+    var h = seed ^ 1125899906842597L
+    var i = 0
+    while (i < p.length) { h = h * 31 + java.lang.Double.doubleToLongBits(p(i)); i += 1 }
+    h
+  }
+
   /** Seeded Lloyd's iterations on in-memory points — the driver-side fit
     * used when a corpus (or sample) is small enough that MLlib's per-
     * iteration scheduler round-trips dominate (SURVEY §2.6 option (c):
-    * driver-local fit + distributed broadcast assignment).
+    * driver-local fit + distributed broadcast assignment). Initial
+    * centroids are the k distinct points with the smallest salted content
+    * hash (see [[pointHash]]), so the fit is a pure function of the point
+    * SET, not the collect order.
     */
   private[operators] def lloydFit(points: Array[Array[Double]], k: Int, seed: Long, maxIter: Int = 20): Array[Array[Double]] = {
-    val rnd       = new scala.util.Random(seed)
-    val kEff      = math.min(k, points.length)
-    var centroids = rnd.shuffle(points.indices.toVector).take(kEff).map(i => points(i).clone()).toArray
+    val kEff   = math.min(k, points.length)
+    // Equal hashes are either identical points (either copy is the same
+    // centroid) or ~2^-64 collisions, so hash order alone is deterministic.
+    val sorted = points.sortBy(p => pointHash(p, seed))
+    val seeds  = sorted.iterator.map(_.toSeq).distinct.take(kEff).map(_.toArray).toArray
+    var centroids = (if (seeds.length < kEff) seeds ++ sorted.take(kEff - seeds.length) else seeds)
+      .map(_.clone())
     val dim       = points.headOption.map(_.length).getOrElse(0)
     var it        = 0
     var moved     = true
@@ -167,13 +188,18 @@ object Ml {
 
     override def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
       val spark = df.sparkSession
-      val n     = df.count()
-      if (n == 0) return df.select(col(idCol), lit(-1).as("label")).where(lit(false))
-      val dim = df.select(org.apache.spark.sql.functions.size(col(vecCol))).head().getInt(0)
-      if (n * dim * 8L <= maxDriverFitBytes) {
+      val head  = df.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
+      if (head.isEmpty) return df.select(col(idCol), lit(-1).as("label")).where(lit(false))
+      val dim = head(0).getInt(0)
+      // One bounded collect decides the fit path AND provides the data: if
+      // limit(budget+1) comes back within budget, that IS the whole corpus
+      // (no separate count job; lloydFit is collect-order-independent).
+      val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
+      val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .limit(maxRows + 1).collect()
+      if (rows.length <= maxRows) {
         // Driver fit, driver assignment (the corpus is already small).
-        val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
-        val pts  = rows.map(_.getSeq[Double](1).toArray)
+        val pts = rows.map(_.getSeq[Double](1).toArray)
         val cs   = Ml.lloydFit(pts, k, seed)
         val assigned = rows.zip(pts).map { case (r, p) =>
           val (c, d) = Ml.nearestCentroid(p, cs); (r.getLong(0), c, math.sqrt(d))
