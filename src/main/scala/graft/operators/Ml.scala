@@ -28,30 +28,98 @@ object Ml {
   def adaptiveMinClusterSize(corpusSize: Long): Int =
     if (corpusSize < 50) 3 else if (corpusSize < 200) 5 else 10
 
+  /** Top-k principal components of a small in-memory sample: covariance +
+    * breeze eigSym on the driver. Mirrors the reference's own in-proc
+    * sklearn fit (dimensionality_reduction.py:50-158) for corpora within
+    * the driver byte budget — MLlib's multi-job covariance fit costs ~10
+    * scheduler round-trips that dominate at interactive scale. Each
+    * eigenvector's sign is fixed (largest-|component| positive) so the fit
+    * is deterministic; like MLlib, projection does NOT re-center.
+    */
+  private[operators] def pcFit(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val n   = pts.length
+    val dim = pts.head.length
+    val mean = new Array[Double](dim)
+    pts.foreach { p => var i = 0; while (i < dim) { mean(i) += p(i); i += 1 } }
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+    val cov = DenseMatrix.zeros[Double](dim, dim)
+    pts.foreach { p =>
+      var a = 0
+      while (a < dim) {
+        val da = p(a) - mean(a)
+        var b = a
+        while (b < dim) { cov(a, b) += da * (p(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    for (a <- 0 until dim; b <- a until dim) {
+      val v = cov(a, b) / math.max(n - 1, 1); cov(a, b) = v; cov(b, a) = v
+    }
+    val es = eigSym(cov) // eigenvalues ascending
+    (0 until math.min(k, dim)).map { j =>
+      val c    = es.eigenvectors(::, dim - 1 - j)
+      val arr  = Array.tabulate(dim)(c(_))
+      val imax = arr.indices.maxBy(i2 => math.abs(arr(i2)))
+      if (arr(imax) < 0) arr.map(-_) else arr
+    }.toArray
+  }
+
   /** M3 — fit+transform to 3-D with the reference's zero-pad rule. Output:
     * idCol, x, y, z.
+    *
+    * Corpora within the driver byte budget fit via [[pcFit]] (one bounded
+    * collect) and project DISTRIBUTED as codegen'd dot products; larger
+    * corpora fit via MLlib's treeAggregate covariance — same contract,
+    * scale-appropriate plan either way.
     */
-  def pca3d(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    val n = df.limit(4).count()
-    val k = math.min(n, 3L).toInt
-    if (k == 0) return df.sparkSession.emptyDataFrame
-    val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-    val model   = new PCA().setK(k).setInputCol("__v").setOutputCol("__pca").fit(withVec)
-    val arr     = vector_to_array(col("__pca"))
-    def coord(i: Int) = if (i < k) element_at(arr, i + 1) else lit(0.0)
-    model.transform(withVec)
-      .select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
+  def pca3d(df: DataFrame, vecCol: String, idCol: String, maxDriverFitBytes: Long = 64L << 20): DataFrame = {
+    import graft.functions.VectorExpressions.dotFast
+    val head = df.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
+    if (head.isEmpty) return df.sparkSession.emptyDataFrame
+    val dim     = head(0).getInt(0)
+    val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
+    val pts = df.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (pts.length <= maxRows) {
+      val k  = math.min(pts.length, 3)
+      val cs = pcFit(pts, k)
+      val v  = col(vecCol).cast("array<double>")
+      def coord(i: Int) = if (i < k) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
+      df.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
+    } else {
+      val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+      val model   = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(withVec)
+      val arr     = vector_to_array(col("__pca"))
+      model.transform(withVec)
+        .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+    }
   }
 
   /** M4 — project new vectors with an already-fitted model (the reference's
     * transform-single-query path): fit on `fitDf`, apply to `applyDf`.
     */
-  def pcaProject(fitDf: DataFrame, applyDf: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    val prep  = (d: DataFrame) => d.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(prep(fitDf))
-    val arr   = vector_to_array(col("__pca"))
-    model.transform(prep(applyDf))
-      .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+  def pcaProject(fitDf: DataFrame, applyDf: DataFrame, vecCol: String, idCol: String, maxDriverFitBytes: Long = 64L << 20): DataFrame = {
+    import graft.functions.VectorExpressions.dotFast
+    val head = fitDf.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
+    if (head.isEmpty) return fitDf.sparkSession.emptyDataFrame
+    val dim     = head(0).getInt(0)
+    val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
+    val pts = fitDf.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (pts.length <= maxRows) {
+      val cs = pcFit(pts, 3)
+      val v  = col(vecCol).cast("array<double>")
+      def coord(i: Int) = if (i < cs.length) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
+      applyDf.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
+    } else {
+      val prep  = (d: DataFrame) => d.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+      val model = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(prep(fitDf))
+      val arr   = vector_to_array(col("__pca"))
+      model.transform(prep(applyDf))
+        .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+    }
   }
 
   /** M6 — model persistence (reference pickles the fitted reducer,
