@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators._
+import graft.streaming.{EventWindows, Sessions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scaling-curve harness: generates seeded synthetic corpora at 1×/4×/16×
+  * of the sf0.1 sizes (documents / embeddings / events) under /tmp, then
+  * times the flagship operators warm at each scale. The point is the SHAPE
+  * of the curve, not the absolute numbers: a linear-plan operator should
+  * scale ~linearly in rows on fixed parallelism, and anything super-linear
+  * is a candidate-explosion or shuffle problem that 100 TB would amplify.
+  * Results feed SCALE.md.
+  *
+  * Usage: runMain graft.ScaleBench [maxScale]  (default 16)
+  */
+object ScaleBench {
+
+  private val Vocab = (0 until 1000).map("w" + _)
+
+  /** Seeded synthetic tables, written as parquet so scans are storage-real.
+    * ~2% of documents are exact duplicates of a boilerplate text (dedup
+    * realism); embeddings are deterministic pseudo-random 64-d vectors;
+    * events spread over ~200 users per unit scale with mixed gaps.
+    */
+  private def gen(spark: SparkSession, scale: Int, root: String): (DataFrame, DataFrame, DataFrame) = {
+    val dir = s"$root/s$scale"
+    val nDocs = 5000L * scale
+    val nVec  = 2000L * scale
+    val nEv   = 100000L * scale
+    if (!new java.io.File(s"$dir/_done").exists()) {
+      val words = typedLit(Vocab)
+      // 2% of docs are exact duplicates, in FIXED-SIZE groups (~4 members)
+      // with group texts that share no shingles ACROSS groups: a common
+      // prefix would make every dup doc a J≈0.6 near-dup of every other
+      // and the candidate output quadratic in corpus size (a megacluster —
+      // the pathology maxBucketSize exists for), drowning the curve.
+      val nGroups = math.max(nDocs / 200, 1L)
+      val gid     = pmod(hash(col("id")), lit(nGroups))
+      spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        when(col("id") % 50 === 0,
+          concat_ws(" ", transform(sequence(lit(0), lit(7)),
+            i => element_at(words, (pmod(hash(gid * 8 + i), lit(1000)) + 1).cast("int")))))
+          .otherwise(concat_ws(" ",
+            transform(sequence(lit(0), lit(49) + pmod(hash(col("id")), lit(50))),
+              i => element_at(words, (pmod(hash(col("id") * 131 + i), lit(1000)) + 1).cast("int"))))).as("text"),
+      ).write.mode("overwrite").parquet(s"$dir/documents")
+      spark.range(nVec).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id") * 64 + j), lit(2000)) - 1000).cast("double") / 1000.0).as("embedding"),
+      ).write.mode("overwrite").parquet(s"$dir/embeddings")
+      spark.range(nEv).select(
+        col("id").as("event_id"),
+        pmod(hash(col("id")), lit(200 * scale)).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 137000L).as("ts"),
+        (pmod(hash(col("id") * 7), lit(10000)).cast("double") / 100.0).as("value"),
+        element_at(typedLit(Seq("click", "view", "buy")), (pmod(hash(col("id") * 13), lit(3)) + 1).cast("int")).as("event_type"),
+      ).write.mode("overwrite").parquet(s"$dir/events")
+      new java.io.File(s"$dir/_done").createNewFile()
+    }
+    (
+      spark.read.parquet(s"$dir/documents"),
+      spark.read.parquet(s"$dir/embeddings"),
+      spark.read.parquet(s"$dir/events"),
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val maxScale = args.headOption.map(_.toInt).getOrElse(16)
+    val scales   = Seq(1, 4, 16).filter(_ <= maxScale)
+    val root     = sys.props("java.io.tmpdir") + "/graft-scale"
+    val spark    = Engine.session("graft-scale")
+    val qVec     = Embedder.default.embed("scaling probe query").map(_.toDouble).toSeq
+
+    for (scale <- scales) {
+      val (docs, vecs, events) = gen(spark, scale, root)
+      val ops: Seq[(String, () => Long)] = Seq(
+        "exact_dedup"     -> (() => Dedup.exactDupGroups(docs, "doc_id", "text").count()),
+        "minhash_cand"    -> (() => Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8).count()),
+        "lsh_jaccard"     -> (() => {
+          val cand = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, Some(cand)).count()
+        }),
+        "simhash_neardup" -> (() => Dedup.simHashNearDupPairs(docs, "doc_id", "text", 3, 4).count()),
+        "cosine_topk"     -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
+        "knn_join_32q"    -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs, "embedding", "vec_id", "embedding", "vec_id", 10).count()),
+        "ivf_probe"       -> (() => {
+          val (indexed, model) = Ivf.indexFor(vecs, "embedding", 32, cacheKey = s"scale$scale")
+          Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 4).count()
+        }),
+        "sessionize"      -> (() => Sessions.sessionize(events, 30).count()),
+        "tumbling_window" -> (() => EventWindows.tumbling(events, "ts", "10 minutes").count()),
+        "salted_agg"      -> (() => Skew.saltedAggregate(events, "event_type", 8,
+          partials = Seq(count(lit(1)).as("pc")), merges = Seq(sum(col("pc")).cast("long").as("n"))).count()),
+        "chunk_embed"     -> (() => {
+          val chunks = Chunker.chunk(spark, docs.withColumn("lang", lit("en"))).toDF()
+          Embedder.embedText(spark, chunks, "doc_id", "text").toDF().count()
+        }),
+      )
+      ops.foreach { case (name, run) =>
+        run() // cold: codegen + index build etc.
+        val t0 = System.nanoTime(); val rows = run(); val warm = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","scale":$scale,"sec":$warm%.3f,"rows":$rows}""")
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

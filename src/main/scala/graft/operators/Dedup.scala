@@ -64,7 +64,15 @@ object Dedup {
     * Scala. The nested-higher-order-function form of this (transform inside
     * transform) runs interpreted per element in Spark and measured ~16 ms per
     * document; this loop is ~0.1 ms. Tokenization mirrors TextOps.tokens.
-    * One 64-bit base hash per shingle, k-th hash derived affinely — the
+    *
+    * Shingles are hashed NUMERICALLY (one murmur per token, then an FNV-style
+    * combine over the k-token window) — building shingle strings allocated
+    * ~3 short-lived strings per token and made signature generation the
+    * dominant cost of the whole LSH pipeline at the 100k-doc scale. A
+    * shingle's 64-bit hash is a pure function of its token sequence, so the
+    * identical-shingle-set ⇒ identical-signature completeness guarantee (d5)
+    * is unchanged, and the d3 oracle inlines constants from this same
+    * function. One base hash per shingle, k-th hash derived affinely — the
     * standard one-hash MinHash family.
     */
   private[operators] def minHashBandRows(
@@ -74,18 +82,38 @@ object Dedup {
     val toks = if (text == null) Array.empty[String]
       else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     if (toks.length < shingleSize) return Iterator.empty
-    val shingles = toks.sliding(shingleSize).map(_.mkString(" ")).toSet
-    val consts   = mixConstants(numHashes)
-    val sig      = Array.fill(numHashes)(Long.MaxValue)
-    shingles.foreach { s =>
-      val base = (MurmurHash3.stringHash(s, 42).toLong << 32) |
-        (MurmurHash3.stringHash(s, 4242).toLong & 0xffffffffL)
-      var k = 0
-      while (k < numHashes) {
-        val h = base * consts(k)._1 + consts(k)._2
-        if (h < sig(k)) sig(k) = h
-        k += 1
+    val tokHash = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tokHash(i) = (MurmurHash3.stringHash(toks(i), 42).toLong << 32) |
+        (MurmurHash3.stringHash(toks(i), 4242).toLong & 0xffffffffL)
+      i += 1
+    }
+    val nSh      = toks.length - shingleSize + 1
+    val shHashes = new Array[Long](nSh)
+    i = 0
+    while (i < nSh) {
+      var h = 1469598103934665603L
+      var j = 0
+      while (j < shingleSize) { h = (h ^ tokHash(i + j)) * 1099511628211L; j += 1 }
+      shHashes(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(shHashes) // dedupe without boxing into a Set
+    val consts = mixConstants(numHashes)
+    val sig    = Array.fill(numHashes)(Long.MaxValue)
+    i = 0
+    while (i < nSh) {
+      if (i == 0 || shHashes(i) != shHashes(i - 1)) {
+        val base = shHashes(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = base * consts(k)._1 + consts(k)._2
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
       }
+      i += 1
     }
     val rows = numHashes / bands
     (0 until bands).iterator.map { b =>
