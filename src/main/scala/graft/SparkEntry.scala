@@ -905,7 +905,15 @@ object SparkEntry {
         |   SELECT id, name, parent_id, name AS path, parent_id AS cursor FROM folders
         |   UNION ALL
         |   SELECT r.id, r.name, r.parent_id, f.name || '/' || r.path, f.parent_id FROM r JOIN folders f ON r.cursor = f.id
-        | ), paths AS (SELECT id, path FROM r WHERE cursor IS NULL),
+        | ), paths AS (
+        |   -- resolved chains terminate with cursor NULL; chains whose
+        |   -- cursor dangles (parent id absent from folders) terminate with
+        |   -- their PARTIAL path, matching the reference's get_path fallback
+        |   -- (main.py:938-943) and Joins.folderPaths' left-join semantics
+        |   SELECT id, path FROM r
+        |   WHERE cursor IS NULL
+        |      OR NOT EXISTS (SELECT 1 FROM folders f2 WHERE f2.id = r.cursor)
+        | ),
         | files AS (
         |   SELECT doc_id, 'doc_' || doc_id || '.txt' AS filename,
         |     CASE WHEN doc_id % 5 = 0 THEN NULL

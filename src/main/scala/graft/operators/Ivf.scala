@@ -48,18 +48,13 @@ object Ivf {
     */
   def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitBytes: Long = 64L << 20): (DataFrame, Model) = {
     import graft.functions.VectorExpressions.dotFast
-    val head = df.select(size(col(vecCol))).limit(1).collect()
-    val dim  = if (head.isEmpty) 0 else head(0).getInt(0)
     // One bounded collect decides the fit path AND provides the fit sample
     // (lloydFit is collect-order-independent, so limit's arbitrary row
     // order is harmless); over-budget corpora fit distributed via MLlib.
-    val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
-    val pts =
-      if (dim == 0) Array.empty[Array[Double]]
-      else df.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
-        .collect().map(_.getSeq[Double](0).toArray)
-    if (pts.nonEmpty && pts.length <= maxRows) {
-      val cs = Ml.lloydFit(pts, nList, seed)
+    val sampled = Ml.driverVectors(df, vecCol, maxDriverFitBytes)._2
+    if (sampled.exists(_.nonEmpty)) {
+      val pts = sampled.get
+      val cs  = Ml.lloydFit(pts, nList, seed)
       val v  = col(vecCol).cast("array<double>")
       val dists = array(cs.map { c =>
         val cc = c.map(x => x * x).sum
@@ -95,12 +90,20 @@ object Ivf {
     */
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Model)]
 
+  /** Per-JVM token in the default store path: the registry is per-JVM, so
+    * two concurrent processes sharing a tmp dir must not overwrite each
+    * other's live stores (mode=overwrite deletes files another JVM's read
+    * handle may be scanning). An explicit `graft.ivf.root` (e.g. an
+    * object-store prefix on a real cluster) opts into a shared location.
+    */
+  private val jvmToken = java.util.UUID.randomUUID().toString.take(8)
+
   /** Root directory for index stores; override with the `graft.ivf.root`
-    * Spark conf (e.g. an object-store prefix on a real cluster).
+    * Spark conf.
     */
   private def indexRoot(df: DataFrame): String =
     df.sparkSession.conf.getOption("graft.ivf.root")
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ivf")
+      .getOrElse(sys.props("java.io.tmpdir") + s"/graft-ivf/$jvmToken")
 
   /** Build-once index handle: an IVF index is constructed once and queried
     * many times (the reference's HNSW works the same way — built at upsert,
@@ -112,8 +115,11 @@ object Ivf {
   def indexFor(df: DataFrame, vecCol: String, nList: Int, cacheKey: String): (DataFrame, Model) =
     indexCache.getOrElseUpdate(cacheKey, {
       val (assigned, m) = assign(df, vecCol, nList)
+      // 64-bit name from two murmur passes — a 32-bit hash makes silent
+      // cross-key collisions plausible at registry scale.
       val p = indexRoot(df) + "/" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(cacheKey).toLong & 0xffffffffL)
+        (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 42).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 4242).toLong & 0xffffffffL))
       writeIndexed(assigned, p)
       (df.sparkSession.read.parquet(p), m)
     })

@@ -66,6 +66,23 @@ object Ml {
     }.toArray
   }
 
+  /** Shared driver-fit sampler: one cheap dim probe + one bounded
+    * limit(budget+1) collect. Returns (dim, Some(vectors)) when the whole
+    * input fits the byte budget (rows × dim × 8 ≤ maxBytes), (dim, None)
+    * when it doesn't — callers then take the distributed-fit path. A single
+    * definition keeps the four fit sites (kmeans, IVF, PCA fit/project)
+    * from drifting apart.
+    */
+  private[operators] def driverVectors(df: DataFrame, vecCol: String, maxBytes: Long): (Int, Option[Array[Array[Double]]]) = {
+    val head = df.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
+    if (head.isEmpty) return (0, Some(Array.empty))
+    val dim     = head(0).getInt(0)
+    val maxRows = (maxBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
+    val pts = df.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
+      .collect().map(_.getSeq[Double](0).toArray)
+    (dim, if (pts.length <= maxRows) Some(pts) else None)
+  }
+
   /** M3 — fit+transform to 3-D with the reference's zero-pad rule. Output:
     * idCol, x, y, z.
     *
@@ -76,24 +93,19 @@ object Ml {
     */
   def pca3d(df: DataFrame, vecCol: String, idCol: String, maxDriverFitBytes: Long = 64L << 20): DataFrame = {
     import graft.functions.VectorExpressions.dotFast
-    val head = df.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
-    if (head.isEmpty) return df.sparkSession.emptyDataFrame
-    val dim     = head(0).getInt(0)
-    val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
-    val pts = df.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
-      .collect().map(_.getSeq[Double](0).toArray)
-    if (pts.length <= maxRows) {
-      val k  = math.min(pts.length, 3)
-      val cs = pcFit(pts, k)
-      val v  = col(vecCol).cast("array<double>")
-      def coord(i: Int) = if (i < k) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
-      df.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
-    } else {
-      val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-      val model   = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(withVec)
-      val arr     = vector_to_array(col("__pca"))
-      model.transform(withVec)
-        .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+    driverVectors(df, vecCol, maxDriverFitBytes) match {
+      case (_, Some(pts)) if pts.isEmpty => df.sparkSession.emptyDataFrame
+      case (_, Some(pts)) =>
+        val cs = pcFit(pts, math.min(pts.length, 3))
+        val v  = col(vecCol).cast("array<double>")
+        def coord(i: Int) = if (i < cs.length) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
+        df.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
+      case (_, None) =>
+        val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+        val model   = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(withVec)
+        val arr     = vector_to_array(col("__pca"))
+        model.transform(withVec)
+          .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
     }
   }
 
@@ -102,23 +114,19 @@ object Ml {
     */
   def pcaProject(fitDf: DataFrame, applyDf: DataFrame, vecCol: String, idCol: String, maxDriverFitBytes: Long = 64L << 20): DataFrame = {
     import graft.functions.VectorExpressions.dotFast
-    val head = fitDf.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
-    if (head.isEmpty) return fitDf.sparkSession.emptyDataFrame
-    val dim     = head(0).getInt(0)
-    val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
-    val pts = fitDf.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
-      .collect().map(_.getSeq[Double](0).toArray)
-    if (pts.length <= maxRows) {
-      val cs = pcFit(pts, 3)
-      val v  = col(vecCol).cast("array<double>")
-      def coord(i: Int) = if (i < cs.length) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
-      applyDf.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
-    } else {
-      val prep  = (d: DataFrame) => d.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-      val model = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(prep(fitDf))
-      val arr   = vector_to_array(col("__pca"))
-      model.transform(prep(applyDf))
-        .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+    driverVectors(fitDf, vecCol, maxDriverFitBytes) match {
+      case (_, Some(pts)) if pts.isEmpty => fitDf.sparkSession.emptyDataFrame
+      case (_, Some(pts)) =>
+        val cs = pcFit(pts, 3)
+        val v  = col(vecCol).cast("array<double>")
+        def coord(i: Int) = if (i < cs.length) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
+        applyDf.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
+      case (_, None) =>
+        val prep  = (d: DataFrame) => d.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+        val model = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(prep(fitDf))
+        val arr   = vector_to_array(col("__pca"))
+        model.transform(prep(applyDf))
+          .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
     }
   }
 

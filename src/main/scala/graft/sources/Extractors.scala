@@ -149,7 +149,14 @@ object Extractors {
           case None => Extracted(f, null, null, Map.empty, s"unsupported extension: ${extOf(f)}")
           case Some(x) =>
             try { val (t, m) = x.extract(c, f); Extracted(f, x.name, t, m, null) }
-            catch { case e: Exception => Extracted(f, x.name, null, Map.empty, e.getMessage) }
+            catch {
+              // Class name included: getMessage alone is null for
+              // message-less exceptions, which would make a failure row
+              // indistinguishable from a success.
+              case e: Exception =>
+                Extracted(f, x.name, null, Map.empty,
+                  s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")
+            }
         }
       }
   }

@@ -44,9 +44,24 @@ object Sessions {
   final case class SessionOut(user_id: Long, n_events: Long, session_start: Timestamp, session_end: Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long)
 
+  /** Epoch MICROseconds of a timestamp — the same precision the batch form
+    * compares gaps in (`unix_micros`); `getTime` truncates to milliseconds
+    * and diverges from batch at the gap boundary for sub-ms timestamps.
+    */
+  private def micros(ts: Timestamp): Long = {
+    val inst = ts.toInstant
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  private def toTimestamp(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   /** Streaming sessionization with explicit state: events grouped by user;
     * an in-batch gap closes and emits the open session; event-time timeout
-    * (watermark-driven) flushes sessions whose user went quiet.
+    * (watermark-driven) flushes sessions whose user went quiet. State and
+    * gap arithmetic are in epoch micros for exact parity with the batch
+    * form.
     */
   def sessionizeStream(
       spark: SparkSession,
@@ -54,7 +69,7 @@ object Sessions {
       gapMinutes: Int,
   ): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -62,24 +77,26 @@ object Sessions {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(user, s.n, new Timestamp(s.start), new Timestamp(s.last)))
+            Iterator(SessionOut(user, s.n, toTimestamp(s.start), toTimestamp(s.last)))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
             val closed = Seq.newBuilder[SessionOut]
             var cur    = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs => cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) if t - s.last <= gapUs => cur = Some(s.copy(last = t, n = s.n + 1))
                 case Some(s) =>
-                  closed += SessionOut(user, s.n, new Timestamp(s.start), new Timestamp(s.last))
+                  closed += SessionOut(user, s.n, toTimestamp(s.start), toTimestamp(s.last))
                   cur = Some(SessionState(t, t, 1))
                 case None => cur = Some(SessionState(t, t, 1))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // Timeout is a millisecond API; round UP so a session never
+              // times out early.
+              state.setTimeoutTimestamp(Math.floorDiv(s.last + gapUs + 999L, 1000L))
             }
             closed.result().iterator
           }

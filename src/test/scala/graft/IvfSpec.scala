@@ -26,9 +26,7 @@ class IvfSpec extends AnyFunSuite {
     // The isin(list_id) must land in the scan's PartitionFilters — i.e. the
     // store's non-probed directories are never listed or read. explain
     // "formatted" prints the scan's pushed partition filters verbatim.
-    val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out)) { probed.explain("formatted") }
-    val plan = out.toString
+    val plan = TestSpark.formattedPlan(probed)
     assert(plan.contains("PartitionFilters"), plan.take(1200))
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
     assert(pf.contains("list_id"), s"probe must prune on list_id: $pf")

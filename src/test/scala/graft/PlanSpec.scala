@@ -15,11 +15,7 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def formatted(df: DataFrame): String = {
-    val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
-    out.toString
-  }
+  private def formatted(df: DataFrame): String = TestSpark.formattedPlan(df)
 
   test("equality filter pushes down to the parquet scan") {
     val plan = formatted(

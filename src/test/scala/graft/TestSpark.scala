@@ -4,6 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites (getOrCreate dedupes). */
 object TestSpark {
+
+  /** The `explain("formatted")` text of a DataFrame (it prints rather than
+    * returns, so capture stdout) — shared by the plan-shape specs.
+    */
+  def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
