@@ -115,6 +115,37 @@ class SessionsSpec extends AnyFunSuite {
     assert(streamed.map(s => (s._1, s._2)).toSeq.sorted == batch)
     assert(streamed.size == 3)
   }
+
+  test("sub-millisecond gap boundary: stream and batch agree (epoch-micros semantics)") {
+    import graft.streaming.Sessions
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1700000000000L
+    val t0   = new Timestamp(base)
+    // exactly gap + 500µs later: ms-truncated arithmetic sees gap == 1800s
+    // (same session, wrong); micros sees 1800.0005s (new session, right)
+    val t1 = new Timestamp(base + 1800000L)
+    t1.setNanos(500000)
+    val flush = Sessions.Event(99L, new Timestamp(base + 100L * 3600000L))
+
+    val mem = MemoryStream[Sessions.Event]
+    val withWm = mem.toDS().withWatermark("ts", "1 minute").as[Sessions.Event]
+    val q = Sessions.sessionizeStream(spark, withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_subms").outputMode("append").start()
+    mem.addData(Sessions.Event(5L, t0), Sessions.Event(5L, t1))
+    q.processAllAvailable()
+    mem.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedSessions = spark.table("sessions_subms")
+      .as[Sessions.SessionOut].collect().count(_.user_id == 5L)
+    val batchSessions = Sessions.sessionize(
+      Seq((1L, t0, 5L), (2L, t1, 5L)).toDF("event_id", "ts", "user_id"), 30).count()
+    assert(batchSessions == 2, s"batch must split at gap+500µs, got $batchSessions")
+    assert(streamedSessions == 2, s"stream must match batch at the µs boundary, got $streamedSessions")
+  }
 }
 
 /** Streaming file-watch ingestion: drop files -> AvailableNow drain ->
