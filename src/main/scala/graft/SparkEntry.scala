@@ -744,6 +744,20 @@ object SparkEntry {
         .orderBy("document_id", "chunk_index")
     }),
 
+    // MM3 — frame sampling: every stride-th fixed-size window per binary,
+    // capped; the fan-out shape a video pipeline consumes. Frames are
+    // byte-exact (md5 over the hex rendering, blob-sliceable in DuckDB).
+    "mm3_frame_sample" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
+      Multimodal.sampleFrames(s, b, frameSize = 64, stride = 96, maxFrames = 3).toDF()
+        .select(
+          col("file_name"), col("frame_index").cast("long").as("frame_index"),
+          md5(hex(col("frame_bytes"))).as("frame_md5"),
+          length(col("frame_bytes")).cast("long").as("n_bytes"),
+        )
+        .orderBy("file_name", "frame_index")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -1099,6 +1113,11 @@ object SparkEntry {
            | CASE WHEN filename LIKE '%.png' THEN 'png' WHEN filename LIKE '%.jpg' THEN 'jpeg'
            |      WHEN filename LIKE '%.gif' THEN 'gif' ELSE 'unknown' END AS format
            | FROM read_blob('/root/repo/fixtures/media/*') ORDER BY file_name""".stripMargin,
+    "mm3_frame_sample" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, hex(content) AS h, size FROM read_blob('/root/repo/fixtures/media/*')),
+           | fr AS (SELECT file_name, h, unnest(range(0, least((size - 64) // 96 + 1, 3))) AS frame_index FROM f WHERE size >= 64),
+           | t AS (SELECT file_name, frame_index, substr(h, frame_index * 192 + 1, 128) AS fh FROM fr)
+           | SELECT file_name, frame_index, md5(fh) AS frame_md5, 64::BIGINT AS n_bytes FROM t ORDER BY file_name, frame_index""".stripMargin,
     "p1_ingest_pipeline" ->
       "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
     "p2_mcp_create" ->
