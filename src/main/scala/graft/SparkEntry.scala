@@ -758,6 +758,16 @@ object SparkEntry {
         .orderBy("file_name", "frame_index")
     }),
 
+    // MM4 — resize stub: deterministic byte-stream downsample (every
+    // stride-th byte to ≤64), byte-exact against the oracle's hex slicing.
+    "mm4_resize" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
+      Multimodal.resizeStub(s, b, targetBytes = 64).toDF()
+        .select(col("file_name"), col("n_bytes_in"), col("n_bytes_out").cast("long").as("n_bytes_out"),
+          md5(hex(col("content"))).as("content_md5"))
+        .orderBy("file_name")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -1118,6 +1128,13 @@ object SparkEntry {
            | fr AS (SELECT file_name, h, unnest(range(0, least((size - 64) // 96 + 1, 3))) AS frame_index FROM f WHERE size >= 64),
            | t AS (SELECT file_name, frame_index, substr(h, frame_index * 192 + 1, 128) AS fh FROM fr)
            | SELECT file_name, frame_index, md5(fh) AS frame_md5, 64::BIGINT AS n_bytes FROM t ORDER BY file_name, frame_index""".stripMargin,
+    "mm4_resize" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, hex(content) AS h, size FROM read_blob('/root/repo/fixtures/media/*')),
+           | r AS (SELECT file_name, h, size, greatest(size // 64, 1) AS stride FROM f),
+           | t AS (SELECT file_name, h, size, stride, least((size + stride - 1) // stride, 64) AS n_out FROM r)
+           | SELECT file_name, size AS n_bytes_in, n_out AS n_bytes_out,
+           |   md5(array_to_string(list_transform(range(0, n_out), i -> substr(h, (i * stride * 2 + 1)::BIGINT, 2)), '')) AS content_md5
+           | FROM t ORDER BY file_name""".stripMargin,
     "p1_ingest_pipeline" ->
       "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
     "p2_mcp_create" ->

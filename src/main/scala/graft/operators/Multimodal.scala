@@ -84,6 +84,24 @@ object Multimodal {
       }
   }
 
+  final case class Resized(file_name: String, n_bytes_in: Long, n_bytes_out: Int, content: Array[Byte])
+
+  /** Resize STUB: deterministic byte-stream downsample to ≤ `targetBytes`
+    * (every stride-th byte; a real image resize needs a codec — the 1-in/
+    * 1-out schema and narrow per-row shape are the contract a codec-backed
+    * implementation drops into).
+    */
+  def resizeStub(spark: SparkSession, binaries: DataFrame, targetBytes: Int): Dataset[Resized] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (name, bytes) =>
+        val stride = math.max(1, bytes.length / targetBytes)
+        val out    = Iterator.range(0, bytes.length, stride).take(targetBytes).map(bytes(_)).toArray
+        Resized(name, bytes.length.toLong, out.length, out)
+      }
+  }
+
   /** Frame sampling STUB: every `stride`-th `frameSize`-byte window, capped
     * at `maxFrames` (a real video decoder samples keyframes; the schema and
     * fan-out shape are what downstream operators consume).
