@@ -66,11 +66,9 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   /** Assumes table files are immutable once written (true for the driver
-    * testdata); a rewritten table needs `invalidate()` or a new session,
-    * else the cached file index scans deleted part-files.
+    * testdata); rewriting a table requires a new session, else the cached
+    * file index scans deleted part-files.
     */
   private val handleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-
-  def invalidate(): Unit = handleCache.clear()
 }

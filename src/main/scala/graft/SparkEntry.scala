@@ -491,15 +491,17 @@ object SparkEntry {
       .withColumn("bits_set", Dedup.popCount(col("simhash")).cast("long"))
       .orderBy("doc_id")),
 
-    // 64 sign bits / 4 bands = 16-bit band patterns: at 8-bit patterns the
-    // 4k-row corpus collided ~16 deep per bucket (~130k false candidates to
-    // exact-verify); 16-bit patterns cut that ~60×. Completeness at θ=0.99
-    // is unaffected — near-identical vectors agree on every sign bit.
+    // 32 sign bits / 4 bands = 8-bit band patterns. Wider bands would prune
+    // more false candidates but cost recall for NON-identical near-dups: at
+    // cos=0.99 a hyperplane disagrees with p≈0.045, so a 16-bit band fully
+    // agrees with p≈0.48 and all 4 bands can miss a true pair ~7% of the
+    // time — vs ~0.9% at 8 bits. The all-pairs oracle makes that a gate
+    // failure, so candidate-pruning aggressiveness stays recall-first.
     "d7_embed_neardup" -> ((s, d) => {
       val e = Tables(s, d).embeddings
       val corpus = e.select("vec_id", "embedding")
         .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 64, 4)
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 32, 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -1130,7 +1132,7 @@ object SparkEntry {
            | SELECT file_name, frame_index, md5(fh) AS frame_md5, 64::BIGINT AS n_bytes FROM t ORDER BY file_name, frame_index""".stripMargin,
     "mm4_resize" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, hex(content) AS h, size FROM read_blob('/root/repo/fixtures/media/*')),
-           | r AS (SELECT file_name, h, size, greatest(size // 64, 1) AS stride FROM f),
+           | r AS (SELECT file_name, h, size, greatest((size + 63) // 64, 1) AS stride FROM f),
            | t AS (SELECT file_name, h, size, stride, least((size + stride - 1) // stride, 64) AS n_out FROM r)
            | SELECT file_name, size AS n_bytes_in, n_out AS n_bytes_out,
            |   md5(array_to_string(list_transform(range(0, n_out), i -> substr(h, (i * stride * 2 + 1)::BIGINT, 2)), '')) AS content_md5

@@ -369,7 +369,11 @@ object Dedup {
     val projs: Array[Array[Double]] = signProjections(dim, numBits).map(_.toArray).toArray
     val spark = df.sparkSession
     import spark.implicits._
+    // Null ids/vectors are excluded up front: they can't be near-dup
+    // candidates (the old expression form dropped their pairs at the
+    // threshold filter anyway), and the typed encoder would crash on them.
     val buckets = df
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, vSeq) =>

@@ -36,8 +36,11 @@ object Ml {
     * eigenvector's sign is fixed (largest-|component| positive) so the fit
     * is deterministic; like MLlib, projection does NOT re-center.
     */
-  private[operators] def pcFit(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+  private[operators] def pcFit(pts0: Array[Array[Double]], k: Int): Array[Array[Double]] = {
     import breeze.linalg.{eigSym, DenseMatrix}
+    // Hash-sorted so mean/covariance accumulation doesn't depend on
+    // collect order (same rationale as lloydFit).
+    val pts = pts0.sortBy(p => pointHash(p, 0L))
     val n   = pts.length
     val dim = pts.head.length
     val mean = new Array[Double](dim)
@@ -67,20 +70,28 @@ object Ml {
   }
 
   /** Shared driver-fit sampler: one cheap dim probe + one bounded
-    * limit(budget+1) collect. Returns (dim, Some(vectors)) when the whole
-    * input fits the byte budget (rows × dim × 8 ≤ maxBytes), (dim, None)
-    * when it doesn't — callers then take the distributed-fit path. A single
-    * definition keeps the four fit sites (kmeans, IVF, PCA fit/project)
-    * from drifting apart.
+    * limit(budget+1) collect of the vector column (position 0) plus any
+    * `extra` columns. Returns (dim, Some(rows)) when the whole input fits
+    * the byte budget (rows × dim × 8 ≤ maxBytes), (dim, None) when it
+    * doesn't — callers then take the distributed-fit path. A single
+    * definition keeps the fit sites (kmeans, IVF, PCA fit/project) from
+    * drifting apart.
     */
-  private[operators] def driverVectors(df: DataFrame, vecCol: String, maxBytes: Long): (Int, Option[Array[Array[Double]]]) = {
+  private[operators] def driverRows(
+      df: DataFrame, vecCol: String, maxBytes: Long,
+      extra: Seq[org.apache.spark.sql.Column] = Nil,
+  ): (Int, Option[Array[org.apache.spark.sql.Row]]) = {
     val head = df.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
     if (head.isEmpty) return (0, Some(Array.empty))
     val dim     = head(0).getInt(0)
     val maxRows = (maxBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
-    val pts = df.select(col(vecCol).cast("array<double>")).limit(maxRows + 1)
-      .collect().map(_.getSeq[Double](0).toArray)
-    (dim, if (pts.length <= maxRows) Some(pts) else None)
+    val rows = df.select(col(vecCol).cast("array<double>") +: extra: _*).limit(maxRows + 1).collect()
+    (dim, if (rows.length <= maxRows) Some(rows) else None)
+  }
+
+  private[operators] def driverVectors(df: DataFrame, vecCol: String, maxBytes: Long): (Int, Option[Array[Array[Double]]]) = {
+    val (dim, rows) = driverRows(df, vecCol, maxBytes)
+    (dim, rows.map(_.map(_.getSeq[Double](0).toArray)))
   }
 
   /** M3 — fit+transform to 3-D with the reference's zero-pad rule. Output:
@@ -197,7 +208,11 @@ object Ml {
     while (it < maxIter && moved) {
       val sums   = Array.fill(kEff)(new Array[Double](dim))
       val counts = new Array[Long](kEff)
-      points.foreach { p =>
+      // Accumulate in hash order, not collect order: FP addition is
+      // non-associative, so summing in arrival order would leak executor
+      // response order into the centroids (ULP drift → possible label
+      // flips), defeating the order-independence the seeding establishes.
+      sorted.foreach { p =>
         val (c, _) = nearestCentroid(p, centroids)
         counts(c) += 1
         var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
@@ -264,21 +279,18 @@ object Ml {
 
     override def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
       val spark = df.sparkSession
-      val head  = df.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
-      if (head.isEmpty) return df.select(col(idCol), lit(-1).as("label")).where(lit(false))
-      val dim = head(0).getInt(0)
       // One bounded collect decides the fit path AND provides the data: if
       // limit(budget+1) comes back within budget, that IS the whole corpus
-      // (no separate count job; lloydFit is collect-order-independent).
-      val maxRows = (maxDriverFitBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
-      val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-        .limit(maxRows + 1).collect()
-      if (rows.length <= maxRows) {
+      // (no separate count job; the fit is collect-order-independent).
+      val sampled = Ml.driverRows(df, vecCol, maxDriverFitBytes, Seq(col(idCol).cast("long")))._2
+      if (sampled.exists(_.isEmpty)) return df.select(col(idCol), lit(-1).as("label")).where(lit(false))
+      if (sampled.isDefined) {
         // Driver fit, driver assignment (the corpus is already small).
-        val pts = rows.map(_.getSeq[Double](1).toArray)
+        val rows = sampled.get
+        val pts  = rows.map(_.getSeq[Double](0).toArray)
         val cs   = Ml.lloydFit(pts, k, seed)
         val assigned = rows.zip(pts).map { case (r, p) =>
-          val (c, d) = Ml.nearestCentroid(p, cs); (r.getLong(0), c, math.sqrt(d))
+          val (c, d) = Ml.nearestCentroid(p, cs); (r.getLong(1), c, math.sqrt(d))
         }
         val cut = {
           val ds = assigned.map(_._3).sorted

@@ -96,7 +96,9 @@ object Multimodal {
     binaries.select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (name, bytes) =>
-        val stride = math.max(1, bytes.length / targetBytes)
+        // ceil stride so the sample SPANS the stream: floor would emit a
+        // plain prefix for inputs between target and 2×target bytes.
+        val stride = math.max(1, (bytes.length + targetBytes - 1) / targetBytes)
         val out    = Iterator.range(0, bytes.length, stride).take(targetBytes).map(bytes(_)).toArray
         Resized(name, bytes.length.toLong, out.length, out)
       }
