@@ -851,7 +851,7 @@ object SparkEntry {
            | terms AS (SELECT label, unnest(list_concat(toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS term FROM d),
            | tf AS (SELECT label, term, count(*) AS tf FROM terms GROUP BY 1, 2 HAVING count(*) >= 2),
            | dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           | nl AS (SELECT count(DISTINCT label) AS n_labels FROM tf),
+           | nl AS (SELECT count(DISTINCT label) AS n_labels FROM d),
            | top3 AS (
            |   SELECT tf.label, tf.term, row_number() OVER (PARTITION BY tf.label ORDER BY tf.tf * ln(nl.n_labels / dfq.df) DESC, tf.term ASC) AS rk
            |   FROM tf JOIN dfq USING (term) CROSS JOIN nl

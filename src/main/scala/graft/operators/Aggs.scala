@@ -77,14 +77,21 @@ object Aggs {
     )
     // minTf mirrors the reference's TfidfVectorizer(min_df=2)
     // (backend/clustering.py:118-128): once-seen terms can't be keywords, and
-    // pruning them before the doc-frequency join drops most of the bigram
+    // pruning them before the doc-frequency window drops most of the bigram
     // tail from the shuffle.
     val tf = terms.groupBy("label", "term").agg(count(lit(1)).as("tf"))
       .where(col("tf") >= minTf)
-    val docFreq  = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nLabels  = tf.select(countDistinct(col("label")).as("n_labels"))
+    // df rides a window over tf instead of a re-aggregation + self-join, and
+    // n_labels comes from the (un-exploded) input — Spark does not CSE
+    // identical subplans across a self-join, so the old
+    // tf⋈groupBy(term)⋈countDistinct shape tokenized and exploded the whole
+    // corpus three times. n_labels over the input also matches the reference
+    // more closely: idf's n is the number of cluster corpora handed to the
+    // vectorizer (backend/clustering.py:118-128), not the number that happen
+    // to retain a min_df-surviving term.
+    val nLabels = docs.select(countDistinct(col(labelCol)).as("n_labels"))
     val scored = tf
-      .join(docFreq, Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nLabels))
       .withColumn("tfidf", col("tf") * log(col("n_labels").cast("double") / col("df")))
     val w = Window.partitionBy("label").orderBy(desc("tfidf"), asc("term"))
