@@ -310,26 +310,57 @@ object Dedup {
   ): DataFrame = {
     require(maxHamming < bands, s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val bits  = 64 / bands
+    val mask  = if (bits == 64) -1L else (1L << bits) - 1
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // One pass computes the signature AND its band slices; buckets form via
+    // groupBy, not a self-join — Spark does not CSE identical subplans
+    // across a self-join, so the old (buckets ⋈ buckets) shape ran the
+    // whole tokenize+SimHash subtree twice. Only (band, slice, id, sig)
+    // quads shuffle; the texts never do.
+    val buckets = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, simHash64(text)) }
-      .toDF("id", "sig")
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val slices = (0 until bands).map(b =>
-      struct(lit(b).as("band"), shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)).as("slice")))
-    val buckets = sigs.select(
-      col("id"), col("sig"),
-      explode(array(slices: _*)).as("bs"),
-    ).select(col("id"), col("sig"), col("bs.band").as("band"), col("bs.slice").as("slice"))
-    val b2 = buckets.select(col("band"), col("slice"), col("id").as("id_b"), col("sig").as("sig_b"))
-    buckets
-      .join(b2, Seq("band", "slice"))
-      .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"), hammingDist(col("sig"), col("sig_b")).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+      .flatMap { case (id, text) =>
+        val sig = simHash64(text)
+        Iterator.range(0, bands).map(b => (b, (sig >>> (b * bits)) & mask, id, sig))
+      }
+      .toDF("band", "slice", "id", "sig")
+    // Pairs are emitted from their FIRST matching band only, so each
+    // near-dup pair appears exactly once and no distinct() shuffle is
+    // needed over the (up to bands×) redundant pair stream. Per-bucket
+    // work is O(|bucket|²) either way; collect_list holds one bucket per
+    // task, which is the same memory the old join's build side needed for
+    // a hot (band, slice) key.
+    buckets.groupBy("band", "slice")
+      .agg(collect_list(struct(col("id").as("_1"), col("sig").as("_2"))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(col("band"), col("members"))
+      .as[(Int, Seq[(Long, Long)])]
+      .flatMap { case (band, members) =>
+        val m = members.toArray
+        for {
+          i <- Iterator.range(0, m.length)
+          j <- Iterator.range(i + 1, m.length)
+          idA  = math.min(m(i)._1, m(j)._1)
+          idB  = math.max(m(i)._1, m(j)._1)
+          dist = java.lang.Long.bitCount(m(i)._2 ^ m(j)._2)
+          if idA < idB && dist <= maxHamming
+          if firstMatchingBand(m(i)._2, m(j)._2, bands, bits, mask) == band
+        } yield (idA, idB, dist)
+      }
+      .toDF("id_a", "id_b", "hamming")
+  }
+
+  /** Smallest band index on which two signatures share an identical slice
+    * (−1 if none) — the canonical band a candidate pair is attributed to.
+    */
+  private def firstMatchingBand(a: Long, b: Long, bands: Int, bits: Int, mask: Long): Int = {
+    var band = 0
+    while (band < bands) {
+      if (((a >>> (band * bits)) & mask) == ((b >>> (band * bits)) & mask)) return band
+      band += 1
+    }
+    -1
   }
 
   /** Deterministic ±1 sign-projection vectors for embedding LSH — derived
