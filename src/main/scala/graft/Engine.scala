@@ -72,3 +72,18 @@ object Tables {
   private val handleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 }
+
+object Par {
+  /** Fan a small scan out to the cluster's parallelism before CPU-heavy
+    * narrow work (chunking, embedding, signature hashing). A single-row-group
+    * parquet file plans as ONE input split, which would run the whole
+    * per-row compute on one core; at real scale inputs arrive in thousands
+    * of splits and this is a no-op (the guard keeps it shuffle-free there).
+    * `getNumPartitions` only plans — nothing executes.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch sizing belongs to the source
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import graft.operators._
 import graft.functions.{TextOps, VectorOps}
 import graft.streaming.EventWindows
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -726,19 +727,19 @@ object SparkEntry {
     // P2 — the MCP create path (main.py:1080-1125): content → chunk → embed
     // → the exact per-point payload shape {text, filename, document_id,
     // chunk_index, total_chunks, source:'mcp'}.
+    // total_chunks comes straight off the chunker and the embedding is
+    // appended in place: the old chunks⋈totals⋈embeddings shape re-ran the
+    // chunker subtree three times (no CSE across self-joins) and shuffled
+    // chunk texts twice.
     "p2_mcp_create" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
         .withColumn("cid", col("doc_id") * 1000 + col("chunk_index"))
-      val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("total_chunks"))
-      val emb    = Embedder.embedText(s, chunks, "cid", "text").toDF()
-      chunks
-        .join(totals, Seq("doc_id"))
-        .join(emb.select(col("id").as("cid"), col("embedding")), Seq("cid"))
+      Embedder.withEmbedding(chunks, "text")
         .select(
           col("doc_id").as("document_id"),
           concat(lit("doc_"), col("doc_id"), lit(".txt")).as("filename"),
           col("chunk_index").cast("long").as("chunk_index"),
-          col("total_chunks"),
+          col("total_chunks").cast("long").as("total_chunks"),
           lit("mcp").as("source"),
           md5(col("text")).as("text_md5"),
           size(col("embedding")).cast("long").as("dim"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** One emitted chunk (reference payload shape: backend/chunker.py:119-126 —
   * {text, chunk_index, token_count}; document linkage added by the caller).
   */
-final case class Chunk(doc_id: Long, chunk_index: Int, text: String, token_count: Int)
+final case class Chunk(doc_id: Long, chunk_index: Int, text: String, token_count: Int, total_chunks: Int)
 
 /** Input row for chunking (driver testdata `documents` schema). */
 final case class DocRow(doc_id: Long, text: String, lang: String)
@@ -153,7 +153,9 @@ object Chunker extends Serializable {
     val pieces =
       if (doc.lang != null && CodeLangs.contains(doc.lang.toLowerCase)) chunkCode(Option(doc.text).getOrElse(""), maxTokens)
       else chunkProse(Option(doc.text).getOrElse(""), maxTokens)
-    pieces.zipWithIndex.map { case ((t, n), i) => Chunk(doc.doc_id, i, t, n) }
+    // total_chunks rides along from generation: a document's chunks are all
+    // emitted here, so the registry/payload count costs no shuffle later.
+    pieces.zipWithIndex.map { case ((t, n), i) => Chunk(doc.doc_id, i, t, n, pieces.length) }
   }
 
   /** Distributed chunking: documents(doc_id, text, lang) → chunks. Narrow
@@ -161,8 +163,7 @@ object Chunker extends Serializable {
     */
   def chunk(spark: SparkSession, documents: DataFrame, maxTokens: Int = MaxTokens): Dataset[Chunk] = {
     import spark.implicits._
-    documents
-      .selectExpr("doc_id", "text", "lang")
+    graft.Par.fanOut(documents.selectExpr("doc_id", "text", "lang"))
       .as[DocRow]
       .flatMap(chunkDocument(_, maxTokens))
   }

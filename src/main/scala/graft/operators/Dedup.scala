@@ -37,7 +37,7 @@ object Dedup {
   private def shingledTyped(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    graft.Par.fanOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = if (text == null) Array.empty[String]
@@ -137,7 +137,7 @@ object Dedup {
   def lshBuckets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    graft.Par.fanOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) => minHashBandRows(id, text, shingleSize, numHashes, bands) }
       .toDF("id", "band", "band_hash")
@@ -146,8 +146,17 @@ object Dedup {
   /** MinHash-LSH candidate pairs (id_a < id_b), deduped across bands.
     *
     * `maxBucketSize` caps pathological hot buckets (e.g. boilerplate shared
-    * by millions of docs): buckets larger than the cap are dropped before the
-    * self-join, bounding the worst case at cap² per bucket instead of n².
+    * by millions of docs): buckets larger than the cap are dropped before
+    * pairing, bounding the worst case at cap² per bucket instead of n².
+    *
+    * Pairs form inside each bucket from a collected member list rather than
+    * a bucket self-join: Spark doesn't CSE identical subplans across a
+    * self-join, so the join shape ran signature generation twice, and the
+    * collected list is ≤ maxBucketSize ids (the join's build side for a hot
+    * key held the same rows). The cross-band distinct() stays — a pair can
+    * surface in several surviving buckets (first-band attribution can't be
+    * decided locally here, because a pair's earlier shared band may have
+    * been a dropped hot bucket).
     */
   def minHashCandidates(
       df: DataFrame,
@@ -158,14 +167,26 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 10000,
   ): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+    val spark = df.sparkSession
+    import spark.implicits._
+    lshBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
       .withColumn("bucket_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
       .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val b2 = b.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    b.join(b2, Seq("band", "band_hash"))
-      .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
+      .groupBy("band", "band_hash")
+      .agg(collect_list(col("id")).as("members"))
+      .where(size(col("members")) > 1)
+      .select(col("members"))
+      .as[Seq[Long]]
+      .flatMap { members =>
+        val m = members.toArray
+        java.util.Arrays.sort(m)
+        for {
+          i <- Iterator.range(0, m.length)
+          j <- Iterator.range(i + 1, m.length)
+          if m(i) != m(j)
+        } yield (m(i), m(j))
+      }
+      .toDF("id_a", "id_b")
       .distinct()
   }
 
@@ -318,7 +339,7 @@ object Dedup {
     // across a self-join, so the old (buckets ⋈ buckets) shape ran the
     // whole tokenize+SimHash subtree twice. Only (band, slice, id, sig)
     // quads shuffle; the texts never do.
-    val buckets = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val buckets = graft.Par.fanOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val sig = simHash64(text)
@@ -403,9 +424,9 @@ object Dedup {
     // Null ids/vectors are excluded up front: they can't be near-dup
     // candidates (the old expression form dropped their pairs at the
     // threshold filter anyway), and the typed encoder would crash on them.
-    val buckets = df
+    val buckets = graft.Par.fanOut(df
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v")))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, vSeq) =>
         val v    = vSeq.toArray

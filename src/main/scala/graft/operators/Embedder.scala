@@ -65,7 +65,7 @@ object Embedder {
       batchSize: Int = 256,
   ): Dataset[Embedded] = {
     import spark.implicits._
-    df.selectExpr(s"$idCol as id", s"$textCol as text")
+    graft.Par.fanOut(df.selectExpr(s"$idCol as id", s"$textCol as text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
@@ -73,5 +73,30 @@ object Embedder {
           batch.iterator.zip(vecs.iterator).map { case ((id, t), v) => Embedded(id, t, v) }
         }
       }
+  }
+
+  /** Append an embedding column to `df` in place, preserving every other
+    * column — the shape a chunk→embed pipeline stage wants. Joining
+    * [[embedText]]'s (id, embedding) back onto the source recomputes the
+    * source subtree (Spark doesn't CSE across self-joins) and shuffles both
+    * sides; this stays a single narrow pass.
+    */
+  def withEmbedding(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "embedding",
+      embedder: Embedder = default,
+      batchSize: Int = 256,
+  ): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val idx    = df.schema.fieldIndex(textCol)
+    graft.Par.fanOut(df).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = embedder.embedBatch(batch.map(_.getString(idx)))
+        batch.iterator.zip(vecs.iterator).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+    }(Encoders.row(schema))
   }
 }

@@ -168,7 +168,7 @@ class IngestStreamSpec extends AnyFunSuite {
 
     val result = spark.read.parquet(out)
     assert(result.count() == 2) // 1 chunk per small file
-    assert(result.columns.toSet == Set("doc_id", "text", "chunk_index", "token_count", "embedding"))
+    assert(result.columns.toSet == Set("doc_id", "text", "chunk_index", "token_count", "total_chunks", "embedding"))
     import org.apache.spark.sql.functions._
     val dims = result.select(size(col("embedding"))).as[Int](org.apache.spark.sql.Encoders.scalaInt).collect().toSet
     assert(dims == Set(64))
