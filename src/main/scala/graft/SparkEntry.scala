@@ -647,15 +647,21 @@ object SparkEntry {
       )
       .orderBy("l_returnflag", "l_linestatus")),
 
+    // The fact-table join is pinned to sort-merge: Catalyst's size estimate
+    // for the (customer⋈orders) output exceeds lineitem's file size, so it
+    // would otherwise BROADCAST LINEITEM — building a 600k-row hash relation
+    // per run here, and the wrong side outright on a real cluster. Dates
+    // format after the top-10 cut, not per joined row.
     "h3_top_orders" -> ((s, d) => {
       val t = Tables(s, d)
       t.customer.where(col("c_mktsegment") === "BUILDING")
         .join(t.orders, col("c_custkey") === col("o_custkey"))
-        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .join(t.lineitem.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long")).cast("long").as("revenue_cents"))
         .orderBy(desc("revenue_cents"), col("o_orderkey"))
         .limit(10)
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("revenue_cents"))
     }),
 
     "h2_having" -> ((s, d) => {

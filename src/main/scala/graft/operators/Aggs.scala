@@ -70,7 +70,10 @@ object Aggs {
     // Tokens materialize in their own projection: referenced twice below
     // (unigrams + bigram shingles), and higher-order functions are
     // interpreted with no CSE — inlining would tokenize every text twice.
-    val withToks = docs.select(col(labelCol).as("label"), TextOps.tokens(col(textCol)).as("__toks"))
+    // fanOut spreads tokenize+explode+partial-agg across the cluster when
+    // the corpus arrives as a handful of input splits.
+    val withToks = graft.Par.fanOut(docs.select(col(labelCol).as("label"), col(textCol).as("__text")))
+      .select(col("label"), TextOps.tokens(col("__text")).as("__toks"))
     val terms = withToks.select(
       col("label"),
       explode(concat(col("__toks"), TextOps.wordShingles(col("__toks"), 2))).as("term"),

@@ -64,7 +64,41 @@ object Joins {
     * Returns (id, name, parent_id, path) with '/'-joined full paths; rows
     * still unresolved at maxDepth (cycles / orphans) are dropped.
     */
-  def folderPaths(folders: DataFrame, maxDepth: Int = 20): DataFrame = {
+  def folderPaths(folders: DataFrame, maxDepth: Int = 20, maxDriverRows: Int = 1 << 18): DataFrame = {
+    // Folder tables are metadata-sized by nature (the reference resolves
+    // paths in a driver-side dict walk, filesystem_db.py:179-223). When the
+    // table fits a bounded collect, do exactly that: one job instead of a
+    // join per tree level. The distributed fixpoint below stays as the
+    // fallback for a table that outgrows the budget.
+    val picked = folders.select("id", "name", "parent_id").limit(maxDriverRows + 1).collect()
+    if (picked.length <= maxDriverRows) {
+      val spark = folders.sparkSession
+      val byId  = new java.util.HashMap[Any, (Any, Any)](picked.length * 2)
+      picked.foreach { r => if (r.get(0) != null) byId.put(r.get(0), (r.get(1), r.get(2))) }
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](picked.length)
+      picked.foreach { r =>
+        var path: String = if (r.get(1) == null) null else r.get(1).toString
+        var cur: Any     = r.get(2)
+        var depth        = 0
+        var orphaned     = false
+        while (cur != null && depth < maxDepth && !orphaned) {
+          val p = byId.get(cur)
+          if (p == null) orphaned = true // dangling parent pointer → resolved as-is
+          else {
+            path = if (path == null || p._1 == null) null else s"${p._1}/$path"
+            cur = p._2
+            depth += 1
+          }
+        }
+        if (cur == null || orphaned)
+          out += org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), path)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        folders.select("id", "name", "parent_id").schema.fields :+
+          org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType))
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(out.asJava, schema)
+    }
     val base = folders.select(
       col("id"), col("name"), col("parent_id"),
       col("name").as("path"),

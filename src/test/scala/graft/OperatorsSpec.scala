@@ -41,10 +41,16 @@ class OperatorsSpec extends AnyFunSuite {
       ("c", "leaf", "b"),
       ("x", "cy1", "y"), // cycle
       ("y", "cy2", "x"),
+      ("o", "orphan", "missing"), // dangling parent pointer → resolved as-is
     ).toDF("id", "name", "parent_id")
-    val paths = Joins.folderPaths(folders, maxDepth = 10).orderBy("id")
+    val expected = Map("a" -> "root", "b" -> "root/mid", "c" -> "root/mid/leaf", "o" -> "orphan")
+    val driver = Joins.folderPaths(folders, maxDepth = 10).orderBy("id")
       .select("id", "path").as[(String, String)].collect().toMap
-    assert(paths == Map("a" -> "root", "b" -> "root/mid", "c" -> "root/mid/leaf"))
+    assert(driver == expected)
+    // maxDriverRows=0 forces the distributed fixpoint; both paths must agree
+    val distributed = Joins.folderPaths(folders, maxDepth = 10, maxDriverRows = 0).orderBy("id")
+      .select("id", "path").as[(String, String)].collect().toMap
+    assert(distributed == expected)
   }
 
   // ---- J6/U2 first-wins ---------------------------------------------------
