@@ -231,7 +231,8 @@ object SparkEntry {
 
     "a5_cluster_corpus" -> ((s, d) => {
       val t = Tables(s, d)
-      t.embeddings.join(t.documents, col("vec_id") === col("doc_id"))
+      Par.fanOut(t.embeddings.join(t.documents, col("vec_id") === col("doc_id"))
+        .select("label", "doc_id", "text"))
         .groupBy("label")
         .agg(md5(array_join(
           transform(sort_array(collect_list(struct(col("doc_id"), col("text")))), r => r("text")),
