@@ -53,6 +53,15 @@ object SparkEntry {
     when(m === 0, "pdf").when(m === 1, "txt").when(m === 2, "exe").otherwise("md")
   }
   private val extSql  = "CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'txt' WHEN 2 THEN 'exe' ELSE 'md' END"
+
+  /** Uppercase hex of a literal, for oracle regexes over `hex(content)` —
+    * the binary-fixture oracles re-derive extracted text from raw blob
+    * bytes (DuckDB can't unzip, but STORED zip entries leave the XML
+    * verbatim in the blob, so `decode(unhex(...))` on hex-regex captures is
+    * an independent second implementation of the text pull).
+    */
+  private def hx(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map("%02X".format(_)).mkString
   private val allowed = Seq("pdf", "txt", "md")
 
   /** Torture filename for F8 (reserved chars, tab, length cap, empty case). */
@@ -343,8 +352,8 @@ object SparkEntry {
       .orderBy("file_name")),
 
     // S2-family seam: distributed binaryFile → Extractor-registry dispatch →
-    // (text, metadata) rows; the bound text-family extractors are checked
-    // end-to-end here (binary formats are Unbound registration points).
+    // (text, metadata) rows; the text-family extractors are checked
+    // end-to-end here (binary formats have their own queries below).
     "s2_extract_seam" -> ((s, _) => {
       val bin = Multimodal.binaryTable(s, "/root/repo/fixtures/code")
         .unionByName(Multimodal.binaryTable(s, "/root/repo/fixtures/text"))
@@ -356,6 +365,40 @@ object SparkEntry {
         )
         .orderBy("file_name")
     }),
+
+    // S2/S3/S4 + real S5 — pure-JVM binary-format extraction through the
+    // same distributed seam (sources/BinaryExtractors.scala). The committed
+    // fixtures use STORED zip entries / uncompressed ASCII PDF streams so
+    // the oracle can independently re-derive the text from the raw blob;
+    // DEFLATED/FlateDecode paths are unit-tested (BinaryExtractorsSpec).
+    "s2_pdf_extract" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".pdf"))).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("page_count").cast("long").as("page_count"),
+          col("metadata")("title").as("title"),
+          col("metadata")("author").as("author"))),
+
+    "s3_docx_extract" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".docx"))).toDF()
+        .select(col("file_name"), col("extractor"), col("text"))),
+
+    "s4_pptx_extract" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".pptx"))).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("slide_count").cast("long").as("slide_count"),
+          col("metadata")("title").as("title"),
+          col("metadata")("author").as("author"))),
+
+    "s5_xlsx_extract" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".xlsx"))).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("sheet_count").cast("long").as("sheet_count"),
+          col("metadata")("sheet_names").as("sheet_names"),
+          col("metadata")("total_cells_processed").cast("long").as("total_cells"))),
 
     // S17 — export path resolution: uploads ⋈ file_folders ⋈ resolved folder
     // tree (main.py:953-980 arcname rules: mapped → path/file, root sentinel
@@ -934,6 +977,59 @@ object SparkEntry {
            |   CASE WHEN ext IN ('js','py','cs') THEN ext END AS language,
            |   CASE WHEN ext = 'cs' THEN regexp_extract(array_to_string((string_split(content, chr(10)))[1:20], chr(10)), 'namespace\s+([\w.]+)', 1) END AS namespace
            | FROM e ORDER BY file_name""".stripMargin,
+    // Binary-format oracles: the fixtures use STORED zip entries (XML bytes
+    // verbatim in the blob) and an uncompressed ASCII PDF, so DuckDB can
+    // re-derive the extracted text independently — zips via regex over
+    // hex(content) (zip headers aren't valid UTF-8, so hex-space regex with
+    // hex-encoded tag anchors, then decode(unhex(...)) the captures), the
+    // PDF via read_text + content-stream `(...) Tj` pulls.
+    "s2_pdf_extract" ->
+      raw"""WITH f AS (SELECT content FROM read_text('/root/repo/fixtures/office/manual.pdf'))
+           | SELECT 'manual.pdf' AS file_name, 'PdfExtractor' AS extractor,
+           |   array_to_string(list_transform(
+           |     regexp_extract_all(content, '(?s)stream\n(.*?)\nendstream', 1),
+           |     s -> array_to_string(regexp_extract_all(s, '\(([^)]*)\) Tj', 1), chr(10))), chr(10)||chr(10)) AS text,
+           |   length(regexp_extract_all(content, '/Type /Page /', 0))::BIGINT AS page_count,
+           |   regexp_extract(content, '/Title \(([^)]*)\)', 1) AS title,
+           |   regexp_extract(content, '/Author \(([^)]*)\)', 1) AS author
+           | FROM f""".stripMargin,
+    "s3_docx_extract" ->
+      raw"""WITH b AS (SELECT hex(content) AS h FROM read_blob('/root/repo/fixtures/office/report.docx'))
+           | SELECT 'report.docx' AS file_name, 'DocxExtractor' AS extractor,
+           |   array_to_string(list_transform(
+           |     regexp_extract_all(h, '${hx("<w:t>")}(.*?)${hx("</w:t>")}', 1),
+           |     x -> decode(unhex(x))), chr(10)||chr(10)) AS text
+           | FROM b""".stripMargin,
+    "s4_pptx_extract" ->
+      raw"""WITH b AS (SELECT hex(content) AS h FROM read_blob('/root/repo/fixtures/office/slides.pptx')),
+           | s AS (SELECT h, regexp_extract_all(h, '${hx("<p:sld ")}(.*?)${hx("</p:sld>")}', 1) AS slides FROM b)
+           | SELECT 'slides.pptx' AS file_name, 'PptxExtractor' AS extractor,
+           |   array_to_string(list_transform(slides, sl ->
+           |     array_to_string(list_transform(regexp_extract_all(sl, '${hx("<a:t>")}(.*?)${hx("</a:t>")}', 1),
+           |       x -> decode(unhex(x))), chr(10))), chr(10)||chr(10)) AS text,
+           |   length(slides)::BIGINT AS slide_count,
+           |   decode(unhex(regexp_extract(h, '${hx("<dc:title>")}(.*?)${hx("</dc:title>")}', 1))) AS title,
+           |   decode(unhex(regexp_extract(h, '${hx("<dc:creator>")}(.*?)${hx("</dc:creator>")}', 1))) AS author
+           | FROM s""".stripMargin,
+    "s5_xlsx_extract" -> {
+      val cell = s"""(?:${hx("<t>")}|${hx("<v>")})(.*?)(?:${hx("</t>")}|${hx("</v>")})"""
+      raw"""WITH b AS (SELECT hex(content) AS h FROM read_blob('/root/repo/fixtures/office/book.xlsx')),
+           | p AS (SELECT
+           |   regexp_extract_all(h, '${hx(" name=\"")}(.*?)${hx("\"")}', 1) AS names_h,
+           |   regexp_extract_all(h, '${hx("<sheetData>")}(.*?)${hx("</sheetData>")}', 1) AS sheets
+           | FROM b)
+           | SELECT 'book.xlsx' AS file_name, 'XlsxExtractor' AS extractor,
+           |   array_to_string(list_transform(range(1, length(sheets)+1), i ->
+           |     'Sheet: ' || decode(unhex(names_h[i])) || chr(10) ||
+           |     array_to_string(list_transform(regexp_extract_all(sheets[i], '${hx("<row>")}(.*?)${hx("</row>")}', 1),
+           |       r -> array_to_string(list_transform(regexp_extract_all(r, '$cell', 1),
+           |         c -> decode(unhex(c))), ' | ')), chr(10)) ||
+           |     chr(10) || repeat('-', 20)), chr(10)) AS text,
+           |   length(sheets)::BIGINT AS sheet_count,
+           |   array_to_string(list_transform(names_h, x -> decode(unhex(x))), ',') AS sheet_names,
+           |   length(flatten(list_transform(sheets, sh -> regexp_extract_all(sh, '$cell', 1))))::BIGINT AS total_cells
+           | FROM p""".stripMargin
+    },
     "s17_export_paths" ->
       """WITH RECURSIVE folders AS (
         |   SELECT 'r' || r_regionkey AS id, r_name AS name, NULL AS parent_id FROM region

@@ -1,0 +1,434 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Inflater, ZipInputStream}
+
+import scala.collection.mutable
+
+/** Pure-JVM parsers backing the binary-format extractors (SURVEY §2.1
+  * S2/S3/S4 + the real S5): ZIP container reading via `java.util.zip`,
+  * OOXML text pulls via targeted regexes, and a minimal PDF object/stream
+  * walker with FlateDecode support. No external libraries — the goal is the
+  * reference's *text rendering contract*, not a full rasterizer:
+  *
+  *  - PDF  (pdf_extractor.py:16-40): per-page text, pages joined "\n\n",
+  *    `page_count`/`title`/`author` metadata.
+  *  - DOCX (docx_extractor.py:16-27 via docx2txt): paragraph texts joined
+  *    by blank lines, headers before body before footers, final strip.
+  *  - PPTX (pptx_extractor.py:26-57): per-slide shape texts joined "\n",
+  *    non-empty slides joined "\n\n", `slide_count`/core-props metadata.
+  *  - XLSX (xlsx_extractor.py:28-74): "Sheet: <name>" header, " | "-joined
+  *    non-null cells per row, 20-dash separator, all parts joined "\n".
+  *
+  * Declared deviations (fixture-invisible, documented here once): regex XML
+  * pulls assume well-formed OOXML (no CDATA); PDF text extraction models
+  * pypdf's simple path — `Tj`/`'`/`"`/`TJ` show text, `Td`/`TD`/`T*` break
+  * lines — not full text-matrix tracking; PPTX slide order is the
+  * `slideN.xml` numeric order (python-pptx follows presentation.xml rels).
+  */
+private[sources] object Ooxml {
+
+  /** All non-directory ZIP entries, in archive order. Handles STORED and
+    * DEFLATED methods (ZipInputStream inflates transparently).
+    */
+  def entries(content: Array[Byte]): Vector[(String, Array[Byte])] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(content))
+    val out = Vector.newBuilder[(String, Array[Byte])]
+    val buf = new Array[Byte](8192)
+    try {
+      var e = zis.getNextEntry
+      if (e == null) throw new IllegalArgumentException("not a ZIP container")
+      while (e != null) {
+        if (!e.isDirectory) {
+          val bos = new ByteArrayOutputStream()
+          var n = zis.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+          out += ((e.getName, bos.toByteArray))
+        }
+        e = zis.getNextEntry
+      }
+    } finally zis.close()
+    out.result()
+  }
+
+  def entryText(entries: Vector[(String, Array[Byte])], name: String): Option[String] =
+    entries.collectFirst { case (n, b) if n == name => new String(b, StandardCharsets.UTF_8) }
+
+  /** Contents of every `<tag ...>...</tag>` block, document order. */
+  def blocks(xml: String, tag: String): Vector[String] =
+    s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>".r.findAllMatchIn(xml).map(_.group(1)).toVector
+
+  def unescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    "&(lt|gt|amp|quot|apos|#x?[0-9a-fA-F]+);".r.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(m.group(1) match {
+        case "lt" => "<"
+        case "gt" => ">"
+        case "amp" => "&"
+        case "quot" => "\""
+        case "apos" => "'"
+        case n if n.startsWith("#x") || n.startsWith("#X") =>
+          Integer.parseInt(n.drop(2), 16).toChar.toString
+        case n => Integer.parseInt(n.drop(1)).toChar.toString
+      }))
+  }
+
+  /** (title, author) from docProps/core.xml, when present and non-empty. */
+  def coreProps(entries: Vector[(String, Array[Byte])]): (Option[String], Option[String]) =
+    entryText(entries, "docProps/core.xml").fold((Option.empty[String], Option.empty[String])) { xml =>
+      def f(tag: String) = blocks(xml, tag).headOption.map(unescape).filter(_.nonEmpty)
+      (f("dc:title"), f("dc:creator"))
+    }
+}
+
+private[sources] object PdfParser {
+
+  /** Byte-preserving single-byte view: offsets and round-trips are exact. */
+  private def latin1(b: Array[Byte]): String = new String(b, StandardCharsets.ISO_8859_1)
+
+  private val ObjHeader = """(\d+)\s+\d+\s+obj""".r
+
+  /** Object number → body text (dict + any stream payload, latin-1). Scans
+    * sequentially so stream payloads containing "N 0 obj" bytes can't spawn
+    * phantom objects; stream ends are located via /Length when present.
+    */
+  private def objects(s: String): Map[Int, String] = {
+    val out = mutable.Map.empty[Int, String]
+    var from = 0
+    ObjHeader.findAllMatchIn(s).foreach { m =>
+      if (m.start >= from) {
+        val bodyStart = m.end
+        val streamIdx = s.indexOf("stream", bodyStart)
+        val endobjIdx = s.indexOf("endobj", bodyStart)
+        val end =
+          if (streamIdx >= 0 && (endobjIdx < 0 || streamIdx < endobjIdx)) {
+            val dict = s.substring(bodyStart, streamIdx)
+            var dataStart = streamIdx + "stream".length
+            if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+            if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+            val es = """/Length\s+(\d+)\b""".r.findFirstMatchIn(dict)
+              .map(l => s.indexOf("endstream", dataStart + l.group(1).toInt))
+              .filter(_ >= 0)
+              .getOrElse(s.indexOf("endstream", dataStart))
+            val eo = if (es >= 0) s.indexOf("endobj", es) else endobjIdx
+            if (eo < 0) s.length else eo
+          } else if (endobjIdx >= 0) endobjIdx
+          else s.length
+        out(m.group(1).toInt) = s.substring(bodyStart, end)
+        from = end
+      }
+    }
+    out.toMap
+  }
+
+  private def ref(body: String, key: String): Option[Int] =
+    (s"""/$key\\s+(\\d+)\\s+\\d+\\s+R""").r.findFirstMatchIn(body).map(_.group(1).toInt)
+
+  private def refList(body: String, key: String): Seq[Int] =
+    (s"""/$key\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(body).map { m =>
+      """(\d+)\s+\d+\s+R""".r.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq
+    }.getOrElse(ref(body, key).toSeq)
+
+  private def isType(body: String, t: String): Boolean =
+    (s"""/Type\\s*/$t(?![A-Za-z])""").r.findFirstIn(body).isDefined
+
+  /** Page object numbers in tree order (catalog → /Pages → /Kids, nested
+    * /Pages recursed); falls back to file-order /Type /Page objects when
+    * the catalog chain is broken.
+    */
+  private def pageOrder(objs: Map[Int, String], rawS: String): Seq[Int] = {
+    def walk(n: Int, seen: Set[Int]): Seq[Int] = objs.get(n) match {
+      case _ if seen(n) => Nil // cyclic /Kids guard
+      case Some(b) if isType(b, "Pages") => refList(b, "Kids").flatMap(walk(_, seen + n))
+      case Some(b) if isType(b, "Page") => Seq(n)
+      case _ => Nil
+    }
+    val viaCatalog = for {
+      rootM <- """/Root\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(rawS)
+      cat <- objs.get(rootM.group(1).toInt)
+      pages <- ref(cat, "Pages")
+    } yield walk(pages, Set.empty)
+    viaCatalog.filter(_.nonEmpty).getOrElse(
+      objs.toSeq.sortBy(_._1).collect { case (n, b) if isType(b, "Page") => n })
+  }
+
+  /** Stream payload bytes, FlateDecoded when /Filter says so. */
+  private def streamData(body: String): Option[Array[Byte]] = {
+    val i = body.indexOf("stream")
+    if (i < 0) return None
+    val dict = body.substring(0, i)
+    var start = i + "stream".length
+    if (start < body.length && body.charAt(start) == '\r') start += 1
+    if (start < body.length && body.charAt(start) == '\n') start += 1
+    val end = """/Length\s+(\d+)\b""".r.findFirstMatchIn(dict)
+      .map(l => body.indexOf("endstream", start + l.group(1).toInt))
+      .filter(_ >= 0)
+      .getOrElse(body.indexOf("endstream", start))
+    if (end < start) return None
+    val raw = body.substring(start, end).stripSuffix("\n").stripSuffix("\r")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    if (dict.contains("FlateDecode")) Some(inflate(raw)) else Some(raw)
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new IllegalArgumentException("truncated FlateDecode stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** PDF literal string starting after '(': escapes, octal, balanced parens. */
+  private def literal(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var depth = 1
+    var i = start
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length =>
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '\n' => i += 2 // line continuation
+            case '\r' => i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1; var v = 0
+              while (j < s.length && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                v = v * 8 + (s.charAt(j) - '0'); j += 1
+              }
+              sb.append(v.toChar); i = j
+            case c => sb.append(c); i += 2
+          }
+        case '(' => depth += 1; sb.append('('); i += 1
+        case ')' => depth -= 1; if (depth > 0) sb.append(')'); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    (sb.toString, i)
+  }
+
+  /** Text of one content stream: `Tj`/`'`/`"`/`TJ` show pending strings,
+    * `Td`/`TD`/`T*` break a line (only after some text — a positioning op
+    * before the first show must not emit a leading newline).
+    */
+  private[sources] def textOfStream(cs: String): String = {
+    val sb = new StringBuilder
+    val pending = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    def breakLine(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    while (i < cs.length) {
+      cs.charAt(i) match {
+        case '(' =>
+          val (str, next) = literal(cs, i + 1)
+          pending += str; i = next
+        case '<' if i + 1 < cs.length && cs.charAt(i + 1) != '<' =>
+          val end = cs.indexOf('>', i)
+          if (end < 0) i = cs.length
+          else {
+            val hexs = cs.substring(i + 1, end).filterNot(_.isWhitespace)
+            val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
+            pending += padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+            i = end + 1
+          }
+        case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+          var j = i
+          while (j < cs.length && { val ch = cs.charAt(j); ch.isLetterOrDigit || ch == '\'' || ch == '"' || ch == '*' }) j += 1
+          cs.substring(i, j) match {
+            case "Tj" | "'" | "\"" | "TJ" =>
+              pending.foreach(sb ++= _); pending.clear()
+            case "Td" | "TD" | "T*" =>
+              pending.clear(); breakLine()
+            case _ => pending.clear()
+          }
+          i = j
+        case _ => i += 1
+      }
+    }
+    sb.toString.reverse.dropWhile(_ == '\n').reverse
+  }
+
+  /** pdf_extractor.py:22-38: non-empty page texts joined "\n\n";
+    * page_count always present, title/author when the /Info dict has them.
+    */
+  def extract(content: Array[Byte]): (String, Map[String, String]) = {
+    val s = latin1(content)
+    if (!s.startsWith("%PDF")) throw new IllegalArgumentException("not a PDF (missing %PDF header)")
+    val objs = objects(s)
+    val pages = pageOrder(objs, s)
+    val pageTexts = pages.map { p =>
+      refList(objs(p), "Contents")
+        .flatMap(c => objs.get(c).flatMap(streamData))
+        .map(b => textOfStream(latin1(b)))
+        .mkString("\n")
+    }
+    val info = for {
+      m <- """/Info\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
+      b <- objs.get(m.group(1).toInt)
+    } yield b
+    def infoStr(key: String): Option[String] = info.flatMap { b =>
+      (s"""/$key\\s*\\(""").r.findFirstMatchIn(b).map(m => literal(b, m.end)._1)
+    }
+    val meta = Map("page_count" -> pages.size.toString) ++
+      infoStr("Title").map("title" -> _) ++ infoStr("Author").map("author" -> _)
+    (pageTexts.filter(_.nonEmpty).mkString("\n\n"), meta)
+  }
+}
+
+/** S2 — PDF text extraction (pdf_extractor.py:16-40). */
+final class PdfExtractor extends Extractor {
+  val name = "PdfExtractor"
+  def extract(content: Array[Byte], fileName: String): (String, Map[String, String]) =
+    PdfParser.extract(content)
+}
+
+/** S3 — DOCX (docx_extractor.py:16-27; text contract is docx2txt's: header
+  * parts, then body, then footer parts; every paragraph emits its run text
+  * followed by a blank line; tabs/breaks become real characters; final
+  * strip). Metadata is `{}` like the reference.
+  */
+final class DocxExtractor extends Extractor {
+  val name = "DocxExtractor"
+
+  private val Para = "(?s)<w:p(?:\\s[^>]*)?>.*?</w:p>|<w:p/>".r
+  private val Run = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab\\s*/>|<w:br\\s*/>|<w:cr\\s*/>".r
+
+  private def partText(xml: String): String =
+    Para.findAllIn(xml).map { p =>
+      Run.findAllMatchIn(p).map { m =>
+        Option(m.group(1)).map(Ooxml.unescape).getOrElse(
+          if (m.matched.startsWith("<w:tab")) "\t" else "\n")
+      }.mkString + "\n\n"
+    }.mkString
+
+  def extract(content: Array[Byte], fileName: String): (String, Map[String, String]) = {
+    val es = Ooxml.entries(content)
+    if (!es.exists(_._1 == "word/document.xml"))
+      throw new IllegalArgumentException("not a DOCX (no word/document.xml)")
+    val ordered =
+      es.collect { case (n, _) if n.matches("word/header\\d*\\.xml") => n }.sorted ++
+        Vector("word/document.xml") ++
+        es.collect { case (n, _) if n.matches("word/footer\\d*\\.xml") => n }.sorted
+    val text = ordered.flatMap(Ooxml.entryText(es, _)).map(partText).mkString.trim
+    (text, Map.empty)
+  }
+}
+
+/** S4 — PPTX (pptx_extractor.py:26-57): shape text = paragraph texts joined
+  * "\n" (python-pptx `shape.text`), non-empty shapes joined "\n" within a
+  * slide, non-empty slides joined "\n\n"; slide_count + core-props metadata.
+  */
+final class PptxExtractor extends Extractor {
+  val name = "PptxExtractor"
+
+  private val SlideName = "^ppt/slides/slide(\\d+)\\.xml$".r
+
+  def extract(content: Array[Byte], fileName: String): (String, Map[String, String]) = {
+    val es = Ooxml.entries(content)
+    val slides = es.flatMap { case (n, b) =>
+      SlideName.findFirstMatchIn(n).map(m => (m.group(1).toInt, new String(b, StandardCharsets.UTF_8)))
+    }.sortBy(_._1)
+    if (slides.isEmpty && !es.exists(_._1 == "ppt/presentation.xml"))
+      throw new IllegalArgumentException("not a PPTX (no ppt/presentation.xml)")
+    val slideTexts = slides.map { case (_, xml) =>
+      Ooxml.blocks(xml, "p:txBody").map { body =>
+        Ooxml.blocks(body, "a:p")
+          .map(p => Ooxml.blocks(p, "a:t").map(Ooxml.unescape).mkString)
+          .mkString("\n")
+      }.filter(_.nonEmpty).mkString("\n")
+    }.filter(_.nonEmpty)
+    val (title, author) = Ooxml.coreProps(es)
+    val meta = Map("slide_count" -> slides.size.toString) ++
+      title.map("title" -> _) ++ author.map("author" -> _)
+    (slideTexts.mkString("\n\n"), meta)
+  }
+}
+
+/** S5 — XLSX (xlsx_extractor.py:28-74): per sheet "Sheet: <name>", rows as
+  * " | "-joined non-null cell strings, a 20-dash separator, all parts joined
+  * "\n"; sheet_count / sheet_names / total_cells_processed metadata (plus
+  * core-props author/title when present). Cell rendering mirrors openpyxl's
+  * `str(cell.value)`: shared/inline strings verbatim, integral numbers
+  * without a decimal point, booleans as True/False.
+  */
+final class XlsxExtractor extends Extractor {
+  val name = "XlsxExtractor"
+
+  private val Rel = "<Relationship\\b[^>]*/?>".r
+  private val Sheet = "<sheet\\b[^>]*/?>".r
+  private val Cell = "(?s)<c(\\s[^>]*)?>(.*?)</c>|<c(\\s[^>]*)?/>".r
+
+  private def attr(tag: String, name: String): Option[String] =
+    (java.util.regex.Pattern.quote(name) + "=\"([^\"]*)\"").r
+      .findFirstMatchIn(tag).map(m => Ooxml.unescape(m.group(1)))
+
+  private def numStr(v: String): String =
+    if (v.matches("-?\\d+")) v else v.toDouble.toString
+
+  def extract(content: Array[Byte], fileName: String): (String, Map[String, String]) = {
+    val es = Ooxml.entries(content)
+    val wb = Ooxml.entryText(es, "xl/workbook.xml")
+      .getOrElse(throw new IllegalArgumentException("not an XLSX (no xl/workbook.xml)"))
+    val relTargets: Map[String, String] =
+      Ooxml.entryText(es, "xl/_rels/workbook.xml.rels").toSeq.flatMap { rels =>
+        Rel.findAllIn(rels).flatMap(t => for (i <- attr(t, "Id"); tgt <- attr(t, "Target")) yield i -> tgt)
+      }.toMap
+    val shared: Vector[String] = Ooxml.entryText(es, "xl/sharedStrings.xml").toVector
+      .flatMap(x => Ooxml.blocks(x, "si").map(si => Ooxml.blocks(si, "t").map(Ooxml.unescape).mkString))
+
+    val sheets: Seq[(String, String)] = Sheet.findAllIn(wb).toSeq.zipWithIndex.map { case (tag, i) =>
+      val sheetName = attr(tag, "name").getOrElse(s"Sheet${i + 1}")
+      val target = attr(tag, "r:id").flatMap(relTargets.get)
+        .map(t => if (t.startsWith("/")) t.stripPrefix("/") else "xl/" + t.stripPrefix("./"))
+        .getOrElse(s"xl/worksheets/sheet${i + 1}.xml")
+      (sheetName, target)
+    }
+
+    var totalCells = 0
+    val parts = Vector.newBuilder[String]
+    sheets.foreach { case (sheetName, path) =>
+      Ooxml.entryText(es, path).foreach { xml =>
+        val rowTexts = Ooxml.blocks(xml, "row").flatMap { row =>
+          val values = Cell.findAllMatchIn(row).flatMap { m =>
+            val attrs = Option(m.group(1)).orElse(Option(m.group(3))).getOrElse("")
+            val inner = Option(m.group(2)).getOrElse("")
+            def v = Ooxml.blocks(inner, "v").headOption.map(Ooxml.unescape)
+            attr("<c" + attrs + ">", "t") match {
+              case Some("s") => v.map(i => shared(i.toInt))
+              case Some("inlineStr") =>
+                Some(Ooxml.blocks(inner, "t").map(Ooxml.unescape).mkString).filter(_.nonEmpty)
+              case Some("str") => v
+              case Some("b") => v.map(x => if (x == "1") "True" else "False")
+              case _ => v.map(numStr)
+            }
+          }.toVector
+          if (values.isEmpty) None
+          else { totalCells += values.size; Some(values.mkString(" | ")) }
+        }
+        if (rowTexts.nonEmpty) {
+          parts += s"Sheet: $sheetName"
+          parts += rowTexts.mkString("\n")
+          parts += "-" * 20
+        }
+      }
+    }
+    val (title, author) = Ooxml.coreProps(es)
+    val meta = Map(
+      "sheet_count" -> sheets.size.toString,
+      "sheet_names" -> sheets.map(_._1).mkString(","),
+      "total_cells_processed" -> totalCells.toString,
+    ) ++ title.map("title" -> _) ++ author.map("author" -> _)
+    (parts.result().mkString("\n"), meta)
+  }
+}

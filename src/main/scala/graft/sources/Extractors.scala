@@ -10,12 +10,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * ExtractorFactory extension map (backend/extractors/factory.py:22-46).
   *
   * The text-family extractors (S8/S9/S10 + the per-file CSV form of S6) are
-  * complete JVM re-expressions. Binary formats (PDF/DOCX/PPTX/images/XLSX —
-  * S2/S3/S4/S7) need native parsers that are out of a Spark-core engine's
-  * scope (SURVEY §2.1): they are registered as [[Extractors.Unbound]]
-  * placeholders, so the routing/dispatch surface is total over the
-  * reference's 23 extensions and production swaps in pdfbox/poi/tesseract
-  * instances via a custom registry without touching the engine.
+  * complete JVM re-expressions, and the binary document formats
+  * (PDF/DOCX/PPTX/XLSX — S2/S3/S4/S5) are real pure-JVM parsers in
+  * [[BinaryExtractors]] (`java.util.zip` containers + FlateDecode + targeted
+  * XML/content-stream pulls — no external libraries). Only image OCR (S7)
+  * stays an [[Extractors.Unbound]] registration point: OCR genuinely needs a
+  * native engine (tesseract), which production swaps in via a custom
+  * registry without touching the engine.
   */
 trait Extractor extends Serializable {
 
@@ -102,13 +103,13 @@ object Extractors {
     val text = new TextExtractor
     val code = new CodeExtractor
     val img  = new Unbound("ImageExtractor", "image OCR")
-    val pptx = new Unbound("PptxExtractor", "PPTX")
+    val pptx = new PptxExtractor
     Map(
-      "pdf"  -> new Unbound("PdfExtractor", "PDF"),
-      "docx" -> new Unbound("DocxExtractor", "DOCX"),
+      "pdf"  -> new PdfExtractor,
+      "docx" -> new DocxExtractor,
       "pptx" -> pptx, "ppt" -> pptx,
       "jpg"  -> img, "jpeg" -> img, "png" -> img, "webp" -> img,
-      "xlsx" -> new Unbound("XlsxExtractor", "XLSX"),
+      "xlsx" -> new XlsxExtractor,
       "txt"  -> text, "md" -> text,
       "py" -> code, "js" -> code, "java" -> code, "cpp" -> code, "html" -> code,
       "css" -> code, "json" -> code, "xml" -> code, "yaml" -> code, "yml" -> code,
