@@ -373,7 +373,7 @@ object SparkEntry {
     // DEFLATED/FlateDecode paths are unit-tested (BinaryExtractorsSpec).
     "s2_pdf_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
-        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".pdf"))).toDF()
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.pdf")).toDF()
         .select(col("file_name"), col("extractor"), col("text"),
           col("metadata")("page_count").cast("long").as("page_count"),
           col("metadata")("title").as("title"),
@@ -381,12 +381,12 @@ object SparkEntry {
 
     "s3_docx_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
-        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".docx"))).toDF()
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.docx")).toDF()
         .select(col("file_name"), col("extractor"), col("text"))),
 
     "s4_pptx_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
-        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".pptx"))).toDF()
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.pptx")).toDF()
         .select(col("file_name"), col("extractor"), col("text"),
           col("metadata")("slide_count").cast("long").as("slide_count"),
           col("metadata")("title").as("title"),
@@ -394,7 +394,7 @@ object SparkEntry {
 
     "s5_xlsx_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
-        Multimodal.binaryTable(s, "/root/repo/fixtures/office").where(col("file_name").endsWith(".xlsx"))).toDF()
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.xlsx")).toDF()
         .select(col("file_name"), col("extractor"), col("text"),
           col("metadata")("sheet_count").cast("long").as("sheet_count"),
           col("metadata")("sheet_names").as("sheet_names"),

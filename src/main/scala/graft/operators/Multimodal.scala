@@ -22,7 +22,15 @@ object Multimodal {
     * row, read on executors, never collected to the driver.
     */
   def binaryTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").load(dir)
+    binaryTable(spark, dir, "*")
+
+  /** Extension/name gating belongs in `pathGlobFilter`, not a post-scan
+    * `where` on file_name: the glob prunes at file-LISTING time, so
+    * non-matching blobs are never opened — a filter on the derived name
+    * column would read every byte of a 100 TB corpus first.
+    */
+  def binaryTable(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
         col("length").as("n_bytes"),
