@@ -62,6 +62,39 @@ object SparkEntry {
     */
   private def hx(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map("%02X".format(_)).mkString
+
+  /** S17's arcname resolution, shared by the path query and the zip-export
+    * round trip: uploads modeled from documents, folder tree from
+    * region/nation/customer via the J5 fixpoint, arcname rules of
+    * main.py:953-980 (mapped → path/file, `__root__` → file, unmapped or
+    * dangling → unsorted/file).
+    */
+  private def exportArcnames(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    val folders = t.region
+      .select(concat(lit("r"), col("r_regionkey")).as("id"), col("r_name").as("name"), lit(null).cast("string").as("parent_id"))
+      .unionByName(t.nation.select(concat(lit("n"), col("n_nationkey")).as("id"), col("n_name").as("name"), concat(lit("r"), col("n_regionkey")).as("parent_id")))
+      .unionByName(t.customer.where(col("c_custkey") <= 100)
+        .select(concat(lit("c"), col("c_custkey")).as("id"), col("c_name").as("name"), concat(lit("n"), col("c_nationkey")).as("parent_id")))
+    val paths = Joins.folderPaths(folders).select(col("id").as("folder_id"), col("path"))
+    val files = t.documents.select(
+      col("doc_id"),
+      col("text"),
+      concat(lit("doc_"), col("doc_id"), lit(".txt")).as("filename"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+        .when(col("doc_id") % 5 === 1, lit("__root__"))
+        .otherwise(concat(lit("c"), col("doc_id") % 100 + 1)).as("folder_id"),
+    )
+    files.join(broadcast(paths), Seq("folder_id"), "left")
+      .select(
+        col("doc_id"),
+        col("text"),
+        when(col("folder_id").isNull, concat(lit("unsorted/"), col("filename")))
+          .when(col("folder_id") === "__root__", col("filename"))
+          .when(col("path").isNotNull, concat(col("path"), lit("/"), col("filename")))
+          .otherwise(concat(lit("unsorted/"), col("filename"))).as("arcname"),
+      )
+  }
   private val allowed = Seq("pdf", "txt", "md")
 
   /** Torture filename for F8 (reserved chars, tab, length cap, empty case). */
@@ -402,32 +435,21 @@ object SparkEntry {
 
     // S17 — export path resolution: uploads ⋈ file_folders ⋈ resolved folder
     // tree (main.py:953-980 arcname rules: mapped → path/file, root sentinel
-    // → file, unmapped → unsorted/file). The zip write itself is I/O glue
-    // out of engine scope (SURVEY §2.1).
-    "s17_export_paths" -> ((s, d) => {
-      val t = Tables(s, d)
-      val folders = t.region
-        .select(concat(lit("r"), col("r_regionkey")).as("id"), col("r_name").as("name"), lit(null).cast("string").as("parent_id"))
-        .unionByName(t.nation.select(concat(lit("n"), col("n_nationkey")).as("id"), col("n_name").as("name"), concat(lit("r"), col("n_regionkey")).as("parent_id")))
-        .unionByName(t.customer.where(col("c_custkey") <= 100)
-          .select(concat(lit("c"), col("c_custkey")).as("id"), col("c_name").as("name"), concat(lit("n"), col("c_nationkey")).as("parent_id")))
-      val paths = Joins.folderPaths(folders).select(col("id").as("folder_id"), col("path"))
-      val files = t.documents.select(
-        col("doc_id"),
-        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("filename"),
-        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
-          .when(col("doc_id") % 5 === 1, lit("__root__"))
-          .otherwise(concat(lit("c"), col("doc_id") % 100 + 1)).as("folder_id"),
-      )
-      files.join(broadcast(paths), Seq("folder_id"), "left")
-        .select(
-          col("doc_id"),
-          when(col("folder_id").isNull, concat(lit("unsorted/"), col("filename")))
-            .when(col("folder_id") === "__root__", col("filename"))
-            .when(col("path").isNotNull, concat(col("path"), lit("/"), col("filename")))
-            .otherwise(concat(lit("unsorted/"), col("filename"))).as("arcname"),
-        )
-        .orderBy("doc_id")
+    // → file, unmapped → unsorted/file).
+    "s17_export_paths" -> ((s, d) => exportArcnames(s, d).select("doc_id", "arcname").orderBy("doc_id")),
+
+    // S17's write half: the same arcnames plus document text, pushed through
+    // the distributed zip sink (one part zip per partition, written on
+    // executors) and read BACK from the real zip bytes — the returned rows
+    // come from the round trip, so the oracle checks sink + container format
+    // end-to-end, not just the path math.
+    "s17_zip_export" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zip_export").toString
+      graft.sources.Export.zipExport(
+        exportArcnames(s, d).select(col("arcname"), encode(col("text"), "UTF-8").as("content")), dir)
+      graft.sources.Export.zipEntries(s, dir)
+        .select(col("arcname"), md5(col("content")).as("text_md5"))
+        .orderBy("arcname")
     }),
 
     // ---------------- V: vector search --------------------------------------
@@ -1060,6 +1082,35 @@ object SparkEntry {
         |        WHEN p.path IS NOT NULL THEN p.path || '/' || filename
         |        ELSE 'unsorted/' || filename END AS arcname
         | FROM files LEFT JOIN paths p ON p.id = files.folder_id ORDER BY doc_id""".stripMargin,
+    // Same tree + arcname rules, but checks the rows that came back OUT of
+    // the written part zips: arcname and md5 of the entry bytes.
+    "s17_zip_export" ->
+      """WITH RECURSIVE folders AS (
+        |   SELECT 'r' || r_regionkey AS id, r_name AS name, NULL AS parent_id FROM region
+        |   UNION ALL SELECT 'n' || n_nationkey, n_name, 'r' || n_regionkey FROM nation
+        |   UNION ALL SELECT 'c' || c_custkey, c_name, 'n' || c_nationkey FROM customer WHERE c_custkey <= 100
+        | ), r AS (
+        |   SELECT id, name, parent_id, name AS path, parent_id AS cursor FROM folders
+        |   UNION ALL
+        |   SELECT r.id, r.name, r.parent_id, f.name || '/' || r.path, f.parent_id FROM r JOIN folders f ON r.cursor = f.id
+        | ), paths AS (
+        |   SELECT id, path FROM r
+        |   WHERE cursor IS NULL
+        |      OR NOT EXISTS (SELECT 1 FROM folders f2 WHERE f2.id = r.cursor)
+        | ),
+        | files AS (
+        |   SELECT doc_id, text, 'doc_' || doc_id || '.txt' AS filename,
+        |     CASE WHEN doc_id % 5 = 0 THEN NULL
+        |          WHEN doc_id % 5 = 1 THEN '__root__'
+        |          ELSE 'c' || (doc_id % 100 + 1) END AS folder_id
+        |   FROM documents)
+        | SELECT
+        |   CASE WHEN folder_id IS NULL THEN 'unsorted/' || filename
+        |        WHEN folder_id = '__root__' THEN filename
+        |        WHEN p.path IS NOT NULL THEN p.path || '/' || filename
+        |        ELSE 'unsorted/' || filename END AS arcname,
+        |   md5(text) AS text_md5
+        | FROM files LEFT JOIN paths p ON p.id = files.folder_id ORDER BY arcname""".stripMargin,
     "s12_scan" ->
       "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm FROM embeddings ORDER BY vec_id",
     "s13_point_lookup" ->

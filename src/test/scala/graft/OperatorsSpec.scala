@@ -264,6 +264,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- S17 zip export sink ------------------------------------------------
+  test("zipExport: binary round trip, one part per partition, arcname-sorted entries") {
+    import graft.sources.Export
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_test").toString
+    val rows = Seq(
+      ("b/two.bin", Array[Byte](0, -1, 127, 8)), // non-UTF8 bytes survive
+      ("a/one.txt", "hello".getBytes("UTF-8")),
+      ("c/three.txt", "third".getBytes("UTF-8")),
+    ).toDF("arcname", "content").repartition(2)
+    Export.zipExport(rows, dir)
+
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".zip"))
+    assert(parts.nonEmpty && parts.length <= 2)
+    // entries inside each part are sorted by arcname (determinism contract)
+    parts.foreach { p =>
+      val zf = new java.util.zip.ZipFile(p)
+      val names = try {
+        val es = zf.entries(); val b = Vector.newBuilder[String]
+        while (es.hasMoreElements) b += es.nextElement().getName
+        b.result()
+      } finally zf.close()
+      assert(names == names.sorted)
+    }
+    val back = Export.zipEntries(spark, dir)
+      .select("arcname", "content").as[(String, Array[Byte])].collect()
+      .sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq("a/one.txt", "b/two.bin", "c/three.txt"))
+    assert(back(1)._2.toSeq == Seq[Byte](0, -1, 127, 8))
+    assert(new String(back(0)._2, "UTF-8") == "hello")
+  }
+
   // ---- Maintenance --------------------------------------------------------
   test("upsert: updates replace, new keys append; joinUpdate coalesces") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
