@@ -433,6 +433,24 @@ object SparkEntry {
           col("metadata")("sheet_names").as("sheet_names"),
           col("metadata")("total_cells_processed").cast("long").as("total_cells"))),
 
+    // S7 — image scan: real header parsing (PNG IHDR / JPEG SOF walk /
+    // WebP VP8X) through the distributed seam; OCR text is the pluggable
+    // Ocr seam's output (default NoOcr → ""). The oracle re-derives every
+    // dimension from the raw bytes in DuckDB. anim.gif is deliberately NOT
+    // scanned: the reference's factory has no .gif entry (factory.py:22-46),
+    // so it stays the unsupported-extension unit-test case.
+    "s7_image_meta" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/images", "*.{png,jpg,webp}")).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("width").cast("long").as("width"),
+          col("metadata")("height").cast("long").as("height"),
+          col("metadata")("format").as("format"),
+          col("metadata")("mode").as("mode"),
+          col("metadata")("file_size").cast("long").as("file_size"),
+          col("metadata")("ocr_engine").as("ocr_engine"))
+        .orderBy("file_name")),
+
     // S17 — export path resolution: uploads ⋈ file_folders ⋈ resolved folder
     // tree (main.py:953-980 arcname rules: mapped → path/file, root sentinel
     // → file, unmapped → unsorted/file).
@@ -1082,6 +1100,29 @@ object SparkEntry {
         |        WHEN p.path IS NOT NULL THEN p.path || '/' || filename
         |        ELSE 'unsorted/' || filename END AS arcname
         | FROM files LEFT JOIN paths p ON p.id = files.folder_id ORDER BY doc_id""".stripMargin,
+    // Each image's dimensions recomputed from its bytes: PNG big-endian
+    // IHDR words, GIF little-endian screen descriptor, JPEG SOF0 at its
+    // marker offset, WebP VP8X 24-bit LE canvas-minus-one. '0x'||substr of
+    // hex(content) → BIGINT is the hex-to-int bridge.
+    "s7_image_meta" ->
+      raw"""WITH png AS (SELECT content, hex(content) AS h FROM read_blob('/root/repo/fixtures/images/pix.png')),
+           | jpg AS (SELECT content, hex(content) AS h, strpos(hex(content), 'FFC0') AS p FROM read_blob('/root/repo/fixtures/images/photo.jpg')),
+           | wbp AS (SELECT content, hex(content) AS h FROM read_blob('/root/repo/fixtures/images/canvas.webp'))
+           | SELECT 'pix.png' AS file_name, 'ImageExtractor' AS extractor, '' AS text,
+           |   ('0x'||substr(h,33,8))::BIGINT AS width, ('0x'||substr(h,41,8))::BIGINT AS height,
+           |   'PNG' AS format,
+           |   CASE substr(h,51,2) WHEN '00' THEN 'L' WHEN '02' THEN 'RGB' WHEN '03' THEN 'P' WHEN '04' THEN 'LA' WHEN '06' THEN 'RGBA' ELSE 'unknown' END AS mode,
+           |   octet_length(content)::BIGINT AS file_size, 'none' AS ocr_engine FROM png
+           | UNION ALL SELECT 'photo.jpg', 'ImageExtractor', '',
+           |   ('0x'||substr(h,p+14,4))::BIGINT, ('0x'||substr(h,p+10,4))::BIGINT, 'JPEG',
+           |   CASE substr(h,p+18,2) WHEN '01' THEN 'L' WHEN '03' THEN 'RGB' WHEN '04' THEN 'CMYK' ELSE 'unknown' END,
+           |   octet_length(content)::BIGINT, 'none' FROM jpg
+           | UNION ALL SELECT 'canvas.webp', 'ImageExtractor', '',
+           |   ('0x'||substr(h,53,2)||substr(h,51,2)||substr(h,49,2))::BIGINT + 1,
+           |   ('0x'||substr(h,59,2)||substr(h,57,2)||substr(h,55,2))::BIGINT + 1,
+           |   'WEBP', 'RGB', octet_length(content)::BIGINT, 'none' FROM wbp
+           | ORDER BY file_name""".stripMargin,
+
     // Same tree + arcname rules, but checks the rows that came back OUT of
     // the written part zips: arcname and md5 of the entry bytes.
     "s17_zip_export" ->

@@ -355,6 +355,87 @@ final class PptxExtractor extends Extractor {
   }
 }
 
+/** S7 — image header parsing (image_extractor.py:18-68). PIL's metadata
+  * half (width/height/format/mode) is re-expressed as real pure-JVM header
+  * parsers: PNG IHDR, JPEG SOFn marker walk, GIF logical-screen descriptor,
+  * WebP VP8X canvas. The OCR half is a pluggable [[Ocr]] seam — character
+  * recognition genuinely needs a native engine (tesseract), which a
+  * deployment binds without touching the engine; the default [[NoOcr]]
+  * yields empty text, the reference's own behavior for textless images
+  * (image_extractor.py:56-58).
+  */
+object ImageMeta {
+
+  private def u16be(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u24le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+
+  private def ascii(b: Array[Byte], from: Int, len: Int): String =
+    if (b.length < from + len) "" else new String(b, from, len, StandardCharsets.US_ASCII)
+
+  /** (width, height, format, mode) — format/mode use PIL's vocabulary so the
+    * metadata is payload-compatible with the reference's.
+    */
+  def parse(b: Array[Byte]): (Long, Long, String, String) = {
+    if (b.length >= 26 && (b(0) & 0xff) == 0x89 && ascii(b, 1, 3) == "PNG") {
+      val mode = b(25) match {
+        case 0 => "L"; case 2 => "RGB"; case 3 => "P"; case 4 => "LA"; case 6 => "RGBA"
+        case _ => "unknown"
+      }
+      (u32be(b, 16), u32be(b, 20), "PNG", mode)
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // walk FF-marker segments to the first SOFn (C0–CF minus C4/C8/CC)
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) throw new IllegalArgumentException("bad JPEG marker stream")
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          val mode = (b(i + 9) & 0xff) match { case 1 => "L"; case 3 => "RGB"; case 4 => "CMYK"; case _ => "unknown" }
+          return (u16be(b, i + 7).toLong, u16be(b, i + 5).toLong, "JPEG", mode)
+        }
+        i += 2 + u16be(b, i + 2)
+      }
+      throw new IllegalArgumentException("JPEG without SOF dimensions")
+    } else if (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a") {
+      (u16le(b, 6).toLong, u16le(b, 8).toLong, "GIF", "P")
+    } else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP" && ascii(b, 12, 4) == "VP8X" && b.length >= 30) {
+      (u24le(b, 24).toLong + 1, u24le(b, 27).toLong + 1, "WEBP", "RGB")
+    } else throw new IllegalArgumentException("unrecognized image container")
+  }
+}
+
+/** OCR seam: bytes + parsed metadata → recognized text. */
+trait Ocr extends Serializable {
+  def name: String
+  def recognize(content: Array[Byte], width: Long, height: Long): String
+}
+
+/** Default binding: no native OCR engine in a pure-JVM container — empty
+  * text (the reference's textless-image result), real header metadata.
+  */
+object NoOcr extends Ocr {
+  val name = "none"
+  def recognize(content: Array[Byte], width: Long, height: Long): String = ""
+}
+
+/** S7 — image scan: real header metadata + seam-provided OCR text. */
+final class ImageExtractor(ocr: Ocr = NoOcr) extends Extractor {
+  val name = "ImageExtractor"
+  def extract(content: Array[Byte], fileName: String): (String, Map[String, String]) = {
+    val (w, h, format, mode) = ImageMeta.parse(content)
+    val text = ocr.recognize(content, w, h).strip()
+    (text, Map(
+      "width" -> w.toString, "height" -> h.toString,
+      "format" -> format, "mode" -> mode,
+      "file_size" -> content.length.toString,
+      "ocr_engine" -> ocr.name,
+    ))
+  }
+}
+
 /** S5 — XLSX (xlsx_extractor.py:28-74): per sheet "Sheet: <name>", rows as
   * " | "-joined non-null cell strings, a 20-dash separator, all parts joined
   * "\n"; sheet_count / sheet_names / total_cells_processed metadata (plus

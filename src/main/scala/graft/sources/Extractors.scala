@@ -13,10 +13,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * complete JVM re-expressions, and the binary document formats
   * (PDF/DOCX/PPTX/XLSX — S2/S3/S4/S5) are real pure-JVM parsers in
   * [[BinaryExtractors]] (`java.util.zip` containers + FlateDecode + targeted
-  * XML/content-stream pulls — no external libraries). Only image OCR (S7)
-  * stays an [[Extractors.Unbound]] registration point: OCR genuinely needs a
-  * native engine (tesseract), which production swaps in via a custom
-  * registry without touching the engine.
+  * XML/content-stream pulls — no external libraries). Images (S7) get real
+  * header metadata (PNG/JPEG/GIF/WebP dimensions + mode via [[ImageMeta]]);
+  * only the character-recognition half stays a pluggable [[Ocr]] seam —
+  * OCR genuinely needs a native engine (tesseract), which production binds
+  * via `new ImageExtractor(myOcr)` in a custom registry without touching
+  * the engine.
   */
 trait Extractor extends Serializable {
 
@@ -102,7 +104,7 @@ object Extractors {
   val defaultRegistry: Map[String, Extractor] = {
     val text = new TextExtractor
     val code = new CodeExtractor
-    val img  = new Unbound("ImageExtractor", "image OCR")
+    val img  = new ImageExtractor()
     val pptx = new PptxExtractor
     Map(
       "pdf"  -> new PdfExtractor,

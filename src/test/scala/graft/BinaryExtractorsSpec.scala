@@ -125,6 +125,30 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(meta("total_cells_processed") == "5")
   }
 
+  test("ImageMeta: PNG/JPEG/GIF/WebP headers parse; OCR seam plugs in") {
+    val png = new ImageExtractor().extract(read("fixtures/images/pix.png"), "pix.png")
+    assert(png._1 == "" && png._2("width") == "3" && png._2("height") == "2" &&
+      png._2("format") == "PNG" && png._2("mode") == "L" && png._2("ocr_engine") == "none")
+    val jpg = new ImageExtractor().extract(read("fixtures/images/photo.jpg"), "photo.jpg")
+    assert(jpg._2("width") == "7" && jpg._2("height") == "9" && jpg._2("format") == "JPEG" && jpg._2("mode") == "L")
+    val gif = new ImageExtractor().extract(read("fixtures/images/anim.gif"), "anim.gif")
+    assert(gif._2("width") == "4" && gif._2("height") == "5" && gif._2("format") == "GIF" && gif._2("mode") == "P")
+    val webp = new ImageExtractor().extract(read("fixtures/images/canvas.webp"), "canvas.webp")
+    assert(webp._2("width") == "6" && webp._2("height") == "8" && webp._2("format") == "WEBP")
+
+    // a bound OCR engine's text flows through; file_size is the blob length
+    object FakeOcr extends Ocr {
+      val name = "fake"
+      def recognize(c: Array[Byte], w: Long, h: Long) = s"  ${w}x$h  "
+    }
+    val (t, m) = new ImageExtractor(FakeOcr).extract(read("fixtures/images/pix.png"), "pix.png")
+    assert(t == "3x2" && m("ocr_engine") == "fake" && m("file_size").toInt == read("fixtures/images/pix.png").length)
+
+    intercept[IllegalArgumentException] {
+      ImageMeta.parse("BM not an image".getBytes(UTF_8)) // BMP unsupported
+    }
+  }
+
   test("corrupt containers become error rows through the distributed seam") {
     val spark = TestSpark.spark
     import spark.implicits._

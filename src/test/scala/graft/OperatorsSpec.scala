@@ -249,17 +249,18 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   // ---- S2-family extractor seam -------------------------------------------
-  test("Extractor registry: text+binary formats bound, OCR fails loudly, unknown ext is None") {
+  test("Extractor registry: text+binary formats bound, garbage fails loudly, unknown ext is None") {
     import graft.sources.Extractors
     val (t, m) = Extractors.defaultRegistry("cs").extract(
       "using X;\nnamespace Acme.Engine;\nclass A {}\n".getBytes("UTF-8"), "a.cs")
     assert(t.startsWith("using X;") && m("namespace") == "Acme.Engine" && m("line_count") == "3")
     assert(Extractors.forFile("x.exe").isEmpty)
     assert(Extractors.forFile("x.PDF").exists(_.name == "PdfExtractor"))
-    intercept[IllegalArgumentException] { // real parser now: garbage bytes are a parse error
+    // real parsers now: garbage bytes are loud parse errors, not silent rows
+    intercept[IllegalArgumentException] {
       Extractors.defaultRegistry("pdf").extract(Array[Byte](1, 2), "x.pdf")
     }
-    intercept[UnsupportedOperationException] { // image OCR stays an Unbound seam point
+    intercept[IllegalArgumentException] {
       Extractors.defaultRegistry("png").extract(Array[Byte](1, 2), "x.png")
     }
   }
