@@ -120,6 +120,34 @@ object Ml {
     }
   }
 
+  /** 3-D projection seam for M5. The reference supports method='umap' but
+    * ships without umap-learn and falls back to PCA with a warning
+    * (dimensionality_reduction.py:41-48); unknown method strings also fall
+    * back (dimensionality_reduction.py:36-38). Both fallbacks are
+    * reproduced here: PCA is the bound default, UMAP is a registration
+    * point — a real distributed UMAP (NN-descent + SGD layout) is a
+    * deliberate non-goal (SURVEY §2.6).
+    */
+  trait Reducer3D extends Serializable {
+    def name: String
+    def project(df: DataFrame, vecCol: String, idCol: String): DataFrame
+  }
+
+  object PcaReducer extends Reducer3D {
+    val name = "pca"
+    def project(df: DataFrame, vecCol: String, idCol: String): DataFrame = pca3d(df, vecCol, idCol)
+  }
+
+  /** M5 — method selection with the reference's double fallback: unknown
+    * method → pca; method='umap' with no bound implementation → pca.
+    */
+  def reducerFor(method: String, umap: Option[Reducer3D] = None): Reducer3D =
+    method.toLowerCase match {
+      case "pca"  => PcaReducer
+      case "umap" => umap.getOrElse(PcaReducer)
+      case _      => PcaReducer
+    }
+
   /** M4 — project new vectors with an already-fitted model (the reference's
     * transform-single-query path): fit on `fitDf`, apply to `applyDf`.
     */

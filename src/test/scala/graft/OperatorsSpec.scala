@@ -265,6 +265,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- M5 reducer selection ----------------------------------------------
+  test("reducerFor: pca bound; umap and unknown methods fall back like the reference") {
+    assert(Ml.reducerFor("pca").name == "pca")
+    assert(Ml.reducerFor("umap").name == "pca")  // no umap bound -> fallback
+    assert(Ml.reducerFor("tsne").name == "pca")  // unknown method -> fallback
+    object FakeUmap extends Ml.Reducer3D {
+      val name = "umap"
+      def project(df: org.apache.spark.sql.DataFrame, v: String, i: String) = df
+    }
+    assert(Ml.reducerFor("UMAP", Some(FakeUmap)).name == "umap") // bound instance routes
+    // the selected reducer actually projects
+    val df = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)), (4L, Seq(1.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    val out = Ml.reducerFor("umap").project(df, "vec", "id")
+    assert(out.columns.toSeq == Seq("id", "x", "y", "z") && out.count() == 4)
+  }
+
   // ---- S17 zip export sink ------------------------------------------------
   test("zipExport: binary round trip, one part per partition, arcname-sorted entries") {
     import graft.sources.Export
