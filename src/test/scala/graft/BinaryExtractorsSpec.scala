@@ -7,6 +7,8 @@ import java.nio.file.{Files, Paths}
 import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
 
 import graft.sources._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The pure-JVM binary extractors (S2/S3/S4 + real S5) against both the
@@ -146,6 +148,145 @@ class BinaryExtractorsSpec extends AnyFunSuite {
 
     intercept[IllegalArgumentException] {
       ImageMeta.parse("BM not an image".getBytes(UTF_8)) // BMP unsupported
+    }
+  }
+
+  // ---- property round trips: random content → build a container in memory
+  // → extract → compare against an expectation computed from the GENERATED
+  // data (never from the parser). Deterministic ScalaCheck sampling, same
+  // style as ChunkerSpec.
+
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+
+  private val fragment: Gen[String] = for {
+    n  <- Gen.choose(1, 12)
+    cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++ Seq(' ', '&', '<', '>', '"', '\'', 'é', '.')))
+  } yield cs.mkString
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: DOCX paragraphs/runs round-trip with XML escaping") {
+    val parasGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1, 4).flatMap(r => Gen.listOfN(r, fragment))))
+    (0 until 60).foreach { seed =>
+      val paras = sample(parasGen, seed.toLong)
+      val xml = "<w:document><w:body>" +
+        paras.map(rs => "<w:p>" + rs.map(t => s"<w:r><w:t>${xmlEsc(t)}</w:t></w:r>").mkString + "</w:p>").mkString +
+        "</w:body></w:document>"
+      val got = new DocxExtractor().extract(deflatedZip(Seq("word/document.xml" -> xml)), "p.docx")._1
+      assert(got == paras.map(_.mkString).mkString("\n\n").trim, s"seed=$seed")
+    }
+  }
+
+  test("property: PPTX slides/shapes round-trip; numeric slide order; empties skipped") {
+    val slidesGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 3).flatMap(sh =>
+        Gen.listOfN(sh, Gen.choose(1, 3).flatMap(p => Gen.listOfN(p, fragment))))))
+    (0 until 60).foreach { seed =>
+      val slides = sample(slidesGen, seed.toLong)
+      val entries = ("ppt/presentation.xml" -> "<p:presentation/>") +:
+        slides.zipWithIndex.reverse.map { case (shapes, i) => // reverse entry order: parser must sort numerically
+          s"ppt/slides/slide${i + 1}.xml" ->
+            ("<p:sld><p:cSld><p:spTree>" + shapes.map(ps =>
+              "<p:sp><p:txBody>" + ps.map(t => s"<a:p><a:r><a:t>${xmlEsc(t)}</a:t></a:r></a:p>").mkString + "</p:txBody></p:sp>").mkString +
+              "</p:spTree></p:cSld></p:sld>")
+        }
+      val got = new PptxExtractor().extract(deflatedZip(entries), "p.pptx")
+      val expected = slides
+        .map(_.map(_.mkString("\n")).filter(_.nonEmpty).mkString("\n"))
+        .filter(_.nonEmpty).mkString("\n\n")
+      assert(got._1 == expected, s"seed=$seed")
+      assert(got._2("slide_count") == slides.size.toString)
+    }
+  }
+
+  test("property: XLSX cells (inline/shared/num/bool) round-trip; empty rows skipped") {
+    sealed trait Cell
+    case class Inline(s: String) extends Cell
+    case class Shared(i: Int) extends Cell
+    case class Num(v: Long) extends Cell
+    case class Dbl(v: Double) extends Cell
+    case class Bool(b: Boolean) extends Cell
+    val shared = Vector("alpha", "two words", "a&b<c>")
+    val cellGen: Gen[Cell] = Gen.oneOf(
+      fragment.map(Inline.apply), Gen.choose(0, shared.size - 1).map(Shared.apply),
+      Gen.choose(-999L, 999L).map(Num.apply), Gen.choose(-10.0, 10.0).map(Dbl.apply),
+      Gen.oneOf(true, false).map(Bool.apply))
+    val sheetGen = for {
+      nRows <- Gen.choose(0, 5)
+      rows  <- Gen.listOfN(nRows, Gen.choose(0, 4).flatMap(c => Gen.listOfN(c, cellGen)))
+    } yield rows
+    val bookGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, sheetGen))
+
+    def cellXml(c: Cell): String = c match {
+      case Inline(s) => s"""<c t="inlineStr"><is><t>${xmlEsc(s)}</t></is></c>"""
+      case Shared(i) => s"""<c t="s"><v>$i</v></c>"""
+      case Num(v)    => s"<c><v>$v</v></c>"
+      case Dbl(v)    => s"<c><v>$v</v></c>"
+      case Bool(b)   => s"""<c t="b"><v>${if (b) 1 else 0}</v></c>"""
+    }
+    def cellStr(c: Cell): String = c match {
+      case Inline(s) => s
+      case Shared(i) => shared(i)
+      case Num(v)    => v.toString
+      case Dbl(v)    => v.toString
+      case Bool(b)   => if (b) "True" else "False"
+    }
+    (0 until 60).foreach { seed =>
+      val sheets = sample(bookGen, seed.toLong)
+      val entries = Seq(
+        "xl/workbook.xml" -> ("<workbook><sheets>" + sheets.indices.map(i =>
+          s"""<sheet name="s$i" sheetId="${i + 1}" r:id="rId${i + 1}"/>""").mkString + "</sheets></workbook>"),
+        "xl/_rels/workbook.xml.rels" -> ("<Relationships>" + sheets.indices.map(i =>
+          s"""<Relationship Id="rId${i + 1}" Target="worksheets/sheet${i + 1}.xml"/>""").mkString + "</Relationships>"),
+        "xl/sharedStrings.xml" ->
+          ("<sst>" + shared.map(s => s"<si><t>${xmlEsc(s)}</t></si>").mkString + "</sst>"),
+      ) ++ sheets.zipWithIndex.map { case (rows, i) =>
+        s"xl/worksheets/sheet${i + 1}.xml" ->
+          ("<worksheet><sheetData>" + rows.map(r => "<row>" + r.map(cellXml).mkString + "</row>").mkString + "</sheetData></worksheet>")
+      }
+      val (text, meta) = new XlsxExtractor().extract(deflatedZip(entries), "b.xlsx")
+      val expected = sheets.zipWithIndex.flatMap { case (rows, i) =>
+        val rowTexts = rows.filter(_.nonEmpty).map(_.map(cellStr).mkString(" | "))
+        if (rowTexts.isEmpty) Nil
+        else Seq(s"Sheet: s$i", rowTexts.mkString("\n"), "-" * 20)
+      }.mkString("\n")
+      assert(text == expected, s"seed=$seed")
+      assert(meta("total_cells_processed") == sheets.flatMap(_.map(_.size)).sum.toString)
+    }
+  }
+
+  test("property: PDF pages/lines round-trip with literal-string escaping") {
+    val lineGen = for {
+      n  <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ Seq('(', ')', '\\', ' ', '.')))
+    } yield cs.mkString
+    val pagesGen = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 4).flatMap(l => Gen.listOfN(l, lineGen))))
+    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    (0 until 60).foreach { seed =>
+      val pages = sample(pagesGen, seed.toLong)
+      val kids = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+      val objs = Seq(
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        s"<< /Type /Pages /Kids [$kids] /Count ${pages.size} >>",
+      ) ++ pages.zipWithIndex.flatMap { case (lines, i) =>
+        val content = "BT " + lines.map(l => s"(${esc(l)}) Tj").mkString(" T* ") + " ET"
+        Seq(
+          s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>",
+          s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+        )
+      }
+      val sb = new StringBuilder("%PDF-1.4\n")
+      objs.zipWithIndex.foreach { case (o, i) => sb.append(s"${i + 1} 0 obj\n$o\nendobj\n") }
+      sb.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+      val got = new PdfExtractor().extract(sb.toString.getBytes(ISO_8859_1), "p.pdf")
+      val expected = pages.map(_.mkString("\n")).filter(_.nonEmpty).mkString("\n\n")
+      assert(got._1 == expected, s"seed=$seed")
+      assert(got._2("page_count") == pages.size.toString)
     }
   }
 
