@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in ANN rewrite (spark.graft.ivf.autoProbe=true): brute-force
+    // cosine top-k over an IVF store becomes a partition-pruned probe
+    ext.injectOptimizerRule(graft.plans.IvfAutoProbe.apply)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -525,6 +525,32 @@ object SparkEntry {
         .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
+    // V7 — the IvfAutoProbe optimizer rule end-to-end: a plain declarative
+    // sort-by-cosine + limit over the IVF store, rewritten by the rule into
+    // a pruned probe (plan shape asserted in IvfSpec; here the driver's gate
+    // checks the recall contract). Session mutations are scoped: results
+    // materialize inside the try, confs/rules reset in finally.
+    "v7_auto_probe" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val (indexed, _) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings")
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev = classic.experimental.extraOptimizations
+      classic.experimental.extraOptimizations = prev :+ graft.plans.IvfAutoProbe(s)
+      s.conf.set("spark.graft.ivf.autoProbe", "true")
+      s.conf.set("spark.graft.ivf.nProbe", "6")
+      try {
+        val ann = Search.topK(indexed, "embedding", "vec_id", qVec, 10)
+          .select("vec_id").as[Long].collect().toSet
+        val exact = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10)
+          .select("vec_id").as[Long].collect()
+        Seq((10L, exact.count(ann) >= 8)).toDF("k", "recall_ok")
+      } finally {
+        s.conf.set("spark.graft.ivf.autoProbe", "false")
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // ---------------- D: dedup suite ----------------------------------------
     "d1_exact_groups" -> ((s, d) => Dedup.exactDupGroups(
       Tables(s, d).documents.withColumn("text", concat(col("lang"), lit(" "), col("source"))),
@@ -1174,6 +1200,8 @@ object SparkEntry {
            | CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE 1.0 END AS norm
            | FROM documents ORDER BY doc_id""".stripMargin,
     "v6_ivf_ann" ->
+      "SELECT 10::BIGINT AS k, true AS recall_ok",
+    "v7_auto_probe" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
     "a10_approx_distinct" ->
       "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_ok FROM events",

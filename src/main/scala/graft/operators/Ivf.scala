@@ -83,6 +83,42 @@ object Ivf {
   def writeIndexed(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  /** Write the store AND its centroids sidecar: the sidecar makes the store
+    * self-describing, so [[graft.plans.IvfAutoProbe]] can turn a brute-force
+    * top-k over the store into a pruned probe from the plan alone.
+    */
+  def writeIndexed(assigned: DataFrame, path: String, model: Model): Unit = {
+    writeIndexed(assigned, path)
+    val p  = new org.apache.hadoop.fs.Path(path, CentroidsFile)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val w  = new java.io.PrintWriter(fs.create(p, true))
+    try model.centroids.foreach(c => w.println(c.mkString(",")))
+    finally w.close()
+  }
+
+  /** Underscore prefix: Spark's file index ignores the sidecar, so it never
+    * pollutes the parquet scan.
+    */
+  private val CentroidsFile = "_graft_centroids.txt"
+
+  private val centroidsCache = scala.collection.concurrent.TrieMap.empty[String, Option[Model]]
+
+  /** Centroids persisted next to a store, if any (memoized per root — the
+    * optimizer rule calls this on every candidate plan).
+    */
+  def readCentroids(root: String): Option[Model] = centroidsCache.getOrElseUpdate(root, {
+    val p  = new org.apache.hadoop.fs.Path(root, CentroidsFile)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        Some(Model(lines.filter(_.nonEmpty).map(_.split(",").map(_.toDouble))))
+      } finally in.close()
+    }
+  })
+
   /** Index registry: cacheKey → (read handle over the store, centroids).
     * The handle is a lazy analyzed plan (re-listing the store per probe was
     * a measurable fixed cost); the corpus itself stays on disk in its
@@ -120,7 +156,7 @@ object Ivf {
       val p = indexRoot(df) + "/" + java.lang.Long.toHexString(
         (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 42).toLong << 32) |
           (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 4242).toLong & 0xffffffffL))
-      writeIndexed(assigned, p)
+      writeIndexed(assigned, p, m)
       (df.sparkSession.read.parquet(p), m)
     })
 

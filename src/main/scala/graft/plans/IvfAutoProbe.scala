@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import graft.operators.Ivf
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Optimizer rule turning a brute-force cosine top-k over an IVF store into
+  * a partition-pruned probe — the (c)-level Catalyst path of SURVEY §2.5:
+  * the user writes the DECLARATIVE query
+  *
+  * {{{ store.orderBy(cosineFast(col("vec"), lit(q)).desc).limit(k) }}}
+  *
+  * (or the same through `Search.topK`), and when the scan's root path
+  * carries the `_graft_centroids.txt` sidecar written by
+  * [[Ivf.writeIndexed]], the rule ranks the centroids against the query
+  * vector ON THE DRIVER (nList doubles — no job) and injects
+  * `list_id IN (nProbe nearest lists)` directly above the relation, where
+  * it lands in the scan's `PartitionFilters`: only nProbe/nList of a
+  * 100 TB store's files are listed and read.
+  *
+  * The rewrite trades exactness for recall exactly like [[Ivf.search]], so
+  * it is OPT-IN: `spark.graft.ivf.autoProbe=true` (probe width
+  * `spark.graft.ivf.nProbe`, default 4). Registered via
+  * [[graft.GraftExtensions]] (spark-submit) or
+  * `spark.experimental.extraOptimizations` (live session).
+  *
+  * Matching is conservative: a global Sort+Limit whose PRIMARY key is
+  * descending cosine similarity against a literal query vector (directly
+  * or through one Project alias — `topK`'s shape), over a relation
+  * partitioned by `list_id` with a readable sidecar, not already pruned.
+  * Anything else is left untouched.
+  */
+case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption("spark.graft.ivf.autoProbe").exists(_.toBoolean)
+  private def nProbe: Int =
+    spark.conf.getOption("spark.graft.ivf.nProbe").map(_.toInt).getOrElse(4)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case orig @ GlobalLimit(gl, LocalLimit(ll, s @ Sort(order, true, child, _)))
+          if order.headOption.exists(_.direction == Descending) =>
+        val rewritten = for {
+          qv <- queryVector(order.head.child, child)
+          (rel, listAttr, root) <- ivfStore(child)
+          if !alreadyPruned(child, listAttr)
+          model <- Ivf.readCentroids(root)
+          if model.centroids.nonEmpty && model.centroids.head.length == qv.length
+        } yield {
+          val probes = model.probeLists(qv.toSeq, nProbe)
+          val pruned = child.transformUp {
+            case r: LogicalRelation if r eq rel =>
+              Filter(In(listAttr, probes.map(i => Literal(i))), r)
+          }
+          GlobalLimit(gl, LocalLimit(ll, s.copy(child = pruned)))
+        }
+        rewritten.getOrElse(orig)
+    }
+
+  /** The literal query vector, if the sort key is cosine similarity against
+    * one — matched on the expression itself or through one Project alias.
+    */
+  private def queryVector(key: Expression, child: LogicalPlan): Option[Array[Double]] = {
+    def direct(e: Expression): Option[Array[Double]] = e match {
+      case CosineSimilarity(_, Literal(q: ArrayData, ArrayType(DoubleType, _))) => Some(q.toDoubleArray())
+      case CosineSimilarity(Literal(q: ArrayData, ArrayType(DoubleType, _)), _) => Some(q.toDoubleArray())
+      case _ => None
+    }
+    key match {
+      case a: AttributeReference =>
+        child.collect { case p: Project => p.projectList }.flatten.collectFirst {
+          case al @ Alias(inner, _) if al.exprId == a.exprId => direct(inner)
+        }.flatten
+      case other => direct(other)
+    }
+  }
+
+  /** The IVF-partitioned relation under the sort, with its list_id output
+    * attribute and root path.
+    */
+  private def ivfStore(child: LogicalPlan): Option[(LogicalRelation, AttributeReference, String)] =
+    child.collectFirst {
+      case r: LogicalRelation if r.relation.isInstanceOf[HadoopFsRelation] &&
+          r.relation.asInstanceOf[HadoopFsRelation].partitionSchema.fieldNames.contains("list_id") =>
+        r.output.collectFirst { case a: AttributeReference if a.name == "list_id" =>
+          (r, a, r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.head.toString)
+        }
+    }.flatten
+
+  /** Idempotency / user-intent guard: any IN or = filter on list_id below
+    * the sort means the probe (ours or the user's) already exists.
+    */
+  private def alreadyPruned(child: LogicalPlan, listAttr: AttributeReference): Boolean =
+    child.exists {
+      case Filter(cond, _) =>
+        cond.exists {
+          case In(a: AttributeReference, _) if a.exprId == listAttr.exprId => true
+          case EqualTo(a: AttributeReference, _) if a.exprId == listAttr.exprId => true
+          case InSet(a: AttributeReference, _) if a.exprId == listAttr.exprId => true
+          case _ => false
+        }
+      case _ => false
+    }
+}

@@ -42,6 +42,34 @@ class IvfSpec extends AnyFunSuite {
     assert(ivfAll == exact)
   }
 
+  test("IvfAutoProbe: declarative brute-force top-k over the store becomes a pruned probe") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-auto")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    spark.conf.set("spark.graft.ivf.nProbe", "2")
+    try {
+      // the user writes plain sort-by-cosine + limit — no Ivf API in sight
+      val brute = Search.topK(indexed, "vec", "id", qVec, 5)
+      val pf = TestSpark.formattedPlan(brute).linesIterator.find(_.contains("PartitionFilters")).get
+      assert(pf.contains("list_id") && pf.contains("IN"), s"expected auto-injected probe: $pf")
+      // the rewrite IS Ivf.search at the same probe width
+      val viaApi = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2)
+        .select("id").as[Long].collect().toSeq
+      assert(brute.select("id").as[Long].collect().toSeq == viaApi)
+      // a non-IVF source is left untouched
+      assert(Search.topK(corpus, "vec", "id", qVec, 5).count() == 5)
+      // switched off → exact scan of every list again
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      val off = TestSpark.formattedPlan(Search.topK(indexed, "vec", "id", qVec, 5))
+        .linesIterator.find(_.contains("PartitionFilters"))
+      assert(off.forall(!_.contains("IN (")), s"rule must not fire when disabled: $off")
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("index handle holds no persisted corpus (store path + centroids only)") {
     val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
     assert(indexed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
