@@ -810,9 +810,11 @@ object SparkEntry {
 
     "m2_cluster_naming" -> ((s, d) => {
       val t = Tables(s, d)
-      val chunks = t.embeddings.join(t.documents, col("vec_id") === col("doc_id"))
-        .select(col("vec_id"), col("embedding"), col("text"))
-      Ml.clusterAndName(chunks, "embedding", "vec_id", "text", new Ml.KMeansClusterer(5))
+      // vectors and texts stay in their own tables: the fit leg reads only
+      // embeddings, the text corpus is scanned once by the naming agg
+      Ml.clusterAndName(
+        t.embeddings, t.documents.select(col("doc_id").as("vec_id"), col("text")),
+        "embedding", "vec_id", "text", new Ml.KMeansClusterer(5))
         .groupBy("label", "cluster_name").agg(count(lit(1)).as("n"))
         .orderBy("label")
     }),

@@ -66,7 +66,10 @@ object Aggs {
     * no min_df/max_df/max_features pruning — the selection is fully
     * distributed instead of per-cluster sklearn fits.
     */
-  def tfidfKeywords(docs: DataFrame, labelCol: String, textCol: String, topK: Int = 3, minTf: Int = 2): DataFrame = {
+  def tfidfKeywords(
+      docs: DataFrame, labelCol: String, textCol: String, topK: Int = 3, minTf: Int = 2,
+      nLabelsFrom: Option[DataFrame] = None,
+  ): DataFrame = {
     // Tokens materialize in their own projection: referenced twice below
     // (unigrams + bigram shingles), and higher-order functions are
     // interpreted with no CSE — inlining would tokenize every text twice.
@@ -92,7 +95,11 @@ object Aggs {
     // more closely: idf's n is the number of cluster corpora handed to the
     // vectorizer (backend/clustering.py:118-128), not the number that happen
     // to retain a min_df-surviving term.
-    val nLabels = docs.select(countDistinct(col(labelCol)).as("n_labels"))
+    // idf's n = number of cluster corpora handed to the vectorizer
+    // (backend/clustering.py:118-128). Callers that already hold a compact
+    // (id,label) frame pass it via nLabelsFrom so this scalar doesn't cost a
+    // second scan of the text corpus.
+    val nLabels = nLabelsFrom.getOrElse(docs).select(countDistinct(col(labelCol)).as("n_labels"))
     val scored = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nLabels))

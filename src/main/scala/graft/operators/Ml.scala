@@ -233,17 +233,42 @@ object Ml {
     val dim       = points.headOption.map(_.length).getOrElse(0)
     var it        = 0
     var moved     = true
+    // Accumulate in hash order within FIXED index chunks, merged in chunk
+    // order: FP addition is non-associative, so the reduction tree must be a
+    // function of the point set alone — chunk boundaries come from indices
+    // into the hash-sorted array, never from thread scheduling. The chunks
+    // themselves run in parallel (assignment is the O(n·k·dim) hot loop; at
+    // the 64 MB driver budget a serial pass costs ~0.5 s per fit).
+    val chunkSize = 4096
+    val nChunks   = (sorted.length + chunkSize - 1) / chunkSize
     while (it < maxIter && moved) {
+      val cs       = centroids
+      val partials = new Array[(Array[Array[Double]], Array[Long])](nChunks)
+      import scala.collection.parallel.CollectionConverters._
+      (0 until nChunks).par.foreach { ci =>
+        val lo = ci * chunkSize
+        val hi = math.min(lo + chunkSize, sorted.length)
+        val s  = Array.fill(kEff)(new Array[Double](dim))
+        val n  = new Array[Long](kEff)
+        var j  = lo
+        while (j < hi) {
+          val p      = sorted(j)
+          val (c, _) = nearestCentroid(p, cs)
+          n(c) += 1
+          var i = 0; while (i < dim) { s(c)(i) += p(i); i += 1 }
+          j += 1
+        }
+        partials(ci) = (s, n)
+      }
       val sums   = Array.fill(kEff)(new Array[Double](dim))
       val counts = new Array[Long](kEff)
-      // Accumulate in hash order, not collect order: FP addition is
-      // non-associative, so summing in arrival order would leak executor
-      // response order into the centroids (ULP drift → possible label
-      // flips), defeating the order-independence the seeding establishes.
-      sorted.foreach { p =>
-        val (c, _) = nearestCentroid(p, centroids)
-        counts(c) += 1
-        var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      partials.foreach { case (s, n) =>
+        var c = 0
+        while (c < kEff) {
+          counts(c) += n(c)
+          var i = 0; while (i < dim) { sums(c)(i) += s(c)(i); i += 1 }
+          c += 1
+        }
       }
       val next = Array.tabulate(kEff) { c =>
         if (counts(c) == 0) centroids(c)
@@ -270,11 +295,30 @@ object Ml {
       idCol: String,
       textCol: String,
       clusterer: Clusterer,
+  ): DataFrame = clusterAndName(chunks, chunks, vecCol, idCol, textCol, clusterer)
+
+  /** Split-input form: vectors and texts arrive as separate frames joined on
+    * `idCol`. When they live in separate tables (the storage layout — vectors
+    * in the index, text in the registry), this keeps the vecs⋈texts join out
+    * of the clustering leg entirely: the fit reads only `vecs`, and the text
+    * corpus is touched exactly once, by the naming aggregation. `n_clusters`
+    * for the idf denominator comes from the label frame (id+label only), not
+    * another pass over the text corpus.
+    */
+  def clusterAndName(
+      vecs: DataFrame,
+      texts: DataFrame,
+      vecCol: String,
+      idCol: String,
+      textCol: String,
+      clusterer: Clusterer,
   ): DataFrame = {
-    val labels  = clusterer.cluster(chunks, vecCol, idCol)
-    val labeled = chunks.join(labels, Seq(idCol))
-    val names = Aggs.tfidfKeywords(labeled.where(col("label") =!= -1), "label", textCol)
-      .withColumnRenamed("label", "__nl")
+    val labels  = clusterer.cluster(vecs, vecCol, idCol)
+    val labeled = texts.join(labels, Seq(idCol))
+    val names = Aggs.tfidfKeywords(
+      labeled.where(col("label") =!= -1), "label", textCol,
+      nLabelsFrom = Some(labels.where(col("label") =!= -1)),
+    ).withColumnRenamed("label", "__nl")
     labeled
       .join(broadcast(names), labeled("label") === col("__nl"), "left")
       .withColumn("cluster_name",
