@@ -797,16 +797,37 @@ object SparkEntry {
         .orderBy(desc("revenue_cents"), col("n_name"))
     }),
 
-    // ---------------- M: ML (invariant-tested; rows-only here) --------------
+    // ---------------- M: ML ----------------------------------------------
+    // Seeded-fit OUTPUTS (labels, rotations) aren't SQL-reproducible, so
+    // these emit checkable facts instead (the v6/v7 pattern): exact counts
+    // the oracle recomputes, plus contract booleans evaluated over the full
+    // result. The raw per-row behavior stays covered by MlSpec invariants.
+
+    // M3 — row count is exact; variance ordering IS PCA's contract (the
+    // projection variances are the top eigenvalues, descending).
     "m3_pca_3d" -> ((s, d) => {
-      val out = Ml.pca3d(Tables(s, d).embeddings, "embedding", "vec_id")
-      out.select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"), round(col("z"), 4).as("z"))
-        .orderBy("vec_id")
+      Ml.pca3d(Tables(s, d).embeddings, "embedding", "vec_id")
+        .agg(
+          count(lit(1)).as("total"),
+          (variance(col("x")) >= variance(col("y")) - lit(1e-9) &&
+            variance(col("y")) >= variance(col("z")) - lit(1e-9)).as("var_desc"),
+          expr("bool_and(NOT isnan(x) AND NOT isnan(y) AND NOT isnan(z))").as("finite"),
+        )
     }),
 
-    "m1_kmeans" -> ((s, d) => new Ml.KMeansClusterer(10)
-      .cluster(Tables(s, d).embeddings, "embedding", "vec_id")
-      .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")),
+    // M1 — noise_n is EXACT, not a boolean: the 0.95-quantile cut marks
+    // everything strictly beyond the floor(0.95·n)-th order statistic as
+    // noise, so with distinct distances the noise count is n−1−⌊0.95·n⌋ —
+    // recomputed independently by the oracle from count(*) alone.
+    "m1_kmeans" -> ((s, d) => {
+      new Ml.KMeansClusterer(10).cluster(Tables(s, d).embeddings, "embedding", "vec_id")
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("label") === -1, 1L).otherwise(0L)).as("noise_n"),
+          countDistinct(col("label")).as("n_labels"),
+          (min(col("label")) >= -1 && max(col("label")) < 10).as("labels_ok"),
+        )
+    }),
 
     "m2_cluster_naming" -> ((s, d) => {
       val t = Tables(s, d)
@@ -815,15 +836,30 @@ object SparkEntry {
       Ml.clusterAndName(
         t.embeddings, t.documents.select(col("doc_id").as("vec_id"), col("text")),
         "embedding", "vec_id", "text", new Ml.KMeansClusterer(5))
-        .groupBy("label", "cluster_name").agg(count(lit(1)).as("n"))
-        .orderBy("label")
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("label") === -1, 1L).otherwise(0L)).as("noise_n"),
+          // 5 clusters can share a top-3 term set over the closed vocab, so
+          // distinct names get a range, not an exact count
+          (countDistinct(col("cluster_name")).between(2, 6)).as("n_names_ok"),
+          expr("bool_and(label = -1 OR (cluster_name IS NOT NULL AND length(cluster_name) > 0 AND size(split(cluster_name, ' & ')) <= 3))").as("names_ok"),
+          expr("bool_and(label != -1 OR cluster_name = 'Uncategorized')").as("noise_named_ok"),
+        )
     }),
 
+    // M4 — fit-on-full / apply-to-subset must agree BIT-EXACTLY with the
+    // full fit+transform restricted to the subset (same components, same
+    // codegen'd dot products).
     "m4_pca_project" -> ((s, d) => {
-      val e = Tables(s, d).embeddings
-      Ml.pcaProject(e, e.where(col("vec_id") < 20), "embedding", "vec_id")
-        .select(col("vec_id"), round(col("x"), 4).as("x"), round(col("y"), 4).as("y"), round(col("z"), 4).as("z"))
-        .orderBy("vec_id")
+      val e    = Tables(s, d).embeddings
+      val proj = Ml.pcaProject(e, e.where(col("vec_id") < 20), "embedding", "vec_id")
+      val full = Ml.pca3d(e, "embedding", "vec_id").where(col("vec_id") < 20)
+        .select(col("vec_id"), col("x").as("fx"), col("y").as("fy"), col("z").as("fz"))
+      proj.join(full, "vec_id")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("bool_and(x = fx AND y = fy AND z = fz)").as("matches_full_fit"),
+        )
     }),
 
     // ---------------- MM: multimodal binary columns -------------------------
@@ -1205,6 +1241,23 @@ object SparkEntry {
       "SELECT 10::BIGINT AS k, true AS recall_ok",
     "v7_auto_probe" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
+    // m1/m2 — noise_n is recomputed INDEPENDENTLY: the 0.95-quantile cut
+    // marks n−1−⌊0.95·n⌋ points as noise (distances are distinct: the
+    // testdata has no duplicate vectors). trunc() mirrors Scala's .toInt on
+    // the same IEEE double product.
+    "m1_kmeans" ->
+      """SELECT count(*)::BIGINT AS total,
+        | (count(*) - 1 - trunc(0.95 * count(*)))::BIGINT AS noise_n,
+        | 11::BIGINT AS n_labels, true AS labels_ok FROM embeddings""".stripMargin,
+    "m2_cluster_naming" ->
+      """SELECT count(*)::BIGINT AS total,
+        | (count(*) - 1 - trunc(0.95 * count(*)))::BIGINT AS noise_n,
+        | true AS n_names_ok, true AS names_ok, true AS noise_named_ok
+        | FROM embeddings JOIN documents ON vec_id = doc_id""".stripMargin,
+    "m3_pca_3d" ->
+      "SELECT count(*)::BIGINT AS total, true AS var_desc, true AS finite FROM embeddings",
+    "m4_pca_project" ->
+      "SELECT count(*)::BIGINT AS n, true AS matches_full_fit FROM embeddings WHERE vec_id < 20",
     "a10_approx_distinct" ->
       "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_ok FROM events",
     "v5_knn_join" ->
@@ -1351,6 +1404,18 @@ object SparkEntry {
            | CASE WHEN filename LIKE '%.png' THEN 'png' WHEN filename LIKE '%.jpg' THEN 'jpeg'
            |      WHEN filename LIKE '%.gif' THEN 'gif' ELSE 'unknown' END AS format
            | FROM read_blob('/root/repo/fixtures/media/*') ORDER BY file_name""".stripMargin,
+    // mm2 — the stub histogram is byte-derived, so DuckDB recomputes it from
+    // the raw blob: with dim=16, bin(b) = b·16/256 = b's HIGH NIBBLE, i.e.
+    // the 1st, 3rd, 5th… characters of hex(content). Per-bin float32
+    // normalization is reproduced via ::FLOAT before the double sum.
+    "mm2_media_features" ->
+      raw"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, size::BIGINT AS n_bytes, upper(hex(content)) AS h FROM read_blob('/root/repo/fixtures/media/*')),
+           | u AS (SELECT file_name, n_bytes, h, unnest(range(0, n_bytes)) AS i FROM b),
+           | d AS (SELECT file_name, n_bytes, substr(h, (2 * i + 1)::BIGINT, 1) AS dig FROM u),
+           | c AS (SELECT file_name, n_bytes, dig, count(*) AS cnt FROM d GROUP BY 1, 2, 3)
+           | SELECT file_name, n_bytes, 16::BIGINT AS dim,
+           |   round(sum((cnt::FLOAT / n_bytes::FLOAT)::DOUBLE), 4) AS hist_sum
+           | FROM c GROUP BY 1, 2 ORDER BY file_name""".stripMargin,
     "mm3_frame_sample" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, hex(content) AS h, size FROM read_blob('/root/repo/fixtures/media/*')),
            | fr AS (SELECT file_name, h, unnest(range(0, least((size - 64) // 96 + 1, 3))) AS frame_index FROM f WHERE size >= 64),
