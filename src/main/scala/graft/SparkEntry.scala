@@ -546,7 +546,8 @@ object SparkEntry {
           .select("vec_id").as[Long].collect()
         Seq((10L, exact.count(ann) >= 8)).toDF("k", "recall_ok")
       } finally {
-        s.conf.set("spark.graft.ivf.autoProbe", "false")
+        s.conf.unset("spark.graft.ivf.autoProbe")
+        s.conf.unset("spark.graft.ivf.nProbe")
         classic.experimental.extraOptimizations = prev
       }
     }),
@@ -819,6 +820,11 @@ object SparkEntry {
     // everything strictly beyond the floor(0.95·n)-th order statistic as
     // noise, so with distinct distances the noise count is n−1−⌊0.95·n⌋ —
     // recomputed independently by the oracle from count(*) alone.
+    // Validity domain (holds at every tested SF): the driver-fit path
+    // (corpus ≤ 64 MB budget) with no duplicate vectors. Beyond the budget
+    // the clusterer's approxQuantile cut is approximate and this closed
+    // form no longer applies — the oracle is a fit-path contract, not a
+    // scale-free law.
     "m1_kmeans" -> ((s, d) => {
       new Ml.KMeansClusterer(10).cluster(Tables(s, d).embeddings, "embedding", "vec_id")
         .agg(

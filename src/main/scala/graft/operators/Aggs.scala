@@ -95,10 +95,8 @@ object Aggs {
     // more closely: idf's n is the number of cluster corpora handed to the
     // vectorizer (backend/clustering.py:118-128), not the number that happen
     // to retain a min_df-surviving term.
-    // idf's n = number of cluster corpora handed to the vectorizer
-    // (backend/clustering.py:118-128). Callers that already hold a compact
-    // (id,label) frame pass it via nLabelsFrom so this scalar doesn't cost a
-    // second scan of the text corpus.
+    // Callers that already hold a compact (id,label) frame pass it via
+    // nLabelsFrom so this scalar doesn't cost a second scan of the corpus.
     val nLabels = nLabelsFrom.getOrElse(docs).select(countDistinct(col(labelCol)).as("n_labels"))
     val scored = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))

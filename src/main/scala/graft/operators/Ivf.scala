@@ -83,41 +83,76 @@ object Ivf {
   def writeIndexed(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
-  /** Write the store AND its centroids sidecar: the sidecar makes the store
-    * self-describing, so [[graft.plans.IvfAutoProbe]] can turn a brute-force
-    * top-k over the store into a pruned probe from the plan alone.
+  /** What a store's sidecar declares: the centroids and WHICH column they
+    * index — [[graft.plans.IvfAutoProbe]] must refuse to prune when the
+    * query ranks a different vector column of the same store.
     */
-  def writeIndexed(assigned: DataFrame, path: String, model: Model): Unit = {
+  final case class StoredIndex(model: Model, column: Option[String])
+
+  /** Write the store AND its sidecar (indexed column + centroids): the
+    * sidecar makes the store self-describing, so [[graft.plans.IvfAutoProbe]]
+    * can turn a brute-force top-k over the store into a pruned probe from
+    * the plan alone. The sidecar lands via temp-file + rename so a reader in
+    * another JVM (shared `graft.ivf.root`) never sees a partial file, and
+    * the in-JVM cache is updated so a rebuild of the same path takes effect
+    * immediately.
+    */
+  def writeIndexed(assigned: DataFrame, path: String, model: Model, vecCol: String): Unit = {
     writeIndexed(assigned, path)
-    val p  = new org.apache.hadoop.fs.Path(path, CentroidsFile)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val w  = new java.io.PrintWriter(fs.create(p, true))
-    try model.centroids.foreach(c => w.println(c.mkString(",")))
-    finally w.close()
+    val conf = assigned.sparkSession.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(conf)
+    val p    = new org.apache.hadoop.fs.Path(root, CentroidsFile)
+    val tmp  = new org.apache.hadoop.fs.Path(root, CentroidsFile + ".tmp")
+    val w    = new java.io.PrintWriter(fs.create(tmp, true))
+    try {
+      w.println(s"column=$vecCol")
+      model.centroids.foreach(c => w.println(c.mkString(",")))
+    } finally w.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+    centroidsCache.put(fs.makeQualified(root).toString, StoredIndex(model, Some(vecCol)))
   }
 
-  /** Underscore prefix: Spark's file index ignores the sidecar, so it never
-    * pollutes the parquet scan.
+  /** Underscore prefix: Spark's file index ignores the sidecar (and its
+    * temp file), so neither ever pollutes the parquet scan.
     */
   private val CentroidsFile = "_graft_centroids.txt"
 
-  private val centroidsCache = scala.collection.concurrent.TrieMap.empty[String, Option[Model]]
+  private val centroidsCache = scala.collection.concurrent.TrieMap.empty[String, StoredIndex]
 
-  /** Centroids persisted next to a store, if any (memoized per root — the
-    * optimizer rule calls this on every candidate plan).
+  /** Sidecar persisted next to a store, if any. Successful reads are
+    * memoized per qualified root (the optimizer rule calls this on every
+    * candidate plan); misses and unreadable/corrupt sidecars are NOT cached,
+    * so a store whose sidecar appears later — or finishes writing — is
+    * picked up on the next query instead of being poisoned-None forever.
+    * Parsing is fail-closed: a torn or ragged sidecar yields None (the rule
+    * declines to fire) rather than an exception out of the optimizer.
     */
-  def readCentroids(root: String): Option[Model] = centroidsCache.getOrElseUpdate(root, {
-    val p  = new org.apache.hadoop.fs.Path(root, CentroidsFile)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
-        Some(Model(lines.filter(_.nonEmpty).map(_.split(",").map(_.toDouble))))
-      } finally in.close()
+  def readCentroids(root: String, conf: org.apache.hadoop.conf.Configuration): Option[StoredIndex] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs       = rootPath.getFileSystem(conf)
+    val key      = fs.makeQualified(rootPath).toString
+    centroidsCache.get(key).orElse {
+      val parsed = scala.util.Try {
+        val p = new org.apache.hadoop.fs.Path(rootPath, CentroidsFile)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val lines  = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+            val column = lines.headOption.filter(_.startsWith("column=")).map(_.stripPrefix("column="))
+            val rows   = lines.filter(l => l.nonEmpty && !l.startsWith("column="))
+              .map(_.split(",").map(_.toDouble))
+            if (rows.isEmpty || rows.exists(_.length != rows.head.length)) None
+            else Some(StoredIndex(Model(rows), column))
+          } finally in.close()
+        }
+      }.toOption.flatten
+      parsed.foreach(centroidsCache.put(key, _))
+      parsed
     }
-  })
+  }
 
   /** Index registry: cacheKey → (read handle over the store, centroids).
     * The handle is a lazy analyzed plan (re-listing the store per probe was
@@ -156,7 +191,7 @@ object Ivf {
       val p = indexRoot(df) + "/" + java.lang.Long.toHexString(
         (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 42).toLong << 32) |
           (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 4242).toLong & 0xffffffffL))
-      writeIndexed(assigned, p, m)
+      writeIndexed(assigned, p, m, vecCol)
       (df.sparkSession.read.parquet(p), m)
     })
 

@@ -49,10 +49,23 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       case orig @ GlobalLimit(gl, LocalLimit(ll, s @ Sort(order, true, child, _)))
           if order.headOption.exists(_.direction == Descending) =>
         val rewritten = for {
-          qv <- queryVector(order.head.child, child)
+          (qv, vecExpr) <- queryVector(order.head.child, child)
           (rel, listAttr, root) <- ivfStore(child)
           if !alreadyPruned(child, listAttr)
-          model <- Ivf.readCentroids(root)
+          // The ranked column must BE the relation's indexed column: pruning
+          // on centroids of a different column (a second vector column, or
+          // one from a joined table) would be uncorrelated with the sort and
+          // silently destroy recall.
+          vecAttr <- stripCasts(vecExpr) match {
+            case a: AttributeReference => Some(a)
+            case _                     => None
+          }
+          relVec <- rel.output.collectFirst {
+            case a: AttributeReference if a.exprId == vecAttr.exprId => a
+          }
+          stored <- Ivf.readCentroids(root, spark.sparkContext.hadoopConfiguration)
+          if stored.column.forall(_ == relVec.name)
+          model = stored.model
           if model.centroids.nonEmpty && model.centroids.head.length == qv.length
         } yield {
           val probes = model.probeLists(qv.toSeq, nProbe)
@@ -65,13 +78,19 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
         rewritten.getOrElse(orig)
     }
 
-  /** The literal query vector, if the sort key is cosine similarity against
-    * one — matched on the expression itself or through one Project alias.
+  private def stripCasts(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCasts(c)
+    case other            => other
+  }
+
+  /** The literal query vector AND the expression it is ranked against, if
+    * the sort key is cosine similarity against a literal — matched on the
+    * expression itself or through one Project alias.
     */
-  private def queryVector(key: Expression, child: LogicalPlan): Option[Array[Double]] = {
-    def direct(e: Expression): Option[Array[Double]] = e match {
-      case CosineSimilarity(_, Literal(q: ArrayData, ArrayType(DoubleType, _))) => Some(q.toDoubleArray())
-      case CosineSimilarity(Literal(q: ArrayData, ArrayType(DoubleType, _)), _) => Some(q.toDoubleArray())
+  private def queryVector(key: Expression, child: LogicalPlan): Option[(Array[Double], Expression)] = {
+    def direct(e: Expression): Option[(Array[Double], Expression)] = e match {
+      case CosineSimilarity(v, Literal(q: ArrayData, ArrayType(DoubleType, _))) => Some((q.toDoubleArray(), v))
+      case CosineSimilarity(Literal(q: ArrayData, ArrayType(DoubleType, _)), v) => Some((q.toDoubleArray(), v))
       case _ => None
     }
     key match {

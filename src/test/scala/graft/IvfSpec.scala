@@ -70,6 +70,27 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfAutoProbe: ranking a DIFFERENT vector column of the store must not prune") {
+    // store indexed on "vec" but carrying a second 64-d column "vec2":
+    // pruning a vec2 ranking with vec centroids would silently lose recall
+    val two = corpus.withColumn("vec2", reverse(col("vec")))
+    val (indexed, _) = Ivf.indexFor(two, "vec", 6, cacheKey = "ivfspec-twocol")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    try {
+      val wrongCol = TestSpark.formattedPlan(Search.topK(indexed, "vec2", "id", qVec, 5))
+        .linesIterator.find(_.contains("PartitionFilters"))
+      assert(wrongCol.forall(!_.contains("IN (")), s"must not prune on the unindexed column: $wrongCol")
+      val rightCol = TestSpark.formattedPlan(Search.topK(indexed, "vec", "id", qVec, 5))
+        .linesIterator.find(_.contains("PartitionFilters")).get
+      assert(rightCol.contains("list_id") && rightCol.contains("IN"), s"indexed column must still prune: $rightCol")
+    } finally {
+      spark.conf.unset("spark.graft.ivf.autoProbe")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("index handle holds no persisted corpus (store path + centroids only)") {
     val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
     assert(indexed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
