@@ -65,12 +65,23 @@ object Ivf {
       (assigned, Model(cs))
     } else {
       val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+      // A coarse quantizer doesn't need the corpus, it needs the corpus's
+      // SHAPE: fit on a bounded seeded sample (~256 points per list, the
+      // standard IVF training budget) and assign the full corpus with the
+      // fitted model. Fitting MLlib KMeans on all of a 100 TB corpus would
+      // iterate the whole dataset ~20 times for centroids a 0.1% sample
+      // determines just as well.
+      val fitBudget = 256L * nList
+      val total     = withVec.count()
+      val fitInput  =
+        if (total <= fitBudget) withVec
+        else withVec.sample(withReplacement = false, fitBudget.toDouble / total, seed)
       val km = new KMeans()
         .setK(nList)
         .setSeed(seed)
         .setFeaturesCol("__v")
         .setPredictionCol("list_id")
-      val model     = km.fit(withVec)
+      val model     = km.fit(fitInput)
       val assigned  = model.transform(withVec).drop("__v")
       val centroids = model.clusterCenters.map(_.toArray)
       (assigned, Model(centroids))
