@@ -99,6 +99,11 @@ object ScaleBench {
           val chunks = Chunker.chunk(spark, docs.withColumn("lang", lit("en"))).toDF()
           Embedder.embedText(spark, chunks, "doc_id", "text").toDF().count()
         }),
+        // split-input form: the fit leg reads only the embedding table,
+        // texts are the (16x larger) documents joined once by the naming agg
+        "cluster_naming"  -> (() => Ml.clusterAndName(
+          vecs, docs.select(col("doc_id").as("vec_id"), col("text")),
+          "embedding", "vec_id", "text", new Ml.KMeansClusterer(5)).count()),
       )
       ops.foreach { case (name, run) =>
         run() // cold: codegen + index build etc.
