@@ -46,23 +46,29 @@ object Ivf {
     * `dist²(v,c) = v·v − 2·v·c + c·c` with `c·c` folded driver-side. Larger
     * corpora fit via MLlib.
     */
-  def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitBytes: Long = 64L << 20): (DataFrame, Model) = {
+  /** Codegen'd nearest-centroid assignment for a FITTED model: argmin over
+    * `dist²(v,c) = v·v − 2·v·c + c·c` with `c·c` folded driver-side. Narrow
+    * — usable on batch frames and streaming micro-batches alike.
+    */
+  def assignExpr(model: Model, vecCol: String): Column = {
     import graft.functions.VectorExpressions.dotFast
+    val v = col(vecCol).cast("array<double>")
+    val dists = array(model.centroids.map { c =>
+      val cc = c.map(x => x * x).sum
+      dotFast(v, v) - lit(2.0) * dotFast(v, typedLit(c.toSeq)) + lit(cc)
+    }.toIndexedSeq: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitBytes: Long = 64L << 20): (DataFrame, Model) = {
     // One bounded collect decides the fit path AND provides the fit sample
     // (lloydFit is collect-order-independent, so limit's arbitrary row
     // order is harmless); over-budget corpora fit distributed via MLlib.
     val sampled = Ml.driverVectors(df, vecCol, maxDriverFitBytes)._2
     if (sampled.exists(_.nonEmpty)) {
       val pts = sampled.get
-      val cs  = Ml.lloydFit(pts, nList, seed)
-      val v  = col(vecCol).cast("array<double>")
-      val dists = array(cs.map { c =>
-        val cc = c.map(x => x * x).sum
-        dotFast(v, v) - lit(2.0) * dotFast(v, typedLit(c.toSeq)) + lit(cc)
-      }: _*)
-      val assigned = df.withColumn("list_id",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
-      (assigned, Model(cs))
+      val m   = Model(Ml.lloydFit(pts, nList, seed))
+      (df.withColumn("list_id", assignExpr(m, vecCol)), m)
     } else {
       val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
       // A coarse quantizer doesn't need the corpus, it needs the corpus's
@@ -110,9 +116,13 @@ object Ivf {
     */
   def writeIndexed(assigned: DataFrame, path: String, model: Model, vecCol: String): Unit = {
     writeIndexed(assigned, path)
-    val conf = assigned.sparkSession.sparkContext.hadoopConfiguration
+    writeSidecar(assigned.sparkSession.sparkContext.hadoopConfiguration, path, model, vecCol)
+  }
+
+  private def writeSidecar(conf: org.apache.hadoop.conf.Configuration, path: String, model: Model, vecCol: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(conf)
+    fs.mkdirs(root)
     val p    = new org.apache.hadoop.fs.Path(root, CentroidsFile)
     val tmp  = new org.apache.hadoop.fs.Path(root, CentroidsFile + ".tmp")
     val w    = new java.io.PrintWriter(fs.create(tmp, true))
@@ -123,6 +133,41 @@ object Ivf {
     fs.delete(p, false)
     fs.rename(tmp, p)
     centroidsCache.put(fs.makeQualified(root).toString, StoredIndex(model, Some(vecCol)))
+  }
+
+  /** Continuous index maintenance — the reference's upload path
+    * (backend/main.py:260-352: extract → chunk → embed → upsert into the
+    * live HNSW index) re-expressed as a Structured Streaming sink over the
+    * partitioned store: each micro-batch assigns `list_id` with the FITTED
+    * model (narrow, codegen'd — no refit, no shuffle) and appends into the
+    * store's list directories. Probes — [[search]] or the
+    * [[graft.plans.IvfAutoProbe]] rewrite — pick up new files on their next
+    * scan; no rebuild, and writers never block readers.
+    *
+    * foreachBatch + batch append (not the parquet streaming sink): a
+    * `_spark_metadata` FileStreamSink log would make ordinary
+    * `spark.read.parquet` ignore every file the BATCH writer produced.
+    * Trade-off: exactly-once degrades to at-least-once on batch retry —
+    * duplicate vectors cost a probe slot but never break top-k correctness.
+    * The sidecar is (re)written up front so a store born from the stream is
+    * immediately self-describing.
+    */
+  def streamInto(
+      stream: DataFrame,
+      model: Model,
+      vecCol: String,
+      path: String,
+      checkpoint: String,
+      availableNow: Boolean = true,
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    writeSidecar(stream.sparkSession.sparkContext.hadoopConfiguration, path, model, vecCol)
+    val assigned = stream.withColumn("list_id", assignExpr(model, vecCol))
+    val w = assigned.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("list_id").parquet(path)
+      }
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w).start()
   }
 
   /** Underscore prefix: Spark's file index ignores the sidecar (and its

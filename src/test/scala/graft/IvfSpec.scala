@@ -91,6 +91,43 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("streamInto: micro-batches append into the live store; probes see new rows without a rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-stream").toString
+    // store born empty from the stream: sidecar first, data as batches arrive
+    val (_, model) = Ivf.assign(corpus, "vec", 6)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    // availableNow snapshots offsets at start — a MemoryStream fed after
+    // start needs the continuous trigger + processAllAvailable
+    val q = Ivf.streamInto(mem.toDF().toDF("id", "vec"), model, "vec", s"$tmp/store", s"$tmp/ckpt",
+      availableNow = false)
+    mem.addData(corpus.where(col("id") < 200).select("id", "vec").as[(Long, Seq[Double])].collect().toSeq: _*)
+    q.processAllAvailable()
+    // second micro-batch: one vector crafted to be the query's nearest
+    mem.addData((9999L, qVec))
+    q.processAllAvailable()
+    q.stop()
+    val store = spark.read.parquet(s"$tmp/store")
+    assert(store.count() == 201)
+    val hits = Ivf.search(store, model, "vec", "id", qVec, 3, 2)
+    assert(hits.select("id").as[Long].collect().head == 9999L, "streamed row must be probe-visible")
+    val pf = TestSpark.formattedPlan(hits).linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("list_id") && pf.contains("IN"), s"streamed store must still partition-prune: $pf")
+    // the stream-born store is self-describing: the auto-probe rule fires on it
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    try {
+      val auto = TestSpark.formattedPlan(Search.topK(store, "vec", "id", qVec, 3))
+        .linesIterator.find(_.contains("PartitionFilters")).get
+      assert(auto.contains("IN"), s"sidecar written by streamInto must enable auto-probe: $auto")
+    } finally {
+      spark.conf.unset("spark.graft.ivf.autoProbe")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("index handle holds no persisted corpus (store path + centroids only)") {
     val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
     assert(indexed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
