@@ -49,6 +49,11 @@ object Ivf {
   /** Codegen'd nearest-centroid assignment for a FITTED model: argmin over
     * `dist²(v,c) = v·v − 2·v·c + c·c` with `c·c` folded driver-side. Narrow
     * — usable on batch frames and streaming micro-batches alike.
+    *
+    * Only for SMALL models: the projection holds 2·nList dot-product
+    * expressions, and beyond ~32 lists it exceeds the whole-stage-codegen
+    * method budget and silently runs interpreted (per-row tree-walking ×
+    * nList — catastrophic). [[withListId]] picks the path by nList.
     */
   def assignExpr(model: Model, vecCol: String): Column = {
     import graft.functions.VectorExpressions.dotFast
@@ -60,6 +65,61 @@ object Ivf {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** nList above which [[assignExpr]]'s projection stops fitting in
+    * whole-stage codegen (measured round 4: >32 dot products in one
+    * projection fall back to interpreted expressions).
+    */
+  private val CodegenAssignMaxLists = 32
+
+  /** Append `list_id` = nearest centroid, choosing the scale-appropriate
+    * plan: the codegen'd expression for small models, a broadcast +
+    * `mapPartitions` JVM loop for large ones. A production IVF sizes
+    * nList ≈ √n — thousands of lists at 100 TB — where a 2·nList-expression
+    * projection is not a plan, it's a plan-size explosion; the JVM loop is
+    * O(nList·dim) per row with zero per-row allocation, and the centroid
+    * matrix rides one broadcast instead of nList literal arrays. Both paths
+    * compute the IDENTICAL formula (same FP order), so the chosen path never
+    * changes assignments.
+    */
+  def withListId(df: DataFrame, model: Model, vecCol: String): DataFrame =
+    if (model.centroids.length <= CodegenAssignMaxLists)
+      df.withColumn("list_id", assignExpr(model, vecCol))
+    else {
+      val spark  = df.sparkSession
+      val schema = df.schema.add("list_id", org.apache.spark.sql.types.IntegerType)
+      val bc     = spark.sparkContext.broadcast(model.centroids)
+      val vecIdx = df.schema.fieldIndex(vecCol)
+      df.mapPartitions { it =>
+        val cs  = bc.value
+        val ccs = cs.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+        it.map { r =>
+          val v = r.getSeq[Any](vecIdx).toArray.map {
+            case d: java.lang.Double => d.doubleValue
+            case f: java.lang.Float  => f.doubleValue
+            case n: java.lang.Number => n.doubleValue
+          }
+          var vv = 0.0
+          var i  = 0
+          while (i < v.length) { vv += v(i) * v(i); i += 1 }
+          var best     = 0
+          var bestDist = Double.MaxValue
+          var c        = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var dot = 0.0
+            var j   = 0
+            val n   = math.min(v.length, cv.length)
+            while (j < n) { dot += v(j) * cv(j); j += 1 }
+            // same formula and FP order as assignExpr: v·v − 2·v·c + c·c
+            val d = vv - 2.0 * dot + ccs(c)
+            if (d < bestDist) { bestDist = d; best = c }
+            c += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+    }
+
   def assign(df: DataFrame, vecCol: String, nList: Int, seed: Long = 42L, maxDriverFitBytes: Long = 64L << 20): (DataFrame, Model) = {
     // One bounded collect decides the fit path AND provides the fit sample
     // (lloydFit is collect-order-independent, so limit's arbitrary row
@@ -68,7 +128,7 @@ object Ivf {
     if (sampled.exists(_.nonEmpty)) {
       val pts = sampled.get
       val m   = Model(Ml.lloydFit(pts, nList, seed))
-      (df.withColumn("list_id", assignExpr(m, vecCol)), m)
+      (withListId(df, m, vecCol), m)
     } else {
       val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
       // A coarse quantizer doesn't need the corpus, it needs the corpus's
@@ -161,7 +221,7 @@ object Ivf {
       availableNow: Boolean = true,
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     writeSidecar(stream.sparkSession.sparkContext.hadoopConfiguration, path, model, vecCol)
-    val assigned = stream.withColumn("list_id", assignExpr(model, vecCol))
+    val assigned = withListId(stream, model, vecCol)
     val w = assigned.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>

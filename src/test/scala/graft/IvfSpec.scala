@@ -128,6 +128,24 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("withListId: large-model mapPartitions path assigns identically to the codegen'd expression") {
+    val (_, model) = Ivf.assign(corpus, "vec", 6)
+    // fake a >32-list model by tiling the fitted centroids with far-away
+    // ghosts: argmin still lands on the original 6, so both paths must agree
+    val ghosts = (0 until 40).map(g => model.centroids(g % 6).map(_ + 1000.0 * (g + 1)))
+    val big    = Ivf.Model(model.centroids ++ ghosts)
+    assert(big.centroids.length > 32)
+    val viaExpr = corpus.withColumn("list_id", Ivf.assignExpr(big, "vec"))
+      .select("id", "list_id").as[(Long, Int)].collect().toMap
+    val viaLoop = Ivf.withListId(corpus, big, "vec")
+      .select("id", "list_id").as[(Long, Int)].collect().toMap
+    assert(viaLoop == viaExpr)
+    // and the small-model path is the expression itself (plan, not loop)
+    val small = Ivf.withListId(corpus, model, "vec")
+    assert(!small.queryExecution.optimizedPlan.toString.contains("SerializeFromObject"),
+      "small models must stay on the codegen'd expression path")
+  }
+
   test("index handle holds no persisted corpus (store path + centroids only)") {
     val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
     assert(indexed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
