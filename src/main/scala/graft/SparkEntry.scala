@@ -1048,7 +1048,7 @@ object SparkEntry {
     },
     "s6_csv_scan" ->
       """WITH c AS (SELECT * FROM read_csv('/root/repo/fixtures/s6.csv', header=true, all_varchar=true))
-        | SELECT string_agg(id || ' | ' || name || ' | ' || category || ' | ' || score, chr(10) ORDER BY id::BIGINT) AS text,
+        | SELECT string_agg(coalesce(id, '') || ' | ' || coalesce(name, '') || ' | ' || coalesce(category, '') || ' | ' || coalesce(score, ''), chr(10) ORDER BY id::BIGINT) AS text,
         |   count(*) AS n_rows, 4::BIGINT AS n_cols FROM c""".stripMargin,
     "s5_xlsx_modeled" ->
       """WITH p AS (SELECT string_agg(id || ' | ' || product || ' | ' || price, chr(10) ORDER BY id::BIGINT) AS t, count(*) AS n
@@ -1071,7 +1071,8 @@ object SparkEntry {
     "s10_cs_scan" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/code/*.cs'))
            | SELECT file_name, regexp_extract(array_to_string((string_split(content, chr(10)))[1:20], chr(10)), 'namespace\s+([\w.]+)', 1) AS namespace,
-           |   len(string_split(content, chr(10))) AS n_lines, len(content) AS file_size
+           |   CASE WHEN content = '' THEN 0 ELSE len(string_split(regexp_replace(content, '\n$$', ''), chr(10))) END AS n_lines,
+           |   len(content) AS file_size
            | FROM f ORDER BY file_name""".stripMargin,
 
     "s2_extract_seam" ->

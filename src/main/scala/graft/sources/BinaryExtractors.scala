@@ -61,16 +61,18 @@ private[sources] object Ooxml {
 
   def unescape(s: String): String = {
     if (s.indexOf('&') < 0) return s
-    "&(lt|gt|amp|quot|apos|#x?[0-9a-fA-F]+);".r.replaceAllIn(s, m =>
+    "&(lt|gt|amp|quot|apos|#(?:[0-9]+|[xX][0-9a-fA-F]+));".r.replaceAllIn(s, m =>
       scala.util.matching.Regex.quoteReplacement(m.group(1) match {
         case "lt" => "<"
         case "gt" => ">"
         case "amp" => "&"
         case "quot" => "\""
         case "apos" => "'"
+        // Character.toChars, not toChar: supplementary-plane refs (emoji
+        // &#128512;) need the surrogate pair, not the truncated low 16 bits
         case n if n.startsWith("#x") || n.startsWith("#X") =>
-          Integer.parseInt(n.drop(2), 16).toChar.toString
-        case n => Integer.parseInt(n.drop(1)).toChar.toString
+          new String(Character.toChars(Integer.parseInt(n.drop(2), 16)))
+        case n => new String(Character.toChars(Integer.parseInt(n.drop(1))))
       }))
   }
 
@@ -233,13 +235,27 @@ private[sources] object PdfParser {
         case '(' =>
           val (str, next) = literal(cs, i + 1)
           pending += str; i = next
-        case '<' if i + 1 < cs.length && cs.charAt(i + 1) != '<' =>
+        case '<' if i + 1 < cs.length && cs.charAt(i + 1) == '<' =>
+          // dictionary (e.g. marked-content props '/P <</MCID 0>> BDC'):
+          // skip the balanced <<…>> whole, or the inner '<' would be
+          // misread as a hex string and crash on the first non-hex char
+          var depth = 0
+          var j     = i
+          while (j < cs.length && (depth > 0 || j == i)) {
+            if (j + 1 < cs.length && cs.charAt(j) == '<' && cs.charAt(j + 1) == '<') { depth += 1; j += 2 }
+            else if (j + 1 < cs.length && cs.charAt(j) == '>' && cs.charAt(j + 1) == '>') { depth -= 1; j += 2 }
+            else j += 1
+          }
+          i = j
+        case '<' =>
           val end = cs.indexOf('>', i)
           if (end < 0) i = cs.length
           else {
             val hexs = cs.substring(i + 1, end).filterNot(_.isWhitespace)
             val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
-            pending += padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+            if (padded.forall(c => Character.digit(c, 16) >= 0)) {
+              pending += padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+            }
             i = end + 1
           }
         case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
@@ -401,8 +417,22 @@ object ImageMeta {
       throw new IllegalArgumentException("JPEG without SOF dimensions")
     } else if (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a") {
       (u16le(b, 6).toLong, u16le(b, 8).toLong, "GIF", "P")
-    } else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP" && ascii(b, 12, 4) == "VP8X" && b.length >= 30) {
-      (u24le(b, 24).toLong + 1, u24le(b, 27).toLong + 1, "WEBP", "RGB")
+    } else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP") {
+      // three container layouts: extended (VP8X), simple lossy (VP8 ,
+      // keyframe header carries dims), simple lossless (VP8L, 14+14-bit
+      // packed dims) — most encoders emit the simple forms by default
+      ascii(b, 12, 4) match {
+        case "VP8X" if b.length >= 30 =>
+          (u24le(b, 24).toLong + 1, u24le(b, 27).toLong + 1, "WEBP", "RGB")
+        case "VP8 " if b.length >= 30 &&
+            (b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 && (b(25) & 0xff) == 0x2a =>
+          ((u16le(b, 26) & 0x3fff).toLong, (u16le(b, 28) & 0x3fff).toLong, "WEBP", "RGB")
+        case "VP8L" if b.length >= 25 && (b(20) & 0xff) == 0x2f =>
+          val bits = (b(21) & 0xffL) | ((b(22) & 0xffL) << 8) | ((b(23) & 0xffL) << 16) | ((b(24) & 0xffL) << 24)
+          val mode = if (((bits >> 28) & 1L) == 1L) "RGBA" else "RGB"
+          ((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1, "WEBP", mode)
+        case _ => throw new IllegalArgumentException("unrecognized WEBP layout")
+      }
     } else throw new IllegalArgumentException("unrecognized image container")
   }
 }

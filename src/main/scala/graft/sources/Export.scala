@@ -36,8 +36,22 @@ object Export {
           // the sink needs (local in tests, HDFS/object store on a cluster)
           val fs = part.getFileSystem(new Configuration())
           val zos = new ZipOutputStream(fs.create(part, true))
+          // Python's zipfile writes duplicate arcnames with a warning;
+          // ZipOutputStream throws. Uniquify deterministically instead of
+          // failing the task: second 'a.txt' becomes 'a (1).txt'.
+          val seen = scala.collection.mutable.HashMap.empty[String, Int]
           try it.foreach { r =>
-            zos.putNextEntry(new ZipEntry(r.getString(0)))
+            val name = r.getString(0)
+            val n    = seen.getOrElse(name, 0)
+            seen(name) = n + 1
+            val arcname =
+              if (n == 0) name
+              else {
+                val dot = name.lastIndexOf('.')
+                if (dot > name.lastIndexOf('/')) s"${name.substring(0, dot)} ($n)${name.substring(dot)}"
+                else s"$name ($n)"
+              }
+            zos.putNextEntry(new ZipEntry(arcname))
             zos.write(r.getAs[Array[Byte]](1))
             zos.closeEntry()
           } finally zos.close()

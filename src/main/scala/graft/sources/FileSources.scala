@@ -41,7 +41,10 @@ object FileSources {
     val cols = df.columns
     val rendered = df.select(
       col(orderCol).cast("long").as("__ord"),
-      concat_ws(" | ", cols.map(col): _*).as("row_text"),
+      // coalesce each cell: Spark reads empty CSV cells as null and
+      // concat_ws SKIPS nulls, which would silently drop the cell and
+      // misalign the ' | ' columns (the reference renders empties as '')
+      concat_ws(" | ", cols.map(c => coalesce(col(c), lit(""))): _*).as("row_text"),
     )
     rendered.agg(
       array_join(transform(sort_array(collect_list(struct(col("__ord"), col("row_text")))), r => r("row_text")), "\n").as("text"),
@@ -57,17 +60,19 @@ object FileSources {
     * lines; metadata = sheet_count + per-sheet row counts.
     */
   def xlsxModeled(spark: SparkSession, sheets: Seq[(String, String)], orderCol: String): DataFrame = {
-    val rendered = sheets.map { case (name, path) =>
+    val rendered = sheets.zipWithIndex.map { case ((name, path), idx) =>
       csvDocument(spark, path, orderCol)
         .select(
           concat(lit(s"Sheet: $name\n"), lit("-" * 20), lit("\n"), col("text")).as("sheet_text"),
           col("n_rows"),
         )
-        .withColumn("sheet_name", lit(name))
+        // WORKBOOK order (the caller's Seq), not alphabetical sheet-name
+        // order — the reference renders sheets as the workbook lists them
+        .withColumn("sheet_pos", lit(idx))
     }
     rendered.reduce(_ unionByName _)
       .agg(
-        array_join(transform(sort_array(collect_list(struct(col("sheet_name"), col("sheet_text")))), r => r("sheet_text")), "\n\n").as("text"),
+        array_join(transform(sort_array(collect_list(struct(col("sheet_pos"), col("sheet_text")))), r => r("sheet_text")), "\n\n").as("text"),
         count(lit(1)).cast("long").as("sheet_count"),
         sum(col("n_rows")).cast("long").as("total_rows"),
       )
@@ -85,10 +90,18 @@ object FileSources {
       .withColumn("language", regexp_extract(col("file_name"), "\\.(\\w+)$", 1))
       .withColumn("n_lines", size(split(col("text"), "\n", -1)).cast("long"))
 
-  /** S10 — C# scan: namespace sniffed from the first 20 lines. */
+  /** S10 — C# scan: namespace sniffed from the first 20 lines; line count
+    * uses Python-splitlines semantics ("a\nb\n" = 2 lines, "" = 0) for
+    * parity with the reference's cs metadata
+    * (backend/extractors/cs_extractor.py:32) — unlike S8/S9's library-defined
+    * split-based n_lines.
+    */
   def csScan(spark: SparkSession, dir: String): DataFrame =
     codeScan(spark, dir)
       .where(col("language") === "cs")
+      .withColumn("n_lines",
+        when(length(col("text")) === 0, 0L)
+          .otherwise(size(split(regexp_replace(col("text"), "\n$", ""), "\n", -1)).cast("long")))
       .withColumn("namespace",
         regexp_extract(array_join(slice(split(col("text"), "\n", -1), 1, 20), "\n"), "namespace\\s+([\\w.]+)", 1))
       .withColumn("file_size", length(col("text")).cast("long"))

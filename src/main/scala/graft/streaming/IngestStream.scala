@@ -29,19 +29,25 @@ object IngestStream {
     val files = spark.readStream
       .option("wholetext", "true")
       .text(dropDir)
-      .withColumn("file_name", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .withColumn("path", input_file_name())
+      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
 
     val writer: DataStreamWriter[Row] = files.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val docs = batch.select(
-          abs(xxhash64(col("file_name"))).as("doc_id"),
+          // hash the FULL path — same-named files in different subdirs must
+          // not collide into one document id; mask (not abs) keeps
+          // Long.MinValue non-negative too
+          xxhash64(col("path")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
           col("value").as("text"),
           regexp_extract(col("file_name"), "\\.(\\w+)$", 1).as("lang"),
         )
         val chunks = Chunker.chunk(batch.sparkSession, docs).toDF()
-        val emb    = Embedder.embedText(batch.sparkSession, chunks, "doc_id", "text").toDF()
-        val out = chunks.join(emb.select(col("id").as("doc_id"), col("text"), col("embedding")), Seq("doc_id", "text"))
+        // embed in place: joining embedText back on (doc_id, text) would
+        // duplicate rows when two chunks of a doc share identical text, and
+        // recompute + shuffle both sides
+        val out = Embedder.withEmbedding(chunks, "text")
         out.write.mode("append").parquet(outPath)
       }
 

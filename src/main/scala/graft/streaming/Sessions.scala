@@ -85,7 +85,15 @@ object Sessions {
             sorted.foreach { e =>
               val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapUs => cur = Some(s.copy(last = t, n = s.n + 1))
+                // Cross-batch out-of-order: a later micro-batch can deliver
+                // an event BEFORE the open session's bounds (still above the
+                // watermark). Merge with min/max — s.copy(last = t) would
+                // move the session backward and emit end < start.
+                case Some(s) if t - s.last <= gapUs && t >= s.start - gapUs =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) if t < s.start - gapUs =>
+                  // fully-late predecessor: its own session, already closed
+                  closed += SessionOut(user, 1, toTimestamp(t), toTimestamp(t))
                 case Some(s) =>
                   closed += SessionOut(user, s.n, toTimestamp(s.start), toTimestamp(s.last))
                   cur = Some(SessionState(t, t, 1))

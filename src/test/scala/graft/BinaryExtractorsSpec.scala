@@ -151,6 +151,27 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageMeta: simple-format WebP (VP8 lossy / VP8L lossless) parse dims") {
+    // 'VP8 ' keyframe: 3-byte frame tag, start code 9D 01 2A, 14-bit w/h
+    val lossy = new Array[Byte](30)
+    "RIFF".getBytes(UTF_8).copyToArray(lossy, 0)
+    "WEBPVP8 ".getBytes(UTF_8).copyToArray(lossy, 8)
+    lossy(23) = 0x9d.toByte; lossy(24) = 0x01; lossy(25) = 0x2a
+    lossy(26) = 6; lossy(27) = 0 // width 6
+    lossy(28) = 8; lossy(29) = 0 // height 8
+    assert(ImageMeta.parse(lossy) == ((6L, 8L, "WEBP", "RGB")))
+    // VP8L: 0x2F signature, then (w-1) 14 bits | (h-1) 14 bits | alpha bit 28
+    val lossless = new Array[Byte](25)
+    "RIFF".getBytes(UTF_8).copyToArray(lossless, 0)
+    "WEBPVP8L".getBytes(UTF_8).copyToArray(lossless, 8)
+    lossless(20) = 0x2f
+    val bits = (5L) | (7L << 14) | (1L << 28) // 6x8, alpha
+    lossless(21) = (bits & 0xff).toByte; lossless(22) = ((bits >> 8) & 0xff).toByte
+    lossless(23) = ((bits >> 16) & 0xff).toByte; lossless(24) = ((bits >> 24) & 0xff).toByte
+    assert(ImageMeta.parse(lossless) == ((6L, 8L, "WEBP", "RGBA")))
+  }
+
+
   // ---- property round trips: random content → build a container in memory
   // → extract → compare against an expectation computed from the GENERATED
   // data (never from the parser). Deterministic ScalaCheck sampling, same

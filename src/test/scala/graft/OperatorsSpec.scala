@@ -283,6 +283,19 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   // ---- S17 zip export sink ------------------------------------------------
+  test("zipExport: duplicate arcnames are uniquified, not a task-failing ZipException") {
+    import graft.sources.Export
+    val dir = java.nio.file.Files.createTempDirectory("graft_zip_dup").toString
+    val rows = Seq(
+      ("unsorted/a.txt", "one".getBytes("UTF-8")),
+      ("unsorted/a.txt", "two".getBytes("UTF-8")),
+      ("unsorted/a.txt", "three".getBytes("UTF-8")),
+    ).toDF("arcname", "content").coalesce(1)
+    Export.zipExport(rows, dir)
+    val names = Export.zipEntries(spark, dir).select("arcname").as[String].collect().sorted
+    assert(names.toSeq == Seq("unsorted/a (1).txt", "unsorted/a (2).txt", "unsorted/a.txt"))
+  }
+
   test("zipExport: binary round trip, one part per partition, arcname-sorted entries") {
     import graft.sources.Export
     val dir = java.nio.file.Files.createTempDirectory("graft_zip_test").toString

@@ -116,6 +116,39 @@ class SessionsSpec extends AnyFunSuite {
     assert(streamed.size == 3)
   }
 
+  test("cross-batch out-of-order event merges with min/max, never moves a session backward") {
+    import graft.streaming.Sessions
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base  = 1700000000000L
+    val flush = Sessions.Event(99L, new Timestamp(base + 100L * 3600000L))
+
+    val mem = MemoryStream[Sessions.Event]
+    // generous watermark so the late event is still admitted
+    val withWm = mem.toDS().withWatermark("ts", "2 hours").as[Sessions.Event]
+    val q = Sessions.sessionizeStream(spark, withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    // batch 1: event at t+30s; batch 2: a LATE event at t (before the open
+    // session's start, within gap)
+    mem.addData(Sessions.Event(7L, new Timestamp(base + 30000L)))
+    q.processAllAvailable()
+    mem.addData(Sessions.Event(7L, new Timestamp(base)))
+    q.processAllAvailable()
+    mem.addData(flush)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions_ooo").as[Sessions.SessionOut]
+      .collect().filter(_.user_id == 7L)
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.n_events == 2)
+    assert(s.session_start.getTime == base, s"start must be the late event: $s")
+    assert(s.session_end.getTime == base + 30000L, s"end must not move backward: $s")
+    assert(!s.session_end.before(s.session_start))
+  }
+
   test("sub-millisecond gap boundary: stream and batch agree (epoch-micros semantics)") {
     import graft.streaming.Sessions
     import spark.implicits._
