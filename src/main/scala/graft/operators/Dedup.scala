@@ -417,44 +417,57 @@ object Dedup {
       numBits: Int = 16,
       bands: Int = 4,
   ): DataFrame = {
+    require(numBits <= 64, s"sign signature packs into a Long: numBits <= 64 (got $numBits)")
     val rowsPerBand = numBits / bands
+    val mask        = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
     val projs: Array[Array[Double]] = signProjections(dim, numBits).map(_.toArray).toArray
     val spark = df.sparkSession
     import spark.implicits._
     // Null ids/vectors are excluded up front: they can't be near-dup
     // candidates (the old expression form dropped their pairs at the
     // threshold filter anyway), and the typed encoder would crash on them.
+    //
+    // Buckets form via groupBy + first-matching-band attribution (the
+    // simHashNearDupPairs shape): the old buckets⋈buckets self-join ran the
+    // numBits×dim projection flatMap TWICE (Spark does not CSE identical
+    // subplans across a self-join) and needed a distinct() shuffle over the
+    // up-to-bands× redundant pair stream. Here each pair is emitted from
+    // its first matching band only — one signature pass, no distinct.
     val buckets = graft.Par.fanOut(df
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v")))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, vSeq) =>
-        val v    = vSeq.toArray
-        val bits = new Array[Boolean](numBits)
-        var j = 0
+        val v   = vSeq.toArray
+        var sig = 0L
+        var j   = 0
         while (j < numBits) {
           val p = projs(j)
           val n = math.min(v.length, p.length)
           var dot = 0.0
           var i = 0
           while (i < n) { dot += v(i) * p(i); i += 1 }
-          bits(j) = dot > 0
+          if (dot > 0) sig |= (1L << j)
           j += 1
         }
-        (0 until bands).iterator.map { b =>
-          val sb = new java.lang.StringBuilder(rowsPerBand)
-          var r  = 0
-          while (r < rowsPerBand) { sb.append(if (bits(b * rowsPerBand + r)) '1' else '0'); r += 1 }
-          (id, b, sb.toString)
-        }
+        Iterator.range(0, bands).map(b => (b, (sig >>> (b * rowsPerBand)) & mask, id, sig))
       }
-      .toDF("id", "band", "pattern")
-    val b2 = buckets.select(col("band"), col("pattern"), col("id").as("id_b"))
-    buckets
-      .join(b2, Seq("band", "pattern"))
-      .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .distinct()
+      .toDF("band", "slice", "id", "sig")
+    buckets.groupBy("band", "slice")
+      .agg(collect_list(struct(col("id").as("_1"), col("sig").as("_2"))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(col("band"), col("members"))
+      .as[(Int, Seq[(Long, Long)])]
+      .flatMap { case (band, members) =>
+        val m = members.toArray
+        for {
+          i <- Iterator.range(0, m.length)
+          j <- Iterator.range(i + 1, m.length)
+          if m(i)._1 != m(j)._1
+          if firstMatchingBand(m(i)._2, m(j)._2, bands, rowsPerBand, mask) == band
+        } yield (math.min(m(i)._1, m(j)._1), math.max(m(i)._1, m(j)._1))
+      }
+      .toDF("id_a", "id_b")
   }
 
   /** Embedding-cosine near-duplicate pairs: banded sign-bit LSH candidate

@@ -26,6 +26,11 @@ object Ivf {
 
     /** nProbe closest centroid ids to the query (exact, driver-side). */
     def probeLists(queryVec: Seq[Double], nProbe: Int): Seq[Int] = {
+      // explicit dim guard: a short query would throw from deep inside sq,
+      // a LONG one would silently rank centroids on a prefix and probe
+      // uncorrelated lists (recall loss with no error)
+      require(centroids.isEmpty || centroids.head.length == queryVec.length,
+        s"query dim ${queryVec.length} != index dim ${centroids.headOption.map(_.length).getOrElse(0)}")
       def sq(a: Array[Double]): Double = {
         var s = 0.0; var i = 0
         while (i < a.length) { s += (a(i) - queryVec(i)) * (a(i) - queryVec(i)); i += 1 }
@@ -93,29 +98,46 @@ object Ivf {
         val cs  = bc.value
         val ccs = cs.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
         it.map { r =>
-          val v = r.getSeq[Any](vecIdx).toArray.map {
-            case d: java.lang.Double => d.doubleValue
-            case f: java.lang.Float  => f.doubleValue
-            case n: java.lang.Number => n.doubleValue
+          // null vector or null element → null list_id, matching the
+          // expression path's null propagation (the doc's "never changes
+          // assignments" contract includes the null rows)
+          val raw = if (r.isNullAt(vecIdx)) null else r.getSeq[Any](vecIdx)
+          val v: Array[Double] =
+            if (raw == null) null
+            else {
+              val arr = new Array[Double](raw.length)
+              var ok  = true
+              var i   = 0
+              raw.foreach { x =>
+                x match {
+                  case d: java.lang.Number => arr(i) = d.doubleValue
+                  case _                   => ok = false
+                }
+                i += 1
+              }
+              if (ok) arr else null
+            }
+          if (v == null) org.apache.spark.sql.Row.fromSeq(r.toSeq :+ null)
+          else {
+            var vv = 0.0
+            var i  = 0
+            while (i < v.length) { vv += v(i) * v(i); i += 1 }
+            var best     = 0
+            var bestDist = Double.MaxValue
+            var c        = 0
+            while (c < cs.length) {
+              val cv = cs(c)
+              var dot = 0.0
+              var j   = 0
+              val n   = math.min(v.length, cv.length)
+              while (j < n) { dot += v(j) * cv(j); j += 1 }
+              // same formula and FP order as assignExpr: v·v − 2·v·c + c·c
+              val d = vv - 2.0 * dot + ccs(c)
+              if (d < bestDist) { bestDist = d; best = c }
+              c += 1
+            }
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
           }
-          var vv = 0.0
-          var i  = 0
-          while (i < v.length) { vv += v(i) * v(i); i += 1 }
-          var best     = 0
-          var bestDist = Double.MaxValue
-          var c        = 0
-          while (c < cs.length) {
-            val cv = cs(c)
-            var dot = 0.0
-            var j   = 0
-            val n   = math.min(v.length, cv.length)
-            while (j < n) { dot += v(j) * cv(j); j += 1 }
-            // same formula and FP order as assignExpr: v·v − 2·v·c + c·c
-            val d = vv - 2.0 * dot + ccs(c)
-            if (d < bestDist) { bestDist = d; best = c }
-            c += 1
-          }
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ best)
         }
       }(org.apache.spark.sql.Encoders.row(schema))
     }
@@ -125,6 +147,9 @@ object Ivf {
     // (lloydFit is collect-order-independent, so limit's arbitrary row
     // order is harmless); over-budget corpora fit distributed via MLlib.
     val sampled = Ml.driverVectors(df, vecCol, maxDriverFitBytes)._2
+    // empty corpus: an empty index, not an MLlib fit crash
+    if (sampled.exists(_.isEmpty))
+      return (df.withColumn("list_id", lit(0).cast("int")), Model(Array.empty))
     if (sampled.exists(_.nonEmpty)) {
       val pts = sampled.get
       val m   = Model(Ml.lloydFit(pts, nList, seed))
@@ -190,9 +215,17 @@ object Ivf {
       w.println(s"column=$vecCol")
       model.centroids.foreach(c => w.println(c.mkString(",")))
     } finally w.close()
+    // PrintWriter swallows I/O errors into a flag — surface them BEFORE the
+    // rename, or a truncated-at-a-line-boundary sidecar could pass the
+    // reader's shape checks and silently shrink every probe
+    if (w.checkError()) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"sidecar write failed: $tmp")
+    }
     fs.delete(p, false)
     fs.rename(tmp, p)
-    centroidsCache.put(fs.makeQualified(root).toString, StoredIndex(model, Some(vecCol)))
+    val mtime = fs.getFileStatus(p).getModificationTime
+    centroidsCache.put(fs.makeQualified(root).toString, (mtime, StoredIndex(model, Some(vecCol))))
   }
 
   /** Continuous index maintenance — the reference's upload path
@@ -235,38 +268,43 @@ object Ivf {
     */
   private val CentroidsFile = "_graft_centroids.txt"
 
-  private val centroidsCache = scala.collection.concurrent.TrieMap.empty[String, StoredIndex]
+  private val centroidsCache = scala.collection.concurrent.TrieMap.empty[String, (Long, StoredIndex)]
 
-  /** Sidecar persisted next to a store, if any. Successful reads are
-    * memoized per qualified root (the optimizer rule calls this on every
-    * candidate plan); misses and unreadable/corrupt sidecars are NOT cached,
-    * so a store whose sidecar appears later — or finishes writing — is
-    * picked up on the next query instead of being poisoned-None forever.
+  /** Sidecar persisted next to a store, if any. Reads are memoized per
+    * qualified root keyed by the sidecar's MODIFICATION TIME: every call
+    * stats the file (one cheap RPC — the optimizer rule calls this per
+    * candidate plan, and a stat beats a read+parse), so a rebuild by
+    * ANOTHER JVM sharing `graft.ivf.root` invalidates this JVM's entry on
+    * the next query instead of leaving it on stale centroids forever.
+    * Misses and unreadable/corrupt sidecars are not cached — a sidecar that
+    * appears or finishes writing later is picked up on the next query.
     * Parsing is fail-closed: a torn or ragged sidecar yields None (the rule
     * declines to fire) rather than an exception out of the optimizer.
     */
   def readCentroids(root: String, conf: org.apache.hadoop.conf.Configuration): Option[StoredIndex] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs       = rootPath.getFileSystem(conf)
-    val key      = fs.makeQualified(rootPath).toString
-    centroidsCache.get(key).orElse {
-      val parsed = scala.util.Try {
-        val p = new org.apache.hadoop.fs.Path(rootPath, CentroidsFile)
-        if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          try {
-            val lines  = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
-            val column = lines.headOption.filter(_.startsWith("column=")).map(_.stripPrefix("column="))
-            val rows   = lines.filter(l => l.nonEmpty && !l.startsWith("column="))
-              .map(_.split(",").map(_.toDouble))
-            if (rows.isEmpty || rows.exists(_.length != rows.head.length)) None
-            else Some(StoredIndex(Model(rows), column))
-          } finally in.close()
-        }
-      }.toOption.flatten
-      parsed.foreach(centroidsCache.put(key, _))
-      parsed
+    val p        = new org.apache.hadoop.fs.Path(rootPath, CentroidsFile)
+    scala.util.Try(fs.getFileStatus(p)).toOption.flatMap { status =>
+      val key   = fs.makeQualified(rootPath).toString
+      val mtime = status.getModificationTime
+      centroidsCache.get(key) match {
+        case Some((m, idx)) if m == mtime => Some(idx)
+        case _ =>
+          val parsed = scala.util.Try {
+            val in = fs.open(p)
+            try {
+              val lines  = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+              val column = lines.headOption.filter(_.startsWith("column=")).map(_.stripPrefix("column="))
+              val rows   = lines.filter(l => l.nonEmpty && !l.startsWith("column="))
+                .map(_.split(",").map(_.toDouble))
+              if (rows.isEmpty || rows.exists(_.length != rows.head.length)) None
+              else Some(StoredIndex(Model(rows), column))
+            } finally in.close()
+          }.toOption.flatten
+          parsed.foreach(idx => centroidsCache.put(key, (mtime, idx)))
+          parsed
+      }
     }
   }
 

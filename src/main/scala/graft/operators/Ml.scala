@@ -81,11 +81,15 @@ object Ml {
       df: DataFrame, vecCol: String, maxBytes: Long,
       extra: Seq[org.apache.spark.sql.Column] = Nil,
   ): (Int, Option[Array[org.apache.spark.sql.Row]]) = {
-    val head = df.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
+    // null vectors are excluded throughout: a null in the first row would
+    // NPE the dim probe, and a null later would crash the fit loops — rows
+    // without a vector simply don't participate in fits
+    val nonNull = df.where(col(vecCol).isNotNull)
+    val head = nonNull.select(org.apache.spark.sql.functions.size(col(vecCol))).limit(1).collect()
     if (head.isEmpty) return (0, Some(Array.empty))
     val dim     = head(0).getInt(0)
     val maxRows = (maxBytes / (8L * math.max(dim, 1))).min(Int.MaxValue - 1L).toInt
-    val rows = df.select(col(vecCol).cast("array<double>") +: extra: _*).limit(maxRows + 1).collect()
+    val rows = nonNull.select(col(vecCol).cast("array<double>") +: extra: _*).limit(maxRows + 1).collect()
     (dim, if (rows.length <= maxRows) Some(rows) else None)
   }
 
@@ -156,7 +160,9 @@ object Ml {
     driverVectors(fitDf, vecCol, maxDriverFitBytes) match {
       case (_, Some(pts)) if pts.isEmpty => fitDf.sparkSession.emptyDataFrame
       case (_, Some(pts)) =>
-        val cs = pcFit(pts, 3)
+        // min(n,3) like pca3d: with fewer samples than components the extra
+        // eigenvectors are null-space garbage — those coords zero-pad instead
+        val cs = pcFit(pts, math.min(pts.length, 3))
         val v  = col(vecCol).cast("array<double>")
         def coord(i: Int) = if (i < cs.length) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
         applyDf.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))

@@ -37,9 +37,12 @@ object Multimodal {
         col("content"),
       )
 
-  /** Content-based format sniff from magic bytes (real, not a stub). */
+  /** Content-based format sniff from magic bytes (real, not a stub).
+    * Only the first 4 bytes are hex-encoded — hex(content) on the whole
+    * blob would materialize a 2×-size string per row just to read 8 chars.
+    */
   def sniffFormat(content: Column): Column = {
-    val h = upper(hex(content))
+    val h = hex(substring(content, 1, 4))
     when(h.startsWith("89504E47"), "png")
       .when(h.startsWith("FFD8FF"), "jpeg")
       .when(h.startsWith("47494638"), "gif")

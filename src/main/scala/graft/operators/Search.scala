@@ -38,6 +38,10 @@ object Search {
       .withColumn("score", graft.functions.VectorExpressions.cosineFast(asDouble(col(vecCol)), q))
     filters
       .foldLeft(scored)((df, f) => df.where(f))
+      // zero-norm vectors (empty-text embeddings) score 0/0 = NaN, and Spark
+      // sorts NaN ABOVE every real double — without this guard junk rows
+      // would top every search result
+      .where(!isnan(col("score")))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

@@ -137,6 +137,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits == Seq(1L, 4L, 3L)) // ties (1,4 score 1.0) broken by id
   }
 
+  test("topK: zero-norm vectors (NaN cosine) never rank — Spark sorts NaN above every double") {
+    val corpus = Seq(
+      (1L, Array(0f, 0f)), // empty-text embedding: 0/0 = NaN score
+      (2L, Array(1f, 0f)), (3L, Array(0.5f, 0.5f)),
+    ).toDF("id", "vec")
+    val hits = Search.topK(corpus, "vec", "id", Seq(1.0, 0.0), 2)
+      .select("id").as[Long].collect().toSeq
+    assert(hits == Seq(2L, 3L), s"zero vector must not top the results: $hits")
+  }
+
   test("knnJoin matches brute-force ranking") {
     val vecs = (0 until 15).map(i => (i.toLong, Embedder.default.embed(s"text $i payload")))
     val df   = vecs.toDF("id", "vec")
