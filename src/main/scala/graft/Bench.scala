@@ -9,16 +9,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Engine.session("graft-bench")
+    // Timing materializes every output row through the noop sink: a count()
+    // on top would let Catalyst PRUNE the projected expressions (and
+    // eliminate sorts), so projection-only queries (fingerprints, sanitize,
+    // quality features…) would time a bare zero-column scan instead of the
+    // operator under test.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // Each query runs three times: the first (cold) execution pays one-off
     // JVM / whole-stage-codegen compilation and file-listing costs; the two
     // warm runs measure the operator itself and the MIN is reported — noise
@@ -29,10 +27,10 @@ object Bench {
     val results: Map[String, Either[String, (Double, Double)]] = SparkEntry.queries.map { case (name, fn) =>
       val r =
         try {
-          val t0 = System.nanoTime(); fn(spark, sfDir).count()
+          val t0 = System.nanoTime(); materialize(fn(spark, sfDir))
           val cold = (System.nanoTime() - t0) / 1e9
           val warm = (1 to 2).map { _ =>
-            val t1 = System.nanoTime(); fn(spark, sfDir).count()
+            val t1 = System.nanoTime(); materialize(fn(spark, sfDir))
             (System.nanoTime() - t1) / 1e9
           }.min
           Right((cold, warm))
@@ -74,15 +72,19 @@ object Bench {
     // window: total/floor/errors plus the queries that map 1:1 onto
     // BASELINE.md rows (search, ingest, clustering+naming, PCA) and the five
     // slowest, 3-decimal precision.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
-    catch { case _: Throwable => () }
+    // only advertise the full-line file if the write actually succeeded
+    val fullRef =
+      try {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
+        ""","queries_full":"bench_full.json""""
+      } catch { case _: Throwable => "" }
     def r3(d: Double) = math.rint(d * 1000) / 1000
     val warmOf   = results.collect { case (k, Right((_, w))) => k -> w }
     val headline = Seq("v1_cosine_topk", "v6_ivf_ann", "p1_ingest_pipeline", "m1_kmeans", "m2_cluster_naming", "m3_pca_3d")
     val slowest  = warmOf.toSeq.sortBy(-_._2).take(5).map(_._1)
     val digest = (headline ++ slowest).distinct.flatMap(k => warmOf.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$digest,"n_queries":${results.size},"errors":$nErr,"cold_total":${r3(cold)},"floor":${r3(floor)},"queries_full":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$digest,"n_queries":${results.size},"errors":$nErr,"cold_total":${r3(cold)},"floor":${r3(floor)}$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

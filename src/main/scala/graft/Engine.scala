@@ -38,8 +38,12 @@ object Engine {
   * just the analyzed plan — data stays on disk, scans stay lazy.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
+  private def t(name: String): DataFrame = {
+    // drop handles of stopped sessions: without eviction the cache pins
+    // every per-suite session (and its analyzed plans) for the JVM lifetime
+    Tables.handleCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     Tables.handleCache.getOrElseUpdate((spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")

@@ -462,10 +462,16 @@ object SparkEntry {
     // come from the round trip, so the oracle checks sink + container format
     // end-to-end, not just the path math.
     "s17_zip_export" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_zip_export").toString
+      // deterministic per-sfDir dir, cleaned before each write: a fresh
+      // createTempDirectory per invocation leaked a zipped corpus copy per
+      // bench/verify run (3+ per round) until /tmp filled
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zip_export_" + Integer.toHexString(d.hashCode))
+      if (dir.exists()) dir.listFiles().foreach(_.delete())
+      dir.mkdirs()
       graft.sources.Export.zipExport(
-        exportArcnames(s, d).select(col("arcname"), encode(col("text"), "UTF-8").as("content")), dir)
-      graft.sources.Export.zipEntries(s, dir)
+        exportArcnames(s, d).select(col("arcname"), encode(col("text"), "UTF-8").as("content")), dir.toString)
+      graft.sources.Export.zipEntries(s, dir.toString)
         .select(col("arcname"), md5(col("content")).as("text_md5"))
         .orderBy("arcname")
     }),
@@ -533,9 +539,12 @@ object SparkEntry {
     "v7_auto_probe" -> ((s, d) => {
       import s.implicits._
       val t = Tables(s, d)
-      val (indexed, _) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings")
+      // dedicated cacheKey: sharing v6's would race two writeIndexed
+      // overwrites to one path when the verify pool schedules both at once
+      val (indexed, _) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v7")
       val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val prev = classic.experimental.extraOptimizations
+      val prev      = classic.experimental.extraOptimizations
+      val prevProbe = s.conf.getOption("spark.graft.ivf.nProbe")
       classic.experimental.extraOptimizations = prev :+ graft.plans.IvfAutoProbe(s)
       s.conf.set("spark.graft.ivf.autoProbe", "true")
       s.conf.set("spark.graft.ivf.nProbe", "6")
@@ -547,7 +556,10 @@ object SparkEntry {
         Seq((10L, exact.count(ann) >= 8)).toDF("k", "recall_ok")
       } finally {
         s.conf.unset("spark.graft.ivf.autoProbe")
-        s.conf.unset("spark.graft.ivf.nProbe")
+        prevProbe match {
+          case Some(v) => s.conf.set("spark.graft.ivf.nProbe", v)
+          case None    => s.conf.unset("spark.graft.ivf.nProbe")
+        }
         classic.experimental.extraOptimizations = prev
       }
     }),

@@ -6,15 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // one shared builder (Engine.session) — hand-rolled copies here and in
+    // Bench had already drifted (this one was missing AQE)
+    val spark = Engine.session("graft-verify")
     new java.io.File(outDir).mkdirs()
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"); None }
@@ -32,9 +26,17 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    val stillFailed = Seq.newBuilder[String]
     failed.forEach { name =>
-      runOne(name, SparkEntry.queries(name)).foreach(err => System.err.println(s"[verify] $name failed: $err"))
+      runOne(name, SparkEntry.queries(name)).foreach { err =>
+        System.err.println(s"[verify] $name failed: $err")
+        stillFailed += name
+      }
     }
+    // summary on STDOUT too (stderr drowns in Spark logs); exit code stays 0
+    // so the driver still collects the passing queries' outputs + oracle json
+    val bad = stillFailed.result()
+    if (bad.nonEmpty) println(s"[verify] ${bad.size} queries failed twice: ${bad.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

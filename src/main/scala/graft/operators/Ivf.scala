@@ -313,7 +313,11 @@ object Ivf {
     * a measurable fixed cost); the corpus itself stays on disk in its
     * partitioned store, never pinned in executor/driver memory.
     */
-  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Model)]
+  // ConcurrentHashMap.computeIfAbsent, NOT TrieMap.getOrElseUpdate: the
+  // latter may evaluate the builder twice under concurrency, and two threads
+  // both running writeIndexed(mode=overwrite) to the same deterministic path
+  // delete each other's live part-files mid-scan
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Model)]()
 
   /** Per-JVM token in the default store path: the registry is per-JVM, so
     * two concurrent processes sharing a tmp dir must not overwrite each
@@ -338,7 +342,7 @@ object Ivf {
     * corpus is 100 TB and could never `.persist()`.
     */
   def indexFor(df: DataFrame, vecCol: String, nList: Int, cacheKey: String): (DataFrame, Model) =
-    indexCache.getOrElseUpdate(cacheKey, {
+    indexCache.computeIfAbsent(cacheKey, _ => {
       val (assigned, m) = assign(df, vecCol, nList)
       // 64-bit name from two murmur passes — a 32-bit hash makes silent
       // cross-key collisions plausible at registry scale.
