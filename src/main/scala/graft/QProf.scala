@@ -23,8 +23,11 @@ object QProf {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
-      val t0 = System.nanoTime(); val n1 = fn(spark, sfDir).count(); val c = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime(); val n2 = fn(spark, sfDir).count(); val w = (System.nanoTime() - t1) / 1e9
+      // noop sink, same as Bench: count() would prune projected expressions
+      def run(): Long = { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); 0L }
+      val t0 = System.nanoTime(); run(); val c = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); run(); val w = (System.nanoTime() - t1) / 1e9
+      val n1 = fn(spark, sfDir).count()
       println(f"[qprof] $name%-24s cold=$c%8.3fs warm=$w%8.3fs rows=$n1")
     }
     spark.stop()

@@ -660,12 +660,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // x2/x3 materialize tokens in their own projection: tokens() is an
+    // interpreted HOF with no CSE, and these expressions reference the
+    // token array 3-5 times
     "x2_lang_id" -> ((s, d) => Tables(s, d).documents
-      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), TextOps.langIdFromTokens(col("__toks")).as("lang_pred"))
       .orderBy("doc_id")),
 
     "x3_quality" -> ((s, d) => Tables(s, d).documents
-      .select(col("doc_id"), TextOps.qualityFeatures(col("text")).as("q"))
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), TextOps.qualityFeatures(col("text"), col("__toks")).as("q"))
       .select(
         col("doc_id"),
         col("q.n_chars").cast("long").as("n_chars"),

@@ -19,7 +19,9 @@ object TimeOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime(); fn(spark, sfDir).count()
+      // noop sink, same as Bench: count() would let Catalyst prune the
+      // projected expressions and time a bare scan
+      val t0 = System.nanoTime(); fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"[timeone] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()

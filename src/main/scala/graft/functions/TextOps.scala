@@ -77,8 +77,14 @@ object TextOps {
     * deterministic tie-break (lexicographic language code); no hits → "und"
     * (undetermined), mirroring fasttext-style ID at heuristic fidelity.
     */
-  def langId(text: Column): Column = {
-    val toks  = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over pre-materialized tokens: `tokens()` is an interpreted
+    * higher-order function with no CSE, and this expression references the
+    * token array once per language — pass an attribute (a prior projection's
+    * alias) so tokenization runs once per row, not |langs| times.
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val hits  = langs.map(l => l -> stopwordHits(toks, stopwords(l)))
     val best  = greatest(hits.map(_._2): _*)
@@ -94,11 +100,18 @@ object TextOps {
     * alpha ratios, plus a composite [0,1] score — the reference-free analog
     * of heuristic corpus-quality filters (Gopher/C4-style rules).
     */
-  def qualityFeatures(text: Column): Column = {
+  def qualityFeatures(text: Column): Column = qualityFeatures(text, tokens(text))
+
+  /** Quality features over pre-materialized tokens (same no-CSE rationale as
+    * [[langIdFromTokens]]: this struct references the token array three
+    * times, so inlining `tokens()` would tokenize every row three times).
+    */
+  def qualityFeatures(text: Column, toks: Column): Column = {
     val nChars   = length(text)
-    val toks     = tokens(text)
     val nToks    = size(toks)
-    val avgLen   = when(nToks > 0, aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nToks).otherwise(lit(0.0))
+    // sum of token lengths = length of the separator-less join — codegen'd,
+    // unlike an interpreted aggregate() lambda
+    val avgLen   = when(nToks > 0, length(concat_ws("", toks)).cast("double") / nToks).otherwise(lit(0.0))
     val punct    = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
     val punctR   = when(nChars > 0, punct.cast("double") / nChars).otherwise(lit(0.0))
     val alpha    = length(regexp_replace(text, "[^A-Za-z]", ""))
