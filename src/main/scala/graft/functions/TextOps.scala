@@ -17,6 +17,12 @@ object TextOps {
     * reference: backend/chunker.py:31 fallback `len(text.split())`).
     */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(Tokenize(org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** The declarative form [[Tokenize]] replaces — kept as the parity
+    * reference for the ScalaCheck equivalence property.
+    */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
   def tokenCount(text: Column): Column = size(tokens(text))

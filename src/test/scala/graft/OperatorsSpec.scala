@@ -237,6 +237,24 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   // ---- SQL surface for the native expressions -----------------------------
+  test("property: native Tokenize matches the declarative filter(split(lower)) form on arbitrary Unicode") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // adversarial alphabet: ASCII word/sep chars, Unicode uppercase that
+    // lowercases INTO [a-z] (Kelvin sign K, fullwidth Ａ does not), astral
+    // chars, combining marks, digits
+    val ch = Gen.oneOf[Char]('a', 'Z', '9', ' ', '.', '\n', 'K', 'Ä', 'ß', 'é', '中', '́', '\uD83D', '\uDE00')
+    val strGen = for { n <- Gen.choose(0, 60); cs <- Gen.listOfN(n, ch) } yield cs.mkString
+    val inputs = (0 until 300).flatMap(i => strGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", "   ", "abc", "ABC-123 def", "Kelvin", "áb")
+    val df = inputs.toDF("s")
+      .select(TextOps.tokens(col("s")).as("fast"), graft.functions.TextOps.tokensHof(col("s")).as("ref"))
+    val rows = df.collect()
+    rows.zip(inputs).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch on ${in.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("cosine_similarity / dot_product callable from spark.sql after registration") {
     org.apache.spark.sql.GraftBridge.registerFunctions(spark)
     val r = spark.sql(
