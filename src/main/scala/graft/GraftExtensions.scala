@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, Tokenize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1)),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
+      (args: Seq[Expression]) => Tokenize(args.head),
     ))
   }
 }

@@ -22,5 +22,7 @@ object GraftBridge {
       "cosine_similarity", args => graft.functions.CosineSimilarity(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "dot_product", args => graft.functions.DotProduct(args(0), args(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_tokens", args => graft.functions.Tokenize(args.head), "built-in")
   }
 }

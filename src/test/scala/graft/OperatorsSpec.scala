@@ -255,6 +255,13 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_tokens callable from spark.sql after registration") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    val out = spark.sql("SELECT graft_tokens('Hello, World-42!') AS t")
+      .select("t").as[Seq[String]].head()
+    assert(out == Seq("hello", "world", "42"))
+  }
+
   test("cosine_similarity / dot_product callable from spark.sql after registration") {
     org.apache.spark.sql.GraftBridge.registerFunctions(spark)
     val r = spark.sql(
