@@ -42,6 +42,54 @@ case class Tokenize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word n-gram shingles over a token array: `["a","b","c"]`, n=2 →
+  * `["a b","b c"]` (fewer than n tokens → empty). Replaces the
+  * `transform(sequence(...), i => array_join(slice(toks,i+1,n)))`
+  * composition — an interpreted lambda allocating a sliced array AND a
+  * joined string per position — with one pass reusing the source
+  * UTF8Strings. Sits under the TF-IDF naming chain (A6/M2) and the
+  * n-gram dedup family.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"shingle size must be positive (got $n)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other                    => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.shingle(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles$$.MODULE$$.shingle($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  def shingle(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out    = new Array[Any](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var i      = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object Tokenize {
 
   /** Lowercase once, then emit each maximal run of `[a-z0-9]` bytes. */

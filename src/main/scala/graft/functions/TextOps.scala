@@ -39,6 +39,10 @@ object TextOps {
 
   /** Word n-gram shingles over the token array (dedup/similarity input). */
   def wordShingles(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(WordShingles(org.apache.spark.sql.GraftBridge.expression(toks), n))
+
+  /** Declarative form [[WordShingles]] replaces — parity-test reference. */
+  private[graft] def wordShinglesHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array())
       .otherwise(
         transform(

@@ -204,7 +204,10 @@ object Ivf {
     writeSidecar(assigned.sparkSession.sparkContext.hadoopConfiguration, path, model, vecCol)
   }
 
-  private def writeSidecar(conf: org.apache.hadoop.conf.Configuration, path: String, model: Model, vecCol: String): Unit = {
+  private def writeSidecar(conf: org.apache.hadoop.conf.Configuration, path: String, model: Model, vecCol: String): Unit =
+    writeSidecar(conf, path, model, Some(vecCol))
+
+  private def writeSidecar(conf: org.apache.hadoop.conf.Configuration, path: String, model: Model, vecCol: Option[String]): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(conf)
     fs.mkdirs(root)
@@ -212,7 +215,7 @@ object Ivf {
     val tmp  = new org.apache.hadoop.fs.Path(root, CentroidsFile + ".tmp")
     val w    = new java.io.PrintWriter(fs.create(tmp, true))
     try {
-      w.println(s"column=$vecCol")
+      vecCol.foreach(c => w.println(s"column=$c"))
       model.centroids.foreach(c => w.println(c.mkString(",")))
     } finally w.close()
     // PrintWriter swallows I/O errors into a flag — surface them BEFORE the
@@ -225,7 +228,7 @@ object Ivf {
     fs.delete(p, false)
     fs.rename(tmp, p)
     val mtime = fs.getFileStatus(p).getModificationTime
-    centroidsCache.put(fs.makeQualified(root).toString, (mtime, StoredIndex(model, Some(vecCol))))
+    centroidsCache.put(fs.makeQualified(root).toString, (mtime, StoredIndex(model, vecCol)))
   }
 
   /** Continuous index maintenance — the reference's upload path
@@ -352,6 +355,40 @@ object Ivf {
       writeIndexed(assigned, p, m, vecCol)
       (df.sparkSession.read.parquet(p), m)
     })
+
+  /** Compact a store fragmented by [[streamInto]] appends: every micro-batch
+    * adds one file per touched list, and a long-lived stream leaves each
+    * list directory with thousands of tiny files — at 100 TB that is a
+    * listing/open-cost problem for every probe. Rewrites the corpus with
+    * ONE shuffle clustered by `list_id` (each output task owns whole lists,
+    * so each list lands as few large files) into a fresh store, preserving
+    * the sidecar, then swaps directories. The swap is delete+rename — a
+    * single-writer maintenance window like the reference's collection reset
+    * (backend/main.py:1046-1076), not a lock-free publish; run it when no
+    * probe is in flight.
+    *
+    * Returns the number of rows compacted.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(conf)
+    val tmp  = new org.apache.hadoop.fs.Path(path + ".compact")
+    fs.delete(tmp, true)
+    val df = spark.read.parquet(path)
+    df.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    val stored = readCentroids(path, conf)
+    val old    = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    fs.rename(root, old)
+    fs.rename(tmp, root)
+    fs.delete(old, true)
+    // restore the sidecar (it lived inside the swapped-out directory) and
+    // refresh this JVM's cache under the new mtime
+    stored.foreach(s => writeSidecar(conf, path, s.model, s.column))
+    spark.read.parquet(path).count()
+  }
 
   /** ANN top-k: exact search restricted to the nProbe nearest lists. When
     * `indexed` comes from [[indexFor]]/[[writeIndexed]], the `isin` lands in

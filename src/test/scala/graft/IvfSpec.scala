@@ -126,6 +126,20 @@ class IvfSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.ivf.autoProbe")
       classic.experimental.extraOptimizations = Nil
     }
+
+    // compaction: the two micro-batches left >1 file in some list dir;
+    // afterwards every list holds one file, rows/sidecar/probe survive
+    def filesPerList(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("list_id=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    assert(filesPerList(s"$tmp/store").values.exists(_ > 1), "stream appends should fragment at least one list")
+    assert(Ivf.compact(spark, s"$tmp/store") == 201L)
+    assert(filesPerList(s"$tmp/store").values.forall(_ == 1), s"compaction must leave one file per list: ${filesPerList(s"$tmp/store")}")
+    val afterHits = Ivf.search(spark.read.parquet(s"$tmp/store"), model, "vec", "id", qVec, 3, 2)
+    assert(afterHits.select("id").as[Long].collect().head == 9999L)
+    assert(Ivf.readCentroids(s"$tmp/store", spark.sparkContext.hadoopConfiguration).exists(_.column.contains("vec")),
+      "sidecar (with its column claim) must survive compaction")
   }
 
   test("withListId: large-model mapPartitions path assigns identically to the codegen'd expression") {

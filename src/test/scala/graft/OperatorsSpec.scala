@@ -255,6 +255,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: native WordShingles matches the declarative transform/slice form") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = for {
+      n  <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "", "x9", "ün"))
+    } yield ts
+    val inputs = (0 until 200).flatMap(i => tokGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    for (sh <- Seq(1, 2, 3)) {
+      val df = inputs.toDF("t")
+        .select(TextOps.wordShingles(col("t"), sh).as("fast"), TextOps.wordShinglesHof(col("t"), sh).as("ref"))
+      df.collect().zip(inputs).foreach { case (r, in) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$sh mismatch on $in")
+      }
+    }
+  }
+
   test("graft_tokens callable from spark.sql after registration") {
     org.apache.spark.sql.GraftBridge.registerFunctions(spark)
     val out = spark.sql("SELECT graft_tokens('Hello, World-42!') AS t")
