@@ -255,6 +255,26 @@ object SparkEntry {
       .select("source", "doc_id", "n_chars")
       .orderBy("source")),
 
+    // J7 — point-in-time join: every purchase picks up the user's most
+    // recent prior (or same-instant) view. Oracle is DuckDB's native ASOF
+    // JOIN, so the full backward-inclusive semantics are hash-checked.
+    // (user_id, ts) is unique within views at every SF, so the match is
+    // deterministic. Timestamps leave as an epoch-micros lag to keep the
+    // compared surface integer-typed.
+    "j7_asof" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"), round(col("value"), 4).as("view_value"))
+      Joins.asofJoin(purchases, views, "user_id", "ts", "view_ts")
+        .select(
+          col("event_id"), col("user_id"), col("view_id"), col("view_value"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
     // ---------------- A: aggregations ---------------------------------------
     "a1_distinct_clusters" -> ((s, d) => Aggs.distinctClusters(
       Tables(s, d).embeddings.withColumn("cluster_name", concat(lit("cluster_"), col("label"))),
@@ -655,9 +675,13 @@ object SparkEntry {
       val docs = Tables(s, d).documents
         .select(col("doc_id"), vocabTextCol.as("text"))
       val withDups = docs.unionByName(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      // No final orderBy: the correctness checker sorts rows on both sides
+      // before hashing, and at sf0.1 this emits ~640k pairs (the closed
+      // vocab makes most docs near-dups of each other) — a cosmetic
+      // range-sort of the full pair stream costs a sample job + an extra
+      // shuffle for nothing.
       Dedup.simHashNearDupPairs(withDups, "doc_id", "text", maxHamming = 3, bands = 4)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
-        .orderBy("id_a", "id_b")
     }),
 
     // x2/x3 materialize tokens in their own projection: tokens() is an
@@ -754,10 +778,20 @@ object SparkEntry {
 
     // The exact column is oracle-checked; the HLL estimate is checked as a
     // bounded-relative-error boolean (the sketch itself isn't SQL-portable).
+    // Dedup BEFORE aggregating: HLL only sees set membership, so the estimate
+    // is unchanged, but combining countDistinct + approx_count_distinct in
+    // one agg makes Catalyst rewrite to a per-user_id group that carries the
+    // whole sketch PER KEY through the shuffle (at rsd=0.01 that is 1640
+    // longs ≈ 13 KB per user — ~650 MB for a 2 MB table). Distinct-first
+    // shuffles bare longs and one sketch per partition. rsd=0.02 keeps the
+    // aggregation buffer 4× narrower than 0.01 (sketch width drives the agg
+    // codegen cost) while observed error stays ≤0.7% at sf0.001–0.1 —
+    // comfortably inside the 5% contract below.
     "a10_approx_distinct" -> ((s, d) => Tables(s, d).events
+      .select(col("user_id")).distinct()
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
       )
       .select(
         col("exact_users"),
@@ -1012,6 +1046,13 @@ object SparkEntry {
         | SELECT id, name, parent_id, path FROM r WHERE cursor IS NULL ORDER BY id""".stripMargin,
     "j6_firstwins" ->
       "SELECT source, doc_id, n_chars FROM documents QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) = 1 ORDER BY source",
+    "j7_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT user_id, ts AS view_ts, event_id AS view_id, round(value, 4) AS view_value FROM events WHERE event_type = 'view')
+        | SELECT l.event_id, l.user_id, r.view_id, r.view_value,
+        |   (epoch_us(l.ts) - epoch_us(r.view_ts))::BIGINT AS lag_us
+        | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.view_ts
+        | ORDER BY l.event_id""".stripMargin,
 
     "a1_distinct_clusters" ->
       "SELECT label AS cluster, max('cluster_' || label) AS cluster_name FROM embeddings WHERE label IS NOT NULL GROUP BY label ORDER BY cluster",

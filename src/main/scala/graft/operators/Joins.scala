@@ -136,4 +136,62 @@ object Joins {
     val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
+
+  /** J7 — backward as-of join (point-in-time join): for every left row,
+    * attach the LATEST right row of the same key with rightTs <= leftTs
+    * (inclusive, DuckDB `ASOF JOIN`'s `>=` semantics). This is the
+    * feature-generation primitive of a training-data pipeline — "state as of
+    * the event" — and Spark has no native operator for it.
+    *
+    * Shape: one shuffle. Both sides union into a single (key, ts, side)
+    * stream; a running `last(right_payload, ignoreNulls)` window over
+    * (partitionBy key, orderBy ts then side) carries each right row forward
+    * until the next one, so every left row reads its predecessor in O(1) —
+    * the distributed merge-join formulation. Nothing joins all-pairs and the
+    * only wide exchange is the window's hash partition on `key`; a hot key
+    * serializes through one task, the same skew profile as any keyed window
+    * (salt upstream if one key dominates).
+    *
+    * Right rows sort BEFORE left rows at equal ts (side 0 < 1) so a
+    * same-instant right row is visible — the inclusive bound. Ties between
+    * two right rows at identical (key, ts) are broken arbitrarily; callers
+    * needing determinism must dedup first (cf. firstWins).
+    *
+    * Contract: right column names (other than `key`) must not collide with
+    * left's. Output = all left columns + all right payload columns (null for
+    * unmatched left rows when joinType="left"; such rows are dropped for
+    * "inner").
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      joinType: String = "inner",
+  ): DataFrame = {
+    require(Seq("inner", "left").contains(joinType), s"asofJoin supports inner/left, got $joinType")
+    val rPayloadCols = right.columns.filter(_ != key).toSeq
+    val collisions   = rPayloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right payload columns collide with left: ${collisions.mkString(",")}")
+    val lStruct = struct(left.columns.toSeq.map(col): _*)
+    val rStruct = struct(rPayloadCols.map(col): _*)
+    val lType   = left.select(lStruct).schema.head.dataType
+    val rType   = right.select(rStruct).schema.head.dataType
+    val lSide = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val rSide = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rSide.unionByName(lSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val filtered = if (joinType == "inner") matched.where(col("__m").isNotNull) else matched
+    filtered.select(
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        rPayloadCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
 }

@@ -127,6 +127,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ham(m(1L), m(2L)) <= 8)
   }
 
+  // ---- J7 as-of join -------------------------------------------------------
+  test("asofJoin: backward inclusive match, left semantics keep unmatched rows") {
+    val left = Seq(
+      (1L, "u1", 100L), // matches r@100 (inclusive bound)
+      (2L, "u1", 150L), // matches r@100 (not r@200, which is after)
+      (3L, "u1", 250L), // matches r@200 (latest ≤ 250)
+      (4L, "u2", 50L),  // u2 has no right row at or before 50
+      (5L, "u3", 10L),  // u3 has no right rows at all
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      ("u1", 100L, "a"), ("u1", 200L, "b"), ("u2", 60L, "c"),
+    ).toDF("k", "rt", "tag")
+
+    val inner = Joins.asofJoin(left, right, "k", "t", "rt")
+      .select("eid", "tag").as[(Long, String)].collect().toMap
+    assert(inner == Map(1L -> "a", 2L -> "a", 3L -> "b"))
+
+    val outer = Joins.asofJoin(left, right, "k", "t", "rt", joinType = "left")
+      .select("eid", "tag").as[(Long, String)].collect().toMap
+    assert(outer.size == 5 && outer(4L) == null && outer(5L) == null)
+  }
+
+  test("asofJoin rejects colliding right payload column names") {
+    val l = Seq((1L, "u", 1L)).toDF("eid", "k", "t")
+    val r = Seq(("u", 1L, "x")).toDF("k", "t", "tag") // "t" collides
+    assertThrows[IllegalArgumentException](Joins.asofJoin(l, r, "k", "t", "t"))
+  }
+
   // ---- V: search ----------------------------------------------------------
   test("topK returns cosine-ranked ids with deterministic tie-break") {
     val corpus = Seq(
