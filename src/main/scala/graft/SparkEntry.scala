@@ -275,6 +275,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J8 — binned range join: lineitem prices bucketed into quadratic
+    // (non-uniform) price bands via Joins.rangeJoin — bin-explode + equi-join
+    // + exact re-check, never a BroadcastNestedLoopJoin. The oracle runs the
+    // same match as a plain inequality join, so the bin algebra (half-open
+    // bounds, partial last bin) is fully hash-checked.
+    "j8_range_join" -> ((s, d) => {
+      val bands = s.range(20).select(
+        col("id").as("band_id"),
+        (col("id") * col("id") * lit(300)).cast("double").as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * lit(300)).cast("double").as("hi"),
+      )
+      val pts = Tables(s, d).lineitem.select("l_extendedprice")
+      Joins.rangeJoin(pts, "l_extendedprice", bands, "lo", "hi", binWidth = 1000.0)
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"),
+        )
+        .orderBy("band_id")
+    }),
+
     // ---------------- A: aggregations ---------------------------------------
     "a1_distinct_clusters" -> ((s, d) => Aggs.distinctClusters(
       Tables(s, d).embeddings.withColumn("cluster_name", concat(lit("cluster_"), col("label"))),
@@ -345,6 +366,18 @@ object SparkEntry {
       .select(Filters.extAllowed(extCol, allowed).as("allowed"))
       .groupBy("allowed").agg(count(lit(1)).as("n"))
       .orderBy("allowed")),
+
+    // U4/U5 — reproducible sampling / splitting by portable multiplicative
+    // hash (Sampling.scala): the bucket formula is plain BIGINT arithmetic,
+    // so the oracle recomputes the EXACT assignment independently — this is
+    // a full per-row check of the sampler, not a rate bound.
+    "u4_hash_sample" -> ((s, d) => Sampling.hashSample(
+      Tables(s, d).documents.select("doc_id", "lang"), "doc_id", 3000)
+      .withColumn("bucket", Sampling.bucket(col("doc_id")))),
+
+    "u5_hash_split" -> ((s, d) => Sampling.hashSplit(
+      Tables(s, d).documents.select("doc_id"), "doc_id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))),
 
     // ---------------- S: scans & maintenance sinks --------------------------
     "s12_scan" -> ((s, d) => Tables(s, d).embeddings
@@ -601,11 +634,12 @@ object SparkEntry {
     // CONSTRUCTION, so the slice caps verification cost without weakening
     // the check (every pipeline stage still runs; real-text LSH perf is
     // d5's job).
+    // No final orderBy (cf. d8): ~100k candidate pairs at sf0.1, and the
+    // checker sorts rows on both sides before hashing.
     "d3_minhash_candidates" -> ((s, d) => Dedup.minHashCandidates(
       Tables(s, d).documents.where(col("doc_id") < 1000)
         .withColumn("text", concat_ws(" ", col("lang"), col("source"))),
-      "doc_id", "text", 1, 16, 8)
-      .orderBy("id_a", "id_b")),
+      "doc_id", "text", 1, 16, 8)),
 
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
       Tables(s, d).documents.where(col("doc_id") < 200), "doc_id", "text", 3, 0.005)
@@ -797,6 +831,30 @@ object SparkEntry {
         col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users") <= 0.05).as("approx_ok"),
       )),
+
+    // A11 — exact per-group quantiles via the bounded-domain histogram
+    // (Aggs.discreteQuantiles — DuckDB quantile_disc rule, fully
+    // oracle-checked) alongside the mergeable percentile_approx sketch,
+    // whose estimate is checked as a ±2-unit contract boolean. The exact
+    // path shuffles |groups|×|values| histogram rows regardless of input
+    // size; the sketch path is the arbitrary-domain fallback.
+    "a11_quantiles" -> ((s, d) => {
+      val li = Tables(s, d).lineitem
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      val exact = Aggs.discreteQuantiles(li, "l_returnflag", "qty",
+        Seq((1, 2, "p50"), (19, 20, "p95")))
+      val sketch = li.groupBy("l_returnflag").agg(
+        percentile_approx(col("qty"), lit(0.5), lit(10000)).as("__a50"),
+        percentile_approx(col("qty"), lit(0.95), lit(10000)).as("__a95"),
+      )
+      exact.join(broadcast(sketch), Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("n"), col("p50"), col("p95"),
+          (abs(col("__a50") - col("p50")) <= 2).as("p50_sketch_ok"),
+          (abs(col("__a95") - col("p95")) <= 2).as("p95_sketch_ok"),
+        )
+        .orderBy("l_returnflag")
+    }),
 
     // ---------------- H: relational headline (bench anchors) ----------------
     "h1_pricing_summary" -> ((s, d) => Tables(s, d).lineitem
@@ -1053,6 +1111,11 @@ object SparkEntry {
         |   (epoch_us(l.ts) - epoch_us(r.view_ts))::BIGINT AS lag_us
         | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.view_ts
         | ORDER BY l.event_id""".stripMargin,
+    "j8_range_join" ->
+      """WITH bands AS (SELECT i AS band_id, (i*i*300)::DOUBLE AS lo, ((i+1)*(i+1)*300)::DOUBLE AS hi FROM generate_series(0, 19) t(i))
+        | SELECT band_id, count(*)::BIGINT AS n_items, (sum(round(l_extendedprice * 100, 0)::BIGINT))::BIGINT AS cents
+        | FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+        | GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "a1_distinct_clusters" ->
       "SELECT label AS cluster, max('cluster_' || label) AS cluster_name FROM embeddings WHERE label IS NOT NULL GROUP BY label ORDER BY cluster",
@@ -1325,6 +1388,22 @@ object SparkEntry {
       "SELECT count(*)::BIGINT AS n, true AS matches_full_fit FROM embeddings WHERE vec_id < 20",
     "a10_approx_distinct" ->
       "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_ok FROM events",
+    "a11_quantiles" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | quantile_disc(l_quantity::BIGINT, 0.5)::BIGINT AS p50,
+        | quantile_disc(l_quantity::BIGINT, 0.95)::BIGINT AS p95,
+        | true AS p50_sketch_ok, true AS p95_sketch_ok
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "u4_hash_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
+        | SELECT doc_id, lang, bucket FROM b WHERE bucket < 3000""".stripMargin,
+    "u5_hash_split" ->
+      """WITH h AS (SELECT doc_id,
+        |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | b AS (SELECT doc_id, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
+        | SELECT doc_id, CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b""".stripMargin,
     "v5_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
          | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

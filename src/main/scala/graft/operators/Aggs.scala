@@ -113,4 +113,38 @@ object Aggs {
       )
       .orderBy("label")
   }
+
+  /** A11 — EXACT per-group discrete quantiles over a bounded-cardinality
+    * value domain, the scale-right way: aggregate a (group, value) histogram
+    * (partial-combined map-side, so the shuffle is |groups|×|values| rows no
+    * matter how many input rows), cumulative-sum it with a window, and pick
+    * the smallest value whose cumulative count reaches ceil(q·n) — exactly
+    * DuckDB's `quantile_disc` element rule, so the whole thing is
+    * oracle-checkable. A naive exact percentile (`percentile()`) buffers
+    * every raw value per group and dies at scale; a histogram of a bounded
+    * domain (quantities, scores, ratings, token counts) never does.
+    *
+    * Quantiles are (numerator, denominator, outputName) integer pairs so the
+    * rank threshold ceil(q·n) = (n·num + den − 1) div den stays in exact
+    * integer arithmetic — no float rank boundary to disagree with an oracle
+    * over.
+    */
+  def discreteQuantiles(
+      df: DataFrame, groupCol: String, valCol: String,
+      qs: Seq[(Int, Int, String)],
+  ): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(groupCol).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val outCols = max(col("__n")).as("n") +:
+      qs.map { case (num, den, name) =>
+        min(when(col("__cum") >= expr(s"(__n * $num + ${den - 1}) div $den"), col("__v"))).as(name)
+      }
+    cum.groupBy(groupCol).agg(outCols.head, outCols.tail: _*)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * Training-data pipelines need REPRODUCIBLE sampling: the same document must
+  * land in the same split on every run, on every engine, at any parallelism —
+  * `df.sample()`'s seeded RNG is none of those (it depends on partitioning).
+  * The standard fix is content-hash bucketing: bucket = h(id) mod B, keep a
+  * row iff its bucket falls in the split's range.
+  *
+  * The hash is Knuth's multiplicative (Fibonacci) hash h(x) = x·2654435761
+  * mod 2^32 with a final x ^= x>>16 avalanche — chosen over murmur/xxhash
+  * because it is exactly expressible in ANY engine's plain BIGINT arithmetic
+  * (the multiply is split into 16-bit halves so no intermediate exceeds
+  * 2^48 — engines that CHECK overflow, like DuckDB, stay happy), which is
+  * what makes the assignment verifiable end-to-end by an independent SQL
+  * oracle. Sequential ids spread uniformly (that is the golden-ratio
+  * multiplier's purpose); buckets are stable forever by construction.
+  *
+  * Everything is a pure per-row projection: no shuffle, no state, pushes
+  * down to a parquet scan filter at any scale.
+  */
+object Sampling {
+  /** 2654435761 = 40503·65536 + 31153 (golden-ratio multiplier, split). */
+  private val M32   = 4294967296L
+  private val MHi   = 40503L
+  private val MLo   = 31153L
+  val NumBuckets    = 10000 // basis points
+
+  /** h(id) in [0, 2^32): multiplicative hash with 16-bit-split multiply. */
+  def portableHash(id: Column): Column = {
+    val x  = id % M32
+    val h0 = (x * MLo + ((x * MHi) % 65536L) * 65536L) % M32
+    h0.bitwiseXOR(shiftright(h0, 16))
+  }
+
+  /** Stable bucket in [0, 10000) — basis points of the id space. */
+  def bucket(id: Column): Column = portableHash(id) % NumBuckets
+
+  /** Keep rows whose bucket < fractionBp (fraction in basis points, e.g.
+    * 3000 = 30%). Deterministic: the same id is kept on every run.
+    */
+  def hashSample(df: DataFrame, idCol: String, fractionBp: Int): DataFrame = {
+    require(fractionBp >= 0 && fractionBp <= NumBuckets, s"fractionBp out of range: $fractionBp")
+    df.where(bucket(col(idCol)) < fractionBp)
+  }
+
+  /** Assign every row to a named split by cumulative bucket ranges, e.g.
+    * Seq("train" -> 8000, "val" -> 1000, "test" -> 1000). Weights must sum
+    * to 10000 so the assignment is total. Splits are disjoint and exhaustive
+    * by construction; rows keep their split across runs and engines.
+    */
+  def hashSplit(df: DataFrame, idCol: String, weightsBp: Seq[(String, Int)]): DataFrame = {
+    require(weightsBp.map(_._2).sum == NumBuckets, s"weights must sum to $NumBuckets bp")
+    val b = bucket(col(idCol))
+    val cum = weightsBp.scanLeft(0)(_ + _._2).tail
+    val assigned = weightsBp.zip(cum).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), upper)) => when(acc.isNotNull, acc).otherwise(when(b < upper, name))
+    }
+    df.withColumn("split", assigned)
+  }
+}

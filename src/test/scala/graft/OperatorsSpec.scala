@@ -155,6 +155,54 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Joins.asofJoin(l, r, "k", "t", "t"))
   }
 
+  // ---- J8 binned range join ------------------------------------------------
+  test("rangeJoin matches a brute-force inequality join on non-uniform intervals") {
+    val pts = (0 until 200).map(i => (i.toLong, i * 3.7)).toDF("pid", "p")
+    val ivs = Seq( // overlapping, degenerate, and partial-bin intervals
+      (1L, 0.0, 50.0), (2L, 40.0, 41.0), (3L, 100.0, 100.0), (4L, 99.9, 700.0),
+    ).toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(pts, "p", ivs, "lo", "hi", binWidth = 25.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  // ---- U4/U5 hash sampling ----------------------------------------------
+  test("hashSample is deterministic, a subset, and near the requested rate") {
+    val ids = (0L until 10000L).toDF("id")
+    val s1  = Sampling.hashSample(ids, "id", 3000).as[Long].collect().toSet
+    val s2  = Sampling.hashSample(ids, "id", 3000).as[Long].collect().toSet
+    assert(s1 == s2) // same ids every run
+    assert(math.abs(s1.size - 3000) < 300) // golden-ratio hash spreads sequential ids
+    val s0 = Sampling.hashSample(ids, "id", 0).count()
+    assert(s0 == 0)
+  }
+
+  test("hashSplit is exhaustive, disjoint, and respects weights") {
+    val ids = (0L until 10000L).toDF("id")
+    val byS = Sampling.hashSplit(ids, "id", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS.values.sum == 10000L) // every row assigned exactly once
+    assert(math.abs(byS("train") - 8000) < 400 && math.abs(byS("val") - 1000) < 200)
+    assertThrows[IllegalArgumentException](
+      Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
+  }
+
+  // ---- A11 discrete quantiles ---------------------------------------------
+  test("discreteQuantiles matches DuckDB's quantile_disc element rule") {
+    // quantile_disc picks the smallest element with cum count >= ceil(q*n)
+    val df = Seq(
+      ("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),             // p50=2, p95=4
+      ("g2", 1L), ("g2", 1L), ("g2", 2L), ("g2", 9L),             // p50=1, p95=9
+      ("g3", 5L),                                                 // p50=5, p95=5
+    ).toDF("g", "v")
+    val got = Aggs.discreteQuantiles(df, "g", "v", Seq((1, 2, "p50"), (19, 20, "p95")))
+      .select("g", "n", "p50", "p95").as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("g1", 4L, 2L, 4L), ("g2", 4L, 1L, 9L), ("g3", 1L, 5L, 5L)))
+  }
+
   // ---- V: search ----------------------------------------------------------
   test("topK returns cosine-ranked ids with deterministic tie-break") {
     val corpus = Seq(
