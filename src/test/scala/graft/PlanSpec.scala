@@ -46,4 +46,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
     assert(!plan.contains("Exchange"), s"top-k must not shuffle the corpus:\n${plan.take(800)}")
   }
+
+  test("rangeJoin plans as an equi-join on the bin, never a nested-loop join") {
+    import spark.implicits._
+    val pts = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("pid", "p")
+    val ivs = (0 until 10).map(i => (i.toLong, i * 20.0, (i + 1) * 20.0)).toDF("iid", "lo", "hi")
+    val plan = Joins.rangeJoin(pts, "p", ivs, "lo", "hi", binWidth = 10.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay equi-keyed:\n${plan.take(1200)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("asofJoin shuffles exactly once (the keyed window), no join exchange") {
+    import spark.implicits._
+    val l = (0 until 100).map(i => (i.toLong, s"u${i % 5}", i.toLong)).toDF("eid", "k", "t")
+    val r = (0 until 50).map(i => (s"u${i % 5}", i.toLong * 2, s"tag$i")).toDF("k", "rt", "tag")
+    val plan = Joins.asofJoin(l, r, "k", "t", "rt").queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected the single window shuffle, got $exchanges:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"), s"no join operator should appear:\n${plan.take(1200)}")
+  }
 }
