@@ -322,14 +322,28 @@ object Dedup {
   def bandHashesFor(text: String, shingleSize: Int, numHashes: Int, bands: Int): Seq[Long] =
     minHashBandRows(0L, text, shingleSize, numHashes, bands).map(_._3).toSeq
 
+  /** maxBucketSize guards the one scale hazard of the bucketed shape: a
+    * degenerate key (think: millions of empty or boilerplate documents whose
+    * identical signatures share every band slice) materializes as ONE
+    * collect_list row in one task. Buckets above the cap are dropped before
+    * collection — their members are so mutually similar that downstream
+    * dedup treats them as one exact-dup class anyway (d1's job), while the
+    * O(cap²) bound keeps every task finite. With a finite cap, pair
+    * attribution switches from "first matching band" to "any surviving
+    * band + dropDuplicates": a pair's first shared band may have been a
+    * dropped hot bucket, which a task deciding locally cannot know
+    * (cf. minHashCandidates, which makes the same trade).
+    */
   def simHashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int,
       bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue,
   ): DataFrame = {
     require(maxHamming < bands, s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    require(maxBucketSize > 1, s"maxBucketSize must allow pairs: $maxBucketSize")
     val bits  = 64 / bands
     val mask  = if (bits == 64) -1L else (1L << bits) - 1
     val spark = df.sparkSession
@@ -352,7 +366,14 @@ object Dedup {
     // work is O(|bucket|²) either way; collect_list holds one bucket per
     // task, which is the same memory the old join's build side needed for
     // a hot (band, slice) key.
-    buckets.groupBy("band", "slice")
+    val capped =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "slice")))
+        .where(col("__bn") <= maxBucketSize)
+        .drop("__bn")
+    val pairs = capped.groupBy("band", "slice")
       .agg(collect_list(struct(col("id").as("_1"), col("sig").as("_2"))).as("members"))
       .where(size(col("members")) > 1)
       .select(col("band"), col("members"))
@@ -366,10 +387,15 @@ object Dedup {
           idB  = math.max(m(i)._1, m(j)._1)
           dist = java.lang.Long.bitCount(m(i)._2 ^ m(j)._2)
           if idA < idB && dist <= maxHamming
-          if firstMatchingBand(m(i)._2, m(j)._2, bands, bits, mask) == band
+          // uncapped: first-band attribution makes each pair unique with no
+          // extra shuffle; capped: any surviving band emits, deduped below
+          if maxBucketSize != Int.MaxValue ||
+            firstMatchingBand(m(i)._2, m(j)._2, bands, bits, mask) == band
         } yield (idA, idB, dist)
       }
       .toDF("id_a", "id_b", "hamming")
+    if (maxBucketSize == Int.MaxValue) pairs
+    else pairs.dropDuplicates("id_a", "id_b") // hamming is sig-determined, identical across bands
   }
 
   /** Smallest band index on which two signatures share an identical slice

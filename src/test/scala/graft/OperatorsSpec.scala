@@ -115,6 +115,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simHashNearDupPairs: hot-bucket cap drops degenerate buckets, keeps small ones") {
+    // 20 identical boilerplate docs (one hot bucket per band) + a planted
+    // near-dup pair with distinctive text
+    val boiler = (0L until 20L).map(i => (i, "lorem ipsum dolor sit amet boilerplate"))
+    val pair = Seq(
+      (100L, "spark is a distributed engine for large scale data processing"),
+      (101L, "spark is a distributed engine for large scale data processing today"),
+    )
+    val df = (boiler ++ pair).toDF("id", "text")
+    val capped = Dedup.simHashNearDupPairs(df, "id", "text", maxHamming = 10, bands = 16, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)), "small-bucket pair must survive the cap")
+    assert(!capped.exists(p => p._1 < 20L), "hot boilerplate bucket must be dropped")
+    // each surviving pair appears once despite multi-band emission
+    val all = Dedup.simHashNearDupPairs(df, "id", "text", maxHamming = 10, bands = 16, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(all.length == all.distinct.length)
+  }
+
   test("simHash: near-identical texts have small hamming distance") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing"),
