@@ -693,6 +693,19 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")),
 
+    // X6 — sequence packing (Packing.packByBudget): per-language streams,
+    // 512-token budget, greedy-with-overflow via the exclusive prefix sum.
+    // The oracle recomputes the identical closed-form assignment, so pack
+    // membership (not just counts) is hash-checked via per-pack sums.
+    "x6_sequence_packing" -> ((s, d) => {
+      val toks = Tables(s, d).documents
+        .select(col("lang"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packByBudget(toks, "doc_id", "n_tokens", 512L, "lang")
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
+
     "x5_json_props" -> ((s, d) => Tables(s, d).events
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
       .where(col("k").isNotNull)
@@ -1465,6 +1478,13 @@ object SparkEntry {
       raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",
     "x4_bpe_tokens" ->
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+    "x6_sequence_packing" ->
+      raw"""WITH t AS (SELECT lang, doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents),
+           | p AS (SELECT lang, n_tokens,
+           |   (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS pack_id
+           |   FROM t)
+           | SELECT lang, pack_id, count(*)::BIGINT AS n_docs, (sum(n_tokens))::BIGINT AS pack_tokens
+           | FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     "x5_json_props" ->
       raw"""WITH e AS (SELECT event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events)
            | SELECT k % 10 AS k_mod, count(*) AS n, sum(k)::BIGINT AS sum_k FROM e WHERE k IS NOT NULL GROUP BY 1 ORDER BY k_mod""".stripMargin,

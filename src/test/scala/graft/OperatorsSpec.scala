@@ -209,6 +209,22 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  // ---- X6 sequence packing -------------------------------------------------
+  test("packByBudget: greedy-with-overflow boundaries, per-stream independence") {
+    val docs = Seq(
+      // stream A, budget 10: prefixes 0,4,9,15 → packs 0,0,0,1
+      ("A", 1L, 4L), ("A", 2L, 5L), ("A", 3L, 6L), ("A", 4L, 2L),
+      // stream B: oversized doc occupies its own span; prefixes 0,25 → packs 0,2
+      ("B", 1L, 25L), ("B", 2L, 3L),
+    ).toDF("s", "id", "n")
+    val got = Packing.packByBudget(docs, "id", "n", 10L, "s")
+      .select("s", "id", "pack_id").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 0L), ("A", 4L, 1L),
+      ("B", 1L, 0L), ("B", 2L, 2L),
+    ))
+  }
+
   // ---- A11 discrete quantiles ---------------------------------------------
   test("discreteQuantiles matches DuckDB's quantile_disc element rule") {
     // quantile_disc picks the smallest element with cum count >= ceil(q*n)
