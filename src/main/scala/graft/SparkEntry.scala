@@ -693,6 +693,41 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")),
 
+    // X7 — PII/URL scrubbing. The synthetic corpus contains no emails or
+    // URLs, so both sides plant identical ones by doc_id before scrubbing —
+    // the replacements are exercised for real, and the md5 over the scrubbed
+    // text plus the pre-scrub match counts are hash-checked.
+    "x7_scrub_pii" -> ((s, d) => {
+      val planted = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" contact bob@example.com now"))
+            .when(col("doc_id") % 4 === 1, lit(" see https://example.com/a?b=1 page"))
+            .otherwise(lit(""))).as("t"))
+      planted.select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(TextOps.UrlRe)).cast("long").as("n_urls"),
+        md5(TextOps.scrubPii(col("t"))).as("scrubbed_md5"),
+      ).orderBy("doc_id")
+    }),
+
+    // X8 — repetition signals (Gopher-style): type-token ratio and top-token
+    // dominance per document, computed the distributed way (explode →
+    // two-stage agg, partial-combined map-side) rather than per-row HOF
+    // scans of the token array.
+    "x8_repetition" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 4).as("rep_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_ratio"),
+      )
+      .orderBy("doc_id")),
+
     // X6 — sequence packing (Packing.packByBudget): per-language streams,
     // 512-token budget, greedy-with-overflow via the exclusive prefix sum.
     // The oracle recomputes the identical closed-form assignment, so pack
@@ -1478,6 +1513,25 @@ object SparkEntry {
       raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",
     "x4_bpe_tokens" ->
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+    "x7_scrub_pii" -> {
+      val email = graft.functions.TextOps.EmailRe
+      val url   = graft.functions.TextOps.UrlRe
+      raw"""WITH p AS (SELECT doc_id,
+           |   text || CASE doc_id % 4 WHEN 0 THEN ' contact bob@example.com now' WHEN 1 THEN ' see https://example.com/a?b=1 page' ELSE '' END AS t
+           |   FROM documents)
+           | SELECT doc_id,
+           |   len(regexp_extract_all(t, '$email'))::BIGINT AS n_emails,
+           |   len(regexp_extract_all(t, '$url'))::BIGINT AS n_urls,
+           |   md5(regexp_replace(regexp_replace(t, '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g')) AS scrubbed_md5
+           | FROM p ORDER BY doc_id""".stripMargin
+    },
+    "x8_repetition" ->
+      raw"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+           | c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok)
+           | SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+           |   round(1.0 - count(*)::DOUBLE / sum(c), 4) AS rep_ratio,
+           |   round(max(c)::DOUBLE / sum(c), 4) AS top_ratio
+           | FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x6_sequence_packing" ->
       raw"""WITH t AS (SELECT lang, doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents),
            | p AS (SELECT lang, n_tokens,

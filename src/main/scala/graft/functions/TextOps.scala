@@ -57,6 +57,22 @@ object TextOps {
   def bagOfWordsFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** PII/URL scrub patterns, public so oracle SQL can inline the IDENTICAL
+    * regex: both stay inside the syntax subset Java regex and RE2 agree on
+    * (no backrefs, no lookaround, literal char classes). The URL class is
+    * `[^ ]` (not `\s`) so the two engines can't disagree about what counts
+    * as whitespace.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe   = "https?://[^ ]+"
+
+  /** Text scrubbing for training corpora: URLs first (an email-shaped
+    * userinfo inside a URL must scrub as part of the URL), then emails.
+    * Pure codegen'd expressions — no shuffle, linear in bytes.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+
   /** Filename sanitization chain (reference: backend/ingestion.py:27-55):
     * basename → strip control chars → replace reserved chars with '_' →
     * cap at 200 chars → empty fallback "unnamed_file". Pure expressions.

@@ -209,6 +209,21 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  // ---- X7 scrubbing ---------------------------------------------------------
+  test("scrubPii: urls scrub before emails, plain text untouched") {
+    val in = Seq(
+      "mail bob@example.com end",
+      "link https://x.test/a?u=joe@example.com end", // email-shaped userinfo is part of the URL
+      "both https://y.test/p and sue@corp.org end",
+      "nothing to scrub here",
+    ).toDF("t")
+    val out = in.select(TextOps.scrubPii(col("t")).as("c")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> end")
+    assert(out(1) == "link <URL> end")
+    assert(out(2) == "both <URL> and <EMAIL> end")
+    assert(out(3) == "nothing to scrub here")
+  }
+
   // ---- X6 sequence packing -------------------------------------------------
   test("packByBudget: greedy-with-overflow boundaries, per-stream independence") {
     val docs = Seq(
