@@ -149,6 +149,52 @@ class SessionsSpec extends AnyFunSuite {
     assert(!s.session_end.before(s.session_start))
   }
 
+  test("streaming as-of join matches batch, including a cross-batch late right row") {
+    import graft.streaming.AsofStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1700000000000L
+    def ts(m: Long) = new Timestamp(base + m * 60000L)
+    // side 0 = right (views), side 1 = left (purchases)
+    val batch1 = Seq(
+      AsofStream.Tagged(1L, ts(0), 0, 0L, 100L, 1.0),
+      AsofStream.Tagged(1L, ts(10), 1, 500L, 0L, 0.0), // should match the LATE right @5, not @0
+      AsofStream.Tagged(2L, ts(3), 1, 501L, 0L, 0.0),  // user 2 has no right rows → no emit
+    )
+    val batch2 = Seq(
+      AsofStream.Tagged(1L, ts(5), 0, 0L, 101L, 2.0),  // late right, still above watermark
+      AsofStream.Tagged(1L, ts(20), 0, 0L, 102L, 3.0),
+      AsofStream.Tagged(1L, ts(20), 1, 502L, 0L, 0.0), // same-instant right matches (inclusive)
+    )
+    val flush = Seq(AsofStream.Tagged(99L, new Timestamp(base + 100L * 3600000L), 0, 0L, 0L, 0.0))
+
+    val mem = MemoryStream[AsofStream.Tagged]
+    val withWm = mem.toDS().withWatermark("ts", "30 minutes").as[AsofStream.Tagged]
+    val q = AsofStream.enrichStream(spark, withWm)
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    mem.addData(flush: _*);  q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("asof_out").as[AsofStream.Matched].collect()
+      .map(m => (m.event_id, m.view_id, m.view_value, m.lag_us)).toSet
+
+    val all = batch1 ++ batch2
+    val lefts  = all.filter(_.side == 1).map(t => (t.event_id, t.user_id, t.ts)).toDF("event_id", "user_id", "ts")
+    val rights = all.filter(_.side == 0).map(t => (t.user_id, t.ts, t.view_id, t.view_value))
+      .toDF("user_id", "view_ts", "view_id", "view_value")
+    val batch = operators.Joins.asofJoin(lefts, rights, "user_id", "ts", "view_ts")
+      .select(col("event_id"), col("view_id"), col("view_value"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(500L, 502L)) // 501 unmatched, inner semantics
+    assert(streamed.find(_._1 == 500L).get._2 == 101L, "late right @5 must win over right @0")
+  }
+
   test("sub-millisecond gap boundary: stream and batch agree (epoch-micros semantics)") {
     import graft.streaming.Sessions
     import spark.implicits._
