@@ -275,6 +275,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J9 — skew-salted join: events' 5 event_types are the textbook hot-key
+    // distribution (20% of the fact side per key). saltedJoin shards each
+    // key across 8 salt buckets; the oracle is the plain inner join, so
+    // salting provably changes nothing but the shuffle layout. (At THIS dim
+    // size Catalyst broadcasts and there is no shuffle to skew — the salt
+    // is for the regime where the dim outgrows a broadcast.)
+    "j9_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"), ("purchase", "revenue"),
+        ("signup", "growth"), ("error", "ops"),
+      ).toDF("event_type", "category")
+      Skew.saltedJoin(Tables(s, d).events.select("event_type", "value"), dim, "event_type", 8)
+        .groupBy("category")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+        )
+        .orderBy("category")
+    }),
+
     // J8 — binned range join: lineitem prices bucketed into quadratic
     // (non-uniform) price bands via Joins.rangeJoin — bin-explode + equi-join
     // + exact re-check, never a BroadcastNestedLoopJoin. The oracle runs the
@@ -1159,6 +1180,13 @@ object SparkEntry {
         |   (epoch_us(l.ts) - epoch_us(r.view_ts))::BIGINT AS lag_us
         | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.view_ts
         | ORDER BY l.event_id""".stripMargin,
+    "j9_salted_join" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |   ('click','engagement'), ('view','engagement'), ('purchase','revenue'),
+        |   ('signup','growth'), ('error','ops'))
+        | SELECT category, count(*)::BIGINT AS n, (sum(round(value * 100, 0)::BIGINT))::BIGINT AS cents
+        | FROM events JOIN dim USING (event_type)
+        | GROUP BY category ORDER BY category""".stripMargin,
     "j8_range_join" ->
       """WITH bands AS (SELECT i AS band_id, (i*i*300)::DOUBLE AS lo, ((i+1)*(i+1)*300)::DOUBLE AS hi FROM generate_series(0, 19) t(i))
         | SELECT band_id, count(*)::BIGINT AS n_items, (sum(round(l_extendedprice * 100, 0)::BIGINT))::BIGINT AS cents

@@ -343,6 +343,16 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   // ---- skew + sketches ----------------------------------------------------
+  test("saltedJoin equals the plain join, every row salted deterministically") {
+    val big = (0 until 1000).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v") // 3 hot keys
+    val dim = Seq(("k0", "a"), ("k1", "b"), ("k2", "c"), ("k9", "unused")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, dim, "k", 8)
+      .select("k", "v", "tag").as[(String, Long, String)].collect().sorted.toSeq
+    val plain = big.join(dim, Seq("k"))
+      .select("k", "v", "tag").as[(String, Long, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.size == 1000)
+  }
+
   test("saltedAggregate merges to the same totals as a direct groupBy") {
     val df = (0 until 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble)).toDF("k", "v")
     val salted = Skew.saltedAggregate(df, "k", 8,
