@@ -891,7 +891,9 @@ object SparkEntry {
     // codegen cost) while observed error stays ≤0.7% at sf0.001–0.1 —
     // comfortably inside the 5% contract below.
     "a10_approx_distinct" -> ((s, d) => Tables(s, d).events
-      .select(col("user_id")).distinct()
+      // isNotNull keeps distinct()+count agreeing with the oracle's
+      // count(DISTINCT user_id), which never counts NULL
+      .select(col("user_id")).where(col("user_id").isNotNull).distinct()
       .agg(
         count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),

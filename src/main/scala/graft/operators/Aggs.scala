@@ -133,7 +133,11 @@ object Aggs {
       df: DataFrame, groupCol: String, valCol: String,
       qs: Seq[(Int, Int, String)],
   ): DataFrame = {
-    val hist = df.groupBy(col(groupCol), col(valCol).as("__v"))
+    // NULL values are excluded, matching quantile_disc (and every SQL
+    // quantile): without this filter the NULL histogram row sorts first in
+    // the window and inflates every rank threshold.
+    val hist = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(groupCol).orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -137,6 +137,46 @@ object Joins {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** J8 — binned range join: match each point row to the interval rows
+    * containing it (lo <= p < hi) WITHOUT the cartesian fallback. A plain
+    * inequality join has no equi-key, so Spark plans BroadcastNestedLoopJoin
+    * — O(points × intervals) and a driver-sized broadcast; unusable once the
+    * interval side outgrows a broadcast. The standard scale shape: quantize
+    * the domain into fixed-width bins, explode each interval to every bin it
+    * overlaps, equi-join points to intervals on the bin id, then re-check
+    * the exact predicate. Shuffle is (points + Σ interval-spans/binWidth)
+    * rows hashed by bin — both sides stream, nothing is all-pairs.
+    *
+    * binWidth tunes duplication: each interval materializes
+    * ceil(span/binWidth) rows, each point exactly one. Pick it near the
+    * median interval span.
+    *
+    * Intervals are [lo, hi) half-open; output = point columns + interval
+    * columns. Overlapping intervals yield one row per containing interval.
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double,
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(collisions.isEmpty, s"point/interval column names collide: ${collisions.mkString(",")}")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "__bin is reserved by rangeJoin")
+    // last covered bin: floor((hi-ε)/w) = ceil(hi/w)-1 when hi > lo;
+    // greatest() guards degenerate lo==hi rows (empty interval — the exact
+    // re-check below drops any accidental match).
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = greatest(loBin, (ceil(col(hiCol) / binWidth) - 1).cast("long"))
+    val binnedIntervals = intervals.withColumn("__bin", explode(sequence(loBin, hiBin)))
+    points
+      .withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+      .join(binnedIntervals, Seq("__bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** J7 — backward as-of join (point-in-time join): for every left row,
     * attach the LATEST right row of the same key with rightTs <= leftTs
     * (inclusive, DuckDB `ASOF JOIN`'s `>=` semantics). This is the
@@ -162,42 +202,6 @@ object Joins {
     * unmatched left rows when joinType="left"; such rows are dropped for
     * "inner").
     */
-  /** J8 — binned range join: match each point row to the interval rows
-    * containing it (lo <= p < hi) WITHOUT the cartesian fallback. A plain
-    * inequality join has no equi-key, so Spark plans BroadcastNestedLoopJoin
-    * — O(points × intervals) and a driver-sized broadcast; unusable once the
-    * interval side outgrows a broadcast. The standard scale shape: quantize
-    * the domain into fixed-width bins, explode each interval to every bin it
-    * overlaps, equi-join points to intervals on the bin id, then re-check
-    * the exact predicate. Shuffle is (points + Σ interval-spans/binWidth)
-    * rows hashed by bin — both sides stream, nothing is all-pairs.
-    *
-    * binWidth tunes duplication: each interval materializes
-    * ceil(span/binWidth) rows, each point exactly one. Pick it near the
-    * median interval span.
-    *
-    * Intervals are [lo, hi) half-open; output = point columns + interval
-    * columns. Overlapping intervals yield one row per containing interval.
-    */
-  def rangeJoin(
-      points: DataFrame, pointCol: String,
-      intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double,
-  ): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive: $binWidth")
-    // last covered bin: floor((hi-ε)/w) = ceil(hi/w)-1 when hi > lo;
-    // greatest() guards degenerate lo==hi rows (empty interval — the exact
-    // re-check below drops any accidental match).
-    val loBin = floor(col(loCol) / binWidth).cast("long")
-    val hiBin = greatest(loBin, (ceil(col(hiCol) / binWidth) - 1).cast("long"))
-    val binnedIntervals = intervals.withColumn("__bin", explode(sequence(loBin, hiBin)))
-    points
-      .withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
-      .join(binnedIntervals, Seq("__bin"))
-      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("__bin")
-  }
-
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

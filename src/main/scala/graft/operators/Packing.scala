@@ -21,6 +21,10 @@ import org.apache.spark.sql.DataFrame
   * both distributed (one window shuffle per stream) and independently
   * verifiable by a SQL oracle.
   *
+  * `idCol` must be UNIQUE within each stream: the prefix sum orders by it
+  * with a ROWS frame, so duplicate ids near a pack boundary would make the
+  * assignment depend on shuffle arrival order.
+  *
   * `streamCol` shards the running sum: packs form per stream (per language,
   * per shard, per source), so the window is `partitionBy(stream)` and no
   * single task sees the whole corpus. At 100 TB pick a stream key with

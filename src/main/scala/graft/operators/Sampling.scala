@@ -57,9 +57,12 @@ object Sampling {
     require(weightsBp.map(_._2).sum == NumBuckets, s"weights must sum to $NumBuckets bp")
     val b = bucket(col(idCol))
     val cum = weightsBp.scanLeft(0)(_ + _._2).tail
-    val assigned = weightsBp.zip(cum).foldLeft(lit(null).cast("string")) {
-      case (acc, ((name, _), upper)) => when(acc.isNotNull, acc).otherwise(when(b < upper, name))
-    }
+    // coalesce of per-split whens: cumulative uppers ascend, so the first
+    // non-null is the owning range. (A fold that references the accumulator
+    // twice doubles the expression tree per split — O(2^k) Catalyst nodes.)
+    val assigned = coalesce(weightsBp.zip(cum).map {
+      case ((name, _), upper) => when(b < upper, name)
+    }: _*)
     df.withColumn("split", assigned)
   }
 }

@@ -72,18 +72,20 @@ object AsofStream {
             }
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          // Lefts at or below the watermark are final: all their candidate
-          // rights have arrived. Emit in timestamp order for determinism.
-          val (ripe, wait) = st.pending.partition(_.tsUs <= wmUs)
+          // Lefts STRICTLY below the watermark are final. Not <=: Spark's
+          // late filter drops rows with ts <= wm-1ms only, so a right row
+          // AT the watermark is still on time — a left at the same instant
+          // must keep waiting or it would emit before its inclusive
+          // same-instant match can arrive. Emit in timestamp order.
+          val (ripe, wait) = st.pending.partition(_.tsUs < wmUs)
           val out = ripe.sortBy(l => (l.tsUs, l.eventId)).flatMap { l =>
             floorOf(st.rights, l.tsUs).map(r =>
               Matched(l.eventId, user, r.viewId, r.value, l.tsUs - r.tsUs))
           }
-          // Evict rights no future left can reach: older than the floor at
-          // the earliest still-possible left timestamp (pending lefts may
-          // predate the watermark's eviction line).
-          val horizon  = (wait.map(_.tsUs) :+ wmUs).min
-          val floorIdx = st.rights.lastIndexWhere(_.tsUs <= horizon)
+          // Evict rights no future left can reach: every remaining left has
+          // tsUs >= wmUs, so anything strictly older than the newest right
+          // at-or-below the watermark (the floor) is unreachable.
+          val floorIdx = st.rights.lastIndexWhere(_.tsUs <= wmUs)
           val rights   = if (floorIdx > 0) st.rights.drop(floorIdx) else st.rights
           if (rights.isEmpty && wait.isEmpty) {
             state.remove()
