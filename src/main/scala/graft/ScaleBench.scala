@@ -104,6 +104,35 @@ object ScaleBench {
         "cluster_naming"  -> (() => Ml.clusterAndName(
           vecs, docs.select(col("doc_id").as("vec_id"), col("text")),
           "embedding", "vec_id", "text", new Ml.KMeansClusterer(5)).count()),
+        "asof_join"       -> (() => {
+          val l = events.where(col("event_type") === "buy").select(col("event_id"), col("user_id"), col("ts"))
+          val r = events.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+          Joins.asofJoin(l, r, "user_id", "ts", "view_ts").count()
+        }),
+        "range_join"      -> (() => {
+          // value ∈ [0, 100): 20 quadratic bands cover it; binWidth 5
+          val bands = spark.range(20).select(
+            col("id").as("band_id"),
+            (col("id") * col("id") * lit(0.25)).as("lo"),
+            ((col("id") + 1) * (col("id") + 1) * lit(0.25)).as("hi"))
+          Joins.rangeJoin(events.select("value"), "value", bands, "lo", "hi", 5.0).count()
+        }),
+        "quantiles"       -> (() => Aggs.discreteQuantiles(
+          events.select(col("event_type"), round(col("value"), 0).cast("long").as("v")),
+          "event_type", "v", Seq((1, 2, "p50"), (19, 20, "p95"))).count()),
+        "hash_split"      -> (() => Sampling.hashSplit(docs, "doc_id",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)).groupBy("split").count().count()),
+        // 32 streams so the prefix-sum windows use the parallelism
+        "seq_packing"     -> (() => Packing.packByBudget(
+          docs.select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("stream"),
+            graft.functions.TextOps.tokenCount(col("text")).cast("long").as("n")),
+          "doc_id", "n", 512L, "stream").groupBy("stream", "pack_id").count().count()),
+        // sum(length(...)) forces the regexp chain — a bare count() would
+        // let Catalyst prune the projection entirely
+        "scrub_pii"       -> (() => docs
+          .select(length(graft.functions.TextOps.scrubPii(col("text"))).as("l"))
+          .agg(sum(col("l"))).count()),
       )
       ops.foreach { case (name, run) =>
         run() // cold: codegen + index build etc.
