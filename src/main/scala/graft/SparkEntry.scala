@@ -903,6 +903,15 @@ object SparkEntry {
         (abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users") <= 0.05).as("approx_ok"),
       )),
 
+    // A12 — one-pass table profile (Profile.profile) in verification-grade
+    // exact-ndv mode; the oracle recomputes every stat independently.
+    "a12_profile" -> ((s, d) => Profile.profile(
+      Tables(s, d).lineitem,
+      numericCols = Seq("l_quantity", "l_extendedprice", "l_orderkey"),
+      stringCols  = Seq("l_returnflag", "l_linestatus"),
+      exactNdv = true)
+      .orderBy("col_name")),
+
     // A11 — exact per-group quantiles via the bounded-domain histogram
     // (Aggs.discreteQuantiles — DuckDB quantile_disc rule, fully
     // oracle-checked) alongside the mergeable percentile_approx sketch,
@@ -1466,6 +1475,18 @@ object SparkEntry {
       "SELECT count(*)::BIGINT AS n, true AS matches_full_fit FROM embeddings WHERE vec_id < 20",
     "a10_approx_distinct" ->
       "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_ok FROM events",
+    "a12_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n, (count(*) - count($c))::BIGINT AS n_nulls,
+           | count(DISTINCT $c)::BIGINT AS ndv, min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+           | NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n, (count(*) - count($c))::BIGINT AS n_nulls,
+           | count(DISTINCT $c)::BIGINT AS ndv, NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+           | min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str FROM lineitem""".stripMargin
+      (Seq("l_quantity", "l_extendedprice", "l_orderkey").map(num) ++
+        Seq("l_returnflag", "l_linestatus").map(str)).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "a11_quantiles" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         | quantile_disc(l_quantity::BIGINT, 0.5)::BIGINT AS p50,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Table profiling: per-column counts, null counts, distinct counts and
+  * min/max in ONE aggregation pass over the table, unpivoted to one row per
+  * column — the audit a pipeline runs before pointing a 100 TB job at a new
+  * dataset (schema drift, null explosions, key-cardinality sanity).
+  *
+  * The whole profile is a single `agg()` so the table is scanned once;
+  * Catalyst computes every column's aggregates in the same partial+final
+  * pass. `exactNdv = false` (the scale default) uses HLL sketches for
+  * distinct counts — with it, the pass stays one shuffle of one partial row
+  * per partition no matter how many columns. `exactNdv = true` upgrades to
+  * exact `countDistinct`s, which Catalyst plans as an Expand (one duplicated
+  * input row per distinct-aggregate) — the verification-grade mode the
+  * oracle can check, linearly more expensive in the column count.
+  */
+object Profile {
+  def profile(
+      df: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String],
+      exactNdv: Boolean = false,
+  ): DataFrame = {
+    val all = numericCols ++ stringCols
+    require(all.nonEmpty, "profile needs at least one column")
+    require(all.distinct == all, "duplicate columns in profile spec")
+    def ndv(c: String) =
+      if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = all.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"), // count(col) skips NULLs
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        ndv(c).as(s"${c}__ndv"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+      )
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val legs =
+      numericCols.map(c =>
+        s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, CAST(`${c}__min` AS DOUBLE), CAST(`${c}__max` AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+      stringCols.map(c =>
+        s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(`${c}__min` AS STRING), CAST(`${c}__max` AS STRING)")
+    row.select(expr(
+      s"stack(${all.size}, ${legs.mkString(", ")}) AS (col_name, n, n_nulls, ndv, min_num, max_num, min_str, max_str)"))
+  }
+}

@@ -209,6 +209,24 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  // ---- A12 profiling ---------------------------------------------------------
+  test("profile: one row per column, nulls/ndv/minmax correct in both modes") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(3.0), None), (None, Some("b")), (Some(3.0), Some("b")),
+    ).toDF("x", "s")
+    for (exact <- Seq(true, false)) {
+      val p = Profile.profile(df, Seq("x"), Seq("s"), exactNdv = exact)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val x = p("x"); val s = p("s")
+      assert(x.getLong(1) == 3 && x.getLong(2) == 1) // n, n_nulls
+      assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 3.0)
+      assert(s.getLong(1) == 3 && s.getLong(2) == 1)
+      assert(s.getString(6) == "a" && s.getString(7) == "b")
+      if (exact) assert(x.getLong(3) == 2 && s.getLong(3) == 2) // exact ndv
+      else assert(x.getLong(3) >= 1 && s.getLong(3) >= 1) // sketch mode: sane estimate
+    }
+  }
+
   // ---- X7 scrubbing ---------------------------------------------------------
   test("scrubPii: urls scrub before emails, plain text untouched") {
     val in = Seq(
