@@ -903,11 +903,13 @@ object SparkEntry {
         (abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users") <= 0.05).as("approx_ok"),
       )),
 
-    // A12 — one-pass table profile (Profile.profile) in verification-grade
-    // exact-ndv mode; the oracle recomputes every stat independently.
+    // A12 — table profile (Profile.profile) in verification-grade exact-ndv
+    // mode; the oracle recomputes every stat independently. Exact ndv runs
+    // per-column two-stage hash aggs (see Profile scaladoc for why not the
+    // multi-distinct Expand); the HLL single-pass mode is the scale default.
     "a12_profile" -> ((s, d) => Profile.profile(
       Tables(s, d).lineitem,
-      numericCols = Seq("l_quantity", "l_extendedprice", "l_orderkey"),
+      numericCols = Seq("l_quantity", "l_partkey", "l_linenumber"),
       stringCols  = Seq("l_returnflag", "l_linestatus"),
       exactNdv = true)
       .orderBy("col_name")),
@@ -1484,7 +1486,7 @@ object SparkEntry {
         s"""SELECT '$c' AS col_name, count($c)::BIGINT AS n, (count(*) - count($c))::BIGINT AS n_nulls,
            | count(DISTINCT $c)::BIGINT AS ndv, NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
            | min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str FROM lineitem""".stripMargin
-      (Seq("l_quantity", "l_extendedprice", "l_orderkey").map(num) ++
+      (Seq("l_quantity", "l_partkey", "l_linenumber").map(num) ++
         Seq("l_returnflag", "l_linestatus").map(str)).mkString("", " UNION ALL ", " ORDER BY col_name")
     },
     "a11_quantiles" ->

@@ -8,14 +8,16 @@ import org.apache.spark.sql.DataFrame
   * column — the audit a pipeline runs before pointing a 100 TB job at a new
   * dataset (schema drift, null explosions, key-cardinality sanity).
   *
-  * The whole profile is a single `agg()` so the table is scanned once;
-  * Catalyst computes every column's aggregates in the same partial+final
-  * pass. `exactNdv = false` (the scale default) uses HLL sketches for
-  * distinct counts — with it, the pass stays one shuffle of one partial row
-  * per partition no matter how many columns. `exactNdv = true` upgrades to
-  * exact `countDistinct`s, which Catalyst plans as an Expand (one duplicated
-  * input row per distinct-aggregate) — the verification-grade mode the
-  * oracle can check, linearly more expensive in the column count.
+  * The profile is a single `agg()` so the table is scanned once; Catalyst
+  * computes every column's aggregates in the same partial+final pass.
+  * `exactNdv = false` (the scale default) uses HLL sketches for distinct
+  * counts — the pass stays one shuffle of one partial row per partition no
+  * matter how many columns. `exactNdv = true` (verification grade) runs ONE
+  * extra standard two-stage distinct aggregation per column and broadcast-
+  * joins the results in. Deliberately NOT multiple `countDistinct`s inside
+  * the single agg: string min/max make the buffer variable-width, so
+  * Catalyst's multi-distinct Expand falls back to SortAggregate and sorts
+  * rows×columns expanded rows — measured 6 s vs <1 s at 600k rows.
   */
 object Profile {
   def profile(
@@ -27,13 +29,11 @@ object Profile {
     val all = numericCols ++ stringCols
     require(all.nonEmpty, "profile needs at least one column")
     require(all.distinct == all, "duplicate columns in profile spec")
-    def ndv(c: String) =
-      if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs = all.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"), // count(col) skips NULLs
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        ndv(c).as(s"${c}__ndv"),
+        approx_count_distinct(col(c)).as(s"${c}__ndv"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"),
       )
@@ -44,7 +44,15 @@ object Profile {
         s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, CAST(`${c}__min` AS DOUBLE), CAST(`${c}__max` AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
       stringCols.map(c =>
         s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(`${c}__min` AS STRING), CAST(`${c}__max` AS STRING)")
-    row.select(expr(
+    val stacked = row.select(expr(
       s"stack(${all.size}, ${legs.mkString(", ")}) AS (col_name, n, n_nulls, ndv, min_num, max_num, min_str, max_str)"))
+    if (!exactNdv) stacked
+    else {
+      val exacts = all.map(c =>
+        df.agg(countDistinct(col(c)).as("ndv")).select(lit(c).as("col_name"), col("ndv")))
+        .reduce(_ unionByName _)
+      stacked.drop("ndv").join(broadcast(exacts), Seq("col_name"))
+        .select("col_name", "n", "n_nulls", "ndv", "min_num", "max_num", "min_str", "max_str")
+    }
   }
 }
