@@ -662,6 +662,22 @@ object SparkEntry {
         .withColumn("text", concat_ws(" ", col("lang"), col("source"))),
       "doc_id", "text", 1, 16, 8)),
 
+    // D9 — near-dup clusters from pairs: connected components over a
+    // deterministic chain-edge graph (doc_id → doc_id+1 within each decade,
+    // so components are 10-node chains — the worst case for plain label
+    // propagation and exactly what the pointer-jumping rounds collapse).
+    // Oracle = DuckDB recursive-CTE transitive closure, so the full
+    // assignment is hash-checked, not just component counts.
+    "d9_connected_components" -> ((s, d) => {
+      val ids = Tables(s, d).documents.select(col("doc_id"))
+      val e0 = ids.as("i1")
+        .join(ids.select(col("doc_id").as("__next")).as("i2"), col("doc_id") + 1 === col("__next"))
+        .where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+      Dedup.connectedComponents(ids, e0, "doc_id", "u", "v")
+        .orderBy("id")
+    }),
+
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
       Tables(s, d).documents.where(col("doc_id") < 200), "doc_id", "text", 3, 0.005)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a").cast("long").as("n_a"),
@@ -1518,6 +1534,13 @@ object SparkEntry {
         | SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id FROM d GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
     "d2_fingerprint" ->
       raw"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp FROM documents ORDER BY doc_id""",
+    "d9_connected_components" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        | e0 AS (SELECT i1.doc_id AS u, i1.doc_id + 1 AS v FROM ids i1
+        |   WHERE i1.doc_id % 10 != 9 AND EXISTS (SELECT 1 FROM ids i2 WHERE i2.doc_id = i1.doc_id + 1)),
+        | e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        | r(u, v) AS (SELECT doc_id, doc_id FROM ids UNION SELECT e.u, r.v FROM e JOIN r ON e.v = r.u)
+        | SELECT u AS id, min(v)::BIGINT AS component FROM r GROUP BY u ORDER BY id""".stripMargin,
     "d4_ngram_jaccard" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 200),
            | sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t WHERE len(toks) >= 3),

@@ -521,4 +521,66 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Connected components over a near-dup pair stream — the step that turns
+    * pairwise candidates (d3–d8) into dedup CLUSTERS, from which a pipeline
+    * keeps one canonical document per component (min id here). Spark has no
+    * built-in CC; this is distributed min-label propagation with pointer
+    * jumping, the Hash-to-Min / large-star–small-star family (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    *
+    *  1. neighbor-min: label(u) ← min(label(u), min over neighbors
+    *     label(v)) — one join + one map-side-combined groupBy per round.
+    *  2. pointer jumping: label(u) ← label(label(u)) — collapses chains in
+    *     O(log diameter) rounds instead of O(diameter).
+    *
+    * Each round localCheckpoints (lineage would otherwise double per round)
+    * and the loop exits as soon as a round changes nothing, detected with a
+    * cheap isEmpty on the changed-set — graphs of near-dup clusters have
+    * tiny diameters, so this typically runs 2–4 rounds. Only (id, label)
+    * pairs shuffle; edges are re-joined from their (checkpointed) frame.
+    *
+    * `nodes` may include isolated ids (they become singleton components).
+    * Output: (id, component) with component = min id of the cluster.
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 20,
+  ): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val und = sym.unionByName(sym.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter      = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // 1. neighbor-min
+      val viaNeighbors = und
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("component")).as("n_min"))
+      val stepped = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
+      // 2. pointer jumping: follow the label one hop
+      val jumped = stepped.alias("a")
+        .join(stepped.select(col("id").as("component"), col("component").as("jump")).alias("b"), Seq("component"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = jumped.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .where(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
 }

@@ -146,6 +146,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ham(m(1L), m(2L)) <= 8)
   }
 
+  // ---- D9 connected components ---------------------------------------------
+  test("connectedComponents matches union-find on random graphs, handles chains and isolates") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n     = 60
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (100L to 109L).map(i => (i, i + 1)) // an 11-node chain exercises pointer jumping
+      val nodes = ((0L until n.toLong) ++ (100L to 110L)).toDF("id")
+      val got = Dedup.connectedComponents(nodes, edges.toDF("a", "b"), "id", "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // brute-force union-find
+      val parent = scala.collection.mutable.Map[Long, Long]() ++ nodes.as[Long].collect().map(i => i -> i)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      // canonicalize: min id per root
+      val byRoot = parent.keys.groupBy(find).map { case (r, ms) => r -> ms.min }
+      val want = parent.keys.map(i => i -> byRoot(find(i))).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   // ---- J7 as-of join -------------------------------------------------------
   test("asofJoin: backward inclusive match, left semantics keep unmatched rows") {
     val left = Seq(
