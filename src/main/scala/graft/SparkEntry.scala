@@ -1148,6 +1148,24 @@ object SparkEntry {
         max(size(col("embedding"))).cast("long").as("dim"),
       )
     }),
+
+    // P3 — the dedup pipeline END TO END in one query: MinHash-LSH
+    // candidates → exact shingle-set verify (jaccard = 1.0) → connected
+    // components → canonical keep flag (min id per cluster). Completeness
+    // chain: identical shingle sets ⇒ identical MinHash signatures ⇒ LSH
+    // must emit the pair (d5's floor), so the component structure is exact
+    // and the oracle recomputes it independently (set-equality pairs +
+    // recursive-CTE closure).
+    "p3_dedup_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val dups = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 1.0,
+        Some(Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)))
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs.select("doc_id"), dups, "doc_id", "id_a", "id_b")
+        .withColumn("keep", col("id") === col("component"))
+        .orderBy("id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1570,6 +1588,14 @@ object SparkEntry {
            | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
            | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh)
            | SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "p3_dedup_pipeline" ->
+      raw"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
+           | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh),
+           | p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id),
+           | e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+           | r(u, v) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, r.v FROM e JOIN r ON e.v = r.u)
+           | SELECT u AS id, min(v)::BIGINT AS component, (u = min(v)) AS keep FROM r GROUP BY u ORDER BY id""".stripMargin,
     "d6_simhash" -> {
       val maj = "((a & b) | (a & c) | (b & c))"
       s"""WITH h AS (${simVocabSql(xx64)} FROM documents)
