@@ -568,17 +568,18 @@ object Dedup {
         .agg(min(col("component")).as("n_min"))
       val stepped = labels
         .join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
-      // 2. pointer jumping: follow the label one hop
+        .select(col("id"), col("component").as("__prev"),
+          least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
+      // 2. pointer jumping: follow the label one hop. __prev rides along so
+      // convergence reads off the checkpointed result — no extra join job
+      // against the previous round.
       val jumped = stepped.alias("a")
         .join(stepped.select(col("id").as("component"), col("component").as("jump")).alias("b"), Seq("component"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
+        .select(col("id"), col("__prev"),
+          least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
         .localCheckpoint(true)
-      converged = jumped.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .where(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = jumped
+      converged = jumped.where(col("component") =!= col("__prev")).isEmpty
+      labels = jumped.drop("__prev")
       iter += 1
     }
     labels

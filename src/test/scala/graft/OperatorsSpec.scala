@@ -189,6 +189,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(outer.size == 5 && outer(4L) == null && outer(5L) == null)
   }
 
+  test("asofJoin matches a brute-force scan on random data") {
+    val rnd = new scala.util.Random(7)
+    val lefts  = (1 to 120).map(i => (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+    val rights = (1 to 80).map(i => (s"k${rnd.nextInt(8)}", rnd.nextInt(100).toLong * 1000 + i, s"p$i"))
+    // right ts built unique per key (×1000+i) so the floor match is unambiguous
+    val got = Joins.asofJoin(
+      lefts.toDF("eid", "k", "t").withColumn("t", col("t") * 1000),
+      rights.toDF("k", "rt", "p"), "k", "t", "rt", joinType = "left")
+      .select("eid", "p").as[(Long, String)].collect().toMap
+    val rByKey = rights.groupBy(_._1)
+    val want = lefts.map { case (eid, k, t0) =>
+      val t = t0 * 1000
+      eid -> rByKey.getOrElse(k, Seq.empty).filter(_._2 <= t).sortBy(_._2).lastOption.map(_._3).orNull
+    }.toMap
+    assert(got == want)
+  }
+
   test("asofJoin rejects colliding right payload column names") {
     val l = Seq((1L, "u", 1L)).toDF("eid", "k", "t")
     val r = Seq(("u", 1L, "x")).toDF("k", "t", "tag") // "t" collides
