@@ -1149,6 +1149,20 @@ object SparkEntry {
       )
     }),
 
+    // V8 — mean-pool chunk embeddings into document vectors. Groups of 4
+    // vectors by vec_id; the 64-d mean is emitted integer-scaled (×10⁴,
+    // rounded) and comma-joined so the compared surface is a plain string —
+    // raw array columns crash the driver checker's pandas sort, and scaled
+    // integers stringify identically across engines where raw doubles
+    // ("1.0E-4" vs "0.0001") do not.
+    "v8_mean_pool" -> ((s, d) => Aggs.meanPoolVectors(
+      Tables(s, d).embeddings.select((col("vec_id") % 500).as("doc_id"), col("embedding")),
+      "doc_id", "embedding")
+      .select(
+        col("doc_id"),
+        array_join(transform(col("mean_vec"), v => round(v * 10000, 0).cast("long")), ",").as("doc_vec"))
+      .orderBy("doc_id")),
+
     // P3 — the dedup pipeline END TO END in one query: MinHash-LSH
     // candidates → exact shingle-set verify (jaccard = 1.0) → connected
     // components → canonical keep flag (min id per cluster). Completeness
@@ -1588,6 +1602,12 @@ object SparkEntry {
            | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
            | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh)
            | SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "v8_mean_pool" ->
+      """WITH g AS (SELECT vec_id % 500 AS doc_id, embedding FROM embeddings),
+        | u AS (SELECT doc_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding)::DOUBLE AS v FROM g),
+        | m AS (SELECT doc_id, pos, avg(v) AS m FROM u GROUP BY doc_id, pos)
+        | SELECT doc_id, string_agg(round(m * 10000, 0)::BIGINT::VARCHAR, ',' ORDER BY pos) AS doc_vec
+        | FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p3_dedup_pipeline" ->
       raw"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),

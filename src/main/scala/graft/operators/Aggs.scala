@@ -114,6 +114,24 @@ object Aggs {
       .orderBy("label")
   }
 
+  /** V8 — mean-pool vector aggregation: average a group's vectors
+    * element-wise (chunk embeddings → one document embedding, the standard
+    * doc-representation op). Distributed form: posexplode to (group, pos,
+    * value), aggregate per (group, pos) — partial+final, map-side combined —
+    * then reassemble the array in position order. Nothing buffers whole
+    * vector sets: the shuffle carries (group, pos, partial sum) rows, so a
+    * group with a million chunks costs the same per-dimension row count as
+    * one with ten. An `aggregate()`-HOF elementwise sum would buffer per-row
+    * arrays through an interpreted fold; the exploded form stays in codegen.
+    */
+  def meanPoolVectors(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__v")))
+      .groupBy(col(groupCol), col("__pos"))
+      .agg(avg(col("__v")).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__m")))), s => s("__m")).as("mean_vec"))
+
   /** A11 — EXACT per-group discrete quantiles over a bounded-cardinality
     * value domain, the scale-right way: aggregate a (group, value) histogram
     * (partial-combined map-side, so the shuffle is |groups|×|values| rows no

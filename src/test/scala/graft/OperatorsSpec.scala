@@ -247,6 +247,18 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  // ---- V8 mean pooling -------------------------------------------------------
+  test("meanPoolVectors averages element-wise in position order") {
+    val df = Seq(
+      (1L, Array(1.0, 2.0, 30.0)), (1L, Array(3.0, 6.0, 10.0)),
+      (2L, Array(5.0, 5.0, 5.0)),
+    ).toDF("g", "v")
+    val got = Aggs.meanPoolVectors(df, "g", "v")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) == Seq(2.0, 4.0, 20.0))
+    assert(got(2L) == Seq(5.0, 5.0, 5.0))
+  }
+
   // ---- A12 profiling ---------------------------------------------------------
   test("profile: one row per column, nulls/ndv/minmax correct in both modes") {
     val df = Seq(
