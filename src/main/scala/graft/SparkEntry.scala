@@ -678,6 +678,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // D10 — incremental near-dup: a new batch (ids +20000, texts reused from
+    // doc_id < 500) matches against the corpus via the signature-store join —
+    // only the batch is signatured, the corpus side joins on stored band
+    // rows. Exact verify at jaccard = 1.0 over the candidates; completeness
+    // (identical sets ⇒ identical signatures ⇒ candidate emitted) makes the
+    // result equal to the oracle's set-equality join between new and old.
+    "d10_incremental_neardup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val newBatch = docs.where(col("doc_id") < 500)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      val cand = Dedup.incrementalCandidates(
+        Dedup.lshBuckets(newBatch, "doc_id", "text", 3, 16, 8),
+        Dedup.lshBuckets(docs, "doc_id", "text", 3, 16, 8))
+      val union = docs.select(col("doc_id"), col("text")).unionByName(newBatch)
+      Dedup.ngramJaccardPairs(union, "doc_id", "text", 3, 1.0,
+        Some(cand.select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))))
+        .select("id_a", "id_b")
+    }),
+
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
       Tables(s, d).documents.where(col("doc_id") < 200), "doc_id", "text", 3, 0.005)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a").cast("long").as("n_a"),
@@ -1608,6 +1627,12 @@ object SparkEntry {
         | m AS (SELECT doc_id, pos, avg(v) AS m FROM u GROUP BY doc_id, pos)
         | SELECT doc_id, string_agg(round(m * 10000, 0)::BIGINT::VARCHAR, ',' ORDER BY pos) AS doc_vec
         | FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d10_incremental_neardup" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
+           | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh),
+           | newk AS (SELECT doc_id + 20000 AS new_id, h FROM k WHERE doc_id < 500)
+           | SELECT c.doc_id AS id_a, n.new_id AS id_b FROM k c JOIN newk n ON c.h = n.h ORDER BY id_a, id_b""".stripMargin,
     "p3_dedup_pipeline" ->
       raw"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),

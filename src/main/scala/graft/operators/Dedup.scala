@@ -522,6 +522,37 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Incremental near-dup candidates: match a NEW batch against an existing
+    * corpus's stored band rows without re-signaturing the corpus. At scale
+    * the corpus's `lshBuckets` output lives as a parquet signature store
+    * (the MinHash analog of the IVF store): each incoming batch computes
+    * only ITS OWN signatures and equi-joins the store on (band, band_hash) —
+    * work per batch is O(batch) signature compute + a join keyed on band
+    * hashes, never a re-scan of the 100 TB corpus text.
+    *
+    * `maxBucketSize` bounds the corpus side of each bucket join (boilerplate
+    * buckets grow forever in an append-only store; the window-count filter
+    * drops them, same contract as [[minHashCandidates]]).
+    *
+    * Output: (new_id, corpus_id) distinct candidate pairs — verify with
+    * [[ngramJaccardPairs]] over the unioned frames.
+    */
+  def incrementalCandidates(
+      newBand: DataFrame,
+      corpusBand: DataFrame,
+      maxBucketSize: Int = 10000,
+  ): DataFrame = {
+    val corpusCapped = corpusBand
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .where(col("__bn") <= maxBucketSize)
+      .select(col("band"), col("band_hash"), col("id").as("corpus_id"))
+    newBand.select(col("band"), col("band_hash"), col("id").as("new_id"))
+      .join(corpusCapped, Seq("band", "band_hash"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+  }
+
   /** Connected components over a near-dup pair stream — the step that turns
     * pairwise candidates (d3–d8) into dedup CLUSTERS, from which a pipeline
     * keeps one canonical document per component (min id here). Spark has no
