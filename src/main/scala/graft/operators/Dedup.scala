@@ -601,14 +601,19 @@ object Dedup {
         .join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
-      // 2. pointer jumping: follow the label one hop. __prev rides along so
-      // convergence reads off the checkpointed result — no extra join job
-      // against the previous round.
-      val jumped = stepped.alias("a")
-        .join(stepped.select(col("id").as("component"), col("component").as("jump")).alias("b"), Seq("component"), "left")
+      // 2. pointer jumping: follow the label two hops (label ← label(label)
+      // twice) — each hop is a cheap self-join on the compact (id, label)
+      // frame and doubles the collapse distance, so chain-shaped components
+      // converge in roughly half the rounds of a single hop. __prev rides
+      // along so convergence reads off the checkpointed result — no extra
+      // join job against the previous round.
+      def jumpOnce(fr: DataFrame): DataFrame = fr.alias("a")
+        .join(fr.select(col("id").as("component"), col("component").as("jump")).alias("b"), Seq("component"), "left")
         .select(col("id"), col("__prev"),
           least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
-        .localCheckpoint(true)
+      // checkpoint between hops: Spark does not CSE a self-joined subplan,
+      // so an unmaterialized inner hop would execute twice inside the outer
+      val jumped = jumpOnce(jumpOnce(stepped).localCheckpoint(true)).localCheckpoint(true)
       converged = jumped.where(col("component") =!= col("__prev")).isEmpty
       labels = jumped.drop("__prev")
       iter += 1
