@@ -784,6 +784,21 @@ object SparkEntry {
       )
       .orderBy("doc_id")),
 
+    // X9 — curriculum buckets: every document assigned a token-count decile
+    // from exact histogram-quantile thresholds (the scale-right ntile).
+    // Oracle recomputes thresholds with quantile_disc and the same
+    // lowest-bucket tie rule, so the whole assignment is checked via the
+    // per-bucket rollup.
+    "x9_curriculum_buckets" -> ((s, d) => {
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Aggs.quantileBuckets(toks, "n_tokens", 10)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+        .select(col("bucket").cast("long").as("bucket"), col("n_docs"), col("min_tokens"), col("max_tokens"))
+        .orderBy("bucket")
+    }),
+
     // X6 — sequence packing (Packing.packByBudget): per-language streams,
     // 512-token budget, greedy-with-overflow via the exclusive prefix sum.
     // The oracle recomputes the identical closed-form assignment, so pack
@@ -1679,6 +1694,18 @@ object SparkEntry {
            |   round(1.0 - count(*)::DOUBLE / sum(c), 4) AS rep_ratio,
            |   round(max(c)::DOUBLE / sum(c), 4) AS top_ratio
            | FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // thresholds via explicit INTEGER rank selection ((c*k+9)//10), not
+    // quantile_disc: its float rank (0.1*n) can ceil one past the integer
+    // formula the Spark side uses
+    "x9_curriculum_buckets" ->
+      raw"""WITH v AS (SELECT doc_id, len($toksSql)::BIGINT AS n FROM documents),
+           | o AS (SELECT n, row_number() OVER (ORDER BY n) AS r FROM v),
+           | tot AS (SELECT count(*) AS c FROM v),
+           | th AS (SELECT k, min(n) AS t FROM o, tot, generate_series(1, 10) g(k) WHERE r >= (c * k + 9) // 10 GROUP BY k),
+           | ts AS (SELECT list(t ORDER BY k) AS ts FROM th),
+           | b AS (SELECT doc_id, n, 1 + len(list_filter(ts, t -> t < n)) AS bucket FROM v, ts)
+           | SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs, min(n)::BIGINT AS min_tokens, max(n)::BIGINT AS max_tokens
+           | FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "x6_sequence_packing" ->
       raw"""WITH t AS (SELECT lang, doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents),
            | p AS (SELECT lang, n_tokens,

@@ -132,6 +132,45 @@ object Aggs {
       .agg(transform(
         array_sort(collect_list(struct(col("__pos"), col("__m")))), s => s("__m")).as("mean_vec"))
 
+  /** X9 — quantile bucketing: assign every row to one of `nBuckets`
+    * curriculum/stratification buckets by where its value falls among the
+    * EXACT k/nBuckets quantile thresholds. The scale-right replacement for
+    * `ntile() OVER (ORDER BY v)`, which funnels the entire table through a
+    * single-partition window: here the thresholds come from the
+    * bounded-domain histogram (cf. [[discreteQuantiles]]) and the assignment
+    * is a broadcast of one nBuckets-length array + a pure projection.
+    *
+    * Thresholds use the quantile_disc rule (smallest value whose cumulative
+    * count reaches ceil(k·n/nBuckets)); a row lands in the lowest bucket
+    * whose threshold is >= its value, so ties on a threshold collapse
+    * downward deterministically — reproducible across engines, unlike
+    * ntile's positional remainder rule under equal values. The global
+    * cumulative window runs over the HISTOGRAM (|distinct values| rows,
+    * bounded by assumption), not the data.
+    *
+    * Output: input columns + `bucket` in [1, nBuckets] (null value → null).
+    */
+  def quantileBuckets(df: DataFrame, valCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
+    val hist = df.where(col(valCol).isNotNull)
+      .groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+    val thresholds = cum
+      .withColumn("k", explode(sequence(lit(1), lit(nBuckets))))
+      .where(col("__cum") >= expr(s"(__n * k + ${nBuckets - 1}) div $nBuckets"))
+      .groupBy("k").agg(min(col("__v")).as("t"))
+      .agg(array_sort(collect_list(struct(col("k"), col("t")))).as("__kt"))
+      .select(transform(col("__kt"), s => s("t")).as("__ts"))
+    df.crossJoin(broadcast(thresholds))
+      .withColumn("bucket",
+        when(col(valCol).isNull, lit(null))
+          .otherwise(lit(1) + size(filter(col("__ts"), t => t < col(valCol)))))
+      .drop("__ts")
+  }
+
   /** A11 — EXACT per-group discrete quantiles over a bounded-cardinality
     * value domain, the scale-right way: aggregate a (group, value) histogram
     * (partial-combined map-side, so the shuffle is |groups|×|values| rows no

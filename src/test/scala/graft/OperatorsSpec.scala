@@ -259,6 +259,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == Seq(5.0, 5.0, 5.0))
   }
 
+  // ---- X9 quantile buckets ---------------------------------------------------
+  test("quantileBuckets: balanced assignment, downward ties, null passthrough") {
+    val df = ((1 to 100).map(i => Some(i.toLong)) :+ (None: Option[Long])).toDF("v")
+    val out = Aggs.quantileBuckets(df, "v", 10)
+      .select("v", "bucket").as[(Option[Long], Option[Int])].collect()
+    val byBucket = out.collect { case (Some(v), Some(b)) => (v, b) }.groupBy(_._2)
+    assert(byBucket.keySet == (1 to 10).toSet)
+    assert(byBucket.values.forall(_.length == 10)) // 100 values → 10 per decile
+    assert(out.collectFirst { case (None, b) => b }.get.isEmpty) // null → null
+    // all copies of a tied value share one bucket (lowest)
+    val tied = Seq(5L, 5L, 5L, 9L).toDF("v")
+    val tb = Aggs.quantileBuckets(tied, "v", 2).select("bucket").as[Int].collect()
+    assert(tb.count(_ == 1) == 3 && tb.count(_ == 2) == 1)
+  }
+
   // ---- A12 profiling ---------------------------------------------------------
   test("profile: one row per column, nulls/ndv/minmax correct in both modes") {
     val df = Seq(
