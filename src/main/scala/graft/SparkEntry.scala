@@ -400,6 +400,12 @@ object SparkEntry {
       Tables(s, d).documents.select("doc_id"), "doc_id",
       Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))),
 
+    // U6 — balanced subset: 20 deterministic docs per language, ordered by
+    // the portable hash; oracle replays the identical window.
+    "u6_stratified_take" -> ((s, d) => Sampling.stratifiedTake(
+      Tables(s, d).documents.select("doc_id", "lang"), "lang", "doc_id", 20)
+      .orderBy("lang", "doc_id")),
+
     // ---------------- S: scans & maintenance sinks --------------------------
     "s12_scan" -> ((s, d) => Tables(s, d).embeddings
       .select(col("vec_id"), col("label"), round(VectorOps.l2Norm(VectorOps.asDouble(col("embedding"))), 4).as("norm"))
@@ -1582,6 +1588,13 @@ object SparkEntry {
         |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
         | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
         | SELECT doc_id, lang, bucket FROM b WHERE bucket < 3000""".stripMargin,
+    "u6_stratified_take" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
+        | SELECT doc_id, lang FROM b
+        | QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 20
+        | ORDER BY lang, doc_id""".stripMargin,
     "u5_hash_split" ->
       """WITH h AS (SELECT doc_id,
         |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),

@@ -48,6 +48,20 @@ object Sampling {
     df.where(bucket(col(idCol)) < fractionBp)
   }
 
+  /** Deterministic stratified take: the same k rows per class on every run,
+    * ordered by the portable hash (pseudo-random but reproducible) with the
+    * id as tie-break. The balanced-subset op — k examples per language /
+    * source / label — as one keyed window; a hot class serializes its OWN
+    * rows through one task but never the table.
+    */
+  def stratifiedTake(df: DataFrame, classCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(bucket(col(idCol)), col(idCol))
+    df.withColumn("__r", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__r") <= k).drop("__r")
+  }
+
   /** Assign every row to a named split by cumulative bucket ranges, e.g.
     * Seq("train" -> 8000, "val" -> 1000, "test" -> 1000). Weights must sum
     * to 10000 so the assignment is total. Splits are disjoint and exhaustive
