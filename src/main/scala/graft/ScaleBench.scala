@@ -133,6 +133,27 @@ object ScaleBench {
         "scrub_pii"       -> (() => docs
           .select(length(graft.functions.TextOps.scrubPii(col("text"))).as("l"))
           .agg(sum(col("l"))).count()),
+        // decade chains: constant rounds, per-round work linear in nodes
+        "conn_components" -> (() => {
+          val ids = docs.select(col("doc_id"))
+          val e = ids.where(col("doc_id") % 10 =!= 9)
+            .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+          Dedup.connectedComponents(ids, e, "doc_id", "u", "v").count()
+        }),
+        "incr_neardup"    -> (() => {
+          val newBatch = docs.where(col("doc_id") % 16 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          Dedup.incrementalCandidates(
+            Dedup.lshBuckets(newBatch, "doc_id", "text", 3, 16, 8),
+            Dedup.lshBuckets(docs, "doc_id", "text", 3, 16, 8)).count()
+        }),
+        "mean_pool"       -> (() => Aggs.meanPoolVectors(
+          vecs.select((col("vec_id") % 500).as("g"), col("embedding")), "g", "embedding").count()),
+        "profile_hll"     -> (() => Profile.profile(events,
+          numericCols = Seq("event_id", "user_id", "value"), stringCols = Seq("event_type")).count()),
+        "quantile_bkts"   -> (() => Aggs.quantileBuckets(
+          events.select(col("event_id"), round(col("value"), 0).cast("long").as("v")), "v", 10)
+          .groupBy("bucket").count().count()),
       )
       ops.foreach { case (name, run) =>
         run() // cold: codegen + index build etc.
