@@ -1115,6 +1115,28 @@ object SparkEntry {
         )
     }),
 
+    // M6 — model persistence through the query surface: fit → save → load →
+    // transform with BOTH models; the contract is bit-exact agreement (the
+    // MLlib writer serializes the principal-component matrix losslessly).
+    // The reference pickles its fitted reducer (dimensionality_reduction
+    // .py:160-187); MLlib writers are the cluster-readable equivalent.
+    "m6_model_persistence" -> ((s, d) => {
+      val e     = Tables(s, d).embeddings
+      val model = Ml.fitPca(e, "embedding", 3)
+      val dir   = java.nio.file.Files.createTempDirectory("graft-m6").toString
+      Ml.savePca(model, dir)
+      val loaded = Ml.loadPca(dir)
+      val sub    = e.where(col("vec_id") < 20)
+      val a = Ml.transformPca(model, sub, "embedding", "vec_id")
+      val b = Ml.transformPca(loaded, sub, "embedding", "vec_id")
+        .select(col("vec_id"), col("x").as("lx"), col("y").as("ly"), col("z").as("lz"))
+      a.join(b, "vec_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bool_and(x = lx AND y = ly AND z = lz)").as("roundtrip_exact"),
+        )
+    }),
+
     // ---------------- MM: multimodal binary columns -------------------------
     "mm1_binary_scan" -> ((s, _) => {
       val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
@@ -1563,6 +1585,8 @@ object SparkEntry {
       "SELECT count(*)::BIGINT AS total, true AS var_desc, true AS finite FROM embeddings",
     "m4_pca_project" ->
       "SELECT count(*)::BIGINT AS n, true AS matches_full_fit FROM embeddings WHERE vec_id < 20",
+    "m6_model_persistence" ->
+      "SELECT count(*)::BIGINT AS n_rows, true AS roundtrip_exact FROM embeddings WHERE vec_id < 20",
     "a10_approx_distinct" ->
       "SELECT count(DISTINCT user_id)::BIGINT AS exact_users, true AS approx_ok FROM events",
     "a12_profile" -> {

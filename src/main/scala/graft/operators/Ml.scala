@@ -189,6 +189,15 @@ object Ml {
   def loadPca(path: String): org.apache.spark.ml.feature.PCAModel =
     org.apache.spark.ml.feature.PCAModel.load(path)
 
+  /** Apply a (fitted or reloaded) PCA model to an array column → (id, x, y, z). */
+  def transformPca(
+      model: org.apache.spark.ml.feature.PCAModel, df: DataFrame, vecCol: String, idCol: String,
+  ): DataFrame = {
+    val arr = vector_to_array(col("__pca"))
+    model.transform(df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>"))))
+      .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+  }
+
   /** M1 seam — pluggable clusterer returning (idCol, label) with −1 noise. */
   trait Clusterer extends Serializable {
     def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame
