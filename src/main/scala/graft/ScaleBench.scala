@@ -128,11 +128,12 @@ object ScaleBench {
           docs.select(col("doc_id"), pmod(col("doc_id"), lit(32)).as("stream"),
             graft.functions.TextOps.tokenCount(col("text")).cast("long").as("n")),
           "doc_id", "n", 512L, "stream").groupBy("stream", "pack_id").count().count()),
-        // sum(length(...)) forces the regexp chain — a bare count() would
-        // let Catalyst prune the projection entirely
-        "scrub_pii"       -> (() => docs
+        // head() COLLECTS the aggregated value, forcing the regexp chain —
+        // .agg(...).count() would let ColumnPruning empty the inner
+        // aggregate and time a bare row count
+        "scrub_pii"       -> (() => { docs
           .select(length(graft.functions.TextOps.scrubPii(col("text"))).as("l"))
-          .agg(sum(col("l"))).count()),
+          .agg(sum(col("l"))).head().getLong(0); 1L }),
         // decade chains: constant rounds, per-round work linear in nodes
         "conn_components" -> (() => {
           val ids = docs.select(col("doc_id"))

@@ -1123,7 +1123,10 @@ object SparkEntry {
     "m6_model_persistence" -> ((s, d) => {
       val e     = Tables(s, d).embeddings
       val model = Ml.fitPca(e, "embedding", 3)
-      val dir   = java.nio.file.Files.createTempDirectory("graft-m6").toString
+      // deterministic per-sfDir path + overwrite writer: a fresh temp dir
+      // per invocation leaked a model copy per bench/verify run (the s17
+      // zip-export lesson)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-m6-${math.abs(d.hashCode)}"
       Ml.savePca(model, dir)
       val loaded = Ml.loadPca(dir)
       val sub    = e.where(col("vec_id") < 20)

@@ -597,10 +597,14 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("component")).as("n_min"))
+      // checkpointed before the first hop for the same no-CSE reason as
+      // between hops: an unmaterialized stepped would embed the neighbor-min
+      // join+agg into BOTH branches of the hop's self-join
       val stepped = labels
         .join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
       // 2. pointer jumping: follow the label two hops (label ← label(label)
       // twice) — each hop is a cheap self-join on the compact (id, label)
       // frame and doubles the collapse distance, so chain-shaped components

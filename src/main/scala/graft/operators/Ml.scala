@@ -167,11 +167,7 @@ object Ml {
         def coord(i: Int) = if (i < cs.length) dotFast(v, typedLit(cs(i).toSeq)) else lit(0.0)
         applyDf.select(col(idCol), coord(0).as("x"), coord(1).as("y"), coord(2).as("z"))
       case (_, None) =>
-        val prep  = (d: DataFrame) => d.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
-        val model = new PCA().setK(3).setInputCol("__v").setOutputCol("__pca").fit(prep(fitDf))
-        val arr   = vector_to_array(col("__pca"))
-        model.transform(prep(applyDf))
-          .select(col(idCol), element_at(arr, 1).as("x"), element_at(arr, 2).as("y"), element_at(arr, 3).as("z"))
+        transformPca(fitPca(fitDf, vecCol, 3), applyDf, vecCol, idCol)
     }
   }
 

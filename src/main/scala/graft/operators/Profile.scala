@@ -29,21 +29,27 @@ object Profile {
     val all = numericCols ++ stringCols
     require(all.nonEmpty, "profile needs at least one column")
     require(all.distinct == all, "duplicate columns in profile spec")
+    // the HLL leg is built ONLY in sketch mode: a stack() generator's input
+    // expressions are not prunable, so an always-present approx column
+    // would be computed across the whole scan and discarded in exact mode
+    val ndvAgg: String => Seq[org.apache.spark.sql.Column] =
+      if (exactNdv) _ => Seq.empty
+      else c => Seq(approx_count_distinct(col(c)).as(s"${c}__ndv"))
     val aggs = all.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"), // count(col) skips NULLs
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        approx_count_distinct(col(c)).as(s"${c}__ndv"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"),
-      )
+      ) ++ ndvAgg(c)
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
+    def ndvLeg(c: String) = if (exactNdv) "CAST(NULL AS BIGINT)" else s"`${c}__ndv`"
     val legs =
       numericCols.map(c =>
-        s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, CAST(`${c}__min` AS DOUBLE), CAST(`${c}__max` AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        s"'$c', `${c}__n`, `${c}__nulls`, ${ndvLeg(c)}, CAST(`${c}__min` AS DOUBLE), CAST(`${c}__max` AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
       stringCols.map(c =>
-        s"'$c', `${c}__n`, `${c}__nulls`, `${c}__ndv`, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(`${c}__min` AS STRING), CAST(`${c}__max` AS STRING)")
+        s"'$c', `${c}__n`, `${c}__nulls`, ${ndvLeg(c)}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(`${c}__min` AS STRING), CAST(`${c}__max` AS STRING)")
     val stacked = row.select(expr(
       s"stack(${all.size}, ${legs.mkString(", ")}) AS (col_name, n, n_nulls, ndv, min_num, max_num, min_str, max_str)"))
     if (!exactNdv) stacked
