@@ -585,8 +585,15 @@ object Dedup {
     val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val und = sym.unionByName(sym.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).cast("long").as("id"))
-      .distinct()
+    val allNodes = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    // Only nodes that touch an edge enter the propagation loop: in a dedup
+    // corpus the overwhelming majority of documents pair with nothing, and
+    // they are singleton components by definition — keeping them in the
+    // loop would size every round's joins by the corpus instead of by the
+    // (much smaller) duplicated subset. They rejoin as singletons at the end.
+    val edgeNodes = und.select(col("u").as("id")).distinct()
+    var labels = edgeNodes
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var iter      = 0
@@ -622,6 +629,8 @@ object Dedup {
       labels = jumped.drop("__prev")
       iter += 1
     }
-    labels
+    val singletons = allNodes.join(labels.select("id"), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    labels.unionByName(singletons)
   }
 }
