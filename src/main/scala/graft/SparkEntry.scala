@@ -1123,10 +1123,12 @@ object SparkEntry {
     "m6_model_persistence" -> ((s, d) => {
       val e     = Tables(s, d).embeddings
       val model = Ml.fitPca(e, "embedding", 3)
-      // deterministic per-sfDir path + overwrite writer: a fresh temp dir
-      // per invocation leaked a model copy per bench/verify run (the s17
-      // zip-export lesson)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-m6-${math.abs(d.hashCode)}"
+      // deterministic per-(process, sfDir) path + overwrite writer: a fresh
+      // temp dir per invocation leaked a model copy per bench/verify run
+      // (the s17 zip-export lesson); the pid component keeps two concurrent
+      // runs (bench + verify) from racing overwrite-during-load on one dir.
+      // floorMod, not math.abs: abs(Int.MinValue) is still negative.
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-m6-${ProcessHandle.current.pid}-${Math.floorMod(d.hashCode, 1 << 30)}"
       Ml.savePca(model, dir)
       val loaded = Ml.loadPca(dir)
       val sub    = e.where(col("vec_id") < 20)
@@ -1612,19 +1614,19 @@ object SparkEntry {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "u4_hash_sample" ->
       """WITH h AS (SELECT doc_id, lang,
-        |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
         | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
         | SELECT doc_id, lang, bucket FROM b WHERE bucket < 3000""".stripMargin,
     "u6_stratified_take" ->
       """WITH h AS (SELECT doc_id, lang,
-        |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
         | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
         | SELECT doc_id, lang FROM b
         | QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 20
         | ORDER BY lang, doc_id""".stripMargin,
     "u5_hash_split" ->
       """WITH h AS (SELECT doc_id,
-        |   ((doc_id % 4294967296) * 31153 + ((doc_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
         | b AS (SELECT doc_id, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
         | SELECT doc_id, CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split FROM b""".stripMargin,
     "v5_knn_join" ->

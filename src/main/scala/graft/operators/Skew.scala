@@ -51,8 +51,26 @@ object Skew {
       saltBuckets: Int,
   ): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive: $saltBuckets")
-    val saltedBig = big.withColumn(
-      "__salt", pmod(hash(big.columns.map(col).toSeq: _*), lit(saltBuckets)))
+    require(big.columns.contains(key) && small.columns.contains(key),
+      s"join key '$key' must exist on both sides")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "'__salt' is reserved by saltedJoin; rename the input column")
+    val collisions = (big.columns.toSet & small.columns.toSet) - key
+    require(collisions.isEmpty,
+      s"non-key columns present on both sides would be ambiguous after the join: ${collisions.mkString(", ")}")
+    // hash() fails analysis on MapType (maps have no deterministic hash);
+    // salt on the hashable columns only — determinism per row is what
+    // matters, not that every column contributes.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
+    val hashable = big.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty, "big side has no hashable (non-map) columns to derive a salt from")
+    val saltedBig = big.withColumn("__salt", pmod(hash(hashable: _*), lit(saltBuckets)))
     val replicatedSmall = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

@@ -12,6 +12,20 @@ object GraftBridge {
   def column(e: Expression): Column     = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Free the storage behind an eager `localCheckpoint` once the frame is
+    * superseded (e.g. a previous iteration's labels in a fixpoint loop).
+    * `Dataset.unpersist` only covers `cache()`d plans; a local checkpoint's
+    * blocks are owned by the RDD inside its LogicalRDD leaf, reachable only
+    * from this package. Caller contract: nothing may reference the frame
+    * afterwards — the checkpoint truncated its lineage, so the data is
+    * unrecoverable by design.
+    */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _                       => ()
+    }
+
   /** Register graft's native expressions on a live session so `spark.sql`
     * can call them by name (the runtime analog of [[graft.GraftExtensions]],
     * which does the same at session build time for spark-submit users).

@@ -167,6 +167,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: convergence rides the checkpoint jobs — no extra action per round") {
+    // 11-node chain: needs >1 round; jobs must stay ≤ 3·rounds (step + ≤2
+    // jumps, no isEmpty/count actions), and the last round must cost 1 job.
+    val nodes = (100L to 110L).toDF("id")
+    val edges = (100L to 109L).map(i => (i, i + 1)).toDF("a", "b")
+    val (out, stats) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b")
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(100L), "chain collapses to one component")
+    assert(stats.rounds >= 2 && stats.rounds <= 5, s"chain should take a few rounds, got ${stats.rounds}")
+    assert(stats.jobs <= 3 * stats.rounds - 2,
+      s"jobs=${stats.jobs} rounds=${stats.rounds}: convergence round must cost 1 job and fixpoint jumps must be skipped")
+
+    // already-converged input (self-contained pairs): round 2 detects the
+    // fixpoint; total jobs ≤ 4 (full round 1 + single-job convergence round)
+    val (out2, stats2) = Dedup.connectedComponentsStats(
+      Seq(1L, 2L, 3L, 4L).toDF("id"), Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "id", "a", "b")
+    assert(out2.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    assert(stats2.jobs <= 4, s"flat graph should converge in ≤4 jobs, got ${stats2.jobs}")
+  }
+
   // ---- J7 as-of join -------------------------------------------------------
   test("asofJoin: backward inclusive match, left semantics keep unmatched rows") {
     val left = Seq(
