@@ -17,23 +17,24 @@ object Bench {
     // operator under test.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    // Each query runs three times: the first (cold) execution pays one-off
-    // JVM / whole-stage-codegen compilation and file-listing costs; the two
-    // warm runs measure the operator itself and the MIN is reported — noise
-    // (GC pauses, OS scheduling) is strictly additive, so the minimum is the
-    // estimator of steady-state cost, the apples-to-apples comparison with
-    // BASELINE.md's numbers (warm Qdrant server, pre-loaded model).
-    // Single-sample warm times swung ±30% run-to-run on local[32].
-    val results: Map[String, Either[String, (Double, Double)]] = SparkEntry.queries.map { case (name, fn) =>
+    // Each query runs four times: the first (cold) execution pays one-off
+    // JVM / whole-stage-codegen compilation and file-listing costs; the
+    // three warm runs measure the operator and the MEDIAN is reported, with
+    // the warm spread (max−min) alongside. Median-of-3, not min-of-2:
+    // typed-Dataset queries are JIT-bimodal at toy scale (d8 swung
+    // 0.73↔2.9 s between identical runs), and a min hides exactly the
+    // variance that makes a regression attributable; the spread column says
+    // whether a delta vs last round is plan or noise.
+    val results: Map[String, Either[String, (Double, Double, Double)]] = SparkEntry.queries.map { case (name, fn) =>
       val r =
         try {
           val t0 = System.nanoTime(); materialize(fn(spark, sfDir))
           val cold = (System.nanoTime() - t0) / 1e9
-          val warm = (1 to 2).map { _ =>
+          val warms = (1 to 3).map { _ =>
             val t1 = System.nanoTime(); materialize(fn(spark, sfDir))
             (System.nanoTime() - t1) / 1e9
-          }.min
-          Right((cold, warm))
+          }.sorted
+          Right((cold, warms(1), warms.last - warms.head))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           Left(e.getClass.getSimpleName)
@@ -56,14 +57,17 @@ object Bench {
       ts.sorted.apply(1) // median of 3
     }
     val qs = results.toSeq.sortBy(_._1).map {
-      case (k, Right((_, w))) => "\"" + k + "\":" + w
-      case (k, Left(_))       => "\"" + k + "\":-1"
+      case (k, Right((_, w, _))) => "\"" + k + "\":" + w
+      case (k, Left(_))          => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val spreads = results.toSeq.sortBy(_._1).collect {
+      case (k, Right((_, _, s))) => "\"" + k + "\":" + math.rint(s * 1000) / 1000
     }.mkString("{", ",", "}")
     val ok    = results.values.collect { case Right(v) => v }
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val cold  = if (ok.nonEmpty) ok.map(_._1).sum else 0.0
     val nErr  = results.values.count(_.isLeft)
-    val full  = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"cold_total":$cold,"floor":$floor,"sf":"$sfDir"}"""
+    val full  = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_spread":$spreads,"errors":$nErr,"cold_total":$cold,"floor":$floor,"sf":"$sfDir"}"""
     println(full)
     // The harness keeps only the last ~2000 chars of output, and 90+ queries
     // push the full line past that — it has arrived truncated (unparseable)
@@ -79,7 +83,7 @@ object Bench {
         ""","queries_full":"bench_full.json""""
       } catch { case _: Throwable => "" }
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val warmOf   = results.collect { case (k, Right((_, w))) => k -> w }
+    val warmOf   = results.collect { case (k, Right((_, w, _))) => k -> w }
     val headline = Seq("v1_cosine_topk", "v6_ivf_ann", "p1_ingest_pipeline", "m1_kmeans", "m2_cluster_naming", "m3_pca_3d")
     val slowest  = warmOf.toSeq.sortBy(-_._2).take(5).map(_._1)
     val digest = (headline ++ slowest).distinct.flatMap(k => warmOf.get(k).map(w => "\"" + k + "\":" + r3(w)))

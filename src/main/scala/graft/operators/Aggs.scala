@@ -149,27 +149,49 @@ object Aggs {
     * bounded by assumption), not the data.
     *
     * Output: input columns + `bucket` in [1, nBuckets] (null value → null).
+    *
+    * The bounded-domain precondition is ENFORCED, not assumed: a cheap
+    * approx-NDV probe (column-pruned scan, HLL partial per partition) runs
+    * first, and above `ndvCutoff` distinct values the thresholds switch to
+    * `percentile_approx` — fully distributed, no window — instead of
+    * funneling an n-row histogram through the single global-window task.
+    * Exact quantile_disc semantics hold on the bounded path; the fallback
+    * is approximate within percentile_approx's documented error bound.
     */
-  def quantileBuckets(df: DataFrame, valCol: String, nBuckets: Int): DataFrame = {
+  def quantileBuckets(
+      df: DataFrame, valCol: String, nBuckets: Int, ndvCutoff: Int = 65536,
+  ): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
-    val hist = df.where(col(valCol).isNotNull)
-      .groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
-    val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(
-        Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
-    val thresholds = cum
-      .withColumn("k", explode(sequence(lit(1), lit(nBuckets))))
-      .where(col("__cum") >= expr(s"(__n * k + ${nBuckets - 1}) div $nBuckets"))
-      .groupBy("k").agg(min(col("__v")).as("t"))
-      .agg(array_sort(collect_list(struct(col("k"), col("t")))).as("__kt"))
-      .select(transform(col("__kt"), s => s("t")).as("__ts"))
+    val thresholds =
+      if (approxNdv(df, valCol) <= ndvCutoff) {
+        val hist = df.where(col(valCol).isNotNull)
+          .groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
+        hist
+          .withColumn("__cum", sum(col("__c")).over(
+            Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+          .withColumn("k", explode(sequence(lit(1), lit(nBuckets))))
+          .where(col("__cum") >= expr(s"(__n * k + ${nBuckets - 1}) div $nBuckets"))
+          .groupBy("k").agg(min(col("__v")).as("t"))
+          .agg(array_sort(collect_list(struct(col("k"), col("t")))).as("__kt"))
+          .select(transform(col("__kt"), s => s("t")).as("__ts"))
+      } else {
+        val fracs = array((1 to nBuckets).map(k => lit(k.toDouble / nBuckets)): _*)
+        df.where(col(valCol).isNotNull)
+          .agg(percentile_approx(col(valCol), fracs, lit(10000)).as("__ts"))
+      }
     df.crossJoin(broadcast(thresholds))
       .withColumn("bucket",
         when(col(valCol).isNull, lit(null))
           .otherwise(lit(1) + size(filter(col("__ts"), t => t < col(valCol)))))
       .drop("__ts")
   }
+
+  /** Driver-side NDV probe backing the quantile operators' bounded-domain
+    * guard: one column-pruned pass, HLL sketch per partition, one row back.
+    */
+  private def approxNdv(df: DataFrame, valCol: String): Long =
+    df.agg(approx_count_distinct(col(valCol)).as("__ndv")).head.getLong(0)
 
   /** A11 — EXACT per-group discrete quantiles over a bounded-cardinality
     * value domain, the scale-right way: aggregate a (group, value) histogram
@@ -185,11 +207,26 @@ object Aggs {
     * rank threshold ceil(q·n) = (n·num + den − 1) div den stays in exact
     * integer arithmetic — no float rank boundary to disagree with an oracle
     * over.
+    *
+    * As in [[quantileBuckets]], the bounded-domain precondition is enforced
+    * by an approx-NDV probe: above `ndvCutoff` the per-group cumulative
+    * window (whose partition size is the group's distinct-value count, ≈
+    * the group's row count on an unbounded domain) is replaced by a plain
+    * `percentile_approx` aggregation — one map-side-combined shuffle,
+    * approximate within the sketch's bound.
     */
   def discreteQuantiles(
       df: DataFrame, groupCol: String, valCol: String,
       qs: Seq[(Int, Int, String)],
+      ndvCutoff: Int = 65536,
   ): DataFrame = {
+    if (approxNdv(df, valCol) > ndvCutoff) {
+      val aggs = count(lit(1)).as("n") +: qs.map { case (num, den, name) =>
+        percentile_approx(col(valCol), lit(num.toDouble / den), lit(10000)).as(name)
+      }
+      return df.where(col(valCol).isNotNull)
+        .groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    }
     // NULL values are excluded, matching quantile_disc (and every SQL
     // quantile): without this filter the NULL histogram row sorts first in
     // the window and inflates every rank threshold.

@@ -294,6 +294,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tb.count(_ == 1) == 3 && tb.count(_ == 2) == 1)
   }
 
+  test("quantile family enforces the bounded-domain guard: unbounded input plans no window") {
+    // 5000 unique doubles with the cutoff forced below them: the exact
+    // histogram path would funnel all 5000 through ONE global-window task —
+    // the guard must route to percentile_approx (no Window node at all).
+    val df = (1 to 5000).map(i => (i.toLong, i * 1.0 + 1.0 / i)).toDF("g", "v")
+    val bucketed = Aggs.quantileBuckets(df, "v", 10, ndvCutoff = 100)
+    val plan = bucketed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), s"unbounded domain must not plan a window:\n$plan")
+    val counts = bucketed.groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet == (1 to 10).toSet)
+    assert(counts.values.forall(c => c > 350 && c < 650), s"approx deciles should be near-balanced: $counts")
+
+    val dq = Aggs.discreteQuantiles(
+      df.withColumn("g", col("g") % 2), "g", "v", Seq((1, 2, "p50")), ndvCutoff = 100)
+    val dqPlan = dq.queryExecution.optimizedPlan.toString
+    assert(!dqPlan.contains("windowspecdefinition"), s"unbounded domain must not plan a window:\n$dqPlan")
+    val rows = dq.as[(Long, Long, Double)].collect()
+    assert(rows.length == 2 && rows.forall { case (_, n, p50) => n == 2500 && p50 > 2000 && p50 < 3000 })
+
+    // bounded input keeps the exact histogram path (window over the histogram)
+    val boundedPlan = Aggs.quantileBuckets(df.withColumn("v", col("v").cast("long") % 7), "v", 3)
+      .queryExecution.optimizedPlan.toString
+    assert(boundedPlan.contains("windowspecdefinition"), "bounded domain should keep the exact path")
+  }
+
   // ---- A12 profiling ---------------------------------------------------------
   test("profile: one row per column, nulls/ndv/minmax correct in both modes") {
     val df = Seq(
