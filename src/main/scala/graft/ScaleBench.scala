@@ -68,7 +68,107 @@ object ScaleBench {
     )
   }
 
+  /** 768-d corpus at the reference's real embedding shape (all-mpnet-base-v2
+    * is 768-d, `backend/vector_db.py:41`; capacity claim 100k+ docs,
+    * `README.md:881`): 25k×scale vectors in ~200 latent clusters (center
+    * amplitude 1.0, per-vector noise 0.5 — enough cluster structure for IVF
+    * to be meaningful, enough noise that sign-LSH band slices don't collapse
+    * a whole cluster into one bucket), with 2% exact duplicates (id ≡ 1
+    * mod 50 copies id−1's vector) so near-dup verification has real work.
+    */
+  private def gen768(spark: SparkSession, scale: Int, root: String): DataFrame = {
+    val dir = s"$root/d768-s$scale"
+    if (!new java.io.File(s"$dir/_done").exists()) {
+      val src = when(col("id") % 50 === 1, col("id") - 1).otherwise(col("id"))
+      val c   = pmod(src, lit(200))
+      spark.range(25000L * scale).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(768)), j =>
+          (pmod(hash(c * 768 + j), lit(2000)) - 1000).cast("double") / 1000.0 +
+            (pmod(hash(src * 768 + j, lit(77)), lit(2000)) - 1000).cast("double") / 2000.0).as("embedding"),
+      ).write.mode("overwrite").parquet(s"$dir/embeddings")
+      new java.io.File(s"$dir/_done").createNewFile()
+    }
+    spark.read.parquet(s"$dir/embeddings")
+  }
+
+  /** The reference-shape tier: v1/v5/v6/v7/d7/m1/m3 at 768-d, 25k and 100k
+    * rows. 100k×768×8 B = 614 MB ≫ the 64 MB driver-fit budget, so this
+    * exercises exactly the paths the small tier cannot: the MLlib
+    * distributed fits (kmeans, PCA), the >32-list broadcast+mapPartitions
+    * IVF assignment, and IVF recall at nList≈√n.
+    */
+  private def run768(spark: SparkSession, maxScale: Int): Unit = {
+    import spark.implicits._
+    val root = sys.props("java.io.tmpdir") + "/graft-scale"
+    val qvCache = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Double]]()
+    for (scale <- Seq(1, 4).filter(_ <= maxScale)) {
+      val vecs   = gen768(spark, scale, root)
+      val n      = 25000L * scale
+      val nList  = math.max(32, math.sqrt(n.toDouble).toInt) // 158 / 316
+      val nProbe = math.max(8, nList / 10)
+      val qVec   = qvCache.computeIfAbsent(scale,
+        _ => vecs.where(col("vec_id") === 7).select("embedding").head.getSeq[Double](0))
+      def index() = Ivf.indexFor(vecs, "embedding", nList, cacheKey = s"scale768-$scale")
+      val exactIds = Search.topK(vecs, "embedding", "vec_id", qVec, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val ops: Seq[(String, () => Long)] = Seq(
+        "cosine_topk_768"  -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
+        "knn_join_32q_768" -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs,
+          "embedding", "vec_id", "embedding", "vec_id", 10).count()),
+        // first call builds (kmeans fit at the MLlib path + partitioned store
+        // write); the warm rep is a pure cache hit — the cold/warm delta IS
+        // the build cost
+        "ivf_build_768"    -> (() => { index(); 1L }),
+        // rows = recall@10 vs exact — the v6 gate (≥8) at the real shape
+        "ivf_probe_768"    -> (() => {
+          val (indexed, model) = index()
+          Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, nProbe)
+            .select("vec_id").as[Long].collect().count(exactIds).toLong
+        }),
+        // v7: the declarative sort-by-cosine + limit, rewritten by
+        // IvfAutoProbe into the pruned probe — same recall gate
+        "auto_probe_768"   -> (() => {
+          val (indexed, _) = index()
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.IvfAutoProbe(spark)
+          spark.conf.set("spark.graft.ivf.autoProbe", "true")
+          spark.conf.set("spark.graft.ivf.nProbe", nProbe.toString)
+          try
+            Search.topK(indexed, "embedding", "vec_id", qVec, 10)
+              .select("vec_id").as[Long].collect().count(exactIds).toLong
+          finally {
+            classic.experimental.extraOptimizations = prev
+            spark.conf.unset("spark.graft.ivf.autoProbe")
+            spark.conf.unset("spark.graft.ivf.nProbe")
+          }
+        }),
+        // d7 at 768-d: banded sign-LSH candidates + exact-cosine verify;
+        // expected rows ≈ n/50 planted dup pairs (cos = 1 ≥ 0.99)
+        "embed_neardup_768" -> (() => Dedup.embeddingNearDupPairs(
+          vecs, "vec_id", "embedding", 0.99, dim = 768, numBits = 64, bands = 4).count()),
+        // m1/m3 on the MLlib path (614 MB @100k breaks the driver budget)
+        "kmeans_mllib_768" -> (() => new Ml.KMeansClusterer(10)
+          .cluster(vecs, "embedding", "vec_id").groupBy("label").count().count()),
+        "pca3d_mllib_768"  -> (() => Ml.pca3d(vecs, "embedding", "vec_id").count()),
+      )
+      ops.foreach { case (name, run) =>
+        val tc0 = System.nanoTime(); run(); val cold = (System.nanoTime() - tc0) / 1e9
+        val t0 = System.nanoTime(); val rows = run(); val warm = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","dim":768,"scale":$scale,"n":$n,"sec":$warm%.3f,"cold":$cold%.3f,"rows":$rows}""")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("768d")) {
+      val spark = Engine.session("graft-scale-768")
+      run768(spark, args.drop(1).headOption.map(_.toInt).getOrElse(4))
+      spark.stop()
+      return
+    }
     val maxScale = args.headOption.map(_.toInt).getOrElse(16)
     val scales   = Seq(1, 4, 16).filter(_ <= maxScale)
     val root     = sys.props("java.io.tmpdir") + "/graft-scale"

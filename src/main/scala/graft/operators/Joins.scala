@@ -209,6 +209,7 @@ object Joins {
       leftTs: String,
       rightTs: String,
       joinType: String = "inner",
+      maxRowsPerKey: Long = 0L,
   ): DataFrame = {
     require(Seq("inner", "left").contains(joinType), s"asofJoin supports inner/left, got $joinType")
     val rPayloadCols = right.columns.filter(_ != key).toSeq
@@ -224,11 +225,73 @@ object Joins {
     val rSide = right.select(
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
-    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rSide.unionByName(lSide)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val unioned = rSide.unionByName(lSide)
+
+    // The plain shape: one keyed running-carry window over the union.
+    def carryWindow(in: DataFrame, extraPart: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(("__k" +: extraPart).map(col): _*)
+        .orderBy(col("__ts"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      in.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+        .where(col("__side") === 1)
+    }
+
+    val matched =
+      if (maxRowsPerKey <= 0L) carryWindow(unioned, Nil)
+      else {
+        // ---- auto-skew: detect keys whose row count exceeds the budget and
+        // route them through time-sharded windows -------------------------
+        // Frequency probe: one map-side-combined count over the window
+        // input; only keys ABOVE the budget come back to the driver, so the
+        // collect is bounded by total/maxRowsPerKey rows.
+        val hot = unioned.groupBy("__k").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxRowsPerKey)
+          .select("__k", "__n").collect()
+        val hotKeys = hot.map(_.get(0)).filter(_ != null).toSeq
+        if (hotKeys.isEmpty) carryWindow(unioned, Nil)
+        else {
+          // NULL keys always take the plain path: isin(null) is never true,
+          // and the window's null group keeps its (documented) behavior.
+          val isHot = col("__k").isin(hotKeys: _*)
+          val cold  = carryWindow(unioned.where(coalesce(!isHot, lit(true))), Nil)
+          // Shard count: enough that the hottest key's shards fit the
+          // budget, capped so the carry frame stays broadcast-tiny.
+          val maxN = hot.map(r => r.getLong(r.fieldIndex("__n"))).max
+          val nSh  = math.min(256L, (maxN + maxRowsPerKey - 1) / maxRowsPerKey).toInt
+          // Per-key shard boundaries from a ts sketch (grouped
+          // percentile_approx — one agg job, no window). Shard(x) =
+          // #boundaries < x: rows at equal ts land in the same shard on
+          // both sides, so the in-shard right-before-left tie rule is
+          // untouched across the cut.
+          val fracs  = array((1 until nSh).map(i => lit(i.toDouble / nSh)): _*)
+          val bounds = unioned.where(isHot).groupBy("__k")
+            .agg(percentile_approx(col("__ts").cast("double"), fracs, lit(10000)).as("__bs"))
+          val sharded = unioned.where(isHot)
+            .join(broadcast(bounds), Seq("__k"))
+            .withColumn("__shard", size(filter(col("__bs"), b => b < col("__ts").cast("double"))))
+            .drop("__bs")
+          // Local as-of within each (key, shard) — the skew-free window —
+          // then a carry-in for rows whose predecessor fell in an earlier
+          // shard: per-shard last right payload, cascaded with a window
+          // over the TINY (key × shard) frame and broadcast back. A carry
+          // row's ts is < its shard's lower bound ≤ every ts in the shard,
+          // so it is always admissible where the local window found nothing.
+          val local = carryWindow(sharded, Seq("__shard"))
+          val lastRight = sharded.where(col("__side") === 0)
+            .groupBy("__k", "__shard")
+            .agg(max_by(col("__r"), struct(col("__ts"))).as("__lastr"))
+          val carry = sharded.select("__k", "__shard").distinct()
+            .join(lastRight, Seq("__k", "__shard"), "left")
+            .withColumn("__carry", last(col("__lastr"), ignoreNulls = true).over(
+              Window.partitionBy("__k").orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)))
+            .select("__k", "__shard", "__carry")
+          val hotMatched = local
+            .join(broadcast(carry), Seq("__k", "__shard"), "left")
+            .withColumn("__m", coalesce(col("__m"), col("__carry")))
+            .select(cold.columns.map(col): _*)
+          cold.unionByName(hotMatched)
+        }
+      }
     val filtered = if (joinType == "inner") matched.where(col("__m").isNotNull) else matched
     filtered.select(
       left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++

@@ -40,6 +40,34 @@ class DistributedFitSpec extends AnyFunSuite {
     assert(out.size == 7)
   }
 
+  test("fit-path crossover is dim-aware: same rows + same byte budget, 768-d flips to MLlib") {
+    // 600 rows under a 1 MB budget: 64-d = 307 KB (driver fit), 768-d =
+    // 3.7 MB (distributed fit). The budget bounds BYTES, not rows — the
+    // 768-d corpus must flip ~12x earlier. Path observed from the plan:
+    // the driver path assigns from a collected LocalRelation; the MLlib
+    // path projects the model's __pca / __label columns.
+    val budget = 1L << 20
+    def vecDf(dim: Int) = (0L until 600L)
+      .map(i => (i, Array.tabulate(dim)(j => math.sin(i * dim + j))))
+      .toDF("id", "vec")
+    val p64 = Ml.pca3d(vecDf(64), "vec", "id", maxDriverFitBytes = budget)
+      .queryExecution.analyzed.toString
+    assert(!p64.contains("__pca"), "64-d within budget must take the driver eigSym fit")
+    val p768 = Ml.pca3d(vecDf(768), "vec", "id", maxDriverFitBytes = budget)
+      .queryExecution.analyzed.toString
+    assert(p768.contains("__pca"), "768-d over budget must take the MLlib fit")
+
+    // the MLlib branch scores distance-to-centroid as a __dist column; the
+    // driver branch ships finished (id, label) rows and has no such column
+    val k64 = new Ml.KMeansClusterer(3, maxDriverFitBytes = budget)
+      .cluster(vecDf(64), "vec", "id").queryExecution.analyzed.toString
+    assert(!k64.contains("__dist"), "64-d within budget must assign from the driver fit")
+    val k768 = new Ml.KMeansClusterer(3, maxDriverFitBytes = budget)
+      .cluster(vecDf(768), "vec", "id").queryExecution.analyzed.toString
+    assert(k768.contains("__dist") && k768.contains("__label"),
+      "768-d over budget must assign via the MLlib model")
+  }
+
   test("Ivf.assign over budget fits via MLlib KMeans and lists every row") {
     val (assigned, model) = Ivf.assign(df, "vec", 4, maxDriverFitBytes = 1L)
     assert(model.centroids.length == 4)

@@ -232,6 +232,34 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Joins.asofJoin(l, r, "k", "t", "t"))
   }
 
+  test("asofJoin auto-skew: sharded hot-key path is output-identical to the plain path") {
+    // one hot key ("hot") with 4000 left + 400 right rows, two normal keys,
+    // a null-key left row, and a key with no right rows
+    val rnd = new scala.util.Random(11)
+    val lefts = (1 to 4000).map(i => (i.toLong, "hot", rnd.nextInt(50000).toLong)) ++
+      (4001 to 4060).map(i => (i.toLong, s"k${i % 3}", rnd.nextInt(50000).toLong)) :+
+      ((9999L, null.asInstanceOf[String], 10L))
+    val rights = (1 to 400).map(i => ("hot", rnd.nextInt(50000).toLong * 100 + i, s"p$i")) ++
+      (1 to 30).map(i => (s"k${i % 2}", rnd.nextInt(50000).toLong * 100 + i, s"q$i"))
+    val l = lefts.toDF("eid", "k", "t").withColumn("t", col("t") * 100)
+    val r = rights.toDF("k", "rt", "p")
+
+    val plain = Joins.asofJoin(l, r, "k", "t", "rt", joinType = "left")
+      .select("eid", "p").as[(Long, String)].collect().toMap
+    val auto = Joins.asofJoin(l, r, "k", "t", "rt", joinType = "left", maxRowsPerKey = 500L)
+      .select("eid", "p").as[(Long, String)].collect().toMap
+    assert(auto == plain)
+
+    // the sharded path actually engaged: the plan partitions on (__k, __shard)
+    val planStr = Joins.asofJoin(l, r, "k", "t", "rt", joinType = "left", maxRowsPerKey = 500L)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("__shard"), "hot key must route through the time-sharded window")
+    // and a budget nothing exceeds leaves the plain single-window plan
+    val coldPlan = Joins.asofJoin(l, r, "k", "t", "rt", joinType = "left", maxRowsPerKey = 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("__shard"))
+  }
+
   // ---- J8 binned range join ------------------------------------------------
   test("rangeJoin matches a brute-force inequality join on non-uniform intervals") {
     val pts = (0 until 200).map(i => (i.toLong, i * 3.7)).toDF("pid", "p")
