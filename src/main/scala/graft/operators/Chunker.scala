@@ -42,24 +42,49 @@ object Chunker extends Serializable {
     text.split(SentenceSplit).iterator.map(_.trim).filter(_.nonEmpty).toVector
 
   /** Greedy word-packing of an oversized sentence into ≤ maxTokens pieces
-    * (reference: backend/chunker.py:33-61).
+    * (reference: backend/chunker.py:33-61). Words pack by cumulative
+    * `counter` cost; under the whitespace counter every word costs 1, so
+    * this is exactly fixed-size grouping.
     */
-  def splitOversized(sentence: String, maxTokens: Int = MaxTokens): Vector[String] =
-    sentence.trim.split("\\s+").filter(_.nonEmpty).grouped(maxTokens).map(_.mkString(" ")).toVector
+  def splitOversized(
+      sentence: String,
+      maxTokens: Int = MaxTokens,
+      counter: TokenCounter = TokenCounters.Whitespace,
+  ): Vector[String] = {
+    val words = sentence.trim.split("\\s+").filter(_.nonEmpty)
+    val out   = Vector.newBuilder[String]
+    val cur   = Vector.newBuilder[String]
+    var n     = 0
+    var size  = 0
+    for (w <- words) {
+      val c = math.max(counter.count(w), 1)
+      if (size > 0 && n + c > maxTokens) {
+        out += cur.result().mkString(" "); cur.clear(); n = 0; size = 0
+      }
+      cur += w; n += c; size += 1
+    }
+    if (size > 0) out += cur.result().mkString(" ")
+    out.result()
+  }
 
-  /** Prose chunker (reference: backend/chunker.py:83-154). Deterministic. */
+  /** Prose chunker (reference: backend/chunker.py:83-154). Deterministic.
+    * `counter` is the C1 seam: whitespace (the oracle semantic) by default,
+    * [[TokenCounters.WordPiece]] for HF-parity boundaries when a vocab is
+    * available — same packing/overlap logic either way.
+    */
   def chunkProse(
       text: String,
       maxTokens: Int = MaxTokens,
       overlapTokens: Int = OverlapTokens,
+      counter: TokenCounter = TokenCounters.Whitespace,
   ): Vector[(String, Int)] = {
     val sentences0 = splitSentences(text)
     val sentences =
       (if (sentences0.isEmpty && text.trim.nonEmpty) Vector(text.trim) else sentences0)
-        .flatMap(s => if (countTokens(s) > maxTokens) splitOversized(s, maxTokens) else Vector(s))
+        .flatMap(s => if (counter.count(s) > maxTokens) splitOversized(s, maxTokens, counter) else Vector(s))
     if (sentences.isEmpty) return Vector.empty
 
-    val counts = sentences.map(countTokens)
+    val counts = sentences.map(counter.count)
     val chunks = Vector.newBuilder[(String, Int)]
     var current = Vector.empty[Int] // indices of sentences in the current chunk
     var currentTokens = 0
@@ -108,7 +133,11 @@ object Chunker extends Serializable {
     * greedily to ≤ maxTokens (declared deviation from the reference's
     * Python-AST walk — same packing, regex/indentation boundaries).
     */
-  def chunkCode(text: String, maxTokens: Int = MaxTokens): Vector[(String, Int)] = {
+  def chunkCode(
+      text: String,
+      maxTokens: Int = MaxTokens,
+      counter: TokenCounter = TokenCounters.Whitespace,
+  ): Vector[(String, Int)] = {
     val lines = text.split("\n", -1)
     val blocks = Vector.newBuilder[String]
     val cur = new StringBuilder
@@ -131,8 +160,8 @@ object Chunker extends Serializable {
     var accTokens = 0
     def flush(): Unit = if (acc.nonEmpty) { packed += ((acc.mkString("\n\n"), accTokens)); acc = Vector.empty; accTokens = 0 }
     for (b <- bs) {
-      val n = countTokens(b)
-      if (n > maxTokens) { flush(); packed ++= chunkProse(b, maxTokens, 0) }
+      val n = counter.count(b)
+      if (n > maxTokens) { flush(); packed ++= chunkProse(b, maxTokens, 0, counter) }
       else {
         if (accTokens + n > maxTokens) flush()
         acc = acc :+ b; accTokens += n
@@ -149,10 +178,15 @@ object Chunker extends Serializable {
   private val CodeLangs = Set("py", "python")
 
   /** Code-vs-prose dispatch (reference: backend/chunker.py:63-81). */
-  def chunkDocument(doc: DocRow, maxTokens: Int = MaxTokens): Vector[Chunk] = {
+  def chunkDocument(
+      doc: DocRow,
+      maxTokens: Int = MaxTokens,
+      counter: TokenCounter = TokenCounters.Whitespace,
+  ): Vector[Chunk] = {
     val pieces =
-      if (doc.lang != null && CodeLangs.contains(doc.lang.toLowerCase)) chunkCode(Option(doc.text).getOrElse(""), maxTokens)
-      else chunkProse(Option(doc.text).getOrElse(""), maxTokens)
+      if (doc.lang != null && CodeLangs.contains(doc.lang.toLowerCase))
+        chunkCode(Option(doc.text).getOrElse(""), maxTokens, counter)
+      else chunkProse(Option(doc.text).getOrElse(""), maxTokens, counter = counter)
     // total_chunks rides along from generation: a document's chunks are all
     // emitted here, so the registry/payload count costs no shuffle later.
     pieces.zipWithIndex.map { case ((t, n), i) => Chunk(doc.doc_id, i, t, n, pieces.length) }
@@ -161,10 +195,15 @@ object Chunker extends Serializable {
   /** Distributed chunking: documents(doc_id, text, lang) → chunks. Narrow
     * (no shuffle); scales linearly with input partitions.
     */
-  def chunk(spark: SparkSession, documents: DataFrame, maxTokens: Int = MaxTokens): Dataset[Chunk] = {
+  def chunk(
+      spark: SparkSession,
+      documents: DataFrame,
+      maxTokens: Int = MaxTokens,
+      counter: TokenCounter = TokenCounters.Whitespace,
+  ): Dataset[Chunk] = {
     import spark.implicits._
     graft.Par.fanOut(documents.selectExpr("doc_id", "text", "lang"))
       .as[DocRow]
-      .flatMap(chunkDocument(_, maxTokens))
+      .flatMap(chunkDocument(_, maxTokens, counter))
   }
 }

@@ -442,6 +442,7 @@ object Dedup {
       dim: Int,
       numBits: Int = 16,
       bands: Int = 4,
+      maxBucketSize: Int = 10000,
   ): DataFrame = {
     require(numBits <= 64, s"sign signature packs into a Long: numBits <= 64 (got $numBits)")
     val rowsPerBand = numBits / bands
@@ -479,9 +480,13 @@ object Dedup {
         Iterator.range(0, bands).map(b => (b, (sig >>> (b * rowsPerBand)) & mask, id, sig))
       }
       .toDF("band", "slice", "id", "sig")
+    // maxBucketSize mirrors the minHashCandidates contract: a bucket holding
+    // a boilerplate embedding repeated at corpus scale would otherwise emit
+    // |bucket|² pairs AND buffer |bucket| members in one agg buffer —
+    // documented completeness trade, boilerplate is not near-dup signal.
     buckets.groupBy("band", "slice")
       .agg(collect_list(struct(col("id").as("_1"), col("sig").as("_2"))).as("members"))
-      .where(size(col("members")) > 1)
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
       .select(col("band"), col("members"))
       .as[(Int, Seq[(Long, Long)])]
       .flatMap { case (band, members) =>
@@ -509,9 +514,10 @@ object Dedup {
       dim: Int,
       numBits: Int = 16,
       bands: Int = 4,
+      maxBucketSize: Int = 10000,
   ): DataFrame = {
     import graft.functions.VectorOps._
-    val cand = embeddingCandidates(df, idCol, vecCol, dim, numBits, bands)
+    val cand = embeddingCandidates(df, idCol, vecCol, dim, numBits, bands, maxBucketSize)
     val va   = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
     val vb   = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
     cand

@@ -84,7 +84,7 @@ private[sources] object Ooxml {
     }
 }
 
-private[sources] object PdfParser {
+private[graft] object PdfParser {
 
   /** Byte-preserving single-byte view: offsets and round-trips are exact. */
   private def latin1(b: Array[Byte]): String = new String(b, StandardCharsets.ISO_8859_1)
@@ -155,8 +155,36 @@ private[sources] object PdfParser {
       objs.toSeq.sortBy(_._1).collect { case (n, b) if isType(b, "Page") => n })
   }
 
-  /** Stream payload bytes, FlateDecoded when /Filter says so. */
-  private def streamData(body: String): Option[Array[Byte]] = {
+  /** Filter names from a stream dict, pipeline order: either a single
+    * `/Filter /Name` or an array `/Filter [/A /B]` (applied left to right,
+    * PDF 32000-1 §7.4).
+    */
+  private[graft] def filterNames(dict: String): Seq[String] =
+    """/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))""".r.findFirstMatchIn(dict).map { m =>
+      Option(m.group(2)).map(Seq(_)).getOrElse(
+        """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+    }.getOrElse(Nil)
+
+  /** Run the declared filter pipeline. None = an unsupported filter
+    * (DCTDecode and friends — image codecs with no text behind them, or the
+    * encrypted-stream case); the caller counts those so text loss is
+    * visible in metadata instead of silent. Predictors (/DecodeParms) are
+    * not applied — they appear on xref/image streams, not text content.
+    */
+  private def decodeFilters(data: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
+    filters.foldLeft(Option(data)) {
+      case (Some(d), "FlateDecode")     => Some(inflate(d))
+      case (Some(d), "ASCIIHexDecode")  => Some(asciiHexDecode(d))
+      case (Some(d), "ASCII85Decode")   => Some(ascii85Decode(d))
+      case (Some(d), "LZWDecode")       => Some(lzwDecode(d))
+      case (Some(d), "RunLengthDecode") => Some(runLengthDecode(d))
+      case _                            => None
+    }
+
+  /** Stream payload bytes run through the declared /Filter pipeline;
+    * None (with `onSkip` fired) when a filter is unsupported.
+    */
+  private def streamData(body: String, onSkip: () => Unit = () => ()): Option[Array[Byte]] = {
     val i = body.indexOf("stream")
     if (i < 0) return None
     val dict = body.substring(0, i)
@@ -170,7 +198,128 @@ private[sources] object PdfParser {
     if (end < start) return None
     val raw = body.substring(start, end).stripSuffix("\n").stripSuffix("\r")
       .getBytes(StandardCharsets.ISO_8859_1)
-    if (dict.contains("FlateDecode")) Some(inflate(raw)) else Some(raw)
+    val decoded = decodeFilters(raw, filterNames(dict))
+    if (decoded.isEmpty) onSkip()
+    decoded
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` is EOD,
+    * odd final digit padded with 0.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var hi  = -1
+    var i   = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        if (d < 0) throw new IllegalArgumentException(s"bad hex char '$c' in ASCIIHexDecode")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd count: last digit + implied 0
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars → 4 bytes base-85, `z` = four zero
+    * bytes, `~>` is EOD; a final partial group of n chars yields n−1 bytes
+    * (pad with 'u' = 84, drop the pad bytes).
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out   = new ByteArrayOutputStream()
+    val group = new Array[Int](5)
+    var g     = 0
+    var i     = 0
+    var done  = false
+    def flush(n: Int): Unit = { // n = chars present (2..5) → n-1 bytes
+      var j = n; while (j < 5) { group(j) = 84; j += 1 }
+      var v = 0L
+      var k = 0; while (k < 5) { v = v * 85 + group(k); k += 1 }
+      val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, n - 1)
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && g == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') throw new IllegalArgumentException(s"bad char '$c' in ASCII85Decode")
+        group(g) = c - '!'; g += 1
+        if (g == 5) { flush(5); g = 0 }
+      }
+      i += 1
+    }
+    if (g == 1) throw new IllegalArgumentException("lone trailing char in ASCII85Decode")
+    if (g > 1) flush(g)
+    out.toByteArray
+  }
+
+  /** LZWDecode (§7.4.4): 9-bit codes growing to 12, 256 = clear table,
+    * 257 = EOD. PDF's default EarlyChange=1 widens one code early, matching
+    * what every writer emits.
+    */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out   = new ByteArrayOutputStream()
+    var table = mutable.ArrayBuffer.tabulate(258)(i => if (i < 256) Array(i.toByte) else Array.emptyByteArray)
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc  = 0L
+    var bits = 0
+    var i    = 0
+    var done = false
+    while (i < data.length && !done) {
+      acc = (acc << 8) | (data(i) & 0xffL); bits += 8
+      while (bits >= width && !done) {
+        val code = ((acc >> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 256) {
+          table = mutable.ArrayBuffer.tabulate(258)(j => if (j < 256) Array(j.toByte) else Array.emptyByteArray)
+          width = 9; prev = null
+        } else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < table.length) table(code)
+            else if (prev != null && code == table.length) prev :+ prev(0)
+            else throw new IllegalArgumentException(s"bad LZW code $code")
+          out.write(entry, 0, entry.length)
+          if (prev != null) table += (prev :+ entry(0))
+          // EarlyChange=1: widen when the NEXT code would not fit
+          if (table.length + 1 >= (1 << width) && width < 12) width += 1
+          prev = entry
+        }
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): L ≤ 127 → copy L+1 literal bytes; L ≥ 129 →
+    * repeat next byte 257−L times; 128 = EOD.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i   = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l <= 127) {
+        val n = math.min(l + 1, data.length - i - 1)
+        out.write(data, i + 1, n); i += 1 + n
+      } else {
+        if (i + 1 < data.length) {
+          val b = data(i + 1)
+          var k = 0; while (k < 257 - l) { out.write(b); k += 1 }
+        }
+        i += 2
+      }
+    }
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -283,9 +432,12 @@ private[sources] object PdfParser {
     if (!s.startsWith("%PDF")) throw new IllegalArgumentException("not a PDF (missing %PDF header)")
     val objs = objects(s)
     val pages = pageOrder(objs, s)
+    // content streams behind a filter this walker can't decode contribute
+    // no text; the count makes that loss visible instead of silent
+    var skippedFilters = 0
     val pageTexts = pages.map { p =>
       refList(objs(p), "Contents")
-        .flatMap(c => objs.get(c).flatMap(streamData))
+        .flatMap(c => objs.get(c).flatMap(b => streamData(b, () => skippedFilters += 1)))
         .map(b => textOfStream(latin1(b)))
         .mkString("\n")
     }
@@ -297,7 +449,8 @@ private[sources] object PdfParser {
       (s"""/$key\\s*\\(""").r.findFirstMatchIn(b).map(m => literal(b, m.end)._1)
     }
     val meta = Map("page_count" -> pages.size.toString) ++
-      infoStr("Title").map("title" -> _) ++ infoStr("Author").map("author" -> _)
+      infoStr("Title").map("title" -> _) ++ infoStr("Author").map("author" -> _) ++
+      (if (skippedFilters > 0) Some("skipped_filters" -> skippedFilters.toString) else None)
     (pageTexts.filter(_.nonEmpty).mkString("\n\n"), meta)
   }
 }

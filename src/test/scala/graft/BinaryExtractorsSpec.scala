@@ -55,6 +55,90 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(meta == Map("page_count" -> "1"))
   }
 
+  test("PDF: ASCIIHex/ASCII85/LZW/RunLength filters, chained pipelines, skipped-filter count") {
+    import java.io.ByteArrayOutputStream
+    import scala.collection.mutable
+    def pdfWith(contentObj: String): Array[Byte] = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      contentObj +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    def obj(data: Array[Byte], filter: String) =
+      s"4 0 obj\n<< /Length ${data.length} /Filter $filter >>\nstream\n" +
+        new String(data, ISO_8859_1) + "\nendstream\nendobj\n"
+    def extract(data: Array[Byte], filter: String) =
+      new PdfExtractor().extract(pdfWith(obj(data, filter)), "t.pdf")
+    val payload = "BT (hello filters) Tj ET".getBytes(ISO_8859_1)
+
+    def hexEncode(d: Array[Byte]) = (d.map(b => f"$b%02x").mkString + ">").getBytes(ISO_8859_1)
+    assert(extract(hexEncode(payload), "/ASCIIHexDecode")._1 == "hello filters")
+    // odd digit count: implied trailing 0 — 0x4 ( = "(A) Tj" would need ops; just check decode
+    assert(new String(graft.sources.PdfParser.asciiHexDecode("41 4>".getBytes(ISO_8859_1)), ISO_8859_1) == "A@")
+
+    def a85Encode(d: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < d.length) {
+        val n = math.min(4, d.length - i)
+        var v = 0L
+        for (k <- 0 until 4) v = (v << 8) | (if (i + k < d.length) d(i + k) & 0xffL else 0L)
+        val cs = new Array[Char](5)
+        var t = v
+        for (k <- 4 to 0 by -1) { cs(k) = ('!' + (t % 85).toInt).toChar; t /= 85 }
+        if (n == 4 && v == 0) sb.append('z') else sb.appendAll(cs, 0, n + 1)
+        i += 4
+      }
+      (sb.toString + "~>").getBytes(ISO_8859_1)
+    }
+    assert(extract(a85Encode(payload), "/ASCII85Decode")._1 == "hello filters")
+    // the z shorthand round-trips four zero bytes
+    assert(graft.sources.PdfParser.ascii85Decode("z~>".getBytes(ISO_8859_1)).toSeq == Seq[Byte](0, 0, 0, 0))
+
+    def lzwEncode(d: Array[Byte]): Array[Byte] = { // 9-bit only: test data adds < 253 entries
+      val dict = mutable.Map.empty[List[Byte], Int]
+      for (i <- 0 until 256) dict(List(i.toByte)) = i
+      var next  = 258
+      val codes = mutable.ArrayBuffer[Int](256)
+      var w     = List.empty[Byte]
+      for (b <- d) {
+        val wb = w :+ b
+        if (dict.contains(wb)) w = wb
+        else { codes += dict(w); dict(wb) = next; next += 1; w = List(b) }
+      }
+      if (w.nonEmpty) codes += dict(w)
+      codes += 257
+      require(next < 500, "test encoder only emits 9-bit codes")
+      val out = new ByteArrayOutputStream(); var acc = 0L; var bits = 0
+      for (c <- codes) {
+        acc = (acc << 9) | c; bits += 9
+        while (bits >= 8) { out.write(((acc >> (bits - 8)) & 0xff).toInt); bits -= 8 }
+      }
+      if (bits > 0) out.write(((acc << (8 - bits)) & 0xff).toInt)
+      out.toByteArray
+    }
+    assert(extract(lzwEncode(payload), "/LZWDecode")._1 == "hello filters")
+
+    def rleEncode(d: Array[Byte]): Array[Byte] = { // all-literal runs
+      val out = new ByteArrayOutputStream()
+      d.grouped(128).foreach { chunk => out.write(chunk.length - 1); out.write(chunk, 0, chunk.length) }
+      out.write(128)
+      out.toByteArray
+    }
+    assert(extract(rleEncode(payload), "/RunLengthDecode")._1 == "hello filters")
+    // repeat runs: 257-254=3 copies of 'x'
+    assert(new String(graft.sources.PdfParser.runLengthDecode(
+      Array[Byte](254.toByte, 'x'.toByte, 128.toByte)), ISO_8859_1) == "xxx")
+
+    // chained pipeline, applied left to right: hex wraps the RLE bytes
+    val chained = extract(hexEncode(rleEncode(payload)), "[/ASCIIHexDecode /RunLengthDecode]")
+    assert(chained._1 == "hello filters")
+
+    // unsupported filter: no text, loss surfaced in metadata
+    val (txt, meta) = extract("ÿØJPEGBYTES".getBytes(ISO_8859_1), "/DCTDecode")
+    assert(txt == "" && meta("skipped_filters") == "1" && meta("page_count") == "1")
+  }
+
   test("DOCX: paragraphs blank-line separated, entities, tabs; deflated zip") {
     val (text, meta) = new DocxExtractor().extract(read("fixtures/office/report.docx"), "report.docx")
     assert(text ==

@@ -68,6 +68,42 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("token-counter seam: chunk invariants hold under BOTH counters; boundaries reproducible") {
+    val wp = graft.operators.TokenCounters.demo
+    samples(120).foreach { text =>
+      for (counter <- Seq(graft.operators.TokenCounters.Whitespace, wp)) {
+        val chunks = Chunker.chunkProse(text, counter = counter)
+        chunks.foreach { case (t, n) =>
+          assert(n <= Chunker.MaxTokens, s"[${counter.name}] chunk of $n tokens")
+          assert(counter.count(t) == n, s"[${counter.name}] token_count must match the chunk text")
+        }
+        // deterministic: the same text + counter always yields the same chunks
+        assert(Chunker.chunkProse(text, counter = counter) == chunks)
+      }
+    }
+  }
+
+  test("WordPiece counter: greedy longest-match, ## continuations, punctuation, [UNK]") {
+    val wp = graft.operators.TokenCounters.demo
+    assert(wp.count("the engine") == 2)         // both whole words in vocab
+    assert(wp.count("engines") == 2)            // engine + ##s
+    assert(wp.count("tokenized") == 2)          // token + ##ized
+    assert(wp.count("Spark, distributed!") == 4) // spark , distributed !
+    assert(wp.count("xq9") == 3)                // char-level fallback: x ##q ##9
+    assert(wp.count("naïve") == 1)              // ï not in vocab → [UNK] = 1
+    assert(wp.count("") == 0)
+    // parity report vs whitespace: suffixes and punctuation diverge, by design
+    val texts = Seq(
+      "The engine processes data.",
+      "Distributed pipelines scale to tokenized words!",
+    )
+    val ws = graft.operators.TokenCounters.Whitespace
+    texts.foreach { t =>
+      info(f"parity: whitespace=${ws.count(t)}%2d wordpiece=${wp.count(t)}%2d  '$t'")
+      assert(wp.count(t) > ws.count(t), "WordPiece must count subwords + punctuation separately")
+    }
+  }
+
   test("dispatch: only py/python route to the code chunker (reference parity)") {
     val code = "def f():\n    return 1\n\ndef g():\n    return 2\n"
     val py   = Chunker.chunkDocument(DocRow(1, code, "py"))
