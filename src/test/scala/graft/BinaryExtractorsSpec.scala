@@ -222,6 +222,19 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     val webp = new ImageExtractor().extract(read("fixtures/images/canvas.webp"), "canvas.webp")
     assert(webp._2("width") == "6" && webp._2("height") == "8" && webp._2("format") == "WEBP")
 
+    // the real glyph engine recognizes machine-rendered text through the
+    // full S7 path: render → PNG bytes → decode → segment → match
+    val rendered = GlyphOcr.renderPng("HELLO WORLD 42\nSPARK OCR", unit = 3)
+    val (gText, gMeta) = new ImageExtractor(GlyphOcr).extract(rendered, "label.png")
+    assert(gText == "HELLO WORLD 42\nSPARK OCR")
+    assert(gMeta("ocr_engine") == "glyph" && gMeta("format") == "PNG")
+    // scale/threshold robustness: a different render scale and every glyph
+    val pangram = "THE QUICK BROWN FOX JUMPS OVER A LAZY DOG 0123456789"
+    assert(GlyphOcr.recognize(GlyphOcr.renderPng(pangram, unit = 5), 0, 0) == pangram)
+    assert(GlyphOcr.recognize(GlyphOcr.renderPng(pangram, unit = 2), 0, 0) == pangram)
+    // no text, no contrast → empty (the NoOcr-equivalent result)
+    assert(GlyphOcr.recognize(read("fixtures/images/pix.png"), 3, 2) == "")
+
     // a bound OCR engine's text flows through; file_size is the blob length
     object FakeOcr extends Ocr {
       val name = "fake"
