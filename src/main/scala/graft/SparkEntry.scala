@@ -275,6 +275,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // J10 — the as-of join's AUTO-SKEW path under a constructed hot-key
+    // distribution: user_id % 5 collapses the key space to 5 super-keys
+    // (~20% of the stream each), all of which blow the 500-row budget, so
+    // every key routes through the time-sharded window + broadcast
+    // carry-in. The oracle is DuckDB's native ASOF LEFT JOIN on the same
+    // derived key — the sharded plan must be value-identical to the plain
+    // semantics. Right side deduped to one row per (k, ts): equal-ts right
+    // ties are the documented nondeterminism in BOTH engines.
+    "j10_asof_autoskew" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val l = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), pmod(col("user_id"), lit(5)).as("k"), col("ts"))
+      val r = ev.where(col("event_type") === "view")
+        .select(pmod(col("user_id"), lit(5)).as("k"), col("ts").as("view_ts"))
+        .distinct()
+      Joins.asofJoin(l, r, "k", "ts", "view_ts", joinType = "left", maxRowsPerKey = 500L)
+        .select(col("event_id"), col("k"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+        .orderBy("event_id")
+    }),
+
     // J9 — skew-salted join: events' 5 event_types are the textbook hot-key
     // distribution (20% of the fact side per key). saltedJoin shards each
     // key across 8 salt buckets; the oracle is the plain inner join, so
@@ -530,6 +551,21 @@ object SparkEntry {
           col("metadata")("file_size").cast("long").as("file_size"),
           col("metadata")("ocr_engine").as("ocr_engine"))
         .orderBy("file_name")),
+
+    // S7b — the OCR leg of the image path, end-to-end through the seam: a
+    // PNG is RENDERED in-process from the 5×7 font, then recognized by the
+    // GlyphOcr pipeline (ImageIO decode → threshold → segmentation →
+    // template match). The oracle pins the exact recognized text — a
+    // constant only because recognition is correct (the v6 recall_ok
+    // pattern). NoOcr remains the default for s7_image_meta, preserving
+    // the reference's textless-image contract.
+    "s7_ocr" -> ((s, _) => {
+      import s.implicits._
+      val png            = graft.sources.GlyphOcr.renderPng("GRAFT ENGINE 42\nOCR SEAM")
+      val (text, meta)   = new graft.sources.ImageExtractor(graft.sources.GlyphOcr).extract(png, "label.png")
+      Seq((text, meta("format"), meta("ocr_engine"), meta("width").toLong > 0))
+        .toDF("text", "format", "ocr_engine", "width_ok")
+    }),
 
     // S17 — export path resolution: uploads ⋈ file_folders ⋈ resolved folder
     // tree (main.py:953-980 arcname rules: mapped → path/file, root sentinel
@@ -1301,6 +1337,15 @@ object SparkEntry {
         | SELECT id, name, parent_id, path FROM r WHERE cursor IS NULL ORDER BY id""".stripMargin,
     "j6_firstwins" ->
       "SELECT source, doc_id, n_chars FROM documents QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) = 1 ORDER BY source",
+    "s7_ocr" ->
+      """SELECT e'GRAFT ENGINE 42\nOCR SEAM' AS text, 'PNG' AS format,
+        | 'glyph' AS ocr_engine, true AS width_ok""".stripMargin,
+    "j10_asof_autoskew" ->
+      """WITH l AS (SELECT event_id, user_id % 5 AS k, ts FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT DISTINCT user_id % 5 AS k, ts AS view_ts FROM events WHERE event_type = 'view')
+        | SELECT l.event_id, l.k, (epoch_us(l.ts) - epoch_us(r.view_ts))::BIGINT AS lag_us
+        | FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.view_ts
+        | ORDER BY l.event_id""".stripMargin,
     "j7_asof" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         | r AS (SELECT user_id, ts AS view_ts, event_id AS view_id, round(value, 4) AS view_value FROM events WHERE event_type = 'view')
