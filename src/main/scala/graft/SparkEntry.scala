@@ -5,7 +5,7 @@ import graft.functions.{TextOps, VectorOps}
 import graft.streaming.EventWindows
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline additions), each with a
@@ -1118,6 +1118,43 @@ object SparkEntry {
         )
     }),
 
+    // M7 — the reference's ACTUAL clustering semantics: HDBSCAN* with EoM
+    // selection (clustering.py:50-60), via the from-scratch driver
+    // implementation in operators/Hdbscan.scala. The fixture is
+    // constructed, not table data, because the CONTRACT is structural and
+    // closed-form: 3 well-separated dense blobs must come back as exactly
+    // 3 pure clusters, and the 4 far-flung stragglers (below
+    // min_cluster_size, so no subset can cohere) must be −1 noise. The
+    // coordinates derive from the same portable hash as the sampling
+    // family, so the fixture is deterministic everywhere.
+    "m7_hdbscan" -> ((s, _) => {
+      val h    = (c: Column) => Sampling.portableHash(c)
+      val offs = (c: Column) => (h(c) % 2000L).cast("double") / 1000.0 - 1.0 // [-1, 1)
+      val blobs = s.range(180).select(
+        col("id").as("pid"),
+        (col("id") % 3).as("blob"),
+        array(
+          element_at(typedLit(Seq(0.0, 40.0, 0.0)), (col("id") % 3 + 1).cast("int")) + offs(col("id") * 2 + 1),
+          element_at(typedLit(Seq(0.0, 0.0, 40.0)), (col("id") % 3 + 1).cast("int")) + offs(col("id") * 2 + 2),
+        ).as("vec"))
+      val strag = s.range(4).select(
+        (col("id") + 180).as("pid"), lit(-1L).as("blob"),
+        array(lit(300.0) + col("id") * 45.0, lit(-250.0) - col("id") * 40.0).as("vec"))
+      val pts     = blobs.unionByName(strag)
+      val labeled = new Ml.HdbscanClusterer(5, 3).cluster(pts, "vec", "pid")
+        .join(pts.select("pid", "blob"), Seq("pid"))
+      val blobPurity = labeled.where(col("blob") >= 0).groupBy("blob")
+        .agg((countDistinct(col("label")) === 1 && min(col("label")) >= 0).as("ok"))
+        .agg(expr("bool_and(ok)").as("blobs_pure"))
+      val noiseOk = labeled.where(col("blob") < 0)
+        .agg(expr("bool_and(label = -1)").as("stragglers_noise"))
+      labeled.agg(
+        count(lit(1)).as("total"),
+        countDistinct(when(col("label") =!= -1, col("label"))).as("n_clusters"),
+        sum(when(col("label") === -1, 1L).otherwise(0L)).as("noise_n"),
+      ).crossJoin(broadcast(blobPurity)).crossJoin(broadcast(noiseOk))
+    }),
+
     "m2_cluster_naming" -> ((s, d) => {
       val t = Tables(s, d)
       // vectors and texts stay in their own tables: the fit leg reads only
@@ -1622,6 +1659,9 @@ object SparkEntry {
     // marks n−1−⌊0.95·n⌋ points as noise (distances are distinct: the
     // testdata has no duplicate vectors). trunc() mirrors Scala's .toInt on
     // the same IEEE double product.
+    "m7_hdbscan" ->
+      """SELECT 184::BIGINT AS total, 3::BIGINT AS n_clusters, 4::BIGINT AS noise_n,
+        | true AS blobs_pure, true AS stragglers_noise""".stripMargin,
     "m1_kmeans" ->
       """SELECT count(*)::BIGINT AS total,
         | (count(*) - 1 - trunc(0.95 * count(*)))::BIGINT AS noise_n,

@@ -353,6 +353,70 @@ object Ml {
     *  - larger corpora fit distributed via MLlib KMeans, with assignment +
     *    noise-marking as broadcast-centroid expressions (no collect).
     */
+  /** M1 at the reference's ACTUAL semantics: HDBSCAN* with EoM selection
+    * (backend/clustering.py:50-60) via [[Hdbscan.fit]]. KMeansClusterer
+    * stays the oracled default (closed-form noise contract); this closes
+    * the declared density-semantics deviation for corpora where it
+    * matters.
+    *
+    * Fit is driver-side and row-capped — HDBSCAN's mutual-reachability MST
+    * is inherently O(n²) without space trees, and the reference itself
+    * scrolls every vector into one process to fit. Corpora over the cap
+    * fit on a deterministic hash-sample and assign the rest DISTRIBUTED to
+    * the label of the nearest fitted point (the shape of hdbscan's own
+    * `approximate_predict`; a declared approximation — boundary points may
+    * differ from a full fit).
+    */
+  final class HdbscanClusterer(
+      minClusterSize: Int = 5,
+      minSamples: Int = 3,
+      maxFitRows: Int = 4096,
+  ) extends Clusterer {
+
+    override def cluster(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val nonNull = df.where(col(vecCol).isNotNull && col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      val head = nonNull.limit(maxFitRows + 1).collect()
+      if (head.isEmpty) return df.select(col(idCol), lit(-1).as("label")).where(lit(false))
+      if (head.length <= maxFitRows) {
+        // whole corpus fits: exact HDBSCAN, id-sorted so partition order
+        // can't perturb the labeling
+        val rows   = head.sortBy(_.getLong(0))
+        val pts    = rows.map(_.getSeq[Double](1).toArray)
+        val labels = Hdbscan.fit(pts, minClusterSize, minSamples)
+        rows.map(_.getLong(0)).zip(labels).toSeq.toDF("__id", "label")
+          .select(col("__id").as(idCol), col("label"))
+      } else {
+        // over the cap: deterministic hash-sample of ~maxFitRows for the
+        // fit (portable hash of the id — stable across runs/partitioning)
+        val total = nonNull.count()
+        val keepBp = math.max(1L, maxFitRows.toLong * Sampling.NumBuckets / total)
+        val sampled = nonNull.where(Sampling.bucket(col("__id")) < keepBp)
+          .limit(maxFitRows).collect().sortBy(_.getLong(0))
+        val pts    = sampled.map(_.getSeq[Double](1).toArray)
+        val labels = Hdbscan.fit(pts, minClusterSize, minSamples)
+        val fitted = pts.zip(labels)
+        val bc     = spark.sparkContext.broadcast(fitted)
+        nonNull.as[(Long, Seq[Double])].map { case (id, v) =>
+          val arr = v.toArray
+          var best = -1; var bestD = Double.MaxValue
+          var i = 0
+          while (i < bc.value.length) {
+            val q = bc.value(i)._1
+            var d = 0.0; var j = 0
+            while (j < arr.length) { val t = arr(j) - q(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = bc.value(i)._2 }
+            i += 1
+          }
+          (id, best)
+        }.toDF("__id", "label")
+          .select(col("__id").as(idCol), col("label"))
+      }
+    }
+  }
+
   final class KMeansClusterer(
       k: Int,
       seed: Long = 42L,
