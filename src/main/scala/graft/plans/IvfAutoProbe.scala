@@ -43,11 +43,25 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
   private def nProbe: Int =
     spark.conf.getOption("spark.graft.ivf.nProbe").map(_.toInt).getOrElse(4)
 
+  /** The sort under the limit pair, looking through one column-pruning
+    * Project: `topK(...).select(cols)` optimizes to
+    * `GlobalLimit(LocalLimit(Project(Sort(...))))` — without this the most
+    * common consumer shape silently loses pruning and full-scans the store.
+    */
+  private def sortUnderLimit(rest: LogicalPlan): Option[(Option[Project], Sort)] = rest match {
+    case s: Sort if s.global                      => Some((None, s))
+    case p @ Project(_, s: Sort) if s.global      => Some((Some(p), s))
+    case _                                        => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformDown {
-      case orig @ GlobalLimit(gl, LocalLimit(ll, s @ Sort(order, true, child, _)))
-          if order.headOption.exists(_.direction == Descending) =>
+      case orig @ GlobalLimit(gl, LocalLimit(ll, rest))
+          if sortUnderLimit(rest).exists(_._2.order.headOption.exists(_.direction == Descending)) =>
+        val (proj, s) = sortUnderLimit(rest).get
+        val order     = s.order
+        val child     = s.child
         val rewritten = for {
           (qv, vecExpr) <- queryVector(order.head.child, child)
           (rel, listAttr, root) <- ivfStore(child)
@@ -73,7 +87,8 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
             case r: LogicalRelation if r eq rel =>
               Filter(In(listAttr, probes.map(i => Literal(i))), r)
           }
-          GlobalLimit(gl, LocalLimit(ll, s.copy(child = pruned)))
+          val newSort = s.copy(child = pruned)
+          GlobalLimit(gl, LocalLimit(ll, proj.map(p => p.copy(child = newSort)).getOrElse(newSort)))
         }
         rewritten.getOrElse(orig)
     }
