@@ -141,13 +141,20 @@ object Chunker extends Serializable {
     val lines = text.split("\n", -1)
     val blocks = Vector.newBuilder[String]
     val cur = new StringBuilder
+    // a block holding ONLY decorator lines so far must not flush at the
+    // next boundary: "@dec\ndef f()" is one construct (Python binds the
+    // decorator to the def below it — ast.parse never separates them;
+    // splitting here was the worst of the declared regex-boundary
+    // deviations, reference backend/chunker.py:162)
+    var onlyDecorators = true
     for (line <- lines) {
       val isBoundary = CodeBoundary.findFirstIn(line).isDefined && !line.startsWith(" ") && !line.startsWith("\t")
-      if (isBoundary && cur.nonEmpty) {
-        blocks += cur.result(); cur.clear()
+      if (isBoundary && cur.nonEmpty && !onlyDecorators) {
+        blocks += cur.result(); cur.clear(); onlyDecorators = true
       }
       if (cur.nonEmpty) cur.append('\n')
       cur.append(line)
+      if (line.trim.nonEmpty && !line.startsWith("@")) onlyDecorators = false
     }
     if (cur.nonEmpty) blocks += cur.result()
     val bs = blocks.result().map(_.trim).filter(_.nonEmpty)

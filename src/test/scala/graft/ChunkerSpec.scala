@@ -114,6 +114,19 @@ class ChunkerSpec extends AnyFunSuite {
     assert(js == none)
   }
 
+  test("code chunker keeps decorators attached to their def (ast.parse never separates them)") {
+    val code = "@route('/x')\ndef f():\n    return 1\n@a\n@b\ndef g():\n    return 2\nclass C:\n    pass\n"
+    val blocksJoined = Chunker.chunkCode(code).map(_._1).mkString("\n\n")
+    // blocks pack joined by \n\n: a decorator followed by a blank-line gap
+    // would mean it was split from its def
+    assert(!blocksJoined.contains("@route('/x')\n\n"), blocksJoined)
+    assert(!blocksJoined.contains("@b\n\n"), blocksJoined)
+    assert(blocksJoined.contains("@route('/x')\ndef f():"))
+    assert(blocksJoined.contains("@a\n@b\ndef g():"))
+    // and plain boundaries still split: class C starts its own block
+    assert(Chunker.chunkCode("def f():\n    return 1\nclass C:\n    pass\n", maxTokens = 6).length == 2)
+  }
+
   test("code chunker splits at top-level boundaries and packs to <= maxTokens") {
     val blocks = (1 to 50).map(i => s"def f$i():\n" + ("    x = 1\n" * 30))
     val chunks = Chunker.chunkCode(blocks.mkString(""))
