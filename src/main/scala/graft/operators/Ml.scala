@@ -367,6 +367,14 @@ object Ml {
     * `approximate_predict`; a declared approximation — boundary points may
     * differ from a full fit).
     */
+  object HdbscanClusterer {
+    /** The reference's corpus-size-adaptive min_cluster_size
+      * (backend/main.py:795-801): 3 below 50 chunks, 5 below 200, else 10.
+      */
+    def adaptiveMinClusterSize(totalChunks: Long): Int =
+      if (totalChunks < 50) 3 else if (totalChunks < 200) 5 else 10
+  }
+
   final class HdbscanClusterer(
       minClusterSize: Int = 5,
       minSamples: Int = 3,

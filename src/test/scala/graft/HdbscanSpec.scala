@@ -53,6 +53,13 @@ class HdbscanSpec extends AnyFunSuite {
     assert(labels.drop(50).count(_ != -1) >= 40)
   }
 
+  test("adaptive min_cluster_size matches the reference's thresholds (main.py:795-801)") {
+    import graft.operators.Ml.HdbscanClusterer.adaptiveMinClusterSize
+    assert(adaptiveMinClusterSize(0) == 3 && adaptiveMinClusterSize(49) == 3)
+    assert(adaptiveMinClusterSize(50) == 5 && adaptiveMinClusterSize(199) == 5)
+    assert(adaptiveMinClusterSize(200) == 10 && adaptiveMinClusterSize(1000000) == 10)
+  }
+
   test("fewer points than minClusterSize: all noise (reference early return)") {
     assert(Hdbscan.fit(blob(0, 0, 4, 0.5, 5).toArray, 5, 3).toSeq == Seq(-1, -1, -1, -1))
     assert(Hdbscan.fit(Array.empty[Array[Double]], 5, 3).isEmpty)
