@@ -165,26 +165,140 @@ private[graft] object PdfParser {
         """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
     }.getOrElse(Nil)
 
-  /** Run the declared filter pipeline. None = an unsupported filter
-    * (DCTDecode and friends — image codecs with no text behind them, or the
-    * encrypted-stream case); the caller counts those so text loss is
-    * visible in metadata instead of silent. Predictors (/DecodeParms) are
-    * not applied — they appear on xref/image streams, not text content.
+  /** Per-filter decode parameters (aligned with [[filterNames]]): either a
+    * single `/DecodeParms <<...>>` or an array mixing dicts and `null`.
+    * Only Predictor/Colors/BitsPerComponent/Columns are read — the PNG/TIFF
+    * predictor set of §7.4.4.4.
     */
-  private def decodeFilters(data: Array[Byte], filters: Seq[String]): Option[Array[Byte]] =
-    filters.foldLeft(Option(data)) {
-      case (Some(d), "FlateDecode")     => Some(inflate(d))
-      case (Some(d), "ASCIIHexDecode")  => Some(asciiHexDecode(d))
-      case (Some(d), "ASCII85Decode")   => Some(ascii85Decode(d))
-      case (Some(d), "LZWDecode")       => Some(lzwDecode(d))
-      case (Some(d), "RunLengthDecode") => Some(runLengthDecode(d))
-      case _                            => None
+  private[graft] def decodeParms(dict: String, nFilters: Int): Seq[Map[String, Int]] = {
+    val m = """/(?:DecodeParms|DP)\s*(\[)?""".r.findFirstMatchIn(dict)
+    def dictAt(from: Int): Option[(Map[String, Int], Int)] = {
+      val open = dict.indexOf("<<", from)
+      if (open < 0) None
+      else {
+        val close = dict.indexOf(">>", open)
+        if (close < 0) None
+        else {
+          val body = dict.substring(open + 2, close)
+          val kv = """/(Predictor|Colors|BitsPerComponent|Columns)\s+(\d+)""".r
+            .findAllMatchIn(body).map(x => x.group(1) -> x.group(2).toInt).toMap
+          Some((kv, close + 2))
+        }
+      }
+    }
+    m match {
+      case None => Seq.fill(nFilters)(Map.empty)
+      case Some(mm) if mm.group(1) == null => // single dict applies to filter 0
+        (dictAt(mm.end).map(_._1).getOrElse(Map.empty[String, Int]) +: Seq.fill(nFilters - 1)(Map.empty[String, Int])).take(nFilters)
+      case Some(mm) => // array: null or <<…>> per filter, in order
+        val end = dict.indexOf(']', mm.end)
+        var pos = mm.end
+        val out = Seq.newBuilder[Map[String, Int]]
+        for (_ <- 0 until nFilters) {
+          val nextNull = dict.indexOf("null", pos)
+          val nextDict = dict.indexOf("<<", pos)
+          if (nextDict >= 0 && (nextDict < end || end < 0) && (nextNull < 0 || nextDict < nextNull)) {
+            dictAt(nextDict) match {
+              case Some((kv, after)) => out += kv; pos = after
+              case None              => out += Map.empty
+            }
+          } else if (nextNull >= 0 && (nextNull < end || end < 0)) { out += Map.empty; pos = nextNull + 4 }
+          else out += Map.empty
+        }
+        out.result()
+    }
+  }
+
+  /** Undo a declared predictor (§7.4.4.4) after Flate/LZW: 2 = TIFF
+    * horizontal differencing; 10–15 = PNG row filters (each row prefixed by
+    * its filter type: None/Sub/Up/Average/Paeth).
+    */
+  private[graft] def applyPredictor(data: Array[Byte], parms: Map[String, Int]): Array[Byte] = {
+    val predictor = parms.getOrElse("Predictor", 1)
+    if (predictor <= 1) return data
+    val colors  = parms.getOrElse("Colors", 1)
+    val bpc     = parms.getOrElse("BitsPerComponent", 8)
+    val columns = parms.getOrElse("Columns", 1)
+    val bpp     = math.max(1, colors * bpc / 8) // bytes per pixel (≥8-bit path)
+    val rowLen  = (columns * colors * bpc + 7) / 8
+    if (predictor == 2) { // TIFF: add left neighbor (8-bit components only)
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = bpp
+        while (i < rowLen) { out(r + i) = (out(r + i) + out(r + i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      out
+    } else { // PNG: rows of (1 + rowLen), first byte = filter type
+      val stride = rowLen + 1
+      val nRows  = data.length / stride
+      val out    = new Array[Byte](nRows * rowLen)
+      val prev   = new Array[Byte](rowLen)
+      var r = 0
+      while (r < nRows) {
+        val ft  = data(r * stride) & 0xff
+        val row = java.util.Arrays.copyOfRange(data, r * stride + 1, r * stride + 1 + rowLen)
+        var i = 0
+        while (i < rowLen) {
+          val a = if (i >= bpp) out(r * rowLen + i - bpp) & 0xff else 0 // left
+          val b = prev(i) & 0xff                                       // up
+          val c = if (i >= bpp) prev(i - bpp) & 0xff else 0            // up-left
+          val x = row(i) & 0xff
+          val rec = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => // Paeth
+              val p  = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => x
+          }
+          out(r * rowLen + i) = rec.toByte
+          i += 1
+        }
+        System.arraycopy(out, r * rowLen, prev, 0, rowLen)
+        r += 1
+      }
+      out
+    }
+  }
+
+  /** Run the declared filter pipeline, applying each Flate/LZW stage's
+    * predictor. None = an unsupported filter (DCTDecode and friends — image
+    * codecs with no text behind them) OR a stage that fails to decode
+    * (corrupt data, or an encryption revision the handler doesn't support —
+    * the bytes are then noise to every filter); the caller counts both so
+    * text loss is visible in metadata instead of silent, and garbage never
+    * reaches the text-operator parser.
+    */
+  private def decodeFilters(data: Array[Byte], filters: Seq[String], parms: Seq[Map[String, Int]]): Option[Array[Byte]] =
+    filters.zipWithIndex.foldLeft(Option(data)) {
+      case (Some(d), (f, i)) =>
+        val p = if (i < parms.length) parms(i) else Map.empty[String, Int]
+        try f match {
+          case "FlateDecode"     => Some(applyPredictor(inflate(d), p))
+          case "ASCIIHexDecode"  => Some(asciiHexDecode(d))
+          case "ASCII85Decode"   => Some(ascii85Decode(d))
+          case "LZWDecode"       => Some(applyPredictor(lzwDecode(d), p))
+          case "RunLengthDecode" => Some(runLengthDecode(d))
+          case _                 => None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case (None, _) => None
     }
 
-  /** Stream payload bytes run through the declared /Filter pipeline;
-    * None (with `onSkip` fired) when a filter is unsupported.
+  /** Stream payload bytes run through `decrypt` (identity for unencrypted
+    * documents — encryption wraps the STORED bytes, outside the filter
+    * pipeline) and then the declared /Filter pipeline; None (with `onSkip`
+    * fired) when a filter is unsupported.
     */
-  private def streamData(body: String, onSkip: () => Unit = () => ()): Option[Array[Byte]] = {
+  private def streamData(
+      body: String,
+      onSkip: () => Unit = () => (),
+      decrypt: Array[Byte] => Array[Byte] = identity,
+  ): Option[Array[Byte]] = {
     val i = body.indexOf("stream")
     if (i < 0) return None
     val dict = body.substring(0, i)
@@ -196,9 +310,10 @@ private[graft] object PdfParser {
       .filter(_ >= 0)
       .getOrElse(body.indexOf("endstream", start))
     if (end < start) return None
-    val raw = body.substring(start, end).stripSuffix("\n").stripSuffix("\r")
-      .getBytes(StandardCharsets.ISO_8859_1)
-    val decoded = decodeFilters(raw, filterNames(dict))
+    val raw = decrypt(body.substring(start, end).stripSuffix("\n").stripSuffix("\r")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    val names   = filterNames(dict)
+    val decoded = decodeFilters(raw, names, decodeParms(dict, names.length))
     if (decoded.isEmpty) onSkip()
     decoded
   }
@@ -337,6 +452,114 @@ private[graft] object PdfParser {
     out.toByteArray
   }
 
+  // ---- Standard security handler (encrypted PDFs, §7.6.2-3) --------------
+  // pypdf reads RC4-encrypted documents transparently (the VERDICT-noted
+  // gap); this implements the R=2/R=3 standard handler for the EMPTY user
+  // password — the ubiquitous "owner-locked but readable" case. Strings
+  // and streams are encrypted per object with an MD5-derived key; document
+  // structure stays plaintext, so the object walker runs unchanged and
+  // decryption slots in between the stream bytes and the filter pipeline.
+
+  /** RC4 (the handler's cipher for V ≤ 2). */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + (s(i) & 0xff) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0; var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + (s(x) & 0xff)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s(((s(x) & 0xff) + (s(y) & 0xff)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** The spec's 32-byte password pad (Algorithm 2 step a). */
+  private[graft] val PasswordPad: Array[Byte] = Array(
+    0x28, 0xbf, 0x4e, 0x5e, 0x4e, 0x75, 0x8a, 0x41, 0x64, 0x00, 0x4e, 0x56,
+    0xff, 0xfa, 0x01, 0x08, 0x2e, 0x2e, 0x00, 0xb6, 0xd0, 0x68, 0x3e, 0x80,
+    0x2f, 0x0c, 0xa9, 0xfe, 0x64, 0x53, 0x69, 0x7a).map(_.toByte)
+
+  /** Algorithm 2 file key for the empty user password: MD5(pad ‖ O ‖ P(LE32)
+    * ‖ ID₀), truncated to 5 bytes for R=2 or Length/8 for R=3 with the
+    * 50-round MD5 strengthening loop.
+    */
+  private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int, lengthBits: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(PasswordPad)
+    md.update(o, 0, math.min(32, o.length))
+    md.update(Array(p, p >> 8, p >> 16, p >> 24).map(x => (x & 0xff).toByte))
+    md.update(id0)
+    var h      = md.digest()
+    val keyLen = if (r == 2) 5 else math.max(5, lengthBits / 8)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) {
+        val m2 = java.security.MessageDigest.getInstance("MD5")
+        m2.update(h, 0, keyLen)
+        h = m2.digest()
+        i += 1
+      }
+    }
+    h.take(keyLen)
+  }
+
+  /** Per-object RC4 key (Algorithm 1): MD5(fileKey ‖ objnum(LE24) ‖
+    * gen(LE16)) truncated to min(len+5, 16).
+    */
+  private[graft] final case class Decryptor(key: Array[Byte]) {
+    def decrypt(objNum: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(key)
+      md.update(Array(
+        (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+      rc4(md.digest().take(math.min(key.length + 5, 16)), data)
+    }
+  }
+
+  private def hexBytes(h: String): Array[Byte] = {
+    val clean  = h.filterNot(_.isWhitespace)
+    val padded = if (clean.length % 2 == 1) clean + "0" else clean
+    padded.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+  }
+
+  /** A 32-byte-ish string value for `key` from an Encrypt dict: literal or
+    * hex form.
+    */
+  private def dictString(body: String, key: String): Option[Array[Byte]] =
+    (s"""/$key\\s*\\(""").r.findFirstMatchIn(body)
+      .map(m => literal(body, m.end)._1.toCharArray.map(_.toByte))
+      .orElse((s"""/$key\\s*<([0-9A-Fa-f\\s]*)>""").r.findFirstMatchIn(body)
+        .map(m => hexBytes(m.group(1))))
+
+  /** The document [[Decryptor]], when the trailer names a Standard-handler
+    * /Encrypt dict this walker supports (V ≤ 2, R 2–3, RC4). None for
+    * unencrypted documents; unsupported revisions also return None (their
+    * streams then fail to decode and surface in `skipped_filters`).
+    */
+  private def decryptorOf(s: String, objs: Map[Int, String]): Option[Decryptor] =
+    for {
+      em   <- """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
+      body <- objs.get(em.group(1).toInt)
+      if body.contains("/Standard")
+      r <- """/R\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      if r == 2 || r == 3
+      p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      o <- dictString(body, "O")
+      id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
+        .map(m => hexBytes(m.group(1))).getOrElse(Array.emptyByteArray)
+      bits = """/Length\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(40)
+    } yield Decryptor(fileKey(o, p, id0, r, bits))
+
   /** PDF literal string starting after '(': escapes, octal, balanced parens. */
   private def literal(s: String, start: Int): (String, Int) = {
     val sb = new StringBuilder
@@ -432,21 +655,31 @@ private[graft] object PdfParser {
     if (!s.startsWith("%PDF")) throw new IllegalArgumentException("not a PDF (missing %PDF header)")
     val objs = objects(s)
     val pages = pageOrder(objs, s)
+    // Standard-handler encryption (when present): structure is plaintext,
+    // strings/streams are RC4'd per object. Generation numbers are assumed
+    // 0 (the object scanner keys on number only; non-zero generations
+    // require incremental updates this walker doesn't model).
+    val dec = decryptorOf(s, objs)
+    def decryptFor(objNum: Int): Array[Byte] => Array[Byte] =
+      dec.map(d => (bytes: Array[Byte]) => d.decrypt(objNum, 0, bytes)).getOrElse(identity)
     // content streams behind a filter this walker can't decode contribute
     // no text; the count makes that loss visible instead of silent
     var skippedFilters = 0
     val pageTexts = pages.map { p =>
       refList(objs(p), "Contents")
-        .flatMap(c => objs.get(c).flatMap(b => streamData(b, () => skippedFilters += 1)))
+        .flatMap(c => objs.get(c).flatMap(b => streamData(b, () => skippedFilters += 1, decryptFor(c))))
         .map(b => textOfStream(latin1(b)))
         .mkString("\n")
     }
     val info = for {
       m <- """/Info\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
       b <- objs.get(m.group(1).toInt)
-    } yield b
-    def infoStr(key: String): Option[String] = info.flatMap { b =>
-      (s"""/$key\\s*\\(""").r.findFirstMatchIn(b).map(m => literal(b, m.end)._1)
+    } yield (m.group(1).toInt, b)
+    def infoStr(key: String): Option[String] = info.flatMap { case (num, b) =>
+      (s"""/$key\\s*\\(""").r.findFirstMatchIn(b).map { m =>
+        val raw = literal(b, m.end)._1
+        latin1(decryptFor(num)(raw.toCharArray.map(_.toByte)))
+      }
     }
     val meta = Map("page_count" -> pages.size.toString) ++
       infoStr("Title").map("title" -> _) ++ infoStr("Author").map("author" -> _) ++

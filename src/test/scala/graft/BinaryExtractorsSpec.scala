@@ -139,6 +139,84 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(txt == "" && meta("skipped_filters") == "1" && meta("page_count") == "1")
   }
 
+  test("PDF: PNG/TIFF predictors undo after Flate (DecodeParms)") {
+    import java.util.zip.Deflater
+    val payload = "BT (predicted text) Tj ET".getBytes(ISO_8859_1)
+    // PNG Up filter (type 2), Columns 5: rows are deltas vs previous row
+    val cols   = 5
+    val rows   = payload.grouped(cols).toArray
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.foreach { r0 =>
+      val r = java.util.Arrays.copyOf(r0, cols) // zero-pad final short row
+      filtered.write(2)
+      for (i <- 0 until cols) filtered.write((r(i) - prev(i)) & 0xff)
+      prev = r
+    }
+    val deflater = new Deflater()
+    deflater.setInput(filtered.toByteArray); deflater.finish()
+    val buf = new Array[Byte](4096)
+    val n   = deflater.deflate(buf)
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length $n /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >> >>\nstream\n" +
+      new String(buf.take(n), ISO_8859_1) + "\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    val (text, _) = new PdfExtractor().extract(pdf, "p.pdf")
+    assert(text == "predicted text")
+    // TIFF horizontal differencing (Predictor 2), 8-bit, 1 color
+    val tiff = payload.clone()
+    for (i <- tiff.length - 1 to 1 by -1) tiff(i) = (tiff(i) - tiff(i - 1)).toByte
+    assert(new String(graft.sources.PdfParser.applyPredictor(
+      tiff, Map("Predictor" -> 2, "Columns" -> tiff.length)), ISO_8859_1) == new String(payload, ISO_8859_1))
+  }
+
+  test("PDF: RC4-encrypted documents (standard handler R2/R3, empty user password)") {
+    import java.util.zip.Deflater
+    import graft.sources.PdfParser
+    def pdfEscape(b: Array[Byte]): String = b.map { x =>
+      val c = (x & 0xff).toChar
+      if (c == '(' || c == ')' || c == '\\') "\\" + c
+      else if (c >= ' ' && c < 0x7f) c.toString
+      else f"\\${x & 0xff}%03o"
+    }.mkString
+    def build(r: Int, v: Int, bits: Int): Array[Byte] = {
+      val o    = Array.tabulate(32)(i => (i * 7 + 3).toByte) // owner hash: opaque input to Algorithm 2
+      val id0  = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+      val key  = PdfParser.fileKey(o, -1, id0, r, bits)
+      val dec  = PdfParser.Decryptor(key)
+      val deflater = new Deflater()
+      deflater.setInput("BT (classified payload) Tj ET".getBytes(ISO_8859_1)); deflater.finish()
+      val buf  = new Array[Byte](4096)
+      val n    = deflater.deflate(buf)
+      val encStream = dec.decrypt(4, 0, buf.take(n)) // RC4 is symmetric
+      val encTitle  = dec.decrypt(6, 0, "Restricted Report".getBytes(ISO_8859_1))
+      val oHex  = o.map(b => f"${b & 0xff}%02x").mkString
+      val idHex = id0.map(b => f"${b & 0xff}%02x").mkString
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${encStream.length} /Filter /FlateDecode >>\nstream\n" +
+        new String(encStream, ISO_8859_1) + "\nendstream\nendobj\n" +
+        s"5 0 obj\n<< /Filter /Standard /V $v /R $r /Length $bits /O <$oHex> /U <$oHex> /P -1 >>\nendobj\n" +
+        s"6 0 obj\n<< /Title (${pdfEscape(encTitle)}) >>\nendobj\n" +
+        s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /Info 6 0 R /ID [<$idHex> <$idHex>] >>\n%%EOF\n").getBytes(ISO_8859_1)
+    }
+    for ((r, v, bits) <- Seq((2, 1, 40), (3, 2, 128))) {
+      val (text, meta) = new PdfExtractor().extract(build(r, v, bits), s"enc-r$r.pdf")
+      assert(text == "classified payload", s"R=$r")
+      assert(meta("title") == "Restricted Report", s"R=$r")
+      assert(!meta.contains("skipped_filters"), s"R=$r")
+    }
+    // unsupported revision: no text, loss surfaced — never garbage output
+    val (t4, m4) = new PdfExtractor().extract(
+      new String(build(3, 2, 128), ISO_8859_1).replace("/R 3", "/R 4").getBytes(ISO_8859_1), "enc-r4.pdf")
+    assert(t4 == "" && m4("skipped_filters") == "1")
+  }
+
   test("DOCX: paragraphs blank-line separated, entities, tabs; deflated zip") {
     val (text, meta) = new DocxExtractor().extract(read("fixtures/office/report.docx"), "report.docx")
     assert(text ==
