@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.TextOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** The reference's aggregation surface (SURVEY §2.4). All of these ride
   * Spark's partial+final aggregation (map-side combine before the shuffle)
@@ -150,48 +150,50 @@ object Aggs {
     *
     * Output: input columns + `bucket` in [1, nBuckets] (null value → null).
     *
-    * The bounded-domain precondition is ENFORCED, not assumed: a cheap
-    * approx-NDV probe (column-pruned scan, HLL partial per partition) runs
-    * first, and above `ndvCutoff` distinct values the thresholds switch to
-    * `percentile_approx` — fully distributed, no window — instead of
-    * funneling an n-row histogram through the single global-window task.
-    * Exact quantile_disc semantics hold on the bounded path; the fallback
-    * is approximate within percentile_approx's documented error bound.
+    * The bounded-domain precondition is ENFORCED, not assumed, and the
+    * enforcement is free: the histogram is fetched with a distributed
+    * `orderBy().limit(cutoff+1)` (TakeOrdered — no window, no extra probe
+    * scan), thresholds are computed exactly on the driver from the ≤cutoff
+    * sorted rows, and a histogram that overflows the cutoff switches to
+    * `percentile_approx` — approximate within the sketch's documented
+    * bound, fully distributed.
     */
   def quantileBuckets(
       df: DataFrame, valCol: String, nBuckets: Int, ndvCutoff: Int = 65536,
   ): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets: $nBuckets")
-    val thresholds =
-      if (approxNdv(df, valCol) <= ndvCutoff) {
-        val hist = df.where(col(valCol).isNotNull)
-          .groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
-        hist
-          .withColumn("__cum", sum(col("__c")).over(
-            Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
-          .withColumn("k", explode(sequence(lit(1), lit(nBuckets))))
-          .where(col("__cum") >= expr(s"(__n * k + ${nBuckets - 1}) div $nBuckets"))
-          .groupBy("k").agg(min(col("__v")).as("t"))
-          .agg(array_sort(collect_list(struct(col("k"), col("t")))).as("__kt"))
-          .select(transform(col("__kt"), s => s("t")).as("__ts"))
-      } else {
-        val fracs = array((1 to nBuckets).map(k => lit(k.toDouble / nBuckets)): _*)
-        df.where(col(valCol).isNotNull)
-          .agg(percentile_approx(col(valCol), fracs, lit(10000)).as("__ts"))
-      }
-    df.crossJoin(broadcast(thresholds))
-      .withColumn("bucket",
+    val rows = df.where(col(valCol).isNotNull)
+      .groupBy(col(valCol).as("__v")).agg(count(lit(1)).as("__c"))
+      .orderBy("__v").limit(ndvCutoff + 1).collect()
+    def assign(ts: Column): DataFrame =
+      df.withColumn("bucket",
         when(col(valCol).isNull, lit(null))
-          .otherwise(lit(1) + size(filter(col("__ts"), t => t < col(valCol)))))
-      .drop("__ts")
+          .otherwise(lit(1) + size(filter(ts, t => t < col(valCol)))))
+    if (rows.length > ndvCutoff) {
+      val fracs = array((1 to nBuckets).map(k => lit(k.toDouble / nBuckets)): _*)
+      val sketch = df.where(col(valCol).isNotNull)
+        .agg(percentile_approx(col(valCol), fracs, lit(10000)).as("__ts"))
+      df.crossJoin(broadcast(sketch))
+        .withColumn("bucket",
+          when(col(valCol).isNull, lit(null))
+            .otherwise(lit(1) + size(filter(col("__ts"), t => t < col(valCol)))))
+        .drop("__ts")
+    } else if (rows.isEmpty) {
+      // no non-null values: bucket value is vacuous (only nulls exist)
+      df.withColumn("bucket", when(col(valCol).isNull, lit(null)).otherwise(lit(1)))
+    } else {
+      // exact quantile_disc thresholds from the sorted histogram — plain
+      // driver arithmetic over ≤cutoff rows, broadcast back as a literal
+      val n = rows.iterator.map(_.getLong(1)).sum
+      val cums = rows.scanLeft(0L)((acc, r) => acc + r.getLong(1)).tail
+      val ts = (1 to nBuckets).map { k =>
+        val need = (n * k + nBuckets - 1) / nBuckets
+        val i    = cums.indexWhere(_ >= need)
+        rows(if (i < 0) rows.length - 1 else i).get(0)
+      }
+      assign(array(ts.map(lit(_)): _*))
+    }
   }
-
-  /** Driver-side NDV probe backing the quantile operators' bounded-domain
-    * guard: one column-pruned pass, HLL sketch per partition, one row back.
-    */
-  private def approxNdv(df: DataFrame, valCol: String): Long =
-    df.agg(approx_count_distinct(col(valCol)).as("__ndv")).head.getLong(0)
 
   /** A11 — EXACT per-group discrete quantiles over a bounded-cardinality
     * value domain, the scale-right way: aggregate a (group, value) histogram
@@ -209,40 +211,57 @@ object Aggs {
     * over.
     *
     * As in [[quantileBuckets]], the bounded-domain precondition is enforced
-    * by an approx-NDV probe: above `ndvCutoff` the per-group cumulative
-    * window (whose partition size is the group's distinct-value count, ≈
-    * the group's row count on an unbounded domain) is replaced by a plain
-    * `percentile_approx` aggregation — one map-side-combined shuffle,
-    * approximate within the sketch's bound.
+    * at zero extra cost: the (group, value) histogram arrives via a
+    * distributed `orderBy().limit(cutoff+1)` (TakeOrdered — no window, no
+    * probe scan), per-group ranks resolve exactly on the driver, and an
+    * overflowing histogram switches to a plain `percentile_approx`
+    * aggregation — one map-side-combined shuffle, approximate within the
+    * sketch's bound.
     */
   def discreteQuantiles(
       df: DataFrame, groupCol: String, valCol: String,
       qs: Seq[(Int, Int, String)],
       ndvCutoff: Int = 65536,
   ): DataFrame = {
-    if (approxNdv(df, valCol) > ndvCutoff) {
+    val spark = df.sparkSession
+    // NULL values are excluded, matching quantile_disc (and every SQL
+    // quantile): a NULL histogram row would sort first and inflate every
+    // rank threshold.
+    val hist = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val rows = hist.orderBy(col(groupCol), col("__v")).limit(ndvCutoff + 1).collect()
+    if (rows.length > ndvCutoff) {
       val aggs = count(lit(1)).as("n") +: qs.map { case (num, den, name) =>
         percentile_approx(col(valCol), lit(num.toDouble / den), lit(10000)).as(name)
       }
       return df.where(col(valCol).isNotNull)
         .groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
     }
-    // NULL values are excluded, matching quantile_disc (and every SQL
-    // quantile): without this filter the NULL histogram row sorts first in
-    // the window and inflates every rank threshold.
-    val hist = df.where(col(valCol).isNotNull)
-      .groupBy(col(groupCol), col(valCol).as("__v"))
-      .agg(count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy(groupCol).orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
-    val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-    val outCols = max(col("__n")).as("n") +:
-      qs.map { case (num, den, name) =>
-        min(when(col("__cum") >= expr(s"(__n * $num + ${den - 1}) div $den"), col("__v"))).as(name)
+    // exact per-group quantile_disc rule over the group-contiguous sorted
+    // rows: rank threshold ceil(q·n) = (n·num + den − 1) div den in integer
+    // arithmetic, value = first histogram row reaching it
+    val vType  = hist.schema("__v").dataType
+    val schema = org.apache.spark.sql.types.StructType(
+      hist.schema.head +:
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false) +:
+        qs.map { case (_, _, name) => org.apache.spark.sql.types.StructField(name, vType, nullable = true) })
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    var i = 0
+    while (i < rows.length) {
+      var j = i
+      while (j < rows.length && rows(j).get(0) == rows(i).get(0)) j += 1
+      val group = rows.slice(i, j)
+      val n     = group.iterator.map(_.getLong(2)).sum
+      val cums  = group.scanLeft(0L)((acc, r) => acc + r.getLong(2)).tail
+      val quants = qs.map { case (num, den, _) =>
+        val need = (n * num + den - 1) / den
+        val at   = cums.indexWhere(_ >= need)
+        group(if (at < 0) group.length - 1 else at).get(1)
       }
-    cum.groupBy(groupCol).agg(outCols.head, outCols.tail: _*)
+      out.add(org.apache.spark.sql.Row.fromSeq(rows(i).get(0) +: n +: quants))
+      i = j
+    }
+    spark.createDataFrame(out, schema)
   }
 }

@@ -322,14 +322,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tb.count(_ == 1) == 3 && tb.count(_ == 2) == 1)
   }
 
-  test("quantile family enforces the bounded-domain guard: unbounded input plans no window") {
-    // 5000 unique doubles with the cutoff forced below them: the exact
-    // histogram path would funnel all 5000 through ONE global-window task —
-    // the guard must route to percentile_approx (no Window node at all).
+  test("quantile family enforces the bounded-domain guard; neither path plans a window") {
+    // 5000 unique doubles with the cutoff forced below them: a cumulative
+    // window over that histogram would be a 5000-row single task — the
+    // guard must route to percentile_approx (no Window node at all).
     val df = (1 to 5000).map(i => (i.toLong, i * 1.0 + 1.0 / i)).toDF("g", "v")
     val bucketed = Aggs.quantileBuckets(df, "v", 10, ndvCutoff = 100)
     val plan = bucketed.queryExecution.optimizedPlan.toString
     assert(!plan.contains("windowspecdefinition"), s"unbounded domain must not plan a window:\n$plan")
+    assert(plan.contains("percentile_approx"), "unbounded domain must take the sketch fallback")
     val counts = bucketed.groupBy("bucket").count().as[(Int, Long)].collect().toMap
     assert(counts.keySet == (1 to 10).toSet)
     assert(counts.values.forall(c => c > 350 && c < 650), s"approx deciles should be near-balanced: $counts")
@@ -341,10 +342,19 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = dq.as[(Long, Long, Double)].collect()
     assert(rows.length == 2 && rows.forall { case (_, n, p50) => n == 2500 && p50 > 2000 && p50 < 3000 })
 
-    // bounded input keeps the exact histogram path (window over the histogram)
-    val boundedPlan = Aggs.quantileBuckets(df.withColumn("v", col("v").cast("long") % 7), "v", 3)
-      .queryExecution.optimizedPlan.toString
-    assert(boundedPlan.contains("windowspecdefinition"), "bounded domain should keep the exact path")
+    // bounded input: exact path (thresholds resolved on the driver, no
+    // sketch, no window — the histogram arrives via distributed TakeOrdered)
+    val bounded = Aggs.quantileBuckets(df.withColumn("v", col("v").cast("long") % 7), "v", 3)
+    val boundedPlan = bounded.queryExecution.optimizedPlan.toString
+    assert(!boundedPlan.contains("windowspecdefinition") && !boundedPlan.contains("percentile_approx"),
+      "bounded domain should take the exact driver-threshold path")
+    // exact deciles over 0..6 with 3 buckets: thresholds at the ceil(k·n/3)
+    // order statistics — verify against a brute-force rule
+    val vals = (1 to 5000).map(i => (i.toLong % 7))
+    val sortedV = vals.sorted
+    val want = (1 to 3).map(k => sortedV(((vals.size.toLong * k + 2) / 3 - 1).toInt))
+    val got = bounded.groupBy("bucket").agg(max("v")).as[(Int, Long)].collect().toMap
+    assert((1 to 3).forall(k => got(k) <= want(k - 1)), s"bucket maxima must respect exact thresholds: $got vs $want")
   }
 
   // ---- A12 profiling ---------------------------------------------------------
