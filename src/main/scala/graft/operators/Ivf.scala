@@ -390,6 +390,70 @@ object Ivf {
     spark.read.parquet(path).count()
   }
 
+  /** Batch ANN — the k-NN JOIN against the store: every query row gets its
+    * top-k neighbors from its own nProbe nearest lists. [[search]] serves
+    * one query with a pruned scan; a training-data pipeline attaches
+    * neighbors to MILLIONS of rows, where per-query scans would mean
+    * |q| full job launches. Shape:
+    *
+    *  1. each query row fans out to its nProbe list ids (broadcast
+    *     centroids, one narrow pass over the query frame — no collect);
+    *  2. equi-join with the store on `list_id` — candidate volume is
+    *     |q|·n·(nProbe/nList), the IVF speedup over the |q|·n brute-force
+    *     join, and the shuffle key co-locates whole lists;
+    *  3. exact cosine on candidates + [[graft.functions.TopKScored]]
+    *     map-side partial top-k, so the final shuffle carries at most
+    *     k·|q| rows per partition.
+    *
+    * Same recall trade as [[search]] (misses only neighbors whose list the
+    * query didn't probe). Output: (query_id, neighbor_id, score, rank) like
+    * [[Search.knnJoin]].
+    */
+  def knnJoin(
+      indexed: DataFrame,
+      model: Model,
+      queries: DataFrame,
+      queryVecCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = true,
+  ): DataFrame = {
+    import graft.functions.VectorOps._
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    require(model.centroids.nonEmpty, "knnJoin needs a fitted index (empty centroid set)")
+    val bcModel = spark.sparkContext.broadcast(model)
+    val nP      = math.min(nProbe, model.centroids.length)
+    val fanned = graft.Par.fanOut(
+      queries.select(col(queryIdCol).cast("long").as("query_id"), asDouble(col(queryVecCol)).as("__qv")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, v) =>
+        bcModel.value.probeLists(v, nP).iterator.map(l => (qid, v, l))
+      }
+      .toDF("query_id", "__qv", "list_id")
+    val cand = indexed
+      .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("__cv"), col("list_id"))
+      .join(fanned, Seq("list_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExpressions.cosineFast(col("__cv"), col("__qv")).as("score"))
+      .where(!isnan(col("score")))
+    val topk = graft.functions.TopKScored.udafFor(k)
+    cand
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("score")).as("nns"))
+      .select(col("query_id"), posexplode(col("nns")).as(Seq("pos", "nn")))
+      .select(
+        col("query_id"),
+        col("nn.id").as("neighbor_id"),
+        col("nn.score").as("score"),
+        (col("pos") + 1).as("rank"),
+      )
+  }
+
   /** ANN top-k: exact search restricted to the nProbe nearest lists. When
     * `indexed` comes from [[indexFor]]/[[writeIndexed]], the `isin` lands in
     * the scan's `PartitionFilters`, so only nProbe/nList of the store's files

@@ -115,6 +115,28 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("Ivf.knnJoin: full-probe batch ANN equals the brute-force knn join; pruned keeps recall") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-knn")
+    val queries = corpus.where(col("id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        round(col("score"), 9), col("rank").cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // probing every list = the brute-force join, bit-for-bit (same scoring
+    // expression, same partial top-k, same tie rule)
+    val full  = rows(Ivf.knnJoin(indexed, model, queries, "vec", "id", "vec", "id", 3, nProbe = 6))
+    val brute = rows(Search.knnJoin(queries, corpus, "vec", "id", "vec", "id", 3))
+    assert(full == brute)
+    // pruned probes trade recall for the |q|·n·(nProbe/nList) candidate cap
+    val pruned = Ivf.knnJoin(indexed, model, queries, "vec", "id", "vec", "id", 3, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    assert(pruned.intersect(bruteIds).size >= bruteIds.size / 2,
+      s"2/6-probe recall collapsed: ${pruned.intersect(bruteIds).size}/${bruteIds.size}")
+    // every query keeps k results (probed lists are never empty here)
+    assert(pruned.groupBy(_._1).forall(_._2.size == 3))
+  }
+
   test("streamInto: micro-batches append into the live store; probes see new rows without a rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
