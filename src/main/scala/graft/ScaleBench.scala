@@ -144,6 +144,13 @@ object ScaleBench {
             spark.conf.unset("spark.graft.ivf.nProbe")
           }
         }),
+        // batch ANN at the real shape: 64 queries × nProbe lists against
+        // the store — the |q|·n·(nProbe/nList) candidate cap in action
+        "ivf_knn_join_768" -> (() => {
+          val (indexed, model) = index()
+          Ivf.knnJoin(indexed, model, vecs.where(col("vec_id") < 64),
+            "embedding", "vec_id", "embedding", "vec_id", 10, nProbe).count()
+        }),
         // d7 at 768-d: banded sign-LSH candidates + exact-cosine verify;
         // expected rows ≈ n/50 planted dup pairs (cos = 1 ≥ 0.99)
         "embed_neardup_768" -> (() => Dedup.embeddingNearDupPairs(

@@ -427,6 +427,18 @@ object SparkEntry {
       Tables(s, d).documents.select("doc_id", "lang"), "lang", "doc_id", 20)
       .orderBy("lang", "doc_id")),
 
+    // U7 — the same take through the SALTED two-stage path (every lang
+    // exceeds the 30-row budget at sf0.01, so stage 1 shards per
+    // (lang, salt) and stage 2 reduces survivors): the result is provably
+    // identical to the plain window — (hash, id) is a total order — so the
+    // oracle is u6's QUALIFY query verbatim. An optimization that must not
+    // change a single row, checked row-for-row by an engine that never ran
+    // the optimization.
+    "u7_stratified_salted" -> ((s, d) => Sampling.stratifiedTake(
+      Tables(s, d).documents.select("doc_id", "lang"), "lang", "doc_id", 20,
+      maxRowsPerClass = 30L)
+      .orderBy("lang", "doc_id")),
+
     // ---------------- S: scans & maintenance sinks --------------------------
     "s12_scan" -> ((s, d) => Tables(s, d).embeddings
       .select(col("vec_id"), col("label"), round(VectorOps.l2Norm(VectorOps.asDouble(col("embedding"))), 4).as("norm"))
@@ -1723,6 +1735,15 @@ object SparkEntry {
         | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
         | SELECT doc_id, lang, bucket FROM b WHERE bucket < 3000""".stripMargin,
     "u6_stratified_take" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
+        | SELECT doc_id, lang FROM b
+        | QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 20
+        | ORDER BY lang, doc_id""".stripMargin,
+    // u7 = the salted two-stage path; exactness means the plain-window SQL
+    // is its oracle unchanged
+    "u7_stratified_salted" ->
       """WITH h AS (SELECT doc_id, lang,
         |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
         | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)

@@ -56,15 +56,40 @@ object Sampling {
   /** Deterministic stratified take: the same k rows per class on every run,
     * ordered by the portable hash (pseudo-random but reproducible) with the
     * id as tie-break. The balanced-subset op — k examples per language /
-    * source / label — as one keyed window; a hot class serializes its OWN
-    * rows through one task but never the table.
+    * source / label — as one keyed window.
+    *
+    * `maxRowsPerClass` (0 = off) bounds what one window task may serialize:
+    * classes above the budget route through a TWO-STAGE take — per
+    * (class, salt) top-k first, then top-k of the ≤ k·nSalt survivors.
+    * This is EXACT, not approximate: (hash, id) is a deterministic total
+    * order, and every global top-k row is in its own salt shard's top-k,
+    * so stage 2 sees all of them. Detection is one map-side-combined count
+    * whose driver result is bounded by total/maxRowsPerClass rows.
     */
-  def stratifiedTake(df: DataFrame, classCol: String, idCol: String, k: Int): DataFrame = {
+  def stratifiedTake(
+      df: DataFrame, classCol: String, idCol: String, k: Int,
+      maxRowsPerClass: Long = 0L,
+  ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(classCol)).orderBy(bucket(col(idCol)), col(idCol))
-    df.withColumn("__r", org.apache.spark.sql.functions.row_number().over(w))
-      .where(col("__r") <= k).drop("__r")
+    def takeK(in: DataFrame, parts: Seq[Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(parts: _*).orderBy(bucket(col(idCol)), col(idCol))
+      in.withColumn("__r", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("__r") <= k).drop("__r")
+    }
+    if (maxRowsPerClass <= 0L) return takeK(df, Seq(col(classCol)))
+    val hot = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxRowsPerClass).collect()
+    val hotKeys = hot.map(_.get(0)).filter(_ != null).toSeq
+    if (hotKeys.isEmpty) return takeK(df, Seq(col(classCol)))
+    val isHot = col(classCol).isin(hotKeys: _*)
+    val nSalt = math.min(256L,
+      (hot.map(r => r.getLong(r.fieldIndex("__n"))).max + maxRowsPerClass - 1) / maxRowsPerClass).toInt
+    val salted = df.where(isHot)
+      .withColumn("__salt", pmod(portableHash(col(idCol)), lit(nSalt.toLong)))
+    val survivors = takeK(salted, Seq(col(classCol), col("__salt"))).drop("__salt")
+    takeK(df.where(coalesce(!isHot, lit(true))), Seq(col(classCol)))
+      .unionByName(takeK(survivors, Seq(col(classCol))))
   }
 
   /** Assign every row to a named split by cumulative bucket ranges, e.g.

@@ -232,6 +232,25 @@ class OperatorsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Joins.asofJoin(l, r, "k", "t", "t"))
   }
 
+  test("stratifiedTake auto-skew: two-stage salted take is output-identical to the plain window") {
+    val rnd = new scala.util.Random(19)
+    // one hot class (3000 rows), two normal ones, and a null class
+    val rows = (1 to 3000).map(i => (i.toLong, "hot")) ++
+      (3001 to 3050).map(i => (i.toLong, s"c${i % 2}")) :+ ((9001L, null: String))
+    val df = rnd.shuffle(rows).toDF("id", "cls")
+    val plain  = Sampling.stratifiedTake(df, "cls", "id", 15)
+      .as[(Long, String)].collect().toSet
+    val salted = Sampling.stratifiedTake(df, "cls", "id", 15, maxRowsPerClass = 200L)
+      .as[(Long, String)].collect().toSet
+    assert(salted == plain)
+    val plan = Sampling.stratifiedTake(df, "cls", "id", 15, maxRowsPerClass = 200L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "hot class must route through the salted stage")
+    // budget nothing exceeds: single-window plan, no salt
+    assert(!Sampling.stratifiedTake(df, "cls", "id", 15, maxRowsPerClass = 100000L)
+      .queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
   test("asofJoin auto-skew: sharded hot-key path is output-identical to the plain path") {
     // one hot key ("hot") with 4000 left + 400 right rows, two normal keys,
     // a null-key left row, and a key with no right rows
