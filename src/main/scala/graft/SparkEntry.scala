@@ -150,6 +150,44 @@ object SparkEntry {
     s"SELECT doc_id, $a AS a, $b AS b, $c AS c"
   }
 
+  /** Shared invariant battery for the m5 UMAP queries: one row of facts a
+    * SQL oracle can state as constants. Anchors are a deterministic hash
+    * sample (~6%); their original-space 8-NN are found with a small
+    * broadcast cross-join (bounded: |anchors| × n rows) and the layout must
+    * pull those pairs to < 85% of the mean anchor-pair distance — UMAP's
+    * defining property. An uninformed layout scores ≈ 1.0; the testdata
+    * embeddings are near-random unit vectors (8-NN original distance 1.18
+    * vs 1.41 overall — barely any structure to find), and measured ratios
+    * still land at 0.57–0.74 across the full-fit and sampled paths, so
+    * 0.85 separates "layout follows the data" from noise with real margin
+    * on the least-structured input the engine will see.
+    */
+  private def umapFacts(e: DataFrame, y: DataFrame): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(y, "vec_id")
+    val anch = base.select(
+      col("vec_id").as("qid"), col("v").as("qv"),
+      col("x").as("qx"), col("y").as("qy"), col("z").as("qz"),
+    ).where(graft.operators.Sampling.bucket(col("qid")) < 600)
+    val pairs = base.join(broadcast(anch), col("vec_id") =!= col("qid"))
+      .withColumn("od", expr("sqrt(aggregate(zip_with(v, qv, (p, q) -> (p - q) * (p - q)), 0d, (acc, t) -> acc + t))"))
+      .withColumn("ed", expr("sqrt((x - qx) * (x - qx) + (y - qy) * (y - qy) + (z - qz) * (z - qz))"))
+    val ranked = pairs.withColumn(
+      "rn",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(col("od"), col("vec_id"))),
+    )
+    val contrast = ranked.agg(
+      (avg(when(col("rn") <= 8, col("ed"))) < avg(col("ed")) * 0.85).as("neighbors_preserved"))
+    val aligned = base.agg(count(lit(1)).as("n_rows")) // inner join: rows place 1:1
+    y.agg(
+      expr("bool_and(isnotnull(x) AND NOT isnan(x) AND isnotnull(y) AND NOT isnan(y) AND isnotnull(z) AND NOT isnan(z))")
+        .as("all_finite"),
+      (stddev(col("x")) > 0 && stddev(col("y")) > 0 && stddev(col("z")) > 0).as("non_degenerate"),
+    ).crossJoin(broadcast(aligned)).crossJoin(broadcast(contrast))
+      .select("n_rows", "all_finite", "non_degenerate", "neighbors_preserved")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- F: filters / projections -----------------------------
     "f1_eq" -> ((s, d) => Tables(s, d).documents
@@ -1218,6 +1256,32 @@ object SparkEntry {
         )
     }),
 
+    // M5 — REAL UMAP behind the reducer seam (reference binds
+    // umap.UMAP(n_components=3, random_state=42),
+    // dimensionality_reduction.py:101-105; umap-learn defaults). Exact
+    // coordinates are seeded-SGD outputs — not SQL-reproducible — so the
+    // oracle checks the invariants that define a correct UMAP run: every
+    // input row placed exactly once, finite coordinates, non-degenerate
+    // spread on all three axes, and NEIGHBORHOOD PRESERVATION — original-
+    // space 8-NN pairs must land materially closer in the 3-D layout than
+    // the average pair (the property the algorithm exists to enforce).
+    "m5_umap" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val y = Ml.reducerFor("umap", Some(new Ml.UmapReducer()))
+        .project(e, "embedding", "vec_id")
+      umapFacts(e, y)
+    }),
+
+    // M5 at scale: an over-cap corpus fits on a deterministic hash sample
+    // and every row is placed by the BROADCAST transform (the 100 TB path —
+    // per-row math, no shuffle). maxFitRows=200 forces that path at oracle
+    // scale; the invariants must survive out-of-sample placement.
+    "m5_umap_sampled" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val y = new Ml.UmapReducer(maxFitRows = 200).project(e, "embedding", "vec_id")
+      umapFacts(e, y)
+    }),
+
     // M6 — model persistence through the query surface: fit → save → load →
     // transform with BOTH models; the contract is bit-exact agreement (the
     // MLlib writer serializes the principal-component matrix losslessly).
@@ -1707,6 +1771,12 @@ object SparkEntry {
       "SELECT count(*)::BIGINT AS total, true AS var_desc, true AS finite FROM embeddings",
     "m4_pca_project" ->
       "SELECT count(*)::BIGINT AS n, true AS matches_full_fit FROM embeddings WHERE vec_id < 20",
+    "m5_umap" ->
+      """SELECT count(*)::BIGINT AS n_rows, true AS all_finite, true AS non_degenerate,
+        | true AS neighbors_preserved FROM embeddings""".stripMargin,
+    "m5_umap_sampled" ->
+      """SELECT count(*)::BIGINT AS n_rows, true AS all_finite, true AS non_degenerate,
+        | true AS neighbors_preserved FROM embeddings""".stripMargin,
     "m6_model_persistence" ->
       "SELECT count(*)::BIGINT AS n_rows, true AS roundtrip_exact FROM embeddings WHERE vec_id < 20",
     "a10_approx_distinct" ->

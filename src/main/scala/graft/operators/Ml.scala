@@ -124,13 +124,14 @@ object Ml {
     }
   }
 
-  /** 3-D projection seam for M5. The reference supports method='umap' but
-    * ships without umap-learn and falls back to PCA with a warning
-    * (dimensionality_reduction.py:41-48); unknown method strings also fall
-    * back (dimensionality_reduction.py:36-38). Both fallbacks are
-    * reproduced here: PCA is the bound default, UMAP is a registration
-    * point — a real distributed UMAP (NN-descent + SGD layout) is a
-    * deliberate non-goal (SURVEY §2.6).
+  /** 3-D projection seam for M5. The reference supports method='umap'
+    * (dimensionality_reduction.py:101-105) but falls back to PCA when
+    * umap-learn is absent (dimensionality_reduction.py:41-48); unknown
+    * method strings also fall back (dimensionality_reduction.py:36-38).
+    * Both fallbacks are reproduced: PCA is the bound default (the
+    * reference's shipped state), and [[UmapReducer]] — a real from-scratch
+    * [[Umap]] — is what binding the seam looks like with the library
+    * "installed".
     */
   trait Reducer3D extends Serializable {
     def name: String
@@ -142,8 +143,59 @@ object Ml {
     def project(df: DataFrame, vecCol: String, idCol: String): DataFrame = pca3d(df, vecCol, idCol)
   }
 
+  /** M5 — real UMAP behind the seam. Fit is driver-side and row-capped
+    * (the reference's own fit is a single in-process umap-learn call on a
+    * collected embedding list, main.py's cluster/visualize path — same
+    * shape); corpora over the cap fit on a deterministic hash-sample and
+    * every row is then placed DISTRIBUTED by [[Umap.transform]] (broadcast
+    * model, pure per-row math — scales with executors). Inputs with fewer
+    * rows than components take the reference's tiny-input PCA zero-pad path
+    * (dimensionality_reduction.py:66-82).
+    */
+  final class UmapReducer(
+      maxFitRows: Int = 4096,
+      params: Umap.Params = Umap.Params(),
+  ) extends Reducer3D {
+    val name = "umap"
+
+    def project(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      require(params.nComponents == 3, "Reducer3D contract is 3 output dims")
+      val nonNull = df.where(col(vecCol).isNotNull && col(idCol).isNotNull)
+        .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      val head = nonNull.limit(maxFitRows + 1).collect()
+      if (head.isEmpty) return df.sparkSession.emptyDataFrame
+      if (head.length < 3) return pca3d(df, vecCol, idCol) // reference tiny-input rule
+      def toFrame(ids: Array[Long], emb: Array[Array[Double]]) =
+        ids.zip(emb).toSeq.map { case (id, e) => (id, e(0), e(1), e(2)) }
+          .toDF("__id", "x", "y", "z")
+          .select(col("__id").as(idCol), col("x"), col("y"), col("z"))
+      if (head.length <= maxFitRows) {
+        val rows = head.sortBy(_.getLong(0))
+        val m    = Umap.fitModel(rows.map(_.getSeq[Double](1).toArray), params)
+        toFrame(rows.map(_.getLong(0)), m.embedding)
+      } else {
+        // over the cap: deterministic hash-sampled fit (same recipe as
+        // HdbscanClusterer), then a broadcast transform over every row
+        val total  = nonNull.count()
+        val keepBp = math.max(1L, maxFitRows.toLong * Sampling.NumBuckets / total)
+        val sampled = nonNull.where(Sampling.bucket(col("__id")) < keepBp)
+          .limit(maxFitRows).collect().sortBy(_.getLong(0))
+        val model = Umap.fitModel(sampled.map(_.getSeq[Double](1).toArray), params)
+        val bc    = spark.sparkContext.broadcast(model)
+        nonNull.as[(Long, Seq[Double])].map { case (id, v) =>
+          val e = Umap.transform(bc.value, v.toArray)
+          (id, e(0), e(1), e(2))
+        }.toDF("__id", "x", "y", "z")
+          .select(col("__id").as(idCol), col("x"), col("y"), col("z"))
+      }
+    }
+  }
+
   /** M5 — method selection with the reference's double fallback: unknown
-    * method → pca; method='umap' with no bound implementation → pca.
+    * method → pca; method='umap' with no bound implementation → pca
+    * (pass `Some(new UmapReducer())` to bind the real one).
     */
   def reducerFor(method: String, umap: Option[Reducer3D] = None): Reducer3D =
     method.toLowerCase match {

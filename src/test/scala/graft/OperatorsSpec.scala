@@ -314,6 +314,36 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  test("negative ids bucket into [0, 10000) and sample/split like any other id") {
+    val ids = (-5000L until 5000L).toDF("id")
+    val buckets = ids.select(Sampling.bucket(col("id")).as("b")).agg(min("b"), max("b"))
+      .as[(Long, Long)].head()
+    assert(buckets._1 >= 0L && buckets._2 < 10000L, s"bucket range: $buckets")
+    // a signed id space must still sample near the requested rate — the
+    // failure mode was every negative id kept regardless of fraction
+    val kept = Sampling.hashSample(ids, "id", 3000).count()
+    assert(math.abs(kept - 3000L) < 300, s"kept $kept of 10000 at 30%")
+    val byS = Sampling.hashSplit(ids, "id", Seq("train" -> 8000, "val" -> 2000))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byS("train") - 8000) < 400, s"negative ids skewed the split: $byS")
+  }
+
+  test("saltedJoin rejects reserved columns and ambiguous collisions, salts around maps") {
+    val big = Seq(("k0", 1L), ("k1", 2L)).toDF("k", "v")
+    val dim = Seq(("k0", "a"), ("k1", "b")).toDF("k", "tag")
+    assertThrows[IllegalArgumentException](
+      Skew.saltedJoin(big.withColumn("__salt", lit(1)), dim, "k", 4))
+    assertThrows[IllegalArgumentException]( // non-key column on both sides
+      Skew.saltedJoin(big, dim.withColumnRenamed("tag", "v"), "k", 4))
+    assertThrows[IllegalArgumentException](Skew.saltedJoin(big, dim, "nope", 4))
+    // a MapType column would fail hash() at analysis — the salt must be
+    // derived from the hashable columns only, and the join still be exact
+    val withMap = big.withColumn("m", map(col("k"), col("v")))
+    val out = Skew.saltedJoin(withMap, dim, "k", 4)
+      .select("k", "tag").as[(String, String)].collect().toSet
+    assert(out == Set(("k0", "a"), ("k1", "b")))
+  }
+
   // ---- V8 mean pooling -------------------------------------------------------
   test("meanPoolVectors averages element-wise in position order") {
     val df = Seq(
