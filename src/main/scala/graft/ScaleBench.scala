@@ -159,6 +159,12 @@ object ScaleBench {
         "kmeans_mllib_768" -> (() => new Ml.KMeansClusterer(10)
           .cluster(vecs, "embedding", "vec_id").groupBy("label").count().count()),
         "pca3d_mllib_768"  -> (() => Ml.pca3d(vecs, "embedding", "vec_id").count()),
+        // m5 at the real shape: 25k/100k rows ≫ the 4096 fit cap → hash-
+        // sampled driver fit + broadcast per-row transform (the scale path;
+        // transform cost is the n×cap×dim distance sweep, embarrassingly
+        // parallel). rows = corpus size (1:1 placement).
+        "umap_sampled_768" -> (() => new Ml.UmapReducer()
+          .project(vecs, "embedding", "vec_id").count()),
       )
       ops.foreach { case (name, run) =>
         val tc0 = System.nanoTime(); run(); val cold = (System.nanoTime() - tc0) / 1e9

@@ -173,8 +173,10 @@ object Umap {
     }
     val heads = headsB.result(); val tails = tailsB.result(); val ws = wB.result()
 
-    // 4. (a, b) from min_dist/spread
-    val (a, b) = fitAb(params.minDist, params.spread)
+    // 4. (a, b) from min_dist/spread (memoized — the grid search depends
+    // only on the two parameters, not the data)
+    val (a, b) = abCache.computeIfAbsent((params.minDist, params.spread),
+      k2 => fitAb(k2._1, k2._2))
 
     // 5. PCA init: centred projection, scaled to ±10, seeded jitter
     val emb  = new Array[Double](n * outDim)
@@ -330,6 +332,9 @@ object Umap {
     while (d < outDim) { out(d) /= wSum; d += 1 }
     out
   }
+
+  private val abCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double), (Double, Double)]()
 
   /** Least-squares (a, b) for f(x) = 1/(1 + a·x^{2b}) against the
     * min_dist/spread membership target — `find_ab_params` semantics.

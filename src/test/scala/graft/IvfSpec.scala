@@ -211,4 +211,23 @@ class IvfSpec extends AnyFunSuite {
     assert(indexed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     assert(indexed.where(col("list_id") >= 0).count() == 300)
   }
+
+  test("probeLists stays linear in dim for non-indexed Seq queries (the knnJoin fan-out shape)") {
+    // The typed fan-out in knnJoin hands probeLists whatever Seq the Dataset
+    // deserializer produces. Indexing such a Seq per element inside the
+    // distance loop made each call O(dim²) — measured ~2.4 s PER QUERY at
+    // 768-d × 158 centroids (the 768-d tier caught it: 210 s for 64
+    // queries). List is the worst-case O(i)-apply input; 20 calls in
+    // well under 5 s proves the query is materialized once.
+    val dim       = 768
+    val centroids = Array.tabulate(200)(j => Array.tabulate(dim)(i => ((j * 31 + i * 7) % 97) / 97.0))
+    val model     = Ivf.Model(centroids)
+    val q: Seq[Double] = List.tabulate(dim)(i => (i % 13) / 13.0)
+    val t0    = System.nanoTime()
+    val lists = (0 until 20).map(_ => model.probeLists(q, 10))
+    val sec   = (System.nanoTime() - t0) / 1e9
+    assert(lists.forall(_ == lists.head) && lists.head.length == 10)
+    assert(lists.head == model.probeLists(q.toArray.toSeq, 10), "result independent of Seq runtime type")
+    assert(sec < 5.0, f"probeLists too slow: $sec%.2f s for 20 calls — O(dim²) regression?")
+  }
 }
