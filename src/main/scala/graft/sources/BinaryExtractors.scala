@@ -489,15 +489,20 @@ private[graft] object PdfParser {
     0x2f, 0x0c, 0xa9, 0xfe, 0x64, 0x53, 0x69, 0x7a).map(_.toByte)
 
   /** Algorithm 2 file key for the empty user password: MD5(pad ‖ O ‖ P(LE32)
-    * ‖ ID₀), truncated to 5 bytes for R=2 or Length/8 for R=3 with the
-    * 50-round MD5 strengthening loop.
+    * ‖ ID₀ [‖ FFFFFFFF when R≥4 with /EncryptMetadata false]), truncated to
+    * 5 bytes for R=2 or Length/8 for R≥3 with the 50-round MD5
+    * strengthening loop.
     */
-  private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int, lengthBits: Int): Array[Byte] = {
+  private[graft] def fileKey(
+      o: Array[Byte], p: Int, id0: Array[Byte], r: Int, lengthBits: Int,
+      encryptMetadata: Boolean = true,
+  ): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(PasswordPad)
     md.update(o, 0, math.min(32, o.length))
     md.update(Array(p, p >> 8, p >> 16, p >> 24).map(x => (x & 0xff).toByte))
     md.update(id0)
+    if (r >= 4 && !encryptMetadata) md.update(Array.fill(4)(0xff.toByte))
     var h      = md.digest()
     val keyLen = if (r == 2) 5 else math.max(5, lengthBits / 8)
     if (r >= 3) {
@@ -512,17 +517,35 @@ private[graft] object PdfParser {
     h.take(keyLen)
   }
 
-  /** Per-object RC4 key (Algorithm 1): MD5(fileKey ‖ objnum(LE24) ‖
-    * gen(LE16)) truncated to min(len+5, 16).
+  /** Per-object decryption (Algorithm 1): object key = MD5(fileKey ‖
+    * objnum(LE24) ‖ gen(LE16) [‖ "sAlT" for AESV2]) truncated to
+    * min(len+5, 16). RC4 applies it as a stream cipher; AESV2 payloads are
+    * IV(16) ‖ AES-128-CBC ciphertext with PKCS#7 padding. A malformed AES
+    * payload (bad length or padding) decrypts to EMPTY, never garbage —
+    * the downstream filter pipeline then counts the stream as skipped.
     */
-  private[graft] final case class Decryptor(key: Array[Byte]) {
+  private[graft] final case class Decryptor(key: Array[Byte], aes: Boolean = false) {
     def decrypt(objNum: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(key)
       md.update(Array(
         (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte,
         (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
-      rc4(md.digest().take(math.min(key.length + 5, 16)), data)
+      if (aes) md.update(Array(0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte))
+      val objKey = md.digest().take(math.min(key.length + 5, 16))
+      if (!aes) rc4(objKey, data)
+      else if (data.length < 32 || data.length % 16 != 0) Array.emptyByteArray
+      else
+        try {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+            new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+          val out = c.doFinal(data, 16, data.length - 16)
+          val pad = if (out.isEmpty) 0 else out(out.length - 1) & 0xff
+          if (pad >= 1 && pad <= 16 && pad <= out.length) out.dropRight(pad)
+          else Array.emptyByteArray
+        } catch { case _: java.security.GeneralSecurityException => Array.emptyByteArray }
     }
   }
 
@@ -542,9 +565,12 @@ private[graft] object PdfParser {
         .map(m => hexBytes(m.group(1))))
 
   /** The document [[Decryptor]], when the trailer names a Standard-handler
-    * /Encrypt dict this walker supports (V ≤ 2, R 2–3, RC4). None for
-    * unencrypted documents; unsupported revisions also return None (their
-    * streams then fail to decode and surface in `skipped_filters`).
+    * /Encrypt dict this walker supports: V ≤ 2 / R 2–3 (RC4), and V4 / R4
+    * with a /StdCF crypt filter of /CFM /V2 (RC4) or /AESV2 (AES-128-CBC),
+    * honouring /EncryptMetadata false. None for unencrypted documents;
+    * unsupported combinations (AESV3/R5–6, custom handlers) also return
+    * None — their streams then fail to decode and surface in
+    * `skipped_filters`.
     */
   private def decryptorOf(s: String, objs: Map[Int, String]): Option[Decryptor] =
     for {
@@ -552,13 +578,24 @@ private[graft] object PdfParser {
       body <- objs.get(em.group(1).toInt)
       if body.contains("/Standard")
       r <- """/R\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
-      if r == 2 || r == 3
+      v   = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+      cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(body).map(_.group(1))
+      aes <-
+        if (r == 2 || r == 3) Some(false)
+        else if (r == 4 && v == 4 && cfm.contains("AESV2")) Some(true)
+        else if (r == 4 && v == 4 && cfm.contains("V2")) Some(false)
+        else None
       p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
       o <- dictString(body, "O")
       id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
         .map(m => hexBytes(m.group(1))).getOrElse(Array.emptyByteArray)
-      bits = """/Length\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(40)
-    } yield Decryptor(fileKey(o, p, id0, r, bits))
+      // crypt-filter dicts give /Length in BYTES (a spec wart pypdf also
+      // normalizes); values ≤ 32 are scaled up
+      bitsRaw = """/Length\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+        .getOrElse(if (v >= 4) 128 else 40)
+      bits    = if (bitsRaw <= 32) bitsRaw * 8 else bitsRaw
+      encMeta = """/EncryptMetadata\s+false""".r.findFirstMatchIn(body).isEmpty
+    } yield Decryptor(fileKey(o, p, id0, r, bits, encMeta), aes)
 
   /** PDF literal string starting after '(': escapes, octal, balanced parens. */
   private def literal(s: String, start: Int): (String, Int) = {

@@ -211,10 +211,76 @@ class BinaryExtractorsSpec extends AnyFunSuite {
       assert(meta("title") == "Restricted Report", s"R=$r")
       assert(!meta.contains("skipped_filters"), s"R=$r")
     }
-    // unsupported revision: no text, loss surfaced — never garbage output
+    // unsupported combination (V2 handler claiming R4): no text, loss
+    // surfaced — never garbage output
     val (t4, m4) = new PdfExtractor().extract(
       new String(build(3, 2, 128), ISO_8859_1).replace("/R 3", "/R 4").getBytes(ISO_8859_1), "enc-r4.pdf")
     assert(t4 == "" && m4("skipped_filters") == "1")
+  }
+
+  test("PDF: AESV2-encrypted documents (V4/R4 StdCF, empty user password)") {
+    import java.util.zip.Deflater
+    import graft.sources.PdfParser
+    def pdfEscape(b: Array[Byte]): String = b.map { x =>
+      val c = (x & 0xff).toChar
+      if (c == '(' || c == ')' || c == '\\') "\\" + c
+      else if (c >= ' ' && c < 0x7f) c.toString
+      else f"\\${x & 0xff}%03o"
+    }.mkString
+    // ENCRYPTION side built directly on javax.crypto (ENCRYPT_MODE, manual
+    // PKCS#7 pad, explicit IV) — independent of the walker's decrypt path
+    def aesEncrypt(fk: Array[Byte], objNum: Int, data: Array[Byte], iv: Array[Byte]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(fk)
+      md.update(Array((objNum & 0xff).toByte, 0, 0, 0, 0).map(_.toByte))
+      md.update("sAlT".getBytes(ISO_8859_1))
+      val key  = md.digest() // 16-byte file key → min(16+5, 16) = 16
+      val padN = 16 - data.length % 16
+      val padded = data ++ Array.fill(padN)(padN.toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(padded)
+    }
+    def build(encryptMetadata: Boolean): Array[Byte] = {
+      val o   = Array.tabulate(32)(i => (i * 11 + 5).toByte)
+      val id0 = Array.tabulate(16)(i => (i * 17 + 2).toByte)
+      val fk  = PdfParser.fileKey(o, -1, id0, 4, 128, encryptMetadata)
+      val deflater = new Deflater()
+      deflater.setInput("BT (aes classified) Tj ET".getBytes(ISO_8859_1)); deflater.finish()
+      val buf = new Array[Byte](4096)
+      val n   = deflater.deflate(buf)
+      val encStream = aesEncrypt(fk, 4, buf.take(n), Array.tabulate(16)(i => (i * 29 + 7).toByte))
+      val encTitle  = aesEncrypt(fk, 6, "Sealed Memo".getBytes(ISO_8859_1), Array.tabulate(16)(i => (i * 31 + 3).toByte))
+      val oHex  = o.map(b => f"${b & 0xff}%02x").mkString
+      val idHex = id0.map(b => f"${b & 0xff}%02x").mkString
+      val em    = if (encryptMetadata) "" else " /EncryptMetadata false"
+      ("%PDF-1.6\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${encStream.length} /Filter /FlateDecode >>\nstream\n" +
+        new String(encStream, ISO_8859_1) + "\nendstream\nendobj\n" +
+        "5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128" +
+        s" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF$em" +
+        s" /O <$oHex> /U <$oHex> /P -1 >>\nendobj\n" +
+        s"6 0 obj\n<< /Title (${pdfEscape(encTitle)}) >>\nendobj\n" +
+        s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /Info 6 0 R /ID [<$idHex> <$idHex>] >>\n%%EOF\n").getBytes(ISO_8859_1)
+    }
+    for (encMeta <- Seq(true, false)) {
+      val (text, meta) = new PdfExtractor().extract(build(encMeta), s"aes-$encMeta.pdf")
+      assert(text == "aes classified", s"encryptMetadata=$encMeta")
+      assert(meta("title") == "Sealed Memo", s"encryptMetadata=$encMeta")
+      assert(!meta.contains("skipped_filters"), s"encryptMetadata=$encMeta")
+    }
+    // tampered padding must surface as a skipped stream, not garbage text
+    val good = build(true)
+    val doc  = new String(good, ISO_8859_1)
+    val si   = doc.indexOf("stream\n") + 7
+    val bad  = good.clone(); bad(si + 17) = (bad(si + 17) ^ 0x5a).toByte // corrupt first ct block
+    val (tBad, mBad) = new PdfExtractor().extract(bad, "aes-bad.pdf")
+    assert(tBad == "" && mBad.contains("skipped_filters"))
   }
 
   test("DOCX: paragraphs blank-line separated, entities, tabs; deflated zip") {
