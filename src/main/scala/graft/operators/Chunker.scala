@@ -147,14 +147,34 @@ object Chunker extends Serializable {
     // splitting here was the worst of the declared regex-boundary
     // deviations, reference backend/chunker.py:162)
     var onlyDecorators = true
+    // Triple-quoted-string tracking: a line INSIDE a docstring is never a
+    // boundary, however def-like it looks — ast.parse sees one string
+    // expression where the bare regex saw a split point (the docstring
+    // false-boundary was the remaining worst case of the declared
+    // regex-vs-AST deviation). Naive about escaped quotes and quotes in
+    // `#` comments, which is the right trade for a line scanner.
+    var inTriple: String = null
+    def scanTriples(line: String): Unit = {
+      var i = 0
+      while (i < line.length) {
+        if (inTriple == null) {
+          if (line.startsWith("\"\"\"", i)) { inTriple = "\"\"\""; i += 3 }
+          else if (line.startsWith("'''", i)) { inTriple = "'''"; i += 3 }
+          else i += 1
+        } else if (line.startsWith(inTriple, i)) { inTriple = null; i += 3 }
+        else i += 1
+      }
+    }
     for (line <- lines) {
-      val isBoundary = CodeBoundary.findFirstIn(line).isDefined && !line.startsWith(" ") && !line.startsWith("\t")
+      val isBoundary = inTriple == null &&
+        CodeBoundary.findFirstIn(line).isDefined && !line.startsWith(" ") && !line.startsWith("\t")
       if (isBoundary && cur.nonEmpty && !onlyDecorators) {
         blocks += cur.result(); cur.clear(); onlyDecorators = true
       }
       if (cur.nonEmpty) cur.append('\n')
       cur.append(line)
-      if (line.trim.nonEmpty && !line.startsWith("@")) onlyDecorators = false
+      if (inTriple == null && line.trim.nonEmpty && !line.startsWith("@")) onlyDecorators = false
+      scanTriples(line)
     }
     if (cur.nonEmpty) blocks += cur.result()
     val bs = blocks.result().map(_.trim).filter(_.nonEmpty)

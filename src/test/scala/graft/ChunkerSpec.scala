@@ -127,6 +127,20 @@ class ChunkerSpec extends AnyFunSuite {
     assert(Chunker.chunkCode("def f():\n    return 1\nclass C:\n    pass\n", maxTokens = 6).length == 2)
   }
 
+  test("def-like lines inside triple-quoted strings are not boundaries (ast.parse sees one string)") {
+    val code =
+      "\"\"\"Module docs.\ndef not_code():\n    pass\n\"\"\"\ndef real():\n    return 1\n" +
+        "def g():\n    '''\nclass AlsoNotCode:\n    '''\n    return 2\n"
+    // small maxTokens so every block becomes its own chunk — boundary
+    // placement is then directly visible in the chunk count and contents
+    val chunks = Chunker.chunkCode(code, maxTokens = 8).map(_._1)
+    assert(!chunks.exists(_.startsWith("def not_code")), chunks.mkString("<<", ">>,<<", ">>"))
+    assert(!chunks.exists(_.startsWith("class AlsoNotCode")), chunks.mkString("<<", ">>,<<", ">>"))
+    assert(chunks.exists(_.startsWith("def real")))
+    // the docstring travels whole, attached to one block
+    assert(chunks.head.contains("def not_code"), chunks.head)
+  }
+
   test("code chunker splits at top-level boundaries and packs to <= maxTokens") {
     val blocks = (1 to 50).map(i => s"def f$i():\n" + ("    x = 1\n" * 30))
     val chunks = Chunker.chunkCode(blocks.mkString(""))
