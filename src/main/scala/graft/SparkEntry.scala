@@ -1288,8 +1288,26 @@ object SparkEntry {
     // The reference pickles its fitted reducer (dimensionality_reduction
     // .py:160-187); MLlib writers are the cluster-readable equivalent.
     "m6_model_persistence" -> ((s, d) => {
-      val e     = Tables(s, d).embeddings
-      val model = Ml.fitPca(e, "embedding", 3)
+      val e = Tables(s, d).embeddings
+      // repartition(1): MLlib's covariance combines partition partials in
+      // task-COMPLETION order, so float summation order varies run to run —
+      // on this near-isotropic random corpus the borderline LAPACK SVD then
+      // nondeterministically throws NotConvergedException (observed ~1 in 3
+      // full verify sweeps; never standalone). One partition pins the
+      // summation order, and the catch falls back to a deterministically
+      // nudged copy (different covariance bits → different LAPACK path) —
+      // legitimate here because the contract under test is the save → load
+      // → bit-identical-transform ROUND-TRIP of whatever model was fitted,
+      // not the model values.
+      val model =
+        try Ml.fitPca(e.repartition(1), "embedding", 3)
+        catch {
+          case _: Throwable =>
+            Ml.fitPca(
+              e.repartition(1).withColumn("embedding",
+                expr("transform(embedding, (v, i) -> v + 1e-9d * pmod(vec_id * 31 + i, 7))")),
+              "embedding", 3)
+        }
       // deterministic per-(process, sfDir) path + overwrite writer: a fresh
       // temp dir per invocation leaked a model copy per bench/verify run
       // (the s17 zip-export lesson); the pid component keeps two concurrent

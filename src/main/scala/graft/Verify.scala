@@ -12,7 +12,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name"); None }
-      catch { case e: Throwable => Some(s"${e.getClass.getName}: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          // full stack: a bare class name ("NotConvergedException") is not
+          // attributable to a call site when the failure is session-state
+          // dependent and won't reproduce standalone
+          val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw))
+          Some(sw.toString.linesIterator.take(25).mkString(" | "))
+      }
     // Queries are independent; run them through a small thread pool so the
     // Spark scheduler overlaps their jobs. A few MLlib fits aren't reliably
     // thread-safe under concurrent construction, so anything that fails in
