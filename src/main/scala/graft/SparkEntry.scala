@@ -807,6 +807,22 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
 
+    // D11 — Bloom-prefiltered incremental exact dedup: is each batch doc
+    // already in the corpus? Constructed dup-prone text (as d1) so the
+    // batch genuinely overlaps the corpus; the Bloom pass is an
+    // optimization the oracle can't see — output is exact by construction.
+    "d11_bloom_incremental" -> ((s, d) => {
+      val docs = Tables(s, d).documents.withColumn(
+        "text", concat(col("lang"), lit(" "), col("source"), lit(" d"), col("doc_id") % 8))
+      // tail-100 batch vs head corpus: ~78 dups / 22 new at oracle scale,
+      // so BOTH flag branches are value-checked
+      Dedup.bloomIncrementalFlags(
+        docs.where(col("doc_id") < 400),
+        docs.where(col("doc_id") >= 400),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(
       Tables(s, d).documents.where(col("doc_id") < 200), "doc_id", "text", 3, 0.005)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a").cast("long").as("n_a"),
@@ -1898,6 +1914,10 @@ object SparkEntry {
         | m AS (SELECT doc_id, pos, avg(v) AS m FROM u GROUP BY doc_id, pos)
         | SELECT doc_id, string_agg(round(m * 10000, 0)::BIGINT::VARCHAR, ',' ORDER BY pos) AS doc_vec
         | FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d11_bloom_incremental" ->
+      """WITH d AS (SELECT doc_id, lang || ' ' || source || ' d' || (doc_id % 8) AS text FROM documents)
+        | SELECT doc_id, text NOT IN (SELECT text FROM d WHERE doc_id < 400) AS is_new
+        | FROM d WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
     "d10_incremental_neardup" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),

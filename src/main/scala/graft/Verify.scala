@@ -20,6 +20,18 @@ object Verify {
           val sw = new java.io.StringWriter(); e.printStackTrace(new java.io.PrintWriter(sw))
           Some(sw.toString.linesIterator.take(25).mkString(" | "))
       }
+    // breeze/netlib LAPACK handles initialize lazily on first use; racing
+    // that first use across the query pool intermittently left a broken
+    // session-cached instance that failed EVERY subsequent SVD in the JVM
+    // (m6's NotConvergedException on bit-identical input, ~1 in 3 sweeps,
+    // never standalone — and its nudged-input fallback failed too, proving
+    // the state was input-independent). One single-threaded warmup
+    // initializes the instances before any concurrency exists.
+    locally {
+      val m = breeze.linalg.DenseMatrix((2.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 0.5))
+      breeze.linalg.svd(m)
+      breeze.linalg.eigSym(m)
+    }
     // Queries are independent; run them through a small thread pool so the
     // Spark scheduler overlaps their jobs. A few MLlib fits aren't reliably
     // thread-safe under concurrent construction, so anything that fails in

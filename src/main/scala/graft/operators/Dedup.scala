@@ -26,6 +26,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .where(col("n_docs") > 1)
 
+  /** Incremental EXACT dedup with a Bloom pre-filter: flag every batch row
+    * as new-vs-already-in-corpus without shuffling the batch against the
+    * corpus in the common clean-batch case.
+    *
+    *  1. one treeAggregate pass folds the corpus's md5 fingerprints into a
+    *     Bloom filter (`fpp` default 1%), broadcast to executors;
+    *  2. batch rows whose fingerprint the filter rejects are DEFINITELY new
+    *     (Bloom has no false negatives) — they never touch a join;
+    *  3. the `mightContain` survivors (true dups + ~fpp false positives)
+    *     are resolved EXACTLY by a semi-join against the corpus
+    *     fingerprints, so the output is exact regardless of fpp.
+    *
+    * At scale the candidate side is ≈ dups + fpp·|batch|: for a mostly-new
+    * batch AQE broadcasts it, which removes the corpus-side shuffle
+    * entirely; a stored fingerprint table bucketed by fingerprint makes
+    * the confirm join co-located even when the batch is dup-heavy. The
+    * filter itself is reusable across batches (`BloomFilter.writeTo` /
+    * `readFrom`) — build once per corpus compaction, not per batch.
+    *
+    * Output: (idCol, is_new). `idCol` must be unique within the batch.
+    * The mightContain probe is a Scala UDF by necessity (no builtin
+    * expression evaluates a broadcast Bloom filter); it gates only the
+    * cheap md5-string stream, never a wide row.
+    */
+  def bloomIncrementalFlags(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01,
+  ): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1): $fpp")
+    val spark = corpus.sparkSession
+    val cFp   = corpus.select(exactKey(col(textCol)).as("__fp"))
+    val items = if (expectedItems > 0) expectedItems else math.max(cFp.count(), 1L)
+    val bcBf  = spark.sparkContext.broadcast(cFp.stat.bloomFilter("__fp", items, fpp))
+    val might = udf { (s: String) => s != null && bcBf.value.mightContainString(s) }
+    val bFp   = batch.select(col(idCol), exactKey(col(textCol)).as("__fp"))
+    val dupIds = bFp.where(might(col("__fp")))
+      .join(cFp, Seq("__fp"), "left_semi")
+      .select(col(idCol))
+    bFp.join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("is_new"))
+  }
+
   /** Distinct word shingles of a text column (dedup signature input). */
   def shingleSet(text: Column, shingleSize: Int): Column =
     array_distinct(TextOps.wordShingles(TextOps.tokens(text), shingleSize))

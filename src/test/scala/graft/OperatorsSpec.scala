@@ -314,6 +314,23 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  test("bloomIncrementalFlags is exact even at absurd fpp (false positives resolved by the semi-join)") {
+    val corpus = (0 until 400).map(i => (i.toLong, s"text-${i % 120}")).toDF("doc_id", "text")
+    val batch = ((0 until 60).map(i => (1000L + i, s"text-${i}")) ++ // dups of corpus texts
+      (0 until 40).map(i => (2000L + i, s"fresh-$i"))).toDF("doc_id", "text") // genuinely new
+    // fpp 0.5: roughly half the fresh rows survive the Bloom probe as false
+    // positives — the confirm join must still flag every one of them new
+    val flags = graft.operators.Dedup.bloomIncrementalFlags(corpus, batch, "doc_id", "text", fpp = 0.5)
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags.size == 100)
+    assert((0 until 60).forall(i => !flags(1000L + i)), "corpus texts must flag as dups")
+    assert((0 until 40).forall(i => flags(2000L + i)), "fresh texts must flag new despite Bloom FPs")
+    // and the exact contract equals a plain anti-join at the default fpp
+    val cheap = graft.operators.Dedup.bloomIncrementalFlags(corpus, batch, "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(cheap == flags)
+  }
+
   test("negative ids bucket into [0, 10000) and sample/split like any other id") {
     val ids = (-5000L until 5000L).toDF("id")
     val buckets = ids.select(Sampling.bucket(col("id")).as("b")).agg(min("b"), max("b"))
