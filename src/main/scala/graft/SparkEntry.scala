@@ -871,6 +871,14 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")),
 
+    // X10 — corpus-self-trained bigram surprisal (CCNet/KenLM-style quality
+    // signal). round(·, 4) absorbs engine summation-order ulps.
+    "x10_bigram_surprisal" -> ((s, d) =>
+      TextOps.bigramSurprisal(Tables(s, d).documents, "doc_id", "text")
+        .select(col("doc_id"), col("n_pairs"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")),
+
     "x4_bpe_tokens" -> ((s, d) => Tables(s, d).documents
       .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")),
@@ -1949,6 +1957,18 @@ object SparkEntry {
 
     "x1_token_count" ->
       raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",
+    "x10_bigram_surprisal" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+           | p AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w FROM w),
+           | pr AS (SELECT doc_id, prev, w FROM p WHERE prev IS NOT NULL),
+           | big AS (SELECT prev, w, count(*)::DOUBLE AS cbw FROM pr GROUP BY 1, 2),
+           | uni AS (SELECT w AS prev, count(*)::DOUBLE AS cp FROM w GROUP BY 1),
+           | v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM w)
+           | SELECT pr.doc_id, count(*)::BIGINT AS n_pairs,
+           |   round(avg(-ln((cbw + 1.0) / (cp + 1.0 * (v + 1)))), 4) AS avg_nll
+           | FROM pr JOIN big USING (prev, w) JOIN uni USING (prev) CROSS JOIN v
+           | GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin,
     "x4_bpe_tokens" ->
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
     "x7_scrub_pii" -> {

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions, all codegen'd builtins (no UDFs), designed
@@ -159,5 +159,47 @@ object TextOps {
       stopR.as("stopword_ratio"),
       score.as("quality_score"),
     )
+  }
+
+  /** Corpus-self-trained bigram LM surprisal — the CCNet/KenLM-style quality
+    * signal: score(doc) = mean −ln P(w_i | w_{i−1}) under add-k-smoothed
+    * bigram statistics of the corpus ITSELF. Boilerplate scores low
+    * (predictable), gibberish and out-of-domain text score high; filtering
+    * or curriculum-bucketing on this column is the classic web-corpus
+    * cleanup step.
+    *
+    * Fully relational, nothing driver-side: tokens explode once (position
+    * via posexplode), the previous token comes from a per-DOC window (a
+    * window partition never holds more than one document's tokens), bigram
+    * and context counts are map-side-combined groupBys, and scoring joins
+    * the pair stream to the two count tables — equi-joins that stay
+    * co-partitioned by key at any corpus size. The distinct-vocabulary
+    * scalar rides along as a broadcast one-row frame.
+    *
+    * P(w|prev) = (c(prev,w) + k) / (c(prev) + k·(V+1)), c(prev) = unigram
+    * count (standard backoff-free approximation), V = distinct corpus
+    * token count, +1 = the OOV bucket. Docs with < 2 tokens have no bigram
+    * and drop out.
+    *
+    * Output: (idCol, n_pairs, avg_nll).
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"addK must be positive: $addK")
+    val toks = docs.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val pairs = toks
+      .withColumn("__prev",
+        lag(col("__w"), 1).over(org.apache.spark.sql.expressions.Window.partitionBy("__id").orderBy("__pos")))
+      .where(col("__prev").isNotNull)
+    val bigrams  = pairs.groupBy("__prev", "__w").agg(count(lit(1)).cast("double").as("__cbw"))
+    val contexts = toks.groupBy(col("__w").as("__prev")).agg(count(lit(1)).cast("double").as("__cp"))
+    val vocab    = toks.agg(countDistinct(col("__w")).cast("double").as("__v"))
+    pairs
+      .join(bigrams, Seq("__prev", "__w"))
+      .join(contexts, Seq("__prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll", -log((col("__cbw") + addK) / (col("__cp") + (col("__v") + 1) * addK)))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("__nll")).as("avg_nll"))
   }
 }

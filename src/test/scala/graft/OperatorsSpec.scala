@@ -314,6 +314,21 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  test("bigramSurprisal: predictable text scores lower than rare text; sub-bigram docs drop") {
+    import graft.functions.TextOps
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "the cat sat on the mat")) ++ // dominant pattern
+        Seq((100L, "zyx qwv plm okn"), (101L, "solo"), (102L, ""))   // rare / 1-token / empty
+      ).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!out.contains(101L) && !out.contains(102L), "docs without a bigram must drop")
+    assert(out(0L)._1 == 5 && out(100L)._1 == 3)
+    assert(out(0L)._2 < out(100L)._2,
+      s"frequent bigrams must be less surprising: ${out(0L)._2} vs ${out(100L)._2}")
+    assert(out(0L)._2 == out(19L)._2, "identical docs score identically")
+  }
+
   test("bloomIncrementalFlags is exact even at absurd fpp (false positives resolved by the semi-join)") {
     val corpus = (0 until 400).map(i => (i.toLong, s"text-${i % 120}")).toDF("doc_id", "text")
     val batch = ((0 until 60).map(i => (1000L + i, s"text-${i}")) ++ // dups of corpus texts
