@@ -254,6 +254,19 @@ object ScaleBench {
             .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
           Dedup.connectedComponents(ids, e, "doc_id", "u", "v").count()
         }),
+        // new-batch = every 16th doc; the Bloom gate should route the
+        // overwhelmingly-duplicate batch into the confirm join and the
+        // fresh rows around it
+        "bloom_incremental" -> (() => Dedup.bloomIncrementalFlags(
+          docs.where(col("doc_id") % 16 =!= 0),
+          docs.where(col("doc_id") % 16 === 0),
+          "doc_id", "text").where(col("is_new")).count()),
+        "bigram_surprisal" -> (() => graft.functions.TextOps
+          .bigramSurprisal(docs, "doc_id", "text").count()),
+        // 2000·scale vectors: ≥4× is over the 4096 fit cap → hash-sampled
+        // fit + broadcast transform (the scale path)
+        "umap_project"    -> (() => new Ml.UmapReducer()
+          .project(vecs, "embedding", "vec_id").count()),
         "incr_neardup"    -> (() => {
           val newBatch = docs.where(col("doc_id") % 16 === 0)
             .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
