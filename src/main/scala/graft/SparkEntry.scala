@@ -871,6 +871,17 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")),
 
+    // X11 — benchmark decontamination: every doc sharing any 8-gram with
+    // the "benchmark" set (every 50th doc stands in for an eval suite) is
+    // flagged. Benchmark grams broadcast; the corpus side never shuffles.
+    "x11_decontaminate" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.contaminatedIds(
+        docs, docs.where(col("doc_id") % 50 === 7).select(col("text").as("btext")),
+        "doc_id", "text", "btext", 8)
+        .orderBy("doc_id")
+    }),
+
     // X10 — corpus-self-trained bigram surprisal (CCNet/KenLM-style quality
     // signal). round(·, 4) absorbs engine summation-order ulps.
     "x10_bigram_surprisal" -> ((s, d) =>
@@ -1957,6 +1968,14 @@ object SparkEntry {
 
     "x1_token_count" ->
       raw"""SELECT doc_id, len($toksSql) AS n_tokens FROM documents ORDER BY doc_id""",
+    "x11_decontaminate" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->
+           |   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+           |   toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS gram
+           |   FROM t WHERE len(toks) >= 8),
+           | b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7)
+           | SELECT DISTINCT doc_id FROM g JOIN b USING (gram) ORDER BY doc_id""".stripMargin,
     "x10_bigram_surprisal" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),

@@ -76,6 +76,37 @@ object Dedup {
   def shingleSet(text: Column, shingleSize: Int): Column =
     array_distinct(TextOps.wordShingles(TextOps.tokens(text), shingleSize))
 
+  /** Benchmark decontamination: ids of corpus documents sharing ANY
+    * `shingleSize`-gram with the benchmark set — the standard eval-leakage
+    * sweep a training pipeline runs before a data release (an eval question
+    * quoted verbatim inside a crawled page must knock that page out).
+    *
+    * The benchmark side is small by definition (eval suites are thousands
+    * of rows, the corpus is the 100 TB side), so its exploded distinct
+    * n-grams broadcast and the corpus-side semi-join is map-side — the
+    * corpus shuffles NOTHING; the whole sweep is one scan. A benchmark too
+    * big to broadcast degrades to a plain shuffled semi-join of (gram, id)
+    * pairs, never pairs-of-documents.
+    *
+    * Output: distinct (idCol) of contaminated corpus docs.
+    */
+  def contaminatedIds(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      shingleSize: Int = 8,
+  ): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
+    val benchGrams = benchmark
+      .select(explode(shingleSet(col(benchTextCol), shingleSize)).as("__g")).distinct()
+    corpus
+      .select(col(idCol), explode(shingleSet(col(textCol), shingleSize)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** (id, shingles) via a typed map — JIT-compiled tokenize+shingle, same
     * semantics as [[shingleSet]] (verified by the d4 oracle), ~50x faster
     * than the interpreted higher-order expression on long texts.

@@ -314,6 +314,19 @@ class OperatorsSpec extends AnyFunSuite {
       Sampling.hashSplit(ids, "id", Seq("a" -> 5000, "b" -> 1000)))
   }
 
+  test("contaminatedIds flags docs quoting a benchmark n-gram, nothing else") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // quotes q1 verbatim
+      (2L, "totally unrelated words live in this document here now ok"),
+      (3L, "prefix words then alpha beta gamma delta epsilon zeta eta theta suffix"), // embeds q1's 8-gram
+      (4L, "alpha beta gamma delta epsilon zeta eta"), // only 7 shared tokens — under the gram size
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("btext")
+    val hit = graft.operators.Dedup.contaminatedIds(corpus, bench, "doc_id", "text", "btext", 8)
+      .as[Long].collect().toSet
+    assert(hit == Set(1L, 3L), s"got $hit")
+  }
+
   test("bigramSurprisal: predictable text scores lower than rare text; sub-bigram docs drop") {
     import graft.functions.TextOps
     val docs = (
