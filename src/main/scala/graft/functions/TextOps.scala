@@ -168,13 +168,17 @@ object TextOps {
     * or curriculum-bucketing on this column is the classic web-corpus
     * cleanup step.
     *
-    * Fully relational, nothing driver-side: tokens explode once (position
-    * via posexplode), the previous token comes from a per-DOC window (a
-    * window partition never holds more than one document's tokens), bigram
-    * and context counts are map-side-combined groupBys, and scoring joins
-    * the pair stream to the two count tables — equi-joins that stay
+    * Fully relational, nothing driver-side: tokens explode (position via
+    * posexplode), the previous token comes from a per-DOC window (a window
+    * partition never holds more than one document's tokens), bigram and
+    * context counts are map-side-combined groupBys, and scoring joins the
+    * pair stream to the two count tables — equi-joins that stay
     * co-partitioned by key at any corpus size. The distinct-vocabulary
-    * scalar rides along as a broadcast one-row frame.
+    * scalar rides along as a broadcast one-row frame. Spark does not CSE
+    * the pair subtree across the count leg and the scoring leg, so the
+    * tokenize+explode evaluates twice; if that scan dominates at corpus
+    * scale, materialize the tokenized pairs once (checkpoint or table) and
+    * feed this the materialized frame.
     *
     * P(w|prev) = (c(prev,w) + k) / (c(prev) + k·(V+1)), c(prev) = unigram
     * count (standard backoff-free approximation), V = distinct corpus
