@@ -882,6 +882,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X12 — corpus mixing: resample sources to target shares of a 20k-char
+    // budget. src0's 40% share exceeds its availability at small SFs, so
+    // the upsampling path (epoch ≥ 1 repetition) is exercised for real;
+    // the oracle replays the integral fraction arithmetic and the portable
+    // hash per row, so this is an exact per-(row, epoch) check.
+    "x12_mix_to_budget" -> ((s, d) => Mixing.mixToBudget(
+      Tables(s, d).documents.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", "n_chars",
+      Seq("src0" -> 4000, "src1" -> 3000, "src2" -> 2000, "src3" -> 1000),
+      20000L)
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")),
+
     // X10 — corpus-self-trained bigram surprisal (CCNet/KenLM-style quality
     // signal). round(·, 4) absorbs engine summation-order ulps.
     "x10_bigram_surprisal" -> ((s, d) =>
@@ -1976,6 +1989,17 @@ object SparkEntry {
            |   FROM t WHERE len(toks) >= 8),
            | b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7)
            | SELECT DISTINCT doc_id FROM g JOIN b USING (gram) ORDER BY doc_id""".stripMargin,
+    "x12_mix_to_budget" ->
+      """WITH tgt AS (SELECT * FROM (VALUES ('src0', 4000), ('src1', 3000), ('src2', 2000), ('src3', 1000)) t(class, wbp)),
+        | tot AS (SELECT source AS class, sum(n_chars)::BIGINT AS avail FROM documents GROUP BY 1),
+        | f AS (SELECT tgt.class, ((20000 * wbp // 10000) * 10000 // avail)::BIGINT AS fbp
+        |   FROM tot JOIN tgt ON tot.class = tgt.class WHERE avail > 0),
+        | h AS (SELECT doc_id, source, (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | b AS (SELECT doc_id, source, xor(h0, h0 >> 16) % 10000 AS bucket FROM h),
+        | j AS (SELECT b.doc_id, b.source, fbp, bucket FROM b JOIN f ON b.source = f.class),
+        | x AS (SELECT doc_id, source, fbp, bucket, unnest(range(0, fbp // 10000 + 1)) AS epoch FROM j)
+        | SELECT doc_id, source, epoch::BIGINT AS epoch FROM x
+        | WHERE epoch < fbp // 10000 OR bucket < fbp % 10000 ORDER BY doc_id, epoch""".stripMargin,
     "x10_bigram_surprisal" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),

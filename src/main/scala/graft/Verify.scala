@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName...]")
+    val Array(sfDir, outDir) = args.take(2)
+    // optional filter: run only the named queries (dev iteration; the
+    // driver always runs the full sweep)
+    val only = args.drop(2).toSet
     // one shared builder (Engine.session) — hand-rolled copies here and in
     // Bench had already drifted (this one was missing AQE)
     val spark = Engine.session("graft-verify")
@@ -38,7 +42,10 @@ object Verify {
     // the pool is retried once serially before being reported.
     val pool   = java.util.concurrent.Executors.newFixedThreadPool(4)
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit = if (runOne(name, fn).isDefined) failed.add(name)
       })

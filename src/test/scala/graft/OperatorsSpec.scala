@@ -784,4 +784,55 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(ju == Seq((1L, "a"), (2L, "ZZ")))
   }
+
+  // ---- X12 corpus mixing --------------------------------------------------
+  test("mixToBudget: downsampling keeps a deterministic hash subset, off-target classes drop") {
+    val docs = (0L until 100L).map(i => (i, if (i < 50) "a" else "b", 10L))
+      .toDF("id", "cls", "sz")
+    // class a: avail 500, target 10000*3000/10000 = 3000 -> f=60000bp? no:
+    // T = 3000, avail = 500 -> fbp = 60000 -> 6 full epochs. Use a budget
+    // that downsamples instead: budget 400, w=5000 -> T=200, avail 500 ->
+    // fbp = 4000 (40%).
+    val out = Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 5000), 400L)
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(out.forall(_._2 == 0L))
+    val expect = (0L until 50L).filter { id =>
+      val h = ((id % 4294967296L) * 31153L + ((id % 4294967296L) * 40503L % 65536L) * 65536L) % 4294967296L
+      ((h ^ (h >>> 16)) % 10000L) < 4000L
+    }.toSet
+    assert(out.map(_._1) == expect)
+    // run-to-run determinism
+    val again = Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 5000), 400L)
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(again == out)
+  }
+
+  test("mixToBudget: upsampling emits full epochs plus a fractional hash subset") {
+    val docs = (0L until 20L).map(i => (i, "a", 5L)).toDF("id", "cls", "sz")
+    // avail = 100, T = 250 -> fbp = 25000: epochs 0,1 full + 50% epoch 2
+    val out = Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 10000), 250L)
+      .select("id", "epoch").as[(Long, Long)].collect()
+    val byEpoch = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byEpoch(0L) == (0L until 20L).toSet)
+    assert(byEpoch(1L) == (0L until 20L).toSet)
+    val frac = byEpoch.getOrElse(2L, Set.empty[Long])
+    assert(frac.subsetOf((0L until 20L).toSet) && frac.nonEmpty && frac.size < 20)
+    assert(!byEpoch.contains(3L))
+    // the fractional subset is the SAME ids hashSample(5000bp) keeps
+    val hs = Sampling.hashSample(docs, "id", 5000).select("id").as[Long].collect().toSet
+    assert(frac == hs)
+  }
+
+  test("mixToBudget: guards fire on duplicate class, reserved column, overflow") {
+    val docs = Seq((1L, "a", 5L)).toDF("id", "cls", "sz")
+    intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 1, "a" -> 2), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(docs.withColumn("epoch", lit(0)), "cls", "id", "sz", Seq("a" -> 1), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 10000), Long.MaxValue / 100L)
+    }
+  }
 }
