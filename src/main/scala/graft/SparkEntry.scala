@@ -465,6 +465,14 @@ object SparkEntry {
       Tables(s, d).documents.select("doc_id", "lang"), "lang", "doc_id", 20)
       .orderBy("lang", "doc_id")),
 
+    // U8 — deterministic training-order shuffle: h(id) is the permutation,
+    // shard + pos are a reproducible global order. Oracle replays the
+    // full 32-bit hash (not the 10000-bucket projection), so rank ties
+    // are impossible and the check is exact per row.
+    "u8_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(
+      Tables(s, d).documents.select("doc_id"), "doc_id", 8)
+      .orderBy("shard", "pos")),
+
     // U7 — the same take through the SALTED two-stage path (every lang
     // exceeds the 30-row budget at sf0.01, so stage 1 shards per
     // (lang, salt) and stage 2 reduces survivors): the result is provably
@@ -1480,6 +1488,23 @@ object SparkEntry {
         .withColumn("keep", col("id") === col("component"))
         .orderBy("id")
     }),
+
+    // D12 — canonical selection: p3's clusters, but the keeper is the
+    // LONGEST member (ties → min id) instead of the min id — the keep-best
+    // refinement a pipeline switches to once a quality signal exists.
+    "d12_keep_best" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val dups = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 1.0,
+        Some(Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)))
+        .select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(docs.select("doc_id"), dups, "doc_id", "id_a", "id_b")
+      Dedup.keepBestBy(
+        cc.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id"),
+        "id", "component", "n_chars")
+        .select("id", "component", "keep")
+        .orderBy("id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1886,6 +1911,13 @@ object SparkEntry {
         | SELECT doc_id, lang FROM b
         | QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 20
         | ORDER BY lang, doc_id""".stripMargin,
+    "u8_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | b AS (SELECT doc_id, xor(h0, h0 >> 16) AS hh FROM h),
+        | s AS (SELECT doc_id, hh % 8 AS shard, hh FROM b)
+        | SELECT doc_id, shard, (row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)::BIGINT AS pos
+        | FROM s ORDER BY shard, pos""".stripMargin,
     "u5_hash_split" ->
       """WITH h AS (SELECT doc_id,
         |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
@@ -1964,6 +1996,17 @@ object SparkEntry {
            | e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
            | r(u, v) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, r.v FROM e JOIN r ON e.v = r.u)
            | SELECT u AS id, min(v)::BIGINT AS component, (u = min(v)) AS keep FROM r GROUP BY u ORDER BY id""".stripMargin,
+    "d12_keep_best" ->
+      raw"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
+           | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh),
+           | p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id),
+           | e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+           | r(u, v) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.u, r.v FROM e JOIN r ON e.v = r.u),
+           | c AS (SELECT u AS id, min(v)::BIGINT AS component FROM r GROUP BY u),
+           | jx AS (SELECT c.id, c.component, d.n_chars FROM c JOIN documents d ON d.doc_id = c.id),
+           | w AS (SELECT id, component, row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, id ASC) AS rn FROM jx)
+           | SELECT id, component, (rn = 1) AS keep FROM w ORDER BY id""".stripMargin,
     "d6_simhash" -> {
       val maj = "((a & b) | (a & c) | (b & c))"
       s"""WITH h AS (${simVocabSql(xx64)} FROM documents)

@@ -775,6 +775,42 @@ object Dedup {
     GraftBridge.unpersistLocalCheckpoint(und)
     val singletons = allNodes.join(labels.select("id"), Seq("id"), "left_anti")
       .withColumn("component", col("id"))
-    (labels.unionByName(singletons), CcStats(iter, jobs))
+    // toDF re-aliases the union's output with fresh attribute ids: a
+    // join+aggregate placed directly on this Union trips a Spark 4.1
+    // constraint-rewrite NoSuchElementException (UnionBase.rewriteConstraints
+    // can look up an attribute absent from a child's output map). A bare
+    // projection barrier costs nothing and immunizes every consumer.
+    (labels.unionByName(singletons).toDF("id", "component"), CcStats(iter, jobs))
+  }
+
+  /** Canonical selection: flag ONE keeper per cluster by the BEST score —
+    * "keep the longest / highest-quality copy", the usual refinement over
+    * min-id keeps once a quality signal exists. Adds a boolean `keep`.
+    *
+    * The argmax is a map-side-combined struct-max agg, NOT a per-cluster
+    * window: boilerplate-heavy corpora produce degenerate giant clusters,
+    * and a window would serialize each through one task while the combiner
+    * reduces them map-side. The winner comes back via a co-partitioned
+    * equi-join on the component key.
+    *
+    * Ties break to the smallest id (max of (score, -id) — ids at
+    * Long.MinValue would wrap, document ids are nonnegative in practice);
+    * null scores lose to any non-null score.
+    */
+  def keepBestBy(
+      clusters: DataFrame, idCol: String, componentCol: String, scoreCol: String,
+  ): DataFrame = {
+    val names = clusters.columns.toSet
+    Seq("__m", "__keep_id", "keep").foreach(c =>
+      require(!names.contains(c), s"input already has a '$c' column"))
+    val s = coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))
+    val keepers = clusters
+      .groupBy(col(componentCol))
+      .agg(max(struct(s.as("s"), (-col(idCol)).as("ni"))).as("__m"))
+      .select(col(componentCol), (-col("__m.ni")).as("__keep_id"))
+    clusters
+      .join(keepers, componentCol)
+      .withColumn("keep", col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
   }
 }

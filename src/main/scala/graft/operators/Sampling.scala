@@ -92,6 +92,31 @@ object Sampling {
       .unionByName(takeK(survivors, Seq(col(classCol))))
   }
 
+  /** Deterministic global shuffle into `nShards` training shards: shard =
+    * h(id) mod nShards, pos = rank of (h(id), id) within the shard. The
+    * hash IS the permutation — the same corpus shuffles identically on
+    * every run and engine, and concatenating shards in (shard, pos) order
+    * is a fixed pseudo-random global order (what a training run needs for
+    * reproducible data order / exact resume-from-step).
+    *
+    * Scale: one hash-shuffle on `shard`, one sort per shard — `nShards` is
+    * the task granularity, and you size it exactly like output files
+    * (10k shards @ 100 TB ≈ 10 GB sorted runs; external sort handles the
+    * task comfortably). No global sort, no driver state.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val names = df.columns.toSet
+    Seq("__h", "shard", "pos").foreach(c =>
+      require(!names.contains(c), s"input already has a '$c' column"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", portableHash(col(idCol)))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__h")
+  }
+
   /** Assign every row to a named split by cumulative bucket ranges, e.g.
     * Seq("train" -> 8000, "val" -> 1000, "test" -> 1000). Weights must sum
     * to 10000 so the assignment is total. Splits are disjoint and exhaustive

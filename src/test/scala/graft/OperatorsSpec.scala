@@ -823,6 +823,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frac == hs)
   }
 
+  // ---- U8 deterministic shuffle shards -----------------------------------
+  test("shuffleShards: total, deterministic, dense per-shard positions") {
+    val docs = (0L until 200L).map(Tuple1(_)).toDF("id")
+    val out = Sampling.shuffleShards(docs, "id", 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 200 && out.map(_._1).toSet.size == 200)
+    // positions are 0..n-1 dense within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length.toLong))
+    }
+    val again = Sampling.shuffleShards(docs, "id", 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(again.toSet == out.toSet)
+    // not the identity order: the permutation actually shuffles
+    val shard0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted)
+    intercept[IllegalArgumentException] { Sampling.shuffleShards(docs, "id", 0) }
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShards(docs.withColumn("pos", lit(1)), "id", 4)
+    }
+  }
+
+  // ---- D12 canonical selection -------------------------------------------
+  test("keepBestBy: best score wins, ties break to min id, null scores lose") {
+    val clusters = Seq(
+      (1L, 1L, Some(2.0)), (2L, 1L, Some(5.0)), (3L, 1L, Some(5.0)), // tie at 5.0 -> id 2
+      (4L, 4L, None), (5L, 4L, Some(0.5)),                           // null loses
+      (6L, 6L, None),                                                // all-null cluster -> min id
+      (7L, 6L, None),
+      (8L, 8L, Some(1.0)),                                           // singleton
+    ).toDF("id", "component", "score")
+    val out = Dedup.keepBestBy(clusters, "id", "component", "score")
+      .where(col("keep")).select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 5L, 6L, 8L))
+    // every cluster has exactly one keeper
+    val perCluster = Dedup.keepBestBy(clusters, "id", "component", "score")
+      .groupBy("component").agg(sum(when(col("keep"), 1).otherwise(0)).as("n"))
+      .select("n").as[Long].collect()
+    assert(perCluster.forall(_ == 1L))
+  }
+
   test("mixToBudget: guards fire on duplicate class, reserved column, overflow") {
     val docs = Seq((1L, "a", 5L)).toDF("id", "cls", "sz")
     intercept[IllegalArgumentException] {
