@@ -465,6 +465,15 @@ object SparkEntry {
       Tables(s, d).documents.select("doc_id", "lang"), "lang", "doc_id", 20)
       .orderBy("lang", "doc_id")),
 
+    // U9 — leakage-safe split: the split key is the GROUP (here: source
+    // domain), via its min-id representative, so no group straddles
+    // train/test. Oracle replays representative + bucket arithmetic.
+    "u9_group_split" -> ((s, d) => Sampling.groupSplit(
+      Tables(s, d).documents.select("doc_id", "source"), "source", "doc_id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")),
+
     // U8 — deterministic training-order shuffle: h(id) is the permutation,
     // shard + pos are a reproducible global order. Oracle replays the
     // full 32-bit hash (not the 10000-bucket projection), so rank ties
@@ -1489,6 +1498,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // P4 — the preprocessing pipeline end-to-end as ONE composed plan:
+    // language gate → exact-dedup clusters → keep-best (longest) →
+    // token counting → deterministic shuffle into training shards.
+    // Every stage is an already-oracled operator; this query checks the
+    // COMPOSITION exactly (the oracle chains the same CTEs).
+    "p4_preprocess_pipeline" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val clustered = docs.where(col("lang") === "en")
+        .select(col("doc_id").as("id"), Dedup.exactKey(col("text")).as("component"),
+          col("n_chars"), col("text"))
+      val kept = Dedup.keepBestBy(clustered, "id", "component", "n_chars")
+        .where(col("keep"))
+        .select(col("id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.shuffleShards(kept, "id", 4)
+        .select("id", "n_tokens", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
     // D12 — canonical selection: p3's clusters, but the keeper is the
     // LONGEST member (ties → min id) instead of the min id — the keep-best
     // refinement a pipeline switches to once a quality signal exists.
@@ -1911,6 +1938,23 @@ object SparkEntry {
         | SELECT doc_id, lang FROM b
         | QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 20
         | ORDER BY lang, doc_id""".stripMargin,
+    "u9_group_split" ->
+      """WITH reps AS (SELECT source, min(doc_id) AS rid FROM documents GROUP BY 1),
+        | h AS (SELECT source, rid, (((rid % 4294967296 + 4294967296) % 4294967296) * 31153 + (((rid % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM reps),
+        | b AS (SELECT source, xor(h0, h0 >> 16) % 10000 AS bucket FROM h)
+        | SELECT d.doc_id, d.source,
+        |   CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        | FROM documents d JOIN b ON d.source = b.source ORDER BY d.doc_id""".stripMargin,
+    "p4_preprocess_pipeline" ->
+      raw"""WITH en AS (SELECT doc_id, text, n_chars FROM documents WHERE lang = 'en'),
+           | k AS (SELECT doc_id, md5(text) AS comp, n_chars, text FROM en),
+           | w AS (SELECT doc_id, text, row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC) AS rn FROM k),
+           | kept AS (SELECT doc_id AS id, len($toksSql) AS n_tokens FROM w WHERE rn = 1),
+           | h AS (SELECT id, n_tokens, (((id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM kept),
+           | b AS (SELECT id, n_tokens, xor(h0, h0 >> 16) AS hh FROM h),
+           | s AS (SELECT id, n_tokens, hh % 4 AS shard, hh FROM b)
+           | SELECT id, n_tokens, shard, (row_number() OVER (PARTITION BY shard ORDER BY hh, id) - 1)::BIGINT AS pos
+           | FROM s ORDER BY shard, pos""".stripMargin,
     "u8_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,
         |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),

@@ -122,9 +122,27 @@ object Sampling {
     * to 10000 so the assignment is total. Splits are disjoint and exhaustive
     * by construction; rows keep their split across runs and engines.
     */
-  def hashSplit(df: DataFrame, idCol: String, weightsBp: Seq[(String, Int)]): DataFrame = {
+  def hashSplit(df: DataFrame, idCol: String, weightsBp: Seq[(String, Int)]): DataFrame =
+    splitOn(df, bucket(col(idCol)), weightsBp)
+
+  /** Leakage-safe split: every row of the same GROUP (dedup cluster, source
+    * domain, author) lands in the same split — splitting near-duplicates
+    * across train and test silently leaks, so the split key must be the
+    * group, not the document. The group's bucket comes from its smallest
+    * member id (one map-side-combined agg, broadcast-or-shuffle equi-join
+    * back — group keys may be strings; the representative id keeps the
+    * bucket arithmetic numeric and oracle-replayable).
+    */
+  def groupSplit(
+      df: DataFrame, groupCol: String, idCol: String, weightsBp: Seq[(String, Int)],
+  ): DataFrame = {
+    require(!df.columns.contains("__rid"), "input already has a '__rid' column")
+    val reps = df.groupBy(col(groupCol)).agg(min(col(idCol)).as("__rid"))
+    splitOn(df.join(reps, groupCol), bucket(col("__rid")), weightsBp).drop("__rid")
+  }
+
+  private def splitOn(df: DataFrame, b: Column, weightsBp: Seq[(String, Int)]): DataFrame = {
     require(weightsBp.map(_._2).sum == NumBuckets, s"weights must sum to $NumBuckets bp")
-    val b = bucket(col(idCol))
     val cum = weightsBp.scanLeft(0)(_ + _._2).tail
     // coalesce of per-split whens: cumulative uppers ascend, so the first
     // non-null is the owning range. (A fold that references the accumulator

@@ -823,6 +823,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frac == hs)
   }
 
+  // ---- U9 leakage-safe group split ---------------------------------------
+  test("groupSplit: every member of a group gets the same split; assignment is total") {
+    val docs = (0L until 300L).map(i => (i, s"g${i % 37}")).toDF("id", "grp")
+    val out = Sampling.groupSplit(docs, "grp", "id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select("id", "grp", "split").as[(Long, String, String)].collect()
+    assert(out.length == 300)
+    out.groupBy(_._2).foreach { case (_, rows) => assert(rows.map(_._3).toSet.size == 1) }
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // group assignment matches hashSplit of the representative id
+    val reps = out.groupBy(_._2).map { case (g, rows) => g -> rows.map(_._1).min }
+    val repSplit = Sampling.hashSplit(
+      reps.values.toSeq.map(Tuple1(_)).toDF("id"), "id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    out.foreach { case (_, g, split) => assert(split == repSplit(reps(g))) }
+  }
+
   // ---- U8 deterministic shuffle shards -----------------------------------
   test("shuffleShards: total, deterministic, dense per-shard positions") {
     val docs = (0L until 200L).map(Tuple1(_)).toDF("id")
