@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is a candidate-explosion or shuffle problem that 100 TB would amplify.
   * Results feed SCALE.md.
   *
-  * Usage: runMain graft.ScaleBench [maxScale]  (default 16)
+  * Usage: runMain graft.ScaleBench [maxScale] [opName...]  (default 16, all ops)
   */
 object ScaleBench {
 
@@ -183,6 +183,8 @@ object ScaleBench {
       return
     }
     val maxScale = args.headOption.map(_.toInt).getOrElse(16)
+    // trailing args = op-name filter (dev iteration on a few curves)
+    val onlyOps  = args.drop(1).toSet
     val scales   = Seq(1, 4, 16).filter(_ <= maxScale)
     val root     = sys.props("java.io.tmpdir") + "/graft-scale"
     val spark    = Engine.session("graft-scale")
@@ -281,8 +283,31 @@ object ScaleBench {
         "quantile_bkts"   -> (() => Aggs.quantileBuckets(
           events.select(col("event_id"), round(col("value"), 0).cast("long").as("v")), "v", 10)
           .groupBy("bucket").count().count()),
+        // budget scales with the corpus so the fractions stay constant
+        // across scales; c0's 30% share upsamples (~2.4 epochs), the rest
+        // downsample — both paths timed
+        "mix_to_budget"   -> (() => Mixing.mixToBudget(
+          docs.select(col("doc_id"),
+            concat(lit("c"), pmod(col("doc_id"), lit(8))).as("cls"),
+            length(col("text")).cast("long").as("sz")),
+          "cls", "doc_id", "sz",
+          ("c0" -> 3000) +: (1 until 8).map(i => s"c$i" -> 1000),
+          1500000L * scale).count()),
+        "keep_best"       -> (() => Dedup.keepBestBy(
+          docs.select(col("doc_id").as("id"), Dedup.exactKey(col("text")).as("component"),
+            length(col("text")).cast("long").as("sc")),
+          "id", "component", "sc").where(col("keep")).count()),
+        // sum(pos) forces the rank window (a bare count would let Catalyst
+        // prune it); 64 shards = 64 sort tasks
+        "shuffle_shards"  -> (() => { Sampling.shuffleShards(docs.select("doc_id"), "doc_id", 64)
+          .agg(sum(col("pos"))).head(); 1L }),
+        "group_split"     -> (() => Sampling.groupSplit(
+          docs.select(col("doc_id"), pmod(hash(col("doc_id")), lit(1000)).cast("string").as("grp")),
+          "grp", "doc_id", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+          .groupBy("split").count().count()),
       )
-      ops.foreach { case (name, run) =>
+      val selected = if (onlyOps.isEmpty) ops else ops.filter(o => onlyOps.contains(o._1))
+      selected.foreach { case (name, run) =>
         run() // cold: codegen + index build etc.
         val t0 = System.nanoTime(); val rows = run(); val warm = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"$name","scale":$scale,"sec":$warm%.3f,"rows":$rows}""")
