@@ -801,16 +801,18 @@ object Dedup {
       clusters: DataFrame, idCol: String, componentCol: String, scoreCol: String,
   ): DataFrame = {
     val names = clusters.columns.toSet
-    Seq("__m", "__keep_id", "keep").foreach(c =>
+    Seq("__m", "__keep_id", "__c", "keep").foreach(c =>
       require(!names.contains(c), s"input already has a '$c' column"))
     val s = coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))
     val keepers = clusters
-      .groupBy(col(componentCol))
+      .groupBy(col(componentCol).as("__c"))
       .agg(max(struct(s.as("s"), (-col(idCol)).as("ni"))).as("__m"))
-      .select(col(componentCol), (-col("__m.ni")).as("__keep_id"))
+      .select(col("__c"), (-col("__m.ni")).as("__keep_id"))
+    // null-safe join: a null component (md5 of a null text, an unlabeled
+    // row) is one cluster, not silently dropped rows
     clusters
-      .join(keepers, componentCol)
+      .join(keepers, col(componentCol) <=> col("__c"))
       .withColumn("keep", col(idCol) === col("__keep_id"))
-      .drop("__keep_id")
+      .drop("__keep_id", "__c")
   }
 }

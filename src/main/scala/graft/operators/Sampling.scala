@@ -136,9 +136,15 @@ object Sampling {
   def groupSplit(
       df: DataFrame, groupCol: String, idCol: String, weightsBp: Seq[(String, Int)],
   ): DataFrame = {
-    require(!df.columns.contains("__rid"), "input already has a '__rid' column")
-    val reps = df.groupBy(col(groupCol)).agg(min(col(idCol)).as("__rid"))
-    splitOn(df.join(reps, groupCol), bucket(col("__rid")), weightsBp).drop("__rid")
+    Seq("__rid", "__g").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a '$c' column"))
+    val reps = df.groupBy(col(groupCol).as("__g")).agg(min(col(idCol)).as("__rid"))
+    // null-safe join: groupBy emits a null-group representative, and a
+    // plain equi-join would silently DROP every null-group row — the one
+    // failure mode a total split assignment must not have
+    splitOn(
+      df.join(reps, col(groupCol) <=> col("__g")),
+      bucket(col("__rid")), weightsBp).drop("__rid", "__g")
   }
 
   private def splitOn(df: DataFrame, b: Column, weightsBp: Seq[(String, Int)]): DataFrame = {

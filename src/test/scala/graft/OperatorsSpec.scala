@@ -839,6 +839,14 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
       .select("id", "split").as[(Long, String)].collect().toMap
     out.foreach { case (_, g, split) => assert(split == repSplit(reps(g))) }
+    // null groups are one group, not dropped (the total-assignment contract)
+    val withNull = Seq((1L, Some("a")), (2L, None), (3L, None))
+      .toDF("id", "grp")
+    val nOut = Sampling.groupSplit(withNull, "grp", "id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select("id", "split").as[(Long, String)].collect()
+    assert(nOut.length == 3)
+    assert(nOut.filter(r => Set(2L, 3L)(r._1)).map(_._2).toSet.size == 1)
   }
 
   // ---- U8 deterministic shuffle shards -----------------------------------
@@ -875,6 +883,12 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Dedup.keepBestBy(clusters, "id", "component", "score")
       .where(col("keep")).select("id").as[Long].collect().toSet
     assert(out == Set(2L, 5L, 6L, 8L))
+    // null components form one cluster instead of dropping rows
+    val withNull = Seq((1L, Some(1L), Some(1.0)), (2L, None, Some(3.0)), (3L, None, Some(2.0)))
+      .toDF("id", "component", "score")
+    val nOut = Dedup.keepBestBy(withNull, "id", "component", "score")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(nOut.size == 3 && nOut(2L) && !nOut(3L) && nOut(1L))
     // every cluster has exactly one keeper
     val perCluster = Dedup.keepBestBy(clusters, "id", "component", "score")
       .groupBy("component").agg(sum(when(col("keep"), 1).otherwise(0)).as("n"))
