@@ -20,6 +20,13 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide array columns (768-d embeddings) make the default 4096-row
+      // columnar batch a ~25 MB/task transient; at 32 task slots that is
+      // ~800 MB of read buffers before any compute, enough to OOM the
+      // vectorized reader while MLlib caches a fit input. 1024 rows keeps
+      // the per-task buffer ~6 MB at 768-d with no measurable cost on the
+      // narrow tables.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
