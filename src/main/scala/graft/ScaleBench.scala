@@ -98,7 +98,7 @@ object ScaleBench {
     * distributed fits (kmeans, PCA), the >32-list broadcast+mapPartitions
     * IVF assignment, and IVF recall at nList≈√n.
     */
-  private def run768(spark: SparkSession, maxScale: Int): Unit = {
+  private def run768(spark: SparkSession, maxScale: Int, onlyOps: Set[String] = Set.empty): Unit = {
     import spark.implicits._
     val root = sys.props("java.io.tmpdir") + "/graft-scale"
     val qvCache = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Double]]()
@@ -166,7 +166,8 @@ object ScaleBench {
         "umap_sampled_768" -> (() => new Ml.UmapReducer()
           .project(vecs, "embedding", "vec_id").count()),
       )
-      ops.foreach { case (name, run) =>
+      val selected = if (onlyOps.isEmpty) ops else ops.filter(o => onlyOps.contains(o._1))
+      selected.foreach { case (name, run) =>
         val tc0 = System.nanoTime(); run(); val cold = (System.nanoTime() - tc0) / 1e9
         val t0 = System.nanoTime(); val rows = run(); val warm = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"$name","dim":768,"scale":$scale,"n":$n,"sec":$warm%.3f,"cold":$cold%.3f,"rows":$rows}""")
@@ -178,7 +179,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("768d")) {
       val spark = Engine.session("graft-scale-768")
-      run768(spark, args.drop(1).headOption.map(_.toInt).getOrElse(4))
+      run768(spark, args.drop(1).headOption.map(_.toInt).getOrElse(4), args.drop(2).toSet)
       spark.stop()
       return
     }
