@@ -689,6 +689,37 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // V10 — Okapi BM25: the lexical ranking leg. Ordering is by ROUNDED
+    // score (+ id): BM25 sums ln() terms whose last ulp differs between
+    // engines, so raw-score order is not engine-stable the way raw cosine
+    // is (v1/v5 order raw).
+    "v10_bm25" -> ((s, d) => Rank.bm25(
+      Tables(s, d).documents, "doc_id", "text", Seq("table", "window", "agg"))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)),
+
+    // V11 — hybrid retrieval: BM25 lexical leg + cosine vector leg (the
+    // v4 doc_id == vec_id pairing), fused by reciprocal rank. Each leg is
+    // a bounded top-50 BEFORE its rank window, so the windows see 50 rows,
+    // never a corpus.
+    "v11_hybrid_rrf" -> ((s, d) => {
+      val t = Tables(s, d)
+      val bmLeg = Rank.bm25(t.documents, "doc_id", "text", Seq("table", "window", "agg"))
+        .select(col("doc_id").as("id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("id")).limit(50)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), col("id"))))
+        .select("id", "rank")
+      val cosLeg = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 50)
+        .select(col("vec_id").as("id"), col("score"))
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), col("id"))))
+        .select("id", "rank")
+      Rank.rrfFuse(Seq(bmLeg, cosLeg), "id", "rank")
+        .select(col("id"), round(col("rrf"), 4).as("rrf"))
+        .orderBy(desc("rrf"), col("id"))
+        .limit(20)
+    }),
+
     "v5_knn_join" -> ((s, d) => {
       val t = Tables(s, d)
       Search.knnJoin(
@@ -1863,6 +1894,33 @@ object SparkEntry {
       raw"""SELECT doc_id, 64::BIGINT AS dim,
            | CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE 1.0 END AS norm
            | FROM documents ORDER BY doc_id""".stripMargin,
+    "v10_bm25" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+           | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+           | hits AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           | f AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM hits WHERE term IN ('table', 'window', 'agg') GROUP BY 1, 2),
+           | dft AS (SELECT term, count(*)::DOUBLE AS df FROM f GROUP BY 1),
+           | s AS (SELECT f.doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |   FROM f JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+           | SELECT doc_id, round(sum(s), 4) AS score FROM s GROUP BY 1
+           | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "v11_hybrid_rrf" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+           | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+           | hits AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           | f AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM hits WHERE term IN ('table', 'window', 'agg') GROUP BY 1, 2),
+           | dft AS (SELECT term, count(*)::DOUBLE AS df FROM f GROUP BY 1),
+           | sc AS (SELECT f.doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |   FROM f JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+           | bm AS (SELECT doc_id AS id, round(sum(s), 4) AS score FROM sc GROUP BY 1 ORDER BY score DESC, id LIMIT 50),
+           | bmr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank FROM bm),
+           | cs AS (SELECT vec_id AS id, list_cosine_similarity(embedding::DOUBLE[], $qVecSql) AS sim FROM embeddings ORDER BY sim DESC, id LIMIT 50),
+           | csr AS (SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank FROM cs),
+           | u AS (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM csr)
+           | SELECT id, round(sum(1.0 / (60 + rank)), 4) AS rrf FROM u GROUP BY 1
+           | ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "v6_ivf_ann" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
     "v9_ivf_knn_join" ->

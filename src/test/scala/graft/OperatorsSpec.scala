@@ -823,6 +823,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frac == hs)
   }
 
+  // ---- V10/V11 lexical ranking + fusion ----------------------------------
+  test("bm25: matches the closed-form formula on a hand-checkable corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c")).toDF("id", "text")
+    val out = Rank.bm25(docs, "id", "text", Seq("a", "b"))
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = 2.0
+    def idf(df: Double) = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+    def part(idfV: Double, tf: Double, dl: Double) =
+      idfV * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    val exp1 = part(idf(1), 2, 3) + part(idf(2), 1, 3)
+    val exp2 = part(idf(2), 1, 2)
+    assert(out.keySet == Set(1L, 2L)) // doc 3 has no query term
+    assert(math.abs(out(1L) - exp1) < 1e-12 && math.abs(out(2L) - exp2) < 1e-12)
+    intercept[IllegalArgumentException] { Rank.bm25(docs, "id", "text", Seq("a", "a")) }
+  }
+
+  test("rrfFuse: sums reciprocal ranks across legs, absent docs contribute 0") {
+    val l1 = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val l2 = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val out = Rank.rrfFuse(Seq(l1, l2), "id", "rank")
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(out(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0 / 62) < 1e-12)
+  }
+
   // ---- U9 leakage-safe group split ---------------------------------------
   test("groupSplit: every member of a group gets the same split; assignment is total") {
     val docs = (0L until 300L).map(i => (i, s"g${i % 37}")).toDF("id", "grp")
