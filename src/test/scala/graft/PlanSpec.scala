@@ -67,4 +67,34 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected the single window shuffle, got $exchanges:\n${plan.take(1200)}")
     assert(!plan.contains("Join"), s"no join operator should appear:\n${plan.take(1200)}")
   }
+
+  test("mixToBudget broadcasts the per-class totals; the corpus side never shuffles") {
+    import graft.operators.Mixing
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val plan = Mixing.mixToBudget(docs, "source", "doc_id", "n_chars",
+      Seq("src0" -> 5000, "src1" -> 5000), 10000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    // the only hash exchange allowed is the |classes|-row totals aggregate;
+    // the corpus feeds the broadcast join and the epoch generator directly
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"corpus must not shuffle, got $exchanges exchanges:\n${plan.take(1500)}")
+  }
+
+  test("bm25 filters the token stream to query terms before the tf shuffle") {
+    import graft.operators.Rank
+    val scored = Rank.bm25(Tables(spark, dir).documents, "doc_id", "text", Seq("table", "agg"))
+    val plan = scored.queryExecution.executedPlan.toString
+    // the term filter must sit below the first aggregate: between the
+    // Generate (explode) and any Exchange there has to be a Filter on __t
+    val lines = plan.linesIterator.toSeq
+    val genIdx  = lines.indexWhere(_.contains("Generate explode"))
+    val filtIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("__t"))
+    assert(genIdx >= 0 && filtIdx >= 0 && filtIdx < genIdx,
+      s"term filter must apply directly above the explode (filter@$filtIdx, generate@$genIdx):\n${plan.take(1500)}")
+    // df/N/avgdl come back as broadcasts, not corpus-wide shuffles
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
 }
