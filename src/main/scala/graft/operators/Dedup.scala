@@ -795,7 +795,7 @@ object Dedup {
     *
     * Ties break to the smallest id (max of (score, -id) — ids at
     * Long.MinValue would wrap, document ids are nonnegative in practice);
-    * null scores lose to any non-null score.
+    * null and NaN scores lose to any real score.
     */
   def keepBestBy(
       clusters: DataFrame, idCol: String, componentCol: String, scoreCol: String,
@@ -803,7 +803,12 @@ object Dedup {
     val names = clusters.columns.toSet
     Seq("__m", "__keep_id", "__c", "keep").foreach(c =>
       require(!names.contains(c), s"input already has a '$c' column"))
-    val s = coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))
+    // null AND NaN both mean "no usable score" — NaN sorts ABOVE every
+    // real double in Spark's ordering, so without this fold a single
+    // NaN-scored row (0.0/0.0 from an upstream quality signal) would win
+    // its cluster and the junk copy would become the canonical keeper
+    val sRaw = col(scoreCol).cast("double")
+    val s = when(sRaw.isNull || isnan(sRaw), lit(Double.NegativeInfinity)).otherwise(sRaw)
     val keepers = clusters
       .groupBy(col(componentCol).as("__c"))
       .agg(max(struct(s.as("s"), (-col(idCol)).as("ni"))).as("__m"))

@@ -43,7 +43,9 @@ object Mixing {
   def mixToBudget(
       df: DataFrame, classCol: String, idCol: String, sizeCol: String,
       targetsBp: Seq[(String, Int)], budget: Long,
+      maxEpochs: Int = 100,
   ): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
     require(targetsBp.nonEmpty, "targetsBp must not be empty")
     require(targetsBp.forall(_._2 >= 0), s"negative weight in $targetsBp")
     require(budget >= 0, s"budget must be nonnegative: $budget")
@@ -76,6 +78,21 @@ object Mixing {
       .select(
         col(classCol),
         expr(s"(((${budget}L * __wbp) div 10000) * 10000) div __avail").as("__fbp"))
+      // fail FAST on the |classes|-row frame if a tiny class would need
+      // more than maxEpochs repetitions: without this, explode(sequence)
+      // materializes a __full-element array PER ROW before any filter —
+      // a mis-sized budget against a 10k-token class would OOM executors
+      // instead of erroring. (Epoch counts beyond a few dozen are also
+      // statistically useless — repetition stops helping long before.)
+      .select(
+        col(classCol),
+        when(col("__fbp") >= lit(maxEpochs * 10000L),
+          raise_error(concat(
+            lit(s"mixToBudget: class "), col(classCol),
+            lit(s" needs more than maxEpochs=$maxEpochs upsampling epochs "),
+            lit("(fbp="), col("__fbp").cast("string"),
+            lit(s"); shrink the budget/weight or raise maxEpochs"))))
+          .otherwise(col("__fbp")).as("__fbp"))
 
     df.join(broadcast(totals), classCol)
       .withColumn("__full", expr("__fbp div 10000"))

@@ -916,6 +916,12 @@ class OperatorsSpec extends AnyFunSuite {
     val nOut = Dedup.keepBestBy(withNull, "id", "component", "score")
       .select("id", "keep").as[(Long, Boolean)].collect().toMap
     assert(nOut.size == 3 && nOut(2L) && !nOut(3L) && nOut(1L))
+    // NaN is a missing score, not a winning one (NaN > everything in
+    // Spark's sort order — a 0.0/0.0 quality signal must not crown junk)
+    val withNan = Seq((1L, 1L, Double.NaN), (2L, 1L, 0.5)).toDF("id", "component", "score")
+    val nanKeep = Dedup.keepBestBy(withNan, "id", "component", "score")
+      .where(col("keep")).select("id").as[Long].collect().toSeq
+    assert(nanKeep == Seq(2L))
     // every cluster has exactly one keeper
     val perCluster = Dedup.keepBestBy(clusters, "id", "component", "score")
       .groupBy("component").agg(sum(when(col("keep"), 1).otherwise(0)).as("n"))
@@ -934,5 +940,18 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 10000), Long.MaxValue / 100L)
     }
+  }
+
+  test("mixToBudget: epoch explosion fails fast instead of materializing huge arrays") {
+    val docs = (0L until 10L).map(i => (i, "a", 1L)).toDF("id", "cls", "sz")
+    // avail = 10, target = 1e9 -> 1e8 epochs >> maxEpochs
+    val ex = intercept[Exception] {
+      Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 10000), 1000000000L).count()
+    }
+    assert(ex.getMessage.contains("maxEpochs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxEpochs")))
+    // raising the cap makes the same call legal
+    val ok = Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 100), 2000L, maxEpochs = 25)
+    assert(ok.count() > 0)
   }
 }
