@@ -306,6 +306,19 @@ object ScaleBench {
           docs.select(col("doc_id"), pmod(hash(col("doc_id")), lit(1000)).cast("string").as("grp")),
           "grp", "doc_id", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
           .groupBy("split").count().count()),
+        "bm25"            -> (() => Rank.bm25(docs, "doc_id", "text",
+          Seq("w1", "w17", "w303", "w555")).count()),
+        "hybrid_rrf"      -> (() => {
+          val w = org.apache.spark.sql.expressions.Window.orderBy(desc("score"), col("id"))
+          val bmLeg = Rank.bm25(docs, "doc_id", "text", Seq("w1", "w17", "w303"))
+            .select(col("doc_id").as("id"), col("score"))
+            .orderBy(desc("score"), col("id")).limit(50)
+            .withColumn("rank", row_number().over(w)).select("id", "rank")
+          val cosLeg = Search.topK(vecs, "embedding", "vec_id", qVec, 50)
+            .select(col("vec_id").as("id"), col("score"))
+            .withColumn("rank", row_number().over(w)).select("id", "rank")
+          Rank.rrfFuse(Seq(bmLeg, cosLeg), "id", "rank").count()
+        }),
       )
       val selected = if (onlyOps.isEmpty) ops else ops.filter(o => onlyOps.contains(o._1))
       selected.foreach { case (name, run) =>
