@@ -1547,6 +1547,25 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    // P5 — CCNet-style quality-weighted sampling: score every doc with the
+    // corpus-self-trained bigram surprisal (x10), tercile-bucket the scores
+    // (x9's exact rank thresholds over the 1-decimal-rounded domain), and
+    // keep each tercile at its own deterministic hash rate — clean text
+    // kept whole, noisy text downsampled hard. Docs with <2 tokens have no
+    // surprisal and are excluded (scoreable docs only), matching x10.
+    "p5_ccnet_sample" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val scored = TextOps.bigramSurprisal(docs, "doc_id", "text")
+        .select(col("doc_id"), round(col("avg_nll"), 1).as("nll"))
+      val rate = when(col("bucket") === 1, 10000L)
+        .when(col("bucket") === 2, 5000L)
+        .otherwise(1000L)
+      Aggs.quantileBuckets(scored, "nll", 3)
+        .withColumn("kept", Sampling.bucket(col("doc_id")) < rate)
+        .select(col("doc_id"), col("nll"), col("bucket").cast("long").as("bucket"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // D12 — canonical selection: p3's clusters, but the keeper is the
     // LONGEST member (ties → min id) instead of the min id — the keep-best
     // refinement a pipeline switches to once a quality signal exists.
@@ -2181,6 +2200,25 @@ object SparkEntry {
     // thresholds via explicit INTEGER rank selection ((c*k+9)//10), not
     // quantile_disc: its float rank (0.1*n) can ceil one past the integer
     // formula the Spark side uses
+    "p5_ccnet_sample" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+           | p AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w FROM w),
+           | pr AS (SELECT doc_id, prev, w FROM p WHERE prev IS NOT NULL),
+           | big AS (SELECT prev, w, count(*)::DOUBLE AS cbw FROM pr GROUP BY 1, 2),
+           | uni AS (SELECT w AS prev, count(*)::DOUBLE AS cp FROM w GROUP BY 1),
+           | vv AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM w),
+           | nll AS (SELECT pr.doc_id, round(avg(-ln((cbw + 1.0) / (cp + 1.0 * (v + 1)))), 1) AS nll
+           |   FROM pr JOIN big USING (prev, w) JOIN uni USING (prev) CROSS JOIN vv GROUP BY pr.doc_id),
+           | o AS (SELECT nll AS v, row_number() OVER (ORDER BY nll) AS r FROM nll),
+           | tot AS (SELECT count(*) AS c FROM nll),
+           | th AS (SELECT k, min(v) AS t FROM o, tot, generate_series(1, 3) g(k) WHERE r >= (c * k + 2) // 3 GROUP BY k),
+           | ts AS (SELECT list(t ORDER BY k) AS ts FROM th),
+           | b AS (SELECT doc_id, nll, 1 + len(list_filter(ts, t -> t < nll)) AS bucket FROM nll, ts),
+           | h AS (SELECT doc_id, nll, bucket, (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM b)
+           | SELECT doc_id, nll, bucket::BIGINT AS bucket,
+           |   xor(h0, h0 >> 16) % 10000 < (CASE bucket WHEN 1 THEN 10000 WHEN 2 THEN 5000 ELSE 1000 END) AS kept
+           | FROM h ORDER BY doc_id""".stripMargin,
     "x9_curriculum_buckets" ->
       raw"""WITH v AS (SELECT doc_id, len($toksSql)::BIGINT AS n FROM documents),
            | o AS (SELECT n, row_number() OVER (ORDER BY n) AS r FROM v),
