@@ -127,7 +127,7 @@ object Chunker extends Serializable {
     chunks.result()
   }
 
-  private val CodeBoundary = "^(def |class |@|function |public |private |protected |static |fn |object |trait )".r
+  private val CodeBoundary = "^(def |async def |class |@|function |public |private |protected |static |fn |object |trait )".r
 
   /** Code chunker: split at unindented top-level boundaries, then pack blocks
     * greedily to ≤ maxTokens (declared deviation from the reference's

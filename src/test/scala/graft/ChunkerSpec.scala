@@ -125,6 +125,8 @@ class ChunkerSpec extends AnyFunSuite {
     assert(blocksJoined.contains("@a\n@b\ndef g():"))
     // and plain boundaries still split: class C starts its own block
     assert(Chunker.chunkCode("def f():\n    return 1\nclass C:\n    pass\n", maxTokens = 6).length == 2)
+    // async def is a top-level AST node like def — it must start a block
+    assert(Chunker.chunkCode("def f():\n    return 1\nasync def g():\n    return 2\n", maxTokens = 6).length == 2)
   }
 
   test("def-like lines inside triple-quoted strings are not boundaries (ast.parse sees one string)") {
