@@ -161,6 +161,59 @@ object TextOps {
     )
   }
 
+  /** Dedup-key normalization: lowercase, every non-alphanumeric run → one
+    * space, trim. The standard MinHash/exact-dedup canonicalization (case,
+    * punctuation and whitespace differences stop distinguishing copies);
+    * feed the result to [[Dedup.exactKey]] or the shingle pipeline. Pure
+    * codegen'd expressions, 1:1 expressible in the oracle
+    * (`regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')`).
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** C4-style heuristic line cleaning (Raffel et al. 2020 §2.2, the
+    * rules every web-corpus pipeline reuses): keep a line iff
+    *  - it has ≥ `minWords` whitespace-separated words,
+    *  - (optionally) it ends in terminal punctuation (`.!?"'`),
+    *  - it contains no blocklisted phrase (case-insensitive) — the
+    *    "javascript / lorem ipsum / cookie policy" rule,
+    *  - it contains no `{` (C4 drops brace-bearing pages as code; applied
+    *    per line here so one code block doesn't void a document).
+    *
+    * Entirely higher-order expressions over `split(text, '\n')` — a pure
+    * per-row projection: no explode, no shuffle, linear in bytes at any
+    * corpus size, and the filter composes into the scan's projection.
+    *
+    * Returns struct(cleaned, n_lines, n_kept); document-level gates (≥ k
+    * surviving lines, kept ratio) compose downstream from the counts.
+    */
+  def c4LineClean(
+      text: Column,
+      minWords: Int = 3,
+      badPhrases: Seq[String] = Seq("lorem ipsum", "javascript", "cookie policy", "terms of use"),
+      requireTerminal: Boolean = false,
+      dropBraces: Boolean = true,
+  ): Column = {
+    require(minWords >= 0, s"minWords must be nonnegative: $minWords")
+    val lines = split(text, "\n")
+    def keepLine(l: Column): Column = {
+      val t      = trim(l)
+      val words  = size(filter(split(t, "\\s+"), w => length(w) > 0))
+      val low    = lower(t)
+      val checks = Seq(words >= minWords) ++
+        badPhrases.map(p => !low.contains(p)) ++
+        (if (dropBraces) Seq(!t.contains("{")) else Nil) ++
+        (if (requireTerminal) Seq(t.rlike("[.!?\"']$")) else Nil)
+      checks.reduce(_ && _)
+    }
+    val kept = filter(lines, keepLine)
+    struct(
+      array_join(kept, "\n").as("cleaned"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+    )
+  }
+
   /** Corpus-self-trained bigram LM surprisal — the CCNet/KenLM-style quality
     * signal: score(doc) = mean −ln P(w_i | w_{i−1}) under add-k-smoothed
     * bigram statistics of the corpus ITSELF. Boilerplate scores low

@@ -820,4 +820,67 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("__keep_id"))
       .drop("__keep_id", "__c")
   }
+
+  /** Cross-corpus boilerplate line removal — the line-level dedup step of
+    * C4/RefinedWeb-style pipelines: a LINE appearing in ≥ `minDocs`
+    * DISTINCT documents (nav bars, cookie banners, license headers) is
+    * removed from every document; document text is reassembled in original
+    * line order. Complements [[TextOps.c4LineClean]] (per-line heuristics,
+    * no corpus state) with the corpus-frequency signal.
+    *
+    * Scale shape — nothing ever shuffles document text except the final
+    * per-document reassembly:
+    *  - frequency pass shuffles (md5(line), doc_id) pairs, distinct-ed
+    *    (map-side partial) so a line repeated inside one document counts
+    *    once; the count that follows is map-side combined;
+    *  - removal is a left-anti EQUI-join on the 16-byte line hash —
+    *    co-partitioned with the frequency output, and the boilerplate side
+    *    holds only lines that cleared `minDocs` (tiny vs the corpus), so
+    *    AQE typically broadcasts it;
+    *  - reassembly is ONE shuffle keyed by doc id (collect_list of
+    *    (pos, line) structs, sorted in the reducer via array_sort — a
+    *    window-free group agg, so combiners still apply).
+    *
+    * Blank lines are never boilerplate (kept verbatim); a document whose
+    * every line is removed survives with empty text, not a dropped row.
+    * Output: (idCol, cleaned, n_lines, n_kept).
+    */
+  def removeBoilerplateLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be at least 2: $minDocs")
+    val names = docs.columns.toSet
+    Seq("__pos", "__line", "__h", "cleaned", "n_lines", "n_kept").foreach(c =>
+      require(!names.contains(c), s"input already has a '$c' column"))
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines
+      .where(length(trim(col("__line"))) > 0)
+      .select(md5(col("__line")).as("__h"), col("__id").as("__bid"))
+      .distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__h")
+    val kept = lines
+      .join(boiler, md5(col("__line")) === boiler("__h"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            s => s.getField("__line"))).as("cleaned"),
+        count(lit(1)).as("n_kept"),
+      )
+    docs
+      .select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(kept, col(idCol) === col("__id"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+      )
+  }
 }
