@@ -59,17 +59,27 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long (with
-    * spark.sql.legacy.parquet.nanosAsLong=true) and we floor-convert to
-    * microseconds — the same truncation DuckDB applies reading nanos into
-    * its microsecond TIMESTAMP.
+  /** events.ts arrives in whatever parquet timestamp flavor the driver's
+    * generator used that round; normalize every variant to session-local
+    * TIMESTAMP (session tz is UTC, so wall-clock values are unchanged):
+    *  - TIMESTAMP(NANOS) → read as long under
+    *    spark.sql.legacy.parquet.nanosAsLong=true, floor-divided to micros
+    *    (the same truncation DuckDB applies reading nanos);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ, cast to
+    *    TIMESTAMP (interpreted in the UTC session tz — a no-op on values,
+    *    but required: unix_micros and numeric casts reject NTZ).
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", functions.timestamp_micros(functions.expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", functions.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

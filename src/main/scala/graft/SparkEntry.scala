@@ -1582,6 +1582,75 @@ object SparkEntry {
         .select("id", "component", "keep")
         .orderBy("id")
     }),
+
+    // X13 — Unicode-aware dedup-key normalization. The fixture prepends
+    // accented Latin, CJK and Cyrillic tokens to every doc (and makes every
+    // 50th doc punctuation-only): non-Latin text must survive the
+    // normalization (an ASCII-only class would zero it out and an exact-dedup
+    // pass would mass-collapse it), while punctuation-only docs legitimately
+    // normalize to "" — the is_empty flag is the guard a dedup caller keys on.
+    "x13_normalize_dedup" -> ((s, d) => {
+      val raw = when(col("doc_id") % 50 === 0, lit("¡!!! ¿?? ..."))
+        .otherwise(concat(lit("Héllo—Wörld, 北京 ФОО-123; "), col("text")))
+      Tables(s, d).documents
+        .select(col("doc_id"), TextOps.normalizeForDedup(raw).as("norm"))
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          (length(col("norm")) === 0).as("is_empty"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // X14 — C4-style per-line heuristic cleaning over a synthetic 5-line doc:
+    // body text (kept), a 2-word line (min-words drop), a mixed-case
+    // "Cookie Policy" line (case-insensitive phrase drop — the only rule that
+    // removes it, so this pins the case-fold fix), a brace line, and a
+    // doc-specific closing line (kept).
+    "x14_c4_line_clean" -> ((s, d) => {
+      val synth = concat_ws("\n",
+        col("text"),
+        lit("too short"),
+        lit("Please accept our Cookie Policy before browsing today"),
+        concat(lit("this brace { line has plenty of words "), col("doc_id")),
+        concat(lit("closing line number "), col("doc_id"), lit(" reads fine")))
+      val c = TextOps.c4LineClean(synth, minWords = 3,
+        badPhrases = Seq("Cookie Policy", "lorem ipsum"))
+      Tables(s, d).documents
+        .select(col("doc_id"), c.as("c"))
+        .select(
+          col("doc_id"),
+          md5(col("c.cleaned")).as("cleaned_md5"),
+          col("c.n_lines").cast("long").as("n_lines"),
+          col("c.n_kept").cast("long").as("n_kept"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // D13 — corpus-frequency boilerplate line removal: a shared header, a
+    // ~1/3-frequency cookie line and seven "tail variant" lines clear
+    // minDocs=5 and must vanish from every doc; the blank line, the unique
+    // body line and (usually) the original text survive in original order.
+    "d13_boilerplate_lines" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat_ws("\n",
+          lit("== site header =="),
+          col("text"),
+          lit(""),
+          concat(lit("body line "), col("doc_id")),
+          when(col("doc_id") % 3 === 0, lit("accept all cookies"))
+            .otherwise(concat(lit("tail variant "), col("doc_id") % 7))).as("text"))
+      Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 5)
+        .select(
+          col("doc_id"),
+          md5(col("cleaned")).as("cleaned_md5"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_kept").cast("long").as("n_kept"),
+        )
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2388,5 +2457,49 @@ object SparkEntry {
         | FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
         | WHERE c_mktsegment = 'BUILDING'
         | GROUP BY o_orderkey, o_orderdate ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    // x13 — DuckDB's RE2 accepts the same \p{L}/\p{N} classes as Java regex,
+    // so the Unicode normalization is reproduced verbatim.
+    "x13_normalize_dedup" ->
+      raw"""WITH r AS (SELECT doc_id,
+           |   CASE WHEN doc_id % 50 = 0 THEN '¡!!! ¿?? ...'
+           |        ELSE 'Héllo—Wörld, 北京 ФОО-123; ' || text END AS raw
+           | FROM documents),
+           | n AS (SELECT doc_id, trim(regexp_replace(lower(raw), '[^\p{L}\p{N}]+', ' ', 'g')) AS norm FROM r)
+           | SELECT doc_id, md5(norm) AS norm_md5, len(norm)::BIGINT AS n_chars_norm,
+           |   (len(norm) = 0) AS is_empty
+           | FROM n ORDER BY doc_id""".stripMargin,
+
+    "x14_c4_line_clean" ->
+      raw"""WITH r AS (SELECT doc_id,
+           |   text || chr(10) || 'too short' || chr(10) ||
+           |   'Please accept our Cookie Policy before browsing today' || chr(10) ||
+           |   'this brace { line has plenty of words ' || doc_id || chr(10) ||
+           |   'closing line number ' || doc_id || ' reads fine' AS t
+           | FROM documents),
+           | k AS (SELECT doc_id, string_split(t, chr(10)) AS lines,
+           |   list_filter(string_split(t, chr(10)), x ->
+           |     len(list_filter(string_split_regex(trim(x), '\s+'), w -> len(w) > 0)) >= 3
+           |     AND NOT contains(lower(trim(x)), 'cookie policy')
+           |     AND NOT contains(lower(trim(x)), 'lorem ipsum')
+           |     AND NOT contains(trim(x), '{')) AS kept
+           | FROM r)
+           | SELECT doc_id, md5(array_to_string(kept, chr(10))) AS cleaned_md5,
+           |   len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept
+           | FROM k ORDER BY doc_id""".stripMargin,
+
+    "d13_boilerplate_lines" ->
+      raw"""WITH r AS (SELECT doc_id,
+           |   '== site header ==' || chr(10) || text || chr(10) || chr(10) || 'body line ' || doc_id || chr(10) ||
+           |   CASE WHEN doc_id % 3 = 0 THEN 'accept all cookies' ELSE 'tail variant ' || (doc_id % 7) END AS t
+           | FROM documents),
+           | sp AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM r),
+           | l AS (SELECT doc_id, unnest(lines) AS line, generate_subscripts(lines, 1) AS pos FROM sp),
+           | b AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd FROM l WHERE len(trim(line)) > 0 GROUP BY line) WHERE nd >= 5),
+           | k AS (SELECT doc_id, count(*)::BIGINT AS n_kept, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+           |       FROM l ANTI JOIN b USING (line) GROUP BY doc_id)
+           | SELECT sp.doc_id, md5(coalesce(k.cleaned, '')) AS cleaned_md5,
+           |   len(sp.lines)::BIGINT AS n_lines, coalesce(k.n_kept, 0)::BIGINT AS n_kept
+           | FROM sp LEFT JOIN k ON sp.doc_id = k.doc_id ORDER BY sp.doc_id""".stripMargin,
   )
 }

@@ -161,15 +161,22 @@ object TextOps {
     )
   }
 
-  /** Dedup-key normalization: lowercase, every non-alphanumeric run → one
-    * space, trim. The standard MinHash/exact-dedup canonicalization (case,
-    * punctuation and whitespace differences stop distinguishing copies);
-    * feed the result to [[Dedup.exactKey]] or the shingle pipeline. Pure
-    * codegen'd expressions, 1:1 expressible in the oracle
-    * (`regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g')`).
+  /** Dedup-key normalization: lowercase, every run of characters that is
+    * neither a Unicode letter nor a Unicode digit → one space, trim. The
+    * standard MinHash/exact-dedup canonicalization (case, punctuation and
+    * whitespace differences stop distinguishing copies); feed the result to
+    * [[Dedup.exactKey]] or the shingle pipeline. Unicode-aware on purpose:
+    * an ASCII-only class (`[^a-z0-9]`) would normalize every non-Latin
+    * document (Chinese, Russian, Arabic, …) to the empty string, and an
+    * exact-dedup pass over that key would collapse ALL such documents into
+    * one "duplicate" group — a mass-delete of non-English content. Callers
+    * keying on this should still guard `length(key) > 0` (emoji-only /
+    * punctuation-only docs normalize to empty legitimately). Pure codegen'd
+    * expressions, 1:1 expressible in the oracle — both Java regex and
+    * DuckDB's RE2 accept `\p{L}` / `\p{N}`.
     */
   def normalizeForDedup(text: Column): Column =
-    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
 
   /** C4-style heuristic line cleaning (Raffel et al. 2020 §2.2, the
     * rules every web-corpus pipeline reuses): keep a line iff
@@ -201,12 +208,12 @@ object TextOps {
       val words  = size(filter(split(t, "\\s+"), w => length(w) > 0))
       val low    = lower(t)
       val checks = Seq(words >= minWords) ++
-        badPhrases.map(p => !low.contains(p)) ++
+        badPhrases.map(p => !low.contains(p.toLowerCase)) ++
         (if (dropBraces) Seq(!t.contains("{")) else Nil) ++
         (if (requireTerminal) Seq(t.rlike("[.!?\"']$")) else Nil)
       checks.reduce(_ && _)
     }
-    val kept = filter(lines, keepLine)
+    val kept = filter(lines, keepLine(_))
     struct(
       array_join(kept, "\n").as("cleaned"),
       size(lines).as("n_lines"),

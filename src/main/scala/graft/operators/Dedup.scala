@@ -853,7 +853,7 @@ object Dedup {
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be at least 2: $minDocs")
     val names = docs.columns.toSet
-    Seq("__pos", "__line", "__h", "cleaned", "n_lines", "n_kept").foreach(c =>
+    Seq("__id", "__bid", "__pos", "__line", "__h", "cleaned", "n_lines", "n_kept").foreach(c =>
       require(!names.contains(c), s"input already has a '$c' column"))
     val lines = docs.select(col(idCol).as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
