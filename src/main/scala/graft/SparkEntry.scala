@@ -1651,6 +1651,68 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+
+    // D14 — ExactSubstr-style repeated-span detection (Lee et al. 2022) at
+    // k=4-token resolution. Every 10th doc gets an 8-token injected prefix
+    // (a guaranteed cross-doc repeat ⇒ a span from token 0); the small
+    // closed vocabulary makes organic 4-gram collisions common enough to
+    // exercise the overlap merge on natural text too.
+    "d14_repeated_spans" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("alpha beta gamma delta epsilon zeta eta theta "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.repeatedSpans(docs, "doc_id", "text", k = 4)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // X15 — the Gopher rule battery over a synthetic multi-line doc:
+    // stopword-rich closing for every 4th doc (the ≥2-stopword gate), a
+    // bullet line for every 5th, a double-ellipsis tail for every 7th
+    // (2/5 lines = 0.4 ≥ 0.3 → ellipsis gate fails), body text for the
+    // word-count and mean-length gates.
+    "x15_gopher_quality" -> ((s, d) => {
+      val synth = concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("to be of and that we have with them"))
+          .otherwise(lit("plain closing words here")),
+        when(col("doc_id") % 5 === 0, lit("• bullet item")).otherwise(lit("regular middle line")),
+        when(col("doc_id") % 7 === 0, lit("trailing thought...\nanother pause..."))
+          .otherwise(lit("final line end.")))
+      val g = TextOps.gopherQuality(synth)
+      Tables(s, d).documents
+        .select(col("doc_id"), g.as("g"))
+        .select(
+          col("doc_id"),
+          col("g.n_words").cast("long").as("n_words"),
+          round(col("g.mean_word_len"), 4).as("mean_word_len"),
+          round(col("g.symbol_ratio"), 4).as("symbol_ratio"),
+          round(col("g.bullet_line_ratio"), 4).as("bullet_line_ratio"),
+          round(col("g.ellipsis_line_ratio"), 4).as("ellipsis_line_ratio"),
+          round(col("g.alpha_word_ratio"), 4).as("alpha_word_ratio"),
+          col("g.n_stop_present").cast("long").as("n_stop_present"),
+          col("g.gopher_pass").as("gopher_pass"),
+        )
+        .orderBy("doc_id")
+    }),
+
+    // P6 — SemDeDup-shaped semantic dedup (Abbas et al. 2023) as one
+    // composed plan: sign-bit-LSH-bucketed cosine pairs at τ=0.99 →
+    // connected components → one canonical keeper per semantic cluster
+    // (min id; the centroid-distance keeper is a keepBestBy swap). The
+    // duplicated corpus (vec_id+10000) guarantees every vector has an
+    // exact semantic duplicate to collapse.
+    "p6_semdedup" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val corpus = e.select("vec_id", "embedding")
+        .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99, 64, 32, 4)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(corpus.select("vec_id"), pairs, "vec_id", "id_a", "id_b")
+        .withColumn("keep", col("id") === col("component"))
+        .orderBy("id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2501,5 +2563,60 @@ object SparkEntry {
            | SELECT sp.doc_id, md5(coalesce(k.cleaned, '')) AS cleaned_md5,
            |   len(sp.lines)::BIGINT AS n_lines, coalesce(k.n_kept, 0)::BIGINT AS n_kept
            | FROM sp LEFT JOIN k ON sp.doc_id = k.doc_id ORDER BY sp.doc_id""".stripMargin,
+
+    "d14_repeated_spans" ->
+      raw"""WITH r AS (SELECT doc_id,
+           |   CASE WHEN doc_id % 10 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta ' || text ELSE text END AS text
+           | FROM documents),
+           | t AS (SELECT doc_id, $toksSql AS toks FROM r),
+           | g AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+           | gh AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+4], ' ')) AS h FROM g),
+           | heavy AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+           | f AS (SELECT doc_id, pos AS s, pos + 3 AS e FROM gh SEMI JOIN heavy USING (h)),
+           | o AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e FROM f),
+           | n AS (SELECT doc_id, s, e, CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END AS nw FROM o),
+           | i AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM n)
+           | SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+           |   (max(e) - min(s) + 1)::BIGINT AS span_tokens
+           | FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "x15_gopher_quality" ->
+      raw"""WITH r AS (SELECT doc_id,
+           |   text || chr(10) ||
+           |   CASE WHEN doc_id % 4 = 0 THEN 'to be of and that we have with them' ELSE 'plain closing words here' END || chr(10) ||
+           |   CASE WHEN doc_id % 5 = 0 THEN '• bullet item' ELSE 'regular middle line' END || chr(10) ||
+           |   CASE WHEN doc_id % 7 = 0 THEN 'trailing thought...' || chr(10) || 'another pause...' ELSE 'final line end.' END AS t
+           | FROM documents),
+           | m AS (SELECT doc_id,
+           |   list_filter(string_split_regex(t, '\s+'), w -> len(w) > 0) AS words,
+           |   string_split(t, chr(10)) AS lines,
+           |   len(regexp_extract_all(t, '#|\.\.\.|…')) AS n_sym,
+           |   len(list_intersect(list_distinct(list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> len(x) > 0)),
+           |       ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS n_stops
+           | FROM r),
+           | s AS (SELECT doc_id,
+           |   len(words) AS n_words,
+           |   CASE WHEN len(words) > 0 THEN len(array_to_string(words, ''))::DOUBLE / len(words) ELSE 0.0 END AS mean_len,
+           |   CASE WHEN len(words) > 0 THEN n_sym::DOUBLE / len(words) ELSE 0.0 END AS sym_r,
+           |   CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> list_contains(['•', '‣', '▪', '-', '*'], substr(ltrim(l), 1, 1))))::DOUBLE / len(lines) ELSE 0.0 END AS bul_r,
+           |   CASE WHEN len(lines) > 0 THEN len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))::DOUBLE / len(lines) ELSE 0.0 END AS ell_r,
+           |   CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words) ELSE 0.0 END AS alpha_r,
+           |   n_stops
+           | FROM m)
+           | SELECT doc_id, n_words::BIGINT AS n_words, round(mean_len, 4) AS mean_word_len,
+           |   round(sym_r, 4) AS symbol_ratio, round(bul_r, 4) AS bullet_line_ratio,
+           |   round(ell_r, 4) AS ellipsis_line_ratio, round(alpha_r, 4) AS alpha_word_ratio,
+           |   n_stops::BIGINT AS n_stop_present,
+           |   (n_words BETWEEN 50 AND 100000 AND mean_len BETWEEN 3 AND 10 AND sym_r <= 0.1
+           |    AND bul_r < 0.9 AND ell_r < 0.3 AND alpha_r >= 0.8 AND n_stops >= 2) AS gopher_pass
+           | FROM s ORDER BY doc_id""".stripMargin,
+
+    "p6_semdedup" ->
+      """WITH RECURSIVE c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |   UNION ALL SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings),
+        | p AS (SELECT a.id AS u, b.id AS v FROM c a JOIN c b ON a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.99),
+        | e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        | r(u, v) AS (SELECT id, id FROM c UNION SELECT e.u, r.v FROM e JOIN r ON e.v = r.u)
+        | SELECT u AS id, min(v)::BIGINT AS component, (u = min(v)) AS keep FROM r GROUP BY u ORDER BY id""".stripMargin,
   )
 }

@@ -161,6 +161,62 @@ object TextOps {
     )
   }
 
+  /** The Gopher rule battery (Rae et al. 2021, appendix A1.1) — the full
+    * per-document heuristic filter most modern web-corpus pipelines start
+    * from, complementing [[qualityFeatures]] (a soft score) with the
+    * paper's hard gates:
+    *  - 50 ≤ word count ≤ 100 000 (whitespace words, not alnum tokens);
+    *  - 3 ≤ mean word length ≤ 10;
+    *  - symbol-to-word ratio ≤ 0.1 (`#` and ellipsis);
+    *  - < 90% of lines start with a bullet, < 30% end with an ellipsis;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 distinct members of the 8-stopword probe set
+    *    {the, be, to, of, and, that, have, with} appear as tokens.
+    *
+    * Entirely codegen'd higher-order/regex expressions — a pure per-row
+    * projection that composes into the scan at any corpus size, 1:1
+    * reproducible in DuckDB. Gate comparisons run on the RAW doubles
+    * (IEEE division of identical operands is engine-portable); the emitted
+    * ratio columns are for observability and should be rounded by the
+    * caller if hashed. Empty documents fail the word-count gate and emit
+    * zero ratios rather than nulls.
+    */
+  def gopherQuality(text: Column): Column = {
+    val words  = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val meanLen =
+      when(nWords > 0, length(concat_ws("", words)).cast("double") / nWords).otherwise(lit(0.0))
+    val symbols  = regexp_count(text, lit("#|\\.\\.\\.|…"))
+    val symbolR  = when(nWords > 0, symbols.cast("double") / nWords).otherwise(lit(0.0))
+    val lines    = split(text, "\n")
+    val nLines   = size(lines)
+    val bulletR = when(nLines > 0,
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("•", "‣", "▪", "-", "*"))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val ellipsisR = when(nLines > 0,
+      size(filter(lines, l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…")))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val alphaR =
+      when(nWords > 0, size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords)
+        .otherwise(lit(0.0))
+    val probe  = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStops = size(array_intersect(array_distinct(tokens(text)), array(probe.map(lit): _*)))
+    val pass = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symbolR <= 0.1 && bulletR < 0.9 && ellipsisR < 0.3 &&
+      alphaR >= 0.8 && nStops >= 2
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolR.as("symbol_ratio"),
+      bulletR.as("bullet_line_ratio"),
+      ellipsisR.as("ellipsis_line_ratio"),
+      alphaR.as("alpha_word_ratio"),
+      nStops.as("n_stop_present"),
+      pass.as("gopher_pass"),
+    )
+  }
+
   /** Dedup-key normalization: lowercase, every run of characters that is
     * neither a Unicode letter nor a Unicode digit → one space, trim. The
     * standard MinHash/exact-dedup canonicalization (case, punctuation and

@@ -883,4 +883,78 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
       )
   }
+
+  /** Repeated-substring span detection — the relational form of ExactSubstr
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): find every maximal token span that is part of some
+    * `k`-token substring occurring ≥ `minOccurrences` times in the corpus.
+    * The reference method builds a corpus-wide suffix array (inherently
+    * single-machine); the same flagged-span output falls out of pure
+    * relational algebra: a span is repeated iff every `k`-gram inside it is
+    * repeated, so flagging repeated `k`-grams and merging overlaps
+    * reconstructs exactly the maximal repeated regions at `k`-token
+    * resolution.
+    *
+    * Scale shape:
+    *  1. per-row: tokenize, hash each positional `k`-gram (md5 of the
+    *     space-joined window — chosen over xxhash64 so the DuckDB oracle
+    *     can replay it; the hash never leaves the pipeline);
+    *  2. ONE map-side-combined shuffle of (gram_hash → count) — grams
+    *     shuffle as 16-byte hashes, never text;
+    *  3. the surviving "heavy" hashes (duplicated grams only — tiny vs the
+    *     corpus, AQE broadcasts them) semi-join back against the positional
+    *     gram stream;
+    *  4. overlap merge is a gaps-and-islands window PARTITIONED BY DOC —
+    *     a partition never holds more than one document's flagged grams,
+    *     so the window is bounded by document length at any corpus size.
+    *
+    * `crossDocOnly=true` counts DISTINCT documents instead of occurrences
+    * (intra-document repetition stops counting — the decontamination-style
+    * variant); the extra `distinct` is map-side partial on (hash, id).
+    *
+    * Output: one row per merged span — (idCol, span_start, span_end)
+    * inclusive token indices, plus span_tokens = span_end − span_start + 1.
+    * Documents with < `k` tokens produce no grams and never appear.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minOccurrences: Int = 2,
+      crossDocOnly: Boolean = false,
+  ): DataFrame = {
+    require(k >= 2, s"k must be at least 2: $k")
+    require(minOccurrences >= 2, s"minOccurrences must be at least 2: $minOccurrences")
+    val toks = docs.select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= k)
+      .select(col("__id"), posexplode(TextOps.wordShingles(col("__toks"), k)).as(Seq("__pos", "__gram")))
+      .select(col("__id"), col("__pos"), md5(col("__gram")).as("__gh"))
+    val heavy =
+      if (crossDocOnly)
+        toks.select("__gh", "__id").distinct()
+          .groupBy("__gh").agg(count(lit(1)).as("__n"))
+          .where(col("__n") >= minOccurrences).select("__gh")
+      else
+        toks.groupBy("__gh").agg(count(lit(1)).as("__n"))
+          .where(col("__n") >= minOccurrences).select("__gh")
+    val flagged = toks.join(heavy, Seq("__gh"), "left_semi")
+      .select(col("__id"), col("__pos").as("__s"), (col("__pos") + k - 1).as("__e"))
+    // gaps-and-islands: a gram starts a new span iff it begins past the
+    // running max end (+1: adjacent spans are one contiguous repeated region)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("__id").orderBy("__s")
+    val islands = flagged
+      .withColumn("__prev_e", max(col("__e")).over(w.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__prev_e").isNull || col("__s") > col("__prev_e") + 1, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+    islands.groupBy(col("__id"), col("__island"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .select(
+        col("__id").as(idCol),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"),
+      )
+  }
 }

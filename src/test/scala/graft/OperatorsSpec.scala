@@ -954,4 +954,96 @@ class OperatorsSpec extends AnyFunSuite {
     val ok = Mixing.mixToBudget(docs, "cls", "id", "sz", Seq("a" -> 100), 2000L, maxEpochs = 25)
     assert(ok.count() > 0)
   }
+
+  // ---- D14 repeated-span detection ----------------------------------------
+  test("repeatedSpans: cross-doc shared substring yields merged maximal spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e q"),
+      (3L, "u v w m n o p z"),       // nothing repeated
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: grams at 0 ("a b c d") and 1 ("b c d e") repeat -> one span [0,4]
+    // doc 2: same grams at 2 and 3 -> one span [2,6]
+    assert(spans == Set((1L, 0L, 4L, 5L), (2L, 2L, 6L, 5L)))
+  }
+
+  test("repeatedSpans: intra-doc repetition flags the whole run; crossDocOnly ignores it") {
+    val docs = Seq(
+      (1L, "p q r s p q r s p q r s"), // every 4-gram occurs >= 2 times
+      (2L, "one two three four five six seven eight"),
+    ).toDF("doc_id", "text")
+    val all = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(all == Set((1L, 0L, 11L, 12L)))
+    val cross = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4, crossDocOnly = true)
+    assert(cross.count() == 0)
+  }
+
+  test("repeatedSpans: disjoint repeats stay separate spans; short docs produce none") {
+    val docs = Seq(
+      (1L, "a b c d junk1 junk2 junk3 w x y z tailone"),
+      (2L, "a b c d other stuff here w x y z tailtwo"),
+      (3L, "a b c"), // < k tokens
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 0L, 3L, 4L), (1L, 7L, 10L, 4L),
+      (2L, 0L, 3L, 4L), (2L, 7L, 10L, 4L),
+    ))
+  }
+
+  // ---- X15 Gopher rule battery --------------------------------------------
+  test("gopherQuality: each gate fires on its constructed failure case") {
+    val good = (("the quick brown fox jumps to be near the lazy dog and we have " * 5) +
+      "that with plenty of words here").trim
+    val rows = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too few words to pass the count gate"), // < 50 words
+      (3L, ("1 2 3 4 5 6 7 8 9 0 " * 6).trim),      // numeric: alpha + mean-len fail
+      (4L, Seq.fill(60)("• item with a few words").mkString("\n")), // bullets
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextOps.gopherQuality(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.alpha_word_ratio"),
+        col("g.bullet_line_ratio"), col("g.gopher_pass"))
+      .as[(Long, Int, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._5, "good doc should pass")
+    assert(!out(1)._5 && out(1)._2 < 50)
+    assert(!out(2)._5 && out(2)._3 == 0.0)
+    assert(!out(3)._5 && out(3)._4 > 0.9)
+  }
+
+  test("gopherQuality: stopword probe needs >= 2 distinct members; empty doc fails cleanly") {
+    val rows = Seq(
+      (1L, ("aardvark banana cherry " * 20).trim),            // 0 probe stopwords
+      (2L, ("the aardvark banana cherry " * 20).trim),        // 1 (the)
+      (3L, ("the aardvark and banana cherry " * 15).trim),    // 2 (the, and)
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), TextOps.gopherQuality(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_stop_present"), col("g.gopher_pass"))
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(out(0)._2 == 0 && !out(0)._3)
+    assert(out(1)._2 == 1 && !out(1)._3)
+    assert(out(2)._2 == 2 && out(2)._3)
+    assert(out(3)._2 == 0 && !out(3)._3)
+  }
+
+  // ---- Unicode dedup normalization ----------------------------------------
+  test("normalizeForDedup keeps non-Latin scripts; punctuation-only goes empty") {
+    val rows = Seq(
+      (1L, "Привет, мир!"),
+      (2L, "北京 上海。"),
+      (3L, "!!! ??? ..."),
+      (4L, "  Hello,   WORLD!  "),
+    ).toDF("id", "text")
+    val out = rows.select(col("id"), TextOps.normalizeForDedup(col("text")).as("n"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == "привет мир")
+    assert(out(1)._2 == "北京 上海")
+    assert(out(2)._2 == "")
+    assert(out(3)._2 == "hello world")
+  }
 }
