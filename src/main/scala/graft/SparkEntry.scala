@@ -1680,9 +1680,8 @@ object SparkEntry {
         when(col("doc_id") % 5 === 0, lit("• bullet item")).otherwise(lit("regular middle line")),
         when(col("doc_id") % 7 === 0, lit("trailing thought...\nanother pause..."))
           .otherwise(lit("final line end.")))
-      val g = TextOps.gopherQuality(synth)
-      Tables(s, d).documents
-        .select(col("doc_id"), g.as("g"))
+      TextOps.withGopherQuality(
+        Tables(s, d).documents.select(col("doc_id"), synth.as("t")), "t", "g")
         .select(
           col("doc_id"),
           col("g.n_words").cast("long").as("n_words"),

@@ -173,48 +173,71 @@ object TextOps {
     *  - ≥ 2 distinct members of the 8-stopword probe set
     *    {the, be, to, of, and, that, have, with} appear as tokens.
     *
-    * Entirely codegen'd higher-order/regex expressions — a pure per-row
-    * projection that composes into the scan at any corpus size, 1:1
-    * reproducible in DuckDB. Gate comparisons run on the RAW doubles
+    * A pure per-row projection (three chained Projects, no shuffle) that
+    * composes into the scan at any corpus size, 1:1 reproducible in DuckDB.
+    * Appends `outCol` as a struct. Gate comparisons run on the RAW doubles
     * (IEEE division of identical operands is engine-portable); the emitted
     * ratio columns are for observability and should be rounded by the
     * caller if hashed. Empty documents fail the word-count gate and emit
     * zero ratios rather than nulls.
     */
-  def gopherQuality(text: Column): Column = {
-    val words  = filter(split(text, "\\s+"), w => length(w) > 0)
-    val nWords = size(words)
-    val meanLen =
-      when(nWords > 0, length(concat_ws("", words)).cast("double") / nWords).otherwise(lit(0.0))
-    val symbols  = regexp_count(text, lit("#|\\.\\.\\.|…"))
-    val symbolR  = when(nWords > 0, symbols.cast("double") / nWords).otherwise(lit(0.0))
-    val lines    = split(text, "\n")
-    val nLines   = size(lines)
-    val bulletR = when(nLines > 0,
-      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("•", "‣", "▪", "-", "*"))).cast("double") / nLines)
-      .otherwise(lit(0.0))
-    val ellipsisR = when(nLines > 0,
-      size(filter(lines, l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…")))).cast("double") / nLines)
-      .otherwise(lit(0.0))
-    val alphaR =
-      when(nWords > 0, size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWords)
-        .otherwise(lit(0.0))
-    val probe  = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStops = size(array_intersect(array_distinct(tokens(text)), array(probe.map(lit): _*)))
-    val pass = nWords >= 50 && nWords <= 100000 &&
-      meanLen >= 3.0 && meanLen <= 10.0 &&
-      symbolR <= 0.1 && bulletR < 0.9 && ellipsisR < 0.3 &&
-      alphaR >= 0.8 && nStops >= 2
-    struct(
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symbolR.as("symbol_ratio"),
-      bulletR.as("bullet_line_ratio"),
-      ellipsisR.as("ellipsis_line_ratio"),
-      alphaR.as("alpha_word_ratio"),
-      nStops.as("n_stop_present"),
-      pass.as("gopher_pass"),
+  def withGopherQuality(df: DataFrame, textCol: String, outCol: String = "gopher"): DataFrame = {
+    val names = df.columns.toSet
+    val temps = Seq("__gq_w", "__gq_l", "__gq_nw", "__gq_nl", "__gq_len", "__gq_sym",
+      "__gq_bul", "__gq_ell", "__gq_alpha", "__gq_stops",
+      "__gq_mean", "__gq_symr", "__gq_bulr", "__gq_ellr", "__gq_alphar")
+    (temps :+ outCol).foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    val text  = col(textCol)
+    val probe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // stage 1 — tokenizations run ONCE; higher-order filters over them and
+    // every count are materialized here so later stages reference cheap
+    // attributes. (Three Projects that Catalyst keeps separate: CollapseProject
+    // refuses to inline a non-cheap alias referenced more than once — the same
+    // no-CSE rationale as qualityFeatures' pre-materialized-tokens overload.
+    // The single-Column formulation of this battery re-evaluated the splits
+    // ~12× per row and was ~10× slower end-to-end.)
+    val bases = df
+      .withColumn("__gq_w", filter(split(text, "\\s+"), w => length(w) > 0))
+      .withColumn("__gq_l", split(text, "\n"))
+      .select(
+        col("*"),
+        size(col("__gq_w")).as("__gq_nw"),
+        size(col("__gq_l")).as("__gq_nl"),
+        length(concat_ws("", col("__gq_w"))).as("__gq_len"),
+        regexp_count(text, lit("#|\\.\\.\\.|…")).as("__gq_sym"),
+        size(filter(col("__gq_l"), l => substring(ltrim(l), 1, 1).isin("•", "‣", "▪", "-", "*"))).as("__gq_bul"),
+        size(filter(col("__gq_l"), l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…")))).as("__gq_ell"),
+        size(filter(col("__gq_w"), w => w.rlike("[a-zA-Z]"))).as("__gq_alpha"),
+        size(array_intersect(array_distinct(tokens(text)), array(probe.map(lit): _*))).as("__gq_stops"),
+      )
+    // stage 2 — ratios from the counts (cheap arithmetic over attributes)
+    val nW = col("__gq_nw")
+    val nL = col("__gq_nl")
+    val ratios = bases.select(
+      col("*"),
+      when(nW > 0, col("__gq_len").cast("double") / nW).otherwise(lit(0.0)).as("__gq_mean"),
+      when(nW > 0, col("__gq_sym").cast("double") / nW).otherwise(lit(0.0)).as("__gq_symr"),
+      when(nL > 0, col("__gq_bul").cast("double") / nL).otherwise(lit(0.0)).as("__gq_bulr"),
+      when(nL > 0, col("__gq_ell").cast("double") / nL).otherwise(lit(0.0)).as("__gq_ellr"),
+      when(nW > 0, col("__gq_alpha").cast("double") / nW).otherwise(lit(0.0)).as("__gq_alphar"),
     )
+    // stage 3 — the combined gate over ratio attributes, struct assembly
+    val pass = nW >= 50 && nW <= 100000 &&
+      col("__gq_mean") >= 3.0 && col("__gq_mean") <= 10.0 &&
+      col("__gq_symr") <= 0.1 && col("__gq_bulr") < 0.9 && col("__gq_ellr") < 0.3 &&
+      col("__gq_alphar") >= 0.8 && col("__gq_stops") >= 2
+    ratios
+      .withColumn(outCol, struct(
+        nW.as("n_words"),
+        col("__gq_mean").as("mean_word_len"),
+        col("__gq_symr").as("symbol_ratio"),
+        col("__gq_bulr").as("bullet_line_ratio"),
+        col("__gq_ellr").as("ellipsis_line_ratio"),
+        col("__gq_alphar").as("alpha_word_ratio"),
+        col("__gq_stops").as("n_stop_present"),
+        pass.as("gopher_pass"),
+      ))
+      .drop(temps: _*)
   }
 
   /** Dedup-key normalization: lowercase, every run of characters that is

@@ -1005,7 +1005,7 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, ("1 2 3 4 5 6 7 8 9 0 " * 6).trim),      // numeric: alpha + mean-len fail
       (4L, Seq.fill(60)("• item with a few words").mkString("\n")), // bullets
     ).toDF("doc_id", "text")
-    val out = rows.select(col("doc_id"), TextOps.gopherQuality(col("text")).as("g"))
+    val out = TextOps.withGopherQuality(rows, "text", "g")
       .select(col("doc_id"), col("g.n_words"), col("g.alpha_word_ratio"),
         col("g.bullet_line_ratio"), col("g.gopher_pass"))
       .as[(Long, Int, Double, Double, Boolean)].collect().sortBy(_._1)
@@ -1022,7 +1022,7 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, ("the aardvark and banana cherry " * 15).trim),    // 2 (the, and)
       (4L, ""),
     ).toDF("doc_id", "text")
-    val out = rows.select(col("doc_id"), TextOps.gopherQuality(col("text")).as("g"))
+    val out = TextOps.withGopherQuality(rows, "text", "g")
       .select(col("doc_id"), col("g.n_stop_present"), col("g.gopher_pass"))
       .as[(Long, Int, Boolean)].collect().sortBy(_._1)
     assert(out(0)._2 == 0 && !out(0)._3)
