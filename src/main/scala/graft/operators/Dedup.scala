@@ -864,24 +864,23 @@ object Dedup {
       .groupBy("__h").agg(count(lit(1)).as("__nd"))
       .where(col("__nd") >= minDocs)
       .select("__h")
-    val kept = lines
-      .join(boiler, md5(col("__line")) === boiler("__h"), "left_anti")
+    // LEFT join (not anti) so the same pass counts total lines: collect_list
+    // skips the nulls the `when` produces for boilerplate lines, so one
+    // groupBy yields cleaned text, n_lines and n_kept — no second corpus
+    // scan and no final doc-level join. Every doc has >= 1 line (split of ""
+    // is [""]), so no document can drop out of the group-by.
+    lines
+      .join(boiler, md5(col("__line")) === boiler("__h"), "left")
       .groupBy(col("__id"))
       .agg(
         concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          transform(
+            array_sort(collect_list(when(col("__h").isNull, struct(col("__pos"), col("__line"))))),
             s => s.getField("__line"))).as("cleaned"),
-        count(lit(1)).as("n_kept"),
+        count(lit(1)).as("n_lines"),
+        count(when(col("__h").isNull, 1)).as("n_kept"),
       )
-    docs
-      .select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("n_lines"))
-      .join(kept, col(idCol) === col("__id"), "left")
-      .select(
-        col(idCol),
-        coalesce(col("cleaned"), lit("")).as("cleaned"),
-        col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-      )
+      .select(col("__id").as(idCol), col("cleaned"), col("n_lines"), col("n_kept"))
   }
 
   /** Repeated-substring span detection — the relational form of ExactSubstr

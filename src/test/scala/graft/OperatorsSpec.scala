@@ -1031,6 +1031,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3)._2 == 0 && !out(3)._3)
   }
 
+  // ---- D13 boilerplate line removal ---------------------------------------
+  test("removeBoilerplateLines: shared lines vanish, blanks survive, empty docs keep a row") {
+    val docs = Seq(
+      (1L, "HEADER\nunique one\n\ntail"),
+      (2L, "HEADER\nunique two\ntail"),
+      (3L, "HEADER\ntail"),          // nothing left after removal but blanks
+      (4L, "solo content"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // HEADER (3 docs) and tail (3 docs) clear minDocs=3; blank lines never count
+    assert(out(0) == ((1L, "unique one\n", 4L, 2L)))
+    assert(out(1) == ((2L, "unique two", 3L, 1L)))
+    assert(out(2) == ((3L, "", 2L, 0L)))
+    assert(out(3) == ((4L, "solo content", 1L, 1L)))
+  }
+
+  test("removeBoilerplateLines rejects reserved internal column names") {
+    val bad = Seq((1L, "x")).toDF("__id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplateLines(bad, "__id", "text", minDocs = 2)
+    }
+  }
+
   // ---- Unicode dedup normalization ----------------------------------------
   test("normalizeForDedup keeps non-Latin scripts; punctuation-only goes empty") {
     val rows = Seq(
