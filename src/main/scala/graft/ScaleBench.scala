@@ -308,6 +308,30 @@ object ScaleBench {
           .groupBy("split").count().count()),
         "bm25"            -> (() => Rank.bm25(docs, "doc_id", "text",
           Seq("w1", "w17", "w303", "w555")).count()),
+        // round-6 adds: span dedup / quality gates / line-level dedup -------
+        // repeats come from the planted dup groups (identical texts ⇒ every
+        // gram repeated); cost shape = the heavy-hash count shuffle, linear
+        "repeated_spans"  -> (() => Dedup.repeatedSpans(docs, "doc_id", "text", 4).count()),
+        // filter on the pass gate forces every rule column to evaluate
+        "gopher_quality"  -> (() => graft.functions.TextOps.withGopherQuality(docs, "text")
+          .where(col("gopher.gopher_pass")).count()),
+        // synthesized multi-line docs: a corpus-wide header + 7 rotating
+        // tails clear minDocs, body lines are (mostly) unique
+        "boilerplate_lines" -> (() => Dedup.removeBoilerplateLines(
+          docs.select(col("doc_id"), concat_ws("\n", lit("shared header"), col("text"),
+            concat(lit("tail "), pmod(col("doc_id"), lit(7)))).as("text")),
+          "doc_id", "text", 5).agg(sum(col("n_kept"))).head().getLong(0)),
+        // sum over the struct field forces the line filters (count would prune)
+        "c4_line_clean"   -> (() => { docs
+          .select(graft.functions.TextOps.c4LineClean(col("text")).getField("n_kept").cast("long").as("k"))
+          .agg(sum(col("k"))).head().getLong(0) }),
+        // p6 composition: LSH-bucketed cosine pairs → CC → canonical keepers
+        "semdedup"        -> (() => {
+          val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.99, 64, 32, 4)
+            .select("id_a", "id_b")
+          Dedup.connectedComponents(vecs.select("vec_id"), pairs, "vec_id", "id_a", "id_b")
+            .where(col("id") === col("component")).count()
+        }),
         "hybrid_rrf"      -> (() => {
           val w = org.apache.spark.sql.expressions.Window.orderBy(desc("score"), col("id"))
           val bmLeg = Rank.bm25(docs, "doc_id", "text", Seq("w1", "w17", "w303"))
