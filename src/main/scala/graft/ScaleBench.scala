@@ -312,6 +312,10 @@ object ScaleBench {
         // repeats come from the planted dup groups (identical texts ⇒ every
         // gram repeated); cost shape = the heavy-hash count shuffle, linear
         "repeated_spans"  -> (() => Dedup.repeatedSpans(docs, "doc_id", "text", 4).count()),
+        // cut step: the ~2% planted dups take the reassembly branch, the
+        // other 98% take the scan-only branch (sum forces cleaned text)
+        "cut_spans"       -> (() => { Dedup.cutRepeatedSpans(docs, "doc_id", "text", 4)
+          .agg(sum(col("n_cut")), sum(length(col("cleaned")))).head(); 1L }),
         // filter on the pass gate forces every rule column to evaluate
         "gopher_quality"  -> (() => graft.functions.TextOps.withGopherQuality(docs, "text")
           .where(col("gopher.gopher_pass")).count()),

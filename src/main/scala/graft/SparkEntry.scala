@@ -1673,6 +1673,22 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // D15 — the ExactSubstr CUT step over d14's fixture: every token
+    // covered by a repeated 4-gram is removed and the token stream
+    // reassembled in order; untouched docs pass through the scan-only
+    // branch byte-identically.
+    "d15_cut_spans" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("alpha beta gamma delta epsilon zeta eta theta "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.cutRepeatedSpans(docs, "doc_id", "text", k = 4)
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+          col("n_tokens"), col("n_cut"))
+        .orderBy("doc_id")
+    }),
+
     // X15 — the Gopher rule battery over a synthetic multi-line doc:
     // stopword-rich closing for every 4th doc (the ≥2-stopword gate), a
     // bullet line for every 5th, a double-ellipsis tail for every 7th
@@ -2584,6 +2600,27 @@ object SparkEntry {
            | SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
            |   (max(e) - min(s) + 1)::BIGINT AS span_tokens
            | FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // d15 — covered positions come straight from flagged grams (the union
+    // of pos..pos+3 windows IS the union of merged islands, so no island
+    // CTE is needed for the cut).
+    "d15_cut_spans" ->
+      raw"""WITH r AS (SELECT doc_id,
+           |   CASE WHEN doc_id % 10 = 0 THEN 'alpha beta gamma delta epsilon zeta eta theta ' || text ELSE text END AS text
+           | FROM documents),
+           | t AS (SELECT doc_id, $toksSql AS toks FROM r),
+           | g AS (SELECT doc_id, unnest(range(0, len(toks) - 3)) AS pos, toks FROM t WHERE len(toks) >= 4),
+           | gh AS (SELECT doc_id, pos, md5(array_to_string(toks[pos+1:pos+4], ' ')) AS h FROM g),
+           | heavy AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2),
+           | f AS (SELECT doc_id, pos FROM gh SEMI JOIN heavy USING (h)),
+           | cx AS (SELECT doc_id, pos, unnest([0, 1, 2, 3]) AS d FROM f),
+           | cov AS (SELECT DISTINCT doc_id, pos + d AS cpos FROM cx),
+           | tk AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos FROM t),
+           | j AS (SELECT tk.doc_id, tk.pos, tk.tok, cov.cpos FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos),
+           | a AS (SELECT doc_id, string_agg(CASE WHEN cpos IS NULL THEN tok END, ' ' ORDER BY pos) AS cleaned,
+           |       count(*)::BIGINT AS n_tokens, count(cpos)::BIGINT AS n_cut FROM j GROUP BY doc_id)
+           | SELECT doc_id, md5(coalesce(cleaned, '')) AS cleaned_md5, n_tokens, n_cut
+           | FROM a ORDER BY doc_id""".stripMargin,
 
     "x15_gopher_quality" ->
       raw"""WITH r AS (SELECT doc_id,

@@ -956,4 +956,67 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"),
       )
   }
+
+  /** The cut step completing ExactSubstr dedup: remove every token covered
+    * by a [[repeatedSpans]] span and reassemble the remaining token stream
+    * in order (Lee et al. 2022 drop ALL copies of a duplicated substring —
+    * they report the simpler policy costs nothing downstream; "keep first
+    * occurrence" would need a global occurrence order, i.e. one more
+    * corpus-wide sort). Output text is the rebuilt TOKEN stream (the same
+    * canonicalized space the spans were computed in), not the original
+    * formatting.
+    *
+    * Scale shape — only affected documents ever shuffle:
+    *  - documents with no flagged span (the overwhelming majority of a
+    *    typical corpus) take a scan-only branch: tokens are rejoined
+    *    per-row, nothing explodes and nothing shuffles;
+    *  - affected documents explode to (id, pos, token), LEFT-join the
+    *    covered-position set (equi-join on (id, pos), co-partitioned), and
+    *    reassemble in ONE group-by (collect_list skips cut tokens via the
+    *    null trick, counts ride along — same pattern as
+    *    [[removeBoilerplateLines]]);
+    *  - the affected-id set and covered positions are bounded by total
+    *    flagged span length, tiny vs the corpus, so AQE broadcasts them.
+    *
+    * Output: (idCol, cleaned, n_tokens, n_cut) — n_tokens counts the
+    * ORIGINAL token stream; n_cut of them were removed.
+    */
+  def cutRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minOccurrences: Int = 2,
+      crossDocOnly: Boolean = false,
+  ): DataFrame = {
+    val names = docs.columns.toSet
+    Seq("__cid", "__cpos", "__toks", "__pos", "__tok", "cleaned", "n_tokens", "n_cut").foreach(c =>
+      require(!names.contains(c), s"input already has a '$c' column"))
+    val spans = repeatedSpans(docs, idCol, textCol, k, minOccurrences, crossDocOnly)
+    val covered = spans.select(
+      col(idCol).as("__cid"),
+      explode(sequence(col("span_start"), col("span_end"))).as("__cpos"))
+    val toks        = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val affectedIds = covered.select(col("__cid")).distinct()
+    val untouched = toks.join(affectedIds, col(idCol) === col("__cid"), "left_anti")
+      .select(
+        col(idCol),
+        concat_ws(" ", col("__toks")).as("cleaned"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        lit(0L).as("n_cut"),
+      )
+    val rebuilt = toks.join(affectedIds, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .join(covered, col(idCol) === col("__cid") && col("__pos") === col("__cpos"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("__cid").isNull, struct(col("__pos"), col("__tok"))))),
+            s => s.getField("__tok"))).as("cleaned"),
+        count(lit(1)).as("n_tokens"),
+        count(col("__cid")).as("n_cut"),
+      )
+    untouched.unionByName(rebuilt)
+  }
 }

@@ -995,6 +995,30 @@ class OperatorsSpec extends AnyFunSuite {
     ))
   }
 
+  // ---- D15 ExactSubstr cut step -------------------------------------------
+  test("cutRepeatedSpans removes covered tokens everywhere; untouched docs pass through") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // span [0,4] cut
+      (2L, "x y a b c d e q"),        // span [2,6] cut
+      (3L, "only unique tokens sit right here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "f g h", 8L, 5L)))
+    assert(out(1) == ((2L, "x y q", 8L, 5L)))
+    assert(out(2) == ((3L, "only unique tokens sit right here", 6L, 0L)))
+  }
+
+  test("cutRepeatedSpans: fully-duplicated doc empties but keeps its row") {
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t u"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(docs, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "", 6L, 6L), (2L, "", 6L, 6L)))
+  }
+
   // ---- X15 Gopher rule battery --------------------------------------------
   test("gopherQuality: each gate fires on its constructed failure case") {
     val good = (("the quick brown fox jumps to be near the lazy dog and we have " * 5) +
