@@ -1673,6 +1673,33 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // V12 — SQ8 ANN: cosine top-k served from int8 codes against the
+    // full-precision query (per-vector scale cancels under cosine). Gate =
+    // recall@10 vs the exact float search; measured 10/10 at both oracle
+    // SFs (the ±0.5-step error is far below the testdata's score gaps).
+    "v12_sq8_ann" -> ((s, d) => {
+      val t  = Tables(s, d)
+      val qt = Quant.sq8Table(t.embeddings.select("vec_id", "embedding"), "embedding")
+      val approx = Quant.topKOnCodes(qt, "codes", "vec_id", qVec, 10).select("vec_id")
+      val exact  = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10).select("vec_id")
+      approx.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
+    }),
+
+    // V13 — the quantizer itself, full hash oracle: floor(x/s·127+0.5) is
+    // the same IEEE double arithmetic in Spark and DuckDB, so the exact
+    // code arrays (not just stats) are value-checked per vector.
+    "v13_sq8_codes" -> ((s, d) =>
+      Quant.sq8Table(Tables(s, d).embeddings.select("vec_id", "embedding"), "embedding")
+        .select(
+          col("vec_id"),
+          md5(array_join(col("codes"), ",")).as("codes_md5"),
+          array_max(col("codes")).cast("long").as("code_max"),
+          array_min(col("codes")).cast("long").as("code_min"),
+        )
+        .orderBy("vec_id")),
+
     // D15 — the ExactSubstr CUT step over d14's fixture: every token
     // covered by a repeated 4-gram is removed and the token stream
     // reassembled in order; untouched docs pass through the scan-only
@@ -2600,6 +2627,18 @@ object SparkEntry {
            | SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
            |   (max(e) - min(s) + 1)::BIGINT AS span_tokens
            | FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "v12_sq8_ann" ->
+      "SELECT 10::BIGINT AS k, true AS recall_ok",
+
+    "v13_sq8_codes" ->
+      raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           | s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+           | c AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+           |   ELSE list_transform(v, x -> (floor(x / s * 127 + 0.5))::INT) END AS codes FROM s)
+           | SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5,
+           |   list_max(codes)::BIGINT AS code_max, list_min(codes)::BIGINT AS code_min
+           | FROM c ORDER BY vec_id""".stripMargin,
 
     // d15 — covered positions come straight from flagged grams (the union
     // of pos..pos+3 windows IS the union of merged islands, so no island

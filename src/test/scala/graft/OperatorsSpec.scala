@@ -995,6 +995,47 @@ class OperatorsSpec extends AnyFunSuite {
     ))
   }
 
+  // ---- V12/V13 SQ8 quantization -------------------------------------------
+  test("sq8: codes bounded to [-127,127], max-|component| hits ±127, zero vector codes to zeros") {
+    val rows = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.0)),  // s=1.0 -> codes (64, -127, 32, 0)
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(2.0, 1.0, -2.0, 0.5)),   // s=2.0 -> (127, 64, -127, 32)
+    ).toDF("id", "v").select(col("id"), col("v").cast("array<double>").as("v"))
+    val out = Quant.sq8Table(rows, "v").select(col("id"), col("codes"), col("scale"))
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    assert(out(0)._2 == Seq(64, -127, 32, 0) && out(0)._3 == 1.0)
+    assert(out(1)._2 == Seq(0, 0, 0, 0) && out(1)._3 == 0.0)
+    assert(out(2)._2 == Seq(127, 64, -127, 32) && out(2)._3 == 2.0)
+    assert(out.forall(_._2.forall(c => c >= -127 && c <= 127)))
+  }
+
+  test("sq8 ANN: code-space cosine ranking matches full precision on separated clusters") {
+    // 40 vectors in two well-separated directions plus per-id jitter: the
+    // quantization error (±0.5 step of 1/127) cannot cross the cluster gap
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.0, 0.2, 0.1) else Seq(0.0, 1.0, 0.1, 0.2)
+      (i, base.zipWithIndex.map { case (b, j) => b + (i * 7 + j) % 13 * 0.003 })
+    }.toDF("vec_id", "embedding")
+    val q     = Seq(1.0, 0.0, 0.2, 0.1)
+    val qt    = Quant.sq8Table(vecs, "embedding")
+    val exact = Search.topK(vecs, "embedding", "vec_id", q, 10).select("vec_id").as[Long].collect().toSet
+    val codes = Quant.topKOnCodes(qt, "codes", "vec_id", q, 10).select("vec_id").as[Long].collect().toSet
+    assert(exact.forall(_ % 2 == 0) && codes.forall(_ % 2 == 0),
+      "both searches must stay inside the query's cluster")
+    assert((exact intersect codes).size >= 8)
+  }
+
+  test("sq8 dequantization error is bounded by scale/254 per component") {
+    val rows = Seq((1L, Seq(0.9, -0.33, 0.127, 0.0001))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    val r = Quant.sq8Table(rows, "v").select("v", "codes", "scale")
+      .as[(Seq[Double], Seq[Int], Double)].head()
+    r._1.zip(r._2).foreach { case (orig, code) =>
+      assert(math.abs(orig - code.toDouble / 127 * r._3) <= r._3 / 254 + 1e-12)
+    }
+  }
+
   // ---- D15 ExactSubstr cut step -------------------------------------------
   test("cutRepeatedSpans removes covered tokens everywhere; untouched docs pass through") {
     val docs = Seq(
