@@ -151,6 +151,13 @@ object ScaleBench {
           Ivf.knnJoin(indexed, model, vecs.where(col("vec_id") < 64),
             "embedding", "vec_id", "embedding", "vec_id", 10, nProbe).count()
         }),
+        // SQ8 at the real shape: top-k from int8 codes (4-8x smaller scan)
+        // vs the float search; rows = recall@10 (gate >= 8)
+        "sq8_topk_768" -> (() => {
+          val qt = Quant.sq8Table(vecs, "embedding")
+          Quant.topKOnCodes(qt, "codes", "vec_id", qVec, 10)
+            .select("vec_id").as[Long].collect().count(exactIds).toLong
+        }),
         // d7 at 768-d: banded sign-LSH candidates + exact-cosine verify;
         // expected rows ≈ n/50 planted dup pairs (cos = 1 ≥ 0.99)
         "embed_neardup_768" -> (() => Dedup.embeddingNearDupPairs(

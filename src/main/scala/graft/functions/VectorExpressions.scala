@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.sql.{Column, GraftBridge}
@@ -106,6 +106,70 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Native SQ8 quantizer: one pass over the double array produces
+  * struct(codes: array<int>, scale: double) — code_i = floor(v_i/s·127+0.5),
+  * s = max|v_i|, zero vectors → all-zero codes. The declarative HOF form
+  * ([[graft.operators.Quant.sq8CodesHof]]) pays an interpreted boxed lambda
+  * per ELEMENT (3 HOFs × dim × rows closure calls — ~90 s to quantize
+  * 100k×768-d, measured by the 768-d ScaleBench tier); this expression is
+  * one codegen'd loop (~1 s at the same shape). NaN components propagate
+  * exactly like the declarative form (scale NaN → every code 0 via the
+  * double→int cast of NaN).
+  */
+case class Sq8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $other")
+  }
+
+  override def dataType: DataType = Sq8.schema
+  override def prettyName: String = "sq8"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Sq8.quantize(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sq8$$.MODULE$$.quantize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8 =
+    copy(child = newChild)
+}
+
+object Sq8 {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  val schema: org.apache.spark.sql.types.StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+  ))
+
+  def quantize(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      // NaN must win the max like Spark's array_max (NaN sorts greatest)
+      if (a.isNaN || a > s) s = a
+      i += 1
+    }
+    val codes = new Array[Int](n)
+    if (s != 0.0) { // s == 0 (incl. -0.0) → all-zero codes; NaN s falls through
+      i = 0
+      while (i < n) {
+        val c = math.floor(v.getDouble(i) / s * 127 + 0.5)
+        codes(i) = if (c.isNaN) 0 else c.toInt // double→int cast semantics
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(codes), s))
+  }
+}
+
 object VectorExpressions {
 
   /** Codegen'd cosine over array<double> columns. */
@@ -115,4 +179,8 @@ object VectorExpressions {
   /** Codegen'd dot product over array<double> columns. */
   def dotFast(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd SQ8 quantization: struct(codes array<int>, scale double). */
+  def sq8(v: Column): Column =
+    GraftBridge.column(Sq8(GraftBridge.expression(v)))
 }

@@ -27,28 +27,47 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Quant {
 
-  /** int8 code array ([-127, 127]) for one embedding column. */
-  def sq8Codes(v: Column): Column = {
-    val s = array_max(transform(v, x => abs(x)))
-    when(s === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => floor(x / s * 127 + 0.5).cast("int")))
-  }
+  /** int8 code array ([-127, 127]) for one embedding column (the codegen'd
+    * [[graft.functions.Sq8]] expression — one loop per row).
+    */
+  def sq8Codes(v: Column): Column =
+    graft.functions.VectorExpressions.sq8(v).getField("codes")
 
   /** The per-vector scale (max |component|) — needed only by non-cosine
     * consumers to dequantize: `v_i ≈ code_i / 127 · scale`.
     */
-  def sq8Scale(v: Column): Column = array_max(transform(v, x => abs(x)))
+  def sq8Scale(v: Column): Column =
+    graft.functions.VectorExpressions.sq8(v).getField("scale")
+
+  /** Declarative HOF reference implementation — the ScalaCheck parity
+    * oracle for [[graft.functions.Sq8]] (and the 1:1 shape the DuckDB
+    * oracle SQL mirrors). Two hazards make it unfit for the hot path,
+    * both measured by the 768-d ScaleBench tier: interpreted per-element
+    * lambdas (3 HOFs × dim boxed closure calls per row), and — if the
+    * scale expression is referenced inside the per-element lambda rather
+    * than bound once — O(dim²) re-evaluation per row.
+    */
+  private[graft] def sq8CodesHof(v: Column): Column =
+    element_at(
+      transform(array(array_max(transform(v, x => abs(x)))), s =>
+        when(s === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x => floor(x / s * 127 + 0.5).cast("int")))), 1)
 
   /** Quantize an embedding table: adds `codes` (int8 range) and `scale`.
     * Written to parquet the codes column is the 4–8× storage win; keep the
     * original embedding column out of the projection for stores that
-    * serve search from codes alone.
+    * serve search from codes alone. The struct lands as ONE materialized
+    * column so the single-pass quantizer runs once per row even though two
+    * fields are extracted.
     */
   def sq8Table(df: DataFrame, embCol: String, codesCol: String = "codes", scaleCol: String = "scale"): DataFrame = {
     val names = df.columns.toSet
-    Seq(codesCol, scaleCol).foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    Seq(codesCol, scaleCol, "__sq8").foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
     val v = col(embCol).cast("array<double>")
-    df.withColumn(codesCol, sq8Codes(v)).withColumn(scaleCol, sq8Scale(v))
+    df.withColumn("__sq8", graft.functions.VectorExpressions.sq8(v))
+      .withColumn(codesCol, col("__sq8.codes"))
+      .withColumn(scaleCol, col("__sq8.scale"))
+      .drop("__sq8")
   }
 
   /** Cosine top-k over a quantized table: codes compare directly against

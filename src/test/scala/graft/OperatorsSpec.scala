@@ -651,6 +651,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: native Sq8 matches the declarative HOF form on arbitrary finite vectors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vGen = for {
+      n  <- Gen.choose(0, 24)
+      vs <- Gen.listOfN(n, Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5, 1e-300, -1e9, 3.14159, 127.0, 0.007))
+    } yield vs
+    val inputs = (0 until 200).flatMap(i => vGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq(Seq.empty[Double], Seq(0.0, 0.0), Seq(-5.0))
+    val df = inputs.toDF("v").select(col("v").cast("array<double>").as("v"))
+      .select(Quant.sq8Codes(col("v")).as("fast"), Quant.sq8CodesHof(col("v")).as("ref"))
+    df.collect().zip(inputs).foreach { case (r, in) =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"mismatch on $in")
+    }
+  }
+
   test("property: native WordShingles matches the declarative transform/slice form") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
