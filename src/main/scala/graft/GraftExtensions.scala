@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, Tokenize}
+import graft.functions.{CosineSimilarity, DotProduct, Sq8, Tokenize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[Tokenize].getName, "graft_tokens"),
       (args: Seq[Expression]) => Tokenize(args.head),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("sq8"),
+      new ExpressionInfo(classOf[Sq8].getName, "sq8"),
+      (args: Seq[Expression]) => Sq8(args.head),
     ))
   }
 }

@@ -38,5 +38,7 @@ object GraftBridge {
       "dot_product", args => graft.functions.DotProduct(args(0), args(1)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_tokens", args => graft.functions.Tokenize(args.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "sq8", args => graft.functions.Sq8(args.head), "built-in")
   }
 }

@@ -699,6 +699,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == ((1.0, 11.0)))
   }
 
+  test("sq8 callable from spark.sql after registration") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    val r = spark.sql("SELECT sq8(array(0.5d, -1.0d, 0.0d)) AS q")
+      .select(col("q.codes"), col("q.scale")).as[(Seq[Int], Double)].head()
+    assert(r == ((Seq(64, -127, 0), 1.0)))
+  }
+
   // ---- M6 model persistence (dimensionality_reduction.py:160-187) --------
   test("PCA save/load round-trip projects identically") {
     val df = (0L until 50L).map(i => (i, Embedder.default.embed(s"persist doc $i"))).toDF("id", "vec")
