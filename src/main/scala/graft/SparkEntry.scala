@@ -1687,6 +1687,22 @@ object SparkEntry {
         .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
+    // V14 — IVF over an int8-only store (the faiss IVF-SQ composition):
+    // the store holds codes, never floats — 4–8× less storage AND probe
+    // I/O; centroids fit on cast codes, the probe ranks cast codes against
+    // the full-precision query. Same recall gate as v6 (measured 10/10).
+    "v14_ivf_sq8" -> ((s, d) => {
+      val t  = Tables(s, d)
+      val qt = Quant.sq8Table(t.embeddings.select("vec_id", "embedding"), "embedding")
+        .select("vec_id", "codes")
+      val (indexed, model) = Ivf.indexFor(qt, "codes", 8, cacheKey = s"$d/embeddings#sq8")
+      val ann   = Ivf.search(indexed, model, "codes", "vec_id", qVec, 10, 6).select("vec_id")
+      val exact = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10).select("vec_id")
+      ann.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
+    }),
+
     // V13 — the quantizer itself, full hash oracle: floor(x/s·127+0.5) is
     // the same IEEE double arithmetic in Spark and DuckDB, so the exact
     // code arrays (not just stats) are value-checked per vector.
@@ -2629,6 +2645,9 @@ object SparkEntry {
            | FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     "v12_sq8_ann" ->
+      "SELECT 10::BIGINT AS k, true AS recall_ok",
+
+    "v14_ivf_sq8" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
 
     "v13_sq8_codes" ->

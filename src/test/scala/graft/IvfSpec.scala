@@ -206,6 +206,27 @@ class IvfSpec extends AnyFunSuite {
       "small models must stay on the codegen'd expression path")
   }
 
+  test("int8-code stores are first-class: both assignment paths match the cast-double corpus") {
+    // an IVF-SQ store holds array<int> codes, never floats; assignment and
+    // probing must treat it exactly like the same values as doubles
+    val codes = graft.operators.Quant.sq8Table(corpus, "vec").select(col("id"), col("codes"))
+    val asDbl = codes.select(col("id"), col("codes").cast("array<double>").as("codes"))
+    val (_, model) = Ivf.assign(asDbl, "codes", 6)
+    val viaInt = Ivf.withListId(codes, model, "codes")
+      .select("id", "list_id").as[(Long, Int)].collect().toMap
+    val viaDbl = Ivf.withListId(asDbl, model, "codes")
+      .select("id", "list_id").as[(Long, Int)].collect().toMap
+    assert(viaInt == viaDbl)
+    // the >32-list generic-Number loop path too
+    val ghosts = (0 until 40).map(g => model.centroids(g % 6).map(_ + 1000.0 * (g + 1)))
+    val big    = Ivf.Model(model.centroids ++ ghosts)
+    val loopInt = Ivf.withListId(codes, big, "codes")
+      .select("id", "list_id").as[(Long, Int)].collect().toMap
+    val loopDbl = Ivf.withListId(asDbl, big, "codes")
+      .select("id", "list_id").as[(Long, Int)].collect().toMap
+    assert(loopInt == loopDbl)
+  }
+
   test("index handle holds no persisted corpus (store path + centroids only)") {
     val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
     assert(indexed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
