@@ -257,8 +257,17 @@ object ScaleBench {
         "scrub_pii"       -> (() => { docs
           .select(length(graft.functions.TextOps.scrubPii(col("text"))).as("l"))
           .agg(sum(col("l"))).head().getLong(0); 1L }),
-        // decade chains: constant rounds, per-round work linear in nodes
+        // decade chains: constant rounds, per-round work linear in nodes.
+        // maxDriverEdges=0 pins the DISTRIBUTED loop (the 100 TB path this
+        // curve exists to measure); cc_driver times the union-find fast path
+        // on the same graph (72k edges at 16× still well under budget)
         "conn_components" -> (() => {
+          val ids = docs.select(col("doc_id"))
+          val e = ids.where(col("doc_id") % 10 =!= 9)
+            .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+          Dedup.connectedComponents(ids, e, "doc_id", "u", "v", maxDriverEdges = 0L).count()
+        }),
+        "cc_driver"       -> (() => {
           val ids = docs.select(col("doc_id"))
           val e = ids.where(col("doc_id") % 10 =!= 9)
             .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))

@@ -669,8 +669,9 @@ object Dedup {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 20,
+      maxDriverEdges: Long = 500000L,
   ): DataFrame =
-    connectedComponentsStats(nodes, edges, idCol, srcCol, dstCol, maxIters)._1
+    connectedComponentsStats(nodes, edges, idCol, srcCol, dstCol, maxIters, maxDriverEdges)._1
 
   /** Loop telemetry for tests and tuning: rounds run and Spark jobs issued
     * by the propagation loop (checkpoint materializations, excluding the
@@ -678,7 +679,26 @@ object Dedup {
     */
   final case class CcStats(rounds: Int, jobs: Int)
 
-  /** [[connectedComponents]], returning the result plus [[CcStats]]. */
+  /** [[connectedComponents]], returning the result plus [[CcStats]].
+    *
+    * Two execution paths behind one contract (the same dual-path shape as
+    * the ML driver-fit byte budget):
+    *  - **driver union-find** when the edge set fits `maxDriverEdges`
+    *    (one bounded `limit(n+1).collect()` decides AND provides the
+    *    edges): path-halving union-find labels every edge-touching node in
+    *    one pass, the labels broadcast back, and singleton nodes rejoin
+    *    via a broadcast anti-join — ONE Spark job instead of ~3 per
+    *    propagation round. Dedup edge sets are pair lists of *duplicates*,
+    *    tiny relative to the corpus, so this is the common case even at
+    *    large corpus sizes.
+    *  - **distributed label propagation** (neighbor-min + double pointer
+    *    jumping, accumulator-fused convergence) beyond the budget — the
+    *    100 TB path; `maxDriverEdges = 0` forces it (tests, curve
+    *    measurement).
+    * Outputs are identical: component = min id reachable; nodes without
+    * edges are singletons. Null edge endpoints never label anything on
+    * either path.
+    */
   def connectedComponentsStats(
       nodes: DataFrame,
       edges: DataFrame,
@@ -686,10 +706,58 @@ object Dedup {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 20,
+      maxDriverEdges: Long = 500000L,
   ): (DataFrame, CcStats) = {
     import org.apache.spark.sql.GraftBridge
     val spark = nodes.sparkSession
     val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    if (maxDriverEdges > 0) {
+      val cap = math.min(maxDriverEdges + 1, Int.MaxValue - 1L).toInt
+      val lim = sym.where(col("u").isNotNull && col("v").isNotNull).limit(cap).collect()
+      if (lim.length <= maxDriverEdges) {
+        val ids    = new scala.collection.mutable.ArrayBuffer[Long]()
+        val index  = new java.util.HashMap[Long, Integer]()
+        val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+        val size   = new scala.collection.mutable.ArrayBuffer[Int]()
+        def idOf(x: Long): Int = {
+          val e = index.get(x)
+          if (e != null) e.intValue()
+          else {
+            val i = ids.length
+            index.put(x, i); ids += x; parent += i; size += 1
+            i
+          }
+        }
+        def find(a: Int): Int = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        lim.foreach { r =>
+          val (ra, rb) = (find(idOf(r.getLong(0))), find(idOf(r.getLong(1))))
+          if (ra != rb) {
+            val (big, small) = if (size(ra) >= size(rb)) (ra, rb) else (rb, ra)
+            parent(small) = big
+            size(big) += size(small)
+          }
+        }
+        val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+        ids.indices.foreach { i =>
+          val r   = find(i)
+          val cur = minOf.get(r)
+          if (cur == null || ids(i) < cur) minOf.put(r, ids(i))
+        }
+        import spark.implicits._
+        val edgeLabels = ids.indices.map(i => (ids(i), minOf.get(find(i)).longValue())).toDF("id", "component")
+        val edgeIds    = ids.toSeq.map(Tuple1(_)).toDF("id")
+        val singles = nodes.select(col(idCol).cast("long").as("id")).distinct()
+          .join(broadcast(edgeIds), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("component"))
+        return (edgeLabels.unionByName(singles).toDF("id", "component"), CcStats(0, 1))
+      }
+    }
     val und = sym.unionByName(sym.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val allNodes = nodes.select(col(idCol).cast("long").as("id")).distinct()

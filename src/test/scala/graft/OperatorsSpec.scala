@@ -154,8 +154,13 @@ class OperatorsSpec extends AnyFunSuite {
       val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
         (100L to 109L).map(i => (i, i + 1)) // an 11-node chain exercises pointer jumping
       val nodes = ((0L until n.toLong) ++ (100L to 110L)).toDF("id")
+      // default = driver union-find fast path; maxDriverEdges=0 = the
+      // distributed propagation loop — both must match the reference
       val got = Dedup.connectedComponents(nodes, edges.toDF("a", "b"), "id", "a", "b")
         .as[(Long, Long)].collect().toMap
+      val gotDist = Dedup.connectedComponents(nodes, edges.toDF("a", "b"), "id", "a", "b",
+        maxDriverEdges = 0L).as[(Long, Long)].collect().toMap
+      assert(got == gotDist, s"trial $trial: paths disagree")
       // brute-force union-find
       val parent = scala.collection.mutable.Map[Long, Long]() ++ nodes.as[Long].collect().map(i => i -> i)
       def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
@@ -172,7 +177,8 @@ class OperatorsSpec extends AnyFunSuite {
     // jumps, no isEmpty/count actions), and the last round must cost 1 job.
     val nodes = (100L to 110L).toDF("id")
     val edges = (100L to 109L).map(i => (i, i + 1)).toDF("a", "b")
-    val (out, stats) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b")
+    val (out, stats) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b",
+      maxDriverEdges = 0L)
     val labels = out.as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(100L), "chain collapses to one component")
     assert(stats.rounds >= 2 && stats.rounds <= 5, s"chain should take a few rounds, got ${stats.rounds}")
@@ -182,9 +188,23 @@ class OperatorsSpec extends AnyFunSuite {
     // already-converged input (self-contained pairs): round 2 detects the
     // fixpoint; total jobs ≤ 4 (full round 1 + single-job convergence round)
     val (out2, stats2) = Dedup.connectedComponentsStats(
-      Seq(1L, 2L, 3L, 4L).toDF("id"), Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "id", "a", "b")
+      Seq(1L, 2L, 3L, 4L).toDF("id"), Seq((1L, 2L), (3L, 4L)).toDF("a", "b"), "id", "a", "b",
+      maxDriverEdges = 0L)
     assert(out2.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
     assert(stats2.jobs <= 4, s"flat graph should converge in ≤4 jobs, got ${stats2.jobs}")
+  }
+
+  test("connectedComponents driver fast path: one job, same labels, budget boundary honored") {
+    val nodes = (100L to 110L).toDF("id")
+    val edges = (100L to 109L).map(i => (i, i + 1)).toDF("a", "b")
+    val (out, stats) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b")
+    assert(stats == Dedup.CcStats(0, 1), s"10 edges must take the driver path: $stats")
+    assert(out.as[(Long, Long)].collect().toMap ==
+      (100L to 110L).map(_ -> 100L).toMap)
+    // budget below the edge count → the distributed loop runs instead
+    val (_, statsOver) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b",
+      maxDriverEdges = 9L)
+    assert(statsOver.rounds >= 1, s"over-budget edges must fall back to propagation: $statsOver")
   }
 
   // ---- J7 as-of join -------------------------------------------------------
