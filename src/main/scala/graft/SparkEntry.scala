@@ -1492,6 +1492,16 @@ object SparkEntry {
         .orderBy("file_name")
     }),
 
+    // MM5 — content-defined chunking: Gear rolling-hash cuts over the media
+    // blobs (maskBits=6 ≈ 64-byte expected chunks on these fixtures); the
+    // oracle recomputes every boundary from the raw bytes via the m-term
+    // windowed form of the hash (2^k ≡ 0 mod 2^m kills older terms).
+    "mm5_cdc_chunks" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
+      Multimodal.cdcChunks(b, maskBits = 6)
+        .orderBy("file_name", "chunk_index")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -2539,6 +2549,34 @@ object SparkEntry {
            | FROM t ORDER BY file_name""".stripMargin,
     "p1_ingest_pipeline" ->
       "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
+
+    // mm5 — bytes decoded from hex nibbles (strpos over the hex alphabet),
+    // gear value g = b·2654435761 mod 2^6, and the rolling hash replayed as
+    // the 6-term windowed sum Σ g_j·2^(i−j) mod 2^6 — exactly the truncated
+    // expansion of h ← (h·2 + g) mod 2^6.
+    "mm5_cdc_chunks" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h, size::INT AS n FROM read_blob('/root/repo/fixtures/media/*')),
+           | u AS (SELECT file_name, h, n, unnest(range(0, n)) AS i FROM f),
+           | byt AS (SELECT file_name, n, i,
+           |   ((strpos('0123456789ABCDEF', substr(h, (2 * i + 1)::BIGINT, 1)) - 1) * 16 +
+           |    strpos('0123456789ABCDEF', substr(h, (2 * i + 2)::BIGINT, 1)) - 1) AS b FROM u),
+           | g AS (SELECT file_name, n, i, (b * 2654435761) % 64 AS gv FROM byt),
+           | hs AS (SELECT g1.file_name, g1.i,
+           |        sum(g2.gv * (1 << (g1.i - g2.i)::INT)) % 64 AS hv
+           |        FROM g g1 JOIN g g2 ON g2.file_name = g1.file_name AND g2.i BETWEEN g1.i - 5 AND g1.i
+           |        GROUP BY g1.file_name, g1.i),
+           | ends AS (SELECT DISTINCT file_name, e FROM (
+           |        SELECT file_name, i AS e FROM hs WHERE hv = 0
+           |        UNION ALL SELECT file_name, n - 1 FROM f)),
+           | ch AS (SELECT file_name, e,
+           |        coalesce(lag(e) OVER (PARTITION BY file_name ORDER BY e) + 1, 0) AS st,
+           |        row_number() OVER (PARTITION BY file_name ORDER BY e) - 1 AS chunk_index
+           |        FROM ends)
+           | SELECT ch.file_name, ch.chunk_index::BIGINT AS chunk_index, ch.st::BIGINT AS chunk_start,
+           |   ch.e::BIGINT AS chunk_end, (ch.e - ch.st + 1)::BIGINT AS chunk_bytes,
+           |   md5(substr(f.h, (ch.st * 2 + 1)::BIGINT, ((ch.e - ch.st + 1) * 2)::BIGINT)) AS chunk_md5
+           | FROM ch JOIN f ON f.file_name = ch.file_name
+           | ORDER BY ch.file_name, chunk_index""".stripMargin,
     "p2_mcp_create" ->
       """SELECT doc_id AS document_id, 'doc_' || doc_id || '.txt' AS filename, 0::BIGINT AS chunk_index,
         | 1::BIGINT AS total_chunks, 'mcp' AS source, md5(trim(text)) AS text_md5, 64::BIGINT AS dim

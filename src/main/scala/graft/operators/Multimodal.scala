@@ -115,6 +115,46 @@ object Multimodal {
       }
   }
 
+  /** Content-defined chunking over the binary table: cut each blob at its
+    * [[graft.functions.GearBoundaries]] rolling-hash boundaries and emit
+    * one row per chunk with its md5 — the blob-level exact-dedup key
+    * (identical media segments chunk identically even when shifted by
+    * container bytes, so a groupBy on `chunk_md5` finds shared segments
+    * across files the way `exactDupGroups` finds duplicate texts).
+    *
+    * Scale shape: the boundary scan is ONE codegen'd pass per blob; chunk
+    * fan-out is a `posexplode` bounded by blob size / 2^maskBits; the
+    * start/index window partitions per FILE (never more than one blob's
+    * chunk ends in a partition). Chunk md5s hash the hex rendering (like
+    * mm3's frames) so the oracle can slice the same hex string.
+    *
+    * Output: (file_name, chunk_index, chunk_start, chunk_end, chunk_bytes,
+    * chunk_md5); empty blobs produce no rows.
+    */
+  def cdcChunks(binaries: DataFrame, maskBits: Int): DataFrame = {
+    val bounds = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.GearBoundaries(
+        org.apache.spark.sql.GraftBridge.expression(col("content")), maskBits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file_name").orderBy("chunk_end")
+    binaries
+      .where(col("n_bytes") > 0)
+      .select(
+        col("file_name"), col("content"),
+        explode(array_distinct(concat(bounds, array((col("n_bytes") - 1).cast("int"))))).as("chunk_end"))
+      .withColumn("chunk_start", coalesce(lag(col("chunk_end"), 1).over(w) + 1, lit(0)))
+      .withColumn("chunk_index", row_number().over(w) - 1)
+      .select(
+        col("file_name"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col("chunk_end").cast("long").as("chunk_end"),
+        (col("chunk_end") - col("chunk_start") + 1).cast("long").as("chunk_bytes"),
+        md5(expr("substring(hex(content), chunk_start * 2 + 1, (chunk_end - chunk_start + 1) * 2)"))
+          .as("chunk_md5"),
+      )
+  }
+
   /** Frame sampling STUB: every `stride`-th `frameSize`-byte window, capped
     * at `maxFrames` (a real video decoder samples keyframes; the schema and
     * fan-out shape are what downstream operators consume).

@@ -1038,6 +1038,40 @@ class OperatorsSpec extends AnyFunSuite {
     ))
   }
 
+  // ---- MM5 content-defined chunking ---------------------------------------
+  test("cdcChunks: boundaries are content-defined — a byte insertion realigns, equal-suffix chunks match") {
+    val rnd   = new scala.util.Random(7)
+    val base  = Array.fill[Byte](2048)(rnd.nextInt(256).toByte)
+    val moved = (Array[Byte](99, 42, 7) ++ base) // same content, shifted by 3 bytes
+    val df = Seq(("orig", base), ("shifted", moved))
+      .toDF("file_name", "content")
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+    val chunks = Multimodal.cdcChunks(df, maskBits = 6)
+      .select("file_name", "chunk_md5").as[(String, String)].collect()
+    val origSet  = chunks.filter(_._1 == "orig").map(_._2).toSet
+    val shiftSet = chunks.filter(_._1 == "shifted").map(_._2).toSet
+    // after the hash window (6 bytes) clears the inserted prefix, cuts land
+    // on the same CONTENT positions, so almost all chunk hashes are shared —
+    // the property fixed-size chunking cannot have
+    val shared = (origSet intersect shiftSet).size
+    assert(shared >= origSet.size - 2,
+      s"expected nearly all chunks shared after realignment: $shared of ${origSet.size}")
+    // chunks tile each blob exactly: starts/ends contiguous, sizes sum to n
+    val tiles = Multimodal.cdcChunks(df, maskBits = 6)
+      .select("file_name", "chunk_start", "chunk_end").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    tiles.foreach { case (name, t) =>
+      val sorted = t.sortBy(_._2)
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._3 + 1, s"$name: gap between ${a._3} and ${b._2}")
+        case _           => ()
+      }
+      val n = if (name == "orig") base.length else moved.length
+      assert(sorted.last._3 == n - 1)
+    }
+  }
+
   // ---- V12/V13 SQ8 quantization -------------------------------------------
   test("sq8: codes bounded to [-127,127], max-|component| hits ±127, zero vector codes to zeros") {
     val rows = Seq(
