@@ -1683,6 +1683,17 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // U10 — weighted sampling without replacement: 10 docs per language,
+    // inclusion ∝ n_chars (Efraimidis–Spirakis keys from the portable
+    // hash). Membership compared (ordered by id): the SAMPLE must match,
+    // however each engine sorts internally.
+    "u10_weighted_sample" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      Sampling.weightedTake(docs, "doc_id", "n_chars", 10, Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // V12 — SQ8 ANN: cosine top-k served from int8 codes against the
     // full-precision query (per-vector scale cancels under cosine). Gate =
     // recall@10 vs the exact float search; measured 10/10 at both oracle
@@ -2681,6 +2692,13 @@ object SparkEntry {
            | SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
            |   (max(e) - min(s) + 1)::BIGINT AS span_tokens
            | FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "u10_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents WHERE n_chars > 0),
+        | k AS (SELECT doc_id, lang, n_chars, ln((xor(h0, h0 >> 16) + 1)::DOUBLE / 4294967296) / n_chars AS wkey FROM h),
+        | r AS (SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn FROM k)
+        | SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "v12_sq8_ann" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",

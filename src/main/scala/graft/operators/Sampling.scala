@@ -53,6 +53,49 @@ object Sampling {
     df.where(bucket(col(idCol)) < fractionBp)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis A-ES scheme with the portable hash as the uniform
+    * source): each row gets key = ln(u)/w with u = (h(id)+1)/2^32 ∈ (0,1]
+    * and weight w > 0, and the k LARGEST keys are the sample — the
+    * classical result makes inclusion probabilities proportional to
+    * weights, and the hash-derived u makes the draw reproducible on every
+    * run, engine, and parallelism (same philosophy as [[hashSample]];
+    * the oracle replays the identical formula). Rows with null or
+    * non-positive weight never participate.
+    *
+    * Scale shape: ungrouped, the take is `orderBy(key).limit(k)` —
+    * Spark plans `TakeOrderedAndProject` (per-partition partial top-k,
+    * k rows shuffle). Grouped, it is one hash shuffle on the group key
+    * with a per-group window; a class bigger than one task's budget wants
+    * the same two-stage salted take [[stratifiedTake]] uses
+    * (`maxRowsPerClass`) — compose that refinement when group skew is
+    * expected.
+    *
+    * ln is evaluated in double precision on both engines; two keys tie
+    * only within ~1 ulp of each other (probability ~1e-12 on continuous
+    * weights), and the id tie-break keeps even that deterministic per
+    * engine.
+    */
+  def weightedTake(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      groupCols: Seq[String] = Nil,
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val names = df.columns.toSet
+    Seq("__wkey", "__wr").foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    val w     = col(weightCol).cast("double")
+    val u     = (portableHash(col(idCol)) + 1).cast("double") / lit(M32.toDouble)
+    val valid = df.where(w.isNotNull && w > 0).withColumn("__wkey", log(u) / w)
+    if (groupCols.isEmpty)
+      valid.orderBy(desc("__wkey"), col(idCol)).limit(k).drop("__wkey")
+    else {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(desc("__wkey"), col(idCol))
+      valid.withColumn("__wr", row_number().over(win))
+        .where(col("__wr") <= k).drop("__wkey", "__wr")
+    }
+  }
+
   /** Deterministic stratified take: the same k rows per class on every run,
     * ordered by the portable hash (pseudo-random but reproducible) with the
     * id as tie-break. The balanced-subset op — k examples per language /

@@ -1038,6 +1038,28 @@ class OperatorsSpec extends AnyFunSuite {
     ))
   }
 
+  // ---- U10 weighted sampling ----------------------------------------------
+  test("weightedTake: deterministic, weight-proportional, excludes unusable weights") {
+    val rows = ((0L until 20L).map(i => (i, 1000.0)) ++       // heavy tier
+      (100L until 300L).map(i => (i, 1.0)) ++                 // light tier
+      Seq((900L, 0.0), (901L, -3.0))).toDF("id", "w")         // never sampled
+        .withColumn("w", when(col("id") === 902L, lit(null)).otherwise(col("w")))
+    val take = Sampling.weightedTake(rows, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(take.size == 10)
+    assert(!take.contains(900L) && !take.contains(901L))
+    // 1000x weights: the heavy tier must dominate the draw
+    assert(take.count(_ < 20L) >= 8, s"heavy tier underrepresented: $take")
+    // same input -> same sample (the operator's whole point)
+    val again = Sampling.weightedTake(rows, "id", "w", 10).select("id").as[Long].collect().toSet
+    assert(take == again)
+    // grouped: exactly k per group
+    val grouped = rows.where(col("w") > 0).withColumn("g", col("id") % 2)
+    val perG = Sampling.weightedTake(grouped, "id", "w", 5, Seq("g"))
+      .groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(perG == Map(0L -> 5L, 1L -> 5L))
+  }
+
   // ---- MM5 content-defined chunking ---------------------------------------
   test("cdcChunks: boundaries are content-defined — a byte insertion realigns, equal-suffix chunks match") {
     val rnd   = new scala.util.Random(7)
