@@ -82,6 +82,59 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"corpus must not shuffle, got $exchanges exchanges:\n${plan.take(1500)}")
   }
 
+  test("gopherQuality is a pure projection: zero exchanges, splits evaluated once") {
+    val out = graft.functions.TextOps.withGopherQuality(
+      Tables(spark, dir).documents.select("doc_id", "text"), "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quality gates must not shuffle:\n${plan.take(1200)}")
+    // the whitespace split feeds five counts; CollapseProject must keep the
+    // materialized array (ONE split occurrence), not inline it per consumer
+    val splits = "split\\(".r.findAllIn(plan.replace("\n", " ")).size
+    assert(splits <= 4, s"tokenizations must be materialized once, found $splits split( occurrences")
+  }
+
+  test("repeatedSpans: the duplicated-gram set joins as a SEMI join (membership, never a fan-out)") {
+    val spans = graft.operators.Dedup.repeatedSpans(
+      Tables(spark, dir).documents, "doc_id", "text", 4)
+    val plan = spans.queryExecution.executedPlan.toString
+    // pre-AQE the join mode may be SMJ; AQE upgrades the (tiny) heavy-hash
+    // side to a broadcast at runtime — the invariant here is the SEMI type
+    assert(plan.contains("LeftSemi"), s"heavy-hash membership must be a semi join:\n${plan.take(1200)}")
+  }
+
+  test("cutRepeatedSpans: the untouched branch's STREAM side never explodes tokens") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cut = graft.operators.Dedup.cutRepeatedSpans(
+        Tables(spark, dir).documents, "doc_id", "text", 4)
+      val anti = cut.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(anti.nonEmpty, "untouched branch must be a left-anti join against affected ids")
+      val gens = anti.get.left.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.isEmpty,
+        "unaffected documents must flow scan→project only; found Generate on the streamed side")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sq8 search: quantization and cosine stay in one codegen'd projection, top-k never shuffles the corpus") {
+    val qt = graft.operators.Quant.sq8Table(
+      Tables(spark, dir).embeddings.select("vec_id", "embedding"), "embedding")
+    val top = graft.operators.Quant.topKOnCodes(qt, "codes", "vec_id",
+      Seq.fill(64)(0.1), 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    assert(!plan.contains("Exchange"), s"sq8 top-k must not shuffle:\n${plan.take(1000)}")
+  }
+
+  test("weightedTake global path plans as TakeOrderedAndProject") {
+    val take = graft.operators.Sampling.weightedTake(
+      Tables(spark, dir).documents.select("doc_id", "n_chars"), "doc_id", "n_chars", 7)
+    val plan = take.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+  }
+
   test("bm25 filters the token stream to query terms before the tf shuffle") {
     import graft.operators.Rank
     val scored = Rank.bm25(Tables(spark, dir).documents, "doc_id", "text", Seq("table", "agg"))
