@@ -1683,6 +1683,22 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // V15 — contrastive triplet mining over the twinned corpus: every
+    // anchor's positive is its exact duplicate (LSH-found, cos 1.0), its
+    // negative the shard-rank partner verified far. The oracle recomputes
+    // positives by brute force and negatives by replaying the hash/shard/
+    // rank pairing.
+    "v15_contrastive_triplets" -> ((s, d) => {
+      val e = Tables(s, d).embeddings
+      val corpus = e.select("vec_id", "embedding")
+        .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Contrastive.triplets(corpus, "vec_id", "embedding",
+        posTau = 0.99, negTau = 0.3, nNeg = 1, dim = 64, numBits = 32, bands = 4)
+        .select(col("anchor_id"), col("pos_id"), round(col("pos_cos"), 4).as("pos_cos"),
+          col("neg_id"), round(col("neg_cos"), 4).as("neg_cos"))
+        .orderBy("anchor_id", "neg_id")
+    }),
+
     // U10 — weighted sampling without replacement: 10 docs per language,
     // inclusion ∝ n_chars (Efraimidis–Spirakis keys from the portable
     // hash). Membership compared (ordered by id): the SAMPLE must match,
@@ -2692,6 +2708,28 @@ object SparkEntry {
            | SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
            |   (max(e) - min(s) + 1)::BIGINT AS span_tokens
            | FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    "v15_contrastive_triplets" ->
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |   UNION ALL SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings),
+        | p AS (SELECT a.id AS anchor_id, b.id AS pid, list_cosine_similarity(a.v, b.v) AS cos
+        |       FROM c a JOIN c b ON a.id <> b.id AND list_cosine_similarity(a.v, b.v) >= 0.99),
+        | pos AS (SELECT anchor_id, pid, cos, row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, pid) AS rn FROM p),
+        | pos1 AS (SELECT anchor_id, pid AS pos_id, cos AS pos_cos FROM pos WHERE rn = 1),
+        | h AS (SELECT id, v,
+        |   (((id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM c),
+        | hh AS (SELECT id, v, xor(h0, h0 >> 16) AS ph FROM h),
+        | sh AS (SELECT id, v, (ph % 64)::INT AS shard, row_number() OVER (PARTITION BY ph % 64 ORDER BY ph, id) AS rank FROM hh),
+        | sz AS (SELECT shard, count(*)::INT AS sz FROM sh GROUP BY shard),
+        | wj AS (SELECT s.id AS anchor_id, s.v AS av, ((s.shard + 1) % 64)::INT AS tgt_shard,
+        |        ((s.rank - 1) % z.sz) + 1 AS tgt_rank
+        |        FROM sh s JOIN sz z ON z.shard = ((s.shard + 1) % 64)::INT),
+        | neg AS (SELECT wj.anchor_id, p2.id AS neg_id, list_cosine_similarity(wj.av, p2.v) AS neg_cos
+        |        FROM wj JOIN sh p2 ON p2.shard = wj.tgt_shard AND p2.rank = wj.tgt_rank
+        |        WHERE list_cosine_similarity(wj.av, p2.v) <= 0.3)
+        | SELECT pos1.anchor_id, pos_id, round(pos_cos, 4) AS pos_cos, neg_id, round(neg_cos, 4) AS neg_cos
+        | FROM pos1 JOIN neg ON neg.anchor_id = pos1.anchor_id
+        | ORDER BY pos1.anchor_id, neg_id""".stripMargin,
 
     "u10_weighted_sample" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,

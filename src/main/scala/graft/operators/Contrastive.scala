@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contrastive training-pair mining over an embedding corpus — the data-prep
+  * step for contrastive/metric-learning fine-tunes (SimCSE/E5-style): every
+  * anchor needs a POSITIVE (a semantically-near neighbor) and one or more
+  * NEGATIVES (verified-far samples), drawn reproducibly.
+  *
+  * Positives ride the banded sign-bit LSH near-dup machinery
+  * ([[Dedup.embeddingNearDupPairs]]): candidate pairs at `posTau`, then ONE
+  * struct-max aggregate picks each anchor's best partner (highest cosine,
+  * ties → smallest partner id) — never a per-anchor window over the corpus.
+  *
+  * Negatives must NOT be nearest-neighbor mining (that would be hard-negative
+  * search, a different budget); they need to be (a) reproducible, (b) spread
+  * across the corpus, (c) verified far. The deterministic shard-rank pairing
+  * does that relationally:
+  *  - shard s = portableHash(id) mod nShards, rank r = row_number within the
+  *    shard ordered by (hash, id) — a per-SHARD window, bounded n/nShards;
+  *  - negative j for (s, r) is the row at (s+1+j mod nShards,
+  *    r wrapped into the target shard's size) — an equi-join on
+  *    (shard, rank), shard sizes broadcast;
+  *  - the pair is kept only if cosine ≤ `negTau` (the verify leg, exact and
+  *    candidates-only like the dedup family).
+  *
+  * Requires nNeg < nShards so a negative never lands in the anchor's own
+  * shard (in particular never the anchor itself). Anchors without a
+  * qualifying positive, or whose candidate negative fails the verify, drop
+  * out of the respective legs — training consumers want clean pairs, not
+  * placeholders.
+  *
+  * Output: (anchor_id, pos_id, pos_cos, neg_id, neg_cos), one row per
+  * (anchor, negative).
+  */
+object Contrastive {
+
+  def triplets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      posTau: Double,
+      negTau: Double,
+      nNeg: Int,
+      dim: Int,
+      numBits: Int = 32,
+      bands: Int = 4,
+      nShards: Int = 64,
+  ): DataFrame = {
+    require(nNeg >= 1 && nNeg < nShards, s"need 1 <= nNeg < nShards: $nNeg vs $nShards")
+    require(posTau > negTau, s"posTau must exceed negTau: $posTau vs $negTau")
+    import graft.functions.VectorOps.asDouble
+
+    // ---- positives: best LSH-verified partner per anchor ----
+    val pairs = Dedup.embeddingNearDupPairs(df, idCol, vecCol, posTau, dim, numBits, bands)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    val both = pairs.select(col("id_a").as("anchor_id"), col("id_b").as("pid"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("anchor_id"), col("id_a").as("pid"), col("cos")))
+    val positives = both
+      .groupBy("anchor_id")
+      .agg(max(struct(col("cos").as("c"), (-col("pid")).as("ni"))).as("__m"))
+      .select(col("anchor_id"), (-col("__m.ni")).as("pos_id"), col("__m.c").as("pos_cos"))
+
+    // ---- negatives: shard-rank pairing, cosine-verified far ----
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"),
+      (Sampling.portableHash(col(idCol)) % nShards).cast("int").as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(Sampling.portableHash(col("id")), col("id"))
+    val ranked = base.withColumn("rank", row_number().over(w))
+    val sizes  = ranked.groupBy("shard").agg(count(lit(1)).cast("int").as("sz"))
+    val wanted = ranked
+      .select(col("id").as("anchor_id"), col("v").as("av"), col("shard"), col("rank"),
+        explode(sequence(lit(1), lit(nNeg))).as("j"))
+      .withColumn("tgt_shard", pmod(col("shard") + col("j"), lit(nShards)).cast("int"))
+      .join(broadcast(sizes.select(col("shard").as("tgt_shard"), col("sz"))), Seq("tgt_shard"))
+      .withColumn("tgt_rank", pmod(col("rank") - 1, col("sz")).cast("int") + 1)
+    val partner = ranked.select(
+      col("shard").as("tgt_shard"), col("rank").as("tgt_rank"),
+      col("id").as("neg_id"), col("v").as("nv"))
+    val negatives = wanted
+      .join(partner, Seq("tgt_shard", "tgt_rank"))
+      .withColumn("neg_cos", graft.functions.VectorExpressions.cosineFast(col("av"), col("nv")))
+      .where(col("neg_cos") <= negTau)
+      .select(col("anchor_id"), col("neg_id"), col("neg_cos"))
+
+    positives.join(negatives, Seq("anchor_id"))
+      .select("anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos")
+  }
+}

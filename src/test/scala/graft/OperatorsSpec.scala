@@ -1038,6 +1038,32 @@ class OperatorsSpec extends AnyFunSuite {
     ))
   }
 
+  // ---- V15 contrastive triplet mining -------------------------------------
+  test("contrastive triplets: positive is the planted twin, negatives verified far and distinct") {
+    val base = (0L until 40L).map { i =>
+      val rnd = new scala.util.Random(i * 7919 + 3)
+      (i, Seq.fill(64)(rnd.nextGaussian()))
+    }
+    val corpus = (base ++ base.map { case (i, v) => (i + 1000L, v) }).toDF("id", "v")
+    val t = Contrastive.triplets(corpus, "id", "v",
+      posTau = 0.99, negTau = 0.5, nNeg = 2, dim = 64, numBits = 32, bands = 4, nShards = 8)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(t.nonEmpty)
+    t.foreach { case (a, p, pc, n, nc) =>
+      assert(math.abs(p - a) == 1000L, s"positive of $a must be its twin, got $p")
+      assert(pc > 0.99)
+      assert(nc <= 0.5)
+      assert(n != a && n != p, s"negative $n collides with anchor/positive")
+    }
+    // ≤ nNeg negatives per anchor, and the draw is reproducible
+    val perAnchor = t.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 2))
+    val again = Contrastive.triplets(corpus, "id", "v",
+      posTau = 0.99, negTau = 0.5, nNeg = 2, dim = 64, numBits = 32, bands = 4, nShards = 8)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(t.sortBy(r => (r._1, r._4)).toSeq == again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   // ---- U10 weighted sampling ----------------------------------------------
   test("weightedTake: deterministic, weight-proportional, excludes unusable weights") {
     val rows = ((0L until 20L).map(i => (i, 1000.0)) ++       // heavy tier
