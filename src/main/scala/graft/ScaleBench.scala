@@ -345,6 +345,18 @@ object ScaleBench {
         "c4_line_clean"   -> (() => { docs
           .select(graft.functions.TextOps.c4LineClean(col("text")).getField("n_kept").cast("long").as("k"))
           .agg(sum(col("k"))).head().getLong(0) }),
+        // weighted sample: grouped A-ES take over 8 synthetic classes
+        "weighted_take"   -> (() => Sampling.weightedTake(
+          docs.select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("cls"),
+            length(col("text")).cast("double").as("w")),
+          "doc_id", "w", 50, Seq("cls")).count()),
+        // contrastive triplets over the twinned corpus (twins = positives)
+        "contrastive"     -> (() => {
+          val c = vecs.unionByName(
+            vecs.select((col("vec_id") + 100000000L).as("vec_id"), col("embedding")))
+          Contrastive.triplets(c, "vec_id", "embedding", 0.99, 0.3, 1,
+            dim = 64, numBits = 32, bands = 4).count()
+        }),
         // p6 composition: LSH-bucketed cosine pairs → CC → canonical keepers
         "semdedup"        -> (() => {
           val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.99, 64, 32, 4)
