@@ -952,7 +952,7 @@ object SparkEntry {
     // X10 — corpus-self-trained bigram surprisal (CCNet/KenLM-style quality
     // signal). round(·, 4) absorbs engine summation-order ulps.
     "x10_bigram_surprisal" -> ((s, d) =>
-      TextOps.bigramSurprisal(Tables(s, d).documents, "doc_id", "text")
+      TextOps.bigramSurprisal(Tables(s, d).documents, "doc_id", "text", materialize = true)
         .select(col("doc_id"), col("n_pairs"),
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")),
@@ -1571,7 +1571,7 @@ object SparkEntry {
     // surprisal and are excluded (scoreable docs only), matching x10.
     "p5_ccnet_sample" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val scored = TextOps.bigramSurprisal(docs, "doc_id", "text")
+      val scored = TextOps.bigramSurprisal(docs, "doc_id", "text", materialize = true)
         .select(col("doc_id"), round(col("avg_nll"), 1).as("nll"))
       val rate = when(col("bucket") === 1, 10000L)
         .when(col("bucket") === 2, 5000L)

@@ -326,14 +326,26 @@ object TextOps {
     *
     * Output: (idCol, n_pairs, avg_nll).
     */
-  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0): DataFrame = {
+  def bigramSurprisal(
+      docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0,
+      materialize: Boolean = false,
+  ): DataFrame = {
     require(addK > 0, s"addK must be positive: $addK")
-    val toks = docs.select(col(idCol).as("__id"),
+    // Spark does not CSE the token subtree across the four consumers
+    // (pairs window, bigram counts, context counts, vocab scalar), so the
+    // tokenize+explode scan evaluates up to 4x. `materialize = true`
+    // localCheckpoints the token and pair frames ONCE (eager, spills to
+    // disk) — the right trade whenever the corpus scan dominates; blocks
+    // stay pinned for the session (the price of reuse), so leave it off
+    // for one-shot small inputs.
+    val toks0 = docs.select(col(idCol).as("__id"),
       posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
-    val pairs = toks
+    val toks = if (materialize) toks0.localCheckpoint(true) else toks0
+    val pairs0 = toks
       .withColumn("__prev",
         lag(col("__w"), 1).over(org.apache.spark.sql.expressions.Window.partitionBy("__id").orderBy("__pos")))
       .where(col("__prev").isNotNull)
+    val pairs = if (materialize) pairs0.localCheckpoint(true) else pairs0
     val bigrams  = pairs.groupBy("__prev", "__w").agg(count(lit(1)).cast("double").as("__cbw"))
     val contexts = toks.groupBy(col("__w").as("__prev")).agg(count(lit(1)).cast("double").as("__cp"))
     val vocab    = toks.agg(countDistinct(col("__w")).cast("double").as("__v"))
