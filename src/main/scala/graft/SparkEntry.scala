@@ -1668,6 +1668,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D16 — incremental connected components: p3's corpus labeling absorbs
+    // a batch of new edges (cross-component links at %100, half of them to
+    // ids that don't exist yet, plus brand-new nodes at %77) via the
+    // contracted-graph relabel. The oracle recomputes the WHOLE closure
+    // from scratch over old pairs ∪ new edges — the incremental path must
+    // match the from-scratch answer exactly.
+    "d16_incremental_cc" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val dups = Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 1.0,
+        Some(Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)))
+        .select("id_a", "id_b")
+      val labels = Dedup.connectedComponents(docs.select("doc_id"), dups, "doc_id", "id_a", "id_b")
+      val newE = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("u"), (col("doc_id") + 250).as("v"))
+        .unionByName(docs.where(col("doc_id") % 77 === 0)
+          .select(col("doc_id").as("u"), (col("doc_id") + 100000).as("v")))
+      Dedup.incrementalComponents(labels, newE, "id", "component", "u", "v")
+        .orderBy("id")
+    }),
+
     // D14 — ExactSubstr-style repeated-span detection (Lee et al. 2022) at
     // k=4-token resolution. Every 10th doc gets an 8-token injected prefix
     // (a guaranteed cross-doc repeat ⇒ a span from token 0); the small
@@ -2692,6 +2713,18 @@ object SparkEntry {
            | SELECT sp.doc_id, md5(coalesce(k.cleaned, '')) AS cleaned_md5,
            |   len(sp.lines)::BIGINT AS n_lines, coalesce(k.n_kept, 0)::BIGINT AS n_kept
            | FROM sp LEFT JOIN k ON sp.doc_id = k.doc_id ORDER BY sp.doc_id""".stripMargin,
+
+    "d16_incremental_cc" ->
+      raw"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
+           | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh),
+           | p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id),
+           | extra AS (SELECT doc_id AS u, doc_id + 250 AS v FROM documents WHERE doc_id % 100 = 0
+           |           UNION ALL SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id % 77 = 0),
+           | alle AS (SELECT u, v FROM p UNION SELECT v, u FROM p UNION SELECT u, v FROM extra UNION SELECT v, u FROM extra),
+           | nodes AS (SELECT doc_id AS id FROM documents UNION SELECT u FROM extra UNION SELECT v FROM extra),
+           | r(u, v) AS (SELECT id, id FROM nodes UNION SELECT e.u, r.v FROM alle e JOIN r ON e.v = r.u)
+           | SELECT u AS id, min(v)::BIGINT AS component FROM r GROUP BY u ORDER BY id""".stripMargin,
 
     "d14_repeated_spans" ->
       raw"""WITH r AS (SELECT doc_id,

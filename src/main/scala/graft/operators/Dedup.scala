@@ -851,6 +851,61 @@ object Dedup {
     (labels.unionByName(singletons).toDF("id", "component"), CcStats(iter, jobs))
   }
 
+  /** Incremental connected components — fold a batch of NEW edges (and new
+    * nodes) into an existing (id, component) labeling without touching the
+    * historical edge set: the maintenance step of a streaming dedup
+    * pipeline, where [[connectedComponents]] ran once over the corpus and
+    * each arriving batch contributes a few duplicate pairs.
+    *
+    * Key fact: a valid labeling IS the historical graph, contracted —
+    * every old component behaves as one super-node. So:
+    *  1. map each new-edge endpoint to its current component label (left
+    *     join against the labeling; unseen ids label themselves);
+    *  2. run [[connectedComponents]] over the CONTRACTED graph — its node
+    *     count is |labels touched by new edges| + |new ids|, tiny relative
+    *     to the corpus, so the driver union-find fast path almost always
+    *     takes it in one job;
+    *  3. broadcast the contraction's relabeling back over the corpus
+    *     labeling (left join; untouched components map to themselves).
+    * The corpus shuffles ONCE (step 3's join is broadcast, so in practice
+    * it never shuffles at all); historical edges are never re-read.
+    *
+    * Component ids stay canonical (min member id) because the contracted
+    * CC relabels by min over component LABELS, which are themselves min
+    * member ids. Output: (id, component) covering all old ids plus any new
+    * ids introduced by the batch.
+    */
+  def incrementalComponents(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      idCol: String,
+      componentCol: String,
+      srcCol: String,
+      dstCol: String,
+  ): DataFrame = {
+    val lab = labels.select(col(idCol).cast("long").as("id"), col(componentCol).cast("long").as("component"))
+    val e = newEdges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    // endpoints → current labels (unknown ids are their own component)
+    val lu = lab.select(col("id").as("u"), col("component").as("cu"))
+    val lv = lab.select(col("id").as("v"), col("component").as("cv"))
+    val contractedEdges = e
+      .join(lu, Seq("u"), "left").join(lv, Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("u"), coalesce(col("cv"), col("v")).as("v"))
+    val contractedNodes = contractedEdges.select(col("u").as("id"))
+      .unionByName(contractedEdges.select(col("v").as("id"))).distinct()
+    val relabel = connectedComponents(contractedNodes, contractedEdges, "id", "u", "v")
+      .select(col("id").as("component"), col("component").as("__new"))
+    // new ids that weren't in the labeling join the output labeled by the
+    // contraction result directly
+    val newIds = contractedNodes
+      .join(lab.select(col("component").as("id")).distinct(), Seq("id"), "left_anti")
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    lab.unionByName(newIds)
+      .join(broadcast(relabel), Seq("component"), "left")
+      .select(col("id"), coalesce(col("__new"), col("component")).as("component"))
+  }
+
   /** Canonical selection: flag ONE keeper per cluster by the BEST score —
     * "keep the longest / highest-quality copy", the usual refinement over
     * min-id keeps once a quality signal exists. Adds a boolean `keep`.

@@ -194,6 +194,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats2.jobs <= 4, s"flat graph should converge in ≤4 jobs, got ${stats2.jobs}")
   }
 
+  test("incrementalComponents: merges, new nodes, and untouched components survive") {
+    // existing labeling: {1,2} -> 1, {3} -> 3, {7,8} -> 7 (untouched)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (7L, 7L), (8L, 7L)).toDF("id", "component")
+    // batch: edge (2,3) merges components 1 and 3; edge (9,3) introduces node 9
+    val newE = Seq((2L, 3L), (9L, 3L)).toDF("u", "v")
+    val out = Dedup.incrementalComponents(labels, newE, "id", "component", "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 7L -> 7L, 8L -> 7L))
+    // must equal the from-scratch answer over the implied full graph
+    val fullNodes = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("id")
+    val fullEdges = Seq((1L, 2L), (7L, 8L), (2L, 3L), (9L, 3L)).toDF("u", "v")
+    val scratch = Dedup.connectedComponents(fullNodes, fullEdges, "id", "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(out == scratch)
+    // an empty batch is the identity
+    val idem = Dedup.incrementalComponents(labels, Seq.empty[(Long, Long)].toDF("u", "v"),
+      "id", "component", "u", "v").as[(Long, Long)].collect().toMap
+    assert(idem == labels.as[(Long, Long)].collect().toMap)
+  }
+
   test("connectedComponents driver fast path: one job, same labels, budget boundary honored") {
     val nodes = (100L to 110L).toDF("id")
     val edges = (100L to 109L).map(i => (i, i + 1)).toDF("a", "b")
