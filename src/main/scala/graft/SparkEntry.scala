@@ -1676,11 +1676,10 @@ object SparkEntry {
     // match the from-scratch answer exactly.
     "d16_incremental_cc" -> ((s, d) => {
       val docs = Tables(s, d).documents
-      val dups = Dedup.ngramJaccardPairs(
-        docs, "doc_id", "text", 3, 1.0,
-        Some(Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)))
-        .select("id_a", "id_b")
-      val labels = Dedup.connectedComponents(docs.select("doc_id"), dups, "doc_id", "id_a", "id_b")
+      val clustered = docs.select(col("doc_id"), Dedup.exactKey(col("text")).as("k"))
+      val labels = clustered
+        .join(clustered.groupBy("k").agg(min(col("doc_id")).as("component")), Seq("k"))
+        .select(col("doc_id").as("id"), col("component"))
       val newE = docs.where(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("u"), (col("doc_id") + 250).as("v"))
         .unionByName(docs.where(col("doc_id") % 77 === 0)
@@ -2715,9 +2714,7 @@ object SparkEntry {
            | FROM sp LEFT JOIN k ON sp.doc_id = k.doc_id ORDER BY sp.doc_id""".stripMargin,
 
     "d16_incremental_cc" ->
-      raw"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-           | sh AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s FROM t WHERE len(toks) >= 3),
-           | k AS (SELECT doc_id, md5(array_to_string(s, chr(31))) AS h FROM sh),
+      raw"""WITH RECURSIVE k AS (SELECT doc_id, md5(text) AS h FROM documents),
            | p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id),
            | extra AS (SELECT doc_id AS u, doc_id + 250 AS v FROM documents WHERE doc_id % 100 = 0
            |           UNION ALL SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id % 77 = 0),
