@@ -1205,6 +1205,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "", 6L, 6L), (2L, "", 6L, 6L)))
   }
 
+  test("property: repeatedSpans matches a brute-force reference on random corpora") {
+    val vocabArr = Array("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 12) {
+      val rnd = new scala.util.Random(trial * 1013)
+      val k   = 2 + trial % 3 // 2..4
+      val docs = (0L until 12L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(18))(vocabArr(rnd.nextInt(vocabArr.length))).mkString(" "))
+      }
+      val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // brute force: count every positional k-gram, flag, merge intervals
+      val toksByDoc = docs.map { case (i, t) => i -> t.split(" ").toSeq }
+      val counts = scala.collection.mutable.Map[Seq[String], Int]()
+      toksByDoc.foreach { case (_, ts) =>
+        ts.sliding(k).filter(_.length == k).foreach(g => counts(g) = counts.getOrElse(g, 0) + 1)
+      }
+      val want = toksByDoc.flatMap { case (i, ts) =>
+        val flagged = ts.sliding(k).zipWithIndex
+          .filter { case (g, _) => g.length == k && counts(g) >= 2 }
+          .map { case (_, p) => (p.toLong, (p + k - 1).toLong) }.toSeq
+        flagged.foldLeft(List.empty[(Long, Long)]) {
+          case (acc @ ((s0, e0) :: rest), (s, e)) if s <= e0 + 1 => (s0, math.max(e0, e)) :: rest
+          case (acc, (s, e))                                     => (s, e) :: acc
+        }.reverse.map { case (s, e) => (i, s, e, e - s + 1) }
+      }.toSet
+      assert(got == want, s"trial $trial (k=$k)")
+    }
+  }
+
   // ---- X15 Gopher rule battery --------------------------------------------
   test("gopherQuality: each gate fires on its constructed failure case") {
     val good = (("the quick brown fox jumps to be near the lazy dog and we have " * 5) +
