@@ -254,6 +254,41 @@ class IngestStreamSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming component maintenance: micro-batched duplicate edges must leave
+  * the persisted labeling equal to from-scratch CC over ALL edges — including
+  * merges that span batches.
+  */
+class ComponentStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("micro-batched edges converge to the from-scratch labeling; cross-batch merges included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base   = java.nio.file.Files.createTempDirectory("graft_ccstream").toString
+    val labels = s"$base/labels"; val ckpt = s"$base/ckpt"
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.ComponentStream.start(
+      spark, mem.toDF().toDF("u", "v"), "u", "v", labels, ckpt, availableNow = false)
+    // batch 1: two separate clusters {1,2}, {3,4}; batch 2 merges them and
+    // introduces 9; batch 3 is untouched-new {20,21}
+    mem.addData((1L, 2L), (3L, 4L)); q.processAllAvailable()
+    mem.addData((2L, 3L), (9L, 4L)); q.processAllAvailable()
+    mem.addData((20L, 21L)); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(labels).as[(Long, Long)].collect().toMap
+    val allEdges = Seq((1L, 2L), (3L, 4L), (2L, 3L), (9L, 4L), (20L, 21L))
+    val scratch = graft.operators.Dedup.connectedComponents(
+      allEdges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id"),
+      allEdges.toDF("u", "v"), "id", "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got == scratch)
+    assert(got(9L) == 1L && got(4L) == 1L, "cross-batch merge must relabel old components")
+  }
+}
+
 /** M6 model persistence: save/load round-trip produces identical projections. */
 class PersistenceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
