@@ -1719,6 +1719,26 @@ object SparkEntry {
         .orderBy("anchor_id", "neg_id")
     }),
 
+    // V16 — hard-negative mining: for each anchor, the top-3 candidates in
+    // the "hard" similarity band [0.05, 0.5] drawn from the FULL-probe ANN
+    // join (nProbe = nList, spec-pinned ≡ brute force — which is what makes
+    // an exact oracle possible, not just a recall gate).
+    "v16_hard_negatives" -> ((s, d) => {
+      val t = Tables(s, d).embeddings
+      val (indexed, model) = Ivf.indexFor(t, "embedding", 8, cacheKey = s"$d/embeddings#v16")
+      val queries = t.where(col("vec_id") < 20)
+      val ann = Ivf.knnJoin(indexed, model, queries,
+        "embedding", "vec_id", "embedding", "vec_id", 10, nProbe = 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("neighbor_id"))
+      ann.where(col("score") >= 0.05 && col("score") <= 0.5)
+        .withColumn("hn_rank", row_number().over(w))
+        .where(col("hn_rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("hn_rank").cast("long").as("hn_rank"))
+        .orderBy("query_id", "hn_rank")
+    }),
+
     // U10 — weighted sampling without replacement: 10 docs per language,
     // inclusion ∝ n_chars (Efraimidis–Spirakis keys from the portable
     // hash). Membership compared (ordered by id): the SAMPLE must match,
@@ -2760,6 +2780,21 @@ object SparkEntry {
         | SELECT pos1.anchor_id, pos_id, round(pos_cos, 4) AS pos_cos, neg_id, round(neg_cos, 4) AS neg_cos
         | FROM pos1 JOIN neg ON neg.anchor_id = pos1.anchor_id
         | ORDER BY pos1.anchor_id, neg_id""".stripMargin,
+
+    "v16_hard_negatives" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 20),
+        | p AS (SELECT q.query_id, e.id AS neighbor_id, list_cosine_similarity(e.v, q.qv) AS score
+        |       FROM q JOIN e ON e.id <> q.query_id),
+        | p2 AS (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+        |        FROM p WHERE NOT isnan(score)),
+        | t10 AS (SELECT query_id, neighbor_id, score FROM p2 WHERE rk <= 10),
+        | hn AS (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS hn_rank
+        |        FROM t10 WHERE score >= 0.05 AND score <= 0.5)
+        | SELECT query_id, neighbor_id, round(score, 4) AS score, hn_rank::BIGINT AS hn_rank
+        | FROM hn WHERE hn_rank <= 3 ORDER BY query_id, hn_rank""".stripMargin,
 
     "u10_weighted_sample" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
