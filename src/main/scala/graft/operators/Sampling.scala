@@ -66,10 +66,12 @@ object Sampling {
     * Scale shape: ungrouped, the take is `orderBy(key).limit(k)` —
     * Spark plans `TakeOrderedAndProject` (per-partition partial top-k,
     * k rows shuffle). Grouped, it is one hash shuffle on the group key
-    * with a per-group window; a class bigger than one task's budget wants
-    * the same two-stage salted take [[stratifiedTake]] uses
-    * (`maxRowsPerClass`) — compose that refinement when group skew is
-    * expected.
+    * with a per-group window; `maxRowsPerGroup` (0 = off) bounds what one
+    * window task may serialize exactly like [[stratifiedTake]]'s salted
+    * take: groups above the budget run per-(group, salt) top-k first,
+    * then top-k of the ≤ k·nSalt survivors — EXACT, because
+    * (key desc, id) is a deterministic total order, so every global
+    * top-k row survives its salt shard's top-k.
     *
     * ln is evaluated in double precision on both engines; two keys tie
     * only within ~1 ulp of each other (probability ~1e-12 on continuous
@@ -79,20 +81,33 @@ object Sampling {
   def weightedTake(
       df: DataFrame, idCol: String, weightCol: String, k: Int,
       groupCols: Seq[String] = Nil,
+      maxRowsPerGroup: Long = 0L,
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val names = df.columns.toSet
-    Seq("__wkey", "__wr").foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    Seq("__wkey", "__wr", "__wsalt").foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
     val w     = col(weightCol).cast("double")
     val u     = (portableHash(col(idCol)) + 1).cast("double") / lit(M32.toDouble)
     val valid = df.where(w.isNotNull && w > 0).withColumn("__wkey", log(u) / w)
-    if (groupCols.isEmpty)
-      valid.orderBy(desc("__wkey"), col(idCol)).limit(k).drop("__wkey")
-    else {
+    def takeK(in: DataFrame, parts: Seq[Column]): DataFrame = {
       val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(groupCols.map(col): _*).orderBy(desc("__wkey"), col(idCol))
-      valid.withColumn("__wr", row_number().over(win))
-        .where(col("__wr") <= k).drop("__wkey", "__wr")
+        .partitionBy(parts: _*).orderBy(desc("__wkey"), col(idCol))
+      in.withColumn("__wr", row_number().over(win))
+        .where(col("__wr") <= k).drop("__wr")
+    }
+    if (groupCols.isEmpty)
+      return valid.orderBy(desc("__wkey"), col(idCol)).limit(k).drop("__wkey")
+    val plain = maxRowsPerGroup <= 0L || {
+      val hot = valid.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxRowsPerGroup).limit(1).collect()
+      hot.isEmpty
+    }
+    if (plain) takeK(valid, groupCols.map(col)).drop("__wkey")
+    else {
+      val nSalt  = 64
+      val salted = valid.withColumn("__wsalt", pmod(portableHash(col(idCol)), lit(nSalt.toLong)))
+      val survivors = takeK(salted, groupCols.map(col) :+ col("__wsalt")).drop("__wsalt")
+      takeK(survivors, groupCols.map(col)).drop("__wkey")
     }
   }
 

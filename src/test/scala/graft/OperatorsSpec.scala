@@ -1104,6 +1104,13 @@ class OperatorsSpec extends AnyFunSuite {
     val perG = Sampling.weightedTake(grouped, "id", "w", 5, Seq("g"))
       .groupBy("g").count().as[(Long, Long)].collect().toMap
     assert(perG == Map(0L -> 5L, 1L -> 5L))
+    // the salted two-stage path (maxRowsPerGroup below the group size) is
+    // EXACT: identical selection to the plain per-group window
+    val plain = Sampling.weightedTake(grouped, "id", "w", 5, Seq("g"))
+      .select("g", "id").as[(Long, Long)].collect().toSet
+    val salted = Sampling.weightedTake(grouped, "id", "w", 5, Seq("g"), maxRowsPerGroup = 10L)
+      .select("g", "id").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
   }
 
   // ---- MM5 content-defined chunking ---------------------------------------
