@@ -696,7 +696,8 @@ class OperatorsSpec extends AnyFunSuite {
     import org.scalacheck.rng.Seed
     val vGen = for {
       n  <- Gen.choose(0, 24)
-      vs <- Gen.listOfN(n, Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5, 1e-300, -1e9, 3.14159, 127.0, 0.007))
+      vs <- Gen.listOfN(n, Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5, 1e-300, -1e9, 3.14159, 127.0, 0.007,
+        Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
     } yield vs
     val inputs = (0 until 200).flatMap(i => vGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
       Seq(Seq.empty[Double], Seq(0.0, 0.0), Seq(-5.0))
@@ -1111,6 +1112,28 @@ class OperatorsSpec extends AnyFunSuite {
     val salted = Sampling.weightedTake(grouped, "id", "w", 5, Seq("g"), maxRowsPerGroup = 10L)
       .select("g", "id").as[(Long, Long)].collect().toSet
     assert(salted == plain)
+  }
+
+  test("property: GearBoundaries recurrence equals its windowed truncated-sum form") {
+    // the oracle's whole premise: h mod 2^m only sees the last m bytes
+    for (trial <- 1 to 10; maskBits <- Seq(4, 6, 8)) {
+      val rnd   = new scala.util.Random(trial * 131 + maskBits)
+      val bytes = Array.fill[Byte](200 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val mask  = (1L << maskBits) - 1
+      def g(b: Byte): Long = (b & 0xffL) * 2654435761L
+      // reference 1: the rolling recurrence
+      var h = 0L
+      val rec = bytes.indices.filter { i => h = ((h << 1) + g(bytes(i))) & mask; h == 0L }
+      // reference 2: the m-term windowed sum (what the DuckDB oracle computes)
+      val win = bytes.indices.filter { i =>
+        val lo = math.max(0, i - maskBits + 1)
+        (lo to i).map(j => (g(bytes(j)) & mask) << (i - j)).sum % (mask + 1) == 0L
+      }
+      val got = graft.functions.GearBoundaries.boundaries(bytes, maskBits)
+        .toIntArray().toSeq
+      assert(got == rec, s"trial $trial m=$maskBits: expression vs recurrence")
+      assert(got == win, s"trial $trial m=$maskBits: recurrence vs windowed form")
+    }
   }
 
   // ---- MM5 content-defined chunking ---------------------------------------
