@@ -1436,12 +1436,23 @@ object SparkEntry {
         .orderBy("file_name")
     }),
 
+    // MM2 — REAL image decode (javax.imageio): features are decoded-PIXEL
+    // channel means + bright-pixel coverage over 24-bit BMP fixtures — the
+    // one image format whose pixel bytes the oracle can slice straight out
+    // of hex(content) (offset 54, BGR, bottom-up rows; channel MEANS are
+    // order-invariant so only the 3-byte phase matters). PNG/JPEG/GIF run
+    // through the same decoder in BinaryExtractorsSpec; the byte-histogram
+    // stub stays as the no-codec fallback (oracled via mm2's old shape on
+    // the media dir is retired — the fallback is spec-pinned instead).
     "mm2_media_features" -> ((s, _) => {
-      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
-      Multimodal.extractFeatures(s, b).toDF()
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/bitmap", "*.bmp")
+      Multimodal.extractFeatures(s, b, new Multimodal.ImageIoDecoder()).toDF()
         .select(col("file_name"), col("n_bytes"),
           size(col("features")).cast("long").as("dim"),
-          round(aggregate(col("features").cast("array<double>"), lit(0.0), (a, x) => a + x), 4).as("hist_sum"))
+          round(element_at(col("features"), 1).cast("double"), 4).as("mean_r"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("mean_g"),
+          round(element_at(col("features"), 3).cast("double"), 4).as("mean_b"),
+          round(element_at(col("features"), 4).cast("double"), 4).as("coverage"))
         .orderBy("file_name")
     }),
 
@@ -1484,10 +1495,15 @@ object SparkEntry {
 
     // MM4 — resize stub: deterministic byte-stream downsample (every
     // stride-th byte to ≤64), byte-exact against the oracle's hex slicing.
+    // MM4 — REAL image resize on decoded pixels: 2x2 area-average (exact
+    // integer-factor path: 4x4 → 2x2 blocks of 2x2, 8x2 → blocks of 4x1),
+    // output is raw top-down RGB — a pure function of decoded pixels, so
+    // the oracle replays the block floor-means from the BMP's raw BGR rows.
     "mm4_resize" -> ((s, _) => {
-      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/media")
-      Multimodal.resizeStub(s, b, targetBytes = 64).toDF()
-        .select(col("file_name"), col("n_bytes_in"), col("n_bytes_out").cast("long").as("n_bytes_out"),
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/bitmap", "*.bmp")
+      Multimodal.resizeImages(s, b, outW = 2, outH = 2).toDF()
+        .select(col("file_name"), col("n_bytes_in"),
+          col("out_w").cast("long").as("out_w"), col("out_h").cast("long").as("out_h"),
           md5(hex(col("content"))).as("content_md5"))
         .orderBy("file_name")
     }),
@@ -1713,7 +1729,8 @@ object SparkEntry {
       val corpus = e.select("vec_id", "embedding")
         .unionByName(e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       Contrastive.triplets(corpus, "vec_id", "embedding",
-        posTau = 0.99, negTau = 0.3, nNeg = 1, dim = 64, numBits = 32, bands = 4)
+        posTau = 0.99, negTau = 0.3, nNeg = 1, dim = 64, numBits = 32, bands = 4,
+        nShards = 64) // pinned: the oracle SQL replays the 64-shard pairing
         .select(col("anchor_id"), col("pos_id"), round(col("pos_cos"), 4).as("pos_cos"),
           col("neg_id"), round(col("neg_cos"), 4).as("neg_cos"))
         .orderBy("anchor_id", "neg_id")
@@ -2044,7 +2061,26 @@ object SparkEntry {
            |   length(regexp_extract_all(content, '/Type /Page /', 0))::BIGINT AS page_count,
            |   regexp_extract(content, '/Title \(([^)]*)\)', 1) AS title,
            |   regexp_extract(content, '/Author \(([^)]*)\)', 1) AS author
-           | FROM f""".stripMargin,
+           | FROM f
+           | UNION ALL
+           | -- PDF 1.5 fixture: page dicts + /Info live in an ASCIIHex /ObjStm;
+           | -- page text comes from the plain content streams (structural hex
+           | -- streams contain no "(...) Tj", so the empty pulls are filtered),
+           | -- page_count/title/author from the hex-DECODED ObjStm body —
+           | -- independently re-derived from the blob, not trusted from Spark.
+           | SELECT 'manual15.pdf' AS file_name, 'PdfExtractor' AS extractor,
+           |   (WITH g AS (SELECT content FROM read_text('/root/repo/fixtures/office/manual15.pdf'))
+           |    SELECT array_to_string(list_filter(list_transform(
+           |      regexp_extract_all(content, '(?s)stream\n(.*?)\nendstream', 1),
+           |      s -> array_to_string(regexp_extract_all(s, '\(([^)]*)\) Tj', 1), chr(10))),
+           |      x -> length(x) > 0), chr(10)||chr(10)) FROM g) AS text,
+           |   length(regexp_extract_all(o, '/Type /Page /', 0))::BIGINT AS page_count,
+           |   regexp_extract(o, '/Title \(([^)]*)\)', 1) AS title,
+           |   regexp_extract(o, '/Author \(([^)]*)\)', 1) AS author
+           | FROM (SELECT decode(unhex(regexp_replace(
+           |         regexp_extract(content, '(?s)/ObjStm.*?stream\n(.*?)>\s*\nendstream', 1),
+           |         '\s', '', 'g'))) AS o
+           |       FROM read_text('/root/repo/fixtures/office/manual15.pdf'))""".stripMargin,
     "s3_docx_extract" ->
       raw"""WITH b AS (SELECT hex(content) AS h FROM read_blob('/root/repo/fixtures/office/report.docx'))
            | SELECT 'report.docx' AS file_name, 'DocxExtractor' AS extractor,
@@ -2594,26 +2630,57 @@ object SparkEntry {
     // the raw blob: with dim=16, bin(b) = b·16/256 = b's HIGH NIBBLE, i.e.
     // the 1st, 3rd, 5th… characters of hex(content). Per-bin float32
     // normalization is reproduced via ::FLOAT before the double sum.
+    // mm2 — decoded-PIXEL features re-derived from the BMP blob: 24-bit BMP
+    // stores raw BGR rows bottom-up at offset 54 (widths chosen pad-free),
+    // so channel means + bright coverage fall out of hex-nibble arithmetic.
+    // Means over integer pixels are dyadic — the Float/double compare is
+    // exact, not rounding luck.
     "mm2_media_features" ->
-      raw"""WITH b AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, size::BIGINT AS n_bytes, upper(hex(content)) AS h FROM read_blob('/root/repo/fixtures/media/*')),
-           | u AS (SELECT file_name, n_bytes, h, unnest(range(0, n_bytes)) AS i FROM b),
-           | d AS (SELECT file_name, n_bytes, substr(h, (2 * i + 1)::BIGINT, 1) AS dig FROM u),
-           | c AS (SELECT file_name, n_bytes, dig, count(*) AS cnt FROM d GROUP BY 1, 2, 3)
-           | SELECT file_name, n_bytes, 16::BIGINT AS dim,
-           |   round(sum((cnt::FLOAT / n_bytes::FLOAT)::DOUBLE), 4) AS hist_sum
-           | FROM c GROUP BY 1, 2 ORDER BY file_name""".stripMargin,
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h, size::BIGINT AS n_bytes FROM read_blob('/root/repo/fixtures/bitmap/*.bmp')),
+           | dims AS (SELECT file_name, h, n_bytes,
+           |    (strpos('0123456789ABCDEF', substr(h, 37, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, 38, 1))-1 AS w,
+           |    (strpos('0123456789ABCDEF', substr(h, 45, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, 46, 1))-1 AS ht
+           |  FROM f),
+           | px AS (SELECT file_name, h, n_bytes, w, ht, unnest(range(0, w*ht)) AS p FROM dims),
+           | ch AS (SELECT file_name, h, n_bytes, w, ht, p, 54 + (p // w) * (w*3) + (p % w) * 3 AS base FROM px),
+           | v AS (SELECT file_name, n_bytes,
+           |    (strpos('0123456789ABCDEF', substr(h, (2*(base+2)+1)::BIGINT, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, (2*(base+2)+2)::BIGINT, 1))-1 AS r,
+           |    (strpos('0123456789ABCDEF', substr(h, (2*(base+1)+1)::BIGINT, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, (2*(base+1)+2)::BIGINT, 1))-1 AS g,
+           |    (strpos('0123456789ABCDEF', substr(h, (2*(base+0)+1)::BIGINT, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, (2*(base+0)+2)::BIGINT, 1))-1 AS b
+           |  FROM ch)
+           | SELECT file_name, n_bytes, 4::BIGINT AS dim,
+           |   round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g, round(avg(b), 4) AS mean_b,
+           |   round(sum(CASE WHEN r+g+b > 381 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS coverage
+           | FROM v GROUP BY 1, 2 ORDER BY file_name""".stripMargin,
     "mm3_frame_sample" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, hex(content) AS h, size FROM read_blob('/root/repo/fixtures/media/*')),
            | fr AS (SELECT file_name, h, unnest(range(0, least((size - 64) // 96 + 1, 3))) AS frame_index FROM f WHERE size >= 64),
            | t AS (SELECT file_name, frame_index, substr(h, frame_index * 192 + 1, 128) AS fh FROM fr)
            | SELECT file_name, frame_index, md5(fh) AS frame_md5, 64::BIGINT AS n_bytes FROM t ORDER BY file_name, frame_index""".stripMargin,
+    // mm4 — the 2x2 area-average replayed from the BMP's raw pixels: block
+    // floor-means (sum // count) over top-down coordinates (y flipped from
+    // the bottom-up storage), assembled as top-down RGB hex and md5'd —
+    // byte-exact against resizeImages' raw-RGB output.
     "mm4_resize" ->
-      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, hex(content) AS h, size FROM read_blob('/root/repo/fixtures/media/*')),
-           | r AS (SELECT file_name, h, size, greatest((size + 63) // 64, 1) AS stride FROM f),
-           | t AS (SELECT file_name, h, size, stride, least((size + stride - 1) // stride, 64) AS n_out FROM r)
-           | SELECT file_name, size AS n_bytes_in, n_out AS n_bytes_out,
-           |   md5(array_to_string(list_transform(range(0, n_out), i -> substr(h, (i * stride * 2 + 1)::BIGINT, 2)), '')) AS content_md5
-           | FROM t ORDER BY file_name""".stripMargin,
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h, size::BIGINT AS n_bytes FROM read_blob('/root/repo/fixtures/bitmap/*.bmp')),
+           | dims AS (SELECT file_name, h, n_bytes,
+           |    (strpos('0123456789ABCDEF', substr(h, 37, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, 38, 1))-1 AS w,
+           |    (strpos('0123456789ABCDEF', substr(h, 45, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, 46, 1))-1 AS ht
+           |  FROM f),
+           | px AS (SELECT file_name, h, n_bytes, w, ht, unnest(range(0, w*ht)) AS p FROM dims),
+           | v AS (SELECT file_name, n_bytes, w, ht,
+           |    (p % w) AS x, ht - 1 - (p // w) AS y,
+           |    (strpos('0123456789ABCDEF', substr(h, (2*(54 + (p // w) * (w*3) + (p % w) * 3 + 2)+1)::BIGINT, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, (2*(54 + (p // w) * (w*3) + (p % w) * 3 + 2)+2)::BIGINT, 1))-1 AS r,
+           |    (strpos('0123456789ABCDEF', substr(h, (2*(54 + (p // w) * (w*3) + (p % w) * 3 + 1)+1)::BIGINT, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, (2*(54 + (p // w) * (w*3) + (p % w) * 3 + 1)+2)::BIGINT, 1))-1 AS g,
+           |    (strpos('0123456789ABCDEF', substr(h, (2*(54 + (p // w) * (w*3) + (p % w) * 3 + 0)+1)::BIGINT, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, (2*(54 + (p // w) * (w*3) + (p % w) * 3 + 0)+2)::BIGINT, 1))-1 AS b
+           |  FROM px),
+           | grp AS (SELECT file_name, n_bytes, x // (w // 2) AS gx, y // (ht // 2) AS gy,
+           |    sum(r) // count(*) AS r, sum(g) // count(*) AS g, sum(b) // count(*) AS b
+           |  FROM v GROUP BY 1, 2, 3, 4),
+           | s AS (SELECT file_name, n_bytes,
+           |    string_agg(lpad(upper(to_hex(r)), 2, '0') || lpad(upper(to_hex(g)), 2, '0') || lpad(upper(to_hex(b)), 2, '0'), '' ORDER BY gy, gx) AS hexs
+           |  FROM grp GROUP BY 1, 2)
+           | SELECT file_name, n_bytes AS n_bytes_in, 2::BIGINT AS out_w, 2::BIGINT AS out_h, md5(hexs) AS content_md5 FROM s ORDER BY file_name""".stripMargin,
     "p1_ingest_pipeline" ->
       "SELECT count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, 64::BIGINT AS dim FROM documents",
 

@@ -31,10 +31,32 @@ import org.apache.spark.sql.functions._
   * out of the respective legs — training consumers want clean pairs, not
   * placeholders.
   *
+  * `nShards` defaults to 0 = **derived from a corpus count** so the
+  * per-shard window sort stays bounded (~[[RowsPerShard]] rows per task)
+  * at any corpus size — a fixed shard count would mean each of its window
+  * tasks sorts corpus/nShards rows, a scale-killer at 100 TB. The count is
+  * one cheap id-projection job; the derived value is a pure function of
+  * the corpus size, so the draw stays reproducible run-to-run. Pass an
+  * explicit nShards only to pin an oracle-replayable pairing.
+  *
   * Output: (anchor_id, pos_id, pos_cos, neg_id, neg_cos), one row per
   * (anchor, negative).
   */
 object Contrastive {
+
+  /** Target rows per negative-mining shard: bounds the per-shard window
+    * sort (1M rows ≈ tens of MB of (hash, id) keys — comfortable in one
+    * task's sort buffer).
+    */
+  val RowsPerShard: Long = 1L << 20
+
+  /** nShards for a corpus of `n` rows: ceil(n / RowsPerShard), floored so
+    * nNeg < nShards always holds.
+    */
+  def deriveShards(n: Long, nNeg: Int): Int = {
+    val byRows = (n + RowsPerShard - 1) / RowsPerShard
+    math.max(nNeg + 1L, byRows).min(Int.MaxValue.toLong).toInt
+  }
 
   def triplets(
       df: DataFrame,
@@ -46,10 +68,12 @@ object Contrastive {
       dim: Int,
       numBits: Int = 32,
       bands: Int = 4,
-      nShards: Int = 64,
+      nShards: Int = 0,
   ): DataFrame = {
-    require(nNeg >= 1 && nNeg < nShards, s"need 1 <= nNeg < nShards: $nNeg vs $nShards")
+    require(nNeg >= 1, s"need nNeg >= 1: $nNeg")
     require(posTau > negTau, s"posTau must exceed negTau: $posTau vs $negTau")
+    val nSh = if (nShards > 0) nShards else deriveShards(df.select(col(idCol)).count(), nNeg)
+    require(nNeg < nSh, s"need nNeg < nShards: $nNeg vs $nSh")
     import graft.functions.VectorOps.asDouble
 
     // ---- positives: best LSH-verified partner per anchor ----
@@ -66,7 +90,7 @@ object Contrastive {
     val base = df.select(
       col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"),
-      (Sampling.portableHash(col(idCol)) % nShards).cast("int").as("shard"))
+      (Sampling.portableHash(col(idCol)) % nSh).cast("int").as("shard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(Sampling.portableHash(col("id")), col("id"))
     val ranked = base.withColumn("rank", row_number().over(w))
@@ -74,7 +98,7 @@ object Contrastive {
     val wanted = ranked
       .select(col("id").as("anchor_id"), col("v").as("av"), col("shard"), col("rank"),
         explode(sequence(lit(1), lit(nNeg))).as("j"))
-      .withColumn("tgt_shard", pmod(col("shard") + col("j"), lit(nShards)).cast("int"))
+      .withColumn("tgt_shard", pmod(col("shard") + col("j"), lit(nSh)).cast("int"))
       .join(broadcast(sizes.select(col("shard").as("tgt_shard"), col("sz"))), Seq("tgt_shard"))
       .withColumn("tgt_rank", pmod(col("rank") - 1, col("sz")).cast("int") + 1)
     val partner = ranked.select(

@@ -710,10 +710,13 @@ object Dedup {
   ): (DataFrame, CcStats) = {
     import org.apache.spark.sql.GraftBridge
     val spark = nodes.sparkSession
+    // Null-endpoint filter applied ONCE here so both paths share it: an
+    // unfiltered distributed pass would emit a spurious (null, null) row.
     val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
     if (maxDriverEdges > 0) {
       val cap = math.min(maxDriverEdges + 1, Int.MaxValue - 1L).toInt
-      val lim = sym.where(col("u").isNotNull && col("v").isNotNull).limit(cap).collect()
+      val lim = sym.limit(cap).collect()
       if (lim.length <= maxDriverEdges) {
         val ids    = new scala.collection.mutable.ArrayBuffer[Long]()
         val index  = new java.util.HashMap[Long, Integer]()
@@ -978,8 +981,12 @@ object Dedup {
     val names = docs.columns.toSet
     Seq("__id", "__bid", "__pos", "__line", "__h", "cleaned", "n_lines", "n_kept").foreach(c =>
       require(!names.contains(c), s"input already has a '$c' column"))
+    // coalesce to "": split(NULL) yields NO rows, which would drop a
+    // NULL-text document from the output entirely, violating the
+    // one-row-per-input-doc contract. split("") is [""], so the doc
+    // survives with empty text.
     val lines = docs.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("__pos", "__line")))
     val boiler = lines
       .where(length(trim(col("__line"))) > 0)
       .select(md5(col("__line")).as("__h"), col("__id").as("__bid"))

@@ -9,11 +9,14 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   * backend/extractors/image_extractor.py:18-68).
   *
   * The Spark-side plumbing — binaryFile source, schema, partitioning, batch
-  * shape of the per-partition feature extraction — is real and tested. The
-  * DECODE step is a deterministic STUB (byte-histogram features, offset
-  * frame sampling): real image/audio codecs are not in this container; a
-  * production deployment swaps [[StubDecoder]] for a codec-backed one with
-  * the same signature.
+  * shape of the per-partition feature extraction — is real and tested.
+  * IMAGE decode is REAL ([[ImageIoDecoder]] / [[resizeImages]] on
+  * javax.imageio: PNG/JPEG/GIF/BMP, no native deps); the deterministic
+  * [[StubDecoder]] byte-histogram remains as the no-codec fallback for
+  * formats the JVM can't decode (audio/video), and [[resizeStub]] /
+  * [[sampleFrames]] stay byte-level stubs — audio/video codecs are not in
+  * this container; a production deployment swaps in a codec-backed
+  * [[Decoder]] with the same signature.
   */
 object Multimodal {
 
@@ -74,6 +77,49 @@ object Multimodal {
       }
   }
 
+  /** REAL image decode on javax.imageio (PNG/JPEG/GIF/BMP — the formats the
+    * JVM ships codecs for; no native deps): features are decoded-PIXEL
+    * statistics, not byte statistics. dim = 4:
+    * (meanR, meanG, meanB, coverage) where coverage = fraction of pixels
+    * with r+g+b > 381 (i.e. brighter than mid-gray). Channel means over
+    * integer pixels are dyadic rationals — exactly representable in Float
+    * AND in the oracle's double arithmetic, so the compare is exact, never
+    * rounding-boundary luck. Undecodable inputs (audio, corrupt files)
+    * fall back to the byte-histogram stub at the same dim — the documented
+    * no-codec fallback, so a mixed-media corpus never throws.
+    */
+  final class ImageIoDecoder extends Decoder {
+    val dim = 4
+    private lazy val fallback = new StubDecoder(dim)
+    override def decodeBatch(batch: Seq[(String, Array[Byte])]): Seq[Array[Float]] =
+      batch.map { case (name, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb, bright) = (0L, 0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+                sr += r; sg += g; sb += b
+                if (r + g + b > 381) bright += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat, (bright / n).toFloat)
+          case None => fallback.decodeBatch(Seq((name, bytes))).head
+        }
+      }
+  }
+
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   /** Distributed feature extraction: one decoder per partition, inputs
     * drained in batches (same shape as [[Embedder.embedText]]). Narrow —
     * no shuffle.
@@ -96,6 +142,73 @@ object Multimodal {
   }
 
   final case class Resized(file_name: String, n_bytes_in: Long, n_bytes_out: Int, content: Array[Byte])
+
+  final case class ResizedImage(
+      file_name: String, n_bytes_in: Long, out_w: Int, out_h: Int, content: Array[Byte])
+
+  /** REAL image resize on decoded pixels: decode via javax.imageio, then
+    *  - integer downscale factors (src divisible by target on both axes):
+    *    exact AREA AVERAGE — each output pixel is the floor-mean of its
+    *    source block, the alias-free reduction;
+    *  - any other geometry: pixel-center NEAREST sampling (deterministic,
+    *    no resampling kernel ambiguity).
+    * Output `content` is raw row-major top-down RGB bytes (w·h·3) — a pure
+    * function of decoded pixels, unlike a PNG re-encode whose byte stream
+    * may legally differ across encoder versions. Undecodable inputs are
+    * dropped (None), surfacing as missing rows rather than garbage bytes.
+    * Narrow per-row map — no shuffle.
+    */
+  def resizeImages(
+      spark: SparkSession,
+      binaries: DataFrame,
+      outW: Int,
+      outH: Int,
+  ): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(outW > 0 && outH > 0, s"target dims must be positive: ${outW}x$outH")
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        decodeImage(bytes).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Byte](outW * outH * 3)
+          val exact = w % outW == 0 && h % outH == 0
+          val (fx, fy) = (w / outW, h / outH)
+          var oy = 0
+          while (oy < outH) {
+            var ox = 0
+            while (ox < outW) {
+              val (r, g, b) =
+                if (exact) {
+                  var (sr, sg, sb) = (0, 0, 0)
+                  var y = oy * fy
+                  while (y < (oy + 1) * fy) {
+                    var x = ox * fx
+                    while (x < (ox + 1) * fx) {
+                      val rgb = img.getRGB(x, y)
+                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val n = fx * fy
+                  (sr / n, sg / n, sb / n)
+                } else {
+                  val rgb = img.getRGB(
+                    math.min(w - 1, (ox * w + w / 2) / outW),
+                    math.min(h - 1, (oy * h + h / 2) / outH))
+                  ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+                }
+              val i = (oy * outW + ox) * 3
+              out(i) = r.toByte; out(i + 1) = g.toByte; out(i + 2) = b.toByte
+              ox += 1
+            }
+            oy += 1
+          }
+          ResizedImage(name, bytes.length.toLong, outW, outH, out)
+        }
+      }
+  }
 
   /** Resize STUB: deterministic byte-stream downsample to ≤ `targetBytes`
     * (every stride-th byte; a real image resize needs a codec — the 1-in/

@@ -81,9 +81,11 @@ object Quant {
       idCol: String,
       query: Seq[Double],
       k: Int,
-  ): DataFrame =
+  ): DataFrame = {
+    require(!quantized.columns.contains("__sq8_d"), "input already has a '__sq8_d' column")
     Search.topK(
       quantized.withColumn("__sq8_d", col(codesCol).cast("array<double>")),
       "__sq8_d", idCol, query, k,
     ).drop("__sq8_d")
+  }
 }

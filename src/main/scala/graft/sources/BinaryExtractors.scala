@@ -155,6 +155,137 @@ private[graft] object PdfParser {
       objs.toSeq.sortBy(_._1).collect { case (n, b) if isType(b, "Page") => n })
   }
 
+  private def intKey(body: String, key: String): Option[Int] =
+    (s"""/$key\\s+(\\d+)""").r.findFirstMatchIn(body).map(_.group(1).toInt)
+
+  private def intList(body: String, key: String): Seq[Int] =
+    (s"""/$key\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(body)
+      .map(m => """\d+""".r.findAllIn(m.group(1)).map(_.toInt).toSeq).getOrElse(Nil)
+
+  /** Type-2 cross-reference entries (objNum → (objStmNum, idxInStream))
+    * from the PDF 1.5+ xref STREAM chain (ISO 32000-1 §7.5.8): follow the
+    * last `startxref` to a /Type/XRef stream, decode its /W-packed
+    * big-endian rows over the /Index ranges, then walk /Prev. The first
+    * section to define an object wins (latest update is authoritative —
+    * pypdf reads the same chain, backend/extractors/pdf_extractor.py:16-40
+    * via its xref machinery). Xref streams are never encrypted
+    * (§7.5.8.2), so no decrypt hook. A /Prev pointing at a classic `xref`
+    * table ends the walk — the sequential scanner already covers
+    * uncompressed objects.
+    */
+  private[graft] def xrefType2(s: String, objs: Map[Int, String]): Map[Int, (Int, Int)] = {
+    val out  = mutable.Map.empty[Int, (Int, Int)]
+    val seen = mutable.Set.empty[Int]
+    var off = """startxref\s+(\d+)""".r.findAllMatchIn(s)
+      .map(_.group(1).toInt).toSeq.lastOption.getOrElse(-1)
+    val headerAt = java.util.regex.Pattern.compile("""\s*(\d+)\s+\d+\s+obj""")
+    while (off >= 0 && off < s.length && seen.add(off)) {
+      val m = headerAt.matcher(s)
+      m.region(off, math.min(off + 48, s.length))
+      off = -1
+      if (m.lookingAt()) {
+        objs.get(m.group(1).toInt).filter(isType(_, "XRef")).foreach { body =>
+          streamData(body).foreach { data =>
+            val w = intList(body, "W")
+            if (w.length == 3 && w.sum > 0) {
+              val idx0  = intList(body, "Index")
+              val pairs = if (idx0.length >= 2) idx0 else Seq(0, intKey(body, "Size").getOrElse(0))
+              val row   = w.sum
+              var pos   = 0
+              pairs.grouped(2).foreach {
+                case Seq(first, count) =>
+                  var i = 0
+                  while (i < count && pos + row <= data.length) {
+                    def field(k: Int): Long = {
+                      var v = 0L
+                      var j = pos + w.take(k).sum
+                      val to = j + w(k)
+                      while (j < to) { v = (v << 8) | (data(j) & 0xffL); j += 1 }
+                      v
+                    }
+                    // w1 = 0 ⇒ implicit type 1 (§7.5.8.3)
+                    if ((if (w(0) == 0) 1L else field(0)) == 2L) {
+                      val num = first + i
+                      if (!out.contains(num)) out(num) = (field(1).toInt, field(2).toInt)
+                    }
+                    pos += row; i += 1
+                  }
+                case _ => ()
+              }
+            }
+          }
+          off = intKey(body, "Prev").getOrElse(-1)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Members of one /ObjStm (§7.5.7) as (idxInStream, objNum, body): the
+    * decoded stream opens with /N pairs of "objNum byteOffset", member
+    * data starts at /First + offset and runs to the next member. Members
+    * carry no obj/endobj framing — this is exactly why the sequential
+    * scanner can't see them. Strings inside members are already plaintext
+    * after the stream-level decrypt (objects inside an object stream are
+    * not re-encrypted individually).
+    */
+  private def objStmMembers(
+      body: String,
+      decrypt: Array[Byte] => Array[Byte],
+      onSkip: () => Unit,
+  ): Vector[(Int, Int, String)] = {
+    val parsed = for {
+      n     <- intKey(body, "N")
+      first <- intKey(body, "First")
+      data  <- streamData(body, onSkip, decrypt)
+    } yield {
+      val txt = latin1(data)
+      val pairs = """(\d+)\s+(\d+)""".r
+        .findAllMatchIn(txt.substring(0, math.min(first, txt.length)))
+        .take(n).map(m => (m.group(1).toInt, m.group(2).toInt)).toVector
+      pairs.zipWithIndex.map { case ((num, o), idx) =>
+        val start = math.min(first.toLong + o, txt.length.toLong).toInt
+        val end =
+          if (idx + 1 < pairs.length) math.min(first.toLong + pairs(idx + 1)._2, txt.length.toLong).toInt
+          else txt.length
+        (idx, num, txt.substring(start, math.max(start, end)))
+      }
+    }
+    parsed.getOrElse(Vector.empty)
+  }
+
+  /** Overlay /ObjStm members onto the scanned top-level object map — the
+    * PDF 1.5+ path: post-2005 writers store page dicts, /Info and the
+    * catalog compressed inside object streams, where they are invisible
+    * to the `N 0 obj` scan. Precedence:
+    *  - an xref type-2 entry naming (stream, idx) is authoritative — that
+    *    member replaces any scanned (stale, superseded-by-update) body;
+    *  - without xref info, members only fill gaps (a scanned top-level
+    *    definition wins, matching the scanner's latest-wins policy).
+    */
+  private def expandObjectStreams(
+      top: Map[Int, String],
+      s: String,
+      decryptFor: Int => Array[Byte] => Array[Byte],
+      onSkip: () => Unit,
+  ): Map[Int, String] = {
+    val stms = top.iterator.filter { case (_, b) => isType(b, "ObjStm") }.toVector
+    if (stms.isEmpty) return top
+    val type2 = xrefType2(s, top)
+    val members = stms.flatMap { case (stmNum, body) =>
+      objStmMembers(body, decryptFor(stmNum), onSkip)
+        .map { case (idx, num, b) => (num, stmNum, idx, b) }
+    }
+    val auth = members.collect {
+      case (num, sn, ix, b) if type2.get(num).contains((sn, ix)) => num -> b
+    }.toMap
+    val gaps = members.iterator
+      .filterNot { case (num, _, _, _) => top.contains(num) || auth.contains(num) }
+      .map { case (num, _, _, b) => num -> b }
+      .toMap
+    top ++ gaps ++ auth
+  }
+
   /** Filter names from a stream dict, pipeline order: either a single
     * `/Filter /Name` or an array `/Filter [/A /B]` (applied left to right,
     * PDF 32000-1 §7.4).
@@ -690,18 +821,21 @@ private[graft] object PdfParser {
   def extract(content: Array[Byte]): (String, Map[String, String]) = {
     val s = latin1(content)
     if (!s.startsWith("%PDF")) throw new IllegalArgumentException("not a PDF (missing %PDF header)")
-    val objs = objects(s)
-    val pages = pageOrder(objs, s)
+    val scanned = objects(s)
     // Standard-handler encryption (when present): structure is plaintext,
     // strings/streams are RC4'd per object. Generation numbers are assumed
     // 0 (the object scanner keys on number only; non-zero generations
-    // require incremental updates this walker doesn't model).
-    val dec = decryptorOf(s, objs)
+    // require incremental updates this walker doesn't model). The /Encrypt
+    // dict is necessarily a top-level object (it can't live inside an
+    // ObjStm — it's needed to decode them), so `scanned` suffices here.
+    val dec = decryptorOf(s, scanned)
     def decryptFor(objNum: Int): Array[Byte] => Array[Byte] =
       dec.map(d => (bytes: Array[Byte]) => d.decrypt(objNum, 0, bytes)).getOrElse(identity)
     // content streams behind a filter this walker can't decode contribute
     // no text; the count makes that loss visible instead of silent
     var skippedFilters = 0
+    val objs = expandObjectStreams(scanned, s, decryptFor, () => skippedFilters += 1)
+    val pages = pageOrder(objs, s)
     val pageTexts = pages.map { p =>
       refList(objs(p), "Contents")
         .flatMap(c => objs.get(c).flatMap(b => streamData(b, () => skippedFilters += 1, decryptFor(c))))

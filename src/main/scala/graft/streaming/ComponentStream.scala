@@ -23,11 +23,21 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object ComponentStream {
 
-  /** Read the current labeling (empty if the store doesn't exist yet). */
+  /** Read the current labeling (empty if the store doesn't exist yet).
+    *
+    * Crash recovery: the swap in [[start]] is two renames (root → `.old`,
+    * `.next` → root). A crash between them leaves no root but a complete
+    * `.old` — falling back to it here turns that window into "one batch is
+    * replayed" instead of "the whole labeling is silently lost" (the
+    * labeling is the only record of history; historical edges are never
+    * re-read, so an empty fallback would be permanent loss).
+    */
   def currentLabels(spark: SparkSession, path: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p   = new org.apache.hadoop.fs.Path(path)
+    val fs  = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
     if (fs.exists(p)) spark.read.parquet(path)
+    else if (fs.exists(old)) spark.read.parquet(old.toString)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -66,7 +76,13 @@ object ComponentStream {
           fs.delete(old, true)
           if (fs.exists(root)) fs.rename(root, old)
           fs.rename(tmp, root)
-          fs.delete(old, true)
+          // Keep `.old` until the new root is confirmed readable: a crash or
+          // failed rename above leaves `.old` as the recovery copy that
+          // currentLabels falls back to.
+          val rootReadable =
+            try { s.read.parquet(labelsPath).schema.fieldNames.contains("id") }
+            catch { case _: Exception => false }
+          if (rootReadable) fs.delete(old, true)
           ()
         }
       }

@@ -55,6 +55,134 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(meta == Map("page_count" -> "1"))
   }
 
+  // ---- PDF 1.5+: object streams + cross-reference streams ----------------
+
+  private def flate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(); d.setInput(b); d.finish()
+    val buf = new Array[Byte](8192); val n = d.deflate(buf); buf.take(n)
+  }
+
+  /** PNG-Up (Predictor 12) encode of fixed-width xref rows — the standard
+    * wrapping for xref streams, exercising the decoder's predictor path.
+    */
+  private def pngUp(rows: Seq[Array[Int]], width: Int): Array[Byte] = {
+    var prev = Array.fill(width)(0)
+    rows.flatMap { r =>
+      val enc = 2 +: r.indices.map(i => (r(i) - prev(i)) & 0xff)
+      prev = r
+      enc
+    }.map(_.toByte).toArray
+  }
+
+  /** A complete PDF 1.5 document: catalog, page tree, and /Info live ONLY
+    * inside a Flate-compressed /ObjStm; the only cross-reference is a
+    * /Type/XRef stream (W [1 2 1], Flate + PNG-Up predictor) — the layout
+    * every post-2005 writer emits, invisible to a plain `N 0 obj` scan.
+    */
+  private def buildPdf15(xrefStream: Boolean): Array[Byte] = {
+    val members = Vector(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      6 -> "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+      7 -> "<< /Title (Modern Manual) /Author (Graft) >>")
+    val offs   = members.map(_._2.length + 1).scanLeft(0)(_ + _).init
+    val header = members.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val stm    = flate((header + members.map(_._2).mkString(" ")).getBytes(ISO_8859_1))
+    val cs1 = "BT (Page one modern) Tj ET"
+    val cs2 = "BT (Page two modern) Tj ET"
+    val sb = new StringBuilder
+    def add(s: String): Int = { val off = sb.length; sb.append(s); off }
+    add("%PDF-1.5\n")
+    val off4 = add(s"4 0 obj\n<< /Length ${cs1.length} >>\nstream\n$cs1\nendstream\nendobj\n")
+    val off5 = add(s"5 0 obj\n<< /Length ${cs2.length} >>\nstream\n$cs2\nendstream\nendobj\n")
+    val off8 = add(s"8 0 obj\n<< /Type /ObjStm /N ${members.length} /First ${header.length}" +
+      s" /Filter /FlateDecode /Length ${stm.length} >>\nstream\n" +
+      new String(stm, ISO_8859_1) + "\nendstream\nendobj\n")
+    if (xrefStream) {
+      val off9 = sb.length
+      val rows = Seq(
+        Array(0, 0, 0xffff),    // 0: free
+        Array(2, 8, 0),         // 1: in ObjStm 8, idx 0
+        Array(2, 8, 1),
+        Array(2, 8, 2),
+        Array(1, off4, 0),
+        Array(1, off5, 0),
+        Array(2, 8, 3),
+        Array(2, 8, 4),
+        Array(1, off8, 0),
+        Array(1, off9, 0))
+      val packed = rows.map(r => Array(r(0), (r(1) >> 8) & 0xff, r(1) & 0xff, r(2) & 0xff))
+      val xr     = flate(pngUp(packed, 4))
+      add(s"9 0 obj\n<< /Type /XRef /Size 10 /W [1 2 1] /Index [0 10] /Root 1 0 R /Info 7 0 R" +
+        s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>" +
+        s" /Length ${xr.length} >>\nstream\n" +
+        new String(xr, ISO_8859_1) + "\nendstream\nendobj\n")
+      add(s"startxref\n$off9\n%%EOF\n")
+    } else {
+      // no xref at all: members must still resolve by gap-fill
+      add("trailer\n<< /Root 1 0 R /Info 7 0 R >>\n%%EOF\n")
+    }
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  test("PDF 1.5 committed fixture (tools/make_pdf15_fixture.py): ASCIIHex ObjStm + xref stream") {
+    val (text, meta) = new PdfExtractor().extract(read("fixtures/office/manual15.pdf"), "manual15.pdf")
+    assert(text == "Object streams hold the page tree\n\nXref streams replace the table")
+    assert(meta == Map("page_count" -> "2", "title" -> "Modern Manual", "author" -> "Graft Team"))
+  }
+
+  test("PDF 1.5: page tree and /Info inside a Flate ObjStm, resolved via the xref stream") {
+    val (text, meta) = new PdfExtractor().extract(buildPdf15(xrefStream = true), "m15.pdf")
+    assert(text == "Page one modern\n\nPage two modern")
+    assert(meta == Map("page_count" -> "2", "title" -> "Modern Manual", "author" -> "Graft"))
+  }
+
+  test("PDF 1.5: ObjStm members fill gaps even without any cross-reference") {
+    val (text, meta) = new PdfExtractor().extract(buildPdf15(xrefStream = false), "m15nx.pdf")
+    assert(text == "Page one modern\n\nPage two modern")
+    assert(meta("page_count") == "2" && meta("title") == "Modern Manual")
+  }
+
+  test("PDF 1.5: xref type-2 entry overrides a stale top-level object from an earlier update") {
+    // incremental update: the original top-level page 3 (contents 4) was
+    // superseded — the current version lives in the ObjStm and points at
+    // contents 5. The xref stream is the authority on which one is live.
+    val stale = "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    val members = Vector(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    val offs   = members.map(_._2.length + 1).scanLeft(0)(_ + _).init
+    val header = members.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + "\n"
+    val stm    = flate((header + members.map(_._2).mkString(" ")).getBytes(ISO_8859_1))
+    val cs1 = "BT (old text) Tj ET"
+    val cs2 = "BT (current text) Tj ET"
+    val sb = new StringBuilder
+    def add(s: String): Int = { val off = sb.length; sb.append(s); off }
+    add("%PDF-1.5\n")
+    add(stale)
+    val off4 = add(s"4 0 obj\n<< /Length ${cs1.length} >>\nstream\n$cs1\nendstream\nendobj\n")
+    val off5 = add(s"5 0 obj\n<< /Length ${cs2.length} >>\nstream\n$cs2\nendstream\nendobj\n")
+    val off8 = add(s"8 0 obj\n<< /Type /ObjStm /N ${members.length} /First ${header.length}" +
+      s" /Filter /FlateDecode /Length ${stm.length} >>\nstream\n" +
+      new String(stm, ISO_8859_1) + "\nendstream\nendobj\n")
+    val off9 = sb.length
+    val rows = Seq(
+      Array(0, 0, 0xffff), Array(2, 8, 0), Array(2, 8, 1), Array(2, 8, 2),
+      Array(1, off4, 0), Array(1, off5, 0), Array(0, 0, 0), Array(0, 0, 0),
+      Array(1, off8, 0), Array(1, off9, 0))
+    val packed = rows.map(r => Array(r(0), (r(1) >> 8) & 0xff, r(1) & 0xff, r(2) & 0xff))
+    val xr     = flate(pngUp(packed, 4))
+    add(s"9 0 obj\n<< /Type /XRef /Size 10 /W [1 2 1] /Index [0 10] /Root 1 0 R" +
+      s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>" +
+      s" /Length ${xr.length} >>\nstream\n" +
+      new String(xr, ISO_8859_1) + "\nendstream\nendobj\n")
+    add(s"startxref\n$off9\n%%EOF\n")
+    val (text, _) = new PdfExtractor().extract(sb.toString.getBytes(ISO_8859_1), "inc.pdf")
+    assert(text == "current text", "the ObjStm member named by the xref must shadow the stale top-level page")
+  }
+
   test("PDF: ASCIIHex/ASCII85/LZW/RunLength filters, chained pipelines, skipped-filter count") {
     import java.io.ByteArrayOutputStream
     import scala.collection.mutable

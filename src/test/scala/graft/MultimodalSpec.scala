@@ -35,6 +35,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 
+  // ---- real image decode (javax.imageio) ---------------------------------
+
+  /** In-memory encode via ImageIO: the SAME codecs decode it back, proving
+    * the decoder handles real PNG/JPEG/GIF bitstreams, not just BMP.
+    */
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JVM must ship a $fmt encoder")
+    bos.toByteArray
+  }
+
+  private def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    img
+  }
+
+  test("ImageIoDecoder: real pixel means from PNG, JPEG, GIF and the committed BMPs") {
+    val dec = new Multimodal.ImageIoDecoder()
+    // solid color → means are exactly the channel values in every format
+    // (JPEG of a solid image is lossless enough to round-trip flat blocks)
+    val img = solid(8, 4, 0x40A0C0) // r=64 g=160 b=192, bright (sum 416 > 381)
+    Seq("png", "gif").foreach { fmt =>
+      val Seq(f) = dec.decodeBatch(Seq((s"t.$fmt", encode(img, fmt))))
+      assert(f.toSeq == Seq(64f, 160f, 192f, 1f), s"format $fmt")
+    }
+    // JPEG is lossy — real decode is within quantization error, never the
+    // byte histogram the fallback would produce
+    val Seq(fj) = dec.decodeBatch(Seq(("t.jpeg", encode(img, "jpeg"))))
+    assert(fj.zip(Seq(64f, 160f, 192f, 1f)).forall { case (a, b) => math.abs(a - b) <= 2f },
+      s"jpeg decode off: ${fj.toSeq}")
+    // committed BMP fixtures: values the mm2 oracle re-derives from the blob
+    val art1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("fixtures/bitmap/art1.bmp"))
+    val Seq(f1) = dec.decodeBatch(Seq(("art1.bmp", art1)))
+    assert(f1.toSeq == Seq(100f, 95f, 90f, 0.1875f))
+    // undecodable bytes fall back to the 4-bin byte-histogram stub
+    val Seq(fb) = dec.decodeBatch(Seq(("junk.bin", Array[Byte](1, 2, 3, -1))))
+    assert(fb.length == 4 && math.abs(fb.map(_.toDouble).sum - 1.0) < 1e-6)
+  }
+
+  test("resizeImages: exact area-average on integer factors, nearest otherwise, undecodable dropped") {
+    // 4x2 image, left half red-ish (200,0,0), right half (0,100,0):
+    // resize to 2x1 → each output pixel = mean of a 2x2 block
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach { y =>
+      (0 until 2).foreach(x => img.setRGB(x, y, 0xC80000))
+      (2 until 4).foreach(x => img.setRGB(x, y, 0x006400))
+    }
+    val rows = Seq(
+      ("a.png", encode(img, "png")),
+      ("bad.bin", Array[Byte](9, 9, 9))).toDF("file_name", "content")
+    val got = Multimodal.resizeImages(spark, rows, outW = 2, outH = 1)
+      .collect().sortBy(_.file_name)
+    assert(got.map(_.file_name).toSeq == Seq("a.png"), "undecodable rows must drop, not emit garbage")
+    assert(got.head.content.toSeq == Seq[Byte](200.toByte, 0, 0, 0, 100, 0))
+    // non-integer factor (3x3 → 2x2): pixel-center nearest, deterministic
+    val g3 = new java.awt.image.BufferedImage(3, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(y => (0 until 3).foreach(x => g3.setRGB(x, y, (x * 50 << 16) | (y * 50 << 8))))
+    val n3 = Multimodal.resizeImages(spark, Seq(("g.png", encode(g3, "png"))).toDF("file_name", "content"), 2, 2)
+      .collect().head
+    // sample points: x∈{(0*3+1)/2=0 → px0, (1*3+1)/2=2 → px2}, same for y
+    assert(n3.content.toSeq == Seq[Byte](0, 0, 0, 100.toByte, 0, 0, 0, 100.toByte, 0, 100.toByte, 100.toByte, 0))
+  }
+
   test("frame sampling: stride windows capped at maxFrames, dense indices") {
     val b = Multimodal.binaryTable(spark, dir)
     val frames = Multimodal.sampleFrames(spark, b, frameSize = 64, stride = 32, maxFrames = 5)

@@ -1085,6 +1085,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t.sortBy(r => (r._1, r._4)).toSeq == again.sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("contrastive shard derivation: per-shard rows bounded, default matches explicit") {
+    import graft.operators.Contrastive
+    // the bound the derivation exists to enforce: ceil(n/nShards) <= RowsPerShard
+    Seq(0L, 1L, 999999L, 1L << 20, (1L << 20) + 1, 100L * (1L << 20) + 7, 1L << 40).foreach { n =>
+      val s = Contrastive.deriveShards(n, nNeg = 4)
+      assert(s > 4, s"nNeg < nShards must hold at n=$n")
+      val perShard = if (s == 0) 0L else (n + s - 1) / s
+      assert(perShard <= Contrastive.RowsPerShard,
+        s"n=$n nShards=$s puts $perShard rows in a shard (> ${Contrastive.RowsPerShard})")
+    }
+    assert(Contrastive.deriveShards(100L * (1L << 20), 1) == 100)
+    // small corpora derive nNeg+1 shards; auto default ≡ that explicit value
+    val base = (0L until 30L).map { i =>
+      val rnd = new scala.util.Random(i * 104729 + 11)
+      (i, Seq.fill(16)(rnd.nextGaussian()))
+    }
+    val corpus = (base ++ base.map { case (i, v) => (i + 500L, v) }).toDF("id", "v")
+    assert(Contrastive.deriveShards(60L, 2) == 3)
+    val auto = Contrastive.triplets(corpus, "id", "v", 0.99, 0.5, 2, dim = 16)
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val pinned = Contrastive.triplets(corpus, "id", "v", 0.99, 0.5, 2, dim = 16, nShards = 3)
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(auto == pinned, "auto-derived nShards must equal the explicitly derived value")
+    assert(auto.nonEmpty)
+  }
+
   // ---- U10 weighted sampling ----------------------------------------------
   test("weightedTake: deterministic, weight-proportional, excludes unusable weights") {
     val rows = ((0L until 20L).map(i => (i, 1000.0)) ++       // heavy tier
@@ -1315,6 +1341,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1) == ((2L, "unique two", 3L, 1L)))
     assert(out(2) == ((3L, "", 2L, 0L)))
     assert(out(3) == ((4L, "solo content", 1L, 1L)))
+  }
+
+  test("removeBoilerplateLines: NULL-text docs survive with empty text, not a dropped row") {
+    val docs = Seq((1L, "same\na"), (2L, "same\nb"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 3, "one output row per input doc, including NULL text")
+    assert(out(2) == ((3L, "", 1L, 1L)))
+  }
+
+  test("connectedComponents: null edge endpoints label nothing on either path") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(3L), None))
+      .toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+    val driver = Dedup.connectedComponents(nodes, edges, "id", "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(nodes, edges, "id", "a", "b", maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == want)
+    assert(dist == want, "distributed path must not emit spurious null-endpoint rows")
   }
 
   test("removeBoilerplateLines rejects reserved internal column names") {

@@ -287,6 +287,23 @@ class ComponentStreamSpec extends AnyFunSuite {
     assert(got == scratch)
     assert(got(9L) == 1L && got(4L) == 1L, "cross-batch merge must relabel old components")
   }
+
+  test("currentLabels recovers from the .old copy when a crash interrupted the swap") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ccswap").toString
+    val root = s"$base/labels"
+    Seq((1L, 1L), (2L, 1L)).toDF("id", "component").write.parquet(root)
+    // simulate a crash between the two swap renames: root was moved to .old,
+    // .next never made it to root
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root),
+      new org.apache.hadoop.fs.Path(root + ".old")))
+    val got = graft.streaming.ComponentStream.currentLabels(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L),
+      "a crash mid-swap must surface the .old labeling, not an empty one")
+  }
 }
 
 /** M6 model persistence: save/load round-trip produces identical projections. */
