@@ -539,6 +539,20 @@ object SparkEntry {
     "s6_csv_scan" -> ((s, _) =>
       graft.sources.FileSources.csvDocument(s, "/root/repo/fixtures/s6.csv", "id")),
 
+    // S6b — csv.Sniffer parity (backend/extractors/csv_extractor.py:50-60):
+    // dialect auto-detected from a bounded driver-side prefix read, then
+    // the normal distributed render. The oracle is DuckDB's OWN sniffer
+    // (sniff_csv) + read_csv — an independent implementation agreeing on
+    // delimiter, header flag and the rendered text.
+    "s6_sniff_csv" -> ((s, _) =>
+      Seq("s6_semicolon.csv", "s6_tab.tsv", "s6_noheader.csv").map { f =>
+        graft.sources.FileSources.csvDocumentSniffed(s, s"/root/repo/fixtures/$f")
+          .withColumn("file_name", lit(f))
+      }.reduce(_ unionByName _)
+        .select(col("file_name"), col("delimiter"), col("has_header"),
+          col("n_rows").cast("long").as("n_rows"), col("n_cols"), col("text"))
+        .orderBy("file_name")),
+
     "s5_xlsx_modeled" -> ((s, _) => graft.sources.FileSources.xlsxModeled(
       s,
       Seq("products" -> "/root/repo/fixtures/sheet_products.csv", "sales" -> "/root/repo/fixtures/sheet_sales.csv"),
@@ -1078,6 +1092,26 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
         col("token_count").cast("long").as("token_count"), md5(col("text")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_index")),
+
+    // C1b — WordPiece token counts against the COMMITTED vocab fixture
+    // (fixtures/vocab.txt, tools/make_vocab_fixture.py): greedy
+    // longest-prefix subword matching with ## continuations, the
+    // reference's AutoTokenizer algorithm (backend/chunker.py:19-31) run
+    // against a pinned public-style vocab instead of the deployment's
+    // model vocab. The oracle REPLAYS greedy longest-match in DuckDB via a
+    // recursive CTE over the same vocab file — parity is checked on the
+    // algorithm, not property-tested. Several corpus words (window, table,
+    // data, customer, column, vector, filter, query) are deliberately not
+    // in the vocab as whole words, so multi-piece splits are exercised on
+    // every document. The vocab Set broadcasts inside the UDF closure —
+    // one copy per executor, the right shape for a 30k-entry real vocab.
+    "c1_wordpiece" -> ((s, d) => {
+      val wp  = TokenCounters.fromVocabFile("/root/repo/fixtures/vocab.txt")
+      val cnt = udf((t: String) => wp.count(Option(t).getOrElse("")))
+      Tables(s, d).documents
+        .select(col("doc_id"), cnt(col("text")).cast("long").as("n_wordpiece"))
+        .orderBy("doc_id")
+    }),
 
     "c2_chunk_oversized" -> ((s, d) => {
       val big = Tables(s, d).documents
@@ -2008,6 +2042,35 @@ object SparkEntry {
       """WITH c AS (SELECT * FROM read_csv('/root/repo/fixtures/s6.csv', header=true, all_varchar=true))
         | SELECT string_agg(coalesce(id, '') || ' | ' || coalesce(name, '') || ' | ' || coalesce(category, '') || ' | ' || coalesce(score, ''), chr(10) ORDER BY id::BIGINT) AS text,
         |   count(*) AS n_rows, 4::BIGINT AS n_cols FROM c""".stripMargin,
+    // s6_sniff — DuckDB's own sniffer is the independent oracle: delimiter
+    // + header flag from sniff_csv, text re-rendered by read_csv with its
+    // auto-detected dialect (column lists are per-fixture constants, like
+    // every other fixture oracle's structural knowledge).
+    "s6_sniff_csv" ->
+      raw"""SELECT 's6_noheader.csv' AS file_name,
+           |  (SELECT Delimiter FROM sniff_csv('/root/repo/fixtures/s6_noheader.csv')) AS delimiter,
+           |  (SELECT HasHeader FROM sniff_csv('/root/repo/fixtures/s6_noheader.csv')) AS has_header,
+           |  (SELECT count(*) FROM read_csv('/root/repo/fixtures/s6_noheader.csv', all_varchar=true))::BIGINT AS n_rows,
+           |  3::BIGINT AS n_cols,
+           |  (SELECT string_agg(concat_ws(' | ', column0, column1, column2), chr(10) ORDER BY column0::BIGINT)
+           |   FROM read_csv('/root/repo/fixtures/s6_noheader.csv', all_varchar=true)) AS text
+           | UNION ALL
+           | SELECT 's6_semicolon.csv',
+           |  (SELECT Delimiter FROM sniff_csv('/root/repo/fixtures/s6_semicolon.csv')),
+           |  (SELECT HasHeader FROM sniff_csv('/root/repo/fixtures/s6_semicolon.csv')),
+           |  (SELECT count(*) FROM read_csv('/root/repo/fixtures/s6_semicolon.csv', all_varchar=true))::BIGINT,
+           |  4::BIGINT,
+           |  (SELECT string_agg(concat_ws(' | ', id, name, qty, price), chr(10) ORDER BY id::BIGINT)
+           |   FROM read_csv('/root/repo/fixtures/s6_semicolon.csv', all_varchar=true))
+           | UNION ALL
+           | SELECT 's6_tab.tsv',
+           |  (SELECT Delimiter FROM sniff_csv('/root/repo/fixtures/s6_tab.tsv')),
+           |  (SELECT HasHeader FROM sniff_csv('/root/repo/fixtures/s6_tab.tsv')),
+           |  (SELECT count(*) FROM read_csv('/root/repo/fixtures/s6_tab.tsv', all_varchar=true))::BIGINT,
+           |  3::BIGINT,
+           |  (SELECT string_agg(concat_ws(' | ', id, city, pop), chr(10) ORDER BY id::BIGINT)
+           |   FROM read_csv('/root/repo/fixtures/s6_tab.tsv', all_varchar=true))
+           | ORDER BY file_name""".stripMargin,
     "s5_xlsx_modeled" ->
       """WITH p AS (SELECT string_agg(id || ' | ' || product || ' | ' || price, chr(10) ORDER BY id::BIGINT) AS t, count(*) AS n
         |   FROM read_csv('/root/repo/fixtures/sheet_products.csv', header=true, all_varchar=true)),
@@ -2603,6 +2666,38 @@ object SparkEntry {
         | FROM t ORDER BY doc_id, chunk_index""".stripMargin,
     "c1_chunk" ->
       raw"""SELECT doc_id, 0::BIGINT AS chunk_index, len(string_split_regex(trim(text), '\s+')) AS token_count, md5(trim(text)) AS chunk_md5 FROM documents ORDER BY doc_id, chunk_index""",
+    // c1_wordpiece — greedy longest-match WordPiece REPLAYED in SQL: a
+    // recursive CTE advances (word, pos, count) states; each step's scalar
+    // subquery finds the LONGEST vocab piece ('##'-prefixed past pos 0)
+    // matching at pos — exactly TokenCounters.WordPiece.wordPieces. Words
+    // that dead-end (no piece matches) collapse to one [UNK] token via the
+    // coalesce. Pre-tokenization: lowercase, split letter/digit runs and
+    // single punctuation chars (corpus is space-separated ASCII words, so
+    // the simple regex is exact here).
+    "c1_wordpiece" ->
+      raw"""WITH RECURSIVE
+           | v AS (SELECT unnest(string_split(content, chr(10))) AS piece
+           |       FROM read_text('/root/repo/fixtures/vocab.txt')),
+           | vv AS (SELECT piece FROM v WHERE len(piece) > 0),
+           | toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS w FROM documents),
+           | words AS (SELECT DISTINCT w FROM toks),
+           | steps(w, pos, n) AS (
+           |   SELECT w, 0, 0 FROM words
+           |   UNION ALL
+           |   SELECT s.w,
+           |     (SELECT max(x.e) FROM (SELECT unnest(range(s.pos + 1, len(s.w) + 1)) AS e) x
+           |      WHERE (CASE WHEN s.pos > 0 THEN '##' ELSE '' END || substr(s.w, s.pos + 1, x.e - s.pos)) IN (SELECT piece FROM vv)),
+           |     s.n + 1
+           |   FROM steps s
+           |   WHERE s.pos < len(s.w)
+           |     AND (SELECT max(x.e) FROM (SELECT unnest(range(s.pos + 1, len(s.w) + 1)) AS e) x
+           |      WHERE (CASE WHEN s.pos > 0 THEN '##' ELSE '' END || substr(s.w, s.pos + 1, x.e - s.pos)) IN (SELECT piece FROM vv)) IS NOT NULL
+           | ),
+           | wc AS (SELECT w, coalesce(max(CASE WHEN pos = len(w) THEN n END), 1) AS cnt FROM steps GROUP BY w)
+           | SELECT t.doc_id, sum(wc.cnt)::BIGINT AS n_wordpiece
+           | FROM toks t JOIN wc ON wc.w = t.w
+           | GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     "c2_chunk_oversized" ->
       raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(repeat(text || ' ', 12)), '\s+') AS toks FROM documents WHERE doc_id < 50)
            | SELECT doc_id, i AS chunk_index, len(toks[(i*500+1):((i+1)*500)]) AS token_count,

@@ -52,6 +52,78 @@ object FileSources {
     ).withColumn("n_cols", lit(cols.length).cast("long"))
   }
 
+  /** S6 sniffer — bounded driver-side dialect detection mirroring Python's
+    * `csv.Sniffer` (backend/extractors/csv_extractor.py:50-60): ONE read of
+    * the first `sniffBytes` of the file on the driver (never the corpus —
+    * the distributed read that follows uses the sniffed dialect), then
+    *  - delimiter: the candidate (`,` `;` tab `|` `:`) whose per-line
+    *    occurrence count is most CONSISTENT across sniffed lines (highest
+    *    fraction of lines agreeing on the modal count, ties broken by the
+    *    modal count, then candidate priority order — Sniffer's frequency-
+    *    consistency idea);
+    *  - header: Sniffer's type-shape vote, reduced to its decisive case —
+    *    some column is numeric in every body row but not in row 1.
+    * Returns (delimiter, hasHeader).
+    */
+  def sniffCsvDialect(
+      spark: SparkSession, path: String, sniffBytes: Int = 64 * 1024): (String, Boolean) = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val buf = new Array[Byte](sniffBytes)
+    val n = try {
+      var off = 0
+      var r   = 0
+      while (off < sniffBytes && r >= 0) { r = in.read(buf, off, sniffBytes - off); if (r > 0) off += r }
+      off
+    } finally in.close()
+    val text   = new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+    val lines0 = text.split("\r?\n", -1).toVector
+    // a full buffer means the last line may be truncated mid-row — drop it
+    val lines = (if (n == sniffBytes && lines0.length > 1) lines0.init else lines0)
+      .filter(_.nonEmpty)
+    require(lines.nonEmpty, s"cannot sniff an empty file: $path")
+    val candidates = Seq(",", ";", "\t", "|", ":")
+    def quoted(d: String) = java.util.regex.Pattern.quote(d)
+    val delim = candidates.maxBy { d =>
+      val counts = lines.map(l => quoted(d).r.findAllIn(l).size)
+      val mode   = counts.groupBy(identity).maxBy { case (k, v) => (v.size, k) }._1
+      if (mode == 0) (0.0, 0) else (counts.count(_ == mode).toDouble / counts.size, mode)
+    }
+    val rows  = lines.take(50).map(_.split(quoted(delim), -1).toVector)
+    val width = rows.head.length
+    val body  = rows.tail.filter(_.length == width)
+    def numeric(s: String) = s.trim.nonEmpty && scala.util.Try(s.trim.toDouble).isSuccess
+    val hasHeader = body.nonEmpty && (0 until width).exists { c =>
+      body.forall(r => numeric(r(c))) && !numeric(rows.head(c))
+    }
+    (delim, hasHeader)
+  }
+
+  /** S6 with auto-detected dialect: [[sniffCsvDialect]] then the same
+    * distributed render as [[csvDocument]], rows ordered by the FIRST
+    * column (cast long — the sniffed-CSV contract mirrors the reference's
+    * id-led exports). Headerless files render all rows; the synthesized
+    * `_c*` names never appear in the text. Output adds the sniffed
+    * (delimiter, has_header) as metadata columns.
+    */
+  def csvDocumentSniffed(spark: SparkSession, path: String): DataFrame = {
+    val (delim, hasHeader) = sniffCsvDialect(spark, path)
+    val df   = spark.read.option("header", hasHeader.toString).option("sep", delim).csv(path)
+    val cols = df.columns
+    df.select(
+        col(cols.head).cast("long").as("__ord"),
+        concat_ws(" | ", cols.map(c => coalesce(col(c), lit(""))): _*).as("row_text"),
+      )
+      .agg(
+        array_join(transform(sort_array(collect_list(struct(col("__ord"), col("row_text")))), r => r("row_text")), "\n").as("text"),
+        count(lit(1)).as("n_rows"),
+      )
+      .withColumn("n_cols", lit(cols.length).cast("long"))
+      .withColumn("delimiter", lit(delim))
+      .withColumn("has_header", lit(hasHeader))
+  }
+
   /** S5 — XLSX modeled as one CSV per sheet (SURVEY §2.1: `spark.read.excel`
     * is not core, so the workbook text rendering is re-expressed over CSV
     * sheets): each sheet renders as "Sheet: <name>" + 20-dash rule + " | "

@@ -55,6 +55,18 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(meta == Map("page_count" -> "1"))
   }
 
+  test("CSV sniffer: delimiter consistency + numeric-column header vote on the committed fixtures") {
+    val spark = TestSpark.spark
+    import graft.sources.FileSources
+    assert(FileSources.sniffCsvDialect(spark, "fixtures/s6_semicolon.csv") == ((";", true)))
+    assert(FileSources.sniffCsvDialect(spark, "fixtures/s6_tab.tsv") == (("\t", true)))
+    assert(FileSources.sniffCsvDialect(spark, "fixtures/s6_noheader.csv") == ((",", false)))
+    // the original s6 fixture (comma, word header over numeric ids)
+    assert(FileSources.sniffCsvDialect(spark, "fixtures/s6.csv")._1 == ",")
+    // a tiny sniff budget still works: the truncated trailing line is dropped
+    assert(FileSources.sniffCsvDialect(spark, "fixtures/s6_semicolon.csv", sniffBytes = 40) == ((";", true)))
+  }
+
   // ---- PDF 1.5+: object streams + cross-reference streams ----------------
 
   private def flate(b: Array[Byte]): Array[Byte] = {

@@ -104,6 +104,26 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("committed vocab fixture: known greedy splits, and chunk boundaries shift vs whitespace") {
+    // the SAME vocab c1_wordpiece's DuckDB oracle replays — pin a few
+    // splits so a regenerated fixture that drifts breaks here first
+    val wp = graft.operators.TokenCounters.fromVocabFile("/root/repo/fixtures/vocab.txt")
+    assert(wp.count("spark") == 1,  "full word in vocab")
+    assert(wp.count("window") == 2, "wind + ##ow (no full word)")
+    assert(wp.count("table") == 2,  "ta + ##ble")
+    assert(wp.count("data") == 2,   "da + ##ta")
+    assert(wp.count("customer") == 2, "custom + ##er")
+    // chunk-boundary parity: the boundary seam reacts to the counter —
+    // WordPiece inflates counts, so chunks hold fewer words
+    val words = Iterator.continually(Seq("window", "table", "customer", "data", "spark")).flatten
+      .take(800).mkString(" ")
+    val wsChunks = Chunker.chunkProse(words, counter = graft.operators.TokenCounters.Whitespace)
+    val wpChunks = Chunker.chunkProse(words, counter = wp)
+    assert(wpChunks.length > wsChunks.length,
+      s"WordPiece (${wpChunks.length} chunks) must split earlier than whitespace (${wsChunks.length})")
+    wpChunks.foreach { case (t, n) => assert(n <= Chunker.MaxTokens && wp.count(t) == n) }
+  }
+
   test("dispatch: only py/python route to the code chunker (reference parity)") {
     val code = "def f():\n    return 1\n\ndef g():\n    return 2\n"
     val py   = Chunker.chunkDocument(DocRow(1, code, "py"))
