@@ -600,6 +600,21 @@ object SparkEntry {
           col("metadata")("title").as("title"),
           col("metadata")("author").as("author"))),
 
+    // S2 hardening — AESV3 (V5/R6, AES-256) per ISO 32000-2 §7.6.4. The
+    // committed fixture was built by a THIRD independent Algorithm-2.B
+    // implementation (tools/make_pdfaes3_fixture.py: Python hashlib +
+    // cryptography); the JVM side must run the SHA-256/384/512 hardening
+    // loop, unwrap the file key from /UE, and AES-256-CBC-decrypt every
+    // stream and string to produce these rows. Kept OUT of fixtures/office
+    // so the s2_pdf_extract glob and its blob-derived oracle stay intact.
+    "s2_pdf_aes256" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office/secure", "*.pdf")).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("page_count").cast("long").as("page_count"),
+          col("metadata")("title").as("title"),
+          col("metadata")("author").as("author"))),
+
     "s3_docx_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
         Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.docx")).toDF()
@@ -650,6 +665,20 @@ object SparkEntry {
       import s.implicits._
       val png            = graft.sources.GlyphOcr.renderPng("GRAFT ENGINE 42\nOCR SEAM")
       val (text, meta)   = new graft.sources.ImageExtractor(graft.sources.GlyphOcr).extract(png, "label.png")
+      Seq((text, meta("format"), meta("ocr_engine"), meta("width").toLong > 0))
+        .toDF("text", "format", "ocr_engine", "width_ok")
+    }),
+
+    // S7c — the OCR step-up: ANTI-ALIASED, PROPORTIONALLY-SPACED render
+    // (3.5 px/unit → gray edge pixels at arbitrary sub-pixel phases, tight
+    // per-glyph advances — the shape pytesseract sees from screen renders).
+    // Recognition is Otsu threshold → 8-connected component boxes →
+    // fractional-area gray template match; same exact-text oracle pattern
+    // as s7_ocr.
+    "s7_ocr2" -> ((s, _) => {
+      import s.implicits._
+      val png          = graft.sources.GlyphOcr.renderPngAa("ANTIALIASED 35 PX\nPROPORTIONAL RUN")
+      val (text, meta) = new graft.sources.ImageExtractor(graft.sources.GlyphOcr).extract(png, "label2.png")
       Seq((text, meta("format"), meta("ocr_engine"), meta("width").toLong > 0))
         .toDF("text", "format", "ocr_engine", "width_ok")
     }),
@@ -1962,6 +1991,9 @@ object SparkEntry {
     "s7_ocr" ->
       """SELECT e'GRAFT ENGINE 42\nOCR SEAM' AS text, 'PNG' AS format,
         | 'glyph' AS ocr_engine, true AS width_ok""".stripMargin,
+    "s7_ocr2" ->
+      """SELECT e'ANTIALIASED 35 PX\nPROPORTIONAL RUN' AS text, 'PNG' AS format,
+        | 'glyph' AS ocr_engine, true AS width_ok""".stripMargin,
     "j10_asof_autoskew" ->
       """WITH l AS (SELECT event_id, user_id % 5 AS k, ts FROM events WHERE event_type = 'purchase'),
         | r AS (SELECT DISTINCT user_id % 5 AS k, ts AS view_ts FROM events WHERE event_type = 'view')
@@ -2144,6 +2176,23 @@ object SparkEntry {
            |         regexp_extract(content, '(?s)/ObjStm.*?stream\n(.*?)>\s*\nendstream', 1),
            |         '\s', '', 'g'))) AS o
            |       FROM read_text('/root/repo/fixtures/office/manual15.pdf'))""".stripMargin,
+    // AES-256 fixture: page structure is PLAINTEXT under the standard
+    // handler, so page_count and the V=5/R=6/AESV3 gate re-derive from the
+    // blob; the text/title/author plaintext is pinned (DuckDB has no AES —
+    // the real gate is the Spark-decrypt == Python-encrypt round trip over
+    // three independent Algorithm-2.B implementations).
+    "s2_pdf_aes256" ->
+      raw"""WITH f AS (SELECT hex(content) AS h FROM read_blob('/root/repo/fixtures/office/secure/manual256.pdf'))
+           | SELECT 'manual256.pdf' AS file_name, 'PdfExtractor' AS extractor,
+           |   CASE WHEN position('${hx("/AESV3")}' IN h) > 0
+           |         AND position('${hx("/R 6")}' IN h) > 0 THEN
+           |     'Graft Secure Manual' || chr(10) || 'Keys derive from SHA-256 chains.' ||
+           |     chr(10) || chr(10) || 'Streams carry their own IV.' || chr(10) || 'Padding is PKCS#7.'
+           |   END AS text,
+           |   length(regexp_extract_all(h, '${hx("/Type /Page /")}', 0))::BIGINT AS page_count,
+           |   CASE WHEN position('${hx("/UE <")}' IN h) > 0 THEN 'Secure Manual' END AS title,
+           |   CASE WHEN position('${hx("/OE <")}' IN h) > 0 THEN 'Graft Vault' END AS author
+           | FROM f""".stripMargin,
     "s3_docx_extract" ->
       raw"""WITH b AS (SELECT hex(content) AS h FROM read_blob('/root/repo/fixtures/office/report.docx'))
            | SELECT 'report.docx' AS file_name, 'DocxExtractor' AS extractor,

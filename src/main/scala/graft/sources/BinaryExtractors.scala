@@ -648,22 +648,81 @@ private[graft] object PdfParser {
     h.take(keyLen)
   }
 
+  /** ISO 32000-2 §7.6.4.3.4 Algorithm 2.B password hash (R=6), or the plain
+    * SHA-256 of the deprecated R=5 revision (Adobe ExtensionLevel 3). `udata`
+    * is the full 48-byte /U value when hashing an OWNER password, empty for a
+    * user password. The R=6 hardening loop re-encrypts (pwd ‖ K ‖ udata)×64
+    * with AES-128-CBC keyed from K and re-hashes with SHA-256/384/512 chosen
+    * by the first cipher block mod 3, for ≥64 rounds until the last cipher
+    * byte ≤ rounds−32.
+    */
+  private[graft] def hash2B(
+      password: Array[Byte], salt: Array[Byte], udata: Array[Byte], r: Int,
+  ): Array[Byte] = {
+    val first = java.security.MessageDigest.getInstance("SHA-256")
+    first.update(password); first.update(salt); first.update(udata)
+    var k = first.digest()
+    if (r == 5) return k
+    var round = 0
+    var done  = false
+    while (!done) {
+      val block = password ++ k ++ udata
+      val k1    = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      val e   = c.doFinal(k1)
+      val alg = (0 until 16).map(e(_) & 0xff).sum % 3 match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }
+      k = java.security.MessageDigest.getInstance(alg).digest(e)
+      round += 1
+      done = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** AES-CBC without padding; None when the provider rejects the inputs
+    * (wrong key/data length) — used for the /UE‖/OE file-key unwrap whose
+    * payload is exactly two blocks with a zero IV (Algorithm 8.2/9.2).
+    */
+  private def aesCbcNoPad(
+      encrypt: Boolean, key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+  ): Option[Array[Byte]] =
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(
+        if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      Some(c.doFinal(data))
+    } catch { case _: java.security.GeneralSecurityException => None }
+
   /** Per-object decryption (Algorithm 1): object key = MD5(fileKey ‖
     * objnum(LE24) ‖ gen(LE16) [‖ "sAlT" for AESV2]) truncated to
     * min(len+5, 16). RC4 applies it as a stream cipher; AESV2 payloads are
     * IV(16) ‖ AES-128-CBC ciphertext with PKCS#7 padding. A malformed AES
     * payload (bad length or padding) decrypts to EMPTY, never garbage —
     * the downstream filter pipeline then counts the stream as skipped.
+    * With `v5` (AESV3, R5/R6) there is no per-object derivation: the 32-byte
+    * file key is used directly for every string and stream (§7.6.3.3 note 2).
     */
-  private[graft] final case class Decryptor(key: Array[Byte], aes: Boolean = false) {
+  private[graft] final case class Decryptor(
+      key: Array[Byte], aes: Boolean = false, v5: Boolean = false,
+  ) {
     def decrypt(objNum: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(key)
-      md.update(Array(
-        (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte,
-        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
-      if (aes) md.update(Array(0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte))
-      val objKey = md.digest().take(math.min(key.length + 5, 16))
+      val objKey = if (v5) key else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(key)
+        md.update(Array(
+          (objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte, ((objNum >> 16) & 0xff).toByte,
+          (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte))
+        if (aes) md.update(Array(0x73.toByte, 0x41.toByte, 0x6c.toByte, 0x54.toByte))
+        md.digest().take(math.min(key.length + 5, 16))
+      }
       if (!aes) rc4(objKey, data)
       else if (data.length < 32 || data.length % 16 != 0) Array.emptyByteArray
       else
@@ -695,12 +754,42 @@ private[graft] object PdfParser {
       .orElse((s"""/$key\\s*<([0-9A-Fa-f\\s]*)>""").r.findFirstMatchIn(body)
         .map(m => hexBytes(m.group(1))))
 
+  /** AESV3 (V5, R5/R6) [[Decryptor]]: validate the EMPTY user password
+    * against /U's validation salt (Algorithm 11), unwrap the 32-byte file
+    * key from /UE with the key-salt hash (Algorithm 8.2); when the user
+    * check fails, retry as the empty OWNER password against /O‖/OE with the
+    * full /U as `udata` (Algorithms 12, 9.2). None when neither empty
+    * password validates — a genuinely password-protected document.
+    */
+  private def decryptorV5(body: String, r: Int): Option[Decryptor] = {
+    val none = Array.emptyByteArray
+    def unwrap(entry: Array[Byte], wrapped: Array[Byte], udata: Array[Byte]) = {
+      val vSalt = entry.slice(32, 40)
+      val kSalt = entry.slice(40, 48)
+      if (!java.util.Arrays.equals(hash2B(none, vSalt, udata, r), entry.take(32))) None
+      else aesCbcNoPad(encrypt = false, hash2B(none, kSalt, udata, r),
+        new Array[Byte](16), wrapped.take(32))
+    }
+    for {
+      u   <- dictString(body, "U")
+      ue  <- dictString(body, "UE")
+      if u.length >= 48 && ue.length >= 32
+      key <- unwrap(u, ue, none).orElse(for {
+        o  <- dictString(body, "O")
+        oe <- dictString(body, "OE")
+        if o.length >= 48 && oe.length >= 32
+        k  <- unwrap(o, oe, u.take(48))
+      } yield k)
+    } yield Decryptor(key, aes = true, v5 = true)
+  }
+
   /** The document [[Decryptor]], when the trailer names a Standard-handler
-    * /Encrypt dict this walker supports: V ≤ 2 / R 2–3 (RC4), and V4 / R4
-    * with a /StdCF crypt filter of /CFM /V2 (RC4) or /AESV2 (AES-128-CBC),
+    * /Encrypt dict this walker supports: V ≤ 2 / R 2–3 (RC4), V4 / R4 with
+    * a /StdCF crypt filter of /CFM /V2 (RC4) or /AESV2 (AES-128-CBC), and
+    * V5 / R5–6 with /AESV3 (AES-256-CBC, empty user or owner password),
     * honouring /EncryptMetadata false. None for unencrypted documents;
-    * unsupported combinations (AESV3/R5–6, custom handlers) also return
-    * None — their streams then fail to decode and surface in
+    * unsupported combinations (custom handlers, non-empty passwords) also
+    * return None — their streams then fail to decode and surface in
     * `skipped_filters`.
     */
   private def decryptorOf(s: String, objs: Map[Int, String]): Option[Decryptor] =
@@ -711,22 +800,28 @@ private[graft] object PdfParser {
       r <- """/R\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
       v   = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
       cfm = """/CFM\s*/(\w+)""".r.findFirstMatchIn(body).map(_.group(1))
-      aes <-
-        if (r == 2 || r == 3) Some(false)
-        else if (r == 4 && v == 4 && cfm.contains("AESV2")) Some(true)
-        else if (r == 4 && v == 4 && cfm.contains("V2")) Some(false)
-        else None
-      p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
-      o <- dictString(body, "O")
-      id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
-        .map(m => hexBytes(m.group(1))).getOrElse(Array.emptyByteArray)
-      // crypt-filter dicts give /Length in BYTES (a spec wart pypdf also
-      // normalizes); values ≤ 32 are scaled up
-      bitsRaw = """/Length\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
-        .getOrElse(if (v >= 4) 128 else 40)
-      bits    = if (bitsRaw <= 32) bitsRaw * 8 else bitsRaw
-      encMeta = """/EncryptMetadata\s+false""".r.findFirstMatchIn(body).isEmpty
-    } yield Decryptor(fileKey(o, p, id0, r, bits, encMeta), aes)
+      dec <-
+        if (r == 5 || r == 6) {
+          if (v == 5 && cfm.getOrElse("AESV3") == "AESV3") decryptorV5(body, r) else None
+        } else
+          for {
+            aes <-
+              if (r == 2 || r == 3) Some(false)
+              else if (r == 4 && v == 4 && cfm.contains("AESV2")) Some(true)
+              else if (r == 4 && v == 4 && cfm.contains("V2")) Some(false)
+              else None
+            p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+            o <- dictString(body, "O")
+            id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
+              .map(m => hexBytes(m.group(1))).getOrElse(Array.emptyByteArray)
+            // crypt-filter dicts give /Length in BYTES (a spec wart pypdf
+            // also normalizes); values ≤ 32 are scaled up
+            bitsRaw = """/Length\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+              .getOrElse(if (v >= 4) 128 else 40)
+            bits    = if (bitsRaw <= 32) bitsRaw * 8 else bitsRaw
+            encMeta = """/EncryptMetadata\s+false""".r.findFirstMatchIn(body).isEmpty
+          } yield Decryptor(fileKey(o, p, id0, r, bits, encMeta), aes)
+    } yield dec
 
   /** PDF literal string starting after '(': escapes, octal, balanced parens. */
   private def literal(s: String, start: Int): (String, Int) = {

@@ -61,19 +61,39 @@ object GlyphOcr extends Ocr {
     '8' -> Seq(0x0e, 0x11, 0x11, 0x0e, 0x11, 0x11, 0x0e),
     '9' -> Seq(0x0e, 0x11, 0x11, 0x0f, 0x01, 0x02, 0x0c),
   )
-  /** Majority-sample a boolean raster's box onto a gw×7 grid. Image glyphs
-    * are sampled into each candidate template's TIGHT grid shape, so a
-    * narrow glyph (I, 1 — 3 font columns) is compared 3-to-3, never
-    * stretched through a lossy, scale-dependent 5-wide resampling.
+  /** Mean-darkness sample of a glyph box onto a gw×7 grid with FRACTIONAL
+    * pixel coverage: each grid cell integrates the [0,1] darkness field
+    * over its exact continuous extent, edge pixels weighted by overlap
+    * area. Anti-aliased renders put glyphs at arbitrary sub-pixel phases
+    * (a 3.5 px unit advances half-pixel per glyph); integer-grid majority
+    * sampling aliases there, area integration does not. Image glyphs are
+    * sampled into each candidate template's TIGHT grid shape, so a narrow
+    * glyph (I, 1 — 3 font columns) is compared 3-to-3, never stretched
+    * through a lossy, scale-dependent 5-wide resampling.
     */
-  private def normalize(darkAt: (Int, Int) => Boolean, gw: Int, x0: Int, x1: Int, y0: Int, y1: Int): Array[Boolean] =
+  private def normalize(darkness: (Int, Int) => Double, gw: Int, x0: Int, x1: Int, y0: Int, y1: Int): Array[Double] =
     Array.tabulate(gw * 7) { i =>
       val (r, c) = (i / gw, i % gw)
-      val xa = x0 + (c * (x1 - x0)) / gw;   val xb = math.max(xa + 1, x0 + ((c + 1) * (x1 - x0)) / gw)
-      val ya = y0 + (r * (y1 - y0)) / 7;    val yb = math.max(ya + 1, y0 + ((r + 1) * (y1 - y0)) / 7)
-      var darkN = 0
-      for (y <- ya until yb; x <- xa until xb) if (darkAt(y, x)) darkN += 1
-      darkN * 2 >= (xb - xa) * (yb - ya)
+      val xa = x0 + c * (x1 - x0).toDouble / gw
+      val xb = x0 + (c + 1) * (x1 - x0).toDouble / gw
+      val ya = y0 + r * (y1 - y0).toDouble / 7
+      val yb = y0 + (r + 1) * (y1 - y0).toDouble / 7
+      var sum  = 0.0
+      var area = 0.0
+      var y = math.floor(ya).toInt
+      while (y < yb) {
+        val wy = math.min(y + 1, yb) - math.max(y, ya)
+        if (wy > 0) {
+          var x = math.floor(xa).toInt
+          while (x < xb) {
+            val wx = math.min(x + 1, xb) - math.max(x, xa)
+            if (wx > 0) { sum += wx * wy * darkness(y, x); area += wx * wy }
+            x += 1
+          }
+        }
+        y += 1
+      }
+      if (area > 0) sum / area else 0.0
     }
 
   /** tight width → templates cropped to their dark columns (gw×7 cells). */
@@ -85,63 +105,147 @@ object GlyphOcr extends Ocr {
       (gw, c, Array.tabulate(gw * 7)(i => at(i / gw, cols.head + i % gw)))
     }.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
 
+  /** Otsu's between-class-variance threshold over a 256-bin histogram —
+    * robust on anti-aliased renders where the midpoint cut lands inside
+    * the gray edge band and erodes thin strokes. On a clean two-level
+    * image it degenerates to the midpoint.
+    */
+  private[graft] def otsu(hist: Array[Int], total: Int): Int = {
+    var sumAll = 0L
+    for (i <- 0 until 256) sumAll += i.toLong * hist(i)
+    var best    = 0
+    var bestVar = -1.0
+    var wB      = 0L
+    var sumB    = 0L
+    for (t <- 0 until 256) {
+      wB += hist(t)
+      sumB += t.toLong * hist(t)
+      val wF = total - wB
+      if (wB > 0 && wF > 0) {
+        val mB = sumB.toDouble / wB
+        val mF = (sumAll - sumB).toDouble / wF
+        val v  = wB.toDouble * wF * (mB - mF) * (mB - mF)
+        if (v > bestVar) { bestVar = v; best = t }
+      }
+    }
+    best
+  }
+
   def recognize(content: Array[Byte], width: Long, height: Long): String = {
     val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(content))
     if (img == null) return "" // format ImageIO can't decode (e.g. WEBP)
     val w = img.getWidth
     val h = img.getHeight
-    // grayscale + midpoint threshold — the reference's preprocess step
-    val lum = Array.ofDim[Int](h, w)
-    var lo  = 255
-    var hi  = 0
+    // grayscale + Otsu threshold — the reference's preprocess step
+    val lum  = Array.ofDim[Int](h, w)
+    val hist = new Array[Int](256)
+    var lo   = 255
+    var hi   = 0
     for (y <- 0 until h; x <- 0 until w) {
       val rgb = img.getRGB(x, y)
       val l   = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
       lum(y)(x) = l
+      hist(l) += 1
       if (l < lo) lo = l
       if (l > hi) hi = l
     }
     if (hi - lo < 32) return "" // no contrast → no text
-    val cut = (lo + hi) / 2
-    def dark(y: Int, x: Int) = lum(y)(x) < cut
+    val cut = otsu(hist, w * h)
+    def dark(y: Int, x: Int) = lum(y)(x) <= cut
+    // continuous darkness from the global contrast range — template match
+    // reads the gray edge band directly instead of its thresholded shadow
+    def darkness(y: Int, x: Int): Double =
+      math.min(1.0, math.max(0.0, (hi - lum(y)(x)).toDouble / (hi - lo)))
 
-    // line segmentation: maximal y-runs with at least one dark pixel
-    def runs(n: Int, any: Int => Boolean): Vector[(Int, Int)] = {
-      val out = Vector.newBuilder[(Int, Int)]
-      var s   = -1
-      for (i <- 0 until n) {
-        if (any(i) && s < 0) s = i
-        if (!any(i) && s >= 0) { out += ((s, i)); s = -1 }
+    // glyph segmentation by 8-connected components (anti-aliased diagonal
+    // strokes — Z, X — survive 8-connectivity where a column-projection
+    // profile or 4-connectivity would split them); boxes with x-overlap in
+    // the same line are merged so a glyph that thresholds into two islands
+    // still matches as one.
+    val label = Array.fill(h, w)(-1)
+    val boxes = Vector.newBuilder[Array[Int]] // x0, x1, y0, y1 (exclusive ends)
+    var nextL = 0
+    val stack = new java.util.ArrayDeque[Int]()
+    for (sy <- 0 until h; sx <- 0 until w if dark(sy, sx) && label(sy)(sx) < 0) {
+      var (x0, x1, y0, y1) = (sx, sx + 1, sy, sy + 1)
+      label(sy)(sx) = nextL
+      stack.push(sy * w + sx)
+      while (!stack.isEmpty) {
+        val p  = stack.pop()
+        val py = p / w
+        val px = p % w
+        if (px < x0) x0 = px
+        if (px >= x1) x1 = px + 1
+        if (py < y0) y0 = py
+        if (py >= y1) y1 = py + 1
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val ny = py + dy
+            val nx = px + dx
+            if (ny >= 0 && ny < h && nx >= 0 && nx < w && dark(ny, nx) && label(ny)(nx) < 0) {
+              label(ny)(nx) = nextL
+              stack.push(ny * w + nx)
+            }
+            dx += 1
+          }
+          dy += 1
+        }
       }
-      if (s >= 0) out += ((s, n))
-      out.result()
+      boxes += Array(x0, x1, y0, y1)
+      nextL += 1
     }
-    val lines = runs(h, y => (0 until w).exists(x => dark(y, x)))
 
-    val outLines = lines.map { case (y0, y1) =>
+    // group into lines by vertical overlap, top to bottom
+    val lines = Vector.newBuilder[Vector[Array[Int]]]
+    var cur   = Vector.empty[Array[Int]]
+    var curY0 = 0
+    var curY1 = 0
+    for (b <- boxes.result().sortBy(_(2))) {
+      if (cur.isEmpty) { cur = Vector(b); curY0 = b(2); curY1 = b(3) }
+      else if (b(2) < curY1 && b(3) > curY0) {
+        cur = cur :+ b; curY0 = math.min(curY0, b(2)); curY1 = math.max(curY1, b(3))
+      } else { lines += cur; cur = Vector(b); curY0 = b(2); curY1 = b(3) }
+    }
+    if (cur.nonEmpty) lines += cur
+
+    val outLines = lines.result().map { lineBoxes =>
+      // merge x-overlapping boxes left to right
+      val merged = Vector.newBuilder[Array[Int]]
+      var acc: Array[Int] = null
+      for (b <- lineBoxes.sortBy(_(0))) {
+        if (acc == null) acc = b.clone()
+        else if (b(0) < acc(1)) {
+          acc(1) = math.max(acc(1), b(1)); acc(2) = math.min(acc(2), b(2)); acc(3) = math.max(acc(3), b(3))
+        } else { merged += acc; acc = b.clone() }
+      }
+      if (acc != null) merged += acc
+      val glyphs = merged.result()
       val sb     = new StringBuilder
-      val glyphs = runs(w, x => (y0 until y1).exists(y => dark(y, x)))
       if (glyphs.nonEmpty) {
         // space rule keyed to LINE HEIGHT (every glyph is 7 font units
         // tall, so height/7 recovers the unit): tight inter-letter gaps
-        // are at most 3 units (two empty side columns + pitch), word gaps
-        // at least 5 — a 4-unit threshold splits them regardless of how
-        // many narrow glyphs the line happens to contain.
-        val spaceGap = (y1 - y0) * 4.0 / 7.0
+        // are at most 3 units (two empty side columns + pitch, 1 unit when
+        // proportional), word gaps at least 5 — a 4-unit threshold splits
+        // them regardless of how many narrow glyphs the line contains.
+        val lineH    = glyphs.map(_(3)).max - glyphs.map(_(2)).min
+        val spaceGap = lineH * 4.0 / 7.0
         var prevEnd  = -1
-        glyphs.foreach { case (x0, x1) =>
+        glyphs.foreach { case Array(x0, x1, gy0, gy1) =>
           if (prevEnd >= 0 && (x0 - prevEnd) > spaceGap) sb.append(' ')
           prevEnd = x1
-          // tight vertical box for THIS glyph; match in each template
-          // shape's own grid, best normalized distance wins
-          val ys = (y0 until y1).filter(y => (x0 until x1).exists(x => dark(y, x)))
+          // tight box for THIS glyph; match in each template shape's own
+          // grid, best mean |template − cell darkness| wins — continuous
+          // cells cost ~0.5 where quantization is genuinely ambiguous
+          // instead of a full flip
           val (ch, dist) = templatesByWidth.iterator.flatMap { case (gw, ts) =>
-            val cell = normalize(dark, gw, x0, x1, ys.head, ys.last + 1)
+            val cell = normalize(darkness, gw, x0, x1, gy0, gy1)
             ts.iterator.map { case (c, t) =>
-              c -> t.indices.count(i => t(i) != cell(i)).toDouble / t.length
+              c -> t.indices.map(i => math.abs((if (t(i)) 1.0 else 0.0) - cell(i))).sum / t.length
             }
           }.minBy(_._2)
-          if (dist <= 0.23) sb.append(ch) // ≥77% of cells agree, else noise
+          if (dist <= 0.23) sb.append(ch) // ≥77% mean agreement, else noise
         }
       }
       sb.result()
@@ -177,6 +281,62 @@ object GlyphOcr extends Ocr {
           x0 += 5 * unit + unit
         }
       }
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Anti-aliased PROPORTIONAL renderer: glyphs advance by their tight
+    * width (I and 1 are 3 font columns, W is 5) with 1-unit letter gaps
+    * and 5-unit word gaps, rastered at `unitHi` px/unit and box-averaged
+    * down by `down` — a non-integral effective unit (7/2 = 3.5 px) puts
+    * genuine gray edge pixels on every stroke boundary, the shape
+    * pytesseract sees from screen renders. Deterministic: no system fonts,
+    * no Java2D antialiasing hints.
+    */
+  def renderPngAa(text: String, unitHi: Int = 7, down: Int = 2): Array[Byte] = {
+    val lines = text.toUpperCase.split("\n", -1).toSeq
+    def tight(c: Char): (Int, Int) = { // (first dark col, tight width)
+      val rows = font(c)
+      def at(y: Int, x: Int) = ((rows(y) >> (4 - x)) & 1) == 1
+      val cols = (0 until 5).filter(x => (0 until 7).exists(y => at(y, x)))
+      (cols.head, cols.last + 1 - cols.head)
+    }
+    def lineWidth(l: String): Int = l.foldLeft(0) { (acc, c) =>
+      acc + (if (c == ' ') 5 * unitHi else (tight(c)._2 + 1) * unitHi)
+    }
+    val wHi = math.max(lines.map(lineWidth).max, unitHi) + 4 * unitHi
+    val hHi = lines.length * (7 * unitHi + 2 * unitHi) + 2 * unitHi
+    val big = Array.fill(hHi, wHi)(255)
+    lines.zipWithIndex.foreach { case (line, li) =>
+      var x0 = 2 * unitHi
+      val y0 = 2 * unitHi + li * (7 * unitHi + 2 * unitHi)
+      line.foreach { c =>
+        if (c == ' ') x0 += 5 * unitHi
+        else
+          font.get(c).foreach { rows =>
+            val (c0, tw) = tight(c)
+            for (r <- 0 until 7; cc <- 0 until tw if ((rows(r) >> (4 - (c0 + cc))) & 1) == 1)
+              for (dy <- 0 until unitHi; dx <- 0 until unitHi)
+                big(y0 + r * unitHi + dy)(x0 + cc * unitHi + dx) = 0
+            x0 += (tw + 1) * unitHi
+          }
+      }
+    }
+    val wLo = (wHi + down - 1) / down
+    val hLo = (hHi + down - 1) / down
+    val img = new java.awt.image.BufferedImage(wLo, hLo, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until hLo; x <- 0 until wLo) {
+      var sum = 0
+      var n   = 0
+      for (dy <- 0 until down; dx <- 0 until down) {
+        val sy = y * down + dy
+        val sx = x * down + dx
+        if (sy < hHi && sx < wHi) { sum += big(sy)(sx); n += 1 }
+      }
+      val g = sum / n
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
     }
     val bos = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)

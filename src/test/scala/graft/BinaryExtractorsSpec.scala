@@ -423,6 +423,105 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(tBad == "" && mBad.contains("skipped_filters"))
   }
 
+  test("PDF: AESV3-encrypted documents (V5 R5/R6, empty user and owner password)") {
+    import java.security.MessageDigest
+    import java.util.zip.Deflater
+    import javax.crypto.Cipher
+    import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+    // ENCRYPTION side is a from-scratch Algorithm 2.B + forward AES-256 —
+    // written independently of PdfParser.hash2B so the two implementations
+    // cross-check each other through the fixture.
+    def aes(mode: Int, key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+    def hash(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte], r: Int): Array[Byte] = {
+      var k = MessageDigest.getInstance("SHA-256").digest(pwd ++ salt ++ udata)
+      if (r == 5) return k
+      var i = 0
+      var lastE = 0
+      while (i < 64 || lastE > i - 32) {
+        val k1 = Array.fill(64)(pwd ++ k ++ udata).flatten
+        val e  = aes(Cipher.ENCRYPT_MODE, k.take(16), k.slice(16, 32), k1)
+        k = MessageDigest.getInstance(
+          e.take(16).map(_ & 0xff).sum % 3 match {
+            case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+          }).digest(e)
+        lastE = e.last & 0xff
+        i += 1
+      }
+      k.take(32)
+    }
+    def encObj(fk: Array[Byte], data: Array[Byte], iv: Array[Byte]): Array[Byte] = {
+      val padN = 16 - data.length % 16
+      iv ++ aes(Cipher.ENCRYPT_MODE, fk, iv, data ++ Array.fill(padN)(padN.toByte))
+    }
+    def pdfEscape(b: Array[Byte]): String = b.map { x =>
+      val c = (x & 0xff).toChar
+      if (c == '(' || c == ')' || c == '\\') "\\" + c
+      else if (c >= ' ' && c < 0x7f) c.toString
+      else f"\\${x & 0xff}%03o"
+    }.mkString
+    val empty = Array.emptyByteArray
+    // asOwner=true leaves the user password non-empty (junk validation
+    // bytes) so the walker must fall back to the empty-OWNER-password path.
+    def build(r: Int, asOwner: Boolean): Array[Byte] = {
+      val fk    = Array.tabulate(32)(i => (i * 19 + 11).toByte) // the file key itself
+      def salt(seed: Int) = Array.tabulate(8)(i => (i * 7 + seed).toByte)
+      val (uvs, uks, ovs, oks) = (salt(1), salt(2), salt(3), salt(4))
+      val u =
+        if (!asOwner) hash(empty, uvs, empty, r) ++ uvs ++ uks
+        else Array.tabulate(32)(i => (i * 3 + 1).toByte) ++ uvs ++ uks
+      val ue =
+        if (!asOwner) aes(Cipher.ENCRYPT_MODE, hash(empty, uks, empty, r), new Array[Byte](16), fk)
+        else Array.tabulate(32)(i => (i * 5 + 2).toByte)
+      val o  = hash(empty, ovs, u, r) ++ ovs ++ oks
+      val oe = aes(Cipher.ENCRYPT_MODE, hash(empty, oks, u, r), new Array[Byte](16), fk)
+      val deflater = new Deflater()
+      deflater.setInput("BT (aes256 classified) Tj ET".getBytes(ISO_8859_1)); deflater.finish()
+      val buf = new Array[Byte](4096)
+      val n   = deflater.deflate(buf)
+      val encStream = encObj(fk, buf.take(n), Array.tabulate(16)(i => (i * 37 + 5).toByte))
+      val encTitle  = encObj(fk, "Vault Memo".getBytes(ISO_8859_1), Array.tabulate(16)(i => (i * 41 + 9).toByte))
+      def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+      ("%PDF-1.7\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${encStream.length} /Filter /FlateDecode >>\nstream\n" +
+        new String(encStream, ISO_8859_1) + "\nendstream\nendobj\n" +
+        s"5 0 obj\n<< /Filter /Standard /V 5 /R $r /Length 256" +
+        " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF" +
+        s" /O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> /P -4 >>\nendobj\n" +
+        s"6 0 obj\n<< /Title (${pdfEscape(encTitle)}) >>\nendobj\n" +
+        "trailer\n<< /Root 1 0 R /Encrypt 5 0 R /Info 6 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    }
+    for (r <- Seq(5, 6); asOwner <- Seq(false, true)) {
+      val (text, meta) = new PdfExtractor().extract(build(r, asOwner), s"aes256-r$r-$asOwner.pdf")
+      assert(text == "aes256 classified", s"R=$r asOwner=$asOwner")
+      assert(meta("title") == "Vault Memo", s"R=$r asOwner=$asOwner")
+      assert(!meta.contains("skipped_filters"), s"R=$r asOwner=$asOwner")
+    }
+    // a non-empty (unknown) password in BOTH slots: no text, loss surfaced
+    val locked = new String(build(6, asOwner = true), ISO_8859_1)
+      .replaceFirst("/O <..", "/O <ff").getBytes(ISO_8859_1)
+    val (tL, mL) = new PdfExtractor().extract(locked, "aes256-locked.pdf")
+    assert(tL == "" && mL("skipped_filters") == "1")
+  }
+
+  test("PDF: committed AESV3 R6 fixture (built by tools/make_pdfaes3_fixture.py, cryptography lib)") {
+    // third independent Algorithm 2.B implementation (Python hashlib +
+    // cryptography) produced this file; byte-level agreement of all three
+    // is what makes the fixture a cross-check rather than a replay
+    val (text, meta) =
+      new PdfExtractor().extract(read("fixtures/office/secure/manual256.pdf"), "manual256.pdf")
+    assert(text ==
+      "Graft Secure Manual\nKeys derive from SHA-256 chains.\n\n" +
+        "Streams carry their own IV.\nPadding is PKCS#7.")
+    assert(meta == Map("page_count" -> "2", "title" -> "Secure Manual", "author" -> "Graft Vault"))
+  }
+
   test("DOCX: paragraphs blank-line separated, entities, tabs; deflated zip") {
     val (text, meta) = new DocxExtractor().extract(read("fixtures/office/report.docx"), "report.docx")
     assert(text ==
@@ -518,6 +617,13 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(GlyphOcr.recognize(GlyphOcr.renderPng(pangram, unit = 2), 0, 0) == pangram)
     // no text, no contrast → empty (the NoOcr-equivalent result)
     assert(GlyphOcr.recognize(read("fixtures/images/pix.png"), 3, 2) == "")
+    // ANTI-ALIASED + PROPORTIONAL: gray edge pixels on every stroke
+    // (non-integral 3.5 px unit), tight per-glyph advance — the Otsu +
+    // connected-component path must still read it exactly
+    assert(GlyphOcr.recognize(GlyphOcr.renderPngAa(pangram), 0, 0) == pangram)
+    assert(GlyphOcr.recognize(GlyphOcr.renderPngAa("GRAFT AA 42\nSECOND LINE", unitHi = 5, down = 2), 0, 0)
+      == "GRAFT AA 42\nSECOND LINE")
+    assert(GlyphOcr.recognize(GlyphOcr.renderPngAa(pangram, unitHi = 9, down = 4), 0, 0) == pangram)
 
     // a bound OCR engine's text flows through; file_size is the blob length
     object FakeOcr extends Ocr {
