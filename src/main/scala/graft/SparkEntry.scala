@@ -1860,6 +1860,31 @@ object SparkEntry {
         .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
+    // V17 — IVF-PQ(+refine), the sub-int8 memory tier (operators/Pq.scala,
+    // Jégou 2011 / the faiss IVFPQ composition): 16 one-byte codes per
+    // 64-d vector — 4× under SQ8's 64 B, 32× under float64. TWO
+    // list-partitioned stores (hot codes, cold floats); the ADC probe
+    // reads nProbe/nList of the code files, the exact refine reads
+    // nProbe/nList of the float files filtered to k·refine candidates —
+    // both legs partition-pruned (plan-asserted in PqSpec). m/ksub/refine
+    // sized by a measured sweep on this near-isotropic testdata (the
+    // hardest PQ case: flat recall 10/10 at m=16/ksub=64/refine=8 at both
+    // SFs, vs 5/10 at m=8/ksub=16/refine=4); gate matches v12/v14 (≥8/10
+    // vs the exact float search).
+    "v17_ivf_pq" -> ((s, d) => {
+      val t   = Tables(s, d)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val (codes, floats, ivfm, pqm) = Pq.ivfPqIndexFor(
+        emb, "embedding", "vec_id", nList = 8, m = 16, ksub = 64, cacheKey = s"$d/embeddings#pq")
+      val ann = Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec, 10, nProbe = 6,
+        refine = 8)
+        .select("vec_id")
+      val exact = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10).select("vec_id")
+      ann.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
+    }),
+
     // V13 — the quantizer itself, full hash oracle: floor(x/s·127+0.5) is
     // the same IEEE double arithmetic in Spark and DuckDB, so the exact
     // code arrays (not just stats) are value-checked per vector.
@@ -3018,6 +3043,8 @@ object SparkEntry {
       "SELECT 10::BIGINT AS k, true AS recall_ok",
 
     "v14_ivf_sq8" ->
+      "SELECT 10::BIGINT AS k, true AS recall_ok",
+    "v17_ivf_pq" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
 
     "v13_sq8_codes" ->

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.functions.PqExpressions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Product quantization — the sub-int8 ANN memory tier (Jégou et al. 2011;
+  * the faiss IVF-PQ composition the reference gets from Qdrant's quantizer
+  * config, backend/vector_db.py:41). SQ8 stores dim bytes/vector; PQ stores
+  * `m` bytes (64-d, m=8 → 8 B, a further 8× under SQ8), at the cost of a
+  * coarser score that needs an exact re-rank for top-k parity.
+  *
+  * Scale shape:
+  *  - **fit** is a bounded driver-sample problem (codebooks are corpus
+  *    SHAPE, like IVF centroids — Ivf.assign's rationale): m independent
+  *    subspace k-means over ≤`maxDriverFitBytes` of sampled rows.
+  *  - **encode** is a narrow codegen'd projection ([[PqExpressions.pqEncode]]
+  *    — codebooks ride a reference object, not the plan), so a 100 TB corpus
+  *    encodes in one scan with no shuffle.
+  *  - **search** scores codes with a codegen'd table lookup
+  *    ([[PqExpressions.pqAdc]] — the query's m×ksub inner-product table is
+  *    computed once on the driver) and plans `TakeOrderedAndProject`, the
+  *    same no-global-sort top-k as [[Search.topK]]; the optional refine
+  *    re-ranks only the ADC top k·`refine` rows exactly.
+  */
+object Pq {
+
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    def m: Int    = codebooks.length
+    def ksub: Int = codebooks.headOption.map(_.length).getOrElse(0)
+    def dsub: Int = codebooks.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+
+    /** Row-major flat copy for the codegen'd encode expression. */
+    lazy val flat: Array[Double] = {
+      val out = new Array[Double](m * ksub * dsub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          System.arraycopy(codebooks(j)(c), 0, out, (j * ksub + c) * dsub, dsub)
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+
+    /** ADC lookup table for one query: table[j·ksub+c] = q̂_j · codebook_jc
+      * (q̂ = L2-normalized query), so Σ_j table[j][code_j] ≈ cosine(q, v).
+      */
+    def adcTable(queryVec: Seq[Double]): Array[Double] = {
+      val q  = queryVec.toArray
+      var nn = 0.0
+      var i  = 0
+      while (i < q.length) { nn += q(i) * q(i); i += 1 }
+      val inv = if (nn > 0) 1.0 / math.sqrt(nn) else 0.0
+      val out = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          val cb  = codebooks(j)(c)
+          var dot = 0.0
+          var t   = 0
+          while (t < dsub) {
+            val idx = j * dsub + t
+            if (idx < q.length) dot += q(idx) * inv * cb(t)
+            t += 1
+          }
+          out(j * ksub + c) = dot
+          c += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Fit m×ksub codebooks on a bounded driver sample. `dim % m == 0`
+    * required — ragged subspaces silently skew the distance metric toward
+    * the wider ones. Vectors are L2-normalized before slicing (cosine
+    * geometry); ksub caps at the sample size per [[Ml.lloydFit]].
+    */
+  def fit(
+      df: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int = 256,
+      seed: Long = 42L,
+      maxDriverFitBytes: Long = 64L << 20,
+  ): Model = {
+    val (dim, direct) = Ml.driverVectors(df, vecCol, maxDriverFitBytes)
+    val pts = direct.getOrElse {
+      // over budget: seeded sample down to the byte budget, like Ivf's
+      // 256-per-list training budget — PQ codebooks are determined by a
+      // small sample just as well
+      val budgetRows = math.max(1L, maxDriverFitBytes / math.max(1, dim * 8L))
+      val total      = df.count()
+      val fraction   = math.min(1.0, budgetRows.toDouble / math.max(1L, total))
+      df.select(col(vecCol).cast("array<double>").as("__v"))
+        .where(col("__v").isNotNull)
+        .sample(withReplacement = false, fraction, seed)
+        .limit(budgetRows.toInt)
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
+    require(pts.nonEmpty, "Pq.fit needs a non-empty corpus")
+    require(m > 0 && dim % m == 0, s"dim $dim must divide by m=$m subspaces")
+    val dsub = dim / m
+    val normed = pts.map { p =>
+      var nn = 0.0
+      var i  = 0
+      while (i < p.length) { nn += p(i) * p(i); i += 1 }
+      val inv = if (nn > 0) 1.0 / math.sqrt(nn) else 0.0
+      p.map(_ * inv)
+    }
+    val books = Array.tabulate(m) { j =>
+      val sub = normed.map(_.slice(j * dsub, (j + 1) * dsub))
+      // seed varies per subspace so identical subspace distributions don't
+      // produce identical (correlated) centroid orderings
+      Ml.lloydFit(sub, ksub, seed + j)
+    }
+    // lloydFit caps k at the sample size; keep the books rectangular
+    val kEff = books.map(_.length).min
+    Model(books.map(_.take(kEff)))
+  }
+
+  /** Append the m-byte PQ code column (narrow, codegen'd). */
+  def pqTable(df: DataFrame, vecCol: String, model: Model, codesCol: String = "pq_codes"): DataFrame = {
+    require(!df.columns.contains(codesCol), s"input already has a '$codesCol' column")
+    df.withColumn(codesCol,
+      PqExpressions.pqEncode(col(vecCol).cast("array<double>"), model.flat, model.m, model.ksub, model.dsub))
+  }
+
+  /** ADC top-k over codes only — no float vectors touched. Ties broken by
+    * `idCol` for determinism (quantized scores tie far more often than
+    * exact ones — whole code-identical groups share one score).
+    */
+  def topKOnCodes(
+      coded: DataFrame,
+      codesCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      model: Model,
+      filters: Seq[Column] = Nil,
+  ): DataFrame = {
+    val scored = coded.withColumn("score",
+      PqExpressions.pqAdc(col(codesCol), model.adcTable(queryVec), model.ksub))
+    filters.foldLeft(scored)((d, f) => d.where(f))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** ADC candidate generation + EXACT re-rank: take the ADC top k·`refine`
+    * (a `TakeOrderedAndProject`, so only k·refine rows survive), then score
+    * those exactly against the float vectors and keep the true top-k. This
+    * is the standard PQ recall recovery — the coarse score only has to keep
+    * the true neighbors inside a small candidate set, not order them.
+    */
+  def topKRefined(
+      coded: DataFrame,
+      vecCol: String,
+      codesCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      model: Model,
+      refine: Int = 4,
+      filters: Seq[Column] = Nil,
+  ): DataFrame = {
+    val candidates = topKOnCodes(coded, codesCol, idCol, queryVec, k * refine, model, filters)
+      .drop("score")
+    Search.topK(candidates, vecCol, idCol, queryVec, k)
+  }
+
+  // ---- IVF-PQ: the faiss IVFPQ(+refine) composition ----------------------
+
+  /** TWO list-partitioned stores, not one: the hot CODES store (id + m-byte
+    * code — the only thing an ADC probe reads) and the cold FLOAT store
+    * (same `list_id` layout). A single combined store would drag the float
+    * column through every probe scan; with the split, the probe reads
+    * nProbe/nList of the code files and the refine reads nProbe/nList of
+    * the float files FILTERED to k·refine candidate ids — both legs
+    * partition-pruned, which is the whole 100 TB point.
+    */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame, Ivf.Model, Model)]()
+
+  /** Per-JVM token, same rationale as Ivf's registry: two JVMs sharing a
+    * tmp dir must not overwrite each other's live stores.
+    */
+  private val jvmToken = java.util.UUID.randomUUID().toString.take(8)
+
+  def ivfPqIndexFor(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nList: Int,
+      m: Int,
+      ksub: Int,
+      cacheKey: String,
+  ): (DataFrame, DataFrame, Ivf.Model, Model) =
+    ivfPqCache.computeIfAbsent(cacheKey, _ => {
+      val pqm              = fit(df, vecCol, m, ksub)
+      val (assigned, ivfm) = Ivf.assign(df, vecCol, nList)
+      val coded            = pqTable(assigned, vecCol, pqm)
+      val root = sys.props("java.io.tmpdir") + s"/graft-ivfpq/$jvmToken/" + java.lang.Long.toHexString(
+        (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 42).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 4242).toLong & 0xffffffffL))
+      coded.select(col(idCol), col("pq_codes"), col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(root + "/codes")
+      assigned.write.mode("overwrite").partitionBy("list_id").parquet(root + "/floats")
+      val s = df.sparkSession
+      (s.read.parquet(root + "/codes"), s.read.parquet(root + "/floats"), ivfm, pqm)
+    })
+
+  /** Probe: prune lists → ADC top k·refine over codes → exact re-rank of
+    * just those candidates against the float store (pruned to the SAME
+    * lists — a candidate's vector lives in the list its code came from).
+    */
+  def searchIvfPq(
+      codes: DataFrame,
+      floats: DataFrame,
+      ivfModel: Ivf.Model,
+      pqModel: Model,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      nProbe: Int,
+      refine: Int = 4,
+  ): DataFrame = {
+    val lists = ivfModel.probeLists(queryVec, math.min(nProbe, ivfModel.centroids.length))
+    val cand = topKOnCodes(
+      codes.where(col("list_id").isin(lists: _*)), "pq_codes", idCol, queryVec, k * refine, pqModel)
+      .select(idCol)
+    Search.topK(
+      floats.where(col("list_id").isin(lists: _*)).join(broadcast(cand), Seq(idCol)),
+      vecCol, idCol, queryVec, k)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.{Embedder, Ivf, Pq, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization contract: the memory point (m bytes/vector), exact
+  * agreement between the codegen'd codec and a reference re-computation,
+  * recall through the refine step, and the two-store IVF-PQ probe's plan
+  * shape (both scans partition-pruned — the 100 TB property).
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus =
+    (0L until 400L).map(i => (i, Embedder.default.embed(s"doc $i topic ${i % 7}").map(_.toDouble).toSeq))
+      .toDF("id", "vec")
+
+  private val qVec: Seq[Double] = Embedder.default.embed("topic 3 probe").map(_.toDouble).toSeq
+
+  test("codes are m bytes; codegen'd encode agrees with a scala re-encode") {
+    val m     = 8
+    val model = Pq.fit(corpus, "vec", m = m, ksub = 16)
+    assert(model.m == 8 && model.ksub == 16 && model.dsub == 8)
+    val coded = Pq.pqTable(corpus, "vec", model)
+    val rows  = coded.select("id", "vec", "pq_codes").collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("pq_codes").length == m)) // 8 B vs SQ8's 64 B
+    // reference re-encode: per-subspace argmin over the model's own
+    // codebooks, straight from the case-class data (no codegen)
+    rows.foreach { r =>
+      val v   = r.getSeq[Double](1).toArray
+      val nn  = math.sqrt(v.map(x => x * x).sum)
+      val u   = if (nn > 0) v.map(_ / nn) else v
+      val exp = (0 until m).map { j =>
+        val sub = u.slice(j * model.dsub, (j + 1) * model.dsub)
+        model.codebooks(j).zipWithIndex.minBy { case (c, i) =>
+          (c.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+        }._2.toByte
+      }
+      assert(r.getAs[Array[Byte]]("pq_codes").toSeq == exp, s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("ADC score equals the table-lookup recomputation; centroids score their own cosine") {
+    val model = Pq.fit(corpus, "vec", m = 8, ksub = 16)
+    val coded = Pq.pqTable(corpus, "vec", model)
+    val table = model.adcTable(qVec)
+    val got = Pq.topKOnCodes(coded, "pq_codes", "id", qVec, 400, model)
+      .select("id", "pq_codes", "score").collect()
+    got.foreach { r =>
+      val codes = r.getAs[Array[Byte]]("pq_codes")
+      val exp   = codes.zipWithIndex.map { case (c, j) => table(j * model.ksub + (c & 0xff)) }.sum
+      assert(r.getDouble(2) == exp, s"id=${r.get(0)}")
+    }
+    // the table itself: entry (j,c) must be the normalized-query subvector
+    // · codebook entry, recomputed here from the case-class data
+    val qn = math.sqrt(qVec.map(x => x * x).sum)
+    val qh = qVec.map(_ / qn).toArray
+    for (j <- 0 until model.m; c <- 0 until model.ksub) {
+      val exp = model.codebooks(j)(c).zipWithIndex
+        .map { case (v, t) => v * qh(j * model.dsub + t) }.sum
+      assert(math.abs(table(j * model.ksub + c) - exp) < 1e-12, s"table($j,$c)")
+    }
+  }
+
+  test("refine recovers exact top-k: recall 10/10 at the 64-d tier, 10/10 at 768-d") {
+    val model = Pq.fit(corpus, "vec", m = 8, ksub = 16)
+    val coded = Pq.pqTable(corpus, "vec", model)
+    val exact = Search.topK(corpus, "vec", "id", qVec, 10).select("id").as[Long].collect().toSet
+    // hash-embedder corpora are near-isotropic — the hardest PQ case (no
+    // cluster structure to quantize); v12's ≥8/10 bar applies at the
+    // default refine, and a deeper candidate pool must recover the rest
+    val ann = Pq.topKRefined(coded, "vec", "pq_codes", "id", qVec, 10, model)
+      .select("id").as[Long].collect().toSet
+    assert((ann & exact).size >= 8, s"64-d recall ${(ann & exact).size}/10 at refine=4")
+    val deep = Pq.topKRefined(coded, "vec", "pq_codes", "id", qVec, 10, model, refine = 12)
+      .select("id").as[Long].collect().toSet
+    assert((deep & exact).size >= 9, s"64-d recall ${(deep & exact).size}/10 at refine=12")
+
+    // 768-d tier: deterministic pseudo-random corpus with planted structure
+    val dim = 768
+    def vec(seed: Long): Seq[Double] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Seq.tabulate(dim) { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+      }
+    }
+    val base  = vec(999)
+    val big = (0L until 2000L).map { i =>
+      val noise = vec(i)
+      // 10 planted near neighbors of the query direction, rest random
+      val mix = if (i < 10) base.zip(noise).map { case (b, n) => b + 0.05 * n }
+                else noise
+      (i, mix)
+    }.toDF("id", "vec")
+    val m768 = Pq.fit(big, "vec", m = 96, ksub = 64)
+    val c768 = Pq.pqTable(big, "vec", m768)
+    val ex   = Search.topK(big, "vec", "id", base, 10).select("id").as[Long].collect().toSet
+    val an = Pq.topKRefined(c768, "vec", "pq_codes", "id", base, 10, m768)
+      .select("id").as[Long].collect().toSet
+    assert((an & ex).size == 10, s"768-d recall ${(an & ex).size}/10")
+  }
+
+  test("IVF-PQ: both probe legs partition-prune; all-list probe equals flat PQ-refined") {
+    val (codes, floats, ivfm, pqm) =
+      Pq.ivfPqIndexFor(corpus, "vec", "id", nList = 6, m = 8, ksub = 16, cacheKey = "pqspec")
+    // plan shape: the ADC scan AND the refine scan must both carry the
+    // list_id IN (...) in PartitionFilters — non-probed directories of
+    // EITHER store are never listed or read
+    val probed = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, nProbe = 2)
+    assert(probed.count() == 5)
+    val plan = TestSpark.formattedPlan(probed)
+    val pfs  = plan.linesIterator.filter(_.contains("PartitionFilters")).toVector
+    assert(pfs.size >= 2, s"expected two pruned scans (codes + floats), got:\n${pfs.mkString("\n")}")
+    assert(pfs.forall(pf => pf.contains("list_id") && pf.contains("IN")),
+      s"both scans must prune on list_id IN:\n${pfs.mkString("\n")}")
+    // the ADC projection stays inside whole-stage codegen (AQE hides the
+    // codegen spans until the plan is final, so check the executed plan
+    // with AQE off)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val adcOnly = Pq.topKOnCodes(codes, "pq_codes", "id", qVec, 5, pqm)
+      adcOnly.collect()
+      // "*(n)" is treeString's WholeStageCodegen marker; the scoring
+      // Project must sit inside one, with the pq_adc call in its list
+      val executed = adcOnly.queryExecution.executedPlan.toString
+      val projLine = executed.linesIterator.find(_.contains("pq_adc"))
+      assert(projLine.exists(_.contains("*(")),
+        s"pq_adc projection must be whole-stage codegen'd:\n${executed.take(800)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // probing every list = the flat PQ-refined search over the same codes
+    // (the IVF machinery itself adds NO approximation beyond list pruning;
+    // quantization error is PQ's and the refine pool bounds it)
+    val all = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 10, nProbe = 6)
+      .select("id").as[Long].collect().toSeq
+    val flat = Pq.topKRefined(Pq.pqTable(corpus, "vec", pqm), "vec", "pq_codes", "id", qVec, 10, pqm)
+      .select("id").as[Long].collect().toSeq
+    assert(all == flat)
+    val exact = Search.topK(corpus, "vec", "id", qVec, 10).select("id").as[Long].collect().toSet
+    assert((all.toSet & exact).size >= 8, s"recall ${(all.toSet & exact).size}/10")
+  }
+
+  test("null and zero vectors: null codes propagate, zero vector encodes deterministically") {
+    val model = Pq.fit(corpus, "vec", m = 8, ksub = 16)
+    val df = Seq(
+      (1L, Option(Seq.fill(64)(0.0))),
+      (2L, Option.empty[Seq[Double]]),
+      (3L, Option(qVec)),
+    ).toDF("id", "vec")
+    val rows = Pq.pqTable(df, "vec", model).select("id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]]("pq_codes"))).toMap
+    assert(rows(2).isEmpty)                   // null in → null code out
+    assert(rows(1).exists(_.length == 8))     // zero vector still encodes
+    assert(rows(3).exists(_.length == 8))
+  }
+}
