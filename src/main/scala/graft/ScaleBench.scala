@@ -183,7 +183,81 @@ object ScaleBench {
     }
   }
 
+  /** Memory-pressure tier: the dedup/CC/semdedup pipeline at 16× under a
+    * capped memory budget, asserting completion-by-spilling rather than
+    * OOM. The 128 GiB sandbox never exercises the spill paths the 100 TB
+    * design depends on (execution memory per task on a real executor is a
+    * few hundred MB); `spark.testing.memory` is Spark's own knob for
+    * simulating a small heap — the UnifiedMemoryManager budgets execution +
+    * storage against it, so sorts and aggregations spill exactly as they
+    * would on a memory-tight executor, while the actual JVM heap keeps
+    * test-harness allocations safe. A SparkListener totals the observed
+    * spill; the run FAILS (exit 1) if nothing spilled, because then the
+    * tier proved nothing.
+    */
+  private def runLowmem(scale: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scale-lowmem")
+      // 512 MB budget: ~(512−300)·0.6 ≈ 127 MB usable, half of it execution,
+      // across 4 cores → ~16 MB per task before a sort/agg must spill
+      .config("spark.testing.memory", (512L << 20).toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    @volatile var spilledMem  = 0L
+    @volatile var spilledDisk = 0L
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        spilledMem += sc.stageInfo.taskMetrics.memoryBytesSpilled
+        spilledDisk += sc.stageInfo.taskMetrics.diskBytesSpilled
+      }
+    })
+    val root             = sys.props("java.io.tmpdir") + "/graft-scale"
+    val (docs, vecs, _)  = gen(spark, scale, root)
+    val ops: Seq[(String, () => Long)] = Seq(
+      "exact_dedup"     -> (() => Dedup.exactDupGroups(docs, "doc_id", "text").count()),
+      "lsh_jaccard"     -> (() => {
+        val cand = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 16, 8)
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, Some(cand)).count()
+      }),
+      "conn_components" -> (() => {
+        val ids = docs.select(col("doc_id"))
+        val e = ids.where(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+        Dedup.connectedComponents(ids, e, "doc_id", "u", "v", maxDriverEdges = 0L).count()
+      }),
+      "semdedup"        -> (() => {
+        val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.99, 64, 32, 4)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(vecs.select("vec_id"), pairs, "vec_id", "id_a", "id_b")
+          .where(col("id") === col("component")).count()
+      }),
+      "repeated_spans"  -> (() => Dedup.repeatedSpans(docs, "doc_id", "text", 4).count()),
+      "cut_spans"       -> (() => { Dedup.cutRepeatedSpans(docs, "doc_id", "text", 4)
+        .agg(sum(col("n_cut")), sum(length(col("cleaned")))).head(); 1L }),
+    )
+    ops.foreach { case (name, run) =>
+      val t0 = System.nanoTime(); val rows = run(); val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$name","mode":"lowmem","scale":$scale,"sec":$sec%.3f,"rows":$rows}""")
+    }
+    println(s"""{"mode":"lowmem","scale":$scale,"spilled_mem_bytes":$spilledMem,"spilled_disk_bytes":$spilledDisk}""")
+    spark.stop()
+    if (spilledMem == 0L && spilledDisk == 0L) {
+      System.err.println("lowmem tier observed ZERO spill — budget too generous to prove anything")
+      sys.exit(1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("lowmem")) {
+      runLowmem(args.drop(1).headOption.map(_.toInt).getOrElse(16))
+      return
+    }
     if (args.headOption.contains("768d")) {
       val spark = Engine.session("graft-scale-768")
       run768(spark, args.drop(1).headOption.map(_.toInt).getOrElse(4), args.drop(2).toSet)
