@@ -147,34 +147,58 @@ object Chunker extends Serializable {
     // splitting here was the worst of the declared regex-boundary
     // deviations, reference backend/chunker.py:162)
     var onlyDecorators = true
-    // Triple-quoted-string tracking: a line INSIDE a docstring is never a
-    // boundary, however def-like it looks — ast.parse sees one string
-    // expression where the bare regex saw a split point (the docstring
-    // false-boundary was the remaining worst case of the declared
-    // regex-vs-AST deviation). Naive about escaped quotes and quotes in
-    // `#` comments, which is the right trade for a line scanner.
-    var inTriple: String = null
-    def scanTriples(line: String): Unit = {
+    // Logical-line tracking, the ast.parse properties a physical-line
+    // scanner can recover: (1) triple-quoted strings — a line inside a
+    // docstring is never a boundary, however def-like it looks; (2) PAREN
+    // DEPTH — a decorator or signature spanning parens ("@app.route(\n
+    // ...)\ndef f():", "def f(a,\n b):") is ONE logical line, so its
+    // continuation lines neither open a boundary nor demote the pending
+    // decorator; (3) trailing-backslash continuations. The char scanner
+    // skips `#` comments and single-line string bodies so a "(" in either
+    // never skews the depth. Still naive about parens inside f-string
+    // replacement fields — the right trade for a line scanner.
+    var inTriple: String      = null
+    var depth                 = 0
+    var backslashCont         = false
+    def scanLine(line: String): Unit = {
+      backslashCont = false
       var i = 0
       while (i < line.length) {
-        if (inTriple == null) {
-          if (line.startsWith("\"\"\"", i)) { inTriple = "\"\"\""; i += 3 }
-          else if (line.startsWith("'''", i)) { inTriple = "'''"; i += 3 }
+        if (inTriple != null) {
+          if (line.startsWith(inTriple, i)) { inTriple = null; i += 3 } else i += 1
+        } else {
+          val ch = line.charAt(i)
+          if (ch == '#') i = line.length
+          else if (ch == '"' || ch == '\'') {
+            val q = ch.toString
+            if (line.startsWith(q * 3, i)) { inTriple = q * 3; i += 3 }
+            else {
+              i += 1
+              var closed = false
+              while (i < line.length && !closed) {
+                if (line.charAt(i) == '\\') i += 2
+                else if (line.charAt(i) == ch) { closed = true; i += 1 }
+                else i += 1
+              }
+            }
+          } else if (ch == '(' || ch == '[' || ch == '{') { depth += 1; i += 1 }
+          else if (ch == ')' || ch == ']' || ch == '}') { depth = math.max(0, depth - 1); i += 1 }
+          else if (ch == '\\' && i == line.length - 1) { backslashCont = true; i += 1 }
           else i += 1
-        } else if (line.startsWith(inTriple, i)) { inTriple = null; i += 3 }
-        else i += 1
+        }
       }
     }
     for (line <- lines) {
-      val isBoundary = inTriple == null &&
+      val isContinuation = inTriple != null || depth > 0 || backslashCont
+      val isBoundary = !isContinuation &&
         CodeBoundary.findFirstIn(line).isDefined && !line.startsWith(" ") && !line.startsWith("\t")
       if (isBoundary && cur.nonEmpty && !onlyDecorators) {
         blocks += cur.result(); cur.clear(); onlyDecorators = true
       }
       if (cur.nonEmpty) cur.append('\n')
       cur.append(line)
-      if (inTriple == null && line.trim.nonEmpty && !line.startsWith("@")) onlyDecorators = false
-      scanTriples(line)
+      if (!isContinuation && line.trim.nonEmpty && !line.startsWith("@")) onlyDecorators = false
+      scanLine(line)
     }
     if (cur.nonEmpty) blocks += cur.result()
     val bs = blocks.result().map(_.trim).filter(_.nonEmpty)

@@ -163,6 +163,30 @@ class ChunkerSpec extends AnyFunSuite {
     assert(chunks.head.contains("def not_code"), chunks.head)
   }
 
+  test("multi-line decorators and signatures stay one logical construct (paren/backslash tracking)") {
+    // decorator spanning parens: ast.parse binds the whole call to the def
+    val code =
+      "@app.route(\n    '/path',\n    methods=['GET'])\ndef handler():\n    return 1\n" +
+        "def long_sig(a,\n             b,\n             c):\n    return a\n" +
+        "x = 1 + \\\n    2\n" +
+        "def after():\n    return 2\n"
+    val chunks = Chunker.chunkCode(code, maxTokens = 10).map(_._1)
+    // the decorator must not be orphaned from handler
+    assert(chunks.exists(c => c.contains("@app.route(") && c.contains("def handler():")),
+      chunks.mkString("<<", ">>,<<", ">>"))
+    assert(!chunks.exists(_.trim.endsWith("methods=['GET'])")), chunks.mkString("<<", ">>,<<", ">>"))
+    // a continuation line of a signature is never a boundary: the whole
+    // signature lives in one block
+    assert(chunks.exists(c => c.contains("def long_sig(a,") && c.contains("c):")))
+    // parens inside strings and comments don't skew the depth: after() is
+    // still found as a boundary following a line with unbalanced-looking text
+    val tricky =
+      "s = '(((' # )))\ndef g():\n    t = \"(\"  # ( in comment\n    return t\ndef h():\n    return ')'\n"
+    val tc = Chunker.chunkCode(tricky, maxTokens = 8).map(_._1)
+    assert(tc.exists(_.startsWith("def g")), tc.mkString("<<", ">>,<<", ">>"))
+    assert(tc.exists(_.startsWith("def h")), tc.mkString("<<", ">>,<<", ">>"))
+  }
+
   test("code chunker splits at top-level boundaries and packs to <= maxTokens") {
     val blocks = (1 to 50).map(i => s"def f$i():\n" + ("    x = 1\n" * 30))
     val chunks = Chunker.chunkCode(blocks.mkString(""))
