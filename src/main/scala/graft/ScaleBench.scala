@@ -438,6 +438,13 @@ object ScaleBench {
           Dedup.connectedComponents(vecs.select("vec_id"), pairs, "vec_id", "id_a", "id_b")
             .where(col("id") === col("component")).count()
         }),
+        // round-7: DSIR selection — target = the planted-duplicate slice's
+        // vocabulary flavor (docs ≡ 0 mod 50), raw = everything; cost shape
+        // = two map-side-combined gram aggs + one id-keyed sum shuffle
+        "dsir_resample"   -> (() => Dsir.resample(
+          docs, "doc_id", "text",
+          docs.where(col("doc_id") % 50 === 0).select("text"), "text",
+          1000).count()),
         "hybrid_rrf"      -> (() => {
           val w = org.apache.spark.sql.expressions.Window.orderBy(desc("score"), col("id"))
           val bmLeg = Rank.bm25(docs, "doc_id", "text", Seq("w1", "w17", "w303"))

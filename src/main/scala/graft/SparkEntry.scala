@@ -1919,6 +1919,31 @@ object SparkEntry {
     // bullet line for every 5th, a double-ellipsis tail for every 7th
     // (2/5 lines = 0.4 ≥ 0.3 → ellipsis gate fails), body text for the
     // word-count and mean-length gates.
+    // X16 — DSIR data selection (Xie 2023, operators/Dsir.scala): importance
+    // log-weights under smoothed hashed-ngram models of a TARGET slice
+    // (lang=en ∧ doc_id≡0 mod 7 — a stand-in quality domain) vs the full
+    // corpus. FULL oracle: DuckDB refits both models and recomputes every
+    // document's weight (md5-prefix buckets hash identically in both
+    // engines); round(4) absorbs FP summation-order ulps.
+    "x16_dsir_weights" -> ((s, d) => {
+      val docs   = Tables(s, d).documents.select(col("doc_id"), col("lang"), col("text"))
+      val target = docs.where(col("lang") === "en" && col("doc_id") % 7 === 0).select("text")
+      Dsir.importanceWeights(docs, "doc_id", "text", target, "text")
+        .select(col("doc_id"), col("lang"), round(col("log_weight"), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // X16b — the Gumbel top-k resample itself: 50 docs without replacement,
+    // inclusion tilted toward the target distribution, deterministic from
+    // the portable hash; the oracle replays weight + Gumbel key exactly.
+    "x16_dsir_resample" -> ((s, d) => {
+      val docs   = Tables(s, d).documents.select(col("doc_id"), col("lang"), col("text"))
+      val target = docs.where(col("lang") === "en" && col("doc_id") % 7 === 0).select("text")
+      Dsir.resample(docs, "doc_id", "text", target, "text", 50)
+        .select(col("doc_id"), col("lang"), round(col("log_weight"), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+
     "x15_gopher_quality" -> ((s, d) => {
       val synth = concat_ws("\n",
         col("text"),
@@ -3077,6 +3102,42 @@ object SparkEntry {
            | SELECT doc_id, md5(coalesce(cleaned, '')) AS cleaned_md5, n_tokens, n_cut
            | FROM a ORDER BY doc_id""".stripMargin,
 
+    "x16_dsir_weights" ->
+      raw"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+           | g AS (SELECT doc_id, lang, unnest(toks) AS g FROM t
+           |       UNION ALL
+           |       SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+           | b AS (SELECT doc_id, lang, substr(md5(g), 1, 4) AS bucket FROM g),
+           | tb AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' AND doc_id % 7 = 0 GROUP BY bucket),
+           | rb AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+           | tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tb) AS tt, (SELECT coalesce(sum(rc), 0) FROM rb) AS rt),
+           | r AS (SELECT rb.bucket,
+           |         ln((coalesce(tc, 0) + 0.01) / (tt + 0.01 * 65536)) - ln((rc + 0.01) / (rt + 0.01 * 65536)) AS lr
+           |       FROM rb CROSS JOIN tot LEFT JOIN tb ON rb.bucket = tb.bucket),
+           | w AS (SELECT doc_id, sum(lr) AS lw FROM b JOIN r ON b.bucket = r.bucket GROUP BY doc_id)
+           | SELECT d.doc_id, d.lang, round(coalesce(w.lw, 0.0), 4) AS log_weight
+           | FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id ORDER BY d.doc_id""".stripMargin,
+    "x16_dsir_resample" ->
+      raw"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+           | g AS (SELECT doc_id, lang, unnest(toks) AS g FROM t
+           |       UNION ALL
+           |       SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+           | b AS (SELECT doc_id, lang, substr(md5(g), 1, 4) AS bucket FROM g),
+           | tb AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' AND doc_id % 7 = 0 GROUP BY bucket),
+           | rb AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+           | tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tb) AS tt, (SELECT coalesce(sum(rc), 0) FROM rb) AS rt),
+           | r AS (SELECT rb.bucket,
+           |         ln((coalesce(tc, 0) + 0.01) / (tt + 0.01 * 65536)) - ln((rc + 0.01) / (rt + 0.01 * 65536)) AS lr
+           |       FROM rb CROSS JOIN tot LEFT JOIN tb ON rb.bucket = tb.bucket),
+           | w AS (SELECT doc_id, sum(lr) AS lw FROM b JOIN r ON b.bucket = r.bucket GROUP BY doc_id),
+           | wa AS (SELECT d.doc_id, d.lang, coalesce(w.lw, 0.0) AS lw,
+           |          (((d.doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((d.doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0
+           |        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id),
+           | keyed AS (SELECT doc_id, lang, lw,
+           |             lw - ln(-ln((xor(h0, h0 >> 16) + 0.5) / 4294967296)) AS gk
+           |           FROM wa)
+           | SELECT doc_id, lang, round(lw, 4) AS log_weight
+           | FROM (SELECT * FROM keyed ORDER BY gk DESC, doc_id LIMIT 50) ORDER BY doc_id""".stripMargin,
     "x15_gopher_quality" ->
       raw"""WITH r AS (SELECT doc_id,
            |   text || chr(10) ||
