@@ -1581,6 +1581,30 @@ object SparkEntry {
         .orderBy("file_name", "chunk_index")
     }),
 
+    // MM6 — perceptual dHash of decoded images: 9×8 nearest-sampled gray
+    // grid, 64 adjacent-brightness comparisons. FULL oracle: DuckDB
+    // re-derives every hash from the BMPs' raw bottom-up BGR rows (hex
+    // slicing, integer-only sampling arithmetic); hex rendering because a
+    // bit-63 hash is a negative Long on the Spark side and a HUGEINT sum
+    // in DuckDB — two's-complement hex is the common form.
+    "mm6_dhash" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/bitmap/dhash", "*.bmp")
+      Multimodal.dHash(s, b).toDF()
+        .select(col("file_name"), lpad(hex(col("dhash")), 16, "0").as("dhash_hex"))
+        .orderBy("file_name")
+    }),
+
+    // MM6b — Hamming-banded near-dup pairs over the hashes (the SimHash
+    // band trick at the image level): 4×16-bit bands; any pair within
+    // distance ≤ 3 shares a band by pigeonhole, so the oracle's all-pairs
+    // distance filter is EXACTLY what the banded join must produce — the
+    // fixtures plant two near-dup pairs (distance 1) among four far images.
+    "mm6_dhash_neardup" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/bitmap/dhash", "*.bmp")
+      Multimodal.dhashNearDupPairs(Multimodal.dHash(s, b).toDF(), maxDist = 3)
+        .orderBy("file_a", "file_b")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -2905,6 +2929,37 @@ object SparkEntry {
            |   md5(substr(f.h, (ch.st * 2 + 1)::BIGINT, ((ch.e - ch.st + 1) * 2)::BIGINT)) AS chunk_md5
            | FROM ch JOIN f ON f.file_name = ch.file_name
            | ORDER BY ch.file_name, chunk_index""".stripMargin,
+    // mm6 — gray value = the blue channel byte (grayscale fixtures), read
+    // at offset 54 + (15 − srcY)·48 + srcX·3 of the bottom-up 16×16 BMP;
+    // srcX = (ox·16+8)//9, srcY = (oy·16+8)//8 — the same pixel-center
+    // nearest arithmetic as Multimodal.dHash.
+    "mm6_dhash" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h FROM read_blob('/root/repo/fixtures/bitmap/dhash/*.bmp')),
+           | cell AS (SELECT file_name, h, (c // 9) AS oy, (c % 9) AS ox FROM (SELECT file_name, h, unnest(range(0, 72)) AS c FROM f)),
+           | g AS (SELECT file_name, oy, ox,
+           |   ((strpos('0123456789ABCDEF', substr(h, (2*(54 + (15 - ((oy*16+8)//8))*48 + ((ox*16+8)//9)*3) + 1)::BIGINT, 1)) - 1) * 16 +
+           |     strpos('0123456789ABCDEF', substr(h, (2*(54 + (15 - ((oy*16+8)//8))*48 + ((ox*16+8)//9)*3) + 2)::BIGINT, 1)) - 1) AS v
+           |   FROM cell),
+           | dh AS (SELECT a.file_name,
+           |   coalesce(sum(CASE WHEN a.v > b.v THEN (1::HUGEINT << (a.oy*8 + a.ox)::INT) ELSE 0::HUGEINT END), 0::HUGEINT) AS d
+           |   FROM g a JOIN g b ON b.file_name = a.file_name AND b.oy = a.oy AND b.ox = a.ox + 1
+           |   WHERE a.ox < 8 GROUP BY a.file_name)
+           | SELECT file_name, lpad(to_hex(d), 16, '0') AS dhash_hex FROM dh ORDER BY file_name""".stripMargin,
+    "mm6_dhash_neardup" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h FROM read_blob('/root/repo/fixtures/bitmap/dhash/*.bmp')),
+           | cell AS (SELECT file_name, h, (c // 9) AS oy, (c % 9) AS ox FROM (SELECT file_name, h, unnest(range(0, 72)) AS c FROM f)),
+           | g AS (SELECT file_name, oy, ox,
+           |   ((strpos('0123456789ABCDEF', substr(h, (2*(54 + (15 - ((oy*16+8)//8))*48 + ((ox*16+8)//9)*3) + 1)::BIGINT, 1)) - 1) * 16 +
+           |     strpos('0123456789ABCDEF', substr(h, (2*(54 + (15 - ((oy*16+8)//8))*48 + ((ox*16+8)//9)*3) + 2)::BIGINT, 1)) - 1) AS v
+           |   FROM cell),
+           | bits AS (SELECT a.file_name, (a.oy*8 + a.ox) AS i, (a.v > b.v) AS bit
+           |   FROM g a JOIN g b ON b.file_name = a.file_name AND b.oy = a.oy AND b.ox = a.ox + 1
+           |   WHERE a.ox < 8),
+           | d AS (SELECT p.file_name AS file_a, q.file_name AS file_b,
+           |   sum(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END)::BIGINT AS dist
+           |   FROM bits p JOIN bits q ON p.i = q.i AND p.file_name < q.file_name
+           |   GROUP BY 1, 2)
+           | SELECT file_a, file_b, dist FROM d WHERE dist <= 3 ORDER BY file_a, file_b""".stripMargin,
     "p2_mcp_create" ->
       """SELECT doc_id AS document_id, 'doc_' || doc_id || '.txt' AS filename, 0::BIGINT AS chunk_index,
         | 1::BIGINT AS total_chunks, 'mcp' AS source, md5(trim(text)) AS text_md5, 64::BIGINT AS dim

@@ -268,6 +268,66 @@ object Multimodal {
       )
   }
 
+  final case class DHashed(file_name: String, dhash: Long)
+
+  /** Perceptual difference hash (dHash) of each decodable image: pixel-
+    * center NEAREST sample to a 9×8 gray grid (gray = (r+g+b)/3, integer),
+    * bit (y·8+x) set iff g[y][x] > g[y][x+1] — 64 ordinal brightness
+    * comparisons that survive re-encoding, mild noise, and rescaling, the
+    * classic recompressed-image near-dup key. Nearest (not area) sampling
+    * everywhere: dHash is already a coarse ordinal feature, and one
+    * integer-arithmetic sampling rule is what lets the oracle replay the
+    * hash from raw BMP bytes. Undecodable inputs drop (None rows), like
+    * [[resizeImages]]. Narrow per-row map — no shuffle.
+    */
+  def dHash(spark: SparkSession, binaries: DataFrame): Dataset[DHashed] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        decodeImage(bytes).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.tabulate(8, 9) { (oy, ox) =>
+            val rgb = img.getRGB(
+              math.min(w - 1, (ox * w + w / 2) / 9),
+              math.min(h - 1, (oy * h + h / 2) / 8))
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          var bits = 0L
+          for (y <- 0 until 8; x <- 0 until 8)
+            if (g(y)(x) > g(y)(x + 1)) bits |= 1L << (y * 8 + x)
+          DHashed(name, bits)
+        }
+      }
+  }
+
+  /** Hamming-banded near-dup pairs over dHashes — the SimHash band trick at
+    * the image level: 4 × 16-bit bands; by pigeonhole any pair within
+    * Hamming distance ≤ 3 agrees EXACTLY on at least one band, so the
+    * equi-join on (band, value) finds every such pair while never comparing
+    * all pairs; candidates then verify by exact `bit_count(xor)`. maxDist
+    * above 3 weakens the candidate guarantee (a distance-4 pair can spread
+    * one flip per band) — the standard banded-LSH recall trade, same as
+    * [[Dedup.simHashNearDupPairs]].
+    *
+    * Output: (file_a, file_b, dist), file_a < file_b.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = hashes.select(
+      col("file_name"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftrightunsigned(col("dhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("bv"))
+      .select(col("file_name"), col("dhash"), col("bv.band"), col("bv.v"))
+    val l = banded.select(col("file_name").as("file_a"), col("dhash").as("__ha"), col("band"), col("v"))
+    val r = banded.select(col("file_name").as("file_b"), col("dhash").as("__hb"), col("band"), col("v"))
+    l.join(r, Seq("band", "v"))
+      .where(col("file_a") < col("file_b"))
+      .select(col("file_a"), col("file_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
   /** Frame sampling STUB: every `stride`-th `frameSize`-byte window, capped
     * at `maxFrames` (a real video decoder samples keyframes; the schema and
     * fan-out shape are what downstream operators consume).

@@ -99,6 +99,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(n3.content.toSeq == Seq[Byte](0, 0, 0, 100.toByte, 0, 0, 0, 100.toByte, 0, 100.toByte, 100.toByte, 0))
   }
 
+  test("dHash: invariant under lossless re-encode and rescale; banded join finds exactly the near pairs") {
+    // the perceptual property that makes dHash a near-dup key: the SAME
+    // pixels through a different container (BMP → PNG) or a clean 2×
+    // upscale hash identically — byte-level keys (md5, CDC) see totally
+    // different blobs
+    val bmp = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/bitmap/dhash/art_b.bmp"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val up = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach(x => up.setRGB(x, y, img.getRGB(x / 2, y / 2))))
+    val rows = Seq(
+      ("orig.bmp", bmp),
+      ("reenc.png", encode(img, "png")),
+      ("upscaled.png", encode(up, "png")),
+      ("noise.bin", Array.tabulate[Byte](64)(_.toByte)), // undecodable → drops
+    ).toDF("file_name", "content")
+    val hs = Multimodal.dHash(spark, rows).collect().map(h => h.file_name -> h.dhash).toMap
+    assert(hs.keySet == Set("orig.bmp", "reenc.png", "upscaled.png"))
+    assert(hs("orig.bmp") == hs("reenc.png"), "container change must not change the hash")
+    assert(hs("orig.bmp") == hs("upscaled.png"), "clean 2x upscale must not change the hash")
+
+    // banded join over the committed fixture set: exactly the two planted
+    // near pairs, nothing else
+    val b = Multimodal.binaryTable(spark, "/root/repo/fixtures/bitmap/dhash", "*.bmp")
+    val pairs = Multimodal.dhashNearDupPairs(Multimodal.dHash(spark, b).toDF(), maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(pairs.map(p => (p._1, p._2)).toSeq ==
+      Seq(("art_a.bmp", "art_a2.bmp"), ("art_b.bmp", "art_b2.bmp")))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("frame sampling: stride windows capped at maxFrames, dense indices") {
     val b = Multimodal.binaryTable(spark, dir)
     val frames = Multimodal.sampleFrames(spark, b, frameSize = 64, stride = 32, maxFrames = 5)
