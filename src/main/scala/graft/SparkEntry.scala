@@ -1605,6 +1605,24 @@ object SparkEntry {
         .orderBy("file_a", "file_b")
     }),
 
+    // MM7 — REAL audio decode: RIFF/WAVE 16-bit PCM chunk walk + decoded-
+    // sample features (RMS from an exact integer sum of squares, peak,
+    // channel-0 zero crossings). The stereo fixture plants a LIST chunk
+    // before `data`, so offset-44 assumptions fail — the walker must
+    // actually walk. The oracle re-parses the container from hex bytes.
+    "mm7_wav_features" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/audio", "*.wav")
+      Multimodal.wavFeatures(s, b).toDF()
+        .select(col("file_name"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_frames"), col("duration_ms"),
+          round(col("rms"), 4).as("rms"),
+          col("zero_crossings"), col("peak"))
+        .orderBy("file_name")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -2960,6 +2978,43 @@ object SparkEntry {
            |   FROM bits p JOIN bits q ON p.i = q.i AND p.file_name < q.file_name
            |   GROUP BY 1, 2)
            | SELECT file_a, file_b, dist FROM d WHERE dist <= 3 ORDER BY file_a, file_b""".stripMargin,
+    // mm7 — chunk locations found via the hex-encoded tags ('fmt ', 'data'),
+    // header fields and samples decoded with the nibble idiom; 16-bit LE
+    // signed = v − 65536·[v ≥ 32768]; zero crossings lag over channel-0.
+    "mm7_wav_features" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h, size::BIGINT AS n FROM read_blob('/root/repo/fixtures/audio/*.wav')),
+           | loc AS (SELECT file_name, h, n, (strpos(h, '666D7420') - 1) // 2 + 8 AS fmt0, (strpos(h, '64617461') - 1) // 2 + 8 AS d0 FROM f),
+           | u AS (SELECT file_name, h, fmt0, d0, unnest(range(0, n - 1)) AS i FROM loc),
+           | w16 AS (SELECT file_name, fmt0, d0, i,
+           |   ((strpos('0123456789ABCDEF', substr(h, (2*i + 1)::BIGINT, 1)) - 1) * 16 + strpos('0123456789ABCDEF', substr(h, (2*i + 2)::BIGINT, 1)) - 1)
+           |   + 256 * ((strpos('0123456789ABCDEF', substr(h, (2*i + 3)::BIGINT, 1)) - 1) * 16 + strpos('0123456789ABCDEF', substr(h, (2*i + 4)::BIGINT, 1)) - 1) AS v
+           |   FROM u),
+           | hdr AS (SELECT l.file_name, l.d0,
+           |     fa.v AS afmt, fc.v AS ch, fr1.v + 65536 * fr2.v AS rate, fb.v AS bits, dl1.v + 65536 * dl2.v AS dlen
+           |   FROM loc l
+           |   JOIN w16 fa  ON fa.file_name = l.file_name AND fa.i = l.fmt0
+           |   JOIN w16 fc  ON fc.file_name = l.file_name AND fc.i = l.fmt0 + 2
+           |   JOIN w16 fr1 ON fr1.file_name = l.file_name AND fr1.i = l.fmt0 + 4
+           |   JOIN w16 fr2 ON fr2.file_name = l.file_name AND fr2.i = l.fmt0 + 6
+           |   JOIN w16 fb  ON fb.file_name = l.file_name AND fb.i = l.fmt0 + 14
+           |   JOIN w16 dl1 ON dl1.file_name = l.file_name AND dl1.i = l.d0 - 4
+           |   JOIN w16 dl2 ON dl2.file_name = l.file_name AND dl2.i = l.d0 - 2
+           |   WHERE fa.v = 1 AND fb.v = 16),
+           | smp AS (SELECT hd.file_name, hd.ch, hd.rate, (w.i - hd.d0) // 2 AS si,
+           |     w.v - CASE WHEN w.v >= 32768 THEN 65536 ELSE 0 END AS s
+           |   FROM hdr hd JOIN w16 w ON w.file_name = hd.file_name
+           |     AND w.i >= hd.d0 AND w.i < hd.d0 + hd.dlen AND (w.i - hd.d0) % 2 = 0),
+           | ag AS (SELECT file_name, any_value(ch) AS ch, any_value(rate) AS rate,
+           |     count(*) AS ns, sum(s * s) AS ss, max(abs(s)) AS peak
+           |   FROM smp GROUP BY 1),
+           | z0 AS (SELECT file_name, s, lag(s) OVER (PARTITION BY file_name ORDER BY si) AS p
+           |   FROM smp WHERE si % ch = 0),
+           | z AS (SELECT file_name, count(CASE WHEN (p < 0 AND s > 0) OR (p > 0 AND s < 0) THEN 1 END)::BIGINT AS zc
+           |   FROM z0 GROUP BY 1)
+           | SELECT ag.file_name, rate::BIGINT AS sample_rate, ch::BIGINT AS channels, 16::BIGINT AS bits,
+           |   (ns // ch)::BIGINT AS n_frames, ((ns // ch) * 1000 // rate)::BIGINT AS duration_ms,
+           |   round(sqrt(ss::DOUBLE / ns), 4) AS rms, z.zc AS zero_crossings, peak::BIGINT AS peak
+           | FROM ag JOIN z ON z.file_name = ag.file_name ORDER BY ag.file_name""".stripMargin,
     "p2_mcp_create" ->
       """SELECT doc_id AS document_id, 'doc_' || doc_id || '.txt' AS filename, 0::BIGINT AS chunk_index,
         | 1::BIGINT AS total_chunks, 'mcp' AS source, md5(trim(text)) AS text_md5, 64::BIGINT AS dim

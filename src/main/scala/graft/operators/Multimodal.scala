@@ -268,6 +268,80 @@ object Multimodal {
       )
   }
 
+  final case class WavInfo(
+      file_name: String, sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, duration_ms: Long, rms: Double, zero_crossings: Long, peak: Long)
+
+  /** REAL audio decode for RIFF/WAVE 16-bit PCM — the one audio container
+    * that needs no codec, just chunk walking (the audio analog of mm2's
+    * javax.imageio step: decoded-SAMPLE features, not byte statistics).
+    * Walks the chunk list (so cue/LIST/fact chunks before `data` don't
+    * break parsing — a fixture plants one), then over the samples:
+    * RMS (sum of squares is exact integer arithmetic → the double sqrt is
+    * bit-identical in every engine), peak |s|, and channel-0 zero
+    * crossings (strict sign flips — the cheap pitch proxy). Compressed or
+    * non-16-bit WAVs drop (None), like undecodable images; a production
+    * deployment binds a codec through the same [[Decoder]] seam.
+    * Narrow per-row map — no shuffle.
+    */
+  def wavFeatures(spark: SparkSession, binaries: DataFrame): Dataset[WavInfo] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, b) =>
+        def u16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        def u32(i: Int) = (b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+          ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24)
+        def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+        else {
+          var pos = 12
+          var fmt  = -1
+          var data = -1
+          var dataLen = 0L
+          while (pos + 8 <= b.length && (fmt < 0 || data < 0)) {
+            val id  = tag(pos)
+            val len = u32(pos + 4)
+            if (id == "fmt ") fmt = pos + 8
+            else if (id == "data") { data = pos + 8; dataLen = len }
+            pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+          }
+          if (fmt < 0 || data < 0) None
+          else {
+            val audioFormat = u16(fmt)
+            val channels    = u16(fmt + 2)
+            val rate        = u32(fmt + 4).toInt
+            val bits        = u16(fmt + 14)
+            val end         = math.min(b.length.toLong, data + dataLen).toInt
+            if (audioFormat != 1 || bits != 16 || channels < 1 || rate <= 0) None
+            else {
+              val nSamples = (end - data) / 2
+              val nFrames  = nSamples.toLong / channels
+              var sumSq = 0L
+              var peak  = 0L
+              var zc    = 0L
+              var prev0 = 0
+              var i = 0
+              while (i < nSamples) {
+                val raw = u16(data + i * 2)
+                val s   = if (raw >= 0x8000) raw - 0x10000 else raw
+                sumSq += s.toLong * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                if (i % channels == 0) { // channel 0
+                  if (i > 0 && ((prev0 < 0 && s > 0) || (prev0 > 0 && s < 0))) zc += 1
+                  prev0 = s
+                }
+                i += 1
+              }
+              val rms = if (nSamples > 0) math.sqrt(sumSq.toDouble / nSamples) else 0.0
+              Some(WavInfo(name, rate, channels, bits, nFrames,
+                nFrames * 1000L / rate, rms, zc, peak))
+            }
+          }
+        }
+      }
+  }
+
   final case class DHashed(file_name: String, dhash: Long)
 
   /** Perceptual difference hash (dHash) of each decodable image: pixel-

@@ -130,6 +130,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("wavFeatures: chunk walk, decoded-sample features, non-PCM and truncated inputs drop") {
+    val rows = Multimodal.wavFeatures(spark,
+      Multimodal.binaryTable(spark, "/root/repo/fixtures/audio", "*.wav"))
+      .collect().map(w => w.file_name -> w).toMap
+    assert(rows.keySet == Set("tone.wav", "stereo.wav"))
+    val t = rows("tone.wav")
+    assert(t.sample_rate == 8000 && t.channels == 1 && t.n_frames == 160 && t.duration_ms == 20)
+    assert(t.peak == 12000)
+    // 160 samples of a period-20 sine: one strict sign flip per half period
+    // except at exact zeros (sin(k·π) = 0 at sample 0, 10, 20, …, which
+    // break the strict < 0 → > 0 chain): the sign sequence is
+    // +…+ 0 −…− 0 +…+, so NO strict flips at all — every crossing passes
+    // through an exact integer zero
+    assert(t.zero_crossings == 0, s"got ${t.zero_crossings}")
+    val s = rows("stereo.wav")
+    // the LIST chunk before `data` must not derail parsing
+    assert(s.sample_rate == 16000 && s.channels == 2 && s.n_frames == 96)
+    assert(s.peak == 14500) // ramp max |i·300 − 14000| over i ∈ [0,95]: i=95 → 14500
+    // channel 0 is the square wave: flips every 8 frames → 11 strict flips
+    assert(s.zero_crossings == 11, s"got ${s.zero_crossings}")
+    // RMS matches a direct recomputation from the generator's formulas
+    val sq = (0 until 96).flatMap(i => Seq(if ((i / 8) % 2 == 0) 8000L else -8000L, i * 300L - 14000L))
+    val expRms = math.sqrt(sq.map(x => x * x).sum.toDouble / sq.length)
+    assert(math.abs(s.rms - expRms) < 1e-9)
+
+    import spark.implicits._
+    // non-PCM format code (3 = float) and a truncated header both drop
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/audio/tone.wav"))
+    val nonPcm = good.clone(); nonPcm(20) = 3 // audioFormat lives at fmt+0 = offset 20
+    val bad = Seq(("f.wav", nonPcm), ("t.wav", good.take(30))).toDF("file_name", "content")
+    assert(Multimodal.wavFeatures(spark, bad).count() == 0)
+  }
+
   test("frame sampling: stride windows capped at maxFrames, dense indices") {
     val b = Multimodal.binaryTable(spark, dir)
     val frames = Multimodal.sampleFrames(spark, b, frameSize = 64, stride = 32, maxFrames = 5)
