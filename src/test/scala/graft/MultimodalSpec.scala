@@ -130,6 +130,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("property: banded dhash join finds EVERY pair within maxDist=3 and none beyond") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random base hashes; per base, a partner at a planned Hamming distance
+    // 0..6 via distinct random bit flips. Pigeonhole: every pair at ≤ 3
+    // must surface (4 bands, ≤ 3 flips → one untouched band); pairs > 3
+    // must be filtered even when they band-collide.
+    val cases = (0 until 80).map { i =>
+      val p    = Gen.Parameters.default
+      val base = Gen.long.apply(p, Seed(i.toLong * 2)).get
+      val d    = i % 7
+      val bits = Gen.pick(d, 0 until 64).apply(p, Seed(i.toLong * 2 + 1)).get
+      val partner = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+      (i, base, partner, d)
+    }
+    import spark.implicits._
+    val hashes = cases.flatMap { case (i, base, partner, _) =>
+      Seq((f"a$i%03d", base), (f"b$i%03d", partner))
+    }.toDF("file_name", "dhash")
+    val got = Multimodal.dhashNearDupPairs(hashes, maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    cases.foreach { case (i, _, _, d) =>
+      val pair = got.find(p => p._1 == f"a$i%03d" && p._2 == f"b$i%03d")
+      if (d <= 3) assert(pair.exists(_._3 == d), s"case $i dist=$d must be found: $pair")
+      else assert(pair.isEmpty, s"case $i dist=$d must be filtered: $pair")
+    }
+    // no self pairs, ordering canonical
+    assert(got.forall(p => p._1 < p._2))
+  }
+
   test("wavFeatures: chunk walk, decoded-sample features, non-PCM and truncated inputs drop") {
     val rows = Multimodal.wavFeatures(spark,
       Multimodal.binaryTable(spark, "/root/repo/fixtures/audio", "*.wav"))
