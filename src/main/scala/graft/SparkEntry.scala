@@ -1623,6 +1623,19 @@ object SparkEntry {
         .orderBy("file_name")
     }),
 
+    // MM8 — REAL video-container metadata: recursive ISO-BMFF box walk
+    // (moov→mvhd movie clock, trak→tkhd+mdia→hdlr per track). tiny.mp4
+    // plants a free box before moov so fixed offsets fail. The oracle
+    // re-walks via tag positions + big-endian nibble fields.
+    "mm8_mp4_tracks" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/video", "*.mp4")
+      Multimodal.mp4Tracks(s, b).toDF()
+        .select(col("file_name"), col("track_id"), col("handler"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("duration_ms"), col("movie_duration_ms"))
+        .orderBy("file_name", "track_id")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -3015,6 +3028,40 @@ object SparkEntry {
            |   (ns // ch)::BIGINT AS n_frames, ((ns // ch) * 1000 // rate)::BIGINT AS duration_ms,
            |   round(sqrt(ss::DOUBLE / ns), 4) AS rms, z.zc AS zero_crossings, peak::BIGINT AS peak
            | FROM ag JOIN z ON z.file_name = ag.file_name ORDER BY ag.file_name""".stripMargin,
+    // mm8 — box tags found by scanning every offset for the 4-byte hex tag
+    // (multiple trak/tkhd per file, so strpos alone can't enumerate);
+    // big-endian fields from nibble-decoded bytes; each tkhd pairs with the
+    // NEXT hdlr after it (hdlr lives inside the same trak, after tkhd).
+    "mm8_mp4_tracks" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h, size::BIGINT AS n FROM read_blob('/root/repo/fixtures/video/*.mp4')),
+           | u AS (SELECT file_name, h, unnest(range(0, n)) AS i FROM f),
+           | byt AS (SELECT file_name, i,
+           |   ((strpos('0123456789ABCDEF', substr(h, (2*i + 1)::BIGINT, 1)) - 1) * 16 + strpos('0123456789ABCDEF', substr(h, (2*i + 2)::BIGINT, 1)) - 1) AS b FROM u),
+           | tagpos AS (SELECT file_name, i, substr(h, (2*i + 1)::BIGINT, 8) AS t FROM u WHERE substr(h, (2*i + 1)::BIGINT, 8) IN ('6D766864', '746B6864', '68646C72')),
+           | u32 AS (SELECT b0.file_name, b0.i, b0.b * 16777216 + b1.b * 65536 + b2.b * 256 + b3.b AS v
+           |   FROM byt b0 JOIN byt b1 ON b1.file_name = b0.file_name AND b1.i = b0.i + 1
+           |               JOIN byt b2 ON b2.file_name = b0.file_name AND b2.i = b0.i + 2
+           |               JOIN byt b3 ON b3.file_name = b0.file_name AND b3.i = b0.i + 3),
+           | mv AS (SELECT t.file_name, ts.v AS mts, du.v AS mdur
+           |   FROM (SELECT file_name, min(i) AS i FROM tagpos WHERE t = '6D766864' GROUP BY 1) t
+           |   JOIN u32 ts ON ts.file_name = t.file_name AND ts.i = t.i + 16
+           |   JOIN u32 du ON du.file_name = t.file_name AND du.i = t.i + 20),
+           | tk AS (SELECT tp.file_name, tp.i, tid.v AS track_id, du.v AS tdur, wv.v AS w1616, hv.v AS h1616
+           |   FROM tagpos tp
+           |   JOIN u32 tid ON tid.file_name = tp.file_name AND tid.i = tp.i + 16
+           |   JOIN u32 du  ON du.file_name = tp.file_name AND du.i = tp.i + 24
+           |   JOIN u32 wv  ON wv.file_name = tp.file_name AND wv.i = tp.i + 80
+           |   JOIN u32 hv  ON hv.file_name = tp.file_name AND hv.i = tp.i + 84
+           |   WHERE tp.t = '746B6864'),
+           | hd AS (SELECT file_name, i FROM tagpos WHERE t = '68646C72'),
+           | pair AS (SELECT tk.*, (SELECT min(hd.i) FROM hd WHERE hd.file_name = tk.file_name AND hd.i > tk.i) AS hi FROM tk),
+           | res AS (SELECT p.file_name, p.track_id, decode(unhex(substr(f.h, (2*(p.hi + 12) + 1)::BIGINT, 8))) AS handler,
+           |     (p.w1616 // 65536) AS width, (p.h1616 // 65536) AS height,
+           |     p.tdur * 1000 // mv.mts AS duration_ms, mv.mdur * 1000 // mv.mts AS movie_duration_ms
+           |   FROM pair p JOIN mv ON mv.file_name = p.file_name JOIN f ON f.file_name = p.file_name)
+           | SELECT file_name, track_id::BIGINT AS track_id, handler, width::BIGINT AS width, height::BIGINT AS height,
+           |   duration_ms::BIGINT AS duration_ms, movie_duration_ms::BIGINT AS movie_duration_ms
+           | FROM res ORDER BY file_name, track_id""".stripMargin,
     "p2_mcp_create" ->
       """SELECT doc_id AS document_id, 'doc_' || doc_id || '.txt' AS filename, 0::BIGINT AS chunk_index,
         | 1::BIGINT AS total_chunks, 'mcp' AS source, md5(trim(text)) AS text_md5, 64::BIGINT AS dim

@@ -342,6 +342,64 @@ object Multimodal {
       }
   }
 
+  final case class Mp4Track(
+      file_name: String, track_id: Long, handler: String,
+      width: Int, height: Int, duration_ms: Long, movie_duration_ms: Long)
+
+  /** REAL video-container metadata for ISO-BMFF (MP4/MOV): a recursive box
+    * (atom) walk — `moov → mvhd` for the movie clock, `trak → tkhd` +
+    * `mdia → hdlr` per track — no codec needed, the same no-decode slice
+    * of the format [[wavFeatures]] takes for RIFF. One fixture plants a
+    * `free` box before `moov`, so fixed-offset parsing fails. Durations
+    * are tkhd units on the MOVIE timescale → milliseconds. Non-BMFF or
+    * truncated inputs drop. Narrow per-row flatMap — no shuffle.
+    */
+  def mp4Tracks(spark: SparkSession, binaries: DataFrame): Dataset[Mp4Track] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, b) =>
+        def u32(i: Int): Long =
+          if (i + 4 > b.length) -1L
+          else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+        def tag(i: Int): String =
+          if (i + 4 > b.length) "" else new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        /** (tagName, payloadStart, payloadEnd) children of [from, to). */
+        def boxes(from: Int, to: Int): Vector[(String, Int, Int)] = {
+          val out = Vector.newBuilder[(String, Int, Int)]
+          var p = from
+          var ok = true
+          while (ok && p + 8 <= to) {
+            val sz = u32(p)
+            if (sz < 8 || p + sz > to) ok = false
+            else { out += ((tag(p + 4), p + 8, p + sz.toInt)); p += sz.toInt }
+          }
+          out.result()
+        }
+        val top = boxes(0, b.length)
+        if (!top.exists(_._1 == "ftyp")) Iterator.empty
+        else top.find(_._1 == "moov").iterator.flatMap { case (_, ms, me) =>
+          val moov = boxes(ms, me)
+          val clock = moov.find(_._1 == "mvhd").map { case (_, s, _) => (u32(s + 12), u32(s + 16)) }
+          val (mts, mdur) = clock.getOrElse((0L, 0L))
+          if (mts <= 0) Iterator.empty
+          else moov.iterator.filter(_._1 == "trak").flatMap { case (_, ts, te) =>
+            val trak = boxes(ts, te)
+            for {
+              (_, ks, _) <- trak.find(_._1 == "tkhd")
+              handler = (for {
+                (_, ds, de) <- trak.find(_._1 == "mdia")
+                (_, hs, _)  <- boxes(ds, de).find(_._1 == "hdlr")
+              } yield tag(hs + 8)).getOrElse("")
+            } yield Mp4Track(name, u32(ks + 12),
+              handler,
+              (u32(ks + 76) >> 16).toInt, (u32(ks + 80) >> 16).toInt,
+              u32(ks + 20) * 1000L / mts, mdur * 1000L / mts)
+          }
+        }
+      }
+  }
+
   final case class DHashed(file_name: String, dhash: Long)
 
   /** Perceptual difference hash (dHash) of each decodable image: pixel-

@@ -194,6 +194,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavFeatures(spark, bad).count() == 0)
   }
 
+  test("mp4Tracks: recursive box walk, free-box tolerance, malformed inputs drop") {
+    import spark.implicits._
+    val rows = Multimodal.mp4Tracks(spark,
+      Multimodal.binaryTable(spark, "/root/repo/fixtures/video", "*.mp4"))
+      .collect().map(t => (t.file_name, t.track_id) -> t).toMap
+    assert(rows.keySet == Set(("clip.mp4", 1L), ("clip.mp4", 2L), ("tiny.mp4", 1L)))
+    val v = rows(("clip.mp4", 1L))
+    assert(v.handler == "vide" && v.width == 320 && v.height == 180)
+    assert(v.duration_ms == 2500 && v.movie_duration_ms == 2500)
+    val a = rows(("clip.mp4", 2L))
+    assert(a.handler == "soun" && a.width == 0 && a.height == 0)
+    // tiny.mp4: free box before moov; timescale 600, duration 1200 → 2000 ms
+    val t = rows(("tiny.mp4", 1L))
+    assert(t.handler == "vide" && t.width == 64 && t.height == 48 && t.duration_ms == 2000)
+    // malformed: missing ftyp, truncated box size, garbage — all drop
+    val clip = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/video/clip.mp4"))
+    val noFtyp = clip.drop(clip(3)) // strip the ftyp box (size byte 3)
+    val badSize = clip.clone(); badSize(0) = 0x7f // first box claims 2 GB
+    val bad = Seq(("a.mp4", noFtyp), ("b.mp4", badSize), ("c.mp4", "junk".getBytes))
+      .toDF("file_name", "content")
+    assert(Multimodal.mp4Tracks(spark, bad).count() == 0)
+  }
+
   test("frame sampling: stride windows capped at maxFrames, dense indices") {
     val b = Multimodal.binaryTable(spark, dir)
     val frames = Multimodal.sampleFrames(spark, b, frameSize = 64, stride = 32, maxFrames = 5)
