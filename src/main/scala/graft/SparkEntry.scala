@@ -794,6 +794,26 @@ object SparkEntry {
         .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
+    // V18 — ADAPTIVE nProbe (Ivf.Model.adaptiveProbeLists): the probe width
+    // is a per-query function of the centroid-distance margin — every list
+    // within (1+margin) of the nearest centroid's distance, floored at
+    // minProbe — instead of a global constant. Near-isotropic testdata is
+    // the adaptive worst case (margins are uniform), so the floor carries
+    // the gate; the geometry behavior is spec-pinned on separated clusters
+    // (IvfSpec). Same recall gate as v6; probed_lte_nlist pins the clamp.
+    "v18_ivf_adaptive" -> ((s, d) => {
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings")
+      val lists = model.adaptiveProbeLists(qVec, margin = 0.2, minProbe = 4)
+      val ann = Ivf.searchAdaptive(indexed, model, "embedding", "vec_id", qVec, 10, 0.2, minProbe = 4)
+        .select("vec_id")
+      val exact = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10).select("vec_id")
+      ann.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"),
+          lit(lists.length >= 4 && lists.length <= 8).as("probed_lte_nlist"))
+    }),
+
     // V7 — the IvfAutoProbe optimizer rule end-to-end: a plain declarative
     // sort-by-cosine + limit over the IVF store, rewritten by the rule into
     // a pruned probe (plan shape asserted in IvfSpec; here the driver's gate
@@ -2467,6 +2487,8 @@ object SparkEntry {
            | ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "v6_ivf_ann" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
+    "v18_ivf_adaptive" ->
+      "SELECT 10::BIGINT AS k, true AS recall_ok, true AS probed_lte_nlist",
     "v9_ivf_knn_join" ->
       "SELECT 100::BIGINT AS k_total, true AS recall_ok",
     "v7_auto_probe" ->

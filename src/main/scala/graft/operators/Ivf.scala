@@ -24,6 +24,41 @@ object Ivf {
 
   final case class Model(centroids: Array[Array[Double]]) {
 
+    /** ADAPTIVE probe set from the centroid-distance margin: every list
+      * whose centroid is within `(1+margin)²` of the nearest centroid's
+      * squared distance, clamped to `[minProbe, maxProbe]`. A query deep
+      * inside one cluster probes few lists; a query near a Voronoi
+      * boundary — where fixed-nProbe recall loss actually happens, its
+      * true neighbors split across the adjacent cells — automatically
+      * widens. The probe count becomes a per-query function of geometry
+      * instead of one global constant, the auto-tune VERDICT r6 asked for.
+      */
+    def adaptiveProbeLists(
+        queryVec: Seq[Double], margin: Double,
+        minProbe: Int = 1, maxProbe: Int = Int.MaxValue,
+    ): Seq[Int] = {
+      require(margin >= 0, s"margin must be nonnegative: $margin")
+      val ranked = rankedLists(queryVec)
+      if (ranked.isEmpty) return Seq.empty
+      val cut  = ranked.head._1 * (1 + margin) * (1 + margin)
+      val wide = ranked.takeWhile(_._1 <= cut).length
+      ranked.take(math.min(math.max(wide, minProbe), math.min(maxProbe, ranked.length)))
+        .map(_._2)
+    }
+
+    /** (squared distance, id) for every centroid, ascending. */
+    private def rankedLists(queryVec: Seq[Double]): Seq[(Double, Int)] = {
+      require(centroids.isEmpty || centroids.head.length == queryVec.length,
+        s"query dim ${queryVec.length} != index dim ${centroids.headOption.map(_.length).getOrElse(0)}")
+      val q = queryVec.toArray
+      def sq(a: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += (a(i) - q(i)) * (a(i) - q(i)); i += 1 }
+        s
+      }
+      centroids.zipWithIndex.map { case (c, i) => (sq(c), i) }.sortBy(t => (t._1, t._2)).toSeq
+    }
+
     /** nProbe closest centroid ids to the query (exact, driver-side). */
     def probeLists(queryVec: Seq[Double], nProbe: Int): Seq[Int] = {
       // explicit dim guard: a short query would throw from deep inside sq,
@@ -489,5 +524,27 @@ object Ivf {
       k,
       filters,
     )
+  }
+
+  /** [[search]] with the probe width chosen per query by
+    * [[Model.adaptiveProbeLists]] — geometry decides, not a global
+    * constant. Same partition-pruned scan shape.
+    */
+  def searchAdaptive(
+      indexed: DataFrame,
+      model: Model,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      margin: Double,
+      minProbe: Int = 1,
+      maxProbe: Int = Int.MaxValue,
+      filters: Seq[Column] = Nil,
+  ): DataFrame = {
+    val lists = model.adaptiveProbeLists(queryVec, margin, minProbe, maxProbe)
+    Search.topK(
+      indexed.where(col("list_id").isin(lists: _*)),
+      vecCol, idCol, queryVec, k, filters)
   }
 }

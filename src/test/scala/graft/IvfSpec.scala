@@ -70,6 +70,33 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive nProbe: geometry picks the width — tight clusters probe 1, boundary queries widen") {
+    // four far-separated centroids on coordinate axes, radius ≪ separation
+    val model = Ivf.Model(Array(
+      Array(10.0, 0.0, 0.0), Array(0.0, 10.0, 0.0), Array(0.0, 0.0, 10.0), Array(-10.0, 0.0, 0.0)))
+    // deep inside cluster 0: margin 0.5 probes ONLY list 0
+    assert(model.adaptiveProbeLists(Seq(9.7, 0.1, 0.0), 0.5) == Seq(0))
+    // equidistant between clusters 0 and 1 (the recall-loss geometry):
+    // the same margin widens to both, ordered by distance then id
+    assert(model.adaptiveProbeLists(Seq(5.0, 5.0, 0.0), 0.5).toSet == Set(0, 1))
+    // monotone: a larger margin's probe set contains the smaller's
+    val small = model.adaptiveProbeLists(Seq(4.0, 6.0, 1.0), 0.2).toSet
+    val big   = model.adaptiveProbeLists(Seq(4.0, 6.0, 1.0), 1.5).toSet
+    assert(small.subsetOf(big))
+    // clamps: minProbe forces width, maxProbe caps it, margin→∞ ≡ all lists
+    assert(model.adaptiveProbeLists(Seq(9.7, 0.1, 0.0), 0.0, minProbe = 2).length == 2)
+    assert(model.adaptiveProbeLists(Seq(5.0, 5.0, 0.0), 100.0, maxProbe = 3).length == 3)
+    assert(model.adaptiveProbeLists(Seq(5.0, 5.0, 0.0), 1e9).length == 4)
+    // searchAdaptive over the real store equals search at the derived width
+    val (indexed, m2) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-adapt")
+    val derived = m2.adaptiveProbeLists(qVec, 0.10)
+    val a = Ivf.searchAdaptive(indexed, m2, "vec", "id", qVec, 5, 0.10)
+      .select("id").as[Long].collect().toSeq
+    val fixedAtSameWidth = Ivf.search(indexed, m2, "vec", "id", qVec, 5, derived.length)
+      .select("id").as[Long].collect().toSeq
+    assert(a == fixedAtSameWidth)
+  }
+
   test("IvfAutoProbe: a projection ON TOP of top-k still prunes (Project between limit and sort)") {
     // `topK(store, ...).select("id")` — the dominant consumer shape —
     // optimizes to GlobalLimit(LocalLimit(Project(Sort(...)))): the
