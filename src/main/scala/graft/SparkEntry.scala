@@ -683,6 +683,32 @@ object SparkEntry {
         .toDF("text", "format", "ocr_engine", "width_ok")
     }),
 
+    // S18 — WARC (ISO 28500, Common Crawl's container): header-block +
+    // Content-Length record walk with resync-on-tear; the fixture carries
+    // warcinfo/conversion/response records incl. a payload whose OWN bytes
+    // contain header-lookalike lines ("Content-Type: text/html" inside the
+    // HTTP response) — the oracle re-slices every record from the raw text.
+    "s18_warc_scan" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/crawl", "*.warc")
+      graft.sources.Archives.warcRecords(s, b).toDF()
+        .select(col("file_name"), col("record_index").cast("long").as("record_index"),
+          col("warc_type"), col("target_uri"), col("warc_date"), col("content_type"),
+          col("content_length"), md5(col("payload")).as("payload_md5"))
+        .orderBy("file_name", "record_index")
+    }),
+
+    // S19 — tar (POSIX ustar): 512-block header walk, octal sizes, regular
+    // files only (the directory entry is structurally skipped). The oracle
+    // finds headers by the `ustar` magic at block offset 257 and re-reads
+    // name/size/typeflag/content from the blob.
+    "s19_tar_scan" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/crawl", "*.tar")
+      graft.sources.Archives.tarEntries(s, b).toDF()
+        .select(col("file_name"), col("entry_name"), col("entry_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("entry_name")
+    }),
+
     // S17 — export path resolution: uploads ⋈ file_folders ⋈ resolved folder
     // tree (main.py:953-980 arcname rules: mapped → path/file, root sentinel
     // → file, unmapped → unsorted/file).
@@ -2318,6 +2344,36 @@ object SparkEntry {
            |   CASE WHEN position('${hx("/UE <")}' IN h) > 0 THEN 'Secure Manual' END AS title,
            |   CASE WHEN position('${hx("/OE <")}' IN h) > 0 THEN 'Graft Vault' END AS author
            | FROM f""".stripMargin,
+    "s18_warc_scan" ->
+      raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawl/segment.warc')),
+           | r AS (SELECT unnest(str_split(c, 'WARC/1.0' || chr(13) || chr(10))) AS frag,
+           |       generate_subscripts(str_split(c, 'WARC/1.0' || chr(13) || chr(10)), 1) AS i FROM f),
+           | p AS (SELECT i - 2 AS record_index, frag, strpos(frag, chr(13)||chr(10)||chr(13)||chr(10)) AS hb FROM r WHERE i >= 2),
+           | q AS (SELECT record_index, substr(frag, 1, hb - 1) AS hdrs, substr(frag, hb + 4) AS rest FROM p),
+           | s AS (SELECT record_index,
+           |        regexp_extract(hdrs, 'WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+           |        regexp_extract(hdrs, 'WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+           |        regexp_extract(hdrs, 'WARC-Date: ([^\r\n]+)', 1) AS warc_date,
+           |        regexp_extract(hdrs, 'Content-Type: ([^\r\n]+)', 1) AS content_type,
+           |        regexp_extract(hdrs, 'Content-Length: (\d+)', 1)::BIGINT AS content_length, rest
+           |       FROM q)
+           | SELECT 'segment.warc' AS file_name, record_index::BIGINT AS record_index, warc_type,
+           |   target_uri, warc_date, content_type, content_length,
+           |   md5(substr(rest, 1, content_length::INT)) AS payload_md5
+           | FROM s ORDER BY record_index""".stripMargin,
+    "s19_tar_scan" ->
+      raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawl/docs.tar')),
+           | blks AS (SELECT unnest(range(0, len(c) // 512)) AS blk, c FROM f),
+           | h AS (SELECT blk * 512 AS pos, c FROM blks WHERE substr(c, blk * 512 + 258, 5) = 'ustar'),
+           | e AS (SELECT pos, c,
+           |        rtrim(substr(c, pos + 1, 100), chr(0)) AS entry_name,
+           |        substr(c, pos + 157, 1) AS tf,
+           |        list_sum(list_transform(range(1, 12),
+           |          k -> (ascii(substr(c, (pos + 124 + k)::INT, 1)) - 48) * round(8 ** (11 - k))::BIGINT))::BIGINT AS n
+           |       FROM h)
+           | SELECT 'docs.tar' AS file_name, entry_name, n AS entry_bytes,
+           |   md5(substr(c, pos + 513, n::INT)) AS content_md5
+           | FROM e WHERE tf = '0' ORDER BY entry_name""".stripMargin,
     "s3_docx_extract" ->
       raw"""WITH b AS (SELECT hex(content) AS h FROM read_blob('/root/repo/fixtures/office/report.docx'))
            | SELECT 'report.docx' AS file_name, 'DocxExtractor' AS extractor,
