@@ -709,6 +709,25 @@ object SparkEntry {
         .orderBy("entry_name")
     }),
 
+    // P7 — the crawl-ingest composition the new sources exist for: WARC
+    // conversion records → text → token count + stopword language ID +
+    // Unicode dedup key, one narrow plan from container bytes to pipeline
+    // columns. The oracle composes the s18 record slicing with the x2/x13
+    // replays over the extracted payloads.
+    "p7_crawl_pipeline" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/crawl", "*.warc")
+      graft.sources.Archives.warcRecords(s, b).toDF()
+        .where(col("warc_type") === "conversion")
+        .select(col("record_index").cast("long").as("record_index"),
+          col("target_uri"), decode(col("payload"), "UTF-8").as("__text"))
+        .withColumn("__toks", TextOps.tokens(col("__text")))
+        .select(col("record_index"), col("target_uri"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          TextOps.langIdFromTokens(col("__toks")).as("lang_pred"),
+          md5(TextOps.normalizeForDedup(col("__text"))).as("dedup_key"))
+        .orderBy("record_index")
+    }),
+
     // S17 — export path resolution: uploads ⋈ file_folders ⋈ resolved folder
     // tree (main.py:953-980 arcname rules: mapped → path/file, root sentinel
     // → file, unmapped → unsorted/file).
@@ -2360,6 +2379,34 @@ object SparkEntry {
            | SELECT 'segment.warc' AS file_name, record_index::BIGINT AS record_index, warc_type,
            |   target_uri, warc_date, content_type, content_length,
            |   md5(substr(rest, 1, content_length::INT)) AS payload_md5
+           | FROM s ORDER BY record_index""".stripMargin,
+    "p7_crawl_pipeline" ->
+      raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawl/segment.warc')),
+           | r AS (SELECT unnest(str_split(c, 'WARC/1.0' || chr(13) || chr(10))) AS frag,
+           |       generate_subscripts(str_split(c, 'WARC/1.0' || chr(13) || chr(10)), 1) AS i FROM f),
+           | p AS (SELECT i - 2 AS record_index, frag, strpos(frag, chr(13)||chr(10)||chr(13)||chr(10)) AS hb FROM r WHERE i >= 2),
+           | q AS (SELECT record_index, substr(frag, 1, hb - 1) AS hdrs, substr(frag, hb + 4) AS rest FROM p),
+           | conv AS (SELECT record_index,
+           |        regexp_extract(hdrs, 'WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+           |        substr(rest, 1, regexp_extract(hdrs, 'Content-Length: (\d+)', 1)::INT) AS text
+           |       FROM q WHERE regexp_extract(hdrs, 'WARC-Type: ([^\r\n]+)', 1) = 'conversion'),
+           | t AS (SELECT record_index, target_uri, text,
+           |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+           |       FROM conv),
+           | h AS (SELECT record_index, target_uri, toks, text,
+           |   len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','von','mit','den','ein','eine'])) AS h_de,
+           |   len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','with','for','was'])) AS h_en,
+           |   len(list_intersect(list_distinct(toks), ['el','la','de','que','y','en','los','una','por','con'])) AS h_es,
+           |   len(list_intersect(list_distinct(toks), ['le','la','les','des','est','une','dans','que','pour','sur'])) AS h_fr
+           |  FROM t),
+           | s AS (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM h)
+           | SELECT record_index::BIGINT AS record_index, target_uri, len(toks)::BIGINT AS n_tokens,
+           |   CASE WHEN h_de = best AND h_de > 0 THEN 'de'
+           |        WHEN h_en = best AND h_en > 0 THEN 'en'
+           |        WHEN h_es = best AND h_es > 0 THEN 'es'
+           |        WHEN h_fr = best AND h_fr > 0 THEN 'fr'
+           |        ELSE 'und' END AS lang_pred,
+           |   md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))) AS dedup_key
            | FROM s ORDER BY record_index""".stripMargin,
     "s19_tar_scan" ->
       raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawl/docs.tar')),
