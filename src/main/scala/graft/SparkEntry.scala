@@ -2005,6 +2005,24 @@ object SparkEntry {
         .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
+    // V18 — HNSW proper (operators/Hnsw.scala, Malkov 2016): the reference's
+    // actual index structure (Qdrant = HNSW), distributed Qdrant-style —
+    // per-shard graphs built inside executor tasks, every shard
+    // beam-searched, ≤ nShards·k candidates merged by TakeOrderedAndProject.
+    // Deterministic (hash levels, id-order insertion, ord tie-breaks), so
+    // the stored-index and one-shot paths are spec-pinned identical. Same
+    // recall gate as v12/v14/v17 (measured 10/10 at both SFs).
+    "v18_hnsw" -> ((s, d) => {
+      val t = Tables(s, d)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val ann = Hnsw.topK(emb, "embedding", "vec_id", qVec, 10, nShards = 4)
+        .select("vec_id")
+      val exact = Search.topK(t.embeddings, "embedding", "vec_id", qVec, 10).select("vec_id")
+      ann.join(exact, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
+    }),
+
     // V13 — the quantizer itself, full hash oracle: floor(x/s·127+0.5) is
     // the same IEEE double arithmetic in Spark and DuckDB, so the exact
     // code arrays (not just stats) are value-checked per vector.
@@ -3352,6 +3370,8 @@ object SparkEntry {
     "v14_ivf_sq8" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
     "v17_ivf_pq" ->
+      "SELECT 10::BIGINT AS k, true AS recall_ok",
+    "v18_hnsw" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
 
     "v13_sq8_codes" ->

@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Hnsw, Search}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HNSW contract: deterministic build, bounded degrees, layer-0
+  * reachability, high recall vs the exact search on both the one-shot and
+  * the stored-index paths, and candidate volume bounded by nShards·k.
+  */
+class HnswSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-random corpus: 400 points in 16-d, 4 loose
+    * clusters (cluster centers at distinct coordinates, splitmix noise).
+    */
+  private def syntheticItems(n: Int, dim: Int): Array[(Long, Array[Double])] =
+    (0 until n).map { i =>
+      val cluster = i % 4
+      val v = Array.tabulate(dim) { j =>
+        val h = (i.toLong * 1315423911L + j * 2654435761L + cluster * 97L)
+        val u = ((h ^ (h >>> 16)) & 0xffffL).toDouble / 65536.0
+        (if (j % 4 == cluster) 2.0 else 0.0) + u - 0.5
+      }
+      (i.toLong, v)
+    }.toArray
+
+  private lazy val items = syntheticItems(400, 16)
+
+  private def bruteTop(q: Array[Double], k: Int): Seq[Long] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d  = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      d / (na * nb)
+    }
+    items.map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+  }
+
+  test("level assignment is deterministic and exponentially decaying") {
+    val levels = (0L until 10000L).map(Hnsw.levelOf(_, 16))
+    assert(levels == (0L until 10000L).map(Hnsw.levelOf(_, 16)))
+    val counts = levels.groupBy(identity).view.mapValues(_.size).toMap
+    // with mL = 1/ln(16), P(level >= 1) = 1/16
+    assert(counts(0) > 8500 && counts(0) < 9900, counts.toString)
+    assert(counts.getOrElse(1, 0) > 300, counts.toString)
+  }
+
+  test("build is a pure function of shard content, not input order") {
+    val g1 = Hnsw.build(items, m = 8, efConstruction = 64)
+    val g2 = Hnsw.build(items.reverse, m = 8, efConstruction = 64)
+    assert(g1.ids.sameElements(g2.ids))
+    assert(g1.entry == g2.entry && g1.maxLevel == g2.maxLevel)
+    assert(g1.links.zip(g2.links).forall { case (a, b) =>
+      a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    })
+  }
+
+  test("degrees are capped at 2m on layer 0 and m above") {
+    val m = 8
+    val g = Hnsw.build(items, m, efConstruction = 64)
+    for (ord <- g.ids.indices; layer <- g.links(ord).indices) {
+      val cap = if (layer == 0) 2 * m else m
+      assert(g.links(ord)(layer).length <= cap,
+        s"ord $ord layer $layer degree ${g.links(ord)(layer).length} > $cap")
+    }
+  }
+
+  test("every node is reachable from the entry point on layer 0") {
+    val g       = Hnsw.build(items, m = 8, efConstruction = 64)
+    val seen    = collection.mutable.BitSet(g.entry)
+    val queue   = collection.mutable.Queue(g.entry)
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      for (e <- g.links(c)(0)) if (!seen(e)) { seen += e; queue += e }
+    }
+    // the heuristic keeps inter-cluster bridges, so the base layer stays
+    // connected on clustered data (allow a stray point or two)
+    assert(seen.size >= g.size - 2, s"reachable ${seen.size} of ${g.size}")
+  }
+
+  test("in-memory recall@10 >= 0.9 averaged over 20 queries") {
+    val g = Hnsw.build(items, m = 16, efConstruction = 128)
+    val recalls = (0 until 20).map { qi =>
+      val q     = items(qi * 17 % items.length)._2.map(_ + 0.01 * qi)
+      val exact = bruteTop(q, 10).toSet
+      val got   = Hnsw.searchGraph(g, q, 10, efSearch = 64).map(_._1).toSet
+      (got & exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean recall $mean: $recalls")
+  }
+
+  test("sharded topK: recall vs exact and candidate bound") {
+    val df = items.toSeq.toDF("id", "vec")
+    val q  = items(7)._2.map(_ + 0.005)
+    val exact = Search.topK(df, "vec", "id", q.toSeq, 10)
+      .select("id").as[Long].collect().toSet
+    val hnsw = Hnsw.topK(df, "vec", "id", q.toSeq, 10, nShards = 4, m = 16,
+      efConstruction = 128, efSearch = 64)
+    val got = hnsw.select("id").as[Long].collect()
+    assert(got.length == 10)
+    assert((got.toSet & exact).size >= 9, s"recall ${(got.toSet & exact).size}/10")
+  }
+
+  test("stored index: searchIndex matches the one-shot path") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val q   = items(3)._2
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec", nShards = 4,
+      m = 16, efConstruction = 128)
+    val fromStore = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 64)
+      .select("id").as[Long].collect().toSeq
+    val oneShot = Hnsw.topK(df, "vec", "id", q.toSeq, 10, nShards = 4, m = 16,
+      efConstruction = 128, efSearch = 64)
+      .select("id").as[Long].collect().toSeq
+    assert(fromStore == oneShot, s"store $fromStore vs one-shot $oneShot")
+  }
+
+  test("zero-norm vectors are excluded, never surfaced") {
+    val withZero = (items.take(50) :+ (999L, Array.fill(16)(0.0))).toSeq.toDF("id", "vec")
+    val got = Hnsw.topK(withZero, "vec", "id", items(0)._2.toSeq, 51, nShards = 1)
+      .select("id").as[Long].collect()
+    assert(!got.contains(999L))
+    assert(got.length == 50)
+  }
+
+  test("derived shard count follows the rows-per-shard budget") {
+    assert(Hnsw.shardsFor(1L) == 1)
+    assert(Hnsw.shardsFor(Hnsw.RowsPerShard) == 1)
+    assert(Hnsw.shardsFor(Hnsw.RowsPerShard + 1) == 2)
+    assert(Hnsw.shardsFor(100L * Hnsw.RowsPerShard) == 100)
+  }
+}
