@@ -176,6 +176,22 @@ object ScaleBench {
           Pq.topKRefined(coded, "embedding", "pq_codes", "vec_id", qVec, 10, pqm, refine = 32)
             .select("vec_id").as[Long].collect().count(exactIds).toLong
         }),
+        // v18 at the real shape, split like ivf_build/ivf_probe: the graph
+        // is built ONCE into the row-per-node store (cold/warm delta = the
+        // O(n·log n) per-shard construction — 4 shards so per-shard size
+        // grows with scale), and the recurring cost is searchIndex: scan
+        // the store, rebuild each shard's adjacency in its task, beam
+        // search. rows = recall@10 vs the float search (gate >= 8).
+        "hnsw_build_768" -> (() => {
+          Hnsw.indexFor(vecs, "embedding", "vec_id", cacheKey = s"scale768-hnsw-$scale",
+            nShards = 4); 1L
+        }),
+        "hnsw_search_768" -> (() => {
+          val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
+            cacheKey = s"scale768-hnsw-$scale", nShards = 4)
+          Hnsw.searchIndex(idx, qVec, "vec_id", 10)
+            .select("vec_id").as[Long].collect().count(exactIds).toLong
+        }),
         // d7 at 768-d: banded sign-LSH candidates + exact-cosine verify;
         // expected rows ≈ n/50 planted dup pairs (cos = 1 ≥ 0.99)
         "embed_neardup_768" -> (() => Dedup.embeddingNearDupPairs(

@@ -384,10 +384,14 @@ object Hnsw {
     df.sparkSession.conf.getOption("graft.hnsw.root")
       .getOrElse(sys.props("java.io.tmpdir") + s"/graft-hnsw/${java.util.UUID.randomUUID.toString.take(8)}")
 
-  /** Query a stored index: each scan task reconstructs the graphs of the
-    * shards whose files it holds (a split can mix shard files, so rows are
-    * grouped by shard IN the task — no shuffle) and beam-searches them;
-    * the ≤ nShards·k candidates merge via `TakeOrderedAndProject`.
+  /** Query a stored index: co-locate each shard's rows (one hash shuffle on
+    * `shard` — a scan SPLIT does not respect shard-directory boundaries, so
+    * without it a task would see half a graph), reconstruct the graphs of
+    * the shards a task holds, beam-search them, and merge the ≤ nShards·k
+    * candidates via `TakeOrderedAndProject`. A caller issuing MANY queries
+    * against one store should persist `colocated(index)` once and pass that
+    * — the cached partitioning is reused and the per-query shuffle
+    * disappears.
     */
   def searchIndex(
       index: DataFrame,
@@ -399,10 +403,7 @@ object Hnsw {
     val spark = index.sparkSession
     val q     = queryVec.toArray
     import spark.implicits._
-    val candidates = index
-      // the shard partition column is type-inferred on read — pin it
-      .select(col("shard").cast("long"), col("ord"), col("id"), col("level"),
-        col("vec"), col("links"), col("entry"), col("max_level"))
+    val candidates = colocated(index)
       .mapPartitions { rows =>
         rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, nodeRows) =>
           searchGraph(graphOf(nodeRows), q, k, efSearch).iterator
@@ -410,6 +411,26 @@ object Hnsw {
       }
       .toDF(idCol, "score")
     candidates.orderBy(desc("score"), col(idCol)).limit(k)
+  }
+
+  /** The store with every shard's rows in one partition (hash on `shard`;
+    * several shards may share a partition — [[searchIndex]] groups in the
+    * task). Already-colocated frames pass through unchanged, so
+    * `searchIndex(colocated(idx).persist(), ...)` shuffles once across any
+    * number of queries.
+    */
+  def colocated(index: DataFrame): DataFrame = {
+    // the shard partition column is type-inferred on read — pin it
+    val pinned = index
+      .select(col("shard").cast("long"), col("ord"), col("id"), col("level"),
+        col("vec"), col("links"), col("entry"), col("max_level"))
+    val already =
+      try index.queryExecution.executedPlan.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.map(_.sql.toLowerCase).exists(_.contains("shard"))
+        case _ => false
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (already) pinned else pinned.repartition(col("shard"))
   }
 
   /** Rebuild one shard's [[Graph]] from its store rows. */

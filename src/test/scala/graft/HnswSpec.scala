@@ -118,6 +118,25 @@ class HnswSpec extends AnyFunSuite {
     assert(fromStore == oneShot, s"store $fromStore vs one-shot $oneShot")
   }
 
+  test("stored index survives splits that cut a shard across scan tasks") {
+    // force tiny splits so one shard's rows span MANY scan partitions —
+    // the regression that produced partial graphs at the 768-d scale tier
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-split", nShards = 2,
+      m = 8, efConstruction = 64)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val q = items(11)._2
+      val fromStore = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 64)
+        .select("id").as[Long].collect().toSeq
+      val oneShot = Hnsw.topK(df, "vec", "id", q.toSeq, 10, nShards = 2, m = 8,
+        efConstruction = 64, efSearch = 64)
+        .select("id").as[Long].collect().toSeq
+      assert(fromStore == oneShot, s"store $fromStore vs one-shot $oneShot")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("zero-norm vectors are excluded, never surfaced") {
     val withZero = (items.take(50) :+ (999L, Array.fill(16)(0.0))).toSeq.toDF("id", "vec")
     val got = Hnsw.topK(withZero, "vec", "id", items(0)._2.toSeq, 51, nShards = 1)
