@@ -1280,6 +1280,30 @@ object SparkEntry {
     // aggregation buffer 4× narrower than 0.01 (sketch width drives the agg
     // codegen cost) while observed error stays ≤0.7% at sf0.001–0.1 —
     // comfortably inside the 5% contract below.
+    // A13 — MERGEABLE distinct sketches (operators/Sketches.scala): per
+    // (event_type, ingest-batch) HLL sketches built once, rolled up to
+    // event_type by unioning KB-sized sketch rows — the incremental pattern
+    // that answers cross-bucket distinct questions at 100 TB without ever
+    // rescanning raw data. Gate: the union estimate lands within 5% of the
+    // exact distinct (DataSketches HLL at lgK=12 is ~1.6% SE), and the
+    // ride-along row counts reconcile exactly.
+    "a13_hll_union" -> ((s, d) => {
+      val ev = Tables(s, d).events.where(col("user_id").isNotNull)
+        .withColumn("batch", pmod(col("event_id"), lit(8L)))
+      val est = Sketches.mergeSketches(
+        Sketches.distinctSketches(ev, Seq("event_type", "batch"), "user_id"),
+        Seq("event_type"))
+      val exact = ev.groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (abs(col("approx_distinct").cast("double") - col("exact_users").cast("double")) /
+            col("exact_users") <= lit(0.05)).as("approx_ok"),
+          (col("n_rows") === col("n_events")).as("counts_ok"))
+        .orderBy("event_type")
+    }),
+
     "a10_approx_distinct" -> ((s, d) => Tables(s, d).events
       // isNotNull keeps distinct()+count agreeing with the oracle's
       // count(DISTINCT user_id), which never counts NULL
@@ -1948,6 +1972,36 @@ object SparkEntry {
       Sampling.weightedTake(docs, "doc_id", "n_chars", 10, Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // U11 — sequence packing (operators/Packing.scala): concat-and-chunk
+    // placement of every document in fixed-length (512-token) training
+    // sequences. Deterministic hash order within hash shards; the only
+    // window is per-shard (bounded by the derived rows-per-shard budget —
+    // nShards pinned to 4 here only so the oracle replays the exact
+    // layout). FULL oracle: DuckDB replays hash, shard, running offset and
+    // every derived column.
+    "u11_pack_sequences" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        size(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+      Packing.packConcat(docs, "doc_id", "n_tokens", seqLen = 512, nShards = 4)
+        .select("doc_id", "shard", "tok_offset", "off_in_seq", "seq_first", "seq_last", "n_seqs")
+        .orderBy("doc_id")
+    }),
+
+    // U11b — the shard manifest a trainer consumes: docs/tokens/full
+    // sequences per shard (ragged tails dropped).
+    "u11_pack_manifest" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        size(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+      val packed = Packing.packConcat(docs, "doc_id", "n_tokens", seqLen = 512, nShards = 4)
+      Packing.shardManifest(packed, "n_tokens", seqLen = 512)
+        .select("shard", "n_docs", "n_tokens", "n_sequences")
+        .orderBy("shard")
     }),
 
     // V12 — SQ8 ANN: cosine top-k served from int8 codes against the
@@ -3363,6 +3417,41 @@ object SparkEntry {
         | k AS (SELECT doc_id, lang, n_chars, ln((xor(h0, h0 >> 16) + 1)::DOUBLE / 4294967296) / n_chars AS wkey FROM h),
         | r AS (SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn FROM k)
         | SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "a13_hll_union" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+        | count(*)::BIGINT AS n_events, true AS approx_ok, true AS counts_ok
+        | FROM events WHERE user_id IS NOT NULL
+        | GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // u11 — full layout replay: same portable hash (see u10), same per-shard
+    // running sum; greatest(n,1)-1 keeps zero-token docs on their boundary.
+    "u11_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |   len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> len(x) > 0))::BIGINT AS n_tok
+        |   FROM documents),
+        | h AS (SELECT doc_id, n_tok,
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM t),
+        | s AS (SELECT doc_id, n_tok, xor(h0, h0 >> 16) AS hh FROM h),
+        | o AS (SELECT doc_id, n_tok, hh % 4 AS shard,
+        |   (sum(greatest(n_tok, 0)) OVER (PARTITION BY hh % 4 ORDER BY hh, doc_id) - greatest(n_tok, 0))::BIGINT AS tok_offset FROM s),
+        | f AS (SELECT doc_id, shard, tok_offset, (tok_offset % 512)::BIGINT AS off_in_seq,
+        |   (tok_offset // 512)::BIGINT AS seq_first,
+        |   ((tok_offset + greatest(greatest(n_tok, 0), 1) - 1) // 512)::BIGINT AS seq_last FROM o)
+        | SELECT doc_id, shard, tok_offset, off_in_seq, seq_first, seq_last,
+        |   (seq_last - seq_first + 1)::BIGINT AS n_seqs FROM f ORDER BY doc_id""".stripMargin,
+
+    "u11_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |   len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> len(x) > 0))::BIGINT AS n_tok
+        |   FROM documents),
+        | h AS (SELECT doc_id, n_tok,
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM t),
+        | s AS (SELECT doc_id, n_tok, xor(h0, h0 >> 16) % 4 AS shard FROM h)
+        | SELECT shard, count(*)::BIGINT AS n_docs,
+        |   sum(greatest(n_tok, 0))::BIGINT AS n_tokens,
+        |   (sum(greatest(n_tok, 0)) // 512)::BIGINT AS n_sequences
+        | FROM s GROUP BY shard ORDER BY shard""".stripMargin,
 
     "v12_sq8_ann" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",

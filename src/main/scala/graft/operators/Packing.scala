@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Sequence packing: assign documents to fixed-token-budget training
   * sequences ("packs"), the step between a cleaned corpus and a training
@@ -46,4 +46,68 @@ object Packing {
       .withColumn("pack_id", expr(s"__prefix div ${budget}L"))
       .drop("__prefix")
   }
+
+  // ------------------------------------------------ concat-and-chunk layout
+
+  /** Rows-per-shard bound behind [[packConcat]]'s derived shard count. */
+  val RowsPerShard: Long = 1000000L
+
+  private def shardsFor(n: Long): Int =
+    math.max(1L, (n + RowsPerShard - 1) / RowsPerShard).toInt
+
+  /** The OTHER packing scheme pretraining runs use — concat-and-chunk: lay
+    * the token stream head-to-tail and cut fixed `seqLen` sequences, letting
+    * documents STRADDLE sequence boundaries (no padding, no overflow;
+    * [[packByBudget]] instead keeps documents whole within a budgeted pack).
+    *
+    * Deterministic and sharded: each document lands in shard
+    * `portableHash(id) mod nShards` (the training shard files), documents
+    * within a shard are ordered by (hash, id) — a reproducible global
+    * shuffle, which is what training wants — and placement derives from a
+    * per-SHARD running token sum. The only window is `partitionBy(shard)`
+    * over ≤ [[RowsPerShard]] rows (`nShards = 0` derives the count from a
+    * corpus count, like [[Contrastive]]); never a global window.
+    *
+    * Output adds: `shard`, `tok_offset` (doc's first token in its shard's
+    * stream), `off_in_seq`, `seq_first`/`seq_last` (shard-local sequence
+    * ids the doc touches) and `n_seqs`. Zero-token docs occupy no stream
+    * space (`seq_last = seq_first`).
+    */
+  def packConcat(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      seqLen: Int,
+      nShards: Int = 0,
+  ): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    Seq("__h", "shard", "tok_offset", "off_in_seq", "seq_first", "seq_last", "n_seqs")
+      .foreach(c => require(!df.columns.contains(c), s"input already has a '$c' column"))
+    val shards = if (nShards > 0) nShards else shardsFor(df.count())
+    val w = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    val nTok: Column = greatest(col(nTokensCol).cast("long"), lit(0L))
+    df
+      .withColumn("__h", Sampling.portableHash(col(idCol)))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("tok_offset", coalesce(sum(nTok).over(w), lit(0L)) - nTok)
+      .withColumn("off_in_seq", col("tok_offset") % seqLen)
+      .withColumn("seq_first", floor(col("tok_offset") / seqLen))
+      .withColumn("seq_last",
+        floor((col("tok_offset") + greatest(nTok, lit(1L)) - 1) / seqLen))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .drop("__h")
+  }
+
+  /** Per-shard manifest a trainer reads off [[packConcat]] output:
+    * docs/tokens per shard and the number of FULL `seqLen` sequences (the
+    * ragged tail is dropped, as in practice).
+    */
+  def shardManifest(packed: DataFrame, nTokensCol: String, seqLen: Int): DataFrame =
+    packed
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(greatest(col(nTokensCol).cast("long"), lit(0L))).as("n_tokens"),
+      )
+      .withColumn("n_sequences", floor(col("n_tokens") / seqLen))
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Packing, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for concat-and-chunk packing and mergeable HLL sketches. */
+class PackingSketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("packConcat: offsets tile each shard's stream with no gaps or overlaps") {
+    val docs = (0L until 200L).map(i => (i, (i % 37) + 1)).toDF("id", "n_tok")
+    val packed = Packing.packConcat(docs, "id", "n_tok", seqLen = 64, nShards = 3)
+      .select("id", "shard", "tok_offset", "n_tok").collect()
+    packed.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(2) == expect, s"gap/overlap at id ${r.getLong(0)}")
+        expect += r.getLong(3)
+      }
+    }
+  }
+
+  test("packConcat: straddling docs span the right sequences; zero-token docs sit on a boundary") {
+    val docs = Seq((1L, 60L), (2L, 10L), (3L, 0L), (4L, 130L)).toDF("id", "n_tok")
+    val got = Packing.packConcat(docs, "id", "n_tok", seqLen = 64, nShards = 1)
+      .select("id", "tok_offset", "seq_first", "seq_last", "n_seqs")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    got.foreach { case (_, (off, first, last, n)) =>
+      assert(first == off / 64)
+      assert(n == last - first + 1)
+    }
+    // a 130-token doc covers ceil fragments: spans floor(off/64) .. floor((off+129)/64)
+    val (off4, f4, l4, n4) = got(4L)
+    assert(l4 == (off4 + 129) / 64 && f4 == off4 / 64 && n4 >= 3 - 1)
+    // zero-token doc: occupies no space
+    val (off3, f3, l3, _) = got(3L)
+    assert(f3 == l3 && f3 == off3 / 64)
+  }
+
+  test("packConcat: derived shard count and reserved-column guard") {
+    val docs = (0L until 10L).map(i => (i, 1L)).toDF("id", "n_tok")
+    // 10 rows < RowsPerShard -> one shard
+    val one = Packing.packConcat(docs, "id", "n_tok", seqLen = 8)
+    assert(one.select("shard").distinct().count() == 1)
+    val bad = docs.withColumn("tok_offset", lit(0L))
+    intercept[IllegalArgumentException] {
+      Packing.packConcat(bad, "id", "n_tok", seqLen = 8)
+    }
+  }
+
+  test("shardManifest counts full sequences only") {
+    val docs = Seq((1L, 100L), (2L, 100L), (3L, 60L)).toDF("id", "n_tok")
+    val packed = Packing.packConcat(docs, "id", "n_tok", seqLen = 64, nShards = 1)
+    val m = Packing.shardManifest(packed, "n_tok", 64).collect().head
+    assert(m.getAs[Long]("n_docs") == 3)
+    assert(m.getAs[Long]("n_tokens") == 260)
+    assert(m.getAs[Long]("n_sequences") == 4) // 260/64 = 4 full, ragged 4 dropped
+  }
+
+  test("sketch union across buckets estimates the cross-bucket distinct") {
+    val rows = (0 until 5000).map(i => (i % 10, i % 7, (i % 731).toLong))
+    val df   = rows.toDF("batch", "grp", "v")
+    val sk   = Sketches.distinctSketches(df, Seq("grp", "batch"), "v")
+    assert(sk.count() == 70) // one sketch row per (grp, batch)
+    val merged = Sketches.mergeSketches(sk, Seq("grp")).collect()
+    val exact = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size).toMap
+    merged.foreach { r =>
+      val g   = r.getInt(0)
+      val est = r.getLong(1).toDouble
+      val ex  = exact(g).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"grp $g est $est exact $ex")
+    }
+    // row counts ride along exactly
+    assert(merged.map(_.getAs[Long]("n_rows")).sum == 5000L)
+  }
+
+  test("sketches never count nulls and merge is insensitive to bucketing") {
+    val df = ((0 until 100).map(i => (i % 4, Some((i % 13).toLong))) :+ (0, Option.empty[Long]))
+      .toDF("batch", "v")
+    val coarse = Sketches.mergeSketches(
+      Sketches.distinctSketches(df, Seq("batch"), "v"), Seq("batch"))
+    val fineAll = Sketches.mergeSketches(
+      Sketches.distinctSketches(df.withColumn("g", lit(1)), Seq("g", "batch"), "v"), Seq("g"))
+      .select("approx_distinct").as[Long].head()
+    assert(fineAll == 13L)
+    assert(coarse.agg(sum("n_rows")).as[Long].head() == 100L) // null row dropped
+  }
+}
