@@ -1304,6 +1304,32 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // A14 — mergeable QUANTILE sketches (functions/KllSketchAgg.scala,
+    // DataSketches KLL, Karnin 2016; a custom typed Aggregator —
+    // TypedImperativeAggregate under the hood, live sketch buffer, O(1)
+    // per-row updates, serialization only at shuffle boundaries): per
+    // (event_type, batch) sketches of `value` rolled up to event_type.
+    // Gate: each estimated quantile must land inside the EXACT q±0.02 rank
+    // band (KLL k=200 normalized rank error is ~0.65%), and ride-along
+    // counts reconcile exactly.
+    "a14_kll_quantiles" -> ((s, d) => {
+      val ev = Tables(s, d).events.where(col("value").isNotNull)
+        .withColumn("batch", pmod(col("event_id"), lit(8L)))
+      val est = Sketches.mergeQuantileSketches(
+        Sketches.quantileSketches(ev, Seq("event_type", "batch"), "value"),
+        Seq("event_type"), Seq(0.5, 0.9, 0.99))
+      val exact = ev.groupBy("event_type").agg(
+        expr("percentile(value, array(0.48D, 0.52D, 0.88D, 0.92D, 0.97D, 1.0D))").as("bands"),
+        count(lit(1)).as("n_events"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_events"),
+          (col("approx_q")(0) >= col("bands")(0) && col("approx_q")(0) <= col("bands")(1)).as("p50_ok"),
+          (col("approx_q")(1) >= col("bands")(2) && col("approx_q")(1) <= col("bands")(3)).as("p90_ok"),
+          (col("approx_q")(2) >= col("bands")(4) && col("approx_q")(2) <= col("bands")(5)).as("p99_ok"),
+          (col("n_rows") === col("n_events")).as("counts_ok"))
+        .orderBy("event_type")
+    }),
+
     "a10_approx_distinct" -> ((s, d) => Tables(s, d).events
       // isNotNull keeps distinct()+count agreeing with the oracle's
       // count(DISTINCT user_id), which never counts NULL
@@ -3417,6 +3443,12 @@ object SparkEntry {
         | k AS (SELECT doc_id, lang, n_chars, ln((xor(h0, h0 >> 16) + 1)::DOUBLE / 4294967296) / n_chars AS wkey FROM h),
         | r AS (SELECT doc_id, lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn FROM k)
         | SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "a14_kll_quantiles" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events, true AS p50_ok,
+        | true AS p90_ok, true AS p99_ok, true AS counts_ok
+        | FROM events WHERE value IS NOT NULL
+        | GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "a13_hll_union" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,

@@ -51,4 +51,47 @@ object Sketches {
         sum(col("n_rows")).as("n_rows"),
       )
   }
+
+  /** Per-bucket QUANTILE sketch table (DataSketches KLL,
+    * [[graft.functions.KllSketchAgg]]) — same incremental pattern as
+    * [[distinctSketches]], for the other question a registry answers:
+    * distribution shape (p50/p90/p99 of doc length, score, latency) across
+    * any bucket combination, without rescanning raw data.
+    */
+  def quantileSketches(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Int = 200,
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val kll = graft.functions.KllSketchAgg.sketchUdaf(k)
+    df.where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        kll(col(valueCol).cast("double")).as("sketch"),
+        count(lit(1)).as("n_rows"),
+      )
+  }
+
+  /** Roll a quantile-sketch table up and extract quantiles `qs` (INCLUSIVE
+    * rank). Output: groupCols + `approx_q` (array aligned with `qs`) +
+    * `n_rows`. The extraction UDF touches one merged KB-row per group.
+    */
+  def mergeQuantileSketches(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double],
+      k: Int = 200,
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"ranks must be in [0,1]: $qs")
+    val union   = graft.functions.KllSketchAgg.unionUdaf(k)
+    val extract = udf((b: Array[Byte]) => qs.map(q => graft.functions.KllSketchAgg.quantile(b, q)))
+    sketches
+      .groupBy(groupCols.map(col): _*)
+      .agg(union(col("sketch")).as("__merged"), sum(col("n_rows")).as("n_rows"))
+      .withColumn("approx_q", extract(col("__merged")))
+      .drop("__merged")
+  }
 }

@@ -78,6 +78,38 @@ class PackingSketchesSpec extends AnyFunSuite {
     assert(merged.map(_.getAs[Long]("n_rows")).sum == 5000L)
   }
 
+  test("KLL quantile sketches: per-bucket build + union lands in the exact rank band") {
+    // deterministic skewed values: v = (i*i) % 9973 over 8 buckets
+    val rows = (0 until 8000).map(i => (i % 8, ((i.toLong * i) % 9973).toDouble))
+    val df   = rows.toDF("batch", "v")
+    val qs   = Seq(0.5, 0.9, 0.99)
+    val got  = Sketches.mergeQuantileSketches(
+      Sketches.quantileSketches(df, Seq("batch"), "v"), Seq("batch"), qs)
+    // rollup ACROSS all buckets via a constant group
+    val all = Sketches.mergeQuantileSketches(
+      Sketches.quantileSketches(df.withColumn("g", lit(1)), Seq("g", "batch"), "v"),
+      Seq("g"), qs).select("approx_q").as[Seq[Double]].head()
+    val sortedAll = rows.map(_._2).sorted
+    qs.zip(all).foreach { case (q, est) =>
+      val lo = sortedAll(math.max(0, ((q - 0.02) * sortedAll.length).toInt))
+      val hi = sortedAll(math.min(sortedAll.length - 1, ((q + 0.02) * sortedAll.length).toInt))
+      assert(est >= lo && est <= hi, s"q=$q est=$est band=[$lo,$hi]")
+    }
+    assert(got.count() == 8)
+    assert(got.agg(sum("n_rows")).as[Long].head() == 8000L)
+  }
+
+  test("KLL sketch binaries survive a parquet round-trip and still merge") {
+    val df  = (0 until 1000).map(i => (i % 4, i.toDouble)).toDF("batch", "v")
+    val sk  = Sketches.quantileSketches(df, Seq("batch"), "v")
+    val dir = java.nio.file.Files.createTempDirectory("kll_rt").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val rt  = spark.read.parquet(dir)
+    val est = Sketches.mergeQuantileSketches(rt.withColumn("g", lit(1)), Seq("g"), Seq(0.5))
+      .select("approx_q").as[Seq[Double]].head().head
+    assert(math.abs(est - 500.0) <= 25.0, s"median est $est")
+  }
+
   test("sketches never count nulls and merge is insensitive to bucketing") {
     val df = ((0 until 100).map(i => (i % 4, Some((i % 13).toLong))) :+ (0, Option.empty[Long]))
       .toDF("batch", "v")
