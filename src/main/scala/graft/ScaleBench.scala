@@ -176,7 +176,7 @@ object ScaleBench {
           Pq.topKRefined(coded, "embedding", "pq_codes", "vec_id", qVec, 10, pqm, refine = 32)
             .select("vec_id").as[Long].collect().count(exactIds).toLong
         }),
-        // v18 at the real shape, split like ivf_build/ivf_probe: the graph
+        // v19 at the real shape, split like ivf_build/ivf_probe: the graph
         // is built ONCE into the row-per-node store (cold/warm delta = the
         // O(n·log n) per-shard construction — 4 shards so per-shard size
         // grows with scale), and the recurring cost is searchIndex: scan

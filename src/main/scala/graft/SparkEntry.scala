@@ -2085,14 +2085,14 @@ object SparkEntry {
         .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
-    // V18 — HNSW proper (operators/Hnsw.scala, Malkov 2016): the reference's
+    // V19 — HNSW proper (operators/Hnsw.scala, Malkov 2016): the reference's
     // actual index structure (Qdrant = HNSW), distributed Qdrant-style —
     // per-shard graphs built inside executor tasks, every shard
     // beam-searched, ≤ nShards·k candidates merged by TakeOrderedAndProject.
     // Deterministic (hash levels, id-order insertion, ord tie-breaks), so
     // the stored-index and one-shot paths are spec-pinned identical. Same
     // recall gate as v12/v14/v17 (measured 10/10 at both SFs).
-    "v18_hnsw" -> ((s, d) => {
+    "v19_hnsw" -> ((s, d) => {
       val t = Tables(s, d)
       val emb = t.embeddings.select(col("vec_id"), col("embedding"))
       val ann = Hnsw.topK(emb, "embedding", "vec_id", qVec, 10, nShards = 4)
@@ -3492,7 +3492,7 @@ object SparkEntry {
       "SELECT 10::BIGINT AS k, true AS recall_ok",
     "v17_ivf_pq" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
-    "v18_hnsw" ->
+    "v19_hnsw" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
 
     "v13_sq8_codes" ->
