@@ -1304,6 +1304,60 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // A15 — theta SET sketches (functions/ThetaSketchAgg.scala): per
+    // (event_type, batch) sketches of user_id rolled up per slice, then
+    // |A ∩ B| / |A ∪ B| for every event-type pair by set algebra over the
+    // KB binaries — the cross-slice overlap question whose exact form is a
+    // full double shuffle. Gate: estimates within 5% of the exact overlap
+    // (below 2^lgK distinct the sketch is exact, so this is tight here and
+    // degrades gracefully at 100 TB).
+    "a15_theta_overlap" -> ((s, d) => {
+      val ev = Tables(s, d).events.where(col("user_id").isNotNull)
+        .withColumn("batch", pmod(col("event_id"), lit(8L)))
+      val overlaps = Sketches.sliceOverlap(
+        Sketches.setSketches(ev, Seq("event_type", "batch"), "user_id"),
+        "event_type")
+      val du = ev.select(col("event_type"), col("user_id")).distinct()
+      val exact = du.as("x").join(du.as("y"), col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("slice_a"), col("y.event_type").as("slice_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      overlaps.join(exact, Seq("slice_a", "slice_b"))
+        .select(col("slice_a"), col("slice_b"), col("exact_overlap"),
+          (abs(col("overlap") - col("exact_overlap").cast("double")) /
+            col("exact_overlap") <= lit(0.05)).as("overlap_ok"),
+          (col("union_est") >= col("distinct_a") && col("union_est") >= col("distinct_b")).as("union_ok"))
+        .orderBy("slice_a", "slice_b")
+    }),
+
+    // A16 — heavy hitters with guaranteed bounds (functions/FreqItemsAgg
+    // .scala, Misra–Gries family): per-batch frequent-items sketches over
+    // the token stream, unioned, surfacing every token that COULD reach 1%
+    // of the stream. The NO_FALSE_NEGATIVES contract — no true heavy
+    // hitter is ever missed, and [lower, upper] always brackets the true
+    // count — is checked against the exact token counts for every TRUE
+    // heavy hitter.
+    "a16_heavy_hitters" -> ((s, d) => {
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"),
+          explode(filter(split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"),
+            t => length(t) > 0)).as("tok"))
+        .withColumn("batch", pmod(col("doc_id"), lit(8L)))
+      val sk    = Sketches.freqSketches(toks, Seq("batch"), "tok")
+      val total = toks.agg((count(lit(1)) / 100L).cast("long").as("threshold"))
+      val surfaced = Sketches.heavyHitters(sk, total)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      val thr   = toks.agg(count(lit(1)).as("__total"))
+      val trueHeavy = exact.crossJoin(thr)
+        .where(col("exact_n") >= (col("__total") / 100L).cast("long"))
+        .select(col("tok"), col("exact_n"))
+      trueHeavy.join(surfaced, col("tok") === col("item"), "left")
+        .select(col("tok"), col("exact_n"),
+          col("item").isNotNull.as("surfaced_ok"),
+          (col("lower") <= col("exact_n") && col("upper") >= col("exact_n")).as("bounds_ok"))
+        .orderBy("tok")
+    }),
+
     // A14 — mergeable QUANTILE sketches (functions/KllSketchAgg.scala,
     // DataSketches KLL, Karnin 2016; a custom typed Aggregator —
     // TypedImperativeAggregate under the hood, live sketch buffer, O(1)
@@ -3449,6 +3503,22 @@ object SparkEntry {
         | true AS p90_ok, true AS p99_ok, true AS counts_ok
         | FROM events WHERE value IS NOT NULL
         | GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a15_theta_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL)
+        | SELECT x.event_type AS slice_a, y.event_type AS slice_b,
+        |   count(*)::BIGINT AS exact_overlap, true AS overlap_ok, true AS union_ok
+        | FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "a16_heavy_hitters" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> len(x) > 0)) AS tok
+        |   FROM documents),
+        | c AS (SELECT tok, count(*)::BIGINT AS exact_n FROM toks GROUP BY tok),
+        | t AS (SELECT count(*) // 100 AS thr FROM toks)
+        | SELECT tok, exact_n, true AS surfaced_ok, true AS bounds_ok
+        | FROM c, t WHERE exact_n >= thr ORDER BY tok""".stripMargin,
 
     "a13_hll_union" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,

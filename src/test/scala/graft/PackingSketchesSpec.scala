@@ -110,6 +110,55 @@ class PackingSketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 500.0) <= 25.0, s"median est $est")
   }
 
+  test("theta set algebra: overlap/union estimates vs exact on overlapping slices") {
+    // slice A = ids 0..5999, slice B = 3000..8999 -> exact overlap 3000
+    val rows = ((0 until 6000).map(i => ("a", i.toLong)) ++
+      (3000 until 9000).map(i => ("b", i.toLong)))
+      .zipWithIndex.map { case ((s, v), i) => (s, i % 8, v) }
+    val df = rows.toDF("slice", "batch", "v")
+    val ov = Sketches.sliceOverlap(
+      Sketches.setSketches(df, Seq("slice", "batch"), "v"), "slice").collect().head
+    // 6000 distinct per slice > 4096 nominal entries -> ESTIMATION mode:
+    // this exercises the approximate regime, not the exact small-set path
+    assert(math.abs(ov.getAs[Double]("overlap") - 3000.0) / 3000.0 <= 0.10,
+      s"overlap ${ov.getAs[Double]("overlap")}")
+    assert(math.abs(ov.getAs[Double]("union_est") - 9000.0) / 9000.0 <= 0.10,
+      s"union ${ov.getAs[Double]("union_est")}")
+    assert(math.abs(ov.getAs[Double]("distinct_a") - 6000.0) / 6000.0 <= 0.10)
+  }
+
+  test("frequent items: no false negatives and bracketing bounds under bucketed merge") {
+    // heavy tokens h0..h4 (600 each) in a sea of 6000 singletons; tiny map
+    // (64) forces constant eviction — the adversarial regime for MG bounds
+    val heavy = (0 until 3000).map(i => (i % 8, s"h${i % 5}"))
+    val noise = (0 until 6000).map(i => (i % 8, s"n$i"))
+    val df    = (heavy ++ noise).toDF("batch", "tok")
+    val sk    = Sketches.freqSketches(df, Seq("batch"), "tok", maxMapSize = 64)
+    val thrDf = df.agg((count(lit(1)) / 20).cast("long").as("thr")) // 450
+    val got   = Sketches.heavyHitters(sk, thrDf, maxMapSize = 64).collect()
+    val byItem = got.map(r => r.getAs[String]("item") ->
+      (r.getAs[Long]("lower"), r.getAs[Long]("upper"))).toMap
+    (0 until 5).foreach { i =>
+      val item = s"h$i"
+      assert(byItem.contains(item), s"true heavy hitter $item missed")
+      val (lo, hi) = byItem(item)
+      assert(lo <= 600 && hi >= 600, s"$item bounds [$lo,$hi] exclude 600")
+    }
+  }
+
+  test("theta and freq sketch binaries survive a parquet round-trip") {
+    // v = (i/4) % 300 so EVERY batch (= i % 4) sees all 300 values — with
+    // v = i % 300 the gcd(4,300)=4 aliasing would make the slices disjoint
+    val df  = (0 until 2000).map(i => (i % 4, ((i / 4) % 300).toLong)).toDF("batch", "v")
+    val dir = java.nio.file.Files.createTempDirectory("theta_rt").toString
+    Sketches.setSketches(df, Seq("batch"), "v").write.mode("overwrite").parquet(dir)
+    val rt  = spark.read.parquet(dir)
+    val est = Sketches.sliceOverlap(rt.withColumn("s", col("batch") % 2), "s")
+      .collect().head
+    // every batch contains all 300 values -> both slices identical sets
+    assert(math.abs(est.getAs[Double]("overlap") - 300.0) <= 1.0)
+  }
+
   test("sketches never count nulls and merge is insensitive to bucketing") {
     val df = ((0 until 100).map(i => (i % 4, Some((i % 13).toLong))) :+ (0, Option.empty[Long]))
       .toDF("batch", "v")
