@@ -217,63 +217,195 @@ object Hnsw {
     kept.toArray
   }
 
+  /** Growable graph-under-construction: [[build]] inserts into a fresh one;
+    * [[extend]] resumes insertion on a graph reconstructed from the store —
+    * the classic HNSW property that construction IS a sequence of inserts,
+    * which is what makes incremental maintenance natural.
+    */
+  private final class Builder(m: Int, efConstruction: Int) {
+    val ids    = collection.mutable.ArrayBuffer.empty[Long]
+    val vecs   = collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val levels = collection.mutable.ArrayBuffer.empty[Int]
+    val links  = collection.mutable.ArrayBuffer.empty[Array[Array[Int]]]
+    var entry    = -1
+    var maxLevel = -1
+    private val mmax0 = 2 * m
+
+    /** Insert one (already-normalized) vector. */
+    def insert(id: Long, vec: Array[Double]): Unit = {
+      val ord = ids.length
+      val l   = levelOf(id, m)
+      ids += id; vecs += vec; levels += l
+      links += Array.tabulate(l + 1)(_ => Array.empty[Int])
+      if (entry < 0) {
+        entry = ord; maxLevel = l
+        return
+      }
+      val vecsA  = vecs
+      val linksA = links
+      // the shared search helpers take arrays; wrap the buffers — cheap
+      // views would complicate the hot loops, so index directly instead
+      val q  = vec
+      var ep = entry
+      var lc = maxLevel
+      while (lc > l) { ep = greedyStepB(lc, q, ep); lc -= 1 }
+      var eps = Array(ep)
+      lc = math.min(l, maxLevel)
+      while (lc >= 0) {
+        val found  = searchLayerB(lc, q, eps, efConstruction)
+        val chosen = selectHeuristicB(found, m)
+        linksA(ord)(lc) = chosen
+        val cap = if (lc == 0) mmax0 else m
+        var j = 0
+        while (j < chosen.length) {
+          val e  = chosen(j)
+          val el = linksA(e)(lc)
+          if (el.length < cap) linksA(e)(lc) = el :+ ord
+          else {
+            // shrink: re-select over old neighbors + the new node
+            val pool = (el :+ ord).map(x => (1.0 - dot(vecsA(e), vecsA(x)), x)).sorted(nearFirst)
+            linksA(e)(lc) = selectHeuristicB(pool, cap)
+          }
+          j += 1
+        }
+        eps = found.map(_._2)
+        lc -= 1
+      }
+      if (l > maxLevel) { entry = ord; maxLevel = l }
+    }
+
+    private def greedyStepB(layer: Int, q: Array[Double], ep: Int): Int = {
+      var cur  = ep
+      var curD = 1.0 - dot(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbrs = links(cur)(layer)
+        var j = 0
+        while (j < nbrs.length) {
+          val e = nbrs(j)
+          val d = 1.0 - dot(q, vecs(e))
+          if (d < curD || (d == curD && e < cur)) { cur = e; curD = d; improved = true }
+          j += 1
+        }
+      }
+      cur
+    }
+
+    private def searchLayerB(layer: Int, q: Array[Double], eps: Array[Int], ef: Int): Array[(Double, Int)] = {
+      val visited    = new java.util.BitSet(ids.length)
+      val candidates = collection.mutable.PriorityQueue.empty[(Double, Int)](nearFirst.reverse)
+      val results    = collection.mutable.PriorityQueue.empty[(Double, Int)](nearFirst)
+      var i = 0
+      while (i < eps.length) {
+        val e = eps(i)
+        if (!visited.get(e)) {
+          visited.set(e)
+          val d = 1.0 - dot(q, vecs(e))
+          candidates.enqueue((d, e))
+          results.enqueue((d, e))
+        }
+        i += 1
+      }
+      while (candidates.nonEmpty) {
+        val (cd, c) = candidates.dequeue()
+        if (cd > results.head._1 && results.size >= ef) {
+          candidates.clear()
+        } else {
+          val nbrs = links(c)(layer)
+          var j = 0
+          while (j < nbrs.length) {
+            val e = nbrs(j)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = 1.0 - dot(q, vecs(e))
+              if (results.size < ef || d < results.head._1 ||
+                  (d == results.head._1 && e < results.head._2)) {
+                candidates.enqueue((d, e))
+                results.enqueue((d, e))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      results.dequeueAll.toArray.sorted(nearFirst)
+    }
+
+    private def selectHeuristicB(candidates: Array[(Double, Int)], m: Int): Array[Int] = {
+      val kept = new collection.mutable.ArrayBuffer[Int](m)
+      var i = 0
+      while (i < candidates.length && kept.length < m) {
+        val (d, c) = candidates(i)
+        var ok = true
+        var j  = 0
+        while (ok && j < kept.length) {
+          if (1.0 - dot(vecs(c), vecs(kept(j))) < d) ok = false
+          j += 1
+        }
+        if (ok) kept += c
+        i += 1
+      }
+      i = 0
+      while (i < candidates.length && kept.length < m) {
+        val c = candidates(i)._2
+        if (!kept.contains(c)) kept += c
+        i += 1
+      }
+      kept.toArray
+    }
+
+    def toGraph: Graph =
+      new Graph(ids.toArray, vecs.toArray, levels.toArray, links.toArray, entry, maxLevel)
+  }
+
+  private object Builder {
+    def from(g: Graph, m: Int, efConstruction: Int): Builder = {
+      val b = new Builder(m, efConstruction)
+      b.ids ++= g.ids; b.vecs ++= g.vecs; b.levels ++= g.levels
+      b.links ++= g.links.map(_.map(_.clone()))
+      b.entry = g.entry; b.maxLevel = g.maxLevel
+      b
+    }
+  }
+
   /** Build one shard's graph. `items` may arrive in any order — they are
     * sorted by id so the graph is a pure function of the shard's CONTENT,
     * not of scan order. Zero-norm vectors are dropped.
     */
   def build(items: Array[(Long, Array[Double])], m: Int, efConstruction: Int): Graph = {
     require(m >= 2, s"m must be >= 2: $m")
-    val clean = items
+    val b = new Builder(m, efConstruction)
+    items
       .map { case (id, v) => (id, normalize(v)) }
       .filter(_._2 != null)
       .sortBy(_._1)
-    val n      = clean.length
-    val ids    = clean.map(_._1)
-    val vecs   = clean.map(_._2)
-    val levels = ids.map(levelOf(_, m))
-    val links  = new Array[Array[Array[Int]]](n)
-    val mmax0  = 2 * m
+      .foreach { case (id, v) => b.insert(id, v) }
+    b.toGraph
+  }
 
-    var entry    = -1
-    var maxLevel = -1
-    var ord = 0
-    while (ord < n) {
-      val l = levels(ord)
-      links(ord) = Array.tabulate(l + 1)(_ => Array.empty[Int])
-      if (entry < 0) {
-        entry = ord; maxLevel = l
-      } else {
-        val q  = vecs(ord)
-        var ep = entry
-        var lc = maxLevel
-        while (lc > l) { ep = greedyStep(vecs, links, lc, q, ep); lc -= 1 }
-        var eps = Array(ep)
-        lc = math.min(l, maxLevel)
-        while (lc >= 0) {
-          val found  = searchLayer(vecs, links, lc, q, eps, efConstruction)
-          val chosen = selectHeuristic(vecs, found, m)
-          links(ord)(lc) = chosen
-          val cap = if (lc == 0) mmax0 else m
-          var j = 0
-          while (j < chosen.length) {
-            val e  = chosen(j)
-            val el = links(e)(lc)
-            if (el.length < cap) links(e)(lc) = el :+ ord
-            else {
-              // shrink: re-select over old neighbors + the new node
-              val pool = (el :+ ord).map(x => (1.0 - dot(vecs(e), vecs(x)), x)).sorted(nearFirst)
-              links(e)(lc) = selectHeuristic(vecs, pool, cap)
-            }
-            j += 1
-          }
-          eps = found.map(_._2)
-          lc -= 1
-        }
-        if (l > maxLevel) { entry = ord; maxLevel = l }
-      }
-      ord += 1
+  /** Resume insertion on an existing graph — the incremental-maintenance
+    * primitive: an HNSW build IS a sequence of inserts, so new vectors
+    * simply continue it. Ids already present are skipped; zero-norm vectors
+    * are dropped; new items insert in ascending-id order (deterministic
+    * PER BATCH — unlike [[build]], the final graph depends on the batch
+    * sequence, which is inherent to incremental ANN).
+    */
+  def extend(g: Graph, items: Array[(Long, Array[Double])], m: Int, efConstruction: Int): Graph = {
+    require(m >= 2, s"m must be >= 2: $m")
+    val existing = g.ids.toSet
+    val fresh = items
+      .filter(it => !existing.contains(it._1))
+      .map { case (id, v) => (id, normalize(v)) }
+      .filter(_._2 != null)
+      .sortBy(_._1)
+    if (fresh.isEmpty) g
+    else {
+      val b = Builder.from(g, m, efConstruction)
+      fresh.foreach { case (id, v) => b.insert(id, v) }
+      b.toGraph
     }
-    new Graph(ids, vecs, levels, links, entry, maxLevel)
   }
 
   /** Query one shard's graph: greedy descent to layer 1, beam at layer 0
@@ -348,34 +480,139 @@ object Hnsw {
       efConstruction: Int = 128,
   ): DataFrame =
     indexCache.computeIfAbsent(cacheKey, _ => {
-      val spark    = df.sparkSession
-      val prepared = df.select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
-      val shards   = if (nShards > 0) nShards else shardsFor(prepared.count())
-      import spark.implicits._
-      val nodes = prepared
-        .repartition(shards, col("__id"))
-        .mapPartitions { rows =>
-          val items = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray
-          if (items.isEmpty) Iterator.empty
-          else {
-            val g = build(items, m, efConstruction)
-            // shard label = this task's id-hash partition; any stable label
-            // works because queries search EVERY shard — it only has to keep
-            // one graph's nodes together. Use the min id of the shard.
-            val label = g.ids.min
-            (0 until g.size).iterator.map { ord =>
-              (label, ord, g.ids(ord), g.levels(ord), g.vecs(ord).toSeq,
-                g.links(ord).map(_.toSeq).toSeq, g.entry, g.maxLevel)
-            }
-          }
-        }
-        .toDF("shard", "ord", "id", "level", "vec", "links", "entry", "max_level")
       val p = indexRoot(df) + "/" + java.lang.Long.toHexString(
         (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 42).toLong << 32) |
           (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 4242).toLong & 0xffffffffL))
-      nodes.write.mode("overwrite").partitionBy("shard").parquet(p)
-      spark.read.parquet(p)
+      writeIndex(df, vecCol, idCol, p, nShards, m, efConstruction)
+      readIndex(df.sparkSession, p)
     })
+
+  /** Sidecar metadata a store needs for maintenance: the shard count pins
+    * the id→shard routing (shard = `pmod(hash(id), nShards)`, the same
+    * Murmur3 hash `repartition` uses), m/efConstruction pin the graph
+    * parameters new inserts must share.
+    */
+  final case class StoreMeta(nShards: Int, m: Int, efConstruction: Int)
+
+  private def metaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_hnsw_meta")
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession, path: String, meta: StoreMeta): Unit = {
+    val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath(path), true)
+    try out.write(s"${meta.nShards},${meta.m},${meta.efConstruction}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readMeta(spark: org.apache.spark.sql.SparkSession, path: String): StoreMeta = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath(path))
+    val s  = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val Array(n, m, ef) = s.trim.split(",").map(_.toInt)
+    StoreMeta(n, m, ef)
+  }
+
+  /** Build the sharded graphs of `df` and write the row-per-node store at
+    * `path` (one `shard=` directory per graph + the metadata sidecar).
+    * Shard label = the id-hash partition index, so new rows route to their
+    * shard without reading the store.
+    */
+  def writeIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      nShards: Int = 0,
+      m: Int = 16,
+      efConstruction: Int = 128,
+  ): Unit = {
+    val spark    = df.sparkSession
+    val prepared = df.select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
+    val shards   = if (nShards > 0) nShards else shardsFor(prepared.count())
+    import spark.implicits._
+    val nodes = prepared
+      .repartition(shards, col("__id"))
+      .mapPartitions { rows =>
+        val shard = org.apache.spark.TaskContext.get().partitionId().toLong
+        val items = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray
+        if (items.isEmpty) Iterator.empty
+        else graphRows(shard, build(items, m, efConstruction))
+      }
+      .toDF("shard", "ord", "id", "level", "vec", "links", "entry", "max_level")
+    nodes.write.mode("overwrite").partitionBy("shard").parquet(path)
+    writeMeta(spark, path, StoreMeta(shards, m, efConstruction))
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def graphRows(shard: Long, g: Graph): Iterator[(Long, Int, Long, Int, Seq[Double], Seq[Seq[Int]], Int, Int)] =
+    (0 until g.size).iterator.map { ord =>
+      (shard, ord, g.ids(ord), g.levels(ord), g.vecs(ord).toSeq,
+        g.links(ord).map(_.toSeq).toSeq, g.entry, g.maxLevel)
+    }
+
+  /** Incremental maintenance — the [[Ivf.streamInto]] analog: route a new
+    * batch to its shards (`pmod(hash(id), nShards)` — the same Murmur3
+    * partitioning the build used, no store read needed for routing), read
+    * ONLY the touched shard directories (partition-pruned scan), resume
+    * insertion on each reconstructed graph via [[extend]], and overwrite
+    * just those `shard=` directories. Untouched shards are never read or
+    * written; per-batch cost is (touched shards) × (shard rebuild-free
+    * insert), not a corpus rebuild.
+    *
+    * Duplicate ids are skipped inside [[extend]]. Returns the number of
+    * shards touched.
+    */
+  def insertInto(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+  ): Int = {
+    val meta = readMeta(spark, path)
+    import spark.implicits._
+    val prepared = batch.select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__shard", pmod(hash(col("__id")), lit(meta.nShards)).cast("long"))
+    val touched = prepared.select("__shard").distinct().as[Long].collect().sorted
+    if (touched.isEmpty) return 0
+    val existing = readIndex(spark, path)
+      .where(col("shard").isin(touched: _*))
+      .select(col("shard").cast("long"), col("ord"), col("id"), col("level"),
+        col("vec"), col("links"), col("entry"), col("max_level"))
+    val m   = meta.m
+    val efC = meta.efConstruction
+    // one co-locating shuffle of (touched store rows + batch rows) on shard;
+    // rebuilds happen where the data lands
+    val unioned = existing
+      .withColumn("__kind", lit(0))
+      .unionByName(
+        prepared.select(col("__shard").as("shard"), lit(-1).as("ord"), col("__id").as("id"),
+          lit(0).as("level"), col("__v").as("vec"),
+          typedLit(Seq.empty[Seq[Int]]).as("links"), lit(0).as("entry"), lit(0).as("max_level"))
+          .withColumn("__kind", lit(1)))
+    val rebuilt = unioned
+      .repartition(col("shard"))
+      .mapPartitions { rows =>
+        rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (shard, shardRows) =>
+          val (newRows, oldRows) = shardRows.partition(_.getInt(8) == 1)
+          val fresh = newRows.map(r => (r.getLong(2), r.getSeq[Double](4).toArray)).toArray
+          val g =
+            if (oldRows.isEmpty) build(fresh, m, efC)
+            else extend(graphOf(oldRows), fresh, m, efC)
+          graphRows(shard, g)
+        }
+      }
+      .toDF("shard", "ord", "id", "level", "vec", "links", "entry", "max_level")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    touched.length
+  }
 
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

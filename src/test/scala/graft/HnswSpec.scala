@@ -145,6 +145,47 @@ class HnswSpec extends AnyFunSuite {
     assert(got.length == 50)
   }
 
+  test("extend: incremental inserts keep recall and never lose old or new ids") {
+    val (seed, late) = items.splitAt(300)
+    val g0 = Hnsw.build(seed, m = 16, efConstruction = 128)
+    val g1 = Hnsw.extend(g0, late, m = 16, efConstruction = 128)
+    assert(g1.size == items.length)
+    // graph invariants survive the extension
+    for (ord <- g1.ids.indices; layer <- g1.links(ord).indices)
+      assert(g1.links(ord)(layer).length <= (if (layer == 0) 32 else 16))
+    // recall over the FULL set after incremental build
+    val recalls = (0 until 10).map { qi =>
+      val q     = items(qi * 31 % items.length)._2.map(_ + 0.01)
+      val exact = bruteTop(q, 10).toSet
+      val got   = Hnsw.searchGraph(g1, q, 10, efSearch = 64).map(_._1).toSet
+      (got & exact).size / 10.0
+    }
+    assert(recalls.sum / recalls.length >= 0.9, recalls.toString)
+    // duplicate ids are skipped
+    assert(Hnsw.extend(g1, items.take(5), 16, 128).size == g1.size)
+  }
+
+  test("insertInto: routes a batch to touched shards only and search sees the new ids") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_ins").toString + "/store"
+    val (seed, late) = items.splitAt(350)
+    Hnsw.writeIndex(seed.toSeq.toDF("id", "vec"), "vec", "id", dir, nShards = 4,
+      m = 16, efConstruction = 128)
+    assert(Hnsw.readMeta(spark, dir) == Hnsw.StoreMeta(4, 16, 128))
+    // a single-row batch touches exactly one shard
+    val one = Hnsw.insertInto(spark, dir, late.take(1).toSeq.toDF("id", "vec"), "vec", "id")
+    assert(one == 1)
+    val rest = Hnsw.insertInto(spark, dir, late.drop(1).toSeq.toDF("id", "vec"), "vec", "id")
+    assert(rest >= 1 && rest <= 4)
+    val idx = Hnsw.readIndex(spark, dir)
+    assert(idx.select("id").distinct().count() == items.length)
+    // the store's graphs still find the LATE ids: query each late vector,
+    // its own id must come back first
+    late.take(5).foreach { case (id, v) =>
+      val top = Hnsw.searchIndex(idx, v.toSeq, "id", 1).select("id").as[Long].head()
+      assert(top == id, s"query for $id returned $top")
+    }
+  }
+
   test("derived shard count follows the rows-per-shard budget") {
     assert(Hnsw.shardsFor(1L) == 1)
     assert(Hnsw.shardsFor(Hnsw.RowsPerShard) == 1)
