@@ -316,6 +316,26 @@ object ScaleBench {
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, Some(cand)).count()
         }),
         "simhash_neardup" -> (() => Dedup.simHashNearDupPairs(docs, "doc_id", "text", 3, 4).count()),
+        // mergeable sketch family over events: per-(type, batch) HLL+KLL
+        // build then rollup — output is O(groups), the shuffle carries one
+        // live buffer per partition per group; should be scan-bound linear
+        "sketch_registry" -> (() => {
+          val ev = events.withColumn("batch", pmod(col("event_id"), lit(16L)))
+          val hll = Sketches.mergeSketches(
+            Sketches.distinctSketches(ev, Seq("event_type", "batch"), "user_id"),
+            Seq("event_type"))
+          val kll = Sketches.mergeQuantileSketches(
+            Sketches.quantileSketches(ev, Seq("event_type", "batch"), "value"),
+            Seq("event_type"), Seq(0.5, 0.99))
+          hll.join(kll, "event_type").count()
+        }),
+        // theta slice-overlap across event types (sketch build dominates)
+        "theta_overlap"   -> (() => Sketches.sliceOverlap(
+          Sketches.setSketches(events, Seq("event_type"), "user_id"), "event_type").count()),
+        // concat-and-chunk packing: one hash shuffle + bounded per-shard window
+        "pack_concat"     -> (() => Packing.packConcat(
+          docs.select(col("doc_id"), (length(col("text")) / 5).cast("long").as("n_tok")),
+          "doc_id", "n_tok", 2048, nShards = 8).agg(max("seq_last")).count()),
         "cosine_topk"     -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
         "knn_join_32q"    -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs, "embedding", "vec_id", "embedding", "vec_id", 10).count()),
         "ivf_probe"       -> (() => {
