@@ -2197,6 +2197,30 @@ object SparkEntry {
     // corpus. FULL oracle: DuckDB refits both models and recomputes every
     // document's weight (md5-prefix buckets hash identically in both
     // engines); round(4) absorbs FP summation-order ulps.
+    // X17 — discriminative quality classifier (operators/QualityClassifier
+    // .scala, the GPT-3/CCNet component; complement of x16's generative
+    // DSIR): hashed bag-of-tokens → MLlib logistic regression (distributed
+    // L-BFGS, treeAggregate gradients — no collect), trained on a planted
+    // "curated" slice (doc_id≡0 mod 4 carries 6 marker tokens — the d15
+    // fixture-planting pattern) over the portable-hash train half, scored
+    // and AUC-gated on the HELD-OUT half. Gate: rank-sum AUC ≥ 0.95 with
+    // exactly-replayed eval counts.
+    "x17_quality_classifier" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+        .withColumn("label", (col("doc_id") % 4 === 0).cast("int"))
+        .withColumn("text2", when(col("label") === 1,
+          concat(coalesce(col("text"), lit("")), lit(" "),
+            concat_ws(" ", transform(sequence(lit(0), lit(5)),
+              i => concat(lit("curated"), pmod(col("doc_id") + i, lit(7)))))))
+          .otherwise(col("text")))
+      val trainHalf = docs.where(Sampling.bucket(col("doc_id")) < 5000)
+      val evalHalf  = docs.where(Sampling.bucket(col("doc_id")) >= 5000)
+      val t      = QualityClassifier.train(trainHalf, "text2", "label")
+      val scored = QualityClassifier.score(t, evalHalf, "text2")
+      QualityClassifier.auc(scored, "label", "quality_score")
+        .select(col("n_pos"), col("n_neg"), (col("auc") >= 0.95).as("auc_ok"))
+    }),
+
     "x16_dsir_weights" -> ((s, d) => {
       val docs   = Tables(s, d).documents.select(col("doc_id"), col("lang"), col("text"))
       val target = docs.where(col("lang") === "en" && col("doc_id") % 7 === 0).select("text")
@@ -3594,6 +3618,15 @@ object SparkEntry {
            |       count(*)::BIGINT AS n_tokens, count(cpos)::BIGINT AS n_cut FROM j GROUP BY doc_id)
            | SELECT doc_id, md5(coalesce(cleaned, '')) AS cleaned_md5, n_tokens, n_cut
            | FROM a ORDER BY doc_id""".stripMargin,
+
+    "x17_quality_classifier" ->
+      """WITH h AS (SELECT doc_id,
+        |   (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | e AS (SELECT doc_id FROM h WHERE xor(h0, h0 >> 16) % 10000 >= 5000)
+        | SELECT sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |   sum(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+        |   true AS auc_ok
+        | FROM e""".stripMargin,
 
     "x16_dsir_weights" ->
       raw"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
