@@ -113,6 +113,31 @@ object SparkEntry {
   /** DuckDB token pipeline mirroring TextOps.tokens. */
   private val toksSql = raw"""list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"""
 
+  /** x18 oracle: replay `k` BPE learning rounds in DuckDB. Round r: pair
+    * counts over the bracketed vocab strings, deterministic argmax
+    * (cnt desc, a, b), merge applied via `replace` — the exact greedy
+    * non-overlap semantics the Scala side uses.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and v_r is
+    // referenced twice per round (pair counts + next round's state), so
+    // without it the replay re-evaluates the whole chain 2^k times
+    val init =
+      raw"""WITH w AS MATERIALIZED (SELECT unnest($toksSql) AS word FROM documents),
+           | wf AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word),
+           | v0 AS MATERIALIZED (SELECT '[' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i:i]), '][') || ']' AS bw, freq FROM wf)""".stripMargin
+    val rounds = (0 until k).map { r =>
+      raw""" s$r AS (SELECT string_split(substr(bw, 2, len(bw) - 2), '][') AS s, freq FROM v$r WHERE len(bw) > 2),
+           | p$r AS (SELECT unnest(range(1, len(s))) AS i, s, freq FROM s$r WHERE len(s) > 1),
+           | b$r AS MATERIALIZED (SELECT s[i] AS a, s[i + 1] AS b, sum(freq)::BIGINT AS cnt FROM p$r GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+           | v${r + 1} AS MATERIALIZED (SELECT replace(bw, '[' || (SELECT a FROM b$r) || '][' || (SELECT b FROM b$r) || ']', '[' || (SELECT a FROM b$r) || (SELECT b FROM b$r) || ']') AS bw, freq FROM v$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until k)
+      .map(r => s"SELECT ${r}::BIGINT AS rank, a, b, cnt AS count FROM b$r")
+      .mkString("\n UNION ALL ")
+    s"$init,\n$rounds\n $out ORDER BY rank"
+  }
+
   // ---- closed-vocabulary hash constants for the dedup oracles ------------
   //
   // MinHash/SimHash aren't SQL-computable over arbitrary text, but over the
@@ -2197,6 +2222,21 @@ object SparkEntry {
     // corpus. FULL oracle: DuckDB refits both models and recomputes every
     // document's weight (md5-prefix buckets hash identically in both
     // engines); round(4) absorbs FP summation-order ulps.
+    // X18 — BPE vocabulary LEARNING (operators/Bpe.scala, Sennrich 2016):
+    // train the tokenizer itself. ONE corpus scan builds the word-frequency
+    // table; every merge round runs over that vocab table only (driver path
+    // under the word budget, distributed rounds beyond — spec-pinned
+    // identical). FULL oracle: DuckDB replays all 6 rounds — the bracketed
+    // `[a][b]` symbol string makes merge application a plain `replace`,
+    // whose left-to-right non-overlap semantics are BPE's greedy rule in
+    // BOTH engines.
+    "x18_bpe_learn" -> ((s, d) => {
+      val merges = Bpe.learn(Bpe.wordFreqs(Tables(s, d).documents, "text"), 6)
+      Bpe.mergeTable(s, merges)
+        .select(col("rank").cast("long").as("rank"), col("a"), col("b"), col("count"))
+        .orderBy("rank")
+    }),
+
     // X17 — discriminative quality classifier (operators/QualityClassifier
     // .scala, the GPT-3/CCNet component; complement of x16's generative
     // DSIR): hashed bag-of-tokens → MLlib logistic regression (distributed
@@ -3618,6 +3658,8 @@ object SparkEntry {
            |       count(*)::BIGINT AS n_tokens, count(cpos)::BIGINT AS n_cut FROM j GROUP BY doc_id)
            | SELECT doc_id, md5(coalesce(cleaned, '')) AS cleaned_md5, n_tokens, n_cut
            | FROM a ORDER BY doc_id""".stripMargin,
+
+    "x18_bpe_learn" -> bpeOracleSql(6),
 
     "x17_quality_classifier" ->
       """WITH h AS (SELECT doc_id,
