@@ -1082,6 +1082,15 @@ object SparkEntry {
       .select("doc_id", "source", "epoch")
       .orderBy("doc_id", "epoch")),
 
+    // X19 — temperature-scaled multilingual mixing (mT5/XLM-R recipe):
+    // shares derived from per-language corpus size w ∝ A^0.5 instead of a
+    // hand-written table; same deterministic epoch/bucket assignment as x12.
+    "x19_temperature_mix" -> ((s, d) => Mixing.temperatureMix(
+      Tables(s, d).documents.select("doc_id", "lang", "n_chars"),
+      "lang", "doc_id", "n_chars", 0.5, 60000L)
+      .select("doc_id", "lang", "epoch")
+      .orderBy("doc_id", "epoch")),
+
     // X10 — corpus-self-trained bigram surprisal (CCNet/KenLM-style quality
     // signal). round(·, 4) absorbs engine summation-order ulps.
     "x10_bigram_surprisal" -> ((s, d) =>
@@ -1506,6 +1515,28 @@ object SparkEntry {
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long")).cast("long").as("revenue_cents"),
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue_cents"), col("n_name"))
+    }),
+
+    // J11 — SCD2 interval build from the event log: per-user runs of an
+    // unchanged event_type collapse to [valid_from, valid_to) intervals
+    // (valid_to NULL = current). Point-in-time cuts become range predicates.
+    "j11_scd2" -> ((s, d) => Joins.scd2(
+      Tables(s, d).events.select("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "valid_from", "event_type")),
+
+    // G1 — fixed-iteration PageRank over the customer→supplier fulfillment
+    // graph (the crawl-quality centrality signal; suppliers offset by 1e6
+    // so the two key spaces don't collide). 3 unrolled power iterations,
+    // d = 0.85; round(6) absorbs summation-order ulps.
+    "g1_pagerank" -> ((s, d) => {
+      val t = Tables(s, d)
+      val edges = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+      Graph.pagerank(edges, "src", "dst", iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
     }),
 
     // ---------------- M: ML ----------------------------------------------
@@ -3030,6 +3061,17 @@ object SparkEntry {
         | x AS (SELECT doc_id, source, fbp, bucket, unnest(range(0, fbp // 10000 + 1)) AS epoch FROM j)
         | SELECT doc_id, source, epoch::BIGINT AS epoch FROM x
         | WHERE epoch < fbp // 10000 OR bucket < fbp % 10000 ORDER BY doc_id, epoch""".stripMargin,
+    "x19_temperature_mix" ->
+      """WITH tot AS (SELECT lang, sum(n_chars)::BIGINT AS avail FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+        | z AS (SELECT sum(pow(avail, 0.5)) AS z FROM tot),
+        | w AS (SELECT lang, avail, floor(10000 * pow(avail, 0.5) / z)::BIGINT AS wbp FROM tot, z),
+        | f AS (SELECT lang, (((60000 * wbp) // 10000) * 10000) // avail AS fbp FROM w),
+        | h AS (SELECT doc_id, lang, (((doc_id % 4294967296 + 4294967296) % 4294967296) * 31153 + (((doc_id % 4294967296 + 4294967296) % 4294967296) * 40503 % 65536) * 65536) % 4294967296 AS h0 FROM documents),
+        | b AS (SELECT doc_id, lang, xor(h0, h0 >> 16) % 10000 AS bucket FROM h),
+        | j AS (SELECT b.doc_id, b.lang, fbp, bucket FROM b JOIN f ON b.lang = f.lang),
+        | x AS (SELECT doc_id, lang, fbp, bucket, unnest(range(0, fbp // 10000 + 1)) AS epoch FROM j)
+        | SELECT doc_id, lang, epoch::BIGINT AS epoch FROM x
+        | WHERE epoch < fbp // 10000 OR bucket < fbp % 10000 ORDER BY doc_id, epoch""".stripMargin,
     "x10_bigram_surprisal" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
@@ -3433,6 +3475,29 @@ object SparkEntry {
         | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_custkey, c_mktsegment HAVING count(*) >= 10 ORDER BY c_custkey""".stripMargin,
+    "j11_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+        | c AS (SELECT user_id, event_type, ts, event_id FROM o
+        |   WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        | SELECT user_id, event_type, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        | FROM c ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "g1_pagerank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst
+        |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        | nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+        | deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+        | r0 AS (SELECT id, 1.0 / n AS r FROM v CROSS JOIN nn),
+        | c1 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r1 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c1 ON v.id = c1.id),
+        | c2 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r2 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c2 ON v.id = c2.id),
+        | c3 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r3 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c3 ON v.id = c3.id)
+        | SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
     "h5_region_revenue" ->
       """SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents, count(*) AS n_items
         | FROM region JOIN nation ON n_regionkey = r_regionkey

@@ -297,4 +297,42 @@ object Joins {
       left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
         rPayloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
+
+  /** Event log → type-2 slowly-changing-dimension intervals: per key, keep
+    * only CHANGE rows of the tracked attribute (runs of an unchanged value
+    * collapse into one interval) and stamp each with
+    * `[valid_from, valid_to)` — `valid_to` NULL marks the current state.
+    * The snapshot-at-time-T query is then a plain range predicate
+    * (`valid_from <= T AND (valid_to IS NULL OR valid_to > T)`), which is
+    * how a 100 TB event history serves point-in-time training-data cuts
+    * without replaying the log.
+    *
+    * Two windows, both over the SAME (key, order) partitioning — Catalyst
+    * plans ONE shuffle + one sort and evaluates lag and lead in the same
+    * Window node chain; per-key state is two rows. Ties in `tsCol` are
+    * broken by `tieCol` so the interval chain is deterministic.
+    */
+  def scd2(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      attrCol: String,
+  ): DataFrame = {
+    val names = events.columns.toSet
+    Seq("__prev", "__rn", "valid_from", "valid_to").foreach(c =>
+      require(!names.contains(c), s"input already has a '$c' column"))
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      // both window columns projected first (window exprs can't sit in a
+      // WHERE); same (partition, order) → one shuffle+sort, one Window node
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // first row per key always opens an interval; a NULL attr after a
+      // non-NULL (and vice versa) is a change — null-safe compare.
+      .where(!(col("__prev") <=> col(attrCol)) || col("__rn") === 1)
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"), col("valid_to"))
+  }
 }

@@ -65,16 +65,70 @@ object Mixing {
     val targets = targetsBp.toDF(classCol, "__wbp")
 
     // |classes| rows after a map-side-combined agg; stays broadcast-sized
-    // by construction (one row per mixed class). All divisions are
-    // INTEGRAL (`div`): a `/` would go through double, whose 53-bit
-    // mantissa silently mis-floors once budget·10000 passes ~9e15 —
-    // i.e. exactly at the corpus sizes this operator exists for.
+    // by construction (one row per mixed class).
     val totals = df
       .join(broadcast(targets), classCol)
       .groupBy(classCol)
       .agg(sum(col(sizeCol)).cast("long").as("__avail"), first("__wbp").as("__wbp"))
       .where(col("__avail") > 0L)
-      // f_c = floor( floor(budget·w/10000) · 10000 / A_c )
+    emitEpochs(df, classCol, idCol, totals, budget, maxEpochs)
+  }
+
+  /** Temperature-scaled mixing (the mT5 / XLM-R multilingual recipe): the
+    * share of class c is derived from its OWN size, w_c ∝ A_c^α, instead
+    * of a hand-written table — α = 1 reproduces natural proportions, α → 0
+    * approaches uniform, and the standard α ≈ 0.2–0.5 boosts low-resource
+    * classes without drowning the head. Everything downstream of the
+    * weight derivation (epochs, fractional hash-bucket keep) is shared
+    * with [[mixToBudget]], so the assignment stays deterministic and
+    * engine-replayable; the only floating-point step is the |classes|-row
+    * pow/normalize, floored to basis points (IEEE-754 pow agrees across
+    * engines to ~1 ulp; the floor is checked against the oracle on fixed
+    * data, and a 1-ulp flip would need the product to sit within ~1e-12
+    * of an integer).
+    *
+    * Scale shape: identical to [[mixToBudget]] — the corpus is read once,
+    * never shuffled; the pow/normalize runs on the |classes|-row agg.
+    */
+  def temperatureMix(
+      df: DataFrame, classCol: String, idCol: String, sizeCol: String,
+      alpha: Double, budget: Long,
+      maxEpochs: Int = 100,
+  ): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    require(budget >= 0, s"budget must be nonnegative: $budget")
+    require(budget <= Long.MaxValue / 10000L, s"budget * 10000 must fit in a long: $budget")
+    val names = df.columns.toSet
+    Seq("__z", "__avail", "__wbp", "__fbp", "__full", "epoch").foreach(c =>
+      require(!names.contains(c), s"input already has a '$c' column"))
+    val totalsRaw = df
+      .groupBy(classCol)
+      .agg(sum(col(sizeCol)).cast("long").as("__avail"))
+      .where(col("__avail") > 0L)
+    // w_c = floor(10000 · A_c^α / Σ A^α): one cross join against the
+    // 1-row normalizer — both sides are |classes|-sized, never the corpus.
+    val z = totalsRaw.agg(sum(pow(col("__avail"), lit(alpha))).as("__z"))
+    val totals = totalsRaw.crossJoin(broadcast(z))
+      .select(col(classCol), col("__avail"),
+        floor(lit(10000d) * pow(col("__avail"), lit(alpha)) / col("__z"))
+          .cast("long").as("__wbp"))
+    emitEpochs(df, classCol, idCol, totals, budget, maxEpochs)
+  }
+
+  /** Shared tail of the mixers: per-class keep-fraction f_c (bp) from a
+    * (class, __avail, __wbp) frame, then the epoch explode + fractional
+    * hash-bucket keep. All divisions are INTEGRAL (`div`): a `/` would go
+    * through double, whose 53-bit mantissa silently mis-floors once
+    * budget·10000 passes ~9e15 — i.e. exactly at the corpus sizes this
+    * operator exists for.
+    */
+  private def emitEpochs(
+      df: DataFrame, classCol: String, idCol: String,
+      totals: DataFrame, budget: Long, maxEpochs: Int,
+  ): DataFrame = {
+    // f_c = floor( floor(budget·w/10000) · 10000 / A_c )
+    val withF = totals
       .select(
         col(classCol),
         expr(s"(((${budget}L * __wbp) div 10000) * 10000) div __avail").as("__fbp"))
@@ -94,7 +148,7 @@ object Mixing {
             lit(s"); shrink the budget/weight or raise maxEpochs"))))
           .otherwise(col("__fbp")).as("__fbp"))
 
-    df.join(broadcast(totals), classCol)
+    df.join(broadcast(withF), classCol)
       .withColumn("__full", expr("__fbp div 10000"))
       .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
       .where(

@@ -887,6 +887,103 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frac == hs)
   }
 
+  test("temperatureMix: alpha=1 reproduces natural-proportion mixToBudget") {
+    val docs = ((0L until 30L).map(i => (i, "big", 10L)) ++
+      (100L until 110L).map(i => (i, "small", 10L))).toDF("id", "cls", "sz")
+    // natural weights: big 300/400 = 7500bp, small 100/400 = 2500bp
+    val nat = Mixing.mixToBudget(docs, "cls", "id", "sz",
+      Seq("big" -> 7500, "small" -> 2500), 200L)
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    val temp = Mixing.temperatureMix(docs, "cls", "id", "sz", 1.0, 200L)
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(temp == nat && temp.nonEmpty)
+  }
+
+  test("temperatureMix: alpha<1 boosts the low-resource class's share") {
+    val docs = ((0L until 90L).map(i => (i, "big", 10L)) ++
+      (1000L until 1010L).map(i => (i, "small", 10L))).toDF("id", "cls", "sz")
+    def shares(alpha: Double): Map[String, Long] =
+      Mixing.temperatureMix(docs, "cls", "id", "sz", alpha, 500L)
+        .groupBy("cls").count().as[(String, Long)].collect().toMap
+    val nat = shares(1.0); val t = shares(0.5)
+    // sqrt weights: 10000·3/4=7500bp vs natural 9000bp for big — small's
+    // sampled count must strictly rise, big's strictly fall
+    assert(t("small") > nat("small"))
+    assert(t("big") < nat("big"))
+  }
+
+  // ---- G1 PageRank --------------------------------------------------------
+  test("pagerank: hand-computed two-source star with a dangling sink") {
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pagerank(edges, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    // N=3, r0=1/3; node 3 dangles (mass leaks): r(1)=r(2)=0.15/3,
+    // r(3)=0.15/3 + 0.85*(1/3 + 1/3)
+    assert(math.abs(r1(1L) - 0.05) < 1e-12)
+    assert(math.abs(r1(2L) - 0.05) < 1e-12)
+    assert(math.abs(r1(3L) - (0.05 + 0.85 * 2.0 / 3.0)) < 1e-12)
+    // second iteration: sources get only teleport again; sink re-derives
+    // from their NEW rank
+    val r2 = Graph.pagerank(edges, "src", "dst", iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r2(3L) - (0.05 + 0.85 * 2.0 * 0.05)) < 1e-12)
+  }
+
+  test("pagerank: parallel edges collapse and a cycle conserves rank mass") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pagerank(edges, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    // pure 2-cycle, no dangling: total mass stays 1 at every iteration
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // symmetric cycle → equal ranks
+    assert(math.abs(r(1L) - r(2L)) < 1e-12)
+  }
+
+  // ---- J11 SCD2 intervals -------------------------------------------------
+  test("scd2: collapses runs, opens at first row, closes at next change") {
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "b"), (1L, 50L, 5L, "a"),
+      (2L, 10L, 6L, "x"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Joins.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "a", 10L, Some(30L)),
+      (1L, "b", 30L, Some(50L)),
+      (1L, "a", 50L, None),
+      (2L, "x", 10L, None),
+    ))
+  }
+
+  test("scd2: NULL attribute opens/closes intervals null-safely; ties break on tieCol") {
+    val ev = Seq(
+      (1L, 10L, 1L, null: String), (1L, 20L, 2L, null: String),
+      (1L, 30L, 3L, "a"),
+      // two changes at the same ts: event_id order decides the chain
+      (2L, 10L, 1L, "p"), (2L, 20L, 2L, "q"), (2L, 20L, 3L, "r"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Joins.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, None, 10L, Some(30L)),
+      (1L, Some("a"), 30L, None),
+      (2L, Some("p"), 10L, Some(20L)),
+      (2L, Some("q"), 20L, Some(20L)),
+      (2L, Some("r"), 20L, None),
+    ))
+  }
+
+  test("scd2: one exchange — lag/lead share the (key, order) partitioning") {
+    val ev = Seq((1L, 10L, 1L, "a")).toDF("user_id", "ts", "event_id", "event_type")
+    val plan = TestSpark.formattedPlan(
+      Joins.scd2(ev, "user_id", "ts", "event_id", "event_type"))
+    // count Exchange NODES (the formatted dump repeats each node in its
+    // detail section, so a bare substring count double-counts)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most one shuffle, plan:\n$plan")
+  }
+
   // ---- V10/V11 lexical ranking + fusion ----------------------------------
   test("bm25: matches the closed-form formula on a hand-checkable corpus") {
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c")).toDF("id", "text")
