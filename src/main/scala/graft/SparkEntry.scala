@@ -589,6 +589,17 @@ object SparkEntry {
         size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
       .orderBy("file_name")),
 
+    // S20 — HTML → text extraction (the step between a WARC response scan
+    // and quality filtering): script/style/comment removal, block-tag
+    // newlines, entity decode, whitespace normalization, plus the jusText
+    // link-density boilerplate signal. Pure codegen'd projections.
+    "s20_html_extract" -> ((s, _) => graft.sources.FileSources.wholeTextFiles(s, "/root/repo/fixtures/html")
+      .select(col("file_name"),
+        TextOps.htmlText(col("text")).as("text"),
+        length(TextOps.htmlText(col("text"))).cast("long").as("n_chars"),
+        TextOps.htmlLinkDensityBp(col("text")).as("link_density_bp"))
+      .orderBy("file_name")),
+
     "s9_code_scan" -> ((s, _) => graft.sources.FileSources.codeScan(s, "/root/repo/fixtures/code")
       .select(col("file_name"), col("language"), col("n_lines"), md5(col("text")).as("text_md5"))
       .orderBy("file_name")),
@@ -750,6 +761,33 @@ object SparkEntry {
           size(col("__toks")).cast("long").as("n_tokens"),
           TextOps.langIdFromTokens(col("__toks")).as("lang_pred"),
           md5(TextOps.normalizeForDedup(col("__text"))).as("dedup_key"))
+        .orderBy("record_index")
+    }),
+
+    // P8 — raw-crawl HTML pipeline: WARC response records → HTTP split
+    // (status / content-type gate) → HTML text extraction + link-density
+    // boilerplate signal → lang id, token count, dedup key. The end-to-end
+    // shape of a CommonCrawl-style ingest, one narrow plan per record.
+    "p8_html_pipeline" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/crawlhtml", "*.warc")
+      graft.sources.Archives.warcRecords(s, b).toDF()
+        .where(col("warc_type") === "response")
+        .select(col("record_index").cast("long").as("record_index"),
+          col("target_uri"), decode(col("payload"), "UTF-8").as("__raw"))
+        .withColumn("__hb", instr(col("__raw"), "\r\n\r\n"))
+        .withColumn("status",
+          regexp_extract(col("__raw"), "^HTTP/1\\.[01] (\\d+)", 1).cast("long"))
+        .withColumn("__ctype",
+          regexp_extract(col("__raw"), "(?i)\\r\\nContent-Type: ([^\\r\\n]+)", 1))
+        .where(col("status") === 200L && col("__ctype").startsWith("text/html"))
+        .withColumn("__html", expr("substring(__raw, __hb + 4)"))
+        .withColumn("text", TextOps.htmlText(col("__html")))
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(col("record_index"), col("target_uri"), col("text"),
+          TextOps.htmlLinkDensityBp(col("__html")).as("link_density_bp"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          TextOps.langIdFromTokens(col("__toks")).as("lang_pred"),
+          md5(TextOps.normalizeForDedup(col("text"))).as("dedup_key"))
         .orderBy("record_index")
     }),
 
@@ -2533,6 +2571,28 @@ object SparkEntry {
       raw"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, md5(content) AS text_md5,
            | len(string_split(content, chr(10))) AS n_lines
            | FROM read_text('/root/repo/fixtures/text/*.md') ORDER BY file_name""".stripMargin,
+    "s20_html_extract" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/html/*.html')),
+           | sn AS (SELECT file_name, regexp_replace(regexp_replace(regexp_replace(content,
+           |   '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+           |   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+           |   '(?s)<!--.*?-->', ' ', 'g') AS c FROM f),
+           | bl AS (SELECT file_name, c, regexp_replace(c,
+           |   '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|pre|section|article|header|footer|nav|form)\b[^>]*>', chr(10), 'g') AS b FROM sn),
+           | nt AS (SELECT file_name, c, regexp_replace(b, '<[^>]+>', ' ', 'g') AS t FROM bl),
+           | de AS (SELECT file_name, c, replace(replace(replace(replace(replace(replace(replace(t,
+           |   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t FROM nt),
+           | ws AS (SELECT file_name, c, regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(t,
+           |   '[ \t\r\f]+', ' ', 'g'), ' *\n *', chr(10), 'g'), '\n{2,}', chr(10), 'g')), '^\n+|\n+$$', '', 'g') AS text FROM de),
+           | an AS (SELECT file_name, coalesce(list_sum(list_transform(
+           |     regexp_extract_all(c, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+           |     a -> len(trim(regexp_replace(
+           |       replace(replace(replace(replace(replace(replace(replace(regexp_replace(a, '<[^>]+>', ' ', 'g'),
+           |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+           |       '\s+', ' ', 'g'))))), 0)::BIGINT AS ac FROM sn)
+           | SELECT ws.file_name, ws.text, len(ws.text)::BIGINT AS n_chars,
+           |   CASE WHEN len(ws.text) = 0 THEN 0 ELSE floor(10000 * an.ac / len(ws.text))::BIGINT END AS link_density_bp
+           | FROM ws JOIN an ON ws.file_name = an.file_name ORDER BY ws.file_name""".stripMargin,
     "s9_code_scan" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/code/*'))
            | SELECT file_name, regexp_extract(file_name, '\.(\w+)$$', 1) AS language,
@@ -2610,6 +2670,58 @@ object SparkEntry {
            |   CASE WHEN position('${hx("/UE <")}' IN h) > 0 THEN 'Secure Manual' END AS title,
            |   CASE WHEN position('${hx("/OE <")}' IN h) > 0 THEN 'Graft Vault' END AS author
            | FROM f""".stripMargin,
+    "p8_html_pipeline" ->
+      raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawlhtml/pages.warc')),
+           | r AS (SELECT unnest(str_split(c, 'WARC/1.0' || chr(13) || chr(10))) AS frag,
+           |       generate_subscripts(str_split(c, 'WARC/1.0' || chr(13) || chr(10)), 1) AS i FROM f),
+           | p AS (SELECT i - 2 AS record_index, frag, strpos(frag, chr(13)||chr(10)||chr(13)||chr(10)) AS hb FROM r WHERE i >= 2),
+           | q AS (SELECT record_index, substr(frag, 1, hb - 1) AS hdrs, substr(frag, hb + 4) AS rest FROM p),
+           | resp AS (SELECT record_index,
+           |      regexp_extract(hdrs, 'WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+           |      substr(rest, 1, regexp_extract(hdrs, 'Content-Length: (\d+)', 1)::INT) AS raw
+           |     FROM q WHERE regexp_extract(hdrs, 'WARC-Type: ([^\r\n]+)', 1) = 'response'),
+           | hp AS (SELECT record_index, target_uri, raw,
+           |      strpos(raw, chr(13)||chr(10)||chr(13)||chr(10)) AS hb2,
+           |      try_cast(regexp_extract(raw, '^HTTP/1\.[01] (\d+)', 1) AS BIGINT) AS status,
+           |      regexp_extract(raw, '(?i)\r\nContent-Type: ([^\r\n]+)', 1) AS ctype FROM resp),
+           | bd AS (SELECT record_index, target_uri, substr(raw, hb2 + 4) AS html FROM hp
+           |     WHERE status = 200 AND ctype LIKE 'text/html%'),
+           | sn AS (SELECT record_index, target_uri, regexp_replace(regexp_replace(regexp_replace(html,
+           |   '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+           |   '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+           |   '(?s)<!--.*?-->', ' ', 'g') AS c FROM bd),
+           | bl AS (SELECT record_index, target_uri, c, regexp_replace(c,
+           |   '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|pre|section|article|header|footer|nav|form)\b[^>]*>', chr(10), 'g') AS b FROM sn),
+           | nt AS (SELECT record_index, target_uri, c, regexp_replace(b, '<[^>]+>', ' ', 'g') AS t FROM bl),
+           | de AS (SELECT record_index, target_uri, c, replace(replace(replace(replace(replace(replace(replace(t,
+           |   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t FROM nt),
+           | ws AS (SELECT record_index, target_uri, c, regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(t,
+           |   '[ \t\r\f]+', ' ', 'g'), ' *\n *', chr(10), 'g'), '\n{2,}', chr(10), 'g')), '^\n+|\n+$$', '', 'g') AS text FROM de),
+           | an AS (SELECT record_index, coalesce(list_sum(list_transform(
+           |     regexp_extract_all(c, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+           |     a -> len(trim(regexp_replace(
+           |       replace(replace(replace(replace(replace(replace(replace(regexp_replace(a, '<[^>]+>', ' ', 'g'),
+           |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+           |       '\s+', ' ', 'g'))))), 0)::BIGINT AS ac FROM sn),
+           | tk AS (SELECT ws.record_index, ws.target_uri, ws.text,
+           |       CASE WHEN len(ws.text) = 0 THEN 0 ELSE floor(10000 * an.ac / len(ws.text))::BIGINT END AS link_density_bp,
+           |       list_filter(string_split_regex(lower(ws.text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+           |      FROM ws JOIN an ON ws.record_index = an.record_index),
+           | h AS (SELECT *, len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','von','mit','den','ein','eine'])) AS h_de,
+           |   len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','with','for','was'])) AS h_en,
+           |   len(list_intersect(list_distinct(toks), ['el','la','de','que','y','en','los','una','por','con'])) AS h_es,
+           |   len(list_intersect(list_distinct(toks), ['le','la','les','des','est','une','dans','que','pour','sur'])) AS h_fr
+           |  FROM tk),
+           | s AS (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM h)
+           | SELECT record_index::BIGINT AS record_index, target_uri, text, link_density_bp,
+           |   len(toks)::BIGINT AS n_tokens,
+           |   CASE WHEN h_de = best AND h_de > 0 THEN 'de'
+           |        WHEN h_en = best AND h_en > 0 THEN 'en'
+           |        WHEN h_es = best AND h_es > 0 THEN 'es'
+           |        WHEN h_fr = best AND h_fr > 0 THEN 'fr'
+           |        ELSE 'und' END AS lang_pred,
+           |   md5(trim(regexp_replace(lower(text), '[^\p{L}\p{N}]+', ' ', 'g'))) AS dedup_key
+           | FROM s ORDER BY record_index""".stripMargin,
     "s18_warc_scan" ->
       raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawl/segment.warc')),
            | r AS (SELECT unnest(str_split(c, 'WARC/1.0' || chr(13) || chr(10))) AS frag,

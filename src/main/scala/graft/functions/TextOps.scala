@@ -326,6 +326,83 @@ object TextOps {
     *
     * Output: (idCol, n_pairs, avg_nll).
     */
+  /** Script/style/comment removal — the "noise" pass shared by
+    * [[htmlText]] and [[htmlAnchorChars]] (anchor extraction must run on
+    * the noise-free page or a script's synthetic `</a>` would truncate
+    * real anchors).
+    */
+  private def htmlStripNoise(html: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " "),
+        "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** The 5 named entities every real-world page uses (plus the numeric
+    * apostrophe) — decoded AFTER tag stripping so text that spells out
+    * markup (`&lt;div&gt;`) stays text. `&amp;` is last or it would
+    * double-decode. Numeric character references beyond `&#39;` are left
+    * as-is (declared: full NCR decode needs codepoint synthesis neither
+    * engine's SQL surface expresses portably).
+    */
+  private def htmlDecodeEntities(c: Column): Column = {
+    val steps = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+  }
+
+  /** HTML → plain text (the trafilatura/jusText-shaped extraction step a
+    * crawl pipeline runs between the WARC scan and quality filtering):
+    * drop script/style/comments, turn block-level tags into newlines so
+    * paragraph structure survives, strip remaining tags, decode the
+    * common entities, and normalize whitespace (horizontal runs → one
+    * space, blank-line runs → one newline). Pure codegen'd per-row
+    * projection — no explode, no shuffle, linear in bytes; both Java
+    * regex and DuckDB's RE2 accept every pattern used, so the whole
+    * chain is replayable by the SQL oracle. Tags whose attributes contain
+    * a raw `>` mis-split (declared — regex-level extraction; a
+    * spec-conformant parser is the [[graft.sources.BinaryExtractors]]
+    * territory, not a per-row Column).
+    */
+  def htmlText(html: Column): Column = {
+    val blocks = regexp_replace(htmlStripNoise(html),
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|pre|section|article|header|footer|nav|form)\\b[^>]*>", "\n")
+    val noTags  = regexp_replace(blocks, "<[^>]+>", " ")
+    val decoded = htmlDecodeEntities(noTags)
+    val hws     = regexp_replace(decoded, "[ \\t\\r\\f]+", " ")
+    val nl      = regexp_replace(hws, " *\\n *", "\n")
+    // trim() strips only spaces in both engines — newline edges need the
+    // explicit anchor pattern
+    regexp_replace(trim(regexp_replace(nl, "\\n{2,}", "\n")), "^\\n+|\\n+$", "")
+  }
+
+  /** Characters of visible anchor text on the page — the numerator of the
+    * link-density boilerplate signal (jusText's core feature: nav/footer
+    * blocks are mostly links). Anchor inner HTML via regexp_extract_all
+    * over the noise-free page, then the same strip/decode/collapse chain
+    * as [[htmlText]] per anchor. HOF transform+aggregate over the
+    * (small) anchor list — still a per-row projection.
+    */
+  def htmlAnchorChars(html: Column): Column = {
+    val anchors = regexp_extract_all(
+      htmlStripNoise(html), lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+    val perAnchor = transform(anchors, a =>
+      length(trim(regexp_replace(
+        htmlDecodeEntities(regexp_replace(a, "<[^>]+>", " ")),
+        "\\s+", " "))).cast("long"))
+    aggregate(perAnchor, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Link density in basis points: 10000 · anchor_chars / text_chars
+    * (0 for empty pages). Integer output so the gate threshold is
+    * engine-exact.
+    */
+  def htmlLinkDensityBp(html: Column): Column = {
+    val total = length(htmlText(html))
+    when(total === 0, lit(0L))
+      .otherwise(floor(lit(10000L) * htmlAnchorChars(html) / total).cast("long"))
+  }
+
   def bigramSurprisal(
       docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0,
       materialize: Boolean = false,

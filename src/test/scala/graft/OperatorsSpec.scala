@@ -912,6 +912,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t("big") < nat("big"))
   }
 
+  // ---- S20 HTML extraction ------------------------------------------------
+  test("htmlText: entity decode runs after tag strip and &amp; decodes last") {
+    val in = Seq(
+      // &amp;lt; must yield the literal string "&lt;", not "<"
+      "<p>a &amp;lt; b</p>",
+      // text spelling out markup stays text
+      "<p>use &lt;div&gt; here</p>",
+      "<P>UPPER</P><h3>head</h3>",
+    ).toDF("h")
+    val out = in.select(TextOps.htmlText(col("h")).as("t")).as[String].collect()
+    assert(out(0) == "a &lt; b")
+    assert(out(1) == "use <div> here")
+    assert(out(2) == "UPPER\nhead")
+  }
+
+  test("htmlLinkDensityBp: script-embedded anchors don't count; empty page is 0") {
+    val in = Seq(
+      """<body><script>x = "<a>fake link text</a>";</script><p>real body text here</p></body>""",
+      """<body><a href="/x">everything is a link</a></body>""",
+      "",
+    ).toDF("h")
+    val out = in.select(TextOps.htmlLinkDensityBp(col("h")).as("d")).as[Long].collect()
+    assert(out(0) == 0L)
+    assert(out(1) == 10000L)
+    assert(out(2) == 0L)
+  }
+
   // ---- G1 PageRank --------------------------------------------------------
   test("pagerank: hand-computed two-source star with a dangling sink") {
     val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
