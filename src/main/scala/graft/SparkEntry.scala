@@ -1120,6 +1120,26 @@ object SparkEntry {
       .select("doc_id", "source", "epoch")
       .orderBy("doc_id", "epoch")),
 
+    // X20 — domain-blocklist gate with parent-domain semantics (the
+    // C4/CCNet bad-domains step): suffix-explode + equi-join, flag
+    // computed on distinct hosts. URLs synthesized deterministically from
+    // (doc_id, source) so both engines derive identical hosts.
+    "x20_domain_filter" -> ((s, d) => {
+      import s.implicits._
+      val sub = element_at(array(lit("www."), lit("cdn."), lit("a.b."), lit("")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val url = concat(lit("https://"), sub, col("source"), lit(".example."), tld,
+        lit("/doc/"), col("doc_id").cast("string"))
+      val block = Seq("src1.example.com", "example.net", "cdn.src2.example.org").toDF("domain")
+      Urls.withDomainBlocked(
+        Tables(s, d).documents.select("doc_id", "source").withColumn("url", url),
+        "url", block, "domain")
+        .select(col("doc_id"), col("host"), col("blocked"))
+        .orderBy("doc_id")
+    }),
+
     // X19 — temperature-scaled multilingual mixing (mT5/XLM-R recipe):
     // shares derived from per-language corpus size w ∝ A^0.5 instead of a
     // hand-written table; same deterministic epoch/bucket assignment as x12.
@@ -3173,6 +3193,14 @@ object SparkEntry {
         | x AS (SELECT doc_id, source, fbp, bucket, unnest(range(0, fbp // 10000 + 1)) AS epoch FROM j)
         | SELECT doc_id, source, epoch::BIGINT AS epoch FROM x
         | WHERE epoch < fbp // 10000 OR bucket < fbp % 10000 ORDER BY doc_id, epoch""".stripMargin,
+    "x20_domain_filter" ->
+      """WITH u AS (SELECT doc_id, 'https://' || (['www.','cdn.','a.b.',''])[(doc_id % 4) + 1] || source || '.example.' || (['com','org','net'])[(doc_id % 3) + 1] || '/doc/' || doc_id::VARCHAR AS url FROM documents),
+        | h AS (SELECT doc_id, lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host FROM u),
+        | sx AS (SELECT doc_id, host, str_split(host, '.') AS parts FROM h)
+        | SELECT doc_id, host,
+        |   len(list_intersect(list_transform(range(1, len(parts) + 1), i -> array_to_string(parts[i:], '.')),
+        |     ['src1.example.com','example.net','cdn.src2.example.org'])) > 0 AS blocked
+        | FROM sx ORDER BY doc_id""".stripMargin,
     "x19_temperature_mix" ->
       """WITH tot AS (SELECT lang, sum(n_chars)::BIGINT AS avail FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
         | z AS (SELECT sum(pow(avail, 0.5)) AS z FROM tot),

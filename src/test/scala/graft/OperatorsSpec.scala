@@ -939,6 +939,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2) == 0L)
   }
 
+  // ---- X20 URL / domain blocklist ----------------------------------------
+  test("Urls.host: scheme/port/userinfo/path stripped, case folded, garbage → NULL") {
+    val in = Seq(
+      "https://WWW.Example.COM/path?q=1",
+      "http://user:pw@host.example.org:8080/x",
+      "ftp://plain.net",
+      "not a url",
+      "relative/path.html",
+    ).toDF("u")
+    val out = in.select(Urls.host(col("u")).as("h")).as[Option[String]].collect()
+    assert(out(0).contains("www.example.com"))
+    assert(out(1).contains("host.example.org"))
+    assert(out(2).contains("plain.net"))
+    assert(out(3).isEmpty && out(4).isEmpty)
+  }
+
+  test("domain blocklist: parent domains block, label boundaries respected") {
+    val docs = Seq(
+      (1L, "https://a.b.example.net/x"),   // blocked via parent example.net
+      (2L, "https://example.net/"),        // blocked exactly
+      (3L, "https://notexample.net/"),     // NOT blocked — label boundary
+      (4L, "https://example.net.evil.com/"), // NOT blocked — suffix, not substring
+      (5L, "https://clean.example.org/"),
+      (6L, "no-url-here"),                 // unparseable → host NULL, not blocked
+    ).toDF("id", "url")
+    val block = Seq("example.net").toDF("domain")
+    val out = Urls.withDomainBlocked(docs, "url", block, "domain")
+      .select("id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false))
+    val kept = Urls.filterBlockedDomains(docs, "url", block, "domain")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L, 6L))
+  }
+
   // ---- G1 PageRank --------------------------------------------------------
   test("pagerank: hand-computed two-source star with a dangling sink") {
     val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
