@@ -1140,6 +1140,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X21 — URL canonicalization + dedup: tracker params, fragments,
+    // default ports, case and trailing slashes collapse; param order
+    // normalizes. Five deterministic variants per base page; dedup keys
+    // on the canonical form and keeps the first crawl.
+    "x21_url_dedup" -> ((s, d) => {
+      val baseId = expr("cast(doc_id div 5 as string)")
+      val v = pmod(col("doc_id"), lit(5))
+      val url = when(v === 0, concat(lit("https://www.example.com/articles/"), baseId))
+        .when(v === 1, concat(lit("https://www.example.com/articles/"), baseId, lit("/?utm_source=feed&utm_medium=rss")))
+        .when(v === 2, concat(lit("https://www.example.com/articles/"), baseId, lit("#section-2")))
+        .when(v === 3, concat(lit("HTTPS://WWW.Example.COM:443/articles/"), baseId, lit("/")))
+        .otherwise(concat(lit("https://www.example.com/articles/"), baseId, lit("?b=2&a=1")))
+      Tables(s, d).documents.select("doc_id").withColumn("url", url)
+        .withColumn("canon", Urls.canonicalize(col("url")))
+        .groupBy("canon")
+        .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_dups"))
+        .orderBy("canon")
+    }),
+
     // X19 — temperature-scaled multilingual mixing (mT5/XLM-R recipe):
     // shares derived from per-language corpus size w ∝ A^0.5 instead of a
     // hand-written table; same deterministic epoch/bucket assignment as x12.
@@ -3193,6 +3212,30 @@ object SparkEntry {
         | x AS (SELECT doc_id, source, fbp, bucket, unnest(range(0, fbp // 10000 + 1)) AS epoch FROM j)
         | SELECT doc_id, source, epoch::BIGINT AS epoch FROM x
         | WHERE epoch < fbp // 10000 OR bucket < fbp % 10000 ORDER BY doc_id, epoch""".stripMargin,
+    "x21_url_dedup" ->
+      raw"""WITH u AS (SELECT doc_id, CASE doc_id % 5
+           |    WHEN 0 THEN 'https://www.example.com/articles/' || (doc_id // 5)::VARCHAR
+           |    WHEN 1 THEN 'https://www.example.com/articles/' || (doc_id // 5)::VARCHAR || '/?utm_source=feed&utm_medium=rss'
+           |    WHEN 2 THEN 'https://www.example.com/articles/' || (doc_id // 5)::VARCHAR || '#section-2'
+           |    WHEN 3 THEN 'HTTPS://WWW.Example.COM:443/articles/' || (doc_id // 5)::VARCHAR || '/'
+           |    ELSE 'https://www.example.com/articles/' || (doc_id // 5)::VARCHAR || '?b=2&a=1' END AS url FROM documents),
+           | p AS (SELECT doc_id, url,
+           |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+           |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+           |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:(\d+)(?:[/?#]|$$)', 1) AS port,
+           |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+           |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS query FROM u),
+           | h AS (SELECT doc_id, scheme, port, path, query,
+           |    str_split(str_split(auth, '@')[-1], ':')[1] AS hostv FROM p),
+           | c AS (SELECT doc_id,
+           |    scheme || '://' || hostv ||
+           |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END) ||
+           |    regexp_replace(path, '/+$$', '') ||
+           |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon
+           |   FROM (SELECT *, coalesce(array_to_string(list_sort(list_filter(str_split(query, '&'),
+           |     x -> NOT (x = '' OR starts_with(x, 'utm_') OR starts_with(x, 'gclid=') OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref=') OR x = 'gclid' OR x = 'fbclid' OR x = 'ref'))), '&'), '') AS q FROM h))
+           | SELECT canon, min(doc_id) AS kept_doc_id, count(*) AS n_dups
+           | FROM c GROUP BY canon ORDER BY canon""".stripMargin,
     "x20_domain_filter" ->
       """WITH u AS (SELECT doc_id, 'https://' || (['www.','cdn.','a.b.',''])[(doc_id % 4) + 1] || source || '.example.' || (['com','org','net'])[(doc_id % 3) + 1] || '/doc/' || doc_id::VARCHAR AS url FROM documents),
         | h AS (SELECT doc_id, lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host FROM u),

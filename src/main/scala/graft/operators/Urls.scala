@@ -71,6 +71,41 @@ object Urls {
       .withColumn("blocked", coalesce(col("blocked"), lit(false)))
   }
 
+  /** Canonical URL for crawl dedup — the normalization every URL-level
+    * dedup pass applies before keying (two crawls of one page must
+    * collapse even when trackers/fragments/param order differ):
+    *  - scheme and host lowercased, userinfo dropped;
+    *  - default ports stripped (`:80` http, `:443` https), others kept;
+    *  - fragment dropped;
+    *  - tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`);
+    *  - surviving query params sorted by full `k=v` text (stable across
+    *    engines — no locale, byte order);
+    *  - trailing path slash dropped (`/a/` ≡ `/a`, `/` ≡ empty).
+    * NULL for non-absolute URLs. Pure per-row projection (split /
+    * filter / array_sort / array_join HOFs) — no shuffle; the dedup that
+    * follows keys on the result.
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val port   = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:(\\d+)(?:[/?#]|$)", 1)
+    val path   = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val query  = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+    val keepPort = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val params = filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p === "" ||
+        p.startsWith("gclid=") || p.startsWith("fbclid=") || p.startsWith("ref=") ||
+        p === "gclid" || p === "fbclid" || p === "ref"))
+    val q = array_join(array_sort(params), "&")
+    val cleanPath = regexp_replace(path, "/+$", "")
+    when(host(url).isNotNull,
+      concat(scheme, lit("://"), host(url), keepPort, cleanPath,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
   /** The filter form: rows whose host survives the blocklist. */
   def filterBlockedDomains(
       df: DataFrame, urlCol: String, blocklist: DataFrame, domainCol: String,

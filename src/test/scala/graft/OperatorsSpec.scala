@@ -974,6 +974,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L, 5L, 6L))
   }
 
+  test("Urls.canonicalize: trackers, fragments, default ports, slashes, param order") {
+    val in = Seq(
+      "https://www.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "http://ex.com:80/a",
+      "http://ex.com:8080/a",           // non-default port survives
+      "https://ex.com/",                // root path → dropped
+      "https://ex.com/a?gclid=123",     // tracker-only query → no '?'
+      "https://user@ex.com/a",          // userinfo dropped
+      "garbage",
+    ).toDF("u")
+    val out = in.select(Urls.canonicalize(col("u")).as("c")).as[Option[String]].collect()
+    assert(out(0).contains("https://www.ex.com/a/b?a=1&b=2"))
+    assert(out(1).contains("http://ex.com/a"))
+    assert(out(2).contains("http://ex.com:8080/a"))
+    assert(out(3).contains("https://ex.com"))
+    assert(out(4).contains("https://ex.com/a"))
+    assert(out(5).contains("https://ex.com/a"))
+    assert(out(6).isEmpty)
+  }
+
   // ---- G1 PageRank --------------------------------------------------------
   test("pagerank: hand-computed two-source star with a dangling sink") {
     val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
