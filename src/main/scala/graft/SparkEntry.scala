@@ -589,6 +589,25 @@ object SparkEntry {
         size(split(col("text"), "\n", -1)).cast("long").as("n_lines"))
       .orderBy("file_name")),
 
+    // S21 — JSONL corpus scan: explicit schema, nested object + array
+    // fields, mixed plain/.gz shards through one reader.
+    "s21_jsonl_scan" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("text", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType), StructField("source", StringType)))),
+        StructField("tags", ArrayType(StringType)),
+        StructField("tokens", LongType)))
+      graft.sources.FileSources.jsonlScan(s, "/root/repo/fixtures/jsonl", schema)
+        .select(col("id"), col("meta.lang").as("lang"), col("meta.source").as("source"),
+          size(col("tags")).cast("long").as("n_tags"),
+          array_join(array_sort(col("tags")), ",").as("tags_sorted"),
+          md5(col("text")).as("text_md5"), col("tokens"))
+        .orderBy("id")
+    }),
+
     // S20 — HTML → text extraction (the step between a WARC response scan
     // and quality filtering): script/style/comment removal, block-tag
     // newlines, entity decode, whitespace normalization, plus the jusText
@@ -2610,6 +2629,13 @@ object SparkEntry {
       raw"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, md5(content) AS text_md5,
            | len(string_split(content, chr(10))) AS n_lines
            | FROM read_text('/root/repo/fixtures/text/*.md') ORDER BY file_name""".stripMargin,
+    "s21_jsonl_scan" ->
+      """SELECT id, meta.lang AS lang, meta.source AS source,
+        | len(tags)::BIGINT AS n_tags,
+        | coalesce(array_to_string(list_sort(tags), ','), '') AS tags_sorted,
+        | md5(text) AS text_md5, tokens
+        | FROM read_json('/root/repo/fixtures/jsonl/*.jsonl*', format='newline_delimited')
+        | ORDER BY id""".stripMargin,
     "s20_html_extract" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, content FROM read_text('/root/repo/fixtures/html/*.html')),
            | sn AS (SELECT file_name, regexp_replace(regexp_replace(regexp_replace(content,

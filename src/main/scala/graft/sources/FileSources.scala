@@ -156,6 +156,28 @@ object FileSources {
       .withColumn("file_name", regexp_extract(input_file_name(), "([^/]+)$", 1))
       .withColumnRenamed("value", "text")
 
+  /** S21 — JSONL corpus scan (the standard LLM training-corpus
+    * interchange format): newline-delimited JSON with an EXPLICIT schema —
+    * inference would scan the corpus twice and lock the job to whatever
+    * fields the first shards happened to carry. Gzip shards decompress by
+    * extension through the same reader (Hadoop codec), so mixed
+    * plain/.gz shard directories — the normal corpus layout — read in one
+    * pass. `columnNameOfCorruptRecord` kept default-null-dropping is NOT
+    * used: PERMISSIVE + a corrupt-record column would silently null every
+    * field on one bad line, so FAILFAST is the right corpus-ingest
+    * default (a bad shard should stop the job, not poison the corpus).
+    */
+  def jsonlScan(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      failFast: Boolean = true,
+  ): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .json(dir)
+
   /** S9 — code scan: language = raw extension (reference keeps the ext). */
   def codeScan(spark: SparkSession, dir: String): DataFrame =
     wholeTextFiles(spark, dir)

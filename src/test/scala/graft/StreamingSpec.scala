@@ -306,6 +306,75 @@ class ComponentStreamSpec extends AnyFunSuite {
   }
 }
 
+class Scd2StreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("micro-batched events converge to the from-scratch SCD2, late arrivals included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base  = java.nio.file.Files.createTempDirectory("graft_scd2stream").toString
+    val store = s"$base/intervals"; val ckpt = s"$base/ckpt"
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.Scd2Stream.start(
+      spark, mem.toDF().toDF("user_id", "ts", "event_id", "state"),
+      "user_id", "ts", "event_id", "state", store, ckpt, availableNow = false)
+    // batch 1: user 1 goes a→b; user 2 opens with x
+    mem.addData((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 15L, 3L, "x"))
+    q.processAllAvailable()
+    // batch 2: user 1 extends (b run collapses) then changes; user 3 new
+    mem.addData((1L, 30L, 4L, "b"), (1L, 40L, 5L, "c"), (3L, 5L, 6L, "z"))
+    q.processAllAvailable()
+    // batch 3: LATE event for user 1 lands between existing changes and
+    // must split the b interval retroactively; user 2 untouched since b1
+    mem.addData((1L, 25L, 7L, "d"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$store/intervals")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    val allEvents = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 15L, 3L, "x"),
+      (1L, 30L, 4L, "b"), (1L, 40L, 5L, "c"), (3L, 5L, 6L, "z"),
+      (1L, 25L, 7L, "d"),
+    ).toDF("user_id", "ts", "event_id", "state")
+    val scratch = graft.operators.Joins.scd2(allEvents, "user_id", "ts", "event_id", "state")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(got == scratch)
+    // the late 'd' split: b reopens at 30 after d at 25
+    assert(got.contains((1L, "d", 25L, Some(30L))))
+    assert(got.contains((1L, "b", 30L, Some(40L))))
+  }
+
+  test("foldBatch is idempotent under batch redelivery (at-least-once safety)") {
+    import spark.implicits._
+    val ev = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "state")
+    val e0 = graft.streaming.Scd2Stream.currentEvents(spark, s"/nonexistent_${System.nanoTime}")
+    val i0 = graft.streaming.Scd2Stream.currentIntervals(spark, s"/nonexistent_${System.nanoTime}")
+    val (e1, i1) = graft.streaming.Scd2Stream.foldBatch(e0, i0, ev, "user_id", "ts", "event_id", "state")
+    val (e2, i2) = graft.streaming.Scd2Stream.foldBatch(e1, i1, ev, "user_id", "ts", "event_id", "state")
+    assert(e2.count() == e1.count())
+    assert(i2.as[(Long, String, Long, Option[Long])].collect().toSet ==
+      i1.as[(Long, String, Long, Option[Long])].collect().toSet)
+  }
+
+  test("foldBatch on an empty store equals the batch operator (backfill path)") {
+    import spark.implicits._
+    val ev = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "x"))
+      .toDF("user_id", "ts", "event_id", "state")
+    val emptyEv = graft.streaming.Scd2Stream.currentEvents(spark, s"/nonexistent_${System.nanoTime}")
+    val emptyIv = graft.streaming.Scd2Stream.currentIntervals(spark, s"/nonexistent_${System.nanoTime}")
+    val folded = graft.streaming.Scd2Stream
+      .foldBatch(emptyEv, emptyIv, ev, "user_id", "ts", "event_id", "state")
+      ._2.as[(Long, String, Long, Option[Long])].collect().toSet
+    val batch = graft.operators.Joins.scd2(ev, "user_id", "ts", "event_id", "state")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(folded == batch)
+  }
+}
+
 /** M6 model persistence: save/load round-trip produces identical projections. */
 class PersistenceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
