@@ -499,6 +499,64 @@ object ScaleBench {
           docs, "doc_id", "text",
           docs.where(col("doc_id") % 50 === 0).select("text"), "text",
           1000).count()),
+        // round-7: graph / interval / URL / HTML additions ----------------
+        // 3 unrolled power iterations over a hash link graph (~10 targets
+        // per hub): per-round cost = one join + one map-side-combined
+        // groupBy; the curve should track edge count linearly
+        "pagerank"        -> (() => {
+          val e = docs.select(col("doc_id").as("src"),
+            pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
+          Graph.pagerank(e, "src", "dst", iters = 3).count()
+        }),
+        // SCD2 interval build over the event log: ONE shuffle (the
+        // (user, ts) window chain); output ~= change rows
+        "scd2_intervals"  -> (() => Joins.scd2(
+          events.select(col("user_id"), col("ts").cast("long").as("ts"),
+            col("event_id"), col("event_type")),
+          "user_id", "ts", "event_id", "event_type").count()),
+        // canonicalize + canonical-key dedup over 5 URL variants per page:
+        // per-row HOF projections + one groupBy
+        "url_dedup"       -> (() => {
+          val baseId = expr("cast(doc_id div 5 as string)")
+          val v = pmod(col("doc_id"), lit(5))
+          val url = when(v === 0, concat(lit("https://www.example.com/articles/"), baseId))
+            .when(v === 1, concat(lit("https://www.example.com/articles/"), baseId, lit("/?utm_source=feed")))
+            .when(v === 2, concat(lit("https://www.example.com/articles/"), baseId, lit("#s")))
+            .when(v === 3, concat(lit("HTTPS://WWW.Example.COM:443/articles/"), baseId, lit("/")))
+            .otherwise(concat(lit("https://www.example.com/articles/"), baseId, lit("?b=2&a=1")))
+          docs.select(col("doc_id")).withColumn("canon", Urls.canonicalize(url))
+            .groupBy("canon").agg(min("doc_id")).count()
+        }),
+        // suffix-explode blocklist join: flag computed on distinct hosts
+        // (500 per scale unit here), corpus joins back on host
+        "domain_filter"   -> (() => {
+          val url = concat(lit("https://h"), pmod(hash(col("doc_id")), lit(500L * scale)),
+            lit(".example."), element_at(typedLit(Seq("com", "org", "net")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), lit("/p/"), col("doc_id"))
+          val block = {
+            import spark.implicits._
+            (0 until 64).map(i => s"h$i.example.com").toDF("domain")
+          }
+          Urls.withDomainBlocked(docs.select(col("doc_id")).withColumn("url", url),
+            "url", block, "domain").where(col("blocked")).count()
+        }),
+        // size-derived temperature shares: the |classes|-row pow/normalize
+        // + the same broadcast epoch tail as mix_to_budget
+        "temperature_mix" -> (() => Mixing.temperatureMix(
+          docs.select(col("doc_id"),
+            concat(lit("c"), pmod(col("doc_id"), lit(8))).as("cls"),
+            length(col("text")).cast("long").as("sz")),
+          "cls", "doc_id", "sz", 0.5, 1500000L * scale).count()),
+        // HTML wrap + extract + link density: pure regex chain, linear in
+        // bytes (sum forces both derived columns)
+        "html_extract"    -> (() => {
+          val html = concat(lit("<html><head><script>var x=1;</script></head><body><nav><a href=\"/\">Home</a> <a href=\"/d\">Docs</a></nav><p>"),
+            col("text"), lit("</p><footer><a href=\"/a\">About</a></footer></body></html>"))
+          docs.select(
+            length(graft.functions.TextOps.htmlText(html)).as("l"),
+            graft.functions.TextOps.htmlLinkDensityBp(html).as("d"))
+            .agg(sum(col("l")), sum(col("d"))).head(); 1L
+        }),
         "hybrid_rrf"      -> (() => {
           val w = org.apache.spark.sql.expressions.Window.orderBy(desc("score"), col("id"))
           val bmLeg = Rank.bm25(docs, "doc_id", "text", Seq("w1", "w17", "w303"))

@@ -1621,6 +1621,22 @@ object SparkEntry {
       "user_id", "ts", "event_id", "event_type")
       .orderBy("user_id", "valid_from", "event_type")),
 
+    // J12 — point-in-time snapshot over the SCD2 intervals: each user's
+    // state at the midpoint of event time, as a pure range predicate (no
+    // window, no replay). Midpoint derived with INTEGER arithmetic — the
+    // ns-scale epoch would lose precision through a double.
+    "j12_snapshot_at" -> ((s, d) => {
+      val iv = Joins.scd2(
+        Tables(s, d).events.select(col("user_id"),
+          unix_micros(col("ts")).as("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type")
+      val t = iv.agg(
+        expr("min(valid_from) + (max(valid_from) - min(valid_from)) div 2").as("__t"))
+      Joins.snapshotAt(iv.crossJoin(broadcast(t)), col("__t"))
+        .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+
     // G1 — fixed-iteration PageRank over the customer→supplier fulfillment
     // graph (the crawl-quality centrality signal; suppliers offset by 1e6
     // so the two key spaces don't collide). 3 unrolled power iterations,
@@ -3693,6 +3709,19 @@ object SparkEntry {
         | SELECT user_id, event_type, ts AS valid_from,
         |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
         | FROM c ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "j12_snapshot_at" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts, event_id FROM events),
+        | o AS (SELECT user_id, event_type, ts, event_id,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev),
+        | c AS (SELECT user_id, event_type, ts, event_id FROM o
+        |   WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        | iv AS (SELECT user_id, event_type, ts AS valid_from,
+        |   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c),
+        | tt AS (SELECT min(valid_from) + (max(valid_from) - min(valid_from)) // 2 AS t FROM iv)
+        | SELECT user_id, event_type, valid_from, valid_to FROM iv CROSS JOIN tt
+        | WHERE valid_from <= t AND (valid_to IS NULL OR valid_to > t)
+        | ORDER BY user_id, valid_from, event_type""".stripMargin,
     "g1_pagerank" ->
       """WITH e AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst
         |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

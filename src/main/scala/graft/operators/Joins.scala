@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** The reference's join surface (SURVEY §2.3). Its "joins" are cross-store
   * dict lookups in Python; here they become first-class relational joins so
@@ -335,4 +335,15 @@ object Joins {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"), col("valid_to"))
   }
+
+  /** Point-in-time cut of an SCD2 interval table ([[scd2]]'s output):
+    * each key's state at instant `t` — `valid_from <= t < valid_to`,
+    * open intervals current. THE payoff of the interval build: a 100 TB
+    * event history answers "the corpus as of T" as a pure range predicate
+    * over the (much smaller) interval table — pushed into the parquet
+    * scan, no window, no replay.
+    */
+  def snapshotAt(intervals: DataFrame, t: Column): DataFrame =
+    intervals.where(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
 }
