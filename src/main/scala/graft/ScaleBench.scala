@@ -410,6 +410,8 @@ object ScaleBench {
           "doc_id", "text").where(col("is_new")).count()),
         "bigram_surprisal" -> (() => graft.functions.TextOps
           .bigramSurprisal(docs, "doc_id", "text", materialize = true).count()),
+        "trigram_surprisal" -> (() => graft.functions.TextOps
+          .trigramSurprisal(docs, "doc_id", "text", materialize = true).count()),
         // 2000·scale vectors: ≥4× is over the 4096 fit cap → hash-sampled
         // fit + broadcast transform (the scale path)
         "umap_project"    -> (() => new Ml.UmapReducer()

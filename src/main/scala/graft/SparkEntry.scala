@@ -1187,6 +1187,15 @@ object SparkEntry {
       .select("doc_id", "lang", "epoch")
       .orderBy("doc_id", "epoch")),
 
+    // X22 — interpolated trigram surprisal (Jelinek-Mercer over add-k
+    // trigram/bigram/unigram, the KenLM-shaped CCNet filter). Same scan
+    // discipline as x10; the n-gram tables shuffle-join by key.
+    "x22_trigram_surprisal" -> ((s, d) =>
+      TextOps.trigramSurprisal(Tables(s, d).documents, "doc_id", "text", materialize = true)
+        .select(col("doc_id"), col("n_triples"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")),
+
     // X10 — corpus-self-trained bigram surprisal (CCNet/KenLM-style quality
     // signal). round(·, 4) absorbs engine summation-order ulps.
     "x10_bigram_surprisal" -> ((s, d) =>
@@ -3297,6 +3306,26 @@ object SparkEntry {
         | x AS (SELECT doc_id, lang, fbp, bucket, unnest(range(0, fbp // 10000 + 1)) AS epoch FROM j)
         | SELECT doc_id, lang, epoch::BIGINT AS epoch FROM x
         | WHERE epoch < fbp // 10000 OR bucket < fbp % 10000 ORDER BY doc_id, epoch""".stripMargin,
+    "x22_trigram_surprisal" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+           | tr AS (SELECT doc_id, lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS u2,
+           |        lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v1, w FROM w),
+           | trip AS (SELECT doc_id, u2, v1, w FROM tr WHERE u2 IS NOT NULL),
+           | tri AS (SELECT u2, v1, w, count(*)::DOUBLE AS c3 FROM trip GROUP BY 1, 2, 3),
+           | ctx2 AS (SELECT v1 AS u2, w AS v1, count(*)::DOUBLE AS c2ctx FROM tr WHERE v1 IS NOT NULL GROUP BY 1, 2),
+           | big AS (SELECT v1, w, count(*)::DOUBLE AS c2 FROM tr WHERE v1 IS NOT NULL GROUP BY 1, 2),
+           | uni AS (SELECT w, count(*)::DOUBLE AS c1 FROM w GROUP BY 1),
+           | uni1 AS (SELECT w AS v1, count(*)::DOUBLE AS c1v FROM w GROUP BY 1),
+           | scal AS (SELECT count(*)::DOUBLE AS n, count(DISTINCT w)::DOUBLE AS v FROM w)
+           | SELECT trip.doc_id, count(*)::BIGINT AS n_triples,
+           |   round(avg(-ln(
+           |     0.6 * ((c3 + 1.0) / (c2ctx + (v + 1) * 1.0)) +
+           |     0.3 * ((c2 + 1.0) / (c1v + (v + 1) * 1.0)) +
+           |     0.1 * ((c1 + 1.0) / (n + (v + 1) * 1.0)))), 4) AS avg_nll
+           | FROM trip JOIN tri USING (u2, v1, w) JOIN ctx2 USING (u2, v1)
+           |   JOIN big USING (v1, w) JOIN uni USING (w) JOIN uni1 USING (v1) CROSS JOIN scal
+           | GROUP BY trip.doc_id ORDER BY doc_id""".stripMargin,
     "x10_bigram_surprisal" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),

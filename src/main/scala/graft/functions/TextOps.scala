@@ -434,4 +434,70 @@ object TextOps {
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_pairs"), avg(col("__nll")).as("avg_nll"))
   }
+
+  /** Corpus-self-trained INTERPOLATED trigram surprisal — the KenLM-shaped
+    * upgrade over [[bigramSurprisal]] (CCNet filters on exactly this class
+    * of model; Jelinek-Mercer interpolation per Chen & Goodman 1999):
+    *
+    *   p(w|u,v) = λ3·p̂3(w|u,v) + λ2·p̂2(w|v) + λ1·p̂1(w)
+    *
+    * with each p̂ₙ add-k smoothed over the corpus's own counts (numerators
+    * +k, denominators +(V+1)k, V = distinct tokens — the same convention
+    * as the bigram form so the two scores are comparable). Per-doc output
+    * is the mean NLL over positions with two predecessors.
+    *
+    * Plan shape: ONE tokenize+explode scan; lag(1) and lag(2) share one
+    * (doc, pos) window partitioning; five count tables (trigram, bigram
+    * context, bigram, unigram — used twice — and the (N, V) scalar) join
+    * back by their n-gram keys. The trigram/bigram tables are O(corpus
+    * tokens) — they SHUFFLE-join (no driver state, no broadcast of
+    * unbounded tables); the scalar rides a broadcast. This is the honest
+    * distributed LM-scoring shape: every stage is a map-side-combined
+    * count or an equi-join, nothing quadratic, nothing collected.
+    */
+  def trigramSurprisal(
+      docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0,
+      lambda3: Double = 0.6, lambda2: Double = 0.3, lambda1: Double = 0.1,
+      materialize: Boolean = false,
+  ): DataFrame = {
+    require(addK > 0, s"addK must be positive: $addK")
+    require(math.abs(lambda3 + lambda2 + lambda1 - 1.0) < 1e-9,
+      s"interpolation weights must sum to 1: $lambda3 + $lambda2 + $lambda1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__id").orderBy("__pos")
+    val toks0 = docs.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val toks = if (materialize) toks0.localCheckpoint(true) else toks0
+    val triples0 = toks
+      .withColumn("__v1", lag(col("__w"), 1).over(w))
+      .withColumn("__u2", lag(col("__w"), 2).over(w))
+    val triples = if (materialize) triples0.localCheckpoint(true) else triples0
+    val tri  = triples.where(col("__u2").isNotNull)
+      .groupBy("__u2", "__v1", "__w").agg(count(lit(1)).cast("double").as("__c3"))
+    // context/bigram counts over ALL adjacent pairs (the standard estimate
+    // counts every (u,v) occurrence, including sentence-final ones)
+    val ctx2 = triples.where(col("__v1").isNotNull)
+      .groupBy(col("__v1").as("__u2"), col("__w").as("__v1"))
+      .agg(count(lit(1)).cast("double").as("__c2ctx"))
+    val big  = triples.where(col("__v1").isNotNull)
+      .groupBy("__v1", "__w").agg(count(lit(1)).cast("double").as("__c2"))
+    val uni  = toks.groupBy("__w").agg(count(lit(1)).cast("double").as("__c1"))
+    val scal = toks.agg(count(lit(1)).cast("double").as("__n"),
+      countDistinct(col("__w")).cast("double").as("__v"))
+    val kTerm = (c: Column, d: Column) =>
+      (c + addK) / (d + (col("__v") + 1) * addK)
+    triples.where(col("__u2").isNotNull)
+      .join(tri, Seq("__u2", "__v1", "__w"))
+      .join(ctx2, Seq("__u2", "__v1"))
+      .join(big, Seq("__v1", "__w"))
+      .join(uni, Seq("__w"))
+      .join(uni.select(col("__w").as("__v1"), col("__c1").as("__c1v")), Seq("__v1"))
+      .crossJoin(broadcast(scal))
+      .withColumn("__p",
+        lit(lambda3) * kTerm(col("__c3"), col("__c2ctx")) +
+          lit(lambda2) * kTerm(col("__c2"), col("__c1v")) +
+          lit(lambda1) * kTerm(col("__c1"), col("__n")))
+      .withColumn("__nll", -log(col("__p")))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_triples"), avg(col("__nll")).as("avg_nll"))
+  }
 }

@@ -912,6 +912,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(t("big") < nat("big"))
   }
 
+  // ---- X22 trigram LM -----------------------------------------------------
+  test("trigramSurprisal: matches the closed-form interpolation on a hand corpus") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val out = TextOps.trigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out(0)._2 == 2L)
+    // tokens a b a b: N=4, V=2; pairs (a,b):2 (b,a):1; triples (a,b,a):1 (b,a,b):1
+    val p1a = 3.0 / 7; val p1b = 3.0 / 7
+    val nll1 = -math.log(0.6 * (2.0 / 5) + 0.3 * (2.0 / 5) + 0.1 * p1a) // (a,b)->a
+    val nll2 = -math.log(0.6 * (2.0 / 4) + 0.3 * (3.0 / 5) + 0.1 * p1b) // (b,a)->b
+    assert(math.abs(out(0)._3 - (nll1 + nll2) / 2) < 1e-9)
+  }
+
+  test("trigramSurprisal: repetitive text scores lower surprisal than shuffled text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
+      (2L, "mat the on sat cat the sat mat on the cat mat on sat the cat mat on"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.trigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(2L), s"repetition must lower surprisal: $out")
+  }
+
   // ---- S20 HTML extraction ------------------------------------------------
   test("htmlText: entity decode runs after tag strip and &amp; decodes last") {
     val in = Seq(
