@@ -176,6 +176,12 @@ object ScaleBench {
           Pq.topKRefined(coded, "embedding", "pq_codes", "vec_id", qVec, 10, pqm, refine = 32)
             .select("vec_id").as[Long].collect().count(exactIds).toLong
         }),
+        // v20 at the real shape: Hamming top-50 over packed sign bits
+        // (12 longs = 96 B/vector, 64x under float64, xor+popcount
+        // codegen) + exact rerank of the 50; rows = recall@10 (gate >= 8)
+        "bq_topk_768" -> (() => Quant.topKBinaryRerank(
+          vecs, "embedding", "vec_id", qVec, 10, 50)
+          .select("vec_id").as[Long].collect().count(exactIds).toLong),
         // v19 at the real shape, split like ivf_build/ivf_probe: the graph
         // is built ONCE into the row-per-node store (cold/warm delta = the
         // O(n·log n) per-shard construction — 4 shards so per-shard size

@@ -2334,6 +2334,18 @@ object SparkEntry {
         .select(lit(10L).as("k"), (col("__found") >= 8).as("recall_ok"))
     }),
 
+    // V20 — binary (1-bit) quantization search (operators/Quant.scala
+    // topKBinaryRerank): Hamming top-50 over packed sign bits (64× fewer
+    // bytes than the float scan, xor+popcount codegen) → exact cosine
+    // rerank of the 50 survivors. FULL oracle, not a recall gate: DuckDB
+    // replays the exact two-stage plan (per-dim sign mismatch count →
+    // top-50 by (ham, id) → cosine top-10), so a packing or popcount bug
+    // surfaces as a different candidate set, not a hidden recall dip.
+    "v20_bq_topk" -> ((s, d) => Quant.topKBinaryRerank(
+      Tables(s, d).embeddings, "embedding", "vec_id", qVec, 10, 50,
+      Seq(col("label") =!= 3))
+      .select(col("vec_id"), round(col("score"), 4).as("score"), col("label"))),
+
     // V13 — the quantizer itself, full hash oracle: floor(x/s·127+0.5) is
     // the same IEEE double arithmetic in Spark and DuckDB, so the exact
     // code arrays (not just stats) are value-checked per vector.
@@ -3960,6 +3972,19 @@ object SparkEntry {
       "SELECT 10::BIGINT AS k, true AS recall_ok",
     "v19_hnsw" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
+
+    // v20 — exact replay of the two-stage plan: per-dim sign-mismatch count
+    // (≡ popcount over packed words), top-50 by (ham, vec_id), exact cosine
+    // top-10 over the survivors.
+    "v20_bq_topk" ->
+      s"""WITH h AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         |   list_sum(list_transform(range(1, len(embedding) + 1),
+         |     i -> CASE WHEN (embedding[i] > 0) <> (($qVecSql)[i] > 0) THEN 1 ELSE 0 END)) AS ham
+         |   FROM embeddings WHERE label <> 3),
+         | cand AS (SELECT vec_id, label, e FROM h ORDER BY ham, vec_id LIMIT 50),
+         | scored AS (SELECT vec_id, label, list_cosine_similarity(e, $qVecSql) AS sim FROM cand)
+         | SELECT vec_id, round(sim, 4) AS score, label FROM scored
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "v13_sq8_codes" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -170,6 +170,106 @@ object Sq8 {
   }
 }
 
+/** Binary (1-bit) quantizer: sign bits of a double array packed into
+  * array<long> words — ceil(dim/64) longs, 64× smaller than the float64
+  * vector (768-d: 96 bytes vs 6 KB). Bit `i % 64` of word `i / 64` is set
+  * iff `v_i > 0.0` (zero and negative components clear; the convention the
+  * DuckDB oracle replays per-dimension). This is the candidate-generation
+  * storage for Hamming-distance search: under random-hyperplane/sign LSH,
+  * Hamming distance between sign patterns is a monotone estimator of
+  * angular distance, so a Hamming top-C over codes + exact rerank over the
+  * C survivors approximates cosine top-k reading ~1.5% of the bytes.
+  */
+case class BinarySign(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<double>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "binary_sign"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BinarySign.pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BinarySign$$.MODULE$$.pack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BinarySign =
+    copy(child = newChild)
+}
+
+object BinarySign {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def pack(v: ArrayData): GenericArrayData = {
+    val n = v.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      // SQL comparison semantics on purpose: Spark SQL and DuckDB both
+      // order NaN ABOVE every real double, so `x > 0` is TRUE for NaN in
+      // both engines — Java's IEEE `NaN > 0 == false` would silently
+      // disagree with the oracle's per-dim replay (property-tested)
+      val x = v.getDouble(i)
+      if (x > 0.0 || x.isNaN) words(i / 64) |= 1L << (i % 64)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  def packQuery(q: Seq[Double]): Seq[Long] = {
+    val words = new Array[Long]((q.length + 63) / 64)
+    q.zipWithIndex.foreach { case (x, i) =>
+      if (x > 0.0 || x.isNaN) words(i / 64) |= 1L << (i % 64)
+    }
+    words.toSeq
+  }
+}
+
+/** Fused Hamming distance over two packed array<long> code columns:
+  * sum of Long.bitCount(a_i ^ b_i). One popcount-per-word loop —
+  * `Long.bitCount` JIT-compiles to the POPCNT instruction, so a 768-d
+  * comparison is 12 xors + 12 popcounts.
+  */
+case class HammingDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] && right.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.LongType &&
+      right.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hamming_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0; var i = 0
+    while (i < n) { d += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $d = 0;
+         |for (int $i = 0; $i < $n; $i++) { $d += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i)); }
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Codegen'd cosine over array<double> columns. */
@@ -183,4 +283,12 @@ object VectorExpressions {
   /** Codegen'd SQ8 quantization: struct(codes array<int>, scale double). */
   def sq8(v: Column): Column =
     GraftBridge.column(Sq8(GraftBridge.expression(v)))
+
+  /** Codegen'd sign-bit packing: array<double> → array<long> (64 dims/word). */
+  def binarySign(v: Column): Column =
+    GraftBridge.column(BinarySign(GraftBridge.expression(v)))
+
+  /** Codegen'd Hamming distance over packed array<long> codes. */
+  def hammingFast(a: Column, b: Column): Column =
+    GraftBridge.column(HammingDistance(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

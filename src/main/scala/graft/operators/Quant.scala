@@ -88,4 +88,59 @@ object Quant {
       "__sq8_d", idCol, query, k,
     ).drop("__sq8_d")
   }
+
+  /** Binary-quantize an embedding table: adds a packed sign-bit code column
+    * (array<long>, 64 dims per word — 64× smaller than float64). Stored to
+    * parquet this is the candidate-generation column for
+    * [[topKBinaryRerank]]; keep the float column out of the code store's
+    * projection and hydrate it per-candidate instead.
+    */
+  def bqTable(df: DataFrame, embCol: String, bitsCol: String = "bq"): DataFrame = {
+    require(!df.columns.contains(bitsCol), s"input already has a '$bitsCol' column")
+    df.withColumn(bitsCol,
+      graft.functions.VectorExpressions.binarySign(col(embCol).cast("array<double>")))
+  }
+
+  /** Two-stage binary-quantized search (the RaBitQ/BQ shape every
+    * memory-bound vector store ships): Hamming top-`nCandidates` over the
+    * packed sign bits, then exact cosine rerank of the survivors.
+    *
+    * Plan shape — the 100 TB story:
+    *  1. candidate scan reads ONLY (id, packed codes) — 64× fewer vector
+    *     bytes than a float scan; `filters` are plain `where`s so they
+    *     push to parquet. Hamming is one codegen'd xor+popcount loop and
+    *     the top-C plans as `TakeOrderedAndProject` (per-partition heap +
+    *     driver merge, no sort, no shuffle of the corpus);
+    *  2. the ≤C candidate ids broadcast back onto the full-precision table
+    *     (broadcast hash join — the corpus side never shuffles) and the
+    *     exact [[Search.topK]] scores just those C rows.
+    *
+    * Both stages tie-break on `idCol`, so the result is deterministic and
+    * the DuckDB oracle replays the exact two-stage plan (not brute force —
+    * a candidate-miss is a real recall regression, and the oracle would
+    * catch a packing/popcount bug as a different candidate set).
+    */
+  def topKBinaryRerank(
+      table: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nCandidates: Int,
+      filters: Seq[org.apache.spark.sql.Column] = Nil,
+  ): DataFrame = {
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    Seq("__bq", "__ham").foreach(c =>
+      require(!table.columns.contains(c), s"input already has a '$c' column"))
+    val filtered = filters.foldLeft(table)((df, f) => df.where(f))
+    val qBits = graft.functions.BinarySign.packQuery(query)
+    val candIds = bqTable(filtered, vecCol, "__bq")
+      .withColumn("__ham",
+        graft.functions.VectorExpressions.hammingFast(col("__bq"), typedLit(qBits)))
+      .orderBy(col("__ham"), col(idCol))
+      .limit(nCandidates)
+      .select(idCol)
+    Search.topK(
+      table.join(broadcast(candIds), Seq(idCol)), vecCol, idCol, query, k)
+  }
 }

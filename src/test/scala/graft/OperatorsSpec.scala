@@ -708,6 +708,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: packed Hamming equals the per-dimension sign-mismatch count") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vGen = for {
+      n <- Gen.choose(0, 130) // straddle the 64-bit word boundaries 0/64/128
+      a <- Gen.listOfN(n, Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5, -1e-300, 1e-300, Double.NaN))
+      b <- Gen.listOfN(n, Gen.oneOf(0.0, -0.0, 1.0, -1.0, 0.5, -1e-300, 1e-300, Double.NaN))
+    } yield (a, b)
+    val inputs = (0 until 150).flatMap(i => vGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = inputs.toDF("a", "b").select(
+      graft.functions.VectorExpressions.hammingFast(
+        graft.functions.VectorExpressions.binarySign(col("a").cast("array<double>")),
+        graft.functions.VectorExpressions.binarySign(col("b").cast("array<double>"))).as("fast"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => (x > 0) =!= (y > 0)), p => p)).as("ref"))
+    df.collect().zip(inputs).foreach { case (r, in) =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch on $in")
+    }
+  }
+
+  test("binarySign packs bit i%64 of word i/64; query-side packer agrees with the expression") {
+    val v = (0 until 70).map(i => if (i % 3 == 0) 1.0 else -1.0)
+    val packed = Seq(v).toDF("v").select(
+      graft.functions.VectorExpressions.binarySign(col("v").cast("array<double>")).as("bq"))
+      .collect()(0).getSeq[Long](0)
+    assert(packed.length == 2) // ceil(70/64)
+    assert(packed == graft.functions.BinarySign.packQuery(v.map(identity)))
+    (0 until 70).foreach { i =>
+      val bit = (packed(i / 64) >>> (i % 64)) & 1L
+      assert((bit == 1L) == (v(i) > 0), s"bit $i")
+    }
+  }
+
+  test("topKBinaryRerank with candidates >= corpus size equals the exact topK") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val n = t.embeddings.count().toInt
+    val q = (0 until 64).map(i => math.sin(i + 1).abs * (if (i % 2 == 0) 1 else -1))
+    val bq = Quant.topKBinaryRerank(t.embeddings, "embedding", "vec_id", q, 10, n)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Search.topK(t.embeddings, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(bq == exact)
+  }
+
   test("property: native WordShingles matches the declarative transform/slice form") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -47,6 +47,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"top-k must not shuffle the corpus:\n${plan.take(800)}")
   }
 
+  test("binary-quantized search: Hamming candidate stage is TakeOrderedAndProject, rerank joins broadcast") {
+    val q    = Seq.fill(64)(0.1)
+    val plan = graft.operators.Quant.topKBinaryRerank(
+      Tables(spark, dir).embeddings, "embedding", "vec_id", q, 10, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    assert(plan.contains("BroadcastHashJoin"), s"candidate ids must broadcast back:\n${plan.take(1000)}")
+    // the only exchange allowed is the broadcast of <=50 candidate ids —
+    // the corpus itself must never shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bq search must not shuffle the corpus:\n${plan.take(1400)}")
+  }
+
   test("rangeJoin plans as an equi-join on the bin, never a nested-loop join") {
     import spark.implicits._
     val pts = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("pid", "p")
