@@ -1187,6 +1187,39 @@ object SparkEntry {
       .select("doc_id", "lang", "epoch")
       .orderBy("doc_id", "epoch")),
 
+    // X23 — robots.txt crawl gate (operators/Urls.scala withRobotsAllowed,
+    // RFC 9309): parse per-host robots bodies into rule rows (consecutive
+    // User-agent runs share a group; comments / Crawl-delay ignored), pick
+    // the agent's group per host (specific group REPLACES `*`, never
+    // merges), longest-prefix wins with Allow on ties. The fixture bodies
+    // exercise all of it: crawl-a has a `*` group AND a graftbot+otherbot
+    // group (so /private rules vanish for graftbot), crawl-b only `*`,
+    // crawl-c only googlebot (→ graftbot unrestricted). The oracle inlines
+    // the effective graftbot rules — a parse or group-selection bug shows
+    // up as a different verdict column.
+    "x23_robots_filter" -> ((s, d) => {
+      import s.implicits._
+      val robots = Seq(
+        ("crawl-a.example.com",
+          "# robots for crawl-a\nUser-agent: *\nDisallow: /private\nAllow: /private/stats\n\n" +
+            "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /tmp/\nAllow: /tmp/cache\nCrawl-delay: 10\n"),
+        ("crawl-b.example.com", "User-agent: *\nDisallow: /\nAllow: /public\n"),
+        ("crawl-c.example.com", "User-agent: googlebot\nDisallow: /\n"),
+      ).toDF("host", "txt")
+      val hostExpr = element_at(
+        array(lit("crawl-a.example.com"), lit("crawl-b.example.com"), lit("crawl-c.example.com")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val pathExpr = concat(element_at(
+        array(lit("/public/"), lit("/private/stats/"), lit("/private/data/"), lit("/tmp/cache/"), lit("/tmp/")),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int")), col("doc_id").cast("string"))
+      val urls = Tables(s, d).documents.select("doc_id")
+        .withColumn("url", concat(lit("https://"), hostExpr, pathExpr))
+      Urls.withRobotsAllowed(urls, "url",
+        Urls.robotsRules(robots, "host", "txt"), "GraftBot", Seq("doc_id"))
+        .select("doc_id", "host", "allowed")
+        .orderBy("doc_id")
+    }),
+
     // X22 — interpolated trigram surprisal (Jelinek-Mercer over add-k
     // trigram/bigram/unigram, the KenLM-shaped CCNet filter). Same scan
     // discipline as x10; the n-gram tables shuffle-join by key.
@@ -3318,6 +3351,23 @@ object SparkEntry {
         | x AS (SELECT doc_id, lang, fbp, bucket, unnest(range(0, fbp // 10000 + 1)) AS epoch FROM j)
         | SELECT doc_id, lang, epoch::BIGINT AS epoch FROM x
         | WHERE epoch < fbp // 10000 OR bucket < fbp % 10000 ORDER BY doc_id, epoch""".stripMargin,
+    // x23 — the effective graftbot rules are inlined (crawl-a's graftbot
+    // group, crawl-b's `*` group, nothing for crawl-c); longest-prefix-
+    // wins with Allow on ties replayed as arg_max over len*2+allow.
+    "x23_robots_filter" ->
+      raw"""WITH u AS (SELECT doc_id,
+           |   (['crawl-a.example.com', 'crawl-b.example.com', 'crawl-c.example.com'])[(doc_id % 3 + 1)::INT] AS host,
+           |   (['/public/', '/private/stats/', '/private/data/', '/tmp/cache/', '/tmp/'])[(doc_id % 5 + 1)::INT]
+           |     || doc_id AS path FROM documents),
+           | r(host, allow, prefix) AS (VALUES
+           |   ('crawl-a.example.com', false, '/tmp/'), ('crawl-a.example.com', true, '/tmp/cache'),
+           |   ('crawl-b.example.com', false, '/'), ('crawl-b.example.com', true, '/public')),
+           | m AS (SELECT u.doc_id,
+           |   arg_max(r.allow, len(r.prefix) * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END) AS verdict
+           |   FROM u JOIN r ON u.host = r.host AND starts_with(u.path, r.prefix) GROUP BY u.doc_id)
+           | SELECT u.doc_id, u.host, coalesce(m.verdict, true) AS allowed
+           | FROM u LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "x22_trigram_surprisal" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),

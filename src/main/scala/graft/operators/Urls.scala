@@ -112,4 +112,112 @@ object Urls {
   ): DataFrame =
     withDomainBlocked(df, urlCol, blocklist, domainCol)
       .where(!col("blocked")).drop("host", "blocked")
+
+  /** One parsed robots.txt rule: `agent` is the lowercased User-agent token
+    * the rule's group was declared for, `allow` the directive kind,
+    * `prefix` the path prefix (non-empty — empty-value directives match
+    * nothing per the REP and are dropped at parse time).
+    */
+  final case class RobotsRule(agent: String, allow: Boolean, prefix: String)
+
+  /** Parse one robots.txt body into its rules — RFC 9309 grouping: a run
+    * of consecutive `User-agent:` lines declares a group's agents; every
+    * following `Allow:`/`Disallow:` line belongs to ALL of them; a
+    * `User-agent:` after at least one rule starts a NEW group. Comments
+    * (`#` to end of line) and unknown directives (Crawl-delay, Sitemap, …)
+    * are ignored; blank lines do NOT end a group (RFC 9309 §2.2, the
+    * Googlebot behavior). Plain prefix match only — the `*`/`$` wildcard
+    * extension is out of scope (declared).
+    *
+    * Driver/executor-pure Scala: runs once per robots FILE (one per host —
+    * orders of magnitude fewer rows than the URL corpus it gates).
+    */
+  def parseRobots(txt: String): Seq[RobotsRule] = {
+    val out    = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var agents = List.empty[String]
+    var inRun  = false // currently collecting consecutive User-agent lines
+    for (raw <- txt.linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      val i    = line.indexOf(':')
+      if (i > 0) {
+        val key   = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" if value.nonEmpty =>
+            agents = if (inRun) value.toLowerCase :: agents else List(value.toLowerCase)
+            inRun = true
+          case "allow" | "disallow" =>
+            inRun = false
+            if (value.nonEmpty) agents.foreach(a => out += RobotsRule(a, key == "allow", value))
+          case _ => inRun = false // unknown directive ends a User-agent run
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Explode a (host, robots body) table into (host, agent, allow, prefix)
+    * rule rows via [[parseRobots]].
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (h, t) =>
+        parseRobots(Option(t).getOrElse("")).map(r => (h, r.agent, r.allow, r.prefix)) }
+      .toDF("host", "agent", "allow", "prefix")
+  }
+
+  /** Annotate a URL corpus with `host` and `allowed` under robots.txt
+    * semantics for `userAgent` (RFC 9309 / the Googlebot matcher):
+    *  - group selection per host: if any rule group names `userAgent`
+    *    (case-insensitive), ONLY those rules apply — the `*` group is not
+    *    merged in; else the `*` group; else everything is allowed;
+    *  - rule matching: plain path-prefix; empty URL path matches as "/";
+    *  - precedence: longest matching prefix wins, Allow wins length ties;
+    *  - no matching rule → allowed.
+    *
+    * Scale shape: group selection runs entirely on the RULES side (one
+    * tiny self-aggregation — rules are per-host, Zipf-small next to the
+    * corpus), then ONE equi-join on host fans each URL out to its host's
+    * ≤ dozens of candidate rules, a `startswith` filter keeps matches, and
+    * a map-side-combined `max(struct(len, allow))` per row id picks the
+    * verdict — no window over the corpus, no driver loop; Catalyst
+    * broadcasts the rules side when small.
+    */
+  def withRobotsAllowed(
+      df: DataFrame,
+      urlCol: String,
+      rules: DataFrame, // host, agent, allow, prefix — [[robotsRules]] output
+      userAgent: String,
+      idCols: Seq[String],
+  ): DataFrame = {
+    val names = df.columns.toSet
+    Seq("host", "allowed").foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    val ua = userAgent.toLowerCase
+    // per-host: does a group for this agent exist? decided on the rules
+    // side alone, then used to keep exactly one group's rules per host
+    val hostHasUa = rules.groupBy("host")
+      .agg(max(col("agent") === ua).as("__has_ua"))
+    val effective = rules.join(hostHasUa, "host")
+      .where(when(col("__has_ua"), col("agent") === ua).otherwise(col("agent") === "*"))
+      .select(col("host"), col("allow").as("__r_allow"), col("prefix").as("__r_prefix"))
+    val withHost = df.withColumn("host", host(col(urlCol)))
+    val path0 = regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val withPath = withHost.withColumn("__path", when(path0 === "", lit("/")).otherwise(path0))
+    val verdict = withPath
+      .select((idCols :+ "host" :+ "__path").map(col): _*)
+      .join(effective, Seq("host"))
+      .where(col("__path").startsWith(col("__r_prefix")))
+      .groupBy(idCols.map(col): _*)
+      // lexicographic (prefix length, allow): longest match wins, Allow
+      // wins ties — one struct-max agg, no window
+      .agg(max(struct(length(col("__r_prefix")).as("l"), col("__r_allow").as("a")))
+        .getField("a").as("__verdict"))
+    withPath
+      .join(verdict, idCols, "left")
+      .withColumn("allowed", coalesce(col("__verdict"), lit(true)))
+      .drop("__path", "__verdict")
+  }
 }

@@ -978,6 +978,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) < out(2L), s"repetition must lower surprisal: $out")
   }
 
+  // ---- X23 robots.txt -----------------------------------------------------
+  test("parseRobots: consecutive UA lines share a group, rules end the run, unknown directives ignored") {
+    val rules = Urls.parseRobots(
+      """# header comment
+        |User-agent: GoogleBot
+        |User-agent: bingbot
+        |Disallow: /a  # trailing comment
+        |Allow: /a/b
+        |Crawl-delay: 5
+        |User-agent: *
+        |Disallow:
+        |Disallow: /c
+        |Sitemap: https://x/sitemap.xml
+        |""".stripMargin)
+    assert(rules == Seq(
+      Urls.RobotsRule("bingbot", false, "/a"), Urls.RobotsRule("googlebot", false, "/a"),
+      Urls.RobotsRule("bingbot", true, "/a/b"), Urls.RobotsRule("googlebot", true, "/a/b"),
+      Urls.RobotsRule("*", false, "/c")))
+  }
+
+  test("parseRobots: a User-agent line AFTER rules starts a fresh group (no accumulation)") {
+    val rules = Urls.parseRobots("User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n")
+    assert(rules == Seq(
+      Urls.RobotsRule("a", false, "/x"), Urls.RobotsRule("b", false, "/y")))
+  }
+
+  test("withRobotsAllowed: specific group replaces `*`, longest prefix wins, Allow wins ties, empty path is /") {
+    val robots = Seq(
+      ("h1", "User-agent: *\nDisallow: /private\n\nUser-agent: bot\nDisallow: /t/\nAllow: /t/keep\n"),
+      ("h2", "User-agent: *\nDisallow: /\n"),
+    ).toDF("host", "txt")
+    val urls = Seq(
+      (1L, "https://h1/private/x"), // specific group has no /private rule -> allowed
+      (2L, "https://h1/t/drop/x"),  // Disallow /t/ -> blocked
+      (3L, "https://h1/t/keep/x"),  // Allow /t/keep (len 7 > 3) -> allowed
+      (4L, "https://h2"),           // empty path matches Disallow / as "/" -> blocked
+      (5L, "https://h3/anything"),  // no rules for h3 -> allowed
+    ).toDF("id", "url")
+    val out = Urls.withRobotsAllowed(urls, "url", Urls.robotsRules(robots, "host", "txt"), "Bot", Seq("id"))
+      .select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+  }
+
+  test("withRobotsAllowed: equal-length Allow and Disallow prefixes tie to Allow") {
+    val robots = Seq(("h", "User-agent: *\nDisallow: /ab\nAllow: /ab\n")).toDF("host", "txt")
+    val urls = Seq((1L, "https://h/ab/x")).toDF("id", "url")
+    val out = Urls.withRobotsAllowed(urls, "url", Urls.robotsRules(robots, "host", "txt"), "any", Seq("id"))
+      .select("allowed").as[Boolean].collect()
+    assert(out.toSeq == Seq(true))
+  }
+
   // ---- S20 HTML extraction ------------------------------------------------
   test("htmlText: entity decode runs after tag strip and &amp; decodes last") {
     val in = Seq(
