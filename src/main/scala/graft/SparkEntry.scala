@@ -1126,6 +1126,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X24 — fractional decontamination (Dedup.contaminationFraction): the
+    // overlap-RATIO gate modern release pipelines use instead of x11's
+    // any-gram knockout — share of each doc's distinct 8-grams found in
+    // the benchmark, flagged > 10%. Same scale contract: bench grams
+    // broadcast, corpus scanned once, ratio is a map-side-combined count.
+    "x24_contamination_frac" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.contaminationFraction(
+        docs, docs.where(col("doc_id") % 50 === 7).select(col("text").as("btext")),
+        "doc_id", "text", "btext", 8, 0.1)
+        .select(col("doc_id"), col("n_grams"), col("n_matched"),
+          round(col("overlap"), 4).as("overlap"), col("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // X12 — corpus mixing: resample sources to target shares of a 20k-char
     // budget. src0's 40% share exceeds its availability at small SFs, so
     // the upsampling path (epoch ≥ 1 repetition) is exercised for real;
@@ -3297,6 +3312,23 @@ object SparkEntry {
            |   FROM t WHERE len(toks) >= 8),
            | b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7)
            | SELECT DISTINCT doc_id FROM g JOIN b USING (gram) ORDER BY doc_id""".stripMargin,
+    "x24_contamination_frac" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->
+           |   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+           |   toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS gram
+           |   FROM t WHERE len(toks) >= 8),
+           | b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7),
+           | c AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams, count(b.gram)::BIGINT AS n_matched
+           |   FROM g LEFT JOIN b ON g.gram = b.gram GROUP BY 1)
+           | SELECT d.doc_id, coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+           |   coalesce(c.n_matched, 0)::BIGINT AS n_matched,
+           |   round(CASE WHEN coalesce(c.n_grams, 0) = 0 THEN 0.0
+           |     ELSE c.n_matched::DOUBLE / c.n_grams END, 4) AS overlap,
+           |   CASE WHEN coalesce(c.n_grams, 0) = 0 THEN false
+           |     ELSE c.n_matched::DOUBLE / c.n_grams > 0.1 END AS contaminated
+           | FROM documents d LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "x12_mix_to_budget" ->
       """WITH tgt AS (SELECT * FROM (VALUES ('src0', 4000), ('src1', 3000), ('src2', 2000), ('src3', 1000)) t(class, wbp)),
         | tot AS (SELECT source AS class, sum(n_chars)::BIGINT AS avail FROM documents GROUP BY 1),

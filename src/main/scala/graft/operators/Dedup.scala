@@ -107,6 +107,52 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Fractional decontamination (the Llama/GPT-4-report refinement of
+    * [[contaminatedIds]]'s any-gram knockout): per corpus doc, the share
+    * of its DISTINCT `shingleSize`-grams that appear anywhere in the
+    * benchmark set, flagged against `maxOverlap`. A page quoting one eval
+    * question verbatim and a page that merely shares a common idiom both
+    * hit ≥1 gram — only the ratio separates them, which is why modern
+    * release pipelines gate on overlap fraction, not membership.
+    *
+    * Same scale contract as [[contaminatedIds]]: benchmark grams are the
+    * small side (broadcast; a huge benchmark degrades to a shuffled
+    * (gram) join, never doc pairs), the corpus is scanned ONCE, and the
+    * per-doc ratio is a map-side-combined count over the exploded grams —
+    * no distinct-shuffle of the corpus, no window. Docs too short to form
+    * a single gram have overlap 0 (nothing to leak).
+    *
+    * Output: (idCol, n_grams, n_matched, overlap, contaminated).
+    */
+  def contaminationFraction(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      shingleSize: Int = 8,
+      maxOverlap: Double = 0.1,
+  ): DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1: $shingleSize")
+    require(maxOverlap >= 0 && maxOverlap <= 1, s"maxOverlap must be in [0, 1]: $maxOverlap")
+    val benchGrams = benchmark
+      .select(explode(shingleSet(col(benchTextCol), shingleSize)).as("__g")).distinct()
+      .withColumn("__hit", lit(true))
+    corpus
+      // shingleSet is already distinct per doc, so the exploded rows are
+      // unique (id, gram) pairs — counts need no dedup shuffle
+      .select(col(idCol), explode_outer(shingleSet(col(textCol), shingleSize)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("__g")).as("n_grams"),
+        count(col("__hit")).as("n_matched"))
+      .withColumn("overlap",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_matched").cast("double") / col("n_grams")))
+      .withColumn("contaminated", col("overlap") > maxOverlap)
+  }
+
   /** (id, shingles) via a typed map — JIT-compiled tokenize+shingle, same
     * semantics as [[shingleSet]] (verified by the d4 oracle), ~50x faster
     * than the interpreted higher-order expression on long texts.

@@ -978,6 +978,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) < out(2L), s"repetition must lower surprisal: $out")
   }
 
+  // ---- X24 fractional decontamination -------------------------------------
+  test("contaminationFraction: ratio counts distinct grams, short docs score 0, threshold gates") {
+    // 2-grams: doc 1 has grams {a b, b c, c d}; bench text contains {a b, b c}
+    // -> overlap 2/3 > 0.5; doc 2 shares only {x y} of 2 -> 0.5, NOT > 0.5;
+    // doc 3 is one token -> zero grams, overlap 0
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z"), (3L, "solo")).toDF("doc_id", "text")
+    val bench  = Seq("a b c", "x y").toDF("btext")
+    val out = Dedup.contaminationFraction(corpus, bench, "doc_id", "text", "btext", 2, 0.5)
+      .select("doc_id", "n_grams", "n_matched", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L, 2L, true), (2L, 2L, 1L, false), (3L, 0L, 0L, false)))
+  }
+
+  test("contaminationFraction: repeated grams inside a doc count once (distinct shingles)") {
+    val corpus = Seq((1L, "a b a b a b")).toDF("doc_id", "text") // distinct 2-grams: {a b, b a}
+    val bench  = Seq("a b").toDF("btext")
+    val out = Dedup.contaminationFraction(corpus, bench, "doc_id", "text", "btext", 2, 0.4)
+      .select("n_grams", "n_matched", "contaminated").as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq((2L, 1L, true)))
+  }
+
   // ---- X23 robots.txt -----------------------------------------------------
   test("parseRobots: consecutive UA lines share a group, rules end the run, unknown directives ignored") {
     val rules = Urls.parseRobots(
