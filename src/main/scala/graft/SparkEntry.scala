@@ -2176,6 +2176,28 @@ object SparkEntry {
     // ~1/3-frequency cookie line and seven "tail variant" lines clear
     // minDocs=5 and must vanish from every doc; the blank line, the unique
     // body line and (usually) the original text survive in original order.
+    // D17 — corpus-wide exact paragraph dedup (Dedup.dedupParagraphs, the
+    // Gopher/MassiveText paragraph pass). Synthesized 3-paragraph docs:
+    // own text ⫽ global boilerplate para ⫽ the group-of-10 leader's text —
+    // so the boilerplate survives only in doc 0, each leader's duplicate
+    // third paragraph collapses into its first, and followers lose theirs
+    // to the leader (global first-wins on (doc, pos), fully replayed).
+    "d17_paragraph_dedup" -> ((s, d) => {
+      val t = Tables(s, d).documents.select("doc_id", "text")
+      val leaders = t.select(col("doc_id").as("__lid"), col("text").as("__ltext"))
+      val docs = t
+        .join(leaders, expr("doc_id div 10 * 10") === col("__lid"))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"),
+            lit("Subscribe to our newsletter for updates."),
+            col("__ltext")).as("text"))
+      Dedup.dedupParagraphs(docs, "doc_id", "text")
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+          col("n_paras").cast("long").as("n_paras"),
+          col("n_kept").cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "d13_boilerplate_lines" -> ((s, d) => {
       val docs = Tables(s, d).documents.select(
         col("doc_id"),
@@ -3903,6 +3925,27 @@ object SparkEntry {
            | SELECT doc_id, md5(array_to_string(kept, chr(10))) AS cleaned_md5,
            |   len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept
            | FROM k ORDER BY doc_id""".stripMargin,
+
+    // d17 — md5-keyed first-wins replay: min (doc, pos) tuple per paragraph,
+    // keep iff whitespace-only or the global first occurrence.
+    "d17_paragraph_dedup" ->
+      raw"""WITH base AS (SELECT d.doc_id,
+           |   d.text || chr(10) || chr(10) || 'Subscribe to our newsletter for updates.'
+           |     || chr(10) || chr(10) || l.text AS text
+           |   FROM documents d JOIN documents l ON l.doc_id = d.doc_id // 10 * 10),
+           | p AS (SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS para,
+           |   generate_subscripts(string_split_regex(text, '\n{2,}'), 1) AS pos FROM base),
+           | k AS (SELECT md5(para) AS h, min((doc_id, pos)) AS first FROM p
+           |   WHERE trim(para) <> '' GROUP BY md5(para)),
+           | f AS (SELECT p.doc_id, p.pos, p.para,
+           |   (k.h IS NULL OR k.first = (p.doc_id, p.pos)) AS keep
+           |   FROM p LEFT JOIN k ON md5(p.para) = k.h)
+           | SELECT doc_id,
+           |   md5(coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+           |     FILTER (WHERE keep), '')) AS cleaned_md5,
+           |   count(*)::BIGINT AS n_paras,
+           |   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+           | FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d13_boilerplate_lines" ->
       raw"""WITH r AS (SELECT doc_id,

@@ -1059,6 +1059,56 @@ object Dedup {
       .select(col("__id").as(idCol), col("cleaned"), col("n_lines"), col("n_kept"))
   }
 
+  /** Cross-corpus exact PARAGRAPH dedup — the paragraph-granularity pass of
+    * MassiveText/Gopher (Rae 2021 §A.1.2 removes exact duplicate paragraphs
+    * corpus-wide, not just documents): every occurrence of a paragraph
+    * after its global first is removed, and documents are reassembled in
+    * original paragraph order. Sits between [[exactKey]] (whole-doc) and
+    * [[removeBoilerplateLines]] (line-level, frequency-gated): paragraphs
+    * dedup on FIRST-WINS identity, not a ≥ minDocs frequency threshold.
+    *
+    * First-wins is the global min of (doc id, paragraph position) per
+    * paragraph hash — deterministic under any partitioning. Whitespace-only
+    * paragraphs are document structure, never duplicates — kept verbatim.
+    *
+    * Scale shape (mirrors [[removeBoilerplateLines]]):
+    *  - paragraphs split on `\n{2,}`; the keeper table shuffles
+    *    (16-byte md5, id, pos) — never paragraph text — with a map-side-
+    *    combined struct-min;
+    *  - the flag is an equi-join on the hash, co-partitioned with the
+    *    keeper agg (both O(distinct paragraphs) — no broadcast assumption);
+    *  - reassembly is ONE shuffle keyed by doc id (array_sort over
+    *    collected (pos, para) structs — window-free, combiners apply).
+    * A NULL-text document survives as one empty paragraph (kept), and a
+    * document whose every paragraph is removed survives with empty text.
+    * Output: (idCol, cleaned, n_paras, n_kept).
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val names = docs.columns.toSet
+    Seq("__id", "__pos", "__para", "__h", "__first", "__keep", "cleaned", "n_paras", "n_kept")
+      .foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n{2,}")).as(Seq("__pos", "__para")))
+    val firsts = paras
+      .where(length(trim(col("__para"))) > 0)
+      .groupBy(md5(col("__para")).as("__h"))
+      .agg(min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__first"))
+    paras
+      .join(firsts, md5(col("__para")) === firsts("__h"), "left")
+      .withColumn("__keep", col("__h").isNull ||
+        (col("__first").getField("i") === col("__id") && col("__first").getField("p") === col("__pos")))
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__para"))))),
+            s => s.getField("__para"))).as("cleaned"),
+        count(lit(1)).as("n_paras"),
+        count(when(col("__keep"), 1)).as("n_kept"),
+      )
+      .select(col("__id").as(idCol), col("cleaned"), col("n_paras"), col("n_kept"))
+  }
+
   /** Repeated-substring span detection — the relational form of ExactSubstr
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): find every maximal token span that is part of some

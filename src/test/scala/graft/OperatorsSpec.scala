@@ -978,6 +978,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) < out(2L), s"repetition must lower surprisal: $out")
   }
 
+  // ---- D17 paragraph dedup ------------------------------------------------
+  test("dedupParagraphs: global first-wins by (doc, pos), whitespace paragraphs kept, NULL text survives") {
+    val docs = Seq(
+      (1L, "alpha\n\nshared para\n\nbeta"),
+      (2L, "shared para\n\ngamma\n\nshared para"),
+      (3L, "  \n\nonly here"), // whitespace-only first paragraph stays
+      (4L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .select("doc_id", "cleaned", "n_paras", "n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "alpha\n\nshared para\n\nbeta", 3L, 3L), // doc 1 holds the first occurrence
+      (2L, "gamma", 3L, 1L),                        // both copies lost to doc 1
+      (3L, "  \n\nonly here", 2L, 2L),
+      (4L, "", 1L, 1L),                             // split("") = [""] — doc survives
+    ))
+  }
+
+  test("dedupParagraphs: duplicate inside ONE doc keeps only the earlier position") {
+    val docs = Seq((7L, "x\n\ny\n\nx")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .select("cleaned", "n_kept").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("x\n\ny", 2L)))
+  }
+
   // ---- X24 fractional decontamination -------------------------------------
   test("contaminationFraction: ratio counts distinct grams, short docs score 0, threshold gates") {
     // 2-grams: doc 1 has grams {a b, b c, c d}; bench text contains {a b, b c}
