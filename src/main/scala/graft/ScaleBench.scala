@@ -477,6 +477,28 @@ object ScaleBench {
           docs.select(col("doc_id"), concat_ws("\n", lit("shared header"), col("text"),
             concat(lit("tail "), pmod(col("doc_id"), lit(7)))).as("text")),
           "doc_id", "text", 5).agg(sum(col("n_kept"))).head().getLong(0)),
+        // d17 shape: 3-para docs, one global boilerplate para + a shared
+        // group-of-100 para — keeper table is O(distinct paras)
+        "paragraph_dedup" -> (() => Dedup.dedupParagraphs(
+          docs.select(col("doc_id"), concat_ws("\n\n", col("text"),
+            lit("subscribe to our newsletter"),
+            concat(lit("group para "), expr("doc_id div 100"))).as("text")),
+          "doc_id", "text").agg(sum(col("n_kept"))).head().getLong(0)),
+        // x24: bench = 2% of the corpus, grams broadcast; corpus one scan
+        "contamination_frac" -> (() => Dedup.contaminationFraction(
+          docs, docs.where(col("doc_id") % 50 === 7).select(col("text").as("btext")),
+          "doc_id", "text", "btext", 8, 0.1).where(col("contaminated")).count()),
+        // x23: rules-side group selection + one host equi-join per URL
+        "robots_gate" -> (() => {
+          import spark.implicits._
+          val robots = (0 until 50).map(i => (s"host$i.example.com",
+            s"User-agent: *\nDisallow: /private\nAllow: /private/ok\nUser-agent: bot\nDisallow: /p$i/\n")).toDF("host", "txt")
+          val urls = docs.select(col("doc_id"), concat(lit("https://host"),
+            pmod(col("doc_id"), lit(50)), lit(".example.com/p"),
+            pmod(col("doc_id"), lit(70)), lit("/page"), col("doc_id")).as("url"))
+          Urls.withRobotsAllowed(urls, "url", Urls.robotsRules(robots, "host", "txt"),
+            "bot", Seq("doc_id")).where(!col("allowed")).count()
+        }),
         // sum over the struct field forces the line filters (count would prune)
         "c4_line_clean"   -> (() => { docs
           .select(graft.functions.TextOps.c4LineClean(col("text")).getField("n_kept").cast("long").as("k"))

@@ -47,6 +47,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"top-k must not shuffle the corpus:\n${plan.take(800)}")
   }
 
+  test("contaminationFraction: benchmark grams broadcast, corpus never distinct-shuffles") {
+    val docs = Tables(spark, dir).documents
+    val plan = graft.operators.Dedup.contaminationFraction(
+      docs, docs.where(col("doc_id") % 50 === 7).select(col("text").as("btext")),
+      "doc_id", "text", "btext", 8, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n${plan.take(1000)}")
+    // the corpus side's only shuffle is the final per-doc count agg — a
+    // distinct over exploded corpus grams would show up as a second
+    // HashAggregate pair keyed by (__g)
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join:\n${plan.take(1000)}")
+  }
+
+  test("dedupParagraphs: no Window operator — keeper selection and reassembly are group aggregations") {
+    val docs = Tables(spark, dir).documents
+    val plan = graft.operators.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"first-wins must be a struct-min agg, not a window:\n${plan.take(1200)}")
+  }
+
+  test("withRobotsAllowed: rules side broadcasts, corpus side has no window") {
+    val spark2 = spark
+    import spark2.implicits._
+    val robots = Seq(("h.example.com", "User-agent: *\nDisallow: /p\n")).toDF("host", "txt")
+    val urls = Tables(spark, dir).documents.select(col("doc_id"),
+      concat(lit("https://h.example.com/p/"), col("doc_id")).as("url"))
+    val plan = graft.operators.Urls.withRobotsAllowed(
+      urls, "url", graft.operators.Urls.robotsRules(robots, "host", "txt"), "bot", Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"tiny rules side must broadcast:\n${plan.take(1000)}")
+    assert(!plan.contains("Window"), s"verdict must be a struct-max agg, not a window:\n${plan.take(1200)}")
+  }
+
   test("binary-quantized search: Hamming candidate stage is TakeOrderedAndProject, rerank joins broadcast") {
     val q    = Seq.fill(64)(0.1)
     val plan = graft.operators.Quant.topKBinaryRerank(
