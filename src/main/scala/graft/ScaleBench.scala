@@ -176,11 +176,16 @@ object ScaleBench {
           Pq.topKRefined(coded, "embedding", "pq_codes", "vec_id", qVec, 10, pqm, refine = 32)
             .select("vec_id").as[Long].collect().count(exactIds).toLong
         }),
-        // v20 at the real shape: Hamming top-50 over packed sign bits
+        // v20 at the real shape: Hamming top-C over packed sign bits
         // (12 longs = 96 B/vector, 64x under float64, xor+popcount
-        // codegen) + exact rerank of the 50; rows = recall@10 (gate >= 8)
+        // codegen) + exact rerank of the C survivors; rows = recall@10
+        // (gate >= 8). C=400 (1.6% of 25k) for the same reason as
+        // pq_refined's refine=32: sign bits can't order the ~125-member
+        // latent clusters internally, so the pool must cover the query's
+        // whole cluster — C=50 measured 5/10 here, 400 restores 10/10
+        // while the rerank still reads <2% of the float rows.
         "bq_topk_768" -> (() => Quant.topKBinaryRerank(
-          vecs, "embedding", "vec_id", qVec, 10, 50)
+          vecs, "embedding", "vec_id", qVec, 10, 400)
           .select("vec_id").as[Long].collect().count(exactIds).toLong),
         // v19 at the real shape, split like ivf_build/ivf_probe: the graph
         // is built ONCE into the row-per-node store (cold/warm delta = the
