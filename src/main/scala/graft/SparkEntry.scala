@@ -113,6 +113,14 @@ object SparkEntry {
   /** DuckDB token pipeline mirroring TextOps.tokens. */
   private val toksSql = raw"""list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"""
 
+  /** DuckDB replay of Sampling.portableHash's pre-xor stage on key
+    * expression `k` (the same arithmetic u4/u6 inline; bound to a lambda
+    * variable so xor can reference it twice via a second transform).
+    */
+  private def h0Sql(k: String): String =
+    s"((($k % 4294967296 + 4294967296) % 4294967296) * 31153 + " +
+      s"(((($k % 4294967296 + 4294967296) % 4294967296) * 40503) % 65536) * 65536) % 4294967296"
+
   /** x18 oracle: replay `k` BPE learning rounds in DuckDB. Round r: pair
     * counts over the bracketed vocab strings, deterministic argmax
     * (cnt desc, a, b), merge applied via `replace` — the exact greedy
@@ -1125,6 +1133,15 @@ object SparkEntry {
         "doc_id", "text", "btext", 8)
         .orderBy("doc_id")
     }),
+
+    // X25 — deterministic MLM masking (TextOps.mlmMask, BERT 80/10/10):
+    // every mask decision is the portable hash of (doc, pos) — resharding
+    // or regenerating the corpus reproduces byte-identical examples, and
+    // the oracle replays EVERY choice (corrupted sequence md5, not just
+    // counts). Pure per-row HOFs: no shuffle, no explode.
+    "x25_mlm_mask" -> ((s, d) =>
+      TextOps.mlmMask(Tables(s, d).documents, "doc_id", "text", 1500)
+        .orderBy("doc_id")),
 
     // X24 — fractional decontamination (Dedup.contaminationFraction): the
     // overlap-RATIO gate modern release pipelines use instead of x11's
@@ -3334,6 +3351,29 @@ object SparkEntry {
            |   FROM t WHERE len(toks) >= 8),
            | b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7)
            | SELECT DISTINCT doc_id FROM g JOIN b USING (gram) ORDER BY doc_id""".stripMargin,
+    // x25 — full per-position replay: keys, h0 stage, xor-fold bucket,
+    // the three legs, and the hash-picked in-doc random token.
+    "x25_mlm_mask" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+           | p AS (SELECT doc_id, toks, n,
+           |   list_transform(range(1, n + 1), i -> doc_id * 100000 + (i - 1)) AS ks FROM x),
+           | q AS (SELECT doc_id, toks, n,
+           |   list_transform(ks, k -> ${h0Sql("k")}) AS h0s,
+           |   list_transform(ks, k -> ${h0Sql("(k + 7919)")}) AS h0r FROM p),
+           | s AS (SELECT doc_id, toks, n,
+           |   list_transform(h0s, h -> xor(h, h >> 16) % 10000) AS rs,
+           |   list_transform(h0r, h -> xor(h, h >> 16)) AS hr FROM q)
+           | SELECT doc_id, n::BIGINT AS n_tokens,
+           |   len(list_filter(rs, r -> r < 1500))::BIGINT AS n_masked,
+           |   len(list_filter(rs, r -> r < 1200))::BIGINT AS n_mask_tok,
+           |   len(list_filter(rs, r -> r >= 1200 AND r < 1350))::BIGINT AS n_random,
+           |   md5(array_to_string(list_transform(range(1, n + 1), i ->
+           |     CASE WHEN rs[i] < 1200 THEN '[MASK]'
+           |          WHEN rs[i] < 1350 THEN toks[(hr[i] % n)::INT + 1]
+           |          ELSE toks[i] END), ' ')) AS corrupted_md5
+           | FROM s ORDER BY doc_id""".stripMargin,
+
     "x24_contamination_frac" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->

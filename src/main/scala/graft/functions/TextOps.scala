@@ -435,6 +435,67 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"), avg(col("__nll")).as("avg_nll"))
   }
 
+  /** Deterministic MLM masking (the BERT 80/10/10 recipe, Devlin 2019
+    * §3.1) — training-data prep for masked-LM objectives, made
+    * REPRODUCIBLE: every selection is the portable hash of
+    * (doc id, token position), so re-running, resharding, or regenerating
+    * the corpus yields byte-identical masked examples (and the DuckDB
+    * oracle can replay every choice — no RNG state anywhere).
+    *
+    * Per position, with r = bucket(id·100000 + pos) ∈ [0, 10000):
+    *   r < 8·maskBp/10          → `[MASK]`
+    *   r < 9·maskBp/10          → a hash-picked token from the SAME doc
+    *                              (in-doc multiset stands in for the
+    *                              vocab draw — declared simplification,
+    *                              keeps the op shuffle-free)
+    *   r < maskBp               → kept verbatim but counted masked
+    *   else                     → untouched.
+    * Default maskBp = 1500 (15%).
+    *
+    * Plan shape: pure per-row HOF projections over the token array — NO
+    * shuffle, NO explode; the corpus is scanned once and the output is
+    * one row per doc. Position keys use id·100000 + pos, so ids must stay
+    * under ~9·10¹³ and docs under 100k tokens for key uniqueness (both
+    * far beyond the corpus contract; documented, not checked per row).
+    *
+    * Output: (idCol, n_tokens, n_masked, n_mask_tok, n_random,
+    * corrupted_md5).
+    */
+  def mlmMask(
+      docs: DataFrame, idCol: String, textCol: String, maskBp: Int = 1500,
+  ): DataFrame = {
+    require(maskBp >= 0 && maskBp <= 10000, s"maskBp out of range: $maskBp")
+    require(!docs.columns.contains("__toks"), "input already has a '__toks' column")
+    import graft.operators.Sampling
+    val bpMask = maskBp * 8 / 10
+    val bpRand = maskBp * 9 / 10
+    val toks   = tokens(col(textCol))
+    val n      = size(col("__toks"))
+    val key    = (i: Column) => col(idCol).cast("long") * 100000L + i
+    val r      = (i: Column) => Sampling.bucket(key(i))
+    val idx    = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), n - 1))
+    docs
+      .withColumn("__toks", toks)
+      .select(
+        col(idCol),
+        n.cast("long").as("n_tokens"),
+        size(filter(idx, i => r(i.cast("long")) < maskBp)).cast("long").as("n_masked"),
+        size(filter(idx, i => r(i.cast("long")) < bpMask)).cast("long").as("n_mask_tok"),
+        size(filter(idx, i => {
+          val ri = r(i.cast("long")); ri >= bpMask && ri < bpRand
+        })).cast("long").as("n_random"),
+        md5(concat_ws(" ", transform(idx, i => {
+          val il = i.cast("long")
+          val ri = r(il)
+          when(ri < bpMask, lit("[MASK]"))
+            .when(ri < bpRand, element_at(col("__toks"),
+              (pmod(Sampling.portableHash(key(il) + 7919L), n.cast("long")) + 1).cast("int")))
+            .otherwise(element_at(col("__toks"), i + 1))
+        }))).as("corrupted_md5"),
+      )
+  }
+
   /** Corpus-self-trained INTERPOLATED trigram surprisal — the KenLM-shaped
     * upgrade over [[bigramSurprisal]] (CCNet filters on exactly this class
     * of model; Jelinek-Mercer interpolation per Chen & Goodman 1999):

@@ -978,6 +978,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) < out(2L), s"repetition must lower surprisal: $out")
   }
 
+  // ---- X25 MLM masking ----------------------------------------------------
+  test("mlmMask: legs partition n_masked, rate tracks maskBp, empty docs survive with zero counts") {
+    val docs = (0L until 200L).map(i => (i, ("tok " * 50).trim)).toDF("doc_id", "text")
+      .union(Seq((999L, "")).toDF("doc_id", "text"))
+    val out = TextOps.mlmMask(docs, "doc_id", "text", 1500)
+      .select("doc_id", "n_tokens", "n_masked", "n_mask_tok", "n_random")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val empty = out.find(_._1 == 999L).get
+    assert(empty == ((999L, 0L, 0L, 0L, 0L)))
+    val total  = out.map(_._3).sum.toDouble
+    val tokens = out.map(_._2).sum.toDouble
+    assert(math.abs(total / tokens - 0.15) < 0.02, s"mask rate ${total / tokens}")
+    // 80/10/10: [MASK] leg is ~80% of masked, random ~10%
+    val maskTok = out.map(_._4).sum.toDouble
+    val random  = out.map(_._5).sum.toDouble
+    assert(math.abs(maskTok / total - 0.8) < 0.05, s"[MASK] share ${maskTok / total}")
+    assert(math.abs(random / total - 0.1) < 0.04, s"random share ${random / total}")
+    assert(out.forall(r => r._4 + r._5 <= r._3))
+  }
+
+  test("mlmMask: deterministic — two runs produce identical corruption hashes") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog again and again")).toDF("doc_id", "text")
+    val a = TextOps.mlmMask(docs, "doc_id", "text").select("corrupted_md5").as[String].collect()
+    val b = TextOps.mlmMask(docs, "doc_id", "text").select("corrupted_md5").as[String].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("mlmMask: maskBp=0 corrupts nothing (md5 equals the plain token join)") {
+    val docs = Seq((5L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = TextOps.mlmMask(docs, "doc_id", "text", 0)
+      .select("n_masked", "corrupted_md5").as[(Long, String)].collect()(0)
+    val plain = docs.select(md5(concat_ws(" ", TextOps.tokens(col("text"))))).as[String].collect()(0)
+    assert(out._1 == 0L && out._2 == plain)
+  }
+
   // ---- D17 paragraph dedup ------------------------------------------------
   test("dedupParagraphs: global first-wins by (doc, pos), whitespace paragraphs kept, NULL text survives") {
     val docs = Seq(
