@@ -489,6 +489,9 @@ object ScaleBench {
             lit("subscribe to our newsletter"),
             concat(lit("group para "), expr("doc_id div 100"))).as("text")),
           "doc_id", "text").agg(sum(col("n_kept"))).head().getLong(0)),
+        // x25: pure per-row HOF projections — must be scan-bound flat
+        "mlm_mask" -> (() => graft.functions.TextOps.mlmMask(docs, "doc_id", "text")
+          .agg(sum(col("n_masked"))).head().getLong(0)),
         // x24: bench = 2% of the corpus, grams broadcast; corpus one scan
         "contamination_frac" -> (() => Dedup.contaminationFraction(
           docs, docs.where(col("doc_id") % 50 === 7).select(col("text").as("btext")),
