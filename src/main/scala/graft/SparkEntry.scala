@@ -2433,6 +2433,19 @@ object SparkEntry {
       Seq(col("label") =!= 3))
       .select(col("vec_id"), round(col("score"), 4).as("score"), col("label"))),
 
+    // V21 — Matryoshka two-stage search (Search.topKTruncated, Kusupati
+    // 2022): 32-of-64-dim prefix cosine picks 50 candidates
+    // (TakeOrderedAndProject, 2× less arithmetic — with a stored prefix
+    // column, 2× fewer scan bytes), full-dim rerank on the survivors.
+    // 32 because the flagship hash-embedded query's first nonzero
+    // component is dim 19 (a 16-prefix would be all-zero and the operator
+    // rejects that). FULL two-stage oracle like v20 — the candidate set
+    // is replayed.
+    "v21_mrl_topk" -> ((s, d) => Search.topKTruncated(
+      Tables(s, d).embeddings, "embedding", "vec_id", qVec, 10, 32, 50,
+      Seq(col("label") =!= 3))
+      .select(col("vec_id"), round(col("score"), 4).as("score"), col("label"))),
+
     // V13 — the quantizer itself, full hash oracle: floor(x/s·127+0.5) is
     // the same IEEE double arithmetic in Spark and DuckDB, so the exact
     // code arrays (not just stats) are value-checked per vector.
@@ -4147,6 +4160,17 @@ object SparkEntry {
          |     i -> CASE WHEN (embedding[i] > 0) <> (($qVecSql)[i] > 0) THEN 1 ELSE 0 END)) AS ham
          |   FROM embeddings WHERE label <> 3),
          | cand AS (SELECT vec_id, label, e FROM h ORDER BY ham, vec_id LIMIT 50),
+         | scored AS (SELECT vec_id, label, list_cosine_similarity(e, $qVecSql) AS sim FROM cand)
+         | SELECT vec_id, round(sim, 4) AS score, label FROM scored
+         | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v21 — exact replay of the truncated-prefix candidate stage + rerank.
+    "v21_mrl_topk" ->
+      s"""WITH h AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         |   list_cosine_similarity((embedding::DOUBLE[])[1:32], ($qVecSql)[1:32]) AS ts
+         |   FROM embeddings WHERE label <> 3),
+         | cand AS (SELECT vec_id, label, e FROM h WHERE NOT isnan(ts)
+         |   ORDER BY ts DESC, vec_id LIMIT 50),
          | scored AS (SELECT vec_id, label, list_cosine_similarity(e, $qVecSql) AS sim FROM cand)
          | SELECT vec_id, round(sim, 4) AS score, label FROM scored
          | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,

@@ -46,6 +46,50 @@ object Search {
       .limit(k)
   }
 
+  /** Matryoshka (MRL) two-stage search — Kusupati 2022: embeddings trained
+    * with matryoshka loss rank almost as well on their first `dims`
+    * components, so the candidate pass scores a `dims`-prefix slice
+    * (dims/full of the arithmetic; with a STORED prefix column, dims/full
+    * of the scan bytes too — here the slice is inline, which keeps the
+    * compute win and documents the storage win) and only the
+    * `nCandidates` survivors get the full-precision cosine. Same
+    * two-stage plan contract as [[graft.operators.Quant.topKBinaryRerank]]:
+    * candidate stage is TakeOrderedAndProject (no corpus shuffle), the ≤C
+    * candidate ids broadcast back for the exact rerank, and both stages
+    * tie-break on `idCol` so the DuckDB oracle replays the exact candidate
+    * set.
+    */
+  def topKTruncated(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      dims: Int,
+      nCandidates: Int,
+      filters: Seq[Column] = Nil,
+  ): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1: $dims")
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    require(!corpus.columns.contains("__mrl_s"), "input already has a '__mrl_s' column")
+    // fail fast, not empty: a query whose first `dims` components are all
+    // zero scores NaN against everything (0/0 norm) and the NaN guard
+    // would silently drop every candidate — a sparse query vector needs a
+    // prefix wide enough to reach its mass
+    require(queryVec.take(dims).exists(_ != 0.0),
+      s"query vector is all-zero in the first $dims dims — widen dims or use full-precision topK")
+    val qTrunc = typedLit(queryVec.take(dims))
+    val filtered = filters.foldLeft(corpus)((df, f) => df.where(f))
+    val candIds = filtered
+      .withColumn("__mrl_s", graft.functions.VectorExpressions.cosineFast(
+        slice(asDouble(col(vecCol)), 1, dims), qTrunc))
+      .where(!isnan(col("__mrl_s")))
+      .orderBy(desc("__mrl_s"), col(idCol))
+      .limit(nCandidates)
+      .select(idCol)
+    topK(corpus.join(broadcast(candIds), Seq(idCol)), vecCol, idCol, queryVec, k)
+  }
+
   /** Brute-force k-NN join: top-k corpus neighbors for EVERY query row.
     *
     * Queries are broadcast (small side) so scoring is a narrow pass over the

@@ -751,6 +751,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bq == exact)
   }
 
+  test("topKTruncated with full dims and candidates >= corpus equals the exact topK") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val n = t.embeddings.count().toInt
+    val q = (0 until 64).map(i => math.cos(i + 2) * (if (i % 3 == 0) -1 else 1))
+    val mrl = Search.topKTruncated(t.embeddings, "embedding", "vec_id", q, 10, 64, n)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = Search.topK(t.embeddings, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mrl == exact)
+  }
+
+  test("topKTruncated: recall rises monotonically with prefix width (isotropic worst case)") {
+    // the testdata hash embeddings are NOT matryoshka-trained — the prefix
+    // carries no privileged variance, which is the WORST case for MRL; the
+    // contract that must still hold is that a wider prefix (and a bigger
+    // pool) recovers the exact result, degrading gracefully below that
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val q = (0 until 64).map(i => math.sin(i * 0.7 + 1))
+    val exact = Search.topK(t.embeddings, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(dims: Int, c: Int) = (Search.topKTruncated(t.embeddings, "embedding", "vec_id", q, 10, dims, c)
+      .select("vec_id").as[Long].collect().toSet & exact).size
+    val r16 = recall(16, 50); val r32 = recall(32, 50); val r64 = recall(64, 50)
+    assert(r64 == 10, s"full-width prefix must be exact: $r64")
+    assert(r16 <= r32 && r32 <= r64, s"recall must not degrade with width: $r16/$r32/$r64")
+    assert(recall(16, 200) >= 9, s"a 40% pool must recover the top-10 even at 16 dims")
+  }
+
   test("property: native WordShingles matches the declarative transform/slice form") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -93,6 +93,16 @@ class PlanSpec extends AnyFunSuite {
       s"bq search must not shuffle the corpus:\n${plan.take(1400)}")
   }
 
+  test("MRL truncated search: candidate stage is TakeOrderedAndProject, rerank joins broadcast, no corpus shuffle") {
+    val q    = Seq.fill(64)(0.1)
+    val plan = Search.topKTruncated(Tables(spark, dir).embeddings, "embedding", "vec_id", q, 10, 16, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    assert(plan.contains("BroadcastHashJoin"), s"candidate ids must broadcast back:\n${plan.take(1000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"MRL search must not shuffle the corpus:\n${plan.take(1400)}")
+  }
+
   test("rangeJoin plans as an equi-join on the bin, never a nested-loop join") {
     import spark.implicits._
     val pts = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("pid", "p")
