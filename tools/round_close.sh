@@ -36,8 +36,10 @@ if [ "${1:-}" != "--quick" ]; then
   fi
 
   step "bench @ sf0.01"
+  # Bench prints TWO JSON lines (full + summary); keep only the last so the
+  # json.load below parses — two concatenated objects broke it cosmetically
   if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch "runMain graft.Bench" \
-      2>&1 | grep '{"metric"' | tee /tmp/round_close_bench.json; then
+      2>&1 | grep '{"metric"' | tail -1 | tee /tmp/round_close_bench.json; then
     echo "FAIL: bench"; fail=1
   else
     python3 - <<'EOF'
