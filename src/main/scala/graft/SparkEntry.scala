@@ -1252,6 +1252,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X26 — REFERENCE-trained trigram scoring (the true CCNet/Wenzek 2020
+    // shape: LM counts from a curated slice — here doc_id % 50 = 7 — score
+    // the whole corpus; unseen n-grams back off to the add-k floor via
+    // zero-coalesced LEFT joins). In-domain docs (the slice itself) score
+    // visibly lower NLL than out-of-domain, which is the filtering signal.
+    "x26_ref_surprisal" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      TextOps.trigramSurprisalAgainst(
+        docs.where(col("doc_id") % 50 === 7), docs, "doc_id", "text", materialize = true)
+        .select(col("doc_id"), col("n_triples"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // X22 — interpolated trigram surprisal (Jelinek-Mercer over add-k
     // trigram/bigram/unigram, the KenLM-shaped CCNet filter). Same scan
     // discipline as x10; the n-gram tables shuffle-join by key.
@@ -3474,6 +3488,30 @@ object SparkEntry {
            |   FROM u JOIN r ON u.host = r.host AND starts_with(u.path, r.prefix) GROUP BY u.doc_id)
            | SELECT u.doc_id, u.host, coalesce(m.verdict, true) AS allowed
            | FROM u LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // x26 — x22's replay with counts restricted to the reference slice and
+    // zero-coalesced LEFT joins for unseen n-grams.
+    "x26_ref_surprisal" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+           | tr AS (SELECT doc_id, lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS u2,
+           |        lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v1, w FROM w),
+           | trip AS (SELECT doc_id, u2, v1, w FROM tr WHERE u2 IS NOT NULL),
+           | rtr AS (SELECT * FROM tr WHERE doc_id % 50 = 7),
+           | tri AS (SELECT u2, v1, w, count(*)::DOUBLE AS c3 FROM rtr WHERE u2 IS NOT NULL GROUP BY 1, 2, 3),
+           | ctx2 AS (SELECT v1 AS u2, w AS v1, count(*)::DOUBLE AS c2ctx FROM rtr WHERE v1 IS NOT NULL GROUP BY 1, 2),
+           | big AS (SELECT v1, w, count(*)::DOUBLE AS c2 FROM rtr WHERE v1 IS NOT NULL GROUP BY 1, 2),
+           | uni AS (SELECT w, count(*)::DOUBLE AS c1 FROM w WHERE doc_id % 50 = 7 GROUP BY 1),
+           | uni1 AS (SELECT w AS v1, count(*)::DOUBLE AS c1v FROM w WHERE doc_id % 50 = 7 GROUP BY 1),
+           | scal AS (SELECT count(*)::DOUBLE AS n, count(DISTINCT w)::DOUBLE AS v FROM w WHERE doc_id % 50 = 7)
+           | SELECT trip.doc_id, count(*)::BIGINT AS n_triples,
+           |   round(avg(-ln(
+           |     0.6 * ((coalesce(c3, 0) + 1.0) / (coalesce(c2ctx, 0) + (v + 1) * 1.0)) +
+           |     0.3 * ((coalesce(c2, 0) + 1.0) / (coalesce(c1v, 0) + (v + 1) * 1.0)) +
+           |     0.1 * ((coalesce(c1, 0) + 1.0) / (n + (v + 1) * 1.0)))), 4) AS avg_nll
+           | FROM trip LEFT JOIN tri USING (u2, v1, w) LEFT JOIN ctx2 USING (u2, v1)
+           |   LEFT JOIN big USING (v1, w) LEFT JOIN uni USING (w) LEFT JOIN uni1 USING (v1) CROSS JOIN scal
+           | GROUP BY trip.doc_id ORDER BY doc_id""".stripMargin,
 
     "x22_trigram_surprisal" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -520,38 +520,66 @@ object TextOps {
       docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0,
       lambda3: Double = 0.6, lambda2: Double = 0.3, lambda1: Double = 0.1,
       materialize: Boolean = false,
+  ): DataFrame =
+    trigramSurprisalAgainst(docs, docs, idCol, textCol, addK, lambda3, lambda2, lambda1, materialize)
+
+  /** Reference-trained form of [[trigramSurprisal]] — the ACTUAL CCNet
+    * shape (Wenzek 2020 trains the KenLM on Wikipedia and scores the
+    * crawl; the self-trained form is the degenerate train==score case):
+    * n-gram counts, vocabulary size V and token count N come from
+    * `trainDocs` only, every document of `scoreDocs` is scored against
+    * them. N-grams unseen in the reference back off to the add-k floor
+    * via LEFT joins with zero-coalesced counts (for train==score every
+    * join hits, which is why the self-trained delegation is bit-identical
+    * to the old inner-join form).
+    *
+    * Scale: the train side is typically the small curated corpus, but
+    * nothing assumes it — both sides shuffle-join by n-gram key, only the
+    * (N, V) scalar broadcasts; score side is one tokenize scan + the
+    * shared lag window.
+    */
+  def trigramSurprisalAgainst(
+      trainDocs: DataFrame, scoreDocs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 1.0,
+      lambda3: Double = 0.6, lambda2: Double = 0.3, lambda1: Double = 0.1,
+      materialize: Boolean = false,
   ): DataFrame = {
     require(addK > 0, s"addK must be positive: $addK")
     require(math.abs(lambda3 + lambda2 + lambda1 - 1.0) < 1e-9,
       s"interpolation weights must sum to 1: $lambda3 + $lambda2 + $lambda1")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__id").orderBy("__pos")
-    val toks0 = docs.select(col(idCol).as("__id"),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
-    val toks = if (materialize) toks0.localCheckpoint(true) else toks0
-    val triples0 = toks
-      .withColumn("__v1", lag(col("__w"), 1).over(w))
-      .withColumn("__u2", lag(col("__w"), 2).over(w))
-    val triples = if (materialize) triples0.localCheckpoint(true) else triples0
-    val tri  = triples.where(col("__u2").isNotNull)
+    def stream(docs: DataFrame): (DataFrame, DataFrame) = {
+      val toks0 = docs.select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+      val toks = if (materialize) toks0.localCheckpoint(true) else toks0
+      val triples0 = toks
+        .withColumn("__v1", lag(col("__w"), 1).over(w))
+        .withColumn("__u2", lag(col("__w"), 2).over(w))
+      (toks, if (materialize) triples0.localCheckpoint(true) else triples0)
+    }
+    val selfTrained        = trainDocs eq scoreDocs
+    val (tToks, tTriples)  = stream(trainDocs)
+    val (_, sTriples)      = if (selfTrained) (tToks, tTriples) else stream(scoreDocs)
+    val tri  = tTriples.where(col("__u2").isNotNull)
       .groupBy("__u2", "__v1", "__w").agg(count(lit(1)).cast("double").as("__c3"))
     // context/bigram counts over ALL adjacent pairs (the standard estimate
     // counts every (u,v) occurrence, including sentence-final ones)
-    val ctx2 = triples.where(col("__v1").isNotNull)
+    val ctx2 = tTriples.where(col("__v1").isNotNull)
       .groupBy(col("__v1").as("__u2"), col("__w").as("__v1"))
       .agg(count(lit(1)).cast("double").as("__c2ctx"))
-    val big  = triples.where(col("__v1").isNotNull)
+    val big  = tTriples.where(col("__v1").isNotNull)
       .groupBy("__v1", "__w").agg(count(lit(1)).cast("double").as("__c2"))
-    val uni  = toks.groupBy("__w").agg(count(lit(1)).cast("double").as("__c1"))
-    val scal = toks.agg(count(lit(1)).cast("double").as("__n"),
+    val uni  = tToks.groupBy("__w").agg(count(lit(1)).cast("double").as("__c1"))
+    val scal = tToks.agg(count(lit(1)).cast("double").as("__n"),
       countDistinct(col("__w")).cast("double").as("__v"))
     val kTerm = (c: Column, d: Column) =>
-      (c + addK) / (d + (col("__v") + 1) * addK)
-    triples.where(col("__u2").isNotNull)
-      .join(tri, Seq("__u2", "__v1", "__w"))
-      .join(ctx2, Seq("__u2", "__v1"))
-      .join(big, Seq("__v1", "__w"))
-      .join(uni, Seq("__w"))
-      .join(uni.select(col("__w").as("__v1"), col("__c1").as("__c1v")), Seq("__v1"))
+      (coalesce(c, lit(0.0)) + addK) / (coalesce(d, lit(0.0)) + (col("__v") + 1) * addK)
+    sTriples.where(col("__u2").isNotNull)
+      .join(tri, Seq("__u2", "__v1", "__w"), "left")
+      .join(ctx2, Seq("__u2", "__v1"), "left")
+      .join(big, Seq("__v1", "__w"), "left")
+      .join(uni, Seq("__w"), "left")
+      .join(uni.select(col("__w").as("__v1"), col("__c1").as("__c1v")), Seq("__v1"), "left")
       .crossJoin(broadcast(scal))
       .withColumn("__p",
         lit(lambda3) * kTerm(col("__c3"), col("__c2ctx")) +

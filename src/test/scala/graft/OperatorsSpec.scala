@@ -996,6 +996,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(0)._3 - (nll1 + nll2) / 2) < 1e-9)
   }
 
+  test("trigramSurprisalAgainst: in-domain text scores lower NLL than out-of-domain; self-trained delegation is identical") {
+    val train = Seq((100L, "the cat sat on the mat and the cat sat again")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat on the mat"),          // in-domain
+      (2L, "quantum flux capacitors resonate"), // fully unseen -> add-k floor
+    ).toDF("doc_id", "text")
+    val out = TextOps.trigramSurprisalAgainst(train, score, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(2L), s"in-domain must score lower: $out")
+    // degenerate train==score equals the self-trained public form
+    val a = TextOps.trigramSurprisal(score, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val b = TextOps.trigramSurprisalAgainst(score, score, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+
   test("trigramSurprisal: repetitive text scores lower surprisal than shuffled text") {
     val docs = Seq(
       (1L, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
