@@ -1006,6 +1006,19 @@ object SparkEntry {
       "doc_id", "text")
       .orderBy("text_hash")),
 
+    // D18 — winnowing fingerprints (TextOps.winnowFingerprints, Schleimer
+    // 2003 / MOSS): lexicographic-min md5 per 5-wide window of 4-gram
+    // hashes — any ≥8-token shared substring guarantees a shared
+    // fingerprint at ~1/3 the k-gram storage. Pure per-row HOFs; the
+    // whole sampled set is value-checked (sorted-join md5), not just
+    // counts.
+    "d18_winnow_fps" -> ((s, d) => Tables(s, d).documents
+      .select(col("doc_id"),
+        TextOps.winnowFingerprints(col("text"), 4, 5).as("__fps"))
+      .select(col("doc_id"), size(col("__fps")).cast("long").as("n_fps"),
+        md5(concat_ws(",", array_sort(col("__fps")))).as("fps_md5"))
+      .orderBy("doc_id")),
+
     "d2_fingerprint" -> ((s, d) => Tables(s, d).documents
       .select(col("doc_id"), TextOps.bagOfWordsFingerprint(col("text")).as("fp"))
       .orderBy("doc_id")),
@@ -3282,6 +3295,21 @@ object SparkEntry {
         | SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id FROM d GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
     "d2_fingerprint" ->
       raw"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp FROM documents ORDER BY doc_id""",
+
+    // d18 — grams, md5 hashes, window mins and the distinct set replayed
+    // with list ops; same degenerate single-window rule (greatest(...,1)).
+    "d18_winnow_fps" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | g AS (SELECT doc_id, CASE WHEN len(toks) >= 4 THEN
+           |   list_transform(range(1, len(toks) - 2), i ->
+           |     md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+           |   ELSE [] END AS hs FROM t),
+           | f AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+           |   ELSE list_distinct(list_transform(range(1, greatest(len(hs) - 4, 1) + 1), i ->
+           |     list_aggregate(hs[i:i+4], 'min'))) END AS fps FROM g)
+           | SELECT doc_id, len(fps)::BIGINT AS n_fps,
+           |   md5(array_to_string(list_sort(fps), ',')) AS fps_md5
+           | FROM f ORDER BY doc_id""".stripMargin,
     "d9_connected_components" ->
       """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
         | e0 AS (SELECT i1.doc_id AS u, i1.doc_id + 1 AS v FROM ids i1

@@ -516,6 +516,34 @@ object TextOps {
     * distributed LM-scoring shape: every stage is a map-side-combined
     * count or an equi-join, nothing quadratic, nothing collected.
     */
+  /** Winnowing fingerprints (Schleimer 2003 §4 — the MOSS scheme): the
+    * lexicographic-min md5 of each `window`-wide run of `k`-gram hashes,
+    * distinct per document. Guarantees: any shared substring of at least
+    * k + window − 1 tokens yields at least one SHARED fingerprint, and
+    * fingerprint density is ~2/(window+1) — the local-sampling property
+    * raw k-gram sets lack (position-robust overlap detection at a
+    * fraction of the storage).
+    *
+    * md5 HEX STRINGS are the hash domain on purpose: winnowing needs only
+    * a consistent total order, and lexicographic order over md5 hex is
+    * identical in Spark and DuckDB — the whole fingerprint set is
+    * oracle-replayable with list ops. Fewer than `window` k-grams (but
+    * ≥ 1) degrade to one whole-doc-min fingerprint; no k-grams → empty.
+    *
+    * Pure per-row HOF projection — no shuffle, no explode; downstream
+    * overlap detection explodes ONLY the sampled fingerprints (≈ 2/(w+1)
+    * of the k-grams), which is the scale win.
+    */
+  def winnowFingerprints(text: Column, k: Int, window: Int): Column = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(window >= 1, s"window must be >= 1: $window")
+    val hs = transform(wordShingles(tokens(text), k), g => md5(g))
+    val nWin = greatest(size(hs) - window + 1, lit(1))
+    when(size(hs) === 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), nWin),
+        i => array_min(slice(hs, i, lit(window))))))
+  }
+
   def trigramSurprisal(
       docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0,
       lambda3: Double = 0.6, lambda2: Double = 0.3, lambda1: Double = 0.1,

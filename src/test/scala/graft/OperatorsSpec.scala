@@ -1023,6 +1023,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) < out(2L), s"repetition must lower surprisal: $out")
   }
 
+  // ---- D18 winnowing ------------------------------------------------------
+  test("winnowFingerprints: a shared >= k+w-1 token substring guarantees a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens = k+w-1 for k=4,w=5
+    val docs = Seq(
+      (1L, s"completely different prefix words here $shared"),
+      (2L, s"$shared and an unrelated suffix tail"),
+      (3L, "nothing in common with either text at all"),
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), TextOps.winnowFingerprints(col("text"), 4, 5).as("f"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert((fps(1L).toSet & fps(2L).toSet).nonEmpty, "winnowing guarantee violated")
+    assert((fps(1L).toSet & fps(3L).toSet).isEmpty)
+  }
+
+  test("winnowFingerprints: degenerate sizes — under k tokens empty, under w k-grams one fingerprint") {
+    val docs = Seq(
+      (1L, "a b c"),          // 3 tokens < k=4 -> no k-grams
+      (2L, "a b c d e"),      // 2 k-grams < w=5 -> single whole-min fingerprint
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), TextOps.winnowFingerprints(col("text"), 4, 5).as("f"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fps(1L).isEmpty && fps(2L).length == 1)
+  }
+
+  test("winnowFingerprints: density is far below the raw k-gram count (~2/(w+1))") {
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ") // all-distinct grams
+    val (nFps, nGrams) = Seq(Tuple1(text)).toDF("text")
+      .select(size(TextOps.winnowFingerprints(col("text"), 4, 5)).as("nf"),
+        size(TextOps.wordShingles(TextOps.tokens(col("text")), 4)).as("ng"))
+      .as[(Int, Int)].collect()(0)
+    assert(nFps < nGrams / 2, s"$nFps vs $nGrams")
+    assert(nFps > nGrams / 8, s"sampling should not collapse: $nFps vs $nGrams")
+  }
+
   // ---- X25 MLM masking ----------------------------------------------------
   test("mlmMask: legs partition n_masked, rate tracks maskBp, empty docs survive with zero counts") {
     val docs = (0L until 200L).map(i => (i, ("tok " * 50).trim)).toDF("doc_id", "text")
