@@ -489,6 +489,15 @@ object ScaleBench {
             lit("subscribe to our newsletter"),
             concat(lit("group para "), expr("doc_id div 100"))).as("text")),
           "doc_id", "text").agg(sum(col("n_kept"))).head().getLong(0)),
+        // d18: per-row HOF winnowing — scan-bound flat like mlm_mask
+        "winnow_fps" -> (() => docs
+          .select(size(graft.functions.TextOps.winnowFingerprints(col("text"), 4, 5)).cast("long").as("n"))
+          .agg(sum(col("n"))).head().getLong(0)),
+        // x26: counts from a 2% reference slice, whole corpus scored —
+        // score side dominates; the count tables stay slice-sized
+        "ref_surprisal" -> (() => graft.functions.TextOps.trigramSurprisalAgainst(
+          docs.where(col("doc_id") % 50 === 7), docs, "doc_id", "text",
+          materialize = true).count()),
         // x25: pure per-row HOF projections — must be scan-bound flat
         "mlm_mask" -> (() => graft.functions.TextOps.mlmMask(docs, "doc_id", "text")
           .agg(sum(col("n_masked"))).head().getLong(0)),
