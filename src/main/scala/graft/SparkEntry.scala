@@ -1006,6 +1006,16 @@ object SparkEntry {
       "doc_id", "text")
       .orderBy("text_hash")),
 
+    // D19 — winnowing overlap pairs (Dedup.winnowOverlapPairs): passage-
+    // copy detection over the sampled fingerprints — df-capped (no
+    // boilerplate-fingerprint pair explosion), pairs need >= 3 shared
+    // fingerprints. The corpus's planted exact-dup docs surface here.
+    "d19_winnow_pairs" -> ((s, d) => Dedup.winnowOverlapPairs(
+      Tables(s, d).documents.select(col("doc_id"), col("text")),
+      "doc_id", "text", 4, 5, minShared = 3, maxDf = 10)
+      .select(col("a"), col("b"), col("n_shared"))
+      .orderBy("a", "b")),
+
     // D18 — winnowing fingerprints (TextOps.winnowFingerprints, Schleimer
     // 2003 / MOSS): lexicographic-min md5 per 5-wide window of 4-gram
     // hashes — any ≥8-token shared substring guarantees a shared
@@ -3295,6 +3305,23 @@ object SparkEntry {
         | SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id FROM d GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
     "d2_fingerprint" ->
       raw"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp FROM documents ORDER BY doc_id""",
+
+    // d19 — d18's fingerprint derivation + df gate [2, 10] + self-join.
+    "d19_winnow_pairs" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | g AS (SELECT doc_id, CASE WHEN len(toks) >= 4 THEN
+           |   list_transform(range(1, len(toks) - 2), i ->
+           |     md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+           |   ELSE [] END AS hs FROM t),
+           | fl AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN []
+           |   ELSE list_distinct(list_transform(range(1, greatest(len(hs) - 4, 1) + 1), i ->
+           |     list_aggregate(hs[i:i+4], 'min'))) END AS fps FROM g),
+           | f AS (SELECT doc_id, unnest(fps) AS fp FROM fl),
+           | r AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 10),
+           | fr AS (SELECT doc_id, fp FROM f JOIN r USING (fp))
+           | SELECT f1.doc_id AS a, f2.doc_id AS b, count(*)::BIGINT AS n_shared
+           | FROM fr f1 JOIN fr f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+           | GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY a, b""".stripMargin,
 
     // d18 — grams, md5 hashes, window mins and the distinct set replayed
     // with list ops; same degenerate single-window rule (greatest(...,1)).

@@ -1059,6 +1059,45 @@ object Dedup {
       .select(col("__id").as(idCol), col("cleaned"), col("n_lines"), col("n_kept"))
   }
 
+  /** Winnowing overlap pairs — MOSS's second half (Schleimer 2003 §2):
+    * document pairs sharing ≥ `minShared` winnowing fingerprints
+    * ([[graft.functions.TextOps.winnowFingerprints]]). Because winnowing
+    * guarantees a shared fingerprint for any shared run of k+w−1 tokens,
+    * this finds COPIED-PASSAGE overlap (plagiarism, syndication, licence
+    * boilerplate) that whole-doc MinHash dilutes away on long documents.
+    *
+    * Scale shape — same discipline as [[minHashCandidates]]:
+    *  - only the SAMPLED fingerprints explode (≈ 2/(w+1) of the k-grams);
+    *  - ubiquitous fingerprints are df-capped (`maxDf`) before the
+    *    self-join — a fingerprint in >maxDf docs is corpus boilerplate,
+    *    not evidence of pairwise copying, and would explode O(df²) pairs;
+    *    df = 1 fingerprints are dropped too (nothing to pair);
+    *  - the pair count per fingerprint is then ≤ maxDf², and the
+    *    (a, b) groupBy is map-side combined.
+    * Output: (a, b, n_shared) with a < b.
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, window: Int = 5, minShared: Int = 2, maxDf: Int = 10,
+  ): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    val fps = docs.select(col(idCol).as("a"),
+      explode(graft.functions.TextOps.winnowFingerprints(col(textCol), k, window)).as("__fp"))
+    // fingerprints are distinct per doc already (winnowFingerprints ends
+    // in array_distinct), so df is a plain count
+    val rare = fps.groupBy("__fp")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("__fp")
+    val f2 = fps.join(rare, Seq("__fp"))
+    f2.join(f2.select(col("__fp"), col("a").as("b")), Seq("__fp"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Cross-corpus exact PARAGRAPH dedup — the paragraph-granularity pass of
     * MassiveText/Gopher (Rae 2021 §A.1.2 removes exact duplicate paragraphs
     * corpus-wide, not just documents): every occurrence of a paragraph

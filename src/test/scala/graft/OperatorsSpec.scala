@@ -1057,6 +1057,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nFps > nGrams / 8, s"sampling should not collapse: $nFps vs $nGrams")
   }
 
+  test("winnowOverlapPairs: copied passage pairs found, boilerplate fingerprints df-capped out") {
+    val passage = (1 to 20).map(i => s"copied$i").mkString(" ")
+    val boiler  = "all rights reserved contact us for details" // in EVERY doc -> df-capped
+    val docs = (1L to 12L).map { i =>
+      val own = (1 to 15).map(j => s"own${i}x$j").mkString(" ")
+      val text = if (i <= 2) s"$own $passage $boiler" else s"$own $boiler"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(docs, "doc_id", "text", 4, 5, minShared = 2, maxDf = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"only the copied-passage pair must surface: $pairs")
+  }
+
   // ---- X25 MLM masking ----------------------------------------------------
   test("mlmMask: legs partition n_masked, rate tracks maskBp, empty docs survive with zero counts") {
     val docs = (0L until 200L).map(i => (i, ("tok " * 50).trim)).toDF("doc_id", "text")
