@@ -489,6 +489,10 @@ object ScaleBench {
             lit("subscribe to our newsletter"),
             concat(lit("group para "), expr("doc_id div 100"))).as("text")),
           "doc_id", "text").agg(sum(col("n_kept"))).head().getLong(0)),
+        // d19: df-capped fingerprint self-join — pair volume bounded by
+        // maxDf^2 per fingerprint regardless of corpus size
+        "winnow_pairs" -> (() => Dedup.winnowOverlapPairs(
+          docs, "doc_id", "text", 4, 5, minShared = 3, maxDf = 10).count()),
         // d18: per-row HOF winnowing — scan-bound flat like mlm_mask
         "winnow_fps" -> (() => docs
           .select(size(graft.functions.TextOps.winnowFingerprints(col("text"), 4, 5)).cast("long").as("n"))
