@@ -1157,6 +1157,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X27 — corpus vocabulary profile (TextOps.vocabProfile): N/V, hapax
+    // and dis legomena, top-10 head mass + value-checked head set — the
+    // Zipf tripwires a corpus release reports before per-doc filtering.
+    "x27_vocab_profile" -> ((s, d) =>
+      TextOps.vocabProfile(Tables(s, d).documents, "text", 10)),
+
     // X25 — deterministic MLM masking (TextOps.mlmMask, BERT 80/10/10):
     // every mask decision is the portable hash of (doc, pos) — resharding
     // or regenerating the corpus reproduces byte-identical examples, and
@@ -3433,6 +3439,18 @@ object SparkEntry {
            |   FROM t WHERE len(toks) >= 8),
            | b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7)
            | SELECT DISTINCT doc_id FROM g JOIN b USING (gram) ORDER BY doc_id""".stripMargin,
+    "x27_vocab_profile" ->
+      raw"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+           | c AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY w),
+           | hd AS (SELECT coalesce(sum(c), 0)::BIGINT AS head_mass,
+           |   md5(coalesce(string_agg(w, ',' ORDER BY c DESC, w), '')) AS head_md5
+           |   FROM (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 10)),
+           | a AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+           |   count(CASE WHEN c = 1 THEN 1 END)::BIGINT AS n_hapax,
+           |   count(CASE WHEN c = 2 THEN 1 END)::BIGINT AS n_dis FROM c)
+           | SELECT n_tokens, n_types, n_hapax, n_dis, head_mass, head_md5
+           | FROM a CROSS JOIN hd""".stripMargin,
+
     // x25 — full per-position replay: keys, h0 stage, xor-fold bucket,
     // the three legs, and the hash-picked in-doc random token.
     "x25_mlm_mask" ->

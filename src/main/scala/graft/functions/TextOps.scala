@@ -516,6 +516,46 @@ object TextOps {
     * distributed LM-scoring shape: every stage is a map-side-combined
     * count or an equi-join, nothing quadratic, nothing collected.
     */
+  /** Corpus vocabulary profile — the Zipf/type-token health metrics every
+    * corpus release reports (Heaps-law curve sanity, hapax mass, head
+    * concentration): N (tokens), V (types), hapax/dis legomena counts,
+    * the token mass of the top-`headK` types, and an md5 over the
+    * (freq desc, word) head list so the exact head set is value-checked.
+    * A near-1 hapax ratio screams OCR noise / encoding damage; a
+    * top-head mass far above ~40% screams boilerplate duplication —
+    * cheap corpus-level tripwires before any per-doc filter runs.
+    *
+    * ONE tokenize scan → map-side-combined word counts → all metrics fold
+    * out of the O(V) count table (conditional aggs + a TakeOrdered head);
+    * nothing per-doc shuffles.
+    */
+  def vocabProfile(docs: DataFrame, textCol: String, headK: Int = 10): DataFrame = {
+    require(headK >= 1, s"headK must be >= 1: $headK")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    // re-sort INSIDE the agg: collect_list makes no order promise even
+    // over a TakeOrdered result, so the md5 sorts its own (freq desc,
+    // word) structs
+    val head = counts
+      .orderBy(desc("__c"), col("__w")).limit(headK)
+      .agg(sum(col("__c")).as("__head_mass"),
+        md5(concat_ws(",", transform(
+          array_sort(collect_list(struct((-col("__c")).as("nc"), col("__w").as("w")))),
+          s => s.getField("w")))).as("__head_md5"))
+    counts.agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      count(when(col("__c") === 1, 1)).as("n_hapax"),
+      count(when(col("__c") === 2, 1)).as("n_dis"),
+    ).crossJoin(broadcast(head))
+      .select(
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_types"), col("n_hapax"), col("n_dis"),
+        coalesce(col("__head_mass"), lit(0L)).as("head_mass"),
+        col("__head_md5").as("head_md5"))
+  }
+
   /** Winnowing fingerprints (Schleimer 2003 §4 — the MOSS scheme): the
     * lexicographic-min md5 of each `window`-wide run of `k`-gram hashes,
     * distinct per document. Guarantees: any shared substring of at least

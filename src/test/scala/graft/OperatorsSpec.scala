@@ -1070,6 +1070,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)), s"only the copied-passage pair must surface: $pairs")
   }
 
+  test("vocabProfile: exact Zipf stats on a hand corpus") {
+    // tokens: a a a b b c  -> N=6 V=3 hapax={c} dis={b}; head-2 = a,b mass 5
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.vocabProfile(docs, "text", 2)
+      .as[(Long, Long, Long, Long, Long, String)].collect()(0)
+    assert(out._1 == 6L && out._2 == 3L && out._3 == 1L && out._4 == 1L && out._5 == 5L)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("a,b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out._6 == expectMd5)
+  }
+
   // ---- X25 MLM masking ----------------------------------------------------
   test("mlmMask: legs partition n_masked, rate tracks maskBp, empty docs survive with zero counts") {
     val docs = (0L until 200L).map(i => (i, ("tok " * 50).trim)).toDF("doc_id", "text")
