@@ -114,3 +114,140 @@ object Tokenize {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Winnowing fingerprints (Schleimer 2003 §4, the MOSS scheme) as ONE
+  * codegen'd pass: tokenize → k-gram md5 → sliding-window min → distinct,
+  * replacing the interpreted HOF composition (`transform(sequence(...),
+  * i => array_min(slice(hs, i, w)))`) that allocated a w-wide array slice
+  * and compared 32-char strings per window position (~3 µs/token
+  * interpreted — it was 28% of the whole bench suite).
+  *
+  * Semantics are BIT-IDENTICAL to the HOF form (ScalaCheck parity
+  * property in `ExpressionParitySpec`): md5 HEX of the space-joined
+  * k-gram stays the hash domain — lexicographic order over hex equals
+  * unsigned big-endian order over the 16 digest bytes, so the window min
+  * is computed on two longs (one `compareUnsigned` pair per step via a
+  * monotonic deque, O(n) total) and hex is re-emitted only for the ~2/(w+1)
+  * winners. Fewer than `window` k-grams (but ≥ 1) degrade to one
+  * whole-doc-min fingerprint; no k-grams → empty (matches the HOF and the
+  * DuckDB oracle's `greatest(len(hs) - w + 1, 1)` replay).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1: $k")
+  require(window >= 1, s"window must be >= 1: $window")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.fingerprints(input.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFingerprints$$.MODULE$$.fingerprints($c, $k, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  /** Hex-encode a 128-bit md5 held as two big-endian longs (the emitted
+    * domain must stay md5-hex for oracle portability).
+    */
+  private def hex(hi: Long, lo: Long): UTF8String = {
+    val out = new Array[Byte](32)
+    var i   = 0
+    while (i < 16) {
+      out(i) = HexDigits(((hi >>> (60 - 4 * i)) & 0xf).toInt)
+      out(16 + i) = HexDigits(((lo >>> (60 - 4 * i)) & 0xf).toInt)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def fingerprints(s: UTF8String, k: Int, window: Int): ArrayData = {
+    // Tokenize pass (same byte-run rule as Tokenize.split), but keeping
+    // (start, end) offsets so k-gram digests stream straight from the
+    // lowercased byte buffer — no per-token UTF8String materialization.
+    val bytes  = s.toLowerCase.getBytes
+    val n      = bytes.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends   = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i      = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val c = bytes(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) j += 1
+        starts += i; ends += j
+        i = j
+      } else i += 1
+    }
+    val nTok = starts.length
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+
+    // md5 per k-gram (digest fed token bytes + single-space separators —
+    // byte-identical to md5 of the space-joined shingle string), packed
+    // into two big-endian longs for O(1) unsigned comparison.
+    val nGram = nTok - k + 1
+    val hi    = new Array[Long](nGram)
+    val lo    = new Array[Long](nGram)
+    val md    = java.security.MessageDigest.getInstance("MD5")
+    var g     = 0
+    while (g < nGram) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes, starts(g + j), ends(g + j) - starts(g + j))
+        j += 1
+      }
+      val d = md.digest()
+      var h = 0L; var l = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); l = (l << 8) | (d(8 + b) & 0xffL); b += 1 }
+      hi(g) = h; lo(g) = l
+      g += 1
+    }
+
+    // Sliding-window min via a monotonic deque (amortized O(1)/position);
+    // distinct preserves first-occurrence order like array_distinct.
+    @inline def less(a: Int, b: Int): Boolean = {
+      val c = java.lang.Long.compareUnsigned(hi(a), hi(b))
+      if (c != 0) c < 0 else java.lang.Long.compareUnsigned(lo(a), lo(b)) <= 0
+    }
+    val w     = math.min(window, nGram)
+    val dq    = new Array[Int](nGram)
+    var head  = 0; var tail = 0
+    val seen  = new java.util.HashSet[(Long, Long)]()
+    val out   = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastM = -1
+    i = 0
+    while (i < nGram) {
+      while (tail > head && less(i, dq(tail - 1))) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = dq(head)
+        // Consecutive windows usually share a min index — skip those for
+        // free; the exact full-128-bit set (no lossy folding: a 64-bit mix
+        // could collide and DROP a fingerprint array_distinct would keep)
+        // only sees the ~2/(w+1) min transitions.
+        if (m != lastM) {
+          lastM = m
+          if (seen.add((hi(m), lo(m)))) out += hex(hi(m), lo(m))
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -570,14 +570,25 @@ object TextOps {
     * oracle-replayable with list ops. Fewer than `window` k-grams (but
     * ≥ 1) degrade to one whole-doc-min fingerprint; no k-grams → empty.
     *
-    * Pure per-row HOF projection — no shuffle, no explode; downstream
+    * Pure per-row projection — no shuffle, no explode; downstream
     * overlap detection explodes ONLY the sampled fingerprints (≈ 2/(w+1)
-    * of the k-grams), which is the scale win.
+    * of the k-grams), which is the scale win. Backed by the codegen'd
+    * [[WinnowFingerprints]] expression (one imperative pass, rolling-min
+    * monotonic deque) — the interpreted HOF form it replaced is kept as
+    * [[winnowFingerprintsHof]] for the ScalaCheck parity property.
     */
-  def winnowFingerprints(text: Column, k: Int, window: Int): Column = {
+  def winnowFingerprints(text: Column, k: Int, window: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      WinnowFingerprints(org.apache.spark.sql.GraftBridge.expression(text), k, window))
+
+  /** Declarative form [[WinnowFingerprints]] replaces — parity-test
+    * reference (bit-identical output, including first-occurrence distinct
+    * order and the degenerate < window single-fingerprint rule).
+    */
+  private[graft] def winnowFingerprintsHof(text: Column, k: Int, window: Int): Column = {
     require(k >= 1, s"k must be >= 1: $k")
     require(window >= 1, s"window must be >= 1: $window")
-    val hs = transform(wordShingles(tokens(text), k), g => md5(g))
+    val hs = transform(wordShinglesHof(tokensHof(text), k), g => md5(g))
     val nWin = greatest(size(hs) - window + 1, lit(1))
     when(size(hs) === 0, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(1), nWin),

@@ -1082,8 +1082,17 @@ object Dedup {
   ): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2: $maxDf")
+    // The fingerprint projection is the expensive stage and feeds THREE
+    // plan branches (the df-agg and both sides of the self-join); without
+    // materialization AQE broadcasts the joins, no exchange is ever
+    // reused, and the corpus scan + explode runs once PER BRANCH. Persist
+    // (memory, spilling to disk) so it computes exactly once — the cached
+    // unit is the sampled fingerprints, ≈ 2/(w+1) of the k-grams, ~50
+    // bytes/row; the ContextCleaner reclaims it when the result DataFrame
+    // is unreferenced.
     val fps = docs.select(col(idCol).as("a"),
       explode(graft.functions.TextOps.winnowFingerprints(col(textCol), k, window)).as("__fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fingerprints are distinct per doc already (winnowFingerprints ends
     // in array_distinct), so df is a plain count
     val rare = fps.groupBy("__fp")

@@ -691,6 +691,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: native WinnowFingerprints matches the declarative HOF form, order included") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocab forces repeated k-grams (distinct path), lengths straddle
+    // the k and k+window degenerate boundaries, separators/case vary
+    val word = Gen.oneOf("a", "b", "ab", "the", "DOC", "x1")
+    val sep  = Gen.oneOf(" ", ", ", "\n", "--")
+    val strGen = for {
+      n  <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val inputs = (0 until 250).flatMap(i => strGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", "one two three", "one two three four", "a a a a a a a a a a a a a a")
+    for ((k, w) <- Seq((4, 5), (1, 1), (2, 3), (5, 2))) {
+      val df = inputs.toDF("s").select(
+        TextOps.winnowFingerprints(col("s"), k, w).as("fast"),
+        graft.functions.TextOps.winnowFingerprintsHof(col("s"), k, w).as("ref"))
+      df.collect().zip(inputs).foreach { case (r, in) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch k=$k w=$w on '$in'")
+      }
+    }
+  }
+
   test("property: native Sq8 matches the declarative HOF form on arbitrary finite vectors") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
