@@ -82,11 +82,14 @@ object Dedup {
     * quoted verbatim inside a crawled page must knock that page out).
     *
     * The benchmark side is small by definition (eval suites are thousands
-    * of rows, the corpus is the 100 TB side), so its exploded distinct
-    * n-grams broadcast and the corpus-side semi-join is map-side — the
-    * corpus shuffles NOTHING; the whole sweep is one scan. A benchmark too
-    * big to broadcast degrades to a plain shuffled semi-join of (gram, id)
-    * pairs, never pairs-of-documents.
+    * of rows, the corpus is the 100 TB side), so AQE broadcasts its
+    * exploded distinct n-grams at runtime (the distinct's shuffle gives it
+    * an exact size) and the corpus-side semi-join is map-side — the corpus
+    * shuffles NOTHING; the whole sweep is one scan. The hint is
+    * deliberately NOT forced: a benchmark past the broadcast threshold
+    * degrades to a plain shuffled semi-join of (gram, id) pairs, never
+    * pairs-of-documents — a forced broadcast() would OOM the driver there
+    * instead of degrading.
     *
     * Output: distinct (idCol) of contaminated corpus docs.
     */
@@ -103,7 +106,7 @@ object Dedup {
       .select(explode(shingleSet(col(benchTextCol), shingleSize)).as("__g")).distinct()
     corpus
       .select(col(idCol), explode(shingleSet(col(textCol), shingleSize)).as("__g"))
-      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .join(benchGrams, Seq("__g"), "left_semi")
       .select(idCol).distinct()
   }
 
@@ -116,8 +119,9 @@ object Dedup {
     * release pipelines gate on overlap fraction, not membership.
     *
     * Same scale contract as [[contaminatedIds]]: benchmark grams are the
-    * small side (broadcast; a huge benchmark degrades to a shuffled
-    * (gram) join, never doc pairs), the corpus is scanned ONCE, and the
+    * small side (AQE-broadcast by measured size, not a forced hint, so a
+    * huge benchmark really does degrade to a shuffled (gram) join instead
+    * of OOMing the driver — never doc pairs), the corpus is scanned ONCE, and the
     * per-doc ratio is a map-side-combined count over the exploded grams —
     * no distinct-shuffle of the corpus, no window. Docs too short to form
     * a single gram have overlap 0 (nothing to leak).
@@ -142,7 +146,7 @@ object Dedup {
       // shingleSet is already distinct per doc, so the exploded rows are
       // unique (id, gram) pairs — counts need no dedup shuffle
       .select(col(idCol), explode_outer(shingleSet(col(textCol), shingleSize)).as("__g"))
-      .join(broadcast(benchGrams), Seq("__g"), "left")
+      .join(benchGrams, Seq("__g"), "left")
       .groupBy(idCol)
       .agg(
         count(col("__g")).as("n_grams"),

@@ -39,6 +39,14 @@ object Graph {
     * node appearing as src or dst. `dampingBp` is d in basis points
     * (8500 = the standard 0.85) so the teleport constant stays exactly
     * representable from integer inputs.
+    *
+    * Node ids keep THEIR OWN type (integral or string — string hosts/URLs
+    * are the advertised link-graph case and join natively, no lossy
+    * hash-to-long); src and dst must agree, anything else (double, struct,
+    * …) is rejected up front rather than silently cast. NULL ids in the
+    * data are dropped (an edge to/from an unknown node carries no mass) —
+    * that is a data-semantics rule, not a cast artifact: no conversion
+    * happens that could manufacture nulls from real ids.
     */
   def pagerank(
       edges: DataFrame,
@@ -49,6 +57,17 @@ object Graph {
   ): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
     require(dampingBp >= 0 && dampingBp <= 10000, s"dampingBp out of range: $dampingBp")
+    import org.apache.spark.sql.types._
+    val srcT = edges.schema(srcCol).dataType
+    val dstT = edges.schema(dstCol).dataType
+    def keyOk(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _                                                          => false
+    }
+    require(keyOk(srcT) && keyOk(dstT),
+      s"pagerank node ids must be integral or string columns, got $srcCol: ${srcT.sql}, $dstCol: ${dstT.sql}")
+    require(srcT == dstT,
+      s"pagerank src/dst id types must agree, got $srcCol: ${srcT.sql} vs $dstCol: ${dstT.sql}")
     val d = dampingBp / 10000d
     // teleport factor from the INTEGER complement, not 1.0 - d: 1 - 0.85
     // in binary is 0.15000000000000002 while an oracle's literal 0.15 is
@@ -56,7 +75,7 @@ object Graph {
     val td = (10000 - dampingBp) / 10000d
 
     val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
 

@@ -149,7 +149,11 @@ object Urls {
           case "allow" | "disallow" =>
             inRun = false
             if (value.nonEmpty) agents.foreach(a => out += RobotsRule(a, key == "allow", value))
-          case _ => inRun = false // unknown directive ends a User-agent run
+          // RFC 9309 §2.2.2: records other than user-agent/allow/disallow
+          // MUST NOT interfere with group structure — a Sitemap/Crawl-delay
+          // BETWEEN two User-agent lines leaves them in one group, so the
+          // run state is untouched (only rules end a run).
+          case _ => ()
         }
       }
     }
@@ -215,9 +219,16 @@ object Urls {
       // wins ties — one struct-max agg, no window
       .agg(max(struct(length(col("__r_prefix")).as("l"), col("__r_allow").as("a")))
         .getField("a").as("__verdict"))
+    // Unparseable URLs (host NULL) get allowed = NULL, not true: the
+    // robots gate can't vouch for a URL it can't attribute to a host, and
+    // a silent fail-open would let malformed URLs bypass compliance.
+    // Callers choose their own policy on NULL (cf. withDomainBlocked,
+    // which DOCUMENTS its fail-open instead).
     withPath
       .join(verdict, idCols, "left")
-      .withColumn("allowed", coalesce(col("__verdict"), lit(true)))
+      .withColumn("allowed",
+        when(col("host").isNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(col("__verdict"), lit(true))))
       .drop("__path", "__verdict")
   }
 }

@@ -106,7 +106,25 @@ object Scd2Stream {
     val freshEvents = ev.join(storeEvents,
       Seq("key", "ts", "tie", "attr"), "left_anti")
     val nextEvents = storeEvents.unionByName(freshEvents)
+    // CONFLICT guard: the dedup above is on the full (key, ts, tie, attr)
+    // tuple, so two events agreeing on (key, ts, tie) but carrying
+    // DIFFERENT attrs would both enter the log — and [[Joins.scd2]]'s
+    // window orders only by (ts, tie), making the resulting intervals
+    // partition-order-dependent. Such input is a producer bug (the tie
+    // column exists precisely to disambiguate same-ts events), so it
+    // fails FAST at execution time via raise_error — distributed, no
+    // extra driver action — instead of silently folding nondeterminism
+    // into the store. Only touched keys pay the count window.
+    val attrType   = ev.schema("attr").dataType
     val touchedLog = nextEvents.join(touched, Seq("key"), "left_semi")
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key", "ts", "tie")))
+      .withColumn("attr",
+        when(col("__n") > 1, raise_error(format_string(
+          "scd2 fold: conflicting attr values for (key=%s, ts=%s, tie=%s)",
+          col("key"), col("ts"), col("tie"))).cast(attrType))
+          .otherwise(col("attr")))
+      .drop("__n")
     val rebuilt = Joins.scd2(touchedLog, "key", "ts", "tie", "attr")
     val untouched = storeIntervals.join(touched, Seq("key"), "left_anti")
     (nextEvents, untouched.unionByName(rebuilt))

@@ -1207,6 +1207,21 @@ class OperatorsSpec extends AnyFunSuite {
       Urls.RobotsRule("*", false, "/c")))
   }
 
+  test("parseRobots: Sitemap/Crawl-delay between User-agent lines does not split the group (RFC 9309 §2.2.2)") {
+    val rules = Urls.parseRobots(
+      "User-agent: a\nSitemap: https://x/sitemap.xml\nUser-agent: b\nDisallow: /x\n")
+    assert(rules.toSet == Set(
+      Urls.RobotsRule("a", false, "/x"), Urls.RobotsRule("b", false, "/x")))
+  }
+
+  test("withRobotsAllowed: unparseable host yields allowed = NULL, not fail-open true") {
+    val robots = Seq(("h", "User-agent: *\nDisallow: /\n")).toDF("host", "txt")
+    val urls = Seq((1L, "not a url"), (2L, "https://h/x")).toDF("id", "url")
+    val out = Urls.withRobotsAllowed(urls, "url", Urls.robotsRules(robots, "host", "txt"), "any", Seq("id"))
+      .select("id", "allowed").collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(false)))
+  }
+
   test("parseRobots: a User-agent line AFTER rules starts a fresh group (no accumulation)") {
     val rules = Urls.parseRobots("User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n")
     assert(rules == Seq(
@@ -1345,6 +1360,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
     // symmetric cycle → equal ranks
     assert(math.abs(r(1L) - r(2L)) < 1e-12)
+  }
+
+  test("pagerank: string host ids rank natively; unsupported/mismatched key types fail loudly") {
+    // same star shape as the long-id test — values must agree exactly
+    val edges = Seq(("a.com", "c.com"), ("b.com", "c.com")).toDF("src", "dst")
+    val r = Graph.pagerank(edges, "src", "dst", iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("a.com") - 0.05) < 1e-12)
+    assert(math.abs(r("c.com") - (0.05 + 0.85 * 2.0 / 3.0)) < 1e-12)
+    val bad = Seq((1.5, 2.5)).toDF("src", "dst")
+    val e1 = intercept[IllegalArgumentException](Graph.pagerank(bad, "src", "dst"))
+    assert(e1.getMessage.contains("integral or string"))
+    val mixed = Seq((1L, "x")).toDF("src", "dst")
+    val e2 = intercept[IllegalArgumentException](Graph.pagerank(mixed, "src", "dst"))
+    assert(e2.getMessage.contains("must agree"))
   }
 
   // ---- J11 SCD2 intervals -------------------------------------------------

@@ -360,6 +360,25 @@ class Scd2StreamSpec extends AnyFunSuite {
       i1.as[(Long, String, Long, Option[Long])].collect().toSet)
   }
 
+  test("foldBatch fails fast on conflicting attrs sharing (key, ts, tie) instead of folding nondeterminism") {
+    import spark.implicits._
+    // same key/ts/tie, two different states — a producer bug the tie
+    // column exists to prevent; must raise, not pick a partition-order winner
+    val ev = Seq((1L, 10L, 1L, "a"), (1L, 10L, 1L, "b"))
+      .toDF("user_id", "ts", "event_id", "state")
+    val e0 = graft.streaming.Scd2Stream.currentEvents(spark, s"/nonexistent_${System.nanoTime}")
+    val i0 = graft.streaming.Scd2Stream.currentIntervals(spark, s"/nonexistent_${System.nanoTime}")
+    val (_, iv) = graft.streaming.Scd2Stream.foldBatch(e0, i0, ev, "user_id", "ts", "event_id", "state")
+    val ex = intercept[Exception](iv.collect())
+    assert(ex.getMessage.contains("conflicting attr") ||
+      Option(ex.getCause).exists(_.getMessage.contains("conflicting attr")))
+    // non-conflicting same-(key, ts) events with distinct ties still fold fine
+    val ok = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "state")
+    val (_, iv2) = graft.streaming.Scd2Stream.foldBatch(e0, i0, ok, "user_id", "ts", "event_id", "state")
+    assert(iv2.count() > 0)
+  }
+
   test("foldBatch on an empty store equals the batch operator (backfill path)") {
     import spark.implicits._
     val ev = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "x"))
