@@ -493,7 +493,7 @@ object ScaleBench {
         // maxDf^2 per fingerprint regardless of corpus size
         "winnow_pairs" -> (() => Dedup.winnowOverlapPairs(
           docs, "doc_id", "text", 4, 5, minShared = 3, maxDf = 10).count()),
-        // d18: per-row HOF winnowing — scan-bound flat like mlm_mask
+        // d18: codegen'd winnowing expression — scan-bound flat like mlm_mask
         "winnow_fps" -> (() => docs
           .select(size(graft.functions.TextOps.winnowFingerprints(col("text"), 4, 5)).cast("long").as("n"))
           .agg(sum(col("n"))).head().getLong(0)),
@@ -558,6 +558,14 @@ object ScaleBench {
           val e = docs.select(col("doc_id").as("src"),
             pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
           Graph.pagerank(e, "src", "dst", iters = 3).count()
+        }),
+        // round-8: full Page et al. variant — adds one scalar reduce +
+        // broadcast per round over the persisted iterate; curve should
+        // stay within ~1.5x of plain pagerank
+        "pagerank_redist" -> (() => {
+          val e = docs.select(col("doc_id").as("src"),
+            pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
+          Graph.pagerank(e, "src", "dst", iters = 3, redistributeDangling = true).count()
         }),
         // SCD2 interval build over the event log: ONE shuffle (the
         // (user, ts) window chain); output ~= change rows

@@ -1768,6 +1768,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G2 — full Page et al. variant: dangling mass (suppliers are pure
+    // sinks in this bipartite customer→supplier graph, so MOST mass
+    // parks there) re-enters uniformly each round; total rank mass is
+    // exactly conserved. The oracle carries the per-iteration dangling
+    // scalar CTE alongside each contribution round.
+    "g2_pagerank_redistributed" -> ((s, d) => {
+      val t = Tables(s, d)
+      val edges = t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+      Graph.pagerank(edges, "src", "dst", iters = 3, redistributeDangling = true)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }),
+
     // ---------------- M: ML ----------------------------------------------
     // Seeded-fit OUTPUTS (labels, rotations) aren't SQL-reproducible, so
     // these emit checkable facts instead (the v6/v7 pattern): exact counts
@@ -4044,6 +4059,25 @@ object SparkEntry {
         | r2 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c2 ON v.id = c2.id),
         | c3 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
         | r3 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c3 ON v.id = c3.id)
+        | SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+    // g2 — same rounds plus a dangling-mass scalar per iteration: nodes
+    // absent from deg are sinks; their mass re-enters uniformly.
+    "g2_pagerank_redistributed" ->
+      """WITH e AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst
+        |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        | nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+        | deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+        | r0 AS (SELECT id, 1.0 / n AS r FROM v CROSS JOIN nn),
+        | d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0 LEFT JOIN deg ON r0.id = deg.src WHERE deg.src IS NULL),
+        | c1 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r1 AS (SELECT v.id, 0.15 / n + 0.85 * (coalesce(m, 0) + dm / n) AS r FROM v CROSS JOIN nn CROSS JOIN d1 LEFT JOIN c1 ON v.id = c1.id),
+        | d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1 LEFT JOIN deg ON r1.id = deg.src WHERE deg.src IS NULL),
+        | c2 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r2 AS (SELECT v.id, 0.15 / n + 0.85 * (coalesce(m, 0) + dm / n) AS r FROM v CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 ON v.id = c2.id),
+        | d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2 LEFT JOIN deg ON r2.id = deg.src WHERE deg.src IS NULL),
+        | c3 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r3 AS (SELECT v.id, 0.15 / n + 0.85 * (coalesce(m, 0) + dm / n) AS r FROM v CROSS JOIN nn CROSS JOIN d3 LEFT JOIN c3 ON v.id = c3.id)
         | SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
     "h5_region_revenue" ->
       """SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents, count(*) AS n_items

@@ -14,11 +14,13 @@ import org.apache.spark.sql.DataFrame
   *   r_0(v)   = 1/N
   *   r_k(v)   = (1-d)/N + d · Σ_{u→v} r_{k-1}(u) / outdeg(u)
   *
-  * Dangling nodes (no out-edges) simply leak their mass — the classic
-  * simplified semantics, chosen because it is exactly replayable by an
-  * independent SQL oracle as a chain of join+groupBy CTEs (the
-  * redistribute-variant needs a per-iteration global scalar that doubles
-  * the oracle's height for no extra operator coverage).
+  * By default dangling nodes (no out-edges) simply leak their mass — the
+  * classic simplified semantics, exactly replayable by an independent SQL
+  * oracle as a chain of join+groupBy CTEs. `redistributeDangling = true`
+  * opts into the full Page et al. variant (dangling mass re-enters
+  * uniformly, total rank mass exactly conserved) at the cost of one
+  * scalar reduce per iteration — its oracle (g2) carries the
+  * per-iteration dangling CTE alongside each contribution round.
   *
   * Scale shape: `outdeg` is ONE map-side-combined groupBy, computed once
   * and reused across iterations. Each iteration is one shuffle join
@@ -54,6 +56,7 @@ object Graph {
       dstCol: String,
       iters: Int = 3,
       dampingBp: Int = 8500,
+      redistributeDangling: Boolean = false,
   ): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
     require(dampingBp >= 0 && dampingBp <= 10000, s"dampingBp out of range: $dampingBp")
@@ -91,15 +94,38 @@ object Graph {
 
     var ranks = nodes.withColumn("rank", lit(1d / n))
     for (_ <- 1 to iters) {
+      // With redistribution each iteration consumes `ranks` TWICE (the
+      // contribution join and the dangling-mass reduce); persisting the
+      // iterate keeps the unrolled plan linear instead of doubling per
+      // round. The cached unit is one (id, rank) frame — node-set sized,
+      // spills to disk; the ContextCleaner reclaims dropped iterates.
+      val r =
+        if (redistributeDangling)
+          ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else ranks
       val contribs = e
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(r.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("__od")).as("__m"))
-      ranks = nodes
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(td / n) + lit(d) * coalesce(col("__m"), lit(0d))).as("rank"))
+      val next = nodes.join(contribs, Seq("id"), "left")
+      ranks =
+        if (!redistributeDangling)
+          next.select(col("id"),
+            (lit(td / n) + lit(d) * coalesce(col("__m"), lit(0d))).as("rank"))
+        else {
+          // Full Page et al. semantics: mass parked on dangling nodes
+          // (no out-edges) re-enters uniformly. One extra scalar reduce
+          // per iteration (rank mass anti-joined against outdeg),
+          // broadcast back — total mass is then exactly conserved, so
+          // absolute ranks are comparable across graphs.
+          val dang = r.join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0d)).as("__dm"))
+          next.crossJoin(broadcast(dang))
+            .select(col("id"),
+              (lit(td / n) + lit(d) * (coalesce(col("__m"), lit(0d)) + col("__dm") / lit(n)))
+                .as("rank"))
+        }
     }
     ranks
   }

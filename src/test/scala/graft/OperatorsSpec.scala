@@ -1362,6 +1362,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r(1L) - r(2L)) < 1e-12)
   }
 
+  test("pagerank redistributeDangling: sink mass re-enters uniformly, total mass exactly conserved") {
+    // star with a dangling sink — the leaking variant loses mass here
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pagerank(edges, "src", "dst", iters = 1, redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    // N=3, r0=1/3; node 3 dangles with mass 1/3: every node gets
+    // 0.15/3 + 0.85*(contrib + (1/3)/3)
+    val teleportPlusDangling = 0.05 + 0.85 * (1.0 / 9.0)
+    assert(math.abs(r(1L) - teleportPlusDangling) < 1e-12)
+    assert(math.abs(r(2L) - teleportPlusDangling) < 1e-12)
+    assert(math.abs(r(3L) - (teleportPlusDangling + 0.85 * 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    // deeper run still conserves mass exactly
+    val r3 = Graph.pagerank(edges, "src", "dst", iters = 3, redistributeDangling = true)
+      .as[(Long, Double)].collect()
+    assert(math.abs(r3.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("pagerank: string host ids rank natively; unsupported/mismatched key types fail loudly") {
     // same star shape as the long-id test — values must agree exactly
     val edges = Seq(("a.com", "c.com"), ("b.com", "c.com")).toDF("src", "dst")
