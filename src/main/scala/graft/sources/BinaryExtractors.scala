@@ -24,8 +24,8 @@ import scala.collection.mutable
   * Declared deviations (fixture-invisible, documented here once): regex XML
   * pulls assume well-formed OOXML (no CDATA); PDF text extraction models
   * pypdf's simple path — `Tj`/`'`/`"`/`TJ` show text, `Td`/`TD`/`T*` break
-  * lines — not full text-matrix tracking; PPTX slide order is the
-  * `slideN.xml` numeric order (python-pptx follows presentation.xml rels).
+  * lines — not full text-matrix tracking. (PPTX slide order follows
+  * presentation.xml rels since round 8 — no longer a deviation.)
   */
 private[sources] object Ooxml {
 
@@ -996,20 +996,56 @@ final class DocxExtractor extends Extractor {
 /** S4 — PPTX (pptx_extractor.py:26-57): shape text = paragraph texts joined
   * "\n" (python-pptx `shape.text`), non-empty shapes joined "\n" within a
   * slide, non-empty slides joined "\n\n"; slide_count + core-props metadata.
+  *
+  * Slide ORDER follows python-pptx exactly (round 8, closing the declared
+  * numeric-order deviation): the `<p:sldIdLst>` r:id sequence in
+  * `ppt/presentation.xml`, resolved through
+  * `ppt/_rels/presentation.xml.rels` Relationship targets — a deck whose
+  * rel order disagrees with the slideN.xml numbering (slides reordered in
+  * the editor) extracts in PRESENTATION order. Numeric `slideN` order
+  * remains the fallback when either part is absent/unresolvable (some
+  * producers omit the list; the property spec covers that path).
   */
 final class PptxExtractor extends Extractor {
   val name = "PptxExtractor"
 
   private val SlideName = "^ppt/slides/slide(\\d+)\\.xml$".r
+  private val SldIdTag  = "<p:sldId\\s[^>]*>".r
+  private val RelTag    = "<Relationship\\s[^>]*>".r
+  private val RIdAttr   = "r:id=\"([^\"]+)\"".r
+  private val IdAttr    = "\\bId=\"([^\"]+)\"".r
+  private val TargetAttr = "\\bTarget=\"([^\"]+)\"".r
+
+  /** Presentation-order slide entry names via sldIdLst → rels, when both
+    * parts resolve to every listed slide; None → numeric fallback.
+    */
+  private def relOrder(es: Vector[(String, Array[Byte])]): Option[Vector[String]] =
+    for {
+      pres <- Ooxml.entryText(es, "ppt/presentation.xml")
+      rels <- Ooxml.entryText(es, "ppt/_rels/presentation.xml.rels")
+      lst  <- Ooxml.blocks(pres, "p:sldIdLst").headOption
+      relTargets = RelTag.findAllIn(rels).map(_.toString).flatMap { t =>
+        for (id <- IdAttr.findFirstMatchIn(t); tg <- TargetAttr.findFirstMatchIn(t))
+          yield id.group(1) -> tg.group(1)
+      }.toMap
+      rids = SldIdTag.findAllIn(lst).map(_.toString)
+        .flatMap(t => RIdAttr.findFirstMatchIn(t).map(_.group(1))).toVector
+      // targets are part-relative ("slides/slide3.xml") or package-absolute
+      // ("/ppt/slides/slide3.xml")
+      names = rids.flatMap(relTargets.get).map(t =>
+        if (t.startsWith("/")) t.drop(1) else "ppt/" + t)
+      if names.nonEmpty && names.forall(n => es.exists(_._1 == n))
+    } yield names
 
   def extract(content: Array[Byte], fileName: String): (String, Map[String, String]) = {
     val es = Ooxml.entries(content)
-    val slides = es.flatMap { case (n, b) =>
-      SlideName.findFirstMatchIn(n).map(m => (m.group(1).toInt, new String(b, StandardCharsets.UTF_8)))
-    }.sortBy(_._1)
-    if (slides.isEmpty && !es.exists(_._1 == "ppt/presentation.xml"))
+    val numeric = es.flatMap { case (n, _) =>
+      SlideName.findFirstMatchIn(n).map(m => (m.group(1).toInt, n))
+    }.sortBy(_._1).map(_._2)
+    if (numeric.isEmpty && !es.exists(_._1 == "ppt/presentation.xml"))
       throw new IllegalArgumentException("not a PPTX (no ppt/presentation.xml)")
-    val slideTexts = slides.map { case (_, xml) =>
+    val ordered = relOrder(es).getOrElse(numeric)
+    val slideTexts = ordered.flatMap(Ooxml.entryText(es, _)).map { xml =>
       Ooxml.blocks(xml, "p:txBody").map { body =>
         Ooxml.blocks(body, "a:p")
           .map(p => Ooxml.blocks(p, "a:t").map(Ooxml.unescape).mkString)
@@ -1017,7 +1053,7 @@ final class PptxExtractor extends Extractor {
       }.filter(_.nonEmpty).mkString("\n")
     }.filter(_.nonEmpty)
     val (title, author) = Ooxml.coreProps(es)
-    val meta = Map("slide_count" -> slides.size.toString) ++
+    val meta = Map("slide_count" -> ordered.size.toString) ++
       title.map("title" -> _) ++ author.map("author" -> _)
     (slideTexts.mkString("\n\n"), meta)
   }

@@ -564,6 +564,35 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(meta("slide_count") == "2")
   }
 
+  test("PPTX: presentation.xml rels order overrides numeric slide order; broken rels fall back") {
+    def sld(t: String) =
+      s"<p:sld><p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r><a:t>$t</a:t></a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    val pres =
+      """<p:presentation><p:sldIdLst><p:sldId id="257" r:id="rId3"/><p:sldId id="256" r:id="rId2"/></p:sldIdLst></p:presentation>"""
+    val rels =
+      """<Relationships><Relationship Id="rId1" Type=".../slideMaster" Target="slideMasters/slideMaster1.xml"/>""" +
+        """<Relationship Id="rId2" Type=".../slide" Target="slides/slide1.xml"/>""" +
+        """<Relationship Id="rId3" Type=".../slide" Target="/ppt/slides/slide2.xml"/></Relationships>"""
+    val entries = Seq(
+      "ppt/presentation.xml" -> pres,
+      "ppt/_rels/presentation.xml.rels" -> rels,
+      "ppt/slides/slide1.xml" -> sld("first-numeric"),
+      "ppt/slides/slide2.xml" -> sld("second-numeric"),
+    )
+    // sldIdLst lists rId3 (slide2, via package-absolute target) BEFORE rId2
+    val (text, meta) = new PptxExtractor().extract(deflatedZip(entries), "p.pptx")
+    assert(text == "second-numeric\n\nfirst-numeric")
+    assert(meta("slide_count") == "2")
+    // rels referencing a missing part → numeric fallback, not a crash
+    val broken = entries.map {
+      case (n, _) if n == "ppt/_rels/presentation.xml.rels" =>
+        n -> """<Relationships><Relationship Id="rId2" Type=".../slide" Target="slides/slideMISSING.xml"/><Relationship Id="rId3" Type=".../slide" Target="slides/slide2.xml"/></Relationships>"""
+      case e => e
+    }
+    val (text2, _) = new PptxExtractor().extract(deflatedZip(broken), "p.pptx")
+    assert(text2 == "first-numeric\n\nsecond-numeric")
+  }
+
   test("XLSX: sheet headers, pipe rows, dash rule, cell-type rendering") {
     val (text, meta) = new XlsxExtractor().extract(read("fixtures/office/book.xlsx"), "book.xlsx")
     assert(text ==
