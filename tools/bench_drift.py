@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Bench drift gate: compare a fresh bench JSON against the previously
+committed one and reject measurement contamination.
+
+Round 7's committed bench recorded d18_winnow_fps = 2.1 s which never
+reproduced at HEAD (real: ~17 s), and the driver's own run showed ~50
+unrelated queries uniformly 2.5-3x their committed values -- the signature
+of benching under concurrent load. This gate catches both failure shapes:
+
+ 1. UNIFORM drift: the median new/old ratio across queries common to both
+    runs is > 1.3 or < 1/1.3 -> the whole run is contaminated (or the
+    machine changed); rerun on an idle machine. Hard fail.
+ 2. FLOOR drift: the per-job scheduling floor moved > 1.5x -> same. Hard
+    fail.
+ 3. Individual query drifts > 1.5x either way are LISTED for review (a
+    code diff legitimately moves its own queries; the round-closer owns
+    the judgment) but only fail the gate when more than 20% of common
+    queries drift, which no honest single-operator change does.
+
+Usage: bench_drift.py <fresh.json> <committed.json>
+Exit 0 = clean (warnings allowed), 1 = contaminated / unreadable.
+"""
+import json
+import statistics
+import sys
+
+
+def main() -> int:
+    fresh_p, committed_p = sys.argv[1], sys.argv[2]
+    try:
+        fresh = json.load(open(fresh_p))
+        committed = json.load(open(committed_p))
+    except Exception as e:  # unreadable artifact is itself a gate failure
+        print(f"DRIFT GATE: cannot read bench artifacts: {e}")
+        return 1
+    fsf = str(fresh.get("sf", "")).rstrip("/").split("sf")[-1]
+    csf = str(committed.get("sf", "")).rstrip("/").split("sf")[-1]
+    if fsf != csf:
+        print(f"DRIFT GATE: different scale factors ({fsf} vs {csf}) -- "
+              "ratios are meaningless, skipping (compare same-sf runs)")
+        return 0
+    fq, cq = fresh.get("queries", {}), committed.get("queries", {})
+    common = sorted(set(fq) & set(cq))
+    if not common:
+        print("DRIFT GATE: no common queries (first bench?) -- pass")
+        return 0
+
+    ratios = {}
+    for name in common:
+        old, new = cq[name], fq[name]
+        if old > 0 and new > 0:
+            ratios[name] = new / old
+    med = statistics.median(ratios.values())
+    # sub-0.2s queries flip >1.5x from pure scheduling noise (a 60ms->100ms
+    # jitter is 1.67x); individual-drift review only means something above
+    # the noise floor. The MEDIAN check above still sees every query, so
+    # uniform contamination of the small ones is still caught.
+    drifters = {n: r for n, r in ratios.items()
+                if (r > 1.5 or r < 1 / 1.5) and max(cq[n], fq[n]) >= 0.2}
+
+    ffresh, fcomm = fresh.get("floor"), committed.get("floor")
+    floor_ratio = (ffresh / fcomm) if ffresh and fcomm else 1.0
+
+    print(f"drift: {len(common)} common queries, median ratio {med:.2f}, "
+          f"floor ratio {floor_ratio:.2f}, {len(drifters)} query drifts >1.5x")
+    for n, r in sorted(drifters.items(), key=lambda kv: -abs(kv[1] - 1))[:20]:
+        print(f"  {'slower' if r > 1 else 'faster'} {r:5.2f}x  {n}  "
+              f"{cq[n]:.3f}s -> {fq[n]:.3f}s")
+
+    fail = []
+    if med > 1.3 or med < 1 / 1.3:
+        fail.append(f"median ratio {med:.2f} is uniform drift -- contaminated run")
+    if floor_ratio > 1.5 or floor_ratio < 1 / 1.5:
+        fail.append(f"floor moved {floor_ratio:.2f}x -- machine/load changed")
+    slow = sum(1 for r in drifters.values() if r > 1)
+    if slow > 0.2 * len(ratios):
+        fail.append(f"{slow}/{len(ratios)} queries got >1.5x SLOWER")
+    if fail:
+        print("DRIFT GATE: FAIL -- " + "; ".join(fail))
+        print("rerun the bench on an idle machine before committing it")
+        return 1
+    print("DRIFT GATE: pass" + (" (review individual drifts above)" if drifters else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

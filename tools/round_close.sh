@@ -48,6 +48,18 @@ b = json.load(open("/tmp/round_close_bench.json"))
 errs = b.get("errors", "?")
 print(f"bench: {b['value']:.1f}s / {len(b.get('queries', {}))} queries, errors={errs}")
 EOF
+    step "bench drift vs committed bench_full.json"
+    # reject contaminated measurement (uniform drift / floor shift) before
+    # it gets committed -- the r7 bench recorded numbers that never
+    # reproduced; see tools/bench_drift.py. The Bench run above rewrote
+    # bench_full.json in the worktree, so the reference comes from HEAD.
+    if git show HEAD:bench_full.json > /tmp/round_close_bench_ref.json 2>/dev/null; then
+      if ! python3 tools/bench_drift.py bench_full.json /tmp/round_close_bench_ref.json; then
+        echo "FAIL: bench drift"; fail=1
+      fi
+    else
+      echo "no committed bench_full.json at HEAD -- skipping drift check"
+    fi
   fi
 fi
 
