@@ -7,9 +7,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * The reference embeds with SentenceTransformers behind a per-process
   * singleton + batch encode (reference: backend/embedding_service.py:16-27,
   * 64-84). Torch outputs aren't reproducible on the JVM, so the engine's
-  * contract is this trait: production plugs an ONNX/DJL model in
-  * `mapPartitions`; tests and oracle runs use the deterministic
-  * [[HashingEmbedder]].
+  * contract is this trait: production plugs a real model via
+  * [[graft.onnx.OnnxEmbedder]] (from-scratch ONNX loader + interpreter —
+  * drop in `model.onnx` + `vocab.txt`, round 8); tests and oracle runs
+  * use the deterministic [[HashingEmbedder]].
   */
 trait Embedder extends Serializable {
   def dim: Int

@@ -1,0 +1,258 @@
+package graft
+
+import graft.onnx.Onnx
+import graft.onnx.Onnx.{Attr, FTensor, Graph, LTensor, Node}
+import graft.onnx.OnnxEmbedder
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch ONNX runtime: wire-format parse (via a test-side protobuf
+  * WRITER, so the fixture is real ModelProto bytes), per-op semantics
+  * against hand computations, and the OnnxEmbedder end-to-end through the
+  * distributed Embedder.embedText path.
+  */
+class OnnxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- minimal protobuf writer (test-side only) ---------------------------
+  private final class PW {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(field: Int, wt: Int): Unit = varint((field.toLong << 3) | wt)
+    def bytes(field: Int, b: Array[Byte]): Unit = { tag(field, 2); varint(b.length); out.write(b) }
+    def str(field: Int, s: String): Unit = bytes(field, s.getBytes("UTF-8"))
+    def int(field: Int, v: Long): Unit = { tag(field, 0); varint(v) }
+    def msg(field: Int)(f: PW => Unit): Unit = { val p = new PW; f(p); bytes(field, p.out.toByteArray) }
+    def packedLongs(field: Int, vs: Seq[Long]): Unit = {
+      val p = new PW; vs.foreach(p.varint); bytes(field, p.out.toByteArray)
+    }
+    def packedFloats(field: Int, vs: Seq[Float]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putFloat)
+      bytes(field, bb.array())
+    }
+  }
+
+  private def tensorMsg(p: PW, name: String, dims: Seq[Long], floats: Seq[Float] = Nil,
+      longs: Seq[Long] = Nil, rawFloats: Boolean = false): Unit = {
+    p.packedLongs(1, dims)
+    if (longs.nonEmpty) { p.int(2, 7); p.packedLongs(7, longs) }
+    else if (rawFloats) {
+      p.int(2, 1)
+      val bb = java.nio.ByteBuffer.allocate(floats.length * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      floats.foreach(bb.putFloat)
+      p.bytes(9, bb.array()) // raw_data path
+    } else { p.int(2, 1); p.packedFloats(4, floats) }
+    p.str(8, name)
+  }
+
+  private def nodeMsg(p: PW, op: String, ins: Seq[String], outs: Seq[String],
+      intsAttrs: Map[String, Seq[Long]] = Map.empty, intAttrs: Map[String, Long] = Map.empty): Unit = {
+    ins.foreach(p.str(1, _))
+    outs.foreach(p.str(2, _))
+    p.str(4, op)
+    for ((n, vs) <- intsAttrs) p.msg(5) { a => a.str(1, n); a.packedLongs(8, vs); a.int(20, 7) }
+    for ((n, v) <- intAttrs) p.msg(5) { a => a.str(1, n); a.int(3, v); a.int(20, 2) }
+  }
+
+  /** Tiny sentence encoder in REAL ModelProto bytes: Gather(table, ids) →
+    * mask mean-pool → Gemm-free dense (MatMul+Add) → Tanh, output [B,H=4].
+    */
+  private def buildEncoderBytes(table: Seq[Float], w: Seq[Float], bias: Seq[Float]): Array[Byte] = {
+    val m = new PW
+    m.msg(7) { g => // ModelProto.graph
+      g.str(2, "tiny-encoder")
+      nodeMsg2(g, "Gather", Seq("table", "input_ids"), Seq("emb"))
+      nodeMsg2(g, "Cast", Seq("attention_mask"), Seq("maskf"), intAttrs = Map("to" -> 1L))
+      nodeMsg2(g, "Unsqueeze", Seq("maskf"), Seq("mask3"), intsAttrs = Map("axes" -> Seq(2L)))
+      nodeMsg2(g, "Mul", Seq("emb", "mask3"), Seq("masked"))
+      nodeMsg2(g, "ReduceSum", Seq("masked"), Seq("summed"), intsAttrs = Map("axes" -> Seq(1L)), intAttrs = Map("keepdims" -> 0L))
+      nodeMsg2(g, "ReduceSum", Seq("mask3"), Seq("counts"), intsAttrs = Map("axes" -> Seq(1L)), intAttrs = Map("keepdims" -> 0L))
+      nodeMsg2(g, "Div", Seq("summed", "counts"), Seq("mean"))
+      nodeMsg2(g, "MatMul", Seq("mean", "w"), Seq("proj"))
+      nodeMsg2(g, "Add", Seq("proj", "bias"), Seq("dense"))
+      nodeMsg2(g, "Tanh", Seq("dense"), Seq("sentence_embedding"))
+      g.msg(5)(tensorMsg(_, "table", Seq(12, 4), floats = table, rawFloats = true)) // raw_data path covered
+      g.msg(5)(tensorMsg(_, "w", Seq(4, 4), floats = w))
+      g.msg(5)(tensorMsg(_, "bias", Seq(4), floats = bias))
+      g.msg(11)(_.str(1, "input_ids"))
+      g.msg(11)(_.str(1, "attention_mask"))
+      g.msg(12)(_.str(1, "sentence_embedding"))
+    }
+    m.out.toByteArray
+  }
+
+  private def nodeMsg2(g: PW, op: String, ins: Seq[String], outs: Seq[String],
+      intsAttrs: Map[String, Seq[Long]] = Map.empty, intAttrs: Map[String, Long] = Map.empty): Unit =
+    g.msg(1)(nodeMsg(_, op, ins, outs, intsAttrs, intAttrs))
+
+  // deterministic fixture weights, recomputable in expected-value code
+  private val table = (0 until 12 * 4).map { k =>
+    val (i, j) = (k / 4, k % 4); (((i * 7 + j * 3) % 11) - 5) / 10f
+  }
+  private val w    = (0 until 16).map { k => val (i, j) = (k / 4, k % 4); (((i * 5 + j * 2) % 7) - 3) / 10f }
+  private val bias = (0 until 4).map(j => (j * 2 - 3) / 20f)
+  private val vocabLines = Vector("[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "world", "spark", "eng", "##ine", "data", ".", "x")
+
+  /** Independent plain-Scala forward pass for the fixture encoder. */
+  private def expectedVec(ids: Seq[Int]): Array[Float] = {
+    val mean = new Array[Float](4)
+    for (id <- ids; j <- 0 until 4) mean(j) += table(id * 4 + j)
+    for (j <- 0 until 4) mean(j) /= ids.length
+    val dense = new Array[Float](4)
+    for (j <- 0 until 4) {
+      var acc = 0.0
+      for (k <- 0 until 4) acc += mean(k).toDouble * w(k * 4 + j)
+      dense(j) = math.tanh(acc + bias(j)).toFloat
+    }
+    val n = math.sqrt(dense.map(x => x.toDouble * x).sum)
+    dense.map(x => (x / n).toFloat)
+  }
+
+  private def writeFixture(): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_onnx")
+    val mp  = dir.resolve("model.onnx")
+    java.nio.file.Files.write(mp, buildEncoderBytes(table, w, bias))
+    val vp = dir.resolve("vocab.txt")
+    java.nio.file.Files.write(vp, vocabLines.mkString("\n").getBytes("UTF-8"))
+    (mp.toString, vp.toString)
+  }
+
+  // ---- op-level tests (graphs built directly, no proto round trip) --------
+
+  private def one(op: String, ins: Map[String, Onnx.Tensor], inNames: Seq[String],
+      attrs: Map[String, Attr] = Map.empty): Onnx.Tensor = {
+    val g = Graph("t", Vector(Node(op, "n0", inNames.toVector, Vector("y"), attrs)),
+      Map.empty, inNames.toVector, Vector("y"))
+    g.run(ins)("y")
+  }
+
+  test("Add broadcasts [2,3] + [3] and [2,1] + [1,3] by the numpy rules") {
+    val a = FTensor(Vector(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))
+    val b = FTensor(Vector(3), Array(10f, 20f, 30f))
+    assert(one("Add", Map("a" -> a, "b" -> b), Seq("a", "b")).asInstanceOf[FTensor].data.toSeq ==
+      Seq(11f, 22f, 33f, 14f, 25f, 36f))
+    val c = FTensor(Vector(2, 1), Array(1f, 2f))
+    val d = FTensor(Vector(1, 3), Array(10f, 20f, 30f))
+    assert(one("Add", Map("a" -> c, "b" -> d), Seq("a", "b")).asInstanceOf[FTensor].data.toSeq ==
+      Seq(11f, 21f, 31f, 12f, 22f, 32f))
+  }
+
+  test("MatMul: 2-D exact, batched [2,2,3]x[3,2] broadcasts the weight") {
+    val a = FTensor(Vector(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))
+    val b = FTensor(Vector(3, 2), Array(7f, 8f, 9f, 10f, 11f, 12f))
+    val y = one("MatMul", Map("a" -> a, "b" -> b), Seq("a", "b")).asInstanceOf[FTensor]
+    assert(y.dims == Vector(2, 2) && y.data.toSeq == Seq(58f, 64f, 139f, 154f))
+    val ab = FTensor(Vector(2, 2, 3), (1 to 12).map(_.toFloat).toArray)
+    val yb = one("MatMul", Map("a" -> ab, "b" -> b), Seq("a", "b")).asInstanceOf[FTensor]
+    assert(yb.dims == Vector(2, 2, 2))
+    assert(yb.data.take(4).toSeq == Seq(58f, 64f, 139f, 154f)) // batch 0 == the 2-D case
+    assert(yb.data.drop(4).toSeq == Seq(220f, 244f, 301f, 334f))
+  }
+
+  test("Gemm honors alpha/beta/transB; Transpose permutes strides") {
+    val a = FTensor(Vector(2, 2), Array(1f, 2f, 3f, 4f))
+    val b = FTensor(Vector(2, 2), Array(5f, 6f, 7f, 8f)) // transB: effective [[5,7],[6,8]]
+    val c = FTensor(Vector(2), Array(100f, 200f))
+    val y = one("Gemm", Map("a" -> a, "b" -> b, "c" -> c), Seq("a", "b", "c"),
+      Map("alpha" -> Attr(f = Some(2f)), "beta" -> Attr(f = Some(1f)), "transB" -> Attr(i = Some(1L))))
+      .asInstanceOf[FTensor]
+    // A·Bᵀ = [[17,23],[39,53]]; ×2 + C
+    assert(y.data.toSeq == Seq(134f, 246f, 178f, 306f))
+    val t = one("Transpose", Map("a" -> FTensor(Vector(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))),
+      Seq("a"), Map("perm" -> Attr(ints = Vector(1L, 0L)))).asInstanceOf[FTensor]
+    assert(t.dims == Vector(3, 2) && t.data.toSeq == Seq(1f, 4f, 2f, 5f, 3f, 6f))
+  }
+
+  test("Softmax(-1) rows sum to 1 and match a hand-computed pair; LayerNormalization matches hand calc") {
+    val y = one("Softmax", Map("x" -> FTensor(Vector(2, 2), Array(0f, math.log(3f).toFloat, 1f, 1f))),
+      Seq("x")).asInstanceOf[FTensor]
+    assert(math.abs(y.data(0) - 0.25f) < 1e-6 && math.abs(y.data(1) - 0.75f) < 1e-6)
+    assert(math.abs(y.data(2) - 0.5f) < 1e-6)
+    val x  = FTensor(Vector(1, 4), Array(1f, 2f, 3f, 4f))
+    val sc = FTensor(Vector(4), Array(1f, 1f, 2f, 1f))
+    val bi = FTensor(Vector(4), Array(0f, 0f, 0f, 10f))
+    val ln = one("LayerNormalization", Map("x" -> x, "s" -> sc, "b" -> bi), Seq("x", "s", "b"))
+      .asInstanceOf[FTensor]
+    // mean 2.5, var 1.25 → normalized ±1.3416, ±0.4472
+    assert(math.abs(ln.data(0) - -1.3416355f) < 1e-4)
+    assert(math.abs(ln.data(2) - 2 * 0.4472136f) < 1e-4)
+    assert(math.abs(ln.data(3) - (10f + 1.3416355f)) < 1e-4)
+  }
+
+  test("Erf hits the known lattice (float32 resolution); Reshape -1 infers; Concat stacks on the axis") {
+    val e = one("Erf", Map("x" -> FTensor(Vector(3), Array(0f, 1f, -1f))), Seq("x")).asInstanceOf[FTensor]
+    assert(math.abs(e.data(0)) < 2e-7) // A&S 7.1.26 polynomial: |err| < 1.5e-7, not exactly 0 at 0
+    assert(math.abs(e.data(1) - 0.8427008f) < 2e-7)
+    assert(math.abs(e.data(2) + 0.8427008f) < 2e-7)
+    val r = one("Reshape", Map("x" -> FTensor(Vector(2, 3), (1 to 6).map(_.toFloat).toArray),
+      "s" -> LTensor(Vector(2), Array(3L, -1L))), Seq("x", "s")).asInstanceOf[FTensor]
+    assert(r.dims == Vector(3, 2))
+    val cc = one("Concat", Map(
+      "a" -> FTensor(Vector(1, 2), Array(1f, 2f)), "b" -> FTensor(Vector(1, 2), Array(3f, 4f))),
+      Seq("a", "b"), Map("axis" -> Attr(i = Some(0L)))).asInstanceOf[FTensor]
+    assert(cc.dims == Vector(2, 2) && cc.data.toSeq == Seq(1f, 2f, 3f, 4f))
+  }
+
+  test("Gather picks rows by int64 index, negative indices wrap, unknown op fails with the supported list") {
+    val data = FTensor(Vector(3, 2), Array(1f, 2f, 3f, 4f, 5f, 6f))
+    val y = one("Gather", Map("d" -> data, "i" -> LTensor(Vector(2), Array(2L, -3L))), Seq("d", "i"))
+      .asInstanceOf[FTensor]
+    assert(y.dims == Vector(2, 2) && y.data.toSeq == Seq(5f, 6f, 1f, 2f))
+    val ex = intercept[IllegalArgumentException](one("NotAnOp", Map("d" -> data), Seq("d")))
+    assert(ex.getMessage.contains("supported"))
+  }
+
+  // ---- model round trip + embedder ----------------------------------------
+
+  test("ModelProto bytes round-trip: parser reads nodes, packed + raw_data initializers, io names") {
+    val g = Onnx.load(buildEncoderBytes(table, w, bias))
+    assert(g.nodes.map(_.opType) == Vector("Gather", "Cast", "Unsqueeze", "Mul",
+      "ReduceSum", "ReduceSum", "Div", "MatMul", "Add", "Tanh"))
+    assert(g.initializers.keySet == Set("table", "w", "bias"))
+    assert(g.initializers("table").asInstanceOf[FTensor].data.toSeq == table) // raw_data LE decode
+    assert(g.initializers("w").asInstanceOf[FTensor].data.toSeq == w)         // packed float_data
+    assert(g.feedNames == Vector("input_ids", "attention_mask"))
+    assert(g.outputNames == Vector("sentence_embedding"))
+  }
+
+  test("OnnxEmbedder: wordpiece ids + padding + forward pass match an independent hand computation") {
+    val (mp, vp) = writeFixture()
+    val emb = new OnnxEmbedder(mp, vp, dim = 4)
+    // "hello world" → [CLS] hello world [SEP] = 2,4,5,3
+    // "engine." → [CLS] eng ##ine . [SEP] = 2,7,8,10,3 (longest batch row)
+    // "zzz" → [CLS] [UNK] [SEP] = 2,1,3 (padded — padding must NOT leak into the mean)
+    val vs = emb.embedBatch(Seq("hello world", "engine.", "zzz"))
+    val exp = Seq(expectedVec(Seq(2, 4, 5, 3)), expectedVec(Seq(2, 7, 8, 10, 3)), expectedVec(Seq(2, 1, 3)))
+    for ((v, e) <- vs.zip(exp); j <- 0 until 4)
+      assert(math.abs(v(j) - e(j)) < 1e-6f, s"${v.toSeq} vs ${e.toSeq}")
+    // unit norm
+    assert(math.abs(vs.head.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+  }
+
+  test("OnnxEmbedder runs distributed through Embedder.embedText (mapPartitions, model cached per JVM)") {
+    val (mp, vp) = writeFixture()
+    import spark.implicits._
+    val df = Seq((1L, "hello world"), (2L, "engine."), (3L, "spark data x"), (4L, "hello world"))
+      .toDF("id", "text")
+    val emb = new OnnxEmbedder(mp, vp, dim = 4)
+    val out = graft.operators.Embedder.embedText(spark, df, "id", "text", emb, batchSize = 2)
+      .collect().map(e => e.id -> e.embedding).toMap
+    // same text → same vector; equals the local batch path exactly
+    assert(out(1L).toSeq == out(4L).toSeq)
+    val local = emb.embedBatch(Seq("hello world", "engine.", "spark data x"))
+    assert(out(1L).toSeq == local(0).toSeq && out(2L).toSeq == local(1).toSeq && out(3L).toSeq == local(2).toSeq)
+  }
+
+  test("WordPieceIds: framing, truncation keeps [SEP], unknown word collapses to one [UNK]") {
+    val v = new OnnxEmbedder.WordPieceIds(vocabLines)
+    assert(v.encode("Hello, world", 16).toSeq == Seq(2L, 4L, 1L, 5L, 3L)) // ',' not in vocab → UNK
+    assert(v.encode("engine", 16).toSeq == Seq(2L, 7L, 8L, 3L))
+    val t = v.encode("hello world hello world hello", 4)
+    assert(t.length == 4 && t.head == 2L && t.last == 3L)
+    assert(v.encode("", 8).toSeq == Seq(2L, 3L))
+  }
+}
