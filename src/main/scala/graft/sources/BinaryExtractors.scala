@@ -1139,6 +1139,48 @@ object NoOcr extends Ocr {
   def recognize(content: Array[Byte], width: Long, height: Long): String = ""
 }
 
+/** Tesseract-backed OCR for scanned/photographed pages — the reference's
+  * actual engine (image_extractor.py:42 calls pytesseract, itself a CLI
+  * wrapper around the `tesseract` binary; this binds the same interface
+  * directly). Deployment-gated exactly like the ONNX embedder: the binary
+  * is an environment artifact, so [[TesseractOcr.available]] probes for
+  * it and the spec skips cleanly where it's absent. [[graft.sources.GlyphOcr]]
+  * remains the pure-JVM path for machine-rendered text.
+  *
+  * One short-lived process per image, image bytes via a temp file (the
+  * CLI sniffs the container format itself; stdin piping loses the
+  * multi-page TIFF case). Inside `mapPartitions` this amortizes to the
+  * same per-image process cost pytesseract pays.
+  */
+final class TesseractOcr(binary: String = "tesseract", lang: String = "eng") extends Ocr {
+  val name = "tesseract"
+
+  def recognize(content: Array[Byte], width: Long, height: Long): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft_ocr", ".img")
+    try {
+      java.nio.file.Files.write(tmp, content)
+      val p = new ProcessBuilder(binary, tmp.toString, "stdout", "-l", lang)
+        .redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      val err = new String(p.getErrorStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      val rc  = p.waitFor()
+      if (rc != 0)
+        throw new IllegalStateException(s"tesseract exited $rc: ${err.linesIterator.take(3).mkString(" | ")}")
+      out
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}
+
+object TesseractOcr {
+  /** True when the binary answers `--version` — the spec's skip gate. */
+  def available(binary: String = "tesseract"): Boolean =
+    try {
+      val p = new ProcessBuilder(binary, "--version").start()
+      p.getInputStream.readAllBytes(); p.getErrorStream.readAllBytes()
+      p.waitFor() == 0
+    } catch { case _: java.io.IOException => false }
+}
+
 /** S7 — image scan: real header metadata + seam-provided OCR text. */
 final class ImageExtractor(ocr: Ocr = NoOcr) extends Extractor {
   val name = "ImageExtractor"

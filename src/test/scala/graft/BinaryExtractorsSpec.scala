@@ -593,6 +593,22 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     assert(text2 == "first-numeric\n\nsecond-numeric")
   }
 
+  test("TesseractOcr: availability probe is honest; missing binary fails loudly; real binary reads a rendered label") {
+    // a binary that cannot exist -> probe false, recognize throws (no
+    // silent empty-text fallback masquerading as "image had no text")
+    assert(!TesseractOcr.available("graft-no-such-binary-xyz"))
+    intercept[java.io.IOException] {
+      new TesseractOcr("graft-no-such-binary-xyz").recognize(GlyphOcr.renderPng("HI", unit = 3), 0, 0)
+    }
+    // deployment-gated path: runs only where the real engine is installed
+    // (this container has none -- the spec SKIPS, it does not vacuously pass)
+    assume(TesseractOcr.available(), "tesseract binary not installed")
+    val rendered = GlyphOcr.renderPng("HELLO WORLD 42", unit = 5)
+    val (text, meta) = new ImageExtractor(new TesseractOcr()).extract(rendered, "label.png")
+    assert(meta("ocr_engine") == "tesseract")
+    assert(text.toUpperCase.contains("HELLO"))
+  }
+
   test("XLSX: sheet headers, pipe rows, dash rule, cell-type rendering") {
     val (text, meta) = new XlsxExtractor().extract(read("fixtures/office/book.xlsx"), "book.xlsx")
     assert(text ==
