@@ -77,14 +77,25 @@ object Graph {
     // the nearest double to 0.15 — a silent cross-engine ulp for free.
     val td = (10000 - dampingBp) / 10000d
 
+    // The cleaned edge set feeds EVERY iteration's join plus outdeg plus
+    // the node set, and `nodes` feeds every iteration's left join plus the
+    // N count — without materialization the whole upstream derivation
+    // (often a join itself, as in g1's orders⋈lineitem link graph) re-runs
+    // once per consumer across the unrolled plan. Persisting both is the
+    // canonical iterative-graph discipline (what the Scaladoc's "persist
+    // edges pre-partitioned" note means); storage is the distinct edge +
+    // node sets, spilling to disk, reclaimed by the ContextCleaner when
+    // the result frame is dropped.
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // One scalar job up front: N drives the teleport constant. A count is
     // scale-safe (aggregate, not a collect of data); keeping it a literal
