@@ -251,3 +251,115 @@ object WinnowFingerprints {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Deterministic MLM masking (BERT 80/10/10, Devlin 2019 §3.1) as ONE
+  * codegen'd pass — replaces the [[TextOps.mlmMaskHof]] composition of
+  * four interpreted higher-order passes over a per-token index sequence
+  * (each re-deriving the portable hash per element: ~2.6 s warm at sf0.1
+  * for a pure projection). Selection semantics are BIT-IDENTICAL (ScalaCheck
+  * parity property): r = portable-hash bucket of (id·100000 + pos) decides
+  * 80/10/10, the random draw is the hash-picked same-doc token, and the
+  * corrupted text is md5'd via a streaming digest instead of materializing
+  * the joined string.
+  *
+  * Returns a struct (n_tokens, n_masked, n_mask_tok, n_random,
+  * corrupted_md5); the five field extractions in the projection share one
+  * evaluation through whole-stage codegen subexpression elimination.
+  */
+case class MlmMask(left: Expression, right: Expression, maskBp: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(maskBp >= 0 && maskBp <= 10000, s"maskBp out of range: $maskBp")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (org.apache.spark.sql.types.LongType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (bigint, string), got ($l, $r)")
+  }
+
+  override def dataType: DataType = MlmMask.schema
+  override def prettyName: String = "mlm_mask"
+
+  override protected def nullSafeEval(id: Any, text: Any): Any =
+    MlmMask.mask(id.asInstanceOf[Long], text.asInstanceOf[UTF8String], maskBp)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (i, t) => s"graft.functions.MlmMask$$.MODULE$$.mask($i, $t, $maskBp)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MlmMask =
+    copy(left = newLeft, right = newRight)
+}
+
+object MlmMask {
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_masked", LongType, nullable = false),
+    StructField("n_mask_tok", LongType, nullable = false),
+    StructField("n_random", LongType, nullable = false),
+    StructField("corrupted_md5", StringType, nullable = false),
+  ))
+
+  /** graft.operators.Sampling.portableHash replicated on the JVM —
+    * verified bit-equal to the column form by the parity property.
+    */
+  @inline private def portableHash(id: Long): Long = {
+    val x  = java.lang.Math.floorMod(id, 4294967296L)
+    val h0 = (x * 31153L + ((x * 40503L) % 65536L) * 65536L) % 4294967296L
+    h0 ^ (h0 >>> 16)
+  }
+
+  private val MaskTok  = "[MASK]".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  def mask(id: Long, text: UTF8String, maskBp: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bpMask = maskBp * 8 / 10
+    val bpRand = maskBp * 9 / 10
+    // tokenize pass (same byte-run rule as Tokenize.split), offsets only
+    val bytes  = text.toLowerCase.getBytes
+    val nb     = bytes.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends   = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i      = 0
+    while (i < nb) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        var j = i + 1
+        while (j < nb && {
+          val c = bytes(j); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) j += 1
+        starts += i; ends += j
+        i = j
+      } else i += 1
+    }
+    val n  = starts.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var nMasked = 0L; var nMaskTok = 0L; var nRandom = 0L
+    i = 0
+    while (i < n) {
+      val key = id * 100000L + i
+      val r   = portableHash(key) % 10000L
+      if (r < maskBp) nMasked += 1
+      if (i > 0) md.update(' '.toByte)
+      if (r < bpMask) { nMaskTok += 1; md.update(MaskTok) }
+      else if (r < bpRand) {
+        nRandom += 1
+        val pick = (portableHash(key + 7919L) % n).toInt // hash ≥ 0, % == pmod
+        md.update(bytes, starts(pick), ends(pick) - starts(pick))
+      } else md.update(bytes, starts(i), ends(i) - starts(i))
+      i += 1
+    }
+    val d   = md.digest()
+    val hex = new Array[Byte](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, nMasked, nMaskTok, nRandom, UTF8String.fromBytes(hex)))
+  }
+}

@@ -465,6 +465,20 @@ object TextOps {
       docs: DataFrame, idCol: String, textCol: String, maskBp: Int = 1500,
   ): DataFrame = {
     require(maskBp >= 0 && maskBp <= 10000, s"maskBp out of range: $maskBp")
+    val m = org.apache.spark.sql.GraftBridge.column(MlmMask(
+      org.apache.spark.sql.GraftBridge.expression(col(idCol).cast("long")),
+      org.apache.spark.sql.GraftBridge.expression(col(textCol)), maskBp))
+    docs.select(
+      col(idCol), m.getField("n_tokens").as("n_tokens"),
+      m.getField("n_masked").as("n_masked"), m.getField("n_mask_tok").as("n_mask_tok"),
+      m.getField("n_random").as("n_random"), m.getField("corrupted_md5").as("corrupted_md5"))
+  }
+
+  /** Declarative form [[MlmMask]] replaces — parity-test reference. */
+  private[graft] def mlmMaskHof(
+      docs: DataFrame, idCol: String, textCol: String, maskBp: Int = 1500,
+  ): DataFrame = {
+    require(maskBp >= 0 && maskBp <= 10000, s"maskBp out of range: $maskBp")
     require(!docs.columns.contains("__toks"), "input already has a '__toks' column")
     import graft.operators.Sampling
     val bpMask = maskBp * 8 / 10

@@ -715,6 +715,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: native MlmMask matches the declarative HOF form row-for-row (counts and md5)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("alpha", "beta", "x", "data2", "the")
+    val strGen = for { n <- Gen.choose(0, 60); ws <- Gen.listOfN(n, word) } yield ws.mkString(" ")
+    val texts = (0 until 120).flatMap(i => strGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", "one", "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (bp <- Seq(0, 1500, 10000)) {
+      val fast = TextOps.mlmMask(df, "doc_id", "text", bp).orderBy("doc_id").collect().toSeq
+      val ref  = TextOps.mlmMaskHof(df, "doc_id", "text", bp).orderBy("doc_id").collect().toSeq
+      assert(fast.map(_.toSeq) == ref.map(_.toSeq), s"mismatch at maskBp=$bp")
+    }
+  }
+
   test("property: native Sq8 matches the declarative HOF form on arbitrary finite vectors") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
