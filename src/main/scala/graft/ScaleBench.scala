@@ -489,6 +489,22 @@ object ScaleBench {
             lit("subscribe to our newsletter"),
             concat(lit("group para "), expr("doc_id div 100"))).as("text")),
           "doc_id", "text").agg(sum(col("n_kept"))).head().getLong(0)),
+        // round-8 d20: sentence-granularity first-wins — same keeper-table
+        // shape as paragraph_dedup at ~8x the rows per doc
+        "sentence_dedup" -> (() => Dedup.dedupSentences(
+          docs.select(col("doc_id"), concat_ws(" ",
+            concat(substring(col("text"), 1, 40), lit(".")),
+            lit("Subscribe to our newsletter today!"),
+            concat(lit("Group quote "), expr("doc_id div 100"), lit("!")),
+            col("text")).as("text")),
+          "doc_id", "text").agg(sum(col("n_kept"))).head().getLong(0)),
+        // round-8 x28: 4-pattern scrub + 4 independent counts — 8 regex
+        // passes, pure projection, must stay scan-bound flat
+        "pii_battery" -> (() => { docs
+          .select(graft.functions.TextOps.piiCounts(
+            concat(col("text"), lit(" u@example.com https://x.example.com 10.0.0.1 call 555-123-4567"))).as("c"),
+            length(graft.functions.TextOps.scrubPiiAll(col("text"))).as("l"))
+          .agg(sum(col("l")), sum(col("c.n_emails"))).head().getLong(0); 1L }),
         // d19: df-capped fingerprint self-join — pair volume bounded by
         // maxDf^2 per fingerprint regardless of corpus size
         "winnow_pairs" -> (() => Dedup.winnowOverlapPairs(

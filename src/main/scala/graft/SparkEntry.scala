@@ -1172,6 +1172,28 @@ object SparkEntry {
       TextOps.mlmMask(Tables(s, d).documents, "doc_id", "text", 1500)
         .orderBy("doc_id")),
 
+    // X28 — PII battery (TextOps.scrubPiiAll/piiCounts): per-kind counts
+    // over the raw text + the 4-stage tagged scrub (URL → email → IPv4 →
+    // phone). Deterministic planted PII per doc; every regex is inside
+    // the Java∩RE2 syntax subset, so DuckDB runs the IDENTICAL patterns
+    // and replays counts and the scrubbed md5 exactly.
+    "x28_pii_scrub" -> ((s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val t = concat(col("text"),
+        lit(" Contact user"), idStr, lit("@mail.example.com via https://site"),
+        idStr, lit(".example.com/a?b=c or call +1 555 123 "),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 today"))
+      Tables(s, d).documents
+        .select(col("doc_id"), TextOps.piiCounts(t).as("__c"),
+          md5(TextOps.scrubPiiAll(t)).as("scrubbed_md5"))
+        .select(col("doc_id"),
+          col("__c.n_urls").as("n_urls"), col("__c.n_emails").as("n_emails"),
+          col("__c.n_ips").as("n_ips"), col("__c.n_phones").as("n_phones"),
+          col("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
     // X24 — fractional decontamination (Dedup.contaminationFraction): the
     // overlap-RATIO gate modern release pipelines use instead of x11's
     // any-gram knockout — share of each doc's distinct 8-grams found in
@@ -2257,6 +2279,28 @@ object SparkEntry {
     // so the boilerplate survives only in doc 0, each leader's duplicate
     // third paragraph collapses into its first, and followers lose theirs
     // to the leader (global first-wins on (doc, pos), fully replayed).
+    // D20 — exact SENTENCE dedup (Dedup.dedupSentences): the granularity
+    // between d17's paragraphs and d13's lines. Synthesized 4-sentence
+    // docs: a doc-specific 40-char-prefix sentence, a planted global
+    // boilerplate sentence, a unique per-doc remark, and a second global
+    // trailer — the two planted sentences survive only at their global
+    // (doc, pos) first; everything is replayed (sentinel-split regex is
+    // RE2-safe so DuckDB runs the IDENTICAL splitter).
+    "d20_sentence_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat_ws(" ",
+          concat(substring(col("text"), 1, 40), lit(".")),
+          lit("Subscribe to our newsletter today!"),
+          concat(lit("Doc "), col("doc_id").cast("string"), lit(" closing remark?")),
+          lit("All rights reserved.")).as("text"))
+      Dedup.dedupSentences(docs, "doc_id", "text")
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+          col("n_sents").cast("long").as("n_sents"),
+          col("n_kept").cast("long").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "d17_paragraph_dedup" -> ((s, d) => {
       val t = Tables(s, d).documents.select("doc_id", "text")
       val leaders = t.select(col("doc_id").as("__lid"), col("text").as("__ltext"))
@@ -3468,6 +3512,26 @@ object SparkEntry {
 
     // x25 — full per-position replay: keys, h0 stage, xor-fold bucket,
     // the three legs, and the hash-picked in-doc random token.
+    // x28 — identical regex battery (Java∩RE2 subset), counts via
+    // regexp_extract_all, scrub chain with 'g' replaces.
+    "x28_pii_scrub" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |   text || ' Contact user' || doc_id || '@mail.example.com via https://site' || doc_id
+           |     || '.example.com/a?b=c or call +1 555 123 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           |     || ' from 10.0.' || (doc_id % 256) || '.7 today' AS txt
+           |   FROM documents)
+           | SELECT doc_id,
+           |   len(regexp_extract_all(txt, 'https?://[^ ]+'))::BIGINT AS n_urls,
+           |   len(regexp_extract_all(txt, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+           |   len(regexp_extract_all(txt, '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b'))::BIGINT AS n_ips,
+           |   len(regexp_extract_all(txt, '(\+[0-9]{1,3}[ .-]?)?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}'))::BIGINT AS n_phones,
+           |   md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+           |     'https?://[^ ]+', '<URL>', 'g'),
+           |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           |     '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b', '<IP>', 'g'),
+           |     '(\+[0-9]{1,3}[ .-]?)?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+           | FROM t ORDER BY doc_id""".stripMargin,
+
     "x25_mlm_mask" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
@@ -4126,6 +4190,28 @@ object SparkEntry {
 
     // d17 — md5-keyed first-wins replay: min (doc, pos) tuple per paragraph,
     // keep iff whitespace-only or the global first occurrence.
+    // d20 — identical sentinel splitter (regexp_replace 'g' + chr(1)
+    // split), first-wins (doc, pos) tuple-min, space rejoin.
+    "d20_sentence_dedup" ->
+      raw"""WITH base AS (SELECT doc_id,
+           |   substring(text, 1, 40) || '. ' || 'Subscribe to our newsletter today! '
+           |     || 'Doc ' || doc_id || ' closing remark? ' || 'All rights reserved.' AS text
+           |   FROM documents),
+           | sp AS (SELECT doc_id,
+           |   string_split(regexp_replace(text, '([.!?])[ \t\r\n]+', '\1' || chr(1), 'g'), chr(1)) AS ss
+           |   FROM base),
+           | p AS (SELECT doc_id, unnest(ss) AS sent, generate_subscripts(ss, 1) AS pos FROM sp),
+           | k AS (SELECT md5(sent) AS h, min((doc_id, pos)) AS first FROM p
+           |   WHERE trim(sent) <> '' GROUP BY md5(sent)),
+           | f AS (SELECT p.doc_id, p.pos, p.sent,
+           |   (k.h IS NULL OR k.first = (p.doc_id, p.pos)) AS keep
+           |   FROM p LEFT JOIN k ON md5(p.sent) = k.h)
+           | SELECT doc_id,
+           |   md5(coalesce(string_agg(sent, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS cleaned_md5,
+           |   count(*)::BIGINT AS n_sents,
+           |   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+           | FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d17_paragraph_dedup" ->
       raw"""WITH base AS (SELECT d.doc_id,
            |   d.text || chr(10) || chr(10) || 'Subscribe to our newsletter for updates.'

@@ -66,12 +66,49 @@ object TextOps {
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val UrlRe   = "https?://[^ ]+"
 
+  /** NANP-shaped phone numbers with an optional +country prefix:
+    * `(555) 123-4567`, `555-123-4567`, `+1 555 123 4567`. Deliberately
+    * CONSERVATIVE (three-digit exchange groups, explicit `[ .-]`
+    * separator classes, no lookaround) so arbitrary numeric prose doesn't
+    * scrub and both regex engines agree token-for-token; 2-digit
+    * international area forms are out of scope (documented).
+    */
+  val PhoneRe = "(\\+[0-9]{1,3}[ .-]?)?(\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}"
+
+  /** Dotted-quad IPv4 with strict 0-255 octets and ASCII word boundaries
+    * (`\b` is RE2-portable).
+    */
+  val Ipv4Re = "\\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\\b"
+
   /** Text scrubbing for training corpora: URLs first (an email-shaped
     * userinfo inside a URL must scrub as part of the URL), then emails.
     * Pure codegen'd expressions — no shuffle, linear in bytes.
     */
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+
+  /** The full scrub battery: URL → email → IPv4 → phone, in that order
+    * (URLs may CONTAIN email/IP shapes, so they go first; IPs before
+    * phones so a dotted quad can't half-match as a phone fragment). Each
+    * kind gets its own tag — span-level replacement, the redaction shape
+    * release pipelines actually emit.
+    */
+  def scrubPiiAll(text: Column): Column =
+    regexp_replace(
+      regexp_replace(scrubPii(text), Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-kind PII hit counts over the RAW text (each pattern evaluated
+    * independently — the audit view that decides whether a document is
+    * scrub-and-keep or drop-entirely). Struct (n_urls, n_emails, n_ips,
+    * n_phones).
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(UrlRe)).cast("long").as("n_urls"),
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"),
+    regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"),
+  )
 
   /** Filename sanitization chain (reference: backend/ingestion.py:27-55):
     * basename → strip control chars → replace reserved chars with '_' →

@@ -1161,6 +1161,59 @@ object Dedup {
       .select(col("__id").as(idCol), col("cleaned"), col("n_paras"), col("n_kept"))
   }
 
+  /** Cross-corpus exact SENTENCE dedup — the sentence-granularity member of
+    * the exact-dedup ladder (whole-doc [[exactKey]] → paragraph
+    * [[dedupParagraphs]] → sentence → line [[removeBoilerplateLines]]):
+    * every occurrence of a sentence after its global first is removed,
+    * documents reassembled in original sentence order. Catches the
+    * syndication/quote granularity paragraph dedup misses (a copied
+    * sentence embedded in an otherwise-novel paragraph).
+    *
+    * The splitter is deliberately RE2-safe and SQL-portable (no
+    * lookbehind, unlike the reference chunker's sentence regex): a
+    * sentinel is inserted after every terminal-punctuation + whitespace
+    * boundary (`([.!?])\s+` with an explicit space class) and the text
+    * splits on the sentinel — the DuckDB oracle replays it with the same
+    * two regex calls. Reassembly joins with a single space (the boundary
+    * whitespace is normalized — documented, mirrors the "\n\n" rejoin of
+    * the paragraph form). First-wins identity, whitespace-only sentences
+    * kept verbatim, NULL text survives as one empty sentence — all
+    * exactly as [[dedupParagraphs]]; same scale shape (hash-keyed
+    * struct-min shuffle, equi-join flag, one window-free reassembly
+    * shuffle).
+    *
+    * Output: (idCol, cleaned, n_sents, n_kept).
+    */
+  def dedupSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val names = docs.columns.toSet
+    Seq("__id", "__pos", "__sent", "__h", "__first", "__keep", "cleaned", "n_sents", "n_kept")
+      .foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    val sentinel = "\u0001"
+    val sentsCol = split(
+      regexp_replace(coalesce(col(textCol), lit("")), "([.!?])[ \t\r\n]+", "$1" + sentinel),
+      sentinel)
+    val sents = docs.select(col(idCol).as("__id"),
+      posexplode(sentsCol).as(Seq("__pos", "__sent")))
+    val firsts = sents
+      .where(length(trim(col("__sent"))) > 0)
+      .groupBy(md5(col("__sent")).as("__h"))
+      .agg(min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__first"))
+    sents
+      .join(firsts, md5(col("__sent")) === firsts("__h"), "left")
+      .withColumn("__keep", col("__h").isNull ||
+        (col("__first").getField("i") === col("__id") && col("__first").getField("p") === col("__pos")))
+      .groupBy(col("__id"))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("__pos"), col("__sent"))))),
+            s => s.getField("__sent"))).as("cleaned"),
+        count(lit(1)).as("n_sents"),
+        count(when(col("__keep"), 1)).as("n_kept"),
+      )
+      .select(col("__id").as(idCol), col("cleaned"), col("n_sents"), col("n_kept"))
+  }
+
   /** Repeated-substring span detection — the relational form of ExactSubstr
     * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): find every maximal token span that is part of some
