@@ -1303,6 +1303,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // X29 — sitemap ingestion (Urls.parseSitemap/sitemapEntries,
+    // sitemaps.org protocol): urlset url entries + sitemapindex recursion
+    // targets, loc-required, entity decode, lastmod optional. Like x23,
+    // the oracle inlines the EFFECTIVE entries per fixture body — a parse
+    // bug (dropped entry, undecoded &amp;, phantom loc-less row) shifts
+    // the per-host aggregate and fails the verdict columns.
+    "x29_sitemap" -> ((s, d) => {
+      import s.implicits._
+      val maps = Seq(
+        ("a.example.com",
+          "<urlset><url><loc>https://a.example.com/p?x=1&amp;y=2</loc><lastmod>2026-01-15</lastmod></url>" +
+            "<url><loc>https://a.example.com/q</loc></url>" +
+            "<url><lastmod>2026-01-01</lastmod></url></urlset>"),
+        ("b.example.com",
+          "<sitemapindex><sitemap><loc>https://b.example.com/s1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>" +
+            "<sitemap><loc>https://b.example.com/s2.xml</loc></sitemap></sitemapindex>"),
+        ("c.example.com", "<urlset></urlset>"),
+      ).toDF("host", "xml")
+      val entries = Urls.sitemapEntries(maps, "host", "xml")
+      val hostExpr = element_at(
+        array(lit("a.example.com"), lit("b.example.com"), lit("c.example.com")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      Tables(s, d).documents.select(col("doc_id"), hostExpr.as("host"))
+        .join(entries, Seq("host"), "left")
+        .groupBy("doc_id", "host")
+        .agg(
+          count(col("loc")).as("n_entries"),
+          count(when(col("kind") === "sitemap", 1)).as("n_indexed"),
+          count(col("lastmod")).as("n_dated"),
+          min(col("loc")).as("first_loc"))
+        .orderBy("doc_id")
+    }),
+
     // X26 — REFERENCE-trained trigram scoring (the true CCNet/Wenzek 2020
     // shape: LM counts from a curated slice — here doc_id % 50 = 7 — score
     // the whole corpus; unseen n-grams back off to the add-k floor via
@@ -3627,6 +3660,25 @@ object SparkEntry {
     // x23 — the effective graftbot rules are inlined (crawl-a's graftbot
     // group, crawl-b's `*` group, nothing for crawl-c); longest-prefix-
     // wins with Allow on ties replayed as arg_max over len*2+allow.
+    // x29 — effective entries inlined (host a: 2 urls, 1 dated, loc-less
+    // dropped, &amp; decoded; host b: 2 index targets, 1 dated; host c:
+    // none → left join keeps the doc with zero counts).
+    "x29_sitemap" ->
+      """WITH e(host, kind, loc, lastmod) AS (VALUES
+        |   ('a.example.com', 'url', 'https://a.example.com/p?x=1&y=2', '2026-01-15'),
+        |   ('a.example.com', 'url', 'https://a.example.com/q', NULL),
+        |   ('b.example.com', 'sitemap', 'https://b.example.com/s1.xml', '2026-02-01'),
+        |   ('b.example.com', 'sitemap', 'https://b.example.com/s2.xml', NULL)),
+        | d AS (SELECT doc_id, (['a.example.com', 'b.example.com', 'c.example.com'])[(doc_id % 3 + 1)::INT] AS host
+        |   FROM documents)
+        | SELECT d.doc_id, d.host,
+        |   count(e.loc)::BIGINT AS n_entries,
+        |   count(CASE WHEN e.kind = 'sitemap' THEN 1 END)::BIGINT AS n_indexed,
+        |   count(e.lastmod)::BIGINT AS n_dated,
+        |   min(e.loc) AS first_loc
+        | FROM d LEFT JOIN e ON d.host = e.host
+        | GROUP BY d.doc_id, d.host ORDER BY d.doc_id""".stripMargin,
+
     "x23_robots_filter" ->
       raw"""WITH u AS (SELECT doc_id,
            |   (['crawl-a.example.com', 'crawl-b.example.com', 'crawl-c.example.com'])[(doc_id % 3 + 1)::INT] AS host,

@@ -231,4 +231,53 @@ object Urls {
           .otherwise(coalesce(col("__verdict"), lit(true))))
       .drop("__path", "__verdict")
   }
+
+  /** One sitemap entry: `kind` is "url" (from a `<urlset>`) or "sitemap"
+    * (from a `<sitemapindex>` — the nested-index case crawlers must
+    * recurse into); `lastmod` verbatim when present (W3C datetime — left
+    * unparsed so date-only and timezone forms survive losslessly).
+    */
+  final case class SitemapEntry(kind: String, loc: String, lastmod: Option[String])
+
+  private val SitemapBlockRe = "(?s)<(url|sitemap)\\b[^>]*>(.*?)</\\1>".r
+  private val LocRe          = "(?s)<loc\\b[^>]*>\\s*(.*?)\\s*</loc>".r
+  private val LastmodRe      = "(?s)<lastmod\\b[^>]*>\\s*(.*?)\\s*</lastmod>".r
+
+  /** Parse one sitemap.xml body (sitemaps.org protocol): `<urlset>` url
+    * entries and `<sitemapindex>` sitemap entries, in document order;
+    * entries without a `<loc>` are dropped (the protocol makes loc
+    * required); XML entities in loc/lastmod are decoded (`&amp;` URLs).
+    * Regex pulls assume well-formed XML without CDATA — the same declared
+    * simplification as the OOXML extractors. Driver/executor-pure Scala:
+    * runs once per sitemap FILE (one per host-ish — tiny next to the URL
+    * corpus it seeds).
+    */
+  def parseSitemap(xml: String): Seq[SitemapEntry] =
+    SitemapBlockRe.findAllMatchIn(Option(xml).getOrElse("")).flatMap { m =>
+      val kind = m.group(1)
+      val body = m.group(2)
+      LocRe.findFirstMatchIn(body).map { lm =>
+        SitemapEntry(kind, xmlUnescape(lm.group(1)),
+          LastmodRe.findFirstMatchIn(body).map(x => xmlUnescape(x.group(1))).filter(_.nonEmpty))
+      }
+    }.toSeq
+
+  private def xmlUnescape(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  /** Explode a (host, sitemap body) table into (host, kind, loc, lastmod)
+    * entry rows via [[parseSitemap]] — the frontier-seeding join input
+    * ([[robotsRules]]'s companion: robots gates the crawl, sitemaps seed
+    * it).
+    */
+  def sitemapEntries(sitemaps: DataFrame, hostCol: String, xmlCol: String): DataFrame = {
+    val spark = sitemaps.sparkSession
+    import spark.implicits._
+    sitemaps.select(col(hostCol).cast("string"), col(xmlCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (h, x) => parseSitemap(x).map(e => (h, e.kind, e.loc, e.lastmod.orNull)) }
+      .toDF("host", "kind", "loc", "lastmod")
+  }
 }

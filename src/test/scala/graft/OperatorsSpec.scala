@@ -1268,6 +1268,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(true))
   }
 
+  test("parseSitemap: urlset entries in order with optional lastmod; sitemapindex recursion targets; entities decode") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <url><loc>https://a.example.com/p?x=1&amp;y=2</loc><lastmod>2026-01-15</lastmod></url>
+        | <url><loc> https://a.example.com/q </loc></url>
+        | <url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    assert(Urls.parseSitemap(xml) == Seq(
+      Urls.SitemapEntry("url", "https://a.example.com/p?x=1&y=2", Some("2026-01-15")),
+      Urls.SitemapEntry("url", "https://a.example.com/q", None))) // loc-less entry dropped
+    val idx =
+      """<sitemapindex><sitemap><loc>https://b.example.com/s1.xml</loc><lastmod>2026-02-01T10:00:00+00:00</lastmod></sitemap>
+        |<sitemap><loc>https://b.example.com/s2.xml</loc></sitemap></sitemapindex>""".stripMargin
+    assert(Urls.parseSitemap(idx).map(e => (e.kind, e.loc)) == Seq(
+      ("sitemap", "https://b.example.com/s1.xml"), ("sitemap", "https://b.example.com/s2.xml")))
+    assert(Urls.parseSitemap(null) == Seq.empty && Urls.parseSitemap("<urlset></urlset>") == Seq.empty)
+  }
+
   // ---- S20 HTML extraction ------------------------------------------------
   test("htmlText: entity decode runs after tag strip and &amp; decodes last") {
     val in = Seq(
