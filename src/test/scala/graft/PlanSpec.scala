@@ -67,6 +67,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"first-wins must be a struct-min agg, not a window:\n${plan.take(1200)}")
   }
 
+  test("dedupSentences: no Window operator — same struct-min contract as the paragraph form") {
+    val docs = Tables(spark, dir).documents
+    val plan = graft.operators.Dedup.dedupSentences(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"first-wins must be a struct-min agg, not a window:\n${plan.take(1200)}")
+  }
+
+  test("PII battery and MLM masking stay pure projections — no exchange, one scan") {
+    import graft.functions.TextOps
+    val docs = Tables(spark, dir).documents
+    val piiPlan = docs.select(col("doc_id"),
+      TextOps.piiCounts(col("text")).as("c"), TextOps.scrubPiiAll(col("text")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"), s"scrub must not shuffle:\n${piiPlan.take(1000)}")
+    val mlmPlan = TextOps.mlmMask(docs, "doc_id", "text", 1500)
+      .queryExecution.executedPlan.toString
+    assert(!mlmPlan.contains("Exchange"), s"masking must not shuffle:\n${mlmPlan.take(1000)}")
+    assert(mlmPlan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"one corpus scan only:\n${mlmPlan.take(1000)}")
+  }
+
+  test("winnowOverlapPairs: the fingerprint explode materializes ONCE (every branch reads the cache)") {
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    val df   = graft.operators.Dedup.winnowOverlapPairs(docs, "doc_id", "text", 4, 5, 3, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // all three consumers (df-agg + both self-join sides) must scan the
+    // cached fingerprints, and no branch may recompute the Generate
+    // against the parquet source directly
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+    val rawGenerates = plan.linesIterator.zipWithIndex.count { case (l, _) => l.contains("Generate") }
+    // Generate appears only inside the (single) cached relation's
+    // description, repeated per InMemoryTableScan printout — the live
+    // operator tree above the caches must contain none
+    val liveTree = plan.split("InMemoryRelation").head
+    assert(!liveTree.contains("Generate"),
+      s"explode must live inside the cache, not the live tree (raw=$rawGenerates):\n${plan.take(1200)}")
+  }
+
+  test("pagerank: the edge derivation computes once into the cache; iterations read InMemoryTableScan") {
+    val t = Tables(spark, dir)
+    val edges = t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+    val plan = graft.operators.Graph.pagerank(edges, "src", "dst", iters = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+    val liveTree = plan.split("InMemoryRelation").head
+    assert(!liveTree.contains("SortMergeJoin [l_orderkey"),
+      s"orders⋈lineitem must not re-run per iteration:\n${plan.take(1200)}")
+  }
+
   test("withRobotsAllowed: rules side broadcasts, corpus side has no window") {
     val spark2 = spark
     import spark2.implicits._
