@@ -2160,6 +2160,21 @@ object SparkEntry {
         .orderBy("file_name", "track_id")
     }),
 
+    // MM9 — JPEG EXIF metadata (Multimodal.exifMeta): real TIFF IFD walk
+    // (both byte orders), IFD0 Orientation/Make/Model + Exif sub-IFD
+    // DateTimeOriginal. The oracle re-derives EVERYTHING from the blob
+    // bytes in SQL (mm7 pattern): hex → byte list, endianness from the
+    // 'II'/'MM' mark, entry walk via unnest(range(n)), ASCII values via
+    // chr() over the offset-addressed payload. EXIF-less files keep their
+    // row with NULL fields.
+    "mm9_exif" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/images/exif", "*.jpg")
+      Multimodal.exifMeta(s, b).toDF()
+        .select(col("file_name"), col("orientation"), col("make"), col("model"),
+          col("datetime_original"))
+        .orderBy("file_name")
+    }),
+
     // ---------------- P: ingest pipeline (upload-path throughput) ----------
     "p1_ingest_pipeline" -> ((s, d) => {
       val chunks = Chunker.chunk(s, Tables(s, d).documents).toDF()
@@ -4080,6 +4095,66 @@ object SparkEntry {
     // (multiple trak/tkhd per file, so strpos alone can't enumerate);
     // big-endian fields from nibble-decoded bytes; each tkhd pairs with the
     // NEXT hdlr after it (hdlr lives inside the same trak, after tkhd).
+    // mm9 — full byte re-derivation: TIFF origin via the 'Exif\0\0' hex
+    // search (even-aligned), endianness from bs[t0]='I'(73), IFD0 and the
+    // 0x8769 sub-IFD walked with unnest(range(nEntries)); SHORT values
+    // from the value slot, ASCII (type 2, count>4 — fixtures guarantee
+    // the offset form) via chr() over the TIFF-relative payload.
+    "mm9_exif" ->
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h, size::BIGINT AS n
+           |   FROM read_blob('/root/repo/fixtures/images/exif/*.jpg')),
+           | bl AS (SELECT file_name, n,
+           |   list_transform(range(0, n), i ->
+           |     (strpos('0123456789ABCDEF', substr(h, (2*i + 1)::BIGINT, 1)) - 1) * 16
+           |     + strpos('0123456789ABCDEF', substr(h, (2*i + 2)::BIGINT, 1)) - 1) AS bs,
+           |   CASE WHEN strpos(h, '457869660000') > 0 AND strpos(h, '457869660000') % 2 = 1
+           |     THEN (strpos(h, '457869660000') - 1) // 2 + 6 END AS t0
+           |   FROM f),
+           | hdr AS (SELECT *, CASE WHEN t0 IS NULL THEN NULL WHEN bs[(t0 + 1)::BIGINT] = 73 THEN true ELSE false END AS le FROM bl),
+           | i0 AS (SELECT *, CASE WHEN t0 IS NULL THEN NULL
+           |     WHEN le THEN bs[(t0+5)::BIGINT] + 256*bs[(t0+6)::BIGINT] + 65536*bs[(t0+7)::BIGINT] + 16777216*bs[(t0+8)::BIGINT]
+           |     ELSE 16777216*bs[(t0+5)::BIGINT] + 65536*bs[(t0+6)::BIGINT] + 256*bs[(t0+7)::BIGINT] + bs[(t0+8)::BIGINT] END AS ifd0 FROM hdr),
+           | base AS (SELECT *, CASE WHEN t0 IS NULL THEN 0
+           |     WHEN le THEN bs[(t0+ifd0+1)::BIGINT] + 256*bs[(t0+ifd0+2)::BIGINT]
+           |     ELSE 256*bs[(t0+ifd0+1)::BIGINT] + bs[(t0+ifd0+2)::BIGINT] END AS n0 FROM i0),
+           | ev AS (SELECT file_name, bs, t0, le, t0 + ifd0 + 2 + 12 * unnest(range(0, coalesce(n0, 0))) AS e0 FROM base),
+           | ed AS (SELECT file_name, bs, t0, le, e0,
+           |   CASE WHEN le THEN bs[(e0+1)::BIGINT] + 256*bs[(e0+2)::BIGINT] ELSE 256*bs[(e0+1)::BIGINT] + bs[(e0+2)::BIGINT] END AS tag,
+           |   CASE WHEN le THEN bs[(e0+3)::BIGINT] + 256*bs[(e0+4)::BIGINT] ELSE 256*bs[(e0+3)::BIGINT] + bs[(e0+4)::BIGINT] END AS typ,
+           |   CASE WHEN le THEN bs[(e0+5)::BIGINT] + 256*bs[(e0+6)::BIGINT] + 65536*bs[(e0+7)::BIGINT] + 16777216*bs[(e0+8)::BIGINT]
+           |        ELSE 16777216*bs[(e0+5)::BIGINT] + 65536*bs[(e0+6)::BIGINT] + 256*bs[(e0+7)::BIGINT] + bs[(e0+8)::BIGINT] END AS cnt,
+           |   CASE WHEN le THEN bs[(e0+9)::BIGINT] + 256*bs[(e0+10)::BIGINT] ELSE 256*bs[(e0+9)::BIGINT] + bs[(e0+10)::BIGINT] END AS sval,
+           |   CASE WHEN le THEN bs[(e0+9)::BIGINT] + 256*bs[(e0+10)::BIGINT] + 65536*bs[(e0+11)::BIGINT] + 16777216*bs[(e0+12)::BIGINT]
+           |        ELSE 16777216*bs[(e0+9)::BIGINT] + 65536*bs[(e0+10)::BIGINT] + 256*bs[(e0+11)::BIGINT] + bs[(e0+12)::BIGINT] END AS lval
+           |   FROM ev),
+           | eds AS (SELECT *, CASE WHEN typ = 2 AND cnt > 4 AND cnt < 256
+           |     THEN array_to_string(list_transform(range(0, cnt - 1), k -> chr(bs[(t0 + lval + k + 1)::BIGINT]::INT)), '') END AS sv FROM ed),
+           | eptr AS (SELECT file_name, max(lval) AS eoff FROM ed WHERE tag = 34665 GROUP BY 1),
+           | subn AS (SELECT b.file_name, b.bs, b.t0, b.le, p.eoff,
+           |     CASE WHEN b.le THEN b.bs[(b.t0+p.eoff+1)::BIGINT] + 256*b.bs[(b.t0+p.eoff+2)::BIGINT]
+           |          ELSE 256*b.bs[(b.t0+p.eoff+1)::BIGINT] + b.bs[(b.t0+p.eoff+2)::BIGINT] END AS ns
+           |   FROM base b JOIN eptr p USING (file_name)),
+           | sev AS (SELECT file_name, bs, t0, le, t0 + eoff + 2 + 12 * unnest(range(0, coalesce(ns, 0))) AS e0 FROM subn),
+           | sed AS (SELECT file_name, bs, t0, le, e0,
+           |   CASE WHEN le THEN bs[(e0+1)::BIGINT] + 256*bs[(e0+2)::BIGINT] ELSE 256*bs[(e0+1)::BIGINT] + bs[(e0+2)::BIGINT] END AS tag,
+           |   CASE WHEN le THEN bs[(e0+3)::BIGINT] + 256*bs[(e0+4)::BIGINT] ELSE 256*bs[(e0+3)::BIGINT] + bs[(e0+4)::BIGINT] END AS typ,
+           |   CASE WHEN le THEN bs[(e0+5)::BIGINT] + 256*bs[(e0+6)::BIGINT] + 65536*bs[(e0+7)::BIGINT] + 16777216*bs[(e0+8)::BIGINT]
+           |        ELSE 16777216*bs[(e0+5)::BIGINT] + 65536*bs[(e0+6)::BIGINT] + 256*bs[(e0+7)::BIGINT] + bs[(e0+8)::BIGINT] END AS cnt,
+           |   CASE WHEN le THEN bs[(e0+9)::BIGINT] + 256*bs[(e0+10)::BIGINT] + 65536*bs[(e0+11)::BIGINT] + 16777216*bs[(e0+12)::BIGINT]
+           |        ELSE 16777216*bs[(e0+9)::BIGINT] + 65536*bs[(e0+10)::BIGINT] + 256*bs[(e0+11)::BIGINT] + bs[(e0+12)::BIGINT] END AS lval
+           |   FROM sev),
+           | dagg AS (SELECT file_name, max(CASE WHEN tag = 36867 AND typ = 2 AND cnt > 4 AND cnt < 256
+           |     THEN array_to_string(list_transform(range(0, cnt - 1), k -> chr(bs[(t0 + lval + k + 1)::BIGINT]::INT)), '') END) AS dto
+           |   FROM sed GROUP BY 1),
+           | agg AS (SELECT file_name,
+           |     max(CASE WHEN tag = 274 THEN sval END)::INT AS orientation,
+           |     max(CASE WHEN tag = 271 THEN sv END) AS make,
+           |     max(CASE WHEN tag = 272 THEN sv END) AS model
+           |   FROM eds GROUP BY 1)
+           | SELECT f.file_name, a.orientation, a.make, a.model, d.dto AS datetime_original
+           | FROM f LEFT JOIN agg a USING (file_name) LEFT JOIN dagg d USING (file_name)
+           | ORDER BY f.file_name""".stripMargin,
+
     "mm8_mp4_tracks" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h, size::BIGINT AS n FROM read_blob('/root/repo/fixtures/video/*.mp4')),
            | u AS (SELECT file_name, h, unnest(range(0, n)) AS i FROM f),

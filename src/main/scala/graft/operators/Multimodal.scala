@@ -400,6 +400,103 @@ object Multimodal {
       }
   }
 
+  final case class ExifMeta(
+      file_name: String,
+      orientation: Option[Int],
+      make: Option[String],
+      model: Option[String],
+      datetime_original: Option[String],
+  )
+
+  /** JPEG EXIF metadata — a real TIFF IFD walk over the APP1 segment
+    * (public specs: JPEG marker structure ISO 10918-1, EXIF 2.3 / TIFF 6.0
+    * IFD layout). The multimodal-pipeline uses: orientation for decode
+    * normalization, Make/Model for device stratification, DateTimeOriginal
+    * for capture-time dedup windows.
+    *
+    * Walk: JPEG markers from SOI until SOS scanning for APP1 with the
+    * `Exif\u0000\u0000` header; TIFF origin sets byte order (`II` little /
+    * `MM` big — BOTH handled and fixture-exercised); IFD0 entries read
+    * tags 0x0112 Orientation (SHORT), 0x010F Make / 0x0110 Model (ASCII,
+    * inline when count <= 4 else offset-addressed), 0x8769 ExifIFD
+    * pointer -> sub-IFD tag 0x9003 DateTimeOriginal. ASCII values strip
+    * the spec's trailing NUL. Files without EXIF (or non-JPEG bytes)
+    * yield all-None metadata rather than dropping — absence is data for
+    * the stratification downstream. Bounds-checked throughout: a
+    * truncated or hostile APP1 yields None fields, never a throw. Narrow
+    * per-row map — no shuffle.
+    */
+  def exifMeta(spark: SparkSession, binaries: DataFrame): Dataset[ExifMeta] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (name, b) => parseExif(name, b) }
+  }
+
+  private[graft] def parseExif(name: String, b: Array[Byte]): ExifMeta = {
+    val none = ExifMeta(name, None, None, None, None)
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return none // not a JPEG (SOI)
+    // marker walk to APP1/Exif
+    var pos  = 2
+    var tiff = -1
+    while (tiff < 0 && pos + 4 <= b.length && u8(pos) == 0xff) {
+      val marker = u8(pos + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) pos += 2
+      else if (marker == 0xda) pos = b.length // SOS: entropy data follows, stop
+      else {
+        val len = (u8(pos + 2) << 8) | u8(pos + 3)
+        if (marker == 0xe1 && pos + 10 <= b.length &&
+          new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == "Exif" &&
+          u8(pos + 8) == 0 && u8(pos + 9) == 0) tiff = pos + 10
+        else pos += 2 + len
+      }
+    }
+    if (tiff < 0 || tiff + 8 > b.length) return none
+    val le = (u8(tiff), u8(tiff + 1)) match {
+      case (0x49, 0x49) => true
+      case (0x4d, 0x4d) => false
+      case _            => return none
+    }
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > b.length) -1
+      else if (le) u8(i) | (u8(i + 1) << 8)
+      else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > b.length) -1L
+      else if (le) u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def ascii(count: Long, valuePos: Int): Option[String] = {
+      // count includes the NUL terminator; <= 4 bytes pack inline at the
+      // value slot, larger values live at a TIFF-relative offset
+      val start = if (count <= 4) valuePos else (tiff + u32(valuePos)).toInt
+      val n     = (count - 1).toInt
+      if (n < 0 || start < 0 || start + n > b.length) None
+      else Some(new String(b, start, n, java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    def ifdEntries(off: Long): Seq[(Int, Long, Int)] = {
+      val i0 = (tiff + off).toInt
+      val n  = u16(i0)
+      if (n <= 0 || n > 512) Seq.empty
+      else (0 until n).flatMap { j =>
+        val e = i0 + 2 + 12 * j
+        if (e + 12 > b.length) None
+        else Some((u16(e), u32(e + 4), e + 8)) // (tag, count, value slot pos)
+      }
+    }
+    val ifd0  = u32(tiff + 4)
+    if (ifd0 < 0) return none
+    val e0    = ifdEntries(ifd0)
+    def find(entries: Seq[(Int, Long, Int)], tag: Int) = entries.find(_._1 == tag)
+    val orientation = find(e0, 0x0112).map { case (_, _, v) => u16(v) }.filter(_ > 0)
+    val make  = find(e0, 0x010f).flatMap { case (_, c, v) => ascii(c, v) }
+    val model = find(e0, 0x0110).flatMap { case (_, c, v) => ascii(c, v) }
+    val dto = find(e0, 0x8769).map(_._3).map(u32).filter(_ >= 0).toSeq
+      .flatMap(sub => ifdEntries(sub))
+      .collectFirst { case (0x9003, c, v) => ascii(c, v) }.flatten
+    ExifMeta(name, orientation, make, model, dto)
+  }
+
   final case class DHashed(file_name: String, dhash: Long)
 
   /** Perceptual difference hash (dHash) of each decodable image: pixel-

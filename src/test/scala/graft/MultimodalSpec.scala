@@ -160,6 +160,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall(p => p._1 < p._2))
   }
 
+  test("exifMeta: IFD walk in both byte orders, sub-IFD DateTimeOriginal, EXIF-less and hostile bytes survive") {
+    val rows = Multimodal.exifMeta(spark,
+      Multimodal.binaryTable(spark, "/root/repo/fixtures/images/exif", "*.jpg"))
+      .collect().map(e => e.file_name -> e).toMap
+    val ii = rows("exif_ii.jpg")
+    assert(ii.orientation.contains(6) && ii.make.contains("GraftCam") &&
+      ii.model.contains("X100 Mark II") && ii.datetime_original.contains("2025:12:31 23:59:58"))
+    val mm = rows("exif_mm.jpg")
+    assert(mm.orientation.contains(1) && mm.make.contains("Acme Optical") &&
+      mm.model.isEmpty && mm.datetime_original.isEmpty)
+    val no = rows("noexif.jpg")
+    assert(no.orientation.isEmpty && no.make.isEmpty && no.datetime_original.isEmpty)
+    // inline (count <= 4) ASCII path: 3-char make packs into the value slot
+    val inline = {
+      val e = "<"
+      val mk = "AB\u0000"
+      val ifd0 = Array[Byte](1, 0) ++ // 1 entry, LE
+        Array[Byte](0x0f, 0x01, 2, 0) ++ Array[Byte](3, 0, 0, 0) ++ ("AB".getBytes :+ 0.toByte :+ 0.toByte) ++
+        Array[Byte](0, 0, 0, 0)
+      val tiff = "II".getBytes ++ Array[Byte](42, 0) ++ Array[Byte](8, 0, 0, 0) ++ ifd0
+      val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+      val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ app1 ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+    assert(Multimodal.parseExif("inline.jpg", inline).make.contains("AB"))
+    // truncated APP1 and random bytes must yield empty metadata, not throw
+    assert(Multimodal.parseExif("trunc.jpg", inline.take(18)).make.isEmpty)
+    assert(Multimodal.parseExif("junk.bin", Array[Byte](1, 2, 3)).orientation.isEmpty)
+  }
+
   test("wavFeatures: chunk walk, decoded-sample features, non-PCM and truncated inputs drop") {
     val rows = Multimodal.wavFeatures(spark,
       Multimodal.binaryTable(spark, "/root/repo/fixtures/audio", "*.wav"))
