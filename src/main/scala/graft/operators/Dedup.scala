@@ -1324,9 +1324,16 @@ object Dedup {
     Seq("__cid", "__cpos", "__toks", "__pos", "__tok", "cleaned", "n_tokens", "n_cut").foreach(c =>
       require(!names.contains(c), s"input already has a '$c' column"))
     val spans = repeatedSpans(docs, idCol, textCol, k, minOccurrences, crossDocOnly)
+    // covered feeds TWO branches (the affected-id anti/semi gates and the
+    // rebuild join); without materialization the whole repeatedSpans
+    // pipeline — the expensive gram-count shuffle — runs once per branch.
+    // The cached unit is the flagged (id, pos) set, bounded by total
+    // flagged span length, tiny vs the corpus (same persist discipline as
+    // winnowOverlapPairs / pagerank).
     val covered = spans.select(
       col(idCol).as("__cid"),
       explode(sequence(col("span_start"), col("span_end"))).as("__cpos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks        = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
     val affectedIds = covered.select(col("__cid")).distinct()
     val untouched = toks.join(affectedIds, col(idCol) === col("__cid"), "left_anti")
