@@ -247,6 +247,70 @@ class OnnxSpec extends AnyFunSuite {
     assert(out(1L).toSeq == local(0).toSeq && out(2L).toSeq == local(1).toSeq && out(3L).toSeq == local(2).toSeq)
   }
 
+  test("property: TensorProto round-trips through the wire reader — packed, raw_data and int64 forms") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tGen = for {
+      rank <- Gen.choose(0, 3)
+      dims <- Gen.listOfN(rank, Gen.choose(1, 4))
+      n     = dims.product
+      isF  <- Gen.oneOf(true, false)
+      raw  <- Gen.oneOf(true, false)
+      fs   <- Gen.listOfN(n, Gen.oneOf(0f, -1.5f, 3.25e-10f, 1e30f, -0f, 42f))
+      ls   <- Gen.listOfN(n, Gen.oneOf(0L, -1L, Long.MaxValue, Long.MinValue, 77L))
+    } yield (dims, isF, raw, fs, ls)
+    for (seed <- 0 until 150) {
+      val (dims, isF, raw, fs, ls) = tGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val m = new PW
+      m.msg(7) { g =>
+        if (isF) g.msg(5)(tensorMsg(_, "t", dims.map(_.toLong), floats = fs, rawFloats = raw))
+        else g.msg(5)(tensorMsg(_, "t", dims.map(_.toLong), longs = ls))
+        g.msg(12)(_.str(1, "t"))
+      }
+      val got = Onnx.load(m.out.toByteArray).initializers("t")
+      assert(got.dims == dims.toVector, s"seed $seed dims")
+      got match {
+        case FTensor(_, d) => assert(isF && d.map(java.lang.Float.floatToIntBits).toSeq ==
+          fs.map(java.lang.Float.floatToIntBits), s"seed $seed floats (raw=$raw)")
+        case LTensor(_, d) => assert(!isF && d.toSeq == ls, s"seed $seed longs")
+      }
+    }
+  }
+
+  test("single-head self-attention composes from MatMul/Transpose/Softmax/Add — the encoder-layer core") {
+    // x: [1, 3, 2] (batch 1, seq 3, hidden 2); Wq/Wk/Wv: [2, 2]
+    val x  = FTensor(Vector(1, 3, 2), Array(1f, 0f, 0f, 1f, 1f, 1f))
+    val wq = FTensor(Vector(2, 2), Array(1f, 0f, 0f, 1f))   // identity
+    val wk = FTensor(Vector(2, 2), Array(1f, 0f, 0f, 1f))
+    val wv = FTensor(Vector(2, 2), Array(2f, 0f, 0f, 2f))   // 2·identity
+    val scale = FTensor(Vector(1), Array((1.0 / math.sqrt(2.0)).toFloat))
+    val g = Graph("attn", Vector(
+      Node("MatMul", "q", Vector("x", "wq"), Vector("Q"), Map.empty),
+      Node("MatMul", "k", Vector("x", "wk"), Vector("K"), Map.empty),
+      Node("MatMul", "v", Vector("x", "wv"), Vector("V"), Map.empty),
+      Node("Transpose", "kt", Vector("K"), Vector("KT"), Map("perm" -> Attr(ints = Vector(0L, 2L, 1L)))),
+      Node("MatMul", "qk", Vector("Q", "KT"), Vector("S0"), Map.empty),
+      Node("Mul", "sc", Vector("S0", "scale"), Vector("S"), Map.empty),
+      Node("Softmax", "sm", Vector("S"), Vector("A"), Map("axis" -> Attr(i = Some(-1L)))),
+      Node("MatMul", "av", Vector("A", "V"), Vector("Y"), Map.empty),
+    ), Map("wq" -> wq, "wk" -> wk, "wv" -> wv, "scale" -> scale), Vector("x"), Vector("Y"))
+    val y = g.run(Map("x" -> x))("Y").asInstanceOf[FTensor]
+    assert(y.dims == Vector(1, 3, 2))
+    // independent hand computation of softmax(QKᵀ/√d)·V
+    val rows = Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f))
+    val s = 1.0 / math.sqrt(2.0)
+    for (i <- 0 until 3) {
+      val logits = rows.map(r => (r(0) * rows(i)(0) + r(1) * rows(i)(1)) * s)
+      val m = logits.max
+      val es = logits.map(l => math.exp(l - m))
+      val z = es.sum
+      val exp0 = (0 until 3).map(j => es(j) / z * 2 * rows(j)(0)).sum
+      val exp1 = (0 until 3).map(j => es(j) / z * 2 * rows(j)(1)).sum
+      assert(math.abs(y.data(i * 2) - exp0) < 1e-6, s"row $i dim 0")
+      assert(math.abs(y.data(i * 2 + 1) - exp1) < 1e-6, s"row $i dim 1")
+    }
+  }
+
   test("WordPieceIds: framing, truncation keeps [SEP], unknown word collapses to one [UNK]") {
     val v = new OnnxEmbedder.WordPieceIds(vocabLines)
     assert(v.encode("Hello, world", 16).toSeq == Seq(2L, 4L, 1L, 5L, 3L)) // ',' not in vocab → UNK
