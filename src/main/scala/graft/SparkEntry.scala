@@ -1565,6 +1565,14 @@ object SparkEntry {
     "w3_sessionize" -> ((s, d) => graft.streaming.Sessions.sessionize(Tables(s, d).events, 30)
       .orderBy("user_id", "session_id")),
 
+    // W5 — streaming corpus-quality monitor (QualityMonitor.monitor):
+    // per-source doc count, integer-scaled mean quality, short/empty
+    // tallies — one state row per group under readStream; the batch form
+    // is what the oracle replays (x3's feature replay + group rollup).
+    "w5_quality_monitor" -> ((s, d) =>
+      graft.streaming.QualityMonitor.monitor(Tables(s, d).documents, "source", "text")
+        .orderBy("source")),
+
     "w4_salted_agg" -> ((s, d) => Skew.saltedAggregate(
       Tables(s, d).events, "event_type", 8,
       partials = Seq(count(lit(1)).as("pc"), sum(round(col("value") * 100, 0).cast("long")).as("pv")),
@@ -3841,6 +3849,25 @@ object SparkEntry {
            |   WHEN h_fr = best AND h_fr > 0 THEN 'fr'
            |   ELSE 'und' END AS lang_pred
            | FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM h) ORDER BY doc_id""".stripMargin,
+    // w5 — x3's per-doc feature replay + the per-source integer-scaled
+    // rollup (sum of round(score·10⁴) DIV n — order-insensitive).
+    "w5_quality_monitor" -> {
+      val stops = TextOps.stopwords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+      raw"""WITH q AS (SELECT doc_id, source, text, $toksSql AS toks, len(text) AS n_chars FROM documents),
+           | f AS (SELECT doc_id, source, len(toks) AS n_tokens,
+           |   CASE WHEN n_chars > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars ELSE 0.0 END AS alpha_ratio,
+           |   CASE WHEN len(toks) > 0 THEN len(list_intersect(list_distinct(toks), $stops))::DOUBLE / len(toks) ELSE 0.0 END AS stopword_ratio
+           | FROM q),
+           | s AS (SELECT doc_id, source, n_tokens,
+           |   round(round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE least(1.0, n_tokens / 20) * 0.5 + least(1.0, alpha_ratio * 1.25) * 0.3 + least(1.0, stopword_ratio * 5.0) * 0.2 END * 10000, 0))::BIGINT AS q_e4
+           | FROM f)
+           | SELECT source, count(*)::BIGINT AS n_docs,
+           |   count(CASE WHEN n_tokens < 20 THEN 1 END)::BIGINT AS n_short,
+           |   count(CASE WHEN n_tokens = 0 THEN 1 END)::BIGINT AS n_empty,
+           |   (sum(q_e4) // count(*))::BIGINT AS mean_quality_e4
+           | FROM s GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "x3_quality" -> {
       val stops = TextOps.stopwords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
       raw"""WITH q AS (SELECT doc_id, text, $toksSql AS toks, len(text) AS n_chars FROM documents),

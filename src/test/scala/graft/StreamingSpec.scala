@@ -42,6 +42,46 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+/** The quality rollup must produce identical group rows in batch and
+  * streaming — and the integer-scaled mean must be batch-split-invariant
+  * (a double mean would drift with the fold order across micro-batches).
+  */
+class QualityMonitorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("per-source quality rollup: streaming (two micro-batches) equals batch") {
+    import graft.streaming.QualityMonitor
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = (0 until 200).map { i =>
+      val text =
+        if (i % 17 == 0) ""
+        else if (i % 5 == 0) "short words here"
+        else s"the quick value stream number $i flows with the usual batch of data and the filter keeps it"
+      (s"src${i % 4}", text)
+    }
+    val mem = MemoryStream[(String, String)]
+    mem.addData(rows.take(90): _*) // uneven split: fold-order trap for a double mean
+    val q = QualityMonitor.monitor(mem.toDF().toDF("source", "text"), "source", "text")
+      .writeStream.format("memory").queryName("quality_out").outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(90): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("quality_out")
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val batch = QualityMonitor.monitor(rows.toDF("source", "text"), "source", "text")
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the tallies actually see the planted rows
+    val bySrc = batch.map(r => r._1 -> r).toMap
+    assert(bySrc("src0")._4 > 0, "short docs counted")   // n_short
+    assert(bySrc("src0")._5 > 0, "empty docs counted")   // n_empty
+  }
+}
+
 /** Streaming exact dedup must agree with the batch first-wins dedup on the
   * same data (within the watermark horizon).
   */
