@@ -2357,6 +2357,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // D21 — snapshot delta (Dedup.snapshotDiff): incremental-crawl
+    // bookkeeping. New snapshot: drop ids ≡ 1 (mod 97) [removed], add
+    // shifted ids beyond the range [added], rewrite text for ids ≡ 0
+    // (mod 13) [changed]; everything else byte-identical [unchanged].
+    "d21_snapshot_diff" -> ((s, d) => {
+      val t   = Tables(s, d).documents.select("doc_id", "text")
+      val old = t
+      val nw = t.where(pmod(col("doc_id"), lit(97)) =!= 1)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" [recrawled]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(t.where(pmod(col("doc_id"), lit(101)) === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(old, nw, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("status")
+    }),
+
     "d17_paragraph_dedup" -> ((s, d) => {
       val t = Tables(s, d).documents.select("doc_id", "text")
       val leaders = t.select(col("doc_id").as("__lid"), col("text").as("__ltext"))
@@ -4344,6 +4362,23 @@ object SparkEntry {
 
     // d17 — md5-keyed first-wins replay: min (doc, pos) tuple per paragraph,
     // keep iff whitespace-only or the global first occurrence.
+    // d21 — same construction + full-outer hash compare, rolled up.
+    "d21_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+        | nw0 AS (SELECT doc_id,
+        |     md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [recrawled]' ELSE text END) AS new_hash
+        |   FROM documents WHERE doc_id % 97 != 1),
+        | nw AS (SELECT * FROM nw0 UNION ALL
+        |   SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 101 = 5),
+        | d AS (SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+        |     CASE WHEN old_hash IS NULL THEN 'added'
+        |          WHEN new_hash IS NULL THEN 'removed'
+        |          WHEN old_hash != new_hash THEN 'changed'
+        |          ELSE 'unchanged' END AS status
+        |   FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+        | SELECT status, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS min_id
+        | FROM d GROUP BY status ORDER BY status""".stripMargin,
+
     // d20 — identical sentinel splitter (regexp_replace 'g' + chr(1)
     // split), first-wins (doc, pos) tuple-min, space rejoin.
     "d20_sentence_dedup" ->

@@ -26,6 +26,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .where(col("n_docs") > 1)
 
+  /** Snapshot delta — what changed between two corpus snapshots (the
+    * incremental-crawl bookkeeping every recurring pipeline runs before
+    * deciding what to re-embed / re-score): per id, `added` (new only),
+    * `removed` (old only), `changed` (both, content hash differs) or
+    * `unchanged`. Content identity is [[exactKey]] over the text, so a
+    * recrawl that returns byte-identical pages costs nothing downstream.
+    *
+    * One full-outer equi-join on the id — both sides shuffle ONCE by id
+    * and only (id, 16-byte hash) rows move, never text. Output: (idCol,
+    * status, old_hash, new_hash); `unchanged` rows are included so the
+    * result partitions the id universe (callers filter, the filter
+    * pushes into the join output).
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+  ): DataFrame = {
+    val o = oldDocs.select(col(idCol), exactKey(col(textCol)).as("old_hash"))
+    val n = newDocs.select(col(idCol), exactKey(col(textCol)).as("new_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
   /** Incremental EXACT dedup with a Bloom pre-filter: flag every batch row
     * as new-vs-already-in-corpus without shuffling the batch against the
     * corpus in the common clean-batch case.

@@ -1395,6 +1395,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c1.getLong(3) == 1L)
   }
 
+  test("snapshotDiff: partitions the id universe into added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw  = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, nw, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("dedupSentences: global first-wins, order preserved, punctuation-less tail is one sentence") {
     val docs = Seq(
       (1L, "Alpha beta. Shared quote here! Gamma delta"),
