@@ -93,7 +93,13 @@ object Contrastive {
       (Sampling.portableHash(col(idCol)) % nSh).cast("int").as("shard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(Sampling.portableHash(col("id")), col("id"))
+    // ranked feeds THREE consumers (shard sizes, the anchor fan-out, the
+    // partner lookup) — without materialization the per-shard rank window
+    // (a corpus shuffle) runs once per consumer. The cached unit is
+    // (id, vec, shard, rank), the same frame all three need anyway; same
+    // persist discipline as winnowOverlapPairs/pagerank.
     val ranked = base.withColumn("rank", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes  = ranked.groupBy("shard").agg(count(lit(1)).cast("int").as("sz"))
     val wanted = ranked
       .select(col("id").as("anchor_id"), col("v").as("av"), col("shard"), col("rank"),
