@@ -40,5 +40,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Sq8].getName, "sq8"),
       (args: Seq[Expression]) => Sq8(args.head),
     ))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) =>
+        graft.functions.WordShingles(args(0), org.apache.spark.sql.GraftBridge.litInt(args(1))),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => graft.functions.WinnowFingerprints(
+        args(0), org.apache.spark.sql.GraftBridge.litInt(args(1)), org.apache.spark.sql.GraftBridge.litInt(args(2))),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("mlm_mask"),
+      new ExpressionInfo(classOf[graft.functions.MlmMask].getName, "mlm_mask"),
+      (args: Seq[Expression]) =>
+        graft.functions.MlmMask(args(0), args(1), org.apache.spark.sql.GraftBridge.litInt(args(2))),
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("gear_boundaries"),
+      new ExpressionInfo(classOf[graft.functions.GearBoundaries].getName, "gear_boundaries"),
+      (args: Seq[Expression]) =>
+        graft.functions.GearBoundaries(args(0), org.apache.spark.sql.GraftBridge.litInt(args(1))),
+    ))
   }
 }

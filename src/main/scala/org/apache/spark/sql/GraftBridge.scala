@@ -40,5 +40,26 @@ object GraftBridge {
       "graft_tokens", args => graft.functions.Tokenize(args.head), "built-in")
     registry.createOrReplaceTempFunction(
       "sq8", args => graft.functions.Sq8(args.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "word_shingles", args => graft.functions.WordShingles(args(0), GraftBridge.litInt(args(1))), "built-in")
+    registry.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      args => graft.functions.WinnowFingerprints(args(0), GraftBridge.litInt(args(1)), GraftBridge.litInt(args(2))), "built-in")
+    registry.createOrReplaceTempFunction(
+      "mlm_mask", args => graft.functions.MlmMask(args(0), args(1), GraftBridge.litInt(args(2))), "built-in")
+    registry.createOrReplaceTempFunction(
+      "gear_boundaries", args => graft.functions.GearBoundaries(args(0), GraftBridge.litInt(args(1))), "built-in")
+  }
+
+  /** Fold a literal argument of a SQL function call to Int (k, window,
+    * maskBp, … are STRUCTURAL parameters — they shape the expression, so
+    * they must be literals, like Spark's own `round(x, d)`).
+    */
+  def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression): Int = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case n: Number => n.intValue
+      case other     => throw new IllegalArgumentException(s"expected an integer literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(s"expected a literal argument, got $other")
   }
 }

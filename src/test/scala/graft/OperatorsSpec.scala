@@ -857,6 +857,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r == ((Seq(64, -127, 0), 1.0)))
   }
 
+  test("winnow_fingerprints / word_shingles / mlm_mask / gear_boundaries callable from spark.sql; structural args must be literals") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    // SQL form agrees with the Column API form
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sqlFps = spark.sql(s"SELECT winnow_fingerprints('$txt', 4, 5) AS f").as[Seq[String]].head()
+    val apiFps = Seq(txt).toDF("t").select(TextOps.winnowFingerprints(col("t"), 4, 5)).as[Seq[String]].head()
+    assert(sqlFps == apiFps && sqlFps.nonEmpty)
+    assert(spark.sql("SELECT word_shingles(array('a','b','c'), 2) AS s").as[Seq[String]].head() == Seq("a b", "b c"))
+    val m = spark.sql(s"SELECT mlm_mask(7L, '$txt', 1500) AS m")
+      .select(col("m.n_tokens"), col("m.corrupted_md5")).as[(Long, String)].head()
+    val mApi = TextOps.mlmMask(Seq((7L, txt)).toDF("id", "t"), "id", "t", 1500)
+      .select(col("n_tokens"), col("corrupted_md5")).as[(Long, String)].head()
+    assert(m == mApi && m._1 == 10L)
+    assert(spark.sql("SELECT size(gear_boundaries(cast('aaaa' as binary), 1)) AS n").as[Int].head() >= 0)
+    // a non-literal structural arg fails at analysis, not with a wrong result
+    val ex = intercept[Exception](spark.sql("SELECT winnow_fingerprints('x', cast(rand() * 4 as int), 5)").collect())
+    assert(ex.getMessage.toLowerCase.contains("literal"))
+  }
+
   // ---- M6 model persistence (dimensionality_reduction.py:160-187) --------
   test("PCA save/load round-trip projects identically") {
     val df = (0L until 50L).map(i => (i, Embedder.default.embed(s"persist doc $i"))).toDF("id", "vec")
