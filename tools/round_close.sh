@@ -35,11 +35,13 @@ if [ "${1:-}" != "--quick" ]; then
     echo "FAIL: smoke"; fail=1
   fi
 
-  step "bench @ sf0.01"
-  # Bench prints TWO JSON lines (full + summary); keep only the last so the
-  # json.load below parses — two concatenated objects broke it cosmetically
-  if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt -batch "runMain graft.Bench" \
-      2>&1 | grep '{"metric"' | tail -1 | tee /tmp/round_close_bench.json; then
+  step "bench @ sf0.1"
+  # sf0.1 matches the committed bench_full.json reference (the driver's
+  # per-round scale), so the drift gate below compares like with like.
+  # grep -o strips sbt's [info] prefix — a bare grep kept it and broke the
+  # json.load summary; keep only the last JSON line (full + digest print).
+  if ! SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+      2>&1 | grep -o '{"metric".*' | tail -1 | tee /tmp/round_close_bench.json; then
     echo "FAIL: bench"; fail=1
   else
     python3 - <<'EOF'
