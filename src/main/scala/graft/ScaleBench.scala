@@ -498,6 +498,20 @@ object ScaleBench {
             concat(lit("Group quote "), expr("doc_id div 100"), lit("!")),
             col("text")).as("text")),
           "doc_id", "text").agg(sum(col("n_kept"))).head().getLong(0)),
+        // round-8 w5: per-group rollup — one partial+final agg, state is
+        // |groups| rows; must stay flat at any corpus size
+        "quality_monitor" -> (() => graft.streaming.QualityMonitor
+          .monitor(docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20)))), "source", "text")
+          .count()),
+        // round-8 d21: full-outer hash compare of two snapshots — only
+        // (id, md5) rows shuffle, never text; linear in ids
+        "snapshot_diff" -> (() => Dedup.snapshotDiff(
+          docs,
+          docs.where(pmod(col("doc_id"), lit(97)) =!= 1)
+            .select(col("doc_id"),
+              when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" [r]")))
+                .otherwise(col("text")).as("text")),
+          "doc_id", "text").groupBy("status").count().count()),
         // round-8 x28: 4-pattern scrub + 4 independent counts — 8 regex
         // passes, pure projection, must stay scan-bound flat
         "pii_battery" -> (() => { docs
