@@ -209,9 +209,15 @@ object Onnx {
             else Array.fill(raw.length / 4)(bb.getInt().toLong)
           }
         LTensor(d, data)
+      case 9 => // BOOL — runtime convention: int64 0/1 (see Ops: Equal/Where)
+        val ls = ldata.result()
+        val data =
+          if (ls.nonEmpty) ls.toArray
+          else raw.map(b => if (b == 0) 0L else 1L)
+        LTensor(d, data)
       case other =>
         throw new IllegalArgumentException(
-          s"tensor '$name': unsupported data_type $other (float32 and int32/64 only)")
+          s"tensor '$name': unsupported data_type $other (float32, int32/64 and bool only)")
     }
     (name, t)
   }

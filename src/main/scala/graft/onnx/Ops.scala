@@ -21,7 +21,8 @@ private[onnx] object Ops {
     "Add", "Sub", "Mul", "Div", "Pow", "MatMul", "Gemm", "Gather", "Transpose",
     "Reshape", "Concat", "Unsqueeze", "Squeeze", "Softmax", "ReduceMean",
     "ReduceSum", "LayerNormalization", "Erf", "Sqrt", "Tanh", "Relu",
-    "Sigmoid", "Exp", "Log", "Neg", "Cast", "Constant", "Identity", "Shape")
+    "Sigmoid", "Exp", "Log", "Neg", "Cast", "Constant", "Identity", "Shape",
+    "Equal", "Greater", "Where", "Expand", "Slice")
 
   def exec(n: Node, env: mutable.Map[String, Tensor]): Unit = {
     def in(i: Int): Tensor = env.getOrElse(n.inputs(i),
@@ -142,6 +143,96 @@ private[onnx] object Ops {
 
       case "Identity" => in(0)
 
+      // bool runtime convention: int64 0/1 (TensorProto BOOL parses to the
+      // same) — what HF encoder exports build their attention masks with
+      case "Equal" =>
+        (in(0), in(1)) match {
+          case (a: FTensor, b: FTensor) =>
+            val dims = broadcastDims(a.dims, b.dims)
+            val ia = bcast(dims, a.dims); val ib = bcast(dims, b.dims)
+            LTensor(dims, Array.tabulate(dims.product)(i => if (a.data(ia(i)) == b.data(ib(i))) 1L else 0L))
+          case (a: LTensor, b: LTensor) =>
+            val dims = broadcastDims(a.dims, b.dims)
+            val ia = bcast(dims, a.dims); val ib = bcast(dims, b.dims)
+            LTensor(dims, Array.tabulate(dims.product)(i => if (a.data(ia(i)) == b.data(ib(i))) 1L else 0L))
+          case _ => throw new IllegalArgumentException("Equal needs matching tensor kinds")
+        }
+
+      case "Greater" =>
+        val a = f(0); val b = f(1)
+        val dims = broadcastDims(a.dims, b.dims)
+        val ia = bcast(dims, a.dims); val ib = bcast(dims, b.dims)
+        LTensor(dims, Array.tabulate(dims.product)(i => if (a.data(ia(i)) > b.data(ib(i))) 1L else 0L))
+
+      case "Where" =>
+        val c = l(0)
+        val dims0 = broadcastDims(c.dims, in(1).dims)
+        val dims  = broadcastDims(dims0, in(2).dims)
+        val ic = bcast(dims, c.dims)
+        (in(1), in(2)) match {
+          case (x: FTensor, y: FTensor) =>
+            val ix = bcast(dims, x.dims); val iy = bcast(dims, y.dims)
+            FTensor(dims, Array.tabulate(dims.product)(i =>
+              if (c.data(ic(i)) != 0L) x.data(ix(i)) else y.data(iy(i))))
+          case (x: LTensor, y: LTensor) =>
+            val ix = bcast(dims, x.dims); val iy = bcast(dims, y.dims)
+            LTensor(dims, Array.tabulate(dims.product)(i =>
+              if (c.data(ic(i)) != 0L) x.data(ix(i)) else y.data(iy(i))))
+          case _ => throw new IllegalArgumentException("Where branches need matching tensor kinds")
+        }
+
+      case "Expand" =>
+        val shape = l(1).data.map(_.toInt).toVector
+        in(0) match {
+          case x: FTensor =>
+            val dims = broadcastDims(x.dims, shape)
+            val ix = bcast(dims, x.dims)
+            FTensor(dims, Array.tabulate(dims.product)(i => x.data(ix(i))))
+          case x: LTensor =>
+            val dims = broadcastDims(x.dims, shape)
+            val ix = bcast(dims, x.dims)
+            LTensor(dims, Array.tabulate(dims.product)(i => x.data(ix(i))))
+        }
+
+      case "Slice" =>
+        // opset 13 form: starts/ends/axes/steps as inputs; negative
+        // starts/ends wrap, ends clamp, steps must be positive (declared —
+        // reverse slicing doesn't occur in encoder exports)
+        val x      = in(0)
+        val starts = l(1).data
+        val ends   = l(2).data
+        val axes   = inOpt(3).map(_.asInstanceOf[LTensor].data.map(a => norm(a.toInt, x.dims.length)))
+          .getOrElse(starts.indices.map(identity[Int]).toArray)
+        val steps = inOpt(4).map(_.asInstanceOf[LTensor].data).getOrElse(Array.fill(starts.length)(1L))
+        require(steps.forall(_ >= 1), s"Slice: negative steps unsupported (${steps.mkString(",")})")
+        var dims = x.dims
+        var lo   = Vector.fill(x.dims.length)(0)
+        var st   = Vector.fill(x.dims.length)(1)
+        for (k <- starts.indices) {
+          val ax = axes(k); val d = x.dims(ax)
+          val s0 = { val v = starts(k); (if (v < 0) v + d else v).max(0).min(d).toInt }
+          val e0 = { val v = ends(k); (if (v < 0) v + d else v).max(0).min(d).toInt }
+          val stp = steps(k).toInt
+          lo = lo.updated(ax, s0)
+          st = st.updated(ax, stp)
+          dims = dims.updated(ax, math.max(0, (e0 - s0 + stp - 1) / stp))
+        }
+        val sIn  = strides(x.dims)
+        val sOut = strides(dims)
+        def srcOf(i: Int): Int = {
+          var rem = i; var src = 0; var d = 0
+          while (d < dims.length) {
+            val c = rem / sOut(d); rem %= sOut(d)
+            src += (lo(d) + c * st(d)) * sIn(d)
+            d += 1
+          }
+          src
+        }
+        x match {
+          case t: FTensor => FTensor(dims, Array.tabulate(dims.product)(i => t.data(srcOf(i))))
+          case t: LTensor => LTensor(dims, Array.tabulate(dims.product)(i => t.data(srcOf(i))))
+        }
+
       case "Shape" =>
         val d = in(0).dims
         LTensor(Vector(d.length), d.map(_.toLong).toArray)
@@ -195,6 +286,26 @@ private[onnx] object Ops {
       else if (x == 1) y
       else throw new IllegalArgumentException(
         s"cannot broadcast ${a.mkString("x")} with ${b.mkString("x")}")
+    }
+  }
+
+  /** Flat-index mapper from a broadcast output shape back into an operand
+    * (stride 0 on broadcast dimensions).
+    */
+  private def bcast(outDims: Vector[Int], inDims: Vector[Int]): Int => Int = {
+    val rank = outDims.length
+    val pad  = Vector.fill(rank - inDims.length)(1) ++ inDims
+    val stIn = strides(pad)
+    val eff  = pad.indices.map(i => if (pad(i) == 1 && outDims(i) != 1) 0 else stIn(i)).toArray
+    val sOut = strides(outDims)
+    (i: Int) => {
+      var rem = i; var src = 0; var d = 0
+      while (d < rank) {
+        val c = rem / sOut(d); rem %= sOut(d)
+        src += c * eff(d)
+        d += 1
+      }
+      src
     }
   }
 

@@ -311,6 +311,59 @@ class OnnxSpec extends AnyFunSuite {
     }
   }
 
+  test("Equal/Greater/Where/Expand/Slice: the mask-building ops HF exports lean on") {
+    // Equal broadcasts and yields int64 0/1 (the bool convention)
+    val eq = one("Equal", Map(
+      "a" -> LTensor(Vector(2, 2), Array(1L, 0L, 5L, 0L)), "b" -> LTensor(Vector(1), Array(0L))),
+      Seq("a", "b")).asInstanceOf[LTensor]
+    assert(eq.data.toSeq == Seq(0L, 1L, 0L, 1L))
+    val gt = one("Greater", Map(
+      "a" -> FTensor(Vector(3), Array(1f, -2f, 0f)), "b" -> FTensor(Vector(1), Array(0f))),
+      Seq("a", "b")).asInstanceOf[LTensor]
+    assert(gt.data.toSeq == Seq(1L, 0L, 0L))
+    // Where: the additive-mask pattern — pad positions get -1e9
+    val wh = one("Where", Map(
+      "c" -> LTensor(Vector(2, 2), Array(1L, 0L, 0L, 1L)),
+      "x" -> FTensor(Vector(1), Array(0f)),
+      "y" -> FTensor(Vector(1), Array(-1e9f))), Seq("c", "x", "y")).asInstanceOf[FTensor]
+    assert(wh.data.toSeq == Seq(0f, -1e9f, -1e9f, 0f))
+    val ex = one("Expand", Map(
+      "x" -> FTensor(Vector(2, 1), Array(3f, 4f)),
+      "s" -> LTensor(Vector(2), Array(2L, 3L))), Seq("x", "s")).asInstanceOf[FTensor]
+    assert(ex.dims == Vector(2, 3) && ex.data.toSeq == Seq(3f, 3f, 3f, 4f, 4f, 4f))
+    // Slice: negative start wraps, end clamps, step strides
+    val sl = one("Slice", Map(
+      "x" -> FTensor(Vector(2, 4), (1 to 8).map(_.toFloat).toArray),
+      "st" -> LTensor(Vector(1), Array(-3L)), "en" -> LTensor(Vector(1), Array(100L)),
+      "ax" -> LTensor(Vector(1), Array(1L)), "sp" -> LTensor(Vector(1), Array(2L))),
+      Seq("x", "st", "en", "ax", "sp")).asInstanceOf[FTensor]
+    assert(sl.dims == Vector(2, 2) && sl.data.toSeq == Seq(2f, 4f, 6f, 8f))
+  }
+
+  test("masked attention: Equal→Where builds the additive mask, pad positions get zero weight") {
+    // seq 3 with position 2 padded: scores softmax over only the first two
+    val x    = FTensor(Vector(1, 3, 2), Array(1f, 0f, 0f, 1f, 9f, 9f)) // junk at pad pos
+    val mask = LTensor(Vector(1, 3), Array(1L, 1L, 0L))
+    val g = Graph("mattn", Vector(
+      Node("Equal", "pad", Vector("mask", "one"), Vector("keep"), Map.empty),
+      Node("Where", "add", Vector("keep", "zero", "ninf"), Vector("amask"), Map.empty),
+      Node("Unsqueeze", "um", Vector("amask"), Vector("amask3"), Map("axes" -> Attr(ints = Vector(1L)))),
+      Node("Transpose", "kt", Vector("x"), Vector("XT"), Map("perm" -> Attr(ints = Vector(0L, 2L, 1L)))),
+      Node("MatMul", "qk", Vector("x", "XT"), Vector("S0"), Map.empty),
+      Node("Add", "ms", Vector("S0", "amask3"), Vector("S"), Map.empty),
+      Node("Softmax", "sm", Vector("S"), Vector("A"), Map("axis" -> Attr(i = Some(-1L)))),
+      Node("MatMul", "av", Vector("A", "x"), Vector("Y"), Map.empty),
+    ), Map(
+      "one" -> LTensor(Vector(1), Array(1L)),
+      "zero" -> FTensor(Vector(1), Array(0f)),
+      "ninf" -> FTensor(Vector(1), Array(-1e9f))), Vector("x", "mask"), Vector("Y"))
+    val a = g.run(Map("x" -> x, "mask" -> mask))("Y").asInstanceOf[FTensor]
+    // no output row may depend on the junk pad vector: weights there ~ e^-1e9
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(a.data(i * 2 + j)) <= 1.0f + 1e-5f,
+        s"pad vector leaked into row $i: ${a.data.toSeq}")
+  }
+
   test("WordPieceIds: framing, truncation keeps [SEP], unknown word collapses to one [UNK]") {
     val v = new OnnxEmbedder.WordPieceIds(vocabLines)
     assert(v.encode("Hello, world", 16).toSeq == Seq(2L, 4L, 1L, 5L, 3L)) // ',' not in vocab → UNK
