@@ -17,13 +17,15 @@ import scala.collection.mutable
   *    encoder/MLP exports use (see [[Ops.supported]]): elementwise math
   *    with numpy broadcasting, batched MatMul/Gemm, Gather, Transpose/
   *    Reshape/Concat/Unsqueeze/Squeeze, Softmax, reductions,
-  *    LayerNormalization, Erf/Tanh/Sqrt/Pow/… .
+  *    LayerNormalization, Erf/Tanh/Sqrt/Pow, and the mask-building ops
+  *    (Equal/Greater/Where/Expand/Slice — bool tensors run as int64 0/1).
   *
   * ONNX guarantees graph nodes arrive topologically sorted (a node's
   * inputs are graph inputs, initializers, or outputs of EARLIER nodes), so
   * execution is a single forward walk over the node list — no scheduler.
   *
-  * Scope (declared): float32 and int64 tensors; single-graph models
+  * Scope (declared): float32, int64 and bool (as int64 0/1) tensors;
+  * single-graph models
   * (no If/Loop/Scan subgraphs); static shapes as produced by
   * `torch.onnx.export` with fixed batch/sequence sizes. Unknown ops fail
   * loudly with the supported list. This is a CORRECTNESS interpreter —
