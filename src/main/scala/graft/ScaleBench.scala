@@ -589,6 +589,17 @@ object ScaleBench {
             pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
           Graph.pagerank(e, "src", "dst", iters = 3).count()
         }),
+        // round-8 g3: degree-ordered triangle counting — wedge volume is
+        // bounded by orientation out-degree (O(sqrt m)); hash graph plants
+        // chain+skip triangles linearly in docs
+        "triangles" -> (() => {
+          val chain = docs.where(pmod(col("doc_id"), lit(7)) =!= 6)
+            .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+          val skip = docs.where(pmod(col("doc_id"), lit(5)) < 3)
+            .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+          Graph.triangleCounts(chain.unionByName(skip), "src", "dst")
+            .agg(sum(col("n_triangles"))).head().getLong(0)
+        }),
         // round-8: full Page et al. variant — adds one scalar reduce +
         // broadcast per round over the persisted iterate; curve should
         // stay within ~1.5x of plain pagerank

@@ -1846,6 +1846,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G3 — per-node triangle counts (Graph.triangleCounts): degree-ordered
+    // orientation (Schank–Wagner / the MapReduce m^1.5 form) — wedges only
+    // fan out of the (deg, id)-smallest corner, one semi-join closes them.
+    // Chain + skip edges plant triangles at {i, i+1, i+2} wherever all
+    // three edges survive the mod gates; zero-count nodes included.
+    "g3_triangles" -> ((s, d) => {
+      val ids = Tables(s, d).documents.select(col("doc_id"))
+      val chain = ids.where(pmod(col("doc_id"), lit(7)) =!= 6)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val skip = ids.where(pmod(col("doc_id"), lit(5)) < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+      Graph.triangleCounts(chain.unionByName(skip), "src", "dst")
+        .orderBy("id")
+    }),
+
     // ---------------- M: ML ----------------------------------------------
     // Seeded-fit OUTPUTS (labels, rotations) aren't SQL-reproducible, so
     // these emit checkable facts instead (the v6/v7 pattern): exact counts
@@ -4282,6 +4297,30 @@ object SparkEntry {
         | SELECT user_id, event_type, valid_from, valid_to FROM iv CROSS JOIN tt
         | WHERE valid_from <= t AND (valid_to IS NULL OR valid_to > t)
         | ORDER BY user_id, valid_from, event_type""".stripMargin,
+    // g3 — same orientation replay: degree, (deg, id) tuple-ordered
+    // orientation, wedge self-join at the apex, EXISTS-closed.
+    "g3_triangles" ->
+      """WITH raw AS (
+        |   SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 7 != 6
+        |   UNION ALL
+        |   SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 5 < 3),
+        | e AS (SELECT DISTINCT least(src, dst)::BIGINT AS u, greatest(src, dst)::BIGINT AS v
+        |   FROM raw WHERE src != dst),
+        | deg AS (SELECT id, count(*)::BIGINT AS d FROM
+        |   (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+        | o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+        |              CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+        |   FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+        | w AS (SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+        |   FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+        | t AS (SELECT a, b, c FROM w WHERE EXISTS (SELECT 1 FROM o
+        |   WHERE (o.lo = least(w.b, w.c) AND o.hi = greatest(w.b, w.c))
+        |      OR (o.hi = least(w.b, w.c) AND o.lo = greatest(w.b, w.c)))),
+        | corners AS (SELECT unnest([a, b, c]) AS id FROM t),
+        | cnt AS (SELECT id, count(*)::BIGINT AS n FROM corners GROUP BY id)
+        | SELECT deg.id, coalesce(cnt.n, 0)::BIGINT AS n_triangles
+        | FROM deg LEFT JOIN cnt ON deg.id = cnt.id ORDER BY deg.id""".stripMargin,
+
     "g1_pagerank" ->
       """WITH e AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst
         |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -140,4 +140,82 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts — the local clustering signal link-graph
+    * pipelines pair with PageRank (a host whose neighbors also link each
+    * other is a community, not a link farm; triangle density separates
+    * the two). Global count = sum / 3.
+    *
+    * Relational form of the degree-ordered orientation algorithm (the
+    * O(m^1.5) bound of Schank & Wagner 2005 / Suri & Vassilvitskii 2011's
+    * MapReduce variant): orient every undirected edge from the
+    * (degree, id)-smaller endpoint to the larger, build wedges from pairs
+    * of out-edges, and close them with ONE semi-join back on the oriented
+    * edge set. Orientation is the whole scale story: out-degree under it
+    * is bounded by O(sqrt m), so the wedge fan-out — the only quadratic
+    * hazard — is m^1.5 worst-case instead of sum(deg^2); a star graph
+    * (the web's shape) produces ZERO wedges at its hub because the hub
+    * ranks above every leaf.
+    *
+    * Same id typing contract as [[pagerank]] (integral or string, src/dst
+    * agree); self-loops dropped, parallel edges collapse. Output:
+    * (id, n_triangles) for every node of the cleaned graph (0 included,
+    * so the result partitions the node set).
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+  ): DataFrame = {
+    import org.apache.spark.sql.types._
+    val srcT = edges.schema(srcCol).dataType
+    val dstT = edges.schema(dstCol).dataType
+    def keyOk(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _                                                          => false
+    }
+    require(keyOk(srcT) && keyOk(dstT),
+      s"triangle node ids must be integral or string columns, got $srcCol: ${srcT.sql}, $dstCol: ${dstT.sql}")
+    require(srcT == dstT,
+      s"triangle src/dst id types must agree, got ${srcT.sql} vs ${dstT.sql}")
+
+    // canonical undirected edges: (min, max), no self-loops, collapsed
+    val e = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("u"), greatest(col("__s"), col("__d")).as("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // orient from (deg, id)-smaller to larger: struct comparison gives the
+    // lexicographic (degree, id) order in one expression
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("__deg").as("__du")), "u")
+      .join(deg.select(col("id").as("v"), col("__deg").as("__dv")), "v")
+    val o = withDeg.select(
+      when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")), col("u")).otherwise(col("v")).as("lo"),
+      when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")), col("v")).otherwise(col("u")).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // wedges at a: (a→b, a→c), unordered pair kept once via b < c; the
+    // closing edge {b,c} is oriented SOMEHOW (both orders checked with a
+    // canonical (min,max) key so the semi-join is a plain equi-join)
+    val wedges = o.select(col("lo").as("a"), col("hi").as("b"))
+      .join(o.select(col("lo").as("a"), col("hi").as("c")), "a")
+      .where(col("b") < col("c"))
+    val closing = o.select(least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
+    val tris = wedges
+      .join(closing.select(least(col("b"), col("c")).as("b"), greatest(col("b"), col("c")).as("c")), Seq("b", "c"), "left_semi")
+
+    // every triangle credits all three corners
+    val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.select("id")
+      .join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

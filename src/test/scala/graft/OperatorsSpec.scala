@@ -1508,6 +1508,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("must agree"))
   }
 
+  test("triangleCounts: hand graph, star is triangle-free, parallel/self/reversed edges collapse") {
+    // K4 minus edge {1,4}: triangles {1,2,3} and {2,3,4}
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (3L, 3L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // star: hub connected to 5 leaves, no leaf-leaf edges → all zero
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val so = Graph.triangleCounts(star, "src", "dst").as[(Long, Long)].collect()
+    assert(so.length == 6 && so.forall(_._2 == 0L))
+  }
+
   // ---- J11 SCD2 intervals -------------------------------------------------
   test("scd2: collapses runs, opens at first row, closes at next change") {
     val ev = Seq(
