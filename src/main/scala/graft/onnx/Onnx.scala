@@ -82,6 +82,23 @@ object Onnx {
     }
   }
 
+  /** IEEE 754 half → float (Java 17 lacks Float.float16ToFloat): sign,
+    * 5-bit exponent with subnormal and inf/NaN handling, 10-bit mantissa.
+    */
+  def halfToFloat(bits: Int): Float = {
+    val sign = (bits >>> 15) & 1
+    val exp  = (bits >>> 10) & 0x1f
+    val man  = bits & 0x3ff
+    val f =
+      if (exp == 0) {
+        if (man == 0) 0f
+        else (man / 1024f) * math.pow(2, -14).toFloat // subnormal
+      } else if (exp == 0x1f) {
+        if (man == 0) Float.PositiveInfinity else Float.NaN
+      } else (1f + man / 1024f) * math.pow(2, exp - 15).toFloat
+    if (sign == 1) -f else f
+  }
+
   /** Parse an ONNX model file's bytes (ModelProto). */
   def load(bytes: Array[Byte]): Graph = {
     val m     = new ProtoReader(bytes, 0, bytes.length)
@@ -211,6 +228,17 @@ object Onnx {
             else Array.fill(raw.length / 4)(bb.getInt().toLong)
           }
         LTensor(d, data)
+      case 10 => // FLOAT16 — widened to float32 at load (half-precision
+        // exports halve the file; the interpreter computes in f32 anyway).
+        // Typed values ride int32_data as uint16 bit patterns per the spec.
+        val ls = ldata.result()
+        val data =
+          if (ls.nonEmpty) ls.map(v => halfToFloat(v.toInt & 0xffff)).toArray
+          else {
+            val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            Array.fill(raw.length / 2)(halfToFloat(bb.getShort() & 0xffff))
+          }
+        FTensor(d, data)
       case 9 => // BOOL — runtime convention: int64 0/1 (see Ops: Equal/Where)
         val ls = ldata.result()
         val data =
@@ -219,7 +247,7 @@ object Onnx {
         LTensor(d, data)
       case other =>
         throw new IllegalArgumentException(
-          s"tensor '$name': unsupported data_type $other (float32, int32/64 and bool only)")
+          s"tensor '$name': unsupported data_type $other (float32/16, int32/64 and bool only)")
     }
     (name, t)
   }

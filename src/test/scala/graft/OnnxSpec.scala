@@ -277,6 +277,33 @@ class OnnxSpec extends AnyFunSuite {
     }
   }
 
+  test("FLOAT16 initializers widen to exact float32 on the representable lattice (raw and typed forms)") {
+    // half bit patterns with exactly-representable values
+    val cases = Seq(
+      0x0000 -> 0f, 0x8000 -> -0f, 0x3c00 -> 1f, 0xc000 -> -2f,
+      0x3800 -> 0.5f, 0x7bff -> 65504f,           // max finite half
+      0x0001 -> (1f / 1024f) * math.pow(2, -14).toFloat, // smallest subnormal
+      0x7c00 -> Float.PositiveInfinity)
+    for ((bits, want) <- cases)
+      assert(graft.onnx.Onnx.halfToFloat(bits) == want, f"0x$bits%04x")
+    assert(graft.onnx.Onnx.halfToFloat(0x7c01).isNaN)
+    // through the wire: raw_data little-endian halves
+    val m = new PW
+    m.msg(7) { g =>
+      g.msg(5) { t =>
+        t.packedLongs(1, Seq(3L))
+        t.int(2, 10) // FLOAT16
+        val bb = java.nio.ByteBuffer.allocate(6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Seq(0x3c00, 0xc000, 0x3800).foreach(v => bb.putShort(v.toShort))
+        t.bytes(9, bb.array())
+        t.str(8, "h")
+      }
+      g.msg(12)(_.str(1, "h"))
+    }
+    val got = Onnx.load(m.out.toByteArray).initializers("h").asInstanceOf[FTensor]
+    assert(got.data.toSeq == Seq(1f, -2f, 0.5f))
+  }
+
   test("single-head self-attention composes from MatMul/Transpose/Softmax/Add — the encoder-layer core") {
     // x: [1, 3, 2] (batch 1, seq 3, hidden 2); Wq/Wk/Wv: [2, 2]
     val x  = FTensor(Vector(1, 3, 2), Array(1f, 0f, 0f, 1f, 1f, 1f))
