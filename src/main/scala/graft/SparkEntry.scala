@@ -1858,6 +1858,22 @@ object SparkEntry {
       val skip = ids.where(pmod(col("doc_id"), lit(5)) < 3)
         .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
       Graph.triangleCounts(chain.unionByName(skip), "src", "dst")
+        .select("id", "n_triangles")
+        .orderBy("id")
+    }),
+
+    // G4 — local clustering coefficient (Graph.clusteringCoefficient):
+    // 2T/(d(d-1)), the Watts-Strogatz link-farm separator; pure
+    // arithmetic over g3's output, degree included.
+    "g4_clustering_coeff" -> ((s, d) => {
+      val ids = Tables(s, d).documents.select(col("doc_id"))
+      val chain = ids.where(pmod(col("doc_id"), lit(7)) =!= 6)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val skip = ids.where(pmod(col("doc_id"), lit(5)) < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+      Graph.clusteringCoefficient(chain.unionByName(skip), "src", "dst")
+        .select(col("id"), col("n_triangles"), col("degree"),
+          round(col("coefficient"), 4).as("coefficient"))
         .orderBy("id")
     }),
 
@@ -4319,6 +4335,31 @@ object SparkEntry {
         | corners AS (SELECT unnest([a, b, c]) AS id FROM t),
         | cnt AS (SELECT id, count(*)::BIGINT AS n FROM corners GROUP BY id)
         | SELECT deg.id, coalesce(cnt.n, 0)::BIGINT AS n_triangles
+        | FROM deg LEFT JOIN cnt ON deg.id = cnt.id ORDER BY deg.id""".stripMargin,
+
+    // g4 — g3's chain + degree + the Watts-Strogatz ratio.
+    "g4_clustering_coeff" ->
+      """WITH raw AS (
+        |   SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 7 != 6
+        |   UNION ALL
+        |   SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 5 < 3),
+        | e AS (SELECT DISTINCT least(src, dst)::BIGINT AS u, greatest(src, dst)::BIGINT AS v
+        |   FROM raw WHERE src != dst),
+        | deg AS (SELECT id, count(*)::BIGINT AS d FROM
+        |   (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+        | o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+        |              CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+        |   FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+        | w AS (SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+        |   FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+        | t AS (SELECT a, b, c FROM w WHERE EXISTS (SELECT 1 FROM o
+        |   WHERE (o.lo = least(w.b, w.c) AND o.hi = greatest(w.b, w.c))
+        |      OR (o.hi = least(w.b, w.c) AND o.lo = greatest(w.b, w.c)))),
+        | corners AS (SELECT unnest([a, b, c]) AS id FROM t),
+        | cnt AS (SELECT id, count(*)::BIGINT AS n FROM corners GROUP BY id)
+        | SELECT deg.id, coalesce(cnt.n, 0)::BIGINT AS n_triangles, deg.d AS degree,
+        |   round(CASE WHEN deg.d < 2 THEN 0.0
+        |     ELSE coalesce(cnt.n, 0) * 2.0 / (deg.d * (deg.d - 1)) END, 4) AS coefficient
         | FROM deg LEFT JOIN cnt ON deg.id = cnt.id ORDER BY deg.id""".stripMargin,
 
     "g1_pagerank" ->

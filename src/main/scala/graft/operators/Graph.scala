@@ -211,11 +211,31 @@ object Graph {
     val tris = wedges
       .join(closing.select(least(col("b"), col("c")).as("b"), greatest(col("b"), col("c")).as("c")), Seq("b", "c"), "left_semi")
 
-    // every triangle credits all three corners
+    // every triangle credits all three corners; degree rides along so the
+    // clustering coefficient derives without a second pass over edges
     val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-    deg.select("id")
+    deg
       .join(corners, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        col("__deg").as("degree"))
   }
+
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1)),
+    * 0 for degree < 2 — the fraction of a node's neighbor pairs that are
+    * themselves connected (Watts–Strogatz 1998). THE link-farm separator:
+    * a farm's hub has high degree, high PageRank and coefficient ≈ 0; a
+    * genuine community's members sit near 1. Pure arithmetic over
+    * [[triangleCounts]]'s output — no extra join or shuffle.
+    */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+  ): DataFrame =
+    triangleCounts(edges, srcCol, dstCol)
+      .select(col("id"), col("n_triangles"), col("degree"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1)))
+          .as("coefficient"))
 }

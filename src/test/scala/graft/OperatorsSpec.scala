@@ -1513,12 +1513,19 @@ class OperatorsSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (3L, 3L))
       .toDF("src", "dst")
     val out = Graph.triangleCounts(edges, "src", "dst")
-      .as[(Long, Long)].collect().toMap
-    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((1L, 2L)), 2L -> ((2L, 3L)), 3L -> ((2L, 3L)), 4L -> ((1L, 2L))))
     // star: hub connected to 5 leaves, no leaf-leaf edges → all zero
     val star = (1 to 5).map(i => (0L, i.toLong)).toDF("src", "dst")
-    val so = Graph.triangleCounts(star, "src", "dst").as[(Long, Long)].collect()
+    val so = Graph.triangleCounts(star, "src", "dst").as[(Long, Long, Long)].collect()
     assert(so.length == 6 && so.forall(_._2 == 0L))
+    // coefficient: triangle nodes 2,3 have deg 3 → 2·2/(3·2) = 2/3; hub = 0
+    val cc = Graph.clusteringCoefficient(edges, "src", "dst")
+      .select("id", "coefficient").as[(Long, Double)].collect().toMap
+    assert(math.abs(cc(2L) - 2.0 / 3.0) < 1e-12 && math.abs(cc(1L) - 1.0) < 1e-12)
+    val ccStar = Graph.clusteringCoefficient(star, "src", "dst")
+      .select("coefficient").as[Double].collect()
+    assert(ccStar.forall(_ == 0.0))
   }
 
   // ---- J11 SCD2 intervals -------------------------------------------------
