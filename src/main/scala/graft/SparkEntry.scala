@@ -1371,6 +1371,24 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")),
 
+    // X30 — tokenizer fertility per language: subword-per-word ratio and
+    // bytes-per-token, THE multilingual-tokenizer health report (a lang
+    // whose fertility spikes is under-represented in the vocab and its
+    // docs overpay tokens; Scao 2022/BLOOM §3.1 tracks exactly this).
+    // Integer sums + one rounded ratio — order-insensitive, fully
+    // replayable. One scan, one |langs|-row aggregate.
+    "x30_fertility" -> ((s, d) => Tables(s, d).documents
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("__w"),
+        TextOps.bpeTokenEstimate(col("text")).cast("long").as("__b"),
+        length(col("text")).cast("long").as("__c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("n_subwords"), sum(col("__c")).as("n_chars"))
+      .withColumn("fertility", round(col("n_subwords").cast("double") / col("n_words"), 4))
+      .withColumn("chars_per_subword", round(col("n_chars").cast("double") / col("n_subwords"), 4))
+      .orderBy("lang")),
+
     // X7 — PII/URL scrubbing. The synthetic corpus contains no emails or
     // URLs, so both sides plant identical ones by doc_id before scrubbing —
     // the replacements are exercised for real, and the md5 over the scrubbed
@@ -3823,6 +3841,16 @@ object SparkEntry {
            | GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin,
     "x4_bpe_tokens" ->
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+    // x30 — same tokenizers, grouped; ratios from integer sums.
+    "x30_fertility" ->
+      raw"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS w,
+           |   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::BIGINT AS b,
+           |   len(text)::BIGINT AS c FROM documents)
+           | SELECT lang, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words,
+           |   sum(b)::BIGINT AS n_subwords, sum(c)::BIGINT AS n_chars,
+           |   round(sum(b)::DOUBLE / sum(w), 4) AS fertility,
+           |   round(sum(c)::DOUBLE / sum(b), 4) AS chars_per_subword
+           | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "x7_scrub_pii" -> {
       val email = graft.functions.TextOps.EmailRe
       val url   = graft.functions.TextOps.UrlRe
