@@ -1185,12 +1185,11 @@ object SparkEntry {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 today"))
       Tables(s, d).documents
-        .select(col("doc_id"), TextOps.piiCounts(t).as("__c"),
-          md5(TextOps.scrubPiiAll(t)).as("scrubbed_md5"))
+        .select(col("doc_id"), TextOps.piiScan(t).as("__c"))
         .select(col("doc_id"),
           col("__c.n_urls").as("n_urls"), col("__c.n_emails").as("n_emails"),
           col("__c.n_ips").as("n_ips"), col("__c.n_phones").as("n_phones"),
-          col("scrubbed_md5"))
+          md5(col("__c.scrubbed")).as("scrubbed_md5"))
         .orderBy("doc_id")
     }),
 

@@ -363,3 +363,69 @@ object MlmMask {
       Array[Any](n.toLong, nMasked, nMaskTok, nRandom, UTF8String.fromBytes(hex)))
   }
 }
+
+/** Fused PII battery (x28): the four audit counts over the raw text plus
+  * the 4-stage tagged scrub in ONE expression — the declarative form ran
+  * eight separate regexp passes (4 × regexp_count + 4 × regexp_replace),
+  * each with its own UTF8String↔String round trip. Patterns and pass
+  * order are EXACTLY [[TextOps]]'s (URL → email → IPv4 → phone; counts
+  * independent on the raw text), evaluated by the same java.util.regex
+  * engine Spark's builtins use, so results are bit-identical and the
+  * DuckDB oracle is unchanged.
+  */
+case class PiiScan(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got $other")
+  }
+
+  override def dataType: DataType = PiiScan.schema
+  override def prettyName: String = "pii_scan"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PiiScan.scan(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiScan$$.MODULE$$.scan($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScan =
+    copy(child = newChild)
+}
+
+object PiiScan {
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_urls", LongType, nullable = false),
+    StructField("n_emails", LongType, nullable = false),
+    StructField("n_ips", LongType, nullable = false),
+    StructField("n_phones", LongType, nullable = false),
+    StructField("scrubbed", StringType, nullable = false),
+  ))
+
+  // compiled once per JVM — same pattern strings as the Column API
+  private lazy val url   = java.util.regex.Pattern.compile(TextOps.UrlRe)
+  private lazy val email = java.util.regex.Pattern.compile(TextOps.EmailRe)
+  private lazy val ip    = java.util.regex.Pattern.compile(TextOps.Ipv4Re)
+  private lazy val phone = java.util.regex.Pattern.compile(TextOps.PhoneRe)
+
+  private def count(p: java.util.regex.Pattern, s: String): Long = {
+    val m = p.matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  def scan(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val raw = text.toString
+    val counts = Array(count(url, raw), count(email, raw), count(ip, raw), count(phone, raw))
+    val scrubbed = phone.matcher(
+      ip.matcher(
+        email.matcher(
+          url.matcher(raw).replaceAll("<URL>")).replaceAll("<EMAIL>")).replaceAll("<IP>"))
+      .replaceAll("<PHONE>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](counts(0), counts(1), counts(2), counts(3), UTF8String.fromString(scrubbed)))
+  }
+}

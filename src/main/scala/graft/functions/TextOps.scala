@@ -98,10 +98,19 @@ object TextOps {
       regexp_replace(scrubPii(text), Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Fused counts + scrub in one native pass ([[PiiScan]]): struct
+    * (n_urls, n_emails, n_ips, n_phones, scrubbed). Bit-identical to
+    * composing [[piiCounts]] + [[scrubPiiAll]] (parity property), at a
+    * quarter of the UTF8String round trips.
+    */
+  def piiScan(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      PiiScan(org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Per-kind PII hit counts over the RAW text (each pattern evaluated
     * independently — the audit view that decides whether a document is
     * scrub-and-keep or drop-entirely). Struct (n_urls, n_emails, n_ips,
-    * n_phones).
+    * n_phones). Declarative reference form — the hot path is [[piiScan]].
     */
   def piiCounts(text: Column): Column = struct(
     regexp_count(text, lit(UrlRe)).cast("long").as("n_urls"),

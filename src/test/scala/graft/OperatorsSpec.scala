@@ -1422,6 +1422,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
   }
 
+  test("property: fused piiScan equals the declarative piiCounts + scrubPiiAll composition") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.oneOf("plain words", "a@b.co", "https://x.example.com/p?q=1", "10.0.0.1",
+      "555-123-4567", "+44 20 7946 0958", "999.1.2.3", "mail me x@y.zz now", ".", "2023")
+    val strGen = for { n <- Gen.choose(0, 8); ps <- Gen.listOfN(n, piece) } yield ps.mkString(" ")
+    val inputs = (0 until 200).flatMap(i => strGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++ Seq("")
+    val df = inputs.toDF("t").select(
+      TextOps.piiScan(col("t")).as("f"),
+      TextOps.piiCounts(col("t")).as("c"),
+      TextOps.scrubPiiAll(col("t")).as("s"))
+    df.collect().zip(inputs).foreach { case (r, in) =>
+      val f = r.getStruct(0); val c = r.getStruct(1)
+      assert((0 to 3).forall(i => f.getLong(i) == c.getLong(i)), s"counts mismatch on '$in'")
+      assert(f.getString(4) == r.getString(2), s"scrub mismatch on '$in'")
+    }
+  }
+
   test("dedupSentences: global first-wins, order preserved, punctuation-less tail is one sentence") {
     val docs = Seq(
       (1L, "Alpha beta. Shared quote here! Gamma delta"),
