@@ -90,8 +90,10 @@ private[onnx] object Ops {
       case "Unsqueeze" =>
         // opset 13 moved axes from attribute to input — accept both
         val x    = in(0)
+        val nAxes = attr("axes").map(_.ints.length).getOrElse(l(1).data.length)
+        // spec: negative axes normalize against the OUTPUT rank (in rank + #axes)
         val axes = attr("axes").map(_.ints).getOrElse(l(1).data.toVector)
-          .map(a => norm(a.toInt, x.dims.length + 1)).sorted
+          .map(a => norm(a.toInt, x.dims.length + nAxes)).sorted
         val dims = axes.foldLeft(x.dims)((d, a) => (d.take(a) :+ 1) ++ d.drop(a))
         withDims(x, dims)
 
@@ -377,14 +379,30 @@ private[onnx] object Ops {
     require(k == k2, s"MatMul inner dims differ: ${a.dims.mkString("x")} vs ${b.dims.mkString("x")}")
     val batchDims = broadcastDims(a.dims.dropRight(2), b.dims.dropRight(2))
     val nBatch    = batchDims.product
-    val aBatch    = a.dims.dropRight(2).product
-    val bBatch    = b.dims.dropRight(2).product
-    val out       = new Array[Float](nBatch * m * p)
+    // Per-dimension broadcast mapping (stride 0 on singleton dims), right-aligned
+    // against batchDims — a flat modulo is wrong for mixed shapes like [2,1]x[1,3].
+    def batchStrides(opBatch: Vector[Int]): Array[Int] = {
+      val pad = Vector.fill(batchDims.length - opBatch.length)(1) ++ opBatch
+      val s   = new Array[Int](batchDims.length)
+      var acc = 1
+      var d = batchDims.length - 1
+      while (d >= 0) { s(d) = if (pad(d) == 1) 0 else acc; acc *= pad(d); d -= 1 }
+      s
+    }
+    val aStr = batchStrides(a.dims.dropRight(2))
+    val bStr = batchStrides(b.dims.dropRight(2))
+    val oStr = strides(if (batchDims.isEmpty) Vector(1) else batchDims)
+    val out  = new Array[Float](nBatch * m * p)
     var bi = 0
     while (bi < nBatch) {
-      // broadcast batch index into each operand's (possibly singleton) batch
-      val ai = if (aBatch == nBatch) bi else bi % math.max(aBatch, 1)
-      val bj = if (bBatch == nBatch) bi else bi % math.max(bBatch, 1)
+      // decompose bi over batchDims, gather each operand's batch offset
+      var ai = 0; var bj = 0
+      var rem = bi; var d = 0
+      while (d < batchDims.length) {
+        val c = rem / oStr(d); rem %= oStr(d)
+        ai += c * aStr(d); bj += c * bStr(d)
+        d += 1
+      }
       val aOff = ai * m * k; val bOff = bj * k2 * p; val oOff = bi * m * p
       var r = 0
       while (r < m) {

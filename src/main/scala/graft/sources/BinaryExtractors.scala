@@ -1159,11 +1159,16 @@ final class TesseractOcr(binary: String = "tesseract", lang: String = "eng") ext
     val tmp = java.nio.file.Files.createTempFile("graft_ocr", ".img")
     try {
       java.nio.file.Files.write(tmp, content)
+      // stderr spills to a temp file so a chatty tesseract can never fill the
+      // OS pipe buffer and deadlock against our stdout read
+      val errFile = java.nio.file.Files.createTempFile("graft_ocr", ".err")
       val p = new ProcessBuilder(binary, tmp.toString, "stdout", "-l", lang)
-        .redirectErrorStream(false).start()
+        .redirectError(errFile.toFile).start()
       val out = new String(p.getInputStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      val err = new String(p.getErrorStream.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       val rc  = p.waitFor()
+      val err =
+        try new String(java.nio.file.Files.readAllBytes(errFile), java.nio.charset.StandardCharsets.UTF_8)
+        finally java.nio.file.Files.deleteIfExists(errFile)
       if (rc != 0)
         throw new IllegalStateException(s"tesseract exited $rc: ${err.linesIterator.take(3).mkString(" | ")}")
       out

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object QualityMonitor {
 
-  def monitor(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+  def monitor(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    Seq("__toks", "__q_e4").foreach(c =>
+      require(!docs.columns.contains(c), s"input already has working column $c"))
     docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .withColumn("__q_e4",
@@ -39,4 +41,5 @@ object QualityMonitor {
       )
       .withColumn("mean_quality_e4", expr("q_sum_e4 DIV n_docs"))
       .drop("q_sum_e4")
+  }
 }

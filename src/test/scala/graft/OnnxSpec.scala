@@ -153,6 +153,22 @@ class OnnxSpec extends AnyFunSuite {
     assert(yb.data.drop(4).toSeq == Seq(220f, 244f, 301f, 334f))
   }
 
+  test("MatMul mixed batch broadcast [2,1,1,2]x[1,3,2,1] maps per-dimension, not flat-modulo") {
+    val a = FTensor(Vector(2, 1, 1, 2), Array(1f, 2f, 3f, 4f))
+    val b = FTensor(Vector(1, 3, 2, 1), Array(10f, 20f, 30f, 40f, 50f, 60f))
+    val y = one("MatMul", Map("a" -> a, "b" -> b), Seq("a", "b")).asInstanceOf[FTensor]
+    assert(y.dims == Vector(2, 3, 1, 1))
+    // out[i][j] = a_i · b_j for every (i, j) pair — a flat modulo walks (0,0),(1,1),(0,2),…
+    assert(y.data.toSeq == Seq(50f, 110f, 170f, 110f, 250f, 390f))
+  }
+
+  test("Unsqueeze with multiple axes normalizes negatives against the OUTPUT rank") {
+    val x = FTensor(Vector(2, 3), (1 to 6).map(_.toFloat).toArray)
+    val y = one("Unsqueeze", Map("x" -> x), Seq("x"),
+      Map("axes" -> Attr(ints = Vector(0L, -1L)))).asInstanceOf[FTensor]
+    assert(y.dims == Vector(1, 2, 3, 1)) // -1 → output position 3, not 2
+  }
+
   test("Gemm honors alpha/beta/transB; Transpose permutes strides") {
     val a = FTensor(Vector(2, 2), Array(1f, 2f, 3f, 4f))
     val b = FTensor(Vector(2, 2), Array(5f, 6f, 7f, 8f)) // transB: effective [[5,7],[6,8]]
