@@ -18,10 +18,11 @@ import org.apache.spark.sql.DataFrame
   *  - the per-bucket log-likelihood-ratio table is at most 65536 rows
   *    regardless of corpus size → it BROADCASTS; the raw corpus is never
   *    shuffled by bucket;
-  *  - the raw side costs two map-side-combined aggregations over one
-  *    tokenize+explode pass (bucket counts for q̂, then per-doc weight
-  *    sums) plus one id-keyed shuffle of partial sums — no all-pairs
-  *    anything, no driver collect of corpus data;
+  *  - the raw side is tokenized ONCE: the occurrence stream pre-aggregates
+  *    to a persisted (id, bucket, cnt) frame from which both the global q̂
+  *    bucket counts and the per-doc weight sums derive — one corpus scan,
+  *    one id-keyed shuffle of partial sums, no all-pairs anything, no
+  *    driver collect of corpus data;
   *  - resampling is deterministic Gumbel top-k from the portable hash
   *    ([[Sampling.portableHash]]), planned as `TakeOrderedAndProject` —
   *    the same no-global-sort top-k as every other sampler here.
@@ -67,15 +68,18 @@ object Dsir {
     val spark = raw.sparkSession
     import spark.implicits._
     // Bucket-count tables are ≤65536 rows whatever the corpus size, so they
-    // COLLECT: totals and the ratio table then compute driver-side instead
-    // of re-running the tokenize+explode subtree once per consumer (three
-    // corpus scans before; two now — the count agg and the weight sum, the
-    // minimum without materializing the gram stream).
+    // COLLECT: totals and the ratio table then compute driver-side. The raw
+    // corpus is tokenized exactly ONCE: the occurrence stream pre-aggregates
+    // to (id, bucket, cnt) — far smaller than the gram stream, bounded by
+    // docs × distinct-buckets-per-doc — and that persisted aggregate feeds
+    // BOTH the global q̂ counts and the per-doc weight sums.
     val tb = bucketed(target.select(lit(0L).as("__tid"), col(targetTextCol)), "__tid", targetTextCol)
     val tCounts = tb.groupBy("bucket").agg(count(lit(1)).as("tc"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rb = bucketed(raw, idCol, textCol)
-    val rCounts = rb.groupBy("bucket").agg(count(lit(1)).as("rc"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rCounts = rb.groupBy("bucket").agg(sum("__cnt").as("rc"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val tTot = tCounts.valuesIterator.sum
     val rTot = rCounts.iterator.map(_._2).sum
@@ -89,7 +93,7 @@ object Dsir {
     }.toSeq.toDF("bucket", "__lr")
     val sums = rb.join(broadcast(ratios), Seq("bucket"))
       .groupBy("id")
-      .agg(sum("__lr").as("log_weight"))
+      .agg(sum(col("__lr") * col("__cnt")).as("log_weight"))
       .select(col("id").as("__dsir_id"), col("log_weight"))
     raw.join(sums, col(idCol) === col("__dsir_id"), "left")
       .drop("__dsir_id")

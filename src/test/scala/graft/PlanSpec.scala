@@ -105,6 +105,18 @@ class PlanSpec extends AnyFunSuite {
       s"explode must live inside the cache, not the live tree (raw=$rawGenerates):\n${plan.take(1200)}")
   }
 
+  test("DSIR weights: the raw corpus tokenizes ONCE — the weight sum reads the cached (id,bucket,cnt) aggregate") {
+    val docs   = Tables(spark, dir).documents.select("doc_id", "lang", "text")
+    val target = docs.where(col("lang") === "en").select("text")
+    val plan = graft.operators.Dsir.importanceWeights(docs, "doc_id", "text", target, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+    // the live tree above the cache must not re-run the tokenize+explode
+    val liveTree = plan.split("InMemoryRelation").head
+    assert(!liveTree.contains("Generate"),
+      s"gram explode must live inside the cache, not the live tree:\n${plan.take(1200)}")
+  }
+
   test("pagerank: the edge derivation computes once into the cache; iterations read InMemoryTableScan") {
     val t = Tables(spark, dir)
     val edges = t.orders
