@@ -608,6 +608,14 @@ object ScaleBench {
             pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
           Graph.pagerank(e, "src", "dst", iters = 3, redistributeDangling = true).count()
         }),
+        // round-9 g5: tolerance-terminated variant — eager per-round
+        // localCheckpoint + one L1-delta scalar agg; rounds-run depends on
+        // the graph's mixing, not its size, so the curve tracks pagerank
+        "pagerank_converged" -> (() => {
+          val e = docs.select(col("doc_id").as("src"),
+            pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
+          Graph.pagerankConverged(e, "src", "dst", tol = 0.001, maxIters = 12).count()
+        }),
         // SCD2 interval build over the event log: ONE shuffle (the
         // (user, ts) window chain); output ~= change rows
         "scd2_intervals"  -> (() => Joins.scd2(

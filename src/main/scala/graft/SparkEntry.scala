@@ -195,6 +195,34 @@ object SparkEntry {
     * 0.85 separates "layout follows the data" from noise with real margin
     * on the least-structured input the engine will see.
     */
+  /** g5 oracle: unrolled tolerance-stop PageRank replay. All `maxIters`
+    * power rounds are materialized as CTEs with their L1 deltas; `stop`
+    * applies the identical rule (first round with delta ≤ tol, else the
+    * cap) and the final select projects exactly that iterate — so DuckDB
+    * re-decides the stop round independently rather than trusting Spark's.
+    */
+  private def g5OracleSql: String = {
+    val maxIters = 8
+    val rounds = (1 to maxIters).map { k =>
+      val prev = s"r${k - 1}"
+      s""" c$k AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src GROUP BY 1),
+         | r$k AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c$k ON v.id = c$k.id),
+         | d$k AS (SELECT sum(abs(r$k.r - $prev.r)) AS d FROM r$k JOIN $prev ON r$k.id = $prev.id),""".stripMargin
+    }.mkString("\n")
+    val deltaRows = (1 to maxIters).map(k => s"SELECT $k AS it, (SELECT d FROM d$k) AS d").mkString(" UNION ALL ")
+    val rankRows  = (1 to maxIters).map(k => s"SELECT $k AS it, id, r FROM r$k").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT DISTINCT (l_partkey % 400)::BIGINT AS src, (l_suppkey % 400)::BIGINT AS dst
+       |   FROM lineitem WHERE l_linenumber = 1),
+       | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       | nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+       | deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+       | r0 AS (SELECT id, 1.0 / n AS r FROM v CROSS JOIN nn),
+       |$rounds
+       | stop AS (SELECT coalesce(min(it), $maxIters) AS s FROM ($deltaRows) WHERE d <= 0.01),
+       | allr AS ($rankRows)
+       | SELECT id, round(r, 6) AS rank FROM allr JOIN stop ON allr.it = stop.s ORDER BY id""".stripMargin
+  }
+
   private def umapFacts(e: DataFrame, y: DataFrame): DataFrame = {
     val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .join(y, "vec_id")
@@ -1859,6 +1887,23 @@ object SparkEntry {
         .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
       Graph.pagerank(edges, "src", "dst", iters = 3, redistributeDangling = true)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }),
+
+    // G5 — convergence-terminated PageRank (Graph.pagerankConverged): run
+    // until the L1 rank delta drops to tol (0.01 here), return THAT
+    // iterate. The graph is a cyclic mod-400 part→supplier projection of
+    // lineitem (real cycles, geometric delta decay — stops at round 6 on
+    // sf0.001 and round 4 on sf0.01, both well inside maxIters=8, with
+    // >20% separation from the threshold on either side so cross-engine
+    // ulps can't flip the stop round). The oracle unrolls all 8 rounds,
+    // computes every delta, and replays the identical stop rule.
+    "g5_pagerank_converged" -> ((s, d) => {
+      val li = Tables(s, d).lineitem
+      val edges = li.where(col("l_linenumber") === 1)
+        .select((col("l_partkey") % 400).as("src"), (col("l_suppkey") % 400).as("dst"))
+      Graph.pagerankConverged(edges, "src", "dst", tol = 0.01, maxIters = 8)
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy("id")
     }),
@@ -4389,6 +4434,7 @@ object SparkEntry {
         |     ELSE coalesce(cnt.n, 0) * 2.0 / (deg.d * (deg.d - 1)) END, 4) AS coefficient
         | FROM deg LEFT JOIN cnt ON deg.id = cnt.id ORDER BY deg.id""".stripMargin,
 
+    "g5_pagerank_converged" -> g5OracleSql,
     "g1_pagerank" ->
       """WITH e AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst
         |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

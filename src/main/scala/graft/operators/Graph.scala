@@ -27,12 +27,14 @@ import org.apache.spark.sql.DataFrame
   * (edges ⋈ ranks on src) + one map-side-combined groupBy(dst) + one
   * left join back to the node set — the canonical Pregel-as-relational
   * plan. Nothing is ever collected; rank state is a (id, rank) frame the
-  * same size as the node set. At cluster scale you'd persist `edges`
-  * pre-partitioned by src so the per-iteration join reuses the exchange;
-  * the loop body is unchanged. Iterations are a FIXED small count (the
-  * power method's useful signal saturates in a handful of rounds for
-  * ranking purposes) so the unrolled plan stays bounded; for big k you'd
-  * checkpoint ranks every few rounds to cut lineage.
+  * same size as the node set. `edges` persists PRE-PARTITIONED by src
+  * (and the node set is id-partitioned by its distinct), so every
+  * iteration's joins shuffle only the rank iterate — one exchange per
+  * round instead of re-shuffling the static sides. Iterations are a
+  * FIXED small count (the power method's useful signal saturates in a
+  * handful of rounds for ranking purposes) so the unrolled plan stays
+  * bounded; [[pagerankConverged]] adds the tolerance-driven variant with
+  * periodic local checkpoints to cut lineage.
   */
 object Graph {
 
@@ -60,17 +62,7 @@ object Graph {
   ): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
     require(dampingBp >= 0 && dampingBp <= 10000, s"dampingBp out of range: $dampingBp")
-    import org.apache.spark.sql.types._
-    val srcT = edges.schema(srcCol).dataType
-    val dstT = edges.schema(dstCol).dataType
-    def keyOk(t: DataType): Boolean = t match {
-      case ByteType | ShortType | IntegerType | LongType | StringType => true
-      case _                                                          => false
-    }
-    require(keyOk(srcT) && keyOk(dstT),
-      s"pagerank node ids must be integral or string columns, got $srcCol: ${srcT.sql}, $dstCol: ${dstT.sql}")
-    require(srcT == dstT,
-      s"pagerank src/dst id types must agree, got $srcCol: ${srcT.sql} vs $dstCol: ${dstT.sql}")
+    validateIds(edges, srcCol, dstCol)
     val d = dampingBp / 10000d
     // teleport factor from the INTEGER complement, not 1.0 - d: 1 - 0.85
     // in binary is 0.15000000000000002 while an oracle's literal 0.15 is
@@ -81,17 +73,22 @@ object Graph {
     // the node set, and `nodes` feeds every iteration's left join plus the
     // N count — without materialization the whole upstream derivation
     // (often a join itself, as in g1's orders⋈lineitem link graph) re-runs
-    // once per consumer across the unrolled plan. Persisting both is the
-    // canonical iterative-graph discipline (what the Scaladoc's "persist
-    // edges pre-partitioned" note means); storage is the distinct edge +
-    // node sets, spilling to disk, reclaimed by the ContextCleaner when
-    // the result frame is dropped.
+    // once per consumer across the unrolled plan. Both persist
+    // PRE-PARTITIONED on their join key (edges by src, nodes by id): the
+    // cached InMemoryTableScan then reports hashpartitioning on that key,
+    // so each iteration's contribution join and node left-join shuffle
+    // ONLY the rank iterate — the big static sides never re-exchange.
+    // Storage is the distinct edge + node sets, spilling to disk,
+    // reclaimed by the ContextCleaner when the result frame is dropped.
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // nodes needs no explicit repartition: distinct() on the single id
+    // column already leaves the cache hashpartitioned by id.
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -114,31 +111,122 @@ object Graph {
         if (redistributeDangling)
           ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else ranks
-      val contribs = e
-        .join(r.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("__od")).as("__m"))
-      val next = nodes.join(contribs, Seq("id"), "left")
-      ranks =
-        if (!redistributeDangling)
-          next.select(col("id"),
-            (lit(td / n) + lit(d) * coalesce(col("__m"), lit(0d))).as("rank"))
-        else {
-          // Full Page et al. semantics: mass parked on dangling nodes
-          // (no out-edges) re-enters uniformly. One extra scalar reduce
-          // per iteration (rank mass anti-joined against outdeg),
-          // broadcast back — total mass is then exactly conserved, so
-          // absolute ranks are comparable across graphs.
-          val dang = r.join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
-            .agg(coalesce(sum(col("rank")), lit(0d)).as("__dm"))
-          next.crossJoin(broadcast(dang))
-            .select(col("id"),
-              (lit(td / n) + lit(d) * (coalesce(col("__m"), lit(0d)) + col("__dm") / lit(n)))
-                .as("rank"))
-        }
+      ranks = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling)
     }
     ranks
+  }
+
+  /** Tolerance-driven PageRank: iterate until the L1 rank delta
+    * `Σ_v |r_k(v) − r_{k−1}(v)|` drops to `tol` (or `maxIters` rounds),
+    * returning the first iterate that meets it. Users who want "run to
+    * convergence" semantics rather than a fixed signal depth get the
+    * standard power-method stop rule; the delta is ONE extra scalar
+    * aggregate per round (same discipline as the dangling reduce — an
+    * id-keyed join of two node-sized frames, never a collect).
+    *
+    * Each iterate materializes through an eager `localCheckpoint`, so the
+    * loop's lineage stays one round deep no matter how many rounds run
+    * (the fixpoint-loop discipline of [[Dedup.connectedComponents]]);
+    * superseded iterates free their blocks immediately.
+    */
+  def pagerankConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      tol: Double,
+      maxIters: Int = 20,
+      dampingBp: Int = 8500,
+      redistributeDangling: Boolean = false,
+  ): DataFrame = {
+    require(tol > 0, s"tol must be positive: $tol")
+    require(maxIters >= 1 && maxIters <= 100, s"maxIters must be in [1, 100]: $maxIters")
+    require(dampingBp >= 0 && dampingBp <= 10000, s"dampingBp out of range: $dampingBp")
+    validateIds(edges, srcCol, dstCol)
+    val d  = dampingBp / 10000d
+    val td = (10000 - dampingBp) / 10000d
+
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
+
+    var ranks = nodes.withColumn("rank", lit(1d / n)).localCheckpoint(true)
+    var it    = 0
+    var done  = false
+    while (it < maxIters && !done) {
+      val next = prStep(e, nodes, outdeg, ranks, n, d, td, redistributeDangling)
+        .localCheckpoint(true)
+      val delta = next.select(col("id"), col("rank").as("__next"))
+        .join(ranks.select(col("id"), col("rank").as("__prev")), "id")
+        .agg(sum(abs(col("__next") - col("__prev"))).as("__l1"))
+        .first().getDouble(0)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(ranks)
+      ranks = next
+      done = delta <= tol
+      it += 1
+    }
+    ranks
+  }
+
+  /** One power-method round: contributions in, teleport + optional
+    * dangling redistribution out. `r` must be (id, rank); static frames
+    * (`e` src-partitioned, `nodes`/`outdeg`) come from the caller's
+    * persisted setup so only the iterate shuffles.
+    */
+  private def prStep(
+      e: DataFrame,
+      nodes: DataFrame,
+      outdeg: DataFrame,
+      r: DataFrame,
+      n: Double,
+      d: Double,
+      td: Double,
+      redistributeDangling: Boolean,
+  ): DataFrame = {
+    val contribs = e
+      .join(r.withColumnRenamed("id", "src"), "src")
+      .join(outdeg, "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("rank") / col("__od")).as("__m"))
+    val next = nodes.join(contribs, Seq("id"), "left")
+    if (!redistributeDangling)
+      next.select(col("id"),
+        (lit(td / n) + lit(d) * coalesce(col("__m"), lit(0d))).as("rank"))
+    else {
+      // Full Page et al. semantics: mass parked on dangling nodes
+      // (no out-edges) re-enters uniformly. One extra scalar reduce
+      // per iteration (rank mass anti-joined against outdeg),
+      // broadcast back — total mass is then exactly conserved, so
+      // absolute ranks are comparable across graphs.
+      val dang = r.join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0d)).as("__dm"))
+      next.crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(td / n) + lit(d) * (coalesce(col("__m"), lit(0d)) + col("__dm") / lit(n)))
+            .as("rank"))
+    }
+  }
+
+  private def validateIds(edges: DataFrame, srcCol: String, dstCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val srcT = edges.schema(srcCol).dataType
+    val dstT = edges.schema(dstCol).dataType
+    def keyOk(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _                                                          => false
+    }
+    require(keyOk(srcT) && keyOk(dstT),
+      s"pagerank node ids must be integral or string columns, got $srcCol: ${srcT.sql}, $dstCol: ${dstT.sql}")
+    require(srcT == dstT,
+      s"pagerank src/dst id types must agree, got $srcCol: ${srcT.sql} vs $dstCol: ${dstT.sql}")
   }
 
   /** Per-node triangle counts — the local clustering signal link-graph

@@ -1511,6 +1511,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r3.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("pagerankConverged: stops at the first iterate whose L1 delta meets tol, equal to the fixed-iter run") {
+    // star: sources fix after round 1, the sink after round 2 → delta_3 = 0
+    // exactly, so any positive tol stops the loop at round 3
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val conv = Graph.pagerankConverged(edges, "src", "dst", tol = 1e-12, maxIters = 10)
+      .as[(Long, Double)].collect().toMap
+    val fixed = Graph.pagerank(edges, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(conv.keySet == fixed.keySet)
+    fixed.foreach { case (id, r) => assert(math.abs(conv(id) - r) < 1e-15, s"node $id") }
+    // an unreachable tol runs to the maxIters cap instead of looping forever
+    val capped = Graph.pagerankConverged(edges, "src", "dst", tol = 1e-300, maxIters = 2)
+      .as[(Long, Double)].collect().toMap
+    val two = Graph.pagerank(edges, "src", "dst", iters = 2).as[(Long, Double)].collect().toMap
+    two.foreach { case (id, r) => assert(math.abs(capped(id) - r) < 1e-15, s"node $id") }
+    // redistribute variant conserves mass at its stop round too
+    val rc = Graph.pagerankConverged(edges, "src", "dst", tol = 1e-9, maxIters = 20,
+      redistributeDangling = true).as[(Long, Double)].collect()
+    assert(math.abs(rc.map(_._2).sum - 1.0) < 1e-9)
+    val bad = intercept[IllegalArgumentException](
+      Graph.pagerankConverged(edges, "src", "dst", tol = 0.0))
+    assert(bad.getMessage.contains("tol"))
+  }
+
   test("pagerank: string host ids rank natively; unsupported/mismatched key types fail loudly") {
     // same star shape as the long-id test — values must agree exactly
     val edges = Seq(("a.com", "c.com"), ("b.com", "c.com")).toDF("src", "dst")

@@ -130,6 +130,33 @@ class PlanSpec extends AnyFunSuite {
       s"orders⋈lineitem must not re-run per iteration:\n${plan.take(1200)}")
   }
 
+  test("pagerank: src-partitioned edge cache leaves ONE shuffle per iteration (the rank iterate)") {
+    val t = Tables(spark, dir)
+    val edges = t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+    val df = graft.operators.Graph.pagerank(edges, "src", "dst", iters = 3)
+    df.count() // resolve AQE stages so the final plan is inspectable
+    import org.apache.spark.sql.execution.SparkPlan
+    def countShuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case _                                                              => 0
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => Seq(q.plan)
+        case other                                                            => other.children
+      }
+      self + kids.map(countShuffles).sum
+    }
+    val n = countShuffles(df.queryExecution.executedPlan)
+    // 1 per iteration: the iterate side of the contribution join. The edge
+    // cache (hashpartitioned by src) and the id-partitioned node/contrib
+    // frames satisfy every other requirement; 6 before pre-partitioning.
+    assert(n <= 3, s"expected <=3 live shuffles for 3 iterations, got $n")
+  }
+
   test("withRobotsAllowed: rules side broadcasts, corpus side has no window") {
     val spark2 = spark
     import spark2.implicits._
