@@ -17,6 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ScaleBench {
 
+  /** recrawl_maintain's pre-built store per scale (see the catalog entry). */
+  private val recrawlStores = scala.collection.concurrent.TrieMap.empty[Int, String]
+
   private val Vocab = (0 until 1000).map("w" + _)
 
   /** Seeded synthetic tables, written as parquet so scans are storage-real.
@@ -352,6 +355,33 @@ object ScaleBench {
         "ivf_probe"       -> (() => {
           val (indexed, model) = Ivf.indexFor(vecs, "embedding", 32, cacheKey = s"scale$scale")
           Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 4).count()
+        }),
+        // round-9 p9: one recrawl maintenance round against a corpus-scale
+        // store — the delta (and therefore the embed + rewrite work) is
+        // FIXED-size while the corpus grows, so the curve should flatten
+        // toward the diff's (id, hash) full-outer join cost
+        "recrawl_maintain" -> (() => {
+          val oldDocs = docs.select("doc_id", "text")
+          // store built once per scale (the pre-existing state); the timed
+          // warm rep is diff + delta embed + selective rewrite only —
+          // applyDelta's upsert semantics make the re-apply idempotent
+          val path = recrawlStores.getOrElseUpdate(scale, {
+            val p = java.nio.file.Files.createTempDirectory("sb-recrawl").toString + "/store"
+            val emb = Embedder.embedText(spark, oldDocs, "doc_id", "text").toDF()
+              .select(col("id").as("doc_id"), col("embedding"))
+            val (assigned, model) = Ivf.assign(emb, "embedding", 32)
+            Ivf.writeIndexed(assigned, p, model, "embedding")
+            p
+          })
+          val newDocs = oldDocs.where(!(col("doc_id") % 997 === 0))
+            .withColumn("text", when(col("doc_id") % 991 === 0,
+              concat(col("text"), lit(" updated"))).otherwise(col("text")))
+            .unionByName(oldDocs.where(col("doc_id") % 983 === 0)
+              .select((col("doc_id") + 10000000L).as("doc_id"), concat(lit("fresh "), col("text")).as("text")))
+          val (diff, touched) = Recrawl.maintainIvf(spark, path, oldDocs, newDocs, "doc_id", "text")
+          val n = diff.where(col("status") =!= "unchanged").count()
+          diff.unpersist()
+          n + touched
         }),
         "sessionize"      -> (() => Sessions.sessionize(events, 30).count()),
         "tumbling_window" -> (() => EventWindows.tumbling(events, "ts", "10 minutes").count()),

@@ -2319,6 +2319,37 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // P9 — the incremental-crawl maintenance round end-to-end
+    // (Recrawl.delta = snapshotDiff → stale set → re-embed ONLY the
+    // added/changed docs): the recrawl delta is PLANTED (%97 removed,
+    // %91 text-appended ⇒ changed, %89 re-added under id+1000000 with a
+    // "fresh " prefix), and the oracle independently re-derives every
+    // status from the same plant via md5 compare — so snapshotDiff's
+    // hash semantics, the delta-only embed set (dim/norm non-null exactly
+    // for added+changed), and the probe-visible row set
+    // (visible_after = status ≠ removed) are all value-checked per id.
+    // The physical store half (selective IVF partition rewrite, probe
+    // parity with a from-scratch rebuild) is pinned in LifecycleSpec.
+    "p9_incremental_recrawl" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val newDocs = docs
+        .where(!(col("doc_id") % 97 === 0))
+        .withColumn("text",
+          when(col("doc_id") % 91 === 0, concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), concat(lit("fresh "), col("text")).as("text")))
+      val del = Recrawl.delta(s, docs, newDocs, "doc_id", "text")
+      del.diff.join(
+          del.fresh.select(col("doc_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            round(VectorOps.l2Norm(VectorOps.asDouble(col("embedding"))), 4).as("norm")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"),
+          (col("status") =!= "removed").as("visible_after"),
+          col("dim"), col("norm"))
+        .orderBy("doc_id")
+    }),
+
     // P4 — the preprocessing pipeline end-to-end as ONE composed plan:
     // language gate → exact-dedup clusters → keep-best (longest) →
     // token counting → deterministic shuffle into training shards.
@@ -3502,6 +3533,29 @@ object SparkEntry {
         | SELECT d.doc_id, d.source,
         |   CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
         | FROM documents d JOIN b ON d.source = b.source ORDER BY d.doc_id""".stripMargin,
+    // p9 — the oracle re-derives each status from the planted recrawl rules
+    // via its own full-outer md5 compare, then checks the delta-embed set
+    // (dim/norm exactly for added+changed) and probe visibility per id.
+    "p9_incremental_recrawl" ->
+      raw"""WITH olds AS (SELECT doc_id, text FROM documents),
+           | news AS (
+           |   SELECT doc_id, CASE WHEN doc_id % 91 = 0 THEN text || ' updated' ELSE text END AS text
+           |   FROM olds WHERE doc_id % 97 <> 0
+           |   UNION ALL
+           |   SELECT doc_id + 1000000, 'fresh ' || text FROM olds WHERE doc_id % 89 = 0),
+           | d AS (
+           |   SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           |     CASE WHEN o.doc_id IS NULL THEN 'added'
+           |          WHEN n.doc_id IS NULL THEN 'removed'
+           |          WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+           |          ELSE 'unchanged' END AS status,
+           |     n.text AS text
+           |   FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+           | SELECT doc_id, status, status <> 'removed' AS visible_after,
+           |   CASE WHEN status IN ('added', 'changed') THEN 64 END::BIGINT AS dim,
+           |   CASE WHEN status IN ('added', 'changed')
+           |        THEN (CASE WHEN len($toksSql) = 0 THEN 0.0 ELSE 1.0 END) END AS norm
+           | FROM d ORDER BY doc_id""".stripMargin,
     "p4_preprocess_pipeline" ->
       raw"""WITH en AS (SELECT doc_id, text, n_chars FROM documents WHERE lang = 'en'),
            | k AS (SELECT doc_id, md5(text) AS comp, n_chars, text FROM en),

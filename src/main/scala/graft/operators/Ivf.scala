@@ -415,6 +415,84 @@ object Ivf {
     *
     * Returns the number of rows compacted.
     */
+  /** Selective-partition recrawl maintenance: drop `removedIds` rows and
+    * insert `added` vectors by rewriting ONLY the list partitions either
+    * set touches. The incremental-crawl write path ([[Recrawl]]): at
+    * cluster scale a recrawl delta maps to a sliver of the nList
+    * partitions, and the untouched lists are neither read nor rewritten —
+    * the cost is proportional to the churn, not the corpus.
+    *
+    * Mechanics: removed rows locate their lists via one column-pruned
+    * (id, list_id) scan semi-joined against the (broadcast, delta-sized)
+    * removal set; added rows assign lists with the SIDECAR's fitted model
+    * (no refit — same contract as [[streamInto]]). The affected lists'
+    * surviving rows plus the assigned additions materialize through an
+    * eager `localCheckpoint` (so the overwrite never reads the files it
+    * replaces), then land via dynamic partition overwrite; lists the
+    * delta emptied entirely have no output partition to overwrite them,
+    * so their directories are deleted explicitly. Readers see per-list
+    * swaps (same non-atomicity class as [[compact]]'s directory swap).
+    *
+    * `added` rows are UPSERTS (existing rows with the same id drop first),
+    * so re-applying a delta is idempotent. `added` must carry `idCol` plus
+    * the sidecar's indexed column with the store's element type; extra
+    * payload columns must match the store schema. Returns the number of
+    * list partitions touched.
+    */
+  def applyDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      removedIds: DataFrame,
+      added: DataFrame,
+      idCol: String,
+  ): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = readCentroids(path, conf).getOrElse(
+      throw new IllegalStateException(s"applyDelta needs a sidecar-described store: $path"))
+    val vecCol = st.column.getOrElse(
+      throw new IllegalStateException(s"store sidecar at $path records no indexed column"))
+    require(added.columns.contains(vecCol),
+      s"added frame must carry the store's indexed column '$vecCol' (has: ${added.columns.mkString(", ")})")
+    val store = spark.read.parquet(path)
+    // additions are UPSERTS: any stored row with an added id drops first,
+    // so re-applying a delta (at-least-once batch retry, a caller that
+    // forgot to list changed ids as stale) never duplicates a vector —
+    // and a changed doc whose new vector lands in a DIFFERENT list still
+    // vacates its old one
+    val rem = removedIds.select(col(idCol)).union(added.select(col(idCol))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lists holding a removed id: a column-pruned scan of (id, list_id)
+    // against the broadcast removal set; result is bounded by nList
+    val remLists = store.select(col(idCol), col("list_id"))
+      .join(broadcast(rem), Seq(idCol), "left_semi")
+      .select("list_id").distinct().collect().map(_.getInt(0))
+    val assigned = withListId(added, st.model, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val addLists = assigned.select("list_id").distinct().collect().map(_.getInt(0))
+    val affected = (remLists ++ addLists).distinct.sorted
+    if (affected.isEmpty) { rem.unpersist(); assigned.unpersist(); return 0L }
+
+    val kept = store
+      .where(col("list_id").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+      .join(broadcast(rem), Seq(idCol), "left_anti")
+    val rewrite = kept
+      .unionByName(assigned.select(store.columns.map(col).toIndexedSeq: _*))
+      .localCheckpoint(true) // sever the file lineage before overwriting those files
+    rewrite.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("list_id").parquet(path)
+    // a list the delta emptied has no output rows, so dynamic overwrite
+    // left its old directory in place — remove it by hand
+    val survivors = rewrite.select("list_id").distinct().collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    affected.filterNot(survivors).foreach { l =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"list_id=$l"), true)
+    }
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(rewrite)
+    rem.unpersist(); assigned.unpersist()
+    affected.length.toLong
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)

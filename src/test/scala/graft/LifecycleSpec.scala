@@ -63,4 +63,78 @@ class LifecycleSpec extends AnyFunSuite {
     val top1Restored = Search.topK(restored, "embedding", "doc_id", q, 1).select("doc_id").as[Long].head()
     assert(top1Restored == 9L)
   }
+
+  test("incremental recrawl: diff -> delta re-embed -> selective IVF rewrite; maintained store == from-scratch rebuild") {
+    val words = Seq("cats", "dogs", "planner", "index", "join", "scan", "purr", "bark", "optimizer", "prune",
+      "shard", "vector", "crawl", "robots", "sitemap", "token", "quality", "dedup", "sketch", "stream")
+    def text(i: Long, salt: String): String =
+      (0 until 6).map(j => words(((i * 7 + j * 3 + salt.length) % words.length).toInt)).mkString(" ") + s" doc$i $salt"
+    val oldDocs = (0L until 300L).map(i => (i, text(i, "v1"))).toDF("doc_id", "text")
+    // planted recrawl (small vs nList=32, so most lists stay untouched):
+    // remove %97==0, change %89==0 (unless removed), add 5 fresh ids
+    val removedIds = (0L until 300L).filter(_ % 97 == 0)
+    val changedIds = (0L until 300L).filter(i => i % 89 == 0 && i % 97 != 0)
+    val addedIds   = (1000L until 1005L)
+    val newDocs = (0L until 300L).filterNot(removedIds.contains)
+      .map(i => (i, if (changedIds.contains(i)) text(i, "v2-updated") else text(i, "v1")))
+      .++(addedIds.map(i => (i, text(i, "brand-new"))))
+      .toDF("doc_id", "text")
+
+    // existing state: embed the old snapshot, fit, write the sidecar'd store
+    val dir  = java.nio.file.Files.createTempDirectory("recrawl").toString
+    val path = s"$dir/store"
+    val oldEmb = Embedder.embedText(spark, oldDocs, "doc_id", "text").toDF()
+      .select(col("id").as("doc_id"), col("embedding"))
+    val (assigned, model) = Ivf.assign(oldEmb, "embedding", 32)
+    Ivf.writeIndexed(assigned, path, model, "embedding")
+
+    // snapshot per-list files before the maintenance round
+    def listFiles(): Map[String, Set[String]] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("list_id=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName + ":" + f.lastModified).toSet
+      }.toMap
+    val before = listFiles()
+
+    val (diff, nTouched) = Recrawl.maintainIvf(spark, path, oldDocs, newDocs, "doc_id", "text")
+    // the diff reproduces the planted delta exactly
+    val byStatus = diff.groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(byStatus("removed") == removedIds.size && byStatus("changed") == changedIds.size
+      && byStatus("added") == addedIds.size, byStatus.toString)
+    assert(nTouched >= 1 && nTouched <= 32)
+
+    // probe-visible row set == the new snapshot, stale vectors replaced
+    val store = spark.read.parquet(path)
+    val storeIds = store.select("doc_id").as[Long].collect().toSet
+    val expectIds = newDocs.select("doc_id").as[Long].collect().toSet
+    assert(storeIds == expectIds, s"missing=${expectIds -- storeIds} extra=${storeIds -- expectIds}")
+    val changedVec = store.where(col("doc_id") === changedIds.head).select("embedding")
+      .as[Seq[Float]].head()
+    assert(changedVec == Embedder.default.embed(text(changedIds.head, "v2-updated")).toSeq,
+      "changed doc must carry its re-embedded vector, not the stale one")
+
+    // untouched list partitions were neither rewritten nor re-dated
+    val after = listFiles()
+    val untouched = before.keySet.intersect(after.keySet).filter(k => before(k) == after(k))
+    assert(untouched.nonEmpty, s"expected some untouched lists; before=${before.keySet} after=${after.keySet}")
+    assert((32 - untouched.size) <= nTouched)
+
+    // maintained store ≡ from-scratch rebuild: full-probe search over the
+    // patched store equals brute-force exact top-k over a fresh embed of
+    // the new snapshot (same row set AND same vectors ⇒ same ranking)
+    val freshAll = Embedder.embedText(spark, newDocs, "doc_id", "text").toDF()
+      .select(col("id").as("doc_id"), col("embedding"))
+    for (probe <- Seq("cats purr join", "brand-new crawl vector", "optimizer prune scan")) {
+      val qv = Embedder.default.embed(probe).map(_.toDouble).toSeq
+      val got = Ivf.search(store, model, "embedding", "doc_id", qv, 5, nProbe = 32)
+        .select("doc_id").as[Long].collect().toSeq
+      val exact = Search.topK(freshAll, "embedding", "doc_id", qv, 5)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(got == exact, s"probe '$probe': $got vs $exact")
+    }
+    // a removed id can never surface again
+    val qRemoved = Embedder.default.embed(text(removedIds.head, "v1")).map(_.toDouble).toSeq
+    val hits = Ivf.search(store, model, "embedding", "doc_id", qRemoved, 10, nProbe = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(removedIds.toSet.intersect(hits).isEmpty, s"removed ids resurfaced: ${removedIds.toSet.intersect(hits)}")
+  }
 }
