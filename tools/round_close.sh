@@ -65,6 +65,40 @@ EOF
   fi
 fi
 
+if [ "${1:-}" != "--quick" ]; then
+  step "bench coverage == declared query set (and committed bench not stale)"
+  # round-8 lesson: the committed bench predated the last operator commit,
+  # so it was one query short. Two assertions: (1) the fresh bench covers
+  # every query Verify just ran; (2) the bench_full.json at HEAD has the
+  # same query set — if not, this gate run happened AFTER new operators
+  # landed and the regenerated bench_full.json must go into the final
+  # commit (re-run this script after the last operator commit).
+  if ! python3 - <<'EOF'
+import json, os, subprocess, sys
+fresh = json.load(open("bench_full.json"))
+bq = set(fresh["queries"])
+declared = {d[:-8] for d in os.listdir("/tmp/round_close_0.01") if d.endswith(".parquet")}
+bad = False
+if declared - bq or bq - declared:
+    print(f"MISSING from bench: {sorted(declared - bq)}\nEXTRA in bench: {sorted(bq - declared)}")
+    bad = True
+else:
+    print(f"fresh bench covers all {len(declared)} declared queries")
+try:
+    head = json.loads(subprocess.run(["git", "show", "HEAD:bench_full.json"],
+                                     capture_output=True, check=True).stdout)
+    hq = set(head["queries"])
+    if hq != bq:
+        print(f"COMMITTED bench is STALE: HEAD has {len(hq)} queries, fresh has {len(bq)} "
+              f"(delta: {sorted(bq ^ hq)}) -- commit the regenerated bench_full.json")
+        bad = True
+except subprocess.CalledProcessError:
+    print("no committed bench_full.json at HEAD -- commit the fresh one")
+sys.exit(1 if bad else 0)
+EOF
+  then echo "FAIL: bench coverage"; fail=1; fi
+fi
+
 echo
 if [ "$fail" = 0 ]; then echo "ROUND-CLOSE GATE: ALL GREEN"; else echo "ROUND-CLOSE GATE: FAILURES ABOVE"; fi
 exit $fail
