@@ -2350,6 +2350,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // P10 — the corpus release-gate scorecard: the per-language report a
+    // data team signs off on before shipping a training corpus, composed
+    // from monitors that are each already oracled on their own — exact-dup
+    // rate (d1's md5 key), PII density (x28's regex battery, planted on
+    // %17 docs so every language shows real hits), benchmark contamination
+    // (x11's 8-gram knockout, bench = %50==7 docs), tokenizer fertility
+    // (x30's integer-sum ratios), vocabulary size, and the short-doc tally
+    // (w1/QualityMonitor's < 20-token rule). One corpus scan feeds every
+    // per-doc scalar; the gram and type paths add one explode shuffle
+    // each; every rate derives from integer counts (rounded at the edge),
+    // so the full chained-CTE oracle replays the entire scorecard.
+    "p10_release_gate" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("lang"), col("text"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+          .otherwise(col("text")))
+      val perDoc = planted.select(
+        col("doc_id"), col("lang"),
+        Dedup.exactKey(col("text")).as("__h"),
+        TextOps.tokenCount(col("text")).cast("long").as("__w"),
+        TextOps.bpeTokenEstimate(col("text")).cast("long").as("__b"),
+        TextOps.piiCounts(col("text")).as("__p"))
+      val base = perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("__uniq"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("n_subwords"),
+        sum(col("__p.n_urls") + col("__p.n_emails") + col("__p.n_ips") + col("__p.n_phones")).as("n_pii"),
+        count(when(col("__w") < 20, 1)).as("n_short"))
+      val contam = Dedup.contaminatedIds(
+        planted, planted.where(col("doc_id") % 50 === 7).select(col("text").as("btext")),
+        "doc_id", "text", "btext", 8)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("__nc"))
+      val types = planted.select(col("lang"), explode(TextOps.tokens(col("text"))).as("__t"))
+        .groupBy("lang").agg(countDistinct(col("__t")).as("n_types"))
+      base.join(contam, Seq("lang"), "left").join(types, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          (col("n_docs") - col("__uniq")).as("n_dup_docs"),
+          round((col("n_docs") - col("__uniq")).cast("double") / col("n_docs"), 4).as("dup_rate"),
+          col("n_pii"),
+          coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
+          round(coalesce(col("__nc"), lit(0L)).cast("double") / col("n_docs"), 4).as("contam_rate"),
+          col("n_words"), col("n_subwords"),
+          round(col("n_subwords").cast("double") / col("n_words"), 4).as("fertility"),
+          col("n_types"), col("n_short"))
+        .orderBy("lang")
+    }),
+
     // P4 — the preprocessing pipeline end-to-end as ONE composed plan:
     // language gate → exact-dedup clusters → keep-best (longest) →
     // token counting → deterministic shuffle into training shards.
@@ -3533,6 +3583,47 @@ object SparkEntry {
         | SELECT d.doc_id, d.source,
         |   CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
         | FROM documents d JOIN b ON d.source = b.source ORDER BY d.doc_id""".stripMargin,
+    // p10 — the full scorecard replayed as chained CTEs: planted PII, md5
+    // dup keys, x11's 8-gram contamination join, x30's fertility sums,
+    // token-type distincts, and the <20-token short rule, per language.
+    "p10_release_gate" ->
+      raw"""WITH pl AS (SELECT doc_id, lang,
+           |   CASE WHEN doc_id % 17 = 0 THEN text || ' contact user' || doc_id || '@mail.example.com'
+           |        ELSE text END AS text
+           |   FROM documents),
+           | t AS (SELECT doc_id, lang, text, $toksSql AS toks,
+           |   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::BIGINT AS b FROM pl),
+           | pii AS (SELECT doc_id, lang,
+           |   len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT
+           |   + len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT
+           |   + len(regexp_extract_all(text, '\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b'))::BIGINT
+           |   + len(regexp_extract_all(text, '(\+[0-9]{1,3}[ .-]?)?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}'))::BIGINT AS np
+           |   FROM pl),
+           | base AS (SELECT lang, count(*)::BIGINT AS n_docs,
+           |   count(DISTINCT md5(text))::BIGINT AS n_uniq,
+           |   sum(len(toks))::BIGINT AS n_words, sum(b)::BIGINT AS n_subwords,
+           |   count(CASE WHEN len(toks) < 20 THEN 1 END)::BIGINT AS n_short
+           |   FROM t GROUP BY lang),
+           | pb AS (SELECT lang, sum(np)::BIGINT AS n_pii FROM pii GROUP BY lang),
+           | g AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->
+           |   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+           |   toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS gram
+           |   FROM t WHERE len(toks) >= 8),
+           | bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 7),
+           | contam AS (SELECT lang, count(DISTINCT doc_id)::BIGINT AS nc FROM g JOIN bg USING (gram) GROUP BY lang),
+           | ty AS (SELECT lang, count(DISTINCT tok)::BIGINT AS n_types
+           |   FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY lang)
+           | SELECT base.lang, n_docs, (n_docs - n_uniq) AS n_dup_docs,
+           |   round((n_docs - n_uniq)::DOUBLE / n_docs, 4) AS dup_rate,
+           |   coalesce(n_pii, 0)::BIGINT AS n_pii,
+           |   coalesce(nc, 0)::BIGINT AS n_contaminated,
+           |   round(coalesce(nc, 0)::DOUBLE / n_docs, 4) AS contam_rate,
+           |   n_words, n_subwords,
+           |   round(n_subwords::DOUBLE / n_words, 4) AS fertility,
+           |   n_types, n_short
+           | FROM base LEFT JOIN pb USING (lang) LEFT JOIN contam ON base.lang = contam.lang
+           |   LEFT JOIN ty ON base.lang = ty.lang
+           | ORDER BY lang""".stripMargin,
     // p9 — the oracle re-derives each status from the planted recrawl rules
     // via its own full-outer md5 compare, then checks the delta-embed set
     // (dim/norm exactly for added+changed) and probe visibility per id.
