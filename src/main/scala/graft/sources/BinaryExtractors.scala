@@ -855,16 +855,37 @@ private[graft] object PdfParser {
     (sb.toString, i)
   }
 
-  /** Text of one content stream: `Tj`/`'`/`"`/`TJ` show pending strings,
-    * `Td`/`TD`/`T*` break a line (only after some text — a positioning op
-    * before the first show must not emit a leading newline).
+  /** Text of one content stream: `Tj`/`'`/`"`/`TJ` show pending strings.
+    * Line breaks follow the TEXT MATRIX, the way pypdf's simple path
+    * decides them (pdf_extractor.py:16-40 delegates to pypdf, which
+    * tracks Tm/Td and breaks on vertical movement): the walker maintains
+    * the text-space y cursor — `Tm` sets it from its f operand, `Td`/`TD`
+    * translate it by ty, `T*`/`'`/`"` move down one leading (`TL`, or the
+    * -ty a `TD` records) — and a newline is emitted AT SHOW TIME whenever
+    * the cursor's y differs from the y of the previous show. So a
+    * horizontal `Td tx 0` (kerned words on one line) no longer splits the
+    * line, and a multi-column page whose stream jumps columns with `Tm`
+    * (no Td at all) breaks exactly where the y changes — including the
+    * jump back up to the second column's top. Positioning before the
+    * first show never emits a leading newline. Rotated text (b/c ≠ 0)
+    * still keys on the f translation — the simple-path fallback.
     */
   private[sources] def textOfStream(cs: String): String = {
     val sb = new StringBuilder
     val pending = mutable.ArrayBuffer.empty[String]
+    val nums    = mutable.ArrayBuffer.empty[Double]
+    var curY    = 0.0
+    var lastY   = Double.NaN
+    var leading = 0.0
     var i = 0
     def breakLine(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    def nextLine(): Unit = curY -= (if (leading != 0.0) leading else 1.0)
+    def show(): Unit = {
+      if (!lastY.isNaN && curY != lastY) breakLine()
+      pending.foreach(sb ++= _); pending.clear()
+      lastY = curY
+    }
     while (i < cs.length) {
       cs.charAt(i) match {
         case '(' =>
@@ -897,12 +918,31 @@ private[graft] object PdfParser {
           var j = i
           while (j < cs.length && { val ch = cs.charAt(j); ch.isLetterOrDigit || ch == '\'' || ch == '"' || ch == '*' }) j += 1
           cs.substring(i, j) match {
-            case "Tj" | "'" | "\"" | "TJ" =>
-              pending.foreach(sb ++= _); pending.clear()
-            case "Td" | "TD" | "T*" =>
-              pending.clear(); breakLine()
-            case _ => pending.clear()
+            case "Tj" | "TJ" => show()
+            case "'" | "\""  => nextLine(); show() // both imply T* first
+            case "Td" =>
+              if (nums.length >= 2) curY += nums(nums.length - 1)
+              pending.clear()
+            case "TD" => // Td that also sets leading = -ty
+              if (nums.length >= 2) { leading = -nums(nums.length - 1); curY += nums(nums.length - 1) }
+              pending.clear()
+            case "Tm" =>
+              if (nums.length >= 6) curY = nums(nums.length - 1)
+              pending.clear()
+            case "TL" =>
+              if (nums.nonEmpty) leading = nums(nums.length - 1)
+              pending.clear()
+            case "T*" => nextLine(); pending.clear()
+            case "BT" => curY = 0.0; leading = 0.0; pending.clear()
+            case _    => pending.clear()
           }
+          nums.clear()
+          i = j
+        case c if (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.' =>
+          var j = i + 1
+          while (j < cs.length && { val ch = cs.charAt(j); (ch >= '0' && ch <= '9') || ch == '.' }) j += 1
+          try nums += cs.substring(i, j).toDouble
+          catch { case _: NumberFormatException => () } // lone '-'/'.'/'+'
           i = j
         case _ => i += 1
       }

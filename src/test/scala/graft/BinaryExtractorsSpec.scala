@@ -607,6 +607,29 @@ class BinaryExtractorsSpec extends AnyFunSuite {
     val (text, meta) = new ImageExtractor(new TesseractOcr()).extract(rendered, "label.png")
     assert(meta("ocr_engine") == "tesseract")
     assert(text.toUpperCase.contains("HELLO"))
+
+    // scanned-paper degradation: 3x3 box blur + deterministic speckle
+    // noise over the anti-aliased render — the engine must RECOGNIZE, not
+    // just run, on the shape a photocopied page actually has
+    val base = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      GlyphOcr.renderPngAa("SCANNED PAGE 7", unitHi = 9, down = 2)))
+    val w = base.getWidth; val h = base.getHeight
+    val blurred = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var rng = 12345L
+    def nextNoise(): Int = { rng = rng * 6364136223846793005L + 1442695040888963407L; ((rng >>> 33) % 31).toInt - 15 }
+    for (y <- 0 until h; x <- 0 until w) {
+      var sum = 0; var n = 0
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val yy = y + dy; val xx = x + dx
+        if (yy >= 0 && yy < h && xx >= 0 && xx < w) { sum += base.getRGB(xx, yy) & 0xff; n += 1 }
+      }
+      val v = math.max(0, math.min(255, sum / n + nextNoise()))
+      blurred.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(blurred, "png", bos)
+    val (degText, _) = new ImageExtractor(new TesseractOcr()).extract(bos.toByteArray, "scan.png")
+    assert(degText.toUpperCase.contains("SCANNED"), s"degraded-scan recognition failed: '$degText'")
   }
 
   test("XLSX: sheet headers, pipe rows, dash rule, cell-type rendering") {

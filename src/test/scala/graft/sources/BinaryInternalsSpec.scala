@@ -16,6 +16,62 @@ class BinaryInternalsSpec extends AnyFunSuite {
     assert(PdfParser.textOfStream("<zz> (ok) Tj") == "ok")
   }
 
+  test("PDF text matrix: Tm column jumps break lines, horizontal Td does not — pypdf's order") {
+    // two-column page, column-major stream, positioned ONLY with Tm (no
+    // Td): the naive every-Td-breaks walk emits this as ONE line; tracking
+    // the matrix's y breaks at every vertical move, including the jump
+    // back UP to the second column's top
+    val twoCol =
+      "BT /F1 12 Tf " +
+        "1 0 0 1 72 720 Tm (Left one) Tj " +
+        "1 0 0 1 72 704 Tm (Left two) Tj " +
+        "1 0 0 1 300 720 Tm (Right one) Tj " +
+        "1 0 0 1 300 704 Tm (Right two) Tj ET"
+    assert(PdfParser.textOfStream(twoCol) == "Left one\nLeft two\nRight one\nRight two")
+    // kerned words on one visual line: Td with ty=0 must NOT split
+    assert(PdfParser.textOfStream(
+      "BT 72 720 Td (Hello) Tj 40 0 Td (world) Tj 0 -16 Td (next) Tj ET")
+      == "Helloworld\nnext")
+    // same y via Tm keeps one line too (left+right cell of one table row)
+    assert(PdfParser.textOfStream(
+      "BT 1 0 0 1 72 700 Tm (cell a) Tj 1 0 0 1 300 700 Tm (cell b) Tj ET")
+      == "cell acell b")
+    // T* honors TL; TD records leading for subsequent T*
+    assert(PdfParser.textOfStream("BT 14 TL 72 720 Td (a) Tj T* (b) Tj ET") == "a\nb")
+    assert(PdfParser.textOfStream("BT 0 -16 TD (a) Tj T* (b) Tj ET") == "a\nb")
+    // ' and " imply a line advance before showing
+    assert(PdfParser.textOfStream("BT 72 720 Td (a) Tj (b) ' ET") == "a\nb")
+  }
+
+  test("PDF extractor end-to-end: a Tm-positioned two-column page reads column-major, not as one line") {
+    def stream(lines: Seq[String]): String = {
+      val data = lines.mkString("\n") + "\n"
+      s"<< /Length ${data.length} >>\nstream\n${data}endstream"
+    }
+    val objs: Seq[String] = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+      stream(Seq("BT", "/F1 12 Tf",
+        "1 0 0 1 72 720 Tm", "(Column one line one.) Tj",
+        "1 0 0 1 72 704 Tm", "(Column one line two.) Tj",
+        "1 0 0 1 306 720 Tm", "(Column two line one.) Tj",
+        "1 0 0 1 306 704 Tm", "(Column two line two.) Tj", "ET")),
+    )
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.zipWithIndex.map { case (o, i) =>
+      val off = sb.length; sb.append(s"${i + 1} 0 obj\n$o\nendobj\n"); off
+    }
+    val xrefOff = sb.length
+    sb.append(s"xref\n0 ${objs.length + 1}\n").append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    val (text, meta) = new PdfExtractor().extract(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII), "twocol.pdf")
+    assert(text == "Column one line one.\nColumn one line two.\nColumn two line one.\nColumn two line two.")
+    assert(meta("page_count") == "1")
+  }
+
   test("Ooxml.unescape: astral-plane refs become surrogate pairs; uppercase hex prefix") {
     assert(Ooxml.unescape("&#128512;") == new String(Character.toChars(128512)))
     assert(Ooxml.unescape("&#x1F600;") == new String(Character.toChars(0x1f600)))
