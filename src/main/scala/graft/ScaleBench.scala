@@ -20,6 +20,10 @@ object ScaleBench {
   /** recrawl_maintain's pre-built store per scale (see the catalog entry). */
   private val recrawlStores = scala.collection.concurrent.TrieMap.empty[Int, String]
 
+  /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
+  private lazy val onnxFixture: (String, String) =
+    graft.onnx.TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("sb-onnx").toString)
+
   private val Vocab = (0 until 1000).map("w" + _)
 
   /** Seeded synthetic tables, written as parquet so scans are storage-real.
@@ -390,6 +394,18 @@ object ScaleBench {
         "chunk_embed"     -> (() => {
           val chunks = Chunker.chunk(spark, docs.withColumn("lang", lit("en"))).toDF()
           Embedder.embedText(spark, chunks, "doc_id", "text").toDF().count()
+        }),
+        // round-9: the REAL-model path through the same mapPartitions seam —
+        // the from-scratch ONNX runtime running the in-repo mpnet-shaped
+        // 2-layer export per batch (WordPiece ids, padded batch, masked
+        // attention, mean-pool). rows/sec here is the embedding seam's
+        // measured cost; a production 12-layer/384-wide model multiplies
+        // the per-token FLOPs, not the plan shape.
+        "onnx_embed"      -> (() => {
+          val chunks = Chunker.chunk(spark, docs.withColumn("lang", lit("en"))).toDF()
+          Embedder.embedText(spark, chunks, "doc_id", "text",
+            new graft.onnx.OnnxEmbedder(onnxFixture._1, onnxFixture._2, graft.onnx.TinyMpnet.hidden))
+            .toDF().count()
         }),
         // split-input form: the fit leg reads only the embedding table,
         // texts are the (16x larger) documents joined once by the naming agg

@@ -407,6 +407,116 @@ class OnnxSpec extends AnyFunSuite {
         s"pad vector leaked into row $i: ${a.data.toSeq}")
   }
 
+  test("TinyMpnet export: real 2-layer transformer ModelProto runs end-to-end; padded batch == singleton batches; matches an independent forward") {
+    import graft.onnx.TinyMpnet
+    val (mp, vp) = TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("graft_mpnet").toString)
+    val emb = new OnnxEmbedder(mp, vp, TinyMpnet.hidden)
+    val texts = Seq(
+      "the spark engine",                                   // 3 words, all in vocab
+      "the tokenizer dedup pipeline quality stream scan",   // longer, subword splits
+      "zzz qqq")                                            // all-UNK
+    // padding invariance: the batch pads rows 1/3 to row 2's length — the
+    // additive mask plus masked mean-pool must make the pad positions
+    // invisible, so each batched vector equals its singleton-batch vector
+    val batched = emb.embedBatch(texts)
+    for ((t, i) <- texts.zipWithIndex) {
+      val solo = emb.embedBatch(Seq(t)).head
+      for (j <- 0 until TinyMpnet.hidden)
+        assert(math.abs(batched(i)(j) - solo(j)) < 1e-6f, s"text $i dim $j: pad positions leaked")
+    }
+
+    // independent double-precision forward over the same deterministic
+    // weights — embeddings + positions + LN, 2-head masked attention,
+    // residuals, exact GELU FFN, final mask-mean-pool + L2
+    val H = TinyMpnet.hidden; val heads = TinyMpnet.heads; val dh = TinyMpnet.headDim; val I = TinyMpnet.inter
+    def w(name: String, n: Int, amp: Float): Array[Double] = TinyMpnet.weights(name, n, amp).map(_.toDouble)
+    // fl() rounds to float32 at each op boundary, mirroring the runtime's
+    // float storage between ops (accumulations stay double, like matmul's)
+    def fl(v: Double): Double = v.toFloat.toDouble
+    def ln(x: Array[Double], g: Array[Double], b: Array[Double]): Array[Double] = {
+      val mu = x.sum / x.length
+      val va = x.map(v => (v - mu) * (v - mu)).sum / x.length
+      val den = math.sqrt(va + 1e-5f)
+      x.indices.map(j => fl((x(j) - mu) / den * g(j) + b(j))).toArray
+    }
+    def matvec(x: Array[Double], m: Array[Double], rows: Int, cols: Int): Array[Double] =
+      Array.tabulate(cols)(j => (0 until rows).map(k => x(k) * m(k * cols + j)).sum)
+    // Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7), implemented here
+    // independently of the runtime's copy
+    def erfAS(x: Double): Double = {
+      val s = if (x < 0) -1.0 else 1.0
+      val a = math.abs(x)
+      val t = 1.0 / (1.0 + 0.3275911 * a)
+      val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t * math.exp(-a * a)
+      s * y
+    }
+    def forward(ids: Seq[Int]): Array[Float] = {
+      val S = ids.length
+      val wordE = w("word_emb", TinyMpnet.vocabLines.length * H, 0.5f)
+      val posE  = w("pos_emb", TinyMpnet.maxPos * H, 0.1f)
+      val lnEg  = w("ln_emb_g", H, 0.2f).map(_ + 1f); val lnEb = w("ln_emb_b", H, 0.1f)
+      var x: Array[Array[Double]] = ids.zipWithIndex.map { case (id, p) =>
+        ln(Array.tabulate(H)(j => fl(fl(wordE(id * H + j)) + fl(posE(p * H + j)))), lnEg, lnEb)
+      }.toArray
+      for (i <- 0 until TinyMpnet.layers) {
+        val (wq, wk, wv, wo) = (w(s"wq$i", H * H, 0.4f), w(s"wk$i", H * H, 0.4f), w(s"wv$i", H * H, 0.4f), w(s"wo$i", H * H, 0.4f))
+        val (bq, bk, bv, bo) = (w(s"bq$i", H, 0.1f), w(s"bk$i", H, 0.1f), w(s"bv$i", H, 0.1f), w(s"bo$i", H, 0.1f))
+        val q = x.map(r => matvec(r, wq, H, H).zip(bq).map { case (a, b) => fl(fl(a) + b) })
+        val k = x.map(r => matvec(r, wk, H, H).zip(bk).map { case (a, b) => fl(fl(a) + b) })
+        val v = x.map(r => matvec(r, wv, H, H).zip(bv).map { case (a, b) => fl(fl(a) + b) })
+        val ctx = Array.ofDim[Double](S, H)
+        for (hd <- 0 until heads; si <- 0 until S) {
+          val scaleF = (1.0 / math.sqrt(dh.toDouble)).toFloat.toDouble
+          val lsc = (0 until S).map { sj =>
+            val raw = fl((0 until dh).map(d => q(si)(hd * dh + d) * k(sj)(hd * dh + d)).sum)
+            fl(raw * scaleF) // the runtime's separate Mul-by-scale op
+          }
+          val mx = lsc.max
+          val es = lsc.map(l0 => fl(math.exp(l0 - mx))); val z = es.sum
+          val aw = es.map(e => fl(e / z))
+          for (d <- 0 until dh)
+            ctx(si)(hd * dh + d) = fl((0 until S).map(sj => aw(sj) * v(sj)(hd * dh + d)).sum)
+        }
+        val ao = ctx.map(r => matvec(r, wo, H, H).zip(bo).map { case (a, b) => fl(fl(a) + b) })
+        val l1g = w(s"ln1_g_$i", H, 0.2f).map(_ + 1f); val l1b = w(s"ln1_b_$i", H, 0.1f)
+        val l1 = x.indices.map(s => ln(x(s).zip(ao(s)).map { case (a, b) => fl(a + b) }, l1g, l1b)).toArray
+        val (w1, b1) = (w(s"w1_$i", H * I, 0.4f), w(s"b1_$i", I, 0.1f))
+        val (w2, b2) = (w(s"w2_$i", I * H, 0.4f), w(s"b2_$i", H, 0.1f))
+        val ff = l1.map { r =>
+          val f0 = matvec(r, w1, H, I).zip(b1).map { case (a, b) => fl(fl(a) + b) }
+          // each GELU stage is its own runtime op, so each rounds to float
+          val ge = f0.map { v0 =>
+            val d0 = fl(v0 / math.sqrt(2.0).toFloat.toDouble)
+            val e0 = fl(erfAS(d0))
+            fl(fl(v0 * fl(e0 + 1.0)) * 0.5)
+          }
+          matvec(ge, w2, I, H).zip(b2).map { case (a, b) => fl(fl(a) + b) }
+        }
+        val l2g = w(s"ln2_g_$i", H, 0.2f).map(_ + 1f); val l2b = w(s"ln2_b_$i", H, 0.1f)
+        x = l1.indices.map(s => ln(l1(s).zip(ff(s)).map { case (a, b) => fl(a + b) }, l2g, l2b)).toArray
+      }
+      val pooled = Array.tabulate(H)(j => x.map(_(j)).sum / S)
+      val n = math.sqrt(pooled.map(v0 => v0 * v0).sum)
+      pooled.map(v0 => (v0 / n).toFloat)
+    }
+    val v0 = new OnnxEmbedder.WordPieceIds(TinyMpnet.vocabLines)
+    for (t <- texts) {
+      val ids = v0.encode(t, 128).map(_.toInt).toSeq
+      val want = forward(ids)
+      val got = emb.embedBatch(Seq(t)).head
+      for (j <- 0 until H)
+        assert(math.abs(got(j) - want(j)) < 2e-5f,
+          s"'$t' dim $j: got ${got(j)} want ${want(j)}")
+    }
+
+    // fertility of the REAL tokenizer path: subword splits measured through
+    // the same vocab the model embeds with
+    val sent = "the tokenizer dedup pipeline"
+    val pieces = v0.encode(sent, 128).length - 2 // strip [CLS]/[SEP]
+    assert(pieces == 6) // the, token ##izer, de ##dup, pipeline
+    assert(pieces.toDouble / sent.split(" ").length == 1.5)
+  }
+
   test("WordPieceIds: framing, truncation keeps [SEP], unknown word collapses to one [UNK]") {
     val v = new OnnxEmbedder.WordPieceIds(vocabLines)
     assert(v.encode("Hello, world", 16).toSeq == Seq(2L, 4L, 1L, 5L, 3L)) // ',' not in vocab → UNK
