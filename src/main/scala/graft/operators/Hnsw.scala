@@ -614,6 +614,110 @@ object Hnsw {
     touched.length
   }
 
+  /** Recrawl maintenance — removals AND upsert-insertions in ONE
+    * selective-shard rewrite (the [[Ivf.applyDelta]] analog, completing
+    * the incremental story [[insertInto]] started): route both delta sets
+    * by the store's id-hash sharding (no store read for routing), read
+    * ONLY the touched `shard=` directories, and per shard either
+    *
+    *  - fast path (nothing removed or replaced there): [[extend]] the
+    *    reconstructed graph with the fresh items, or
+    *  - rebuild that shard's graph from its surviving items plus the
+    *    fresh ones (HNSW has no exact node removal — hnswlib-style
+    *    tombstones degrade recall and leak memory until a compaction;
+    *    per-shard rebuild keeps search exact and costs one
+    *    bounded-by-[[RowsPerShard]] build, only where a delete landed).
+    *
+    * `added` rows are upserts: an existing row with an added id is
+    * replaced, so re-applying a delta is idempotent and a changed doc
+    * whose vector moved still lands exactly once. Untouched shards are
+    * never read or written; shards the delta empties have their
+    * directories removed. Returns the number of shards touched.
+    *
+    * Note: a rebuilt shard re-normalizes already-normalized vectors, so
+    * scores can drift by an ulp vs a from-scratch build over raw vectors —
+    * id-level results are unaffected.
+    */
+  def applyDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      removedIds: DataFrame,
+      added: DataFrame,
+      vecCol: String,
+      idCol: String,
+  ): Int = {
+    val meta = readMeta(spark, path)
+    import spark.implicits._
+    val adds = added.select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__shard", pmod(hash(col("__id")), lit(meta.nShards)).cast("long"))
+    val rems = removedIds.select(col(idCol).cast("long").as("__id")).distinct()
+      .withColumn("__shard", pmod(hash(col("__id")), lit(meta.nShards)).cast("long"))
+    val touched = adds.select("__shard").union(rems.select("__shard"))
+      .distinct().as[Long].collect().sorted
+    if (touched.isEmpty) return 0
+    val existing = readIndex(spark, path)
+      .where(col("shard").isin(touched: _*))
+      .select(col("shard").cast("long"), col("ord"), col("id"), col("level"),
+        col("vec"), col("links"), col("entry"), col("max_level"))
+    val m   = meta.m
+    val efC = meta.efConstruction
+    // kinds: 0 = store row, 1 = fresh insert, 2 = removal marker
+    val unioned = existing
+      .withColumn("__kind", lit(0))
+      .unionByName(
+        adds.select(col("__shard").as("shard"), lit(-1).as("ord"), col("__id").as("id"),
+          lit(0).as("level"), col("__v").as("vec"),
+          typedLit(Seq.empty[Seq[Int]]).as("links"), lit(0).as("entry"), lit(0).as("max_level"))
+          .withColumn("__kind", lit(1)))
+      .unionByName(
+        rems.select(col("__shard").as("shard"), lit(-1).as("ord"), col("__id").as("id"),
+          lit(0).as("level"), typedLit(Seq.empty[Double]).as("vec"),
+          typedLit(Seq.empty[Seq[Int]]).as("links"), lit(0).as("entry"), lit(0).as("max_level"))
+          .withColumn("__kind", lit(2)))
+    val rebuilt = unioned
+      .repartition(col("shard"))
+      .mapPartitions { rows =>
+        rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (shard, shardRows) =>
+          val byKind  = shardRows.groupBy(_.getInt(8))
+          val oldRows = byKind.getOrElse(0, Seq.empty)
+          val fresh   = byKind.getOrElse(1, Seq.empty)
+            .map(r => (r.getLong(2), r.getSeq[Double](4).toArray)).toArray
+          // removals + upserted ids both vacate existing rows
+          val gone = byKind.getOrElse(2, Seq.empty).map(_.getLong(2)).toSet ++ fresh.map(_._1)
+          if (oldRows.isEmpty) {
+            if (fresh.isEmpty) Iterator.empty else graphRows(shard, build(fresh, m, efC))
+          } else {
+            val g = graphOf(oldRows)
+            if (!g.ids.exists(gone)) graphRows(shard, extend(g, fresh, m, efC))
+            else {
+              val surviving = g.ids.indices.collect {
+                case o if !gone(g.ids(o)) => (g.ids(o), g.vecs(o))
+              }
+              val all = (surviving ++ fresh).toArray
+              if (all.isEmpty) Iterator.empty else graphRows(shard, build(all, m, efC))
+            }
+          }
+        }
+      }
+      .toDF("shard", "ord", "id", "level", "vec", "links", "entry", "max_level")
+      .localCheckpoint(true) // sever the store-file lineage before overwriting
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // emptied shards have no output partition — drop their directories
+    val survivors = rebuilt.select("shard").distinct().as[Long].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(survivors).foreach { sh =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"shard=$sh"), true)
+    }
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(rebuilt)
+    touched.length
+  }
+
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

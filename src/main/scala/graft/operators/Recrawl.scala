@@ -72,4 +72,23 @@ object Recrawl {
       spark, storePath, d.staleIds, d.fresh.withColumnRenamed("embedding", vecName), idCol)
     (d.diff, n)
   }
+
+  /** The same round against a sharded HNSW store ([[Hnsw.writeIndex]]):
+    * diff → re-embed the delta → one [[Hnsw.applyDelta]] selective-shard
+    * rewrite (removals rebuild only the shards they land in; additions
+    * extend). Returns the diff and the shards touched.
+    */
+  def maintainHnsw(
+      spark: SparkSession,
+      storePath: String,
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      embedder: Embedder = Embedder.default,
+  ): (DataFrame, Int) = {
+    val d = delta(spark, oldDocs, newDocs, idCol, textCol, embedder)
+    val n = Hnsw.applyDelta(spark, storePath, d.staleIds, d.fresh, "embedding", idCol)
+    (d.diff, n)
+  }
 }

@@ -186,6 +186,74 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("applyDelta: removals + upserts rewrite only touched shards; removed ids never surface; search == exact post-delta") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_delta").toString + "/store"
+    Hnsw.writeIndex(items.toSeq.toDF("id", "vec"), "vec", "id", dir, nShards = 8,
+      m = 16, efConstruction = 128)
+    def shardFiles(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.lastModified).toSet
+      }.toMap
+    val before = shardFiles()
+
+    // delta: remove 3 ids, change 2 (vector replaced), add 3 new
+    val removed = Seq(7L, 61L, 155L)
+    val changed = Seq(12L, 200L).map(id => (id, items(id.toInt)._2.map(-_))) // flipped vector
+    val addedIds = Seq(900L, 901L, 902L)
+    val added   = changed ++ addedIds.map(id => (id, items((id % 400).toInt)._2.map(_ + 0.25)))
+    val touched = Hnsw.applyDelta(spark, dir,
+      removed.toDF("id"), added.toSeq.toDF("id", "vec"), "vec", "id")
+    assert(touched >= 1 && touched <= 8)
+
+    // untouched shard directories are bit-identical
+    val after = shardFiles()
+    val untouched = before.keySet.intersect(after.keySet).filter(k => before(k) == after(k))
+    assert(untouched.nonEmpty, s"no untouched shards out of 8 for an 8-row delta")
+    assert((8 - untouched.size) <= touched)
+
+    val idx = Hnsw.readIndex(spark, dir)
+    val storeIds = idx.select("id").as[Long].collect().toSet
+    val expected = items.map(_._1).toSet -- removed ++ addedIds
+    assert(storeIds == expected, s"missing=${expected -- storeIds} extra=${storeIds -- expected}")
+
+    // search can never return a removed id, and the changed vector WINS for
+    // a query equal to its new self (upsert replaced the old row)
+    for ((id, v) <- changed) {
+      val top = Hnsw.searchIndex(idx, v.toSeq, "id", 1).select("id").as[Long].head()
+      assert(top == id, s"changed $id: got $top")
+    }
+    val qRemoved = items(7)._2
+    val hits = Hnsw.searchIndex(idx, qRemoved.toSeq, "id", 10, efSearch = 128)
+      .select("id").as[Long].collect().toSet
+    assert(hits.intersect(removed.toSet).isEmpty, s"removed ids resurfaced: ${hits.intersect(removed.toSet)}")
+
+    // maintained store == exact over the post-delta corpus (small shards +
+    // wide beam → the approximate index is exhaustive here)
+    val postCorpus: Map[Long, Array[Double]] =
+      (items.filterNot(it => removed.contains(it._1)).toMap -- changed.map(_._1)) ++ added.toMap
+    def bruteTopPost(q: Array[Double], k: Int): Seq[Long] = {
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d  = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      postCorpus.toSeq.map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }
+    for (qi <- Seq(3, 77, 141)) {
+      val q = items(qi)._2.map(_ + 0.01)
+      val got = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 400)
+        .select("id").as[Long].collect().toSeq
+      val exact = bruteTopPost(q, 10)
+      assert(got.toSet.intersect(exact.toSet).size >= 9, s"q$qi: $got vs $exact")
+    }
+
+    // re-applying the same delta is a no-op on the id set (idempotent upserts)
+    Hnsw.applyDelta(spark, dir, removed.toDF("id"), added.toSeq.toDF("id", "vec"), "vec", "id")
+    assert(Hnsw.readIndex(spark, dir).select("id").as[Long].collect().toSet == expected)
+    assert(Hnsw.readIndex(spark, dir).count() == expected.size)
+  }
+
   test("derived shard count follows the rows-per-shard budget") {
     assert(Hnsw.shardsFor(1L) == 1)
     assert(Hnsw.shardsFor(Hnsw.RowsPerShard) == 1)

@@ -136,5 +136,20 @@ class LifecycleSpec extends AnyFunSuite {
     val hits = Ivf.search(store, model, "embedding", "doc_id", qRemoved, 10, nProbe = 32)
       .select("doc_id").as[Long].collect().toSet
     assert(removedIds.toSet.intersect(hits).isEmpty, s"removed ids resurfaced: ${removedIds.toSet.intersect(hits)}")
+
+    // the same round against a sharded HNSW store: one selective-shard
+    // rewrite; the maintained id set equals the new snapshot, and the
+    // changed doc answers to its NEW vector
+    val hnswPath = s"$dir/hnsw"
+    Hnsw.writeIndex(oldEmb, "embedding", "doc_id", hnswPath, nShards = 8)
+    val (diff2, shTouched) = Recrawl.maintainHnsw(spark, hnswPath, oldDocs, newDocs, "doc_id", "text")
+    diff2.unpersist()
+    assert(shTouched >= 1 && shTouched <= 8)
+    val hIds = Hnsw.readIndex(spark, hnswPath).select("id").as[Long].collect().toSet
+    assert(hIds == expectIds, s"hnsw missing=${expectIds -- hIds} extra=${hIds -- expectIds}")
+    val qChanged = Embedder.default.embed(text(changedIds.head, "v2-updated")).map(_.toDouble).toSeq
+    val hTop = Hnsw.searchIndex(Hnsw.readIndex(spark, hnswPath), qChanged, "doc_id", 1)
+      .select("doc_id").as[Long].head()
+    assert(hTop == changedIds.head, s"changed doc not found by its new vector: $hTop")
   }
 }
