@@ -2760,6 +2760,31 @@ object SparkEntry {
     // Deterministic (hash levels, id-order insertion, ord tie-breaks), so
     // the stored-index and one-shot paths are spec-pinned identical. Same
     // recall gate as v12/v14/v17 (measured 10/10 at both SFs).
+    // V22 — the PHYSICAL recrawl-maintenance path under a full VALUE oracle
+    // (v19 is a recall gate; this is exact): build a sharded HNSW store
+    // from the embeddings table, apply a planted delta through
+    // Hnsw.applyDelta (%13 removed; %17 vectors negated = changed upserts;
+    // %19 re-added under id+100000 with the REVERSED vector), then probe
+    // the maintained store exhaustively (efSearch ≥ corpus, layer-0
+    // connectivity makes the beam exact). The oracle recomputes the
+    // post-delta vector set relationally and takes the brute-force top-10 —
+    // any applyDelta defect (ghost rows, stale vectors, lost inserts,
+    // broken shard rebuild) changes the value-checked result.
+    "v22_hnsw_recrawl" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v22").toString + "/store"
+      Hnsw.writeIndex(emb, "embedding", "vec_id", dir, nShards = 4)
+      val removed = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+      val changed = emb.where(col("vec_id") % 17 === 0 && col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+      val added = emb.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), reverse(col("embedding")).as("embedding"))
+      Hnsw.applyDelta(s, dir, removed, changed.unionByName(added), "embedding", "vec_id")
+      Hnsw.searchIndex(Hnsw.readIndex(s, dir), qVec, "vec_id", 10, efSearch = 65536)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     "v19_hnsw" -> ((s, d) => {
       val t = Tables(s, d)
       val emb = t.embeddings.select(col("vec_id"), col("embedding"))
@@ -4868,6 +4893,18 @@ object SparkEntry {
       "SELECT 10::BIGINT AS k, true AS recall_ok",
     "v19_hnsw" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
+
+    // v22 — the post-delta vector set rebuilt relationally, brute-force
+    // cosine top-10 with the same (score desc, id) tie-break
+    "v22_hnsw_recrawl" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | post AS (
+         |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |   FROM base WHERE vec_id % 13 <> 0
+         |   UNION ALL
+         |   SELECT vec_id + 100000, list_reverse(e) FROM base WHERE vec_id % 19 = 0)
+         | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         | FROM post ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
 
     // v20 — exact replay of the two-stage plan: per-dim sign-mismatch count
     // (≡ popcount over packed words), top-50 by (ham, vec_id), exact cosine
