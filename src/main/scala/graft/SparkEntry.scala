@@ -2785,6 +2785,28 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // V23 — the IVF twin of v22, SAME oracle answer through a different
+    // index structure: build a sidecar'd IVF store, run the identical
+    // planted delta through Ivf.applyDelta (selective list-partition
+    // rewrite), probe full-width (nProbe = nList ⇒ exact). Both paths must
+    // converge on the brute-force top-10 of the post-delta vector set —
+    // the two maintenance implementations cross-validate each other.
+    "v23_ivf_recrawl" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v23").toString + "/store"
+      val (assigned, model) = Ivf.assign(emb, "embedding", 8)
+      Ivf.writeIndexed(assigned, dir, model, "embedding")
+      val removed = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+      val changed = emb.where(col("vec_id") % 17 === 0 && col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+      val added = emb.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), reverse(col("embedding")).as("embedding"))
+      Ivf.applyDelta(s, dir, removed, changed.unionByName(added), "vec_id")
+      Ivf.search(s.read.parquet(dir), model, "embedding", "vec_id", qVec, 10, nProbe = 8)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     "v19_hnsw" -> ((s, d) => {
       val t = Tables(s, d)
       val emb = t.embeddings.select(col("vec_id"), col("embedding"))
@@ -4897,6 +4919,18 @@ object SparkEntry {
     // v22 — the post-delta vector set rebuilt relationally, brute-force
     // cosine top-10 with the same (score desc, id) tie-break
     "v22_hnsw_recrawl" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | post AS (
+         |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |   FROM base WHERE vec_id % 13 <> 0
+         |   UNION ALL
+         |   SELECT vec_id + 100000, list_reverse(e) FROM base WHERE vec_id % 19 = 0)
+         | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         | FROM post ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v23 — identical post-delta replay: the IVF maintenance path must land
+    // on the same brute-force answer as the HNSW one (cross-validation)
+    "v23_ivf_recrawl" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          | post AS (
          |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
