@@ -654,6 +654,14 @@ object ScaleBench {
             pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
           Graph.pagerank(e, "src", "dst", iters = 3, redistributeDangling = true).count()
         }),
+        // round-9 g6: synchronous LPA — per round one edge⋈labels join on
+        // the pre-partitioned undirected set + two map-side-combined
+        // groupBys; vote volume = edge count, labels = node count
+        "label_propagation" -> (() => {
+          val e = docs.select(col("doc_id").as("src"),
+            pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
+          Graph.labelPropagation(e, "src", "dst", iters = 3).count()
+        }),
         // round-9 g5: tolerance-terminated variant — eager per-round
         // localCheckpoint + one L1-delta scalar agg; rounds-run depends on
         // the graph's mixing, not its size, so the curve tracks pagerank

@@ -195,6 +195,34 @@ object SparkEntry {
     * 0.85 separates "layout follows the data" from noise with real margin
     * on the least-structured input the engine will see.
     */
+  /** g6 oracle: 3 unrolled synchronous LPA rounds. Each round: neighbor
+    * labels + the self vote, (id, label) counts, then the argmax by
+    * (count desc, label asc) expressed portably as max-count join +
+    * min-label — identical semantics to Spark's struct-min aggregate.
+    */
+  private def g6OracleSql: String = {
+    val iters = 3
+    val rounds = (1 to iters).map { k =>
+      val prev = s"l${k - 1}"
+      s""" v$k AS (SELECT e.u AS id, $prev.label AS lbl FROM e JOIN $prev ON e.v = $prev.id
+         |   UNION ALL SELECT id, label FROM $prev),
+         | c$k AS (SELECT id, lbl, count(*)::BIGINT AS c FROM v$k GROUP BY 1, 2),
+         | m$k AS (SELECT id, max(c) AS mc FROM c$k GROUP BY 1),
+         | l$k AS (SELECT c$k.id, min(lbl) AS label FROM c$k JOIN m$k ON c$k.id = m$k.id AND c$k.c = m$k.mc GROUP BY 1),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e0 AS (
+       |   SELECT doc_id::BIGINT AS u, (doc_id - doc_id % 10)::BIGINT AS v FROM documents WHERE doc_id % 10 <> 0
+       |   UNION ALL
+       |   SELECT doc_id::BIGINT, (doc_id - 97)::BIGINT FROM documents WHERE doc_id % 97 = 0 AND doc_id >= 97),
+       | e AS (SELECT DISTINCT u, v FROM (SELECT u, v FROM e0 WHERE u <> v
+       |   UNION ALL SELECT v, u FROM e0 WHERE u <> v)),
+       | n AS (SELECT DISTINCT u AS id FROM e),
+       | l0 AS (SELECT id, id AS label FROM n),
+       |$rounds
+       | fin AS (SELECT id, label FROM l$iters)
+       | SELECT id, label FROM fin ORDER BY id""".stripMargin
+  }
+
   /** g5 oracle: unrolled tolerance-stop PageRank replay. All `maxIters`
     * power rounds are materialized as CTEs with their L1 deltas; `stop`
     * applies the identical rule (first round with delta ≤ tol, else the
@@ -1905,6 +1933,23 @@ object SparkEntry {
         .select((col("l_partkey") % 400).as("src"), (col("l_suppkey") % 400).as("dst"))
       Graph.pagerankConverged(edges, "src", "dst", tol = 0.01, maxIters = 8)
         .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }),
+
+    // G6 — synchronous label-propagation communities
+    // (Graph.labelPropagation): each round every node adopts the most
+    // frequent label among neighbors + itself, ties to the smallest label
+    // — deterministic, so the oracle replays all 3 unrolled rounds with
+    // the same (count desc, label asc) argmax. Graph: a star per 10-block
+    // of doc ids (hub = block head) plus sparse %97 bridges; LPA collapses
+    // each block to its head's label.
+    "g6_label_propagation" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select("doc_id")
+      val stars = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - col("doc_id") % 10).as("dst"))
+      val bridges = docs.where(col("doc_id") % 97 === 0 && col("doc_id") >= 97)
+        .select(col("doc_id").as("src"), (col("doc_id") - 97).as("dst"))
+      Graph.labelPropagation(stars.unionByName(bridges), "src", "dst", iters = 3)
         .orderBy("id")
     }),
 
@@ -4627,6 +4672,7 @@ object SparkEntry {
         | FROM deg LEFT JOIN cnt ON deg.id = cnt.id ORDER BY deg.id""".stripMargin,
 
     "g5_pagerank_converged" -> g5OracleSql,
+    "g6_label_propagation" -> g6OracleSql,
     "g1_pagerank" ->
       """WITH e AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst
         |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

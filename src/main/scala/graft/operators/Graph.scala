@@ -176,6 +176,53 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) in its
+    * relational form — the community-detection signal link-graph pipelines
+    * use to group hosts into sites/domefronts before sampling. Each round
+    * every node adopts the most frequent label among its neighbors AND
+    * itself (the self-vote breaks the bipartite oscillation synchronous
+    * LPA is known for), ties to the smallest label — fully deterministic,
+    * so an independent SQL oracle replays every round.
+    *
+    * Scale shape per round: one join of the persisted undirected edge set
+    * (pre-partitioned on the neighbor key) against the label iterate +
+    * two map-side-combined groupBys ((id, label) counts, then the argmax).
+    * Labels are node ids (integral or string, same contract as
+    * [[pagerank]]); iterates persist because each feeds two consumers
+    * (the neighbor join and the self-vote). Output: (id, label) for every
+    * node incident to an edge.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5,
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
+    validateIds(edges, srcCol, dstCol)
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(col("v")) // each round's label lookup joins on v
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("u").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      val l = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nbr = und.join(l.select(col("id").as("v"), col("label").as("lbl")), "v")
+        .select(col("u").as("id"), col("lbl"))
+      val votes = nbr.unionByName(l.select(col("id"), col("label").as("lbl")))
+        .groupBy("id", "lbl").agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc) as one struct-min aggregate
+      labels = votes.groupBy("id")
+        .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l"))).as("__m"))
+        .select(col("id"), col("__m.l").as("label"))
+    }
+    labels
+  }
+
   /** One power-method round: contributions in, teleport + optional
     * dangling redistribution out. `r` must be (id, rank); static frames
     * (`e` src-partitioned, `nodes`/`outdeg`) come from the caller's

@@ -1535,6 +1535,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("tol"))
   }
 
+  test("labelPropagation: communities collapse to their smallest label; self-vote kills bipartite oscillation") {
+    // two triangles {1,2,3} and {10,11,12} joined by one weak bridge 3-10:
+    // each triangle collapses to its min id; the bridge does not merge them
+    // (inside a triangle, two same-community votes beat one cross vote)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, "src", "dst", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(labels) == Seq(1L, 1L, 1L), labels.toString)
+    assert(Seq(10L, 11L, 12L).map(labels).forall(_ == 10L), labels.toString)
+    // single edge (bipartite worst case): synchronous LPA without a self
+    // vote oscillates forever; with it both nodes settle on min(1, 2)
+    val pair = Graph.labelPropagation(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(pair == Map(1L -> 1L, 2L -> 1L), pair.toString)
+    // string ids propagate natively; parallel + reversed edges collapse
+    val hosts = Seq(("a.com", "b.com"), ("b.com", "a.com"), ("a.com", "b.com"))
+      .toDF("src", "dst")
+    val h = Graph.labelPropagation(hosts, "src", "dst", iters = 3)
+      .as[(String, String)].collect().toMap
+    assert(h == Map("a.com" -> "a.com", "b.com" -> "a.com"), h.toString)
+  }
+
   test("pagerank: string host ids rank natively; unsupported/mismatched key types fail loudly") {
     // same star shape as the long-id test — values must agree exactly
     val edges = Seq(("a.com", "c.com"), ("b.com", "c.com")).toDF("src", "dst")
