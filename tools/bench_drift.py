@@ -7,11 +7,14 @@ reproduced at HEAD (real: ~17 s), and the driver's own run showed ~50
 unrelated queries uniformly 2.5-3x their committed values -- the signature
 of benching under concurrent load. This gate catches both failure shapes:
 
- 1. UNIFORM drift: the median new/old ratio across queries common to both
-    runs is > 1.3 or < 1/1.3 -> the whole run is contaminated (or the
-    machine changed); rerun on an idle machine. Hard fail.
- 2. FLOOR drift: the per-job scheduling floor moved > 1.5x -> same. Hard
-    fail.
+ 1. UNIFORM drift SLOWER: the median new/old ratio across queries common
+    to both runs is > 1.3 -> the run is contaminated (or the machine got
+    slower); rerun on an idle machine. Hard fail. A uniformly FASTER run
+    (median < 1/1.3) is the favorable direction -- a faster/idler machine
+    -- and REBASELINES with a warning: committing it is safe because the
+    next drift check still catches any slower regression against it.
+ 2. FLOOR drift: the per-job scheduling floor moved > 1.5x SLOWER -> same
+    hard fail; a faster floor rebaselines.
  3. Individual query drifts > 1.5x either way are LISTED for review (a
     code diff legitimately moves its own queries; the round-closer owns
     the judgment) but only fail the gate when more than 20% of common
@@ -68,10 +71,14 @@ def main() -> int:
               f"{cq[n]:.3f}s -> {fq[n]:.3f}s")
 
     fail = []
-    if med > 1.3 or med < 1 / 1.3:
-        fail.append(f"median ratio {med:.2f} is uniform drift -- contaminated run")
-    if floor_ratio > 1.5 or floor_ratio < 1 / 1.5:
-        fail.append(f"floor moved {floor_ratio:.2f}x -- machine/load changed")
+    if med > 1.3:
+        fail.append(f"median ratio {med:.2f} is uniform SLOWER drift -- contaminated run")
+    elif med < 1 / 1.3:
+        print(f"note: uniform FASTER drift (median {med:.2f}) -- faster/idler machine, rebaselining")
+    if floor_ratio > 1.5:
+        fail.append(f"floor moved {floor_ratio:.2f}x slower -- machine/load changed")
+    elif floor_ratio < 1 / 1.5:
+        print(f"note: floor moved {floor_ratio:.2f}x FASTER -- rebaselining")
     slow = sum(1 for r in drifters.values() if r > 1)
     if slow > 0.2 * len(ratios):
         fail.append(f"{slow}/{len(ratios)} queries got >1.5x SLOWER")

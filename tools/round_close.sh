@@ -77,7 +77,8 @@ if [ "${1:-}" != "--quick" ]; then
 import json, os, subprocess, sys
 fresh = json.load(open("bench_full.json"))
 bq = set(fresh["queries"])
-declared = {d[:-8] for d in os.listdir("/tmp/round_close_0.01") if d.endswith(".parquet")}
+declared = {d for d in os.listdir("/tmp/round_close_0.01")
+            if os.path.isdir(os.path.join("/tmp/round_close_0.01", d))}
 bad = False
 if declared - bq or bq - declared:
     print(f"MISSING from bench: {sorted(declared - bq)}\nEXTRA in bench: {sorted(bq - declared)}")
