@@ -648,6 +648,10 @@ object Hnsw {
   ): Int = {
     val meta = readMeta(spark, path)
     import spark.implicits._
+    // same contract as Ivf.applyDelta: duplicate ids within `added` have no
+    // deterministic winner — fail loudly (one delta-sized agg)
+    val dupAdds = added.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
+    require(dupAdds == 0, s"applyDelta: duplicate ids within `added` (column $idCol)")
     val adds = added.select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__shard", pmod(hash(col("__id")), lit(meta.nShards)).cast("long"))
     val rems = removedIds.select(col(idCol).cast("long").as("__id")).distinct()

@@ -453,6 +453,10 @@ object Ivf {
       throw new IllegalStateException(s"store sidecar at $path records no indexed column"))
     require(added.columns.contains(vecCol),
       s"added frame must carry the store's indexed column '$vecCol' (has: ${added.columns.mkString(", ")})")
+    // intra-batch duplicate ids have no deterministic winner (and would
+    // write two rows under one id) — fail loudly; one delta-sized agg
+    val dupAdds = added.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
+    require(dupAdds == 0, s"applyDelta: duplicate ids within `added` (column $idCol)")
     val store = spark.read.parquet(path)
     // additions are UPSERTS: any stored row with an added id drops first,
     // so re-applying a delta (at-least-once batch retry, a caller that

@@ -278,4 +278,50 @@ class IvfSpec extends AnyFunSuite {
     assert(lists.head == model.probeLists(q.toArray.toSeq, 10), "result independent of Seq runtime type")
     assert(sec < 5.0, f"probeLists too slow: $sec%.2f s for 20 calls — O(dim²) regression?")
   }
+
+  test("applyDelta invariants under randomized deltas: row set algebra holds, assignments stay canonical, duplicates rejected") {
+    // 5 seeded random rounds against one evolving store: after each delta,
+    // ids == (prev - removed - addedIds) ∪ addedIds, every stored row's
+    // list_id equals the model's assignment of its vector (no row ever
+    // lands in a foreign list), and vectors of upserted ids are the NEW ones
+    val dir = java.nio.file.Files.createTempDirectory("ivf_delta_prop").toString + "/store"
+    val (assigned0, model) = Ivf.assign(corpus, "vec", 6)
+    Ivf.writeIndexed(assigned0, dir, model, "vec")
+    var expect: Map[Long, Seq[Float]] =
+      corpus.as[(Long, Seq[Float])].collect().toMap
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 5) {
+      val ids = expect.keys.toSeq.sorted
+      val removed = rnd.shuffle(ids).take(1 + rnd.nextInt(20))
+      val changed = rnd.shuffle(ids.filterNot(removed.contains)).take(rnd.nextInt(10))
+        .map(id => (id, Embedder.default.embed(s"changed $id round $round").toSeq))
+      val freshIds = (0 until 1 + rnd.nextInt(8)).map(_ => 10000L * round + rnd.nextInt(1000))
+        .distinct.filterNot(expect.contains)
+      val fresh = freshIds.map(id => (id, Embedder.default.embed(s"fresh $id").toSeq))
+      val added = (changed ++ fresh).toDF("id", "vec")
+      val touched = Ivf.applyDelta(spark, dir, removed.toDF("id"), added, "id")
+      assert(touched >= 0 && touched <= 6)
+      expect = expect -- removed ++ changed ++ fresh
+      val store = spark.read.parquet(dir)
+      val got = store.select(col("id"), col("vec").cast("array<float>"), col("list_id"))
+        .as[(Long, Seq[Float], Int)].collect()
+      assert(got.map(_._1).toSet == expect.keySet,
+        s"round $round: missing=${expect.keySet -- got.map(_._1)} extra=${got.map(_._1).toSet -- expect.keySet}")
+      got.foreach { case (id, v, _) => assert(v == expect(id), s"round $round id $id stale vector") }
+      // canonical assignment: re-running the model's assignment on the
+      // stored vectors reproduces the stored list_id for every row
+      val reassigned = Ivf.withListId(
+        store.select(col("id"), col("vec")).withColumnRenamed("list_id", "x"), model, "vec")
+        .select(col("id"), col("list_id"))
+        .withColumnRenamed("list_id", "want")
+      val mismatches = store.select("id", "list_id").join(reassigned, "id")
+        .where(col("list_id") =!= col("want")).count()
+      assert(mismatches == 0, s"round $round: $mismatches rows in foreign lists")
+    }
+    // duplicate ids inside `added` fail loudly instead of writing twice
+    val dup = Seq((1L, Embedder.default.embed("a").toSeq), (1L, Embedder.default.embed("b").toSeq)).toDF("id", "vec")
+    val err = intercept[IllegalArgumentException](
+      Ivf.applyDelta(spark, dir, spark.emptyDataFrame.select(lit(0L).as("id")).limit(0), dup, "id"))
+    assert(err.getMessage.contains("duplicate"))
+  }
 }
