@@ -24,6 +24,9 @@ object ScaleBench {
   private lazy val onnxFixture: (String, String) =
     graft.onnx.TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("sb-onnx").toString)
 
+  /** recrawl_768's pre-built store per scale (see the 768d-tier entry). */
+  private val recrawl768Stores = scala.collection.concurrent.TrieMap.empty[Int, String]
+
   private val Vocab = (0 until 1000).map("w" + _)
 
   /** Seeded synthetic tables, written as parquet so scans are storage-real.
@@ -151,6 +154,26 @@ object ScaleBench {
             spark.conf.unset("spark.graft.ivf.autoProbe")
             spark.conf.unset("spark.graft.ivf.nProbe")
           }
+        }),
+        // round-9 p9 at the REAL shape: one recrawl maintenance round
+        // against a 768-d store with nList≈√n (the store builds once per
+        // scale on the cold rep via the MLlib distributed fit; the warm
+        // rep is the selective rewrite only — upserts keep it idempotent).
+        // ~0.2% planted churn: the cost to watch is affected-list location
+        // + the sliver of partitions rewritten, not the corpus.
+        "recrawl_768" -> (() => {
+          val path = recrawl768Stores.getOrElseUpdate(scale, {
+            val p = java.nio.file.Files.createTempDirectory("sb-recrawl768").toString + "/store"
+            val (assigned, model) = Ivf.assign(vecs, "embedding", nList)
+            Ivf.writeIndexed(assigned, p, model, "embedding")
+            p
+          })
+          val removed = vecs.where(col("vec_id") % 499 === 0).select("vec_id")
+          val added = vecs.where(col("vec_id") % 997 === 0)
+            .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+            .unionByName(vecs.where(col("vec_id") % 991 === 0)
+              .select((col("vec_id") + 10000000L).as("vec_id"), reverse(col("embedding")).as("embedding")))
+          Ivf.applyDelta(spark, path, removed, added, "vec_id")
         }),
         // batch ANN at the real shape: 64 queries × nProbe lists against
         // the store — the |q|·n·(nProbe/nList) candidate cap in action
