@@ -254,6 +254,36 @@ class HnswSpec extends AnyFunSuite {
     assert(Hnsw.readIndex(spark, dir).count() == expected.size)
   }
 
+  test("applyDelta invariants under randomized deltas: id-set algebra holds across evolving rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_delta_prop").toString + "/store"
+    Hnsw.writeIndex(items.toSeq.toDF("id", "vec"), "vec", "id", dir, nShards = 8,
+      m = 16, efConstruction = 128)
+    var expect: Set[Long] = items.map(_._1).toSet
+    val rnd = new scala.util.Random(777)
+    for (round <- 1 to 3) {
+      val ids      = expect.toSeq.sorted
+      val removed  = rnd.shuffle(ids).take(1 + rnd.nextInt(15))
+      val changed  = rnd.shuffle(ids.filterNot(removed.contains)).take(rnd.nextInt(8))
+      val freshIds = (0 until 1 + rnd.nextInt(6)).map(_ => 5000L * round + rnd.nextInt(500))
+        .distinct.filterNot(expect.contains)
+      val added = (changed.map(id => (id, items((id % 400).toInt)._2.map(_ + round * 0.1)))
+        ++ freshIds.map(id => (id, items((id % 400).toInt)._2.map(_ - round * 0.1)))).toDF("id", "vec")
+      Hnsw.applyDelta(spark, dir, removed.toDF("id"), added, "vec", "id")
+      expect = expect -- removed ++ changed ++ freshIds
+      val got = Hnsw.readIndex(spark, dir).select("id").as[Long].collect()
+      assert(got.length == got.distinct.length, s"round $round: duplicate store rows")
+      assert(got.toSet == expect,
+        s"round $round: missing=${expect -- got} extra=${got.toSet -- expect}")
+      // every surviving id stays findable (exhaustive beam)
+      val idx = Hnsw.readIndex(spark, dir)
+      rnd.shuffle(expect.toSeq).take(3).foreach { id =>
+        val hits = Hnsw.searchIndex(idx, items((id % 400).toInt)._2.toSeq, "id", expect.size,
+          efSearch = 2048).select("id").as[Long].collect().toSet
+        assert(hits.contains(id), s"round $round: id $id unreachable")
+      }
+    }
+  }
+
   test("derived shard count follows the rows-per-shard budget") {
     assert(Hnsw.shardsFor(1L) == 1)
     assert(Hnsw.shardsFor(Hnsw.RowsPerShard) == 1)
