@@ -217,6 +217,12 @@ object ScaleBench {
         "bq_topk_768" -> (() => Quant.topKBinaryRerank(
           vecs, "embedding", "vec_id", qVec, 10, 400)
           .select("vec_id").as[Long].collect().count(exactIds).toLong),
+        // v24 at the real shape: the corpus-proportional cost is the exact
+        // top-200 candidate scan (TakeOrderedAndProject); the greedy MMR
+        // rerank is bounded (N + N²/2 rows) and scale-invariant, so this
+        // curve should track the plain topK curve
+        "mmr_768" -> (() => Search.mmrTopK(
+          vecs, "embedding", "vec_id", qVec, 10, 200, 0.5).count()),
         // v19 at the real shape, split like ivf_build/ivf_probe: the graph
         // is built ONCE into the row-per-node store (cold/warm delta = the
         // O(n·log n) per-shard construction — 4 shards so per-shard size

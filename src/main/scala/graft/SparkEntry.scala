@@ -251,6 +251,35 @@ object SparkEntry {
        | SELECT id, round(r, 6) AS rank FROM allr JOIN stop ON allr.it = stop.s ORDER BY id""".stripMargin
   }
 
+  /** v24 — exact replay of the MMR greedy selection: candidate top-40 by
+    * relevance, then k−1 unrolled rounds, each scoring every unselected
+    * candidate `0.5·rel − 0.5·max(sim to selected)` and taking the
+    * (mmr desc, vec_id asc) argmax. λ = 0.5 so 1−λ is exact in binary and
+    * both engines compute identical doubles.
+    */
+  private def v24OracleSql: String = {
+    val k = 5
+    val rounds = (2 to k).map { r =>
+      val pp = s"p${r - 1}"
+      s""" r$r AS (SELECT c.vec_id, c.e, max(c.rel) AS rel,
+         |   0.5 * max(c.rel) - 0.5 * max(list_cosine_similarity(c.e, p.e)) AS mmr
+         |   FROM cand c CROSS JOIN $pp p
+         |   WHERE c.vec_id NOT IN (SELECT vec_id FROM $pp) GROUP BY c.vec_id, c.e),
+         | s$r AS (SELECT vec_id, e, rel, mmr FROM r$r ORDER BY mmr DESC, vec_id LIMIT 1),
+         | p$r AS (SELECT vec_id, e FROM $pp UNION ALL SELECT vec_id, e FROM s$r),""".stripMargin
+    }.mkString("\n")
+    val out = (1 to k).map(r => s"SELECT vec_id, rel, mmr, $r AS rank FROM s$r").mkString(" UNION ALL ")
+    s"""WITH scored AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |   list_cosine_similarity(embedding::DOUBLE[], $qVecSql) AS rel
+       |   FROM embeddings WHERE label <> 3),
+       | cand AS (SELECT vec_id, e, rel FROM scored WHERE NOT isnan(rel) ORDER BY rel DESC, vec_id LIMIT 40),
+       | s1 AS (SELECT vec_id, e, rel, 0.5 * rel AS mmr FROM cand ORDER BY 0.5 * rel DESC, vec_id LIMIT 1),
+       | p1 AS (SELECT vec_id, e FROM s1),
+       |$rounds
+       | allp AS ($out)
+       | SELECT vec_id, rank, round(rel, 4) AS rel, round(mmr, 4) AS mmr FROM allp ORDER BY rank""".stripMargin
+  }
+
   private def umapFacts(e: DataFrame, y: DataFrame): DataFrame = {
     val base = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .join(y, "vec_id")
@@ -2888,6 +2917,16 @@ object SparkEntry {
       Seq(col("label") =!= 3))
       .select(col("vec_id"), round(col("score"), 4).as("score"), col("label"))),
 
+    // V24 — MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over a bounded top-40 candidate
+    // pool. λ = 0.5 keeps 1−λ exact in binary; the oracle replays every
+    // greedy round.
+    "v24_mmr" -> ((s, d) => Search.mmrTopK(
+      Tables(s, d).embeddings, "embedding", "vec_id", qVec, 5, 40, 0.5,
+      Seq(col("label") =!= 3))
+      .select(col("vec_id"), col("rank"), round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+      .orderBy("rank")),
+
     // V13 — the quantizer itself, full hash oracle: floor(x/s·127+0.5) is
     // the same IEEE double arithmetic in Spark and DuckDB, so the exact
     // code arrays (not just stats) are value-checked per vector.
@@ -5009,6 +5048,8 @@ object SparkEntry {
          | scored AS (SELECT vec_id, label, list_cosine_similarity(e, $qVecSql) AS sim FROM cand)
          | SELECT vec_id, round(sim, 4) AS score, label FROM scored
          | ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "v24_mmr" -> v24OracleSql,
 
     "v13_sq8_codes" ->
       raw"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -90,6 +90,80 @@ object Search {
     topK(corpus.join(broadcast(candIds), Seq(idCol)), vecCol, idCol, queryVec, k)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998) — diversified top-k: greedily pick the candidate maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, so near-duplicate hits don't
+    * crowd the result page. The reference returns raw nearest neighbors
+    * (backend/vector_db.py:131-183); MMR is the standard next step every
+    * RAG retrieval stack bolts on top of that hit list.
+    *
+    * Scale shape: the candidate stage is the exact filtered top-N
+    * ([[topK]] → TakeOrderedAndProject, no corpus shuffle); the greedy
+    * re-rank is inherently sequential over a BOUNDED pool (≤ `nCandidates`
+    * ≤ 1024, enforced), so relevance scores and the ≤N²/2 pairwise
+    * similarities are computed IN Spark with the codegen'd cosine and the
+    * tiny result collected for the driver-side greedy loop — the same
+    * per-query in-process rerank shape the reference uses. Nothing here
+    * scales with the corpus: 100 TB changes the candidate scan (IVF-pruned
+    * if wanted), never the rerank.
+    *
+    * Ties (first by MMR score, then by id ascending) and all arithmetic
+    * (`λ`, `1−λ` computed once, candidate sims from the same expression as
+    * the relevance pass) are chosen so a SQL engine replays the selection
+    * bit-identically.
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      nCandidates: Int,
+      lambda: Double,
+      filters: Seq[Column] = Nil,
+  ): DataFrame = {
+    require(k >= 1 && nCandidates >= k, s"need nCandidates ($nCandidates) >= k ($k) >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    require(nCandidates <= 1024,
+      s"candidate pool is collected for the greedy re-rank — capped at 1024, got $nCandidates")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = topK(corpus, vecCol, idCol, queryVec, nCandidates, filters)
+      .select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"), col("score").as("__rel"))
+      .persist()
+    try {
+      // bounded collects: ≤ N rows + ≤ N(N-1)/2 pairwise rows (N ≤ 1024)
+      val rel = cand.select("__id", "__rel").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val a = cand.select(col("__id").as("i"), col("__v").as("vi"))
+      val b = cand.select(col("__id").as("j"), col("__v").as("vj"))
+      val sim = a.join(broadcast(b), col("i") < col("j"))
+        .select(col("i"), col("j"), graft.functions.VectorExpressions.cosineFast(col("vi"), col("vj")).as("s"))
+        .collect()
+        .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2), (r.getLong(1), r.getLong(0)) -> r.getDouble(2)))
+        .toMap
+      val oneMinus = 1.0 - lambda
+      var remaining = rel.keySet.toVector.sorted
+      val picked = Vector.newBuilder[(Long, Int, Double, Double)]
+      var selected = Vector.empty[Long]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        val scoredRound = remaining.map { id =>
+          val pen = if (selected.isEmpty) 0.0 else selected.map(s => sim((id, s))).max
+          (lambda * rel(id) - oneMinus * pen, id)
+        }
+        val (bestM, bestId) = scoredRound.reduce { (x, y) =>
+          if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x
+        }
+        picked += ((bestId, rank, rel(bestId), bestM))
+        selected :+= bestId
+        remaining = remaining.filterNot(_ == bestId)
+        rank += 1
+      }
+      picked.result().toDF(idCol, "rank", "rel", "mmr")
+    } finally { cand.unpersist(); () }
+  }
+
   /** Brute-force k-NN join: top-k corpus neighbors for EVERY query row.
     *
     * Queries are broadcast (small side) so scoring is a narrow pass over the

@@ -818,6 +818,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall(16, 200) >= 9, s"a 40% pool must recover the top-10 even at 16 dims")
   }
 
+  test("mmrTopK: lambda=1 is the exact relevance top-k; lambda=0.5 demotes the near-duplicate") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val corpus = Seq(
+      (1L, Seq(0.95, 0.3122, 0.0, 0.0)),  // A: top relevance
+      (2L, Seq(0.95, 0.3122, 0.01, 0.0)), // A': near-duplicate of A (sim ~0.99995)
+      (3L, Seq(0.9, -0.4359, 0.0, 0.0)),  // B: slightly less relevant, diverse (sim to A ~0.72)
+      (4L, Seq(0.0, 0.0, 0.0, 1.0)),      // D: irrelevant orthogonal
+    ).toDF("vec_id", "embedding")
+    val exact = Search.topK(corpus, "embedding", "vec_id", q, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(exact == Seq(1L, 2L, 3L), s"relevance order should be A, A', B: $exact")
+    val m1 = Search.mmrTopK(corpus, "embedding", "vec_id", q, 3, 4, 1.0)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(m1 == exact, s"lambda=1 must reduce to pure relevance: $m1")
+    val m05 = Search.mmrTopK(corpus, "embedding", "vec_id", q, 3, 4, 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // round 2: A' scores 0.5·(0.9499 − 0.99995) < 0, B scores 0.5·(0.9 − 0.72) > 0,
+    // D scores 0 — so the diverse B takes rank 2 and even D outranks the near-dup
+    assert(m05 == Seq(1L, 3L, 4L), s"diversified order should demote the near-dup: $m05")
+  }
+
+  test("mmrTopK invariants: k distinct rows, rank 1 is the relevance argmax, penalty bounded") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val q = (0 until 64).map(i => math.sin(i * 0.9 + 2))
+    val out = Search.mmrTopK(t.embeddings, "embedding", "vec_id", q, 8, 30, 0.5)
+      .orderBy("rank")
+      .select("vec_id", "rank", "rel", "mmr")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(out.size == 8 && out.map(_._1).distinct.size == 8)
+    assert(out.map(_._2) == (1 to 8))
+    val exactTop = Search.topK(t.embeddings, "embedding", "vec_id", q, 1)
+      .select("vec_id").as[Long].head()
+    assert(out.head._1 == exactTop, "rank 1 must be the pure-relevance argmax")
+    // mmr = λ·rel − (1−λ)·pen with pen a cosine in [−1, 1] (a NEGATIVE pen
+    // legitimately lifts mmr above λ·rel), so the sharp bound is the band
+    out.foreach { case (id, _, rel, mmr) =>
+      assert(math.abs(mmr - 0.5 * rel) <= 0.5 + 1e-12, s"penalty out of [-1,1] band for $id") }
+  }
+
   test("property: native WordShingles matches the declarative transform/slice form") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
