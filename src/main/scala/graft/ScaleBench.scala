@@ -424,6 +424,16 @@ object ScaleBench {
           val chunks = Chunker.chunk(spark, docs.withColumn("lang", lit("en"))).toDF()
           Embedder.embedText(spark, chunks, "doc_id", "text").toDF().count()
         }),
+        // round-9 c6: per-row flatMap (split + token-set sims + reassembly
+        // all inside the row) — should track the plain chunker's linear
+        // scan curve with a constant-factor tokenization overhead
+        "semantic_chunk"  -> (() => Chunker.semanticChunks(
+          spark,
+          docs.select(col("doc_id"), concat_ws(" ",
+            concat(substring(col("text"), 1, 200), lit(".")),
+            lit("Subscribe to our newsletter today!"),
+            concat(substring(col("text"), 201, 200), lit("."))).as("text")),
+          "doc_id", "text", 0.2).count()),
         // round-9: the REAL-model path through the same mapPartitions seam —
         // the from-scratch ONNX runtime running the in-repo mpnet-shaped
         // 2-layer export per batch (WordPiece ids, padded batch, masked

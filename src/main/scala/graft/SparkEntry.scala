@@ -1655,6 +1655,29 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_index")
     }),
 
+    // C6 — semantic chunking (adjacent-sentence token-set cosine < 0.2 →
+    // breakpoint). The corpus text has no sentence punctuation, so the query
+    // synthesizes sentence structure the d20 way: topical slices of the doc
+    // (adjacent slices share the word-soup vocabulary → high sim) around an
+    // off-topic boilerplate sentence (zero overlap → isolated chunk). The
+    // oracle replays the splitter, the similarity, and the breakpoint fold.
+    "c6_semantic_chunk" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat_ws(" ",
+          concat(substring(col("text"), 1, 80), lit(".")),
+          concat(substring(col("text"), 81, 80), lit(".")),
+          lit("Subscribe to our newsletter today!"),
+          concat(substring(col("text"), 161, 80), lit(".")),
+          concat(substring(col("text"), 241, 80), lit("."))).as("text"))
+      Chunker.semanticChunks(s, docs, "doc_id", "text", 0.2).toDF()
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          md5(col("text")).as("chunk_md5"),
+          col("n_sentences").cast("long").as("n_sentences"),
+          col("token_count").cast("long").as("token_count"))
+        .orderBy("doc_id", "chunk_index")
+    }),
+
     // ---------------- W: windowed event analytics ---------------------------
     "w1_tumbling" -> ((s, d) => EventWindows.tumbling(Tables(s, d).events, "ts", "10 minutes")
       .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -4307,6 +4330,39 @@ object SparkEntry {
         | FROM t ORDER BY doc_id, chunk_index""".stripMargin,
     "c1_chunk" ->
       raw"""SELECT doc_id, 0::BIGINT AS chunk_index, len(string_split_regex(trim(text), '\s+')) AS token_count, md5(trim(text)) AS chunk_md5 FROM documents ORDER BY doc_id, chunk_index""",
+
+    // c6 — the full semantic-chunk replay: sentinel sentence split, distinct
+    // token-set cosine per adjacent pair, break where sim < 0.2, running-sum
+    // chunk ids, rejoin + recount per chunk.
+    "c6_semantic_chunk" ->
+      raw"""WITH base AS (SELECT doc_id,
+           |   substring(text, 1, 80) || '. ' || substring(text, 81, 80) || '. '
+           |     || 'Subscribe to our newsletter today! '
+           |     || substring(text, 161, 80) || '. ' || substring(text, 241, 80) || '.' AS text
+           |   FROM documents),
+           | sp AS (SELECT doc_id,
+           |   string_split(regexp_replace(text, '([.!?])[ \t\r\n]+', '\1' || chr(1), 'g'), chr(1)) AS ss
+           |   FROM base),
+           | p0 AS (SELECT doc_id, trim(unnest(ss)) AS sent, generate_subscripts(ss, 1) AS pos FROM sp),
+           | p AS (SELECT doc_id, sent, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+           |   FROM p0 WHERE sent <> ''),
+           | tk AS (SELECT doc_id, i, sent,
+           |   list_distinct(list_filter(string_split_regex(lower(sent), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+           |   FROM p),
+           | sim AS (SELECT a.doc_id, a.i, a.sent,
+           |   CASE WHEN b.i IS NULL THEN NULL
+           |        WHEN len(a.t) = 0 OR len(b.t) = 0 THEN 0.0
+           |        ELSE len(list_intersect(a.t, b.t)) / sqrt(len(a.t)::DOUBLE * len(b.t)::DOUBLE) END AS s
+           |   FROM tk a LEFT JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i - 1),
+           | ch AS (SELECT doc_id, i, sent,
+           |   sum(CASE WHEN s IS NOT NULL AND s < 0.2 THEN 1 ELSE 0 END)
+           |     OVER (PARTITION BY doc_id ORDER BY i) AS cid
+           |   FROM sim)
+           | SELECT doc_id, cid::BIGINT AS chunk_index,
+           |   md5(string_agg(sent, ' ' ORDER BY i)) AS chunk_md5,
+           |   count(*)::BIGINT AS n_sentences,
+           |   sum(len(list_filter(string_split_regex(sent, '[ \t\r\n]+'), x -> len(x) > 0)))::BIGINT AS token_count
+           | FROM ch GROUP BY doc_id, cid ORDER BY doc_id, chunk_index""".stripMargin,
     // c1_wordpiece — greedy longest-match WordPiece REPLAYED in SQL: a
     // recursive CTE advances (word, pos, count) states; each step's scalar
     // subquery finds the LONGEST vocab piece ('##'-prefixed past pos 0)

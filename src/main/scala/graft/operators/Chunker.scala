@@ -257,4 +257,128 @@ object Chunker extends Serializable {
       .as[DocRow]
       .flatMap(chunkDocument(_, maxTokens, counter))
   }
+
+  // ------------------------------------------------------------------
+  // Semantic chunking (adjacent-sentence similarity breakpoints)
+  // ------------------------------------------------------------------
+
+  /** Adjacent-sentence similarity strategy for [[semanticChunks]]. The
+    * batch shape (all of one document's sentences at once) lets an
+    * embedding-backed implementation amortize one model call per document
+    * instead of one per boundary.
+    */
+  trait AdjacentSimilarity extends Serializable {
+    /** `n` sentences in → `n − 1` similarities, entry `i` scoring the
+      * boundary between sentence `i` and sentence `i + 1`.
+      */
+    def adjacentSims(sents: IndexedSeq[String]): IndexedSeq[Double]
+  }
+
+  /** Engine-portable default similarity: cosine over DISTINCT lowercase
+    * alphanumeric token sets, `|A∩B| / sqrt(|A|·|B|)` (0 when either set
+    * is empty). Integer set sizes in, one IEEE mul/sqrt/div out — a SQL
+    * engine replays the decision bit-identically, which is what lets the
+    * chunk boundaries themselves be value-checked by the oracle.
+    */
+  object TokenSetCosine extends AdjacentSimilarity {
+    def tokenSet(s: String): Set[String] =
+      s.toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSet
+    override def adjacentSims(sents: IndexedSeq[String]): IndexedSeq[Double] = {
+      val sets = sents.map(tokenSet)
+      (0 until sents.length - 1).map { i =>
+        val (a, b) = (sets(i), sets(i + 1))
+        if (a.isEmpty || b.isEmpty) 0.0
+        else a.intersect(b).size / math.sqrt(a.size.toDouble * b.size)
+      }
+    }
+  }
+
+  /** Embedding-backed similarity: batch-embed the document's sentences
+    * (one [[Embedder]] call per doc — the ONNX seam drops in here at
+    * deployment) and take the cosine of adjacent vectors. Embedder outputs
+    * are L2-normalized, so cosine is a plain dot product.
+    */
+  final class EmbeddingCosine(embedder: Embedder = Embedder.default) extends AdjacentSimilarity {
+    override def adjacentSims(sents: IndexedSeq[String]): IndexedSeq[Double] = {
+      val vs = embedder.embedBatch(sents).toIndexedSeq
+      (0 until sents.length - 1).map { i =>
+        val (a, b) = (vs(i), vs(i + 1))
+        var d = 0.0; var j = 0
+        while (j < a.length) { d += a(j).toDouble * b(j); j += 1 }
+        d
+      }
+    }
+  }
+
+  /** One semantic chunk: a maximal run of sentences whose adjacent
+    * similarities all stay ≥ the threshold.
+    */
+  final case class SemanticChunk(
+      doc_id: Long, chunk_index: Int, text: String, n_sentences: Int, token_count: Int)
+
+  /** Per-document semantic split (pure, driver/executor-agnostic): RE2-safe
+    * sentinel sentence split (the [[graft.operators.Dedup.dedupSentences]]
+    * splitter — `([.!?])[ \t\r\n]+` inserts a sentinel, split on it; no
+    * lookbehind, so a SQL engine replays it with two regex calls), trim,
+    * drop empties, then break BEFORE sentence `i+1` whenever
+    * `sim(i, i+1) < threshold`. Chunk text rejoins with a single space;
+    * `token_count` counts `[ \t\r\n]+`-separated tokens of the rejoined
+    * text (≡ the sum over member sentences, since members are trimmed and
+    * non-empty).
+    */
+  def semanticChunkDoc(
+      docId: Long,
+      text: String,
+      threshold: Double,
+      sim: AdjacentSimilarity = TokenSetCosine,
+  ): Vector[SemanticChunk] = {
+    val sentinel = ""
+    val sents = Option(text).getOrElse("")
+      .replaceAll("([.!?])[ \t\r\n]+", "$1" + sentinel)
+      .split(sentinel, -1)
+      .iterator.map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    if (sents.isEmpty) return Vector.empty
+    val sims = sim.adjacentSims(sents)
+    val out  = Vector.newBuilder[SemanticChunk]
+    var start = 0
+    var idx   = 0
+    def flush(end: Int): Unit = { // [start, end) → one chunk
+      val t = sents.slice(start, end).mkString(" ")
+      out += SemanticChunk(docId, idx, t, end - start,
+        t.split("[ \t\r\n]+").count(_.nonEmpty))
+      idx += 1
+      start = end
+    }
+    for (i <- sims.indices) if (sims(i) < threshold) flush(i + 1)
+    flush(sents.length)
+    out.result()
+  }
+
+  /** Distributed semantic chunking (Kamradt-style embedding-drop
+    * splitting, the retrieval-chunking upgrade over fixed-size packing:
+    * boundaries land where the topic shifts, not at an arbitrary token
+    * budget). The reference packs greedily by token count only
+    * (backend/chunker.py:109-133); this is the standard next step RAG
+    * stacks layer on, with the similarity strategy pluggable
+    * ([[TokenSetCosine]] portable default, [[EmbeddingCosine]] for the
+    * model-backed path).
+    *
+    * Scale shape: a document never leaves its row — split, score, and
+    * reassemble all happen inside one `flatMap` pass (narrow, no shuffle,
+    * no window over the corpus); 100 TB changes the partition count, not
+    * the plan.
+    */
+  def semanticChunks(
+      spark: SparkSession,
+      documents: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.35,
+      sim: AdjacentSimilarity = TokenSetCosine,
+  ): Dataset[SemanticChunk] = {
+    import spark.implicits._
+    graft.Par.fanOut(documents.selectExpr(s"$idCol as doc_id", s"$textCol as text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => semanticChunkDoc(id, t, threshold, sim) }
+  }
 }

@@ -857,6 +857,46 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(mmr - 0.5 * rel) <= 0.5 + 1e-12, s"penalty out of [-1,1] band for $id") }
   }
 
+  test("semanticChunkDoc: breaks at the topic shift; threshold extremes degenerate correctly") {
+    val doc = "The query planner joins the order table. Planner cost joins order stats. " +
+      "Subscribe to our newsletter today! " +
+      "Join costs follow the planner stats. The planner reorders the join."
+    val chunks = Chunker.semanticChunkDoc(7L, doc, 0.2)
+    // the boilerplate sentence shares no vocabulary with its neighbors →
+    // breaks on both of its boundaries
+    assert(chunks.map(_.text) == Vector(
+      "The query planner joins the order table. Planner cost joins order stats.",
+      "Subscribe to our newsletter today!",
+      "Join costs follow the planner stats. The planner reorders the join."))
+    assert(chunks.map(_.chunk_index) == Vector(0, 1, 2))
+    assert(chunks.map(_.n_sentences) == Vector(2, 1, 2))
+    assert(chunks.map(_.token_count).sum == doc.split("\\s+").length)
+    // threshold 0 → cosine can't go below it → one chunk
+    assert(Chunker.semanticChunkDoc(7L, doc, 0.0).size == 1)
+    // threshold > 1 → cosine can't reach it → one chunk per sentence
+    assert(Chunker.semanticChunkDoc(7L, doc, 1.01).size == 5)
+    // reassembly invariant: chunk texts joined by ' ' == sentence rejoin
+    val rejoin = Chunker.semanticChunkDoc(7L, doc, 0.2).map(_.text).mkString(" ")
+    assert(rejoin == doc.replaceAll("\\s+", " ").trim)
+    assert(Chunker.semanticChunkDoc(1L, null, 0.5).isEmpty)
+    assert(Chunker.semanticChunkDoc(1L, "   ", 0.5).isEmpty)
+  }
+
+  test("semanticChunks: EmbeddingCosine finds the same boilerplate boundary; distributed == per-doc") {
+    val doc = "The query planner joins the order table. Planner cost joins order stats. " +
+      "Subscribe to our newsletter today! " +
+      "Join costs follow the planner stats. The planner reorders the join."
+    val emb = Chunker.semanticChunkDoc(7L, doc, 0.2, new Chunker.EmbeddingCosine())
+    assert(emb.size == 3 && emb(1).text == "Subscribe to our newsletter today!",
+      s"hash-embedding cosine should isolate the off-topic sentence: ${emb.map(_.text)}")
+    val docs = Seq((7L, doc), (8L, "One topic only here. Same topic only here.")).toDF("doc_id", "text")
+    val dist = Chunker.semanticChunks(spark, docs, "doc_id", "text", 0.2)
+      .collect().toVector.sortBy(c => (c.doc_id, c.chunk_index))
+    val local = Vector(7L -> doc, 8L -> "One topic only here. Same topic only here.")
+      .flatMap { case (id, t) => Chunker.semanticChunkDoc(id, t, 0.2) }
+    assert(dist == local)
+  }
+
   test("property: native WordShingles matches the declarative transform/slice form") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
