@@ -424,6 +424,11 @@ object ScaleBench {
           val chunks = Chunker.chunk(spark, docs.withColumn("lang", lit("en"))).toDF()
           Embedder.embedText(spark, chunks, "doc_id", "text").toDF().count()
         }),
+        // round-9 v25: two filtered-token-stream BM25 passes + a
+        // fbDocs-bounded expansion agg — should scale like 2× plain bm25
+        "bm25_rm3"        -> (() => Rank.bm25Rm3(
+          docs, "doc_id", "text", Seq("w17", "w256", "w901"),
+          fbDocs = 10, fbTerms = 5).count()),
         // round-9 c6: per-row flatMap (split + token-set sims + reassembly
         // all inside the row) — should track the plain chunker's linear
         // scan curve with a constant-factor tokenization overhead

@@ -989,6 +989,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // V25 — RM3 pseudo-relevance feedback: first-pass BM25 top-10 →
+    // integer-exact expansion-term weights (Σ tf·round(score·10⁴)) →
+    // top-5 expansion terms → second-pass weighted BM25 with the
+    // λ-interpolated query model. The oracle replays every stage,
+    // including the expansion-term cut itself.
+    "v25_prf" -> ((s, d) => Rank.bm25Rm3(
+      Tables(s, d).documents, "doc_id", "text", Seq("table", "window", "agg"),
+      fbDocs = 10, fbTerms = 5, lambda = 0.5)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)),
+
     "v5_knn_join" -> ((s, d) => {
       val t = Tables(s, d)
       Search.knnJoin(
@@ -3637,6 +3649,32 @@ object SparkEntry {
            |   FROM f JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
            | SELECT doc_id, round(sum(s), 4) AS score FROM s GROUP BY 1
            | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // v25 — full RM3 replay: the first-pass BM25, the integer-exact
+    // expansion weights, the (w desc, term asc) top-5 cut, the
+    // interpolated weights, and the second weighted pass.
+    "v25_prf" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+           | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+           | hits AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           | f AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM hits WHERE term IN ('table', 'window', 'agg') GROUP BY 1, 2),
+           | dft AS (SELECT term, count(*)::DOUBLE AS df FROM f GROUP BY 1),
+           | s AS (SELECT f.doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |   FROM f JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+           | first AS (SELECT doc_id, round(sum(s), 4) AS sc FROM s GROUP BY 1 ORDER BY sc DESC, doc_id LIMIT 10),
+           | fb AS (SELECT doc_id, round(sc * 10000)::BIGINT AS s4 FROM first),
+           | expw AS (SELECT term, sum(s4)::BIGINT AS w FROM hits JOIN fb USING (doc_id)
+           |   WHERE term NOT IN ('table', 'window', 'agg') GROUP BY 1 ORDER BY w DESC, term LIMIT 5),
+           | z AS (SELECT sum(w)::DOUBLE AS z FROM expw),
+           | wt AS (SELECT term, 0.5 / 3 AS wt FROM (VALUES ('table'), ('window'), ('agg')) v(term)
+           |   UNION ALL SELECT term, 0.5 * (w / z) AS wt FROM expw CROSS JOIN z),
+           | f2 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM hits WHERE term IN (SELECT term FROM wt) GROUP BY 1, 2),
+           | dft2 AS (SELECT term, count(*)::DOUBLE AS df FROM f2 GROUP BY 1),
+           | s2 AS (SELECT f2.doc_id, wt.wt * (ln(1 + (n - df + 0.5) / (df + 0.5)) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+           |   FROM f2 JOIN dft2 USING (term) JOIN wt USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+           | SELECT doc_id, round(sum(s), 4) AS score FROM s2 GROUP BY 1
+           | ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "v11_hybrid_rrf" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            | lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),

@@ -30,8 +30,30 @@ object Rank {
       df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75,
   ): DataFrame = {
-    require(terms.nonEmpty, "terms must not be empty")
     require(terms.toSet.size == terms.size, s"duplicate query terms in $terms")
+    bm25Weighted(df, idCol, textCol, terms.map(_ -> 1.0), k1, b)
+  }
+
+  /** BM25 with a per-term weight multiplier: score = Σ_t w_t · bm25_t(d).
+    * With all weights 1.0 this IS [[bm25]] (×1.0 is an IEEE no-op, so the
+    * delegation is bit-exact). The weighted form is the primitive RM3
+    * query expansion composes: original terms carry λ/|Q|, expansion terms
+    * carry (1−λ)·P(t|R). Same plan shape as [[bm25]] — the (term, weight)
+    * table is broadcast, the corpus token stream is filtered to the query
+    * terms before any shuffle.
+    */
+  def bm25Weighted(
+      df: DataFrame, idCol: String, textCol: String, termWeights: Seq[(String, Double)],
+      k1: Double = 1.2, b: Double = 0.75,
+  ): DataFrame = {
+    require(termWeights.nonEmpty, "terms must not be empty")
+    require(termWeights.map(_._1).toSet.size == termWeights.size,
+      s"duplicate query terms in ${termWeights.map(_._1)}")
+    require(termWeights.size <= 1024, s"query term list is broadcast — capped at 1024")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = termWeights.map(_._1)
+    val wTab  = termWeights.toDF("__t", "__w")
     val toks = graft.functions.TextOps.tokens(col(textCol))
     // per-doc length + global stats (one row, broadcast via crossJoin)
     val lens  = df.select(col(idCol), size(toks).cast("double").as("__dl"))
@@ -45,14 +67,80 @@ object Rank {
     val dfT = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
     tf
       .join(broadcast(dfT), "__t")
+      .join(broadcast(wTab), "__t")
       .join(lens, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__idf", log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
       .withColumn("__s",
-        col("__idf") * col("__tf") /
-          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        col("__w") * (col("__idf") * col("__tf") /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))))
       .groupBy(col(idCol))
       .agg(sum(col("__s")).as("score"))
+  }
+
+  /** Pseudo-relevance-feedback expansion terms (the relevance-model half of
+    * RM3, Lavrenko & Croft SIGIR'01 / the Anserini default): take the
+    * first-pass BM25 top-`fbDocs`, weight every non-query term by
+    * `Σ_d tf(t,d) · s4_d` where `s4_d` is the doc's first-pass score scaled
+    * to an INTEGER (round(score·10⁴)) — so the weight is integer-exact and
+    * the top-`fbTerms` cut (weight desc, term asc) is bit-deterministic in
+    * any engine, with no float-sum-order ambiguity. (Classic RM3 divides by
+    * doc length; the tf·score form keeps the same "frequent in highly
+    * ranked docs" signal while staying exactly replayable — a declared
+    * deviation.)
+    *
+    * Scale shape: first pass is [[bm25]] + TakeOrderedAndProject; the
+    * feedback-doc token explode is gated by a BROADCAST semi-join on the
+    * ≤ `fbDocs` winners, so the corpus is scanned, never shuffled; the
+    * weight agg moves (term, tf·s4) rows for `fbDocs` documents only.
+    *
+    * Returns (term, w: long), the `fbTerms` selected expansion terms.
+    */
+  def prfExpansionTerms(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      fbDocs: Int = 10, fbTerms: Int = 8,
+      k1: Double = 1.2, b: Double = 0.75,
+  ): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, s"fbDocs ($fbDocs) and fbTerms ($fbTerms) must be >= 1")
+    val first = bm25(df, idCol, textCol, terms, k1, b)
+      .select(col(idCol), round(col("score"), 4).as("__sc"))
+      .orderBy(col("__sc").desc, col(idCol))
+      .limit(fbDocs)
+      .select(col(idCol), round(col("__sc") * 10000).cast("long").as("__s4"))
+    val toks = graft.functions.TextOps.tokens(col(textCol))
+    df.join(broadcast(first), idCol) // BEFORE the explode: only the ≤fbDocs winners tokenize
+      .select(col("__s4"), explode(toks).as("__t"))
+      .where(!col("__t").isin(terms: _*))
+      .groupBy(col("__t"))
+      .agg(sum(col("__s4")).as("w")) // Σ_d tf·s4 ≡ summing s4 once per occurrence
+      .orderBy(col("w").desc, col("__t"))
+      .limit(fbTerms)
+      .select(col("__t").as("term"), col("w"))
+  }
+
+  /** Full RM3 retrieval: first-pass BM25 → [[prfExpansionTerms]] →
+    * second-pass [[bm25Weighted]] with the interpolated query model
+    * (original terms λ/|Q| each; expansion term t gets (1−λ)·w_t/Σw, the
+    * Σw an exact integer sum). The expansion table is ≤ `fbTerms` rows —
+    * collected (bounded, documented) to drive the second broadcast pass.
+    * Returns (idCol, score) over the full corpus, unrounded.
+    */
+  def bm25Rm3(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      fbDocs: Int = 10, fbTerms: Int = 8, lambda: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75,
+  ): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    require(fbTerms <= 256, s"expansion terms are collected + broadcast — capped at 256, got $fbTerms")
+    // bounded collect: ≤ fbTerms rows
+    val exp = prfExpansionTerms(df, idCol, textCol, terms, fbDocs, fbTerms, k1, b)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val z = exp.map(_._2).sum.toDouble
+    val qw = terms.map(_ -> lambda / terms.size)
+    val ew = if (z > 0) exp.toSeq.map { case (t, w) => t -> (1.0 - lambda) * (w / z) } else Nil
+    // λ=1 (or 0) zeroes a leg — drop its terms so a zero-weight match
+    // can't surface rows the pure form would never return
+    bm25Weighted(df, idCol, textCol, (qw ++ ew).filter(_._2 != 0.0), k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): fused(d) =

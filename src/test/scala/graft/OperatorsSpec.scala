@@ -897,6 +897,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dist == local)
   }
 
+  test("prfExpansionTerms: co-occurring terms win, query terms excluded, weights integer-exact") {
+    val docs = Seq(
+      (1L, "spark shuffle exchange partition shuffle"),   // top-ranked for 'shuffle'
+      (2L, "spark shuffle exchange stage"),
+      (3L, "cooking recipes and gardening tips"),         // irrelevant
+      (4L, "exchange partition stage plan"),              // no query term at all
+    ).toDF("doc_id", "text")
+    val exp = Rank.prfExpansionTerms(docs, "doc_id", "text", Seq("shuffle"), fbDocs = 2, fbTerms = 3)
+      .as[(String, Long)].collect().toMap
+    assert(!exp.contains("shuffle"), "query terms must not expand")
+    assert(exp.contains("exchange") && exp.contains("spark"),
+      s"terms co-occurring with the query in the feedback docs must expand: $exp")
+    assert(!exp.contains("cooking") && !exp.contains("gardening"),
+      s"terms only in non-feedback docs must not expand: $exp")
+    // exchange appears once in BOTH feedback docs; spark once in both;
+    // partition once in doc 1 only → w(exchange) = w(spark) > w(partition)
+    assert(exp("exchange") == exp("spark"))
+    exp.get("partition").foreach(p => assert(p < exp("exchange")))
+  }
+
+  test("bm25Rm3: lambda=1 preserves the pure BM25 ranking; expansion retrieves a no-query-term doc") {
+    val docs = Seq(
+      (1L, "spark shuffle exchange partition shuffle"),
+      (2L, "spark shuffle exchange stage"),
+      (3L, "cooking recipes and gardening tips"),
+      (4L, "exchange partition stage plan"),
+    ).toDF("doc_id", "text")
+    val pure = Rank.bm25(docs, "doc_id", "text", Seq("shuffle"))
+      .orderBy(desc("score"), col("doc_id")).select("doc_id").as[Long].collect().toSeq
+    val l1 = Rank.bm25Rm3(docs, "doc_id", "text", Seq("shuffle"), fbDocs = 2, fbTerms = 3, lambda = 1.0)
+      .orderBy(desc("score"), col("doc_id")).select("doc_id").as[Long].collect().toSeq
+    assert(l1 == pure, s"lambda=1 must preserve the BM25 ranking: $l1 vs $pure")
+    val rm3 = Rank.bm25Rm3(docs, "doc_id", "text", Seq("shuffle"), fbDocs = 2, fbTerms = 3, lambda = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rm3.contains(4L), s"doc 4 has no query term but carries expansion terms — PRF must reach it: $rm3")
+    assert(!rm3.contains(3L), "doc 3 shares no terms with the expanded query")
+    // weighted form sanity: doubling a term's weight doubles its leg
+    val one  = Rank.bm25Weighted(docs, "doc_id", "text", Seq("shuffle" -> 1.0))
+      .as[(Long, Double)].collect().toMap
+    val two  = Rank.bm25Weighted(docs, "doc_id", "text", Seq("shuffle" -> 2.0))
+      .as[(Long, Double)].collect().toMap
+    one.foreach { case (id, s) => assert(math.abs(two(id) - 2 * s) < 1e-12) }
+  }
+
   test("property: native WordShingles matches the declarative transform/slice form") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
