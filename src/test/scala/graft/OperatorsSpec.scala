@@ -941,6 +941,28 @@ class OperatorsSpec extends AnyFunSuite {
     one.foreach { case (id, s) => assert(math.abs(two(id) - 2 * s) < 1e-12) }
   }
 
+  test("modularity: two triangles + bridge hand-check; all-one-community scores exactly 0") {
+    // triangles {1,2,3} and {4,5,6}, bridged 3—4 (m = 7 undirected edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L),
+      (2L, 1L) /* reverse dup — must canonicalize away */).toDF("src", "dst")
+    val good = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "label")
+    val q = Graph.modularity(edges, "src", "dst", good)
+      .select("label", "n_nodes", "m_in", "d_tot", "q")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // each community: 3 nodes, 3 internal edges, degree sum 2+2+3 = 7
+    // q_c = 3/7 − (7/14)² = 3/7 − 1/4
+    assert(q.map(t => (t._1, t._2, t._3, t._4)) == Seq((10L, 3L, 3L, 7L), (20L, 3L, 3L, 7L)))
+    q.foreach(t => assert(math.abs(t._5 - (3.0 / 7 - 0.25)) < 1e-12))
+    // the trivial all-in-one assignment: m_in = m, d_tot = 2m → q = 1 − 1 = 0
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 99L).toDF("id", "label")
+    val q1 = Graph.modularity(edges, "src", "dst", one).select("q").as[Double].head()
+    assert(q1 == 0.0)
+    // splitting mid-triangle scores strictly worse than the natural split
+    val bad = Seq((1L, 10L), (2L, 20L), (3L, 10L), (4L, 20L), (5L, 10L), (6L, 20L)).toDF("id", "label")
+    val qBad = Graph.modularity(edges, "src", "dst", bad).agg(sum("q")).as[Double].head()
+    assert(qBad < q.map(_._5).sum, s"shuffled labels must lower global Q: $qBad")
+  }
+
   test("property: native WordShingles matches the declarative transform/slice form") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
