@@ -188,8 +188,9 @@ object Graph {
     * (pre-partitioned on the neighbor key) against the label iterate +
     * two map-side-combined groupBys ((id, label) counts, then the argmax).
     * Labels are node ids (integral or string, same contract as
-    * [[pagerank]]); iterates persist because each feeds two consumers
-    * (the neighbor join and the self-vote). Output: (id, label) for every
+    * [[pagerank]]); iterates materialize via eager localCheckpoint (each
+    * feeds two consumers — the neighbor join and the self-vote) and are
+    * freed as soon as the next round lands. Output: (id, label) for every
     * node incident to an edge.
     */
   def labelPropagation(
@@ -208,18 +209,29 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = und.select(col("u").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.withColumn("label", col("id"))
+    // Iterates materialize through eager localCheckpoints (each round's
+    // label frame feeds two consumers: the neighbor join and the
+    // self-vote) and every superseded iterate frees its blocks as soon as
+    // the next one lands — the pagerankConverged discipline. A plain
+    // per-round persist would pin iters+2 node-sized frames in the
+    // CacheManager until session end.
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val l = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nbr = und.join(l.select(col("id").as("v"), col("label").as("lbl")), "v")
+      val nbr = und.join(labels.select(col("id").as("v"), col("label").as("lbl")), "v")
         .select(col("u").as("id"), col("lbl"))
-      val votes = nbr.unionByName(l.select(col("id"), col("label").as("lbl")))
+      val votes = nbr.unionByName(labels.select(col("id"), col("label").as("lbl")))
         .groupBy("id", "lbl").agg(count(lit(1)).as("__c"))
       // argmax by (count desc, label asc) as one struct-min aggregate
-      labels = votes.groupBy("id")
+      val next = votes.groupBy("id")
         .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l"))).as("__m"))
         .select(col("id"), col("__m.l").as("label"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+      labels = next
     }
+    // the final iterate is materialized (checkpointed), so the inputs'
+    // cached blocks are no longer needed by the returned frame
+    und.unpersist(); nodes.unpersist()
     labels
   }
 

@@ -604,13 +604,13 @@ object Hnsw {
         }
       }
       .toDF("shard", "ord", "id", "level", "vec", "links", "entry", "max_level")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-writer option, not a session-conf toggle (Ivf.applyDelta's
+    // discipline): mutating the session conf races concurrent writers —
+    // a reset to 'static' mid-write would turn this into a full-table
+    // overwrite and delete every untouched shard directory
+    rebuilt.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("shard").parquet(path)
     touched.length
   }
 
@@ -705,13 +705,13 @@ object Hnsw {
       }
       .toDF("shard", "ord", "id", "level", "vec", "links", "entry", "max_level")
       .localCheckpoint(true) // sever the store-file lineage before overwriting
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rebuilt.write.mode("overwrite").partitionBy("shard").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-writer option, not a session-conf toggle (Ivf.applyDelta's
+    // discipline): mutating the session conf races concurrent writers —
+    // a reset to 'static' mid-write would turn this into a full-table
+    // overwrite and delete every untouched shard directory
+    rebuilt.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("shard").parquet(path)
     // emptied shards have no output partition — drop their directories
     val survivors = rebuilt.select("shard").distinct().as[Long].collect().toSet
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -115,6 +115,18 @@ object Ivf {
     */
   private val CodegenAssignMaxLists = 32
 
+  /** Max delta rows [[applyDelta]] will broadcast-hint. 4M ids ≈ 32 MB of
+    * longs (more for string ids) — comfortably driver-safe; anything
+    * larger (a bulk purge) degrades to a shuffled semi-join instead of an
+    * OOM. Visible for tests. */
+  private[graft] val BroadcastDeltaMaxRows = 4000000L
+
+  /** Broadcast-hint `df` only when its measured row count is under
+    * [[BroadcastDeltaMaxRows]] — the delta-path analog of the
+    * contamination sweep's "hint only what is measured small" rule. */
+  private[graft] def gatedBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastDeltaMaxRows) broadcast(df) else df
+
   /** Append `list_id` = nearest centroid, choosing the scale-appropriate
     * plan: the codegen'd expression for small models, a broadcast +
     * `mapPartitions` JVM loop for large ones. A production IVF sizes
@@ -465,10 +477,18 @@ object Ivf {
     // vacates its old one
     val rem = removedIds.select(col(idCol)).union(added.select(col(idCol))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size-gate the broadcast: daily-churn deltas are tiny and the hint
+    // keeps the store scan shuffle-free, but a BULK removal (GDPR purge,
+    // domain takedown) makes `rem` corpus-scale — a forced broadcast
+    // there OOMs the driver, where a plain shuffled semi-join merely
+    // costs a shuffle of (id) rows. Same discipline as the
+    // contamination-sweep joins (Dedup.contaminatedIds): hint only what
+    // is measured small. The count is one scan of the persisted delta.
+    val remHint = gatedBroadcast(rem, rem.count())
     // lists holding a removed id: a column-pruned scan of (id, list_id)
-    // against the broadcast removal set; result is bounded by nList
+    // against the (gated) removal set; result is bounded by nList
     val remLists = store.select(col(idCol), col("list_id"))
-      .join(broadcast(rem), Seq(idCol), "left_semi")
+      .join(remHint, Seq(idCol), "left_semi")
       .select("list_id").distinct().collect().map(_.getInt(0))
     val assigned = withListId(added, st.model, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -478,7 +498,7 @@ object Ivf {
 
     val kept = store
       .where(col("list_id").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
-      .join(broadcast(rem), Seq(idCol), "left_anti")
+      .join(remHint, Seq(idCol), "left_anti")
     val rewrite = kept
       .unionByName(assigned.select(store.columns.map(col).toIndexedSeq: _*))
       .localCheckpoint(true) // sever the file lineage before overwriting those files

@@ -140,7 +140,14 @@ object Rank {
     val ew = if (z > 0) exp.toSeq.map { case (t, w) => t -> (1.0 - lambda) * (w / z) } else Nil
     // λ=1 (or 0) zeroes a leg — drop its terms so a zero-weight match
     // can't surface rows the pure form would never return
-    bm25Weighted(df, idCol, textCol, (qw ++ ew).filter(_._2 != 0.0), k1, b)
+    val weighted = (qw ++ ew).filter(_._2 != 0.0)
+    // λ=0 with an empty feedback model (no query term matched any doc)
+    // zeroes BOTH legs — name the degenerate configuration instead of
+    // failing deep inside bm25Weighted with "terms must not be empty"
+    require(weighted.nonEmpty,
+      s"RM3 query model is empty: lambda=$lambda and no expansion terms were found " +
+        "(first-pass BM25 matched nothing) — raise lambda or check the query terms")
+    bm25Weighted(df, idCol, textCol, weighted, k1, b)
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): fused(d) =

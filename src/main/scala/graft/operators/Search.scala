@@ -128,39 +128,54 @@ object Search {
       s"candidate pool is collected for the greedy re-rank — capped at 1024, got $nCandidates")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // The greedy loop keys candidates by an id-ORDERED ordinal (a
+    // row_number over the ≤1024-row pool — single-partition window, but
+    // the pool is capped so that's bounded by construction), NOT by a
+    // cast of the id: the reference's point ids are UUID strings
+    // (backend/vector_db.py:69), and a long cast would silently null
+    // every non-integral id, collapsing the pool onto one key. Native id
+    // values of any orderable type pass through untouched, and because
+    // the ordinal order IS the id order, tie-breaking by smaller ordinal
+    // replays "smaller id" exactly.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__nid"))
     val cand = topK(corpus, vecCol, idCol, queryVec, nCandidates, filters)
-      .select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"), col("score").as("__rel"))
+      .select(col(idCol).as("__nid"), asDouble(col(vecCol)).as("__v"), col("score").as("__rel"))
+      .withColumn("__ord", row_number().over(w))
       .persist()
     try {
       // bounded collects: ≤ N rows + ≤ N(N-1)/2 pairwise rows (N ≤ 1024)
-      val rel = cand.select("__id", "__rel").collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val a = cand.select(col("__id").as("i"), col("__v").as("vi"))
-      val b = cand.select(col("__id").as("j"), col("__v").as("vj"))
+      val rel = cand.select("__ord", "__rel").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val a = cand.select(col("__ord").as("i"), col("__v").as("vi"))
+      val b = cand.select(col("__ord").as("j"), col("__v").as("vj"))
       val sim = a.join(broadcast(b), col("i") < col("j"))
         .select(col("i"), col("j"), graft.functions.VectorExpressions.cosineFast(col("vi"), col("vj")).as("s"))
         .collect()
-        .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2), (r.getLong(1), r.getLong(0)) -> r.getDouble(2)))
+        .flatMap(r => Seq((r.getInt(0), r.getInt(1)) -> r.getDouble(2), (r.getInt(1), r.getInt(0)) -> r.getDouble(2)))
         .toMap
       val oneMinus = 1.0 - lambda
       var remaining = rel.keySet.toVector.sorted
-      val picked = Vector.newBuilder[(Long, Int, Double, Double)]
-      var selected = Vector.empty[Long]
+      val picked = Vector.newBuilder[(Int, Int, Double, Double)]
+      var selected = Vector.empty[Int]
       var rank = 1
       while (rank <= k && remaining.nonEmpty) {
-        val scoredRound = remaining.map { id =>
-          val pen = if (selected.isEmpty) 0.0 else selected.map(s => sim((id, s))).max
-          (lambda * rel(id) - oneMinus * pen, id)
+        val scoredRound = remaining.map { ord =>
+          val pen = if (selected.isEmpty) 0.0 else selected.map(s => sim((ord, s))).max
+          (lambda * rel(ord) - oneMinus * pen, ord)
         }
-        val (bestM, bestId) = scoredRound.reduce { (x, y) =>
+        val (bestM, bestOrd) = scoredRound.reduce { (x, y) =>
           if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x
         }
-        picked += ((bestId, rank, rel(bestId), bestM))
-        selected :+= bestId
-        remaining = remaining.filterNot(_ == bestId)
+        picked += ((bestOrd, rank, rel(bestOrd), bestM))
+        selected :+= bestOrd
+        remaining = remaining.filterNot(_ == bestOrd)
         rank += 1
       }
-      picked.result().toDF(idCol, "rank", "rel", "mmr")
+      // map ordinals back to native ids with a bounded (≤k row) join so
+      // the output id column keeps the corpus's exact id type
+      picked.result().toDF("__ord", "rank", "rel", "mmr")
+        .join(broadcast(cand.select("__ord", "__nid")), "__ord")
+        .select(col("__nid").as(idCol), col("rank"), col("rel"), col("mmr"))
     } finally { cand.unpersist(); () }
   }
 

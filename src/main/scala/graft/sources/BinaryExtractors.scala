@@ -22,9 +22,15 @@ import scala.collection.mutable
   *    non-null cells per row, 20-dash separator, all parts joined "\n".
   *
   * Declared deviations (fixture-invisible, documented here once): regex XML
-  * pulls assume well-formed OOXML (no CDATA); PDF text extraction models
-  * pypdf's simple path — `Tj`/`'`/`"`/`TJ` show text, `Td`/`TD`/`T*` break
-  * lines — not full text-matrix tracking. (PPTX slide order follows
+  * pulls assume well-formed OOXML (no CDATA). PDF text extraction DOES
+  * track the text matrix for line ordering since round 9 (`Tm`/`Td`/`TD`/
+  * `T*`/`TL` vertical-position tracking — multi-column Tm-positioned pages
+  * read column-major like pypdf); the remaining PDF deviation is string
+  * DECODING of custom-encoded fonts without a usable /ToUnicode or
+  * /Differences table (round 10 adds /ToUnicode CMaps, /Differences
+  * arrays, and 2-byte Identity-H CID strings; an embedded subset font with
+  * none of those still falls back to literal bytes where pypdf would
+  * consult the font program itself). (PPTX slide order follows
   * presentation.xml rels since round 8 — no longer a deviation.)
   */
 private[sources] object Ooxml {

@@ -324,4 +324,37 @@ class IvfSpec extends AnyFunSuite {
       Ivf.applyDelta(spark, dir, spark.emptyDataFrame.select(lit(0L).as("id")).limit(0), dup, "id"))
     assert(err.getMessage.contains("duplicate"))
   }
+
+  test("applyDelta's delta join is size-gated: small deltas broadcast, a bulk purge degrades to a shuffled join") {
+    // plan shape, both branches: under the row cap the hint forces a
+    // BroadcastHashJoin; over it the hint is withheld and (the delta being
+    // past autoBroadcastJoinThreshold too) the join shuffles instead of
+    // materializing a corpus-scale delta on the driver
+    val probe = spark.range(1000).select(col("id"), (col("id") % 7).cast("int").as("list_id"))
+    val small = spark.range(100).toDF("id")
+    val smallJoin = probe.join(Ivf.gatedBroadcast(small, 100L), Seq("id"), "left_semi")
+    assert(smallJoin.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val bulkRows = Ivf.BroadcastDeltaMaxRows + 1
+    val bulk = spark.range(bulkRows).toDF("id")
+    val bulkJoin = probe.join(Ivf.gatedBroadcast(bulk, bulkRows), Seq("id"), "left_semi")
+    bulkJoin.count() // materialize so AQE's final plan is inspectable
+    val bulkPlan = bulkJoin.queryExecution.executedPlan.toString
+    assert(!bulkPlan.contains("BroadcastHashJoin"), bulkPlan.take(800))
+
+    // end-to-end: a bulk purge (delta FAR past the broadcast cap, ids
+    // mostly absent from the store) runs through the shuffled branch and
+    // still removes exactly the stored ids it names
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bulk_purge").toString + "/store"
+    val (assigned, model) = Ivf.assign(corpus, "vec", 6)
+    Ivf.writeIndexed(assigned, dir, model, "vec")
+    val before = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    // 4M+1 absent ids + the 150 real victims: count > cap, so the purge
+    // takes the shuffled branch
+    val purge = spark.range(bulkRows).select((col("id") + 10000L).as("id"))
+      .union(spark.range(150).toDF("id"))
+    val none = spark.emptyDataFrame.select(lit(0L).as("id"), typedLit(Seq.empty[Float]).as("vec")).limit(0)
+    Ivf.applyDelta(spark, dir, purge, none, "id")
+    val after = spark.read.parquet(dir).select("id").as[Long].collect().toSet
+    assert(after == before.filter(_ >= 150), s"bulk purge must drop exactly ids<150: kept ${after.size}")
+  }
 }

@@ -857,6 +857,22 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(mmr - 0.5 * rel) <= 0.5 + 1e-12, s"penalty out of [-1,1] band for $id") }
   }
 
+  test("mmrTopK keeps native id types: string UUIDs select identically to their long twins") {
+    // the reference's point ids are UUID strings (backend/vector_db.py:69);
+    // before round 10 a long cast nulled every string id and collapsed the
+    // candidate pool onto one key
+    val q = (0 until 64).map(i => math.sin(i * 0.9 + 2))
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val longOut = Search.mmrTopK(t.embeddings, "embedding", "vec_id", q, 6, 25, 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // uuid-%09d preserves the ids' relative ORDER, so tie-breaks replay
+    val strCorpus = t.embeddings.withColumn("vec_id", format_string("uuid-%09d", col("vec_id")))
+    val strOut = Search.mmrTopK(strCorpus, "embedding", "vec_id", q, 6, 25, 0.5)
+      .orderBy("rank").select("vec_id").as[String].collect().toSeq
+    assert(strOut == longOut.map(id => f"uuid-$id%09d"),
+      s"string-id selection must match the long-id run: $strOut vs $longOut")
+  }
+
   test("semanticChunkDoc: breaks at the topic shift; threshold extremes degenerate correctly") {
     val doc = "The query planner joins the order table. Planner cost joins order stats. " +
       "Subscribe to our newsletter today! " +

@@ -75,6 +75,20 @@ def main() -> int:
         fail.append(f"median ratio {med:.2f} is uniform SLOWER drift -- contaminated run")
     elif med < 1 / 1.3:
         print(f"note: uniform FASTER drift (median {med:.2f}) -- faster/idler machine, rebaselining")
+        # A machine speedup can HIDE a genuine code slowdown smaller than
+        # the speedup itself: every absolute ratio improves, so the checks
+        # above stay silent, and the rebaselined artifact bakes the
+        # regression into the next gate's reference. Relative drift within
+        # this run is immune to the machine change -- list queries lagging
+        # the run's own median by >1.5x for round-closer review.
+        laggards = {n: r / med for n, r in ratios.items()
+                    if r / med > 1.5 and max(cq[n], fq[n]) >= 0.2}
+        if laggards:
+            print(f"rebaseline review: {len(laggards)} queries lag the run's "
+                  "median by >1.5x (possible code regression hidden under the "
+                  "machine speedup):")
+            for n, rr in sorted(laggards.items(), key=lambda kv: -kv[1])[:20]:
+                print(f"  lags {rr:5.2f}x vs median  {n}  {cq[n]:.3f}s -> {fq[n]:.3f}s")
     if floor_ratio > 1.5:
         fail.append(f"floor moved {floor_ratio:.2f}x slower -- machine/load changed")
     elif floor_ratio < 1 / 1.5:
