@@ -763,6 +763,21 @@ object SparkEntry {
           col("metadata")("title").as("title"),
           col("metadata")("author").as("author"))),
 
+    // S2 hardening — CID/subset fonts (round 10): the fixture's page-1
+    // show strings are 2-byte glyph indices through a Type0/Identity-H
+    // font; the walker must decode them via the /ToUnicode CMap (PDF
+    // 32000 §9.10, pypdf's _cmap.py path) or the page reads as control
+    // bytes. Page 2 is 90°-rotated literal text — the full-text-matrix
+    // tracker must split its vertical columns. The oracle re-derives the
+    // CMap AND the decoded text independently from the raw blob.
+    "s2_pdf_cid" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office/cid", "*.pdf")).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("page_count").cast("long").as("page_count"),
+          col("metadata")("title").as("title"),
+          col("metadata")("author").as("author"))),
+
     "s3_docx_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
         Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.docx")).toDF()
@@ -3388,6 +3403,30 @@ object SparkEntry {
            |   CASE WHEN position('${hx("/UE <")}' IN h) > 0 THEN 'Secure Manual' END AS title,
            |   CASE WHEN position('${hx("/OE <")}' IN h) > 0 THEN 'Graft Vault' END AS author
            | FROM f""".stripMargin,
+    // CID fixture: the oracle replays the ToUnicode decode itself — pulls
+    // every `<4-hex> <00xx>` bfchar pair into a code→char map (targets are
+    // ASCII so the last two hex digits are the byte), splits each `<…> Tj`
+    // show string into 4-hex glyph codes, joins through the map in order,
+    // and appends the rotated page's literal pulls as its own lines.
+    "s2_pdf_cid" ->
+      raw"""WITH f AS (SELECT content FROM read_text('/root/repo/fixtures/office/cid/cid.pdf')),
+           | cm AS (SELECT substr(p, 2, 4) AS src, decode(unhex(substr(p, 11, 2))) AS dst
+           |        FROM (SELECT unnest(regexp_extract_all(content, '<[0-9A-Fa-f]{4}> <00[0-9A-Fa-f]{2}>', 0)) AS p FROM f)),
+           | sh AS (SELECT i AS si, arr[i] AS hx
+           |        FROM (SELECT regexp_extract_all(content, '<([0-9A-Fa-f]+)> Tj', 1) AS arr FROM f), range(1, 9) t(i)
+           |        WHERE i <= len(arr)),
+           | gl AS (SELECT si, gi, substr(hx, gi * 4 + 1, 4) AS src
+           |        FROM sh, range(0, 64) g(gi) WHERE gi * 4 < length(hx)),
+           | l1 AS (SELECT si, string_agg(dst, '' ORDER BY gi) AS line
+           |        FROM gl JOIN cm USING (src) GROUP BY si),
+           | p1 AS (SELECT string_agg(line, chr(10) ORDER BY si) AS t FROM l1),
+           | p2 AS (SELECT array_to_string(regexp_extract_all(content, '\(([^)]*)\) Tj', 1), chr(10)) AS t FROM f)
+           | SELECT 'cid.pdf' AS file_name, 'PdfExtractor' AS extractor,
+           |   p1.t || chr(10) || chr(10) || p2.t AS text,
+           |   (SELECT length(regexp_extract_all(content, '/Type /Page /', 0))::BIGINT FROM f) AS page_count,
+           |   (SELECT regexp_extract(content, '/Title \(([^)]*)\)', 1) FROM f) AS title,
+           |   (SELECT regexp_extract(content, '/Author \(([^)]*)\)', 1) FROM f) AS author
+           | FROM p1, p2""".stripMargin,
     "p8_html_pipeline" ->
       raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawlhtml/pages.warc')),
            | r AS (SELECT unnest(str_split(c, 'WARC/1.0' || chr(13) || chr(10))) AS frag,

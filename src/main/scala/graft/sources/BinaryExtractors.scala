@@ -861,6 +861,253 @@ private[graft] object PdfParser {
     (sb.toString, i)
   }
 
+  // ---------------------------------------------------------------------
+  // Font-aware show-string decoding (PDF 32000 §9.6-9.10) — round 10.
+  // pypdf resolves the bytes of a show string through the font's
+  // /ToUnicode CMap (pypdf/_cmap.py, reached via pdf_extractor.py:16-40)
+  // or its /Encoding (/Differences over a base encoding); Identity-H
+  // Type0 fonts consume 2-byte CIDs. Without this, any subset-font PDF
+  // (LaTeX, Word exports) emits garbled glyph indices where the
+  // reference emits prose.
+  // ---------------------------------------------------------------------
+
+  /** Per-font decoder: /ToUnicode entries win, then /Differences + base
+    * encoding, then the literal byte (the legacy fallback — kept so a
+    * font with NO usable tables degrades to pre-round-10 behavior
+    * instead of dropping text). `twoByte` fonts (Type0/Identity-H)
+    * consume 16-bit codes; unmapped 2-byte codes fall back to the code
+    * point itself (the UTF-16BE reading of the raw bytes).
+    */
+  private[sources] final class FontDecoder(
+      val twoByte: Boolean,
+      cmap: Map[Int, String],
+      single: Option[Array[String]]) {
+    def decode(raw: String): String =
+      if (!twoByte && cmap.isEmpty && single.isEmpty) raw
+      else {
+        val out = new StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          if (twoByte && i + 1 < raw.length) {
+            val code = ((raw.charAt(i) & 0xff) << 8) | (raw.charAt(i + 1) & 0xff)
+            out ++= cmap.getOrElse(code, code.toChar.toString)
+            i += 2
+          } else {
+            val code = raw.charAt(i) & 0xff
+            out ++= cmap.get(code)
+              .orElse(single.flatMap(t => Option(t(code))))
+              .getOrElse(raw.charAt(i).toString)
+            i += 1
+          }
+        }
+        out.toString
+      }
+  }
+
+  private[sources] object FontDecoder {
+    /** Bytes pass through untouched (latin-1 reading) — unknown fonts. */
+    val Identity = new FontDecoder(false, Map.empty, None)
+  }
+
+  /** Adobe-glyph-list subset covering the names /Differences arrays use
+    * in practice (ASCII names, Latin-1 accents, typographic punctuation,
+    * f-ligatures) plus the algorithmic uniXXXX/uXXXX forms. Unknown
+    * glyph names (e.g. bare subset names like /g42) return None and the
+    * byte falls back to its base-encoding/literal value.
+    */
+  private val GlyphNames: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    for (c <- ('A' to 'Z') ++ ('a' to 'z')) b += c.toString -> c.toString
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine")
+      .zipWithIndex.foreach { case (n, i) => b += n -> i.toString }
+    b ++= Seq(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+      "ellipsis" -> "…", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "dagger" -> "†", "daggerdbl" -> "‡", "trademark" -> "™",
+      "copyright" -> "©", "registered" -> "®", "degree" -> "°",
+      "sterling" -> "£", "euro" -> "€", "yen" -> "¥",
+      "cent" -> "¢", "section" -> "§", "paragraph" -> "¶",
+      "germandbls" -> "ß", "ae" -> "æ", "AE" -> "Æ",
+      "oe" -> "œ", "OE" -> "Œ", "oslash" -> "ø", "Oslash" -> "Ø",
+      "aring" -> "å", "Aring" -> "Å", "agrave" -> "à",
+      "aacute" -> "á", "acircumflex" -> "â", "atilde" -> "ã",
+      "adieresis" -> "ä", "egrave" -> "è", "eacute" -> "é",
+      "ecircumflex" -> "ê", "edieresis" -> "ë", "igrave" -> "ì",
+      "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+      "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+      "otilde" -> "õ", "odieresis" -> "ö", "ugrave" -> "ù",
+      "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü",
+      "ccedilla" -> "ç", "Ccedilla" -> "Ç", "ntilde" -> "ñ",
+      "Ntilde" -> "Ñ", "yacute" -> "ý", "ydieresis" -> "ÿ",
+      "Agrave" -> "À", "Aacute" -> "Á", "Eacute" -> "É",
+      "Egrave" -> "È", "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+      "exclamdown" -> "¡", "questiondown" -> "¿", "mu" -> "µ",
+      "multiply" -> "×", "divide" -> "÷", "plusminus" -> "±",
+      "onehalf" -> "½", "onequarter" -> "¼", "threequarters" -> "¾",
+    )
+    b.result()
+  }
+
+  private[sources] def glyphToUnicode(name: String): Option[String] =
+    GlyphNames.get(name).orElse {
+      val hex =
+        if (name.startsWith("uni") && name.length >= 7) Some(name.substring(3, 7))
+        else if (name.length >= 5 && name.length <= 7 && name.startsWith("u")) Some(name.drop(1))
+        else None
+      hex.filter(_.forall(c => Character.digit(c, 16) >= 0))
+        .map(h => new String(Character.toChars(Integer.parseInt(h, 16))))
+    }
+
+  /** Parse a /ToUnicode CMap stream (§9.10.3): `beginbfchar` pairs,
+    * `beginbfrange` triples (destination string OR per-code array),
+    * `begincodespacerange` deciding code width. Returns (twoByteCodes,
+    * code → unicode string).
+    */
+  private[sources] def parseToUnicode(cmap: String): (Boolean, Map[Int, String]) = {
+    val out = mutable.Map.empty[Int, String]
+    var two = false
+    def utf16(hex: String): String = {
+      val h = if (hex.length % 2 == 1) hex + "0" else hex
+      val bytes = h.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+      new String(bytes, StandardCharsets.UTF_16BE)
+    }
+    val hexTok = "<([0-9A-Fa-f]+)>".r
+    for (m <- "(?s)begincodespacerange(.*?)endcodespacerange".r.findAllMatchIn(cmap))
+      hexTok.findAllMatchIn(m.group(1)).foreach(t => if (t.group(1).length >= 4) two = true)
+    for (m <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(cmap))
+      hexTok.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) =>
+          if (src.length >= 4) two = true
+          out(Integer.parseInt(src, 16)) = utf16(dst)
+        case _ => ()
+      }
+    for (m <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(cmap)) {
+      val toks = "<[0-9A-Fa-f]+>|\\[|\\]".r.findAllIn(m.group(1)).toVector
+      def hexOf(t: String) = t.substring(1, t.length - 1)
+      var i = 0
+      while (i + 2 < toks.length) {
+        if (!toks(i).startsWith("<") || !toks(i + 1).startsWith("<")) {
+          i = toks.length // malformed tail — stop
+        } else {
+          val lo = Integer.parseInt(hexOf(toks(i)), 16)
+          val hi = math.min(Integer.parseInt(hexOf(toks(i + 1)), 16), lo + 65535)
+          if (hexOf(toks(i)).length >= 4) two = true
+          if (toks(i + 2) == "[") {
+            var j = i + 3; var c = lo
+            while (j < toks.length && toks(j) != "]") {
+              if (c <= hi && toks(j).startsWith("<")) out(c) = utf16(hexOf(toks(j)))
+              c += 1; j += 1
+            }
+            i = j + 1
+          } else {
+            val dst = utf16(hexOf(toks(i + 2)))
+            // the offset increments the FINAL UTF-16 code unit (§9.10.3)
+            var c = lo
+            while (c <= hi) {
+              out(c) =
+                if (dst.isEmpty) dst
+                else dst.dropRight(1) + (dst.last + (c - lo)).toChar
+              c += 1
+            }
+            i += 3
+          }
+        }
+      }
+    }
+    (two, out.toMap)
+  }
+
+  /** 256-entry byte → unicode table for a base encoding plus an optional
+    * /Differences override list. Entries left null fall back to the
+    * literal byte at decode time. WinAnsi is windows-1252, MacRoman is
+    * x-MacRoman — both JRE-standard charsets; undefined code points stay
+    * null rather than becoming U+FFFD.
+    */
+  private[sources] def singleByteTable(
+      baseName: Option[String],
+      differences: Option[String]): Option[Array[String]] =
+    if (baseName.isEmpty && differences.isEmpty) None
+    else {
+      val t = new Array[String](256)
+      val cs = baseName.collect {
+        case "WinAnsiEncoding"  => java.nio.charset.Charset.forName("windows-1252")
+        case "MacRomanEncoding" => java.nio.charset.Charset.forName("x-MacRoman")
+      }
+      cs.foreach { c =>
+        var b = 0
+        while (b < 256) {
+          val s = new String(Array(b.toByte), c)
+          if (s.length == 1 && s.charAt(0) != '�') t(b) = s
+          b += 1
+        }
+      }
+      differences.foreach { d =>
+        var code = 0
+        "(\\d+)|/([A-Za-z0-9._]+)".r.findAllMatchIn(d).foreach { m =>
+          if (m.group(1) != null) code = m.group(1).toInt
+          else {
+            if (code >= 0 && code < 256) glyphToUnicode(m.group(2)).foreach(t(code) = _)
+            code += 1
+          }
+        }
+      }
+      Some(t)
+    }
+
+  /** Inner content of the balanced `<<…>>` starting at `start`. */
+  private def balancedInner(s: String, start: Int): String = {
+    var depth = 0
+    var j = start
+    while (j < s.length) {
+      if (j + 1 < s.length && s.charAt(j) == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (j + 1 < s.length && s.charAt(j) == '>' && s.charAt(j + 1) == '>') {
+        depth -= 1; j += 2
+        if (depth == 0) return s.substring(start + 2, j - 2)
+      } else j += 1
+    }
+    s.substring(math.min(start + 2, s.length))
+  }
+
+  /** `/Key <<…>>` inline dict or `/Key N 0 R` indirect dict content. */
+  private def dictValue(body: String, key: String, objs: Map[Int, String]): Option[String] =
+    (s"/$key\\s*<<").r.findFirstMatchIn(body).map(m => balancedInner(body, m.end - 2))
+      .orElse(ref(body, key).flatMap(objs.get))
+
+  /** Build the decoder for one font object. `streamOf` resolves an
+    * indirect stream (decrypted + defiltered) — the /ToUnicode CMap.
+    */
+  private[sources] def fontDecoder(
+      body: String,
+      objs: Map[Int, String],
+      streamOf: Int => Option[Array[Byte]]): FontDecoder = {
+    val toUni = ref(body, "ToUnicode").flatMap(streamOf).map(b => parseToUnicode(latin1(b)))
+    val encName = "/Encoding\\s*/([A-Za-z0-9-]+)".r.findFirstMatchIn(body).map(_.group(1))
+    val isType0 = "/Subtype\\s*/Type0(?![A-Za-z])".r.findFirstIn(body).isDefined
+    val identityCid = isType0 || encName.exists(n => n == "Identity-H" || n == "Identity-V")
+    val encBody = dictValue(body, "Encoding", objs).filter(_.contains("/Differences"))
+    val baseName = encBody.flatMap(e =>
+      "/BaseEncoding\\s*/([A-Za-z0-9-]+)".r.findFirstMatchIn(e).map(_.group(1)))
+      .orElse(encName)
+    val diffs = encBody.flatMap(e =>
+      "(?s)/Differences\\s*\\[(.*?)\\]".r.findFirstMatchIn(e).map(_.group(1)))
+    val single = if (identityCid) None else singleByteTable(baseName, diffs)
+    val (cmapTwo, cmap) = toUni.getOrElse((false, Map.empty[Int, String]))
+    val two = cmapTwo || identityCid
+    if (!two && cmap.isEmpty && single.isEmpty) FontDecoder.Identity
+    else new FontDecoder(two, cmap, single)
+  }
+
   /** Text of one content stream: `Tj`/`'`/`"`/`TJ` show pending strings.
     * Line breaks follow the TEXT MATRIX, the way pypdf's simple path
     * decides them (pdf_extractor.py:16-40 delegates to pypdf, which
@@ -873,30 +1120,59 @@ private[graft] object PdfParser {
     * line, and a multi-column page whose stream jumps columns with `Tm`
     * (no Td at all) breaks exactly where the y changes — including the
     * jump back up to the second column's top. Positioning before the
-    * first show never emits a leading newline. Rotated text (b/c ≠ 0)
-    * still keys on the f translation — the simple-path fallback.
+    * first show never emits a leading newline. Round 10 tracks the FULL
+    * matrix: the break cursor is the pen coordinate perpendicular to the
+    * writing direction (a, b), so rotated text (a 90° Tm with zero
+    * diagonal moves x, not y) splits lines where a y-only tracker would
+    * merge every line. Show strings decode through the `Tf`-selected
+    * font's [[FontDecoder]] (ToUnicode CMap / Differences / Identity-H).
     */
-  private[sources] def textOfStream(cs: String): String = {
+  private[sources] def textOfStream(cs: String, fonts: Map[String, FontDecoder] = Map.empty): String = {
     val sb = new StringBuilder
     val pending = mutable.ArrayBuffer.empty[String]
     val nums    = mutable.ArrayBuffer.empty[Double]
-    var curY    = 0.0
-    var lastY   = Double.NaN
-    var leading = 0.0
+    // Full text line matrix [a b c d e f] (§9.4.2): `Tm` replaces it,
+    // `Td`/`TD`/`T*` translate it in TEXT space. Line breaks key on the
+    // pen coordinate PERPENDICULAR to the writing direction (a, b): for
+    // identity-rotation matrices that reduces to "y changed" (the
+    // round-9 behavior), while a 90°-rotated matrix (zero diagonal —
+    // vertical text) moves x not y and keys on x, so rotated columns
+    // still split instead of merging into one line.
+    var ma = 1.0; var mb = 0.0; var mc = 0.0; var md = 1.0; var me = 0.0; var mf = 0.0
+    var lastPerp = Double.NaN
+    var leading  = 0.0
+    var lastName = ""
+    var decoder  = FontDecoder.Identity
     var i = 0
+    def perp: Double = {
+      val hyp = math.hypot(ma, mb)
+      if (hyp == 0.0) mf else (ma * mf - mb * me) / hyp
+    }
+    def translate(tx: Double, ty: Double): Unit = {
+      me += tx * ma + ty * mc
+      mf += tx * mb + ty * md
+    }
     def breakLine(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
-    def nextLine(): Unit = curY -= (if (leading != 0.0) leading else 1.0)
+    def nextLine(): Unit = translate(0.0, -(if (leading != 0.0) leading else 1.0))
     def show(): Unit = {
-      if (!lastY.isNaN && curY != lastY) breakLine()
+      val p = perp
+      if (!lastPerp.isNaN && p != lastPerp) breakLine()
       pending.foreach(sb ++= _); pending.clear()
-      lastY = curY
+      lastPerp = p
     }
     while (i < cs.length) {
       cs.charAt(i) match {
         case '(' =>
           val (str, next) = literal(cs, i + 1)
-          pending += str; i = next
+          pending += decoder.decode(str); i = next
+        case '/' =>
+          // name operand (the `/F1` of `/F1 12 Tf`) — remembered for Tf
+          var j = i + 1
+          while (j < cs.length && { val c = cs.charAt(j)
+            c.isLetterOrDigit || c == '.' || c == '_' || c == '+' || c == '-' }) j += 1
+          lastName = cs.substring(i + 1, j)
+          i = j
         case '<' if i + 1 < cs.length && cs.charAt(i + 1) == '<' =>
           // dictionary (e.g. marked-content props '/P <</MCID 0>> BDC'):
           // skip the balanced <<…>> whole, or the inner '<' would be
@@ -916,7 +1192,8 @@ private[graft] object PdfParser {
             val hexs = cs.substring(i + 1, end).filterNot(_.isWhitespace)
             val padded = if (hexs.length % 2 == 1) hexs + "0" else hexs
             if (padded.forall(c => Character.digit(c, 16) >= 0)) {
-              pending += padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+              pending += decoder.decode(
+                padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
             }
             i = end + 1
           }
@@ -927,20 +1204,32 @@ private[graft] object PdfParser {
             case "Tj" | "TJ" => show()
             case "'" | "\""  => nextLine(); show() // both imply T* first
             case "Td" =>
-              if (nums.length >= 2) curY += nums(nums.length - 1)
+              if (nums.length >= 2) translate(nums(nums.length - 2), nums(nums.length - 1))
               pending.clear()
             case "TD" => // Td that also sets leading = -ty
-              if (nums.length >= 2) { leading = -nums(nums.length - 1); curY += nums(nums.length - 1) }
+              if (nums.length >= 2) {
+                leading = -nums(nums.length - 1)
+                translate(nums(nums.length - 2), nums(nums.length - 1))
+              }
               pending.clear()
             case "Tm" =>
-              if (nums.length >= 6) curY = nums(nums.length - 1)
+              if (nums.length >= 6) {
+                val n = nums.length
+                ma = nums(n - 6); mb = nums(n - 5); mc = nums(n - 4)
+                md = nums(n - 3); me = nums(n - 2); mf = nums(n - 1)
+              }
               pending.clear()
             case "TL" =>
               if (nums.nonEmpty) leading = nums(nums.length - 1)
               pending.clear()
             case "T*" => nextLine(); pending.clear()
-            case "BT" => curY = 0.0; leading = 0.0; pending.clear()
-            case _    => pending.clear()
+            case "Tf" => // font select: decoder switches with the graphics state
+              decoder = fonts.getOrElse(lastName, FontDecoder.Identity)
+              pending.clear()
+            case "BT" =>
+              ma = 1.0; mb = 0.0; mc = 0.0; md = 1.0; me = 0.0; mf = 0.0
+              leading = 0.0; pending.clear()
+            case _ => pending.clear()
           }
           nums.clear()
           i = j
@@ -977,10 +1266,39 @@ private[graft] object PdfParser {
     var skippedFilters = 0
     val objs = expandObjectStreams(scanned, s, decryptFor, () => skippedFilters += 1)
     val pages = pageOrder(objs, s)
+    def streamOf(n: Int): Option[Array[Byte]] =
+      objs.get(n).flatMap(b => streamData(b, () => skippedFilters += 1, decryptFor(n)))
+    // font decoders are per font OBJECT — cache across pages sharing them
+    val decoderCache = mutable.Map.empty[Int, FontDecoder]
+    def fontsOf(pageNum: Int): Map[String, FontDecoder] = {
+      // /Resources may be inherited from an ancestor /Pages node (§7.7.3.4)
+      var cur   = pageNum
+      var res   = Option.empty[String]
+      var depth = 0
+      while (res.isEmpty && depth < 32) {
+        objs.get(cur) match {
+          case Some(b) =>
+            res = dictValue(b, "Resources", objs)
+            if (res.isEmpty) ref(b, "Parent") match {
+              case Some(p) => cur = p; depth += 1
+              case None    => depth = 32
+            }
+          case None => depth = 32
+        }
+      }
+      res.flatMap(dictValue(_, "Font", objs)).map { fd =>
+        "/([A-Za-z0-9._+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fd).map { m =>
+          val num = m.group(2).toInt
+          m.group(1) -> decoderCache.getOrElseUpdate(num,
+            objs.get(num).map(fontDecoder(_, objs, streamOf)).getOrElse(FontDecoder.Identity))
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
     val pageTexts = pages.map { p =>
+      val fonts = fontsOf(p)
       refList(objs(p), "Contents")
         .flatMap(c => objs.get(c).flatMap(b => streamData(b, () => skippedFilters += 1, decryptFor(c))))
-        .map(b => textOfStream(latin1(b)))
+        .map(b => textOfStream(latin1(b), fonts))
         .mkString("\n")
     }
     val info = for {

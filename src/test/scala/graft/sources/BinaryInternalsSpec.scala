@@ -72,6 +72,76 @@ class BinaryInternalsSpec extends AnyFunSuite {
     assert(meta("page_count") == "1")
   }
 
+  test("ToUnicode CMap parsing: bfchar, bfrange offset + array forms, code width") {
+    val (two, m) = PdfParser.parseToUnicode(
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0003> <0041>
+        |<0004> <00660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0021> [<005A> <0079>]
+        |endbfrange
+        |endcmap""".stripMargin)
+    assert(two, "4-hex codespace means 2-byte codes")
+    assert(m(3) == "A" && m(4) == "fi", "bfchar: single and multi-unit targets")
+    assert(m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c", "bfrange increments last unit")
+    assert(m(0x20) == "Z" && m(0x21) == "y", "bfrange array form maps per code")
+    val (one, m1) = PdfParser.parseToUnicode("1 beginbfchar\n<41> <0042>\nendbfchar")
+    assert(!one && m1(0x41) == "B", "2-hex sources stay single-byte")
+  }
+
+  test("glyph names: AGL subset, uniXXXX algorithmic form, unknown -> None") {
+    assert(PdfParser.glyphToUnicode("eacute").contains("é"))
+    assert(PdfParser.glyphToUnicode("space").contains(" "))
+    assert(PdfParser.glyphToUnicode("uni20AC").contains("€"))
+    assert(PdfParser.glyphToUnicode("u1F600").contains(new String(Character.toChars(0x1F600))))
+    assert(PdfParser.glyphToUnicode("g42").isEmpty)
+  }
+
+  test("Differences + WinAnsi base: overridden codes remap, others follow the base, gaps stay literal") {
+    val t = PdfParser.singleByteTable(Some("WinAnsiEncoding"), Some("65 /eacute /egrave 129 /g42")).get
+    assert(t(65) == "é" && t(66) == "è", "differences run sequentially from the start code")
+    assert(t(0x93) == "“", "WinAnsi 0x93 is the left curly quote (cp1252)")
+    assert(t(67) == "C", "codes outside the differences keep the base encoding")
+    // unknown glyph name over a cp1252-undefined byte -> entry stays null
+    // -> literal byte at decode time
+    assert(t(0x81) == null)
+    val d = new PdfParser.FontDecoder(false, Map.empty, Some(t))
+    assert(d.decode("CafA") == "Café")
+  }
+
+  test("Tf switches decoders mid-stream; Identity-H reads 2-byte codes") {
+    val cid = new PdfParser.FontDecoder(true, Map(3 -> "H", 4 -> "i"), None)
+    val fonts = Map("F1" -> cid, "F2" -> PdfParser.FontDecoder.Identity)
+    val cs = "BT /F1 12 Tf 72 720 Td <00030004> Tj /F2 9 Tf ( plain) Tj ET"
+    assert(PdfParser.textOfStream(cs, fonts) == "Hi plain")
+    // unmapped 2-byte code falls back to its UTF-16 code point
+    assert(cid.decode(new String(Array('\u0000', 'A'))) == "A")
+  }
+
+  test("rotated text (zero-diagonal Tm): vertical columns split where a y-only tracker merges") {
+    val cs = "BT /F1 12 Tf " +
+      "0 1 -1 0 300 100 Tm (Vertical one) Tj " +
+      "0 1 -1 0 316 100 Tm (Vertical two) Tj ET"
+    assert(PdfParser.textOfStream(cs) == "Vertical one\nVertical two")
+    // movement ALONG the rotated baseline (y shifts, x fixed) stays one line
+    val along = "BT 0 1 -1 0 300 100 Tm (seg a) Tj 0 1 -1 0 300 150 Tm (seg b) Tj ET"
+    assert(PdfParser.textOfStream(along) == "seg aseg b")
+  }
+
+  test("CID fixture end-to-end: glyph-index strings come back as prose, rotated page splits") {
+    val (text, meta) = new PdfExtractor().extract(graft.FixtureGen.cidPdfBytes, "cid.pdf")
+    assert(text ==
+      "Subset fonts decode\nCID text reads fine\n\nVertical one\nVertical two", s"got: $text")
+    assert(meta("page_count") == "2")
+    assert(meta("title") == "CID Fixture" && meta("author") == "Graft Team")
+  }
+
   test("Ooxml.unescape: astral-plane refs become surrogate pairs; uppercase hex prefix") {
     assert(Ooxml.unescape("&#128512;") == new String(Character.toChars(128512)))
     assert(Ooxml.unescape("&#x1F600;") == new String(Character.toChars(0x1f600)))
