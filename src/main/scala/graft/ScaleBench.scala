@@ -20,6 +20,9 @@ object ScaleBench {
   /** recrawl_maintain's pre-built store per scale (see the catalog entry). */
   private val recrawlStores = scala.collection.concurrent.TrieMap.empty[Int, String]
 
+  /** ivf_refit's pre-built store per scale (see the catalog entry). */
+  private val refitStores = scala.collection.concurrent.TrieMap.empty[Int, String]
+
   /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
   private lazy val onnxFixture: (String, String) =
     graft.onnx.TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("sb-onnx").toString)
@@ -415,6 +418,22 @@ object ScaleBench {
           val n = diff.where(col("status") =!= "unchanged").count()
           diff.unpersist()
           n + touched
+        }),
+        // round-10: centroid-drift lifecycle — driftStats is ONE
+        // column-pruned scan + an nList-row aggregate; refit is a scan +
+        // bounded fit sample + one partitioned rewrite. Both should track
+        // corpus rows ~linearly: refit is the amortized slow path whose
+        // cost applyDelta's selective rewrites avoid paying per delta.
+        "ivf_refit"       -> (() => {
+          val path = refitStores.getOrElseUpdate(scale, {
+            val p = java.nio.file.Files.createTempDirectory("sb-refit").toString + "/store"
+            val (assigned, model) = Ivf.assign(vecs.select(col("vec_id"), col("embedding")), "embedding", 32)
+            Ivf.writeIndexed(assigned, p, model, "embedding")
+            p
+          })
+          val lists = Ivf.driftStats(spark, path).count()
+          Ivf.refit(spark, path)
+          lists
         }),
         "sessionize"      -> (() => Sessions.sessionize(events, 30).count()),
         "tumbling_window" -> (() => EventWindows.tumbling(events, "ts", "10 minutes").count()),

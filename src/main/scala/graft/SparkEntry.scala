@@ -2931,6 +2931,37 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // V26 — centroid-drift health (round 10): applyDelta preserves the
+    // build-time centroids, so the drift monitor (Ivf.driftStats: one
+    // column-pruned scan, per-list occupancy + mean assign distance) is
+    // what tells a pipeline when to pay for Ivf.refit. The store uses
+    // EXPLICIT centroids (the first 4 embedding rows), so DuckDB replays
+    // the whole lifecycle relationally: the planted v22/v23 delta
+    // (%13 removed, %17 negated, %19 reversed under id+100000), the
+    // argmin assignment (same dot-product formula, tie to lowest list),
+    // and the per-list distance aggregate. Any applyDelta content defect
+    // or driftStats math defect shifts a value-checked row.
+    "v26_ivf_drift" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v26").toString + "/store"
+      val cents = emb.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+        .map(_.toArray)
+      val model = Ivf.Model(cents)
+      Ivf.writeIndexed(Ivf.withListId(emb, model, "embedding"), dir, model, "embedding")
+      val removed = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+      val changed = emb.where(col("vec_id") % 17 === 0 && col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+      val added = emb.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), reverse(col("embedding")).as("embedding"))
+      Ivf.applyDelta(s, dir, removed, changed.unionByName(added), "vec_id")
+      Ivf.driftStats(s, dir)
+        .select(col("list_id").cast("long").as("list_id"), col("n"),
+          round(col("mean_dist"), 4).as("mean_dist"))
+        .orderBy("list_id")
+    }),
+
     "v19_hnsw" -> ((s, d) => {
       val t = Tables(s, d)
       val emb = t.embeddings.select(col("vec_id"), col("embedding"))
@@ -5157,6 +5188,33 @@ object SparkEntry {
          |   SELECT vec_id + 100000, list_reverse(e) FROM base WHERE vec_id % 19 = 0)
          | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
          | FROM post ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v26 — relational replay of the drift monitor over the post-delta
+    // store: centroids are the first 4 embedding rows, assignment is the
+    // same dot-product argmin (tie to lowest list), distance the same
+    // |v|²+|c|²−2v·c form, aggregated per list
+    "v26_ivf_drift" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+        |     list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+        |   FROM embeddings WHERE vec_id < 4),
+        | cur AS (
+        |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(v, x -> -x) ELSE v END AS v
+        |   FROM base WHERE vec_id % 13 <> 0
+        |   UNION ALL
+        |   SELECT vec_id + 100000, list_reverse(v) FROM base WHERE vec_id % 19 = 0),
+        | asg AS (SELECT vec_id, v,
+        |     (SELECT cid FROM cents
+        |      ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, cv) + cc, cid
+        |      LIMIT 1) AS list_id
+        |   FROM cur),
+        | d AS (SELECT a.list_id,
+        |     sqrt(greatest(0.0,
+        |       list_inner_product(a.v, a.v) + c.cc - 2 * list_inner_product(a.v, c.cv))) AS dist
+        |   FROM asg a JOIN cents c ON c.cid = a.list_id)
+        | SELECT list_id::BIGINT AS list_id, count(*)::BIGINT AS n,
+        |   round(avg(dist), 4) AS mean_dist
+        | FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v20 — exact replay of the two-stage plan: per-dim sign-mismatch count
     // (≡ popcount over packed words), top-50 by (ham, vec_id), exact cosine

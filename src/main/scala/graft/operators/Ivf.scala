@@ -538,6 +538,80 @@ object Ivf {
     spark.read.parquet(path).count()
   }
 
+  /** Per-list health of a stored index: occupancy and mean distance from
+    * every stored vector to its ASSIGNED centroid. [[applyDelta]] keeps
+    * the build-time centroids forever; sustained churn whose additions
+    * come from a shifted distribution degrades list balance and
+    * assign-distance with no other signal — compare this frame against a
+    * build-time baseline (occupancy skew = max(n)/mean(n), corpus mean
+    * of `mean_dist`) to decide when to [[refit]].
+    *
+    * Scale shape: ONE column-pruned scan of (vec, list_id); the centroid
+    * lookup is an `element_at` over the broadcast-literal centroid table
+    * (nList × dim doubles in the plan — the same bound as every probe),
+    * the distance the codegen'd dot products; output is ≤ nList rows.
+    */
+  def driftStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import graft.functions.VectorExpressions.dotFast
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = readCentroids(path, conf).getOrElse(
+      throw new IllegalStateException(s"driftStats needs a sidecar-described store: $path"))
+    val vecCol = st.column.getOrElse(
+      throw new IllegalStateException(s"store sidecar at $path records no indexed column"))
+    require(st.model.centroids.nonEmpty, s"store at $path has no centroids")
+    val cents = typedLit(st.model.centroids.map(_.toSeq).toSeq)
+    val v     = col(vecCol).cast("array<double>")
+    val c     = element_at(cents, col("list_id").cast("int") + 1)
+    val d2    = dotFast(v, v) + dotFast(c, c) - lit(2.0) * dotFast(v, c)
+    spark.read.parquet(path)
+      .select(col("list_id").cast("int").as("list_id"),
+        sqrt(greatest(lit(0.0), d2)).as("__d"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n"), avg(col("__d")).as("mean_dist"))
+  }
+
+  /** Re-centroid and rewrite a drifted store IN PLACE: fit fresh
+    * centroids on the store's CURRENT rows (the same sample-budgeted fit
+    * path as [[assign]]), reassign every row, rewrite the partitioned
+    * store through [[compact]]'s staged directory swap, and refresh the
+    * sidecar — closing the lifecycle gap where [[applyDelta]]'s
+    * selective rewrites preserve stale centroids forever. Cost: one full
+    * scan + fit sample + one partitioned write — the operation
+    * applyDelta amortizes away until [[driftStats]] says otherwise.
+    *
+    * `nList` defaults to the store's current list count. Returns the
+    * refitted model.
+    */
+  def refit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nList: Int = 0,
+      seed: Long = 42L): Model = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = readCentroids(path, conf).getOrElse(
+      throw new IllegalStateException(s"refit needs a sidecar-described store: $path"))
+    val vecCol = st.column.getOrElse(
+      throw new IllegalStateException(s"store sidecar at $path records no indexed column"))
+    val k = if (nList > 0) nList else st.model.centroids.length
+    require(k > 0, s"refit of $path needs a positive list count")
+    val (assigned, model) = assign(
+      spark.read.parquet(path).drop("list_id"), vecCol, k, seed)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(conf)
+    val tmp  = new org.apache.hadoop.fs.Path(path + ".refit")
+    fs.delete(tmp, true)
+    // stage into a sibling dir: the scan of the live store completes
+    // before any rename touches it (no dynamic-overwrite self-read)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    fs.rename(root, old)
+    fs.rename(tmp, root)
+    fs.delete(old, true)
+    writeSidecar(conf, path, model, vecCol)
+    model
+  }
+
   /** Batch ANN — the k-NN JOIN against the store: every query row gets its
     * top-k neighbors from its own nProbe nearest lists. [[search]] serves
     * one query with a pruned scan; a training-data pipeline attaches

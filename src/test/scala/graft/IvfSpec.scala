@@ -325,6 +325,95 @@ class IvfSpec extends AnyFunSuite {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("drift lifecycle: shifted-distribution churn decays pruned recall + inflates driftStats; refit restores both") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_refit").toString + "/store"
+    // four well-separated base clusters; churn later adds a FIFTH cluster
+    // midway between c1 and c2 — under the stale centroids its points
+    // split across two lists by jitter parity, so an nProbe=1 probe sees
+    // only half the true neighbors
+    val centers = Array(
+      Array(10.0, 0, 0, 0, 0, 0, 0, 0), Array(0.0, 10, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 10, 0, 0, 0, 0, 0), Array(0.0, 0, 0, 10, 0, 0, 0, 0))
+    def basePt(i: Int): Seq[Double] = {
+      val v = centers(i % 4).clone()
+      v((i % 2) * 4 + 2) += 0.3 + (i % 5) * 0.1 // jitter off the probe dims
+      v.toSeq
+    }
+    // the drifted cluster sits midway between c1 and c2: a ±0.2 parity
+    // offset on dims 0/1 decides WHICH stale list a point lands in (even →
+    // c1's, odd → c2's) without affecting its cosine to the (10,10,0,…)
+    // query (symmetric), while dim 2 carries the ranking: consecutive id
+    // pairs share an exact epsilon, so the true top-10 is five even/odd
+    // PAIRS — guaranteed split across both stale lists
+    def driftPt(i: Int): Seq[Double] = {
+      val v = Array(10.0, 10, 0, 0, 0, 0, 0, 0)
+      v(i % 2) += 0.05 // big enough to decide the stale list, small enough
+      // that a refit split (if any) cuts along the wider dim-2 spread —
+      // which keeps the top-10 (lowest-epsilon pairs) co-located
+      v(2) = 0.05 + ((i / 2) % 50) * 0.01
+      v.toSeq
+    }
+    val base = (0 until 400).map(i => (i.toLong, basePt(i))).toDF("id", "vec")
+    // build with the exact cluster centers as the model — the baseline is
+    // a HEALTHY index by construction, so every later drift measurement is
+    // against a clean reference, not a fit's local optimum
+    val baseModel = Ivf.Model(centers.map(_.clone()))
+    Ivf.writeIndexed(Ivf.withListId(base, baseModel, "vec"), dir, baseModel, "vec")
+    def corpusMeanDist(): Double = {
+      val rows = Ivf.driftStats(spark, dir).select("n", "mean_dist")
+        .as[(Long, Double)].collect()
+      rows.map { case (n, d) => n * d }.sum / rows.map(_._1).sum
+    }
+    def occupancySkew(): Double = {
+      val ns = Ivf.driftStats(spark, dir).select("n").as[Long].collect()
+      ns.max.toDouble / (ns.sum.toDouble / ns.length)
+    }
+    val baseDist = corpusMeanDist()
+
+    // drifted-churn SEQUENCE: two delta rounds, each thinning every base
+    // cluster evenly (never deleting one outright) while adding points
+    // from the shifted distribution — applyDelta keeps the stale centroids
+    // throughout
+    Ivf.applyDelta(spark, dir,
+      (0 until 400).filter(_ % 8 < 2).map(_.toLong).toDF("id"),
+      (0 until 100).map(i => (1000L + i, driftPt(i))).toDF("id", "vec"), "id")
+    Ivf.applyDelta(spark, dir,
+      (0 until 400).filter(i => i % 8 == 2 || i % 8 == 3).map(_.toLong).toDF("id"),
+      (0 until 100).map(i => (2000L + i, driftPt(100 + i))).toDF("id", "vec"), "id")
+    val driftedDist = corpusMeanDist()
+    assert(driftedDist > 4 * baseDist,
+      s"drifted corpus must sit far from the stale centroids: $baseDist -> $driftedDist")
+
+    val q = Seq(10.0, 10, 0, 0, 0, 0, 0, 0)
+    val current = spark.read.parquet(dir).select(col("id"), col("vec"))
+    val want = Search.topK(current, "vec", "id", q, 10).select("id").as[Long].collect().toSet
+    def recallAt1Probe(): Int = {
+      val st = Ivf.readCentroids(dir, spark.sparkContext.hadoopConfiguration).get
+      Ivf.search(spark.read.parquet(dir), st.model, "vec", "id", q, 10, 1)
+        .select("id").as[Long].collect().count(want)
+    }
+    val decayed = recallAt1Probe()
+    assert(decayed <= 7,
+      s"stale centroids must split the drifted cluster across lists: recall $decayed/10")
+
+    // refit with a list budget that gives the new cluster its own centroid
+    val before = current.as[(Long, Seq[Double])].collect().toMap
+    Ivf.refit(spark, dir, nList = 8)
+    val after = spark.read.parquet(dir).select(col("id"), col("vec"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(after == before, "refit must preserve the store's content exactly")
+    val refitDist = corpusMeanDist()
+    // the fit is lloydFit from seeded random init: it reliably gives the
+    // drifted cluster its own centroid(s) but may still merge a pair of
+    // small far blobs, so the guarantee asserted is a >2x drift-signal
+    // reduction, not a perfect fit
+    assert(refitDist < driftedDist / 2,
+      s"refit must collapse the drift signal: $baseDist -> $driftedDist -> $refitDist")
+    assert(occupancySkew() < 3.0, s"refit must restore list balance: skew ${occupancySkew()}")
+    val restored = recallAt1Probe()
+    assert(restored == 10, s"refit must restore nProbe=1 recall: $decayed/10 -> $restored/10")
+  }
+
   test("applyDelta's delta join is size-gated: small deltas broadcast, a bulk purge degrades to a shuffled join") {
     // plan shape, both branches: under the row cap the hint forces a
     // BroadcastHashJoin; over it the hint is withheld and (the delta being
