@@ -1725,6 +1725,46 @@ object SparkEntry {
       graft.streaming.QualityMonitor.monitor(Tables(s, d).documents, "source", "text")
         .orderBy("source")),
 
+    // W6 — streaming recrawl maintenance (RecrawlStream, round 10): the
+    // incremental-crawl lifecycle folded per micro-batch — bootstrap, then
+    // two batch folds (removals, content changes, additions later mutated
+    // or deleted, redelivered-unchanged rows) through the SAME applyBatch
+    // the foreachBatch sink runs (stream≡batch parity is RecrawlStreamSpec).
+    // Output = the published (id, hash) snapshot full-outer-joined with
+    // the live IVF store's membership: DuckDB re-derives every final text
+    // state and its md5 relationally, and any lost/ghost/stale index row
+    // breaks the value check.
+    "w6_recrawl_stream" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-w6").toString
+      graft.streaming.RecrawlStream.bootstrap(s, docs, "doc_id", "text", root, nList = 8)
+      val b1 = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"))
+        .unionByName(docs.where(col("doc_id") % 91 === 0 && col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 83 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), concat(lit("fresh "), col("text")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 89 === 0 && col("doc_id") % 91 =!= 0 && col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("text"))) // unchanged resend: must cost nothing
+      graft.streaming.RecrawlStream.applyBatch(s, root, b1, "doc_id", "text")
+      val b2 = docs.where(col("doc_id") % 83 === 0 && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), lit(null).cast("string").as("text"))
+        .unionByName(docs.where(col("doc_id") % 83 === 0 && col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), concat(lit("fresh2 "), col("text")).as("text")))
+        .unionByName(docs.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), lit(null).cast("string").as("text"))) // already gone: no-op
+        .unionByName(docs.where(col("doc_id") % 91 === 0 && col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"))) // redelivered content
+      graft.streaming.RecrawlStream.applyBatch(s, root, b2, "doc_id", "text")
+      val snap = graft.streaming.RecrawlStream.currentDocs(s, root)
+      val idx = s.read.parquet(s"$root/index")
+        .select(col("doc_id")).withColumn("in_index", lit(true))
+      snap.join(idx, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("__hash").as("hash"),
+          coalesce(col("in_index"), lit(false)).as("in_index"))
+        .orderBy("doc_id")
+    }),
+
     "w4_salted_agg" -> ((s, d) => Skew.saltedAggregate(
       Tables(s, d).events, "event_type", 8,
       partials = Seq(count(lit(1)).as("pc"), sum(round(col("value") * 100, 0).cast("long")).as("pv")),
@@ -4395,6 +4435,23 @@ object SparkEntry {
            |   (sum(q_e4) // count(*))::BIGINT AS mean_quality_e4
            | FROM s GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // w6 — the final crawl state re-derived relationally: batch 1 removes
+    // %97, updates %91, adds %83 twins; batch 2 deletes the even twins,
+    // rewrites the odd ones, replays already-applied rows. The snapshot
+    // hash is md5 of the composed final text; index membership must be
+    // exactly the snapshot id set.
+    "w6_recrawl_stream" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        | fin AS (
+        |   SELECT doc_id,
+        |     CASE WHEN doc_id % 91 = 0 THEN text || ' updated' ELSE text END AS t
+        |   FROM base WHERE doc_id % 97 <> 0
+        |   UNION ALL
+        |   SELECT doc_id + 10000000, 'fresh2 ' || text
+        |   FROM base WHERE doc_id % 83 = 0 AND doc_id % 2 = 1)
+        | SELECT doc_id, md5(t) AS hash, true AS in_index
+        | FROM fin ORDER BY doc_id""".stripMargin,
 
     "x3_quality" -> {
       val stops = TextOps.stopwords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")

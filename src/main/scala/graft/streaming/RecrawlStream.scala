@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.operators.{Dedup, Embedder, Ivf}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Continuous incremental-crawl maintenance — [[graft.operators.Recrawl]]'s
+  * diff → delta-embed → selective-store-rewrite round, folded per
+  * micro-batch instead of hand-invoked per snapshot pair (the streaming
+  * face of the reference's upload → invalidate lifecycle,
+  * backend/main.py:260-352, the way [[Scd2Stream]] is [[graft.operators.Joins.scd2]]'s).
+  *
+  * The store root co-publishes two datasets:
+  *  - `<root>/docs` — the current (id, content-hash) snapshot, the state
+  *    future batches diff against; published via the
+  *    write-next → swap → `.old` crash-recovery discipline shared with
+  *    [[Scd2Stream]]/[[ComponentStream]], so a reader (or a recovering
+  *    batch) always sees one complete snapshot;
+  *  - `<root>/index` — a live sidecar-described IVF store, patched IN
+  *    PLACE by [[Ivf.applyDelta]]'s per-list dynamic-partition swaps (it
+  *    has its own reader-safe publication unit, so it is deliberately
+  *    NOT under the root swap — rewriting it wholesale per batch would
+  *    undo exactly the selectivity the delta path buys).
+  *
+  * Batch contract: rows (idCol, textCol); a NULL text means the crawler
+  * observed the document gone. The fold is idempotent by construction —
+  * the unit every crash-recovery story reduces to:
+  *  - upserts diff against the CURRENT doc hashes, so a redelivered row
+  *    whose content already landed is "unchanged" and costs nothing (no
+  *    embed, no store write);
+  *  - removals semi-join the snapshot, so deleting an already-deleted id
+  *    is a no-op;
+  *  - [[Ivf.applyDelta]] additions are upserts.
+  * The index is patched BEFORE the snapshot swaps: a crash between the
+  * two replays the batch against the pre-batch snapshot, re-deriving the
+  * same delta into idempotent store operations.
+  *
+  * Scale shape per batch: one (id, 16-byte hash) join of batch × snapshot,
+  * embedding work ∝ CHANGED rows only, store rewrite ∝ affected list
+  * partitions — the corpus is never re-embedded and untouched store files
+  * are never read or written. 100 TB with 0.1% daily churn streams at
+  * 0.1%-sized batch cost.
+  */
+object RecrawlStream {
+
+  private def docsPath(root: String)  = s"$root/docs"
+  private def indexPath(root: String) = s"$root/index"
+
+  /** Initial state: embed the full corpus once, build the IVF store, and
+    * publish the (id, hash) snapshot the first batch will diff against.
+    */
+  def bootstrap(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      root: String,
+      nList: Int,
+      embedder: Embedder = Embedder.default,
+  ): Unit = {
+    val emb = Embedder.embedText(spark, docs, idCol, textCol, embedder).toDF()
+      .select(col("id").as(idCol), col("embedding"))
+    val (assigned, model) = Ivf.assign(emb, "embedding", nList)
+    Ivf.writeIndexed(assigned, indexPath(root), model, "embedding")
+    docs.select(col(idCol), Dedup.exactKey(col(textCol)).as("__hash"))
+      .write.mode("overwrite").parquet(docsPath(root))
+  }
+
+  /** Current (id, __hash) snapshot, with the `.old` crash fallback. */
+  def currentDocs(spark: SparkSession, root: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(docsPath(root))
+    val old  = new org.apache.hadoop.fs.Path(docsPath(root) + ".old")
+    if (fs.exists(live)) spark.read.parquet(live.toString)
+    else if (fs.exists(old)) spark.read.parquet(old.toString)
+    else throw new IllegalStateException(s"no doc snapshot under $root — bootstrap first")
+  }
+
+  /** One micro-batch fold. Returns (upserts embedded, removals applied,
+    * index list-partitions touched). Exposed for the parity spec and for
+    * batch backfills — [[start]] is exactly this per micro-batch.
+    */
+  def applyBatch(
+      spark: SparkSession,
+      root: String,
+      batch0: DataFrame,
+      idCol: String,
+      textCol: String,
+      embedder: Embedder = Embedder.default,
+  ): (Long, Long, Long) = {
+    val lvl   = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val batch = batch0.select(col(idCol), col(textCol)).distinct().persist(lvl)
+    try {
+      // two rows for one id that are not exact duplicates have no
+      // deterministic winner — producer bug, fail fast (the Scd2Stream
+      // conflict-guard stance; exact redelivery already deduped above)
+      val dup = batch.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
+      require(dup == 0, s"recrawl batch carries conflicting rows for one $idCol")
+      val cur = currentDocs(spark, root)
+      val hashed = batch.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol), Dedup.exactKey(col(textCol)).as("__bh"))
+      // unchanged content drops out here: redelivery is free, and only
+      // genuinely new/changed docs reach the embedder
+      val upserts = hashed
+        .join(cur.withColumnRenamed("__hash", "__ch"), Seq(idCol), "left_outer")
+        .where(col("__ch").isNull || col("__ch") =!= col("__bh"))
+        .select(col(idCol), col(textCol), col("__bh"))
+        .persist(lvl)
+      val removals = batch.where(col(textCol).isNull).select(col(idCol))
+        .join(cur, Seq(idCol), "left_semi") // absent ids: no-op
+        .persist(lvl)
+      try {
+        val nUp  = upserts.count()
+        val nRem = removals.count()
+        val fresh = Embedder.embedText(spark, upserts, idCol, textCol, embedder).toDF()
+          .select(col("id").as(idCol), col("embedding"))
+        val vecName = Ivf.readCentroids(indexPath(root), spark.sparkContext.hadoopConfiguration)
+          .flatMap(_.column).getOrElse("embedding")
+        val touched = Ivf.applyDelta(spark, indexPath(root), removals,
+          fresh.withColumnRenamed("embedding", vecName), idCol)
+        // publish the next snapshot: write beside, swap, verify, drop .old
+        val gone = removals.unionByName(upserts.select(col(idCol)))
+        val next = cur.join(gone, Seq(idCol), "left_anti")
+          .unionByName(upserts.select(col(idCol), col("__bh").as("__hash")))
+        val conf = spark.sparkContext.hadoopConfiguration
+        val live = new org.apache.hadoop.fs.Path(docsPath(root))
+        val fs   = live.getFileSystem(conf)
+        val tmp  = new org.apache.hadoop.fs.Path(docsPath(root) + ".next")
+        fs.delete(tmp, true)
+        next.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(docsPath(root) + ".old")
+        fs.delete(old, true)
+        if (fs.exists(live)) fs.rename(live, old)
+        fs.rename(tmp, live)
+        val readable =
+          try spark.read.parquet(live.toString).schema.fieldNames.contains("__hash")
+          catch { case _: Exception => false }
+        if (readable) fs.delete(old, true)
+        (nUp, nRem, touched)
+      } finally { upserts.unpersist(); removals.unpersist(); () }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Start folding a stream of crawl results into the store at `root`. */
+  def start(
+      spark: SparkSession,
+      updates: DataFrame,
+      idCol: String,
+      textCol: String,
+      root: String,
+      checkpoint: String,
+      embedder: Embedder = Embedder.default,
+      availableNow: Boolean = true,
+  ): StreamingQuery = {
+    val writer = updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          applyBatch(batch.sparkSession, root, batch, idCol, textCol, embedder)
+          ()
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

@@ -474,3 +474,96 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Streamed recrawl maintenance (RecrawlStream) must equal the
+  * hand-invoked batch applyDelta sequence — including under batch
+  * redelivery and a crash between the index patch and the snapshot swap.
+  */
+class RecrawlStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def snapOf(m: Map[Long, String], b: Seq[(Long, String)]): Map[Long, String] =
+    b.foldLeft(m) { case (acc, (id, t)) => if (t == null) acc - id else acc + (id -> t) }
+
+  test("streamed maintenance equals the batch applyDelta sequence; redelivery and mid-swap crash are absorbed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs0 = (0L until 120L).map(i => i -> s"doc $i body ${i % 7}").toMap
+    // round 1: removals, content changes, fresh ids, one no-op unchanged row
+    val b1: Seq[(Long, String)] =
+      (0L until 120L by 13).map(i => (i, null: String)) ++
+        (0L until 120L by 17).filter(_ % 13 != 0).map(i => (i, s"doc $i body updated")) ++
+        (0L until 3L).map(j => (1000L + j, s"fresh doc $j")) ++
+        Seq((2L, docs0(2L)))
+    // round 2: mutate round-1 additions, delete an already-deleted id,
+    // re-send unchanged content, add late
+    val b2: Seq[(Long, String)] = Seq(
+      (1000L, null: String), (1001L, "fresh doc 1 v2"),
+      (26L, null: String), (5L, docs0(5L)), (2000L, "late addition"))
+    val snap2 = snapOf(snapOf(docs0, b1), b2)
+
+    // ---- streamed path ----
+    val rootS = java.nio.file.Files.createTempDirectory("recrawl_stream").toString
+    graft.streaming.RecrawlStream.bootstrap(
+      spark, docs0.toSeq.toDF("doc_id", "text"), "doc_id", "text", rootS, nList = 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.RecrawlStream.start(
+      spark, mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      rootS, s"$rootS/ckpt", availableNow = false)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    // ---- batch path: two hand-invoked Recrawl.maintainIvf rounds ----
+    val rootB = java.nio.file.Files.createTempDirectory("recrawl_batch").toString
+    graft.streaming.RecrawlStream.bootstrap(
+      spark, docs0.toSeq.toDF("doc_id", "text"), "doc_id", "text", rootB, nList = 4)
+    val snap1 = snapOf(docs0, b1)
+    val (d1, _) = graft.operators.Recrawl.maintainIvf(spark, s"$rootB/index",
+      docs0.toSeq.toDF("doc_id", "text"), snap1.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    d1.unpersist()
+    val (d2, _) = graft.operators.Recrawl.maintainIvf(spark, s"$rootB/index",
+      snap1.toSeq.toDF("doc_id", "text"), snap2.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    d2.unpersist()
+
+    def indexRows(root: String): Map[Long, Seq[Float]] =
+      spark.read.parquet(s"$root/index")
+        .select(col("doc_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Seq[Float])].collect().toMap
+    val streamed = indexRows(rootS)
+    assert(streamed == indexRows(rootB),
+      "streamed index must equal the batch applyDelta sequence's")
+    assert(streamed.keySet == snap2.keySet, "index ids must equal the final snapshot")
+    // the snapshot the NEXT batch would diff against is exactly snap2's hashes
+    val snapGot = graft.streaming.RecrawlStream.currentDocs(spark, rootS)
+      .as[(Long, String)].collect().toMap
+    val snapWant = snap2.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Dedup.exactKey(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(snapGot == snapWant)
+
+    // ---- redelivery: the whole of b2 again is a no-op fold ----
+    val (nUp, nRem, nTouched) = graft.streaming.RecrawlStream.applyBatch(
+      spark, rootS, b2.toDF("doc_id", "text"), "doc_id", "text")
+    assert((nUp, nRem, nTouched) == ((0L, 0L, 0L)),
+      s"redelivered batch must cost nothing: $nUp/$nRem/$nTouched")
+    assert(indexRows(rootS) == streamed)
+
+    // ---- crash between the index patch and the snapshot swap: the live
+    // snapshot dir is gone (renamed to .old), recovery reads .old and the
+    // replayed batch folds idempotently ----
+    val fs = new org.apache.hadoop.fs.Path(rootS)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$rootS/docs"),
+      new org.apache.hadoop.fs.Path(s"$rootS/docs.old"))
+    graft.streaming.RecrawlStream.applyBatch(
+      spark, rootS, b2.toDF("doc_id", "text"), "doc_id", "text")
+    assert(indexRows(rootS) == streamed)
+    assert(graft.streaming.RecrawlStream.currentDocs(spark, rootS)
+      .as[(Long, String)].collect().toMap == snapWant)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$rootS/docs")),
+      "recovery must republish the live snapshot dir")
+  }
+}
