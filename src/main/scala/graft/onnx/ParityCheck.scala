@@ -1,0 +1,60 @@
+package graft.onnx
+
+/** Deployment-side fidelity gate for the from-scratch ONNX runtime against
+  * REAL pretrained weights (`tools/export_mpnet_parity.py` writes the
+  * artifacts): re-embeds the pinned probe sentences through
+  * [[OnnxEmbedder]] (the exact distributed-seam code path — WordPiece ids,
+  * masked mean pool, L2 normalize) and compares against the torch-side
+  * report. [[Export.TinyMpnet]] pins the runtime's ARCHITECTURE fidelity
+  * in-sandbox (<2e-5/dim on an mpnet-shaped seeded model); this closes the
+  * remaining gap — the numerical range of real weights — wherever a
+  * deployment can run the export script.
+  *
+  * Usage: runMain graft.onnx.ParityCheck <dir with model.onnx, vocab.txt,
+  * parity.tsv>. Exit 0 = every probe inside the gate (cosine ≥ 0.9995 AND
+  * max|diff| ≤ 5e-3 — loose enough for kernel-order float drift, tight
+  * enough that a tokenizer/op defect fails loudly); nonzero otherwise.
+  */
+object ParityCheck {
+
+  final case class ProbeResult(sentence: String, cosine: Double, maxAbsDiff: Double) {
+    def ok: Boolean = cosine >= 0.9995 && maxAbsDiff <= 5e-3
+  }
+
+  def run(dir: String): Seq[ProbeResult] = {
+    val lines = scala.io.Source.fromFile(s"$dir/parity.tsv", "UTF-8").getLines().toVector
+    require(lines.nonEmpty && lines.head.startsWith("dim\t"), s"$dir/parity.tsv: missing dim header")
+    val dim = lines.head.split('\t')(1).trim.toInt
+    val probes = lines.tail.map { l =>
+      val Array(s, v) = l.split('\t')
+      s -> v.split(',').map(_.toDouble)
+    }
+    require(probes.nonEmpty, "parity.tsv has no probe rows")
+    val emb = new OnnxEmbedder(s"$dir/model.onnx", s"$dir/vocab.txt", dim)
+    // one batch, like the export: padding invariance is TinyMpnet-covered
+    val got = emb.embedBatch(probes.map(_._1))
+    probes.zip(got).map { case ((s, want), g) =>
+      require(want.length == g.length, s"dim mismatch: ${want.length} vs ${g.length}")
+      var dot = 0.0; var maxD = 0.0
+      var i = 0
+      while (i < want.length) {
+        dot += want(i) * g(i)
+        maxD = math.max(maxD, math.abs(want(i) - g(i)))
+        i += 1
+      }
+      // both sides are L2-normalized, so the dot IS the cosine
+      ProbeResult(s, dot, maxD)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: ParityCheck <dir with model.onnx, vocab.txt, parity.tsv>")
+    val results = run(args(0))
+    results.foreach { r =>
+      println(f"${if (r.ok) "PASS" else "FAIL"}  cos=${r.cosine}%.6f maxdiff=${r.maxAbsDiff}%.2e  ${r.sentence.take(60)}")
+    }
+    val bad = results.count(!_.ok)
+    println(s"parity: ${results.size - bad}/${results.size} probes pass")
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -525,4 +525,42 @@ class OnnxSpec extends AnyFunSuite {
     assert(t.length == 4 && t.head == 2L && t.last == 3L)
     assert(v.encode("", 8).toSeq == Seq(2L, 3L))
   }
+
+  test("ParityCheck harness: reads the report, gates per probe, a corrupted row fails alone") {
+    import graft.onnx.{ParityCheck, TinyMpnet}
+    val dir = java.nio.file.Files.createTempDirectory("graft_parity").toString
+    val (mp, vp) = TinyMpnet.writeTo(dir)
+    val emb = new OnnxEmbedder(mp, vp, TinyMpnet.hidden)
+    val probes = Seq("the spark engine", "zzz qqq", "tokenizer quality stream")
+    val vecs = emb.embedBatch(probes)
+    def writeReport(rows: Seq[String]): Unit = {
+      val pw = new java.io.PrintWriter(s"$dir/parity.tsv", "UTF-8")
+      pw.println(s"dim\t${TinyMpnet.hidden}")
+      rows.foreach(pw.println)
+      pw.close()
+    }
+    val rows = probes.zip(vecs).map { case (s, v) =>
+      s + "\t" + v.map(x => f"$x%.8f").mkString(",")
+    }
+    writeReport(rows)
+    val res = ParityCheck.run(dir)
+    assert(res.size == 3 && res.forall(_.ok), res.mkString("; "))
+    // corrupt the second probe's expected vector: only that row may fail
+    writeReport(rows.updated(1, {
+      val Array(s, v) = rows(1).split('\t')
+      s + "\t" + v.split(',').map(x => (x.toDouble + 0.1).toString).mkString(",")
+    }))
+    val res2 = ParityCheck.run(dir)
+    assert(!res2(1).ok && res2(0).ok && res2(2).ok, res2.mkString("; "))
+  }
+
+  test("real all-mpnet-base-v2 parity (deployment-gated: set GRAFT_MPNET_DIR)") {
+    // tools/export_mpnet_parity.py writes model.onnx + vocab.txt +
+    // parity.tsv on a torch machine; this spec cancels in-sandbox exactly
+    // like the Tesseract probe
+    assume(sys.env.contains("GRAFT_MPNET_DIR"),
+      "GRAFT_MPNET_DIR not set — run tools/export_mpnet_parity.py where torch is installed")
+    val res = graft.onnx.ParityCheck.run(sys.env("GRAFT_MPNET_DIR"))
+    assert(res.nonEmpty && res.forall(_.ok), res.filterNot(_.ok).mkString("; "))
+  }
 }
