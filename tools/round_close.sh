@@ -67,37 +67,15 @@ fi
 
 if [ "${1:-}" != "--quick" ]; then
   step "bench coverage == declared query set (and committed bench not stale)"
-  # round-8 lesson: the committed bench predated the last operator commit,
-  # so it was one query short. Two assertions: (1) the fresh bench covers
-  # every query Verify just ran; (2) the bench_full.json at HEAD has the
-  # same query set — if not, this gate run happened AFTER new operators
-  # landed and the regenerated bench_full.json must go into the final
-  # commit (re-run this script after the last operator commit).
-  if ! python3 - <<'EOF'
-import json, os, subprocess, sys
-fresh = json.load(open("bench_full.json"))
-bq = set(fresh["queries"])
-declared = {d for d in os.listdir("/tmp/round_close_0.01")
-            if os.path.isdir(os.path.join("/tmp/round_close_0.01", d))}
-bad = False
-if declared - bq or bq - declared:
-    print(f"MISSING from bench: {sorted(declared - bq)}\nEXTRA in bench: {sorted(bq - declared)}")
-    bad = True
-else:
-    print(f"fresh bench covers all {len(declared)} declared queries")
-try:
-    head = json.loads(subprocess.run(["git", "show", "HEAD:bench_full.json"],
-                                     capture_output=True, check=True).stdout)
-    hq = set(head["queries"])
-    if hq != bq:
-        print(f"COMMITTED bench is STALE: HEAD has {len(hq)} queries, fresh has {len(bq)} "
-              f"(delta: {sorted(bq ^ hq)}) -- commit the regenerated bench_full.json")
-        bad = True
-except subprocess.CalledProcessError:
-    print("no committed bench_full.json at HEAD -- commit the fresh one")
-sys.exit(1 if bad else 0)
-EOF
-  then echo "FAIL: bench coverage"; fail=1; fi
+  # rounds 8+9 lesson: the committed bench predated the round's last
+  # operator commits. The shared checker (tools/bench_coverage.py)
+  # asserts (1) the fresh bench covers every query Verify just ran and
+  # (2) HEAD's bench_full.json matches it. Close rounds ONLY through
+  # tools/snapshot.sh, which re-runs this whole gate at true HEAD and is
+  # the only path that commits the bench artifact.
+  if ! python3 tools/bench_coverage.py bench_full.json /tmp/round_close_0.01; then
+    echo "FAIL: bench coverage"; fail=1
+  fi
 fi
 
 echo
