@@ -64,5 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.GearBoundaries(args(0), org.apache.spark.sql.GraftBridge.litInt(args(1))),
     ))
+    ext.injectFunction((
+      FunctionIdentifier("maxsim_score"),
+      new ExpressionInfo(classOf[graft.functions.MaxSimScore].getName, "maxsim_score"),
+      (args: Seq[Expression]) => graft.functions.MaxSimScore(args(0), args(1)),
+    ))
   }
 }

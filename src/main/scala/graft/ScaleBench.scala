@@ -387,6 +387,18 @@ object ScaleBench {
           docs.select(col("doc_id"), (length(col("text")) / 5).cast("long").as("n_tok")),
           "doc_id", "n_tok", 2048, nShards = 8).agg(max("seq_last")).count()),
         "cosine_topk"     -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
+        // round-10 v27: group shuffle builds the token bags, then ONE
+        // fused maxsim pass + TakeOrderedAndProject — linear in vectors
+        "late_interaction" -> (() => {
+          val q = Seq((0 until 64).map(i => math.sin(i * 0.3)), (0 until 64).map(i => math.cos(i * 0.5) - 0.1))
+          val docs64 = vecs.groupBy((col("vec_id") % 512).as("doc_id"))
+            .agg(collect_list(col("embedding").cast("array<double>")).as("tok_vecs"))
+          Search.lateInteractionTopK(docs64, "tok_vecs", "doc_id", q, 10).count()
+        }),
+        // round-10 v28: BM25 recall (filtered token stream) + a
+        // 100-candidate-bounded rerank — stage 2 cost is constant in corpus
+        "rerank_topk"     -> (() => Rank.rerankTopK(
+          docs, "doc_id", "text", Seq("w17", "w256", "w901"), 10, 100).count()),
         "knn_join_32q"    -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs, "embedding", "vec_id", "embedding", "vec_id", 10).count()),
         "ivf_probe"       -> (() => {
           val (indexed, model) = Ivf.indexFor(vecs, "embedding", 32, cacheKey = s"scale$scale")

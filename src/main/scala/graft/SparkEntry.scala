@@ -31,6 +31,14 @@ object SparkEntry {
     Embedder.default.embed("spark engine vector search").map(_.toDouble).toSeq
   private val qVecSql: String = qVec.mkString("[", ", ", "]")
 
+  /** Query TOKEN vectors for the late-interaction query (v27) — same
+    * inline-the-exact-doubles contract as [[qVec]].
+    */
+  private val qTokVecs: Seq[Seq[Double]] =
+    Seq("engine", "vector", "search quality", "stream")
+      .map(t => Embedder.default.embed(t).map(_.toDouble).toSeq)
+  private def qTokSql(i: Int): String = qTokVecs(i).mkString("[", ", ", "]")
+
   /** Flagship: the reference's canonical read path (§3.1) on sf0.001 —
     * embed query (V2) → filtered cosine top-k (V1/F4/T1) → hydrate text
     * (J2) → format (V4).
@@ -3002,6 +3010,29 @@ object SparkEntry {
         .orderBy("list_id")
     }),
 
+    // V27 — ColBERT-style late interaction (round 10): embeddings rows
+    // grouped into 50 multi-vector "documents" (vec_id % 50), scored
+    // Σ_i max_j cos(q_i, d_j) against 4 query token vectors by the fused
+    // MaxSimScore expression — one codegen pass per row, no explode, and
+    // the top-10 is TakeOrderedAndProject. The oracle replays each
+    // query-token max and the fixed-order sum relationally.
+    "v27_colbert" -> ((s, d) => {
+      val docs = Tables(s, d).embeddings
+        .groupBy((col("vec_id") % 50).as("doc_id"))
+        .agg(collect_list(col("embedding").cast("array<double>")).as("tok_vecs"))
+      Search.lateInteractionTopK(docs, "tok_vecs", "doc_id", qTokVecs, 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
+    // V28 — candidate rerank (round 10): BM25 recall top-30, Dice
+    // token-overlap precision rerank of the candidates — the two-stage
+    // cross-encoder shape with the deterministic default scorer, so the
+    // oracle replays BOTH stages (the rounded candidate cut and the
+    // overlap arithmetic) exactly.
+    "v28_rerank" -> ((s, d) => Rank.rerankTopK(
+      Tables(s, d).documents, "doc_id", "text", Seq("table", "window", "agg"), 10, 30)),
+
     "v19_hnsw" -> ((s, d) => {
       val t = Tables(s, d)
       val emb = t.embeddings.select(col("vec_id"), col("embedding"))
@@ -5272,6 +5303,39 @@ object SparkEntry {
         | SELECT list_id::BIGINT AS list_id, count(*)::BIGINT AS n,
         |   round(avg(dist), 4) AS mean_dist
         | FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // v27 — per query token: the max cosine over each pseudo-document's
+    // vector bag; score = the maxes summed in query-token order
+    "v27_colbert" ->
+      s"""WITH s AS (SELECT vec_id % 50 AS doc_id,
+         |   list_cosine_similarity(embedding::DOUBLE[], ${qTokSql(0)}) AS c0,
+         |   list_cosine_similarity(embedding::DOUBLE[], ${qTokSql(1)}) AS c1,
+         |   list_cosine_similarity(embedding::DOUBLE[], ${qTokSql(2)}) AS c2,
+         |   list_cosine_similarity(embedding::DOUBLE[], ${qTokSql(3)}) AS c3
+         |   FROM embeddings),
+         | m AS (SELECT doc_id, max(c0) AS m0, max(c1) AS m1, max(c2) AS m2, max(c3) AS m3
+         |   FROM s GROUP BY 1)
+         | SELECT doc_id, round(((m0 + m1) + m2) + m3, 4) AS score
+         | FROM m ORDER BY ((m0 + m1) + m2) + m3 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // v28 — both stages replayed: the v10 BM25 with the ROUNDED top-30
+    // candidate cut, then the Dice token-overlap rerank
+    "v28_rerank" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+           | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+           | hits AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           | f AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM hits WHERE term IN ('table', 'window', 'agg') GROUP BY 1, 2),
+           | dft AS (SELECT term, count(*)::DOUBLE AS df FROM f GROUP BY 1),
+           | s AS (SELECT f.doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |   FROM f JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+           | first AS (SELECT doc_id, round(sum(s), 4) AS first_score FROM s GROUP BY 1
+           |   ORDER BY first_score DESC, doc_id LIMIT 30),
+           | rr AS (SELECT fs.doc_id, fs.first_score,
+           |   round(2.0 * len(list_intersect(list_distinct(t.toks), ['table', 'window', 'agg'])) / (3 + len(list_distinct(t.toks))), 4) AS rerank_score
+           |   FROM first fs JOIN t USING (doc_id))
+           | SELECT doc_id, first_score, rerank_score FROM rr
+           | ORDER BY rerank_score DESC, first_score DESC, doc_id LIMIT 10""".stripMargin,
 
     // v20 — exact replay of the two-stage plan: per-dim sign-mismatch count
     // (≡ popcount over packed words), top-50 by (ham, vec_id), exact cosine

@@ -270,6 +270,72 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** ColBERT-style late-interaction score (Khattab & Zaharia, SIGIR 2020):
+  * `Σ_i max_j cos(q_i, d_j)` over two token-vector matrices — one fused
+  * pass per row instead of an explode + regroup of the corpus into
+  * |corpus|·|tokens| rows. The sum runs in query-token order and each
+  * inner max skips NaN cosines (zero-norm padding vectors); a document
+  * with no valid vector for some query token scores NaN (callers filter
+  * with the same `!isnan` guard as every other scorer).
+  */
+case class MaxSimScore(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isVecMatrix(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(DoubleType, _), _) => true
+    case _                                      => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVecMatrix(left.dataType) && isVecMatrix(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<array<double>> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "maxsim_score"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MaxSimScore.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, q) => s"graft.functions.MaxSimScore$$.MODULE$$.score($d, $q)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MaxSimScore =
+    copy(left = newLeft, right = newRight)
+}
+
+object MaxSimScore {
+
+  private def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** docs = the row's token vectors, qs = the (literal) query vectors. */
+  def score(docs: ArrayData, qs: ArrayData): Double = {
+    val nq = qs.numElements()
+    val nd = docs.numElements()
+    var total = 0.0
+    var qi = 0
+    while (qi < nq) {
+      val q = qs.getArray(qi)
+      var best = Double.NegativeInfinity
+      var dj = 0
+      while (dj < nd) {
+        val c = cosine(q, docs.getArray(dj))
+        if (!c.isNaN && c > best) best = c
+        dj += 1
+      }
+      if (best == Double.NegativeInfinity) return Double.NaN
+      total += best
+      qi += 1
+    }
+    total
+  }
+}
+
 object VectorExpressions {
 
   /** Codegen'd cosine over array<double> columns. */
@@ -279,6 +345,10 @@ object VectorExpressions {
   /** Codegen'd dot product over array<double> columns. */
   def dotFast(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd late-interaction score over array<array<double>> columns. */
+  def maxsimFast(docToks: Column, queryToks: Column): Column =
+    GraftBridge.column(MaxSimScore(GraftBridge.expression(docToks), GraftBridge.expression(queryToks)))
 
   /** Codegen'd SQ8 quantization: struct(codes array<int>, scale double). */
   def sq8(v: Column): Column =

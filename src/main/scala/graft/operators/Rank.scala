@@ -167,4 +167,96 @@ object Rank {
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("rrf"))
   }
+
+  /** Scores (query, document-text) PAIRS — the cross-encoder seam. The
+    * recall stage hands a bounded candidate list to [[rerankTopKWith]];
+    * implementations range from the deterministic token-overlap default
+    * to a real ONNX cross-encoder (pair-encode `[CLS] q [SEP] d [SEP]`,
+    * take the relevance head) — the same pluggable-model stance as
+    * [[Embedder]].
+    */
+  trait PairScorer extends Serializable {
+    def scoreBatch(query: String, texts: Seq[String]): Seq[Double]
+  }
+
+  /** Candidate-rerank retrieval — the two-stage shape production RAG
+    * stacks run (recall with BM25/bi-encoder, precision with a stronger
+    * pair scorer; Nogueira & Cho 2019). First pass: [[bm25]] top
+    * `nCandidates` (TakeOrderedAndProject over the filtered token
+    * stream); the ≤N candidate ids broadcast back to hydrate texts; the
+    * rerank re-scores each candidate against the query and returns top-k
+    * by (rerank_score, first_score, id).
+    *
+    * This default form scores with the DICE TOKEN OVERLAP
+    * `2·|q ∩ d| / (|q| + |d|)` over distinct tokens — deterministic,
+    * codegen'd ([[graft.functions.TextOps.tokens]] + array_intersect),
+    * and exactly replayable by a SQL oracle. Model-backed scoring drops
+    * into the same plan via [[rerankTopKWith]].
+    *
+    * Scale shape: stage 2 touches `nCandidates` rows, never the corpus —
+    * the whole point of the two-stage split (a cross-encoder over the
+    * corpus would be |corpus| forward passes).
+    */
+  def rerankTopK(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int, nCandidates: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+  ): DataFrame = {
+    val hydrated = rerankCandidates(df, idCol, textCol, terms, k, nCandidates, k1, b)
+    val qd   = terms.distinct
+    val toks = array_distinct(graft.functions.TextOps.tokens(col(textCol)))
+    val dice = lit(2.0) * size(array_intersect(toks, typedLit(qd))) / (lit(qd.size) + size(toks))
+    hydrated
+      .select(col(idCol), col("__first").as("first_score"), round(dice, 4).as("rerank_score"))
+      .orderBy(col("rerank_score").desc, col("first_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[rerankTopK]] with a pluggable [[PairScorer]] (e.g. an ONNX
+    * cross-encoder): candidates hydrate, then score in `mapPartitions`
+    * batches — the [[Embedder.embedText]] seam shape, so a JVM-loaded
+    * model runs once per executor over ≤nCandidates rows. `idCol` must be
+    * integral (the embed-seam convention).
+    */
+  def rerankTopKWith(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      query: String, scorer: PairScorer,
+      k: Int, nCandidates: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      batchSize: Int = 64,
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hydrated = rerankCandidates(df, idCol, textCol, terms, k, nCandidates, k1, b)
+    val scored = hydrated
+      .select(col(idCol).cast("long"), col("__first"), col(textCol).cast("string"))
+      .as[(Long, Double, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val scores = scorer.scoreBatch(query, batch.map(_._3))
+          batch.zip(scores).map { case ((id, first, _), s) => (id, first, s) }
+        }
+      }
+      .toDF(idCol, "first_score", "rerank_score")
+    scored
+      .orderBy(col("rerank_score").desc, col("first_score").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def rerankCandidates(
+      df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int, nCandidates: Int, k1: Double, b: Double,
+  ): DataFrame = {
+    require(k >= 1 && nCandidates >= k, s"need nCandidates ($nCandidates) >= k ($k) >= 1")
+    require(nCandidates <= 10000,
+      s"stage 2 hydrates every candidate — bound it (got $nCandidates)")
+    // first-pass scores round to 4 decimals BEFORE the cut so the
+    // candidate set (and the tie-break order) replays exactly in a SQL
+    // engine — the prfExpansionTerms discipline
+    val cand = bm25(df, idCol, textCol, terms, k1, b)
+      .select(col(idCol), round(col("score"), 4).as("__first"))
+      .orderBy(col("__first").desc, col(idCol))
+      .limit(nCandidates)
+    df.select(col(idCol), col(textCol)).join(broadcast(cand), Seq(idCol))
+  }
 }

@@ -179,6 +179,40 @@ object Search {
     } finally { cand.unpersist(); () }
   }
 
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia, SIGIR
+    * 2020): documents carry PER-TOKEN vectors and score
+    * `Σ_i max_j cos(q_i, d_j)` against the query's token vectors —
+    * the multi-vector refinement single-vector cosine approximates, and
+    * the retrieval shape modern RAG rerankers standardize on.
+    *
+    * Scale shape: the query matrix is a literal (rides the plan, no
+    * broadcast join), the maxsim is ONE fused codegen'd pass over each
+    * row's token matrix ([[graft.functions.MaxSimScore]] — exploding to
+    * |corpus|·|tokens| rows and regrouping would shuffle the corpus), and
+    * top-k plans as TakeOrderedAndProject. Nothing shuffles.
+    *
+    * Rows with an empty/all-invalid token matrix score NaN and are
+    * dropped by the same guard [[topK]] uses for zero-norm vectors.
+    */
+  def lateInteractionTopK(
+      corpus: DataFrame,
+      tokVecsCol: String,
+      idCol: String,
+      queryVecs: Seq[Seq[Double]],
+      k: Int,
+      filters: Seq[Column] = Nil,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(queryVecs.nonEmpty, "need at least one query token vector")
+    val q = typedLit(queryVecs)
+    val scored = corpus.withColumn("score",
+      graft.functions.VectorExpressions.maxsimFast(col(tokVecsCol).cast("array<array<double>>"), q))
+    filters.foldLeft(scored)((df, f) => df.where(f))
+      .where(!isnan(col("score")))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Brute-force k-NN join: top-k corpus neighbors for EVERY query row.
     *
     * Queries are broadcast (small side) so scoring is a narrow pass over the

@@ -49,6 +49,8 @@ object GraftBridge {
       "mlm_mask", args => graft.functions.MlmMask(args(0), args(1), GraftBridge.litInt(args(2))), "built-in")
     registry.createOrReplaceTempFunction(
       "gear_boundaries", args => graft.functions.GearBoundaries(args(0), GraftBridge.litInt(args(1))), "built-in")
+    registry.createOrReplaceTempFunction(
+      "maxsim_score", args => graft.functions.MaxSimScore(args(0), args(1)), "built-in")
   }
 
   /** Fold a literal argument of a SQL function call to Int (k, window,

@@ -857,6 +857,82 @@ class OperatorsSpec extends AnyFunSuite {
       assert(math.abs(mmr - 0.5 * rel) <= 0.5 + 1e-12, s"penalty out of [-1,1] band for $id") }
   }
 
+  test("MaxSimScore: hand-computed maxsim, HOF parity, empty-doc NaN") {
+    val q = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val docs = Seq(
+      (1L, Seq(Seq(1.0, 0.0), Seq(0.5, 0.5))),  // max cos vs q1 = 1.0 (tok 1); vs q2 = cos((.5,.5),(0,1)) = .7071
+      (2L, Seq(Seq(0.0, 2.0))),                 // vs q1 = 0; vs q2 = 1 (scale-invariant)
+      (3L, Seq.empty[Seq[Double]]),             // no vectors -> NaN
+    ).toDF("id", "toks")
+    val scored = docs.select(col("id"),
+      graft.functions.VectorExpressions.maxsimFast(col("toks"), typedLit(q)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(scored(1L) - (1.0 + math.sqrt(0.5))) < 1e-12)
+    assert(math.abs(scored(2L) - 1.0) < 1e-12)
+    assert(scored(3L).isNaN)
+    // parity with an independent Scala reference on real 64-d vectors
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val q64 = Seq(
+      (0 until 64).map(i => math.sin(i * 0.3 + 1)),
+      (0 until 64).map(i => math.cos(i * 0.7) - 0.2))
+    val bags = t.embeddings.groupBy((col("vec_id") % 7).as("id"))
+      .agg(collect_list(col("embedding").cast("array<double>")).as("toks"))
+      .persist()
+    def cosRef(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = bags.as[(Long, Seq[Seq[Double]])].collect().map { case (id, toks) =>
+      id -> q64.map(qv => toks.map(d => cosRef(qv, d)).max).sum
+    }.toMap
+    val fused = bags.select(col("id"),
+      graft.functions.VectorExpressions.maxsimFast(col("toks"), typedLit(q64)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bags.unpersist()
+    want.foreach { case (id, v) =>
+      assert(math.abs(fused(id) - v) < 1e-9, s"id $id: fused ${fused(id)} vs ref $v") }
+  }
+
+  test("lateInteractionTopK: the doc holding the exact query token ranks first; SQL name registered") {
+    val q = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val corpus = Seq(
+      (1L, Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))), // both tokens exact: score 2
+      (2L, Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))), // one exact, one orthogonal: 1
+      (3L, Seq(Seq(0.5, 0.5, 0.0))),                     // partial on both
+    ).toDF("id", "toks")
+    val out = Search.lateInteractionTopK(corpus, "toks", "id", q, 3)
+      .select("id").as[Long].collect().toSeq
+    assert(out.head == 1L && out.size == 3, s"got $out")
+    // the SQL registration path evaluates too
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    corpus.createOrReplaceTempView("maxsim_probe")
+    val viaSql = spark.sql(
+      "SELECT id, maxsim_score(cast(toks AS array<array<double>>), array(array(1.0D, 0D, 0D))) AS s FROM maxsim_probe ORDER BY s DESC, id LIMIT 1")
+      .select("id").as[Long].head()
+    assert(viaSql == 1L)
+  }
+
+  test("rerankTopKWith seam parity: a Scala Dice scorer reproduces the declarative rerank") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val terms = Seq("table", "window", "agg")
+    val declarative = Rank.rerankTopK(docs, "doc_id", "text", terms, 8, 25)
+      .as[(Long, Double, Double)].collect().toSeq
+    object DiceScorer extends Rank.PairScorer {
+      def scoreBatch(query: String, texts: Seq[String]): Seq[Double] = {
+        val q = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+        texts.map { t =>
+          val d = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+          val s = 2.0 * q.count(d.contains) / (q.length + d.length)
+          math.rint(s * 10000) / 10000 // the declarative path's round(.,4)
+        }
+      }
+    }
+    val seam = Rank.rerankTopKWith(docs, "doc_id", "text", terms,
+      terms.mkString(" "), DiceScorer, 8, 25)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(seam == declarative, s"seam $seam vs declarative $declarative")
+  }
+
   test("mmrTopK keeps native id types: string UUIDs select identically to their long twins") {
     // the reference's point ids are UUID strings (backend/vector_db.py:69);
     // before round 10 a long cast nulled every string id and collapsed the

@@ -193,6 +193,29 @@ class PlanSpec extends AnyFunSuite {
       s"MRL search must not shuffle the corpus:\n${plan.take(1400)}")
   }
 
+  test("late-interaction top-k: fused maxsim scoring + TakeOrderedAndProject, no post-group shuffle") {
+    val q = Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.2))
+    val docs = Tables(spark, dir).embeddings
+      .groupBy((col("vec_id") % 50).as("doc_id"))
+      .agg(collect_list(col("embedding").cast("array<double>")).as("tok_vecs"))
+    val plan = Search.lateInteractionTopK(docs, "tok_vecs", "doc_id", q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    assert(plan.contains("maxsim_score"), s"the fused expression must score, not a HOF chain:\n${plan.take(1000)}")
+    // exactly ONE exchange: the groupBy that builds the token bags — the
+    // scoring + top-k stage adds none
+    assert(plan.sliding("Exchange hashpartitioning".length).count(_ == "Exchange hashpartitioning") <= 1,
+      s"late interaction must not re-shuffle the grouped docs:\n${plan.take(1400)}")
+  }
+
+  test("rerankTopK: stage-1 is TakeOrderedAndProject, candidate ids broadcast back for stage 2") {
+    val plan = graft.operators.Rank.rerankTopK(
+      Tables(spark, dir).documents, "doc_id", "text", Seq("table", "window", "agg"), 10, 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+    assert(plan.contains("BroadcastHashJoin"), s"candidate ids must broadcast back:\n${plan.take(1000)}")
+  }
+
   test("rangeJoin plans as an equi-join on the bin, never a nested-loop join") {
     import spark.implicits._
     val pts = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("pid", "p")
