@@ -30,8 +30,12 @@ import scala.collection.mutable
   * /Differences table (round 10 adds /ToUnicode CMaps, /Differences
   * arrays, and 2-byte Identity-H CID strings; an embedded subset font with
   * none of those still falls back to literal bytes where pypdf would
-  * consult the font program itself). (PPTX slide order follows
-  * presentation.xml rels since round 8 — no longer a deviation.)
+  * consult the font program itself). Form XObjects render at their `Do`
+  * site as their own text block (round 10) — the form's internal line
+  * structure is kept but its matrix is not threaded into the page's
+  * (placement is document order, a deviation only for forms overlaid
+  * mid-line). (PPTX slide order follows presentation.xml rels since
+  * round 8 — no longer a deviation.)
   */
 private[sources] object Ooxml {
 
@@ -431,7 +435,7 @@ private[graft] object PdfParser {
     * pipeline) and then the declared /Filter pipeline; None (with `onSkip`
     * fired) when a filter is unsupported.
     */
-  private def streamData(
+  private[sources] def streamData(
       body: String,
       onSkip: () => Unit = () => (),
       decrypt: Array[Byte] => Array[Byte] = identity,
@@ -1127,7 +1131,10 @@ private[graft] object PdfParser {
     * merge every line. Show strings decode through the `Tf`-selected
     * font's [[FontDecoder]] (ToUnicode CMap / Differences / Identity-H).
     */
-  private[sources] def textOfStream(cs: String, fonts: Map[String, FontDecoder] = Map.empty): String = {
+  private[sources] def textOfStream(
+      cs: String,
+      fonts: Map[String, FontDecoder] = Map.empty,
+      forms: Map[String, String] = Map.empty): String = {
     val sb = new StringBuilder
     val pending = mutable.ArrayBuffer.empty[String]
     val nums    = mutable.ArrayBuffer.empty[Double]
@@ -1226,6 +1233,11 @@ private[graft] object PdfParser {
             case "Tf" => // font select: decoder switches with the graphics state
               decoder = fonts.getOrElse(lastName, FontDecoder.Identity)
               pending.clear()
+            case "Do" => // draw XObject: splice a Form's pre-rendered text block
+              forms.get(lastName).filter(_.nonEmpty).foreach { ft =>
+                breakLine(); sb ++= ft; breakLine()
+              }
+              pending.clear()
             case "BT" =>
               ma = 1.0; mb = 0.0; mc = 0.0; md = 1.0; me = 0.0; mf = 0.0
               leading = 0.0; pending.clear()
@@ -1270,8 +1282,14 @@ private[graft] object PdfParser {
       objs.get(n).flatMap(b => streamData(b, () => skippedFilters += 1, decryptFor(n)))
     // font decoders are per font OBJECT — cache across pages sharing them
     val decoderCache = mutable.Map.empty[Int, FontDecoder]
-    def fontsOf(pageNum: Int): Map[String, FontDecoder] = {
-      // /Resources may be inherited from an ancestor /Pages node (§7.7.3.4)
+    def fontsFromDict(fd: String): Map[String, FontDecoder] =
+      "/([A-Za-z0-9._+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fd).map { m =>
+        val num = m.group(2).toInt
+        m.group(1) -> decoderCache.getOrElseUpdate(num,
+          objs.get(num).map(fontDecoder(_, objs, streamOf)).getOrElse(FontDecoder.Identity))
+      }.toMap
+    // /Resources may be inherited from an ancestor /Pages node (§7.7.3.4)
+    def resourcesOf(pageNum: Int): Option[String] = {
       var cur   = pageNum
       var res   = Option.empty[String]
       var depth = 0
@@ -1286,19 +1304,44 @@ private[graft] object PdfParser {
           case None => depth = 32
         }
       }
-      res.flatMap(dictValue(_, "Font", objs)).map { fd =>
-        "/([A-Za-z0-9._+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fd).map { m =>
-          val num = m.group(2).toInt
-          m.group(1) -> decoderCache.getOrElseUpdate(num,
-            objs.get(num).map(fontDecoder(_, objs, streamOf)).getOrElse(FontDecoder.Identity))
-        }.toMap
-      }.getOrElse(Map.empty)
+      res
     }
+    def fontsIn(res: Option[String]): Map[String, FontDecoder] =
+      res.flatMap(dictValue(_, "Font", objs)).map(fontsFromDict).getOrElse(Map.empty)
+    def xobjectRefs(res: Option[String]): Map[String, Int] =
+      res.flatMap(dictValue(_, "XObject", objs)).map { xd =>
+        "/([A-Za-z0-9._+-]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(xd)
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+      }.getOrElse(Map.empty)
+    // Form XObjects (§8.10): a `Do` on a /Subtype /Form draws a nested
+    // content stream — LaTeX figure text, stamps, letterheads live there.
+    // Each form's text renders ONCE (own /Resources: fonts + nested
+    // forms, depth-cycled via `seen`) and splices in at its Do site as
+    // its own block; positions are not threaded across the boundary
+    // (declared deviation — the form's internal line structure is kept,
+    // its placement on the page is the Do's document order).
+    val formCache = mutable.Map.empty[Int, String]
+    def formText(num: Int, seen: Set[Int]): String =
+      if (seen.contains(num)) ""
+      else formCache.getOrElse(num, {
+        val t = objs.get(num)
+          .filter(b => "/Subtype\\s*/Form(?![A-Za-z])".r.findFirstIn(b).isDefined)
+          .flatMap { b =>
+            streamData(b, () => skippedFilters += 1, decryptFor(num)).map { data =>
+              val res = dictValue(b, "Resources", objs)
+              val nested = xobjectRefs(res).map { case (n, o) => n -> formText(o, seen + num) }
+              textOfStream(latin1(data), fontsIn(res), nested)
+            }
+          }.getOrElse("")
+        formCache(num) = t
+        t
+      })
     val pageTexts = pages.map { p =>
-      val fonts = fontsOf(p)
+      val res   = resourcesOf(p)
+      val forms = xobjectRefs(res).map { case (n, o) => n -> formText(o, Set.empty) }
       refList(objs(p), "Contents")
         .flatMap(c => objs.get(c).flatMap(b => streamData(b, () => skippedFilters += 1, decryptFor(c))))
-        .map(b => textOfStream(latin1(b), fonts))
+        .map(b => textOfStream(latin1(b), fontsIn(res), forms))
         .mkString("\n")
     }
     val info = for {

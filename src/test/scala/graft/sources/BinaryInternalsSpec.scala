@@ -142,6 +142,58 @@ class BinaryInternalsSpec extends AnyFunSuite {
     assert(meta("title") == "CID Fixture" && meta("author") == "Graft Team")
   }
 
+  test("Form XObjects: Do splices the form's text with its own resources; nesting recurses; cycles are cut") {
+    def stream(lines: Seq[String], extra: String = ""): String = {
+      val data = lines.mkString("\n") + "\n"
+      s"<< /Length ${data.length}$extra >>\nstream\n${data}endstream"
+    }
+    val objs: Seq[String] = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /XObject << /Fm1 5 0 R >> >> /Contents 4 0 R >>",
+      stream(Seq("BT", "72 720 Td", "(Before form.) Tj", "ET",
+        "/Fm1 Do",
+        "BT", "72 600 Td", "(After form.) Tj", "ET")),
+      stream(Seq("BT", "10 10 Td", "(Inside form.) Tj", "ET", "/Fm2 Do"),
+        " /Type /XObject /Subtype /Form /Resources << /XObject << /Fm2 6 0 R >> >>"),
+      // the nested form references Fm1 — a CYCLE that must cut, not recurse
+      stream(Seq("BT", "5 5 Td", "(Deep.) Tj", "ET", "/Fm1 Do"),
+        " /Type /XObject /Subtype /Form /Resources << /XObject << /Fm1 5 0 R >> >>"),
+    )
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = objs.zipWithIndex.map { case (o, i) =>
+      val off = sb.length; sb.append(s"${i + 1} 0 obj\n$o\nendobj\n"); off
+    }
+    val xrefOff = sb.length
+    sb.append(s"xref\n0 ${objs.length + 1}\n").append("0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    val (text, _) = new PdfExtractor().extract(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII), "form.pdf")
+    assert(text == "Before form.\nInside form.\nDeep.\nAfter form.", s"got: $text")
+  }
+
+  test("FlateDecode'd /ToUnicode CMap: the font decoder defilters the stream before parsing") {
+    // real exporters compress the CMap; the decoder must read it through
+    // the same filter chain as any content stream
+    val cmap =
+      "begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "2 beginbfchar\n<0003> <0048>\n<0004> <0069>\nendbfchar\nendcmap\n"
+    val d = new java.util.zip.Deflater()
+    d.setInput(cmap.getBytes(java.nio.charset.StandardCharsets.US_ASCII)); d.finish()
+    val buf = new Array[Byte](4096)
+    val n = d.deflate(buf)
+    val compressed = new String(buf, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objs = Map(
+      9 -> (s"<< /Length $n /Filter /FlateDecode >>\nstream\n${compressed}endstream"))
+    val fontBody = "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 9 0 R >>"
+    val dec = PdfParser.fontDecoder(fontBody, objs,
+      num => PdfParser.streamData(objs(num)))
+    assert(dec.twoByte)
+    assert(dec.decode(new String(Array('\u0000', '\u0003', '\u0000', '\u0004'))) == "Hi")
+  }
+
   test("Ooxml.unescape: astral-plane refs become surrogate pairs; uppercase hex prefix") {
     assert(Ooxml.unescape("&#128512;") == new String(Character.toChars(128512)))
     assert(Ooxml.unescape("&#x1F600;") == new String(Character.toChars(0x1f600)))
