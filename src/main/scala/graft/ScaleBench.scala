@@ -23,6 +23,9 @@ object ScaleBench {
   /** ivf_refit's pre-built store per scale (see the catalog entry). */
   private val refitStores = scala.collection.concurrent.TrieMap.empty[Int, String]
 
+  /** hnsw_reshard's pre-built store per scale (see the catalog entry). */
+  private val reshardStores = scala.collection.concurrent.TrieMap.empty[Int, String]
+
   /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
   private lazy val onnxFixture: (String, String) =
     graft.onnx.TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("sb-onnx").toString)
@@ -446,6 +449,21 @@ object ScaleBench {
           val lists = Ivf.driftStats(spark, path).count()
           Ivf.refit(spark, path)
           lists
+        }),
+        // round-10 v29: the HNSW twin — shardStats is one column-pruned
+        // scan; reshard is a full re-route + rebuild (the initial build
+        // cost, paid only when occupancy says so). Should track the
+        // hnsw_build curve, not the corpus-squared anything.
+        "hnsw_reshard"    -> (() => {
+          val path = reshardStores.getOrElseUpdate(scale, {
+            val p = java.nio.file.Files.createTempDirectory("sb-reshard").toString + "/store"
+            Hnsw.writeIndex(vecs.select(col("vec_id"), col("embedding")),
+              "embedding", "vec_id", p, nShards = 8)
+            p
+          })
+          val shards = Hnsw.shardStats(spark, path).count()
+          Hnsw.reshard(spark, path, nShards = 12)
+          shards
         }),
         "sessionize"      -> (() => Sessions.sessionize(events, 30).count()),
         "tumbling_window" -> (() => EventWindows.tumbling(events, "ts", "10 minutes").count()),

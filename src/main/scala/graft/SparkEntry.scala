@@ -3010,6 +3010,36 @@ object SparkEntry {
         .orderBy("list_id")
     }),
 
+    // V29 — the HNSW shard-lifecycle close-out (round 10): applyDelta
+    // keeps the build-time shard COUNT forever, so Hnsw.shardStats
+    // (per-shard occupancy vs the rows-per-shard budget, one
+    // column-pruned scan) is what tells a pipeline when to pay for
+    // Hnsw.reshard (re-route every id under a new shard count, rebuild,
+    // directory swap). The query runs the full lifecycle — build at 2
+    // shards, apply the v22 planted delta, reshard to 5 — then probes
+    // the resharded store exhaustively, so the oracle is the same
+    // relational brute-force top-10 as v22: resharding must preserve
+    // the post-delta content exactly. total_nodes/n_shards come from
+    // shardStats, pinning that the re-route actually happened.
+    "v29_hnsw_reshard" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v29").toString + "/store"
+      Hnsw.writeIndex(emb, "embedding", "vec_id", dir, nShards = 2)
+      val removed = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+      val changed = emb.where(col("vec_id") % 17 === 0 && col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+      val added = emb.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), reverse(col("embedding")).as("embedding"))
+      Hnsw.applyDelta(s, dir, removed, changed.unionByName(added), "embedding", "vec_id")
+      Hnsw.reshard(s, dir, nShards = 5)
+      val stats = Hnsw.shardStats(s, dir)
+        .agg(sum(col("n")).as("total_nodes"), max(col("n_shards")).cast("long").as("n_shards"))
+      Hnsw.searchIndex(Hnsw.readIndex(s, dir), qVec, "vec_id", 10, efSearch = 65536)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .crossJoin(stats)
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     // V27 — ColBERT-style late interaction (round 10): embeddings rows
     // grouped into 50 multi-vector "documents" (vec_id % 50), scored
     // Σ_i max_j cos(q_i, d_j) against 4 query token vectors by the fused
@@ -5303,6 +5333,24 @@ object SparkEntry {
         | SELECT list_id::BIGINT AS list_id, count(*)::BIGINT AS n,
         |   round(avg(dist), 4) AS mean_dist
         | FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // v29 — the v22 post-delta replay again (resharding must preserve
+    // content exactly), plus the node count the re-routed store must
+    // report (zero-norm vectors never enter a graph, hence the norm
+    // filter) and the new shard count
+    "v29_hnsw_reshard" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | post AS (
+         |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |   FROM base WHERE vec_id % 13 <> 0
+         |   UNION ALL
+         |   SELECT vec_id + 100000, list_reverse(e) FROM base WHERE vec_id % 19 = 0),
+         | tot AS (SELECT count(*)::BIGINT AS total_nodes, 5::BIGINT AS n_shards
+         |   FROM post WHERE list_inner_product(e, e) > 0)
+         | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score,
+         |   total_nodes, n_shards
+         | FROM post CROSS JOIN tot
+         | ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
 
     // v27 — per query token: the max cosine over each pseudo-document's
     // vector bag; score = the maxes summed in query-token order

@@ -722,6 +722,60 @@ object Hnsw {
     touched.length
   }
 
+  /** Shard-occupancy health of a store — the HNSW twin of
+    * [[Ivf.driftStats]]: [[applyDelta]] routes every insert to its
+    * id-hash shard but never changes the SHARD COUNT, so a corpus that
+    * grows under sustained churn pushes every shard past the
+    * [[RowsPerShard]] budget it was sized for (per-task build memory and
+    * rebuild latency grow linearly; nothing fails, it just quietly stops
+    * being the 100 TB shape). One column-pruned scan of (shard, level):
+    * per-shard node count, max level, and occupancy vs the budget —
+    * `over_capacity` anywhere is the signal to pay for [[reshard]].
+    */
+  def shardStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val meta = readMeta(spark, path)
+    spark.read.parquet(path)
+      .select(col("shard").cast("int").as("shard"), col("level"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("level")).as("max_level"))
+      .withColumn("occupancy", col("n") / lit(RowsPerShard.toDouble))
+      .withColumn("over_capacity", col("n") > lit(RowsPerShard))
+      .withColumn("n_shards", lit(meta.nShards))
+  }
+
+  /** Re-shard a store IN PLACE: re-route every (id, vec) row under a new
+    * shard count (default: [[shardsFor]] the current row count, i.e.
+    * restore the rows-per-shard budget), rebuild each shard's graph, and
+    * swap directories — the HNSW twin of [[Ivf.refit]], closing the
+    * lifecycle gap where [[applyDelta]]'s selective rebuilds preserve the
+    * build-time shard count forever. Cost: one full build (what the
+    * store cost initially) — the operation applyDelta amortizes away
+    * until [[shardStats]] says otherwise. The rebuild stages into a
+    * sibling directory ([[writeIndex]] reads the live store, writes the
+    * sibling — no dynamic-overwrite self-read), then lands via two
+    * renames; `.old` is the crash-recovery breadcrumb.
+    */
+  def reshard(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nShards: Int = 0): StoreMeta = {
+    val meta = readMeta(spark, path)
+    val rows = spark.read.parquet(path).select(col("id"), col("vec"))
+    val target = if (nShards > 0) nShards else shardsFor(rows.count())
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(conf)
+    val tmp  = new org.apache.hadoop.fs.Path(path + ".reshard")
+    fs.delete(tmp, true)
+    writeIndex(rows, "vec", "id", tmp.toString, target, meta.m, meta.efConstruction)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    fs.rename(root, old)
+    fs.rename(tmp, root)
+    fs.delete(old, true)
+    StoreMeta(target, meta.m, meta.efConstruction)
+  }
+
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

@@ -290,4 +290,49 @@ class HnswSpec extends AnyFunSuite {
     assert(Hnsw.shardsFor(Hnsw.RowsPerShard + 1) == 2)
     assert(Hnsw.shardsFor(100L * Hnsw.RowsPerShard) == 100)
   }
+
+  test("shardStats + reshard: occupancy reported, re-route matches id-hash routing, content and search preserved") {
+    val root = java.nio.file.Files.createTempDirectory("hnsw_reshard").toString
+    val dir  = root + "/store"
+    Hnsw.writeIndex(items.toSeq.toDF("id", "vec"), "vec", "id", dir, nShards = 2,
+      m = 16, efConstruction = 128)
+
+    val before = Hnsw.shardStats(spark, dir)
+      .select("shard", "n", "occupancy", "over_capacity", "n_shards").collect()
+    assert(before.map(_.getInt(0)).toSet == Set(0, 1))
+    assert(before.map(_.getLong(1)).sum == 400L)
+    before.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / Hnsw.RowsPerShard.toDouble) < 1e-12)
+      assert(!r.getBoolean(3)) // 400 rows nowhere near the 250k budget
+      assert(r.getInt(4) == 2)
+    }
+
+    val meta = Hnsw.reshard(spark, dir, nShards = 5)
+    assert(meta.nShards == 5 && Hnsw.readMeta(spark, dir).nShards == 5)
+    // staging breadcrumbs are gone after a clean swap
+    val leftovers = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("store"), s"leftover staging dirs: $leftovers")
+
+    val idx = Hnsw.readIndex(spark, dir)
+    assert(idx.select("id").as[Long].collect().toSet == items.map(_._1).toSet)
+
+    // every id sits in the shard the id-hash router would pick NOW — the
+    // invariant applyDelta relies on to route future inserts
+    val routed = items.toSeq.toDF("id", "vec")
+      .repartition(5, col("id"))
+      .select(col("id"), spark_partition_id().as("pid"))
+      .as[(Long, Int)].collect().toMap
+    val stored = idx.select(col("id"), col("shard").cast("int")).as[(Long, Int)].collect()
+    stored.foreach { case (id, sh) => assert(sh == routed(id), s"id $id: shard $sh != ${routed(id)}") }
+
+    // search against the resharded store still matches brute force
+    val q = items(123)._2
+    val got = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 512)
+      .select("id").as[Long].collect().toSeq
+    assert(got == bruteTop(q, 10), s"got $got expected ${bruteTop(q, 10)}")
+
+    // default target restores the rows-per-shard budget (400 rows -> 1 shard)
+    assert(Hnsw.reshard(spark, dir).nShards == 1)
+    assert(Hnsw.shardStats(spark, dir).count() == 1)
+  }
 }
