@@ -3040,6 +3040,34 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // V30 — retrieval-quality evaluation (round 10): the trec_eval loop
+    // the retrieval family was missing. Run = exact cosine top-10 for
+    // three query-token vectors (the v27 fixtures); qrels = graded
+    // relational rule (%17 → grade 2, %11 → grade 1). Eval.rankingMetrics
+    // computes per-query recall@10, reciprocal rank and nDCG@10; the
+    // oracle replays the ranked lists, the judgments, and every metric
+    // formula (exponential-gain DCG, qrels-top-k ideal DCG) relationally.
+    "v30_eval_metrics" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val run = (0 until 3).map { t =>
+        Search.topK(emb, "embedding", "vec_id", qTokVecs(t), 10)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+          .select(lit(t.toLong).as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      }.reduce(_ unionByName _)
+      val qrels = (0 until 3).map { t =>
+        emb.where(col("vec_id") % 17 === t || col("vec_id") % 11 === t)
+          .select(lit(t.toLong).as("query_id"), col("vec_id").as("doc_id"),
+            when(col("vec_id") % 17 === t, 2).otherwise(1).as("rel"))
+      }.reduce(_ unionByName _)
+      Eval.rankingMetrics(run, qrels, 10)
+        .select(col("query_id"), col("n_rel"),
+          round(col("recall_at_k"), 4).as("recall_at_k"),
+          round(col("rr_at_k"), 4).as("rr_at_k"),
+          round(col("ndcg_at_k"), 4).as("ndcg_at_k"))
+        .orderBy("query_id")
+    }),
+
     // V27 — ColBERT-style late interaction (round 10): embeddings rows
     // grouped into 50 multi-vector "documents" (vec_id % 50), scored
     // Σ_i max_j cos(q_i, d_j) against 4 query token vectors by the fused
@@ -5351,6 +5379,44 @@ object SparkEntry {
          |   total_nodes, n_shards
          | FROM post CROSS JOIN tot
          | ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v30 — full relational replay of the eval harness: the three ranked
+    // lists (same NaN guard + (score desc, id) tie-break as the Spark
+    // run), the graded judgments, ideal DCG from each query's own top-10
+    // grades, and the recall/RR/nDCG arithmetic
+    "v30_eval_metrics" -> {
+      val runSql = (0 until 3).map { t =>
+        s"""SELECT $t::BIGINT AS query_id, vec_id AS doc_id, rank FROM (
+           |   SELECT vec_id, row_number() OVER (
+           |     ORDER BY list_cosine_similarity(v, ${qTokSql(t)}) DESC, vec_id) AS rank
+           |   FROM e WHERE NOT isnan(list_cosine_similarity(v, ${qTokSql(t)}))) WHERE rank <= 10""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      val qrelsSql = (0 until 3).map { t =>
+        s"""SELECT $t::BIGINT AS query_id, vec_id AS doc_id,
+           |   CASE WHEN vec_id % 17 = $t THEN 2 ELSE 1 END AS rel
+           | FROM e WHERE vec_id % 17 = $t OR vec_id % 11 = $t""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | run AS ($runSql),
+         | qrels AS ($qrelsSql),
+         | ideal AS (SELECT query_id, count(*)::BIGINT AS n_rel,
+         |     sum(CASE WHEN i <= 10 THEN (pow(2.0, rel) - 1) / log2(i + 1.0) END) AS idcg
+         |   FROM (SELECT query_id, rel,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY rel DESC) AS i FROM qrels)
+         |   GROUP BY 1),
+         | h AS (SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+         |   FROM run r LEFT JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id),
+         | m AS (SELECT query_id,
+         |     sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel_ret,
+         |     min(CASE WHEN rel > 0 THEN rank END) AS frr,
+         |     sum((pow(2.0, rel) - 1) / log2(rank + 1.0)) AS dcg
+         |   FROM h GROUP BY 1)
+         | SELECT i.query_id, i.n_rel,
+         |   round(coalesce(m.n_rel_ret, 0) / i.n_rel, 4) AS recall_at_k,
+         |   round(coalesce(1.0 / frr, 0.0), 4) AS rr_at_k,
+         |   round(coalesce(m.dcg, 0) / i.idcg, 4) AS ndcg_at_k
+         | FROM ideal i LEFT JOIN m USING (query_id) ORDER BY query_id""".stripMargin
+    },
 
     // v27 — per query token: the max cosine over each pseudo-document's
     // vector bag; score = the maxes summed in query-token order

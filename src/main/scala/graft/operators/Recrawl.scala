@@ -91,4 +91,58 @@ object Recrawl {
     val n = Hnsw.applyDelta(spark, storePath, d.staleIds, d.fresh, "embedding", idCol)
     (d.diff, n)
   }
+
+  /** Which pages to recrawl NEXT — the scheduling policy that decides what
+    * `oldDocs`/`newDocs` even contain. Per-URL change-rate estimation from
+    * visit history (Cho & Garcia-Molina, "Estimating Frequency of Change",
+    * ACM TOIT 2003): a page visited n+1 times with X detected changes over
+    * average interval Δ gets the bias-corrected rate estimate
+    *
+    *   λ̂ = −ln((n − X + 0.5) / (n + 0.5)) / Δ   [changes per second]
+    *
+    * (the +0.5 regularizer keeps X = n finite and X = 0 meaningful). From
+    * λ̂: `priority` = λ̂ · age (expected changes missed since the last
+    * visit — the greedy "crawl highest expected staleness first" order)
+    * and `next_due` = last visit + 1/λ̂ (the uniform-refresh target).
+    *
+    * Plan shape: one window over (url, ts) moving only the content hash,
+    * one group-by per URL — both shuffle on the URL key once; no collect,
+    * no self-join. `visits` carries (urlCol, tsCol TIMESTAMP, hashCol);
+    * URLs with fewer than 2 visits or a zero time span are dropped (no
+    * interval evidence). `asOf` is the scheduling instant.
+    */
+  def schedule(
+      visits: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      hashCol: String,
+      asOf: java.time.Instant,
+  ): DataFrame = {
+    // hash tie-break pins the lag order when two visits share a timestamp
+    // (same instant + same hash is order-free anyway)
+    val w   = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(urlCol)).orderBy(col(tsCol), col(hashCol))
+    val sec = unix_micros(col(tsCol)) / lit(1e6)
+    val nowSec = asOf.getEpochSecond.toDouble + asOf.getNano / 1e9
+    val obs = visits
+      .select(col(urlCol), sec.as("__sec"), col(hashCol).as("__h"))
+      .withColumn("__prev", lag(col("__h"), 1).over(w))
+    val agg = obs.groupBy(col(urlCol)).agg(
+      count(lit(1)).as("n_visits"),
+      sum(when(col("__prev").isNotNull && col("__h") =!= col("__prev"), 1L)
+        .otherwise(0L)).as("n_changes"),
+      min(col("__sec")).as("__first"),
+      max(col("__sec")).as("__last"))
+    val n      = col("n_visits") - 1 // observation intervals
+    val lambda = -log((n - col("n_changes") + 0.5) / (n + 0.5)) /
+      ((col("__last") - col("__first")) / n)
+    agg
+      .where(col("n_visits") >= 2 && col("__last") > col("__first"))
+      .withColumn("change_rate", lambda)
+      .withColumn("priority", col("change_rate") * (lit(nowSec) - col("__last")))
+      .withColumn("next_due",
+        when(col("change_rate") > 0,
+          timestamp_seconds(col("__last") + lit(1.0) / col("change_rate"))))
+      .drop("__first", "__last")
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Eval
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed trec_eval contract for Eval.rankingMetrics: recall@k over
+  * the FULL relevant count, reciprocal rank, exponential-gain nDCG with
+  * the ideal ranking from the qrels' own grades, inner-join evaluation
+  * scope, and the duplicate-judgment guard.
+  */
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val log2 = (x: Double) => math.log(x) / math.log(2.0)
+
+  test("recall, RR and nDCG match hand computation; zero-hit and run-absent queries score zero") {
+    // q1: ranks (d9 irrelevant, d1 grade 2, d2 grade 1); d3 (grade 1) missed
+    // q2: judged but nothing relevant retrieved
+    // q3: judged but absent from the run entirely
+    // q9: in the run but unjudged -> not evaluated
+    val run = Seq(
+      (1L, 9L, 1), (1L, 1L, 2), (1L, 2L, 3),
+      (2L, 1L, 1), (2L, 2L, 2),
+      (9L, 1L, 1),
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 1L, 2), (1L, 2L, 1), (1L, 3L, 1),
+      (2L, 77L, 1),
+      (3L, 5L, 2),
+    ).toDF("query_id", "doc_id", "rel")
+
+    val m = Eval.rankingMetrics(run, qrels, 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Double, Double, Double)]
+      .collect()
+    assert(m.map(_._1).toSeq == Seq(1L, 2L, 3L)) // q9 unjudged -> excluded
+
+    val (q1, q2, q3) = (m(0), m(1), m(2))
+    assert(q1._2 == 3L && math.abs(q1._3 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(q1._4 - 0.5) < 1e-12) // first relevant at rank 2
+    val dcg  = 3.0 / log2(3.0) + 1.0 / log2(4.0)
+    val idcg = 3.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(q1._5 - dcg / idcg) < 1e-12)
+
+    assert(q2 == ((2L, 1L, 0.0, 0.0, 0.0)))
+    assert(q3 == ((3L, 1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("rank cap: hits beyond k contribute nothing") {
+    val run   = Seq((1L, 1L, 1), (1L, 2L, 5)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 1L, 1), (1L, 2L, 1)).toDF("query_id", "doc_id", "rel")
+    val row = Eval.rankingMetrics(run, qrels, 3)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(math.abs(row._3 - 0.5) < 1e-12) // d2 at rank 5 is outside k=3
+    assert(row._4 == 1.0)
+  }
+
+  test("duplicate (query, doc) judgments are rejected") {
+    val run   = Seq((1L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 1L, 1), (1L, 1L, 2)).toDF("query_id", "doc_id", "rel")
+    val e = intercept[IllegalArgumentException](Eval.rankingMetrics(run, qrels, 3))
+    assert(e.getMessage.contains("duplicate"))
+  }
+}
