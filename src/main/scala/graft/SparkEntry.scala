@@ -1508,6 +1508,34 @@ object SparkEntry {
       .withColumn("chars_per_subword", round(col("n_chars").cast("double") / col("n_subwords"), 4))
       .orderBy("lang")),
 
+    // X31 — recrawl scheduling policy (round 10): WHICH pages the next
+    // p9/w6 maintenance round should fetch. Each user's event stream
+    // models a page's visit history (event_type = the content signature
+    // observed at that visit); Recrawl.schedule runs the Cho &
+    // Garcia-Molina bias-corrected change-rate estimator per page and
+    // derives the crawl priority (expected changes missed since the last
+    // visit) and the uniform-refresh due time. The oracle replays the
+    // lag-window change detection, the estimator arithmetic, and the due
+    // timestamp relationally.
+    "x31_recrawl_policy" -> ((s, d) => {
+      val visits = Tables(s, d).events
+        .select(concat(lit("u"), col("user_id").cast("string")).as("url"),
+          col("ts"), col("event_type").as("sig"))
+      Recrawl.schedule(visits, "url", "ts", "sig",
+          java.time.Instant.parse("2024-02-15T00:00:00Z"))
+        // λ = 0 pages (no observed change) have no finite refresh cadence
+        // and a ±0.0 priority — not schedulable, excluded on both sides
+        .where(col("n_changes") >= 1)
+        .select(col("url"), col("n_visits"), col("n_changes"),
+          round(col("change_rate") * 86400, 4).as("changes_per_day"),
+          round(col("priority"), 4).as("priority"),
+          // the uniform-refresh cadence as an interval (next_due minus the
+          // last visit), not a formatted timestamp — second-truncation of
+          // an absolute instant is a cross-engine rounding hazard
+          round(lit(1.0) / (col("change_rate") * 86400), 4).as("refresh_days"))
+        .orderBy("url")
+    }),
+
     // X7 — PII/URL scrubbing. The synthetic corpus contains no emails or
     // URLs, so both sides plant identical ones by doc_id before scrubbing —
     // the replacements are exercised for real, and the md5 over the scrubbed
@@ -4431,6 +4459,26 @@ object SparkEntry {
            |   round(sum(b)::DOUBLE / sum(w), 4) AS fertility,
            |   round(sum(c)::DOUBLE / sum(b), 4) AS chars_per_subword
            | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // x31 — the estimator replayed: lag-window change flags (same
+    // (ts, sig) tie order), the n−X+0.5 / n+0.5 arithmetic, priority
+    // against the same asOf epoch (2024-02-15T00:00:00Z = 1707955200),
+    // and the refresh cadence as an interval in days
+    "x31_recrawl_policy" ->
+      """WITH v AS (SELECT 'u' || user_id::VARCHAR AS url, epoch_us(ts) / 1e6 AS sec, event_type AS sig FROM events),
+        | o AS (SELECT url, sec, sig, lag(sig) OVER (PARTITION BY url ORDER BY sec, sig) AS prev FROM v),
+        | a AS (SELECT url, count(*)::BIGINT AS n_visits,
+        |     sum(CASE WHEN prev IS NOT NULL AND sig <> prev THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+        |     min(sec) AS f, max(sec) AS l
+        |   FROM o GROUP BY 1),
+        | r AS (SELECT url, n_visits, n_changes, l,
+        |     -ln((n_visits - 1 - n_changes + 0.5) / (n_visits - 1 + 0.5)) / ((l - f) / (n_visits - 1)) AS lam
+        |   FROM a WHERE n_visits >= 2 AND l > f AND n_changes >= 1)
+        | SELECT url, n_visits, n_changes,
+        |   round(lam * 86400, 4) AS changes_per_day,
+        |   round(lam * (1707955200.0 - l), 4) AS priority,
+        |   round(1.0 / (lam * 86400), 4) AS refresh_days
+        | FROM r ORDER BY url""".stripMargin,
+
     "x7_scrub_pii" -> {
       val email = graft.functions.TextOps.EmailRe
       val url   = graft.functions.TextOps.UrlRe

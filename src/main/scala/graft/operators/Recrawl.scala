@@ -121,7 +121,7 @@ object Recrawl {
     // hash tie-break pins the lag order when two visits share a timestamp
     // (same instant + same hash is order-free anyway)
     val w   = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(urlCol)).orderBy(col(tsCol), col(hashCol))
+      .partitionBy(col(urlCol)).orderBy(col("__sec"), col("__h"))
     val sec = unix_micros(col(tsCol)) / lit(1e6)
     val nowSec = asOf.getEpochSecond.toDouble + asOf.getNano / 1e9
     val obs = visits

@@ -152,4 +152,36 @@ class LifecycleSpec extends AnyFunSuite {
       .select("doc_id").as[Long].head()
     assert(hTop == changedIds.head, s"changed doc not found by its new vector: $hTop")
   }
+
+  test("recrawl schedule: Cho/Garcia-Molina estimator, priority and due time match hand computation") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // page A: 4 visits over 300s, 1 observed change -> lambda = -ln(2.5/3.5)/100
+    // page B: never changes -> rate 0, no due time
+    // page C: 1 visit -> dropped; page D: 2 visits at the same instant -> dropped
+    val visits = Seq(
+      ("A", ts(0), "h1"), ("A", ts(100), "h1"), ("A", ts(200), "h2"), ("A", ts(300), "h2"),
+      ("B", ts(0), "x"), ("B", ts(50), "x"), ("B", ts(100), "x"),
+      ("C", ts(10), "y"),
+      ("D", ts(20), "z"), ("D", ts(20), "z"),
+    ).toDF("url", "ts", "sig")
+    val out = Recrawl.schedule(visits, "url", "ts", "sig",
+        java.time.Instant.ofEpochSecond(500L))
+      .orderBy("url")
+      .select("url", "n_visits", "n_changes", "change_rate", "priority", "next_due")
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B"))
+
+    val a      = out(0)
+    val lamA   = -math.log(2.5 / 3.5) / 100.0
+    assert(a.getLong(1) == 4L && a.getLong(2) == 1L)
+    assert(math.abs(a.getDouble(3) - lamA) < 1e-15)
+    assert(math.abs(a.getDouble(4) - lamA * 200.0) < 1e-12) // age = 500 - 300
+    val due = a.getTimestamp(5).getTime / 1000.0
+    assert(math.abs(due - (300.0 + 1.0 / lamA)) < 1e-3)
+
+    val b = out(1)
+    assert(b.getLong(1) == 3L && b.getLong(2) == 0L)
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == 0.0)
+    assert(b.isNullAt(5)) // no finite refresh cadence for a never-changing page
+  }
 }
