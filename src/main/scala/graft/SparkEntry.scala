@@ -1486,6 +1486,18 @@ object SparkEntry {
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy("doc_id")),
 
+    // X32 — interpolated Kneser–Ney bigram surprisal (round 10): the
+    // smoothing KenLM ships, vs x10's add-k — unseen mass distributed by
+    // distinct-context counts, not unigram frequency. Self-trained, so
+    // the closed form applies exactly and the oracle replays every count
+    // table (bigram types/counts, exact pair-context totals, distinct
+    // continuations/contexts, the type-total scalar) and the formula.
+    "x32_kn_surprisal" -> ((s, d) =>
+      TextOps.knBigramSurprisal(Tables(s, d).documents, "doc_id", "text", materialize = true)
+        .select(col("doc_id"), col("n_pairs"),
+          round(col("kn_avg_nll"), 4).as("kn_avg_nll"))
+        .orderBy("doc_id")),
+
     "x4_bpe_tokens" -> ((s, d) => Tables(s, d).documents
       .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")),
@@ -4449,6 +4461,22 @@ object SparkEntry {
            | GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin,
     "x4_bpe_tokens" ->
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+    // x32 — the KN count tables + formula, identical arithmetic grouping
+    // to the Spark side: (cbw−D)/cu + D·n1u/cu·(n1w/tt)
+    "x32_kn_surprisal" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | w AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t),
+           | pr AS (SELECT doc_id, prev, w FROM (
+           |     SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w FROM w)
+           |   WHERE prev IS NOT NULL),
+           | big AS (SELECT prev, w, count(*)::DOUBLE AS cbw FROM pr GROUP BY 1, 2),
+           | ctx AS (SELECT prev, count(*)::DOUBLE AS cu, count(DISTINCT w)::DOUBLE AS n1u FROM pr GROUP BY 1),
+           | n1 AS (SELECT w, count(*)::DOUBLE AS n1w FROM big GROUP BY 1),
+           | tt AS (SELECT count(*)::DOUBLE AS tt FROM big)
+           | SELECT pr.doc_id, count(*)::BIGINT AS n_pairs,
+           |   round(avg(-ln((cbw - 0.75) / cu + 0.75 * n1u / cu * (n1w / tt))), 4) AS kn_avg_nll
+           | FROM pr JOIN big USING (prev, w) JOIN ctx USING (prev) JOIN n1 USING (w) CROSS JOIN tt
+           | GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin,
     // x30 — same tokenizers, grouped; ratios from integer sums.
     "x30_fertility" ->
       raw"""WITH t AS (SELECT lang, len($toksSql)::BIGINT AS w,

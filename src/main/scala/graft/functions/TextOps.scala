@@ -481,6 +481,68 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"), avg(col("__nll")).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal — the smoothing KenLM
+    * actually ships (Kneser & Ney 1995; the interpolated form of Chen &
+    * Goodman 1999 §2.7), as the principled upgrade over
+    * [[bigramSurprisal]]'s add-k: add-k hands unseen mass out
+    * proportionally to UNIGRAM frequency, which over-scores tokens like
+    * "Francisco" that are frequent but occur in one context; KN's
+    * continuation probability N1+(·w)/N1+(··) hands it out by how many
+    * DISTINCT contexts a word follows. Self-trained (the corpus scored
+    * under its own statistics — the same contract as [[bigramSurprisal]]),
+    * so every scored pair is observed and the closed form applies exactly,
+    * no OOV floor needed:
+    *
+    *   P(w|u) = (c(u,w) − D)/c(u·) + D·N1+(u·)/c(u·) · N1+(·w)/N1+(··)
+    *
+    * with D ∈ (0,1) the absolute discount (0.75 = the Chen–Goodman
+    * default), c(u·) the exact pair-context total (not the unigram
+    * approximation — doc-final tokens are no one's context), N1+(u·) the
+    * distinct continuations of u, N1+(·w) the distinct contexts of w and
+    * N1+(··) the bigram type total. P sums to 1 over the vocabulary per
+    * context (the discounted mass is exactly what interpolation
+    * redistributes).
+    *
+    * Plan: [[bigramSurprisal]]'s relational shape — posexplode, one
+    * per-doc lag window, then three count tables off the pair stream
+    * (bigram types+counts; per-context total + distinct continuations in
+    * ONE groupBy; per-word distinct contexts off the TYPE table, which is
+    * already deduplicated) and a broadcast one-row type-total scalar. The
+    * same no-CSE caveat applies; `materialize` checkpoints the token and
+    * pair frames once.
+    *
+    * Output: (idCol, n_pairs, kn_avg_nll).
+    */
+  def knBigramSurprisal(
+      docs: DataFrame, idCol: String, textCol: String, discount: Double = 0.75,
+      materialize: Boolean = false,
+  ): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toks0 = docs.select(col(idCol).as("__id"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val toks = if (materialize) toks0.localCheckpoint(true) else toks0
+    val pairs0 = toks
+      .withColumn("__prev",
+        lag(col("__w"), 1).over(org.apache.spark.sql.expressions.Window.partitionBy("__id").orderBy("__pos")))
+      .where(col("__prev").isNotNull)
+    val pairs = if (materialize) pairs0.localCheckpoint(true) else pairs0
+    val bigrams = pairs.groupBy("__prev", "__w").agg(count(lit(1)).cast("double").as("__cbw"))
+    val ctx = pairs.groupBy("__prev").agg(
+      count(lit(1)).cast("double").as("__cu"),
+      countDistinct(col("__w")).cast("double").as("__n1u"))
+    val n1w   = bigrams.groupBy("__w").agg(count(lit(1)).cast("double").as("__n1w"))
+    val types = bigrams.agg(count(lit(1)).cast("double").as("__tt"))
+    pairs
+      .join(bigrams, Seq("__prev", "__w"))
+      .join(ctx, Seq("__prev"))
+      .join(n1w, Seq("__w"))
+      .crossJoin(broadcast(types))
+      .withColumn("__nll", -log((col("__cbw") - discount) / col("__cu")
+        + lit(discount) * col("__n1u") / col("__cu") * (col("__n1w") / col("__tt"))))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("__nll")).as("kn_avg_nll"))
+  }
+
   /** Deterministic MLM masking (the BERT 80/10/10 recipe, Devlin 2019
     * §3.1) — training-data prep for masked-LM objectives, made
     * REPRODUCIBLE: every selection is the portable hash of

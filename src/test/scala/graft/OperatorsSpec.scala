@@ -382,6 +382,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(0L)._2 == out(19L)._2, "identical docs score identically")
   }
 
+  test("knBigramSurprisal: matches the hand-computed interpolated KN closed form; per-context mass sums to 1") {
+    import graft.functions.TextOps
+    // d1 = "a b a b", d2 = "a c": pairs (a,b)x2, (b,a), (a,c)
+    // cu(a)=3 n1u(a)=2; cu(b)=1 n1u(b)=1; n1w: a/b/c = 1 each; types = 3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.knBigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pBA = (2.0 - 0.75) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 3.0) // P(b|a)
+    val pAB = (1.0 - 0.75) / 1.0 + 0.75 * 1.0 / 1.0 * (1.0 / 3.0) // P(a|b)
+    val pCA = (1.0 - 0.75) / 3.0 + 0.75 * 2.0 / 3.0 * (1.0 / 3.0) // P(c|a)
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - (-2 * math.log(pBA) - math.log(pAB)) / 3.0) < 1e-12)
+    assert(math.abs(out(2L)._2 - (-math.log(pCA))) < 1e-12)
+    // interpolated KN is a proper distribution: observed mass + the
+    // redistributed mass for the one unseen continuation (a|a) sums to 1
+    val pAA = 0.75 * 2.0 / 3.0 * (1.0 / 3.0)
+    assert(math.abs(pBA + pCA + pAA - 1.0) < 1e-12)
+  }
+
+  test("knBigramSurprisal: one-context tokens score higher surprisal than many-context tokens of equal frequency") {
+    import graft.functions.TextOps
+    // "san francisco" always; "red" follows many different words. After
+    // training, P(francisco|san) is high (its one context) but the KN
+    // continuation weight of "francisco" is minimal — scoring a doc that
+    // uses francisco after a COMMON context exposes the difference vs
+    // "red", equal in frequency but spread over contexts.
+    val train = (0 until 8).map(i => (i.toLong, s"san francisco w$i red")) // red follows w$i: 8 contexts
+    val probe = Seq((100L, "go red go"), (101L, "go francisco go"))
+    val docs = (train ++ probe).toDF("doc_id", "text")
+    val out = TextOps.knBigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(100L) < out(101L),
+      s"continuation-frequent 'red' must be less surprising after a novel-ish context: ${out(100L)} vs ${out(101L)}")
+  }
+
   test("bloomIncrementalFlags is exact even at absurd fpp (false positives resolved by the semi-join)") {
     val corpus = (0 until 400).map(i => (i.toLong, s"text-${i % 120}")).toDF("doc_id", "text")
     val batch = ((0 until 60).map(i => (1000L + i, s"text-${i}")) ++ // dups of corpus texts
