@@ -1502,6 +1502,35 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")),
 
+    // X33 — instruction/SFT data prep (round 10): documents modeled as
+    // conversations (the d20 sentence splitter caps each doc at 6 turns,
+    // alternating user/assistant; every third doc gets a system prompt),
+    // then Chat.render produces the ChatML training string, the
+    // assistant-content loss-mask spans (character offsets from one
+    // per-row aggregate fold), and the collator validity gate. The oracle
+    // replays the turn synthesis, the template, the running-offset span
+    // arithmetic and the validity rule relationally.
+    "x33_chat_render" -> ((s, d) => {
+      val sentinel = "\u0001"
+      val sents  = split(
+        regexp_replace(col("text"), "([.!?])[ \t\r\n]+", "$1" + sentinel), sentinel)
+      val capped = slice(sents, 1, 6)
+      val base = transform(capped, (c, i) =>
+        struct(when(i % 2 === 0, "user").otherwise("assistant").as("role"), c.as("content")))
+      val turns = when(col("doc_id") % 3 === 0,
+        concat(array(struct(lit("system").as("role"),
+          lit("You are a helpful assistant.").as("content"))), base))
+        .otherwise(base)
+      Chat.render(Tables(s, d).documents.withColumn("turns", turns), "doc_id", "turns")
+        .select(col("doc_id"), col("n_turns"), col("n_assistant"), col("valid"),
+          md5(col("rendered")).as("rendered_md5"),
+          md5(concat_ws(",", transform(col("mask_spans"), sp =>
+            concat(sp.getField("s").cast("string"), lit(":"),
+              sp.getField("e").cast("string"))))).as("spans_sig"),
+          col("mask_chars"))
+        .orderBy("doc_id")
+    }),
+
     // X30 — tokenizer fertility per language: subword-per-word ratio and
     // bytes-per-token, THE multilingual-tokenizer health report (a lang
     // whose fertility spikes is under-represented in the vocab and its
@@ -4461,6 +4490,47 @@ object SparkEntry {
            | GROUP BY pr.doc_id ORDER BY doc_id""".stripMargin,
     "x4_bpe_tokens" ->
       raw"""SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens FROM documents ORDER BY doc_id""",
+    // x33 — turn synthesis (d20 splitter, 6-turn cap, system every third
+    // doc), the ChatML template, running-offset span arithmetic via a
+    // preceding-rows window sum, and the validity rule (body length >= 2,
+    // even, alternation holds by construction and is replayed via the
+    // same index rule)
+    "x33_chat_render" ->
+      raw"""WITH sp AS (SELECT doc_id,
+           |     string_split(regexp_replace(text, '([.!?])[ \t\r\n]+', '\1' || chr(1), 'g'), chr(1)) AS ss
+           |   FROM documents),
+           | cap AS (SELECT doc_id, ss[1:6] AS ss FROM sp),
+           | tu AS (
+           |   SELECT doc_id, 0 AS pos, 'system' AS role, 'You are a helpful assistant.' AS content
+           |   FROM cap WHERE doc_id % 3 = 0
+           |   UNION ALL
+           |   SELECT doc_id, generate_subscripts(ss, 1) AS pos,
+           |     CASE WHEN (generate_subscripts(ss, 1) - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           |     unnest(ss) AS content
+           |   FROM cap),
+           | pt AS (SELECT doc_id, pos, role, content,
+           |     '<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10) AS part,
+           |     len('<|im_start|>' || role || chr(10))::BIGINT AS hlen,
+           |     len(content)::BIGINT AS clen
+           |   FROM tu),
+           | off AS (SELECT *, coalesce(sum(len(part)) OVER
+           |     (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prior
+           |   FROM pt),
+           | agg AS (SELECT doc_id,
+           |     count(*)::BIGINT AS n_turns,
+           |     sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+           |     md5(string_agg(part, '' ORDER BY pos)) AS rendered_md5,
+           |     md5(coalesce(string_agg(CASE WHEN role = 'assistant'
+           |         THEN (prior + hlen)::VARCHAR || ':' || (prior + hlen + clen)::VARCHAR END, ',' ORDER BY pos), '')) AS spans_sig,
+           |     sum(CASE WHEN role = 'assistant' THEN clen ELSE 0 END)::BIGINT AS mask_chars
+           |   FROM off GROUP BY doc_id),
+           | vl AS (SELECT o.doc_id,
+           |     (count(*) >= 2 AND count(*) % 2 = 0
+           |       AND bool_and(o.role = CASE WHEN (o.pos - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END)) AS valid
+           |   FROM off o WHERE o.role <> 'system' OR o.pos > 0 GROUP BY o.doc_id)
+           | SELECT a.doc_id, a.n_turns, a.n_assistant, v.valid, a.rendered_md5, a.spans_sig, a.mask_chars
+           | FROM agg a JOIN vl v USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
     // x32 — the KN count tables + formula, identical arithmetic grouping
     // to the Spark side: (cbw−D)/cu + D·n1u/cu·(n1w/tt)
     "x32_kn_surprisal" ->

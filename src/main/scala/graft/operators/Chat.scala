@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Instruction/SFT data preparation — the step between a raw conversation
+  * corpus and a trainable token stream. A fine-tuning pipeline needs three
+  * things per conversation, all deterministic: the RENDERED training
+  * string (a chat template over the turns), the LOSS-MASK SPANS (train on
+  * assistant content only — the markers, system prompt and user turns are
+  * context, not targets), and a VALIDITY gate (role structure a collator
+  * can rely on). The reference stores flat documents only; this family is
+  * part of the beyond-reference LLM-pipeline surface, next to packing
+  * (`u11`) and MLM masking (`x25`) which consume exactly this output.
+  *
+  * Template: ChatML-shaped markers (`<|im_start|>role\ncontent<|im_end|>\n`
+  * — the OpenAI/Qwen lineage format, public spec). Offsets are CHARACTER
+  * offsets into the rendered string, so downstream tokenizers can map
+  * spans through their own offset tracking.
+  *
+  * Plan shape: pure per-row HOF projections over the turn array — no
+  * explode, no shuffle, one output row per conversation; the running
+  * character offset is a single `aggregate` fold per row. Linear in
+  * corpus bytes at any scale.
+  */
+object Chat {
+
+  val BeginMark = "<|im_start|>"
+  val EndMark   = "<|im_end|>\n"
+
+  private def header(role: Column) = concat(lit(BeginMark), role, lit("\n"))
+  private def part(t: Column) =
+    concat(header(t.getField("role")), t.getField("content"), lit(EndMark))
+
+  /** Rendered template over a `array<struct<role, content>>` column. */
+  def rendered(turns: Column): Column =
+    concat_ws("", transform(turns, part(_)))
+
+  /** Assistant-content [start, end) character spans into [[rendered]] —
+    * one `aggregate` fold carrying (offset, spans).
+    */
+  def maskSpans(turns: Column): Column = {
+    val zero = struct(
+      lit(0L).as("off"),
+      array().cast("array<struct<s:bigint,e:bigint>>").as("spans"))
+    val step = (acc: Column, t: Column) => {
+      val start = acc.getField("off") + length(header(t.getField("role")))
+      val end   = start + length(t.getField("content"))
+      struct(
+        (acc.getField("off") + length(part(t))).as("off"),
+        when(t.getField("role") === "assistant",
+          concat(acc.getField("spans"), array(struct(start.as("s"), end.as("e")))))
+          .otherwise(acc.getField("spans")).as("spans"))
+    }
+    aggregate(turns, zero, step, acc => acc.getField("spans"))
+  }
+
+  /** Collator-grade structural validity: an optional leading `system`
+    * turn, then a strict user/assistant alternation that starts with
+    * `user`, ends on `assistant` (a complete training example), and has
+    * at least one exchange.
+    */
+  def isValid(turns: Column): Column = {
+    val roles = transform(turns, t => t.getField("role"))
+    val body  = when(element_at(roles, 1) === "system",
+      slice(roles, lit(2), greatest(size(roles) - 1, lit(0)))).otherwise(roles)
+    val alternating = forall(
+      zip_with(body, sequence(lit(0), size(body) - 1),
+        (r, i) => r === when(i % 2 === 0, "user").otherwise("assistant")),
+      x => x)
+    size(body) >= 2 && size(body) % 2 === 0 && alternating
+  }
+
+  /** Per-conversation SFT prep over `turnsCol: array<struct<role string,
+    * content string>>`: (idCol, n_turns, n_assistant, valid, rendered,
+    * mask_spans, mask_chars).
+    */
+  def render(df: DataFrame, idCol: String, turnsCol: String): DataFrame = {
+    val turns = col(turnsCol)
+    val spans = maskSpans(turns)
+    df.select(
+      col(idCol),
+      size(turns).cast("long").as("n_turns"),
+      size(filter(turns, t => t.getField("role") === "assistant")).cast("long").as("n_assistant"),
+      isValid(turns).as("valid"),
+      rendered(turns).as("rendered"),
+      spans.as("mask_spans"),
+      aggregate(spans, lit(0L),
+        (acc, s) => acc + (s.getField("e") - s.getField("s"))).as("mask_chars"))
+  }
+}
