@@ -2039,6 +2039,24 @@ object SparkEntry {
         .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("revenue_cents"))
     }),
 
+    // H4 — TPC-H Q4's order-priority-checking shape (round 10), adapted
+    // to this schema (no commitdate column → "late-shipped" EXISTS:
+    // some lineitem shipped after the order date). The point is the PLAN:
+    // a quarter-pruned orders scan LEFT-SEMI joined to lineitem on the
+    // equi key with the non-equi ship-date conjunct as a join filter —
+    // the semi join never materializes lineitem rows, only existence.
+    "h4_order_priority" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders
+        .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .join(t.lineitem.select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     "h2_having" -> ((s, d) => {
       val t = Tables(s, d)
       t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
@@ -5095,6 +5113,14 @@ object SparkEntry {
         | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_custkey, c_mktsegment HAVING count(*) >= 10 ORDER BY c_custkey""".stripMargin,
+    // h4 — the Q4 EXISTS replayed verbatim
+    "h4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        | FROM orders o
+        | WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |   AND EXISTS (SELECT 1 FROM lineitem l
+        |     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        | GROUP BY 1 ORDER BY 1""".stripMargin,
     "j11_scd2" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,

@@ -319,4 +319,53 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(1200))
   }
+
+  test("h4 order-priority: EXISTS plans as a semi join with the quarter filter pushed to the orders scan") {
+    val t = Tables(spark, dir)
+    val q = t.orders
+      .where(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      .join(t.lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    val plan = formatted(q)
+    assert(plan.contains("LeftSemi"), s"EXISTS must stay a semi join:\n${plan.take(1200)}")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"quarter filter must reach the orders scan:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("Chat.render stays a pure projection — no exchange, no generate, one scan") {
+    import spark.implicits._
+    val convs = (0 until 50).map(i => (i.toLong,
+      Seq(("user", s"q$i"), ("assistant", s"a$i")))).toDF("id", "turns")
+      .selectExpr("id", "transform(turns, t -> named_struct('role', t._1, 'content', t._2)) AS turns")
+    val plan = graft.operators.Chat.render(convs, "id", "turns")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chat prep must not shuffle:\n${plan.take(1000)}")
+    assert(!plan.contains("Generate"), s"chat prep must not explode:\n${plan.take(1000)}")
+  }
+
+  test("Recrawl.schedule shuffles once on the URL key (window + group-by share the partitioning)") {
+    import spark.implicits._
+    val visits = (0 until 200).map { i =>
+      (s"u${i % 10}", new java.sql.Timestamp(1700000000000L + i * 60000L), s"h${i % 3}")
+    }.toDF("url", "ts", "sig")
+    val plan = graft.operators.Recrawl.schedule(visits, "url", "ts", "sig",
+      java.time.Instant.ofEpochSecond(1800000000L)).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"window and group-by must share one url shuffle, got $exchanges:\n${plan.take(1500)}")
+  }
+
+  test("Eval.rankingMetrics: no cartesian, and every window partitions by the query key") {
+    import spark.implicits._
+    val run = (0 until 300).map(i => (i.toLong % 20, i.toLong, i % 10 + 1)).toDF("query_id", "doc_id", "rank")
+    val qrels = (0 until 100).map(i => (i.toLong % 20, i.toLong, 1)).toDF("query_id", "doc_id", "rel")
+    val plan = graft.operators.Eval.rankingMetrics(run, qrels, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    for (l <- plan.linesIterator.filter(_.contains("Window ")))
+      assert(l.contains("query_id"), s"window must partition by the query key: $l")
+  }
 }
