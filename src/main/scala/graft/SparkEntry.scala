@@ -3097,6 +3097,25 @@ object SparkEntry {
         .orderBy("list_id")
     }),
 
+    // X34 — prototype-distance data pruning (round 10, Sorscher 2022):
+    // difficulty = L2 distance to the assigned prototype (explicit
+    // prototypes = the first 4 embedding rows, the v26 device that makes
+    // the whole lifecycle relational), keep the hardest 25% per cluster.
+    // The oracle replays the argmin assignment, the distance, the
+    // per-cluster (dist desc, id) rank and the ceil cut exactly —
+    // distances are bit-identical across engines (same sequential dot
+    // order), so the kept flag is deterministic, not round-tolerant.
+    "x34_prototype_prune" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val cents = emb.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect().toSeq
+      Sampling.prototypePrune(emb, "vec_id", "embedding", cents, 0.25, keepHardest = true)
+        .select(col("vec_id"), col("cluster"), round(col("dist"), 4).as("dist"),
+          col("n_cluster"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // V29 — the HNSW shard-lifecycle close-out (round 10): applyDelta
     // keeps the build-time shard COUNT forever, so Hnsw.shardStats
     // (per-shard occupancy vs the rows-per-shard budget, one
@@ -5533,6 +5552,29 @@ object SparkEntry {
         | SELECT list_id::BIGINT AS list_id, count(*)::BIGINT AS n,
         |   round(avg(dist), 4) AS mean_dist
         | FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x34 — v26's relational assignment device + the rank-and-cut replay
+    "x34_prototype_prune" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+        |     list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+        |   FROM embeddings WHERE vec_id < 4),
+        | asg AS (SELECT vec_id, v,
+        |     (SELECT cid FROM cents
+        |      ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, cv) + cc, cid
+        |      LIMIT 1) AS cluster
+        |   FROM base),
+        | dd AS (SELECT a.vec_id, a.cluster,
+        |     sqrt(greatest(0.0,
+        |       list_inner_product(a.v, a.v) + c.cc - 2 * list_inner_product(a.v, c.cv))) AS dist
+        |   FROM asg a JOIN cents c ON c.cid = a.cluster),
+        | r AS (SELECT vec_id, cluster, dist,
+        |     row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id) AS rk,
+        |     count(*) OVER (PARTITION BY cluster) AS n
+        |   FROM dd)
+        | SELECT vec_id, cluster::BIGINT AS cluster, round(dist, 4) AS dist,
+        |   n::BIGINT AS n_cluster, rk <= ceil(0.25 * n) AS kept
+        | FROM r ORDER BY vec_id""".stripMargin,
 
     // v29 — the v22 post-delta replay again (resharding must preserve
     // content exactly), plus the node count the re-routed store must

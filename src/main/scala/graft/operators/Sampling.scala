@@ -216,4 +216,49 @@ object Sampling {
     }: _*)
     df.withColumn("split", assigned)
   }
+
+  /** Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): an example's difficulty is its L2 distance to
+    * its cluster prototype; on an abundant corpus pruning keeps the HARD
+    * fraction (easy examples near the prototype are redundant), on a
+    * scarce one the easy fraction — `keepHardest` picks the direction.
+    * Everything deterministic: explicit prototypes, argmin assignment
+    * with lowest-index tie-break ([[Ivf.withListId]]'s codegen path), a
+    * per-cluster (distance, id) rank, keep ceil(keepFrac·n_c) per
+    * cluster.
+    *
+    * Plan shape: one narrow assignment projection (prototypes inlined in
+    * the codegen'd argmin — no join), then ONE cluster-keyed shuffle
+    * shared by the rank and cluster-size windows. Same scale contract as
+    * [[stratifiedTake]]; clusters skewed enough to make a per-cluster
+    * sort hurt should prune per shard first (prototypes are global, so
+    * shard-local pruning composes).
+    *
+    * Output: input columns − vecCol + (cluster, dist, n_cluster, kept).
+    */
+  def prototypePrune(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      prototypes: Seq[Seq[Double]], keepFrac: Double, keepHardest: Boolean = true,
+  ): DataFrame = {
+    require(prototypes.nonEmpty, "prototypes must not be empty")
+    require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0,1]: $keepFrac")
+    import graft.functions.VectorExpressions.dotFast
+    val model    = Ivf.Model(prototypes.map(_.toArray).toArray)
+    val assigned = Ivf.withListId(vecs, model, vecCol)
+    val cents = typedLit(prototypes)
+    val v     = col(vecCol).cast("array<double>")
+    val c     = element_at(cents, col("list_id").cast("int") + 1)
+    val d2    = dotFast(v, v) + dotFast(c, c) - lit(2.0) * dotFast(v, c)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val order = if (keepHardest) Seq(col("dist").desc, col(idCol))
+                else Seq(col("dist").asc, col(idCol))
+    assigned
+      .withColumn("dist", sqrt(greatest(lit(0.0), d2)))
+      .withColumn("cluster", col("list_id").cast("long")).drop("list_id")
+      .drop(vecCol)
+      .withColumn("__rank", row_number().over(w.orderBy(order: _*)))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+      .withColumn("kept", col("__rank") <= ceil(lit(keepFrac) * col("n_cluster")))
+      .drop("__rank")
+  }
 }

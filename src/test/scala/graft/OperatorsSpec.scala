@@ -417,6 +417,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"continuation-frequent 'red' must be less surprising after a novel-ish context: ${out(100L)} vs ${out(101L)}")
   }
 
+  test("prototypePrune: per-cluster ceil cut, hardest-first, direction flip") {
+    import graft.operators.Sampling
+    val protos = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // cluster 0: ids 0..9 at distance 0.1*i from proto 0; cluster 1: ids
+    // 10..14 at distance 0.1*(i-10) from proto 1
+    val vecs = ((0 until 10).map(i => (i.toLong, Seq(1.0, i * 0.1))) ++
+      (10 until 15).map(i => (i.toLong, Seq(0.1 * (i - 10), 1.0)))).toDF("id", "vec")
+    def keptIds(hardest: Boolean): Set[Long] =
+      Sampling.prototypePrune(vecs, "id", "vec", protos, 0.3, hardest)
+        .where(col("kept")).select("id").as[Long].collect().toSet
+    // cluster 0: ceil(0.3*10)=3 -> hardest = farthest = ids 7,8,9
+    // cluster 1: ceil(0.3*5)=2  -> hardest = ids 13,14
+    assert(keptIds(hardest = true) == Set(7L, 8L, 9L, 13L, 14L))
+    assert(keptIds(hardest = false) == Set(0L, 1L, 2L, 10L, 11L))
+    val n = Sampling.prototypePrune(vecs, "id", "vec", protos, 0.3, keepHardest = true)
+      .select("id", "cluster", "n_cluster").as[(Long, Long, Long)].collect()
+    assert(n.filter(_._2 == 0L).forall(_._3 == 10L) && n.filter(_._2 == 1L).forall(_._3 == 5L))
+  }
+
   test("bloomIncrementalFlags is exact even at absurd fpp (false positives resolved by the semi-join)") {
     val corpus = (0 until 400).map(i => (i.toLong, s"text-${i % 120}")).toDF("doc_id", "text")
     val batch = ((0 until 60).map(i => (1000L + i, s"text-${i}")) ++ // dups of corpus texts
