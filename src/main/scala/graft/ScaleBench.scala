@@ -500,6 +500,39 @@ object ScaleBench {
             new graft.onnx.OnnxEmbedder(onnxFixture._1, onnxFixture._2, graft.onnx.TinyMpnet.hidden))
             .toDF().count()
         }),
+        // round-10 v30: rank-capped (query, doc) join + per-query
+        // aggregates — linear in run size, window only over qrels
+        "eval_metrics"    -> (() => {
+          val run = docs.select((col("doc_id") % 1000).as("query_id"),
+            col("doc_id"), (pmod(hash(col("doc_id")), lit(10)) + 1).as("rank"))
+          val qrels = docs.where(col("doc_id") % 7 === 0)
+            .select((col("doc_id") % 1000).as("query_id"), col("doc_id"), lit(1).as("rel"))
+          Eval.rankingMetrics(run, qrels, 10).count()
+        }),
+        // round-10 x31: one URL-keyed window + group-by over the event log
+        "recrawl_schedule" -> (() => Recrawl.schedule(
+          events.select(concat(lit("u"), col("user_id").cast("string")).as("url"),
+            col("ts"), col("event_type").as("sig")),
+          "url", "ts", "sig", java.time.Instant.ofEpochSecond(1800000000L)).count()),
+        // round-10 x32: x10's relational shape + one extra count table —
+        // should track bigram_surprisal's curve
+        "kn_surprisal"    -> (() => graft.functions.TextOps
+          .knBigramSurprisal(docs, "doc_id", "text", materialize = true).count()),
+        // round-10 x33: pure per-row projection — linear scan, no shuffle
+        "chat_render"     -> (() => {
+          val sentinel = "\u0001"
+          val sents = split(regexp_replace(col("text"),
+            "([.!?])[ \t\r\n]+", "$1" + sentinel), sentinel)
+          val turns = transform(slice(sents, 1, 6), (c, i) =>
+            struct(when(i % 2 === 0, "user").otherwise("assistant").as("role"), c.as("content")))
+          Chat.render(docs.withColumn("turns", turns), "doc_id", "turns").count()
+        }),
+        // round-10 x34: codegen argmin projection + one cluster-keyed
+        // shuffle shared by both windows
+        "prototype_prune" -> (() => {
+          val protos = Seq.tabulate(4)(k => Seq.tabulate(64)(j => if (j % 4 == k) 1.0 else 0.0))
+          Sampling.prototypePrune(vecs, "vec_id", "embedding", protos, 0.25).count()
+        }),
         // split-input form: the fit leg reads only the embedding table,
         // texts are the (16x larger) documents joined once by the naming agg
         "cluster_naming"  -> (() => Ml.clusterAndName(

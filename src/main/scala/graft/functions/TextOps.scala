@@ -526,19 +526,29 @@ object TextOps {
         lag(col("__w"), 1).over(org.apache.spark.sql.expressions.Window.partitionBy("__id").orderBy("__pos")))
       .where(col("__prev").isNotNull)
     val pairs = if (materialize) pairs0.localCheckpoint(true) else pairs0
-    val bigrams = pairs.groupBy("__prev", "__w").agg(count(lit(1)).cast("double").as("__cbw"))
-    val ctx = pairs.groupBy("__prev").agg(
-      count(lit(1)).cast("double").as("__cu"),
-      countDistinct(col("__w")).cast("double").as("__n1u"))
+    val bigrams0 = pairs.groupBy("__prev", "__w").agg(count(lit(1)).cast("double").as("__cbw"))
+    // four consumers; types-sized, not pair-sized — materialize with the
+    // same session-pinning trade the toks/pairs frames document
+    val bigrams = if (materialize) bigrams0.localCheckpoint(true) else bigrams0
+    // c(u·) and N1+(u·) come off the TYPE table (Σ over types of a context
+    // = its pair total; its row count = its distinct continuations), so no
+    // countDistinct pass over the pair stream is needed
+    val ctx = bigrams.groupBy("__prev").agg(
+      sum(col("__cbw")).as("__cu"), count(lit(1)).cast("double").as("__n1u"))
     val n1w   = bigrams.groupBy("__w").agg(count(lit(1)).cast("double").as("__n1w"))
     val types = bigrams.agg(count(lit(1)).cast("double").as("__tt"))
-    pairs
-      .join(bigrams, Seq("__prev", "__w"))
+    // ALL model arithmetic on the types-sized table — the corpus-sized
+    // pair stream joins the finished score exactly once (then one by-id
+    // aggregate), instead of dragging through three model joins
+    val typeScores = bigrams
       .join(ctx, Seq("__prev"))
       .join(n1w, Seq("__w"))
       .crossJoin(broadcast(types))
       .withColumn("__nll", -log((col("__cbw") - discount) / col("__cu")
         + lit(discount) * col("__n1u") / col("__cu") * (col("__n1w") / col("__tt"))))
+      .select("__prev", "__w", "__nll")
+    pairs
+      .join(typeScores, Seq("__prev", "__w"))
       .groupBy(col("__id").as(idCol))
       .agg(count(lit(1)).as("n_pairs"), avg(col("__nll")).as("kn_avg_nll"))
   }
