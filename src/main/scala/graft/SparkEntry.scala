@@ -2478,6 +2478,20 @@ object SparkEntry {
         .orderBy("file_name")
     }),
 
+    // MM10 — perceptual DCT hash (round 10): the frequency-domain second
+    // key of an image near-dup pipeline, next to mm6's ordinal dHash.
+    // Fixed-point DCT (PHashCos, 1/32768 quantization) keeps every
+    // product an exact integer, so the oracle replays the WHOLE hash —
+    // pixel sampling from raw BMP bytes, the 2-D DCT as a join against
+    // the embedded basis table, the discrete median, the bit cut —
+    // bit-identically, no tolerance anywhere.
+    "mm10_phash" -> ((s, _) => {
+      val b = Multimodal.binaryTable(s, "/root/repo/fixtures/bitmap/dhash", "*.bmp")
+      Multimodal.pHash(s, b).toDF()
+        .select(col("file_name"), lpad(hex(col("phash")), 16, "0").as("phash_hex"))
+        .orderBy("file_name")
+    }),
+
     // MM6b — Hamming-banded near-dup pairs over the hashes (the SimHash
     // band trick at the image level): 4×16-bit bands; any pair within
     // distance ≤ 3 shares a band by pigeonhole, so the oracle's all-pairs
@@ -4956,6 +4970,29 @@ object SparkEntry {
            |   FROM g a JOIN g b ON b.file_name = a.file_name AND b.oy = a.oy AND b.ox = a.ox + 1
            |   WHERE a.ox < 8 GROUP BY a.file_name)
            | SELECT file_name, lpad(to_hex(d), 16, '0') AS dhash_hex FROM dh ORDER BY file_name""".stripMargin,
+    // mm10 — the full fixed-point pHash replayed: the SAME cos basis
+    // table (embedded from Multimodal.PHashCos), integer DCT products,
+    // quantile_disc median (= sorted index 31 of 63), bit cut
+    "mm10_phash" -> {
+      val costab = (for (u <- 0 until 8; x <- 0 until 32)
+        yield s"($u, $x, ${Multimodal.PHashCos(u)(x)})").mkString(", ")
+      raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h FROM read_blob('/root/repo/fixtures/bitmap/dhash/*.bmp')),
+           | cell AS (SELECT file_name, h, (c // 32) AS oy, (c % 32) AS ox FROM (SELECT file_name, h, unnest(range(0, 1024)) AS c FROM f)),
+           | g AS (SELECT file_name, oy, ox,
+           |   ((strpos('0123456789ABCDEF', substr(h, (2*(54 + (15 - ((oy*16+8)//32))*48 + ((ox*16+8)//32)*3) + 1)::BIGINT, 1)) - 1) * 16 +
+           |     strpos('0123456789ABCDEF', substr(h, (2*(54 + (15 - ((oy*16+8)//32))*48 + ((ox*16+8)//32)*3) + 2)::BIGINT, 1)) - 1) AS v
+           |   FROM cell),
+           | kt AS (SELECT * FROM (VALUES $costab) t(u, x, kk)),
+           | co AS (SELECT g.file_name, ku.u AS u, kv.u AS v, sum(g.v * ku.kk * kv.kk)::BIGINT AS coeff
+           |   FROM g JOIN kt ku ON ku.x = g.ox JOIN kt kv ON kv.x = g.oy
+           |   GROUP BY 1, 2, 3),
+           | med AS (SELECT file_name, quantile_disc(coeff, 0.5) AS m FROM co WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+           | ph AS (SELECT co.file_name,
+           |   coalesce(sum(CASE WHEN NOT (u = 0 AND v = 0) AND coeff > m THEN (1::HUGEINT << (u*8 + v)::INT) ELSE 0::HUGEINT END), 0::HUGEINT) AS p
+           |   FROM co JOIN med USING (file_name) GROUP BY 1)
+           | SELECT file_name, lpad(to_hex(p), 16, '0') AS phash_hex FROM ph ORDER BY file_name""".stripMargin
+    },
+
     "mm6_dhash_neardup" ->
       raw"""WITH f AS (SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name, upper(hex(content)) AS h FROM read_blob('/root/repo/fixtures/bitmap/dhash/*.bmp')),
            | cell AS (SELECT file_name, h, (c // 9) AS oy, (c % 9) AS ox FROM (SELECT file_name, h, unnest(range(0, 72)) AS c FROM f)),

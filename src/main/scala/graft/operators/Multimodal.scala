@@ -530,6 +530,65 @@ object Multimodal {
       }
   }
 
+  final case class PHashed(file_name: String, phash: Long)
+
+  /** pHash's fixed-point DCT basis: cos(π(2x+1)u/64) quantized to
+    * 1/32768 steps. Integer products are what keep the hash bit-identical
+    * on every engine — a float DCT's sum order would flip bits near the
+    * median cut. Public so the oracle embeds the SAME table.
+    */
+  val PHashCos: Array[Array[Long]] = Array.tabulate(8, 32)((u, x) =>
+    Math.round(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * 32768.0))
+
+  /** Perceptual DCT hash (pHash) of each decodable image: 32×32
+    * nearest-sample gray grid (the [[dHash]] sampling rule), the 8×8
+    * low-frequency block of the 2-D DCT-II in fixed-point arithmetic
+    * ([[PHashCos]]), bit (u·8+v) set iff the coefficient exceeds the
+    * median of the 63 non-DC coefficients (the DC bit stays 0; median =
+    * sorted index 31, ties break to 0 — `quantile_disc(0.5)` exactly).
+    * Keys on global frequency structure, so it survives blur, gamma and
+    * recompression that flip [[dHash]]'s adjacent-pixel ordinals; the
+    * classic second key of an image near-dup pipeline (band-join the
+    * hashes with [[dhashNearDupPairs]] — it only reads the bits).
+    * Narrow per-row map — no shuffle.
+    */
+  def pHash(spark: SparkSession, binaries: DataFrame): Dataset[PHashed] = {
+    import spark.implicits._
+    binaries.select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        decodeImage(bytes).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.tabulate(32, 32) { (oy, ox) =>
+            val rgb = img.getRGB(
+              math.min(w - 1, (ox * w + w / 2) / 32),
+              math.min(h - 1, (oy * h + h / 2) / 32))
+            ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toLong
+          }
+          val coeff = Array.tabulate(8, 8) { (u, v) =>
+            var s = 0L
+            var oy = 0
+            while (oy < 32) {
+              var ox = 0
+              while (ox < 32) {
+                s += g(oy)(ox) * PHashCos(u)(ox) * PHashCos(v)(oy)
+                ox += 1
+              }
+              oy += 1
+            }
+            s
+          }
+          val nonDc = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+            yield coeff(u)(v)).sorted
+          val med = nonDc(31)
+          var bits = 0L
+          for (u <- 0 until 8; v <- 0 until 8)
+            if ((u != 0 || v != 0) && coeff(u)(v) > med) bits |= 1L << (u * 8 + v)
+          PHashed(name, bits)
+        }
+      }
+  }
+
   /** Hamming-banded near-dup pairs over dHashes — the SimHash band trick at
     * the image level: 4 × 16-bit bands; by pigeonhole any pair within
     * Hamming distance ≤ 3 agrees EXACTLY on at least one band, so the

@@ -130,6 +130,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 3))
   }
 
+  test("pHash: re-encode/upscale invariant, near pairs close in Hamming, far pairs far") {
+    val bmp = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/bitmap/dhash/art_b.bmp"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val up = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach(x => up.setRGB(x, y, img.getRGB(x / 2, y / 2))))
+    val rows = Seq(
+      ("orig.bmp", bmp),
+      ("reenc.png", encode(img, "png")),
+      ("upscaled.png", encode(up, "png")),
+      ("noise.bin", Array.tabulate[Byte](64)(_.toByte)),
+    ).toDF("file_name", "content")
+    val hs = Multimodal.pHash(spark, rows).collect().map(h => h.file_name -> h.phash).toMap
+    assert(hs.keySet == Set("orig.bmp", "reenc.png", "upscaled.png"))
+    assert(hs("orig.bmp") == hs("reenc.png"))
+    assert(hs("orig.bmp") == hs("upscaled.png"))
+    // DC bit never set; exactly 31 of the 63 non-DC coeffs sit above the
+    // index-31 median when all values are distinct
+    assert((hs("orig.bmp") & 1L) == 0L)
+
+    val b = Multimodal.binaryTable(spark, "/root/repo/fixtures/bitmap/dhash", "*.bmp")
+    val ph = Multimodal.pHash(spark, b).collect().map(h => h.file_name -> h.phash).toMap
+    def dist(a: Long, bb: Long) = java.lang.Long.bitCount(a ^ bb)
+    // measured: near pairs 5 and 12, every cross pair >= 28 — a local
+    // perturbation moves more pHash bits than dHash bits (many coeffs sit
+    // near the median cut) but the near/far separation stays wide
+    assert(dist(ph("art_a.bmp"), ph("art_a2.bmp")) <= 16, "planted near pair must stay close")
+    assert(dist(ph("art_b.bmp"), ph("art_b2.bmp")) <= 16, "planted near pair must stay close")
+    assert(dist(ph("art_a.bmp"), ph("art_c.bmp")) >= 20, "distinct art must be far")
+    assert(dist(ph("art_a.bmp"), ph("art_d.bmp")) >= 20, "distinct art must be far")
+  }
+
   test("property: banded dhash join finds EVERY pair within maxDist=3 and none beyond") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
