@@ -76,6 +76,10 @@ object Chat {
     * mask_spans, mask_chars).
     */
   def render(df: DataFrame, idCol: String, turnsCol: String): DataFrame = {
+    val names = df.columns.toSet
+    Seq("n_turns", "n_assistant", "valid", "rendered", "mask_spans", "mask_chars")
+      .filter(_ != idCol)
+      .foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
     val turns = col(turnsCol)
     val spans = maskSpans(turns)
     df.select(

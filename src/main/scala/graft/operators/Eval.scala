@@ -51,6 +51,10 @@ object Eval {
       relCol: String = "rel",
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    val reserved = Seq("n_rel", "recall_at_k", "rr_at_k", "ndcg_at_k",
+      "__i", "__idcg", "__n_rel_ret", "__frr", "__dcg")
+    for (c <- reserved; f <- Seq(run, qrels))
+      require(!f.columns.contains(c), s"input already has a '$c' column")
     val dup = qrels.groupBy(col(queryCol), col(docCol)).count()
       .where(col("count") > 1).limit(1).count()
     require(dup == 0, s"duplicate ($queryCol, $docCol) judgments in qrels")

@@ -118,6 +118,10 @@ object Recrawl {
       hashCol: String,
       asOf: java.time.Instant,
   ): DataFrame = {
+    val names = visits.columns.toSet
+    Seq("__sec", "__h", "__prev", "n_visits", "n_changes",
+      "change_rate", "priority", "next_due")
+      .foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
     // hash tie-break pins the lag order when two visits share a timestamp
     // (same instant + same hash is order-free anyway)
     val w   = org.apache.spark.sql.expressions.Window

@@ -241,7 +241,12 @@ object Sampling {
       prototypes: Seq[Seq[Double]], keepFrac: Double, keepHardest: Boolean = true,
   ): DataFrame = {
     require(prototypes.nonEmpty, "prototypes must not be empty")
+    require(prototypes.map(_.length).distinct.size == 1,
+      s"prototypes must share one dimension, got ${prototypes.map(_.length).distinct.sorted.mkString(", ")}")
     require(keepFrac > 0.0 && keepFrac <= 1.0, s"keepFrac must be in (0,1]: $keepFrac")
+    val names = vecs.columns.toSet
+    Seq("cluster", "dist", "n_cluster", "kept", "list_id", "__rank")
+      .foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
     import graft.functions.VectorExpressions.dotFast
     val model    = Ivf.Model(prototypes.map(_.toArray).toArray)
     val assigned = Ivf.withListId(vecs, model, vecCol)
