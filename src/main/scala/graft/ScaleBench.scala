@@ -30,6 +30,10 @@ object ScaleBench {
   private lazy val onnxFixture: (String, String) =
     graft.onnx.TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("sb-onnx").toString)
 
+  /** onnx_rerank's cross-encoder fixture, written once per JVM. */
+  private lazy val crossFixture: (String, String) =
+    graft.onnx.TinyMpnet.writeCrossTo(java.nio.file.Files.createTempDirectory("sb-cross").toString)
+
   /** recrawl_768's pre-built store per scale (see the 768d-tier entry). */
   private val recrawl768Stores = scala.collection.concurrent.TrieMap.empty[Int, String]
 
@@ -500,6 +504,14 @@ object ScaleBench {
             new graft.onnx.OnnxEmbedder(onnxFixture._1, onnxFixture._2, graft.onnx.TinyMpnet.hidden))
             .toDF().count()
         }),
+        // round-10: the model-backed precision stage — stage 1 scans the
+        // corpus (bm25), stage 2 runs the ONNX cross-encoder over ≤50
+        // candidates, so the model cost must stay CONSTANT as the corpus
+        // grows (the whole point of the two-stage split)
+        "onnx_rerank"     -> (() => Rank.rerankTopKWith(
+          docs, "doc_id", "text", Seq("w17", "w256"), "w17 w256",
+          new graft.onnx.OnnxCrossEncoder(crossFixture._1, crossFixture._2),
+          k = 10, nCandidates = 50).count()),
         // round-10 v30: rank-capped (query, doc) join + per-query
         // aggregates — linear in run size, window only over qrels
         "eval_metrics"    -> (() => {

@@ -75,7 +75,18 @@ object TinyMpnet {
     }
   }
 
-  def modelBytes: Array[Byte] = {
+  def modelBytes: Array[Byte] = build(crossHead = false)
+
+  /** The cross-encoder variant: the SAME 2-layer body, then the HF
+    * CrossEncoder head shape — masked mean-pool of the last hidden state
+    * and a Linear(H→1) relevance logit (`logits` `[batch, 1]`). Exercises
+    * Cast/ReduceSum/broadcast-Mul pooling INSIDE the graph (the
+    * embedder's pooling runs outside it), which is exactly what a real
+    * exported cross-encoder ships.
+    */
+  def crossModelBytes: Array[Byte] = build(crossHead = true)
+
+  private def build(crossHead: Boolean): Array[Byte] = {
     val V = vocabLines.length
     val m = new ProtoWriter
     m.msg(7) { g =>
@@ -171,9 +182,25 @@ object TinyMpnet {
         node("LayerNormalization", Seq(nm("r2"), s"ln2_g_$i", s"ln2_b_$i"), Seq(outName))
         x = outName
       }
+      if (crossHead) {
+        finit("w_head", Seq(hidden, 1), weights("w_head", hidden, 0.4f).toSeq)
+        finit("b_head", Seq(1), weights("b_head", 1, 0.1f).toSeq)
+        // masked mean-pool inside the graph: float mask [B,S,1] gates the
+        // hidden states, ReduceSum/ReduceSum divides by the true lengths
+        node("Cast", Seq("attention_mask"), Seq("mf"), intAttrs = Map("to" -> 1L))
+        node("Unsqueeze", Seq("mf"), Seq("mf3"), intsAttrs = Map("axes" -> Seq(2L)))
+        node("Mul", Seq("last_hidden_state", "mf3"), Seq("mh"))
+        node("ReduceSum", Seq("mh"), Seq("sumh"),
+          intsAttrs = Map("axes" -> Seq(1L)), intAttrs = Map("keepdims" -> 0L))
+        node("ReduceSum", Seq("mf"), Seq("cnt"),
+          intsAttrs = Map("axes" -> Seq(1L)), intAttrs = Map("keepdims" -> 1L))
+        node("Div", Seq("sumh", "cnt"), Seq("pooled"))
+        node("MatMul", Seq("pooled", "w_head"), Seq("h0"))
+        node("Add", Seq("h0", "b_head"), Seq("logits"))
+      }
       g.msg(11)(_.str(1, "input_ids"))
       g.msg(11)(_.str(1, "attention_mask"))
-      g.msg(12)(_.str(1, "last_hidden_state"))
+      g.msg(12)(_.str(1, if (crossHead) "logits" else "last_hidden_state"))
     }
     m.out.toByteArray
   }
@@ -184,6 +211,17 @@ object TinyMpnet {
     java.nio.file.Files.createDirectories(d)
     val mp = d.resolve("model.onnx")
     java.nio.file.Files.write(mp, modelBytes)
+    val vp = d.resolve("vocab.txt")
+    java.nio.file.Files.write(vp, vocabLines.mkString("\n").getBytes("UTF-8"))
+    (mp.toString, vp.toString)
+  }
+
+  /** Cross-encoder artifact pair ([[crossModelBytes]] + the same vocab). */
+  def writeCrossTo(dir: String): (String, String) = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val mp = d.resolve("model.onnx")
+    java.nio.file.Files.write(mp, crossModelBytes)
     val vp = d.resolve("vocab.txt")
     java.nio.file.Files.write(vp, vocabLines.mkString("\n").getBytes("UTF-8"))
     (mp.toString, vp.toString)

@@ -100,10 +100,10 @@ object OnnxEmbedder {
   private val models = new java.util.concurrent.ConcurrentHashMap[String, Onnx.Graph]()
   private val vocabs = new java.util.concurrent.ConcurrentHashMap[String, WordPieceIds]()
 
-  private def modelFor(path: String): Onnx.Graph =
+  private[onnx] def modelFor(path: String): Onnx.Graph =
     models.computeIfAbsent(path, Onnx.loadFile)
 
-  private def vocabFor(path: String): WordPieceIds =
+  private[onnx] def vocabFor(path: String): WordPieceIds =
     vocabs.computeIfAbsent(path, p => WordPieceIds.fromFile(p))
 
   private[onnx] def l2normalize(v: Array[Float]): Array[Float] = {
@@ -163,6 +163,28 @@ object OnnxEmbedder {
         start = found
       }
       out.result()
+    }
+
+    /** Cross-encoder pair framing `[CLS] a… [SEP] b… [SEP]` (the HF
+      * sentence-pair convention) — the B side truncates first (queries
+      * are short and must survive whole), the final [SEP] is kept.
+      */
+    def encodePair(a: String, b: String, maxLen: Int): Array[Long] = {
+      val aIds = preTokenize(a).flatMap(wordPieceIds)
+      val bIds = preTokenize(b).flatMap(wordPieceIds)
+      val framedA = clsId.toVector ++ aIds ++ sepId.toVector
+      val budget  = maxLen - framedA.length - sepId.size
+      val framed  =
+        if (budget >= bIds.length) framedA ++ bIds ++ sepId.toVector
+        else if (budget > 0) framedA ++ bIds.take(budget) ++ sepId.toVector
+        else framedA // degenerate: the query alone fills the window
+      val t =
+        if (framed.length <= maxLen) framed
+        else sepId match {
+          case Some(sep) => framed.take(maxLen - 1) :+ sep
+          case None      => framed.take(maxLen)
+        }
+      t.toArray
     }
 
     /** `[CLS] pieces… [SEP]` (framing only when the vocab has the tokens),

@@ -526,6 +526,80 @@ class OnnxSpec extends AnyFunSuite {
     assert(v.encode("", 8).toSeq == Seq(2L, 3L))
   }
 
+  test("encodePair: [CLS] a [SEP] b [SEP] framing; doc side truncates first, query survives whole") {
+    import graft.onnx.TinyMpnet
+    val v = new OnnxEmbedder.WordPieceIds(TinyMpnet.vocabLines)
+    // cls=2 sep=3, the=4, spark=5, engine=6(+7? engine is one token id 6)
+    assert(v.encodePair("the", "spark", 16).toSeq == Seq(2L, 4L, 3L, 5L, 3L))
+    val t = v.encodePair("the spark", "engine data pipeline vector search index", 8)
+    assert(t.length == 8 && t.last == 3L)
+    assert(t.take(4).toSeq == Seq(2L, 4L, 5L, 3L), "query side must survive whole")
+    // degenerate: query alone fills the window
+    val q = v.encodePair("the spark engine data pipeline", "vector", 5)
+    assert(q.head == 2L && q.length <= 5)
+  }
+
+  test("TinyMpnet cross export: in-graph masked mean-pool + linear head matches an independent composition; padding-invariant") {
+    import graft.onnx.{OnnxCrossEncoder, TinyMpnet}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cross").toString
+    val (cmp, cvp) = TinyMpnet.writeCrossTo(dir)
+    val ce = new OnnxCrossEncoder(cmp, cvp)
+    val query = "vector search"
+    val docs = Seq(
+      "the spark engine",
+      "the tokenizer dedup pipeline quality stream scan",
+      "zzz qqq")
+    val batched = ce.scoreBatch(query, docs)
+    assert(batched.length == 3)
+    // padding invariance: each batched logit equals its singleton logit
+    for ((d, i) <- docs.zipWithIndex) {
+      val solo = ce.scoreBatch(query, Seq(d)).head
+      assert(math.abs(batched(i) - solo) < 1e-6, s"doc $i: pad positions leaked into the head")
+    }
+    // independent composition check of the HEAD: run the HEADLESS body on
+    // the same pair ids, mean-pool + Linear in double precision — the body
+    // itself is validated against a from-scratch forward in the TinyMpnet
+    // test, so this pins the pooling/head subgraph
+    val (hmp, _) = TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("graft_cross_h").toString)
+    val body  = Onnx.loadFile(hmp)
+    val vocab = new OnnxEmbedder.WordPieceIds(TinyMpnet.vocabLines)
+    val wH = TinyMpnet.weights("w_head", TinyMpnet.hidden, 0.4f)
+    val bH = TinyMpnet.weights("b_head", 1, 0.1f)(0)
+    for ((d, i) <- docs.zipWithIndex) {
+      val ids = vocab.encodePair(query, d, 128)
+      val s   = ids.length
+      val feeds = Map[String, Onnx.Tensor](
+        "input_ids" -> LTensor(Vector(1, s), ids),
+        "attention_mask" -> LTensor(Vector(1, s), Array.fill(s)(1L)))
+      val hid = body.run(feeds)("last_hidden_state").asInstanceOf[FTensor]
+      val h   = TinyMpnet.hidden
+      val pooled = Array.tabulate(h) { j =>
+        ((0 until s).map(p => hid.data(p * h + j).toDouble).sum / s).toFloat.toDouble
+      }
+      val want = (pooled.zip(wH).map { case (a, w) => a * w }.sum.toFloat + bH).toDouble
+      assert(math.abs(batched(i) - want) < 1e-5, s"doc $i: head logit ${batched(i)} != composed $want")
+    }
+  }
+
+  test("rerankTopKWith + OnnxCrossEncoder: end-to-end two-stage rerank is deterministic and candidate-bounded") {
+    import graft.onnx.{OnnxCrossEncoder, TinyMpnet}
+    import graft.operators.Rank
+    import spark.implicits._
+    val (cmp, cvp) = TinyMpnet.writeCrossTo(
+      java.nio.file.Files.createTempDirectory("graft_cross_rr").toString)
+    val ce = new OnnxCrossEncoder(cmp, cvp)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"the spark engine ${if (i % 3 == 0) "vector search index" else "crawl batch filter"} doc w$i")
+    }.toDF("doc_id", "text")
+    def run() = Rank.rerankTopKWith(docs, "doc_id", "text",
+      terms = Seq("vector", "search"), query = "vector search index",
+      scorer = ce, k = 5, nCandidates = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val a = run(); val b = run()
+    assert(a.length == 5 && a.sameElements(b), "model-backed rerank must be deterministic")
+    assert(a.map(_._1).forall(_ % 3 == 0), "rerank must prefer the on-topic docs")
+  }
+
   test("ParityCheck harness: reads the report, gates per probe, a corrupted row fails alone") {
     import graft.onnx.{ParityCheck, TinyMpnet}
     val dir = java.nio.file.Files.createTempDirectory("graft_parity").toString
