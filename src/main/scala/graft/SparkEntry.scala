@@ -3130,6 +3130,39 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // V31 — the eval loop CLOSING on a retrieval change (round 10): the
+    // judgment every retrieval tweak ships against — grade plain BM25
+    // vs the Dice-reranked system on the same judgments with
+    // Eval.rankingMetrics (system name = the query key). Both systems
+    // are deterministic (rounded scores, pinned tie-breaks), so the
+    // oracle replays runs, judgments and every metric end to end.
+    "v31_rerank_eval" -> ((s, d) => {
+      val docs  = Tables(s, d).documents
+      val terms = Seq("table", "window", "agg")
+      val bmScore = Rank.bm25(docs, "doc_id", "text", terms)
+        .select(col("doc_id"), round(col("score"), 4).as("__sc"))
+      val bmRun = bmScore
+        .withColumn("rank", row_number().over(Window.orderBy(desc("__sc"), col("doc_id"))))
+        .where(col("rank") <= 10)
+        .select(lit("bm25").as("system"), col("doc_id"), col("rank"))
+      val rrRun = Rank.rerankTopK(docs, "doc_id", "text", terms, 10, 30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("rerank_score"), desc("first_score"), col("doc_id"))))
+        .select(lit("rerank").as("system"), col("doc_id"), col("rank"))
+      val run = bmRun.unionByName(rrRun)
+      val qrels = Seq("bm25", "rerank").map { sys =>
+        docs.where(col("doc_id") % 7 === 0 || col("doc_id") % 5 === 0)
+          .select(lit(sys).as("system"), col("doc_id"),
+            when(col("doc_id") % 7 === 0, 2).otherwise(1).as("rel"))
+      }.reduce(_ unionByName _)
+      Eval.rankingMetrics(run, qrels, 10, queryCol = "system")
+        .select(col("system"), col("n_rel"),
+          round(col("recall_at_k"), 4).as("recall_at_k"),
+          round(col("rr_at_k"), 4).as("rr_at_k"),
+          round(col("ndcg_at_k"), 4).as("ndcg_at_k"))
+        .orderBy("system")
+    }),
+
     // V29 — the HNSW shard-lifecycle close-out (round 10): applyDelta
     // keeps the build-time shard COUNT forever, so Hnsw.shardStats
     // (per-shard occupancy vs the rows-per-shard budget, one
@@ -5612,6 +5645,49 @@ object SparkEntry {
         | SELECT vec_id, cluster::BIGINT AS cluster, round(dist, 4) AS dist,
         |   n::BIGINT AS n_cluster, rk <= ceil(0.25 * n) AS kept
         | FROM r ORDER BY vec_id""".stripMargin,
+
+    // v31 — both systems (v28's replays), shared judgments, v30's metric
+    // arithmetic, keyed by system name
+    "v31_rerank_eval" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           | lens AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM t),
+           | stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM lens),
+           | hits AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           | f AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM hits WHERE term IN ('table', 'window', 'agg') GROUP BY 1, 2),
+           | dft AS (SELECT term, count(*)::DOUBLE AS df FROM f GROUP BY 1),
+           | s AS (SELECT f.doc_id, ln(1 + (n - df + 0.5) / (df + 0.5)) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+           |   FROM f JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+           | bmscore AS (SELECT doc_id, round(sum(s), 4) AS sc FROM s GROUP BY 1),
+           | bmrun AS (SELECT 'bm25' AS system, doc_id, rank FROM (
+           |     SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id) AS rank FROM bmscore) WHERE rank <= 10),
+           | cand AS (SELECT doc_id, sc AS first_score FROM bmscore ORDER BY sc DESC, doc_id LIMIT 30),
+           | rr0 AS (SELECT c.doc_id, c.first_score,
+           |     round(2.0 * len(list_intersect(list_distinct(t.toks), ['table', 'window', 'agg'])) / (3 + len(list_distinct(t.toks))), 4) AS rsc
+           |   FROM cand c JOIN t USING (doc_id)),
+           | rrrun AS (SELECT 'rerank' AS system, doc_id, rank FROM (
+           |     SELECT doc_id, row_number() OVER (ORDER BY rsc DESC, first_score DESC, doc_id) AS rank FROM rr0) WHERE rank <= 10),
+           | run AS (SELECT * FROM bmrun UNION ALL SELECT * FROM rrrun),
+           | qrels AS (SELECT sys.system, d.doc_id,
+           |     CASE WHEN d.doc_id % 7 = 0 THEN 2 ELSE 1 END AS rel
+           |   FROM documents d CROSS JOIN (VALUES ('bm25'), ('rerank')) sys(system)
+           |   WHERE d.doc_id % 7 = 0 OR d.doc_id % 5 = 0),
+           | ideal AS (SELECT system, count(*)::BIGINT AS n_rel,
+           |     sum(CASE WHEN i <= 10 THEN (pow(2.0, rel) - 1) / log2(i + 1.0) END) AS idcg
+           |   FROM (SELECT system, rel,
+           |       row_number() OVER (PARTITION BY system ORDER BY rel DESC) AS i FROM qrels)
+           |   GROUP BY 1),
+           | h AS (SELECT r.system, r.rank, coalesce(q.rel, 0) AS rel
+           |   FROM run r LEFT JOIN qrels q ON q.system = r.system AND q.doc_id = r.doc_id),
+           | m AS (SELECT system,
+           |     sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel_ret,
+           |     min(CASE WHEN rel > 0 THEN rank END) AS frr,
+           |     sum((pow(2.0, rel) - 1) / log2(rank + 1.0)) AS dcg
+           |   FROM h GROUP BY 1)
+           | SELECT i.system, i.n_rel,
+           |   round(coalesce(m.n_rel_ret, 0) / i.n_rel, 4) AS recall_at_k,
+           |   round(coalesce(1.0 / frr, 0.0), 4) AS rr_at_k,
+           |   round(coalesce(m.dcg, 0) / i.idcg, 4) AS ndcg_at_k
+           | FROM ideal i LEFT JOIN m USING (system) ORDER BY i.system""".stripMargin,
 
     // v29 — the v22 post-delta replay again (resharding must preserve
     // content exactly), plus the node count the re-routed store must

@@ -47,9 +47,46 @@ object ParityCheck {
     }
   }
 
+  final case class CrossResult(query: String, doc: String, want: Double, got: Double) {
+    def ok: Boolean = math.abs(want - got) <= 5e-2
+  }
+
+  /** Pair-logit parity for a cross-encoder export
+    * (tools/export_crossencoder_parity.py): re-score every
+    * `cross_parity.tsv` (query, doc, logit) row through
+    * [[OnnxCrossEncoder]] and gate |diff| ≤ 5e-2 — ~0.2% of the MS MARCO
+    * logit range, loose for kernel-order drift, tight for real defects.
+    */
+  def runCross(dir: String): Seq[CrossResult] = {
+    val lines = scala.io.Source.fromFile(s"$dir/cross_parity.tsv", "UTF-8").getLines().toVector
+    require(lines.nonEmpty && lines.head.startsWith("pairs\t"), s"$dir/cross_parity.tsv: missing header")
+    val probes = lines.tail.map { l =>
+      val Array(q, d, v) = l.split('\t')
+      (q, d, v.toDouble)
+    }
+    require(probes.nonEmpty, "cross_parity.tsv has no probe rows")
+    val ce = new OnnxCrossEncoder(s"$dir/model.onnx", s"$dir/vocab.txt")
+    probes.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (q, rows) =>
+      val got = ce.scoreBatch(q, rows.map(_._2))
+      rows.zip(got).map { case ((_, d, want), g) => CrossResult(q, d, want, g) }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: ParityCheck <dir with model.onnx, vocab.txt, parity.tsv>")
-    val results = run(args(0))
+    require(args.length == 1,
+      "usage: ParityCheck <dir with model.onnx, vocab.txt, parity.tsv|cross_parity.tsv>")
+    val dir = args(0)
+    if (new java.io.File(s"$dir/cross_parity.tsv").exists()) {
+      val results = runCross(dir)
+      results.foreach { r =>
+        println(f"${if (r.ok) "PASS" else "FAIL"}  want=${r.want}%.4f got=${r.got}%.4f  ${r.query.take(30)} | ${r.doc.take(40)}")
+      }
+      val bad = results.count(!_.ok)
+      println(s"cross parity: ${results.size - bad}/${results.size} pairs pass")
+      if (bad > 0) sys.exit(1)
+      return
+    }
+    val results = run(dir)
     results.foreach { r =>
       println(f"${if (r.ok) "PASS" else "FAIL"}  cos=${r.cosine}%.6f maxdiff=${r.maxAbsDiff}%.2e  ${r.sentence.take(60)}")
     }

@@ -600,6 +600,32 @@ class OnnxSpec extends AnyFunSuite {
     assert(a.map(_._1).forall(_ % 3 == 0), "rerank must prefer the on-topic docs")
   }
 
+  test("ParityCheck cross gate: self-parity passes, a corrupted pair fails alone") {
+    import graft.onnx.{OnnxCrossEncoder, ParityCheck, TinyMpnet}
+    val dir = java.nio.file.Files.createTempDirectory("graft_xparity").toString
+    val (mp, vp) = TinyMpnet.writeCrossTo(dir)
+    val ce = new OnnxCrossEncoder(mp, vp)
+    val pairs = Seq(
+      ("vector search", "the spark engine"),
+      ("vector search", "crawl batch filter"),
+      ("dedup pipeline", "the tokenizer dedup pipeline"))
+    val logits = pairs.groupBy(_._1).toSeq.flatMap { case (q, ps) =>
+      ps.map(_._2).zip(ce.scoreBatch(q, ps.map(_._2))).map { case (d, s) => (q, d, s) }
+    }
+    def writeReport(rows: Seq[(String, String, Double)]): Unit = {
+      val pw = new java.io.PrintWriter(s"$dir/cross_parity.tsv", "UTF-8")
+      pw.println("pairs\t1")
+      rows.foreach { case (q, d, s) => pw.println(f"$q\t$d\t$s%.6f") }
+      pw.close()
+    }
+    writeReport(logits)
+    val res = ParityCheck.runCross(dir)
+    assert(res.size == 3 && res.forall(_.ok), res.mkString("; "))
+    writeReport(logits.updated(1, (logits(1)._1, logits(1)._2, logits(1)._3 + 1.0)))
+    val res2 = ParityCheck.runCross(dir)
+    assert(res2.count(!_.ok) == 1, res2.mkString("; "))
+  }
+
   test("ParityCheck harness: reads the report, gates per probe, a corrupted row fails alone") {
     import graft.onnx.{ParityCheck, TinyMpnet}
     val dir = java.nio.file.Files.createTempDirectory("graft_parity").toString
