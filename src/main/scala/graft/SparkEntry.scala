@@ -1549,6 +1549,17 @@ object SparkEntry {
       .withColumn("chars_per_subword", round(col("n_chars").cast("double") / col("n_subwords"), 4))
       .orderBy("lang")),
 
+    // X35 — fill-in-the-middle transform (round 10): hash-selected half
+    // of the corpus rewritten PSM-style for infilling training. Every
+    // decision (selection, both cut points) is the portable id hash, so
+    // the oracle replays the selection, the cut arithmetic and the
+    // sentinel-joined output byte for byte.
+    "x35_fim" -> ((s, d) =>
+      TextOps.fimTransform(Tables(s, d).documents, "doc_id", "text")
+        .select(col("doc_id"), col("fim"), col("n_prefix"), col("n_middle"),
+          col("n_suffix"), md5(col("text_out")).as("out_md5"))
+        .orderBy("doc_id")),
+
     // X31 — recrawl scheduling policy (round 10): WHICH pages the next
     // p9/w6 maintenance round should fetch. Each user's event stream
     // models a page's visit history (event_type = the content signature
@@ -4641,6 +4652,34 @@ object SparkEntry {
            |   round(sum(b)::DOUBLE / sum(w), 4) AS fertility,
            |   round(sum(c)::DOUBLE / sum(b), 4) AS chars_per_subword
            | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // x35 — selection + cut arithmetic + sentinel-joined PSM replayed;
+    // the mod guards only fire on sub-minChars rows (fim already false)
+    "x35_fim" -> {
+      val hb = h0Sql("doc_id")
+      val h1 = h0Sql("(doc_id * 2 + 1)")
+      val h2 = h0Sql("(doc_id * 2 + 2)")
+      s"""WITH base AS (SELECT doc_id, text, len(text)::BIGINT AS n FROM documents),
+         | h AS (SELECT doc_id, text, n, $hb AS hb, $h1 AS h1, $h2 AS h2 FROM base),
+         | dec AS (SELECT doc_id, text, n,
+         |     (xor(hb, hb >> 16) % 10000 < 5000 AND n >= 20) AS fim,
+         |     1 + xor(h1, h1 >> 16) % greatest(n // 2, 1) AS lo,
+         |     xor(h2, h2 >> 16) AS x2
+         |   FROM h),
+         | cut AS (SELECT doc_id, text, n, fim, lo,
+         |     lo + 1 + x2 % greatest(n - lo - 1, 1) AS hi
+         |   FROM dec)
+         | SELECT doc_id, fim,
+         |   CASE WHEN fim THEN lo END AS n_prefix,
+         |   CASE WHEN fim THEN hi - lo END AS n_middle,
+         |   CASE WHEN fim THEN n - hi END AS n_suffix,
+         |   md5(CASE WHEN fim THEN
+         |       '<|fim_prefix|>' || substr(text, 1, lo::INT)
+         |       || '<|fim_suffix|>' || substr(text, (hi + 1)::INT, (n - hi)::INT)
+         |       || '<|fim_middle|>' || substr(text, (lo + 1)::INT, (hi - lo)::INT)
+         |     ELSE text END) AS out_md5
+         | FROM cut ORDER BY doc_id""".stripMargin
+    },
+
     // x31 — the estimator replayed: lag-window change flags (same
     // (ts, sig) tie order), the n−X+0.5 / n+0.5 arithmetic, priority
     // against the same asOf epoch (2024-02-15T00:00:00Z = 1707955200),

@@ -553,6 +553,53 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"), avg(col("__nll")).as("kn_avg_nll"))
   }
 
+  /** Deterministic fill-in-the-middle transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the training-data prep that teaches causal models infilling: a
+    * hash-selected fraction of documents is rewritten PSM-style,
+    *
+    *   `<|fim_prefix|>` prefix `<|fim_suffix|>` suffix `<|fim_middle|>` middle
+    *
+    * so the model learns to emit the middle conditioned on both sides.
+    * Like [[mlmMask]], every decision is the portable hash of the doc id
+    * — rerunning, resharding or regenerating yields byte-identical
+    * examples and the oracle replays each choice:
+    *
+    *  - transform iff bucket(id) < fimBp AND length ≥ minChars;
+    *  - cut points: lo = 1 + h(2id+1) mod ⌊len/2⌋ (prefix never empty,
+    *    at most half), hi = lo + 1 + h(2id+2) mod (len − lo − 1)
+    *    (middle and suffix never empty).
+    *
+    * Pure per-row projection — no explode, no shuffle, one scan.
+    * Output: (idCol, fim, n_prefix, n_middle, n_suffix, text_out);
+    * span counts are NULL on untransformed rows.
+    */
+  def fimTransform(
+      docs: DataFrame, idCol: String, textCol: String,
+      fimBp: Int = 5000, minChars: Int = 20,
+  ): DataFrame = {
+    require(fimBp >= 0 && fimBp <= 10000, s"fimBp out of range: $fimBp")
+    require(minChars >= 4, s"minChars must leave room for three non-empty parts: $minChars")
+    import graft.operators.Sampling
+    val t   = col(textCol)
+    val len = length(t).cast("long")
+    val fim = (Sampling.bucket(col(idCol).cast("long")) < fimBp) && (len >= minChars)
+    val lo  = lit(1L) + pmod(Sampling.portableHash(col(idCol).cast("long") * 2 + 1),
+      (len / 2).cast("long")) // `/` is double division on Columns — floor back to the SQL `//`
+    val hi  = lo + 1L + pmod(Sampling.portableHash(col(idCol).cast("long") * 2 + 2), len - lo - 1)
+    val psm = concat(
+      lit("<|fim_prefix|>"), t.substr(lit(1L), lo),
+      lit("<|fim_suffix|>"), t.substr(hi + 1, len - hi),
+      lit("<|fim_middle|>"), t.substr(lo + 1, hi - lo))
+    docs.select(
+      col(idCol),
+      fim.as("fim"),
+      when(fim, lo).as("n_prefix"),
+      when(fim, hi - lo).as("n_middle"),
+      when(fim, len - hi).as("n_suffix"),
+      when(fim, psm).otherwise(t).as("text_out"))
+  }
+
   /** Deterministic MLM masking (the BERT 80/10/10 recipe, Devlin 2019
     * §3.1) — training-data prep for masked-LM objectives, made
     * REPRODUCIBLE: every selection is the portable hash of

@@ -417,6 +417,36 @@ class OperatorsSpec extends AnyFunSuite {
       s"continuation-frequent 'red' must be less surprising after a novel-ish context: ${out(100L)} vs ${out(101L)}")
   }
 
+  test("fimTransform: parts reassemble to the original, never empty; non-fim rows pass through; reshard-stable") {
+    import graft.functions.TextOps
+    val docs = (0 until 200).map(i => (i.toLong, s"doc $i body " + ("abcdefg " * (i % 9 + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = TextOps.fimTransform(docs, "doc_id", "text")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long], String)].collect()
+    val texts = docs.as[(Long, String)].collect().toMap
+    assert(out.exists(_._2) && out.exists(!_._2), "both branches must occur")
+    for ((id, fim, p, m, sfx, t) <- out) {
+      if (!fim) {
+        assert(t == texts(id) && p.isEmpty && m.isEmpty && sfx.isEmpty)
+      } else {
+        val orig = texts(id)
+        assert(p.get >= 1 && m.get >= 1 && sfx.get >= 1, s"doc $id: empty part")
+        assert(p.get + m.get + sfx.get == orig.length.toLong, s"doc $id: parts must cover the doc")
+        // reassemble PSM back into the original
+        val pre = t.stripPrefix("<|fim_prefix|>")
+        val Array(prefix, rest)  = pre.split(java.util.regex.Pattern.quote("<|fim_suffix|>"), 2)
+        val Array(suffix, mid)   = rest.split(java.util.regex.Pattern.quote("<|fim_middle|>"), 2)
+        assert(prefix + mid + suffix == orig, s"doc $id: reassembly mismatch")
+        assert(prefix.length.toLong == p.get && mid.length.toLong == m.get && suffix.length.toLong == sfx.get)
+      }
+    }
+    // partitioning must not change a single decision
+    val re = TextOps.fimTransform(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long], String)]
+      .collect().sortBy(_._1)
+    assert(re.sameElements(out.sortBy(_._1)))
+  }
+
   test("prototypePrune: per-cluster ceil cut, hardest-first, direction flip") {
     import graft.operators.Sampling
     val protos = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
