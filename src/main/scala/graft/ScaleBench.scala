@@ -539,6 +539,12 @@ object ScaleBench {
             struct(when(i % 2 === 0, "user").otherwise("assistant").as("role"), c.as("content")))
           Chat.render(docs.withColumn("turns", turns), "doc_id", "turns").count()
         }),
+        // round-10 x35: hash cuts + substr concat — pure projection
+        "fim"             -> (() => graft.functions.TextOps
+          .fimTransform(docs, "doc_id", "text").count()),
+        // round-10 x36: one narrow explode + id-keyed aggregates
+        "code_switch"     -> (() => graft.functions.TextOps
+          .codeSwitchStats(docs, "doc_id", "text").count()),
         // round-10 x34: codegen argmin projection + one cluster-keyed
         // shuffle shared by both windows
         "prototype_prune" -> (() => {

@@ -119,7 +119,9 @@ object SparkEntry {
     raw"""CASE WHEN doc_id % 97 = 0 THEN '/' ELSE 'docs/su\b/ <' || lang || '>:t' || chr(9) || '"' || source || '|q?*' || repeat('x', (doc_id % 230)::INT) END"""
 
   /** DuckDB token pipeline mirroring TextOps.tokens. */
-  private val toksSql = raw"""list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"""
+  private def toksSqlOf(c: String) =
+    raw"""list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), x -> len(x) > 0)"""
+  private val toksSql = toksSqlOf("text")
 
   /** DuckDB replay of Sampling.portableHash's pre-xor stage on key
     * expression `k` (the same arithmetic u4/u6 inline; bound to a lambda
@@ -1548,6 +1550,26 @@ object SparkEntry {
       .withColumn("fertility", round(col("n_subwords").cast("double") / col("n_words"), 4))
       .withColumn("chars_per_subword", round(col("n_chars").cast("double") / col("n_subwords"), 4))
       .orderBy("lang")),
+
+    // X36 — code-switching detection (round 10): sentence-level language
+    // disagreement, the multilingual-cleanup signal doc-level langid
+    // misses. Both sides plant a French sentence on every third doc and
+    // a German one on every fifth (accent-free — the tokenizer splits on
+    // non-ASCII), so mixed-language docs exist deterministically; the
+    // oracle replays the splitter, per-sentence stopword voting, the
+    // plurality pick and the disagreement ratio.
+    "x36_code_switch" -> ((s, d) => {
+      val planted = concat(col("text"), lit("."),
+        when(col("doc_id") % 3 === 0,
+          lit(" Les choses sont dans le tour pour une analyse des points.")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" Der Hund ist von dem Haus und das ist eine gute Sache.")).otherwise(lit("")))
+      TextOps.codeSwitchStats(
+          Tables(s, d).documents.withColumn("text", planted), "doc_id", "text")
+        .select(col("doc_id"), col("n_sents"), col("n_lang_sents"),
+          col("majority_lang"), round(col("switch_ratio"), 4).as("switch_ratio"))
+        .orderBy("doc_id")
+    }),
 
     // X35 — fill-in-the-middle transform (round 10): hash-selected half
     // of the corpus rewritten PSM-style for infilling training. Every
@@ -4652,6 +4674,39 @@ object SparkEntry {
            |   round(sum(b)::DOUBLE / sum(w), 4) AS fertility,
            |   round(sum(c)::DOUBLE / sum(b), 4) AS chars_per_subword
            | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // x36 — splitter + per-sentence x2 stopword vote + plurality +
+    // disagreement ratio, over the same planted mixed-language docs
+    "x36_code_switch" ->
+      raw"""WITH base AS (SELECT doc_id, text || '.'
+           |     || CASE WHEN doc_id % 3 = 0 THEN ' Les choses sont dans le tour pour une analyse des points.' ELSE '' END
+           |     || CASE WHEN doc_id % 5 = 0 THEN ' Der Hund ist von dem Haus und das ist eine gute Sache.' ELSE '' END AS text
+           |   FROM documents),
+           | sp AS (SELECT doc_id, string_split(regexp_replace(text, '([.!?])[ \t\r\n]+', '\1' || chr(1), 'g'), chr(1)) AS ss FROM base),
+           | ps AS (SELECT doc_id, sent FROM (SELECT doc_id, unnest(ss) AS sent FROM sp) WHERE trim(sent) <> ''),
+           | l AS (SELECT doc_id,
+           |     len(list_intersect(list_distinct(${toksSqlOf("sent")}), ['der','die','und','das','ist','von','mit','den','ein','eine'])) AS h_de,
+           |     len(list_intersect(list_distinct(${toksSqlOf("sent")}), ['the','and','of','to','in','is','that','with','for','was'])) AS h_en,
+           |     len(list_intersect(list_distinct(${toksSqlOf("sent")}), ['el','la','de','que','y','en','los','una','por','con'])) AS h_es,
+           |     len(list_intersect(list_distinct(${toksSqlOf("sent")}), ['le','la','les','des','est','une','dans','que','pour','sur'])) AS h_fr
+           |   FROM ps),
+           | c AS (SELECT doc_id, CASE
+           |     WHEN h_de = best AND h_de > 0 THEN 'de'
+           |     WHEN h_en = best AND h_en > 0 THEN 'en'
+           |     WHEN h_es = best AND h_es > 0 THEN 'es'
+           |     WHEN h_fr = best AND h_fr > 0 THEN 'fr'
+           |     ELSE 'und' END AS lang
+           |   FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM l)),
+           | tot AS (SELECT doc_id, count(*)::BIGINT AS n_sents FROM ps GROUP BY 1),
+           | pl AS (SELECT doc_id, lang, count(*)::BIGINT AS c FROM c WHERE lang <> 'und' GROUP BY 1, 2),
+           | nl AS (SELECT doc_id, sum(c)::BIGINT AS n_lang FROM pl GROUP BY 1),
+           | mx AS (SELECT doc_id, max(c) AS mc FROM pl GROUP BY 1),
+           | mj AS (SELECT pl.doc_id, min(pl.lang) AS majority_lang
+           |   FROM pl JOIN mx ON mx.doc_id = pl.doc_id AND pl.c = mx.mc GROUP BY 1)
+           | SELECT t.doc_id, t.n_sents, coalesce(nl.n_lang, 0) AS n_lang_sents,
+           |   mj.majority_lang, round(1.0 - mx.mc / nl.n_lang, 4) AS switch_ratio
+           | FROM tot t LEFT JOIN nl USING (doc_id) LEFT JOIN mx USING (doc_id) LEFT JOIN mj USING (doc_id)
+           | ORDER BY t.doc_id""".stripMargin,
+
     // x35 — selection + cut arithmetic + sentinel-joined PSM replayed;
     // the mod guards only fire on sub-minChars rows (fim already false)
     "x35_fim" -> {

@@ -168,6 +168,55 @@ object TextOps {
     pick
   }
 
+  /** Per-document code-switching profile — the multilingual-cleanup
+    * signal language-ID alone misses: a document whose SENTENCES disagree
+    * about their language (translations pasted together, boilerplate in
+    * another tongue, scraped comment sections) pollutes per-language
+    * corpora even when the doc-level majority vote looks clean. Composes
+    * the [[graft.operators.Dedup.dedupSentences]] splitter with
+    * per-sentence [[langIdFromTokens]]:
+    *
+    *  - `n_sents`: non-blank sentences;
+    *  - `n_lang_sents`: sentences with a confident (non-'und') call;
+    *  - `majority_lang`: the plurality language (ties → lexicographically
+    *    smallest, the langId tie rule);
+    *  - `switch_ratio`: fraction of confident sentences DISAGREEING with
+    *    the majority — 0 = monolingual, NULL when nothing is confident.
+    *
+    * Plan: one narrow explode + per-sentence projection, then id-keyed
+    * aggregates (the per-(id, lang) count table is ≤ |langs| rows per
+    * doc); no window, no collect.
+    */
+  def codeSwitchStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val names = docs.columns.toSet
+    Seq("n_sents", "n_lang_sents", "majority_lang", "switch_ratio")
+      .foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    val sentinel = "\u0001"
+    val sentsCol = split(
+      regexp_replace(coalesce(col(textCol), lit("")), "([.!?])[ \t\r\n]+", "$1" + sentinel),
+      sentinel)
+    val langs = docs
+      .select(col(idCol).as("__id"), explode(sentsCol).as("__sent"))
+      .where(length(trim(col("__sent"))) > 0)
+      .select(col("__id"), tokens(col("__sent")).as("__t"))
+      .select(col("__id"), langIdFromTokens(col("__t")).as("__lang"))
+    val tot = langs.groupBy(col("__id")).agg(count(lit(1)).as("n_sents"))
+    val perLang = langs.where(col("__lang") =!= "und")
+      .groupBy(col("__id"), col("__lang")).agg(count(lit(1)).as("__c"))
+    val agg = perLang.groupBy(col("__id")).agg(
+      sum(col("__c")).as("n_lang_sents"),
+      min(struct((-col("__c")).as("n"), col("__lang").as("l"))).as("__m"))
+    tot.join(agg, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("n_sents"),
+        coalesce(col("n_lang_sents"), lit(0L)).as("n_lang_sents"),
+        col("__m").getField("l").as("majority_lang"),
+        when(col("n_lang_sents") > 0,
+          lit(1.0) - (-col("__m").getField("n")).cast("double") / col("n_lang_sents"))
+          .as("switch_ratio"))
+  }
+
   /** Quality features in one struct: length, token stats, punctuation and
     * alpha ratios, plus a composite [0,1] score — the reference-free analog
     * of heuristic corpus-quality filters (Gopher/C4-style rules).

@@ -417,6 +417,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"continuation-frequent 'red' must be less surprising after a novel-ish context: ${out(100L)} vs ${out(101L)}")
   }
 
+  test("codeSwitchStats: monolingual scores 0, mixed docs count disagreement, unconfident docs stay null") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "the cat is in the house and that was fine. the dog is with the man for a walk."),
+      (2L, "the cat is in the house and that was fine. the dog is with the man for a walk. Der Hund ist von dem Haus und das ist eine gute Sache."),
+      (3L, "zzz qqq mmm. nnn ooo ppp."),
+    ).toDF("doc_id", "text")
+    val out = TextOps.codeSwitchStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String], Option[Double])].collect()
+    assert(out(0) == ((1L, 2L, 2L, Some("en"), Some(0.0))))
+    assert(out(1)._1 == 2L && out(1)._3 == 3L && out(1)._4 == Some("en"))
+    assert(math.abs(out(1)._5.get - 1.0 / 3.0) < 1e-12)
+    assert(out(2) == ((3L, 2L, 0L, None, None)))
+  }
+
   test("fimTransform: parts reassemble to the original, never empty; non-fim rows pass through; reshard-stable") {
     import graft.functions.TextOps
     val docs = (0 until 200).map(i => (i.toLong, s"doc $i body " + ("abcdefg " * (i % 9 + 1)).trim))
