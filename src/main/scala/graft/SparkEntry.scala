@@ -1551,6 +1551,24 @@ object SparkEntry {
       .withColumn("chars_per_subword", round(col("n_chars").cast("double") / col("n_subwords"), 4))
       .orderBy("lang")),
 
+    // X37 — utility-optimal budget allocation (round 10): the fractional
+    // knapsack that DERIVES mixing weights instead of taking them as
+    // given — classes fill best-utility-density-first until the token
+    // budget runs out. Integer sums + one density division keep every
+    // take integer-exact, so the oracle replays the whole allocation
+    // including the boundary class's remainder.
+    "x37_budget_mix" -> ((s, d) => {
+      val per = Tables(s, d).documents
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("__t"))
+        .select(col("source"),
+          size(col("__t")).as("cost"),
+          TextOps.stopwordHits(col("__t"), TextOps.stopwords("en")).as("util"))
+      Mixing.budgetAllocate(per, "source", "util", "cost", 30000L)
+        .select(col("source"), col("avail"), col("utility"),
+          round(col("density"), 4).as("density"), col("take"), col("frac_bp"))
+        .orderBy("source")
+    }),
+
     // X36 — code-switching detection (round 10): sentence-level language
     // disagreement, the multilingual-cleanup signal doc-level langid
     // misses. Both sides plant a French sentence on every third doc and
@@ -4674,6 +4692,22 @@ object SparkEntry {
            |   round(sum(b)::DOUBLE / sum(w), 4) AS fertility,
            |   round(sum(c)::DOUBLE / sum(b), 4) AS chars_per_subword
            | FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // x37 — greedy fill order (density desc, source), cumulative
+    // available tokens, boundary remainder — all integer-exact
+    "x37_budget_mix" ->
+      raw"""WITH per AS (SELECT source, len($toksSql)::BIGINT AS cost,
+           |     len(list_intersect(list_distinct($toksSql), ['the','and','of','to','in','is','that','with','for','was']))::BIGINT AS util
+           |   FROM documents),
+           | st AS (SELECT source, sum(cost)::BIGINT AS avail, sum(util)::BIGINT AS utility FROM per GROUP BY 1),
+           | o AS (SELECT *, utility::DOUBLE / avail AS density,
+           |     coalesce(sum(avail) OVER (ORDER BY utility::DOUBLE / avail DESC, source
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bef
+           |   FROM st)
+           | SELECT source, avail, utility, round(density, 4) AS density,
+           |   greatest(0, least(avail, 30000 - bef))::BIGINT AS take,
+           |   (greatest(0, least(avail, 30000 - bef)) * 10000) // avail AS frac_bp
+           | FROM o ORDER BY source""".stripMargin,
+
     // x36 — splitter + per-sentence x2 stopword vote + plurality +
     // disagreement ratio, over the same planted mixed-language docs
     "x36_code_switch" ->

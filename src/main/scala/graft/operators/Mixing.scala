@@ -156,4 +156,46 @@ object Mixing {
           Sampling.bucket(col(idCol)) < col("__fbp") % 10000L)
       .drop("__fbp", "__full")
   }
+
+  /** Utility-optimal budget allocation — [[mixToBudget]] takes the
+    * per-class weights as GIVEN; this derives them: allocate a token
+    * budget across classes to maximize total utility, i.e. the fractional
+    * knapsack (greedy by utility density, provably optimal for the
+    * fractional relaxation — Dantzig 1957). Per class c with available
+    * tokens A_c = Σ cost and utility U_c = Σ util: density = U_c/A_c;
+    * classes fill best-density-first until the budget runs out, the
+    * boundary class takes the integer remainder, the rest take 0.
+    *
+    * `util`/`cost` must be integer columns — the per-class sums are then
+    * EXACT, the single density division is one deterministic IEEE op, and
+    * the whole allocation (including every take) stays integer, so a SQL
+    * oracle replays it bit for bit. Ties in density break by class name.
+    *
+    * Plan: one per-class aggregate (|classes| rows), a window cumsum over
+    * that tiny frame — the corpus is scanned once and never shuffled by
+    * anything but the class key. Feed the resulting per-class fractions
+    * to [[mixToBudget]] to materialize the mix.
+    *
+    * Output: (classCol, avail, utility, density, take, frac_bp).
+    */
+  def budgetAllocate(
+      df: DataFrame, classCol: String, utilCol: String, costCol: String,
+      budget: Long,
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val stats = df.groupBy(col(classCol)).agg(
+      sum(col(costCol).cast("long")).as("avail"),
+      sum(col(utilCol).cast("long")).as("utility"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy((col("utility").cast("double") / col("avail")).desc, col(classCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    stats
+      .withColumn("density", col("utility").cast("double") / col("avail"))
+      .withColumn("__before", coalesce(sum(col("avail")).over(w), lit(0L)))
+      .withColumn("take",
+        greatest(lit(0L), least(col("avail"), lit(budget) - col("__before"))))
+      .withColumn("frac_bp", (col("take") * 10000L) / col("avail"))
+      .withColumn("frac_bp", floor(col("frac_bp")).cast("long"))
+      .drop("__before")
+  }
 }

@@ -417,6 +417,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"continuation-frequent 'red' must be less surprising after a novel-ish context: ${out(100L)} vs ${out(101L)}")
   }
 
+  test("budgetAllocate: fractional-knapsack fill order, boundary remainder, density tie by class name") {
+    import graft.operators.Mixing
+    // densities: C=3.0 (avail 50), A=2.0 (avail 100), B=1.0 (avail 100)
+    val rows = Seq(("A", 200L, 100L), ("B", 100L, 100L), ("C", 150L, 50L))
+      .flatMap { case (c, u, a) => Seq((c, u / 2, a / 2), (c, u - u / 2, a - a / 2)) }
+      .toDF("cls", "util", "cost")
+    val out = Mixing.budgetAllocate(rows, "cls", "util", "cost", 120L)
+      .select("cls", "avail", "take", "frac_bp")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("C") == (("C", 50L, 50L, 10000L)))  // best density: fully taken
+    assert(out("A") == (("A", 100L, 70L, 7000L)))  // boundary: 120-50 remainder
+    assert(out("B") == (("B", 100L, 0L, 0L)))      // budget exhausted
+    // equal densities fill in class-name order
+    val tie = Seq(("y", 10L, 10L), ("x", 10L, 10L)).toDF("cls", "util", "cost")
+    val t = Mixing.budgetAllocate(tie, "cls", "util", "cost", 10L)
+      .select("cls", "take").as[(String, Long)].collect().toMap
+    assert(t == Map("x" -> 10L, "y" -> 0L))
+  }
+
   test("codeSwitchStats: monolingual scores 0, mixed docs count disagreement, unconfident docs stay null") {
     import graft.functions.TextOps
     val docs = Seq(
