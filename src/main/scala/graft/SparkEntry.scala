@@ -2090,6 +2090,20 @@ object SparkEntry {
         .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("revenue_cents"))
     }),
 
+    // A17 — ROLLUP hierarchy totals (round 10): the grouping-sets OLAP
+    // surface the survey flagged as absent — per-(flag, status) rows plus
+    // per-flag subtotals plus the grand total in ONE pass (Spark expands
+    // the grouping sets before the partial aggregate, so it still
+    // map-side combines). grouping_id disambiguates a real NULL key from
+    // a subtotal row; money as exact integer cents.
+    "a17_rollup" -> ((s, d) => Tables(s, d).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("long").as("price_cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
     // H4 — TPC-H Q4's order-priority-checking shape (round 10), adapted
     // to this schema (no commitdate column → "late-shipped" EXISTS:
     // some lineitem shipped after the order date). The point is the PLAN:
@@ -5330,6 +5344,15 @@ object SparkEntry {
         | sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_custkey, c_mktsegment HAVING count(*) >= 10 ORDER BY c_custkey""".stripMargin,
+    // a17 — DuckDB's ROLLUP + GROUPING bitmask (same MSB-first order)
+    "a17_rollup" ->
+      """SELECT grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+        | l_returnflag, l_linestatus,
+        | count(*)::BIGINT AS n,
+        | sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS price_cents
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
     // h4 — the Q4 EXISTS replayed verbatim
     "h4_order_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS order_count
