@@ -630,7 +630,7 @@ object TextOps {
     require(fimBp >= 0 && fimBp <= 10000, s"fimBp out of range: $fimBp")
     require(minChars >= 4, s"minChars must leave room for three non-empty parts: $minChars")
     import graft.operators.Sampling
-    val t   = col(textCol)
+    val t   = coalesce(col(textCol), lit("")) // NULL text = empty doc, passes through untransformed
     val len = length(t).cast("long")
     val fim = (Sampling.bucket(col(idCol).cast("long")) < fimBp) && (len >= minChars)
     val lo  = lit(1L) + pmod(Sampling.portableHash(col(idCol).cast("long") * 2 + 1),

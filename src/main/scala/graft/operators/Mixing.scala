@@ -186,6 +186,10 @@ object Mixing {
     val stats = df.groupBy(col(classCol)).agg(
       sum(col(costCol).cast("long")).as("avail"),
       sum(col(utilCol).cast("long")).as("utility"))
+      // a zero-cost class has nothing to allocate and would poison the
+      // fill order with a NaN/Inf density — excluded, not an error (an
+      // all-empty-docs source is a data condition, not a caller bug)
+      .where(col("avail") > 0)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy((col("utility").cast("double") / col("avail")).desc, col(classCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -434,6 +434,21 @@ class OperatorsSpec extends AnyFunSuite {
     val t = Mixing.budgetAllocate(tie, "cls", "util", "cost", 10L)
       .select("cls", "take").as[(String, Long)].collect().toMap
     assert(t == Map("x" -> 10L, "y" -> 0L))
+    // a zero-cost class is excluded, not a NaN density poisoning the order
+    val z = Seq(("a", 5L, 10L), ("empty", 0L, 0L)).toDF("cls", "util", "cost")
+    val zo = Mixing.budgetAllocate(z, "cls", "util", "cost", 10L)
+      .select("cls", "take").as[(String, Long)].collect().toMap
+    assert(zo == Map("a" -> 10L))
+  }
+
+  test("fimTransform: NULL text passes through as an empty untransformed doc") {
+    import graft.functions.TextOps
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "short")).toDF("doc_id", "text")
+    val rows = TextOps.fimTransform(docs, "doc_id", "text")
+      .select("doc_id", "fim", "text_out").as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows(1L) == ((false, "")))
+    assert(rows(2L) == ((false, "short")))
   }
 
   test("codeSwitchStats: monolingual scores 0, mixed docs count disagreement, unconfident docs stay null") {
