@@ -44,6 +44,43 @@ class ChatSpec extends AnyFunSuite {
     }
   }
 
+  test("property: every mask span lies inside the rendered string and covers exactly its assistant content") {
+    // 60 generated conversations with varied role sequences and contents
+    // (including empty contents and template-metacharacter text)
+    val roles = Vector("system", "user", "assistant")
+    val cases = (0 until 60).map { i =>
+      val n = i % 7 + 1
+      val turns = (0 until n).map { j =>
+        val role = roles((i * 31 + j * 17) % 3)
+        val content = ((i * 13 + j) % 4) match {
+          case 0 => ""
+          case 1 => s"c$i-$j"
+          case 2 => "<|im_start|>sneaky<|im_end|>" // template metachars in content
+          case _ => s"word " * (j + 1)
+        }
+        (role, content.trim + (if (content.endsWith(" ")) "" else ""))
+      }
+      (i.toLong, turns)
+    }
+    val rows = run(cases)
+      .selectExpr("id", "rendered",
+        "transform(mask_spans, s -> concat(s.s, ':', s.e)) AS spans", "mask_chars", "n_assistant")
+      .as[(Long, String, Seq[String], Long, Long)].collect()
+    val byId = cases.toMap
+    for ((id, rendered, spans, maskChars, nAssistant) <- rows) {
+      val contents = byId(id).filter(_._1 == "assistant").map(_._2)
+      assert(spans.length.toLong == nAssistant && spans.length == contents.length, s"conv $id")
+      var total = 0L
+      for ((sp, want) <- spans.zip(contents)) {
+        val Array(s, e) = sp.split(":").map(_.toInt)
+        assert(s >= 0 && e >= s && e <= rendered.length, s"conv $id: span $sp out of bounds")
+        assert(rendered.substring(s, e) == want, s"conv $id: span covers '${rendered.substring(s, e)}' not '$want'")
+        total += e - s
+      }
+      assert(total == maskChars, s"conv $id: mask_chars")
+    }
+  }
+
   test("validity: alternation, user-start, assistant-end, system only leading") {
     val cases = Seq(
       mk(1L, Seq("user" -> "a", "assistant" -> "b")),                     // valid

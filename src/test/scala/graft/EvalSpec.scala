@@ -56,6 +56,28 @@ class EvalSpec extends AnyFunSuite {
     assert(row._4 == 1.0)
   }
 
+  test("property: a run that ranks by grade is perfect (recall 1 within k, RR 1, nDCG 1); metrics stay in [0,1]") {
+    // 30 queries, each with 1..5 graded docs; the run presents them
+    // best-grade-first — the ideal ordering by construction
+    val qrels = (1 to 30).flatMap { q =>
+      (0 until (q % 5 + 1)).map(i => (q.toLong, (q * 100 + i).toLong, 3 - (i % 3)))
+    }
+    val run = qrels.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).zipWithIndex.map { case ((q, d, _), i) => (q, d, i + 1) }
+    }
+    val m = Eval.rankingMetrics(
+      run.toDF("query_id", "doc_id", "rank"),
+      qrels.toDF("query_id", "doc_id", "rel"), 10)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(m.length == 30)
+    for ((q, nRel, rec, rr, ndcg) <- m) {
+      assert(rec == 1.0, s"q$q recall")   // every query has <= 5 relevant, k = 10
+      assert(rr == 1.0, s"q$q rr")        // best doc first
+      assert(math.abs(ndcg - 1.0) < 1e-12, s"q$q ndcg: $ndcg")
+      assert(nRel >= 1 && rec >= 0 && rec <= 1 && rr >= 0 && rr <= 1 && ndcg <= 1 + 1e-12)
+    }
+  }
+
   test("duplicate (query, doc) judgments are rejected") {
     val run   = Seq((1L, 1L, 1)).toDF("query_id", "doc_id", "rank")
     val qrels = Seq((1L, 1L, 1), (1L, 1L, 2)).toDF("query_id", "doc_id", "rel")
