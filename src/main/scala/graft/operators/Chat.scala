@@ -77,9 +77,14 @@ object Chat {
     */
   def render(df: DataFrame, idCol: String, turnsCol: String): DataFrame = {
     val names = df.columns.toSet
-    Seq("n_turns", "n_assistant", "valid", "rendered", "mask_spans", "mask_chars")
-      .filter(_ != idCol)
-      .foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
+    val fixed =
+      Seq("n_turns", "n_assistant", "valid", "rendered", "mask_spans", "mask_chars")
+    // idCol passes through to the output unchanged, so it must not collide
+    // with a fixed output name — filtering it out of the check would
+    // silently yield a frame with two identically named columns
+    require(!fixed.contains(idCol),
+      s"idCol '$idCol' collides with a fixed output column; rename it first")
+    fixed.foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
     val turns = col(turnsCol)
     val spans = maskSpans(turns)
     df.select(

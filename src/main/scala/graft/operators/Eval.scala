@@ -58,6 +58,14 @@ object Eval {
     val dup = qrels.groupBy(col(queryCol), col(docCol)).count()
       .where(col("count") > 1).limit(1).count()
     require(dup == 0, s"duplicate ($queryCol, $docCol) judgments in qrels")
+    // trec_eval treats a repeated doc inside one query's run as an error:
+    // left unguarded it would double-count __n_rel_ret and __dcg (recall
+    // could exceed 1). Guard the rank-capped slice — duplicates past k
+    // can't affect any metric.
+    val dupRun = run.where(col(rankCol) <= k)
+      .groupBy(col(queryCol), col(docCol)).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dupRun == 0, s"duplicate ($queryCol, $docCol) rows in run top-$k")
 
     val graded = qrels.where(col(relCol) > 0)
       .select(col(queryCol), col(docCol), col(relCol).cast("double").as(relCol))

@@ -603,12 +603,15 @@ object Ivf {
     // stage into a sibling dir: the scan of the live store completes
     // before any rename touches it (no dynamic-overwrite self-read)
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    // the staged dir must be a COMPLETE store (data + sidecar) before any
+    // rename: a crash after fs.rename(root, old) then leaves either the
+    // old store or the fully-described new one, never a sidecar-less dir
+    writeSidecar(conf, tmp.toString, model, vecCol)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(old, true)
     fs.rename(root, old)
     fs.rename(tmp, root)
     fs.delete(old, true)
-    writeSidecar(conf, path, model, vecCol)
     model
   }
 

@@ -198,8 +198,12 @@ object Mixing {
       .withColumn("__before", coalesce(sum(col("avail")).over(w), lit(0L)))
       .withColumn("take",
         greatest(lit(0L), least(col("avail"), lit(budget) - col("__before"))))
-      .withColumn("frac_bp", (col("take") * 10000L) / col("avail"))
-      .withColumn("frac_bp", floor(col("frac_bp")).cast("long"))
+      // SQL `div` is exact integral division — `/` on longs goes through
+      // double, whose floor diverges from DuckDB's integer `//` once
+      // take*10000 exceeds 2^53 (~9e11 tokens/class, plausible at
+      // trillion-token scale). The whole allocation stays integer.
+      .withColumn("frac_bp",
+        expr("(take * CAST(10000 AS BIGINT)) div avail").cast("long"))
       .drop("__before")
   }
 }

@@ -81,6 +81,14 @@ class ChatSpec extends AnyFunSuite {
     }
   }
 
+  test("an idCol named like a fixed output column is rejected, not silently duplicated") {
+    val df = Seq((1L, Seq(("user", "hi"), ("assistant", "yo"))))
+      .toDF("valid", "turns")
+      .selectExpr("valid", "transform(turns, t -> named_struct('role', t._1, 'content', t._2)) AS turns")
+    val e = intercept[IllegalArgumentException](Chat.render(df, "valid", "turns"))
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("validity: alternation, user-start, assistant-end, system only leading") {
     val cases = Seq(
       mk(1L, Seq("user" -> "a", "assistant" -> "b")),                     // valid

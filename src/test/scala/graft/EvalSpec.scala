@@ -84,4 +84,16 @@ class EvalSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Eval.rankingMetrics(run, qrels, 3))
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("duplicate (query, doc) rows in the run top-k are rejected; past-k duplicates are not") {
+    val qrels = Seq((1L, 1L, 1)).toDF("query_id", "doc_id", "rel")
+    val dup   = Seq((1L, 1L, 1), (1L, 1L, 2)).toDF("query_id", "doc_id", "rank")
+    val e = intercept[IllegalArgumentException](Eval.rankingMetrics(dup, qrels, 3))
+    assert(e.getMessage.contains("run top-"))
+    // the duplicate sits past the rank cap: no metric can see it
+    val ok = Seq((1L, 1L, 1), (1L, 1L, 9)).toDF("query_id", "doc_id", "rank")
+    val m = Eval.rankingMetrics(ok, qrels, 3)
+      .select("recall_at_k", "rr_at_k").as[(Double, Double)].head()
+    assert(m == ((1.0, 1.0)))
+  }
 }

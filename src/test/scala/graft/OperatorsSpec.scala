@@ -439,6 +439,13 @@ class OperatorsSpec extends AnyFunSuite {
     val zo = Mixing.budgetAllocate(z, "cls", "util", "cost", 10L)
       .select("cls", "take").as[(String, Long)].collect().toMap
     assert(zo == Map("a" -> 10L))
+    // frac_bp stays exact past 2^53: take*10000 = 3333*avail - 1, so the
+    // true quotient is 3332 + (avail-1)/avail — double division rounds it
+    // up to exactly 3333.0 and floor() would publish 3333
+    val big = Seq(("huge", 1L, 900000000009997L)).toDF("cls", "util", "cost")
+    val bo = Mixing.budgetAllocate(big, "cls", "util", "cost", 299970000003332L)
+      .select("frac_bp").as[Long].head()
+    assert(bo == 3332L, s"integral div must floor exactly: got $bo")
   }
 
   test("fimTransform: NULL text passes through as an empty untransformed doc") {
