@@ -1108,8 +1108,23 @@ private[graft] object PdfParser {
     val single = if (identityCid) None else singleByteTable(baseName, diffs)
     val (cmapTwo, cmap) = toUni.getOrElse((false, Map.empty[Int, String]))
     val two = cmapTwo || identityCid
-    if (!two && cmap.isEmpty && single.isEmpty) FontDecoder.Identity
-    else new FontDecoder(two, cmap, single)
+    // Round 11: when NOTHING above could name the characters (no
+    // ToUnicode, no Differences, no base encoding, not a CID font), read
+    // the embedded font program itself — pypdf's remaining trick for
+    // subset fonts ([[FontPrograms]]). Weakest priority by construction:
+    // it is only consulted when every declared source is absent.
+    val fromProgram: Option[Array[String]] =
+      if (two || cmap.nonEmpty || single.isDefined) None
+      else
+        ref(body, "FontDescriptor").flatMap(objs.get).flatMap { desc =>
+          Seq("FontFile2", "FontFile3", "FontFile").view
+            .flatMap(k => ref(desc, k))
+            .flatMap(streamOf)
+            .flatMap(FontPrograms.table)
+            .headOption
+        }
+    if (!two && cmap.isEmpty && single.isEmpty && fromProgram.isEmpty) FontDecoder.Identity
+    else new FontDecoder(two, cmap, single.orElse(fromProgram))
   }
 
   /** Text of one content stream: `Tj`/`'`/`"`/`TJ` show pending strings.

@@ -71,6 +71,12 @@ def main() -> int:
               f"{cq[n]:.3f}s -> {fq[n]:.3f}s")
 
     fail = []
+    # Bench now re-measures load-contaminated reps itself (Bench.cleanWarm)
+    # and lists queries that never produced three consistent warm reps; a
+    # bench carrying such rows must not be committed as the round baseline.
+    dirty = fresh.get("contaminated", [])
+    if dirty:
+        fail.append(f"bench self-reports contaminated queries: {dirty}")
     if med > 1.3:
         fail.append(f"median ratio {med:.2f} is uniform SLOWER drift -- contaminated run")
     elif med < 1 / 1.3:
