@@ -788,6 +788,23 @@ object SparkEntry {
           col("metadata")("title").as("title"),
           col("metadata")("author").as("author"))),
 
+    // S2 hardening — embedded font programs (round 11): every font in the
+    // fixture has NO /ToUnicode, NO /Differences, NO base encoding, and
+    // SCRAMBLED character codes — the text is recoverable only by reading
+    // the embedded font file, pypdf's last-resort path for subset fonts
+    // (reference backend/extractors/pdf_extractor.py:16-40). Page 1 is
+    // Type1 (cleartext /Encoding vector), page 2 TrueType (cmap format 6
+    // + post 2.0 standard-Mac indices), page 3 CFF/Type1C (Encoding +
+    // charset + standard strings). All three decodes are REPLAYED by the
+    // oracle from the raw blob ([[graft.sources.FontPrograms]]).
+    "s2_pdf_font_program" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office/fontprog", "*.pdf")).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("page_count").cast("long").as("page_count"),
+          col("metadata")("title").as("title"),
+          col("metadata")("author").as("author"))),
+
     "s3_docx_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
         Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.docx")).toDF()
@@ -3805,6 +3822,46 @@ object SparkEntry {
            |   (SELECT regexp_extract(content, '/Title \(([^)]*)\)', 1) FROM f) AS title,
            |   (SELECT regexp_extract(content, '/Author \(([^)]*)\)', 1) FROM f) AS author
            | FROM p1, p2""".stripMargin,
+    // Font-program fixture: the oracle REPLAYS all three embedded-font
+    // decodes from the raw blob — page 1 from the Type1 cleartext
+    // `dup <code> /<name> put` pairs, page 2 by parsing the TrueType post
+    // 2.0 glyphNameIndex out of the ASCIIHex stream (anchored on the post
+    // magic + italicAngle; standard-Mac index i names ASCII char i+29,
+    // cmap format 6 maps code 64+gi -> glyph gi), page 3 by parsing the
+    // CFF Encoding (codes at bytes 41..50) and charset (SIDs at bytes
+    // 52..71; standard-strings SID s names ASCII char s+31) at their
+    // deterministic offsets (tools/make_pdffont_fixture.py layout). No
+    // pinned text: every character derives from the font-program bytes.
+    "s2_pdf_font_program" ->
+      raw"""WITH f AS (SELECT content FROM read_text('/root/repo/fixtures/office/fontprog/fontprog.pdf')),
+           | t1e AS (SELECT unnest(regexp_extract_all(regexp_extract(content, '(?s)%!PS(.*?)eexec', 1), 'dup (\d+) /([A-Za-z]+) put', 1)) AS code_s,
+           |               unnest(regexp_extract_all(regexp_extract(content, '(?s)%!PS(.*?)eexec', 1), 'dup \d+ /([A-Za-z]+) put', 1)) AS nm FROM f),
+           | enc AS (SELECT CAST(code_s AS INT) AS code, CASE WHEN nm = 'space' THEN ' ' ELSE nm END AS d FROM t1e),
+           | sh AS (SELECT i AS si, arr[i] AS sstr
+           |        FROM (SELECT regexp_extract_all(content, '\(([^)]*)\) Tj', 1) AS arr FROM f), range(1, 5) t(i)
+           |        WHERE i <= len(arr)),
+           | chs AS (SELECT si, ci, substr(sstr, ci, 1) AS c FROM sh, range(1, 64) g(ci) WHERE ci <= length(sstr)),
+           | l1 AS (SELECT si, string_agg(d, '' ORDER BY ci) AS line FROM chs JOIN enc ON ascii(c) = enc.code WHERE si <= 2 GROUP BY si),
+           | p1 AS (SELECT string_agg(line, chr(10) ORDER BY si) AS t FROM l1),
+           | h2 AS (SELECT regexp_replace(regexp_extract(content, '(?s)/FontFile2.*?stream\n(.*?)>', 1), '\s', '', 'g') AS h FROM f),
+           | pp AS (SELECT h, position('0002000000000000' IN h) AS p FROM h2),
+           | gidx AS (SELECT gi, ascii(decode(unhex(substr(h, p + 70 + 4 * gi, 2)))) AS idx
+           |          FROM pp, range(1, 64) r(gi)
+           |          WHERE gi < ascii(decode(unhex(substr(h, p + 66, 2))))),
+           | p2 AS (SELECT string_agg(chr(idx + 29), '' ORDER BY ci) AS t
+           |        FROM (SELECT ci, ascii(c) - 64 AS gi FROM chs WHERE si = 3) s JOIN gidx USING (gi)),
+           | h3 AS (SELECT regexp_replace(regexp_extract(content, '(?s)/FontFile3.*?stream\n(.*?)>', 1), '\s', '', 'g') AS h FROM f),
+           | cmap3 AS (SELECT ascii(decode(unhex(substr(h, 2 * (40 + i) + 1, 2)))) AS code,
+           |                  chr(ascii(decode(unhex(substr(h, 2 * (53 + 2 * (i - 1)) + 1, 2)))) + 31) AS d
+           |           FROM h3, range(1, 11) r(i)),
+           | p3 AS (SELECT string_agg(d, '' ORDER BY ci) AS t
+           |        FROM (SELECT ci, ascii(c) AS code FROM chs WHERE si = 4) s JOIN cmap3 USING (code))
+           | SELECT 'fontprog.pdf' AS file_name, 'PdfExtractor' AS extractor,
+           |   p1.t || chr(10) || chr(10) || p2.t || chr(10) || chr(10) || p3.t AS text,
+           |   (SELECT length(regexp_extract_all(content, '/Type /Page /', 0))::BIGINT FROM f) AS page_count,
+           |   (SELECT regexp_extract(content, '/Title \(([^)]*)\)', 1) FROM f) AS title,
+           |   (SELECT regexp_extract(content, '/Author \(([^)]*)\)', 1) FROM f) AS author
+           | FROM p1, p2, p3""".stripMargin,
     "p8_html_pipeline" ->
       raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawlhtml/pages.warc')),
            | r AS (SELECT unnest(str_split(c, 'WARC/1.0' || chr(13) || chr(10))) AS frag,

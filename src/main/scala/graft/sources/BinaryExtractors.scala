@@ -25,12 +25,15 @@ import scala.collection.mutable
   * pulls assume well-formed OOXML (no CDATA). PDF text extraction DOES
   * track the text matrix for line ordering since round 9 (`Tm`/`Td`/`TD`/
   * `T*`/`TL` vertical-position tracking — multi-column Tm-positioned pages
-  * read column-major like pypdf); the remaining PDF deviation is string
-  * DECODING of custom-encoded fonts without a usable /ToUnicode or
-  * /Differences table (round 10 adds /ToUnicode CMaps, /Differences
-  * arrays, and 2-byte Identity-H CID strings; an embedded subset font with
-  * none of those still falls back to literal bytes where pypdf would
-  * consult the font program itself). Form XObjects render at their `Do`
+  * read column-major like pypdf). String DECODING covers /ToUnicode CMaps,
+  * /Differences arrays, 2-byte Identity-H CID strings (round 10) AND — when
+  * none of those exist — the embedded font program itself (round 11,
+  * [[FontPrograms]]: TrueType cmap/post, CFF charset/encoding/strings,
+  * Type1 cleartext /Encoding, pypdf's last-resort path); the remaining
+  * deviation is a subset font whose program carries only non-standard
+  * glyph names outside the AGL subset (e.g. bare /g42 names mapping
+  * through a glyf-level reordering), which falls back to literal bytes.
+  * Form XObjects render at their `Do`
   * site as their own text block (round 10) — the form's internal line
   * structure is kept but its matrix is not threaded into the page's
   * (placement is document order, a deviation only for forms overlaid
