@@ -39,6 +39,22 @@ object SparkEntry {
       .map(t => Embedder.default.embed(t).map(_.toDouble).toSeq)
   private def qTokSql(i: Int): String = qTokVecs(i).mkString("[", ", ", "]")
 
+  /** Eight query vectors for the A/B significance test (v32) — a paired
+    * sign-flip test needs enough topics for the permutation distribution
+    * to resolve. Every phrase hashes to >= 2 nonzero components inside
+    * the 32-dim MRL prefix (single-token phrases can land entirely past
+    * dim 32, making the prefix all-zero and the truncated operator
+    * reject the query — checked at SparkEntrySanity). Same
+    * inline-the-exact-doubles contract as [[qVec]].
+    */
+  private val abQVecs: Seq[Seq[Double]] =
+    Seq("vector search recall", "search quality metrics", "stream processing window",
+      "window aggregate state", "join order optimizer", "parquet scan pruning",
+      "shuffle skew mitigation", "broadcast hash join")
+      .map(t => Embedder.default.embed(t).map(_.toDouble).toSeq)
+  private def abQSql(i: Int): String = abQVecs(i).mkString("[", ", ", "]")
+  private def abQSql32(i: Int): String = abQVecs(i).take(32).mkString("[", ", ", "]")
+
   /** Flagship: the reference's canonical read path (§3.1) on sf0.001 —
     * embed query (V2) → filtered cosine top-k (V1/F4/T1) → hydrate text
     * (J2) → format (V4).
@@ -3245,6 +3261,44 @@ object SparkEntry {
         .orderBy("system")
     }),
 
+    // V32 — A/B significance for a retrieval change (round 11): does
+    // MRL candidate generation (Search.topKTruncated — 32-of-64-dim
+    // prefix cosine cuts 50 candidates, full-dim rerank) significantly
+    // change nDCG@10 vs the exact full-dim scan? Eight topics, per-topic
+    // paired deltas, and Eval.pairedSignificance's sign-flip permutation
+    // test with a PORTABLE deterministic permutation schedule (31-bit
+    // xorshift-multiply, exact basis-point integer deltas) — so the
+    // p-value itself is oracle-replayable, not just the point metrics.
+    // The per-system runs scan the corpus once per topic (eval-set-sized
+    // harness work); the test itself never touches corpus data (|Q| x P
+    // sign expansion, map-side-combined to P partial sums).
+    "v32_ab_significance" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      def rank10(hits: DataFrame, t: Int): DataFrame = hits
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+        .select(lit(t.toLong).as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      def runOf(mrl: Boolean): DataFrame = (0 until 8).map { t =>
+        val hits =
+          if (mrl) Search.topKTruncated(emb, "embedding", "vec_id", abQVecs(t), 10, 32, 50)
+          else Search.topK(emb, "embedding", "vec_id", abQVecs(t), 10)
+        rank10(hits, t)
+      }.reduce(_ unionByName _)
+      val qrels = (0 until 8).map { t =>
+        emb.where(col("vec_id") % 17 === t || col("vec_id") % 11 === t)
+          .select(lit(t.toLong).as("query_id"), col("vec_id").as("doc_id"),
+            when(col("vec_id") % 17 === t, 2).otherwise(1).as("rel"))
+      }.reduce(_ unionByName _)
+      def ndcg(run: DataFrame, name: String): DataFrame =
+        Eval.rankingMetrics(run, qrels, 10)
+          .select(col("query_id"), round(col("ndcg_at_k"), 4).as(name))
+      val per = ndcg(runOf(mrl = false), "ndcg_full")
+        .join(ndcg(runOf(mrl = true), "ndcg_mrl"), "query_id")
+      Eval.pairedSignificance(per, "query_id", "ndcg_full", "ndcg_mrl", 256)
+        .select(col("n_queries"), col("sum_delta_bp"), col("n_extreme"),
+          col("n_perms"), round(col("p_value"), 4).as("p_value"))
+    }),
+
     // V29 — the HNSW shard-lifecycle close-out (round 10): applyDelta
     // keeps the build-time shard COUNT forever, so Hnsw.shardStats
     // (per-shard occupancy vs the rows-per-shard budget, one
@@ -5896,6 +5950,73 @@ object SparkEntry {
            |   round(coalesce(1.0 / frr, 0.0), 4) AS rr_at_k,
            |   round(coalesce(m.dcg, 0) / i.idcg, 4) AS ndcg_at_k
            | FROM ideal i LEFT JOIN m USING (system) ORDER BY i.system""".stripMargin,
+
+    // v32 — the full A/B significance replay: both runs (full-dim and
+    // 32-d-prefix cosine, same NaN guard and (score desc, id) tie-break),
+    // shared judgments, per-topic nDCG@10 rounded to 4 on both sides,
+    // exact basis-point deltas, and the SAME portable 31-bit
+    // xorshift-multiply permutation schedule (only & xor >> * % on
+    // positive BIGINTs) — DuckDB re-derives n_extreme and the smoothed
+    // two-sided p-value bit for bit.
+    "v32_ab_significance" -> {
+      val runFullSql = (0 until 8).map { t =>
+        s"""SELECT $t::BIGINT AS query_id, vec_id AS doc_id, rank FROM (
+           |   SELECT vec_id, row_number() OVER (
+           |     ORDER BY list_cosine_similarity(v, ${abQSql(t)}) DESC, vec_id) AS rank
+           |   FROM e WHERE NOT isnan(list_cosine_similarity(v, ${abQSql(t)}))) WHERE rank <= 10""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      val runMrlSql = (0 until 8).map { t =>
+        s"""SELECT $t::BIGINT AS query_id, vec_id AS doc_id, rank FROM (
+           |   SELECT vec_id, row_number() OVER (
+           |     ORDER BY list_cosine_similarity(v, ${abQSql(t)}) DESC, vec_id) AS rank
+           |   FROM (SELECT vec_id, v FROM (
+           |       SELECT vec_id, v, list_cosine_similarity(v[1:32], ${abQSql32(t)}) AS ts FROM e)
+           |     WHERE NOT isnan(ts) ORDER BY ts DESC, vec_id LIMIT 50)
+           |   WHERE NOT isnan(list_cosine_similarity(v, ${abQSql(t)}))) WHERE rank <= 10""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      val qrelsSql = (0 until 8).map { t =>
+        s"""SELECT $t::BIGINT AS query_id, vec_id AS doc_id,
+           |   CASE WHEN vec_id % 17 = $t THEN 2 ELSE 1 END AS rel
+           | FROM e WHERE vec_id % 17 = $t OR vec_id % 11 = $t""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      def ndcgSql(runTable: String, out: String): String =
+        s"""SELECT i.query_id, round(coalesce(m.dcg, 0) / i.idcg, 4) AS $out
+           | FROM ideal i LEFT JOIN (
+           |   SELECT r.query_id,
+           |     sum((pow(2.0, coalesce(q.rel, 0)) - 1) / log2(r.rank + 1.0)) AS dcg
+           |   FROM $runTable r LEFT JOIN qrels q
+           |     ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+           |   GROUP BY 1) m USING (query_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | runf AS ($runFullSql),
+         | runm AS ($runMrlSql),
+         | qrels AS ($qrelsSql),
+         | ideal AS (SELECT query_id,
+         |     sum(CASE WHEN i <= 10 THEN (pow(2.0, rel) - 1) / log2(i + 1.0) END) AS idcg
+         |   FROM (SELECT query_id, rel,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY rel DESC) AS i FROM qrels)
+         |   GROUP BY 1),
+         | mf AS (${ndcgSql("runf", "ndcg_full")}),
+         | mm AS (${ndcgSql("runm", "ndcg_mrl")}),
+         | per AS (SELECT mf.query_id, ndcg_full, ndcg_mrl FROM mf JOIN mm USING (query_id)),
+         | d AS (SELECT row_number() OVER (ORDER BY query_id) AS qid,
+         |     CAST(round(ndcg_mrl * 10000) AS BIGINT)
+         |       - CAST(round(ndcg_full * 10000) AS BIGINT) AS delta_bp FROM per),
+         | obs AS (SELECT count(*)::BIGINT AS n_queries,
+         |     coalesce(sum(delta_bp), 0)::BIGINT AS sum_delta_bp FROM d),
+         | x0 AS (SELECT qid, delta_bp, j, (qid * 256 + j) & 2147483647 AS x
+         |   FROM d, range(1, 257) r(j)),
+         | x2 AS (SELECT delta_bp, j, (xor(x, x >> 16) * 73244475) & 2147483647 AS x FROM x0),
+         | x4 AS (SELECT delta_bp, j, (xor(x, x >> 16) * 73244475) & 2147483647 AS x FROM x2),
+         | tj AS (SELECT j, sum(CASE WHEN xor(x, x >> 16) % 2 = 0
+         |       THEN delta_bp ELSE -delta_bp END) AS t
+         |   FROM x4 GROUP BY 1),
+         | ext AS (SELECT sum(CASE WHEN abs(tj.t) >= abs(o.sum_delta_bp)
+         |       THEN 1 ELSE 0 END)::BIGINT AS n_extreme FROM tj, obs o)
+         | SELECT o.n_queries, o.sum_delta_bp, x.n_extreme, 256::BIGINT AS n_perms,
+         |   round((x.n_extreme + 1.0) / 257.0, 4) AS p_value
+         | FROM obs o, ext x""".stripMargin
+    },
 
     // v29 — the v22 post-delta replay again (resharding must preserve
     // content exactly), plus the node count the re-routed store must

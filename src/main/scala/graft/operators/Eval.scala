@@ -103,4 +103,96 @@ object Eval {
         coalesce(lit(1.0) / col("__frr"), lit(0.0)).as("rr_at_k"),
         (coalesce(col("__dcg"), lit(0.0)) / col("__idcg")).as("ndcg_at_k"))
   }
+
+  /** Paired sign-flip permutation test over per-query metric deltas — the
+    * significance call behind an A/B retrieval decision. `perQuery` holds
+    * one row per evaluated query with the same metric under the baseline
+    * and the treatment system (e.g. two [[rankingMetrics]] outputs joined
+    * on the query); the test statistic is the summed delta, and the null
+    * ("the systems are exchangeable per query") is sampled by flipping
+    * each query's delta sign in `permutations` deterministic patterns.
+    * Two-sided p with add-one smoothing (Phipson & Smyth 2010):
+    * p = (1 + #{j : |T_j| >= |T_obs|}) / (1 + P) — never exactly 0.
+    *
+    * trec_eval users eyeball per-topic deltas; shipping a retrieval
+    * change at scale needs the number. Everything is exact-integer so a
+    * SQL oracle replays the p-value bit for bit: metrics become basis
+    * points (round(m * 10000) as long), qid is the 1-based rank of the
+    * query key, and the sign of query q in permutation j is the parity
+    * of [[mix31]] over the unique index qid * P + j — a 31-bit
+    * xorshift-multiply finalizer (lowbias32's shape masked to 31 bits)
+    * built ONLY from `& ^ >> * %` on positive 64-bit integers, so any
+    * SQL engine computes the identical schedule. Sign matrices from this
+    * mixer are statistically indistinguishable from fair coins on the
+    * balance/pairwise-correlation/pattern-collision diagnostics (additive
+    * or single-product LCG-mod schemes are NOT — their mod-carry is a
+    * function of qid alone and collapses the schedule to two patterns).
+    *
+    * Scale shape: `perQuery` is |Q| rows — the EVAL QUERY SET, never the
+    * corpus. The qid window is one |Q|-sized partition (declared: eval
+    * sets are thousands, not billions); the |Q| x P sign expansion
+    * aggregates map-side into P partial sums, so the only shuffle is
+    * P rows wide. Nothing here touches corpus data.
+    */
+  def pairedSignificance(
+      perQuery: DataFrame,
+      queryCol: String,
+      baselineCol: String,
+      treatmentCol: String,
+      permutations: Int = 256,
+  ): DataFrame = {
+    require(permutations >= 1 && permutations <= (1 << 20),
+      s"permutations must be in [1, 2^20]: $permutations")
+    val reserved = Seq("__qid", "__delta_bp", "__j", "__s", "__tj",
+      "n_queries", "sum_delta_bp", "n_extreme", "n_perms", "p_value")
+    for (c <- reserved)
+      require(!perQuery.columns.contains(c), s"input already has a '$c' column")
+    val dup = perQuery.groupBy(col(queryCol)).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0, s"duplicate $queryCol rows in perQuery — one row per query")
+
+    val d = perQuery.select(
+      row_number().over(Window.orderBy(col(queryCol))).cast("long").as("__qid"),
+      (round(col(treatmentCol) * 10000).cast("long")
+        - round(col(baselineCol) * 10000).cast("long")).as("__delta_bp"))
+    val spark = perQuery.sparkSession
+    val perms = spark.range(1, permutations.toLong + 1L).toDF("__j")
+    val tj = d.crossJoin(perms)
+      .select(col("__j"),
+        when(mix31(col("__qid") * permutations.toLong + col("__j")) % 2 === 0,
+          col("__delta_bp")).otherwise(-col("__delta_bp")).as("__s"))
+      .groupBy("__j").agg(sum("__s").as("__tj"))
+    val obs = d.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      coalesce(sum("__delta_bp"), lit(0L)).as("sum_delta_bp"))
+    tj.crossJoin(broadcast(obs))
+      .groupBy(col("n_queries"), col("sum_delta_bp"))
+      .agg(sum(when(abs(col("__tj")) >= abs(col("sum_delta_bp")), 1L).otherwise(0L))
+        .as("n_extreme"))
+      .select(
+        col("n_queries"),
+        col("sum_delta_bp"),
+        col("n_extreme"),
+        lit(permutations.toLong).as("n_perms"),
+        ((col("n_extreme") + 1.0) / (permutations + 1.0)).as("p_value"))
+  }
+
+  /** 31-bit xorshift-multiply finalizer over a non-negative long: three
+    * `x ^= x >> 16` rounds interleaved with two `x = (x * 73244475) &
+    * 0x7FFFFFFF` multiplies. 73244475 (0x45d9f3b) is the lowbias32
+    * multiplier; masking to 31 bits keeps every product under 2^58, so
+    * the arithmetic is exact (no wraparound) in any engine's BIGINT —
+    * the whole point is that a SQL oracle replays it operator by
+    * operator.
+    */
+  private def mix31(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val mask = lit(0x7FFFFFFFL)
+    val c    = lit(73244475L)
+    val x0 = n.bitwiseAND(mask)
+    val x1 = x0.bitwiseXOR(shiftright(x0, 16))
+    val x2 = (x1 * c).bitwiseAND(mask)
+    val x3 = x2.bitwiseXOR(shiftright(x2, 16))
+    val x4 = (x3 * c).bitwiseAND(mask)
+    x4.bitwiseXOR(shiftright(x4, 16))
+  }
 }

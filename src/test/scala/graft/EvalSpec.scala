@@ -96,4 +96,52 @@ class EvalSpec extends AnyFunSuite {
       .select("recall_at_k", "rr_at_k").as[(Double, Double)].head()
     assert(m == ((1.0, 1.0)))
   }
+
+  /** Replicates the operator's portable permutation mixer (31-bit
+    * xorshift-multiply) for the hand-computed sign-test cases below.
+    */
+  private def sign(qid: Long, j: Long, perms: Long = 256L): Long = {
+    var x = (qid * perms + j) & 0x7FFFFFFFL
+    x ^= x >> 16; x = (x * 73244475L) & 0x7FFFFFFFL
+    x ^= x >> 16; x = (x * 73244475L) & 0x7FFFFFFFL
+    x ^= x >> 16
+    if (x % 2 == 0) 1L else -1L
+  }
+
+  test("pairedSignificance: identical systems give p = 1.0 (every permutation ties T_obs = 0)") {
+    val per = (0 until 8).map(q => (q.toLong, 0.5 + q * 0.01, 0.5 + q * 0.01))
+      .toDF("query_id", "a", "b")
+    val r = Eval.pairedSignificance(per, "query_id", "a", "b", 256)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r == ((8L, 0L, 256L, 256L, 1.0)))
+  }
+
+  test("pairedSignificance: hand-replayed permutation distribution on known deltas") {
+    // deltas in bp: treatment - baseline = (+100, +200, -50, +400)
+    val per = Seq(
+      (1L, 0.50, 0.51), (2L, 0.30, 0.32), (3L, 0.20, 0.195), (4L, 0.10, 0.14))
+      .toDF("query_id", "a", "b")
+    val deltas = Map(1L -> 100L, 2L -> 200L, 3L -> -50L, 4L -> 400L)
+    val tObs = deltas.values.sum // 650
+    val nExtreme = (1L to 256L).count { j =>
+      math.abs(deltas.map { case (q, dl) => sign(q, j) * dl }.sum) >= math.abs(tObs)
+    }.toLong
+    val r = Eval.pairedSignificance(per, "query_id", "a", "b", 256)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r._1 == 4L && r._2 == tObs && r._3 == nExtreme && r._4 == 256L)
+    assert(math.abs(r._5 - (nExtreme + 1.0) / 257.0) < 1e-12)
+    // the schedule must actually flip signs: some permutation disagrees
+    assert(nExtreme < 256L)
+  }
+
+  test("pairedSignificance: deterministic across runs, duplicate query keys rejected") {
+    val per = Seq((1L, 0.1, 0.9), (2L, 0.2, 0.8), (3L, 0.3, 0.7)).toDF("query_id", "a", "b")
+    val r1 = Eval.pairedSignificance(per, "query_id", "a", "b").collect().toSeq
+    val r2 = Eval.pairedSignificance(per, "query_id", "a", "b").collect().toSeq
+    assert(r1 == r2)
+    val dup = Seq((1L, 0.1, 0.9), (1L, 0.2, 0.8)).toDF("query_id", "a", "b")
+    val e = intercept[IllegalArgumentException](
+      Eval.pairedSignificance(dup, "query_id", "a", "b"))
+    assert(e.getMessage.contains("duplicate"))
+  }
 }
