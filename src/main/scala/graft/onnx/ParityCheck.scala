@@ -72,6 +72,21 @@ object ParityCheck {
     }
   }
 
+  /** Record the per-probe results as TSV — the artifact a deployment
+    * checks in next to its model export (committed sample:
+    * fixtures/onnx/parity_report.sample.tsv). Format: header row, then
+    * `status<TAB>cosine<TAB>max_abs_diff<TAB>sentence` per probe.
+    */
+  def writeReport(results: Seq[ProbeResult], path: String): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
+    try {
+      w.println("status\tcosine\tmax_abs_diff\tsentence")
+      results.foreach { r =>
+        w.println(f"${if (r.ok) "PASS" else "FAIL"}\t${r.cosine}%.6f\t${r.maxAbsDiff}%.2e\t${r.sentence}")
+      }
+    } finally w.close()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 1,
       "usage: ParityCheck <dir with model.onnx, vocab.txt, parity.tsv|cross_parity.tsv>")
@@ -90,8 +105,9 @@ object ParityCheck {
     results.foreach { r =>
       println(f"${if (r.ok) "PASS" else "FAIL"}  cos=${r.cosine}%.6f maxdiff=${r.maxAbsDiff}%.2e  ${r.sentence.take(60)}")
     }
+    writeReport(results, s"$dir/parity_report.tsv")
     val bad = results.count(!_.ok)
-    println(s"parity: ${results.size - bad}/${results.size} probes pass")
+    println(s"parity: ${results.size - bad}/${results.size} probes pass; report at $dir/parity_report.tsv")
     if (bad > 0) sys.exit(1)
   }
 }

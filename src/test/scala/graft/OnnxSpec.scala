@@ -661,6 +661,10 @@ class OnnxSpec extends AnyFunSuite {
     assume(sys.env.contains("GRAFT_MPNET_DIR"),
       "GRAFT_MPNET_DIR not set — run tools/export_mpnet_parity.py where torch is installed")
     val res = graft.onnx.ParityCheck.run(sys.env("GRAFT_MPNET_DIR"))
+    // record the run: the report is the artifact a deployment keeps
+    // (format pinned by fixtures/onnx/parity_report.sample.tsv)
+    new java.io.File("target").mkdirs()
+    graft.onnx.ParityCheck.writeReport(res, "target/mpnet_parity_report.tsv")
     assert(res.nonEmpty && res.forall(_.ok), res.filterNot(_.ok).mkString("; "))
   }
 }
