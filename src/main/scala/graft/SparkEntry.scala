@@ -1633,6 +1633,22 @@ object SparkEntry {
           col("n_suffix"), md5(col("text_out")).as("out_md5"))
         .orderBy("doc_id")),
 
+    // X38 — DPO/RLHF preference pairs (round 11): documents grouped into
+    // pseudo-prompts (doc_id % 100 — ~10 candidate "responses" each at
+    // sf0.01), scored by lexical diversity (distinct-token ratio, exact
+    // integer-count arithmetic both engines replay), then
+    // Chat.preferencePairs picks (chosen, rejected) per prompt with the
+    // strict margin gate and pinned tie-breaks. One prompt-keyed
+    // exchange shared by both ranks and the candidate count.
+    "x38_dpo_pairs" -> ((s, d) => {
+      val cands = Tables(s, d).documents.select(
+        (col("doc_id") % 100).as("prompt_id"), col("doc_id"),
+        round(size(array_distinct(split(col("text"), " "))).cast("double")
+          / size(split(col("text"), " ")), 4).as("score"))
+      Chat.preferencePairs(cands, "prompt_id", "doc_id", "score", minMargin = 0.05)
+        .orderBy("prompt_id")
+    }),
+
     // X31 — recrawl scheduling policy (round 10): WHICH pages the next
     // p9/w6 maintenance round should fetch. Each user's event stream
     // models a page's visit history (event_type = the content signature
@@ -4865,6 +4881,27 @@ object SparkEntry {
            |   mj.majority_lang, round(1.0 - mx.mc / nl.n_lang, 4) AS switch_ratio
            | FROM tot t LEFT JOIN nl USING (doc_id) LEFT JOIN mx USING (doc_id) LEFT JOIN mj USING (doc_id)
            | ORDER BY t.doc_id""".stripMargin,
+
+    // x38 — full relational replay: the same diversity score, both
+    // window ranks with the pinned tie-breaks, the candidate count and
+    // the strict margin gate
+    "x38_dpo_pairs" ->
+      raw"""WITH c AS (SELECT doc_id % 100 AS prompt_id, doc_id,
+           |     round(len(list_distinct(string_split(text, ' '))) * 1.0
+           |       / len(string_split(text, ' ')), 4) AS score
+           |   FROM documents),
+           | r AS (SELECT prompt_id, doc_id, score,
+           |     row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, doc_id ASC) AS rb,
+           |     row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, doc_id DESC) AS rw,
+           |     count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+           |   FROM c)
+           | SELECT b.prompt_id, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           |   b.score AS chosen_score, w.score AS rejected_score,
+           |   b.score - w.score AS margin, b.n_candidates
+           | FROM (SELECT * FROM r WHERE rb = 1) b
+           |   JOIN (SELECT * FROM r WHERE rw = 1) w USING (prompt_id)
+           | WHERE b.n_candidates >= 2 AND b.score - w.score > 0.05
+           | ORDER BY prompt_id""".stripMargin,
 
     // x35 — selection + cut arithmetic + sentinel-joined PSM replayed;
     // the mod guards only fire on sub-minChars rows (fim already false)

@@ -97,4 +97,55 @@ object Chat {
       aggregate(spans, lit(0L),
         (acc, s) => acc + (s.getField("e") - s.getField("s"))).as("mask_chars"))
   }
+
+  /** DPO/RLHF preference-pair construction — the step between scored
+    * candidate responses and a trainable (chosen, rejected) dataset
+    * (Rafailov 2023's data contract; also what a reward-model trainer
+    * consumes). Per prompt: chosen = highest-scored candidate, rejected =
+    * lowest-scored, emitted only when the margin clears `minMargin` and
+    * the prompt has >= 2 candidates — same-score pairs teach nothing and
+    * flip under tie-reorderings, so the margin gate is strict (>).
+    *
+    * Determinism contract (oracle-replayable): ties on score break to the
+    * LOWEST candidate id for chosen and the HIGHEST for rejected, so a
+    * prompt whose candidates all tie picks (min id, max id) and is then
+    * dropped by the margin gate.
+    *
+    * Plan shape: both window ranks partition on the prompt key, so
+    * Catalyst reuses ONE hash exchange for the two rank computations and
+    * the per-prompt aggregate (the x34 shared-window pattern); output is
+    * one row per surviving prompt. Nothing corpus-wide sorts.
+    */
+  def preferencePairs(
+      df: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      minMargin: Double = 0.0,
+  ): DataFrame = {
+    require(minMargin >= 0.0, s"minMargin must be >= 0: $minMargin")
+    val reserved = Seq("chosen_id", "rejected_id", "chosen_score", "rejected_score",
+      "margin", "n_candidates", "__rb", "__rw")
+    reserved.foreach(c => require(!df.columns.contains(c), s"input already has a '$c' column"))
+    import org.apache.spark.sql.expressions.Window
+    val byPrompt = Window.partitionBy(col(promptCol))
+    val best  = byPrompt.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val worst = byPrompt.orderBy(col(scoreCol).asc, col(idCol).desc)
+    val ranked = df.select(col(promptCol), col(idCol), col(scoreCol))
+      .withColumn("__rb", row_number().over(best))
+      .withColumn("__rw", row_number().over(worst))
+      .withColumn("n_candidates", count(lit(1)).over(byPrompt))
+    val chosen = ranked.where(col("__rb") === 1).select(
+      col(promptCol), col(idCol).as("chosen_id"),
+      col(scoreCol).as("chosen_score"), col("n_candidates"))
+    val rejected = ranked.where(col("__rw") === 1).select(
+      col(promptCol), col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
+    chosen.join(rejected, Seq(promptCol))
+      .where(col("n_candidates") >= 2 &&
+        (col("chosen_score") - col("rejected_score")) > minMargin)
+      .select(col(promptCol), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"),
+        col("n_candidates"))
+  }
 }

@@ -103,4 +103,35 @@ class ChatSpec extends AnyFunSuite {
     assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
       5L -> false, 6L -> false, 7L -> false))
   }
+
+  test("preferencePairs: margin gate, tie-breaks, single-candidate and all-tied prompts dropped") {
+    val cands = Seq(
+      // prompt 1: clear winner/loser, margin 0.4 > 0.05 -> emitted
+      (1L, 10L, 0.9), (1L, 11L, 0.5), (1L, 12L, 0.7),
+      // prompt 2: margin 0.01 <= 0.05 -> dropped
+      (2L, 20L, 0.51), (2L, 21L, 0.50),
+      // prompt 3: single candidate -> dropped
+      (3L, 30L, 0.9),
+      // prompt 4: all tied -> chosen=min id, rejected=max id, margin 0 -> dropped
+      (4L, 40L, 0.6), (4L, 41L, 0.6), (4L, 42L, 0.6),
+      // prompt 5: ties at BOTH ends -> chosen = lowest id of the top
+      // score, rejected = highest id of the bottom score
+      (5L, 50L, 0.8), (5L, 51L, 0.8), (5L, 52L, 0.2), (5L, 53L, 0.2),
+    ).toDF("prompt_id", "cand_id", "score")
+    val out = Chat.preferencePairs(cands, "prompt_id", "cand_id", "score", minMargin = 0.05)
+      .orderBy("prompt_id")
+      .select("prompt_id", "chosen_id", "rejected_id", "n_candidates")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L, 11L, 3L), (5L, 50L, 53L, 4L)))
+    // margin arithmetic on the emitted row
+    val m = Chat.preferencePairs(cands, "prompt_id", "cand_id", "score", minMargin = 0.05)
+      .where($"prompt_id" === 1L).select("chosen_score", "rejected_score", "margin")
+      .as[(Double, Double, Double)].head()
+    assert(m == ((0.9, 0.5, 0.9 - 0.5)))
+    // reserved output names rejected on input
+    val bad = cands.withColumnRenamed("score", "margin")
+    val e = intercept[IllegalArgumentException](
+      Chat.preferencePairs(bad, "prompt_id", "cand_id", "margin"))
+    assert(e.getMessage.contains("margin"))
+  }
 }
