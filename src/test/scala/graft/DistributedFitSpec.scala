@@ -74,4 +74,77 @@ class DistributedFitSpec extends AnyFunSuite {
     val lists = assigned.select("list_id").as[Int].collect().toSeq
     assert(lists.size == 60 && lists.forall(l => l >= 0 && l < 4))
   }
+
+  /** 768-d corpus with 3 orthogonal, widely separated latent clusters and
+    * planted exact duplicates (id ≡ 1 mod 50 copies id−1) — the shape the
+    * row-cap crossover claims must hold at (ScaleBench's d768 tier prices
+    * it; this pins the SEMANTICS either side of the cap).
+    */
+  private lazy val df768 = {
+    def vec(i: Long): Array[Double] = {
+      val src = if (i % 50 == 1) i - 1 else i
+      val c   = (src % 3).toInt
+      // seeded-Random scatter: a sinusoid of the linear index is itself
+      // periodic structure HDBSCAN's excess-of-mass happily carves into
+      // subclusters — the noise must be shapeless for "3 latent clusters"
+      // to be the ground truth at every fit size
+      val rnd = new scala.util.Random(src)
+      Array.tabulate(768)(j =>
+        (if (j % 3 == c && j < 96) 4.0 else 0.0) + 0.05 * (rnd.nextDouble() - 0.5))
+    }
+    (0L until 450L).map(i => (i, vec(i))).toDF("id", "vec")
+  }
+
+  test("HDBSCAN past the row cap at 768-d: sampled fit keeps the full fit's partition") {
+    val full = new Ml.HdbscanClusterer(5, 3, maxFitRows = 4096)
+      .cluster(df768, "vec", "id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val samp = new Ml.HdbscanClusterer(5, 3, maxFitRows = 128)
+      .cluster(df768, "vec", "id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full.size == 450 && samp.size == 450)
+    // clean separation: neither path may resort to noise
+    assert(!full.values.exists(_ == -1) && !samp.values.exists(_ == -1))
+    // planted exact duplicates land together under the sampled assignment
+    for (i <- 1L until 450L by 50L) assert(samp(i) == samp(i - 1), s"dup pair $i split")
+    // partition parity modulo label names: sampled->full must be a bijection
+    val mapping = (0L until 450L).groupBy(i => samp(i)).map { case (s, ids) =>
+      s -> ids.map(full).distinct
+    }
+    assert(mapping.values.forall(_.size == 1),
+      s"a sampled cluster straddles full clusters: $mapping")
+    assert(mapping.values.flatten.toSeq.distinct.size == mapping.size,
+      s"two sampled clusters merged a full cluster: $mapping")
+    // determinism: the hash-sampled fit is stable across runs
+    val samp2 = new Ml.HdbscanClusterer(5, 3, maxFitRows = 128)
+      .cluster(df768, "vec", "id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(samp2 == samp)
+  }
+
+  test("UMAP past the row cap at 768-d: broadcast transform preserves duplicates and cluster geometry") {
+    val out = new Ml.UmapReducer(maxFitRows = 128)
+      .project(df768, "vec", "id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.size == 450)
+    assert(out.values.forall { case (x, y, z) =>
+      java.lang.Double.isFinite(x) && java.lang.Double.isFinite(y) && java.lang.Double.isFinite(z)
+    })
+    // exact duplicates go through the same broadcast transform -> identical coords
+    for (i <- 1L until 450L by 50L) assert(out(i) == out(i - 1), s"dup pair $i diverged")
+    // geometry: each point's nearest 3-D cluster centroid is its own
+    // latent cluster for >= 90% of rows (clean 768-d separation must
+    // survive the sampled-anchor transform)
+    def latent(i: Long): Int = (((if (i % 50 == 1) i - 1 else i)) % 3).toInt
+    val cents = (0 until 3).map { c =>
+      val pts = out.collect { case (i, p) if latent(i) == c => p }
+      val n = pts.size.toDouble
+      (pts.map(_._1).sum / n, pts.map(_._2).sum / n, pts.map(_._3).sum / n)
+    }
+    def d2(a: (Double, Double, Double), b: (Double, Double, Double)): Double = {
+      val dx = a._1 - b._1; val dy = a._2 - b._2; val dz = a._3 - b._3
+      dx * dx + dy * dy + dz * dz
+    }
+    val ok = out.count { case (i, p) =>
+      (0 until 3).minBy(c => d2(p, cents(c))) == latent(i)
+    }
+    assert(ok >= 405, s"only $ok/450 rows nearest their own cluster centroid")
+  }
 }
