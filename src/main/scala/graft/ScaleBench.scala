@@ -263,6 +263,25 @@ object ScaleBench {
         // parallel). rows = corpus size (1:1 placement).
         "umap_sampled_768" -> (() => new Ml.UmapReducer()
           .project(vecs, "embedding", "vec_id").count()),
+        // m7 past the 4096-row fit cap at 768-d (round 11): hash-sampled
+        // driver fit + broadcast nearest-fitted-point assignment. The
+        // INVARIANT gate rides in `rows`: the corpus's planted exact-dup
+        // pairs (id ≡ 1 mod 50 copies id−1's vector) must land in the
+        // same cluster — identical input through a deterministic
+        // assignment — so rows = # dup pairs whose labels DISAGREE and
+        // the gate is rows == 0. Parity at the crossover itself (cap−1
+        // vs cap+1 behavior) is DistributedFitSpec's job; this row prices
+        // the real shape.
+        "hdbscan_sampled_768" -> (() => {
+          val labels = new Ml.HdbscanClusterer(minClusterSize = 5, minSamples = 3)
+            .cluster(vecs, "embedding", "vec_id")
+          val a = labels.select(col("vec_id"), col("label"))
+          val pairs = vecs.where(col("vec_id") % 50 === 1)
+            .select(col("vec_id"), (col("vec_id") - 1).as("src_id"))
+          pairs.join(a, "vec_id")
+            .join(a.select(col("vec_id").as("src_id"), col("label").as("src_label")), "src_id")
+            .where(col("label") =!= col("src_label")).count()
+        }),
       )
       val selected = if (onlyOps.isEmpty) ops else ops.filter(o => onlyOps.contains(o._1))
       selected.foreach { case (name, run) =>
@@ -271,6 +290,102 @@ object ScaleBench {
         println(f"""{"op":"$name","dim":768,"scale":$scale,"n":$n,"sec":$warm%.3f,"cold":$cold%.3f,"rows":$rows}""")
       }
       spark.catalog.clearCache()
+    }
+  }
+
+  /** Churn-proportionality tier (round 11): the recrawl lifecycle's cost
+    * claim — maintenance cost ∝ churn, never corpus — measured on BOTH
+    * axes for BOTH store families at the 768-d reference shape:
+    *
+    *  - corpus axis, FIXED churn: scales 1× and 4× (25k / 100k
+    *    vectors). Expected shape: near-FLAT. IVF rewrites only the
+    *    churn-touched list partitions; HNSW only the churn-touched
+    *    shards — PROVIDED the rows-per-shard budget is held constant as
+    *    the corpus grows (shards multiply, shard size doesn't), which is
+    *    the production contract ([[Hnsw.RowsPerShard]]); this tier
+    *    scales the budget down to 3125 rows/shard so 25k–100k corpora
+    *    span 8–32 shards the way 100 TB spans thousands.
+    *  - churn axis, FIXED corpus (4× = 100k): IVF churn 32/256/2048 —
+    *    expected ~LINEAR in the affected-LIST footprint until it
+    *    saturates (every list touched → full rewrite, the documented
+    *    plateau). HNSW churn 4/16/128 — each touched shard is a
+    *    bounded-size rebuild, and random ids HASH-SCATTER across
+    *    shards, so cost ∝ min(churn, nShards) shards: linear while
+    *    churn < nShards, plateaued at the full-corpus rebuild beyond.
+    *    That scatter is the honest design limit: tiny-churn maintenance
+    *    is cheap, bulk churn should go through reshard/rebuild instead.
+    *
+    * Each measurement applies a FRESH disjoint delta (new residue class,
+    * new id range) so reps never re-insert existing ids; the store
+    * accumulates ≤0.1% extra rows over the whole tier. Rep 0 is the
+    * JIT/plan-warm cold rep, the printed `sec` is rep 1. Results feed
+    * SCALE.md's churn-curve table (VERDICT r10 task 4).
+    */
+  private def runChurn(spark: SparkSession, maxScale: Int,
+      families: Set[String] = Set.empty): Unit = {
+    val root   = sys.props("java.io.tmpdir") + "/graft-scale"
+    val stores = scala.collection.mutable.Map.empty[(String, Int), String]
+    def ivfStore(scale: Int): String = stores.getOrElseUpdate(("ivf", scale), {
+      val vecs  = gen768(spark, scale, root)
+      val nList = math.max(32, math.sqrt(25000.0 * scale).toInt)
+      val p = java.nio.file.Files.createTempDirectory(s"sb-churn-ivf$scale").toString + "/store"
+      val (assigned, model) = Ivf.assign(vecs, "embedding", nList)
+      Ivf.writeIndexed(assigned, p, model, "embedding")
+      p
+    })
+    // constant 3125 rows/shard across scales — the RowsPerShard contract
+    // at tier size (25k -> 8 shards, 100k -> 32)
+    def hnswStore(scale: Int): String = stores.getOrElseUpdate(("hnsw", scale), {
+      val vecs = gen768(spark, scale, root)
+      val p = java.nio.file.Files.createTempDirectory(s"sb-churn-hnsw$scale").toString + "/store"
+      Hnsw.writeIndex(vecs, "embedding", "vec_id", p, nShards = 8 * scale)
+      p
+    })
+    // fresh disjoint delta per (scale, churn, round): removals from one
+    // residue class, inserts into an unused id range
+    var round = 0
+    def delta(scale: Int, churn: Int): (DataFrame, DataFrame) = {
+      val vecs = gen768(spark, scale, root)
+      val n    = 25000L * scale
+      val half = math.max(1, churn / 2)
+      val step = math.max(2L, n / half)
+      round += 1
+      val removed = vecs.where(pmod(col("vec_id"), lit(step)) === (round % step))
+        .select("vec_id")
+      val added = vecs.where(pmod(col("vec_id"), lit(step)) === ((round + 1) % step))
+        .select((col("vec_id") + 10000000L * round).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      (removed, added)
+    }
+    def measure(family: String, scale: Int, churn: Int): Unit = {
+      val apply: () => Long = family match {
+        case "ivf" => () => {
+          val (rem, add) = delta(scale, churn)
+          Ivf.applyDelta(spark, ivfStore(scale), rem, add, "vec_id")
+        }
+        case _ => () => {
+          val (rem, add) = delta(scale, churn)
+          Hnsw.applyDelta(spark, hnswStore(scale), rem, add, "embedding", "vec_id").toLong
+        }
+      }
+      apply() // cold: JIT + plan + store-open
+      val t0 = System.nanoTime(); val rows = apply(); val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"${family}_apply_delta","mode":"churn","scale":$scale,"n":${25000L * scale},"churn":$churn,"sec":$sec%.3f,"rows":$rows}""")
+    }
+    val hi = math.min(4, maxScale)
+    def want(f: String) = families.isEmpty || families.contains(f)
+    // IVF: churn lands in lists (hundreds of them), so the interesting
+    // churn range is tens-to-thousands. HNSW: churn lands in SHARDS
+    // (8–32 here), so the linear range is churn < nShards — single-digit
+    // deltas on the corpus axis, 4/16/128 on the churn axis (128 ≫ 32
+    // shards pins the plateau).
+    if (want("ivf")) {
+      for (scale <- Seq(1, hi).distinct.filter(_ <= maxScale)) measure("ivf", scale, 128)
+      for (churn <- Seq(32, 256, 2048)) measure("ivf", hi, churn)
+    }
+    if (want("hnsw")) {
+      for (scale <- Seq(1, hi).distinct.filter(_ <= maxScale)) measure("hnsw", scale, 4)
+      for (churn <- Seq(4, 16, 128)) measure("hnsw", hi, churn)
     }
   }
 
@@ -331,6 +446,18 @@ object ScaleBench {
       "repeated_spans"  -> (() => Dedup.repeatedSpans(docs, "doc_id", "text", 4).count()),
       "cut_spans"       -> (() => { Dedup.cutRepeatedSpans(docs, "doc_id", "text", 4)
         .agg(sum(col("n_cut")), sum(length(col("cleaned")))).head(); 1L }),
+      // x32's shape (round 11): the KN bigram model fit is a pair-stream
+      // groupBy over every adjacent token pair in the corpus. Under the
+      // 512 MB budget the pair aggregation must go external — and it
+      // does, PROVIDED materialize=false: the materialize=true variant
+      // localCheckpoints the tok/pair/bigram frames, and checkpoint
+      // blocks are unevictable storage that crowds the unified pool
+      // until a downstream aggregation can't acquire its first page
+      // (measured here: AGGREGATE_OUT_OF_MEMORY at 16 MB/task). That is
+      // the knob's documented trade — cache for recompute — so the
+      // memory-tight configuration runs the recompute side.
+      "kn_surprisal"    -> (() => graft.functions.TextOps.knBigramSurprisal(docs, "doc_id", "text",
+        materialize = false).agg(sum("n_pairs")).head().getLong(0)),
     )
     ops.foreach { case (name, run) =>
       val t0 = System.nanoTime(); val rows = run(); val sec = (System.nanoTime() - t0) / 1e9
@@ -352,6 +479,12 @@ object ScaleBench {
     if (args.headOption.contains("768d")) {
       val spark = Engine.session("graft-scale-768")
       run768(spark, args.drop(1).headOption.map(_.toInt).getOrElse(4), args.drop(2).toSet)
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("churn")) {
+      val spark = Engine.session("graft-scale-churn")
+      runChurn(spark, args.drop(1).headOption.map(_.toInt).getOrElse(4), args.drop(2).toSet)
       spark.stop()
       return
     }

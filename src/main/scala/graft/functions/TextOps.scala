@@ -558,7 +558,13 @@ object TextOps {
     * ONE groupBy; per-word distinct contexts off the TYPE table, which is
     * already deduplicated) and a broadcast one-row type-total scalar. The
     * same no-CSE caveat applies; `materialize` checkpoints the token and
-    * pair frames once.
+    * pair frames once. The trade is memory for recompute: checkpoint
+    * blocks are UNEVICTABLE storage, so on memory-tight executors they
+    * crowd the unified pool until a downstream aggregation can't acquire
+    * its first page (ScaleBench's 512 MB lowmem tier measured exactly
+    * that — AGGREGATE_OUT_OF_MEMORY at 16 MB/task with materialize=true,
+    * clean external-sort completion with false). Default false is the
+    * safe side; turn it on when the executor has storage headroom.
     *
     * Output: (idCol, n_pairs, kn_avg_nll).
     */
