@@ -2153,6 +2153,18 @@ object SparkEntry {
         sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("long").as("price_cents"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
 
+    // A18 — CUBE grouping sets (round 11): a17's ROLLUP gives the
+    // hierarchy prefixes; CUBE adds the cross-dimensional slices (the
+    // status-only marginal ROLLUP can't express). Same integer-cents
+    // device; one Expand + one aggregate, the same plan family.
+    "a18_cube" -> ((s, d) => Tables(s, d).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("long").as("price_cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
     // H4 — TPC-H Q4's order-priority-checking shape (round 10), adapted
     // to this schema (no commitdate column → "late-shipped" EXISTS:
     // some lineitem shipped after the order date). The point is the PLAN:
@@ -5499,6 +5511,13 @@ object SparkEntry {
         | count(*)::BIGINT AS n,
         | sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS price_cents
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "a18_cube" ->
+      """SELECT grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+        | l_returnflag, l_linestatus,
+        | count(*)::BIGINT AS n,
+        | sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS price_cents
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         | ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     // h4 — the Q4 EXISTS replayed verbatim
