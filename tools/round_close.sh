@@ -4,8 +4,16 @@
 # commit of a round — BENCH_r05 was empty because HEAD broke and nobody
 # noticed until the next judge; this script makes that impossible to miss.
 #
-# Usage: tools/round_close.sh            # full gate (~12 min)
-#        tools/round_close.sh --quick    # sf0.001 verify only (~3 min)
+# Usage: tools/round_close.sh                 # full gate (~12 min)
+#        tools/round_close.sh --quick         # sf0.001 verify only (~3 min)
+#        tools/round_close.sh --from-snapshot # snapshot.sh's invocation:
+#            skips the HEAD-staleness half of the coverage check, because
+#            snapshot.sh commits the just-validated fresh bench immediately
+#            after — with new queries declared this round, HEAD's bench is
+#            stale BY CONSTRUCTION until that commit, and failing on it
+#            made snapshot.sh unable to close any round that added a query.
+#            Standalone runs keep the staleness check (a mid-round gate
+#            should flag a forgotten bench commit).
 set -u
 cd "$(dirname "$0")/.."
 fail=0
@@ -73,7 +81,9 @@ if [ "${1:-}" != "--quick" ]; then
   # (2) HEAD's bench_full.json matches it. Close rounds ONLY through
   # tools/snapshot.sh, which re-runs this whole gate at true HEAD and is
   # the only path that commits the bench artifact.
-  if ! python3 tools/bench_coverage.py bench_full.json /tmp/round_close_0.01; then
+  headflag=""
+  [ "${1:-}" = "--from-snapshot" ] && headflag="--no-head-check"
+  if ! python3 tools/bench_coverage.py bench_full.json /tmp/round_close_0.01 $headflag; then
     echo "FAIL: bench coverage"; fail=1
   fi
 fi

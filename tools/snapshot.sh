@@ -12,9 +12,12 @@
 #   3. only if the gate is green, commit the regenerated bench_full.json.
 #
 # The coverage check inside the gate compares the fresh bench against the
-# declared query set AND against HEAD's bench_full.json, so a stale
-# committed bench fails step 2 and this script refuses at step 3 — there
-# is no path that closes a round with a bench missing a declared query.
+# declared query set; the HEAD-staleness half is skipped here
+# (--from-snapshot) because step 3 commits the just-validated fresh bench
+# immediately — with new queries declared, HEAD is stale by construction
+# until that commit. There is still no path that closes a round with a
+# bench missing a declared query: the declared-set half runs always, and
+# standalone round_close.sh keeps the staleness check for mid-round use.
 #
 # Usage: tools/snapshot.sh "round N close message"
 set -eu
@@ -30,7 +33,7 @@ if [ -n "$dirty" ]; then
   exit 1
 fi
 
-if ! tools/round_close.sh; then
+if ! tools/round_close.sh --from-snapshot; then
   echo "REFUSING: round-close gate failed — fix and re-run"
   exit 1
 fi
