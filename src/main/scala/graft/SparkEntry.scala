@@ -3097,6 +3097,21 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // U13 — length-bucketed padded batching (round 11): the third
+    // trainer layout (encoders/rerankers/SFT pad to batch max instead of
+    // straddling docs). Bucket edges come off the LENGTH HISTOGRAM
+    // (exact integer arithmetic — cumBefore(L)·nBuckets div n), batches
+    // cut within buckets by (len, id); the per-batch pad accounting is
+    // the operator's point. Output aggregated per (bucket, batch).
+    "u13_length_buckets" -> ((s, d) => {
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("n_chars"))
+      Packing.lengthBuckets(docs, "doc_id", "n_chars", nBuckets = 8, batchSize = 32)
+        .groupBy("bucket", "batch")
+        .agg(count(lit(1)).as("n_rows"), max("batch_max").as("batch_max"),
+          sum("pad").as("pad_chars"))
+        .orderBy("bucket", "batch")
+    }),
+
     // V12 — SQ8 ANN: cosine top-k served from int8 codes against the
     // full-precision query (per-vector scale cancels under cosine). Gate =
     // recall@10 vs the exact float search; measured 10/10 at both oracle
@@ -5879,6 +5894,26 @@ object SparkEntry {
         |   sum(greatest(n_tok, 0))::BIGINT AS n_tokens,
         |   (sum(greatest(n_tok, 0)) // 512)::BIGINT AS n_sequences
         | FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // u13 — histogram edges, bucket assignment, in-bucket batching and
+    // the pad arithmetic replayed exactly (integer division throughout)
+    "u13_length_buckets" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        | h AS (SELECT n_chars AS len, count(*) AS c FROM d GROUP BY 1),
+        | e AS (SELECT len, coalesce(sum(c) OVER (ORDER BY len
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+        |     (SELECT count(*) FROM d) AS n FROM h),
+        | b AS (SELECT doc_id, n_chars, least(7, cumb * 8 // n) AS bucket
+        |   FROM d JOIN e ON d.n_chars = e.len),
+        | r AS (SELECT bucket, n_chars,
+        |     (row_number() OVER (PARTITION BY bucket ORDER BY n_chars, doc_id) - 1) // 32 AS batch
+        |   FROM b),
+        | r2 AS (SELECT bucket, batch, n_chars,
+        |     max(n_chars) OVER (PARTITION BY bucket, batch) AS bmax FROM r)
+        | SELECT bucket::BIGINT AS bucket, batch::BIGINT AS batch,
+        |   count(*)::BIGINT AS n_rows, max(n_chars)::BIGINT AS batch_max,
+        |   sum(bmax - n_chars)::BIGINT AS pad_chars
+        | FROM r2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "v12_sq8_ann" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",

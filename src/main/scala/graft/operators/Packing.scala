@@ -98,6 +98,61 @@ object Packing {
       .drop("__h")
   }
 
+  /** Length-bucketed padded batching — the THIRD trainer layout, for
+    * models that can't straddle documents (encoders, rerankers, SFT with
+    * per-example loss): rows batch with LIKE-LENGTH rows so the per-batch
+    * pad-to-max waste stays small. The measurement IS the operator's
+    * output: every row gets its (bucket, batch, batch_max, pad), so
+    * "bucketed batching saves X% padding vs arrival order" is a single
+    * aggregate downstream.
+    *
+    * Deterministic, oracle-replayable bucketing WITHOUT a global sort:
+    * bucket edges derive from the LENGTH HISTOGRAM (a ≤|distinct lengths|
+    * table — the only thing the corpus-wide prefix sum runs over), not
+    * from per-row ranks: a row of length L lands in bucket
+    * min(nBuckets−1, cumBefore(L)·nBuckets div n) where cumBefore is the
+    * count of strictly-shorter rows. Equal lengths always share a bucket
+    * (bucket sizes wobble under skew — the price of exactness). Within a
+    * bucket, rows order by (length, id) and cut into fixed `batchSize`
+    * batches; `batch_max` and `pad = batch_max − len` follow.
+    *
+    * Plan shape: one corpus scan into the histogram aggregate; the
+    * histogram (broadcast) joins back for assignment; the batching
+    * windows partition by bucket — like [[packByBudget]]'s stream key,
+    * pick nBuckets at least the cluster parallelism at scale. `idCol`
+    * must be unique (window tie-break).
+    */
+  def lengthBuckets(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      nBuckets: Int,
+      batchSize: Int,
+  ): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    Seq("bucket", "batch", "batch_max", "pad", "__len", "__c", "__cumb", "__n", "__rn")
+      .foreach(c => require(!df.columns.contains(c), s"input already has a '$c' column"))
+    val L    = col(lenCol).cast("long")
+    val hist = df.groupBy(L.as("__len")).agg(count(lit(1)).as("__c"))
+    // histogram-sized window: distinct lengths, never corpus rows
+    val wLen = Window.orderBy(col("__len")).rowsBetween(Window.unboundedPreceding, -1)
+    val edges = hist.withColumn("__cumb", coalesce(sum(col("__c")).over(wLen), lit(0L)))
+    val total = hist.agg(sum(col("__c")).as("__n"))
+    val wB     = Window.partitionBy(col("bucket")).orderBy(L, col(idCol))
+    val wBatch = Window.partitionBy(col("bucket"), col("batch"))
+    df
+      .join(broadcast(edges.select(col("__len"), col("__cumb"))), L === col("__len"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1L), expr(s"__cumb * $nBuckets div __n")))
+      .withColumn("__rn", row_number().over(wB))
+      .withColumn("batch", expr(s"(__rn - 1) div $batchSize"))
+      .withColumn("batch_max", max(L).over(wBatch))
+      .withColumn("pad", col("batch_max") - L)
+      .drop("__len", "__cumb", "__n", "__rn")
+  }
+
   /** Per-shard manifest a trainer reads off [[packConcat]] output:
     * docs/tokens per shard and the number of FULL `seqLen` sequences (the
     * ragged tail is dropped, as in practice).

@@ -52,6 +52,33 @@ class PackingSketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBuckets: histogram-edge buckets, bounded batches, pad beats arrival order") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 100L).map(i => (i, (i * 37 % 97) + 3)).toDF("id", "len")
+    val out  = Packing.lengthBuckets(rows, "id", "len", nBuckets = 4, batchSize = 8)
+    assert(out.count() == 100)
+    // equal lengths always share a bucket (edges are per-LENGTH)
+    assert(out.groupBy("len").agg(countDistinct("bucket").as("nb"))
+      .where($"nb" > 1).count() == 0)
+    // batches never exceed batchSize; pad arithmetic consistent
+    val sizes = out.groupBy("bucket", "batch").count().select("count").as[Long].collect()
+    assert(sizes.nonEmpty && sizes.forall(_ <= 8))
+    assert(out.where($"pad" < 0 || $"batch_max" < $"len" || $"pad" =!= $"batch_max" - $"len").count() == 0)
+    // the point of the operator: less padding than arrival-order batching
+    val bucketedPad = out.agg(sum("pad")).as[Long].head()
+    val naive = rows.withColumn("batch", expr("(id - 1) div 8"))
+      .withColumn("bmax", max(col("len")).over(Window.partitionBy("batch")))
+    val naivePad = naive.agg(sum(col("bmax") - col("len"))).as[Long].head()
+    assert(bucketedPad < naivePad, s"bucketed $bucketedPad !< naive $naivePad")
+    // deterministic across runs
+    assert(Packing.lengthBuckets(rows, "id", "len", 4, 8).collect().toSet
+      == out.collect().toSet)
+    // reserved-column guard
+    val e = intercept[IllegalArgumentException](
+      Packing.lengthBuckets(rows.withColumnRenamed("len", "pad"), "id", "pad", 4, 8))
+    assert(e.getMessage.contains("pad"))
+  }
+
   test("shardManifest counts full sequences only") {
     val docs = Seq((1L, 100L), (2L, 100L), (3L, 60L)).toDF("id", "n_tok")
     val packed = Packing.packConcat(docs, "id", "n_tok", seqLen = 64, nShards = 1)
