@@ -3312,31 +3312,61 @@ object SparkEntry {
     // test with a PORTABLE deterministic permutation schedule (31-bit
     // xorshift-multiply, exact basis-point integer deltas) — so the
     // p-value itself is oracle-replayable, not just the point metrics.
-    // The per-system runs scan the corpus once per topic (eval-set-sized
-    // harness work); the test itself never touches corpus data (|Q| x P
-    // sign expansion, map-side-combined to P partial sums).
+    // Each system's 8 topic runs come from ONE corpus scan via the batch
+    // knnJoin (queries broadcast, TopKScored map-side partials — the
+    // shuffle is 8·k rows per partition, and TopKScored's (score desc,
+    // id asc) order is exactly topK's, so results are bit-identical to
+    // the per-topic scans); the MRL rerank then touches only the ≤400
+    // surviving candidate rows. The test itself never touches corpus
+    // data (|Q| x P sign expansion, map-side-combined to P partial
+    // sums).
     "v32_ab_significance" -> ((s, d) => {
+      import s.implicits._
       val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
-      def rank10(hits: DataFrame, t: Int): DataFrame = hits
-        .withColumn("rank",
-          row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
-        .select(lit(t.toLong).as("query_id"), col("vec_id").as("doc_id"), col("rank"))
-      def runOf(mrl: Boolean): DataFrame = (0 until 8).map { t =>
-        val hits =
-          if (mrl) Search.topKTruncated(emb, "embedding", "vec_id", abQVecs(t), 10, 32, 50)
-          else Search.topK(emb, "embedding", "vec_id", abQVecs(t), 10)
-        rank10(hits, t)
-      }.reduce(_ unionByName _)
-      val qrels = (0 until 8).map { t =>
-        emb.where(col("vec_id") % 17 === t || col("vec_id") % 11 === t)
-          .select(lit(t.toLong).as("query_id"), col("vec_id").as("doc_id"),
-            when(col("vec_id") % 17 === t, 2).otherwise(1).as("rel"))
-      }.reduce(_ unionByName _)
+      // topic ids overlap small vec_ids, so excludeSelf must be OFF
+      val qFull = abQVecs.zipWithIndex.map { case (v, t) => (t.toLong, v) }
+        .toDF("query_id", "qv")
+      def runFull: DataFrame =
+        Search.knnJoin(qFull, emb, "qv", "query_id", "embedding", "vec_id",
+          10, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      def runMrl: DataFrame = {
+        val qPref = abQVecs.zipWithIndex.map { case (v, t) => (t.toLong, v.take(32)) }
+          .toDF("query_id", "qv")
+        val embPref = emb.select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 32).as("embedding"))
+        val cand = Search.knnJoin(qPref, embPref, "qv", "query_id", "embedding", "vec_id",
+          50, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id").as("vec_id"))
+        cand.join(emb, "vec_id").join(broadcast(qFull), "query_id")
+          .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+            col("embedding").cast("array<double>"), col("qv")))
+          .where(!isnan(col("score")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))))
+          .where(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      }
+      // qrels in ONE scan: a row judges topic (vec_id % 17) at rel 2 and
+      // topic (vec_id % 11) at rel 1 (the rel-2 row wins when they
+      // coincide) — identical to the per-topic union, 8x fewer scans.
+      // The runs and qrels are tiny/eval-sized; localCheckpoint stops the
+      // metric guards' actions from re-running the corpus scans.
+      val qrels = emb
+        .select(col("vec_id").as("doc_id"),
+          (col("vec_id") % 17).as("__t17"), (col("vec_id") % 11).as("__t11"))
+        .select(col("doc_id"), explode(array(
+          when(col("__t17") < 8, struct(col("__t17").as("query_id"), lit(2).as("rel"))),
+          when(col("__t11") < 8 && col("__t11") =!= col("__t17"),
+            struct(col("__t11").as("query_id"), lit(1).as("rel"))))).as("__q"))
+        .where(col("__q").isNotNull)
+        .select(col("__q.query_id").as("query_id"), col("doc_id"), col("__q.rel").as("rel"))
+        .localCheckpoint(true)
       def ndcg(run: DataFrame, name: String): DataFrame =
-        Eval.rankingMetrics(run, qrels, 10)
+        Eval.rankingMetrics(run.localCheckpoint(true), qrels, 10)
           .select(col("query_id"), round(col("ndcg_at_k"), 4).as(name))
-      val per = ndcg(runOf(mrl = false), "ndcg_full")
-        .join(ndcg(runOf(mrl = true), "ndcg_mrl"), "query_id")
+      val per = ndcg(runFull, "ndcg_full")
+        .join(ndcg(runMrl, "ndcg_mrl"), "query_id")
       Eval.pairedSignificance(per, "query_id", "ndcg_full", "ndcg_mrl", 256)
         .select(col("n_queries"), col("sum_delta_bp"), col("n_extreme"),
           col("n_perms"), round(col("p_value"), 4).as("p_value"))
