@@ -1633,6 +1633,32 @@ object SparkEntry {
           col("n_suffix"), md5(col("text_out")).as("out_md5"))
         .orderBy("doc_id")),
 
+    // X39 — scorer calibration (round 11): the reliability diagram +
+    // ECE/MCE for a probabilistic scorer. The fixture scorer is
+    // DELIBERATELY miscalibrated in a replayable way: the true positive
+    // probability of a doc is its distinct-token ratio p (label drawn by
+    // the portable hash against floor(p·10000)), while the evaluated
+    // score is p² — so the diagram must show the squared scorer's
+    // underconfidence and every bin statistic replays exactly (the only
+    // doubles are avgs, rounded 4 like every computed double here).
+    "x39_calibration" -> ((s, d) => {
+      val scored = Tables(s, d).documents.select(
+        col("doc_id"),
+        (size(array_distinct(split(col("text"), " "))).cast("double")
+          / size(split(col("text"), " "))).as("__p"))
+        .select(col("doc_id"), (col("__p") * col("__p")).as("score"),
+          (Sampling.bucket(col("doc_id")) < floor(col("__p") * 10000).cast("long"))
+            .cast("int").as("label"))
+      val bins = Eval.calibrationBins(scored.drop("doc_id"), "score", "label", 10)
+      bins.crossJoin(broadcast(Eval.calibrationSummary(bins)
+          .select(round(col("ece"), 4).as("ece"), round(col("mce"), 4).as("mce"))))
+        .select(col("bin"), col("n"),
+          round(col("mean_score"), 4).as("mean_score"),
+          round(col("frac_pos"), 4).as("frac_pos"),
+          round(col("gap"), 4).as("gap"), col("ece"), col("mce"))
+        .orderBy("bin")
+    }),
+
     // X38 — DPO/RLHF preference pairs (round 11): documents grouped into
     // pseudo-prompts (doc_id % 100 — ~10 candidate "responses" each at
     // sf0.01), scored by lexical diversity (distinct-token ratio, exact
@@ -4938,6 +4964,25 @@ object SparkEntry {
            |   mj.majority_lang, round(1.0 - mx.mc / nl.n_lang, 4) AS switch_ratio
            | FROM tot t LEFT JOIN nl USING (doc_id) LEFT JOIN mx USING (doc_id) LEFT JOIN mj USING (doc_id)
            | ORDER BY t.doc_id""".stripMargin,
+
+    // x39 — label draw (portable hash vs floor(p*10000)), squared-score
+    // binning, every bin statistic and the ECE/MCE weighting replayed
+    "x39_calibration" -> {
+      val h0 = h0Sql("doc_id")
+      s"""WITH d AS (SELECT doc_id,
+         |     len(list_distinct(string_split(text, ' '))) * 1.0
+         |       / len(string_split(text, ' ')) AS p FROM documents),
+         | h AS (SELECT doc_id, p, $h0 AS h0 FROM d),
+         | sc AS (SELECT p * p AS score,
+         |     CASE WHEN xor(h0, h0 >> 16) % 10000 < CAST(floor(p * 10000) AS BIGINT)
+         |       THEN 1 ELSE 0 END AS label FROM h),
+         | b AS (SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin, score, label FROM sc),
+         | g AS (SELECT bin, count(*)::BIGINT AS n, avg(score) AS ms, avg(label) AS fp FROM b GROUP BY 1),
+         | t AS (SELECT sum(n * abs(ms - fp)) / sum(n) AS ece, max(abs(ms - fp)) AS mce FROM g)
+         | SELECT bin, n, round(ms, 4) AS mean_score, round(fp, 4) AS frac_pos,
+         |   round(abs(ms - fp), 4) AS gap, round(t.ece, 4) AS ece, round(t.mce, 4) AS mce
+         | FROM g, t ORDER BY bin""".stripMargin
+    },
 
     // x38 — full relational replay: the same diversity score, both
     // window ranks with the pinned tie-breaks, the candidate count and

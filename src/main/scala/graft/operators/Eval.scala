@@ -177,6 +177,48 @@ object Eval {
         ((col("n_extreme") + 1.0) / (permutations + 1.0)).as("p_value"))
   }
 
+  /** Reliability (calibration) bins for a probabilistic scorer — the
+    * diagnostic behind "can this quality/rerank score be thresholded at
+    * face value?" (Guo 2017 revived it for neural scorers; the reliability
+    * diagram itself goes back to forecasting). Rows bin by
+    * min(nBins−1, floor(score·nBins)); each bin reports its population,
+    * mean predicted score, observed positive rate and |gap|. ECE/MCE are
+    * one aggregate away ([[calibrationSummary]]).
+    *
+    * Scores must be in [0, 1] — out-of-range or null scores are a caller
+    * bug and fail loudly (one limit(1) probe). Plan: one scan into a
+    * ≤nBins-row aggregate; nothing corpus-sized shuffles.
+    */
+  def calibrationBins(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int,
+  ): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins must be in [2, 10000]: $nBins")
+    val reserved = Seq("bin", "n", "mean_score", "frac_pos", "gap", "__s", "__y")
+    for (c <- reserved)
+      require(!scored.columns.contains(c), s"input already has a '$c' column")
+    val s = col(scoreCol).cast("double")
+    val bad = scored.where(s.isNull || s < 0.0 || s > 1.0 || isnan(s)).limit(1).count()
+    require(bad == 0, s"'$scoreCol' must be a probability in [0,1] with no nulls/NaNs")
+    scored
+      .select(least(lit(nBins - 1L), floor(s * nBins).cast("long")).as("bin"),
+        s.as("__s"), col(labelCol).cast("double").as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), avg("__s").as("mean_score"), avg("__y").as("frac_pos"))
+      .withColumn("gap", abs(col("mean_score") - col("frac_pos")))
+  }
+
+  /** ECE (population-weighted mean |gap|) and MCE (max |gap|) off a
+    * [[calibrationBins]] table — single row: (n, ece, mce).
+    */
+  def calibrationSummary(bins: DataFrame): DataFrame =
+    bins.agg(
+      sum("n").as("n"),
+      (sum(col("n") * col("gap")) / sum(col("n"))).as("ece"),
+      max("gap").as("mce"))
+
   /** 31-bit xorshift-multiply finalizer over a non-negative long: three
     * `x ^= x >> 16` rounds interleaved with two `x = (x * 73244475) &
     * 0x7FFFFFFF` multiplies. 73244475 (0x45d9f3b) is the lowbias32

@@ -134,6 +134,35 @@ class EvalSpec extends AnyFunSuite {
     assert(nExtreme < 256L)
   }
 
+  test("calibrationBins: hand-computed bins, edge scores, ECE/MCE weighting, range guard") {
+    // bin 0 (scores .0x): 2 rows, mean .05, 0 positives -> gap .05
+    // bin 5 (.55, .55):   2 rows, both positive        -> gap .45
+    // bin 9: score 1.0 lands in the LAST bin (least-clamp), gap 0
+    val scored = Seq(
+      (0.04, 0), (0.06, 0),
+      (0.55, 1), (0.55, 1),
+      (1.00, 1),
+    ).toDF("score", "label")
+    val bins = Eval.calibrationBins(scored, "score", "label", 10)
+      .orderBy("bin")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(bins.map(b => (b._1, b._2)) == Seq((0L, 2L), (5L, 2L), (9L, 1L)))
+    val byBin = bins.map(b => b._1 -> b).toMap
+    assert(math.abs(byBin(0L)._3 - 0.05) < 1e-12 && byBin(0L)._4 == 0.0)
+    assert(math.abs(byBin(0L)._5 - 0.05) < 1e-12)
+    assert(math.abs(byBin(5L)._5 - 0.45) < 1e-12)
+    assert(byBin(9L)._3 == 1.0 && byBin(9L)._4 == 1.0 && byBin(9L)._5 == 0.0)
+    // ECE = (2*.05 + 2*.45 + 1*0) / 5 = 0.2 ; MCE = .45
+    val (n, ece, mce) = Eval.calibrationSummary(
+      Eval.calibrationBins(scored, "score", "label", 10))
+      .as[(Long, Double, Double)].head()
+    assert(n == 5L && math.abs(ece - 0.2) < 1e-12 && math.abs(mce - 0.45) < 1e-12)
+    // out-of-range scores fail loudly
+    val e = intercept[IllegalArgumentException](
+      Eval.calibrationBins(Seq((1.2, 1)).toDF("score", "label"), "score", "label", 10))
+    assert(e.getMessage.contains("[0,1]"))
+  }
+
   test("pairedSignificance: deterministic across runs, duplicate query keys rejected") {
     val per = Seq((1L, 0.1, 0.9), (2L, 0.2, 0.8), (3L, 0.3, 0.7)).toDF("query_id", "a", "b")
     val r1 = Eval.pairedSignificance(per, "query_id", "a", "b").collect().toSeq
