@@ -1633,6 +1633,33 @@ object SparkEntry {
           col("n_suffix"), md5(col("text_out")).as("out_md5"))
         .orderBy("doc_id")),
 
+    // X40 — unicode text normalization (round 11): the CCNet/C4-lineage
+    // cleanup that runs BEFORE dedup/tokenization — zero-width chars,
+    // stray controls, NBSP, curly typography and whitespace runs all
+    // normalize so re-fetches of one document hash identically. The
+    // fixture plants the junk deterministically (doc_id % 3 selects the
+    // prefix-junk / suffix-junk / untouched arm), so `changed` has all
+    // three behaviors and the md5s prove byte-exact normalization. The
+    // oracle runs the IDENTICAL TextOps.NormalizeChain patterns.
+    "x40_normalize" -> ((s, d) => {
+      // NBSP + ZWSP + curly-quoted q; en-dash + ellipsis + newline run +
+      // tab + a BEL control -- every chain rule gets exercised
+      val junkA = "\u00A0\u200B\u201Cq\u201D "
+      val junkB = " \u2013 x\u2026 \n\n\n\n\ttail\u0007"
+      val t2 = when(col("doc_id") % 3 === 0, concat(lit(junkA), col("text")))
+        .when(col("doc_id") % 3 === 1, concat(col("text"), lit(junkB)))
+        .otherwise(col("text"))
+      Tables(s, d).documents.select(col("doc_id"), t2.as("__t2"))
+        .select(col("doc_id"), col("__t2"),
+          TextOps.normalizeText(col("__t2")).as("__n"))
+        .select(col("doc_id"),
+          md5(col("__n")).as("norm_md5"),
+          length(col("__n")).cast("long").as("n_chars_norm"),
+          length(col("__t2")).cast("long").as("n_chars_raw"),
+          (col("__n") =!= col("__t2")).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // X39 — scorer calibration (round 11): the reliability diagram +
     // ECE/MCE for a probabilistic scorer. The fixture scorer is
     // DELIBERATELY miscalibrated in a replayable way: the true positive
@@ -4964,6 +4991,24 @@ object SparkEntry {
            |   mj.majority_lang, round(1.0 - mx.mc / nl.n_lang, 4) AS switch_ratio
            | FROM tot t LEFT JOIN nl USING (doc_id) LEFT JOIN mx USING (doc_id) LEFT JOIN mj USING (doc_id)
            | ORDER BY t.doc_id""".stripMargin,
+
+    // x40 — the IDENTICAL TextOps.NormalizeChain patterns run through
+    // DuckDB's RE2 (global flag) over the same planted junk; md5 equality
+    // is byte-exact normalization parity between the two regex engines
+    "x40_normalize" -> {
+      def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+      val chain = graft.functions.TextOps.NormalizeChain.foldLeft("t2") {
+        case (e, (p, r)) => s"regexp_replace($e, ${sqlStr(p)}, ${sqlStr(r)}, 'g')"
+      }
+      s"""WITH d AS (SELECT doc_id,
+         |     CASE WHEN doc_id % 3 = 0 THEN chr(160)||chr(8203)||chr(8220)||'q'||chr(8221)||' '||text
+         |          WHEN doc_id % 3 = 1 THEN text||' '||chr(8211)||' x'||chr(8230)||' '||chr(10)||chr(10)||chr(10)||chr(10)||chr(9)||'tail'||chr(7)
+         |          ELSE text END AS t2 FROM documents),
+         | n AS (SELECT doc_id, t2, trim($chain, ' '||chr(10)||chr(9)) AS nn FROM d)
+         | SELECT doc_id, md5(nn) AS norm_md5, length(nn)::BIGINT AS n_chars_norm,
+         |   length(t2)::BIGINT AS n_chars_raw, nn <> t2 AS changed
+         | FROM n ORDER BY doc_id""".stripMargin
+    },
 
     // x39 — label draw (portable hash vs floor(p*10000)), squared-score
     // binning, every bin statistic and the ECE/MCE weighting replayed

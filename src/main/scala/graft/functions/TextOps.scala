@@ -131,6 +131,48 @@ object TextOps {
     when(capped.isNull || capped === "", lit("unnamed_file")).otherwise(capped)
   }
 
+  /** Unicode text normalization — the cleanup every web-corpus pipeline
+    * runs BEFORE dedup/tokenization (CCNet/C4 lineage: the same document
+    * fetched twice must hash identically even when one copy carries
+    * zero-width joiners, NBSP or curly quotes). Fixed, documented rewrite
+    * chain, applied in order:
+    *
+    *   1. zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) removed;
+    *   2. control characters removed (except \n and \t);
+    *   3. NBSP → space, tab → space;
+    *   4. curly double/single quotes and low-9 quotes → straight;
+    *   5. en/em dash → '-', ellipsis → '...';
+    *   6. runs of spaces → one space, spaces hugging a newline dropped,
+    *      3+ newlines → exactly 2 (paragraph break), outer trim.
+    *
+    * Every rewrite is an explicit character class — no locale tables, no
+    * NFC/NFKC dependency — so a SQL engine replays the chain byte for
+    * byte and the plan stays one codegen'd projection (regexp_replace
+    * chain, no UDF).
+    */
+  /** The ordered (pattern -> replacement) chain behind [[normalizeText]],
+    * public so the DuckDB oracle is built from the SAME strings -- every
+    * pattern is valid and equivalent in both java.util.regex and RE2
+    * (\\x{hhhh} escapes for invisibles, literal chars for the visible
+    * typography, no lookaround, no locale classes).
+    */
+  val NormalizeChain: Seq[(String, String)] = Seq(
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]" -> "", // zero-width + BOM
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]" -> "", // control (keep \n \t)
+    "[\\x{00A0}\t]" -> " ", // NBSP and tab to space
+    "[\u201C\u201D\u201E]" -> "\"", // curly/low-9 double quotes
+    "[\u2018\u2019\u201A]" -> "'", // curly/low-9 single quotes
+    "[\u2013\u2014]" -> "-", // en/em dash
+    "\u2026" -> "...", // ellipsis
+    "  +" -> " ", // space runs
+    " ?\n ?" -> "\n", // spaces hugging a newline
+    "\n\n\n+" -> "\n\n", // 3+ newlines = one paragraph break
+  )
+
+  def normalizeText(text: Column): Column =
+    trim(NormalizeChain.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) },
+      " \n\t")
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small + fixed so the oracle can inline them.
     */

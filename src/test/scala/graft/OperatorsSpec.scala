@@ -33,6 +33,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5) == "tabhere")
   }
 
+  // ---- X40 unicode normalization ------------------------------------------
+  test("normalizeText: every chain rule, order sensitivity, idempotence") {
+    def norm(s: String): String = Seq(s).toDF("t")
+      .select(TextOps.normalizeText(col("t")).as("n")).as[String].head()
+    // zero-width removed; NBSP -> space; stray control dropped
+    assert(norm("a\u200Bb\u200Cc\u200Dd\uFEFFe") == "abcde")
+    assert(norm("a\u00A0b") == "a b")
+    assert(norm("ab\u0007c") == "abc")
+    // typography mapped to ASCII
+    assert(norm("\u201Cq\u201D \u2018s\u2019 \u2013 \u2014 \u2026") == "\"q\" 's' - - ...")
+    // whitespace discipline: tabs -> spaces -> collapsed, spaces hugging a
+    // newline dropped, 3+ newlines become one paragraph break, outer trim
+    assert(norm("a\t\tb") == "a b")
+    assert(norm("a   b") == "a b")
+    assert(norm("a \n b") == "a\nb")
+    assert(norm("a\n\n\n\n\nb") == "a\n\nb")
+    assert(norm("  a  ") == "a")
+    assert(norm("\n\na\n") == "a")
+    // order sensitivity: an NBSP run maps to spaces FIRST, then collapses
+    assert(norm("a\u00A0\u00A0\u00A0b") == "a b")
+    // idempotence over a torture mix, plus the pinned result
+    val mix = "\u00A0\u200B\u201Cq\u201D x\u2026 \n\n\n\n\ttail\u0007 end"
+    assert(norm(norm(mix)) == norm(mix))
+    assert(norm(mix) == "\"q\" x...\n\ntail end")
+  }
+
   // ---- J5 folder-path fixpoint + cycle guard ------------------------------
   test("folderPaths resolves deep chains and drops cycles instead of hanging") {
     val folders = Seq(
