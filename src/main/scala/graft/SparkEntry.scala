@@ -1691,8 +1691,8 @@ object SparkEntry {
     // sf0.01), scored by lexical diversity (distinct-token ratio, exact
     // integer-count arithmetic both engines replay), then
     // Chat.preferencePairs picks (chosen, rejected) per prompt with the
-    // strict margin gate and pinned tie-breaks. One prompt-keyed
-    // exchange shared by both ranks and the candidate count.
+    // strict margin gate and pinned tie-breaks — ONE map-side-combinable
+    // aggregate (struct-ordered max/min), no windows, no self-join.
     "x38_dpo_pairs" -> ((s, d) => {
       val cands = Tables(s, d).documents.select(
         (col("doc_id") % 100).as("prompt_id"), col("doc_id"),

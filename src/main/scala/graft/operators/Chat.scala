@@ -109,12 +109,15 @@ object Chat {
     * Determinism contract (oracle-replayable): ties on score break to the
     * LOWEST candidate id for chosen and the HIGHEST for rejected, so a
     * prompt whose candidates all tie picks (min id, max id) and is then
-    * dropped by the margin gate.
+    * dropped by the margin gate. Scores must be non-null (fail-loud
+    * probe) — a null score has no place in either tie order — and ids
+    * must be numeric (the tie order rides on the negated id).
     *
-    * Plan shape: both window ranks partition on the prompt key, so
-    * Catalyst reuses ONE hash exchange for the two rank computations and
-    * the per-prompt aggregate (the x34 shared-window pattern); output is
-    * one row per surviving prompt. Nothing corpus-wide sorts.
+    * Plan shape: ONE map-side-combinable aggregate — chosen/rejected are
+    * struct-ordered max/min (score, then negated id, so the lexicographic
+    * struct order IS the tie-break), so there are no windows, no
+    * self-join, and the single shuffle carries one partial row per
+    * (partition, prompt). Output is one row per surviving prompt.
     */
   def preferencePairs(
       df: DataFrame,
@@ -125,27 +128,27 @@ object Chat {
   ): DataFrame = {
     require(minMargin >= 0.0, s"minMargin must be >= 0: $minMargin")
     val reserved = Seq("chosen_id", "rejected_id", "chosen_score", "rejected_score",
-      "margin", "n_candidates", "__rb", "__rw")
+      "margin", "n_candidates", "__best", "__worst")
     reserved.foreach(c => require(!df.columns.contains(c), s"input already has a '$c' column"))
-    import org.apache.spark.sql.expressions.Window
-    val byPrompt = Window.partitionBy(col(promptCol))
-    val best  = byPrompt.orderBy(col(scoreCol).desc, col(idCol).asc)
-    val worst = byPrompt.orderBy(col(scoreCol).asc, col(idCol).desc)
-    val ranked = df.select(col(promptCol), col(idCol), col(scoreCol))
-      .withColumn("__rb", row_number().over(best))
-      .withColumn("__rw", row_number().over(worst))
-      .withColumn("n_candidates", count(lit(1)).over(byPrompt))
-    val chosen = ranked.where(col("__rb") === 1).select(
-      col(promptCol), col(idCol).as("chosen_id"),
-      col(scoreCol).as("chosen_score"), col("n_candidates"))
-    val rejected = ranked.where(col("__rw") === 1).select(
-      col(promptCol), col(idCol).as("rejected_id"), col(scoreCol).as("rejected_score"))
-    chosen.join(rejected, Seq(promptCol))
+    val nullScores = df.where(col(scoreCol).isNull).limit(1).count()
+    require(nullScores == 0, s"'$scoreCol' must be non-null for the tie orders to be total")
+    // (s, -id, id): max picks top score with LOWEST id, min picks bottom
+    // score with HIGHEST id — the third field just carries the id out
+    val key = struct(col(scoreCol).cast("double").as("s"),
+      (-col(idCol)).as("ni"), col(idCol).as("i"))
+    df.groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(key).as("__best"),
+        min(key).as("__worst"))
       .where(col("n_candidates") >= 2 &&
-        (col("chosen_score") - col("rejected_score")) > minMargin)
-      .select(col(promptCol), col("chosen_id"), col("rejected_id"),
-        col("chosen_score"), col("rejected_score"),
-        (col("chosen_score") - col("rejected_score")).as("margin"),
+        (col("__best.s") - col("__worst.s")) > minMargin)
+      .select(col(promptCol),
+        col("__best.i").as("chosen_id"),
+        col("__worst.i").as("rejected_id"),
+        col("__best.s").as("chosen_score"),
+        col("__worst.s").as("rejected_score"),
+        (col("__best.s") - col("__worst.s")).as("margin"),
         col("n_candidates"))
   }
 }

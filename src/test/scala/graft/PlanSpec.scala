@@ -368,4 +368,50 @@ class PlanSpec extends AnyFunSuite {
     for (l <- plan.linesIterator.filter(_.contains("Window ")))
       assert(l.contains("query_id"), s"window must partition by the query key: $l")
   }
+
+  test("preferencePairs: ONE map-side-combinable aggregate — no windows, no self-join") {
+    import spark.implicits._
+    val cands = (0 until 400).map(i => (i.toLong % 40, i.toLong, (i % 7) / 10.0))
+      .toDF("prompt_id", "cand_id", "score")
+    val plan = graft.operators.Chat.preferencePairs(cands, "prompt_id", "cand_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"chosen/rejected must be struct max/min:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"), s"no chosen-vs-rejected self-join:\n${plan.take(1200)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"exactly the one prompt-keyed aggregate shuffle, got $exchanges:\n${plan.take(1500)}")
+  }
+
+  test("lengthBuckets: histogram side broadcasts; batching windows partition by bucket") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i.toLong, (i % 60) + 1L)).toDF("id", "len")
+    val plan = graft.operators.Packing.lengthBuckets(rows, "id", "len", 4, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"histogram edges must broadcast back, not shuffle-join:\n${plan.take(1200)}")
+    // corpus-partitioned windows key on the bucket; the only permitted
+    // unpartitioned window is the histogram prefix sum (over __len rows)
+    for (l <- plan.linesIterator.filter(_.contains("Window "))
+         if !l.contains("__len"))
+      assert(l.contains("bucket"), s"corpus window must partition by bucket: $l")
+  }
+
+  test("normalizeText is one codegen'd projection — no exchange, no generate") {
+    val plan = Tables(spark, dir).documents
+      .select(graft.functions.TextOps.normalizeText(col("text")).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalization must not shuffle:\n${plan.take(1000)}")
+    assert(!plan.contains("Generate"), s"normalization must not explode:\n${plan.take(1000)}")
+    // the "*(n)" prefix is toString's whole-stage-codegen marker
+    assert(plan.contains("*(1) Project"), plan.take(500))
+  }
+
+  test("calibrationBins: one scan into a bin-keyed aggregate, no window over the corpus") {
+    import spark.implicits._
+    val scored = (0 until 1000).map(i => ((i % 100) / 100.0, i % 2)).toDF("score", "label")
+    val plan = graft.operators.Eval.calibrationBins(scored, "score", "label", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"binning must be pure aggregation:\n${plan.take(1000)}")
+    assert(plan.contains("HashAggregate"), plan.take(500))
+  }
 }
