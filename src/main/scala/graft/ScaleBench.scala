@@ -526,6 +526,29 @@ object ScaleBench {
         "pack_concat"     -> (() => Packing.packConcat(
           docs.select(col("doc_id"), (length(col("text")) / 5).cast("long").as("n_tok")),
           "doc_id", "n_tok", 2048, nShards = 8).agg(max("seq_last")).count()),
+        // u13: histogram-edge bucketing + in-bucket batching (round 11) —
+        // one scan into the length histogram, broadcast join back, the
+        // batching windows partition by bucket
+        "length_buckets"  -> (() => Packing.lengthBuckets(
+          docs.select(col("doc_id"), length(col("text")).as("len")),
+          "doc_id", "len", nBuckets = 8, batchSize = 32)
+          .agg(sum("pad")).head().getLong(0)),
+        // x38: one struct-max/min aggregate over scale-proportional
+        // prompt groups (~10 candidates each)
+        "dpo_pairs"       -> (() => Chat.preferencePairs(
+          docs.select(pmod(col("doc_id"), lit(math.max(5000L * scale / 10, 1L))).as("prompt_id"),
+            col("doc_id"), (length(col("text")) % 97).cast("double").as("score")),
+          "prompt_id", "doc_id", "score", minMargin = 1.0).count()),
+        // x40: the normalization chain is a single codegen'd projection —
+        // this row should track raw scan throughput
+        "normalize"       -> (() => docs.select(
+          graft.functions.TextOps.normalizeText(col("text")).as("n"))
+          .agg(sum(length(col("n")))).head().getLong(0)),
+        // x39: calibration binning is one scan into a 10-row aggregate
+        "calibration"     -> (() => graft.operators.Eval.calibrationBins(
+          docs.select(((length(col("text")) % 100) / 100.0).as("score"),
+            (col("doc_id") % 2).cast("int").as("label")),
+          "score", "label", 10).count()),
         "cosine_topk"     -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
         // round-10 v27: group shuffle builds the token bags, then ONE
         // fused maxsim pass + TakeOrderedAndProject — linear in vectors
