@@ -134,6 +134,19 @@ class EvalSpec extends AnyFunSuite {
     assert(nExtreme < 256L)
   }
 
+  test("pairedSignificance: scale invariance — multiplying every delta by a constant keeps n_extreme and p") {
+    // |T_j| >= |T_obs| is homogeneous in the deltas, so any positive
+    // scaling of the per-query gaps must leave the decision unchanged
+    val base = Seq((1L, 0.10, 0.13), (2L, 0.20, 0.26), (3L, 0.40, 0.38), (4L, 0.50, 0.59))
+    def run(scale: Double) = Eval.pairedSignificance(
+      base.map { case (q, a, b) => (q, a * scale, (a + (b - a)) * scale) }
+        .toDF("query_id", "a", "b"), "query_id", "a", "b", 128)
+      .select("n_extreme", "p_value").as[(Long, Double)].head()
+    // 2x scaling doubles every basis-point delta exactly (the bp values
+    // stay integral), so the permutation decision is identical
+    assert(run(1.0) == run(2.0))
+  }
+
   test("calibrationBins: hand-computed bins, edge scores, ECE/MCE weighting, range guard") {
     // bin 0 (scores .0x): 2 rows, mean .05, 0 positives -> gap .05
     // bin 5 (.55, .55):   2 rows, both positive        -> gap .45
