@@ -33,6 +33,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5) == "tabhere")
   }
 
+  // ---- knnJoin NaN contract (v32's fused runs rely on it) -----------------
+  test("knnJoin: zero-norm corpus rows (NaN cosine) never displace real scores, and ranks match topK") {
+    import graft.operators.Search
+    val corpus = ((1L to 20L).map(i => (i, Seq.tabulate(4)(j => (i + j).toDouble))) :+
+      (99L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.5, 0.25, 0.125)
+    val queries = Seq((0L, q)).toDF("qid", "qv")
+    val out = Search.knnJoin(queries, corpus, "qv", "qid", "embedding", "vec_id",
+      5, excludeSelf = false)
+    val ranked = out.orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(!ranked.contains(99L) && ranked.size == 5)
+    // the fused batch path must agree with the per-query topK contract
+    val single = Search.topK(corpus, "embedding", "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ranked == single, s"knnJoin $ranked != topK $single")
+  }
+
   // ---- X40 unicode normalization ------------------------------------------
   test("normalizeText: every chain rule, order sensitivity, idempotence") {
     def norm(s: String): String = Seq(s).toDF("t")

@@ -129,6 +129,16 @@ class FontProgramsSpec extends AnyFunSuite {
     assert(t(97) == "A" && t(98) == "B" && t(99) == " " && t(100) == null)
   }
 
+  test("CFF: charset format 2 (u16 range counts) resolves SIDs like format 1") {
+    // one format-2 range: first SID 66 ('a' is SID 66? no — SID 66 is
+    // ascii 97 via sid = ord-31), nLeft 2 -> glyphs 1..3 = SIDs 66,67,68
+    // = 'a','b','c'; encoding format 0 codes 97..99
+    val enc = cat(Array(0.toByte, 3.toByte), Array(97.toByte, 98.toByte, 99.toByte))
+    val cs  = cat(Array(2.toByte), u16(66), u16(2))
+    val t = FontPrograms.table(cff(4, enc, cs, Seq.empty)).get
+    assert(t(97) == "a" && t(98) == "b" && t(99) == "c")
+  }
+
   test("CFF: standard encoding (offset 0 semantics need no encoding body) inside an OTTO sfnt") {
     // encodingOff = 0 -> Standard Encoding: code IS the Adobe order; the
     // CFF rides in an OpenType 'CFF ' table to cover the OTTO unwrap
