@@ -3335,10 +3335,14 @@ object SparkEntry {
       val terms = Seq("table", "window", "agg")
       val bmScore = Rank.bm25(docs, "doc_id", "text", terms)
         .select(col("doc_id"), round(col("score"), 4).as("__sc"))
+      // top-k cut via orderBy+limit (TakeOrderedAndProject — per-partition
+      // partial top-k, no global window over the corpus-proportional BM25
+      // output); the rank window then runs over the ≤10 surviving rows
       val bmRun = bmScore
+        .orderBy(desc("__sc"), col("doc_id")).limit(10)
         .withColumn("rank", row_number().over(Window.orderBy(desc("__sc"), col("doc_id"))))
-        .where(col("rank") <= 10)
         .select(lit("bm25").as("system"), col("doc_id"), col("rank"))
+      // rerankTopK already ends in orderBy+limit(k) — this window ranks ≤10 rows
       val rrRun = Rank.rerankTopK(docs, "doc_id", "text", terms, 10, 30)
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("rerank_score"), desc("first_score"), col("doc_id"))))

@@ -82,7 +82,10 @@ object ParityCheck {
     try {
       w.println("status\tcosine\tmax_abs_diff\tsentence")
       results.foreach { r =>
-        w.println(f"${if (r.ok) "PASS" else "FAIL"}\t${r.cosine}%.6f\t${r.maxAbsDiff}%.2e\t${r.sentence}")
+        // a tab/newline inside the probe sentence would corrupt the
+        // TSV's column/row structure — flatten to single spaces
+        val sent = r.sentence.replaceAll("[\\t\\n\\r]", " ")
+        w.println(f"${if (r.ok) "PASS" else "FAIL"}\t${r.cosine}%.6f\t${r.maxAbsDiff}%.2e\t$sent")
       }
     } finally w.close()
   }

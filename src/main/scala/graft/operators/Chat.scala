@@ -109,9 +109,12 @@ object Chat {
     * Determinism contract (oracle-replayable): ties on score break to the
     * LOWEST candidate id for chosen and the HIGHEST for rejected, so a
     * prompt whose candidates all tie picks (min id, max id) and is then
-    * dropped by the margin gate. Scores must be non-null (fail-loud
-    * probe) — a null score has no place in either tie order — and ids
-    * must be numeric (the tie order rides on the negated id).
+    * dropped by the margin gate. Scores must be non-null AND non-NaN
+    * (a NaN wins Spark's struct-max ordering and its margin passes the
+    * strict > gate) — enforced by an INLINE raise_error on the score as
+    * it enters the tie structs, so validation is lazy, distributed and
+    * costs no extra scan — and ids must be numeric (the tie order rides
+    * on the negated id).
     *
     * Plan shape: ONE map-side-combinable aggregate — chosen/rejected are
     * struct-ordered max/min (score, then negated id, so the lexicographic
@@ -130,11 +133,18 @@ object Chat {
     val reserved = Seq("chosen_id", "rejected_id", "chosen_score", "rejected_score",
       "margin", "n_candidates", "__best", "__worst")
     reserved.foreach(c => require(!df.columns.contains(c), s"input already has a '$c' column"))
-    val nullScores = df.where(col(scoreCol).isNull).limit(1).count()
-    require(nullScores == 0, s"'$scoreCol' must be non-null for the tie orders to be total")
+    // inline fail-loud: null breaks totality, NaN wins the struct max and
+    // leaks a NaN margin past the strict > gate — reject both where the
+    // score enters the tie order (lazy, codegen'd, no validation scan)
+    val sRaw = col(scoreCol).cast("double")
+    val sChecked = when(sRaw.isNull || isnan(sRaw),
+      raise_error(format_string(
+        s"'$scoreCol' must be non-null and non-NaN for the tie orders to be " +
+          "total: offending candidate id %s", col(idCol).cast("string"))))
+      .otherwise(sRaw)
     // (s, -id, id): max picks top score with LOWEST id, min picks bottom
     // score with HIGHEST id — the third field just carries the id out
-    val key = struct(col(scoreCol).cast("double").as("s"),
+    val key = struct(sChecked.as("s"),
       (-col(idCol)).as("ni"), col(idCol).as("i"))
     df.groupBy(col(promptCol))
       .agg(

@@ -129,10 +129,13 @@ object Eval {
     * function of qid alone and collapses the schedule to two patterns).
     *
     * Scale shape: `perQuery` is |Q| rows — the EVAL QUERY SET, never the
-    * corpus. The qid window is one |Q|-sized partition (declared: eval
-    * sets are thousands, not billions); the |Q| x P sign expansion
-    * aggregates map-side into P partial sums, so the only shuffle is
-    * P rows wide. Nothing here touches corpus data.
+    * corpus. qids come from a global range-partitioned sort plus an
+    * order-preserving zipWithIndex (parallel across tasks — no
+    * single-partition window, so a 10^6-topic A/B never funnels through
+    * one task); the |Q| x P sign expansion aggregates map-side into P
+    * partial sums, so the only shuffle is P rows wide. Nothing here
+    * touches corpus data. n_queries * permutations must stay under 2^31
+    * (checked, fail-loud) so the 31-bit-masked mix index stays injective.
     */
   def pairedSignificance(
       perQuery: DataFrame,
@@ -151,11 +154,8 @@ object Eval {
       .where(col("count") > 1).limit(1).count()
     require(dup == 0, s"duplicate $queryCol rows in perQuery — one row per query")
 
-    val d = perQuery.select(
-      row_number().over(Window.orderBy(col(queryCol))).cast("long").as("__qid"),
-      (round(col(treatmentCol) * 10000).cast("long")
-        - round(col(baselineCol) * 10000).cast("long")).as("__delta_bp"))
     val spark = perQuery.sparkSession
+    val d = deltaQids(perQuery, queryCol, baselineCol, treatmentCol, permutations)
     val perms = spark.range(1, permutations.toLong + 1L).toDF("__j")
     val tj = d.crossJoin(perms)
       .select(col("__j"),
@@ -227,6 +227,51 @@ object Eval {
     * the whole point is that a SQL oracle replays it operator by
     * operator.
     */
+  /** (__qid, __delta_bp) for [[pairedSignificance]] — distributed dense-qid
+    * assignment: a global SORT on the query key (range exchange — parallel
+    * across tasks even at 10^6 topics) + order-preserving `zipWithIndex`,
+    * instead of an unpartitioned row_number window that would funnel every
+    * row through one task. Indices are contiguous 1-based ranks of the
+    * (unique, caller-checked) query keys — exactly the window's qid, so
+    * the oracle replay is unchanged.
+    *
+    * mix31 masks its input to 31 bits: qid * P + j must stay injective
+    * under that mask or distinct queries silently share sign schedules
+    * (qids 2^31/P apart would collide). Fail loud per-row — the guard is
+    * a codegen'd projection over the |Q|-sized table, no extra action.
+    */
+  private[graft] def deltaQids(
+      perQuery: DataFrame, queryCol: String,
+      baselineCol: String, treatmentCol: String, permutations: Int,
+  ): DataFrame = {
+    val spark = perQuery.sparkSession
+    val sorted = perQuery.select(
+      col(queryCol).as("__k"),
+      (round(col(treatmentCol) * 10000).cast("long")
+        - round(col(baselineCol) * 10000).cast("long")).as("__delta_bp"))
+      .orderBy(col("__k"))
+    val deltaIdx = sorted.schema.fieldIndex("__delta_bp")
+    val dRows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(
+        i + 1L, if (r.isNullAt(deltaIdx)) null else r.getLong(deltaIdx))
+    }
+    val dSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__qid", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__delta_bp", org.apache.spark.sql.types.LongType, nullable = true)))
+    val maxQid = (0x7FFFFFFFL - permutations.toLong) / permutations.toLong
+    spark.createDataFrame(dRows, dSchema)
+      .select(
+        when(col("__qid") <= maxQid, col("__qid"))
+          .otherwise(raise_error(format_string(
+            s"n_queries * permutations must stay under 2^31 for an injective " +
+              s"sign schedule: qid %s with permutations=$permutations overflows " +
+              s"the 31-bit mix domain (max qid $maxQid)", col("__qid"))))
+          .as("__qid"),
+        col("__delta_bp"))
+  }
+
   private def mix31(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val mask = lit(0x7FFFFFFFL)
     val c    = lit(73244475L)

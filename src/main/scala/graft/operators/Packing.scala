@@ -133,8 +133,16 @@ object Packing {
     require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
     Seq("bucket", "batch", "batch_max", "pad", "__len", "__c", "__cumb", "__n", "__rn")
       .foreach(c => require(!df.columns.contains(c), s"input already has a '$c' column"))
-    val L    = col(lenCol).cast("long")
-    val hist = df.groupBy(L.as("__len")).agg(count(lit(1)).as("__c"))
+    val L = col(lenCol).cast("long")
+    // inline fail-loud on null lengths: a null histogram group would
+    // inflate the edge denominator __n while the null-unsafe join back
+    // silently dropped the rows — rows out < rows in with skewed edges.
+    // The check rides the histogram scan (lazy, codegen'd, no extra scan).
+    val lChecked = when(L.isNull, raise_error(format_string(
+      s"'$lenCol' must be non-null for bucket edges to cover the corpus: " +
+        "offending row id %s", col(idCol).cast("string"))))
+      .otherwise(L)
+    val hist = df.groupBy(lChecked.as("__len")).agg(count(lit(1)).as("__c"))
     // histogram-sized window: distinct lengths, never corpus rows
     val wLen = Window.orderBy(col("__len")).rowsBetween(Window.unboundedPreceding, -1)
     val edges = hist.withColumn("__cumb", coalesce(sum(col("__c")).over(wLen), lit(0L)))

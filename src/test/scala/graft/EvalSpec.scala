@@ -147,6 +147,51 @@ class EvalSpec extends AnyFunSuite {
     assert(run(1.0) == run(2.0))
   }
 
+  test("pairedSignificance qid stage is distributed: 1e5-row delta table sorts across >1 task, qids are exact ranks") {
+    val n = 100000
+    val per = spark.range(0, n).selectExpr(
+      // scrambled keys so rank != arrival order
+      "cast(id * 48271 % 100003 as long) as query_id",
+      "0.5 as a", "cast(0.5 + (id % 7) * 0.001 as double) as b")
+    // AQE rightly coalesces a few-MB range exchange to one partition —
+    // switch coalescing off so the probe sees the sort's native
+    // parallelism (what a 10^6-topic table would keep at scale)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    val parts = try {
+      spark.conf.set(key, "false")
+      Eval.deltaQids(per, "query_id", "a", "b", 256).rdd.getNumPartitions
+    } finally spark.conf.set(key, prev)
+    assert(parts > 1, s"qid assignment must not funnel through one task: $parts partitions")
+    val d = Eval.deltaQids(per, "query_id", "a", "b", 256)
+    val rows = d.orderBy("__qid").as[(Long, Long)].collect()
+    assert(rows.length == n)
+    assert(rows.head._1 == 1L && rows.last._1 == n.toLong)
+    assert(rows.map(_._1).toSeq == (1L to n.toLong))
+  }
+
+  test("pairedSignificance qids match the rank-by-key contract on a small table") {
+    val per = Seq((30L, 0.1, 0.2), (10L, 0.3, 0.25), (20L, 0.4, 0.4))
+      .toDF("query_id", "a", "b")
+    val got = Eval.deltaQids(per, "query_id", "a", "b", 256)
+      .orderBy("__qid").as[(Long, Long)].collect().toSeq
+    // ranks by key: 10 -> 1 (delta -500bp), 20 -> 2 (0), 30 -> 3 (+1000bp)
+    assert(got == Seq((1L, -500L), (2L, 0L), (3L, 1000L)))
+  }
+
+  test("pairedSignificance rejects a qid * permutations product past the 31-bit mix domain") {
+    // P = 2^20 caps injective qids at (2^31 - 1 - P) / P = 2046 — 3000
+    // queries must fail loud instead of silently correlating schedules
+    val per = spark.range(0, 3000).selectExpr(
+      "id as query_id", "0.5 as a", "0.6 as b")
+    val e = intercept[Exception] {
+      Eval.deltaQids(per, "query_id", "a", "b", 1 << 20).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(chain.contains("injective"), s"expected the injectivity guard, got: $chain")
+  }
+
   test("calibrationBins: hand-computed bins, edge scores, ECE/MCE weighting, range guard") {
     // bin 0 (scores .0x): 2 rows, mean .05, 0 positives -> gap .05
     // bin 5 (.55, .55):   2 rows, both positive        -> gap .45

@@ -414,4 +414,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"binning must be pure aggregation:\n${plan.take(1000)}")
     assert(plan.contains("HashAggregate"), plan.take(500))
   }
+
+  test("v31_rerank_eval: top-k cuts plan as TakeOrderedAndProject; no unpartitioned window over unlimited input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val df   = SparkEntry.queries("v31_rerank_eval")(spark, dir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"the BM25/rerank top-10 cuts must be per-partition top-k:\n${phys.take(1500)}")
+    // every GLOBAL (unpartitioned) window must rank a limited (<= top-k)
+    // input — the corpus-proportional BM25 score table may never funnel
+    // through a single-partition sort; per-query windows (rankingMetrics'
+    // ideal-DCG ranks) partition and are exempt
+    val opt = df.queryExecution.optimizedPlan
+    val bad = opt.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.collectFirst { case g: GlobalLimit => g }.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned window over unlimited input:\n${bad.mkString("\n").take(1200)}")
+  }
 }
