@@ -17,10 +17,13 @@ object Rank {
     * (idCol, score) for every document containing ≥1 query term.
     *
     * Plan shape (all map-side-combinable, query-term frames broadcast):
-    *  - doc length = codegen'd token count expression — no explode for dl;
     *  - the exploded token stream is FILTERED to the query's terms before
     *    any shuffle, so the (doc, term) tf agg moves |terms|-bounded rows,
     *    not the corpus's token stream;
+    *  - the doc length rides the filtered stream (size over the same
+    *    materialized token array) — there is NO corpus-wide (id, dl)
+    *    table and no join back to it: every exchange moves
+    *    |matching docs| rows, not |corpus|;
     *  - df_t and (N, avgdl) are tiny aggregates broadcast back.
     *
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (the non-negative Robertson
@@ -55,20 +58,25 @@ object Rank {
     val terms = termWeights.map(_._1)
     val wTab  = termWeights.toDF("__t", "__w")
     val toks = graft.functions.TextOps.tokens(col(textCol))
-    // per-doc length + global stats (one row, broadcast via crossJoin)
-    val lens  = df.select(col(idCol), size(toks).cast("double").as("__dl"))
-    val stats = lens.agg(
+    // global stats (one row, broadcast via crossJoin) — a map-side
+    // aggregate over one corpus scan, never a shuffle
+    val stats = df.select(size(toks).cast("double").as("__dl")).agg(
       count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
-    // token stream filtered to query terms BEFORE the shuffle
+    // token stream filtered to query terms BEFORE the shuffle; the doc
+    // length RIDES the exploded stream (size over the same materialized
+    // token array), so no corpus-wide (id, dl) table ever joins back —
+    // every exchange below moves |matching docs| rows, not |corpus|
     val hits = df
-      .select(col(idCol), explode(toks).as("__t"))
+      .select(col(idCol), toks.as("__tk"))
+      .select(col(idCol), size(col("__tk")).cast("double").as("__dl"),
+        explode(col("__tk")).as("__t"))
       .where(col("__t").isin(terms: _*))
-    val tf = hits.groupBy(col(idCol), col("__t")).agg(count(lit(1)).cast("double").as("__tf"))
+    val tf = hits.groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"), max(col("__dl")).as("__dl"))
     val dfT = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
     tf
       .join(broadcast(dfT), "__t")
       .join(broadcast(wTab), "__t")
-      .join(lens, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__idf", log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
       .withColumn("__s",

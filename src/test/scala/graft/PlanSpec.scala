@@ -318,6 +318,15 @@ class PlanSpec extends AnyFunSuite {
     // df/N/avgdl come back as broadcasts, not corpus-wide shuffles
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(1200))
+    // the corpus-wide (id, dl) lens table is GONE: lengths ride the
+    // term-filtered stream, so no shuffle-join exists anywhere — every
+    // exchange moves |matching docs| rows, not |corpus|
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bm25 must not shuffle-join the corpus:\n${plan.take(1500)}")
+    // tokenization materializes once per scan leg (the explode's child
+    // aliases the token array; size() reads the SAME array)
+    assert(plan.contains("Generate explode(__tk"),
+      s"explode must read the materialized token array:\n${plan.take(1500)}")
   }
 
   test("h4 order-priority: EXISTS plans as a semi join with the quarter filter pushed to the orders scan") {
