@@ -821,6 +821,23 @@ object SparkEntry {
           col("metadata")("title").as("title"),
           col("metadata")("author").as("author"))),
 
+    // S2 hardening — NON-AGL glyph names (round 12): the fixture's Type1
+    // font maps scrambled codes exclusively to names outside the plain
+    // glyph table — suffixed (`h.sc`, `o.sc.alt`), underscore ligatures
+    // (`f_i`), multi-group `uniXXXXYYYY`, `u`+4-6-hex (incl. beyond-BMP
+    // U+1D11E), plus one unresolvable subset name (`g42`) that falls back
+    // to the literal code byte. Text is recoverable only by running the
+    // Adobe Glyph List ALGORITHM over the font program's own /Encoding
+    // vector (pypdf's resolution, backend/extractors/pdf_extractor.py:16-40);
+    // the oracle replays the same algorithm in SQL from the raw bytes.
+    "s2_pdf_font_nonagl" -> ((s, _) =>
+      graft.sources.Extractors.extractAll(s,
+        Multimodal.binaryTable(s, "/root/repo/fixtures/office/fontnonagl", "*.pdf")).toDF()
+        .select(col("file_name"), col("extractor"), col("text"),
+          col("metadata")("page_count").cast("long").as("page_count"),
+          col("metadata")("title").as("title"),
+          col("metadata")("author").as("author"))),
+
     "s3_docx_extract" -> ((s, _) =>
       graft.sources.Extractors.extractAll(s,
         Multimodal.binaryTable(s, "/root/repo/fixtures/office", "*.docx")).toDF()
@@ -4046,6 +4063,31 @@ object SparkEntry {
            |   (SELECT regexp_extract(content, '/Title \(([^)]*)\)', 1) FROM f) AS title,
            |   (SELECT regexp_extract(content, '/Author \(([^)]*)\)', 1) FROM f) AS author
            | FROM p1, p2, p3""".stripMargin,
+    // Replays the AGL algorithm in SQL over the cleartext /Encoding
+    // vector: suffix strip at the first period, underscore-ligature
+    // concatenation, multi-group uniXXXX, u+4-6-hex, literal-byte
+    // fallback for unresolvable names.
+    "s2_pdf_font_nonagl" ->
+      raw"""WITH f AS (SELECT content FROM read_text('/root/repo/fixtures/office/fontnonagl/fontnonagl.pdf')),
+           | t1e AS (SELECT unnest(regexp_extract_all(regexp_extract(content, '(?s)%!PS(.*?)eexec', 1), 'dup (\d+) /([A-Za-z0-9._]+) put', 1)) AS code_s,
+           |               unnest(regexp_extract_all(regexp_extract(content, '(?s)%!PS(.*?)eexec', 1), 'dup \d+ /([A-Za-z0-9._]+) put', 1)) AS nm FROM f),
+           | enc AS (SELECT CAST(code_s AS INT) AS code,
+           |   CASE WHEN nm = 'space' THEN ' '
+           |        WHEN regexp_matches(nm, '^uni([0-9A-Fa-f]{4})+$$') THEN
+           |          list_aggregate([chr(CAST(concat('0x', g) AS INT)) for g in regexp_extract_all(substr(nm, 4), '.{4}')], 'string_agg', '')
+           |        WHEN regexp_matches(nm, '^u[0-9A-Fa-f]{4,6}$$') THEN chr(CAST(concat('0x', substr(nm, 2)) AS INT))
+           |        WHEN regexp_matches(replace(split_part(nm, '.', 1), '_', ''), '^[A-Za-z]+$$') THEN replace(split_part(nm, '.', 1), '_', '')
+           |        ELSE chr(CAST(code_s AS INT)) END AS d FROM t1e),
+           | sh AS (SELECT i AS si, arr[i] AS sstr
+           |        FROM (SELECT regexp_extract_all(content, '\(([^)]*)\) Tj', 1) AS arr FROM f), range(1, 3) t(i)
+           |        WHERE i <= len(arr)),
+           | chs AS (SELECT si, ci, substr(sstr, ci, 1) AS c FROM sh, range(1, 64) g(ci) WHERE ci <= length(sstr)),
+           | l1 AS (SELECT si, string_agg(d, '' ORDER BY ci) AS line FROM chs JOIN enc ON ascii(c) = enc.code GROUP BY si)
+           | SELECT 'fontnonagl.pdf' AS file_name, 'PdfExtractor' AS extractor,
+           |   (SELECT string_agg(line, chr(10) ORDER BY si) FROM l1) AS text,
+           |   (SELECT length(regexp_extract_all(content, '/Type /Page /', 0))::BIGINT FROM f) AS page_count,
+           |   (SELECT regexp_extract(content, '/Title \(([^)]*)\)', 1) FROM f) AS title,
+           |   (SELECT regexp_extract(content, '/Author \(([^)]*)\)', 1) FROM f) AS author""".stripMargin,
     "p8_html_pipeline" ->
       raw"""WITH f AS (SELECT content AS c FROM read_text('/root/repo/fixtures/crawlhtml/pages.warc')),
            | r AS (SELECT unnest(str_split(c, 'WARC/1.0' || chr(13) || chr(10))) AS frag,

@@ -966,15 +966,45 @@ private[graft] object PdfParser {
     b.result()
   }
 
-  private[sources] def glyphToUnicode(name: String): Option[String] =
-    GlyphNames.get(name).orElse {
-      val hex =
-        if (name.startsWith("uni") && name.length >= 7) Some(name.substring(3, 7))
-        else if (name.length >= 5 && name.length <= 7 && name.startsWith("u")) Some(name.drop(1))
-        else None
-      hex.filter(_.forall(c => Character.digit(c, 16) >= 0))
-        .map(h => new String(Character.toChars(Integer.parseInt(h, 16))))
+  /** The published Adobe Glyph List ALGORITHM ("Unicode values for glyph
+    * names" — what pypdf's glyph tables implement for the reference,
+    * backend/extractors/pdf_extractor.py:16-40), not just a table lookup:
+    *  1. strip everything from the FIRST period (the suffix convention —
+    *     `A.sc`, `o.sc.alt` → `A`, `o`); a leading period (`.notdef`)
+    *     leaves no base name, hence no mapping;
+    *  2. split the remainder on `_` into ligature components (`f_i` →
+    *     "fi");
+    *  3. map each component through the name table, through `uni` + one
+    *     or MORE 4-hex-digit groups (each a non-surrogate BMP scalar —
+    *     `uni00480065` → "He"), or through `u` + 4–6 hex digits (any
+    *     plane); concatenate the component texts.
+    * A name with no resolvable component returns None and the byte falls
+    * back to its base-encoding/literal value.
+    */
+  private[sources] def glyphToUnicode(name: String): Option[String] = {
+    def component(c: String): Option[String] =
+      GlyphNames.get(c).orElse {
+        val body = c.drop(if (c.startsWith("uni")) 3 else 1)
+        if (c.startsWith("uni") && body.nonEmpty && body.length % 4 == 0 &&
+          body.forall(ch => Character.digit(ch, 16) >= 0)) {
+          val cps = body.grouped(4).map(Integer.parseInt(_, 16)).toSeq
+          if (cps.exists(cp => cp >= 0xD800 && cp <= 0xDFFF)) None
+          else Some(cps.map(_.toChar).mkString)
+        } else if (c.startsWith("u") && body.length >= 4 && body.length <= 6 &&
+          body.forall(ch => Character.digit(ch, 16) >= 0)) {
+          val cp = Integer.parseInt(body, 16)
+          if ((cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF) None
+          else Some(new String(Character.toChars(cp)))
+        } else None
+      }
+    val base = name.indexOf('.') match {
+      case -1 => name
+      case 0  => "" // .notdef and friends carry no base name
+      case i  => name.substring(0, i)
     }
+    val texts = base.split('_').iterator.filter(_.nonEmpty).flatMap(component).toSeq
+    if (texts.isEmpty) None else Some(texts.mkString)
+  }
 
   /** Parse a /ToUnicode CMap stream (§9.10.3): `beginbfchar` pairs,
     * `beginbfrange` triples (destination string OR per-code array),

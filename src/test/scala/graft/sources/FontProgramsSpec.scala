@@ -212,6 +212,31 @@ class FontProgramsSpec extends AnyFunSuite {
     assert(without.decode("A") == "g")
   }
 
+  test("AGL algorithm: suffix strip, underscore ligatures, multi-group uni, u-forms, surrogate rejection") {
+    def g(n: String) = PdfParser.glyphToUnicode(n)
+    assert(g("A.sc") == Some("A"))
+    assert(g("o.sc.alt") == Some("o")) // strip at the FIRST period
+    assert(g("f_i") == Some("fi"))
+    assert(g("f_f_i") == Some("ffi"))
+    assert(g("uni0048") == Some("H"))
+    assert(g("uni00480065") == Some("He")) // multi-group, not truncated to the first
+    assert(g("u0067") == Some("g"))
+    assert(g("u1D11E") == Some("𝄞")) // beyond-BMP u-form
+    assert(g("uni_0041.x").isEmpty) // malformed stays unmapped
+    assert(g("uniD800").isEmpty)  // surrogate scalar rejected
+    assert(g(".notdef").isEmpty)  // leading period: no base name
+    assert(g("g42").isEmpty)      // bare subset name: literal-byte fallback upstream
+    assert(g("f_i.liga") == Some("fi")) // suffix strips before the split
+  }
+
+  test("end-to-end non-AGL fixture: scrambled codes decode through the glyph-name algorithm alone") {
+    val pdf = Files.readAllBytes(Paths.get("fixtures/office/fontnonagl/fontnonagl.pdf"))
+    val (text, meta) = new PdfExtractor().extract(pdf, "fontnonagl.pdf")
+    assert(text == "The fix test good\nJVM clef 𝄞 Q")
+    assert(meta("page_count") == "1")
+    assert(meta("title") == "NonAGL Glyph Names")
+  }
+
   test("end-to-end fixture: all three embedded-font families decode through the walker") {
     val pdf = Files.readAllBytes(Paths.get("fixtures/office/fontprog/fontprog.pdf"))
     val (text, meta) = new PdfExtractor().extract(pdf, "fontprog.pdf")
