@@ -906,6 +906,23 @@ object SparkEntry {
         .toDF("text", "format", "ocr_engine", "width_ok")
     }),
 
+    // S7d — DEGRADED SCAN (round 12): the render is tilted 2°, lit
+    // unevenly (ink fades to 120 on the left while paper shades to 105 on
+    // the right — no single global threshold separates them anywhere) and
+    // speckled with deterministic noise. Recognition needs the scanned-
+    // paper defenses: projection-profile deskew + Bradley adaptive
+    // binarization (reference preprocess: backend/extractors/
+    // image_extractor.py:38-42). Same exact-text oracle pattern, no
+    // Tesseract binary involved.
+    "s7_ocr3" -> ((s, _) => {
+      import s.implicits._
+      val clean = graft.sources.GlyphOcr.renderPng("DEGRADED SCAN 07\nADAPTIVE DESKEW")
+      val png   = graft.sources.GlyphOcr.degradeScan(clean, 2.0, 120, 150, 8)
+      val (text, meta) = new graft.sources.ImageExtractor(graft.sources.GlyphOcr).extract(png, "scan.png")
+      Seq((text, meta("format"), meta("ocr_engine"), meta("width").toLong > 0))
+        .toDF("text", "format", "ocr_engine", "width_ok")
+    }),
+
     // S18 — WARC (ISO 28500, Common Crawl's container): header-block +
     // Content-Length record walk with resync-on-tear; the fixture carries
     // warcinfo/conversion/response records incl. a payload whose OWN bytes
@@ -3770,6 +3787,9 @@ object SparkEntry {
         | 'glyph' AS ocr_engine, true AS width_ok""".stripMargin,
     "s7_ocr2" ->
       """SELECT e'ANTIALIASED 35 PX\nPROPORTIONAL RUN' AS text, 'PNG' AS format,
+        | 'glyph' AS ocr_engine, true AS width_ok""".stripMargin,
+    "s7_ocr3" ->
+      """SELECT e'DEGRADED SCAN 07\nADAPTIVE DESKEW' AS text, 'PNG' AS format,
         | 'glyph' AS ocr_engine, true AS width_ok""".stripMargin,
     "j10_asof_autoskew" ->
       """WITH l AS (SELECT event_id, user_id % 5 AS k, ts FROM events WHERE event_type = 'purchase'),

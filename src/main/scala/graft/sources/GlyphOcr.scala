@@ -11,10 +11,17 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
   * pipeline — decode (JDK ImageIO: PNG/JPEG/GIF/BMP), grayscale +
   * threshold (the reference's preprocess step), projection-profile line
   * and glyph segmentation, grid normalization, and nearest-template
-  * matching against a built-in 5×7 uppercase bitmap font. It reads clean
-  * machine-rendered text (screenshots, rendered labels, generated
-  * fixtures) deterministically; scanned-paper recognition remains a
-  * declared non-goal (bind a real engine through the same seam).
+  * matching against a built-in 5×7 uppercase bitmap font — plus the two
+  * scanned-paper defenses a real scan needs before any of that works:
+  * projection-profile DESKEW (±6°, applied only when it materially
+  * sharpens the line profile) and Bradley ADAPTIVE binarization (local
+  * integral-image threshold; survives uneven illumination where no
+  * global Otsu cut separates faded ink from shadowed paper). The global
+  * and adaptive passes both run; the one that confidently reads more
+  * glyphs wins. It reads clean machine-rendered text and degraded
+  * renders of the same font deterministically; natural-font
+  * scanned-paper recognition still wants a real engine bound through
+  * the same seam ([[TesseractOcr]]).
   *
   * [[NoOcr]] stays the default binding — S7's oracle contract (textless
   * images) is unchanged unless a caller opts in.
@@ -136,27 +143,155 @@ object GlyphOcr extends Ocr {
     if (img == null) return "" // format ImageIO can't decode (e.g. WEBP)
     val w = img.getWidth
     val h = img.getHeight
-    // grayscale + Otsu threshold — the reference's preprocess step
-    val lum  = Array.ofDim[Int](h, w)
+    // grayscale — the reference's preprocess step
+    val lum0 = Array.ofDim[Int](h, w)
+    var lo0  = 255
+    var hi0  = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val l   = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      lum0(y)(x) = l
+      if (l < lo0) lo0 = l
+      if (l > hi0) hi0 = l
+    }
+    if (hi0 - lo0 < 32) return "" // no contrast → no text
+
+    // deskew (scanned-paper hardening): estimate the page tilt from the
+    // provisional dark mask, counter-rotate when it is material. Clean
+    // machine renders estimate ≈0° and pass through untouched.
+    val angle = estimateSkew(lum0, w, h)
+    // rotate() samples the source through R(θ), i.e. turns the image by
+    // −θ — so passing the measured angle itself cancels the tilt
+    val lum = if (math.abs(angle) >= 0.75) rotate(lum0, w, h, angle) else lum0
+
     val hist = new Array[Int](256)
     var lo   = 255
     var hi   = 0
     for (y <- 0 until h; x <- 0 until w) {
-      val rgb = img.getRGB(x, y)
-      val l   = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-      lum(y)(x) = l
+      val l = lum(y)(x)
       hist(l) += 1
       if (l < lo) lo = l
       if (l > hi) hi = l
     }
-    if (hi - lo < 32) return "" // no contrast → no text
     val cut = otsu(hist, w * h)
-    def dark(y: Int, x: Int) = lum(y)(x) <= cut
-    // continuous darkness from the global contrast range — template match
-    // reads the gray edge band directly instead of its thresholded shadow
-    def darkness(y: Int, x: Int): Double =
-      math.min(1.0, math.max(0.0, (hi - lum(y)(x)).toDouble / (hi - lo)))
+    // GLOBAL pass — Otsu cut, continuous darkness from the global
+    // contrast range (template match reads the gray edge band directly
+    // instead of its thresholded shadow). Right for evenly-lit renders.
+    val loF = lo
+    val hiF = hi
+    val global = recognizePass(lum, w, h,
+      (y, x) => lum(y)(x) <= cut,
+      (y, x) => math.min(1.0, math.max(0.0, (hiF - lum(y)(x)).toDouble / (hiF - loF))))
+    // ADAPTIVE pass — Bradley local-mean threshold (integral image): a
+    // pixel is ink when it is ≥15% darker than its neighborhood mean, so
+    // uneven illumination (a shadowed scan whose background is darker on
+    // one side than faded ink on the other — no global cut separates
+    // them) still binarizes correctly. Darkness is the binary mask.
+    val tmap = bradleyThreshold(lum, w, h)
+    val adaptive = recognizePass(lum, w, h,
+      (y, x) => lum(y)(x) < tmap(y)(x),
+      (y, x) => if (lum(y)(x) < tmap(y)(x)) 1.0 else 0.0)
+    // the pass that confidently reads more glyphs wins; ties keep the
+    // global (gray-aware) reading
+    if (adaptive._2 > global._2 ||
+      (adaptive._2 == global._2 && adaptive._2 > 0 && adaptive._3 < global._3 - 1e-9))
+      adaptive._1
+    else global._1
+  }
 
+  /** Page-tilt estimate in degrees (±6°, 0.25° steps): shear the dark
+    * mask by each candidate angle and score the row-projection profile's
+    * sum of squares — text lines concentrate dark pixels into few rows
+    * exactly when the shear cancels the tilt. Returns 0 unless the best
+    * angle beats the unsheared score by a material margin (clean input
+    * must never rotate).
+    */
+  private[graft] def estimateSkew(lum: Array[Array[Int]], w: Int, h: Int): Double = {
+    // the ADAPTIVE mask drives the estimate: under uneven illumination a
+    // global cut floods one side of the page into a solid dark block
+    // whose uniform projection drowns the text-line signal
+    val tmap  = bradleyThreshold(lum, w, h)
+    val darks = Array.newBuilder[Int]
+    for (y <- 0 until h; x <- 0 until w if lum(y)(x) < tmap(y)(x)) darks += y * w + x
+    val ps = darks.result()
+    if (ps.length < 16) return 0.0
+    def score(deg: Double): Double = {
+      val t    = math.tan(math.toRadians(deg))
+      val bins = new Array[Long](2 * h + 4)
+      var i = 0
+      while (i < ps.length) {
+        val y = ps(i) / w
+        val x = ps(i) % w
+        val b = math.round(y - (x - w / 2.0) * t).toInt + h / 2
+        if (b >= 0 && b < bins.length) bins(b) += 1
+        i += 1
+      }
+      var s = 0.0
+      var j = 0
+      while (j < bins.length) { s += bins(j).toDouble * bins(j); j += 1 }
+      s
+    }
+    val base = score(0.0)
+    var bestA = 0.0
+    var bestS = base
+    var a = -6.0
+    while (a <= 6.0 + 1e-9) {
+      val s = score(a)
+      if (s > bestS) { bestS = s; bestA = a }
+      a += 0.25
+    }
+    if (bestS > base * 1.10) bestA else 0.0
+  }
+
+  /** Nearest-neighbor rotation about the image center, clamp-to-edge
+    * sampling (no artificial white border to confuse local thresholds).
+    */
+  private[graft] def rotate(lum: Array[Array[Int]], w: Int, h: Int, deg: Double): Array[Array[Int]] = {
+    val rad = math.toRadians(deg)
+    val c   = math.cos(rad)
+    val s   = math.sin(rad)
+    val cx  = (w - 1) / 2.0
+    val cy  = (h - 1) / 2.0
+    Array.tabulate(h, w) { (y, x) =>
+      val dx = x - cx
+      val dy = y - cy
+      val sx = math.max(0, math.min(w - 1, math.round(cx + dx * c - dy * s).toInt))
+      val sy = math.max(0, math.min(h - 1, math.round(cy + dx * s + dy * c).toInt))
+      lum(sy)(sx)
+    }
+  }
+
+  /** Bradley adaptive threshold map: T(y,x) = 85% of the mean luminance
+    * in a window of ~max(w,h)/16 (≥8) px half-width around the pixel,
+    * from one integral image. Windows dwarf stroke width, so glyph
+    * interiors always see background in their neighborhood.
+    */
+  private[graft] def bradleyThreshold(lum: Array[Array[Int]], w: Int, h: Int): Array[Array[Int]] = {
+    val ii = Array.ofDim[Long](h + 1, w + 1)
+    for (y <- 0 until h; x <- 0 until w)
+      ii(y + 1)(x + 1) = lum(y)(x) + ii(y)(x + 1) + ii(y + 1)(x) - ii(y)(x)
+    val half = math.max(8, math.max(w, h) / 16)
+    Array.tabulate(h, w) { (y, x) =>
+      val x0 = math.max(0, x - half)
+      val x1 = math.min(w - 1, x + half)
+      val y0 = math.max(0, y - half)
+      val y1 = math.min(h - 1, y + half)
+      val n    = (x1 - x0 + 1).toLong * (y1 - y0 + 1)
+      val sum  = ii(y1 + 1)(x1 + 1) - ii(y0)(x1 + 1) - ii(y1 + 1)(x0) + ii(y0)(x0)
+      val mean = sum.toDouble / n
+      (mean * 0.85).toInt
+    }
+  }
+
+  /** One segmentation + template-match pass over a fixed binarization:
+    * returns (text, accepted glyph count, mean accepted distance).
+    */
+  private[graft] def recognizePass(
+      lum: Array[Array[Int]], w: Int, h: Int,
+      dark: (Int, Int) => Boolean, darkness: (Int, Int) => Double,
+  ): (String, Int, Double) = {
+    var accepted = 0
+    var distSum  = 0.0
     // glyph segmentation by 8-connected components (anti-aliased diagonal
     // strokes — Z, X — survive 8-connectivity where a column-projection
     // profile or 4-connectivity would split them); boxes with x-overlap in
@@ -245,12 +380,17 @@ object GlyphOcr extends Ocr {
               c -> t.indices.map(i => math.abs((if (t(i)) 1.0 else 0.0) - cell(i))).sum / t.length
             }
           }.minBy(_._2)
-          if (dist <= 0.23) sb.append(ch) // ≥77% mean agreement, else noise
+          if (dist <= 0.23) { // ≥77% mean agreement, else noise
+            sb.append(ch)
+            accepted += 1
+            distSum += dist
+          }
         }
       }
       sb.result()
     }
-    outLines.map(_.trim).filter(_.nonEmpty).mkString("\n")
+    val text = outLines.map(_.trim).filter(_.nonEmpty).mkString("\n")
+    (text, accepted, if (accepted > 0) distSum / accepted else Double.MaxValue)
   }
 
   /** Deterministic fixture renderer for the same font: uppercase A–Z, 0–9
@@ -340,6 +480,46 @@ object GlyphOcr extends Ocr {
     }
     val bos = new ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic "bad photocopy" degradation for fixtures: rotate the
+    * page by `angleDeg` (the scanner tilt), apply an uneven-illumination
+    * ramp — ink FADES up by `fade` gray levels on the left while the
+    * background SHADES down by `shadow` on the right, so past ~half the
+    * gray range no single global threshold separates ink from paper
+    * anywhere on the page — then sprinkle `noisePer10k` LCG speckles per
+    * 10k pixels (dark dust on paper, light pinholes in ink). Returns PNG
+    * bytes; same-input → same-output.
+    */
+  def degradeScan(
+      png: Array[Byte], angleDeg: Double, fade: Int, shadow: Int,
+      noisePer10k: Int = 0, seed: Long = 0x5DEECE66DL,
+  ): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+    val w   = img.getWidth
+    val h   = img.getHeight
+    val lum = Array.tabulate(h, w)((y, x) => img.getRGB(x, y) & 0xff)
+    val rot = if (angleDeg != 0.0) rotate(lum, w, h, angleDeg) else lum
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val frac = x.toDouble / math.max(1, w - 1)
+      val l = math.max(0, math.min(255,
+        rot(y)(x) + (fade * (1.0 - frac)).toInt - (shadow * frac).toInt))
+      out.setRGB(x, y, l * 0x10101)
+    }
+    var st = seed
+    def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st >>> 33 }
+    val nNoise = (w.toLong * h * noisePer10k / 10000).toInt
+    for (_ <- 0 until nNoise) {
+      val x   = (next() % w).toInt
+      val y   = (next() % h).toInt
+      val cur = out.getRGB(x, y) & 0xff
+      val l   = if (cur > 128) cur - 90 else cur + 90
+      out.setRGB(x, y, l * 0x10101)
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
     bos.toByteArray
   }
 }

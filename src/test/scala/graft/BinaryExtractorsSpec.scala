@@ -693,6 +693,20 @@ class BinaryExtractorsSpec extends AnyFunSuite {
       == "GRAFT AA 42\nSECOND LINE")
     assert(GlyphOcr.recognize(GlyphOcr.renderPngAa(pangram, unitHi = 9, down = 4), 0, 0) == pangram)
 
+    // DEGRADED SCAN: tilt + uneven illumination (faded ink left, shadowed
+    // paper right — ink 120 on one side vs background 105 on the other, so
+    // NO global threshold works) + speckle noise. Deskew + Bradley
+    // adaptive binarization must still read it exactly; and the clean
+    // renders above prove the defenses never fire on straight input.
+    val scanMsg = "DEGRADED SCAN 07\nADAPTIVE DESKEW"
+    val degraded = GlyphOcr.degradeScan(GlyphOcr.renderPng(scanMsg), 2.0, 120, 150, 8)
+    assert(GlyphOcr.recognize(degraded, 0, 0) == scanMsg)
+    assert(GlyphOcr.recognize(
+      GlyphOcr.degradeScan(GlyphOcr.renderPng(scanMsg), -1.5, 100, 140, 8), 0, 0) == scanMsg)
+    // determinism: same degradation twice → identical bytes and text
+    assert(java.util.Arrays.equals(degraded,
+      GlyphOcr.degradeScan(GlyphOcr.renderPng(scanMsg), 2.0, 120, 150, 8)))
+
     // a bound OCR engine's text flows through; file_size is the blob length
     object FakeOcr extends Ocr {
       val name = "fake"
