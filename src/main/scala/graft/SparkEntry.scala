@@ -1914,13 +1914,24 @@ object SparkEntry {
     }),
 
     // C4 — code chunker over synthetic py sources whose block structure is
-    // SQL-reconstructible: 4-token `def` blocks pack 125 to a 500-token
-    // chunk, so DuckDB rebuilds every chunk's exact text and md5.
+    // SQL-reconstructible. Each source opens with the two constructs
+    // ast.parse keeps whole that naive line scanners split (reference
+    // backend/chunker.py:162): a PARENTHESIZED MULTI-LINE top-level
+    // statement (the CONFIG dict) and a MULTI-LINE DECORATOR ARGUMENT
+    // LIST bound to its def — both must stay single blocks (13 tokens
+    // together), followed by 4-token `def` blocks. Greedy 500-token
+    // packing then gives chunk 0 = preamble + 121 defs (497 tokens) and
+    // one tail chunk when nb > 121; DuckDB rebuilds every chunk's exact
+    // text and md5, so a boundary opening inside either construct would
+    // hash-mismatch.
     "c4_chunk_code" -> ((s, d) => {
       val docs = Tables(s, d).documents.where(col("doc_id") < 40)
         .select(
           col("doc_id"),
-          expr("array_join(transform(sequence(0, 99 + cast(doc_id % 61 as int)), i -> concat('def f', i, '(): return ', lang)), '\n')").as("text"),
+          expr("""concat(
+            'CONFIG = {\n    "lang": "', lang, '",\n}\n',
+            '@app.route(\n    "/', lang, '",\n)\ndef preamble():\n    return "', lang, '"\n',
+            array_join(transform(sequence(0, 99 + cast(doc_id % 61 as int)), i -> concat('def f', i, '(): return ', lang)), '\n'))""").as("text"),
           lit("py").as("lang"),
         )
       Chunker.chunk(s, docs).toDF()
@@ -5295,13 +5306,24 @@ object SparkEntry {
          | topk AS (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 5)
          | SELECT t.vec_id, round(t.sim, 4) AS score, md5(d.text) AS text_md5, d.lang
          | FROM topk t JOIN documents d ON d.doc_id = t.vec_id ORDER BY t.sim DESC, t.vec_id""".stripMargin,
+    // Replays the block structure: the parenthesized CONFIG statement and
+    // the multi-line-decorator+def are ONE block each (6 + 7 tokens),
+    // then greedy packing puts them plus the first 121 defs in chunk 0.
     "c4_chunk_code" ->
       """WITH d AS (SELECT doc_id, lang, 100 + doc_id % 61 AS nb FROM documents WHERE doc_id < 40),
-        | ch AS (SELECT doc_id, lang, nb, unnest(range(0, (nb + 124) // 125)) AS chunk_index FROM d),
-        | b AS (SELECT doc_id, lang, chunk_index, chunk_index * 125 AS lo, least(nb, (chunk_index + 1) * 125) AS hi FROM ch),
-        | t AS (SELECT doc_id, chunk_index, (hi - lo) * 4 AS token_count,
-        |   array_to_string(list_transform(range(lo, hi), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
-        |   FROM b)
+        | pre AS (SELECT doc_id, lang, nb,
+        |   'CONFIG = {' || chr(10) || '    "lang": "' || lang || '",' || chr(10) || '}' AS b1,
+        |   '@app.route(' || chr(10) || '    "/' || lang || '",' || chr(10) || ')' || chr(10) ||
+        |     'def preamble():' || chr(10) || '    return "' || lang || '"' AS b2
+        |   FROM d),
+        | c0 AS (SELECT doc_id, 0 AS chunk_index, 13 + 4 * least(nb, 121) AS token_count,
+        |   b1 || chr(10) || chr(10) || b2 || chr(10) || chr(10) ||
+        |     array_to_string(list_transform(range(0, least(nb, 121)), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
+        |   FROM pre),
+        | c1 AS (SELECT doc_id, 1 AS chunk_index, 4 * (nb - 121) AS token_count,
+        |   array_to_string(list_transform(range(121, nb), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
+        |   FROM pre WHERE nb > 121),
+        | t AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
         | SELECT doc_id, chunk_index, token_count, md5(text) AS chunk_md5 FROM t ORDER BY doc_id, chunk_index""".stripMargin,
     // ≤500-token sources stay ONE untouched chunk (original newlines kept);
     // only oversized single-sentence text gets word-packed and re-joined

@@ -187,6 +187,28 @@ class ChunkerSpec extends AnyFunSuite {
     assert(tc.exists(_.startsWith("def h")), tc.mkString("<<", ">>,<<", ">>"))
   }
 
+  test("ast fidelity: parenthesized top-level statements and multi-line decorator args stay whole blocks") {
+    val code = Seq(
+      "CONFIG = {", "    \"a\": 1,", "}",
+      "@app.route(", "    \"/x\",", "    methods=[\"GET\"],", ")",
+      "def handler():", "    return 1",
+      "X = (1 +", "     2)",
+      "@decorator(arg1,", "           arg2)", "@second", "def tail():", "    pass",
+    ).mkString("\n")
+    // a 16-token budget flushes at every block boundary, exposing them
+    // (the largest block is 13 tokens, adjacent pairs exceed 16)
+    val blocks = Chunker.chunkCode(code, maxTokens = 16).map(_._1)
+    // ast.parse boundaries: the bracketed dict is ONE statement; each
+    // decorator chain (multi-line args included) binds to its def
+    assert(blocks(0) == "CONFIG = {\n    \"a\": 1,\n}", blocks.mkString("<<", ">>,<<", ">>"))
+    assert(blocks(1) ==
+      "@app.route(\n    \"/x\",\n    methods=[\"GET\"],\n)\ndef handler():\n    return 1\nX = (1 +\n     2)")
+    assert(blocks(2) == "@decorator(arg1,\n           arg2)\n@second\ndef tail():\n    pass")
+    assert(blocks.length == 3)
+    // no continuation line of either construct ever opens a chunk
+    assert(!blocks.exists(b => b.startsWith(")") || b.startsWith("     2)") || b.startsWith("           arg2)")))
+  }
+
   test("code chunker splits at top-level boundaries and packs to <= maxTokens") {
     val blocks = (1 to 50).map(i => s"def f$i():\n" + ("    x = 1\n" * 30))
     val chunks = Chunker.chunkCode(blocks.mkString(""))
