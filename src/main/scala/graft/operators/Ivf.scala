@@ -457,6 +457,8 @@ object Ivf {
       removedIds: DataFrame,
       added: DataFrame,
       idCol: String,
+      addsDistinct: Boolean = false,
+      maxDeltaRows: Long = -1L,
   ): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val st = readCentroids(path, conf).getOrElse(
@@ -466,9 +468,13 @@ object Ivf {
     require(added.columns.contains(vecCol),
       s"added frame must carry the store's indexed column '$vecCol' (has: ${added.columns.mkString(", ")})")
     // intra-batch duplicate ids have no deterministic winner (and would
-    // write two rows under one id) — fail loudly; one delta-sized agg
-    val dupAdds = added.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
-    require(dupAdds == 0, s"applyDelta: duplicate ids within `added` (column $idCol)")
+    // write two rows under one id) — fail loudly; one delta-sized agg.
+    // A caller whose adds are unique BY CONSTRUCTION (RecrawlStream's
+    // id-keyed batch aggregate) passes addsDistinct to skip the scan.
+    if (!addsDistinct) {
+      val dupAdds = added.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
+      require(dupAdds == 0, s"applyDelta: duplicate ids within `added` (column $idCol)")
+    }
     val store = spark.read.parquet(path)
     // additions are UPSERTS: any stored row with an added id drops first,
     // so re-applying a delta (at-least-once batch retry, a caller that
@@ -483,17 +489,21 @@ object Ivf {
     // there OOMs the driver, where a plain shuffled semi-join merely
     // costs a shuffle of (id) rows. Same discipline as the
     // contamination-sweep joins (Dedup.contaminatedIds): hint only what
-    // is measured small. The count is one scan of the persisted delta.
-    val remHint = gatedBroadcast(rem, rem.count())
-    // lists holding a removed id: a column-pruned scan of (id, list_id)
-    // against the (gated) removal set; result is bounded by nList
-    val remLists = store.select(col(idCol), col("list_id"))
-      .join(remHint, Seq(idCol), "left_semi")
-      .select("list_id").distinct().collect().map(_.getInt(0))
+    // is measured small. A caller that already knows an upper bound on
+    // the delta size passes it as maxDeltaRows (gating on an over-estimate
+    // only makes the hint more conservative); otherwise the count is one
+    // scan of the persisted delta.
+    val remHint = gatedBroadcast(rem, if (maxDeltaRows >= 0) maxDeltaRows else rem.count())
     val assigned = withListId(added, st.model, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val addLists = assigned.select("list_id").distinct().collect().map(_.getInt(0))
-    val affected = (remLists ++ addLists).distinct.sorted
+    // affected lists = lists holding a removed id (a column-pruned store
+    // scan against the gated removal set) ∪ lists gaining a row — ONE
+    // bounded-by-nList collect instead of two
+    val affected = store.select(col(idCol), col("list_id"))
+      .join(remHint, Seq(idCol), "left_semi")
+      .select("list_id")
+      .union(assigned.select("list_id"))
+      .distinct().collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) { rem.unpersist(); assigned.unpersist(); return 0L }
 
     val kept = store
@@ -501,18 +511,23 @@ object Ivf {
       .join(remHint, Seq(idCol), "left_anti")
     val rewrite = kept
       .unionByName(assigned.select(store.columns.map(col).toIndexedSeq: _*))
-      .localCheckpoint(true) // sever the file lineage before overwriting those files
-    rewrite.write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").partitionBy("list_id").parquet(path)
-    // a list the delta emptied has no output rows, so dynamic overwrite
-    // left its old directory in place — remove it by hand
-    val survivors = rewrite.select("list_id").distinct().collect().map(_.getInt(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    affected.filterNot(survivors).foreach { l =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"list_id=$l"), true)
+    // ONE materialization: write the affected lists' replacement data
+    // BESIDE the store (no lineage conflict with the files being read, so
+    // no localCheckpoint pass doubling the delta's I/O), then swap each
+    // affected list directory in. Same per-list publication unit as a
+    // dynamic partition overwrite; a list the delta emptied simply has no
+    // replacement directory and stays deleted.
+    val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
+    fs.delete(tmp, true)
+    rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    affected.foreach { l =>
+      val dst = new org.apache.hadoop.fs.Path(path, s"list_id=$l")
+      val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$l")
+      fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
     }
-    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(rewrite)
+    fs.delete(tmp, true)
     rem.unpersist(); assigned.unpersist()
     affected.length.toLong
   }

@@ -90,14 +90,25 @@ object RecrawlStream {
       textCol: String,
       embedder: Embedder = Embedder.default,
   ): (Long, Long, Long) = {
-    val lvl   = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val batch = batch0.select(col(idCol), col(textCol)).distinct().persist(lvl)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // two rows for one id that are not exact duplicates have no
+    // deterministic winner — producer bug, fail loud (the Scd2Stream
+    // raise_error stance, Scd2Stream.scala:115): the guard rides the ONE
+    // id-keyed dedup aggregate that materializes the batch, instead of
+    // costing a separate validation scan per micro-batch. Exact
+    // redelivery collapses in the same aggregate (distinct-struct count
+    // treats a null text as one value, so (text, null) conflicts count 2);
+    // with one distinct value, max IS that value (all-null included).
+    val batch = batch0.select(col(idCol), col(textCol))
+      .groupBy(col(idCol))
+      .agg(countDistinct(struct(col(textCol))).as("__n"), max(col(textCol)).as(textCol))
+      .select(col(idCol),
+        when(col("__n") > 1, raise_error(format_string(
+          s"recrawl batch carries conflicting rows for one $idCol: %s",
+          col(idCol).cast("string"))))
+          .otherwise(col(textCol)).as(textCol))
+      .persist(lvl)
     try {
-      // two rows for one id that are not exact duplicates have no
-      // deterministic winner — producer bug, fail fast (the Scd2Stream
-      // conflict-guard stance; exact redelivery already deduped above)
-      val dup = batch.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
-      require(dup == 0, s"recrawl batch carries conflicting rows for one $idCol")
       val cur = currentDocs(spark, root)
       val hashed = batch.where(col(textCol).isNotNull)
         .select(col(idCol), col(textCol), Dedup.exactKey(col(textCol)).as("__bh"))
@@ -112,14 +123,29 @@ object RecrawlStream {
         .join(cur, Seq(idCol), "left_semi") // absent ids: no-op
         .persist(lvl)
       try {
-        val nUp  = upserts.count()
-        val nRem = removals.count()
+        // the embedded delta is consumed by several applyDelta actions —
+        // persist so the embedder runs ONCE per batch, and read nUp off
+        // the SAME materialization (embedText is 1:1) instead of counting
+        // the upsert cache in a separate job. The independent removal
+        // count overlaps it on a second thread (cache materialization is
+        // per-partition-locked, so the shared batch cache computes once).
+        val nRemF = scala.concurrent.Future(removals.count())(
+          scala.concurrent.ExecutionContext.global)
         val fresh = Embedder.embedText(spark, upserts, idCol, textCol, embedder).toDF()
           .select(col("id").as(idCol), col("embedding"))
+          .persist(lvl)
+        val nUp  = fresh.count()
+        val nRem = scala.concurrent.Await.result(nRemF, scala.concurrent.duration.Duration.Inf)
         val vecName = Ivf.readCentroids(indexPath(root), spark.sparkContext.hadoopConfiguration)
           .flatMap(_.column).getOrElse("embedding")
-        val touched = Ivf.applyDelta(spark, indexPath(root), removals,
-          fresh.withColumnRenamed("embedding", vecName), idCol)
+        // upsert ids are unique by construction (the batch aggregate keys
+        // on the id) and the delta size is already measured — skip
+        // applyDelta's own duplicate guard and broadcast-gate count
+        val touched =
+          try Ivf.applyDelta(spark, indexPath(root), removals,
+            fresh.withColumnRenamed("embedding", vecName), idCol,
+            addsDistinct = true, maxDeltaRows = nRem + nUp)
+          finally { fresh.unpersist(); () }
         // publish the next snapshot: write beside, swap, verify, drop .old
         val gone = removals.unionByName(upserts.select(col(idCol)))
         val next = cur.join(gone, Seq(idCol), "left_anti")
