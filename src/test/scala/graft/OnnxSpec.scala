@@ -654,6 +654,22 @@ class OnnxSpec extends AnyFunSuite {
     assert(!res2(1).ok && res2(0).ok && res2(2).ok, res2.mkString("; "))
   }
 
+  test("committed checkpoint: ParityCheck's deployment gate runs unconditionally against the in-repo model") {
+    // fixtures/onnx/checkpoint{,_cross} are generated by
+    // graft.onnx.CheckpointFixture and COMMITTED, so the full deployment
+    // path — read model.onnx + vocab.txt off disk, WordPiece-tokenize,
+    // run the graph, pool/normalize (or score pairs), parse the pinned
+    // TSV, apply the release gates — exercises on every `sbt test` with
+    // no env gate. The pinned vectors are a regression pin; correctness
+    // is separately proven by the independent-forward specs above.
+    val res = graft.onnx.ParityCheck.run("fixtures/onnx/checkpoint")
+    assert(res.length == graft.onnx.CheckpointFixture.probes.length)
+    assert(res.forall(_.ok), res.filterNot(_.ok).mkString("; "))
+    val cres = graft.onnx.ParityCheck.runCross("fixtures/onnx/checkpoint_cross")
+    assert(cres.length == graft.onnx.CheckpointFixture.crossPairs.length)
+    assert(cres.forall(_.ok), cres.filterNot(_.ok).mkString("; "))
+  }
+
   test("real all-mpnet-base-v2 parity (deployment-gated: set GRAFT_MPNET_DIR)") {
     // tools/export_mpnet_parity.py writes model.onnx + vocab.txt +
     // parity.tsv on a torch machine; this spec cancels in-sandbox exactly
