@@ -379,12 +379,15 @@ object ScaleBench {
     // (8–32 here), so the linear range is churn < nShards — single-digit
     // deltas on the corpus axis, 4/16/128 on the churn axis (128 ≫ 32
     // shards pins the plateau).
+    // corpus axis extends a decade past the churn-axis scale (16× = 400k
+    // 768-d vectors) — the flat-curve claim is exactly the one that must
+    // survive the corpus growing under a FIXED delta
     if (want("ivf")) {
-      for (scale <- Seq(1, hi).distinct.filter(_ <= maxScale)) measure("ivf", scale, 128)
+      for (scale <- Seq(1, 4, 16).filter(_ <= maxScale).distinct) measure("ivf", scale, 128)
       for (churn <- Seq(32, 256, 2048)) measure("ivf", hi, churn)
     }
     if (want("hnsw")) {
-      for (scale <- Seq(1, hi).distinct.filter(_ <= maxScale)) measure("hnsw", scale, 4)
+      for (scale <- Seq(1, 4, 16).filter(_ <= maxScale).distinct) measure("hnsw", scale, 4)
       for (churn <- Seq(4, 16, 128)) measure("hnsw", hi, churn)
     }
   }
@@ -491,7 +494,9 @@ object ScaleBench {
     val maxScale = args.headOption.map(_.toInt).getOrElse(16)
     // trailing args = op-name filter (dev iteration on a few curves)
     val onlyOps  = args.drop(1).toSet
-    val scales   = Seq(1, 4, 16).filter(_ <= maxScale)
+    // 64× (320k docs / 128k vecs / 6.4M events) is the round-12 decade
+    // extension for the dedup/ANN flagships — pass 64 to include it
+    val scales   = Seq(1, 4, 16, 64).filter(_ <= maxScale)
     val root     = sys.props("java.io.tmpdir") + "/graft-scale"
     val spark    = Engine.session("graft-scale")
     val qVec     = Embedder.default.embed("scaling probe query").map(_.toDouble).toSeq
@@ -566,6 +571,22 @@ object ScaleBench {
         "ivf_probe"       -> (() => {
           val (indexed, model) = Ivf.indexFor(vecs, "embedding", 32, cacheKey = s"scale$scale")
           Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 4).count()
+        }),
+        // v9: batch ANN — 64 queries broadcast against the list-pruned
+        // store; candidate cap is |q|·n·(nProbe/nList) regardless of scale
+        "ivf_knn_join"    -> (() => {
+          val (indexed, model) = Ivf.indexFor(vecs, "embedding", 32, cacheKey = s"scale$scale")
+          Ivf.knnJoin(indexed, model, vecs.where(col("vec_id") < 64),
+            "embedding", "vec_id", "embedding", "vec_id", 10, 4).count()
+        }),
+        // v19: shard-local HNSW with the rows-per-shard contract held
+        // constant (nShards = scale → 2k rows/shard at every scale, the
+        // way 100 TB spans thousands of shards); search is per-shard beam
+        // + TakeOrderedAndProject merge
+        "hnsw_search"     -> (() => {
+          val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
+            cacheKey = s"scale-hnsw-$scale", nShards = math.max(1, scale))
+          Hnsw.searchIndex(idx, qVec, "vec_id", 10).count()
         }),
         // round-9 p9: one recrawl maintenance round against a corpus-scale
         // store — the delta (and therefore the embed + rewrite work) is
