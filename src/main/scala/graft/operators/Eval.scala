@@ -52,23 +52,27 @@ object Eval {
   ): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val reserved = Seq("n_rel", "recall_at_k", "rr_at_k", "ndcg_at_k",
-      "__i", "__idcg", "__n_rel_ret", "__frr", "__dcg")
+      "__i", "__idcg", "__n_rel_ret", "__frr", "__dcg", "__n", "__nr")
     for (c <- reserved; f <- Seq(run, qrels))
       require(!f.columns.contains(c), s"input already has a '$c' column")
-    val dup = qrels.groupBy(col(queryCol), col(docCol)).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dup == 0, s"duplicate ($queryCol, $docCol) judgments in qrels")
-    // trec_eval treats a repeated doc inside one query's run as an error:
-    // left unguarded it would double-count __n_rel_ret and __dcg (recall
-    // could exceed 1). Guard the rank-capped slice — duplicates past k
-    // can't affect any metric.
-    val dupRun = run.where(col(rankCol) <= k)
-      .groupBy(col(queryCol), col(docCol)).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dupRun == 0, s"duplicate ($queryCol, $docCol) rows in run top-$k")
-
-    val graded = qrels.where(col(relCol) > 0)
-      .select(col(queryCol), col(docCol), col(relCol).cast("double").as(relCol))
+    // Duplicate guards run INLINE (raise_error behind a (query, doc)
+    // aggregate) rather than as eager validation counts: run/qrels are
+    // usually the OUTPUT of whole retrieval pipelines, and an eager
+    // `.count()` per guard re-executed both pipelines once per guard
+    // before the real computation even started (measured: the v31 eval
+    // harness ran each retrieval leg ~3×). The aggregates key on
+    // (query, doc) — the same key the hits join needs — and a count > 1
+    // fails loudly at materialization, exactly when the eager guard
+    // would have.
+    val graded = qrels
+      .groupBy(col(queryCol), col(docCol))
+      .agg(count(lit(1)).as("__n"), max(col(relCol).cast("double")).as(relCol))
+      .select(col(queryCol), col(docCol),
+        when(col("__n") > 1, raise_error(format_string(
+          s"duplicate ($queryCol, $docCol) judgments in qrels: (%s, %s)",
+          col(queryCol).cast("string"), col(docCol).cast("string"))))
+          .otherwise(col(relCol)).as(relCol))
+      .where(col(relCol) > 0)
     // ideal DCG: each query's own grades, best-first. Ties in grade are
     // rank-order-arbitrary but the DCG SUM is invariant under them.
     val byGrade = Window.partitionBy(col(queryCol)).orderBy(col(relCol).desc)
@@ -80,9 +84,20 @@ object Eval {
         sum(when(col("__i") <= k,
           (pow(lit(2.0), col(relCol)) - 1.0) / log2(col("__i") + 1.0))).as("__idcg"))
 
+    // trec_eval treats a repeated doc inside one query's run as an error:
+    // left unguarded it would double-count __n_rel_ret and __dcg (recall
+    // could exceed 1). Guard the rank-capped slice — duplicates past k
+    // can't affect any metric — inline, on the same (query, doc) key the
+    // qrels join needs.
     val hits = run
       .where(col(rankCol) <= k)
-      .select(col(queryCol), col(docCol), col(rankCol).cast("long").as(rankCol))
+      .groupBy(col(queryCol), col(docCol))
+      .agg(count(lit(1)).as("__nr"), max(col(rankCol).cast("long")).as(rankCol))
+      .select(col(queryCol), col(docCol),
+        when(col("__nr") > 1, raise_error(format_string(
+          s"duplicate ($queryCol, $docCol) rows in run top-$k: (%s, %s)",
+          col(queryCol).cast("string"), col(docCol).cast("string"))))
+          .otherwise(col(rankCol)).as(rankCol))
       .join(graded, Seq(queryCol, docCol), "left")
       .withColumn(relCol, coalesce(col(relCol), lit(0.0)))
     val perQuery = hits
@@ -146,28 +161,31 @@ object Eval {
   ): DataFrame = {
     require(permutations >= 1 && permutations <= (1 << 20),
       s"permutations must be in [1, 2^20]: $permutations")
-    val reserved = Seq("__qid", "__delta_bp", "__j", "__s", "__tj",
+    val reserved = Seq("__qid", "__delta_bp", "__j", "__s", "__tj", "__obs", "__nq",
       "n_queries", "sum_delta_bp", "n_extreme", "n_perms", "p_value")
     for (c <- reserved)
       require(!perQuery.columns.contains(c), s"input already has a '$c' column")
-    val dup = perQuery.groupBy(col(queryCol)).count()
-      .where(col("count") > 1).limit(1).count()
-    require(dup == 0, s"duplicate $queryCol rows in perQuery — one row per query")
 
     val spark = perQuery.sparkSession
     val d = deltaQids(perQuery, queryCol, baselineCol, treatmentCol, permutations)
     val perms = spark.range(1, permutations.toLong + 1L).toDF("__j")
+    // ONE pass over the |Q| x P expansion: per permutation, the signed sum
+    // __tj PLUS the unflipped sum and row count — identical for every j,
+    // so the observed statistic rides the same aggregate instead of a
+    // second scan of d. That matters because d's lineage (sort + zip over
+    // perQuery, itself usually the output of whole retrieval pipelines)
+    // would otherwise execute once per consumer per action.
     val tj = d.crossJoin(perms)
-      .select(col("__j"),
+      .select(col("__j"), col("__delta_bp"),
         when(mix31(col("__qid") * permutations.toLong + col("__j")) % 2 === 0,
           col("__delta_bp")).otherwise(-col("__delta_bp")).as("__s"))
-      .groupBy("__j").agg(sum("__s").as("__tj"))
-    val obs = d.agg(
-      count(lit(1)).cast("long").as("n_queries"),
-      coalesce(sum("__delta_bp"), lit(0L)).as("sum_delta_bp"))
-    tj.crossJoin(broadcast(obs))
-      .groupBy(col("n_queries"), col("sum_delta_bp"))
-      .agg(sum(when(abs(col("__tj")) >= abs(col("sum_delta_bp")), 1L).otherwise(0L))
+      .groupBy("__j").agg(
+        sum("__s").as("__tj"),
+        coalesce(sum("__delta_bp"), lit(0L)).as("__obs"),
+        count(lit(1)).cast("long").as("__nq"))
+    tj
+      .groupBy(col("__nq").as("n_queries"), col("__obs").as("sum_delta_bp"))
+      .agg(sum(when(abs(col("__tj")) >= abs(col("__obs")), 1L).otherwise(0L))
         .as("n_extreme"))
       .select(
         col("n_queries"),
@@ -245,10 +263,20 @@ object Eval {
       baselineCol: String, treatmentCol: String, permutations: Int,
   ): DataFrame = {
     val spark = perQuery.sparkSession
+    // duplicate query keys have no well-defined delta — fail loud INLINE
+    // (the key-grouped aggregate that dedups is also the guard), not via
+    // an eager validation count that would re-execute perQuery's lineage
     val sorted = perQuery.select(
       col(queryCol).as("__k"),
       (round(col(treatmentCol) * 10000).cast("long")
         - round(col(baselineCol) * 10000).cast("long")).as("__delta_bp"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), max(col("__delta_bp")).as("__delta_bp"))
+      .select(col("__k"),
+        when(col("__n") > 1, raise_error(format_string(
+          s"duplicate $queryCol rows in perQuery — one row per query: %s",
+          col("__k").cast("string"))))
+          .otherwise(col("__delta_bp")).as("__delta_bp"))
       .orderBy(col("__k"))
     val deltaIdx = sorted.schema.fieldIndex("__delta_bp")
     val dRows = sorted.rdd.zipWithIndex.map { case (r, i) =>

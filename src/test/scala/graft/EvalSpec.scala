@@ -78,18 +78,30 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  /** The duplicate guards are INLINE raise_error expressions (no eager
+    * validation scans), so they surface at materialization wrapped in
+    * Spark's task-failure chain.
+    */
+  private def chainOf(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+
   test("duplicate (query, doc) judgments are rejected") {
     val run   = Seq((1L, 1L, 1)).toDF("query_id", "doc_id", "rank")
     val qrels = Seq((1L, 1L, 1), (1L, 1L, 2)).toDF("query_id", "doc_id", "rel")
-    val e = intercept[IllegalArgumentException](Eval.rankingMetrics(run, qrels, 3))
-    assert(e.getMessage.contains("duplicate"))
+    val e = intercept[Exception](Eval.rankingMetrics(run, qrels, 3).collect())
+    assert(chainOf(e).contains("duplicate"), chainOf(e))
+    // two grade-0 rows for one (q, d) are still conflicting judgments
+    val qrels0 = Seq((1L, 1L, 0), (1L, 1L, 0), (1L, 1L, 1)).toDF("query_id", "doc_id", "rel")
+    val e0 = intercept[Exception](Eval.rankingMetrics(run, qrels0, 3).collect())
+    assert(chainOf(e0).contains("duplicate"), chainOf(e0))
   }
 
   test("duplicate (query, doc) rows in the run top-k are rejected; past-k duplicates are not") {
     val qrels = Seq((1L, 1L, 1)).toDF("query_id", "doc_id", "rel")
     val dup   = Seq((1L, 1L, 1), (1L, 1L, 2)).toDF("query_id", "doc_id", "rank")
-    val e = intercept[IllegalArgumentException](Eval.rankingMetrics(dup, qrels, 3))
-    assert(e.getMessage.contains("run top-"))
+    val e = intercept[Exception](Eval.rankingMetrics(dup, qrels, 3).collect())
+    assert(chainOf(e).contains("run top-"), chainOf(e))
     // the duplicate sits past the rank cap: no metric can see it
     val ok = Seq((1L, 1L, 1), (1L, 1L, 9)).toDF("query_id", "doc_id", "rank")
     val m = Eval.rankingMetrics(ok, qrels, 3)
@@ -227,8 +239,8 @@ class EvalSpec extends AnyFunSuite {
     val r2 = Eval.pairedSignificance(per, "query_id", "a", "b").collect().toSeq
     assert(r1 == r2)
     val dup = Seq((1L, 0.1, 0.9), (1L, 0.2, 0.8)).toDF("query_id", "a", "b")
-    val e = intercept[IllegalArgumentException](
-      Eval.pairedSignificance(dup, "query_id", "a", "b"))
-    assert(e.getMessage.contains("duplicate"))
+    val e = intercept[Exception](
+      Eval.pairedSignificance(dup, "query_id", "a", "b").collect())
+    assert(chainOf(e).contains("duplicate"), chainOf(e))
   }
 }
