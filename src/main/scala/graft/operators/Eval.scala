@@ -204,8 +204,10 @@ object Eval {
     * one aggregate away ([[calibrationSummary]]).
     *
     * Scores must be in [0, 1] — out-of-range or null scores are a caller
-    * bug and fail loudly (one limit(1) probe). Plan: one scan into a
-    * ≤nBins-row aggregate; nothing corpus-sized shuffles.
+    * bug and fail loudly INLINE (raise_error where the score enters the
+    * bin expression — lazy, codegen'd, no separate validation scan over
+    * what may be a whole scoring pipeline's output). Plan: one scan into
+    * a ≤nBins-row aggregate; nothing corpus-sized shuffles.
     */
   def calibrationBins(
       scored: DataFrame,
@@ -217,9 +219,12 @@ object Eval {
     val reserved = Seq("bin", "n", "mean_score", "frac_pos", "gap", "__s", "__y")
     for (c <- reserved)
       require(!scored.columns.contains(c), s"input already has a '$c' column")
-    val s = col(scoreCol).cast("double")
-    val bad = scored.where(s.isNull || s < 0.0 || s > 1.0 || isnan(s)).limit(1).count()
-    require(bad == 0, s"'$scoreCol' must be a probability in [0,1] with no nulls/NaNs")
+    val sRaw = col(scoreCol).cast("double")
+    val s = when(sRaw.isNull || sRaw < 0.0 || sRaw > 1.0 || isnan(sRaw),
+      raise_error(format_string(
+        s"'$scoreCol' must be a probability in [0,1] with no nulls/NaNs: got %s",
+        sRaw.cast("string"))))
+      .otherwise(sRaw)
     scored
       .select(least(lit(nBins - 1L), floor(s * nBins).cast("long")).as("bin"),
         s.as("__s"), col(labelCol).cast("double").as("__y"))

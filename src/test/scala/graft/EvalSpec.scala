@@ -227,10 +227,10 @@ class EvalSpec extends AnyFunSuite {
       Eval.calibrationBins(scored, "score", "label", 10))
       .as[(Long, Double, Double)].head()
     assert(n == 5L && math.abs(ece - 0.2) < 1e-12 && math.abs(mce - 0.45) < 1e-12)
-    // out-of-range scores fail loudly
-    val e = intercept[IllegalArgumentException](
-      Eval.calibrationBins(Seq((1.2, 1)).toDF("score", "label"), "score", "label", 10))
-    assert(e.getMessage.contains("[0,1]"))
+    // out-of-range scores fail loudly (inline, at materialization)
+    val e = intercept[Exception](
+      Eval.calibrationBins(Seq((1.2, 1)).toDF("score", "label"), "score", "label", 10).collect())
+    assert(chainOf(e).contains("[0,1]"), chainOf(e))
   }
 
   test("pairedSignificance: deterministic across runs, duplicate query keys rejected") {
