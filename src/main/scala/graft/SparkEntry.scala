@@ -1694,6 +1694,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DQ1 — declarative data-quality expectation suite (round 12): the
+    // Great-Expectations-style contract gate over a PLANTED variant of
+    // the documents table (nulled texts for doc_id%101, three duplicated
+    // ids, a dimension restricted to even vec_ids so referential
+    // integrity actually fails). All five row-level rules ride ONE scan
+    // (single 1-row aggregate, stack-unpivoted); uniqueness adds one
+    // key-grouped aggregate; the FK rule one anti-join count. The oracle
+    // replays every count and pass verdict relationally.
+    "dq1_expectations" -> ((s, d) => {
+      val t    = Tables(s, d)
+      val base = t.documents.unionByName(t.documents.where(col("doc_id") < 3))
+      val planted = base.withColumn("text",
+        when(col("doc_id") % 101 === 0, lit(null).cast("string")).otherwise(col("text")))
+      Expectations.evaluate(planted, Seq(
+        Expectations.NotNull("text"),
+        Expectations.MaxNullFraction("text", 0.05),
+        Expectations.InRange("n_chars", 1, 900),
+        Expectations.Matches("lang", "^[a-z]{2}$"),
+        Expectations.OneOf("lang", Seq("en", "de", "fr", "es")),
+        Expectations.Unique(Seq("doc_id")),
+        Expectations.ReferencedIn("doc_id",
+          t.embeddings.where(col("vec_id") % 2 === 0), "vec_id"),
+      )).orderBy("expectation", "col_name")
+    }),
+
+    // DQ2 — k-anonymity audit (round 12, Sweeney 2002): quasi-identifier
+    // groups over (event_type, user_id mod 37, floor(value)); rows in
+    // groups smaller than k=5 are re-identifiable. One key-grouped
+    // aggregate + a tiny rollup; min_group_size IS the table's effective
+    // k. Null quasi-identifiers group conservatively (null patterns are
+    // quasi-identifying too) — the oracle's GROUP BY does the same.
+    "dq2_kanonymity" -> ((s, d) => {
+      val q = Tables(s, d).events.select(
+        col("event_type"),
+        (col("user_id") % 37).as("geo_bucket"),
+        floor(col("value")).cast("long").as("value_band"))
+      Expectations.kAnonymity(q, Seq("event_type", "geo_bucket", "value_band"), 5)
+    }),
+
     // X39 — scorer calibration (round 11): the reliability diagram +
     // ECE/MCE for a probabilistic scorer. The fixture scorer is
     // DELIBERATELY miscalibrated in a replayable way: the true positive
@@ -5105,6 +5144,47 @@ object SparkEntry {
          |   round(abs(ms - fp), 4) AS gap, round(t.ece, 4) AS ece, round(t.mce, 4) AS mce
          | FROM g, t ORDER BY bin""".stripMargin
     },
+
+    // dq1 — replay every rule's count and pass verdict relationally over
+    // the same planted table
+    "dq1_expectations" ->
+      raw"""WITH base AS (SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id < 3),
+           | pl AS (SELECT doc_id, lang, n_chars,
+           |   CASE WHEN doc_id % 101 = 0 THEN NULL ELSE text END AS text FROM base),
+           | tot AS (SELECT count(*)::BIGINT AS total FROM pl),
+           | legs AS (
+           |   SELECT 'not_null' AS expectation, 'text' AS col_name,
+           |     (SELECT count(*) FROM pl WHERE text IS NULL)::BIGINT AS violations, 'zero' AS rule
+           |   UNION ALL SELECT 'max_null_fraction', 'text',
+           |     (SELECT count(*) FROM pl WHERE text IS NULL)::BIGINT, 'frac05'
+           |   UNION ALL SELECT 'in_range', 'n_chars',
+           |     (SELECT count(*) FROM pl WHERE n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 900))::BIGINT, 'zero'
+           |   UNION ALL SELECT 'matches', 'lang',
+           |     (SELECT count(*) FROM pl WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z]{2}$$'))::BIGINT, 'zero'
+           |   UNION ALL SELECT 'one_of', 'lang',
+           |     (SELECT count(*) FROM pl WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es'))::BIGINT, 'zero'
+           |   UNION ALL SELECT 'unique', 'doc_id',
+           |     (SELECT (count(*) - count(DISTINCT doc_id))::BIGINT FROM pl), 'zero'
+           |   UNION ALL SELECT 'referenced_in', 'doc_id',
+           |     (SELECT count(*) FROM pl WHERE doc_id IS NOT NULL
+           |      AND doc_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0))::BIGINT, 'zero')
+           | SELECT expectation, col_name, violations, total,
+           |   CASE WHEN rule = 'frac05' THEN CAST(violations AS DOUBLE) <= 0.05 * total
+           |        ELSE violations = 0 END AS pass
+           | FROM legs, tot ORDER BY expectation, col_name""".stripMargin,
+
+    // dq2 — one grouped count + rollup; nulls group like values
+    "dq2_kanonymity" ->
+      raw"""WITH q AS (SELECT event_type, user_id % 37 AS geo_bucket,
+           |   CAST(floor(value) AS BIGINT) AS value_band FROM events),
+           | g AS (SELECT event_type, geo_bucket, value_band, count(*)::BIGINT AS c
+           |       FROM q GROUP BY 1, 2, 3)
+           | SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+           |   count(*) FILTER (WHERE c < 5)::BIGINT AS n_small_groups,
+           |   coalesce(sum(c) FILTER (WHERE c < 5), 0)::BIGINT AS rows_at_risk,
+           |   min(c)::BIGINT AS min_group_size,
+           |   count(*) FILTER (WHERE c < 5) = 0 AS k_anonymous
+           | FROM g""".stripMargin,
 
     // x38 — full relational replay: the same diversity score, both
     // window ranks with the pinned tie-breaks, the candidate count and

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Expectations
+import graft.operators.Expectations._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed contract for the DQ expectation suite and the
+  * k-anonymity audit, plus the pass-budget plan shape (all row-level
+  * rules share ONE scan).
+  */
+class ExpectationsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rows = Seq(
+    // (id, name, score, cat)
+    (1L, "alpha", 0.5, "a"),
+    (2L, null: String, 1.5, "b"),   // null name; score out of [0,1]
+    (2L, "beta", 0.0, "a"),         // duplicate id
+    (3L, "GAMMA7", 0.9, "zz"),      // name fails ^[a-z]+$; cat not accepted
+    (4L, "delta", Double.NaN, "b"), // NaN score violates range
+  ).toDF("id", "name", "score", "cat")
+
+  test("evaluate: every rule's violations, totals and pass verdicts match hand computation") {
+    val dim = Seq(1L, 2L, 4L).toDF("k") // 3 missing from dim
+    val got = Expectations.evaluate(rows, Seq(
+      NotNull("name"),
+      InRange("score", 0.0, 1.0),
+      Matches("name", "^[a-z]+$"),
+      OneOf("cat", Seq("a", "b")),
+      MaxNullFraction("name", 0.25),
+      Unique(Seq("id")),
+      ReferencedIn("id", dim, "k"),
+    )).as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("not_null", "name", 1L, 5L, false),
+      ("in_range", "score", 2L, 5L, false),     // 1.5 and NaN; nulls skipped
+      ("matches", "name", 1L, 5L, false),       // GAMMA7; null skipped
+      ("one_of", "cat", 1L, 5L, false),         // zz
+      ("max_null_fraction", "name", 1L, 5L, true), // 1/5 = 0.2 <= 0.25
+      ("unique", "id", 1L, 5L, false),          // one excess row under id 2
+      ("referenced_in", "id", 1L, 5L, false),   // id 3 absent from dim
+    ))
+  }
+
+  test("evaluate: a clean table passes every rule; rule order is preserved") {
+    val clean = Seq((1L, "aa"), (2L, "bb")).toDF("id", "name")
+    val got = Expectations.evaluate(clean, Seq(
+      Unique(Seq("id")), NotNull("name"), Matches("name", "^[a-z]+$")))
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq("unique", "not_null", "matches"))
+    assert(got.forall(r => r._3 == 0L && r._4 == 2L && r._5))
+  }
+
+  test("evaluate: all row-level rules share ONE scan (a single 1-row aggregate)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val plan = Expectations.evaluate(docs, Seq(
+      NotNull("text"), InRange("n_chars", 1, 900),
+      Matches("lang", "^[a-z]{2}$"), OneOf("lang", Seq("en", "de")),
+      MaxNullFraction("text", 0.1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"five row rules must share one corpus scan:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"), s"row rules need no join:\n${plan.take(800)}")
+  }
+
+  test("evaluate: unknown columns and empty rule lists are rejected") {
+    intercept[IllegalArgumentException](Expectations.evaluate(rows, Seq(NotNull("nope"))))
+    intercept[IllegalArgumentException](Expectations.evaluate(rows, Seq.empty))
+    intercept[IllegalArgumentException](MaxNullFraction("name", 1.5))
+    intercept[IllegalArgumentException](Unique(Seq.empty))
+  }
+
+  test("kAnonymity: group sizes, risk counts and the effective k match hand computation") {
+    // groups: (a,1)x3, (a,2)x2, (b,1)x1, (null,1)x2  -> k=2: one small group (b,1)
+    val q = Seq(
+      ("a", 1), ("a", 1), ("a", 1), ("a", 2), ("a", 2),
+      ("b", 1),
+      (null: String, 1), (null: String, 1),
+    ).toDF("qa", "qb")
+    val r2 = Expectations.kAnonymity(q, Seq("qa", "qb"), 2)
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(r2 == ((8L, 4L, 1L, 1L, 1L, false)))
+    // k=4: every group (3, 2, 1 and 2 rows) is under 4 — all 8 rows at risk
+    val r4 = Expectations.kAnonymity(q, Seq("qa", "qb"), 4)
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(r4 == ((8L, 4L, 4L, 8L, 1L, false)))
+    // a table that IS k-anonymous reports so
+    val ok = Expectations.kAnonymity(
+      Seq(("a", 1), ("a", 1), ("a", 1)).toDF("qa", "qb"), Seq("qa", "qb"), 2)
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(ok == ((3L, 1L, 0L, 0L, 3L, true)))
+  }
+}
