@@ -1733,6 +1733,40 @@ object SparkEntry {
       Expectations.kAnonymity(q, Seq("event_type", "geo_bucket", "value_band"), 5)
     }),
 
+    // DQ3 — l-diversity audit (round 12, Machanavajjhala 2007): the
+    // homogeneity-attack complement of dq2 — a large quasi-identifier
+    // group still leaks when its members share one sensitive value.
+    // Two map-side-combinable aggregates ((quasi, sensitive) → quasi) +
+    // a rollup; diversity counts distinct non-null sensitive values.
+    "dq3_ldiversity" -> ((s, d) => {
+      val ev = Tables(s, d).events.select(
+        col("event_type"),
+        (col("user_id") % 5).as("cohort"),
+        floor(col("value") * 2).cast("long").as("sensitive_band"))
+      Expectations.lDiversity(ev, Seq("event_type", "cohort"), "sensitive_band", 3)
+    }),
+
+    // DQ4 — snapshot drift report (round 12): profile the documents table
+    // and a PLANTED new drop (lang nulled for doc_id%7 → null-rate drift;
+    // n_chars shifted +100000 for doc_id%97 → numeric range expansion;
+    // source fanned out 7x → NDV explosion; doc_id untouched → clean),
+    // then Profile.drift joins the two ≤|columns|-row profiles and flags
+    // what moved. exactNdv profiles so the oracle replays the NDV leg
+    // deterministically.
+    "dq4_profile_drift" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val cols = (Seq("doc_id", "n_chars"), Seq("lang", "source"))
+      val before = Profile.profile(docs, cols._1, cols._2, exactNdv = true)
+      val plantedAfter = docs
+        .withColumn("lang",
+          when(col("doc_id") % 7 === 0, lit(null).cast("string")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 97 === 0, col("n_chars") + 100000L).otherwise(col("n_chars")))
+        .withColumn("source", concat(col("source"), lit("_"), (col("doc_id") % 7).cast("string")))
+      val after = Profile.profile(plantedAfter, cols._1, cols._2, exactNdv = true)
+      Profile.drift(before, after).orderBy("col_name")
+    }),
+
     // X39 — scorer calibration (round 11): the reliability diagram +
     // ECE/MCE for a probabilistic scorer. The fixture scorer is
     // DELIBERATELY miscalibrated in a replayable way: the true positive
@@ -5185,6 +5219,53 @@ object SparkEntry {
            |   min(c)::BIGINT AS min_group_size,
            |   count(*) FILTER (WHERE c < 5) = 0 AS k_anonymous
            | FROM g""".stripMargin,
+
+    // dq3 — per-quasi distinct sensitive counts (nulls excluded) + rollup
+    "dq3_ldiversity" ->
+      raw"""WITH q AS (SELECT event_type, user_id % 5 AS cohort,
+           |   CAST(floor(value * 2) AS BIGINT) AS s FROM events),
+           | g AS (SELECT event_type, cohort, count(*)::BIGINT AS rws,
+           |        count(DISTINCT s)::BIGINT AS div FROM q GROUP BY 1, 2)
+           | SELECT sum(rws)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+           |   count(*) FILTER (WHERE div < 3)::BIGINT AS n_low_diversity_groups,
+           |   coalesce(sum(rws) FILTER (WHERE div < 3), 0)::BIGINT AS rows_at_risk,
+           |   min(div)::BIGINT AS min_diversity,
+           |   count(*) FILTER (WHERE div < 3) = 0 AS l_diverse
+           | FROM g""".stripMargin,
+
+    // dq4 — both exact profiles and every drift flag replayed per column
+    "dq4_profile_drift" -> {
+      val pl = """SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        | CASE WHEN doc_id % 97 = 0 THEN n_chars + 100000 ELSE n_chars END AS n_chars,
+        | source || '_' || CAST(doc_id % 7 AS VARCHAR) AS source
+        | FROM documents""".stripMargin
+      def leg(c: String, numeric: Boolean) = {
+        val mnb = if (numeric) s"(SELECT min($c)::DOUBLE FROM documents)" else "NULL::DOUBLE"
+        val mxb = if (numeric) s"(SELECT max($c)::DOUBLE FROM documents)" else "NULL::DOUBLE"
+        val mna = if (numeric) s"(SELECT min($c)::DOUBLE FROM pl)" else "NULL::DOUBLE"
+        val mxa = if (numeric) s"(SELECT max($c)::DOUBLE FROM pl)" else "NULL::DOUBLE"
+        s"""SELECT '$c' AS col_name,
+           | (SELECT (count(*) - count($c)) * 1.0 / count(*) FROM documents) AS nrb,
+           | (SELECT (count(*) - count($c)) * 1.0 / count(*) FROM pl) AS nra,
+           | (SELECT count(DISTINCT $c)::DOUBLE FROM documents) AS ndvb,
+           | (SELECT count(DISTINCT $c)::DOUBLE FROM pl) AS ndva,
+           | $mnb AS mnb, $mxb AS mxb, $mna AS mna, $mxa AS mxa""".stripMargin
+      }
+      val legs = Seq(leg("doc_id", true), leg("n_chars", true),
+        leg("lang", false), leg("source", false)).mkString(" UNION ALL ")
+      raw"""WITH pl AS ($pl),
+           | legs AS ($legs)
+           | SELECT col_name, 'present' AS status,
+           |   round(abs(nra - nrb), 6) AS null_rate_shift,
+           |   abs(nra - nrb) > 0.05 AS null_drift,
+           |   round(ndva / ndvb, 6) AS ndv_ratio,
+           |   coalesce(ndva / ndvb > 2.0 OR ndva / ndvb < 0.5, false) AS ndv_drift,
+           |   coalesce(mna < mnb OR mxa > mxb, false) AS range_expanded,
+           |   (abs(nra - nrb) > 0.05 OR coalesce(ndva / ndvb > 2.0 OR ndva / ndvb < 0.5, false)
+           |     OR coalesce(mna < mnb OR mxa > mxb, false)) AS drifted
+           | FROM legs ORDER BY col_name""".stripMargin
+    },
 
     // x38 — full relational replay: the same diversity score, both
     // window ranks with the pinned tie-breaks, the candidate count and

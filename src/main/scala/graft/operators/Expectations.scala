@@ -148,6 +148,46 @@ object Expectations {
     * group per null combination (the conservative reading: null patterns
     * are quasi-identifying too).
     */
+  /** l-diversity audit — k-anonymity's complement (Machanavajjhala 2007):
+    * a quasi-identifier group can be large yet still leak if every member
+    * shares one SENSITIVE value (homogeneity attack). Per group, count
+    * distinct non-null sensitive values; groups with fewer than `l` are
+    * at risk. One (quasi ++ sensitive)-keyed aggregate folded to a
+    * quasi-keyed one (both map-side combinable) + a tiny rollup —
+    * (n_rows, n_groups, n_low_diversity_groups, rows_at_risk,
+    * min_diversity, l_diverse). A group whose sensitive values are ALL
+    * null has diversity 0 — maximally homogeneous, at risk by definition.
+    */
+  def lDiversity(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String, l: Int,
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2: $l")
+    (quasiCols :+ sensitiveCol).foreach(c =>
+      require(df.columns.contains(c), s"unknown column $c"))
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol must not be a quasi-identifier")
+    val q = quasiCols.map(col)
+    // two-level distinct: (quasi, sensitive) partial groups collapse into
+    // per-quasi distinct counts without carrying value sets through the
+    // shuffle
+    df.groupBy((q :+ col(sensitiveCol)).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(q.toIndexedSeq: _*)
+      .agg(
+        sum(col("__c")).as("__rows"),
+        count(when(col(sensitiveCol).isNotNull, 1)).as("__div"))
+      .agg(
+        coalesce(sum(col("__rows")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        count(when(col("__div") < l, 1)).as("n_low_diversity_groups"),
+        coalesce(sum(when(col("__div") < l, col("__rows"))), lit(0L)).as("rows_at_risk"),
+        min(col("__div")).as("min_diversity"))
+      .select(col("n_rows"), col("n_groups"), col("n_low_diversity_groups"),
+        col("rows_at_risk"), col("min_diversity"),
+        (col("n_low_diversity_groups") === 0L).as("l_diverse"))
+  }
+
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 2, s"k must be >= 2: $k")

@@ -65,4 +65,59 @@ object Profile {
         .select("col_name", "n", "n_nulls", "ndv", "min_num", "max_num", "min_str", "max_str")
     }
   }
+
+  /** Snapshot-to-snapshot drift report — the check a pipeline runs when a
+    * new data DROP arrives: join two [[profile]] outputs by column and
+    * flag what moved. Per column: presence (`added`/`removed`/`present`),
+    * null-rate shift beyond `maxNullRateShift`, exact-NDV ratio outside
+    * [1/maxNdvRatio, maxNdvRatio], and numeric range EXPANSION (a new min
+    * below or max above the before-range — values the downstream job has
+    * never seen). `drifted` ORs them; the inputs are ≤|columns|-row
+    * profile tables, so the whole report is a broadcast-sized join —
+    * the corpus cost was already paid by the two profile scans.
+    *
+    * Use `exactNdv = true` profiles when the NDV leg must be
+    * deterministic (sketch NDV estimates can wobble across runs).
+    */
+  def drift(
+      before: DataFrame,
+      after: DataFrame,
+      maxNullRateShift: Double = 0.05,
+      maxNdvRatio: Double = 2.0,
+  ): DataFrame = {
+    require(maxNullRateShift >= 0.0 && maxNullRateShift <= 1.0,
+      s"maxNullRateShift must be in [0,1]: $maxNullRateShift")
+    require(maxNdvRatio >= 1.0, s"maxNdvRatio must be >= 1: $maxNdvRatio")
+    def pick(df: DataFrame, suffix: String) = df.select(
+      col("col_name"),
+      ((col("n_nulls").cast("double")) /
+        greatest(col("n") + col("n_nulls"), lit(1L))).as(s"null_rate$suffix"),
+      col("ndv").cast("double").as(s"ndv$suffix"),
+      col("min_num").as(s"min_num$suffix"),
+      col("max_num").as(s"max_num$suffix"),
+      lit(true).as(s"present$suffix"))
+    val j = pick(before, "_before").join(pick(after, "_after"), Seq("col_name"), "full_outer")
+    val status = when(coalesce(col("present_before"), lit(false)) &&
+      coalesce(col("present_after"), lit(false)), "present")
+      .when(coalesce(col("present_after"), lit(false)), "added")
+      .otherwise("removed")
+    val nullShift = abs(coalesce(col("null_rate_after"), lit(0.0))
+      - coalesce(col("null_rate_before"), lit(0.0)))
+    val ndvRatio = col("ndv_after") / col("ndv_before") // null when either side lacks NDV
+    val ndvDrift = coalesce(
+      ndvRatio > maxNdvRatio || ndvRatio < 1.0 / maxNdvRatio, lit(false))
+    val rangeExpanded = coalesce(
+      col("min_num_after") < col("min_num_before") ||
+        col("max_num_after") > col("max_num_before"), lit(false))
+    j.select(
+      col("col_name"),
+      status.as("status"),
+      round(nullShift, 6).as("null_rate_shift"),
+      (nullShift > maxNullRateShift).as("null_drift"),
+      round(ndvRatio, 6).as("ndv_ratio"),
+      ndvDrift.as("ndv_drift"),
+      rangeExpanded.as("range_expanded"),
+      (status =!= "present" || nullShift > maxNullRateShift
+        || ndvDrift || rangeExpanded).as("drifted"))
+  }
 }

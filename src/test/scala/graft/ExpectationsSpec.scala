@@ -91,4 +91,57 @@ class ExpectationsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Boolean)].head()
     assert(ok == ((3L, 1L, 0L, 0L, 3L, true)))
   }
+
+  test("lDiversity: homogeneous groups flagged even when k-anonymous; null sensitives count zero") {
+    // group (a): 4 rows but ONE sensitive value -> diversity 1
+    // group (b): 3 rows, sensitives x,y,z     -> diversity 3
+    // group (c): 2 rows, both null sensitive   -> diversity 0 (at risk)
+    val t = Seq(
+      ("a", "s1"), ("a", "s1"), ("a", "s1"), ("a", "s1"),
+      ("b", "x"), ("b", "y"), ("b", "z"),
+      ("c", null: String), ("c", null: String),
+    ).toDF("qa", "sens")
+    val r = Expectations.lDiversity(t, Seq("qa"), "sens", 2)
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(r == ((9L, 3L, 2L, 6L, 0L, false)))
+    // the k-anonymity view of the same table passes at k=2 — exactly the
+    // homogeneity blind spot l-diversity exists for
+    val ka = Expectations.kAnonymity(t, Seq("qa"), 2)
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(ka._6)
+    // quasi == sensitive is rejected
+    intercept[IllegalArgumentException](Expectations.lDiversity(t, Seq("qa"), "qa", 2))
+  }
+
+  test("Profile.drift: null-rate, NDV-ratio, range-expansion and presence flags match hand computation") {
+    import graft.operators.Profile
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "cat")
+    // after: one null id (25% null-rate shift), cat fans out (ndv 4 -> 8
+    // over two rows each... keep 8 distinct), id range extends to 9
+    val after = Seq(
+      (Some(1L), "a1"), (Some(2L), "b1"), (Some(9L), "c1"), (None: Option[Long], "d1"),
+      (Some(3L), "a2"), (Some(4L), "b2"), (Some(2L), "c2"), (Some(3L), "d2"),
+    ).toDF("id", "cat")
+    val pb = Profile.profile(before, Seq("id"), Seq("cat"), exactNdv = true)
+    val pa = Profile.profile(after, Seq("id"), Seq("cat"), exactNdv = true)
+    val got = Profile.drift(pb, pa)
+      .orderBy("col_name")
+      .as[(String, String, Double, Boolean, Double, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    val byCol = got.map(r => r._1 -> r).toMap
+    // cat: ndv 4 -> 8 = ratio 2.0 (NOT > 2.0 -> no ndv drift), no nulls
+    assert(byCol("cat") == (("cat", "present", 0.0, false, 2.0, false, false, false)))
+    // id: null rate 0 -> 1/8 (> 0.05), max 4 -> 9 range expansion;
+    // distinct ids {1,2,3,4} -> {1,2,3,4,9} = ratio 1.25
+    val id = byCol("id")
+    assert(id._2 == "present" && id._4 && id._7 && id._8)
+    assert(math.abs(id._3 - 0.125) < 1e-9 && math.abs(id._5 - 1.25) < 1e-9 && !id._6)
+    // added/removed columns always drift
+    val pa2 = Profile.profile(after.withColumnRenamed("cat", "cat2"), Seq("id"), Seq("cat2"), exactNdv = true)
+    val full = Profile.drift(pb, pa2).select("col_name", "status", "drifted")
+      .as[(String, String, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full("cat") == (("removed", true)) && full("cat2") == (("added", true)))
+    assert(full("id")._1 == "present")
+  }
 }
