@@ -554,6 +554,21 @@ object ScaleBench {
           docs.select(((length(col("text")) % 100) / 100.0).as("score"),
             (col("doc_id") % 2).cast("int").as("label")),
           "score", "label", 10).count()),
+        // dq1 (round 12): five row rules share ONE scan + a uniqueness
+        // key aggregate — should track raw scan throughput
+        "dq_expectations" -> (() => {
+          import graft.operators.Expectations._
+          graft.operators.Expectations.evaluate(docs, Seq(
+            NotNull("text"), InRange("doc_id", 0, 1e12),
+            Matches("text", "^[\\s\\S]*$"), MaxNullFraction("text", 0.5),
+            Unique(Seq("doc_id")))).count()
+        }),
+        // dq2/dq3 (round 12): quasi-keyed aggregates + rollup over events
+        "dq_kanonymity"   -> (() => {
+          val q = events.select(col("event_type"), (col("user_id") % 37).as("g"),
+            floor(col("value")).cast("long").as("vb"))
+          graft.operators.Expectations.kAnonymity(q, Seq("event_type", "g", "vb"), 5).count()
+        }),
         "cosine_topk"     -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
         // round-10 v27: group shuffle builds the token bags, then ONE
         // fused maxsim pass + TakeOrderedAndProject — linear in vectors
