@@ -138,16 +138,6 @@ object Expectations {
       .orderBy("__i").drop("__i")
   }
 
-  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): any
-    * row whose quasi-identifier combination is shared by fewer than `k`
-    * rows is re-identifiable at that k. One key-grouped aggregate and one
-    * tiny rollup — (n_rows, n_groups, n_small_groups, rows_at_risk,
-    * min_group_size, k_anonymous). `min_group_size` IS the table's
-    * effective k; `k_anonymous` gates releases the way the DQ suite's
-    * `pass` column does. Rows with a NULL quasi-identifier form their own
-    * group per null combination (the conservative reading: null patterns
-    * are quasi-identifying too).
-    */
   /** l-diversity audit — k-anonymity's complement (Machanavajjhala 2007):
     * a quasi-identifier group can be large yet still leak if every member
     * shares one SENSITIVE value (homogeneity attack). Per group, count
@@ -182,12 +172,22 @@ object Expectations {
         count(lit(1)).as("n_groups"),
         count(when(col("__div") < l, 1)).as("n_low_diversity_groups"),
         coalesce(sum(when(col("__div") < l, col("__rows"))), lit(0L)).as("rows_at_risk"),
-        min(col("__div")).as("min_diversity"))
+        coalesce(min(col("__div")), lit(0L)).as("min_diversity")) // empty input: 0, not null
       .select(col("n_rows"), col("n_groups"), col("n_low_diversity_groups"),
         col("rows_at_risk"), col("min_diversity"),
         (col("n_low_diversity_groups") === 0L).as("l_diverse"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): any
+    * row whose quasi-identifier combination is shared by fewer than `k`
+    * rows is re-identifiable at that k. One key-grouped aggregate and one
+    * tiny rollup — (n_rows, n_groups, n_small_groups, rows_at_risk,
+    * min_group_size, k_anonymous). `min_group_size` IS the table's
+    * effective k; `k_anonymous` gates releases the way the DQ suite's
+    * `pass` column does. Rows with a NULL quasi-identifier form their own
+    * group per null combination (the conservative reading: null patterns
+    * are quasi-identifying too).
+    */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 2, s"k must be >= 2: $k")
@@ -199,7 +199,7 @@ object Expectations {
         count(lit(1)).as("n_groups"),
         count(when(col("__c") < k, 1)).as("n_small_groups"),
         coalesce(sum(when(col("__c") < k, col("__c"))), lit(0L)).as("rows_at_risk"),
-        min(col("__c")).as("min_group_size"))
+        coalesce(min(col("__c")), lit(0L)).as("min_group_size")) // empty input: 0, not null
       .select(col("n_rows"), col("n_groups"), col("n_small_groups"),
         col("rows_at_risk"), col("min_group_size"),
         (col("n_small_groups") === 0L).as("k_anonymous"))
