@@ -59,12 +59,17 @@ object RecrawlStream {
       nList: Int,
       embedder: Embedder = Embedder.default,
   ): Unit = {
+    // the (id, hash) snapshot is independent of the embed → index chain —
+    // overlap the two writes (separate lineages, separate output dirs)
+    val snapF = scala.concurrent.Future {
+      docs.select(col(idCol), Dedup.exactKey(col(textCol)).as("__hash"))
+        .write.mode("overwrite").parquet(docsPath(root))
+    }(scala.concurrent.ExecutionContext.global)
     val emb = Embedder.embedText(spark, docs, idCol, textCol, embedder).toDF()
       .select(col("id").as(idCol), col("embedding"))
     val (assigned, model) = Ivf.assign(emb, "embedding", nList)
     Ivf.writeIndexed(assigned, indexPath(root), model, "embedding")
-    docs.select(col(idCol), Dedup.exactKey(col(textCol)).as("__hash"))
-      .write.mode("overwrite").parquet(docsPath(root))
+    scala.concurrent.Await.result(snapF, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Current (id, __hash) snapshot, with the `.old` crash fallback. */
