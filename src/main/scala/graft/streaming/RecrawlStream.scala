@@ -143,15 +143,11 @@ object RecrawlStream {
         val nRem = scala.concurrent.Await.result(nRemF, scala.concurrent.duration.Duration.Inf)
         val vecName = Ivf.readCentroids(indexPath(root), spark.sparkContext.hadoopConfiguration)
           .flatMap(_.column).getOrElse("embedding")
-        // upsert ids are unique by construction (the batch aggregate keys
-        // on the id) and the delta size is already measured — skip
-        // applyDelta's own duplicate guard and broadcast-gate count
-        val touched =
-          try Ivf.applyDelta(spark, indexPath(root), removals,
-            fresh.withColumnRenamed("embedding", vecName), idCol,
-            addsDistinct = true, maxDeltaRows = nRem + nUp)
-          finally { fresh.unpersist(); () }
-        // publish the next snapshot: write beside, swap, verify, drop .old
+        // prepare the next snapshot CONCURRENTLY with the index patch:
+        // writing to `.next` is pure staging (reads the pre-batch docs
+        // dir + the batch caches, touches nothing applyDelta touches),
+        // and the index-before-snapshot durability ordering is preserved
+        // because the SWAP renames only happen after applyDelta returns
         val gone = removals.unionByName(upserts.select(col(idCol)))
         val next = cur.join(gone, Seq(idCol), "left_anti")
           .unionByName(upserts.select(col(idCol), col("__bh").as("__hash")))
@@ -160,7 +156,18 @@ object RecrawlStream {
         val fs   = live.getFileSystem(conf)
         val tmp  = new org.apache.hadoop.fs.Path(docsPath(root) + ".next")
         fs.delete(tmp, true)
-        next.write.mode("overwrite").parquet(tmp.toString)
+        val nextF = scala.concurrent.Future {
+          next.write.mode("overwrite").parquet(tmp.toString)
+        }(scala.concurrent.ExecutionContext.global)
+        // upsert ids are unique by construction (the batch aggregate keys
+        // on the id) and the delta size is already measured — skip
+        // applyDelta's own duplicate guard and broadcast-gate count
+        val touched =
+          try Ivf.applyDelta(spark, indexPath(root), removals,
+            fresh.withColumnRenamed("embedding", vecName), idCol,
+            addsDistinct = true, maxDeltaRows = nRem + nUp)
+          finally { fresh.unpersist(); () }
+        scala.concurrent.Await.result(nextF, scala.concurrent.duration.Duration.Inf)
         val old = new org.apache.hadoop.fs.Path(docsPath(root) + ".old")
         fs.delete(old, true)
         if (fs.exists(live)) fs.rename(live, old)
