@@ -704,21 +704,23 @@ object Hnsw {
         }
       }
       .toDF("shard", "ord", "id", "level", "vec", "links", "entry", "max_level")
-      .localCheckpoint(true) // sever the store-file lineage before overwriting
-    // per-writer option, not a session-conf toggle (Ivf.applyDelta's
-    // discipline): mutating the session conf races concurrent writers —
-    // a reset to 'static' mid-write would turn this into a full-table
-    // overwrite and delete every untouched shard directory
-    rebuilt.write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").partitionBy("shard").parquet(path)
-    // emptied shards have no output partition — drop their directories
-    val survivors = rebuilt.select("shard").distinct().as[Long].collect().toSet
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(survivors).foreach { sh =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"shard=$sh"), true)
+    // ONE materialization (the Ivf.applyDelta discipline): write the
+    // touched shards' replacement data BESIDE the store — no lineage
+    // conflict with the files being read, so no localCheckpoint pass
+    // doubling the rebuild's I/O — then swap each touched shard
+    // directory in. A shard the delta emptied has no replacement
+    // directory and stays deleted.
+    val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
+    fs.delete(tmp, true)
+    rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp.toString)
+    touched.foreach { sh =>
+      val dst = new org.apache.hadoop.fs.Path(path, s"shard=$sh")
+      val src = new org.apache.hadoop.fs.Path(tmp, s"shard=$sh")
+      fs.delete(dst, true)
+      if (fs.exists(src)) fs.rename(src, dst)
     }
-    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(rebuilt)
+    fs.delete(tmp, true)
     touched.length
   }
 
