@@ -113,6 +113,49 @@ class ExpectationsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Expectations.lDiversity(t, Seq("qa"), "qa", 2))
   }
 
+  test("property: rule invariants hold on sampled random tables") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      id   <- Gen.choose(0L, 20L)
+      name <- Gen.option(Gen.oneOf("aa", "bb", "Cc", "d7"))
+      sc   <- Gen.oneOf(Gen.choose(-1.0, 2.0), Gen.const(Double.NaN))
+    } yield (id, name.orNull, sc)
+    val tableGen = Gen.listOfN(40, rowGen)
+    (0 until 12).foreach { i =>
+      val rowsS = tableGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = rowsS.toDF("id", "name", "score")
+      val out = Expectations.evaluate(df, Seq(
+        NotNull("name"), MaxNullFraction("name", 0.5),
+        InRange("score", 0.0, 1.0), Matches("name", "^[a-z]+$"),
+        Unique(Seq("id"))))
+        .as[(String, String, Long, Long, Boolean)].collect()
+      // violations never exceed the total; totals equal the row count;
+      // the NotNull and MaxNullFraction counts agree; a zero-violation
+      // hard rule passes and a violating one fails
+      out.foreach { case (e, c, v, t, p) =>
+        assert(v >= 0 && v <= t, s"$e/$c: $v of $t")
+        assert(t == rowsS.length.toLong)
+        if (e != "max_null_fraction") assert(p == (v == 0), s"$e: pass=$p v=$v")
+      }
+      val byRule = out.map(r => r._1 -> r._3).toMap
+      assert(byRule("not_null") == byRule("max_null_fraction"))
+      // k-anonymity bookkeeping: risk rows bounded, verdict consistent
+      val ka = Expectations.kAnonymity(df, Seq("id", "name"), 3)
+        .as[(Long, Long, Long, Long, Long, Boolean)].head()
+      assert(ka._1 == rowsS.length.toLong && ka._4 <= ka._1 && ka._3 <= ka._2)
+      assert(ka._6 == (ka._3 == 0L))
+      assert(ka._5 >= 1L) // 40 rows: no empty input here
+      // l-diversity risk is at least k-anonymity's at the same threshold:
+      // a group smaller than l can hold at most (size) < l distinct values
+      val ld = Expectations.lDiversity(df, Seq("id"), "name", 3)
+        .as[(Long, Long, Long, Long, Long, Boolean)].head()
+      val ka2 = Expectations.kAnonymity(df, Seq("id"), 3)
+        .as[(Long, Long, Long, Long, Long, Boolean)].head()
+      assert(ld._4 >= ka2._4, s"l-diversity risk ${ld._4} < k-anonymity risk ${ka2._4}")
+    }
+  }
+
   test("Profile.drift: null-rate, NDV-ratio, range-expansion and presence flags match hand computation") {
     import graft.operators.Profile
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "cat")
