@@ -918,7 +918,9 @@ private[graft] object PdfParser {
 
   /** Adobe-glyph-list subset covering the names /Differences arrays use
     * in practice (ASCII names, Latin-1 accents, typographic punctuation,
-    * f-ligatures) plus the algorithmic uniXXXX/uXXXX forms. Unknown
+    * f-ligatures, the full Greek alphabet, the TeX-derived math operator
+    * names, and the AFII Cyrillic set) plus the algorithmic
+    * uniXXXX/uXXXX/suffix/ligature forms in [[glyphToUnicode]]. Unknown
     * glyph names (e.g. bare subset names like /g42) return None and the
     * byte falls back to its base-encoding/literal value.
     */
@@ -963,6 +965,68 @@ private[graft] object PdfParser {
       "multiply" -> "×", "divide" -> "÷", "plusminus" -> "±",
       "onehalf" -> "½", "onequarter" -> "¼", "threequarters" -> "¾",
     )
+    // Greek (AGLFN names — math/physics PDFs carry these constantly).
+    // AGL quirk: lowercase "mu" is MICRO SIGN above (Latin-1 set); the
+    // Greek letter mu's AGLFN name is also "mu", but the Latin-1 entry
+    // wins for table-compat with the original AGLFN double mapping.
+    val greekLower = Seq(
+      "alpha" -> 'α', "beta" -> 'β', "gamma" -> 'γ', "delta" -> 'δ',
+      "epsilon" -> 'ε', "zeta" -> 'ζ', "eta" -> 'η', "theta" -> 'θ',
+      "iota" -> 'ι', "kappa" -> 'κ', "lambda" -> 'λ',
+      "nu" -> 'ν', "xi" -> 'ξ', "omicron" -> 'ο', "pi" -> 'π',
+      "rho" -> 'ρ', "sigma" -> 'σ', "sigma1" -> 'ς', "tau" -> 'τ',
+      "upsilon" -> 'υ', "phi" -> 'φ', "phi1" -> 'ϕ', "chi" -> 'χ',
+      "psi" -> 'ψ', "omega" -> 'ω')
+    val greekUpper = Seq(
+      "Alpha" -> 'Α', "Beta" -> 'Β', "Gamma" -> 'Γ', "Delta" -> 'Δ',
+      "Epsilon" -> 'Ε', "Zeta" -> 'Ζ', "Eta" -> 'Η', "Theta" -> 'Θ',
+      "Iota" -> 'Ι', "Kappa" -> 'Κ', "Lambda" -> 'Λ', "Mu" -> 'Μ',
+      "Nu" -> 'Ν', "Xi" -> 'Ξ', "Omicron" -> 'Ο', "Pi" -> 'Π',
+      "Rho" -> 'Ρ', "Sigma" -> 'Σ', "Tau" -> 'Τ', "Upsilon" -> 'Υ',
+      "Phi" -> 'Φ', "Chi" -> 'Χ', "Psi" -> 'Ψ', "Omega" -> 'Ω')
+    for ((n, c) <- greekLower ++ greekUpper) b += n -> c.toString
+    // math operators the TeX-derived fonts name (AGLFN)
+    b ++= Seq(
+      "minus" -> "−", "periodcentered" -> "·", "dotmath" -> "⋅",
+      "approxequal" -> "≈", "notequal" -> "≠", "lessequal" -> "≤",
+      "greaterequal" -> "≥", "infinity" -> "∞", "partialdiff" -> "∂",
+      "summation" -> "∑", "product" -> "∏", "integral" -> "∫",
+      "radical" -> "√", "proportional" -> "∝", "element" -> "∈",
+      "arrowright" -> "→", "arrowleft" -> "←", "arrowup" -> "↑",
+      "arrowdown" -> "↓", "arrowboth" -> "↔", "gradient" -> "∇",
+      "intersection" -> "∩", "union" -> "∪", "emptyset" -> "∅",
+      "lozenge" -> "◊", "perpendicular" -> "⊥", "therefore" -> "∴",
+      "angle" -> "∠", "asteriskmath" -> "∗", "equivalence" -> "≡",
+      "propersubset" -> "⊂", "propersuperset" -> "⊃",
+      "logicaland" -> "∧", "logicalor" -> "∨", "logicalnot" -> "¬",
+      "universal" -> "∀", "existential" -> "∃", "suchthat" -> "∋",
+      "congruent" -> "≅", "circleplus" -> "⊕", "circlemultiply" -> "⊗")
+    // Cyrillic AFII names (the legacy Adobe/AFII double mapping pypdf's
+    // tables carry). The AFII sequence interleaves Ё after Е (and ё
+    // after е), so it is NOT a contiguous Unicode run — spell it out:
+    // afii10017..10049 and afii10065..10097.
+    val ruUpper = "АБВГДЕЁЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"
+    val ruLower = "абвгдеёжзийклмнопрстуфхцчшщъыьэюя"
+    for (i <- 0 until 33) {
+      b += s"afii${10017 + i}" -> ruUpper(i).toString
+      b += s"afii${10065 + i}" -> ruLower(i).toString
+    }
+    b ++= Seq(
+      "afii10050" -> "Ґ", "afii10098" -> "ґ",
+      "afii10051" -> "Ђ", "afii10099" -> "ђ",
+      "afii10052" -> "Ѓ", "afii10100" -> "ѓ",
+      "afii10053" -> "Є", "afii10101" -> "є",
+      "afii10054" -> "Ѕ", "afii10102" -> "ѕ",
+      "afii10055" -> "І", "afii10103" -> "і",
+      "afii10056" -> "Ї", "afii10104" -> "ї",
+      "afii10057" -> "Ј", "afii10105" -> "ј",
+      "afii10058" -> "Љ", "afii10106" -> "љ",
+      "afii10059" -> "Њ", "afii10107" -> "њ",
+      "afii10060" -> "Ћ", "afii10108" -> "ћ",
+      "afii10061" -> "Ќ", "afii10109" -> "ќ",
+      "afii10062" -> "Ў", "afii10110" -> "ў",
+      "afii10145" -> "Џ", "afii10193" -> "џ",
+      "afii61352" -> "№")
     b.result()
   }
 

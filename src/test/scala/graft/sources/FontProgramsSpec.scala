@@ -229,6 +229,22 @@ class FontProgramsSpec extends AnyFunSuite {
     assert(g("f_i.liga") == Some("fi")) // suffix strips before the split
   }
 
+  test("glyph table: Greek, math-operator and AFII Cyrillic names resolve (the pypdf-table parity set)") {
+    def g(n: String) = PdfParser.glyphToUnicode(n)
+    assert(g("alpha") == Some("α") && g("Omega") == Some("Ω") && g("pi") == Some("π"))
+    assert(g("sigma1") == Some("ς")) // final sigma's AGLFN name
+    assert(g("mu") == Some("µ"))     // AGL double-mapping quirk: micro sign wins
+    assert(g("summation") == Some("∑") && g("lessequal") == Some("≤") && g("arrowright") == Some("→"))
+    assert(g("minus") == Some("−"))  // U+2212, not hyphen-minus
+    // AFII: the sequence interleaves Ё/ё, so spot-check around the insert
+    assert(g("afii10017") == Some("А") && g("afii10022") == Some("Е"))
+    assert(g("afii10023") == Some("Ё") && g("afii10024") == Some("Ж"))
+    assert(g("afii10049") == Some("Я") && g("afii10065") == Some("а") && g("afii10097") == Some("я"))
+    assert(g("afii10071") == Some("ё") && g("afii10103") == Some("і") && g("afii61352") == Some("№"))
+    // suffix/ligature algorithm composes with the new table entries
+    assert(g("alpha.sc") == Some("α") && g("afii10017.alt") == Some("А"))
+  }
+
   test("end-to-end non-AGL fixture: scrambled codes decode through the glyph-name algorithm alone") {
     val pdf = Files.readAllBytes(Paths.get("fixtures/office/fontnonagl/fontnonagl.pdf"))
     val (text, meta) = new PdfExtractor().extract(pdf, "fontnonagl.pdf")
