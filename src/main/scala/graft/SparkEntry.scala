@@ -1733,6 +1733,17 @@ object SparkEntry {
       Expectations.kAnonymity(q, Seq("event_type", "geo_bucket", "value_band"), 5)
     }),
 
+    // U16 — pre-flight shuffle-skew audit (round 12): the measurement
+    // that picks between plain groupBy, saltedAggregate and saltedJoin
+    // BEFORE a 100 TB shuffle launches. Buckets simulate the reducer
+    // hash with an engine-portable function (first 8 md5 hex digits of
+    // the key string), so DuckDB replays the bucket loads, the straggler
+    // factor and the salt verdict exactly. events keyed by event_type:
+    // 5 keys over the corpus → every bucket holds whole keys, imbalance
+    // is structural, salting is the verdict.
+    "u16_key_skew" -> ((s, d) =>
+      Skew.keySkewStats(Tables(s, d).events, Seq("event_type"), 32)),
+
     // DQ3 — l-diversity audit (round 12, Machanavajjhala 2007): the
     // homogeneity-attack complement of dq2 — a large quasi-identifier
     // group still leaks when its members share one sensitive value.
@@ -5219,6 +5230,21 @@ object SparkEntry {
            |   min(c)::BIGINT AS min_group_size,
            |   count(*) FILTER (WHERE c < 5) = 0 AS k_anonymous
            | FROM g""".stripMargin,
+
+    // u16 — key counts, portable md5 buckets, straggler factor and the
+    // salt verdict replayed relationally
+    "u16_key_skew" ->
+      raw"""WITH k AS (SELECT event_type AS kk, count(*)::BIGINT AS c FROM events GROUP BY 1),
+           | kb AS (SELECT c, kk, CAST('0x' || substr(md5(kk), 1, 8) AS BIGINT) % 32 AS b FROM k),
+           | tot AS (SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys FROM k),
+           | mb AS (SELECT max(s)::BIGINT AS max_bucket_rows FROM (SELECT sum(c) AS s FROM kb GROUP BY b)),
+           | tk AS (SELECT c AS max_key_rows, kk AS top_key FROM k ORDER BY c DESC, kk DESC LIMIT 1)
+           | SELECT n_rows, n_keys, max_key_rows, top_key,
+           |   round(max_key_rows * 1.0 / greatest(n_rows, 1), 4) AS key_share,
+           |   32::BIGINT AS n_buckets, max_bucket_rows,
+           |   round(max_bucket_rows * 32.0 / greatest(n_rows, 1), 4) AS imbalance,
+           |   max_key_rows * 32 > n_rows AS salt_recommended
+           | FROM tot, mb, tk""".stripMargin,
 
     // dq3 — per-quasi distinct sensitive counts (nulls excluded) + rollup
     "dq3_ldiversity" ->

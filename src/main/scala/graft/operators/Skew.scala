@@ -11,6 +11,61 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Skew {
 
+  /** Pre-flight shuffle-skew audit for a planned key — the measurement
+    * that decides BETWEEN plain `groupBy`/join, [[saltedAggregate]], and
+    * [[saltedJoin]] before a 100 TB shuffle is launched. Simulates hash
+    * partitioning into `nBuckets` reducers with an ENGINE-PORTABLE bucket
+    * function (first 8 hex digits of md5 over the ␁-joined key string —
+    * replayable in any SQL engine, unlike Spark's murmur) and reports one
+    * row:
+    *
+    *  - n_rows, n_keys, max_key_rows, top_key, key_share — the key-level
+    *    view (`key_share` ≈ 1 means salting, not repartitioning, is the
+    *    only fix: one key IS the load);
+    *  - n_buckets, max_bucket_rows, imbalance = max bucket / mean bucket
+    *    — the reducer-level view (straggler factor of the planned
+    *    shuffle);
+    *  - salt_recommended — true when the heaviest key alone exceeds the
+    *    mean bucket load, i.e. no key-hash arrangement can balance it.
+    *
+    * Cost: ONE map-side-combined key aggregate (the same shuffle the
+    * audited groupBy would do, but carrying only (key, count)), folded
+    * through a ≤nBuckets-row rollup — each stage consumed once, so the
+    * key aggregate never re-executes.
+    */
+  def keySkewStats(df: DataFrame, keyCols: Seq[String], nBuckets: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), s"nBuckets must be in [2, 2^20]: $nBuckets")
+    keyCols.foreach(c => require(df.columns.contains(c), s"unknown column $c"))
+    val keys = df
+      .groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__c"),
+        concat_ws("", keyCols.map(c => col(c).cast("string")).toIndexedSeq: _*).as("__k"))
+      .withColumn("__b",
+        pmod(conv(substring(md5(col("__k")), 1, 8), 16, 10).cast("long"), lit(nBuckets.toLong)))
+    keys
+      .groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__bc"), count(lit(1)).as("__bk"),
+        max(struct(col("__c").as("c"), col("__k").as("k"))).as("__bt"))
+      .agg(
+        coalesce(sum(col("__bc")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("__bk")), lit(0L)).as("n_keys"),
+        coalesce(max(col("__bc")), lit(0L)).as("max_bucket_rows"),
+        max(col("__bt")).as("__top"))
+      .select(
+        col("n_rows"), col("n_keys"),
+        coalesce(col("__top.c"), lit(0L)).as("max_key_rows"),
+        col("__top.k").as("top_key"),
+        round(coalesce(col("__top.c"), lit(0L)).cast("double") /
+          greatest(col("n_rows"), lit(1L)), 4).as("key_share"),
+        lit(nBuckets.toLong).as("n_buckets"),
+        col("max_bucket_rows"),
+        round(col("max_bucket_rows").cast("double") * nBuckets /
+          greatest(col("n_rows"), lit(1L)), 4).as("imbalance"),
+        (coalesce(col("__top.c"), lit(0L)) * nBuckets > col("n_rows")).as("salt_recommended"))
+  }
+
   /** Two-stage salted aggregation: stage 1 groups on (key, salt) — spreading
     * a hot key over `saltBuckets` reducers — stage 2 merges partials per
     * key. `partials` aggregate raw rows; `merges` combine partial columns

@@ -597,6 +597,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(byS("train") - 8000) < 400, s"negative ids skewed the split: $byS")
   }
 
+  test("keySkewStats: key/bucket bookkeeping and the salt verdict match hand computation") {
+    val rows = (Seq.fill(10)("hot") ++ Seq("a", "b")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val r = Skew.keySkewStats(rows, Seq("k"), 4)
+      .as[(Long, Long, Long, String, Double, Long, Long, Double, Boolean)].head()
+    assert(r._1 == 12L && r._2 == 3L && r._3 == 10L && r._4 == "hot")
+    assert(math.abs(r._5 - 0.8333) < 1e-9 && r._6 == 4L)
+    // bucket loads depend on the md5 layout, but the hot key always sits
+    // whole in one bucket, and imbalance is definitionally consistent
+    assert(r._7 >= 10L && r._7 <= 12L)
+    assert(math.abs(r._8 - r._7 * 4.0 / 12.0) < 1e-4)
+    assert(r._9, "a key holding 10/12 rows must recommend salting at 4 buckets")
+    // perfectly flat keys at small fan-in: no salt verdict
+    val flat = (0 until 16).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    val f = Skew.keySkewStats(flat, Seq("k"), 2)
+      .as[(Long, Long, Long, String, Double, Long, Long, Double, Boolean)].head()
+    assert(f._1 == 16L && f._2 == 16L && f._3 == 1L && !f._9)
+    // composite keys concatenate with a separator: ("ab","c") != ("a","bc")
+    val comp = Seq(("ab", "c", 1L), ("a", "bc", 2L)).toDF("k1", "k2", "v")
+    val c = Skew.keySkewStats(comp, Seq("k1", "k2"), 2)
+      .as[(Long, Long, Long, String, Double, Long, Long, Double, Boolean)].head()
+    assert(c._2 == 2L, "separator must keep composite keys distinct")
+    intercept[IllegalArgumentException](Skew.keySkewStats(rows, Seq("nope"), 4))
+    intercept[IllegalArgumentException](Skew.keySkewStats(rows, Seq("k"), 1))
+  }
+
   test("saltedJoin rejects reserved columns and ambiguous collisions, salts around maps") {
     val big = Seq(("k0", 1L), ("k1", 2L)).toDF("k", "v")
     val dim = Seq(("k0", "a"), ("k1", "b")).toDF("k", "tag")
