@@ -270,7 +270,13 @@ object Eval {
     val spark = perQuery.sparkSession
     // duplicate query keys have no well-defined delta — fail loud INLINE
     // (the key-grouped aggregate that dedups is also the guard), not via
-    // an eager validation count that would re-execute perQuery's lineage
+    // an eager validation count that would re-execute perQuery's lineage.
+    // PERSISTED because zipWithIndex is unavoidably eager (it runs one
+    // per-partition count job at construction): the cache makes that job
+    // the ONLY execution of perQuery's lineage — later actions on the
+    // result read the cached sorted deltas instead of re-running the
+    // upstream pipelines. The cache is |Q| (key, long) rows; Spark's
+    // ContextCleaner frees it once the RDD is unreferenced.
     val sorted = perQuery.select(
       col(queryCol).as("__k"),
       (round(col(treatmentCol) * 10000).cast("long")
@@ -283,6 +289,7 @@ object Eval {
           col("__k").cast("string"))))
           .otherwise(col("__delta_bp")).as("__delta_bp"))
       .orderBy(col("__k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaIdx = sorted.schema.fieldIndex("__delta_bp")
     val dRows = sorted.rdd.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row(

@@ -34,7 +34,12 @@ object Expectations {
   sealed trait Rule { def column: String }
   /** Violation per NULL value. */
   final case class NotNull(column: String) extends Rule
-  /** Violation per non-null value outside [lo, hi] (NaN violates). */
+  /** Violation per non-null value outside [lo, hi]. NaN violates, and so
+    * does a non-null value that does NOT CAST to double (a string column
+    * declared numeric, locale decimals like "1,5") — a rule that silently
+    * skipped uncastable values would green-light a contract it never
+    * checked. Genuine nulls stay [[NotNull]]'s business.
+    */
   final case class InRange(column: String, lo: Double, hi: Double) extends Rule
   /** Violation per non-null value NOT fully matching `regex`. */
   final case class Matches(column: String, regex: String) extends Rule
@@ -89,8 +94,10 @@ object Expectations {
     def violationsOf(r: Rule): Column = r match {
       case NotNull(c)           => count(when(col(c).isNull, 1))
       case InRange(c, lo, hi)   =>
-        val v = col(c).cast("double")
-        count(when(v.isNotNull && (v < lo || v > hi || isnan(v)), 1))
+        val v = col(c).try_cast("double")
+        // cast-failed non-null values (try_cast null while the raw value
+        // isn't) are violations, not skips — see the case-class doc
+        count(when(col(c).isNotNull && (v.isNull || v < lo || v > hi || isnan(v)), 1))
       case Matches(c, re)       => count(when(col(c).isNotNull && !col(c).rlike(re), 1))
       case OneOf(c, vs)         => count(when(col(c).isNotNull && !col(c).isin(vs: _*), 1))
       case MaxNullFraction(c, _) => count(when(col(c).isNull, 1))

@@ -648,6 +648,14 @@ object Hnsw {
   ): Int = {
     val meta = readMeta(spark, path)
     import spark.implicits._
+    // complete any crashed shard swap BEFORE the store's file listing
+    // snapshots the directory layout
+    locally {
+      val fs0 = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Ivf.recoverDeltaSwap(fs0, new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + ".delta"), "shard=")
+    }
     // same contract as Ivf.applyDelta: duplicate ids within `added` have no
     // deterministic winner — fail loudly (one delta-sized agg)
     val dupAdds = added.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
@@ -709,10 +717,13 @@ object Hnsw {
     // conflict with the files being read, so no localCheckpoint pass
     // doubling the rebuild's I/O — then swap each touched shard
     // directory in. A shard the delta emptied has no replacement
-    // directory and stays deleted.
+    // directory and stays deleted. Crash safety: the recoverDeltaSwap
+    // pass at the NEXT call's entry (below, before this call's staging
+    // write) restores any shard whose live dir was deleted but whose
+    // replacement still sits under `.delta`, so a kill mid-swap never
+    // loses a shard.
     val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
-    fs.delete(tmp, true)
     rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp.toString)
     touched.foreach { sh =>
       val dst = new org.apache.hadoop.fs.Path(path, s"shard=$sh")

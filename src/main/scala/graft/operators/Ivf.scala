@@ -475,6 +475,13 @@ object Ivf {
       val dupAdds = added.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
       require(dupAdds == 0, s"applyDelta: duplicate ids within `added` (column $idCol)")
     }
+    // complete any crashed swap BEFORE the store's file listing snapshots
+    // the directory layout
+    locally {
+      val fs0 = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      recoverDeltaSwap(fs0, new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + ".delta"), "list_id=")
+    }
     val store = spark.read.parquet(path)
     // additions are UPSERTS: any stored row with an added id drops first,
     // so re-applying a delta (at-least-once batch retry, a caller that
@@ -516,10 +523,15 @@ object Ivf {
     // no localCheckpoint pass doubling the delta's I/O), then swap each
     // affected list directory in. Same per-list publication unit as a
     // dynamic partition overwrite; a list the delta emptied simply has no
-    // replacement directory and stays deleted.
+    // replacement directory and stays deleted. Crash safety: a kill
+    // between a dst delete and its rename leaves that partition's ONLY
+    // copy under `.delta` — the [[recoverDeltaSwap]] pass at the NEXT
+    // call's entry (before the store listing and before staging is
+    // cleared) renames any replacement whose live directory is missing
+    // back into place, so no partition is ever lost; the caller then
+    // replays the batch idempotently.
     val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
-    fs.delete(tmp, true)
     rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
     affected.foreach { l =>
       val dst = new org.apache.hadoop.fs.Path(path, s"list_id=$l")
@@ -530,6 +542,30 @@ object Ivf {
     fs.delete(tmp, true)
     rem.unpersist(); assigned.unpersist()
     affected.length.toLong
+  }
+
+  /** Complete a crashed sibling-directory partition swap: any partition
+    * directory still under `tmp` whose live twin under `root` is MISSING
+    * was deleted-but-not-yet-replaced when the writer died — rename it
+    * into place (a deliberately emptied partition never has a replacement
+    * under tmp, so it stays deleted). Then clear the staging dir. Shared
+    * by [[applyDelta]] and [[Hnsw.applyDelta]]'s swap.
+    */
+  private[graft] def recoverDeltaSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      partitionPrefix: String,
+  ): Unit = {
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith(partitionPrefix) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, name)))
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, name))
+      }
+      fs.delete(tmp, true)
+    }
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, path: String): Long = {

@@ -41,7 +41,7 @@ object Skew {
       .groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("__c"))
       .select(col("__c"),
-        concat_ws("", keyCols.map(c => col(c).cast("string")).toIndexedSeq: _*).as("__k"))
+        concat_ws("\u0001", keyCols.map(c => col(c).cast("string")).toIndexedSeq: _*).as("__k"))
       .withColumn("__b",
         pmod(conv(substring(md5(col("__k")), 1, 8), 16, 10).cast("long"), lit(nBuckets.toLong)))
     keys

@@ -157,9 +157,12 @@ object GlyphOcr extends Ocr {
     if (hi0 - lo0 < 32) return "" // no contrast → no text
 
     // deskew (scanned-paper hardening): estimate the page tilt from the
-    // provisional dark mask, counter-rotate when it is material. Clean
-    // machine renders estimate ≈0° and pass through untouched.
-    val angle = estimateSkew(lum0, w, h)
+    // provisional adaptive mask, counter-rotate when it is material.
+    // Clean machine renders estimate ≈0° and pass through untouched; the
+    // threshold map computes ONCE here and is reused by the adaptive
+    // pass below unless the rotation invalidated it.
+    val tmap0 = bradleyThreshold(lum0, w, h)
+    val angle = estimateSkew(lum0, w, h, tmap0)
     // rotate() samples the source through R(θ), i.e. turns the image by
     // −θ — so passing the measured angle itself cancels the tilt
     val lum = if (math.abs(angle) >= 0.75) rotate(lum0, w, h, angle) else lum0
@@ -187,7 +190,7 @@ object GlyphOcr extends Ocr {
     // uneven illumination (a shadowed scan whose background is darker on
     // one side than faded ink on the other — no global cut separates
     // them) still binarizes correctly. Darkness is the binary mask.
-    val tmap = bradleyThreshold(lum, w, h)
+    val tmap = if (lum eq lum0) tmap0 else bradleyThreshold(lum, w, h)
     val adaptive = recognizePass(lum, w, h,
       (y, x) => lum(y)(x) < tmap(y)(x),
       (y, x) => if (lum(y)(x) < tmap(y)(x)) 1.0 else 0.0)
@@ -206,11 +209,11 @@ object GlyphOcr extends Ocr {
     * angle beats the unsheared score by a material margin (clean input
     * must never rotate).
     */
-  private[graft] def estimateSkew(lum: Array[Array[Int]], w: Int, h: Int): Double = {
+  private[graft] def estimateSkew(
+      lum: Array[Array[Int]], w: Int, h: Int, tmap: Array[Array[Int]]): Double = {
     // the ADAPTIVE mask drives the estimate: under uneven illumination a
     // global cut floods one side of the page into a solid dark block
     // whose uniform projection drowns the text-line signal
-    val tmap  = bradleyThreshold(lum, w, h)
     val darks = Array.newBuilder[Int]
     for (y <- 0 until h; x <- 0 until w if lum(y)(x) < tmap(y)(x)) darks += y * w + x
     val ps = darks.result()

@@ -59,17 +59,28 @@ object RecrawlStream {
       nList: Int,
       embedder: Embedder = Embedder.default,
   ): Unit = {
-    // the (id, hash) snapshot is independent of the embed → index chain —
-    // overlap the two writes (separate lineages, separate output dirs)
+    // the (id, hash) snapshot computation is independent of the embed →
+    // index chain, so it overlaps on a second thread — but only into a
+    // STAGING dir: the live snapshot publishes (one rename) strictly
+    // after the index build succeeds, preserving the
+    // "snapshot exists ⇒ index exists" recovery invariant (currentDocs'
+    // bootstrap-first signal must survive a crash mid-bootstrap)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(docsPath(root))
+    val fs   = live.getFileSystem(conf)
+    val tmp  = new org.apache.hadoop.fs.Path(docsPath(root) + ".boot")
+    fs.delete(tmp, true)
     val snapF = scala.concurrent.Future {
       docs.select(col(idCol), Dedup.exactKey(col(textCol)).as("__hash"))
-        .write.mode("overwrite").parquet(docsPath(root))
+        .write.mode("overwrite").parquet(tmp.toString)
     }(scala.concurrent.ExecutionContext.global)
     val emb = Embedder.embedText(spark, docs, idCol, textCol, embedder).toDF()
       .select(col("id").as(idCol), col("embedding"))
     val (assigned, model) = Ivf.assign(emb, "embedding", nList)
     Ivf.writeIndexed(assigned, indexPath(root), model, "embedding")
     scala.concurrent.Await.result(snapF, scala.concurrent.duration.Duration.Inf)
+    fs.delete(live, true)
+    fs.rename(tmp, live)
   }
 
   /** Current (id, __hash) snapshot, with the `.old` crash fallback. */

@@ -64,6 +64,14 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"row rules need no join:\n${plan.take(800)}")
   }
 
+  test("InRange counts non-null values that do not cast to double as violations, never silent skips") {
+    val t = Seq(("1.5", 1L), ("0.5", 2L), ("1,5", 3L), (null: String, 4L)).toDF("s", "id")
+    val got = Expectations.evaluate(t, Seq(InRange("s", 0.0, 1.0)))
+      .as[(String, String, Long, Long, Boolean)].head()
+    // 1.5 out of range + "1,5" uncastable = 2 violations; the null skips
+    assert(got == (("in_range", "s", 2L, 4L, false)))
+  }
+
   test("evaluate: unknown columns and empty rule lists are rejected") {
     intercept[IllegalArgumentException](Expectations.evaluate(rows, Seq(NotNull("nope"))))
     intercept[IllegalArgumentException](Expectations.evaluate(rows, Seq.empty))

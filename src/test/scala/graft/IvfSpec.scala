@@ -446,4 +446,37 @@ class IvfSpec extends AnyFunSuite {
     val after = spark.read.parquet(dir).select("id").as[Long].collect().toSet
     assert(after == before.filter(_ >= 150), s"bulk purge must drop exactly ids<150: kept ${after.size}")
   }
+
+  test("recoverDeltaSwap: a partition deleted mid-swap is restored from staging; emptied partitions stay deleted") {
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("ivf_recover").toString + "/store")
+    val tmp = new org.apache.hadoop.fs.Path(root.toString + ".delta")
+    val fs  = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def touch(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(p); fs.create(new org.apache.hadoop.fs.Path(p, "part-0.parquet")).close()
+    }
+    // live store had lists 0 and 1; the crashed delta: emptied list 0
+    // (deleted, no replacement), was replacing list 1 (deleted, its only
+    // copy still under staging), and was adding list 2 (never existed
+    // live, replacement under staging). Crash hit after the deletes.
+    touch(new org.apache.hadoop.fs.Path(tmp, "list_id=1"))
+    touch(new org.apache.hadoop.fs.Path(tmp, "list_id=2"))
+    fs.mkdirs(root)
+    Ivf.recoverDeltaSwap(fs, root, tmp, "list_id=")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "list_id=1")),
+      "replaced partition must be restored from staging")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "list_id=2")),
+      "new partition must complete its rename")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "list_id=0")),
+      "deliberately emptied partition must stay deleted")
+    assert(!fs.exists(tmp), "staging dir must be cleared after recovery")
+    // live partitions are never overwritten by stale staging copies
+    touch(new org.apache.hadoop.fs.Path(root, "list_id=5"))
+    val marker = new org.apache.hadoop.fs.Path(root, "list_id=5/live-marker")
+    fs.create(marker).close()
+    touch(new org.apache.hadoop.fs.Path(tmp, "list_id=5"))
+    Ivf.recoverDeltaSwap(fs, root, tmp, "list_id=")
+    assert(fs.exists(marker), "an existing live partition must win over staging")
+    assert(!fs.exists(tmp))
+  }
 }

@@ -619,6 +619,9 @@ class OperatorsSpec extends AnyFunSuite {
     val c = Skew.keySkewStats(comp, Seq("k1", "k2"), 2)
       .as[(Long, Long, Long, String, Double, Long, Long, Double, Boolean)].head()
     assert(c._2 == 2L, "separator must keep composite keys distinct")
+    // the top key STRING carries the ␁ separator — with an empty
+    // separator both keys would collapse to "abc" and this would fail
+    assert(c._4 == "abc", s"top_key must be separator-joined: ${c._4}")
     intercept[IllegalArgumentException](Skew.keySkewStats(rows, Seq("nope"), 4))
     intercept[IllegalArgumentException](Skew.keySkewStats(rows, Seq("k"), 1))
   }
