@@ -3588,6 +3588,37 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // V33 — FILTERED HNSW search (round 13): the reference's canonical
+    // query is filtered k-NN (backend/vector_db.py:131-170 — Qdrant
+    // evaluates payload filters inside the HNSW traversal), and until now
+    // only the exact and IVF paths took filters. Hnsw.searchIndex's new
+    // cardinality gate picks the plan: the broad predicate (label = 3,
+    // ~10%) runs the FILTER-AWARE BEAM (traversal passes through blocked
+    // nodes, only allowed ones enter the result beam, beam width
+    // oversampled by 1/selectivity — exhaustive at these SFs, so the
+    // oracle is full value parity, not a recall gate); the selective
+    // predicate (label = 3 AND vec_id % 7 = 0, ~1.4%) trips the gate and
+    // routes to the EXACT branch (allowed-id semi-join + brute-force
+    // top-k — exact by construction at any scale). Both legs are checked
+    // against DuckDB's filtered brute-force top-10.
+    "v33_hnsw_filtered" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v33").toString + "/store"
+      Hnsw.writeIndex(emb, "embedding", "vec_id", dir, nShards = 4)
+      val idx     = Hnsw.readIndex(s, dir)
+      val payload = emb.select(col("vec_id"), col("label"))
+      val beam = Hnsw.searchIndex(idx, qVec, "vec_id", 10, efSearch = 256,
+        filters = Seq(col("label") === 3), payload = payload, maxEf = 65536)
+        .withColumn("path", lit("beam"))
+      val exact = Hnsw.searchIndex(idx, qVec, "vec_id", 10, efSearch = 64,
+        filters = Seq(col("label") === 3, col("vec_id") % 7 === 0),
+        payload = payload, maxEf = 256)
+        .withColumn("path", lit("exact"))
+      beam.unionByName(exact)
+        .select(col("path"), col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("path"), desc("score"), col("vec_id"))
+    }),
+
     // V30 — retrieval-quality evaluation (round 10): the trec_eval loop
     // the retrieval family was missing. Run = exact cosine top-10 for
     // three query-token vectors (the v27 fixtures); qrels = graded
@@ -6521,6 +6552,26 @@ object SparkEntry {
          |   total_nodes, n_shards
          | FROM post CROSS JOIN tot
          | ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v33 — filtered brute-force top-10 per leg: the beam leg's predicate
+    // (label = 3) under an exhaustive oversampled beam and the exact
+    // leg's selective predicate (label = 3 AND vec_id % 7 = 0) through
+    // the cardinality gate must both land on the relational answer
+    "v33_hnsw_filtered" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | beam AS (
+         |   SELECT 'beam' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base WHERE label = 3
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10),
+         | ex AS (
+         |   SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base WHERE label = 3 AND vec_id % 7 = 0
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT path, vec_id, score
+         | FROM (SELECT * FROM beam UNION ALL SELECT * FROM ex)
+         | ORDER BY path, score DESC, vec_id""".stripMargin,
 
     // v30 — full relational replay of the eval harness: the three ranked
     // lists (same NaN guard + (score desc, id) tie-break as the Spark

@@ -63,7 +63,7 @@ object CheckpointFixture {
     val ce = new OnnxCrossEncoder(cmp, cvp)
     val cw = new java.io.PrintWriter(new java.io.File(s"$crossDir/cross_parity.tsv"), "UTF-8")
     try {
-      cw.println("pairs\tquery\tdoc\tlogit")
+      cw.println("query\tdoc\tlogit")
       crossPairs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, rows) =>
         val scores = ce.scoreBatch(q, rows.map(_._2))
         rows.zip(scores).foreach { case ((_, d), s) =>

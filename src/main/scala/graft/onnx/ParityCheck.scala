@@ -59,7 +59,8 @@ object ParityCheck {
     */
   def runCross(dir: String): Seq[CrossResult] = {
     val lines = scala.io.Source.fromFile(s"$dir/cross_parity.tsv", "UTF-8").getLines().toVector
-    require(lines.nonEmpty && lines.head.startsWith("pairs\t"), s"$dir/cross_parity.tsv: missing header")
+    require(lines.nonEmpty && lines.head == "query\tdoc\tlogit",
+      s"$dir/cross_parity.tsv: header must be 'query\\tdoc\\tlogit' (3 columns matching the data rows)")
     val probes = lines.tail.map { l =>
       val Array(q, d, v) = l.split('\t')
       (q, d, v.toDouble)

@@ -167,7 +167,7 @@ object Eval {
       require(!perQuery.columns.contains(c), s"input already has a '$c' column")
 
     val spark = perQuery.sparkSession
-    val d = deltaQids(perQuery, queryCol, baselineCol, treatmentCol, permutations)
+    val (d, cached) = deltaQidsHandle(perQuery, queryCol, baselineCol, treatmentCol, permutations)
     val perms = spark.range(1, permutations.toLong + 1L).toDF("__j")
     // ONE pass over the |Q| x P expansion: per permutation, the signed sum
     // __tj PLUS the unflipped sum and row count — identical for every j,
@@ -183,7 +183,7 @@ object Eval {
         sum("__s").as("__tj"),
         coalesce(sum("__delta_bp"), lit(0L)).as("__obs"),
         count(lit(1)).cast("long").as("__nq"))
-    tj
+    val out = tj
       .groupBy(col("__nq").as("n_queries"), col("__obs").as("sum_delta_bp"))
       .agg(sum(when(abs(col("__tj")) >= abs(col("__obs")), 1L).otherwise(0L))
         .as("n_extreme"))
@@ -193,6 +193,13 @@ object Eval {
         col("n_extreme"),
         lit(permutations.toLong).as("n_perms"),
         ((col("n_extreme") + 1.0) / (permutations + 1.0)).as("p_value"))
+    // materialize the 1-row result NOW so the |Q|-sized qid cache can be
+    // freed deterministically — an eval sweep calling this per system pair
+    // must not accumulate unreferenced caches until ContextCleaner's GC
+    // happens to run. The returned frame is a local relation of that row.
+    val rows = out.collect()
+    cached.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Reliability (calibration) bins for a probabilistic scorer — the
@@ -266,7 +273,17 @@ object Eval {
   private[graft] def deltaQids(
       perQuery: DataFrame, queryCol: String,
       baselineCol: String, treatmentCol: String, permutations: Int,
-  ): DataFrame = {
+  ): DataFrame =
+    deltaQidsHandle(perQuery, queryCol, baselineCol, treatmentCol, permutations)._1
+
+  /** [[deltaQids]] plus the persisted sorted-delta handle, so the caller
+    * can unpersist DETERMINISTICALLY once the result is consumed instead
+    * of leaving a |Q|-sized cache for ContextCleaner's GC to find.
+    */
+  private[graft] def deltaQidsHandle(
+      perQuery: DataFrame, queryCol: String,
+      baselineCol: String, treatmentCol: String, permutations: Int,
+  ): (DataFrame, DataFrame) = {
     val spark = perQuery.sparkSession
     // duplicate query keys have no well-defined delta — fail loud INLINE
     // (the key-grouped aggregate that dedups is also the guard), not via
@@ -275,8 +292,10 @@ object Eval {
     // per-partition count job at construction): the cache makes that job
     // the ONLY execution of perQuery's lineage — later actions on the
     // result read the cached sorted deltas instead of re-running the
-    // upstream pipelines. The cache is |Q| (key, long) rows; Spark's
-    // ContextCleaner frees it once the RDD is unreferenced.
+    // upstream pipelines. The cache is |Q| (key, long) rows;
+    // [[pairedSignificance]] unpersists it deterministically once its
+    // result row is materialized (bare deltaQids callers fall back to
+    // ContextCleaner GC).
     val sorted = perQuery.select(
       col(queryCol).as("__k"),
       (round(col(treatmentCol) * 10000).cast("long")
@@ -301,7 +320,7 @@ object Eval {
       org.apache.spark.sql.types.StructField(
         "__delta_bp", org.apache.spark.sql.types.LongType, nullable = true)))
     val maxQid = (0x7FFFFFFFL - permutations.toLong) / permutations.toLong
-    spark.createDataFrame(dRows, dSchema)
+    val out = spark.createDataFrame(dRows, dSchema)
       .select(
         when(col("__qid") <= maxQid, col("__qid"))
           .otherwise(raise_error(format_string(
@@ -310,6 +329,7 @@ object Eval {
               s"the 31-bit mix domain (max qid $maxQid)", col("__qid"))))
           .as("__qid"),
         col("__delta_bp"))
+    (out, sorted)
   }
 
   private def mix31(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorOps.asDouble
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** HNSW — a real hierarchical navigable-small-world graph index (Malkov &
   * Yashunin 2016), the same structure the reference's vector store uses
@@ -106,6 +106,15 @@ object Hnsw {
   /** Beam search over one layer: returns up to `ef` nearest (distance, ord),
     * ascending. `eps` seed the beam. Classic Algorithm 2 with a visited
     * bitset, a nearest-first candidate heap and a farthest-first result heap.
+    *
+    * `allowed` (null = unrestricted) is the filtered-search hook (the
+    * hnswlib/Qdrant shape the reference's filtered k-NN rides on —
+    * reference: backend/vector_db.py:131-170): the traversal VISITS every
+    * node — blocked nodes still navigate, or selective filters would
+    * disconnect the beam — but only allowed nodes may enter the result
+    * beam. With `allowed == null` the admission logic reduces exactly to
+    * the unfiltered algorithm (both queues always move together), so the
+    * unfiltered path is bit-identical to the pre-filter implementation.
     */
   private def searchLayer(
       vecs: Array[Array[Double]],
@@ -114,6 +123,7 @@ object Hnsw {
       q: Array[Double],
       eps: Array[Int],
       ef: Int,
+      allowed: java.util.BitSet = null,
   ): Array[(Double, Int)] = {
     val visited    = new java.util.BitSet(vecs.length)
     val candidates = collection.mutable.PriorityQueue.empty[(Double, Int)](nearFirst.reverse)
@@ -125,14 +135,14 @@ object Hnsw {
         visited.set(e)
         val d = 1.0 - dot(q, vecs(e))
         candidates.enqueue((d, e))
-        results.enqueue((d, e))
+        if (allowed == null || allowed.get(e)) results.enqueue((d, e))
       }
       i += 1
     }
     while (candidates.nonEmpty) {
       val (cd, c) = candidates.dequeue()
       // results is farthest-first, so head is the current worst of the beam
-      if (cd > results.head._1 && results.size >= ef) {
+      if (results.size >= ef && cd > results.head._1) {
         candidates.clear()
       } else {
         val nbrs = links(c)(layer)
@@ -145,8 +155,10 @@ object Hnsw {
             if (results.size < ef || d < results.head._1 ||
                 (d == results.head._1 && e < results.head._2)) {
               candidates.enqueue((d, e))
-              results.enqueue((d, e))
-              if (results.size > ef) results.dequeue()
+              if (allowed == null || allowed.get(e)) {
+                results.enqueue((d, e))
+                if (results.size > ef) results.dequeue()
+              }
             }
           }
           j += 1
@@ -420,6 +432,31 @@ object Hnsw {
     var lc = g.maxLevel
     while (lc > 0) { ep = greedyStep(g.vecs, g.links, lc, q, ep); lc -= 1 }
     val found = searchLayer(g.vecs, g.links, 0, q, Array(ep), math.max(efSearch, k))
+    found.take(k).map { case (d, ord) => (g.ids(ord), 1.0 - d) }
+  }
+
+  /** Filter-aware [[searchGraph]]: `allowedOrd` marks the ords that may
+    * appear in results; the descent and the layer-0 beam still traverse
+    * blocked nodes (filtering only the output would strand the beam in a
+    * blocked region under selective predicates — the classic filtered-ANN
+    * failure the reference's engine solves inside the traversal,
+    * backend/vector_db.py:131-170). Returns up to k ALLOWED (id, cosine)
+    * pairs, descending, with the same tie discipline as [[searchGraph]].
+    */
+  def searchGraphFiltered(
+      g: Graph,
+      query: Array[Double],
+      k: Int,
+      efSearch: Int,
+      allowedOrd: java.util.BitSet,
+  ): Array[(Long, Double)] = {
+    if (g.size == 0 || allowedOrd.isEmpty) return Array.empty
+    val q = normalize(query)
+    if (q == null) return Array.empty
+    var ep = g.entry
+    var lc = g.maxLevel
+    while (lc > 0) { ep = greedyStep(g.vecs, g.links, lc, q, ep); lc -= 1 }
+    val found = searchLayer(g.vecs, g.links, 0, q, Array(ep), math.max(efSearch, k), allowedOrd)
     found.take(k).map { case (d, ord) => (g.ids(ord), 1.0 - d) }
   }
 
@@ -804,6 +841,30 @@ object Hnsw {
     * against one store should persist `colocated(index)` once and pass that
     * — the cached partitioning is reused and the per-query shuffle
     * disappears.
+    *
+    * FILTERED search (the reference's canonical query is filtered k-NN —
+    * backend/vector_db.py:131-170, where Qdrant evaluates payload filters
+    * inside the HNSW traversal): pass `filters` (predicates over the
+    * `payload` frame, which must carry `idCol` plus the filter columns —
+    * the graph store itself holds only ids + vectors). The plan is chosen
+    * by a CARDINALITY GATE, Qdrant's own device:
+    *
+    *  1. one column-pruned payload scan estimates selectivity
+    *     (total vs pass count in a single aggregate);
+    *  2. selective predicates — where the beam width needed to surface
+    *     `efSearch` allowed rows, `ceil(max(efSearch,k)/sel)`, exceeds
+    *     `maxEf` — run EXACT: semi-join the store's (id, vec) rows against
+    *     the allowed ids and brute-force top-k (cheap precisely because few
+    *     rows pass; result is exact by construction, no recall cliff);
+    *  3. broad predicates run the filter-aware beam: allowed ids join onto
+    *     the store rows (broadcast under AQE when small), each shard's
+    *     traversal passes THROUGH blocked nodes but admits only allowed
+    *     ones to its beam ([[searchGraphFiltered]]), with the beam width
+    *     oversampled to that same `ceil(max(efSearch,k)/sel)` so the
+    *     expected allowed mass in the beam stays ≥ efSearch.
+    *
+    * With `filters` empty the body is the pre-filter implementation
+    * verbatim — no payload scan, no join, same physical plan.
     */
   def searchIndex(
       index: DataFrame,
@@ -811,18 +872,65 @@ object Hnsw {
       idCol: String,
       k: Int,
       efSearch: Int = 64,
+      filters: Seq[Column] = Nil,
+      payload: DataFrame = null,
+      maxEf: Int = 4096,
   ): DataFrame = {
     val spark = index.sparkSession
     val q     = queryVec.toArray
     import spark.implicits._
-    val candidates = colocated(index)
-      .mapPartitions { rows =>
-        rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, nodeRows) =>
-          searchGraph(graphOf(nodeRows), q, k, efSearch).iterator
+    if (filters.isEmpty) {
+      val candidates = colocated(index)
+        .mapPartitions { rows =>
+          rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, nodeRows) =>
+            searchGraph(graphOf(nodeRows), q, k, efSearch).iterator
+          }
         }
-      }
-      .toDF(idCol, "score")
-    candidates.orderBy(desc("score"), col(idCol)).limit(k)
+        .toDF(idCol, "score")
+      return candidates.orderBy(desc("score"), col(idCol)).limit(k)
+    }
+    require(payload != null,
+      "filtered searchIndex needs the payload frame carrying idCol + the filter columns " +
+        "(the graph store holds only ids and vectors)")
+    val pred = filters.reduce(_ && _)
+    // the cardinality estimate: ONE column-pruned payload scan. An action,
+    // but it is what picks the plan (Qdrant's estimator does the same) —
+    // and it is corpus-proportional only in scan bytes, never in shuffle.
+    val cardRow  = payload.agg(
+      count(lit(1)).as("__n"),
+      count(when(pred, lit(1))).as("__a")).head()
+    val total    = cardRow.getLong(0)
+    val allowedN = cardRow.getLong(1)
+    if (allowedN == 0L) return Seq.empty[(Long, Double)].toDF(idCol, "score")
+    val sel    = allowedN.toDouble / total.toDouble
+    val needEf = math.ceil(math.max(efSearch, k).toDouble / sel)
+    val allowed = payload.where(pred).select(col(idCol).cast("long").as("id"))
+    if (needEf > maxEf) {
+      // exact branch: few rows pass, so hydrate just those and scan them
+      Search.topK(
+        index.select(col("id"), col("vec")).join(allowed, Seq("id"), "left_semi"),
+        "vec", "id", queryVec, k)
+        .select(col("id").as(idCol), col("score"))
+    } else {
+      val efF = needEf.toInt
+      // flag store rows instead of routing ids by shard hash: needs no
+      // meta read, and AQE broadcasts the allowed side when it is small
+      val flagged = pinnedStore(index)
+        .join(allowed.withColumn("__ok", lit(true)), Seq("id"), "left")
+        .select(col("shard"), col("ord"), col("id"), col("level"), col("vec"),
+          col("links"), col("entry"), col("max_level"),
+          coalesce(col("__ok"), lit(false)).as("__ok"))
+        .repartition(col("shard"))
+      val candidates = flagged
+        .mapPartitions { rows =>
+          rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, nodeRows) =>
+            val (g, ok) = graphWithFlags(nodeRows)
+            searchGraphFiltered(g, q, k, efF, ok).iterator
+          }
+        }
+        .toDF(idCol, "score")
+      candidates.orderBy(desc("score"), col(idCol)).limit(k)
+    }
   }
 
   /** The store with every shard's rows in one partition (hash on `shard`;
@@ -831,11 +939,15 @@ object Hnsw {
     * `searchIndex(colocated(idx).persist(), ...)` shuffles once across any
     * number of queries.
     */
+  /** The store with its 8 columns pinned to the types [[graphOf]] reads
+    * positionally (the shard partition column is type-inferred on read).
+    */
+  private def pinnedStore(index: DataFrame): DataFrame =
+    index.select(col("shard").cast("long"), col("ord"), col("id"), col("level"),
+      col("vec"), col("links"), col("entry"), col("max_level"))
+
   def colocated(index: DataFrame): DataFrame = {
-    // the shard partition column is type-inferred on read — pin it
-    val pinned = index
-      .select(col("shard").cast("long"), col("ord"), col("id"), col("level"),
-        col("vec"), col("links"), col("entry"), col("max_level"))
+    val pinned = pinnedStore(index)
     val already =
       try index.queryExecution.executedPlan.outputPartitioning match {
         case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
@@ -843,6 +955,17 @@ object Hnsw {
         case _ => false
       } catch { case scala.util.control.NonFatal(_) => false }
     if (already) pinned else pinned.repartition(col("shard"))
+  }
+
+  /** Rebuild one shard's [[Graph]] plus the allowed-ord bitset from store
+    * rows carrying a 9th boolean `__ok` column (the filtered-search join's
+    * per-node verdict, already aligned row-to-node).
+    */
+  private def graphWithFlags(nodeRows: Seq[Row]): (Graph, java.util.BitSet) = {
+    val g  = graphOf(nodeRows)
+    val ok = new java.util.BitSet(g.size)
+    nodeRows.foreach { r => if (r.getBoolean(8)) ok.set(r.getInt(1)) }
+    (g, ok)
   }
 
   /** Rebuild one shard's [[Graph]] from its store rows. */

@@ -550,6 +550,15 @@ object Ivf {
     * into place (a deliberately emptied partition never has a replacement
     * under tmp, so it stays deleted). Then clear the staging dir. Shared
     * by [[applyDelta]] and [[Hnsw.applyDelta]]'s swap.
+    *
+    * Rename-recovery runs ONLY when `tmp/_SUCCESS` exists — the job-level
+    * commit marker Spark's staging write leaves at the output root. Its
+    * absence means the writer died MID-STAGING (some task outputs
+    * committed, some not): those partition dirs are partial, and renaming
+    * one over a live twin that an earlier batch legitimately emptied
+    * would install partial rows as genuine kept rows, repaired only if
+    * the exact same batch replays. Without the marker the live store is
+    * untouched and the incomplete staging dir is simply cleared.
     */
   private[graft] def recoverDeltaSwap(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -558,11 +567,13 @@ object Ivf {
       partitionPrefix: String,
   ): Unit = {
     if (fs.exists(tmp)) {
-      fs.listStatus(tmp).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith(partitionPrefix) &&
-          !fs.exists(new org.apache.hadoop.fs.Path(root, name)))
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, name))
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        fs.listStatus(tmp).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith(partitionPrefix) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(root, name)))
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, name))
+        }
       }
       fs.delete(tmp, true)
     }

@@ -37,11 +37,24 @@ object Skew {
     require(keyCols.nonEmpty, "need at least one key column")
     require(nBuckets >= 2 && nBuckets <= (1 << 20), s"nBuckets must be in [2, 2^20]: $nBuckets")
     keyCols.foreach(c => require(df.columns.contains(c), s"unknown column $c"))
+    // concat_ws SKIPS null parts (the FileSources.scala pitfall): composite
+    // keys (null,'x') and ('x',null) — or null vs '' — would collapse to
+    // one __k and share a simulated bucket. Each part is therefore
+    // escape-encoded (NUL -> NUL NUL, SOH -> NUL SOH — unambiguous, and
+    // the IDENTITY on strings without those control chars, so oracles
+    // replaying md5 over the raw key string stay exact) and nulls become
+    // the "NUL N" sentinel no encoded real value can produce.
+    def encodedPart(c: String): Column = {
+      val escaped = regexp_replace(
+        regexp_replace(col(c).cast("string"), "\u0000", "\u0000\u0000"),
+        "\u0001", "\u0000\u0001")
+      coalesce(escaped, lit("\u0000N"))
+    }
     val keys = df
       .groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("__c"))
       .select(col("__c"),
-        concat_ws("\u0001", keyCols.map(c => col(c).cast("string")).toIndexedSeq: _*).as("__k"))
+        concat_ws("\u0001", keyCols.map(encodedPart).toIndexedSeq: _*).as("__k"))
       .withColumn("__b",
         pmod(conv(substring(md5(col("__k")), 1, 8), 16, 10).cast("long"), lit(nBuckets.toLong)))
     keys

@@ -74,10 +74,20 @@ object RecrawlStream {
       docs.select(col(idCol), Dedup.exactKey(col(textCol)).as("__hash"))
         .write.mode("overwrite").parquet(tmp.toString)
     }(scala.concurrent.ExecutionContext.global)
-    val emb = Embedder.embedText(spark, docs, idCol, textCol, embedder).toDF()
-      .select(col("id").as(idCol), col("embedding"))
-    val (assigned, model) = Ivf.assign(emb, "embedding", nList)
-    Ivf.writeIndexed(assigned, indexPath(root), model, "embedding")
+    try {
+      val emb = Embedder.embedText(spark, docs, idCol, textCol, embedder).toDF()
+        .select(col("id").as(idCol), col("embedding"))
+      val (assigned, model) = Ivf.assign(emb, "embedding", nList)
+      Ivf.writeIndexed(assigned, indexPath(root), model, "embedding")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the staging writer must settle before this throw hands control
+        // to a retry: an orphaned Future still writing `.boot` would race
+        // the retry's delete-and-rewrite of the same directory (its own
+        // failure is irrelevant here — the bootstrap is failing anyway)
+        scala.concurrent.Await.ready(snapF, scala.concurrent.duration.Duration.Inf)
+        throw e
+    }
     scala.concurrent.Await.result(snapF, scala.concurrent.duration.Duration.Inf)
     fs.delete(live, true)
     fs.rename(tmp, live)
@@ -177,6 +187,14 @@ object RecrawlStream {
           try Ivf.applyDelta(spark, indexPath(root), removals,
             fresh.withColumnRenamed("embedding", vecName), idCol,
             addsDistinct = true, maxDeltaRows = nRem + nUp)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              // same discipline as bootstrap's snapF: the `.next` staging
+              // writer must settle before a retry can clear and rewrite
+              // that directory
+              scala.concurrent.Await.ready(nextF, scala.concurrent.duration.Duration.Inf)
+              throw e
+          }
           finally { fresh.unpersist(); () }
         scala.concurrent.Await.result(nextF, scala.concurrent.duration.Duration.Inf)
         val old = new org.apache.hadoop.fs.Path(docsPath(root) + ".old")

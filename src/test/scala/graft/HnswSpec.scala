@@ -291,6 +291,102 @@ class HnswSpec extends AnyFunSuite {
     assert(Hnsw.shardsFor(100L * Hnsw.RowsPerShard) == 100)
   }
 
+  // ------------------------------------------------------- filtered search
+
+  /** Brute-force filtered top-k over the synthetic corpus. */
+  private def bruteTopFiltered(q: Array[Double], k: Int, allow: Long => Boolean): Seq[Long] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    items.filter(it => allow(it._1)).map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+  }
+
+  private lazy val payloadDf = items.map { case (id, _) => (id, id % 4, id % 37 == 0) }
+    .toSeq.toDF("id", "grp", "rare")
+
+  test("searchGraphFiltered: only allowed ids surface; exhaustive beam equals filtered brute force") {
+    val g  = Hnsw.build(items, m = 16, efConstruction = 128)
+    val ok = new java.util.BitSet(g.size)
+    g.ids.zipWithIndex.foreach { case (id, ord) => if (id % 2 == 0) ok.set(ord) }
+    val q   = items(42)._2.map(_ + 0.003)
+    val got = Hnsw.searchGraphFiltered(g, q, 10, efSearch = 512, ok).map(_._1).toSeq
+    assert(got.forall(_ % 2 == 0), s"disallowed ids surfaced: $got")
+    assert(got == bruteTopFiltered(q, 10, _ % 2 == 0), s"got $got")
+    // empty allowed set short-circuits
+    assert(Hnsw.searchGraphFiltered(g, q, 10, 512, new java.util.BitSet(g.size)).isEmpty)
+  }
+
+  test("filtered searchIndex: the unfiltered call's plan is join-free (filters param is plan-neutral)") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-planneutral", nShards = 4,
+      m = 16, efConstruction = 128)
+    val plan = Hnsw.searchIndex(idx, items(3)._2.toSeq, "id", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unfiltered searchIndex picked up a join:\n$plan")
+    assert(!plan.contains("__ok"), s"unfiltered searchIndex flags payload rows:\n$plan")
+  }
+
+  test("filter-aware beam: broad predicate keeps recall under a non-exhaustive oversampled beam") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-beam", nShards = 4,
+      m = 16, efConstruction = 128)
+    // sel = 0.25 → efF = ceil(10/0.25) = 40 « the ~100-row shards: a real
+    // beam, not an exhaustive scan
+    val recalls = (0 until 10).map { qi =>
+      val q = items(qi * 23 % items.length)._2.map(_ + 0.007 * (qi + 1))
+      val exact = bruteTopFiltered(q, 10, _ % 4 == 1).toSet
+      val got = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 10,
+        filters = Seq(col("grp") === 1), payload = payloadDf, maxEf = 4096)
+        .select("id").as[Long].collect().toSet
+      assert(got.forall(_ % 4 == 1), s"q$qi: disallowed ids surfaced: $got")
+      (got & exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean filtered recall $mean: $recalls")
+  }
+
+  test("cardinality gate: selective predicate routes to the exact branch and equals filtered brute force") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-exact", nShards = 4,
+      m = 16, efConstruction = 128)
+    val q = items(99)._2.map(_ + 0.002)
+    // sel ≈ 0.0275 → needEf ≈ 2328 > maxEf 256 → exact branch
+    val res = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 64,
+      filters = Seq(col("rare")), payload = payloadDf, maxEf = 256)
+    val got = res.select("id").as[Long].collect().toSeq
+    assert(got == bruteTopFiltered(q, 10, _ % 37 == 0), s"got $got")
+    // the exact branch hydrates via a semi-join against the allowed ids
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"exact branch lost its semi-join:\n$plan")
+    // a predicate nothing satisfies returns an empty, well-typed frame
+    val none = Hnsw.searchIndex(idx, q.toSeq, "id", 10,
+      filters = Seq(col("grp") === 99), payload = payloadDf)
+    assert(none.columns.toSeq == Seq("id", "score") && none.count() == 0)
+  }
+
+  test("recall gate on the real embeddings at sf0.01 and sf0.1 (filtered beam, non-exhaustive at sf0.1)") {
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dirPath = s"/root/testdata/$sf/embeddings.parquet"
+      assume(new java.io.File(dirPath).exists(), s"$dirPath not generated")
+      val emb = spark.read.parquet(dirPath).select(col("vec_id"), col("embedding"), col("label"))
+      val store = java.nio.file.Files.createTempDirectory(s"hnsw_filt_$sf").toString + "/store"
+      Hnsw.writeIndex(emb, "embedding", "vec_id", store, nShards = 4)
+      val idx = Hnsw.readIndex(spark, store)
+      val q   = graft.operators.Embedder.default.embed("spark engine vector search").map(_.toDouble).toSeq
+      val exact = Search.topK(emb.where(col("label") === 3), "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      // efSearch 16, sel ≈ 0.1 → efF ≈ 160 (< the ~500-row shards at sf0.1)
+      val got = Hnsw.searchIndex(idx, q, "vec_id", 10, efSearch = 16,
+        filters = Seq(col("label") === 3), payload = emb.select("vec_id", "label"),
+        maxEf = 4096)
+        .select("vec_id").as[Long].collect().toSet
+      val recall = (got & exact).size / 10.0
+      assert(recall >= 0.9, s"$sf: filtered recall $recall (got $got vs $exact)")
+    }
+  }
+
   test("shardStats + reshard: occupancy reported, re-route matches id-hash routing, content and search preserved") {
     val root = java.nio.file.Files.createTempDirectory("hnsw_reshard").toString
     val dir  = root + "/store"

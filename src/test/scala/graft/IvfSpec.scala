@@ -455,12 +455,16 @@ class IvfSpec extends AnyFunSuite {
     def touch(p: org.apache.hadoop.fs.Path): Unit = {
       fs.mkdirs(p); fs.create(new org.apache.hadoop.fs.Path(p, "part-0.parquet")).close()
     }
+    def markStaged(): Unit =
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
     // live store had lists 0 and 1; the crashed delta: emptied list 0
     // (deleted, no replacement), was replacing list 1 (deleted, its only
     // copy still under staging), and was adding list 2 (never existed
-    // live, replacement under staging). Crash hit after the deletes.
+    // live, replacement under staging). Crash hit after the deletes —
+    // staging had COMMITTED (_SUCCESS present), so recovery renames.
     touch(new org.apache.hadoop.fs.Path(tmp, "list_id=1"))
     touch(new org.apache.hadoop.fs.Path(tmp, "list_id=2"))
+    markStaged()
     fs.mkdirs(root)
     Ivf.recoverDeltaSwap(fs, root, tmp, "list_id=")
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "list_id=1")),
@@ -475,8 +479,33 @@ class IvfSpec extends AnyFunSuite {
     val marker = new org.apache.hadoop.fs.Path(root, "list_id=5/live-marker")
     fs.create(marker).close()
     touch(new org.apache.hadoop.fs.Path(tmp, "list_id=5"))
+    markStaged()
     Ivf.recoverDeltaSwap(fs, root, tmp, "list_id=")
     assert(fs.exists(marker), "an existing live partition must win over staging")
     assert(!fs.exists(tmp))
+    // a crash MID-STAGING (no _SUCCESS marker: some task outputs committed,
+    // some not) must never install partial partition dirs into the live
+    // store — even where the live twin is missing — only clear staging
+    touch(new org.apache.hadoop.fs.Path(tmp, "list_id=7"))
+    Ivf.recoverDeltaSwap(fs, root, tmp, "list_id=")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "list_id=7")),
+      "partial (uncommitted) staging output must not reach the live store")
+    assert(!fs.exists(tmp), "incomplete staging dir must still be cleared")
+  }
+
+  test("applyDelta's staging write leaves the _SUCCESS marker recovery gates on") {
+    // the recovery contract depends on Spark's job-commit marker being ON
+    // for staging writes — pin that the session actually produces it
+    val dir = java.nio.file.Files.createTempDirectory("ivf_succ").toString + "/store"
+    val rows = (0L until 40L).map(i => (i, Seq.tabulate(8)(j => ((i * 7 + j) % 11).toFloat)))
+      .toDF("id", "vec")
+    val (assigned, model) = Ivf.assign(rows, "vec", 2)
+    Ivf.writeIndexed(assigned, dir, model, "vec")
+    val staged = rows.limit(4).write.mode("overwrite").parquet(dir + ".probe")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + ".probe", "_SUCCESS")),
+      "session writes must emit _SUCCESS (mapreduce.fileoutputcommitter.marksuccessfuljobs) " +
+        "or crashed-swap recovery can never engage")
   }
 }

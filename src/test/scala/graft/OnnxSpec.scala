@@ -614,7 +614,7 @@ class OnnxSpec extends AnyFunSuite {
     }
     def writeReport(rows: Seq[(String, String, Double)]): Unit = {
       val pw = new java.io.PrintWriter(s"$dir/cross_parity.tsv", "UTF-8")
-      pw.println("pairs\t1")
+      pw.println("query\tdoc\tlogit")
       rows.foreach { case (q, d, s) => pw.println(f"$q\t$d\t$s%.6f") }
       pw.close()
     }

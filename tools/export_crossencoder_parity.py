@@ -96,7 +96,7 @@ def main() -> int:
     flat = logits.reshape(-1).tolist()
 
     with open(os.path.join(out, "cross_parity.tsv"), "w", encoding="utf-8") as f:
-        f.write("pairs\t1\n")
+        f.write("query\tdoc\tlogit\n")
         for (q, d), v in zip(PAIRS, flat):
             assert "\t" not in q and "\t" not in d
             f.write(f"{q}\t{d}\t{v:.6f}\n")
