@@ -1744,6 +1744,25 @@ object SparkEntry {
     "u16_key_skew" -> ((s, d) =>
       Skew.keySkewStats(Tables(s, d).events, Seq("event_type"), 32)),
 
+    // U17 — the audit CONSUMED (round 13): Skew.autoAggregate runs the
+    // u16 pre-flight and picks plain vs salted two-stage aggregation from
+    // its salt_recommended verdict. A planted hot key (every even user_id
+    // collapses to 'hot' — ~half the corpus on one key) trips the verdict;
+    // the oracle replays BOTH the decision (max key count × 32 buckets >
+    // n_rows) and the aggregate itself (salted two-stage must equal the
+    // plain GROUP BY — count and integer-cent sums are algebraic).
+    "u17_auto_skew" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .withColumn("k", when(col("user_id") % 2 === 0, lit("hot")).otherwise(col("event_type")))
+      val (res, salted) = Skew.autoAggregate(ev, Seq("k"),
+        partials = Seq(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("cents")),
+        merges = Seq(sum(col("n")).as("n"), sum(col("cents")).as("cents")),
+        nBuckets = 32)
+      res.select(col("k"), col("n").cast("long").as("n"), col("cents"),
+        lit(salted).as("salted"))
+        .orderBy("k")
+    }),
+
     // DQ3 — l-diversity audit (round 12, Machanavajjhala 2007): the
     // homogeneity-attack complement of dq2 — a large quasi-identifier
     // group still leaks when its members share one sensitive value.
@@ -1998,24 +2017,31 @@ object SparkEntry {
     }),
 
     // C4 — code chunker over synthetic py sources whose block structure is
-    // SQL-reconstructible. Each source opens with the two constructs
-    // ast.parse keeps whole that naive line scanners split (reference
+    // SQL-reconstructible. Each source opens with the constructs ast.parse
+    // keeps whole that naive line scanners split (reference
     // backend/chunker.py:162): a PARENTHESIZED MULTI-LINE top-level
-    // statement (the CONFIG dict) and a MULTI-LINE DECORATOR ARGUMENT
-    // LIST bound to its def — both must stay single blocks (13 tokens
-    // together), followed by 4-token `def` blocks. Greedy 500-token
-    // packing then gives chunk 0 = preamble + 121 defs (497 tokens) and
-    // one tail chunk when nb > 121; DuckDB rebuilds every chunk's exact
-    // text and md5, so a boundary opening inside either construct would
-    // hash-mismatch.
+    // statement (the CONFIG dict), a BACKSLASH CONTINUATION (TOTAL), a
+    // top-level PARENTHESIZED LAMBDA spanning lines (HANDLER), a
+    // single-quoted STRING CONTINUED BY A TRAILING BACKSLASH whose second
+    // physical line READS "def fake(): pass'" — ast keeps all four whole
+    // (verified against ast.parse node spans), so a boundary opening
+    // inside any of them, especially at the def-looking string line,
+    // hash-mismatches — and a MULTI-LINE DECORATOR ARGUMENT LIST bound to
+    // its def. Preamble = 26 + 7 = 33 tokens, then 4-token `def` blocks:
+    // greedy 500-token packing gives chunk 0 = preamble + 116 defs
+    // (497 tokens) and one tail chunk when nb > 116; DuckDB rebuilds
+    // every chunk's exact text and md5.
     "c4_chunk_code" -> ((s, d) => {
+      val exotic = "TOTAL = 1 + \\\n2\nHANDLER = (lambda x:\n    x + 1)\nDOC = 'start \\\ndef fake(): pass'\n"
       val docs = Tables(s, d).documents.where(col("doc_id") < 40)
         .select(
           col("doc_id"),
-          expr("""concat(
-            'CONFIG = {\n    "lang": "', lang, '",\n}\n',
-            '@app.route(\n    "/', lang, '",\n)\ndef preamble():\n    return "', lang, '"\n',
-            array_join(transform(sequence(0, 99 + cast(doc_id % 61 as int)), i -> concat('def f', i, '(): return ', lang)), '\n'))""").as("text"),
+          concat(
+            expr("""concat('CONFIG = {\n    "lang": "', lang, '",\n}\n')"""),
+            lit(exotic),
+            expr("""concat(
+              '@app.route(\n    "/', lang, '",\n)\ndef preamble():\n    return "', lang, '"\n',
+              array_join(transform(sequence(0, 99 + cast(doc_id % 61 as int)), i -> concat('def f', i, '(): return ', lang)), '\n'))""")).as("text"),
           lit("py").as("lang"),
         )
       Chunker.chunk(s, docs).toDF()
@@ -5277,6 +5303,17 @@ object SparkEntry {
            |   max_key_rows * 32 > n_rows AS salt_recommended
            | FROM tot, mb, tk""".stripMargin,
 
+    // u17 — the decision (max key count × 32 > n_rows) and the aggregate
+    // replayed relationally; the salted two-stage must equal plain GROUP BY
+    "u17_auto_skew" ->
+      raw"""WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'hot' ELSE event_type END AS k,
+           |     value FROM events),
+           | kc AS (SELECT k, count(*)::BIGINT AS c FROM e GROUP BY 1),
+           | v AS (SELECT max(c) * 32 > sum(c) AS salted FROM kc)
+           | SELECT k, count(*)::BIGINT AS n,
+           |   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents, v.salted
+           | FROM e, v GROUP BY k, v.salted ORDER BY k""".stripMargin,
+
     // dq3 — per-quasi distinct sensitive counts (nulls excluded) + rollup
     "dq3_ldiversity" ->
       raw"""WITH q AS (SELECT event_type, user_id % 5 AS cohort,
@@ -5530,17 +5567,20 @@ object SparkEntry {
     "c4_chunk_code" ->
       """WITH d AS (SELECT doc_id, lang, 100 + doc_id % 61 AS nb FROM documents WHERE doc_id < 40),
         | pre AS (SELECT doc_id, lang, nb,
-        |   'CONFIG = {' || chr(10) || '    "lang": "' || lang || '",' || chr(10) || '}' AS b1,
+        |   'CONFIG = {' || chr(10) || '    "lang": "' || lang || '",' || chr(10) || '}' || chr(10) ||
+        |     'TOTAL = 1 + \' || chr(10) || '2' || chr(10) ||
+        |     'HANDLER = (lambda x:' || chr(10) || '    x + 1)' || chr(10) ||
+        |     'DOC = ''start \' || chr(10) || 'def fake(): pass''' AS b1,
         |   '@app.route(' || chr(10) || '    "/' || lang || '",' || chr(10) || ')' || chr(10) ||
         |     'def preamble():' || chr(10) || '    return "' || lang || '"' AS b2
         |   FROM d),
-        | c0 AS (SELECT doc_id, 0 AS chunk_index, 13 + 4 * least(nb, 121) AS token_count,
+        | c0 AS (SELECT doc_id, 0 AS chunk_index, 33 + 4 * least(nb, 116) AS token_count,
         |   b1 || chr(10) || chr(10) || b2 || chr(10) || chr(10) ||
-        |     array_to_string(list_transform(range(0, least(nb, 121)), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
+        |     array_to_string(list_transform(range(0, least(nb, 116)), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
         |   FROM pre),
-        | c1 AS (SELECT doc_id, 1 AS chunk_index, 4 * (nb - 121) AS token_count,
-        |   array_to_string(list_transform(range(121, nb), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
-        |   FROM pre WHERE nb > 121),
+        | c1 AS (SELECT doc_id, 1 AS chunk_index, 4 * (nb - 116) AS token_count,
+        |   array_to_string(list_transform(range(116, nb), i -> 'def f' || i || '(): return ' || lang), chr(10) || chr(10)) AS text
+        |   FROM pre WHERE nb > 116),
         | t AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
         | SELECT doc_id, chunk_index, token_count, md5(text) AS chunk_md5 FROM t ORDER BY doc_id, chunk_index""".stripMargin,
     // ≤500-token sources stay ONE untouched chunk (original newlines kept);

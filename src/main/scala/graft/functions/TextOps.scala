@@ -420,8 +420,13 @@ object TextOps {
     require(minWords >= 0, s"minWords must be nonnegative: $minWords")
     val lines = split(text, "\n")
     def keepLine(l: Column): Column = {
-      val t      = trim(l)
-      val words  = size(filter(split(t, "\\s+"), w => length(w) > 0))
+      val t = trim(l)
+      // the line is trimmed, so \s+ splitting yields no empty tokens except
+      // the [""] a fully-empty line produces — count words WITHOUT a nested
+      // filter lambda (higher-order functions are interpreted, not
+      // codegen'd; the inner filter was a second array allocation + lambda
+      // eval per line in the hottest loop)
+      val words  = when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
       val low    = lower(t)
       val checks = Seq(words >= minWords) ++
         badPhrases.map(p => !low.contains(p.toLowerCase)) ++

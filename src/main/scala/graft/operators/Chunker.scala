@@ -176,8 +176,16 @@ object Chunker extends Serializable {
               i += 1
               var closed = false
               while (i < line.length && !closed) {
-                if (line.charAt(i) == '\\') i += 2
-                else if (line.charAt(i) == ch) { closed = true; i += 1 }
+                if (line.charAt(i) == '\\') {
+                  // a backslash as the LAST char of the line escapes the
+                  // newline: the single-quoted string legally continues on
+                  // the next physical line ('start \<NL>rest') and
+                  // ast.parse keeps the statement one node — so the next
+                  // line must be a continuation, never a boundary, even
+                  // when the string's remainder LOOKS like "def ..."
+                  if (i == line.length - 1) backslashCont = true
+                  i += 2
+                } else if (line.charAt(i) == ch) { closed = true; i += 1 }
                 else i += 1
               }
             }

@@ -101,17 +101,32 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
 
     var ranks = nodes.withColumn("rank", lit(1d / n))
-    for (_ <- 1 to iters) {
-      // With redistribution each iteration consumes `ranks` TWICE (the
-      // contribution join and the dangling-mass reduce); persisting the
-      // iterate keeps the unrolled plan linear instead of doubling per
-      // round. The cached unit is one (id, rank) frame — node-set sized,
-      // spills to disk; the ContextCleaner reclaims dropped iterates.
-      val r =
-        if (redistributeDangling)
-          ranks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else ranks
-      ranks = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling)
+    if (!redistributeDangling) {
+      // single-consumer chain: each iterate feeds exactly one join, so the
+      // unrolled lazy plan stays linear with nothing to cache
+      for (_ <- 1 to iters)
+        ranks = prStep(e, nodes, outdeg, ranks, n, d, td, redistributeDangling = false)
+    } else {
+      // With redistribution each iteration consumes the iterate TWICE (the
+      // contribution join and the dangling-mass reduce). Iterates
+      // materialize through eager localCheckpoints and every superseded
+      // one frees its blocks as soon as the next lands — the
+      // pagerankConverged discipline. The previous lazy persist chain left
+      // all `iters` cached iterates for ContextCleaner's deferred GC,
+      // which surfaced as unreproducible rep-to-rep noise in the bench
+      // (g2 was the one perennially `contaminated` query).
+      var cur = ranks.localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val next = prStep(e, nodes, outdeg, cur, n, d, td, redistributeDangling = true)
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(cur)
+        cur = next
+      }
+      // the final iterate is checkpointed — its lineage no longer reads
+      // the static caches, so they release deterministically too
+      e.unpersist()
+      nodes.unpersist()
+      ranks = cur
     }
     ranks
   }

@@ -55,26 +55,59 @@ object QualityClassifier {
   }
 
   /** AUC of `scoreCol` against `labelCol` by the rank-sum (Mann–Whitney)
-    * identity. The only window is a GLOBAL rank over the EVAL SLICE — eval
-    * sets are sample-sized by construction (never the corpus), which is why
-    * this isn't the scale hazard a corpus-global window is.
+    * identity, with EXPLICIT midrank tie handling (tied scores share the
+    * mean of the ranks they span — the standard tie-corrected AUC,
+    * equal to P(s⁺ > s⁻) + ½·P(s⁺ = s⁻); the former `row_number` rank
+    * made tied scores contribute an arbitrary split instead).
+    *
+    * NO global window anywhere, so a corpus-sized scored frame never
+    * single-threads: tie groups collapse in one map-side-combined
+    * aggregate keyed by score, the distinct-score table range-partitions
+    * into global score order across tasks, per-partition count masses
+    * (≤ numPartitions doubles) broadcast back as prefix offsets, and the
+    * midrank fold runs where each partition sits — the same
+    * sort-then-offset device as [[Eval.deltaQids]].
     */
   def auc(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol))
-    scored
-      .select(col(labelCol).cast("double").as("__y"), col(scoreCol))
-      .withColumn("__r", row_number().over(w).cast("double"))
-      .agg(
-        sum(when(col("__y") === 1.0, col("__r"))).as("__rpos"),
-        sum(col("__y")).as("__npos"),
-        count(lit(1)).cast("double").as("__n"),
-      )
-      .select(
-        ((col("__rpos") - col("__npos") * (col("__npos") + 1) / 2) /
-          (col("__npos") * (col("__n") - col("__npos")))).as("auc"),
-        col("__npos").cast("long").as("n_pos"),
-        (col("__n") - col("__npos")).cast("long").as("n_neg"),
-      )
+    val spark = scored.sparkSession
+    val hist = scored
+      .select(col(scoreCol).cast("double").as("__s"), col(labelCol).cast("double").as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).cast("double").as("__c"), sum(col("__y")).as("__p"))
+    // range partitioning keeps equal scores in one partition (they are one
+    // histogram row anyway) and gives global order across partitions;
+    // persisted because the offset pass and the fold pass both read it
+    val sorted = hist.repartitionByRange(col("__s")).sortWithinPartitions(col("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rdd = sorted.rdd
+      val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = 0.0; it.foreach(r => s += r.getDouble(1)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0.0)(_ + _))
+      val (rpos, npos, n) = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cumb = offsets.value(i) // rows in score-earlier partitions
+        var rp = 0.0; var np = 0.0; var nn = 0.0
+        it.foreach { r =>
+          val c = r.getDouble(1)
+          val p = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+          rp += p * (cumb + (c + 1.0) / 2.0) // midrank of this tie group
+          np += p; nn += c; cumb += c
+        }
+        Iterator((rp, np, nn))
+      }.fold((0.0, 0.0, 0.0))((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      val nneg = n - npos
+      val aucV: java.lang.Double =
+        if (npos == 0.0 || nneg == 0.0) null
+        else Double.box((rpos - npos * (npos + 1.0) / 2.0) / (npos * nneg))
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(aucV, npos.toLong, nneg.toLong)),
+        StructType(Seq(
+          StructField("auc", DoubleType, nullable = true),
+          StructField("n_pos", LongType, nullable = false),
+          StructField("n_neg", LongType, nullable = false))))
+    } finally { sorted.unpersist(); () }
   }
 
   private val TokenPattern = "[^a-z0-9]+"

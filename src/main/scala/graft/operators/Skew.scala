@@ -90,12 +90,59 @@ object Skew {
       saltBuckets: Int,
       partials: Seq[Column],
       merges: Seq[Column],
+  ): DataFrame = twoStageAggregate(df, Seq(keyCol), saltBuckets, partials, merges)
+
+  private def twoStageAggregate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      saltBuckets: Int,
+      partials: Seq[Column],
+      merges: Seq[Column],
   ): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
-      .groupBy(col(keyCol), col("__salt"))
+      .groupBy((keyCols.map(col) :+ col("__salt")).toIndexedSeq: _*)
       .agg(partials.head, partials.tail: _*)
-      .groupBy(col(keyCol))
+      .groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(merges.head, merges.tail: _*)
+
+  /** Measurement-gated aggregation — [[keySkewStats]] finally CONSUMED by
+    * the operator it was built to protect: run the pre-flight audit (on
+    * `auditSample` when given — a predicate selecting a representative
+    * slice — or the full frame), then pick plain vs salted from its
+    * `salt_recommended` verdict (the heaviest key alone exceeding the
+    * mean simulated-reducer load, i.e. no key-hash arrangement can
+    * balance it). Returns (result, salted?).
+    *
+    * Both paths run the SAME two-stage shape so the output schema and
+    * values are identical (merges over partials must be the aggregate's
+    * merge form — count merges with sum, etc.): the plain path is the
+    * two-stage with ONE salt bucket, whose stage 1 IS the plain groupBy
+    * and whose stage 2 folds single-row groups (a |keys|-row no-op).
+    * The audit itself is skew-safe — it carries (key, count) with
+    * map-side combine, so the hot key reaches the shuffle as one row per
+    * map partition.
+    *
+    * `nBuckets` is the simulated reducer count the verdict is judged
+    * against; 0 (default) uses the session's `spark.sql.shuffle.partitions`
+    * — the audit then answers "would THIS plan's shuffle straggle".
+    */
+  def autoAggregate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      partials: Seq[Column],
+      merges: Seq[Column],
+      saltBuckets: Int = 16,
+      nBuckets: Int = 0,
+      auditSample: Column = lit(true),
+  ): (DataFrame, Boolean) = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2: $saltBuckets")
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val salted = keySkewStats(df.where(auditSample), keyCols, nb)
+      .select("salt_recommended").head().getBoolean(0)
+    (twoStageAggregate(df, keyCols, if (salted) saltBuckets else 1, partials, merges), salted)
+  }
 
   /** Skew-salted equi-join: a shuffle join hashes every row of a hot key to
     * ONE reducer — a key holding 20% of a 100 TB fact side serializes 20 TB

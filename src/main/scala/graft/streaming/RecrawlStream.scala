@@ -47,18 +47,36 @@ object RecrawlStream {
   private def docsPath(root: String)  = s"$root/docs"
   private def indexPath(root: String) = s"$root/index"
 
+  /** Clone of `spark` (shared SparkContext + SharedState, PRIVATE conf)
+    * with AQE off, governing this operator's internal plans only: a
+    * lifecycle batch is dozens of tiny exchanges, and AQE materializes
+    * each as its own job — a scheduler round trip apiece (measured 25
+    * jobs/micro-batch at sf0.1, ~0.5 s/run of pure job-launch floor) —
+    * while having nothing to re-plan at delta scale. The clone scopes the
+    * setting to this call; the caller's session is never touched (a
+    * set/reset on the shared conf would race concurrent queries).
+    * Input frames re-root onto the clone via [[GraftBridge.reRoot]].
+    */
+  private def lifecycleSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2
+  }
+
   /** Initial state: embed the full corpus once, build the IVF store, and
     * publish the (id, hash) snapshot the first batch will diff against.
     */
   def bootstrap(
-      spark: SparkSession,
-      docs: DataFrame,
+      spark0: SparkSession,
+      docs0: DataFrame,
       idCol: String,
       textCol: String,
       root: String,
       nList: Int,
       embedder: Embedder = Embedder.default,
   ): Unit = {
+    val spark = lifecycleSession(spark0)
+    val docs  = org.apache.spark.sql.GraftBridge.reRoot(spark, docs0)
     // the (id, hash) snapshot computation is independent of the embed →
     // index chain, so it overlaps on a second thread — but only into a
     // STAGING dir: the live snapshot publishes (one rename) strictly
@@ -109,13 +127,15 @@ object RecrawlStream {
     * batch backfills — [[start]] is exactly this per micro-batch.
     */
   def applyBatch(
-      spark: SparkSession,
+      spark0: SparkSession,
       root: String,
-      batch0: DataFrame,
+      batchIn: DataFrame,
       idCol: String,
       textCol: String,
       embedder: Embedder = Embedder.default,
   ): (Long, Long, Long) = {
+    val spark  = lifecycleSession(spark0)
+    val batch0 = org.apache.spark.sql.GraftBridge.reRoot(spark, batchIn)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // two rows for one id that are not exact duplicates have no
     // deterministic winner — producer bug, fail loud (the Scd2Stream
@@ -150,18 +170,20 @@ object RecrawlStream {
         .persist(lvl)
       try {
         // the embedded delta is consumed by several applyDelta actions —
-        // persist so the embedder runs ONCE per batch, and read nUp off
-        // the SAME materialization (embedText is 1:1) instead of counting
-        // the upsert cache in a separate job. The independent removal
-        // count overlaps it on a second thread (cache materialization is
-        // per-partition-locked, so the shared batch cache computes once).
-        val nRemF = scala.concurrent.Future(removals.count())(
-          scala.concurrent.ExecutionContext.global)
+        // persist so the embedder runs ONCE per batch. ONE action then
+        // materializes BOTH per-batch caches and returns both counts
+        // (nUp off the same materialization — embedText is 1:1): the
+        // union's two legs run as sibling stages of a single job, keeping
+        // the old two-thread overlap minus one scheduler round trip.
         val fresh = Embedder.embedText(spark, upserts, idCol, textCol, embedder).toDF()
           .select(col("id").as(idCol), col("embedding"))
           .persist(lvl)
-        val nUp  = fresh.count()
-        val nRem = scala.concurrent.Await.result(nRemF, scala.concurrent.duration.Duration.Inf)
+        val cnt = fresh.select(lit(1).as("__t"))
+          .unionByName(removals.select(lit(0).as("__t")))
+          .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val nUp  = cnt.getOrElse(1, 0L)
+        val nRem = cnt.getOrElse(0, 0L)
         val vecName = Ivf.readCentroids(indexPath(root), spark.sparkContext.hadoopConfiguration)
           .flatMap(_.column).getOrElse("embedding")
         // prepare the next snapshot CONCURRENTLY with the index patch:

@@ -26,6 +26,22 @@ object GraftBridge {
       case _                       => ()
     }
 
+  /** Re-root a DataFrame's analyzed logical plan onto another session of
+    * the SAME SparkContext (a `spark.newSession()` clone): the clone's
+    * private conf (e.g. AQE off for a many-tiny-exchanges lifecycle op)
+    * then governs execution while the shared SharedState keeps caches and
+    * catalog visible. The plan must not embed session-specific state
+    * beyond what SharedState carries — true for the scan/join/agg plans
+    * the lifecycle operators re-root.
+    */
+  def reRoot(target: SparkSession, df: Dataset[Row]): Dataset[Row] = {
+    val t = target.asInstanceOf[classic.SparkSession]
+    val d = df.asInstanceOf[classic.Dataset[Row]]
+    require(t.sparkContext eq d.sparkSession.sparkContext,
+      "reRoot requires sessions of the same SparkContext")
+    classic.Dataset.ofRows(t, d.queryExecution.analyzed)
+  }
+
   /** Register graft's native expressions on a live session so `spark.sql`
     * can call them by name (the runtime analog of [[graft.GraftExtensions]],
     * which does the same at session build time for spark-submit users).

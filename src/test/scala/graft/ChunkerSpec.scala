@@ -209,6 +209,35 @@ class ChunkerSpec extends AnyFunSuite {
     assert(!blocks.exists(b => b.startsWith(")") || b.startsWith("     2)") || b.startsWith("           arg2)")))
   }
 
+  test("ast fidelity: backslash continuations, parenthesized lambdas, and backslash-continued strings stay whole") {
+    // all four constructs verified single ast.parse nodes (round 13):
+    //   TOTAL = 1 + \        <- plain backslash continuation
+    //   2
+    //   HANDLER = (lambda x: <- top-level parenthesized lambda
+    //       x + 1)
+    //   DOC = 'start \       <- single-quoted string continued by a
+    //   def fake(): pass'       trailing backslash — the second PHYSICAL
+    //                           line READS like a def but is string body
+    val preamble = "CONFIG = {\n    \"a\": 1,\n}\n" +
+      "TOTAL = 1 + \\\n2\n" +
+      "HANDLER = (lambda x:\n    x + 1)\n" +
+      "DOC = 'start \\\ndef fake(): pass'"
+    val code = preamble + "\n@app.route(\n    \"/x\",\n)\ndef real():\n    return 1\n"
+    // preamble = 26 tokens: a 26-token budget flushes exactly at its end,
+    // so chunk 0 must be the preamble VERBATIM — any boundary opening
+    // inside it (the def-looking string line is the trap) changes chunk 0
+    val chunks = Chunker.chunkCode(code, maxTokens = 26).map(_._1)
+    assert(chunks.head == preamble, chunks.mkString("<<", ">>,<<", ">>"))
+    assert(chunks(1).startsWith("@app.route(") && chunks(1).contains("def real():"))
+    assert(!chunks.exists(_.startsWith("def fake")), chunks.mkString("<<", ">>,<<", ">>"))
+    // and the line AFTER a backslash-continued string is again normal code:
+    // a real def following the closed string is a boundary
+    val after = "S = 'a \\\nb'\ndef g():\n    return 2\n"
+    val ac = Chunker.chunkCode(after, maxTokens = 5).map(_._1)
+    assert(ac.exists(_.startsWith("def g")), ac.mkString("<<", ">>,<<", ">>"))
+    assert(ac.head == "S = 'a \\\nb'", ac.mkString("<<", ">>,<<", ">>"))
+  }
+
   test("code chunker splits at top-level boundaries and packs to <= maxTokens") {
     val blocks = (1 to 50).map(i => s"def f$i():\n" + ("    x = 1\n" * 30))
     val chunks = Chunker.chunkCode(blocks.mkString(""))

@@ -626,6 +626,43 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Skew.keySkewStats(rows, Seq("k"), 1))
   }
 
+  test("keySkewStats: null and empty composite key parts stay distinct in the bucket simulation") {
+    val nul = 0.toChar
+    val soh = 1.toChar
+    // (null,'x') ×5, ('x',null), ('','x') — with plain concat_ws the first
+    // and third collapse ("x") and the second becomes "x" too
+    val rows = (Seq.fill(5)((null: String, "x")) ++ Seq(("x", null: String), ("", "x")))
+      .toDF("k1", "k2")
+    val r = Skew.keySkewStats(rows, Seq("k1", "k2"), 2)
+      .as[(Long, Long, Long, String, Double, Long, Long, Double, Boolean)].head()
+    assert(r._1 == 7L && r._2 == 3L, s"3 distinct keys expected: $r")
+    assert(r._3 == 5L, s"hot key rows: $r")
+    assert(r._4 == s"${nul}N$soh" + "x", s"top_key must carry the null sentinel: ${r._4.toList}")
+  }
+
+  test("autoAggregate: the audit verdict picks the path; salted two-stage equals plain groupBy") {
+    val hot = (0 until 400).map(i => (if (i % 2 == 0) "hot" else s"k${i % 20}", i.toLong))
+      .toDF("k", "v")
+    val partials = Seq(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val merges   = Seq(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val (res, salted) = Skew.autoAggregate(hot, Seq("k"), partials, merges,
+      saltBuckets = 4, nBuckets = 8)
+    assert(salted, "a key holding half the rows must trip the salt verdict at 8 buckets")
+    val got  = res.select("k", "n", "s").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = hot.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want, "salted two-stage must equal the plain aggregate")
+    // uniform keys: verdict false, same values either way
+    val flat = (0 until 64).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    val (fres, fsalted) = Skew.autoAggregate(flat, Seq("k"), partials, merges,
+      saltBuckets = 4, nBuckets = 2)
+    assert(!fsalted, "uniform keys must not recommend salting")
+    assert(fres.count() == 64)
+    intercept[IllegalArgumentException](
+      Skew.autoAggregate(flat, Seq("k"), partials, merges, saltBuckets = 1))
+  }
+
   test("saltedJoin rejects reserved columns and ambiguous collisions, salts around maps") {
     val big = Seq(("k0", 1L), ("k1", 2L)).toDF("k", "v")
     val dim = Seq(("k0", "a"), ("k1", "b")).toDF("k", "tag")
