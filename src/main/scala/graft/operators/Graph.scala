@@ -98,7 +98,13 @@ object Graph {
     // scale-safe (aggregate, not a collect of data); keeping it a literal
     // keeps every iteration's expression foldable.
     val n = nodes.count().toDouble
+    // outdeg feeds every iteration's contribution join AND (with
+    // redistribution) every dangling reduce — unpersisted it re-aggregates
+    // the cached edge set once per consumer per action (6 evaluations for
+    // a 3-round redistributing run). Node-sized cache, same lifecycle as
+    // `nodes`.
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.withColumn("rank", lit(1d / n))
     if (!redistributeDangling) {
@@ -108,25 +114,29 @@ object Graph {
         ranks = prStep(e, nodes, outdeg, ranks, n, d, td, redistributeDangling = false)
     } else {
       // With redistribution each iteration consumes the iterate TWICE (the
-      // contribution join and the dangling-mass reduce). Iterates
-      // materialize through eager localCheckpoints and every superseded
-      // one frees its blocks as soon as the next lands — the
-      // pagerankConverged discipline. The previous lazy persist chain left
-      // all `iters` cached iterates for ContextCleaner's deferred GC,
-      // which surfaced as unreproducible rep-to-rep noise in the bench
-      // (g2 was the one perennially `contaminated` query).
-      var cur = ranks.localCheckpoint(true)
+      // contribution join and the dangling-mass reduce), so each persists —
+      // keeping the unrolled plan linear. The whole chain still executes as
+      // ONE lazy job graph (a per-round eager checkpoint would pay `iters`
+      // scheduler round trips for nothing at a fixed small iteration
+      // count); the final iterate then materializes through one eager
+      // localCheckpoint, after which every iterate cache and both static
+      // caches are freed DETERMINISTICALLY. Leaving them to
+      // ContextCleaner's deferred GC was the source of unreproducible
+      // rep-to-rep bench noise (g2 was the one perennially `contaminated`
+      // query).
+      val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var cur = ranks
       for (_ <- 1 to iters) {
-        val next = prStep(e, nodes, outdeg, cur, n, d, td, redistributeDangling = true)
-          .localCheckpoint(true)
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(cur)
-        cur = next
+        val r = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        handles += r
+        cur = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling = true)
       }
-      // the final iterate is checkpointed — its lineage no longer reads
-      // the static caches, so they release deterministically too
+      val out = cur.localCheckpoint(true)
+      handles.foreach(_.unpersist())
       e.unpersist()
       nodes.unpersist()
-      ranks = cur
+      outdeg.unpersist()
+      ranks = out
     }
     ranks
   }
@@ -171,7 +181,10 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
+    // persisted for the same reason as in [[pagerank]]: consumed once or
+    // twice per round, up to maxIters rounds
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.withColumn("rank", lit(1d / n)).localCheckpoint(true)
     var it    = 0
@@ -188,6 +201,11 @@ object Graph {
       done = delta <= tol
       it += 1
     }
+    // every round's iterate is an eager checkpoint, so the returned frame
+    // reads no cache — free the static frames deterministically
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
     ranks
   }
 

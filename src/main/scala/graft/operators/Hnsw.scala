@@ -469,7 +469,11 @@ object Hnsw {
     * pass an explicit count only to pin a fixture.
     *
     * For a standing corpus queried repeatedly, build once with [[indexFor]]
-    * and query the stored graphs with [[searchIndex]] instead.
+    * and query the stored graphs with [[searchIndex]] instead — which also
+    * carries the FILTERED-search path (payload predicates evaluated inside
+    * the traversal); for a filtered one-shot over an unindexed frame, just
+    * pre-filter and call [[Search.topK]] — with no standing graph to
+    * reuse, exact scan of the survivors is the cheaper plan.
     */
   def topK(
       corpus: DataFrame,
