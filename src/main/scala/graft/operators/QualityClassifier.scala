@@ -63,10 +63,11 @@ object QualityClassifier {
     * NO global window anywhere, so a corpus-sized scored frame never
     * single-threads: tie groups collapse in one map-side-combined
     * aggregate keyed by score, the distinct-score table range-partitions
-    * into global score order across tasks, per-partition count masses
-    * (≤ numPartitions doubles) broadcast back as prefix offsets, and the
-    * midrank fold runs where each partition sits — the same
-    * sort-then-offset device as [[Eval.deltaQids]].
+    * into global score order across tasks, and ONE pass emits each
+    * partition's local rank-sum + count masses (≤ numPartitions rows to
+    * the driver), which recombine exactly via prefix offsets
+    * (rp_global = rp_local + offset·np) — the [[Eval.deltaQids]]
+    * sort-then-offset device, folded into a single job.
     */
   def auc(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     val spark = scored.sparkSession
@@ -75,39 +76,40 @@ object QualityClassifier {
       .groupBy(col("__s"))
       .agg(count(lit(1)).cast("double").as("__c"), sum(col("__y")).as("__p"))
     // range partitioning keeps equal scores in one partition (they are one
-    // histogram row anyway) and gives global order across partitions;
-    // persisted because the offset pass and the fold pass both read it
+    // histogram row anyway) and gives global order across partitions
     val sorted = hist.repartitionByRange(col("__s")).sortWithinPartitions(col("__s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val rdd = sorted.rdd
-      val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-        var s = 0.0; it.foreach(r => s += r.getDouble(1)); Iterator((i, s))
-      }.collect().sortBy(_._1).map(_._2)
-      val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0.0)(_ + _))
-      val (rpos, npos, n) = rdd.mapPartitionsWithIndex { (i, it) =>
-        var cumb = offsets.value(i) // rows in score-earlier partitions
-        var rp = 0.0; var np = 0.0; var nn = 0.0
-        it.foreach { r =>
-          val c = r.getDouble(1)
-          val p = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
-          rp += p * (cumb + (c + 1.0) / 2.0) // midrank of this tie group
-          np += p; nn += c; cumb += c
-        }
-        Iterator((rp, np, nn))
-      }.fold((0.0, 0.0, 0.0))((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
-      val nneg = n - npos
-      val aucV: java.lang.Double =
-        if (npos == 0.0 || nneg == 0.0) null
-        else Double.box((rpos - npos * (npos + 1.0) / 2.0) / (npos * nneg))
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(aucV, npos.toLong, nneg.toLong)),
-        StructType(Seq(
-          StructField("auc", DoubleType, nullable = true),
-          StructField("n_pos", LongType, nullable = false),
-          StructField("n_neg", LongType, nullable = false))))
-    } finally { sorted.unpersist(); () }
+    // ONE pass: a tie group's global midrank is its LOCAL midrank plus the
+    // count mass of score-earlier partitions, so
+    //   rp_global(part) = rp_local(part) + offset(part) · np(part)
+    // — each partition emits (rpLocal, np, nn), the driver computes the
+    // prefix offsets from the nn column and recombines. No second job, no
+    // persisted intermediate, no broadcast.
+    val parts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cumb = 0.0; var rp = 0.0; var np = 0.0; var nn = 0.0
+      it.foreach { r =>
+        val c = r.getDouble(1)
+        val p = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+        rp += p * (cumb + (c + 1.0) / 2.0) // midrank within this partition
+        np += p; nn += c; cumb += c
+      }
+      Iterator((i, rp, np, nn))
+    }.collect().sortBy(_._1)
+    var offset = 0.0; var rpos = 0.0; var npos = 0.0; var n = 0.0
+    parts.foreach { case (_, rpLocal, np, nn) =>
+      rpos += rpLocal + offset * np
+      npos += np; n += nn; offset += nn
+    }
+    val nneg = n - npos
+    val aucV: java.lang.Double =
+      if (npos == 0.0 || nneg == 0.0) null
+      else Double.box((rpos - npos * (npos + 1.0) / 2.0) / (npos * nneg))
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(aucV, npos.toLong, nneg.toLong)),
+      StructType(Seq(
+        StructField("auc", DoubleType, nullable = true),
+        StructField("n_pos", LongType, nullable = false),
+        StructField("n_neg", LongType, nullable = false))))
   }
 
   private val TokenPattern = "[^a-z0-9]+"

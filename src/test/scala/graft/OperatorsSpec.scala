@@ -1162,6 +1162,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaSql == 1L)
   }
 
+  test("GraftBridge.reRoot: the clone's private conf governs execution, rows are identical") {
+    val df = (0 until 100).map(i => (i.toLong, i % 7)).toDF("id", "g")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    val clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    val rerooted = org.apache.spark.sql.GraftBridge.reRoot(clone, df)
+    assert(rerooted.sparkSession eq clone)
+    // same rows either way
+    val a = df.as[(Int, Long)].collect().toSet
+    val b = rerooted.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(a == b, s"$a vs $b")
+    // and the clone's conf actually governs: the re-rooted plan is not
+    // adaptive, the original session's is
+    assert(!rerooted.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+    assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+    // cross-context frames are rejected loudly (not silently mis-planned)
+    // — same-context requirement documented on the bridge
+  }
+
   test("rerankTopKWith seam parity: a Scala Dice scorer reproduces the declarative rerank") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val terms = Seq("table", "window", "agg")
