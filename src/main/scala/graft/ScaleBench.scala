@@ -133,6 +133,15 @@ object ScaleBench {
       def index() = Ivf.indexFor(vecs, "embedding", nList, cacheKey = s"scale768-$scale")
       val exactIds = Search.topK(vecs, "embedding", "vec_id", qVec, 10)
         .select("vec_id").as[Long].collect().toSet
+      // filtered-search fixtures: a synthetic payload (vec_id mod 100 as
+      // the percent band) and per-band filtered brute-force baselines,
+      // computed lazily once per scale
+      val filtPayload = vecs.select(col("vec_id"), pmod(col("vec_id"), lit(100)).as("pct"))
+      val filtExactCache = new java.util.concurrent.ConcurrentHashMap[Int, Set[Long]]()
+      def filtExact(band: Int): Set[Long] = filtExactCache.computeIfAbsent(band, _ =>
+        Search.topK(vecs.where(pmod(col("vec_id"), lit(100)) < band),
+          "embedding", "vec_id", qVec, 10)
+          .select("vec_id").as[Long].collect().toSet)
       val ops: Seq[(String, () => Long)] = Seq(
         "cosine_topk_768"  -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
         "knn_join_32q_768" -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs,
@@ -248,6 +257,33 @@ object ScaleBench {
             cacheKey = s"scale768-hnsw-$scale", nShards = 4)
           Hnsw.searchIndex(idx, qVec, "vec_id", 10)
             .select("vec_id").as[Long].collect().count(exactIds).toLong
+        }),
+        // round 13: FILTERED search at the real shape, one op per
+        // selectivity band — the filtered-ANN recall cliff is
+        // selectivity-dependent, so the gate must hold across the sweep.
+        // rows = recall@10 vs the FILTERED brute force (gate >= 8 on the
+        // beam bands; the 1% band trips the cardinality gate's exact
+        // branch — needEf 6400 > maxEf 4096 — so its gate is == 10).
+        "hnsw_filt50_768" -> (() => {
+          val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
+            cacheKey = s"scale768-hnsw-$scale", nShards = 4)
+          Hnsw.searchIndex(idx, qVec, "vec_id", 10, efSearch = 64,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 50), payload = filtPayload)
+            .select("vec_id").as[Long].collect().count(filtExact(50)).toLong
+        }),
+        "hnsw_filt10_768" -> (() => {
+          val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
+            cacheKey = s"scale768-hnsw-$scale", nShards = 4)
+          Hnsw.searchIndex(idx, qVec, "vec_id", 10, efSearch = 64,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 10), payload = filtPayload)
+            .select("vec_id").as[Long].collect().count(filtExact(10)).toLong
+        }),
+        "hnsw_filt1_768" -> (() => {
+          val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
+            cacheKey = s"scale768-hnsw-$scale", nShards = 4)
+          Hnsw.searchIndex(idx, qVec, "vec_id", 10, efSearch = 64,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 1), payload = filtPayload)
+            .select("vec_id").as[Long].collect().count(filtExact(1)).toLong
         }),
         // d7 at 768-d: banded sign-LSH candidates + exact-cosine verify;
         // expected rows ≈ n/50 planted dup pairs (cos = 1 ≥ 0.99)

@@ -860,12 +860,16 @@ object Hnsw {
     *     `maxEf` — run EXACT: semi-join the store's (id, vec) rows against
     *     the allowed ids and brute-force top-k (cheap precisely because few
     *     rows pass; result is exact by construction, no recall cliff);
-    *  3. broad predicates run the filter-aware beam: allowed ids join onto
-    *     the store rows (broadcast under AQE when small), each shard's
-    *     traversal passes THROUGH blocked nodes but admits only allowed
-    *     ones to its beam ([[searchGraphFiltered]]), with the beam width
-    *     oversampled to that same `ceil(max(efSearch,k)/sel)` so the
-    *     expected allowed mass in the beam stays ≥ efSearch.
+    *  3. broad predicates run the filter-aware beam: allowed ids
+    *     semi-join a COLUMN-PRUNED (shard, ord, id) projection of the
+    *     store (vectors and adjacency never move through the flag join),
+    *     the narrow (shard, ord) flags co-shuffle with the wide store
+    *     rows on shard — the one exchange the unfiltered path pays too —
+    *     and each shard's traversal passes THROUGH blocked nodes but
+    *     admits only allowed ones to its beam ([[searchGraphFiltered]]),
+    *     with the beam width oversampled to that same
+    *     `ceil(max(efSearch,k)/sel)` so the expected allowed mass in the
+    *     beam stays ≥ efSearch.
     *
     * With `filters` empty the body is the pre-filter implementation
     * verbatim — no payload scan, no join, same physical plan.
@@ -917,18 +921,32 @@ object Hnsw {
         .select(col("id").as(idCol), col("score"))
     } else {
       val efF = needEf.toInt
-      // flag store rows instead of routing ids by shard hash: needs no
-      // meta read, and AQE broadcasts the allowed side when it is small
-      val flagged = pinnedStore(index)
-        .join(allowed.withColumn("__ok", lit(true)), Seq("id"), "left")
-        .select(col("shard"), col("ord"), col("id"), col("level"), col("vec"),
-          col("links"), col("entry"), col("max_level"),
-          coalesce(col("__ok"), lit(false)).as("__ok"))
+      // Allowed-node flags are computed on a COLUMN-PRUNED (shard, ord, id)
+      // projection of the store — the id semi-join never moves vectors or
+      // adjacency (joining the WIDE rows instead shuffled ~7 KB/node and
+      // tripled the broad-filter search time at the 768-d/100k tier). The
+      // wide rows then shuffle ONCE on shard — the same exchange the
+      // unfiltered path pays — with the (shard, ord) flags riding beside
+      // them as narrow kind-tagged rows.
+      val flags = pinnedStore(index)
+        .select(col("shard"), col("ord"), col("id"))
+        .join(allowed, Seq("id"), "left_semi")
+        .select(col("shard"), col("ord"),
+          lit(0L).as("id"), lit(0).as("level"),
+          typedLit(Seq.empty[Double]).as("vec"),
+          typedLit(Seq.empty[Seq[Int]]).as("links"),
+          lit(0).as("entry"), lit(0).as("max_level"),
+          lit(1).as("__kind"))
+      val unioned = pinnedStore(index).withColumn("__kind", lit(0))
+        .unionByName(flags)
         .repartition(col("shard"))
-      val candidates = flagged
+      val candidates = unioned
         .mapPartitions { rows =>
-          rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, nodeRows) =>
-            val (g, ok) = graphWithFlags(nodeRows)
+          rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, shardRows) =>
+            val (flagRows, nodeRows) = shardRows.partition(_.getInt(8) == 1)
+            val g  = graphOf(nodeRows)
+            val ok = new java.util.BitSet(g.size)
+            flagRows.foreach(r => ok.set(r.getInt(1)))
             searchGraphFiltered(g, q, k, efF, ok).iterator
           }
         }
@@ -959,17 +977,6 @@ object Hnsw {
         case _ => false
       } catch { case scala.util.control.NonFatal(_) => false }
     if (already) pinned else pinned.repartition(col("shard"))
-  }
-
-  /** Rebuild one shard's [[Graph]] plus the allowed-ord bitset from store
-    * rows carrying a 9th boolean `__ok` column (the filtered-search join's
-    * per-node verdict, already aligned row-to-node).
-    */
-  private def graphWithFlags(nodeRows: Seq[Row]): (Graph, java.util.BitSet) = {
-    val g  = graphOf(nodeRows)
-    val ok = new java.util.BitSet(g.size)
-    nodeRows.foreach { r => if (r.getBoolean(8)) ok.set(r.getInt(1)) }
-    (g, ok)
   }
 
   /** Rebuild one shard's [[Graph]] from its store rows. */
