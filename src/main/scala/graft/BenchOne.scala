@@ -31,10 +31,21 @@ object BenchOne {
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query: $name"))
+      // the listener bus is ASYNC: events for the action's last jobs can
+      // still be queued when the action returns. Poll the counter until it
+      // is stable for 100 ms (outside the timed region) so per-rep job
+      // counts neither undercount nor bleed into the next rep's reset.
+      def stableJobs(): Int = {
+        var prev = -1
+        var cur  = jobs.get()
+        while (cur != prev) { prev = cur; Thread.sleep(100); cur = jobs.get() }
+        cur
+      }
       val times = (0 until reps).map { _ =>
         jobs.set(0)
         val t0 = System.nanoTime(); materialize(fn(spark, sfDir))
-        ((System.nanoTime() - t0) / 1e9, jobs.get())
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, stableJobs())
       }
       spark.catalog.clearCache()
       System.gc()

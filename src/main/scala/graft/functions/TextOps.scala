@@ -421,12 +421,13 @@ object TextOps {
     val lines = split(text, "\n")
     def keepLine(l: Column): Column = {
       val t = trim(l)
-      // the line is trimmed, so \s+ splitting yields no empty tokens except
-      // the [""] a fully-empty line produces — count words WITHOUT a nested
-      // filter lambda (higher-order functions are interpreted, not
-      // codegen'd; the inner filter was a second array allocation + lambda
-      // eval per line in the hottest loop)
-      val words  = when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+      // word count = number of maximal \S+ runs. NOT size(split(t,"\s+")):
+      // trim strips only ' ' (a trailing \r from CRLF corpora or a leading
+      // \t survives it) and split keeps the empty boundary tokens those
+      // produce, inflating the count — the oracle counts non-empty tokens
+      // only. regexp_count is exact under any whitespace AND allocates no
+      // array (this runs per line inside an interpreted HOF lambda).
+      val words  = regexp_count(t, lit("\\S+"))
       val low    = lower(t)
       val checks = Seq(words >= minWords) ++
         badPhrases.map(p => !low.contains(p.toLowerCase)) ++

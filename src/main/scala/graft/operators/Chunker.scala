@@ -160,9 +160,33 @@ object Chunker extends Serializable {
     var inTriple: String      = null
     var depth                 = 0
     var backslashCont         = false
+    // non-zero: the next line STARTS inside this single-quoted string (the
+    // previous line ended with a newline-escaping backslash mid-string).
+    // Without this the continuation line was scanned as CODE, so brackets
+    // or quotes in the string's remainder corrupted `depth`/string state
+    // and could merge the whole rest of the file into one block.
+    var inSingle: Char        = 0
+    // scan a 1-quoted string body from `start`; returns the index after
+    // the closing quote. A trailing backslash legally escapes the newline
+    // ('start \<NL>rest' — ast.parse keeps the statement one node): mark
+    // the continuation AND remember the open quote so the next line
+    // resumes INSIDE the string. Unterminated with no trailing backslash
+    // is a Python syntax error — recover at code level.
+    def scanStringBody(line: String, start: Int, q: Char): Int = {
+      var i = start
+      inSingle = 0
+      while (i < line.length) {
+        if (line.charAt(i) == '\\') {
+          if (i == line.length - 1) { backslashCont = true; inSingle = q; return line.length }
+          i += 2
+        } else if (line.charAt(i) == q) return i + 1
+        else i += 1
+      }
+      i
+    }
     def scanLine(line: String): Unit = {
       backslashCont = false
-      var i = 0
+      var i = if (inSingle != 0) scanStringBody(line, 0, inSingle) else 0
       while (i < line.length) {
         if (inTriple != null) {
           if (line.startsWith(inTriple, i)) { inTriple = null; i += 3 } else i += 1
@@ -172,23 +196,7 @@ object Chunker extends Serializable {
           else if (ch == '"' || ch == '\'') {
             val q = ch.toString
             if (line.startsWith(q * 3, i)) { inTriple = q * 3; i += 3 }
-            else {
-              i += 1
-              var closed = false
-              while (i < line.length && !closed) {
-                if (line.charAt(i) == '\\') {
-                  // a backslash as the LAST char of the line escapes the
-                  // newline: the single-quoted string legally continues on
-                  // the next physical line ('start \<NL>rest') and
-                  // ast.parse keeps the statement one node — so the next
-                  // line must be a continuation, never a boundary, even
-                  // when the string's remainder LOOKS like "def ..."
-                  if (i == line.length - 1) backslashCont = true
-                  i += 2
-                } else if (line.charAt(i) == ch) { closed = true; i += 1 }
-                else i += 1
-              }
-            }
+            else i = scanStringBody(line, i + 1, ch)
           } else if (ch == '(' || ch == '[' || ch == '{') { depth += 1; i += 1 }
           else if (ch == ')' || ch == ']' || ch == '}') { depth = math.max(0, depth - 1); i += 1 }
           else if (ch == '\\' && i == line.length - 1) { backslashCont = true; i += 1 }

@@ -197,8 +197,13 @@ object Eval {
     // freed deterministically — an eval sweep calling this per system pair
     // must not accumulate unreferenced caches until ContextCleaner's GC
     // happens to run. The returned frame is a local relation of that row.
-    val rows = out.collect()
-    cached.unpersist()
+    // The unpersist sits in a finally: the collect is also where the
+    // planted fail-loud raise_errors (duplicate qids, qid*perms overflow)
+    // surface, and a sweep that catches-and-retries per pair must not
+    // accumulate the very caches this change exists to free.
+    val rows =
+      try out.collect()
+      finally cached.unpersist()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -120,23 +120,35 @@ object Graph {
       // scheduler round trips for nothing at a fixed small iteration
       // count); the final iterate then materializes through one eager
       // localCheckpoint, after which every iterate cache and both static
-      // caches are freed DETERMINISTICALLY. Leaving them to
+      // caches are freed DETERMINISTICALLY. The standard localCheckpoint
+      // trade-off applies (as everywhere this fixpoint discipline is used:
+      // [[pagerankConverged]], [[labelPropagation]],
+      // [[Dedup.connectedComponents]]): the result's blocks are
+      // executor-local and non-replicated, so under executor decommission
+      // (dynamic allocation) a caller needing durability should write the
+      // node-sized result out rather than hold the frame long-term. Leaving them to
       // ContextCleaner's deferred GC was the source of unreproducible
       // rep-to-rep bench noise (g2 was the one perennially `contaminated`
       // query).
       val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var cur = ranks
-      for (_ <- 1 to iters) {
-        val r = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        handles += r
-        cur = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling = true)
+      // the releases sit in a finally: the checkpoint is where the whole
+      // chain's actions run, and a caller that catches a task failure and
+      // retries must not accumulate pinned iterate/static caches (the
+      // exact leak this discipline exists to prevent)
+      try {
+        for (_ <- 1 to iters) {
+          val r = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          handles += r
+          cur = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling = true)
+        }
+        ranks = cur.localCheckpoint(true)
+      } finally {
+        handles.foreach(_.unpersist())
+        e.unpersist()
+        nodes.unpersist()
+        outdeg.unpersist()
       }
-      val out = cur.localCheckpoint(true)
-      handles.foreach(_.unpersist())
-      e.unpersist()
-      nodes.unpersist()
-      outdeg.unpersist()
-      ranks = out
     }
     ranks
   }
@@ -186,27 +198,35 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.withColumn("rank", lit(1d / n)).localCheckpoint(true)
-    var it    = 0
-    var done  = false
-    while (it < maxIters && !done) {
-      val next = prStep(e, nodes, outdeg, ranks, n, d, td, redistributeDangling)
-        .localCheckpoint(true)
-      val delta = next.select(col("id"), col("rank").as("__next"))
-        .join(ranks.select(col("id"), col("rank").as("__prev")), "id")
-        .agg(sum(abs(col("__next") - col("__prev"))).as("__l1"))
-        .first().getDouble(0)
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(ranks)
-      ranks = next
-      done = delta <= tol
-      it += 1
-    }
+    var ranks     = nodes.withColumn("rank", lit(1d / n)).localCheckpoint(true)
+    var it        = 0
+    var done      = false
+    var completed = false
     // every round's iterate is an eager checkpoint, so the returned frame
-    // reads no cache — free the static frames deterministically
-    e.unpersist()
-    nodes.unpersist()
-    outdeg.unpersist()
-    ranks
+    // reads no cache — free the static frames deterministically, in a
+    // finally so a mid-loop action failure can't leave them pinned (and on
+    // failure also drop the orphaned current iterate's blocks)
+    try {
+      while (it < maxIters && !done) {
+        val next = prStep(e, nodes, outdeg, ranks, n, d, td, redistributeDangling)
+          .localCheckpoint(true)
+        val delta = next.select(col("id"), col("rank").as("__next"))
+          .join(ranks.select(col("id"), col("rank").as("__prev")), "id")
+          .agg(sum(abs(col("__next") - col("__prev"))).as("__l1"))
+          .first().getDouble(0)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(ranks)
+        ranks = next
+        done = delta <= tol
+        it += 1
+      }
+      completed = true
+      ranks
+    } finally {
+      e.unpersist()
+      nodes.unpersist()
+      outdeg.unpersist()
+      if (!completed) org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(ranks)
+    }
   }
 
   /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) in its
@@ -248,24 +268,31 @@ object Graph {
     // the next one lands — the pagerankConverged discipline. A plain
     // per-round persist would pin iters+2 node-sized frames in the
     // CacheManager until session end.
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val nbr = und.join(labels.select(col("id").as("v"), col("label").as("lbl")), "v")
-        .select(col("u").as("id"), col("lbl"))
-      val votes = nbr.unionByName(labels.select(col("id"), col("label").as("lbl")))
-        .groupBy("id", "lbl").agg(count(lit(1)).as("__c"))
-      // argmax by (count desc, label asc) as one struct-min aggregate
-      val next = votes.groupBy("id")
-        .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l"))).as("__m"))
-        .select(col("id"), col("__m.l").as("label"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
-      labels = next
-    }
+    var labels    = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    var completed = false
     // the final iterate is materialized (checkpointed), so the inputs'
-    // cached blocks are no longer needed by the returned frame
-    und.unpersist(); nodes.unpersist()
-    labels
+    // cached blocks are no longer needed by the returned frame; the
+    // releases run in a finally so a mid-loop failure can't pin them
+    try {
+      for (_ <- 1 to iters) {
+        val nbr = und.join(labels.select(col("id").as("v"), col("label").as("lbl")), "v")
+          .select(col("u").as("id"), col("lbl"))
+        val votes = nbr.unionByName(labels.select(col("id"), col("label").as("lbl")))
+          .groupBy("id", "lbl").agg(count(lit(1)).as("__c"))
+        // argmax by (count desc, label asc) as one struct-min aggregate
+        val next = votes.groupBy("id")
+          .agg(min(struct((-col("__c")).as("nc"), col("lbl").as("l"))).as("__m"))
+          .select(col("id"), col("__m.l").as("label"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+        labels = next
+      }
+      completed = true
+      labels
+    } finally {
+      und.unpersist(); nodes.unpersist()
+      if (!completed) org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+    }
   }
 
   /** Newman modularity per community (Newman & Girvan 2004, eq. 5):

@@ -766,6 +766,7 @@ object Hnsw {
     val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
     rebuilt.write.mode("overwrite").partitionBy("shard").parquet(tmp.toString)
+    Ivf.assertCommitMarker(fs, tmp)
     touched.foreach { sh =>
       val dst = new org.apache.hadoop.fs.Path(path, s"shard=$sh")
       val src = new org.apache.hadoop.fs.Path(tmp, s"shard=$sh")

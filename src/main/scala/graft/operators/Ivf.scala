@@ -533,6 +533,7 @@ object Ivf {
     val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
     rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    assertCommitMarker(fs, tmp)
     affected.foreach { l =>
       val dst = new org.apache.hadoop.fs.Path(path, s"list_id=$l")
       val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$l")
@@ -560,6 +561,26 @@ object Ivf {
     * the exact same batch replays. Without the marker the live store is
     * untouched and the incomplete staging dir is simply cleared.
     */
+  /** Fail LOUDLY — before any live directory is deleted — if the staging
+    * write left no `_SUCCESS` marker: [[recoverDeltaSwap]]'s completeness
+    * check is built on that marker, and a session configured with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` would
+    * otherwise take the no-marker recovery path after a mid-swap crash
+    * and clear the staging dir holding the only copy of an
+    * already-deleted partition. Cheap (one existence probe per delta
+    * batch) and catches the misconfiguration at write time, while the
+    * live store is still intact.
+    */
+  private[graft] def assertCommitMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+  ): Unit =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      throw new IllegalStateException(
+        s"staging write at $tmp produced no _SUCCESS marker — crash recovery " +
+          "(recoverDeltaSwap) needs it to tell a completed staging write from a " +
+          "partial one; enable mapreduce.fileoutputcommitter.marksuccessfuljobs")
+
   private[graft] def recoverDeltaSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,

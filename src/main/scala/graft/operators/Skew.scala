@@ -136,9 +136,12 @@ object Skew {
       auditSample: Column = lit(true),
   ): (DataFrame, Boolean) = {
     require(saltBuckets >= 2, s"saltBuckets must be >= 2: $saltBuckets")
+    // floor at 2: keySkewStats needs >= 2 simulated reducers, and a
+    // 1-partition session (local[1] smoke runs) can't straggle anyway —
+    // the audit still runs so the verdict column is well-defined.
     val nb =
       if (nBuckets > 0) nBuckets
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else math.max(2, df.sparkSession.sessionState.conf.numShufflePartitions)
     val salted = keySkewStats(df.where(auditSample), keyCols, nb)
       .select("salt_recommended").head().getBoolean(0)
     (twoStageAggregate(df, keyCols, if (salted) saltBuckets else 1, partials, merges), salted)

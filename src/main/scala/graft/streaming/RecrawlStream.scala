@@ -56,9 +56,13 @@ object RecrawlStream {
     * setting to this call; the caller's session is never touched (a
     * set/reset on the shared conf would race concurrent queries).
     * Input frames re-root onto the clone via [[GraftBridge.reRoot]].
+    * The clone comes from `cloneSession` (via the bridge), NOT
+    * `newSession`: it must inherit the caller's EFFECTIVE runtime conf
+    * (shuffle partitions, ANSI mode, timezone — anything set after
+    * session build) and override only AQE.
     */
   private def lifecycleSession(spark: SparkSession): SparkSession = {
-    val s2 = spark.newSession()
+    val s2 = org.apache.spark.sql.GraftBridge.cloneSession(spark)
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     s2
   }

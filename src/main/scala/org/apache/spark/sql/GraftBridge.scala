@@ -26,6 +26,18 @@ object GraftBridge {
       case _                       => ()
     }
 
+  /** Clone `spark`: same SparkContext + SharedState, and — unlike the
+    * public `newSession()`, which rebuilds SessionState from builder-time
+    * initial options only — a COPY of the session's CURRENT runtime conf
+    * (`cloneSession()` is private[sql]). Operators that scope a conf
+    * override to their internal plans (e.g. RecrawlStream's AQE-off
+    * lifecycle session) must start from the caller's effective conf, or a
+    * runtime `spark.conf.set` (shuffle partitions, ANSI mode, session
+    * timezone) would silently revert inside the operator.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Re-root a DataFrame's analyzed logical plan onto another session of
     * the SAME SparkContext (a `spark.newSession()` clone): the clone's
     * private conf (e.g. AQE off for a many-tiny-exchanges lifecycle op)

@@ -238,6 +238,28 @@ class ChunkerSpec extends AnyFunSuite {
     assert(ac.head == "S = 'a \\\nb'", ac.mkString("<<", ">>,<<", ">>"))
   }
 
+  test("ast fidelity: the continuation line of a backslash-continued string scans as STRING, not code") {
+    // the continuation line's remainder holds an unbalanced '(' and a '#'
+    // — both literal string content to ast.parse. Scanned as code (the
+    // pre-fix behavior) the '(' left depth=1 forever: every later line
+    // became a continuation, no boundary ever fired again, and the whole
+    // file collapsed into one block.
+    val code = "X = 'note \\\nsee (1 # not a comment'\ndef g():\n    return 2\n" +
+      "def h():\n    return 3\n"
+    // the X block is exactly 10 whitespace tokens — a 10-token budget keeps
+    // it whole iff the boundary after the string fired
+    val chunks = Chunker.chunkCode(code, maxTokens = 10).map(_._1)
+    assert(chunks.head == "X = 'note \\\nsee (1 # not a comment'",
+      chunks.mkString("<<", ">>,<<", ">>"))
+    assert(chunks.exists(_.startsWith("def g")) && chunks.exists(_.contains("def h")),
+      chunks.mkString("<<", ">>,<<", ">>"))
+    // chained continuation: two escaped newlines inside one string
+    val chained = "Y = 'a \\\nb \\\nc'\ndef k():\n    return 4\n"
+    val cc = Chunker.chunkCode(chained, maxTokens = 7).map(_._1)
+    assert(cc.head == "Y = 'a \\\nb \\\nc'", cc.mkString("<<", ">>,<<", ">>"))
+    assert(cc.exists(_.startsWith("def k")), cc.mkString("<<", ">>,<<", ">>"))
+  }
+
   test("code chunker splits at top-level boundaries and packs to <= maxTokens") {
     val blocks = (1 to 50).map(i => s"def f$i():\n" + ("    x = 1\n" * 30))
     val chunks = Chunker.chunkCode(blocks.mkString(""))

@@ -508,4 +508,18 @@ class IvfSpec extends AnyFunSuite {
       "session writes must emit _SUCCESS (mapreduce.fileoutputcommitter.marksuccessfuljobs) " +
         "or crashed-swap recovery can never engage")
   }
+
+  test("assertCommitMarker fails LOUDLY on a markerless staging dir, before any live dir is touched") {
+    // a session with marksuccessfuljobs=false must be rejected at WRITE
+    // time: its crashed swaps would otherwise take the no-marker recovery
+    // path and clear staging holding the only copy of a deleted partition
+    val tmp = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("ivf_marker").toString + "/store.delta")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp, "list_id=0"))
+    val ex = intercept[IllegalStateException](Ivf.assertCommitMarker(fs, tmp))
+    assert(ex.getMessage.contains("marksuccessfuljobs"))
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    Ivf.assertCommitMarker(fs, tmp) // with the marker: no-op
+  }
 }

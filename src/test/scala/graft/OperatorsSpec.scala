@@ -33,6 +33,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(5) == "tabhere")
   }
 
+  // ---- X14 C4 line cleaning: exotic-whitespace word counts ----------------
+  test("c4LineClean: CRLF/tab boundary whitespace never inflates the word count") {
+    // trim() strips only ' ', so a trailing \r (CRLF corpus) or leading \t
+    // survives it; the count must still be the number of \S+ runs — the
+    // size(split(…)) form counted the empty boundary tokens and passed
+    // 2-word lines through the minWords=3 gate.
+    val text = Seq(
+      "alpha beta gamma\r",  // 3 words + CR: keep
+      "two words\r",          // 2 words + CR: drop (was kept as 3 by split)
+      "\tlead tab line ok",   // leading tab: 4 words, keep
+      "\t",                    // whitespace-only: 0 words, drop (was 2 by split)
+      "",                      // empty: drop
+      "solid closing line here",
+    ).mkString("\n")
+    val out = Seq(text).toDF("t")
+      .select(TextOps.c4LineClean(col("t"), minWords = 3, badPhrases = Nil,
+        dropBraces = false).as("c"))
+      .select(col("c.cleaned"), col("c.n_lines"), col("c.n_kept"))
+      .as[(String, Int, Int)].head()
+    assert(out._1 == "alpha beta gamma\r\n\tlead tab line ok\nsolid closing line here")
+    assert(out._2 == 6 && out._3 == 3, s"counts: $out")
+  }
+
   // ---- knnJoin NaN contract (v32's fused runs rely on it) -----------------
   test("knnJoin: zero-norm corpus rows (NaN cosine) never displace real scores, and ranks match topK") {
     import graft.operators.Search
@@ -1179,6 +1202,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
     // cross-context frames are rejected loudly (not silently mis-planned)
     // — same-context requirement documented on the bridge
+  }
+
+  test("GraftBridge.cloneSession inherits runtime conf; newSession does not (why the lifecycle clone uses it)") {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "7") // a RUNTIME set, after session build
+      val viaNew   = spark.newSession()
+      val viaClone = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+      // newSession rebuilds from builder-time options: the runtime set is lost
+      assert(viaNew.conf.get(key) != "7")
+      // cloneSession copies the effective conf — and stays independent after
+      assert(viaClone.conf.get(key) == "7")
+      viaClone.conf.set(key, "9")
+      assert(spark.conf.get(key) == "7", "clone writes must not leak back")
+    } finally spark.conf.set(key, orig)
   }
 
   test("rerankTopKWith seam parity: a Scala Dice scorer reproduces the declarative rerank") {
