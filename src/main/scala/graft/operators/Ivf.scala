@@ -503,46 +503,53 @@ object Ivf {
     val remHint = gatedBroadcast(rem, if (maxDeltaRows >= 0) maxDeltaRows else rem.count())
     val assigned = withListId(added, st.model, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // affected lists = lists holding a removed id (a column-pruned store
-    // scan against the gated removal set) ∪ lists gaining a row — ONE
-    // bounded-by-nList collect instead of two
-    val affected = store.select(col(idCol), col("list_id"))
-      .join(remHint, Seq(idCol), "left_semi")
-      .select("list_id")
-      .union(assigned.select("list_id"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    if (affected.isEmpty) { rem.unpersist(); assigned.unpersist(); return 0L }
+    // both delta caches release in a finally: a retried batch (the
+    // documented at-least-once recovery contract, where a staging-write or
+    // swap failure is EXPECTED to be replayed) must not accumulate pinned
+    // delta frames across attempts
+    try {
+      // affected lists = lists holding a removed id (a column-pruned store
+      // scan against the gated removal set) ∪ lists gaining a row — ONE
+      // bounded-by-nList collect instead of two
+      val affected = store.select(col(idCol), col("list_id"))
+        .join(remHint, Seq(idCol), "left_semi")
+        .select("list_id")
+        .union(assigned.select("list_id"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return 0L
 
-    val kept = store
-      .where(col("list_id").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
-      .join(remHint, Seq(idCol), "left_anti")
-    val rewrite = kept
-      .unionByName(assigned.select(store.columns.map(col).toIndexedSeq: _*))
-    // ONE materialization: write the affected lists' replacement data
-    // BESIDE the store (no lineage conflict with the files being read, so
-    // no localCheckpoint pass doubling the delta's I/O), then swap each
-    // affected list directory in. Same per-list publication unit as a
-    // dynamic partition overwrite; a list the delta emptied simply has no
-    // replacement directory and stays deleted. Crash safety: a kill
-    // between a dst delete and its rename leaves that partition's ONLY
-    // copy under `.delta` — the [[recoverDeltaSwap]] pass at the NEXT
-    // call's entry (before the store listing and before staging is
-    // cleared) renames any replacement whose live directory is missing
-    // back into place, so no partition is ever lost; the caller then
-    // replays the batch idempotently.
-    val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
-    rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
-    assertCommitMarker(fs, tmp)
-    affected.foreach { l =>
-      val dst = new org.apache.hadoop.fs.Path(path, s"list_id=$l")
-      val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$l")
-      fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
+      val kept = store
+        .where(col("list_id").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+        .join(remHint, Seq(idCol), "left_anti")
+      val rewrite = kept
+        .unionByName(assigned.select(store.columns.map(col).toIndexedSeq: _*))
+      // ONE materialization: write the affected lists' replacement data
+      // BESIDE the store (no lineage conflict with the files being read, so
+      // no localCheckpoint pass doubling the delta's I/O), then swap each
+      // affected list directory in. Same per-list publication unit as a
+      // dynamic partition overwrite; a list the delta emptied simply has no
+      // replacement directory and stays deleted. Crash safety: a kill
+      // between a dst delete and its rename leaves that partition's ONLY
+      // copy under `.delta` — the [[recoverDeltaSwap]] pass at the NEXT
+      // call's entry (before the store listing and before staging is
+      // cleared) renames any replacement whose live directory is missing
+      // back into place, so no partition is ever lost; the caller then
+      // replays the batch idempotently.
+      val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
+      rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+      assertCommitMarker(fs, tmp)
+      affected.foreach { l =>
+        val dst = new org.apache.hadoop.fs.Path(path, s"list_id=$l")
+        val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$l")
+        fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(tmp, true)
+      affected.length.toLong
+    } finally {
+      rem.unpersist(); assigned.unpersist()
     }
-    fs.delete(tmp, true)
-    rem.unpersist(); assigned.unpersist()
-    affected.length.toLong
   }
 
   /** Complete a crashed sibling-directory partition swap: any partition
