@@ -48,15 +48,34 @@ object Hdbscan {
       math.sqrt(s)
     }
 
-    // 1. core distances: k-th smallest distance to another point
+    // 1. core distances: k-th smallest distance to another point. Rows are
+    // independent, so they fan out across cores (the Umap.knn pattern),
+    // and the order statistic comes from a bounded k-best scan (O(n·k),
+    // k = minSamples is tiny) instead of materializing and FULL-sorting an
+    // (n−1)-array per row — at the 4096×768 fit cap the old form was
+    // ~17M distance evals plus 4096 serial O(n log n) sorts on one thread.
+    // Deterministic under parallelism: the k smallest VALUES are a unique
+    // multiset, so their max (the core distance) is order-independent.
     val k = math.min(minSamples, n - 1)
-    val core = Array.tabulate(n) { i =>
-      val ds = new Array[Double](n - 1)
-      var j = 0; var w = 0
-      while (j < n) { if (j != i) { ds(w) = dist(i, j); w += 1 }; j += 1 }
-      // partial selection of the k-th smallest (1-indexed)
-      java.util.Arrays.sort(ds)
-      ds(k - 1)
+    val core = new Array[Double](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      val best = Array.fill(k)(Double.PositiveInfinity)
+      var worst = Double.PositiveInfinity // = max(best): the running k-th smallest
+      var wIdx  = 0
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val d = dist(i, j)
+          if (d < worst) {
+            best(wIdx) = d
+            worst = best(0); wIdx = 0
+            var t = 1
+            while (t < k) { if (best(t) > worst) { worst = best(t); wIdx = t }; t += 1 }
+          }
+        }
+        j += 1
+      }
+      core(i) = worst
     }
     def mr(a: Int, b: Int): Double = math.max(dist(a, b), math.max(core(a), core(b)))
 
@@ -123,31 +142,33 @@ object Hdbscan {
           out
         }.takeWhile(_ >= 0)
       }
-    // root-down walk: (sl node, owning condensed cluster)
+    // root-down walk: (sl node, owning condensed cluster). Invariant:
+    // every queued node is a MERGE of size >= minClusterSize >= 2 — the
+    // root by the n >= minClusterSize early return, children only when
+    // their side clears minClusterSize — so a leaf point is never popped:
+    // points leave the walk exclusively through the fall-out paths below,
+    // each assigning a FINITE pointLambda (lambdaOf caps at 1e300 via the
+    // 1e-300 floor; coincident points land on that cap).
     val walk = mutable.ArrayDeque((root, 0))
     while (walk.nonEmpty) {
       val (node, cid) = walk.removeLast()
-      if (node < n) { // a point reached by fallthrough: it never detaches
-        pointCluster(node) = cid; pointLambda(node) = Double.PositiveInfinity
+      val lam = lambdaOf(slDist(node))
+      val (l, r) = (slLeft(node), slRight(node))
+      val (ls, rs) = (slSize(l), slSize(r))
+      if (ls >= minClusterSize && rs >= minClusterSize) {
+        // true split: two children born here
+        val cl = cParent.length; cParent += cid; cBirth += lam
+        val cr = cParent.length; cParent += cid; cBirth += lam
+        walk.append((l, cl)); walk.append((r, cr))
+      } else if (ls >= minClusterSize) {
+        leavesOf(r).foreach { p => pointCluster(p) = cid; pointLambda(p) = lam }
+        walk.append((l, cid))
+      } else if (rs >= minClusterSize) {
+        leavesOf(l).foreach { p => pointCluster(p) = cid; pointLambda(p) = lam }
+        walk.append((r, cid))
       } else {
-        val lam = lambdaOf(slDist(node))
-        val (l, r) = (slLeft(node), slRight(node))
-        val (ls, rs) = (slSize(l), slSize(r))
-        if (ls >= minClusterSize && rs >= minClusterSize) {
-          // true split: two children born here
-          val cl = cParent.length; cParent += cid; cBirth += lam
-          val cr = cParent.length; cParent += cid; cBirth += lam
-          walk.append((l, cl)); walk.append((r, cr))
-        } else if (ls >= minClusterSize) {
-          leavesOf(r).foreach { p => pointCluster(p) = cid; pointLambda(p) = lam }
-          walk.append((l, cid))
-        } else if (rs >= minClusterSize) {
-          leavesOf(l).foreach { p => pointCluster(p) = cid; pointLambda(p) = lam }
-          walk.append((r, cid))
-        } else {
-          // cluster dissolves: everything falls out here
-          (leavesOf(l) ++ leavesOf(r)).foreach { p => pointCluster(p) = cid; pointLambda(p) = lam }
-        }
+        // cluster dissolves: everything falls out here
+        (leavesOf(l) ++ leavesOf(r)).foreach { p => pointCluster(p) = cid; pointLambda(p) = lam }
       }
     }
 
@@ -156,10 +177,10 @@ object Hdbscan {
     val stability = new Array[Double](nC)
     var p = 0
     while (p < n) {
+      // pointLambda is always finite (see the walk invariant), so the
+      // contribution needs no infinity guard
       val c = pointCluster(p)
-      val contrib = pointLambda(p) - cBirth(c)
-      if (!contrib.isInfinity) stability(c) += contrib
-      else stability(c) += lambdaOf(0.0) // duplicate-point guard: huge, finite-ish
+      stability(c) += pointLambda(p) - cBirth(c)
       p += 1
     }
     val sizeOf = new Array[Int](nC)

@@ -177,10 +177,19 @@ object Ml {
         toFrame(rows.map(_.getLong(0)), m.embedding)
       } else {
         // over the cap: deterministic hash-sampled fit (same recipe as
-        // HdbscanClusterer), then a broadcast transform over every row
+        // HdbscanClusterer), then a broadcast transform over every row.
+        // The cap cut is an ORDERED limit on (bucket, id) — a plain
+        // limit() truncates in partition-arrival order, which varies
+        // run-to-run whenever the bucket filter passes more than
+        // maxFitRows rows (certain for corpora past NumBuckets*maxFitRows,
+        // where keepBp floors at 1), silently breaking the determinism
+        // contract. orderBy+limit is TakeOrderedAndProject: a per-partition
+        // heap, never a full sort; bucket-first keeps the kept set
+        // hash-uniform instead of biased toward small ids.
         val total  = nonNull.count()
         val keepBp = math.max(1L, maxFitRows.toLong * Sampling.NumBuckets / total)
         val sampled = nonNull.where(Sampling.bucket(col("__id")) < keepBp)
+          .orderBy(Sampling.bucket(col("__id")), col("__id"))
           .limit(maxFitRows).collect().sortBy(_.getLong(0))
         val model = Umap.fitModel(sampled.map(_.getSeq[Double](1).toArray), params)
         val bc    = spark.sparkContext.broadcast(model)
@@ -450,10 +459,14 @@ object Ml {
           .select(col("__id").as(idCol), col("label"))
       } else {
         // over the cap: deterministic hash-sample of ~maxFitRows for the
-        // fit (portable hash of the id — stable across runs/partitioning)
+        // fit (portable hash of the id — stable across runs/partitioning).
+        // Ordered limit on (bucket, id), NOT a bare limit(): see
+        // UmapReducer — arrival-order truncation made the fit sample (and
+        // so labels and names) vary across runs of the identical corpus.
         val total = nonNull.count()
         val keepBp = math.max(1L, maxFitRows.toLong * Sampling.NumBuckets / total)
         val sampled = nonNull.where(Sampling.bucket(col("__id")) < keepBp)
+          .orderBy(Sampling.bucket(col("__id")), col("__id"))
           .limit(maxFitRows).collect().sortBy(_.getLong(0))
         val pts    = sampled.map(_.getSeq[Double](1).toArray)
         val labels = Hdbscan.fit(pts, minClusterSize, minSamples)

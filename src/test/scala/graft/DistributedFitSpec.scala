@@ -117,6 +117,14 @@ class DistributedFitSpec extends AnyFunSuite {
     val samp2 = new Ml.HdbscanClusterer(5, 3, maxFitRows = 128)
       .cluster(df768, "vec", "id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(samp2 == samp)
+    // ...and across PARTITIONINGS: the cap cut is an ordered (bucket, id)
+    // limit, so reshuffling the corpus into a different layout must yield
+    // the identical labeling — a bare limit() truncated in partition
+    // arrival order and made the fit sample layout-dependent
+    val samp3 = new Ml.HdbscanClusterer(5, 3, maxFitRows = 128)
+      .cluster(df768.repartition(7), "vec", "id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(samp3 == samp, "fit sample leaked partition order")
   }
 
   test("UMAP past the row cap at 768-d: broadcast transform preserves duplicates and cluster geometry") {
@@ -146,5 +154,11 @@ class DistributedFitSpec extends AnyFunSuite {
       (0 until 3).minBy(c => d2(p, cents(c))) == latent(i)
     }
     assert(ok >= 405, s"only $ok/450 rows nearest their own cluster centroid")
+    // partitioning must not leak into the fit sample (ordered-limit cut):
+    // same corpus, different layout, bit-identical coordinates
+    val out2 = new Ml.UmapReducer(maxFitRows = 128)
+      .project(df768.repartition(7), "vec", "id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out2 == out, "UMAP fit sample leaked partition order")
   }
 }
