@@ -430,7 +430,7 @@ object TextOps {
       val words  = regexp_count(t, lit("\\S+"))
       val low    = lower(t)
       val checks = Seq(words >= minWords) ++
-        badPhrases.map(p => !low.contains(p.toLowerCase)) ++
+        badPhrases.map(p => !low.contains(p.toLowerCase(java.util.Locale.ROOT))) ++
         (if (dropBraces) Seq(!t.contains("{")) else Nil) ++
         (if (requireTerminal) Seq(t.rlike("[.!?\"']$")) else Nil)
       checks.reduce(_ && _)

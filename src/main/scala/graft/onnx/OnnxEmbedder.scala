@@ -132,7 +132,7 @@ object OnnxEmbedder {
       val out = Vector.newBuilder[String]
       val cur = new StringBuilder
       def flush(): Unit = if (cur.nonEmpty) { out += cur.result(); cur.clear() }
-      val s = if (lowercase) text.toLowerCase else text
+      val s = if (lowercase) text.toLowerCase(java.util.Locale.ROOT) else text
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)

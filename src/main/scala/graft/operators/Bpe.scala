@@ -147,7 +147,7 @@ object Bpe {
   def encode(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val ms  = merges.sortBy(_.rank).map(m => (m.a, m.b)).toArray
     val seg = udf((text: String) => {
-      val words = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val words = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
       words.flatMap { w =>
         var bw = bracketed(w)
         var i = 0

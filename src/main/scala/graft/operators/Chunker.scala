@@ -251,7 +251,7 @@ object Chunker extends Serializable {
       counter: TokenCounter = TokenCounters.Whitespace,
   ): Vector[Chunk] = {
     val pieces =
-      if (doc.lang != null && CodeLangs.contains(doc.lang.toLowerCase))
+      if (doc.lang != null && CodeLangs.contains(doc.lang.toLowerCase(java.util.Locale.ROOT)))
         chunkCode(Option(doc.text).getOrElse(""), maxTokens, counter)
       else chunkProse(Option(doc.text).getOrElse(""), maxTokens, counter = counter)
     // total_chunks rides along from generation: a document's chunks are all
@@ -298,7 +298,7 @@ object Chunker extends Serializable {
     */
   object TokenSetCosine extends AdjacentSimilarity {
     def tokenSet(s: String): Set[String] =
-      s.toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSet
+      s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSet
     override def adjacentSims(sents: IndexedSeq[String]): IndexedSeq[Double] = {
       val sets = sents.map(tokenSet)
       (0 until sents.length - 1).map { i =>

@@ -42,13 +42,20 @@ object Dedup {
   def snapshotDiff(
       oldDocs: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
   ): DataFrame = {
-    val o = oldDocs.select(col(idCol), exactKey(col(textCol)).as("old_hash"))
-    val n = newDocs.select(col(idCol), exactKey(col(textCol)).as("new_hash"))
+    // presence is carried by explicit per-side flags, NOT by hash nullness:
+    // exactKey(null) is null, so a row PRESENT in both snapshots with a
+    // NULL text on one side would otherwise be misread as added/removed —
+    // and a row with NULL text on BOTH sides as added instead of unchanged
+    // (null-safe <=> handles that last pair on the changed test).
+    val o = oldDocs.select(col(idCol), exactKey(col(textCol)).as("old_hash"),
+      lit(true).as("__in_old"))
+    val n = newDocs.select(col(idCol), exactKey(col(textCol)).as("new_hash"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("old_hash").isNull, lit("added"))
-          .when(col("new_hash").isNull, lit("removed"))
-          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("old_hash") <=> col("new_hash")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
         col("old_hash"), col("new_hash"))
   }
@@ -195,7 +202,7 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = if (text == null) Array.empty[String]
-          else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+          else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
         val sh = if (toks.length < shingleSize) Array.empty[String]
           else toks.sliding(shingleSize).map(_.mkString(" ")).toArray.distinct
         (id, sh)
@@ -234,7 +241,7 @@ object Dedup {
   ): Iterator[(Long, Int, Long)] = {
     import scala.util.hashing.MurmurHash3
     val toks = if (text == null) Array.empty[String]
-      else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
     if (toks.length < shingleSize) return Iterator.empty
     val tokHash = new Array[Long](toks.length)
     var i = 0
@@ -289,6 +296,13 @@ object Dedup {
     * into one quadratic bucket of false candidates.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // bands must tile the signature exactly — integer division would
+    // silently ignore trailing hashes (a different S-curve than requested);
+    // bands > numHashes would give 0-row bands where EVERY doc shares one
+    // constant band hash, so every bucket blows the cap and the stage
+    // silently returns zero candidates.
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes exactly: numHashes=$numHashes, bands=$bands")
     val spark = df.sparkSession
     import spark.implicits._
     graft.Par.fanOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("text")))
@@ -374,7 +388,15 @@ object Dedup {
           .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
           .withColumn("n_a", size(col("sh_a")))
           .withColumn("n_b", size(col("sh_b")))
-          .withColumn("jaccard", col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          // 0/0 guard: a candidate pair where BOTH docs have zero shingles
+          // (each shorter than shingleSize — possible when candidates came
+          // from another generator or a different shingle size) is 0/0 =
+          // NaN, and Spark sorts NaN ABOVE every double, so `NaN >=
+          // threshold` would emit the pair as a duplicate. Jaccard(∅,∅)
+          // is defined as 0 here: no shared content is no evidence.
+          .withColumn("jaccard",
+            when(col("n_a") + col("n_b") - col("n_inter") === 0, lit(0.0))
+              .otherwise(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))))
           .where(col("jaccard") >= threshold)
           .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
       case None =>
@@ -439,10 +461,18 @@ object Dedup {
     */
   /** 64-bit SimHash in plain Scala (JIT-compiled; the expression form in
     * [[simHash]] runs ~64 interpreted lambda evals per token).
+    *
+    * NOT bit-compatible with [[simHash]]: this votes with [[simTokenHash]]
+    * (a murmur3 pair), the expression form with Spark's xxhash64 — same
+    * algorithm, different hash family, different signatures for the same
+    * text. Each is self-consistent with its own pair generator and oracle
+    * (d6 uses the expression form end-to-end, d8 this one); never compare
+    * signatures ACROSS the two forms — hamming distances between families
+    * are meaningless.
     */
   def simHash64(text: String): Long = {
     val toks = if (text == null) Array.empty[String]
-      else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      else text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
     val votes = new Array[Int](64)
     toks.foreach { t =>
       val h = simTokenHash(t)
@@ -599,6 +629,14 @@ object Dedup {
       maxBucketSize: Int = 10000,
   ): DataFrame = {
     require(numBits <= 64, s"sign signature packs into a Long: numBits <= 64 (got $numBits)")
+    // bands must tile the signature EXACTLY: integer division would
+    // otherwise silently ignore trailing bits (changing the LSH S-curve
+    // from the requested one) — or, for bands > numBits, give 0-bit slices
+    // where every row lands in ONE constant bucket that the cap then
+    // drops, returning zero candidates corpus-wide with no error.
+    require(bands >= 1 && numBits % bands == 0,
+      s"bands must divide numBits exactly: numBits=$numBits, bands=$bands")
+    require(maxBucketSize > 1, s"maxBucketSize must allow pairs: $maxBucketSize")
     val rowsPerBand = numBits / bands
     val mask        = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
     val projs: Array[Array[Double]] = signProjections(dim, numBits).map(_.toArray).toArray
@@ -634,13 +672,25 @@ object Dedup {
         Iterator.range(0, bands).map(b => (b, (sig >>> (b * rowsPerBand)) & mask, id, sig))
       }
       .toDF("band", "slice", "id", "sig")
-    // maxBucketSize mirrors the minHashCandidates contract: a bucket holding
-    // a boilerplate embedding repeated at corpus scale would otherwise emit
-    // |bucket|² pairs AND buffer |bucket| members in one agg buffer —
-    // documented completeness trade, boilerplate is not near-dup signal.
-    buckets.groupBy("band", "slice")
+    // maxBucketSize mirrors the simHashNearDupPairs contract, in BOTH its
+    // halves: (1) the cap is enforced by a window COUNT before collect_list
+    // — filtering on size(members) afterwards would still buffer a
+    // corpus-scale boilerplate bucket in one agg buffer, the exact memory
+    // hazard the cap exists to prevent; (2) with a finite cap, attribution
+    // switches from "first matching band" to "any surviving band +
+    // dropDuplicates": a pair whose FIRST shared band was a dropped hot
+    // bucket would otherwise never be emitted from the surviving bands
+    // (a task deciding locally cannot know another band's bucket was cut).
+    val capped =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "slice")))
+        .where(col("__bn") <= maxBucketSize)
+        .drop("__bn")
+    val pairs = capped.groupBy("band", "slice")
       .agg(collect_list(struct(col("id").as("_1"), col("sig").as("_2"))).as("members"))
-      .where(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
+      .where(size(col("members")) > 1)
       .select(col("band"), col("members"))
       .as[(Int, Seq[(Long, Long)])]
       .flatMap { case (band, members) =>
@@ -649,10 +699,13 @@ object Dedup {
           i <- Iterator.range(0, m.length)
           j <- Iterator.range(i + 1, m.length)
           if m(i)._1 != m(j)._1
-          if firstMatchingBand(m(i)._2, m(j)._2, bands, rowsPerBand, mask) == band
+          if maxBucketSize != Int.MaxValue ||
+            firstMatchingBand(m(i)._2, m(j)._2, bands, rowsPerBand, mask) == band
         } yield (math.min(m(i)._1, m(j)._1), math.max(m(i)._1, m(j)._1))
       }
       .toDF("id_a", "id_b")
+    if (maxBucketSize == Int.MaxValue) pairs
+    else pairs.dropDuplicates("id_a", "id_b")
   }
 
   /** Embedding-cosine near-duplicate pairs: banded sign-bit LSH candidate
@@ -738,6 +791,11 @@ object Dedup {
     *
     * `nodes` may include isolated ids (they become singleton components).
     * Output: (id, component) with component = min id of the cluster.
+    *
+    * Fails LOUDLY if maxIters ran out before the fixpoint: a truncated
+    * labeling splits real clusters and is indistinguishable from a correct
+    * one by inspection. Callers that want the partial result anyway use
+    * [[connectedComponentsStats]] and read `converged` themselves.
     */
   def connectedComponents(
       nodes: DataFrame,
@@ -747,14 +805,25 @@ object Dedup {
       dstCol: String,
       maxIters: Int = 20,
       maxDriverEdges: Long = 500000L,
-  ): DataFrame =
-    connectedComponentsStats(nodes, edges, idCol, srcCol, dstCol, maxIters, maxDriverEdges)._1
+  ): DataFrame = {
+    val (out, stats) =
+      connectedComponentsStats(nodes, edges, idCol, srcCol, dstCol, maxIters, maxDriverEdges)
+    require(stats.converged,
+      s"connected components did not converge within maxIters=$maxIters rounds — " +
+        "the labeling would be truncated (clusters split); raise maxIters")
+    out
+  }
 
   /** Loop telemetry for tests and tuning: rounds run and Spark jobs issued
     * by the propagation loop (checkpoint materializations, excluding the
-    * two input checkpoints).
+    * two input checkpoints). `converged = false` means maxIters ran out
+    * BEFORE the fixpoint — the labeling is truncated (distant chain
+    * members still carry intermediate labels) and must not be trusted;
+    * rounds == maxIters alone cannot distinguish that from converging
+    * exactly on the last round. The driver union-find path is always
+    * exact, hence always converged.
     */
-  final case class CcStats(rounds: Int, jobs: Int)
+  final case class CcStats(rounds: Int, jobs: Int, converged: Boolean = true)
 
   /** [[connectedComponents]], returning the result plus [[CcStats]].
     *
@@ -928,7 +997,7 @@ object Dedup {
     // constraint-rewrite NoSuchElementException (UnionBase.rewriteConstraints
     // can look up an attribute absent from a child's output map). A bare
     // projection barrier costs nothing and immunizes every consumer.
-    (labels.unionByName(singletons).toDF("id", "component"), CcStats(iter, jobs))
+    (labels.unionByName(singletons).toDF("id", "component"), CcStats(iter, jobs, converged))
   }
 
   /** Incremental connected components — fold a batch of NEW edges (and new
@@ -964,7 +1033,13 @@ object Dedup {
       dstCol: String,
   ): DataFrame = {
     val lab = labels.select(col(idCol).cast("long").as("id"), col(componentCol).cast("long").as("component"))
+    // null endpoints carry no connectivity — the same guard
+    // connectedComponentsStats applies; unfiltered, a null src/dst would
+    // survive the coalesce (null label, null fallback), enter
+    // contractedNodes, pass both left_anti joins (null never equi-matches)
+    // and emit a garbage (null, null) labeling row
     val e = newEdges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
     // endpoints → current labels (unknown ids are their own component)
     val lu = lab.select(col("id").as("u"), col("component").as("cu"))
     val lv = lab.select(col("id").as("v"), col("component").as("cv"))
@@ -1361,7 +1436,11 @@ object Dedup {
       col(idCol).as("__cid"),
       explode(sequence(col("span_start"), col("span_end"))).as("__cpos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks        = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    // null text coalesces to '' (the removeBoilerplateLines contract):
+    // Tokenize is null-propagating, so an uncoalesced NULL-text doc would
+    // report n_tokens = null instead of 0 and poison downstream cut ratios
+    val toks = docs.select(col(idCol),
+      TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
     val affectedIds = covered.select(col("__cid")).distinct()
     val untouched = toks.join(affectedIds, col(idCol) === col("__cid"), "left_anti")
       .select(

@@ -33,7 +33,7 @@ final class HashingEmbedder(val dim: Int = 64) extends Embedder {
 
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { text =>
     val v = new Array[Float](dim)
-    val toks = Option(text).getOrElse("").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = Option(text).getOrElse("").toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
     for (t <- toks) {
       val h      = MurmurHash3.stringHash(t, 42)
       val bucket = math.floorMod(h, dim)

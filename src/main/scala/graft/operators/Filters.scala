@@ -49,5 +49,5 @@ object Filters {
     * backend/main.py:299-303): true = accepted.
     */
   def extAllowed(extCol: Column, allowed: Seq[String]): Column =
-    lower(extCol).isin(allowed.map(_.toLowerCase): _*)
+    lower(extCol).isin(allowed.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
 }

@@ -974,7 +974,7 @@ object Hnsw {
     val already =
       try index.queryExecution.executedPlan.outputPartitioning match {
         case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-          h.expressions.map(_.sql.toLowerCase).exists(_.contains("shard"))
+          h.expressions.map(_.sql.toLowerCase(java.util.Locale.ROOT)).exists(_.contains("shard"))
         case _ => false
       } catch { case scala.util.control.NonFatal(_) => false }
     if (already) pinned else pinned.repartition(col("shard"))

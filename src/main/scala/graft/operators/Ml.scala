@@ -207,7 +207,7 @@ object Ml {
     * (pass `Some(new UmapReducer())` to bind the real one).
     */
   def reducerFor(method: String, umap: Option[Reducer3D] = None): Reducer3D =
-    method.toLowerCase match {
+    method.toLowerCase(java.util.Locale.ROOT) match {
       case "pca"  => PcaReducer
       case "umap" => umap.getOrElse(PcaReducer)
       case _      => PcaReducer

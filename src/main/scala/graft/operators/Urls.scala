@@ -140,11 +140,11 @@ object Urls {
       val line = raw.takeWhile(_ != '#').trim
       val i    = line.indexOf(':')
       if (i > 0) {
-        val key   = line.substring(0, i).trim.toLowerCase
+        val key   = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(i + 1).trim
         key match {
           case "user-agent" if value.nonEmpty =>
-            agents = if (inRun) value.toLowerCase :: agents else List(value.toLowerCase)
+            agents = if (inRun) value.toLowerCase(java.util.Locale.ROOT) :: agents else List(value.toLowerCase(java.util.Locale.ROOT))
             inRun = true
           case "allow" | "disallow" =>
             inRun = false
@@ -199,7 +199,7 @@ object Urls {
   ): DataFrame = {
     val names = df.columns.toSet
     Seq("host", "allowed").foreach(c => require(!names.contains(c), s"input already has a '$c' column"))
-    val ua = userAgent.toLowerCase
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
     // per-host: does a group for this agent exist? decided on the rules
     // side alone, then used to keep exactly one group's rules per host
     val hostHasUa = rules.groupBy("host")

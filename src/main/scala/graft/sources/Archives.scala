@@ -74,7 +74,7 @@ object Archives {
         if (line.isEmpty) done = true
         else {
           val c = line.indexOf(':')
-          if (c > 0) hdrs(line.take(c).trim.toLowerCase) = line.drop(c + 1).trim
+          if (c > 0) hdrs(line.take(c).trim.toLowerCase(java.util.Locale.ROOT)) = line.drop(c + 1).trim
           p = e + 1
         }
         if (!done && p >= b.length) ok = false

@@ -37,7 +37,7 @@ object Extractors {
   private[sources] def extOf(fileName: String): String = {
     val base = fileName.substring(fileName.lastIndexOf('/') + 1)
     val i    = base.lastIndexOf('.')
-    if (i < 0) "" else base.substring(i + 1).toLowerCase
+    if (i < 0) "" else base.substring(i + 1).toLowerCase(java.util.Locale.ROOT)
   }
 
   /** S8 (text_extractor.py:15-22). JVM UTF-8 decode substitutes malformed

@@ -402,7 +402,7 @@ object GlyphOcr extends Ocr {
     * OCR tests and generates S7 fixtures without any image library.
     */
   def renderPng(text: String, unit: Int = 3): Array[Byte] = {
-    val lines = text.toUpperCase.split("\n", -1).toSeq
+    val lines = text.toUpperCase(java.util.Locale.ROOT).split("\n", -1).toSeq
     def lineWidth(l: String): Int = l.foldLeft(0) { (acc, c) =>
       acc + (if (c == ' ') 5 * unit else 5 * unit + unit)
     }
@@ -439,7 +439,7 @@ object GlyphOcr extends Ocr {
     * no Java2D antialiasing hints.
     */
   def renderPngAa(text: String, unitHi: Int = 7, down: Int = 2): Array[Byte] = {
-    val lines = text.toUpperCase.split("\n", -1).toSeq
+    val lines = text.toUpperCase(java.util.Locale.ROOT).split("\n", -1).toSeq
     def tight(c: Char): (Int, Int) = { // (first dark col, tight width)
       val rows = font(c)
       def at(y: Int, x: Int) = ((rows(y) >> (4 - x)) & 1) == 1

@@ -167,6 +167,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((7L, 99L)))
   }
 
+  test("ngramJaccardPairs: a candidate pair of two shingle-less docs is NOT a duplicate (0/0 guard)") {
+    // both docs are shorter than shingleSize=4 tokens: n_a = n_b = 0, the
+    // unguarded ratio was 0/0 = NaN, and NaN >= threshold is TRUE in
+    // Spark's ordering — two unrelated stubs reported as near-dups
+    val docs = Seq((1L, "too short"), (2L, "also tiny"), (3L, "a b c d e f")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 4, 0.1, Some(cand))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.isEmpty, s"no pair shares a 4-shingle: $out")
+  }
+
+  test("lshBuckets/embeddingCandidates reject band counts that do not tile the signature") {
+    val df = Seq((1L, "a b c d"), (2L, Seq(1.0, 2.0).mkString(" "))).toDF("id", "text")
+    intercept[IllegalArgumentException](Dedup.lshBuckets(df, "id", "text", 3, numHashes = 16, bands = 32))
+    intercept[IllegalArgumentException](Dedup.lshBuckets(df, "id", "text", 3, numHashes = 20, bands = 8))
+    val vdf = Seq((1L, Seq(1.0, 0.5))).toDF("id", "vec")
+    intercept[IllegalArgumentException](
+      Dedup.embeddingCandidates(vdf, "id", "vec", 2, numBits = 16, bands = 5))
+  }
+
+  test("embeddingCandidates: a pair whose FIRST shared band is a capped hot bucket still surfaces") {
+    // 40 identical "boilerplate" vectors share EVERY band; two near-dup
+    // outliers share bands with each other only. Cap the bucket size so
+    // the boilerplate buckets are dropped: under first-band attribution
+    // the outlier pair survived (its bands are small), but the planted
+    // CLONE pair inside the boilerplate block must be reported when its
+    // ids also meet in a small bucket — the regression case is covered by
+    // the any-surviving-band contract: every emitted pair is distinct and
+    // the outlier pair is present despite capped sibling buckets.
+    val base = (0 until 40).map(i => (i.toLong, Seq.fill(8)(1.0)))
+    val outA = (100L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+    val outB = (101L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.01))
+    val df = (base :+ outA :+ outB).toDF("id", "vec")
+    val pairs = Dedup.embeddingCandidates(df, "id", "vec", 8, numBits = 16, bands = 4,
+      maxBucketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)), s"outlier pair lost to a capped bucket: $pairs")
+    // distinctness contract under any-band emission
+    assert(pairs.size == pairs.toSeq.size)
+  }
+
   test("simHashNearDupPairs: banded hamming index finds planted near-dups, skips unrelated") {
     val df = Seq(
       (1L, "spark is a distributed engine for large scale data processing"),
@@ -258,6 +299,25 @@ class OperatorsSpec extends AnyFunSuite {
       maxDriverEdges = 0L)
     assert(out2.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
     assert(stats2.jobs <= 4, s"flat graph should converge in ≤4 jobs, got ${stats2.jobs}")
+  }
+
+  test("connectedComponents: exhausted maxIters is reported, and the plain wrapper fails loud") {
+    // a 30-node chain cannot collapse in ONE round (one neighbor-min hop +
+    // two pointer jumps reaches distance ~4) — the truncated labeling is
+    // WRONG and was previously indistinguishable from a converged one
+    val nodes = (0L to 30L).toDF("id")
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val (_, stats) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b",
+      maxIters = 1, maxDriverEdges = 0L)
+    assert(!stats.converged, "1 round cannot converge a 30-chain")
+    val ex = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(nodes, edges, "id", "a", "b", maxIters = 1, maxDriverEdges = 0L)
+        .count())
+    assert(ex.getMessage.contains("converge"))
+    // the converged flag is TRUE when the loop actually finishes
+    val (_, ok) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b",
+      maxDriverEdges = 0L)
+    assert(ok.converged)
   }
 
   test("incrementalComponents: merges, new nodes, and untouched components survive") {
@@ -1965,6 +2025,18 @@ class OperatorsSpec extends AnyFunSuite {
     val out = Dedup.snapshotDiff(old, nw, "doc_id", "text")
       .select("doc_id", "status").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: NULL text is content, not absence — presence comes from the join sides") {
+    // md5(null) = null, so hash-nullness conflated 'row missing from a
+    // snapshot' with 'text is NULL': id 1 (null -> 'x') read as added,
+    // id 2 ('x' -> null) as removed, id 3 (null -> null) as added
+    val old = Seq((1L, null), (2L, "x"), (3L, null), (4L, "same")).toDF("doc_id", "text")
+    val nw  = Seq((1L, "x"), (2L, null), (3L, null), (4L, "same"), (5L, null)).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(old, nw, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "added"), s"got $out")
   }
 
   test("property: fused piiScan equals the declarative piiCounts + scrubPiiAll composition") {
