@@ -17,8 +17,12 @@ object BenchOne {
     // optional runtime-conf overrides for A/B experiments, e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"malformed SPARK_GRAFT_CONF entry '$kv' — expected key=value")
+      }
     })
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

@@ -3647,6 +3647,66 @@ object SparkEntry {
         .orderBy(col("path"), desc("score"), col("vec_id"))
     }),
 
+    // V34 — HNSW auto-maintenance (round 13): Hnsw.shardStats measures the
+    // shard budget but (until now) nothing consumed the verdict — the same
+    // measure→act gap u17 closed for shuffle keys. Hnsw.maintain decides
+    // from the TOTAL row count (target = ceil(total/rowsPerShard), reshard
+    // iff it differs from the store's shard count), acts via the staged
+    // reshard swap, and reports. The decision rule is engine-replayable
+    // (DuckDB derives it from count(*)); search parity after the act uses
+    // the exhaustive beam so the oracle is full value parity (v29's
+    // device). rowsPerShard=400 under-provisions the 1-shard build at
+    // EVERY SF (500 rows → 2 shards, 2000 → 5), so the act leg runs, not
+    // just the decision.
+    "v34_hnsw_maintain" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v34").toString + "/store"
+      Hnsw.writeIndex(emb, "embedding", "vec_id", dir, nShards = 1)
+      val report = Hnsw.maintain(s, dir, rowsPerShard = 400L)
+        .select(col("decision"), col("total_nodes"),
+          col("n_shards_before").cast("long").as("n_shards_before"),
+          col("n_shards_after").cast("long").as("n_shards_after"))
+      Hnsw.searchIndex(Hnsw.readIndex(s, dir), qVec, "vec_id", 10, efSearch = 65536)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .crossJoin(report)
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
+    // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
+    // Planted drift: two far batches (2n rows in a tiny ball around the
+    // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
+    // every addition lands in ONE nearest list, so occupancy skew
+    // max(n)/avg(n) ≥ 4·2n/3n ≈ 2.67 > 2.0 at any SF, and Ivf.maintain's
+    // decision ('refit') is deterministic without the oracle replaying the
+    // k-means geometry. The act leg re-fits + reassigns + stage-swaps;
+    // the exhaustive probe (nProbe = nList, list routing irrelevant) then
+    // makes post-refit search brute-force-replayable over the post-delta
+    // vector set. skew itself is fit-dependent, so the query projects the
+    // replayable report columns only (decision, n_lists, total_rows).
+    "v35_ivf_maintain" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v35").toString + "/store"
+      val (assigned, model) = Ivf.assign(emb, "embedding", 4)
+      Ivf.writeIndexed(assigned, dir, model, "embedding")
+      // double-computed then truncated to float (the store's element type —
+      // a double batch would write mixed-type partitions); the oracle
+      // replays the truncation with CAST(... AS FLOAT)
+      val farVec = transform(col("embedding").cast("array<double>"),
+        x => x * lit(0.01) + lit(20.0)).cast("array<float>")
+      val far = emb.select((col("vec_id") + 1000000L).as("vec_id"), farVec.as("embedding"))
+        .unionByName(
+          emb.select((col("vec_id") + 2000000L).as("vec_id"), farVec.as("embedding")))
+      Ivf.applyDelta(s, dir, emb.limit(0).select("vec_id"), far, "vec_id")
+      val report = Ivf.maintain(s, dir, skewMax = 2.0)
+        .select(col("decision"), col("n_lists").cast("long").as("n_lists"), col("total_rows"))
+      // nProbe = nList probes every list: the refitted centroids only
+      // route, so the exhaustive search equals brute-force top-10
+      Ivf.search(s.read.parquet(dir), model, "embedding", "vec_id", qVec, 10, nProbe = 4)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .crossJoin(report)
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     // V30 — retrieval-quality evaluation (round 10): the trec_eval loop
     // the retrieval family was missing. Run = exact cosine top-10 for
     // three query-token vectors (the v27 fixtures); qrels = graded
@@ -6614,6 +6674,48 @@ object SparkEntry {
          | SELECT path, vec_id, score
          | FROM (SELECT * FROM beam UNION ALL SELECT * FROM ex)
          | ORDER BY path, score DESC, vec_id""".stripMargin,
+
+    // v34 — the maintain decision is a pure function of count(*), so the
+    // oracle derives it (target = ceil(total/400), reshard iff != 1) and
+    // replays the post-reshard exhaustive search as brute-force top-10
+    "v34_hnsw_maintain" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | c AS (SELECT count(*)::BIGINT AS total,
+         |     CAST(ceil(count(*) / 400.0) AS BIGINT) AS target FROM base),
+         | r AS (SELECT CASE WHEN target <> 1 THEN 'reshard' ELSE 'noop' END AS decision,
+         |     total AS total_nodes, 1::BIGINT AS n_shards_before,
+         |     CASE WHEN target <> 1 THEN target ELSE 1::BIGINT END AS n_shards_after
+         |   FROM c),
+         | topk AS (
+         |   SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT vec_id, score, decision, total_nodes, n_shards_before, n_shards_after
+         | FROM topk CROSS JOIN r
+         | ORDER BY score DESC, vec_id""".stripMargin,
+
+    // v35 — the planted far-ball drift makes the refit decision constant
+    // (skew ≥ 8/3 > 2 at any SF, independent of the k-means geometry);
+    // the oracle replays the delta algebra (base ∪ two shifted copies)
+    // and the post-refit exhaustive search as brute-force top-10
+    "v35_ivf_maintain" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | far AS (
+         |   SELECT vec_id + 1000000 AS vec_id,
+         |     list_transform(e, x -> CAST(x * 0.01 + 20.0 AS FLOAT)::DOUBLE) AS e FROM base
+         |   UNION ALL
+         |   SELECT vec_id + 2000000 AS vec_id,
+         |     list_transform(e, x -> CAST(x * 0.01 + 20.0 AS FLOAT)::DOUBLE) AS e FROM base),
+         | post AS (SELECT * FROM base UNION ALL SELECT * FROM far),
+         | r AS (SELECT 'refit' AS decision, 4::BIGINT AS n_lists,
+         |     count(*)::BIGINT AS total_rows FROM post),
+         | topk AS (
+         |   SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM post
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT vec_id, score, decision, n_lists, total_rows
+         | FROM topk CROSS JOIN r
+         | ORDER BY score DESC, vec_id""".stripMargin,
 
     // v30 — full relational replay of the eval harness: the three ranked
     // lists (same NaN guard + (score desc, id) tie-break as the Spark

@@ -818,10 +818,12 @@ object Dedup {
     * by the propagation loop (checkpoint materializations, excluding the
     * two input checkpoints). `converged = false` means maxIters ran out
     * BEFORE the fixpoint — the labeling is truncated (distant chain
-    * members still carry intermediate labels) and must not be trusted;
-    * rounds == maxIters alone cannot distinguish that from converging
-    * exactly on the last round. The driver union-find path is always
-    * exact, hence always converged.
+    * members still carry intermediate labels) and must not be trusted.
+    * A run whose final allowed round still made changes gets a
+    * verification-only probe (≤2 extra jobs, counted here) so landing
+    * EXACTLY on the fixpoint at round maxIters reports converged=true
+    * rather than hard-failing a correct labeling. The driver union-find
+    * path is always exact, hence always converged.
     */
   final case class CcStats(rounds: Int, jobs: Int, converged: Boolean = true)
 
@@ -985,6 +987,28 @@ object Dedup {
         GraftBridge.unpersistLocalCheckpoint(prev)
       }
       iter += 1
+    }
+    // Boundary probe: a run whose FINAL allowed round still made changes can
+    // nonetheless have LANDED exactly on the fixpoint (e.g. a path graph
+    // needing precisely maxIters rounds) — the loop above cannot tell,
+    // because convergence is only observed as a round that changes nothing.
+    // Verify before reporting converged=false (which [[connectedComponents]]
+    // turns into a hard failure on a labeling that may be exact): replay the
+    // round's two checks against the final labels, discarding the probe
+    // frames — verification only, the labeling never moves past maxIters.
+    // Costs ≤2 jobs and only on the at-maxIters edge; a converged loop
+    // skips it entirely.
+    if (!converged && iter == maxIters) {
+      val (probeS, nPS) = materialize(step(labels))
+      GraftBridge.unpersistLocalCheckpoint(probeS)
+      if (nPS == 0) {
+        if (jumpStable) converged = true
+        else {
+          val (probeJ, nPJ) = materialize(jumpOnce(labels))
+          GraftBridge.unpersistLocalCheckpoint(probeJ)
+          converged = nPJ == 0
+        }
+      }
     }
     // The returned frame still reads lazily from `labels` and `allNodes` —
     // those two (plus nothing else) stay persisted until the caller's

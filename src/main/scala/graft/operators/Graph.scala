@@ -60,6 +60,34 @@ object Graph {
       dampingBp: Int = 8500,
       redistributeDangling: Boolean = false,
   ): DataFrame = {
+    val (ranks, release) =
+      pagerankUnmaterialized(edges, srcCol, dstCol, iters, dampingBp, redistributeDangling)
+    // the releases sit in a finally: the checkpoint is where the whole
+    // chain's actions run, and a caller that catches a task failure and
+    // retries must not accumulate pinned iterate/static caches (the
+    // exact leak this discipline exists to prevent)
+    try ranks.localCheckpoint(true)
+    finally release()
+  }
+
+  /** [[pagerank]] WITHOUT the final eager materialization: the lazy rank
+    * chain plus a release hook for the internal caches. Package-private —
+    * the plan-shape specs need the unrolled chain inspectable (an eager
+    * localCheckpoint hides it behind a LogicalRDD scan); callers of the
+    * public API get the materialize-then-release discipline instead,
+    * because a lazy return forces the static caches to outlive the call
+    * (CacheManager entries are only freed by unpersist, never by the
+    * ContextCleaner). Whoever calls this OWNS release(): run it after the
+    * frame's first action (its checkpoint), or accept recompute.
+    */
+  private[graft] def pagerankUnmaterialized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      dampingBp: Int = 8500,
+      redistributeDangling: Boolean = false,
+  ): (DataFrame, () => Unit) = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
     require(dampingBp >= 0 && dampingBp <= 10000, s"dampingBp out of range: $dampingBp")
     validateIds(edges, srcCol, dstCol)
@@ -78,8 +106,9 @@ object Graph {
     // cached InMemoryTableScan then reports hashpartitioning on that key,
     // so each iteration's contribution join and node left-join shuffle
     // ONLY the rank iterate — the big static sides never re-exchange.
-    // Storage is the distinct edge + node sets, spilling to disk,
-    // reclaimed by the ContextCleaner when the result frame is dropped.
+    // Storage is the distinct edge + node sets, spilling to disk, released
+    // DETERMINISTICALLY before return on both branches (the result is an
+    // eager localCheckpoint, so nothing downstream reads these caches).
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -96,8 +125,15 @@ object Graph {
 
     // One scalar job up front: N drives the teleport constant. A count is
     // scale-safe (aggregate, not a collect of data); keeping it a literal
-    // keeps every iteration's expression foldable.
-    val n = nodes.count().toDouble
+    // keeps every iteration's expression foldable. The count is the one
+    // action that can FAIL before the release hook exists, so it frees the
+    // two already-registered caches on its way out.
+    val n =
+      try nodes.count().toDouble
+      catch {
+        case t: Throwable =>
+          e.unpersist(); nodes.unpersist(); throw t
+      }
     // outdeg feeds every iteration's contribution join AND (with
     // redistribution) every dangling reduce — unpersisted it re-aggregates
     // the cached edge set once per consumer per action (6 evaluations for
@@ -109,20 +145,21 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1d / n))
     if (!redistributeDangling) {
       // single-consumer chain: each iterate feeds exactly one join, so the
-      // unrolled lazy plan stays linear with nothing to cache
+      // unrolled lazy plan stays linear with nothing to cache per round
       for (_ <- 1 to iters)
         ranks = prStep(e, nodes, outdeg, ranks, n, d, td, redistributeDangling = false)
+      (ranks, () => { e.unpersist(); nodes.unpersist(); outdeg.unpersist(); () })
     } else {
       // With redistribution each iteration consumes the iterate TWICE (the
       // contribution join and the dangling-mass reduce), so each persists —
       // keeping the unrolled plan linear. The whole chain still executes as
       // ONE lazy job graph (a per-round eager checkpoint would pay `iters`
       // scheduler round trips for nothing at a fixed small iteration
-      // count); the final iterate then materializes through one eager
-      // localCheckpoint, after which every iterate cache and both static
-      // caches are freed DETERMINISTICALLY. The standard localCheckpoint
-      // trade-off applies (as everywhere this fixpoint discipline is used:
-      // [[pagerankConverged]], [[labelPropagation]],
+      // count); the public wrapper then materializes the final iterate
+      // through one eager localCheckpoint, after which every iterate cache
+      // and the static caches are freed DETERMINISTICALLY. The standard
+      // localCheckpoint trade-off applies (as everywhere this fixpoint
+      // discipline is used: [[pagerankConverged]], [[labelPropagation]],
       // [[Dedup.connectedComponents]]): the result's blocks are
       // executor-local and non-replicated, so under executor decommission
       // (dynamic allocation) a caller needing durability should write the
@@ -132,25 +169,17 @@ object Graph {
       // query).
       val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var cur = ranks
-      // the releases sit in a finally: the checkpoint is where the whole
-      // chain's actions run, and a caller that catches a task failure and
-      // retries must not accumulate pinned iterate/static caches (the
-      // exact leak this discipline exists to prevent)
-      try {
-        for (_ <- 1 to iters) {
-          val r = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          handles += r
-          cur = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling = true)
-        }
-        ranks = cur.localCheckpoint(true)
-      } finally {
-        handles.foreach(_.unpersist())
-        e.unpersist()
-        nodes.unpersist()
-        outdeg.unpersist()
+      for (_ <- 1 to iters) {
+        val r = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        handles += r
+        cur = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling = true)
       }
+      (cur, () => {
+        handles.foreach(_.unpersist())
+        e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+        ()
+      })
     }
-    ranks
   }
 
   /** Tolerance-driven PageRank: iterate until the L1 rank delta
@@ -328,26 +357,32 @@ object Graph {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lab  = labels.select(col(idCol).as("__nid"), col(labelCol).as("__lbl"))
-    val mTab = und.agg(count(lit(1)).cast("long").as("__m"))
-    val eIn = und
-      .join(lab.select(col("__nid").as("u"), col("__lbl").as("__lu")), "u")
-      .join(lab.select(col("__nid").as("v"), col("__lbl").as("__lv")), "v")
-      .where(col("__lu") === col("__lv"))
-      .groupBy(col("__lu").as("label"))
-      .agg(count(lit(1)).cast("long").as("m_in"))
-    val deg = und.select(col("u").as("__nid")).unionByName(und.select(col("v").as("__nid")))
-      .groupBy(col("__nid")).agg(count(lit(1)).cast("long").as("__deg"))
-    val dTot = deg.join(lab, "__nid")
-      .groupBy(col("__lbl").as("label"))
-      .agg(count(lit(1)).cast("long").as("n_nodes"), sum(col("__deg")).cast("long").as("d_tot"))
-    val half = col("d_tot") / (col("__m") * 2)
-    dTot
-      .join(eIn, Seq("label"), "left")
-      .na.fill(0L, Seq("m_in"))
-      .crossJoin(broadcast(mTab))
-      .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
-        (col("m_in") / col("__m") - half * half).as("q"))
+    // |communities|-sized result materializes eagerly so `und` (persisted
+    // for its three consumers within the one job) is released before
+    // returning — same cache discipline as [[pagerank]].
+    try {
+      val lab  = labels.select(col(idCol).as("__nid"), col(labelCol).as("__lbl"))
+      val mTab = und.agg(count(lit(1)).cast("long").as("__m"))
+      val eIn = und
+        .join(lab.select(col("__nid").as("u"), col("__lbl").as("__lu")), "u")
+        .join(lab.select(col("__nid").as("v"), col("__lbl").as("__lv")), "v")
+        .where(col("__lu") === col("__lv"))
+        .groupBy(col("__lu").as("label"))
+        .agg(count(lit(1)).cast("long").as("m_in"))
+      val deg = und.select(col("u").as("__nid")).unionByName(und.select(col("v").as("__nid")))
+        .groupBy(col("__nid")).agg(count(lit(1)).cast("long").as("__deg"))
+      val dTot = deg.join(lab, "__nid")
+        .groupBy(col("__lbl").as("label"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"), sum(col("__deg")).cast("long").as("d_tot"))
+      val half = col("d_tot") / (col("__m") * 2)
+      dTot
+        .join(eIn, Seq("label"), "left")
+        .na.fill(0L, Seq("m_in"))
+        .crossJoin(broadcast(mTab))
+        .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
+          (col("m_in") / col("__m") - half * half).as("q"))
+        .localCheckpoint(true)
+    } finally und.unpersist()
   }
 
   /** One power-method round: contributions in, teleport + optional
@@ -465,22 +500,32 @@ object Graph {
 
     // wedges at a: (a→b, a→c), unordered pair kept once via b < c; the
     // closing edge {b,c} is oriented SOMEHOW (both orders checked with a
-    // canonical (min,max) key so the semi-join is a plain equi-join)
-    val wedges = o.select(col("lo").as("a"), col("hi").as("b"))
-      .join(o.select(col("lo").as("a"), col("hi").as("c")), "a")
-      .where(col("b") < col("c"))
-    val closing = o.select(least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
-    val tris = wedges
-      .join(closing.select(least(col("b"), col("c")).as("b"), greatest(col("b"), col("c")).as("c")), Seq("b", "c"), "left_semi")
+    // canonical (min,max) key so the semi-join is a plain equi-join).
+    // Node-sized result materializes eagerly so the three static caches
+    // (e, deg, o — each multi-consumer within the one job) release here
+    // instead of pinning CacheManager entries until session end.
+    try {
+      val wedges = o.select(col("lo").as("a"), col("hi").as("b"))
+        .join(o.select(col("lo").as("a"), col("hi").as("c")), "a")
+        .where(col("b") < col("c"))
+      val closing = o.select(least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
+      val tris = wedges
+        .join(closing.select(least(col("b"), col("c")).as("b"), greatest(col("b"), col("c")).as("c")), Seq("b", "c"), "left_semi")
 
-    // every triangle credits all three corners; degree rides along so the
-    // clustering coefficient derives without a second pass over edges
-    val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-    deg
-      .join(corners, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        col("__deg").as("degree"))
+      // every triangle credits all three corners; degree rides along so the
+      // clustering coefficient derives without a second pass over edges
+      val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+      deg
+        .join(corners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          col("__deg").as("degree"))
+        .localCheckpoint(true)
+    } finally {
+      e.unpersist()
+      deg.unpersist()
+      o.unpersist()
+    }
   }
 
   /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1)),

@@ -831,6 +831,41 @@ object Hnsw {
     StoreMeta(target, meta.m, meta.efConstruction)
   }
 
+  /** Measure → decide → act for the shard budget: closes [[shardStats]]'s
+    * loop (stats REPORT "over budget" but nothing asked — the same gap
+    * [[Skew.autoAggregate]] closes for shuffle keys). The decision is a
+    * pure function of the TOTAL row count, so an independent engine
+    * replays it: `target = ceil(total / rowsPerShard)`, reshard iff
+    * `target != nShards` (an under-provisioned store splits — per-task
+    * build memory and graph quality are what the budget bounds; an
+    * over-provisioned one merges — the search-side candidate bound is
+    * nShards·k, so dead shards cost merge work forever). Per-shard
+    * occupancy is hash-routing-dependent and deliberately NOT part of the
+    * decision: near-uniform routing makes total-count the same signal,
+    * and the policy stays engine-replayable. [[shardStats]] remains the
+    * detailed per-shard view for operators.
+    *
+    * Acts in place via [[reshard]] (one full build — the cost
+    * [[applyDelta]] amortizes away until this policy says otherwise) and
+    * returns a 1-row report: (decision, total_nodes, n_shards_before,
+    * n_shards_after). `rowsPerShard` defaults to the global
+    * [[RowsPerShard]] budget; override to tune (or to test).
+    */
+  def maintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      rowsPerShard: Long = RowsPerShard): DataFrame = {
+    require(rowsPerShard >= 1L, s"rowsPerShard must be positive: $rowsPerShard")
+    val meta   = readMeta(spark, path)
+    val total  = spark.read.parquet(path).select(col("id")).count()
+    val target = math.max(1L, (total + rowsPerShard - 1) / rowsPerShard).toInt
+    val decision = if (target != meta.nShards) "reshard" else "noop"
+    if (decision == "reshard") reshard(spark, path, target)
+    import spark.implicits._
+    Seq((decision, total, meta.nShards, if (decision == "reshard") target else meta.nShards))
+      .toDF("decision", "total_nodes", "n_shards_before", "n_shards_after")
+  }
+
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
@@ -864,13 +899,26 @@ object Hnsw {
     *  3. broad predicates run the filter-aware beam: allowed ids
     *     semi-join a COLUMN-PRUNED (shard, ord, id) projection of the
     *     store (vectors and adjacency never move through the flag join),
-    *     the narrow (shard, ord) flags co-shuffle with the wide store
-    *     rows on shard — the one exchange the unfiltered path pays too —
-    *     and each shard's traversal passes THROUGH blocked nodes but
-    *     admits only allowed ones to its beam ([[searchGraphFiltered]]),
-    *     with the beam width oversampled to that same
-    *     `ceil(max(efSearch,k)/sel)` so the expected allowed mass in the
-    *     beam stays ≥ efSearch.
+    *     and the resulting NARROW (shard, ord) flags — hash-repartitioned
+    *     to the store's own (shard, numPartitions) layout — left-join back
+    *     onto the wide rows as an `__ok` tag. Because both sides then hash
+    *     on shard with equal partition counts, the join plans with ZERO
+    *     exchange on the store side: a persisted `colocated(index)` never
+    *     re-shuffles its ~7 KB/node rows per query (only the flags move),
+    *     and an un-colocated store pays the one shard shuffle the
+    *     unfiltered path pays too. Each shard's traversal passes THROUGH
+    *     blocked nodes but admits only allowed ones to its beam
+    *     ([[searchGraphFiltered]]), with the beam width oversampled to
+    *     that same `ceil(max(efSearch,k)/sel)` so the expected allowed
+    *     mass in the beam stays ≥ efSearch.
+    *
+    * `selectivityHint` (0, 1] skips step 1's estimate scan entirely — a
+    * caller issuing many queries with a known-selectivity predicate class
+    * against a standing store (THE repeated-query pattern) pays no
+    * payload aggregate at construction time; the hint picks the branch
+    * and the oversample factor, correctness is unaffected (the exact
+    * branch is exact by construction, the beam branch's flags still come
+    * from the true predicate).
     *
     * With `filters` empty the body is the pre-filter implementation
     * verbatim — no payload scan, no join, same physical plan.
@@ -884,6 +932,7 @@ object Hnsw {
       filters: Seq[Column] = Nil,
       payload: DataFrame = null,
       maxEf: Int = 4096,
+      selectivityHint: Double = Double.NaN,
   ): DataFrame = {
     val spark = index.sparkSession
     val q     = queryVec.toArray
@@ -902,16 +951,25 @@ object Hnsw {
       "filtered searchIndex needs the payload frame carrying idCol + the filter columns " +
         "(the graph store holds only ids and vectors)")
     val pred = filters.reduce(_ && _)
-    // the cardinality estimate: ONE column-pruned payload scan. An action,
-    // but it is what picks the plan (Qdrant's estimator does the same) —
-    // and it is corpus-proportional only in scan bytes, never in shuffle.
-    val cardRow  = payload.agg(
-      count(lit(1)).as("__n"),
-      count(when(pred, lit(1))).as("__a")).head()
-    val total    = cardRow.getLong(0)
-    val allowedN = cardRow.getLong(1)
-    if (allowedN == 0L) return Seq.empty[(Long, Double)].toDF(idCol, "score")
-    val sel    = allowedN.toDouble / total.toDouble
+    val sel =
+      if (!selectivityHint.isNaN) {
+        require(selectivityHint > 0d && selectivityHint <= 1d,
+          s"selectivityHint must be in (0, 1]: $selectivityHint")
+        selectivityHint
+      } else {
+        // the cardinality estimate: ONE column-pruned payload scan. An
+        // action, but it is what picks the plan (Qdrant's estimator does
+        // the same) — and it is corpus-proportional only in scan bytes,
+        // never in shuffle. Callers that know their predicate class pass
+        // `selectivityHint` and skip this scan.
+        val cardRow = payload.agg(
+          count(lit(1)).as("__n"),
+          count(when(pred, lit(1))).as("__a")).head()
+        val total    = cardRow.getLong(0)
+        val allowedN = cardRow.getLong(1)
+        if (allowedN == 0L) return Seq.empty[(Long, Double)].toDF(idCol, "score")
+        allowedN.toDouble / total.toDouble
+      }
     val needEf = math.ceil(math.max(efSearch, k).toDouble / sel)
     val allowed = payload.where(pred).select(col(idCol).cast("long").as("id"))
     if (needEf > maxEf) {
@@ -926,28 +984,37 @@ object Hnsw {
       // projection of the store — the id semi-join never moves vectors or
       // adjacency (joining the WIDE rows instead shuffled ~7 KB/node and
       // tripled the broad-filter search time at the 768-d/100k tier). The
-      // wide rows then shuffle ONCE on shard — the same exchange the
-      // unfiltered path pays — with the (shard, ord) flags riding beside
-      // them as narrow kind-tagged rows.
+      // narrow flags then hash-repartition to the store's OWN layout
+      // (shard key, matching partition count) and left-join back onto the
+      // wide rows: both sides hash on shard with equal counts, so the
+      // planner proves co-partitioning and inserts NO exchange on the
+      // store side — a persisted colocated(index) serves repeated filtered
+      // queries with only the flags moving (the union-and-repartition
+      // formulation this replaces re-shuffled every wide row per query).
+      val store = colocated(index)
+      val nParts =
+        try store.queryExecution.executedPlan.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.numPartitions
+          case _ => spark.sessionState.conf.numShufflePartitions
+        } catch {
+          case scala.util.control.NonFatal(_) => spark.sessionState.conf.numShufflePartitions
+        }
       val flags = pinnedStore(index)
         .select(col("shard"), col("ord"), col("id"))
         .join(allowed, Seq("id"), "left_semi")
-        .select(col("shard"), col("ord"),
-          lit(0L).as("id"), lit(0).as("level"),
-          typedLit(Seq.empty[Double]).as("vec"),
-          typedLit(Seq.empty[Seq[Int]]).as("links"),
-          lit(0).as("entry"), lit(0).as("max_level"),
-          lit(1).as("__kind"))
-      val unioned = pinnedStore(index).withColumn("__kind", lit(0))
-        .unionByName(flags)
-        .repartition(col("shard"))
-      val candidates = unioned
+        .select(col("shard"), col("ord"), lit(1).as("__ok"))
+        .repartition(nParts, col("shard"))
+      val joined = store
+        .join(flags, Seq("shard", "ord"), "left")
+        .select(col("shard"), col("ord"), col("id"), col("level"), col("vec"),
+          col("links"), col("entry"), col("max_level"), col("__ok"))
+      val candidates = joined
         .mapPartitions { rows =>
           rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, shardRows) =>
-            val (flagRows, nodeRows) = shardRows.partition(_.getInt(8) == 1)
-            val g  = graphOf(nodeRows)
+            val g  = graphOf(shardRows)
             val ok = new java.util.BitSet(g.size)
-            flagRows.foreach(r => ok.set(r.getInt(1)))
+            shardRows.foreach(r => if (!r.isNullAt(8)) ok.set(r.getInt(1)))
             searchGraphFiltered(g, q, k, efF, ok).iterator
           }
         }

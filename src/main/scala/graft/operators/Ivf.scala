@@ -705,6 +705,49 @@ object Ivf {
     model
   }
 
+  /** Measure → decide → act for centroid drift: closes [[driftStats]]'s
+    * loop (the stats frame REPORTS imbalance but nothing asked — the same
+    * gap [[Skew.autoAggregate]] closes for shuffle keys and
+    * [[Hnsw.maintain]] for the shard budget). Signal: occupancy skew
+    * `max(n) / avg(n)` over the store's NON-EMPTY lists — sustained churn
+    * from a shifted distribution piles additions onto the nearest stale
+    * centroid, so one list grows unboundedly while probe pruning decays
+    * toward a full scan (reading the hot list approaches reading the
+    * corpus). Refit iff `skew > skewMax`; mean-assign-distance baselining
+    * stays the caller's comparison via [[driftStats]] (it needs a
+    * build-time baseline this store does not persist).
+    *
+    * Acts in place via [[refit]] (fit + reassign + staged rewrite — the
+    * cost [[applyDelta]] amortizes away until this policy says
+    * otherwise) and returns a 1-row report: (decision, n_lists,
+    * total_rows, skew) with skew rounded to 4 decimals for stable
+    * reporting. skew of an all-in-one-list store with a single non-empty
+    * list is 1.0 by this measure — pair the policy with `skewMax` sized
+    * to the list count (a k-list store's worst case is k).
+    */
+  def maintain(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      skewMax: Double = 4.0,
+      seed: Long = 42L): DataFrame = {
+    require(skewMax > 1.0, s"skewMax must exceed 1 (skew of a balanced store): $skewMax")
+    val stats = driftStats(spark, path)
+      .agg(max(col("n")).cast("double").as("__mx"),
+        avg(col("n")).as("__avg"),
+        sum(col("n")).cast("long").as("__total"))
+      .head()
+    val total = stats.getLong(2)
+    val skew  = if (total == 0L) 1.0 else stats.getDouble(0) / stats.getDouble(1)
+    val nLists = readCentroids(path, spark.sparkContext.hadoopConfiguration)
+      .map(_.model.centroids.length)
+      .getOrElse(throw new IllegalStateException(s"maintain needs a sidecar-described store: $path"))
+    val decision = if (skew > skewMax) "refit" else "noop"
+    if (decision == "refit") { refit(spark, path, seed = seed); () }
+    import spark.implicits._
+    Seq((decision, nLists, total, math.rint(skew * 10000d) / 10000d))
+      .toDF("decision", "n_lists", "total_rows", "skew")
+  }
+
   /** Batch ANN — the k-NN JOIN against the store: every query row gets its
     * top-k neighbors from its own nProbe nearest lists. [[search]] serves
     * one query with a pruned scan; a training-data pipeline attaches

@@ -60,12 +60,29 @@ object RecrawlStream {
     * `newSession`: it must inherit the caller's EFFECTIVE runtime conf
     * (shuffle partitions, ANSI mode, timezone — anything set after
     * session build) and override only AQE.
+    *
+    * MEMOIZED per source session: cloning builds a full SessionState
+    * (analyzer, optimizer, conf copy), which a stream would otherwise pay
+    * once per micro-batch for an identical result. Consequence: the
+    * inherited conf is a snapshot at the source session's FIRST lifecycle
+    * call — conf changed on the source afterwards does not propagate into
+    * later batches (a stream's batches should not silently change plans
+    * mid-run anyway). Weak keys, so short-lived test sessions don't pin.
     */
-  private def lifecycleSession(spark: SparkSession): SparkSession = {
-    val s2 = org.apache.spark.sql.GraftBridge.cloneSession(spark)
-    s2.conf.set("spark.sql.adaptive.enabled", "false")
-    s2
-  }
+  private val lifecycleClones =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def lifecycleSession(spark: SparkSession): SparkSession =
+    lifecycleClones.synchronized {
+      val hit = lifecycleClones.get(spark)
+      if (hit != null) hit
+      else {
+        val s2 = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        lifecycleClones.put(spark, s2)
+        s2
+      }
+    }
 
   /** Initial state: embed the full corpus once, build the IVF store, and
     * publish the (id, hash) snapshot the first batch will diff against.

@@ -347,6 +347,68 @@ class HnswSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean filtered recall $mean: $recalls")
   }
 
+  test("filtered beam against a persisted colocated store: no exchange moves the wide rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-colocex", nShards = 4,
+      m = 16, efConstruction = 128)
+    val coloc = Hnsw.colocated(idx).persist()
+    try {
+      coloc.count() // materialize so the cache reports its hash(shard) layout
+      val q   = items(17)._2.map(_ + 0.004)
+      val res = Hnsw.searchIndex(coloc, q.toSeq, "id", 10, efSearch = 10,
+        filters = Seq(col("grp") === 1), payload = payloadDf, maxEf = 4096)
+      val got = res.select("id").as[Long].collect().toSet
+      assert(got.nonEmpty && got.forall(_ % 4 == 1), s"disallowed ids surfaced: $got")
+      // every shuffle in the executed plan must be NARROW: the store's
+      // vectors and adjacency never re-exchange on a pre-colocated store —
+      // only the (shard, ord, __ok) flags and the final top-k rows move
+      def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec        => Seq(s.plan)
+          case o                        => o.children
+        }
+        (p match { case e: ShuffleExchangeLike => Seq(e); case _ => Nil }) ++
+          kids.flatMap(exchanges)
+      }
+      val wide = exchanges(res.queryExecution.executedPlan)
+        .filter(_.output.exists(a => a.name == "vec" || a.name == "links"))
+      assert(wide.isEmpty,
+        s"an exchange moved the wide store rows:\n${wide.map(_.treeString).mkString("\n")}")
+    } finally { coloc.unpersist(); () }
+  }
+
+  test("selectivityHint skips the estimate scan and matches the estimated plan's results on both branches") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-hint", nShards = 4,
+      m = 16, efConstruction = 128)
+    val q = items(55)._2.map(_ + 0.006)
+    // broad branch (sel 0.25): hinted == estimated
+    val est = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 10,
+      filters = Seq(col("grp") === 1), payload = payloadDf, maxEf = 4096)
+      .select("id").as[Long].collect().toSeq
+    val hinted = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 10,
+      filters = Seq(col("grp") === 1), payload = payloadDf, maxEf = 4096,
+      selectivityHint = 0.25)
+      .select("id").as[Long].collect().toSeq
+    assert(hinted == est, s"hinted broad-beam results diverged: $hinted vs $est")
+    // a tiny hint routes to the exact branch — exact by construction
+    val hintedExact = Hnsw.searchIndex(idx, q.toSeq, "id", 10, efSearch = 64,
+      filters = Seq(col("rare")), payload = payloadDf, maxEf = 256,
+      selectivityHint = 0.027)
+      .select("id").as[Long].collect().toSeq
+    assert(hintedExact == bruteTopFiltered(q, 10, _ % 37 == 0), s"got $hintedExact")
+    // out-of-range hints are rejected up front
+    intercept[IllegalArgumentException] {
+      Hnsw.searchIndex(idx, q.toSeq, "id", 10,
+        filters = Seq(col("rare")), payload = payloadDf, selectivityHint = 1.5)
+    }
+    ()
+  }
+
   test("cardinality gate: selective predicate routes to the exact branch and equals filtered brute force") {
     val df  = items.toSeq.toDF("id", "vec")
     val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-exact", nShards = 4,
@@ -385,6 +447,36 @@ class HnswSpec extends AnyFunSuite {
       val recall = (got & exact).size / 10.0
       assert(recall >= 0.9, s"$sf: filtered recall $recall (got $got vs $exact)")
     }
+  }
+
+  test("maintain: closes the shardStats loop — under-budget store reshards to target, right-sized store is a byte-untouched noop") {
+    val root = java.nio.file.Files.createTempDirectory("hnsw_maintain").toString
+    val dir  = root + "/store"
+    Hnsw.writeIndex(items.toSeq.toDF("id", "vec"), "vec", "id", dir, nShards = 1,
+      m = 16, efConstruction = 128)
+    val q = items(7)._2.map(_ + 0.005)
+    def topIds() = Hnsw.searchIndex(Hnsw.readIndex(spark, dir), q.toSeq, "id", 10,
+      efSearch = 65536).select("id").as[Long].collect().toSeq
+    val before = topIds()
+    // 400 rows / budget 100 → target 4 ≠ 1 → reshard
+    val r1 = Hnsw.maintain(spark, dir, rowsPerShard = 100L).collect().head
+    assert(r1.getString(0) == "reshard" && r1.getLong(1) == 400L
+      && r1.getInt(2) == 1 && r1.getInt(3) == 4, s"$r1")
+    assert(Hnsw.shardStats(spark, dir).select("n_shards").head.getInt(0) == 4)
+    assert(topIds() == before, "maintain's reshard must preserve search results")
+    // right-sized store: noop, and NOT A BYTE of the store is rewritten
+    def snapshot(): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          b += (p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      b.result()
+    }
+    val files = snapshot()
+    val r2 = Hnsw.maintain(spark, dir, rowsPerShard = 100L).collect().head
+    assert(r2.getString(0) == "noop" && r2.getInt(2) == 4 && r2.getInt(3) == 4, s"$r2")
+    assert(snapshot() == files, "a noop decision must not touch the store")
   }
 
   test("shardStats + reshard: occupancy reported, re-route matches id-hash routing, content and search preserved") {

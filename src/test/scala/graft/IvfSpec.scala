@@ -325,6 +325,37 @@ class IvfSpec extends AnyFunSuite {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("maintain: closes the driftStats loop — planted far-ball skew triggers refit (content preserved), balanced store is a noop") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_maintain").toString + "/store"
+    val (assigned, model) = Ivf.assign(corpus, "vec", 4)
+    Ivf.writeIndexed(assigned, dir, model, "vec")
+    // fresh 4-list fit on the 5-topic corpus: list sizes are uneven but far
+    // from pathological — under a skewMax sized to the list count, noop
+    val r0 = Ivf.maintain(spark, dir, skewMax = 3.9).collect().head
+    assert(r0.getString(0) == "noop", s"$r0")
+    // plant drift: 600 rows in a tiny ball around the all-20s point (the
+    // v35 device) — every addition lands in ONE nearest stale list, so
+    // skew ≥ 4·600/900 ≈ 2.67 > 2 independent of the fit geometry
+    // truncated back to float: the store's vec column is array<float>, and
+    // a double batch would write mixed-type parquet partitions
+    def farCopy(off: Long) = corpus.select((col("id") + off).as("id"),
+      transform(col("vec").cast("array<double>"), x => x * lit(0.01) + lit(20.0))
+        .cast("array<float>").as("vec"))
+    Ivf.applyDelta(spark, dir, corpus.limit(0).select("id"),
+      farCopy(10000L).unionByName(farCopy(20000L)), "id")
+    val idsBefore = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    val r1 = Ivf.maintain(spark, dir, skewMax = 2.0).collect().head
+    assert(r1.getString(0) == "refit" && r1.getInt(1) == 4 && r1.getLong(2) == 900L, s"$r1")
+    assert(r1.getDouble(3) > 2.0, s"reported skew must exceed the threshold: $r1")
+    val idsAfter = spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+    assert(idsAfter == idsBefore, "maintain's refit must preserve the store's content exactly")
+    // the refitted centroids give the far ball its own list(s): the hot
+    // list no longer holds ALL additions, so measured skew strictly drops
+    val r2 = Ivf.maintain(spark, dir, skewMax = 1e9).collect().head
+    assert(r2.getDouble(3) < r1.getDouble(3),
+      s"refit must reduce assignment skew: ${r1.getDouble(3)} -> ${r2.getDouble(3)}")
+  }
+
   test("drift lifecycle: shifted-distribution churn decays pruned recall + inflates driftStats; refit restores both") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_refit").toString + "/store"
     // four well-separated base clusters; churn later adds a FIFTH cluster

@@ -320,6 +320,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.converged)
   }
 
+  test("connectedComponents: landing exactly on the fixpoint at maxIters verifies instead of failing") {
+    // pair graph: round 1's step reaches the fixpoint WHILE making changes,
+    // so the loop exits at maxIters=1 without ever observing a no-op round.
+    // The boundary probe must confirm convergence (≤2 verification jobs)
+    // rather than reporting a correct labeling as truncated.
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val (out, stats) = Dedup.connectedComponentsStats(nodes, edges, "id", "a", "b",
+      maxIters = 1, maxDriverEdges = 0L)
+    assert(stats.converged, s"round 1 lands on the fixpoint; the probe must confirm it: $stats")
+    assert(out.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+    // the plain wrapper no longer rejects the exact labeling
+    assert(Dedup.connectedComponents(nodes, edges, "id", "a", "b",
+      maxIters = 1, maxDriverEdges = 0L).count() == 2L)
+  }
+
   test("incrementalComponents: merges, new nodes, and untouched components survive") {
     // existing labeling: {1,2} -> 1, {3} -> 3, {7,8} -> 7 (untouched)
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (7L, 7L), (8L, 7L)).toDF("id", "component")

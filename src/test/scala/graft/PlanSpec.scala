@@ -122,12 +122,18 @@ class PlanSpec extends AnyFunSuite {
     val edges = t.orders
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
-    val plan = graft.operators.Graph.pagerank(edges, "src", "dst", iters = 3)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
-    val liveTree = plan.split("InMemoryRelation").head
-    assert(!liveTree.contains("SortMergeJoin [l_orderkey"),
-      s"orders⋈lineitem must not re-run per iteration:\n${plan.take(1200)}")
+    // the public pagerank returns an eager localCheckpoint (a LogicalRDD
+    // scan), so the chain's plan shape is asserted on the unmaterialized
+    // variant — same chain, minus the checkpoint that would hide it
+    val (ranks, release) =
+      graft.operators.Graph.pagerankUnmaterialized(edges, "src", "dst", iters = 3)
+    try {
+      val plan = ranks.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+      val liveTree = plan.split("InMemoryRelation").head
+      assert(!liveTree.contains("SortMergeJoin [l_orderkey"),
+        s"orders⋈lineitem must not re-run per iteration:\n${plan.take(1200)}")
+    } finally release()
   }
 
   test("pagerank: src-partitioned edge cache leaves ONE shuffle per iteration (the rank iterate)") {
@@ -135,7 +141,8 @@ class PlanSpec extends AnyFunSuite {
     val edges = t.orders
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
-    val df = graft.operators.Graph.pagerank(edges, "src", "dst", iters = 3)
+    val (df, release) =
+      graft.operators.Graph.pagerankUnmaterialized(edges, "src", "dst", iters = 3)
     df.count() // resolve AQE stages so the final plan is inspectable
     import org.apache.spark.sql.execution.SparkPlan
     def countShuffles(p: SparkPlan): Int = {
@@ -151,6 +158,7 @@ class PlanSpec extends AnyFunSuite {
       self + kids.map(countShuffles).sum
     }
     val n = countShuffles(df.queryExecution.executedPlan)
+    release()
     // 1 per iteration: the iterate side of the contribution join. The edge
     // cache (hashpartitioned by src) and the id-partitioned node/contrib
     // frames satisfy every other requirement; 6 before pre-partitioning.
