@@ -25,6 +25,8 @@ object ScaleBench {
 
   /** hnsw_reshard's pre-built store per scale (see the catalog entry). */
   private val reshardStores = scala.collection.concurrent.TrieMap.empty[Int, String]
+  private val maintainHnswStores = scala.collection.concurrent.TrieMap.empty[Int, String]
+  private val maintainIvfStores = scala.collection.concurrent.TrieMap.empty[Int, String]
 
   /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
   private lazy val onnxFixture: (String, String) =
@@ -696,6 +698,42 @@ object ScaleBench {
           val shards = Hnsw.shardStats(spark, path).count()
           Hnsw.reshard(spark, path, nShards = 12)
           shards
+        }),
+        // round-13 v34/v35: the maintain policies in STEADY STATE — a
+        // healthy store, verdict noop, so the row measures the per-round
+        // DECISION cost a pipeline pays every maintenance cycle (one
+        // column-pruned count / one driftStats aggregate). The act legs
+        // are the ivf_refit / hnsw_reshard rows above — maintain adds
+        // only the audit on top of them when the verdict fires.
+        "hnsw_maintain"   -> (() => {
+          val n = vecs.count()
+          val path = maintainHnswStores.getOrElseUpdate(scale, {
+            val p = java.nio.file.Files.createTempDirectory("sb-hmaint").toString + "/store"
+            Hnsw.writeIndex(vecs.select(col("vec_id"), col("embedding")),
+              "embedding", "vec_id", p, nShards = 8)
+            p
+          })
+          // rowsPerShard = ceil(n/8) → target 8 == current → noop
+          Hnsw.maintain(spark, path, rowsPerShard = (n + 7) / 8).count()
+        }),
+        "ivf_maintain"    -> (() => {
+          val path = maintainIvfStores.getOrElseUpdate(scale, {
+            val p = java.nio.file.Files.createTempDirectory("sb-imaint").toString + "/store"
+            val (assigned, model) = Ivf.assign(vecs.select(col("vec_id"), col("embedding")), "embedding", 8)
+            Ivf.writeIndexed(assigned, p, model, "embedding")
+            p
+          })
+          // a fresh seeded fit stays under a skewMax sized to the list
+          // count → noop; the v35 oracle/spec covers the act leg
+          Ivf.maintain(spark, path, skewMax = 8.0).count()
+        }),
+        // round-13 u18: audit + join; the audit carries (key, count) only,
+        // so the row should track the salted_agg curve plus the join.
+        "auto_join"       -> (() => {
+          val dim = events.select(col("event_type")).distinct()
+            .select(col("event_type"), length(col("event_type")).cast("long").as("tl"))
+          Skew.autoJoin(events.select("event_type", "value"), dim, "event_type",
+            nBuckets = 32)._1.count()
         }),
         "sessionize"      -> (() => Sessions.sessionize(events, 30).count()),
         "tumbling_window" -> (() => EventWindows.tumbling(events, "ts", "10 minutes").count()),

@@ -490,6 +490,28 @@ object SparkEntry {
     // salting provably changes nothing but the shuffle layout. (At THIS dim
     // size Catalyst broadcasts and there is no shuffle to skew — the salt
     // is for the regime where the dim outgrows a broadcast.)
+    // J13 — bucketed co-located join (round 13): the STORAGE-level answer
+    // to repeated joins on one key at 100 TB — both sides written
+    // bucketBy(8, doc_id) + sortBy into catalog tables (external, temp
+    // paths), so the sort-merge join planner-proves co-location and
+    // elides BOTH shuffle exchanges (plan-asserted in OperatorsSpec; the
+    // oracle checks the join VALUES — a plain equi-join replays them).
+    // The write cost is the query: bucketing is an ingest-time investment
+    // amortized across every later join on that key.
+    "j13_bucketed_join" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-j13").toString
+      Bucketing.writeBucketed(
+        Tables(s, d).documents.select(col("doc_id"), col("lang"), col("n_chars")),
+        "j13_docs", "doc_id", 8, path = root + "/docs")
+      Bucketing.writeBucketed(
+        Tables(s, d).embeddings.select(col("vec_id").as("doc_id"), col("label")),
+        "j13_labels", "doc_id", 8, path = root + "/labels")
+      Bucketing.cogroupJoin(s, "j13_docs", "j13_labels", "doc_id")
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang", "label")
+    }),
+
     "j9_salted_join" -> ((s, d) => {
       import s.implicits._
       val dim = Seq(
@@ -1760,6 +1782,27 @@ object SparkEntry {
         nBuckets = 32)
       res.select(col("k"), col("n").cast("long").as("n"), col("cents"),
         lit(salted).as("salted"))
+        .orderBy("k")
+    }),
+
+    // U18 — measurement-gated JOIN (round 13): autoAggregate's device
+    // applied to the salted join — the pre-flight audits the big side's
+    // join key (planted 'hot' holds ~half the events), salt_recommended
+    // routes through saltedJoin, a flat distribution takes the identical
+    // one-bucket path. The oracle replays the verdict (max key count × 32
+    // > n_rows) AND the join: salted or not, the values must equal the
+    // plain equi-join.
+    "u18_auto_join" -> ((s, d) => {
+      val ev = Tables(s, d).events
+        .withColumn("k", when(col("user_id") % 2 === 0, lit("hot")).otherwise(col("event_type")))
+        .select(col("k"), col("value"))
+      val dim = ev.select(col("k")).distinct()
+        .select(col("k"), length(col("k")).cast("long").as("k_len"))
+      val (res, salted) = Skew.autoJoin(ev, dim, "k", nBuckets = 32)
+      res.groupBy("k", "k_len")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("salted", lit(salted))
         .orderBy("k")
     }),
 
@@ -4018,6 +4061,12 @@ object SparkEntry {
         |   (epoch_us(l.ts) - epoch_us(r.view_ts))::BIGINT AS lag_us
         | FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.view_ts
         | ORDER BY l.event_id""".stripMargin,
+    // j13 — bucket layout is physical; the join VALUES are a plain equi-join
+    "j13_bucketed_join" ->
+      """SELECT d.lang, e.label, count(*)::BIGINT AS n, sum(d.n_chars)::BIGINT AS chars
+        | FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        | GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
+
     "j9_salted_join" ->
       """WITH dim(event_type, category) AS (VALUES
         |   ('click','engagement'), ('view','engagement'), ('purchase','revenue'),
@@ -5375,6 +5424,19 @@ object SparkEntry {
            | SELECT k, count(*)::BIGINT AS n,
            |   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents, v.salted
            | FROM e, v GROUP BY k, v.salted ORDER BY k""".stripMargin,
+
+    // u18 — verdict replayed like u17; salted-or-not, the join must equal
+    // the plain equi-join against the derived dim
+    "u18_auto_join" ->
+      raw"""WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'hot' ELSE event_type END AS k,
+           |     value FROM events),
+           | kc AS (SELECT k, count(*)::BIGINT AS c FROM e GROUP BY 1),
+           | v AS (SELECT max(c) * 32 > sum(c) AS salted FROM kc),
+           | dim AS (SELECT DISTINCT k, length(k)::BIGINT AS k_len FROM e)
+           | SELECT e.k, d.k_len, count(*)::BIGINT AS n,
+           |   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents, v.salted
+           | FROM e JOIN dim d ON d.k = e.k, v
+           | GROUP BY e.k, d.k_len, v.salted ORDER BY e.k""".stripMargin,
 
     // dq3 — per-quasi distinct sensitive counts (nulls excluded) + rollup
     "dq3_ldiversity" ->

@@ -12,14 +12,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write a table bucketed+sorted by `key` into the session catalog. */
-  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
-    df.write
+  /** Write a table bucketed+sorted by `key` into the session catalog.
+    * `path` (optional) makes it an EXTERNAL table at that location — the
+    * deployment shape where the lake, not the warehouse dir, owns the
+    * bytes; bucketing metadata lives in the catalog either way, which is
+    * what lets the planner prove co-location.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int,
+      path: String = null): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    (if (path != null) w.option("path", path) else w).saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key. With matching bucket
     * counts Catalyst plans a sort-merge join with zero Exchange operators.

@@ -147,6 +147,38 @@ object Skew {
     (twoStageAggregate(df, keyCols, if (salted) saltBuckets else 1, partials, merges), salted)
   }
 
+  /** Measurement-gated equi-join — [[keySkewStats]] consumed by the join
+    * it protects ([[autoAggregate]]'s device applied to [[saltedJoin]]).
+    * The pre-flight audits the BIG side's join-key distribution (on
+    * `auditSample` when given, column-pruned to the key either way);
+    * `salt_recommended` — the heaviest key alone exceeding the mean
+    * simulated-reducer load, so NO key-hash arrangement balances it —
+    * routes through [[saltedJoin]], anything else through the same code
+    * path with ONE salt bucket (whose pmod is the constant 0 and whose
+    * small-side replication is ×1: a plain equi-join in salted clothing,
+    * so both verdicts produce identical schemas and values — the
+    * [[autoAggregate]] one-bucket device). Broadcast remains Catalyst's
+    * size-based decision on either path: salting exists for the case
+    * where the small side is too big to broadcast AND the big side is
+    * key-skewed. Returns (result, salted?).
+    */
+  def autoJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int = 16,
+      nBuckets: Int = 0,
+      auditSample: Column = lit(true),
+  ): (DataFrame, Boolean) = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2: $saltBuckets")
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else math.max(2, big.sparkSession.sessionState.conf.numShufflePartitions)
+    val salted = keySkewStats(big.where(auditSample).select(col(key)), Seq(key), nb)
+      .select("salt_recommended").head().getBoolean(0)
+    (saltedJoin(big, small, key, if (salted) saltBuckets else 1), salted)
+  }
+
   /** Skew-salted equi-join: a shuffle join hashes every row of a hot key to
     * ONE reducer — a key holding 20% of a 100 TB fact side serializes 20 TB
     * through one task. Salting shards the big side's hot keys across

@@ -762,6 +762,27 @@ class OperatorsSpec extends AnyFunSuite {
       Skew.autoAggregate(flat, Seq("k"), partials, merges, saltBuckets = 1))
   }
 
+  test("autoJoin: the audit verdict picks the path; salted join equals plain join") {
+    val big = (0 until 400).map(i => (if (i % 2 == 0) "hot" else s"k${i % 20}", i.toLong))
+      .toDF("k", "v")
+    val dim = (Seq("hot") ++ (0 until 20).map(i => s"k$i")).map(k => (k, s"tag_$k"))
+      .toDF("k", "tag")
+    val (res, salted) = Skew.autoJoin(big, dim, "k", saltBuckets = 4, nBuckets = 8)
+    assert(salted, "a key holding half the rows must trip the salt verdict at 8 buckets")
+    val got = res.select("k", "v", "tag").as[(String, Long, String)].collect().toSet
+    val want = big.join(dim, Seq("k")).select("k", "v", "tag")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == want, "salted join must equal the plain equi-join")
+    // uniform keys: verdict false, one-bucket path, same values
+    val flat = (0 until 64).map(i => (s"k${i % 16}", i.toLong)).toDF("k", "v")
+    val (fres, fsalted) = Skew.autoJoin(flat, dim, "k", saltBuckets = 4, nBuckets = 2)
+    assert(!fsalted, "uniform keys must not recommend salting")
+    assert(fres.select("k", "v", "tag").as[(String, Long, String)].collect().toSet ==
+      flat.join(dim, Seq("k")).select("k", "v", "tag")
+        .as[(String, Long, String)].collect().toSet)
+    intercept[IllegalArgumentException](Skew.autoJoin(flat, dim, "k", saltBuckets = 1))
+  }
+
   test("saltedJoin rejects reserved columns and ambiguous collisions, salts around maps") {
     val big = Seq(("k0", 1L), ("k1", 2L)).toDF("k", "v")
     val dim = Seq(("k0", "a"), ("k1", "b")).toDF("k", "tag")
