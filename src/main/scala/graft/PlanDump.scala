@@ -32,7 +32,8 @@ object PlanDump {
     "v10_bm25" -> "round 12: the doc length RIDES the term-filtered exploded stream (the token array materializes once; size() and explode() read the SAME array, the tf aggregate max-combines dl) — the corpus-wide (id, dl) lens join is GONE: no shuffle-join anywhere, every hash exchange moves |matching docs| rows",
     "v31_rerank_eval" -> "round 12 (closes the r11 weak): both retrieval legs cut top-10 via orderBy+limit = TakeOrderedAndProject (per-partition partial top-k, no full sort); the rank windows see <=10 rows, and PlanSpec asserts every UNPARTITIONED window in the query sits above a GlobalLimit; rankingMetrics' duplicate guards are inline raise_error aggregates, so neither retrieval pipeline re-executes for validation",
     "dq1_expectations" -> "round 12: five row-level rules compile into ONE shared 1-row aggregate over a single scan (stack-unpivoted); the uniqueness rule adds one key-grouped aggregate and the FK rule one anti-join count — rule count does not multiply scans",
-    "v33_hnsw_filtered" -> "round 13 (filtered HNSW): the broad-predicate leg semi-joins the allowed ids against a COLUMN-PRUNED (shard, ord, id) store projection (vectors/adjacency never move through the flag join), co-shuffles the narrow flags with the wide store rows on shard — the one exchange the unfiltered path pays too — into per-shard filter-aware beams merged by TakeOrderedAndProject; the selective leg's cardinality gate routes to an exact allowed-id semi-join + brute-force top-k — and the UNFILTERED searchIndex plan stays join-free (asserted in HnswSpec)",
+    "v33_hnsw_filtered" -> "round 13 (filtered HNSW): the broad-predicate leg semi-joins the allowed ids against a COLUMN-PRUNED (shard, ord, id) store projection (vectors/adjacency never move through the flag join), then the narrow (shard, ord, __ok) flags hash-repartition to the store's own (shard, numPartitions) layout and LEFT-JOIN back onto the wide rows — co-partitioning is planner-proven, so a persisted colocated store re-shuffles NOTHING (HnswSpec walks the executed plan: no ShuffleExchange outputs vec/links); per-shard filter-aware beams merge via TakeOrderedAndProject; the selective leg's cardinality gate routes to an exact allowed-id semi-join + brute-force top-k — and the UNFILTERED searchIndex plan stays join-free (asserted in HnswSpec)",
+    "j13_bucketed_join" -> "round 13 (bucketed co-located join): both sides written bucketBy(8, doc_id)+sortBy as catalog tables, so the join on the bucket key needs NO shuffle exchange at any size — at this SF Catalyst broadcasts the tiny label side (also exchange-free); with broadcast disabled the bucket layout carries a SortMergeJoin with zero Exchange nodes (asserted in OperatorsSpec), the storage-level amortization of every later join on that key — note both scans report Bucketed: true, SelectedBucketsCount 8/8",
   )
 
   def main(args: Array[String]): Unit = {

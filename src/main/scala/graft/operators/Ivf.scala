@@ -731,10 +731,12 @@ object Ivf {
       skewMax: Double = 4.0,
       seed: Long = 42L): DataFrame = {
     require(skewMax > 1.0, s"skewMax must exceed 1 (skew of a balanced store): $skewMax")
+    // coalesced: a store whose lists were all emptied by deltas aggregates
+    // over zero rows — the nulls must read as "balanced", not NPE
     val stats = driftStats(spark, path)
-      .agg(max(col("n")).cast("double").as("__mx"),
-        avg(col("n")).as("__avg"),
-        sum(col("n")).cast("long").as("__total"))
+      .agg(coalesce(max(col("n")).cast("double"), lit(0d)).as("__mx"),
+        coalesce(avg(col("n")), lit(1d)).as("__avg"),
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("__total"))
       .head()
     val total = stats.getLong(2)
     val skew  = if (total == 0L) 1.0 else stats.getDouble(0) / stats.getDouble(1)
