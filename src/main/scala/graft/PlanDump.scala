@@ -24,7 +24,7 @@ object PlanDump {
     "v6_ivf_ann" -> "partition pruning: the store scan lists only the probed list_id directories (PartitionFilters)",
     "d3_minhash_candidates" -> "banded LSH: equi-join on (band, signature slice) — no cartesian, no all-pairs",
     "x11_decontaminate" -> "benchmark grams broadcast; the corpus side is one scan + left-anti, no corpus distinct",
-    "g1_pagerank" -> "iteration reads the src-partitioned InMemoryTableScan; one live exchange per round (the rank iterate)",
+    "g1_pagerank" -> "UNMATERIALIZED chain (the public pagerank eagerly checkpoints + releases its caches, which would hide the plan): iteration reads the src-partitioned InMemoryTableScan; one live exchange per round (the rank iterate)",
     "x16_dsir_weights" -> "one tokenize scan into the cached (id, bucket, cnt) aggregate; ratio table broadcasts",
     "u8_shuffle_shards" -> "exactly one hash exchange into sorted shard runs",
     "x34_prototype_prune" -> "codegen argmin projection; ONE cluster-keyed exchange shared by the rank and size windows",
@@ -54,12 +54,28 @@ object PlanDump {
     sb ++= "PlanSpec asserts the load-bearing ones in CI. Scan paths and\n"
     sb ++= "statistics vary with the scale factor; the SHAPES do not.\n"
     for ((name, why) <- Audited) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      var release: () => Unit = () => ()
+      val df =
+        if (name == "g1_pagerank") {
+          // the public pagerank returns an eager localCheckpoint (a
+          // LogicalRDD scan that would hide the whole chain) — audit the
+          // unmaterialized chain, same edge derivation as the g1 query
+          import org.apache.spark.sql.functions.{col, lit}
+          val t = Tables(spark, sfDir)
+          val edges = t.orders
+            .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+          val (ranks, rel) =
+            graft.operators.Graph.pagerankUnmaterialized(edges, "src", "dst", iters = 3)
+          release = rel
+          ranks
+        } else SparkEntry.queries(name)(spark, sfDir)
       val plan = {
         val bos = new java.io.ByteArrayOutputStream()
         Console.withOut(new java.io.PrintStream(bos)) { df.explain("formatted") }
         bos.toString
       }
+      release()
       sb ++= s"\n## $name\n\n$why\n\n```\n${plan.trim}\n```\n"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
