@@ -3715,6 +3715,24 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // V36 — batch k-NN join against the HNSW store (round 13): the HNSW
+    // twin of v9's IVF knnJoin — a pipeline attaches neighbors to a whole
+    // query FRAME, where per-query searchIndex calls would mean |q| job
+    // launches and |q| graph rebuilds. Queries fan out once per shard
+    // (narrow rows, no driver collect of data), co-shuffle with the store,
+    // each task rebuilds its shards' graphs ONCE and serves every routed
+    // query, TopKScored merges ≤ k rows per (query, shard). Exhaustive
+    // beam here, so the oracle is the brute-force per-query top-5 join.
+    "v36_hnsw_knn_join" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val idx = Hnsw.indexFor(emb, "embedding", "vec_id", cacheKey = s"v36:$d", nShards = 4)
+      Hnsw.knnJoin(idx, emb.where(col("vec_id") % 101 === 0), "embedding", "vec_id",
+        5, efSearch = 65536)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -6755,6 +6773,16 @@ object SparkEntry {
          | SELECT vec_id, score, decision, total_nodes, n_shards_before, n_shards_after
          | FROM topk CROSS JOIN r
          | ORDER BY score DESC, vec_id""".stripMargin,
+
+    // v36 — exhaustive shard beams merge to the brute-force per-query
+    // top-5 (v5's oracle over the %101 query set)
+    "v36_hnsw_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 101 = 0),
+         | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         | s AS (SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS sim,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
+         |   FROM q JOIN c ON query_id <> neighbor_id QUALIFY rank <= 5)
+         | SELECT query_id, neighbor_id, round(sim, 4) AS score, rank FROM s ORDER BY query_id, rank""".stripMargin,
 
     // v35 — the planted far-ball drift makes the refit decision constant
     // (skew ≥ 8/3 > 2 at any SF, independent of the k-means geometry);

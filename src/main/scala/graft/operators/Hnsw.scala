@@ -1023,6 +1023,84 @@ object Hnsw {
     }
   }
 
+  /** Batch ANN — the k-NN JOIN against a sharded HNSW store: every query
+    * row gets its top-k from the union of all shards' beam searches. HNSW
+    * shards are id-hash routed, not geometry-routed, so EVERY shard is a
+    * candidate source — the per-query candidate bound stays nShards·k,
+    * the single-query contract. [[Ivf.knnJoin]]'s shape with the probe
+    * fan-out replaced by shard fan-out:
+    *
+    *  1. each query row replicates once per shard — |q|·nShards NARROW
+    *     (shard, qid, qvec) rows, never a driver collect (a pipeline's
+    *     query side can outgrow any broadcast);
+    *  2. one co-locating exchange on shard unions them with the store
+    *     rows — the same exchange the single-query path pays, amortized
+    *     here across the whole batch;
+    *  3. per task: rebuild each shard's graph ONCE, beam-search every
+    *     query routed to it (graph reconstruction amortizes across the
+    *     batch — the win over |q| separate searchIndex calls);
+    *  4. per-query merge via the map-side-combined [[graft.functions
+    *     .TopKScored]] aggregate — the final shuffle carries ≤ k rows
+    *     per (query, shard).
+    *
+    * Output: (query_id, neighbor_id, score, rank), [[Search.knnJoin]]'s
+    * contract (rank 1 = best; ties by id via the aggregate's ordering).
+    */
+  def knnJoin(
+      index: DataFrame,
+      queries: DataFrame,
+      queryVecCol: String,
+      queryIdCol: String,
+      k: Int,
+      efSearch: Int = 64,
+      excludeSelf: Boolean = true,
+  ): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    // bounded collect: one value per shard (the same class of collect as
+    // the shard-id lists in applyDelta), never data rows
+    val shardIds = pinnedStore(index).select(col("shard")).distinct().as[Long].collect().toSeq
+    val fanned = queries
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        col(queryVecCol).cast("array<double>").as("vec"))
+      .withColumn("shard", explode(typedLit(shardIds)))
+      .select(col("shard"), lit(0).as("ord"), lit(0L).as("id"), lit(0).as("level"),
+        col("vec"), typedLit(Seq.empty[Seq[Int]]).as("links"),
+        lit(0).as("entry"), lit(0).as("max_level"),
+        col("__qid"), lit(1).as("__kind"))
+    val unioned = pinnedStore(index)
+      .withColumn("__qid", lit(0L)).withColumn("__kind", lit(0))
+      .unionByName(fanned)
+      .repartition(col("shard"))
+    val cand = unioned
+      .mapPartitions { rows =>
+        rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, shardRows) =>
+          val (qRows, nodeRows) = shardRows.partition(_.getInt(9) == 1)
+          if (qRows.isEmpty) Iterator.empty
+          else {
+            val g = graphOf(nodeRows)
+            // k+1 when self-excluding: the query's own row can occupy one
+            // slot of its home shard's top-k, displacing the true #k
+            val perShard = if (excludeSelf) k + 1 else k
+            qRows.iterator.flatMap { qr =>
+              val qid = qr.getLong(8)
+              val qv  = qr.getSeq[Double](4).toArray
+              searchGraph(g, qv, perShard, efSearch).iterator.map { case (id, s) => (qid, id, s) }
+            }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "score")
+    val topk = graft.functions.TopKScored.udafFor(k)
+    cand
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("score")).as("nns"))
+      .select(col("query_id"), posexplode(col("nns")).as(Seq("pos", "nn")))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"),
+        col("nn.score").as("score"), (col("pos") + 1).as("rank"))
+  }
+
   /** The store with every shard's rows in one partition (hash on `shard`;
     * several shards may share a partition — [[searchIndex]] groups in the
     * task). Already-colocated frames pass through unchanged, so

@@ -449,6 +449,19 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin: batch exhaustive beams equal the brute-force knnJoin; self never surfaces and never displaces the #k neighbor") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-knnjoin", nShards = 4,
+      m = 16, efConstruction = 128)
+    val queries = df.where(col("id") % 37 === 0)
+    val got = Hnsw.knnJoin(idx, queries, "vec", "id", 5, efSearch = 65536)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Search.knnJoin(queries, df, "vec", "id", "vec", "id", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == want, s"batch HNSW join diverged from brute force:\n${(got diff want).take(5)} vs ${(want diff got).take(5)}")
+    assert(!got.exists { case (q, n, _) => q == n }, "self must be excluded")
+  }
+
   test("maintain: closes the shardStats loop — under-budget store reshards to target, right-sized store is a byte-untouched noop") {
     val root = java.nio.file.Files.createTempDirectory("hnsw_maintain").toString
     val dir  = root + "/store"
