@@ -59,23 +59,20 @@ object PlanDump {
         if (name == "g1_pagerank") {
           // the public pagerank returns an eager localCheckpoint (a
           // LogicalRDD scan that would hide the whole chain) — audit the
-          // unmaterialized chain, same edge derivation as the g1 query
-          import org.apache.spark.sql.functions.{col, lit}
-          val t = Tables(spark, sfDir)
-          val edges = t.orders
-            .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-            .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
-          val (ranks, rel) =
-            graft.operators.Graph.pagerankUnmaterialized(edges, "src", "dst", iters = 3)
+          // unmaterialized chain over the SHARED g1 edge derivation
+          val (ranks, rel) = graft.operators.Graph.pagerankUnmaterialized(
+            SparkEntry.fulfillmentEdges(spark, sfDir), "src", "dst", iters = 3)
           release = rel
           ranks
         } else SparkEntry.queries(name)(spark, sfDir)
-      val plan = {
-        val bos = new java.io.ByteArrayOutputStream()
-        Console.withOut(new java.io.PrintStream(bos)) { df.explain("formatted") }
-        bos.toString
-      }
-      release()
+      // release in a finally: an explain failure must not leave the
+      // chain's edge/node caches pinned for the rest of the dump
+      val plan =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(bos)) { df.explain("formatted") }
+          bos.toString
+        } finally release()
       sb ++= s"\n## $name\n\n$why\n\n```\n${plan.trim}\n```\n"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -25,8 +25,22 @@ object ScaleBench {
 
   /** hnsw_reshard's pre-built store per scale (see the catalog entry). */
   private val reshardStores = scala.collection.concurrent.TrieMap.empty[Int, String]
-  private val maintainHnswStores = scala.collection.concurrent.TrieMap.empty[Int, String]
   private val maintainIvfStores = scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  /** Shared per-scale 8-shard HNSW store (hnsw_maintain + hnsw_knn_join
+    * rows): ONE builder so the two consumers can't silently diverge on
+    * the store shape they share through the cache.
+    */
+  private val sharedHnswStores = scala.collection.concurrent.TrieMap.empty[Int, String]
+  private def sharedHnswStore(scale: Int, vecs: org.apache.spark.sql.DataFrame): String =
+    sharedHnswStores.getOrElseUpdate(scale, {
+      val p = java.nio.file.Files.createTempDirectory("sb-hnsw8").toString + "/store"
+      graft.operators.Hnsw.writeIndex(
+        vecs.select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")),
+        "embedding", "vec_id", p, nShards = 8)
+      p
+    })
 
   /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
   private lazy val onnxFixture: (String, String) =
@@ -707,14 +721,8 @@ object ScaleBench {
         // only the audit on top of them when the verdict fires.
         "hnsw_maintain"   -> (() => {
           val n = vecs.count()
-          val path = maintainHnswStores.getOrElseUpdate(scale, {
-            val p = java.nio.file.Files.createTempDirectory("sb-hmaint").toString + "/store"
-            Hnsw.writeIndex(vecs.select(col("vec_id"), col("embedding")),
-              "embedding", "vec_id", p, nShards = 8)
-            p
-          })
           // rowsPerShard = ceil(n/8) → target 8 == current → noop
-          Hnsw.maintain(spark, path, rowsPerShard = (n + 7) / 8).count()
+          Hnsw.maintain(spark, sharedHnswStore(scale, vecs), rowsPerShard = (n + 7) / 8).count()
         }),
         "ivf_maintain"    -> (() => {
           val path = maintainIvfStores.getOrElseUpdate(scale, {
@@ -726,6 +734,14 @@ object ScaleBench {
           // a fresh seeded fit stays under a skewMax sized to the list
           // count → noop; the v35 oracle/spec covers the act leg
           Ivf.maintain(spark, path, skewMax = 8.0).count()
+        }),
+        // round-13 v36: batch ANN join — store co-location amortizes over
+        // the batch, per-task graphs rebuild once; should grow with corpus
+        // (graph size) and stay flat in the (fixed-fraction) query count.
+        "hnsw_knn_join"   -> (() => {
+          val idx = spark.read.parquet(sharedHnswStore(scale, vecs))
+          Hnsw.knnJoin(idx, vecs.where(col("vec_id") % 50 === 0), "embedding", "vec_id",
+            10, efSearch = 64).count()
         }),
         // round-13 u18: audit + join; the audit carries (key, count) only,
         // so the row should track the salted_agg curve plus the join.

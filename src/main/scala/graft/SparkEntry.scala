@@ -93,6 +93,18 @@ object SparkEntry {
     * main.py:953-980 (mapped → path/file, `__root__` → file, unmapped or
     * dangling → unsorted/file).
     */
+  /** The customer→supplier fulfillment link graph g1/g2 rank (suppliers
+    * offset by 1e6 so the two key spaces don't collide). Shared with
+    * PlanSpec and PlanDump so the audited chain can't silently diverge
+    * from the declared queries.
+    */
+  private[graft] def fulfillmentEdges(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d)
+    t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+  }
+
   private def exportArcnames(s: SparkSession, d: String): DataFrame = {
     val t = Tables(s, d)
     val folders = t.region
@@ -2486,11 +2498,7 @@ object SparkEntry {
     // so the two key spaces don't collide). 3 unrolled power iterations,
     // d = 0.85; round(6) absorbs summation-order ulps.
     "g1_pagerank" -> ((s, d) => {
-      val t = Tables(s, d)
-      val edges = t.orders
-        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
-      Graph.pagerank(edges, "src", "dst", iters = 3)
+      Graph.pagerank(fulfillmentEdges(s, d), "src", "dst", iters = 3)
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy("id")
     }),
@@ -2501,11 +2509,8 @@ object SparkEntry {
     // exactly conserved. The oracle carries the per-iteration dangling
     // scalar CTE alongside each contribution round.
     "g2_pagerank_redistributed" -> ((s, d) => {
-      val t = Tables(s, d)
-      val edges = t.orders
-        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
-      Graph.pagerank(edges, "src", "dst", iters = 3, redistributeDangling = true)
+      Graph.pagerank(fulfillmentEdges(s, d), "src", "dst", iters = 3,
+        redistributeDangling = true)
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy("id")
     }),

@@ -1063,6 +1063,10 @@ object Hnsw {
     val fanned = queries
       .select(col(queryIdCol).cast("long").as("__qid"),
         col(queryVecCol).cast("array<double>").as("vec"))
+      // null id / null vector rows drop here (the brute-force knnJoin's
+      // cosine would null them out; the positional getters in the task
+      // would NPE instead — same outcome, minus the crashed job)
+      .where(col("__qid").isNotNull && col("vec").isNotNull)
       .withColumn("shard", explode(typedLit(shardIds)))
       .select(col("shard"), lit(0).as("ord"), lit(0L).as("id"), lit(0).as("level"),
         col("vec"), typedLit(Seq.empty[Seq[Int]]).as("links"),

@@ -731,11 +731,13 @@ object Ivf {
       skewMax: Double = 4.0,
       seed: Long = 42L): DataFrame = {
     require(skewMax > 1.0, s"skewMax must exceed 1 (skew of a balanced store): $skewMax")
-    // coalesced: a store whose lists were all emptied by deltas aggregates
-    // over zero rows — the nulls must read as "balanced", not NPE
+    // the sum coalesces: a store whose lists were all emptied by deltas
+    // aggregates over zero rows, and a null total must read as "balanced"
+    // (total == 0 short-circuits below), not NPE in getLong. max/avg need
+    // no defaults — they are only read when total > 0, i.e. rows exist.
     val stats = driftStats(spark, path)
-      .agg(coalesce(max(col("n")).cast("double"), lit(0d)).as("__mx"),
-        coalesce(avg(col("n")), lit(1d)).as("__avg"),
+      .agg(max(col("n")).cast("double").as("__mx"),
+        avg(col("n")).as("__avg"),
         coalesce(sum(col("n")), lit(0L)).cast("long").as("__total"))
       .head()
     val total = stats.getLong(2)

@@ -118,10 +118,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pagerank: the edge derivation computes once into the cache; iterations read InMemoryTableScan") {
-    val t = Tables(spark, dir)
-    val edges = t.orders
-      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+    val edges = SparkEntry.fulfillmentEdges(spark, dir)
     // the public pagerank returns an eager localCheckpoint (a LogicalRDD
     // scan), so the chain's plan shape is asserted on the unmaterialized
     // variant — same chain, minus the checkpoint that would hide it
@@ -137,10 +134,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pagerank: src-partitioned edge cache leaves ONE shuffle per iteration (the rank iterate)") {
-    val t = Tables(spark, dir)
-    val edges = t.orders
-      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+    val edges = SparkEntry.fulfillmentEdges(spark, dir)
     val (df, release) =
       graft.operators.Graph.pagerankUnmaterialized(edges, "src", "dst", iters = 3)
     df.count() // resolve AQE stages so the final plan is inspectable
