@@ -783,6 +783,30 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Skew.autoJoin(flat, dim, "k", saltBuckets = 1))
   }
 
+  test("property: autoJoin equals the plain equi-join across random key mixes (hot, uniform, null-bearing)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.frequency(
+        5 -> Gen.const("hot"),
+        4 -> Gen.choose(0, 30).map(i => s"k$i"),
+        1 -> Gen.const(null: String))
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (k, v)
+    val tableGen = Gen.listOfN(300, rowGen)
+    val dim = (Seq("hot") ++ (0 until 30).map(i => s"k$i")).map(k => (k, k.length.toLong))
+      .toDF("k", "kl")
+    (0 until 8).foreach { i =>
+      val rows = tableGen.apply(Gen.Parameters.default, Seed(1000L + i)).get
+      val big  = rows.toDF("k", "v")
+      val (res, salted) = Skew.autoJoin(big, dim, "k", saltBuckets = 4, nBuckets = 4)
+      val got  = res.select("k", "v", "kl").as[(String, Long, Long)].collect().sorted.toSeq
+      val want = big.join(dim, Seq("k")).select("k", "v", "kl")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"seed $i (salted=$salted): autoJoin diverged (${got.size} vs ${want.size})")
+    }
+  }
+
   test("saltedJoin rejects reserved columns and ambiguous collisions, salts around maps") {
     val big = Seq(("k0", 1L), ("k1", 2L)).toDF("k", "v")
     val dim = Seq(("k0", "a"), ("k1", "b")).toDF("k", "tag")
