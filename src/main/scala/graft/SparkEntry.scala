@@ -3738,6 +3738,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // V37 — FILTERED batch k-NN join (round 13): v33's cardinality gate
+    // applied to the whole batch — one gate decision per predicate (it is
+    // shared by every query), so the estimate amortizes. The broad leg
+    // (label = 3) rides the shard fan-out with narrow flag rows and
+    // filter-aware beams (exhaustive here → full value parity); the
+    // selective leg (label = 3 AND vec_id % 7 = 0) trips the gate into
+    // the exact branch (allowed-id semi-join + brute-force batch join).
+    "v37_hnsw_filtered_knn_join" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      val idx = Hnsw.indexFor(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", cacheKey = s"v37:$d", nShards = 4)
+      val payload = emb.select(col("vec_id"), col("label"))
+      val queries = emb.where(col("vec_id") % 101 === 0)
+      val beam = Hnsw.knnJoin(idx, queries, "embedding", "vec_id", 5, efSearch = 65536,
+        filters = Seq(col("label") === 3), payload = payload, payloadIdCol = "vec_id",
+        maxEf = 1 << 20)
+        .withColumn("path", lit("beam"))
+      val exact = Hnsw.knnJoin(idx, queries, "embedding", "vec_id", 5, efSearch = 64,
+        filters = Seq(col("label") === 3, col("vec_id") % 7 === 0),
+        payload = payload, payloadIdCol = "vec_id", maxEf = 256)
+        .withColumn("path", lit("exact"))
+      beam.unionByName(exact)
+        .select(col("path"), col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("path", "query_id", "rank")
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -6788,6 +6815,23 @@ object SparkEntry {
          |   row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
          |   FROM q JOIN c ON query_id <> neighbor_id QUALIFY rank <= 5)
          | SELECT query_id, neighbor_id, round(sim, 4) AS score, rank FROM s ORDER BY query_id, rank""".stripMargin,
+
+    // v37 — both gate branches replay as brute-force per-query top-5 over
+    // the filtered corpus (self joins out via query_id <> neighbor_id)
+    "v37_hnsw_filtered_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 101 = 0),
+         | c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+         | beam AS (SELECT 'beam' AS path, query_id, neighbor_id,
+         |     list_cosine_similarity(cv, qv) AS sim,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
+         |   FROM q JOIN c ON query_id <> neighbor_id AND label = 3 QUALIFY rank <= 5),
+         | ex AS (SELECT 'exact' AS path, query_id, neighbor_id,
+         |     list_cosine_similarity(cv, qv) AS sim,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
+         |   FROM q JOIN c ON query_id <> neighbor_id AND label = 3 AND neighbor_id % 7 = 0 QUALIFY rank <= 5)
+         | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
+         | FROM (SELECT * FROM beam UNION ALL SELECT * FROM ex)
+         | ORDER BY path, query_id, rank""".stripMargin,
 
     // v35 — the planted far-ball drift makes the refit decision constant
     // (skew ≥ 8/3 > 2 at any SF, independent of the k-means geometry);

@@ -951,25 +951,8 @@ object Hnsw {
       "filtered searchIndex needs the payload frame carrying idCol + the filter columns " +
         "(the graph store holds only ids and vectors)")
     val pred = filters.reduce(_ && _)
-    val sel =
-      if (!selectivityHint.isNaN) {
-        require(selectivityHint > 0d && selectivityHint <= 1d,
-          s"selectivityHint must be in (0, 1]: $selectivityHint")
-        selectivityHint
-      } else {
-        // the cardinality estimate: ONE column-pruned payload scan. An
-        // action, but it is what picks the plan (Qdrant's estimator does
-        // the same) — and it is corpus-proportional only in scan bytes,
-        // never in shuffle. Callers that know their predicate class pass
-        // `selectivityHint` and skip this scan.
-        val cardRow = payload.agg(
-          count(lit(1)).as("__n"),
-          count(when(pred, lit(1))).as("__a")).head()
-        val total    = cardRow.getLong(0)
-        val allowedN = cardRow.getLong(1)
-        if (allowedN == 0L) return Seq.empty[(Long, Double)].toDF(idCol, "score")
-        allowedN.toDouble / total.toDouble
-      }
+    val sel  = estimatedSelectivity(payload, pred, selectivityHint)
+    if (sel == 0d) return Seq.empty[(Long, Double)].toDF(idCol, "score")
     val needEf = math.ceil(math.max(efSearch, k).toDouble / sel)
     val allowed = payload.where(pred).select(col(idCol).cast("long").as("id"))
     if (needEf > maxEf) {
@@ -1023,6 +1006,24 @@ object Hnsw {
     }
   }
 
+  /** The cardinality-gate selectivity: `hint` when given (validated), else
+    * ONE column-pruned payload scan — an action, but it is what picks the
+    * plan (Qdrant's estimator does the same), corpus-proportional only in
+    * scan bytes, never in shuffle. 0.0 means NOTHING passes (callers
+    * short-circuit to an empty result).
+    */
+  private def estimatedSelectivity(payload: DataFrame, pred: Column, hint: Double): Double =
+    if (!hint.isNaN) {
+      require(hint > 0d && hint <= 1d, s"selectivityHint must be in (0, 1]: $hint")
+      hint
+    } else {
+      val cardRow = payload.agg(
+        count(lit(1)).as("__n"),
+        count(when(pred, lit(1))).as("__a")).head()
+      val allowedN = cardRow.getLong(1)
+      if (allowedN == 0L) 0d else allowedN.toDouble / cardRow.getLong(0).toDouble
+    }
+
   /** Batch ANN — the k-NN JOIN against a sharded HNSW store: every query
     * row gets its top-k from the union of all shards' beam searches. HNSW
     * shards are id-hash routed, not geometry-routed, so EVERY shard is a
@@ -1045,6 +1046,17 @@ object Hnsw {
     *
     * Output: (query_id, neighbor_id, score, rank), [[Search.knnJoin]]'s
     * contract (rank 1 = best; ties by id via the aggregate's ordering).
+    *
+    * FILTERED batch search — [[searchIndex]]'s cardinality gate applied
+    * to the whole batch: `filters` over `payload` (which must carry
+    * `payloadIdCol` + the filter columns). Selective predicates route to
+    * the EXACT branch (allowed-id semi-join on the store, brute-force
+    * [[Search.knnJoin]] over the survivors — cheap because few rows
+    * pass); broad predicates ride the shard fan-out with narrow
+    * (shard, ord) flag rows and per-shard [[searchGraphFiltered]] beams
+    * oversampled to `ceil(max(efSearch,k)/sel)`. One gate decision per
+    * BATCH (the predicate is shared), so the estimate scan amortizes
+    * across every query — `selectivityHint` skips it entirely.
     */
   def knnJoin(
       index: DataFrame,
@@ -1054,9 +1066,46 @@ object Hnsw {
       k: Int,
       efSearch: Int = 64,
       excludeSelf: Boolean = true,
+      filters: Seq[Column] = Nil,
+      payload: DataFrame = null,
+      payloadIdCol: String = "id",
+      maxEf: Int = 4096,
+      selectivityHint: Double = Double.NaN,
   ): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
+    var efF      = efSearch
+    var flagRows: DataFrame = null
+    if (filters.nonEmpty) {
+      require(payload != null,
+        "filtered knnJoin needs the payload frame carrying payloadIdCol + the filter columns " +
+          "(the graph store holds only ids and vectors)")
+      val pred = filters.reduce(_ && _)
+      val sel  = estimatedSelectivity(payload, pred, selectivityHint)
+      if (sel == 0d)
+        return Seq.empty[(Long, Long, Double, Int)]
+          .toDF("query_id", "neighbor_id", "score", "rank")
+      val allowed = payload.where(pred).select(col(payloadIdCol).cast("long").as("id"))
+      val needEf  = math.ceil(math.max(efSearch, k).toDouble / sel)
+      if (needEf > maxEf)
+        // exact branch: few rows pass — hydrate just those and run the
+        // brute-force batch join over the survivors
+        return Search.knnJoin(
+          queries,
+          index.select(col("id"), col("vec")).join(allowed, Seq("id"), "left_semi"),
+          queryVecCol, queryIdCol, "vec", "id", k, excludeSelf)
+      efF = needEf.toInt
+      // narrow allowed-node flags, same column-pruned semi-join as
+      // searchIndex's broad branch — vectors/adjacency never move here
+      flagRows = pinnedStore(index)
+        .select(col("shard"), col("ord"), col("id"))
+        .join(allowed, Seq("id"), "left_semi")
+        .select(col("shard"), col("ord"), lit(0L).as("id"), lit(0).as("level"),
+          typedLit(Seq.empty[Double]).as("vec"), typedLit(Seq.empty[Seq[Int]]).as("links"),
+          lit(0).as("entry"), lit(0).as("max_level"),
+          lit(0L).as("__qid"), lit(2).as("__kind"))
+    }
+    val filtered = flagRows != null
     // bounded collect: one value per shard (the same class of collect as
     // the shard-id lists in applyDelta), never data rows
     val shardIds = pinnedStore(index).select(col("shard")).distinct().as[Long].collect().toSeq
@@ -1072,24 +1121,38 @@ object Hnsw {
         col("vec"), typedLit(Seq.empty[Seq[Int]]).as("links"),
         lit(0).as("entry"), lit(0).as("max_level"),
         col("__qid"), lit(1).as("__kind"))
-    val unioned = pinnedStore(index)
+    val store = pinnedStore(index)
       .withColumn("__qid", lit(0L)).withColumn("__kind", lit(0))
+    val unioned = (if (filtered) store.unionByName(flagRows) else store)
       .unionByName(fanned)
       .repartition(col("shard"))
+    val effEf = efF
     val cand = unioned
       .mapPartitions { rows =>
         rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, shardRows) =>
-          val (qRows, nodeRows) = shardRows.partition(_.getInt(9) == 1)
+          val byKind   = shardRows.groupBy(_.getInt(9))
+          val qRows    = byKind.getOrElse(1, Seq.empty)
+          val nodeRows = byKind.getOrElse(0, Seq.empty)
           if (qRows.isEmpty) Iterator.empty
           else {
             val g = graphOf(nodeRows)
             // k+1 when self-excluding: the query's own row can occupy one
             // slot of its home shard's top-k, displacing the true #k
             val perShard = if (excludeSelf) k + 1 else k
+            val ok =
+              if (!filtered) null
+              else {
+                val bs = new java.util.BitSet(g.size)
+                byKind.getOrElse(2, Seq.empty).foreach(r => bs.set(r.getInt(1)))
+                bs
+              }
             qRows.iterator.flatMap { qr =>
               val qid = qr.getLong(8)
               val qv  = qr.getSeq[Double](4).toArray
-              searchGraph(g, qv, perShard, efSearch).iterator.map { case (id, s) => (qid, id, s) }
+              val hits =
+                if (filtered) searchGraphFiltered(g, qv, perShard, effEf, ok)
+                else searchGraph(g, qv, perShard, effEf)
+              hits.iterator.map { case (id, s) => (qid, id, s) }
             }
           }
         }

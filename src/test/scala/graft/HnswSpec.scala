@@ -462,6 +462,34 @@ class HnswSpec extends AnyFunSuite {
     assert(!got.exists { case (q, n, _) => q == n }, "self must be excluded")
   }
 
+  test("filtered knnJoin: both gate branches equal the brute-force join over the filtered corpus") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-fknnjoin", nShards = 4,
+      m = 16, efConstruction = 128)
+    val queries = df.where(col("id") % 37 === 0)
+    def brute(allow: org.apache.spark.sql.Column) = Search.knnJoin(queries, df.join(
+      payloadDf.where(allow).select(col("id")), Seq("id"), "left_semi"),
+      "vec", "id", "vec", "id", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // broad predicate (sel 0.25): exhaustive filter-aware beams
+    val broad = Hnsw.knnJoin(idx, queries, "vec", "id", 5, efSearch = 65536,
+      filters = Seq(col("grp") === 1), payload = payloadDf, payloadIdCol = "id",
+      maxEf = 1 << 20)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(broad == brute(col("grp") === 1), "broad-branch filtered batch join diverged")
+    assert(broad.forall { case (_, n, _) => n % 4 == 1 }, "disallowed neighbors surfaced")
+    // selective predicate trips the gate → exact branch (brute force by construction)
+    val exact = Hnsw.knnJoin(idx, queries, "vec", "id", 5, efSearch = 64,
+      filters = Seq(col("rare")), payload = payloadDf, payloadIdCol = "id", maxEf = 256)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(exact == brute(col("rare")), "exact-branch filtered batch join diverged")
+    // a predicate nothing passes returns an empty, well-typed frame
+    val none = Hnsw.knnJoin(idx, queries, "vec", "id", 5,
+      filters = Seq(col("grp") === 99), payload = payloadDf, payloadIdCol = "id")
+    assert(none.columns.toSeq == Seq("query_id", "neighbor_id", "score", "rank")
+      && none.count() == 0)
+  }
+
   test("maintain: closes the shardStats loop — under-budget store reshards to target, right-sized store is a byte-untouched noop") {
     val root = java.nio.file.Files.createTempDirectory("hnsw_maintain").toString
     val dir  = root + "/store"
