@@ -3765,6 +3765,41 @@ object SparkEntry {
         .orderBy("path", "query_id", "rank")
     }),
 
+    // V38 — FILTERED batch k-NN join on the IVF path (round 13): the gate
+    // compensates selectivity by WIDENING the probe (nProbe ← ceil(n/sel))
+    // and routes to the exact branch when the widened probe is a full scan
+    // anyway. Explicit centroids (v26's device: the first 4 embedding
+    // rows) make the probe leg itself REPLAYABLE: DuckDB re-derives each
+    // query's 2 probed lists (nProbe=1 widened by sel≈0.8) and every row's
+    // argmin assignment with the same dot-product formula, so the
+    // probe-then-filter result is value-checked, not recall-gated. The
+    // selective leg (label = 3 AND vec_id % 7 = 0) widens past nList=4 and
+    // routes exact.
+    "v38_ivf_filtered_knn_join" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      val cents = emb.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+        .map(_.toArray)
+      val model   = Ivf.Model(cents)
+      val indexed = Ivf.withListId(emb.select(col("vec_id"), col("embedding")), model, "embedding")
+      val payload = emb.select(col("vec_id"), col("label"))
+      val queries = emb.where(col("vec_id") % 101 === 0)
+      val probe = Ivf.knnJoin(indexed, model, queries, "embedding", "vec_id",
+        "embedding", "vec_id", 5, nProbe = 1,
+        filters = Seq(col("label") >= 2), payload = payload, payloadIdCol = "vec_id")
+        .withColumn("path", lit("probe"))
+      val exact = Ivf.knnJoin(indexed, model, queries, "embedding", "vec_id",
+        "embedding", "vec_id", 5, nProbe = 1,
+        filters = Seq(col("label") === 3, col("vec_id") % 7 === 0),
+        payload = payload, payloadIdCol = "vec_id")
+        .withColumn("path", lit("exact"))
+      probe.unionByName(exact)
+        .select(col("path"), col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("path", "query_id", "rank")
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -6832,6 +6867,40 @@ object SparkEntry {
          | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
          | FROM (SELECT * FROM beam UNION ALL SELECT * FROM ex)
          | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v38 — probe leg fully replayed (probed lists + argmin assignment via
+    // the v26 dot-product device), exact leg as brute force over survivors
+    "v38_ivf_filtered_knn_join" ->
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+        |     list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+        |   FROM embeddings WHERE vec_id < 4),
+        | asg AS (SELECT vec_id, label, v,
+        |     (SELECT cid FROM cents
+        |      ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, cv) + cc, cid
+        |      LIMIT 1) AS list_id
+        |   FROM base),
+        | q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 101 = 0),
+        | probes AS (SELECT query_id, cid FROM (
+        |     SELECT q.query_id, c.cid,
+        |       row_number() OVER (PARTITION BY q.query_id
+        |         ORDER BY list_inner_product(q.qv, q.qv) - 2 * list_inner_product(q.qv, c.cv) + c.cc, c.cid) AS rn
+        |     FROM q CROSS JOIN cents c) WHERE rn <= 2),
+        | probe AS (SELECT 'probe' AS path, p.query_id, a.vec_id AS neighbor_id,
+        |     list_cosine_similarity(a.v, q.qv) AS sim,
+        |     row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
+        |   FROM probes p JOIN q ON q.query_id = p.query_id
+        |     JOIN asg a ON a.list_id = p.cid
+        |   WHERE a.label >= 2 AND a.vec_id <> p.query_id
+        |   QUALIFY rank <= 5),
+        | ex AS (SELECT 'exact' AS path, q.query_id, a.vec_id AS neighbor_id,
+        |     list_cosine_similarity(a.v, q.qv) AS sim,
+        |     row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
+        |   FROM q JOIN base a ON a.vec_id <> q.query_id AND a.label = 3 AND a.vec_id % 7 = 0
+        |   QUALIFY rank <= 5)
+        | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
+        | FROM (SELECT * FROM probe UNION ALL SELECT * FROM ex)
+        | ORDER BY path, query_id, rank""".stripMargin,
 
     // v35 — the planted far-ball drift makes the refit decision constant
     // (skew ≥ 8/3 > 2 at any SF, independent of the k-means geometry);

@@ -770,6 +770,17 @@ object Ivf {
     * Same recall trade as [[search]] (misses only neighbors whose list the
     * query didn't probe). Output: (query_id, neighbor_id, score, rank) like
     * [[Search.knnJoin]].
+    *
+    * FILTERED batch search — the cardinality gate, IVF-shaped: `filters`
+    * over `payload` (carrying `payloadIdCol` + the filter columns). The
+    * probe compensates selectivity by WIDENING: nProbe ← ceil(nProbe/sel),
+    * so the expected allowed candidate mass per query is preserved. When
+    * the widened probe would reach (or pass) nList, probing is a full scan
+    * anyway, so the gate routes to the strictly-cheaper EXACT branch —
+    * brute-force [[Search.knnJoin]] over the allowed survivors. On the
+    * probe branch the allowed-id semi-join lands on the CANDIDATE frame
+    * (bounded at |q|·n·nProbe'/nList rows), never on the store. One gate
+    * decision per batch; `selectivityHint` skips the estimate scan.
     */
   def knnJoin(
       indexed: DataFrame,
@@ -782,24 +793,64 @@ object Ivf {
       k: Int,
       nProbe: Int,
       excludeSelf: Boolean = true,
+      filters: Seq[Column] = Nil,
+      payload: DataFrame = null,
+      payloadIdCol: String = "id",
+      selectivityHint: Double = Double.NaN,
   ): DataFrame = {
     import graft.functions.VectorOps._
     val spark = indexed.sparkSession
     import spark.implicits._
     require(model.centroids.nonEmpty, "knnJoin needs a fitted index (empty centroid set)")
+    var nP = math.min(nProbe, model.centroids.length)
+    var allowed: DataFrame = null
+    if (filters.nonEmpty) {
+      require(payload != null,
+        "filtered knnJoin needs the payload frame carrying payloadIdCol + the filter columns")
+      val pred = filters.reduce(_ && _)
+      val sel =
+        if (!selectivityHint.isNaN) {
+          require(selectivityHint > 0d && selectivityHint <= 1d,
+            s"selectivityHint must be in (0, 1]: $selectivityHint")
+          selectivityHint
+        } else {
+          val cardRow = payload.agg(
+            count(lit(1)).as("__n"), count(when(pred, lit(1))).as("__a")).head()
+          val allowedN = cardRow.getLong(1)
+          if (allowedN == 0L)
+            return Seq.empty[(Long, Long, Double, Int)]
+              .toDF("query_id", "neighbor_id", "score", "rank")
+          allowedN.toDouble / cardRow.getLong(0).toDouble
+        }
+      val widened = math.ceil(nP.toDouble / sel)
+      if (widened >= model.centroids.length)
+        return Search.knnJoin(
+          queries,
+          indexed.select(col(idCol), col(vecCol)).join(
+            payload.where(pred).select(col(payloadIdCol).cast("long").as("__aid")),
+            col(idCol).cast("long") === col("__aid"), "left_semi"),
+          queryVecCol, queryIdCol, vecCol, idCol, k, excludeSelf)
+      nP = widened.toInt
+      allowed = payload.where(pred)
+        .select(col(payloadIdCol).cast("long").as("neighbor_id"))
+    }
     val bcModel = spark.sparkContext.broadcast(model)
-    val nP      = math.min(nProbe, model.centroids.length)
+    val nPF     = nP
     val fanned = graft.Par.fanOut(
       queries.select(col(queryIdCol).cast("long").as("query_id"), asDouble(col(queryVecCol)).as("__qv")))
       .as[(Long, Seq[Double])]
       .flatMap { case (qid, v) =>
-        bcModel.value.probeLists(v, nP).iterator.map(l => (qid, v, l))
+        bcModel.value.probeLists(v, nPF).iterator.map(l => (qid, v, l))
       }
       .toDF("query_id", "__qv", "list_id")
-    val cand = indexed
+    val hydrated = indexed
       .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("__cv"), col("list_id"))
       .join(fanned, Seq("list_id"))
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val gated =
+      if (allowed == null) hydrated
+      else hydrated.join(allowed, Seq("neighbor_id"), "left_semi")
+    val cand = gated
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExpressions.cosineFast(col("__cv"), col("__qv")).as("score"))
       .where(!isnan(col("score")))

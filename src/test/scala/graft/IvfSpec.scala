@@ -325,6 +325,54 @@ class IvfSpec extends AnyFunSuite {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("filtered knnJoin: widened probe equals probe-then-filter by hand; full-widening routes exact; empty predicate is empty") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
+    val payload = (0L until 300L).map(i => (i, (i % 4).toInt, i % 37 == 0))
+      .toDF("id", "grp", "rare")
+    val queries = corpus.where(col("id") % 31 === 0)
+    // broad (sel 0.75), nProbe=2 → widened ceil(2/0.75)=3 < 6 → probe path
+    val got = Ivf.knnJoin(indexed, model, queries, "vec", "id", "vec", "id", 5, nProbe = 2,
+      filters = Seq(col("grp") >= 1), payload = payload, payloadIdCol = "id")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got.forall { case (_, n, _) => n % 4 >= 1 }, "disallowed neighbors surfaced")
+    // hand replay: per query, rows of the 3 probed lists, allowed, != self,
+    // cosine top-5 with (score desc, id) ties
+    val rows = Ivf.withListId(corpus, model, "vec")
+      .select(col("id"), col("vec").cast("array<double>"), col("list_id"))
+      .as[(Long, Seq[Double], Long)].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qRows = queries.select(col("id"), col("vec").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val want = qRows.flatMap { case (qid, qv) =>
+      val probed = model.probeLists(qv, 3).toSet
+      rows.filter { case (nid, _, lid) =>
+        probed.contains(lid.toInt) && nid % 4 >= 1 && nid != qid
+      }.map { case (nid, nv, _) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    assert(got == want, s"probe-then-filter diverged:\n${(got diff want).take(5)} vs ${(want diff got).take(5)}")
+    // selective: widened ≥ nList → exact brute force over survivors
+    val exact = Ivf.knnJoin(indexed, model, queries, "vec", "id", "vec", "id", 5, nProbe = 2,
+      filters = Seq(col("rare")), payload = payload, payloadIdCol = "id")
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bruteRare = qRows.flatMap { case (qid, qv) =>
+      rows.filter { case (nid, _, _) => nid % 37 == 0 && nid != qid }
+        .map { case (nid, nv, _) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    assert(exact == bruteRare, "exact-branch filtered batch join diverged")
+    // a predicate nothing passes returns an empty, well-typed frame
+    val none = Ivf.knnJoin(indexed, model, queries, "vec", "id", "vec", "id", 5, nProbe = 2,
+      filters = Seq(col("grp") === 99), payload = payload, payloadIdCol = "id")
+    assert(none.columns.toSeq == Seq("query_id", "neighbor_id", "score", "rank")
+      && none.count() == 0)
+  }
+
   test("maintain: closes the driftStats loop — planted far-ball skew triggers refit (content preserved), balanced store is a noop") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_maintain").toString + "/store"
     val (assigned, model) = Ivf.assign(corpus, "vec", 4)
