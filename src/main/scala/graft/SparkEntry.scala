@@ -87,12 +87,6 @@ object SparkEntry {
   private def hx(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map("%02X".format(_)).mkString
 
-  /** S17's arcname resolution, shared by the path query and the zip-export
-    * round trip: uploads modeled from documents, folder tree from
-    * region/nation/customer via the J5 fixpoint, arcname rules of
-    * main.py:953-980 (mapped → path/file, `__root__` → file, unmapped or
-    * dangling → unsorted/file).
-    */
   /** The customer→supplier fulfillment link graph g1/g2 rank (suppliers
     * offset by 1e6 so the two key spaces don't collide). Shared with
     * PlanSpec and PlanDump so the audited chain can't silently diverge
@@ -105,6 +99,12 @@ object SparkEntry {
       .select(col("o_custkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
   }
 
+  /** S17's arcname resolution, shared by the path query and the zip-export
+    * round trip: uploads modeled from documents, folder tree from
+    * region/nation/customer via the J5 fixpoint, arcname rules of
+    * main.py:953-980 (mapped → path/file, `__root__` → file, unmapped or
+    * dangling → unsorted/file).
+    */
   private def exportArcnames(s: SparkSession, d: String): DataFrame = {
     val t = Tables(s, d)
     val folders = t.region
@@ -6868,8 +6868,14 @@ object SparkEntry {
          | FROM (SELECT * FROM beam UNION ALL SELECT * FROM ex)
          | ORDER BY path, query_id, rank""".stripMargin,
 
-    // v38 — probe leg fully replayed (probed lists + argmin assignment via
-    // the v26 dot-product device), exact leg as brute force over survivors
+    // v38 — probe leg fully replayed: the widened probe count derives from
+    // the measured selectivity (ceil(nProbe/sel), nProbe=1 — no hardcoded
+    // constant to rot when testdata regenerates), probed lists + argmin
+    // assignment via the v26 dot-product device. The formula is
+    // mathematically probeLists' summed-squares ranking; FP divergence
+    // needs an exact near-tie between float centroids (would fail LOUDLY
+    // as a hash mismatch, not silently). Exact leg: brute force over
+    // survivors.
     "v38_ivf_filtered_knn_join" ->
       """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         | cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
@@ -6881,11 +6887,14 @@ object SparkEntry {
         |      LIMIT 1) AS list_id
         |   FROM base),
         | q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 101 = 0),
+        | selv AS (SELECT CAST(ceil(1.0 /
+        |     (count(*) FILTER (WHERE label >= 2)::DOUBLE / count(*))) AS BIGINT) AS w
+        |   FROM base),
         | probes AS (SELECT query_id, cid FROM (
         |     SELECT q.query_id, c.cid,
         |       row_number() OVER (PARTITION BY q.query_id
         |         ORDER BY list_inner_product(q.qv, q.qv) - 2 * list_inner_product(q.qv, c.cv) + c.cc, c.cid) AS rn
-        |     FROM q CROSS JOIN cents c) WHERE rn <= 2),
+        |     FROM q CROSS JOIN cents c), selv WHERE rn <= selv.w),
         | probe AS (SELECT 'probe' AS path, p.query_id, a.vec_id AS neighbor_id,
         |     list_cosine_similarity(a.v, q.qv) AS sim,
         |     row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank

@@ -951,7 +951,7 @@ object Hnsw {
       "filtered searchIndex needs the payload frame carrying idCol + the filter columns " +
         "(the graph store holds only ids and vectors)")
     val pred = filters.reduce(_ && _)
-    val sel  = estimatedSelectivity(payload, pred, selectivityHint)
+    val sel  = Search.estimatedSelectivity(payload, pred, selectivityHint)
     if (sel == 0d) return Seq.empty[(Long, Double)].toDF(idCol, "score")
     val needEf = math.ceil(math.max(efSearch, k).toDouble / sel)
     val allowed = payload.where(pred).select(col(idCol).cast("long").as("id"))
@@ -1005,24 +1005,6 @@ object Hnsw {
       candidates.orderBy(desc("score"), col(idCol)).limit(k)
     }
   }
-
-  /** The cardinality-gate selectivity: `hint` when given (validated), else
-    * ONE column-pruned payload scan — an action, but it is what picks the
-    * plan (Qdrant's estimator does the same), corpus-proportional only in
-    * scan bytes, never in shuffle. 0.0 means NOTHING passes (callers
-    * short-circuit to an empty result).
-    */
-  private def estimatedSelectivity(payload: DataFrame, pred: Column, hint: Double): Double =
-    if (!hint.isNaN) {
-      require(hint > 0d && hint <= 1d, s"selectivityHint must be in (0, 1]: $hint")
-      hint
-    } else {
-      val cardRow = payload.agg(
-        count(lit(1)).as("__n"),
-        count(when(pred, lit(1))).as("__a")).head()
-      val allowedN = cardRow.getLong(1)
-      if (allowedN == 0L) 0d else allowedN.toDouble / cardRow.getLong(0).toDouble
-    }
 
   /** Batch ANN — the k-NN JOIN against a sharded HNSW store: every query
     * row gets its top-k from the union of all shards' beam searches. HNSW
@@ -1081,7 +1063,7 @@ object Hnsw {
         "filtered knnJoin needs the payload frame carrying payloadIdCol + the filter columns " +
           "(the graph store holds only ids and vectors)")
       val pred = filters.reduce(_ && _)
-      val sel  = estimatedSelectivity(payload, pred, selectivityHint)
+      val sel  = Search.estimatedSelectivity(payload, pred, selectivityHint)
       if (sel == 0d)
         return Seq.empty[(Long, Long, Double, Int)]
           .toDF("query_id", "neighbor_id", "score", "rank")
@@ -1089,10 +1071,13 @@ object Hnsw {
       val needEf  = math.ceil(math.max(efSearch, k).toDouble / sel)
       if (needEf > maxEf)
         // exact branch: few rows pass — hydrate just those and run the
-        // brute-force batch join over the survivors
+        // brute-force batch join over the survivors. Query ids pre-cast to
+        // long so BOTH gate branches emit one schema; Search.knnJoin drops
+        // null-scored rows itself, matching the probe branch's null guard.
         return Search.knnJoin(
-          queries,
-          index.select(col("id"), col("vec")).join(allowed, Seq("id"), "left_semi"),
+          queries.select(col(queryIdCol).cast("long").as(queryIdCol), col(queryVecCol)),
+          index.select(col("id").cast("long").as("id"), col("vec"))
+            .join(allowed, Seq("id"), "left_semi"),
           queryVecCol, queryIdCol, "vec", "id", k, excludeSelf)
       efF = needEf.toInt
       // narrow allowed-node flags, same column-pruned semi-join as

@@ -808,27 +808,19 @@ object Ivf {
       require(payload != null,
         "filtered knnJoin needs the payload frame carrying payloadIdCol + the filter columns")
       val pred = filters.reduce(_ && _)
-      val sel =
-        if (!selectivityHint.isNaN) {
-          require(selectivityHint > 0d && selectivityHint <= 1d,
-            s"selectivityHint must be in (0, 1]: $selectivityHint")
-          selectivityHint
-        } else {
-          val cardRow = payload.agg(
-            count(lit(1)).as("__n"), count(when(pred, lit(1))).as("__a")).head()
-          val allowedN = cardRow.getLong(1)
-          if (allowedN == 0L)
-            return Seq.empty[(Long, Long, Double, Int)]
-              .toDF("query_id", "neighbor_id", "score", "rank")
-          allowedN.toDouble / cardRow.getLong(0).toDouble
-        }
+      val sel  = Search.estimatedSelectivity(payload, pred, selectivityHint)
+      if (sel == 0d)
+        return Seq.empty[(Long, Long, Double, Int)]
+          .toDF("query_id", "neighbor_id", "score", "rank")
       val widened = math.ceil(nP.toDouble / sel)
       if (widened >= model.centroids.length)
+        // ids pre-cast to long so both gate branches emit ONE schema (the
+        // probe branch casts through its own select)
         return Search.knnJoin(
-          queries,
-          indexed.select(col(idCol), col(vecCol)).join(
+          queries.select(col(queryIdCol).cast("long").as(queryIdCol), col(queryVecCol)),
+          indexed.select(col(idCol).cast("long").as(idCol), col(vecCol)).join(
             payload.where(pred).select(col(payloadIdCol).cast("long").as("__aid")),
-            col(idCol).cast("long") === col("__aid"), "left_semi"),
+            col(idCol) === col("__aid"), "left_semi"),
           queryVecCol, queryIdCol, vecCol, idCol, k, excludeSelf)
       nP = widened.toInt
       allowed = payload.where(pred)

@@ -243,6 +243,10 @@ object Search {
       .join(broadcast(q), if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VectorExpressions.cosineFast(col("__cv"), col("__qv")).as("score"))
+      // null scores (null vectors) and NaN (zero-norm) drop instead of
+      // crashing the aggregate's non-nullable score encoder — the same
+      // tolerance Ivf.knnJoin's candidate stage has
+      .where(col("score").isNotNull && !isnan(col("score")))
     val topk = TopKScored.udafFor(k)
     crossed
       .groupBy("query_id")
@@ -261,4 +265,24 @@ object Search {
     */
   def formatHits(hits: DataFrame, idCol: String, payloadCols: Seq[String]): DataFrame =
     hits.select((col(idCol) +: col("score") +: payloadCols.map(col)): _*)
+
+  /** The filtered-ANN cardinality-gate selectivity, shared by the HNSW and
+    * IVF gates (so the hint contract and the estimate scan cannot drift):
+    * `hint` when given (validated), else ONE column-pruned payload scan —
+    * an action, but it is what picks the plan (Qdrant's estimator does the
+    * same), corpus-proportional only in scan bytes, never in shuffle.
+    * 0.0 means NOTHING passes (callers short-circuit to an empty result).
+    */
+  private[operators] def estimatedSelectivity(
+      payload: DataFrame, pred: Column, hint: Double): Double =
+    if (!hint.isNaN) {
+      require(hint > 0d && hint <= 1d, s"selectivityHint must be in (0, 1]: $hint")
+      hint
+    } else {
+      val cardRow = payload.agg(
+        count(lit(1)).as("__n"),
+        count(when(pred, lit(1))).as("__a")).head()
+      val allowedN = cardRow.getLong(1)
+      if (allowedN == 0L) 0d else allowedN.toDouble / cardRow.getLong(0).toDouble
+    }
 }
