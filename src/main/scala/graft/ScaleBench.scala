@@ -162,6 +162,16 @@ object ScaleBench {
         "cosine_topk_768"  -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
         "knn_join_32q_768" -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs,
           "embedding", "vec_id", "embedding", "vec_id", 10).count()),
+        // round-13 v38 at the real shape: the FILTERED IVF batch join (50%
+        // band → probe widened ×2, allowed semi-join on the BOUNDED
+        // candidate frame). Compare against ivf_knn_join_768 below: the
+        // filter should add only the narrow semi-join + the wider probe.
+        "ivf_fknn_join_768" -> (() => {
+          val (indexed, model) = index()
+          Ivf.knnJoin(indexed, model, vecs.where(col("vec_id") < 64), "embedding", "vec_id",
+            "embedding", "vec_id", 10, nProbe,
+            filters = Seq(col("pct") < 50), payload = filtPayload, payloadIdCol = "vec_id").count()
+        }),
         // first call builds (kmeans fit at the MLlib path + partitioned store
         // write); the warm rep is a pure cache hit — the cold/warm delta IS
         // the build cost
