@@ -449,6 +449,39 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("batch-join recall gate on the real embeddings (filtered, non-exhaustive beams at sf0.1)") {
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dirPath = s"/root/testdata/$sf/embeddings.parquet"
+      assume(new java.io.File(dirPath).exists(), s"$dirPath not generated")
+      val emb = spark.read.parquet(dirPath).select(col("vec_id"), col("embedding"), col("label"))
+      val store = java.nio.file.Files.createTempDirectory(s"hnsw_bfilt_$sf").toString + "/store"
+      Hnsw.writeIndex(emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+        store, nShards = 4)
+      val idx     = Hnsw.readIndex(spark, store)
+      val queries = emb.where(col("vec_id") % 97 === 0)
+      // efSearch 16, sel ≈ 0.1 → per-query beams ≈ 160 (non-exhaustive at
+      // sf0.1's ~500-row shards) — same width as the single-query gate
+      val got = Hnsw.knnJoin(idx, queries, "embedding", "vec_id", 10, efSearch = 16,
+        filters = Seq(col("label") === 3), payload = emb.select("vec_id", "label"),
+        payloadIdCol = "vec_id", maxEf = 4096)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val qRows = queries.select("vec_id").as[Long].collect()
+      val recalls = qRows.map { qid =>
+        val qv = emb.where(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+        val exact = Search.knnJoin(
+          emb.where(col("vec_id") === qid).select(col("vec_id"), col("embedding")),
+          emb.where(col("label") === 3).select(col("vec_id"), col("embedding")),
+          "embedding", "vec_id", "embedding", "vec_id", 10)
+          .select("neighbor_id").as[Long].collect().toSet
+        (got.getOrElse(qid, Set.empty[Long]) & exact).size / math.min(10, exact.size).toDouble
+      }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.9, s"$sf: mean filtered batch recall $mean over ${qRows.length} queries")
+    }
+  }
+
   test("knnJoin: batch exhaustive beams equal the brute-force knnJoin; self never surfaces and never displaces the #k neighbor") {
     val df  = items.toSeq.toDF("id", "vec")
     val idx = Hnsw.indexFor(df, "vec", "id", cacheKey = "hnswspec-knnjoin", nShards = 4,
