@@ -50,6 +50,23 @@ object Bench {
     // operator under test.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    // Contention telemetry (round-14): the tail floor probe below runs
+    // after 245 queries of GC churn, so it conflates ambient steal with
+    // the run's own wake; the START-of-run floor plus the 1-min load
+    // average at both ends are the clean signals tools/bench_drift.py
+    // gates round closes on (r13's three closing benches all ran under
+    // hypervisor steal that only the hand-read SCALE.md caveat caught).
+    def load1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def floorProbe(): Double = {
+      val q = () => Tables(spark, sfDir).embeddings.select("vec_id").limit(1).count()
+      q(); q() // warm
+      val ts = (1 to 3).map { _ => val t0 = System.nanoTime(); q(); (System.nanoTime() - t0) / 1e9 }
+      ts.sorted.apply(1) // median of 3
+    }
+    val load1Start = load1
+    val floorStart = floorProbe()
     // Each query runs once cold (one-off JVM / whole-stage-codegen
     // compilation and file-listing costs) then through [[cleanWarm]]: three
     // warm reps, extended with up to four more whenever the spread says the
@@ -85,12 +102,8 @@ object Bench {
     // parquet-backed job (scan 1 column, limit 1). Reported so per-query
     // ratios vs BASELINE.md can subtract Spark's fixed overhead — a 0.15 s
     // "query" that is 0.1 s floor is not a 3x-slower operator.
-    val floor = {
-      val q = () => Tables(spark, sfDir).embeddings.select("vec_id").limit(1).count()
-      q(); q() // warm
-      val ts = (1 to 3).map { _ => val t0 = System.nanoTime(); q(); (System.nanoTime() - t0) / 1e9 }
-      ts.sorted.apply(1) // median of 3
-    }
+    val floor   = floorProbe()
+    val load1End = load1
     val qs = results.toSeq.sortBy(_._1).map {
       case (k, Right((_, w))) => "\"" + k + "\":" + w.median
       case (k, Left(_))       => "\"" + k + "\":-1"
@@ -106,7 +119,7 @@ object Bench {
     val total = if (ok.nonEmpty) ok.map(_._2.median).sum else 0.0
     val cold  = if (ok.nonEmpty) ok.map(_._1).sum else 0.0
     val nErr  = results.values.count(_.isLeft)
-    val full  = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_spread":$spreads,"contaminated":$contaminated,"extra_reps":$extraReps,"errors":$nErr,"cold_total":$cold,"floor":$floor,"sf":"$sfDir"}"""
+    val full  = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_spread":$spreads,"contaminated":$contaminated,"extra_reps":$extraReps,"errors":$nErr,"cold_total":$cold,"floor":$floor,"floor_start":$floorStart,"load1_start":$load1Start,"load1_end":$load1End,"sf":"$sfDir"}"""
     println(full)
     // The harness keeps only the last ~2000 chars of output, and 90+ queries
     // push the full line past that — it has arrived truncated (unparseable)

@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in ANN rewrite (spark.graft.ivf.autoProbe=true): brute-force
     // cosine top-k over an IVF store becomes a partition-pruned probe
     ext.injectOptimizerRule(graft.plans.IvfAutoProbe.apply)
+    // opt-in ANN rewrite (spark.graft.hnsw.autoProbe=true): brute-force
+    // cosine top-k over an HNSW store becomes the sharded beam search
+    ext.injectOptimizerRule(graft.plans.HnswAutoProbe.apply)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

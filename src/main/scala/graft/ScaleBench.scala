@@ -31,15 +31,18 @@ object ScaleBench {
     * rows): ONE builder so the two consumers can't silently diverge on
     * the store shape they share through the cache.
     */
-  private val sharedHnswStores = scala.collection.concurrent.TrieMap.empty[Int, String]
-  private def sharedHnswStore(scale: Int, vecs: org.apache.spark.sql.DataFrame): String =
+  private val sharedHnswStores = scala.collection.concurrent.TrieMap.empty[Int, (String, Long)]
+  private def sharedHnswStore(scale: Int, vecs: org.apache.spark.sql.DataFrame): (String, Long) =
     sharedHnswStores.getOrElseUpdate(scale, {
       val p = java.nio.file.Files.createTempDirectory("sb-hnsw8").toString + "/store"
       graft.operators.Hnsw.writeIndex(
         vecs.select(org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("embedding")),
         "embedding", "vec_id", p, nShards = 8)
-      p
+      // corpus size rides the cache so hnsw_maintain's timed closure does
+      // not pay a second full count on top of maintain's own store count —
+      // the row claims to measure the per-round DECISION cost only
+      (p, vecs.count())
     })
 
   /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
@@ -309,6 +312,78 @@ object ScaleBench {
             cacheKey = s"scale768-hnsw-$scale", nShards = 4)
           Hnsw.searchIndex(idx, qVec, "vec_id", 10, efSearch = 64,
             filters = Seq(pmod(col("vec_id"), lit(100)) < 1), payload = filtPayload)
+            .select("vec_id").as[Long].collect().count(filtExact(1)).toLong
+        }),
+        // round 14: the FILTERED sweep on the QUANTIZED stores — the v39/
+        // v40 cardinality gate at the real shape, one op per selectivity
+        // band, same bands as the HNSW sweep above so the two families'
+        // cliffs compare directly. rows = recall@10 vs the FILTERED brute
+        // force. 50%: probe widened ×2 (stays pruned). 10%: widened to
+        // ~nList — an almost-full probe, the honest cost of a selective
+        // predicate on a pruned store. 1%: trips the exact branch
+        // (ceil(nProbe/0.01) ≫ nList) → float-precision brute force over
+        // the ~n/100 survivors, gate == 10 by construction.
+        "ivfpq_filt50_768" -> (() => {
+          val (codes, floats, ivfm, pqm) = Pq.ivfPqIndexFor(
+            vecs, "embedding", "vec_id", nList, m = 96, ksub = 64,
+            cacheKey = s"scale768-ivfpq-$scale")
+          Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec, 10,
+            nProbe, refine = 32,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 50),
+            payload = filtPayload, payloadIdCol = "vec_id")
+            .select("vec_id").as[Long].collect().count(filtExact(50)).toLong
+        }),
+        "ivfpq_filt10_768" -> (() => {
+          val (codes, floats, ivfm, pqm) = Pq.ivfPqIndexFor(
+            vecs, "embedding", "vec_id", nList, m = 96, ksub = 64,
+            cacheKey = s"scale768-ivfpq-$scale")
+          Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec, 10,
+            nProbe, refine = 32,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 10),
+            payload = filtPayload, payloadIdCol = "vec_id")
+            .select("vec_id").as[Long].collect().count(filtExact(10)).toLong
+        }),
+        "ivfpq_filt1_768" -> (() => {
+          val (codes, floats, ivfm, pqm) = Pq.ivfPqIndexFor(
+            vecs, "embedding", "vec_id", nList, m = 96, ksub = 64,
+            cacheKey = s"scale768-ivfpq-$scale")
+          Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec, 10,
+            nProbe, refine = 32,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 1),
+            payload = filtPayload, payloadIdCol = "vec_id")
+            .select("vec_id").as[Long].collect().count(filtExact(1)).toLong
+        }),
+        "ivfsq8_filt50_768" -> (() => {
+          val qt = Quant.sq8Table(vecs.select(col("vec_id"), col("embedding")), "embedding")
+            .select("vec_id", "codes")
+          val (indexed, model) = Ivf.indexFor(qt, "codes", nList,
+            cacheKey = s"scale768-sq8-$scale")
+          Ivf.search(indexed, model, "codes", "vec_id", qVec, 10, nProbe,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 50),
+            payload = filtPayload, payloadIdCol = "vec_id",
+            routeVec = Quant.sq8QueryCodes(qVec))
+            .select("vec_id").as[Long].collect().count(filtExact(50)).toLong
+        }),
+        "ivfsq8_filt10_768" -> (() => {
+          val qt = Quant.sq8Table(vecs.select(col("vec_id"), col("embedding")), "embedding")
+            .select("vec_id", "codes")
+          val (indexed, model) = Ivf.indexFor(qt, "codes", nList,
+            cacheKey = s"scale768-sq8-$scale")
+          Ivf.search(indexed, model, "codes", "vec_id", qVec, 10, nProbe,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 10),
+            payload = filtPayload, payloadIdCol = "vec_id",
+            routeVec = Quant.sq8QueryCodes(qVec))
+            .select("vec_id").as[Long].collect().count(filtExact(10)).toLong
+        }),
+        "ivfsq8_filt1_768" -> (() => {
+          val qt = Quant.sq8Table(vecs.select(col("vec_id"), col("embedding")), "embedding")
+            .select("vec_id", "codes")
+          val (indexed, model) = Ivf.indexFor(qt, "codes", nList,
+            cacheKey = s"scale768-sq8-$scale")
+          Ivf.search(indexed, model, "codes", "vec_id", qVec, 10, nProbe,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 1),
+            payload = filtPayload, payloadIdCol = "vec_id",
+            routeVec = Quant.sq8QueryCodes(qVec))
             .select("vec_id").as[Long].collect().count(filtExact(1)).toLong
         }),
         // d7 at 768-d: banded sign-LSH candidates + exact-cosine verify;
@@ -730,9 +805,9 @@ object ScaleBench {
         // are the ivf_refit / hnsw_reshard rows above — maintain adds
         // only the audit on top of them when the verdict fires.
         "hnsw_maintain"   -> (() => {
-          val n = vecs.count()
+          val (path, n) = sharedHnswStore(scale, vecs)
           // rowsPerShard = ceil(n/8) → target 8 == current → noop
-          Hnsw.maintain(spark, sharedHnswStore(scale, vecs), rowsPerShard = (n + 7) / 8).count()
+          Hnsw.maintain(spark, path, rowsPerShard = (n + 7) / 8).count()
         }),
         "ivf_maintain"    -> (() => {
           val path = maintainIvfStores.getOrElseUpdate(scale, {
@@ -749,7 +824,7 @@ object ScaleBench {
         // the batch, per-task graphs rebuild once; should grow with corpus
         // (graph size) and stay flat in the (fixed-fraction) query count.
         "hnsw_knn_join"   -> (() => {
-          val idx = spark.read.parquet(sharedHnswStore(scale, vecs))
+          val idx = spark.read.parquet(sharedHnswStore(scale, vecs)._1)
           Hnsw.knnJoin(idx, vecs.where(col("vec_id") % 50 === 0), "embedding", "vec_id",
             10, efSearch = 64).count()
         }),

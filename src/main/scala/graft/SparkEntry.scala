@@ -512,13 +512,20 @@ object SparkEntry {
     // amortized across every later join on that key.
     "j13_bucketed_join" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft-j13").toString
+      // table names carry a per-invocation nonce: cogroupJoin resolves the
+      // catalog names LAZILY, so fixed names would alias every j13 frame in
+      // the session to whichever build ran last (two SFs in one Verify run,
+      // or two bench reps, would silently cross-read)
+      val nonce = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong()).take(8)
+      val (tDocs, tLabels) = (s"j13_docs_$nonce", s"j13_labels_$nonce")
       Bucketing.writeBucketed(
         Tables(s, d).documents.select(col("doc_id"), col("lang"), col("n_chars")),
-        "j13_docs", "doc_id", 8, path = root + "/docs")
+        tDocs, "doc_id", 8, path = root + "/docs")
       Bucketing.writeBucketed(
         Tables(s, d).embeddings.select(col("vec_id").as("doc_id"), col("label")),
-        "j13_labels", "doc_id", 8, path = root + "/labels")
-      Bucketing.cogroupJoin(s, "j13_docs", "j13_labels", "doc_id")
+        tLabels, "doc_id", 8, path = root + "/labels")
+      Bucketing.cogroupJoin(s, tDocs, tLabels, "doc_id")
         .groupBy("lang", "label")
         .agg(count(lit(1)).cast("long").as("n"), sum(col("n_chars")).cast("long").as("chars"))
         .orderBy("lang", "label")
@@ -3800,6 +3807,132 @@ object SparkEntry {
         .orderBy("path", "query_id", "rank")
     }),
 
+    // V39 — FILTERED search on the IVF-PQ store (round 14): the v38
+    // cardinality gate extended to the COMPRESSED tier — the reference's
+    // canonical filtered k-NN (backend/vector_db.py:131-170) on the store
+    // shape a 100 TB deployment actually runs. The selective leg
+    // (label = 3 AND vec_id % 7 = 0, ~1.4%) widens ceil(4/sel) past
+    // nList = 8 and routes to the EXACT branch: brute-force float top-10
+    // over the allowed survivors — fully VALUE-replayable in DuckDB (no
+    // codebook geometry touches the result). The broad leg (label >= 2,
+    // sel ≈ 0.8 → widened probe 5 of 8 lists) runs the widened ADC probe
+    // with the allowed semi-join landing BEFORE the k·refine cut; PQ
+    // codebooks are k-means state DuckDB can't replay, so that leg is a
+    // RECALL GATE (≥ 8/10 vs the exact filtered float top-10, v17's bar) —
+    // emitted as one deterministic flag row alongside the exact leg's
+    // value rows.
+    "v39_ivfpq_filtered" -> ((s, d) => {
+      val t   = Tables(s, d)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val (codes, floats, ivfm, pqm) = Pq.ivfPqIndexFor(
+        emb, "embedding", "vec_id", nList = 8, m = 16, ksub = 64, cacheKey = s"$d/embeddings#pq")
+      val payload = t.embeddings.select(col("vec_id"), col("label"))
+      val exact = Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec,
+        10, nProbe = 4, refine = 8,
+        filters = Seq(col("label") === 3, col("vec_id") % 7 === 0),
+        payload = payload, payloadIdCol = "vec_id")
+        .select(lit("exact").as("path"), col("vec_id"), round(col("score"), 4).as("score"))
+      val probe = Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec,
+        10, nProbe = 4, refine = 8,
+        filters = Seq(col("label") >= 2),
+        payload = payload, payloadIdCol = "vec_id")
+        .select("vec_id")
+      val truth = Search.topK(t.embeddings.where(col("label") >= 2),
+        "embedding", "vec_id", qVec, 10).select("vec_id")
+      val gate = probe.join(truth, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit("probe_recall_ge8").as("path"),
+          when(col("__found") >= 8, lit(1L)).otherwise(lit(0L)).as("vec_id"),
+          lit(null).cast("double").as("score"))
+      exact.unionByName(gate)
+        .orderBy(col("path"), desc("score"), col("vec_id"))
+    }),
+
+    // V40 — FILTERED search on the IVF-SQ8 store (round 14): the same gate
+    // on the int8 tier (v14's store — codes only, labels live in the
+    // source table, so the payload semi-join carries the predicate). The
+    // selective leg routes EXACT: brute-force over the allowed CODE rows —
+    // and because SQ8 is IEEE-replayable 1:1 (v13's oracle device), that
+    // leg is full VALUE parity including the quantization arithmetic, not
+    // just the filter plumbing. The broad leg (label >= 2) widens the
+    // probe 5 → 7 of 8 lists and gates on recall ≥ 8/10 vs the exact
+    // filtered FLOAT top-10 (v14's bar — the int8 rounding error AND the
+    // code-space routing noise ride inside the same gate; toy-nList
+    // code-space k-means is noisy enough that a 5-list probe measured
+    // 7/10 at sf0.01, so the caller's width carries margin).
+    "v40_ivfsq8_filtered" -> ((s, d) => {
+      val t  = Tables(s, d)
+      val qt = Quant.sq8Table(t.embeddings.select("vec_id", "embedding"), "embedding")
+        .select("vec_id", "codes")
+      val (indexed, model) = Ivf.indexFor(qt, "codes", 8, cacheKey = s"$d/embeddings#sq8")
+      val payload = t.embeddings.select(col("vec_id"), col("label"))
+      // routing in code space (Quant.sq8QueryCodes): the centroids were
+      // fitted ON CODES, and float-query L2 routing against code-space
+      // centroids degenerates to centroid-norm ordering (0/10 recall at
+      // the 768-d/100k tier); scoring stays float — cosine cancels the
+      // per-vector scale, and the oracle replays the float-query cosine
+      val route = Quant.sq8QueryCodes(qVec)
+      val exact = Ivf.search(indexed, model, "codes", "vec_id", qVec, 10, nProbe = 4,
+        filters = Seq(col("label") === 3, col("vec_id") % 7 === 0),
+        payload = payload, payloadIdCol = "vec_id", routeVec = route)
+        .select(lit("exact").as("path"), col("vec_id"), round(col("score"), 4).as("score"))
+      val probe = Ivf.search(indexed, model, "codes", "vec_id", qVec, 10, nProbe = 5,
+        filters = Seq(col("label") >= 2),
+        payload = payload, payloadIdCol = "vec_id", routeVec = route)
+        .select("vec_id")
+      val truth = Search.topK(t.embeddings.where(col("label") >= 2),
+        "embedding", "vec_id", qVec, 10).select("vec_id")
+      val gate = probe.join(truth, Seq("vec_id"))
+        .agg(count(lit(1)).as("__found"))
+        .select(lit("probe_recall_ge8").as("path"),
+          when(col("__found") >= 8, lit(1L)).otherwise(lit(0L)).as("vec_id"),
+          lit(null).cast("double").as("score"))
+      exact.unionByName(gate)
+        .orderBy(col("path"), desc("score"), col("vec_id"))
+    }),
+
+    // V41 — the HnswAutoProbe optimizer rule end-to-end (round 14): a
+    // plain declarative sort-by-cosine + limit over the HNSW store —
+    // no Hnsw API in sight — substituted by the rule with the sharded
+    // beam-search plan (plan shape asserted in HnswSpec: the scoring scan
+    // is gone, the conservative guards keep filtered/wide/non-store
+    // queries untouched). Qdrant users get the index implicitly
+    // (backend/vector_db.py:165-170); this closes the same gap for the
+    // declarative path over our store. Exhaustive beam (efSearch ≥
+    // corpus) → the oracle is full VALUE parity vs the brute-force
+    // top-10, and the rewritten values are checked row-for-row against
+    // Hnsw.searchIndex in-query (the `matches_search_index` flag).
+    // Session mutations scoped exactly like v7: results materialize
+    // inside the try, confs/rules reset in finally.
+    "v41_hnsw_auto_probe" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val idx = Hnsw.indexFor(emb, "embedding", "vec_id", cacheKey = s"v41:$d", nShards = 4)
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev   = classic.experimental.extraOptimizations
+      val prevEf = s.conf.getOption("spark.graft.hnsw.efSearch")
+      classic.experimental.extraOptimizations = prev :+ graft.plans.HnswAutoProbe(s)
+      s.conf.set("spark.graft.hnsw.autoProbe", "true")
+      s.conf.set("spark.graft.hnsw.efSearch", "65536")
+      try {
+        val viaRule = Search.topK(idx, "vec", "id", qVec, 10).select("id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val viaApi = Hnsw.searchIndex(idx, qVec, "id", 10, efSearch = 65536)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val same = viaRule == viaApi
+        viaRule.map { case (id, sc) => (id, math.rint(sc * 10000d) / 10000d, same) }
+          .toDF("vec_id", "score", "matches_search_index")
+          .orderBy(desc("score"), col("vec_id"))
+      } finally {
+        s.conf.unset("spark.graft.hnsw.autoProbe")
+        prevEf match {
+          case Some(v) => s.conf.set("spark.graft.hnsw.efSearch", v)
+          case None    => s.conf.unset("spark.graft.hnsw.efSearch")
+        }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -6910,6 +7043,44 @@ object SparkEntry {
         | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
         | FROM (SELECT * FROM probe UNION ALL SELECT * FROM ex)
         | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v39 — exact leg fully VALUE-replayed (the gate's exact branch is a
+    // filtered brute-force float top-10, no codebook geometry in the
+    // result); the widened-probe leg is a recall gate (≥ 8/10 vs the
+    // exact filtered float top-10) emitted as one deterministic flag row
+    "v39_ivfpq_filtered" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | ex AS (SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base WHERE label = 3 AND vec_id % 7 = 0
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT path, vec_id, score FROM ex
+         | UNION ALL SELECT 'probe_recall_ge8', 1::BIGINT, NULL::DOUBLE""".stripMargin,
+
+    // v40 — exact leg replays the FULL sq8 quantization arithmetic (v13's
+    // IEEE-1:1 CTE) + the filter + the brute-force top-10 over code rows,
+    // so the int8 search path is value-checked end to end on this branch;
+    // the widened-probe leg is v14's recall gate as a flag row
+    "v40_ivfsq8_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         | s AS (SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+         | c AS (SELECT vec_id, label, CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+         |     ELSE list_transform(v, x -> (floor(x / s * 127 + 0.5))::INT::DOUBLE) END AS codes FROM s),
+         | ex AS (SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(codes, $qVecSql), 4) AS score
+         |   FROM c WHERE label = 3 AND vec_id % 7 = 0
+         |   ORDER BY list_cosine_similarity(codes, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT path, vec_id, score FROM ex
+         | UNION ALL SELECT 'probe_recall_ge8', 1::BIGINT, NULL::DOUBLE""".stripMargin,
+
+    // v41 — exhaustive beam through the optimizer rewrite = brute-force
+    // top-10; the in-query flag pins rule ≡ searchIndex row-for-row
+    "v41_hnsw_auto_probe" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score,
+         |   true AS matches_search_index
+         | FROM base
+         | ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
 
     // v35 — the planted far-ball drift makes the refit decision constant
     // (skew ≥ 8/3 > 2 at any SF, independent of the k-means geometry);

@@ -142,13 +142,38 @@ object Graph {
     val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("__od"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val (ranks, releaseIters) =
+      pagerankChain(e, nodes, outdeg, n, iters, d, td, redistributeDangling)
+    (ranks, () => {
+      releaseIters()
+      e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+      ()
+    })
+  }
+
+  /** The iterate loop over CALLER-OWNED statics — shared by the one-shot
+    * path (which builds and releases its statics per call) and
+    * [[Context]] (which pins them across calls). Returns the LAZY rank
+    * chain plus a release hook for the per-call ITERATE caches only; the
+    * statics' lifecycle stays with their owner.
+    */
+  private def pagerankChain(
+      e: DataFrame,
+      nodes: DataFrame,
+      outdeg: DataFrame,
+      n: Double,
+      iters: Int,
+      d: Double,
+      td: Double,
+      redistributeDangling: Boolean,
+  ): (DataFrame, () => Unit) = {
     var ranks = nodes.withColumn("rank", lit(1d / n))
     if (!redistributeDangling) {
       // single-consumer chain: each iterate feeds exactly one join, so the
       // unrolled lazy plan stays linear with nothing to cache per round
       for (_ <- 1 to iters)
         ranks = prStep(e, nodes, outdeg, ranks, n, d, td, redistributeDangling = false)
-      (ranks, () => { e.unpersist(); nodes.unpersist(); outdeg.unpersist(); () })
+      (ranks, () => ())
     } else {
       // With redistribution each iteration consumes the iterate TWICE (the
       // contribution join and the dangling-mass reduce), so each persists —
@@ -174,11 +199,7 @@ object Graph {
         handles += r
         cur = prStep(e, nodes, outdeg, r, n, d, td, redistributeDangling = true)
       }
-      (cur, () => {
-        handles.foreach(_.unpersist())
-        e.unpersist(); nodes.unpersist(); outdeg.unpersist()
-        ()
-      })
+      (cur, () => { handles.foreach(_.unpersist()); () })
     }
   }
 
@@ -291,17 +312,25 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = und.select(col("u").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Iterates materialize through eager localCheckpoints (each round's
-    // label frame feeds two consumers: the neighbor join and the
-    // self-vote) and every superseded iterate frees its blocks as soon as
-    // the next one lands — the pagerankConverged discipline. A plain
-    // per-round persist would pin iters+2 node-sized frames in the
-    // CacheManager until session end.
-    var labels    = nodes.withColumn("label", col("id")).localCheckpoint(true)
-    var completed = false
     // the final iterate is materialized (checkpointed), so the inputs'
     // cached blocks are no longer needed by the returned frame; the
     // releases run in a finally so a mid-loop failure can't pin them
+    try lpaChain(und, nodes, iters)
+    finally { und.unpersist(); nodes.unpersist() }
+  }
+
+  /** The LPA round loop over CALLER-OWNED statics (`und` v-partitioned
+    * undirected edges, `nodes` the incident node set) — shared by the
+    * one-shot path and [[Context]]. Iterates materialize through eager
+    * localCheckpoints (each round's label frame feeds two consumers: the
+    * neighbor join and the self-vote) and every superseded iterate frees
+    * its blocks as soon as the next one lands — the pagerankConverged
+    * discipline. A plain per-round persist would pin iters+2 node-sized
+    * frames in the CacheManager until session end.
+    */
+  private def lpaChain(und: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    var labels    = nodes.withColumn("label", col("id")).localCheckpoint(true)
+    var completed = false
     try {
       for (_ <- 1 to iters) {
         val nbr = und.join(labels.select(col("id").as("v"), col("label").as("lbl")), "v")
@@ -319,7 +348,6 @@ object Graph {
       completed = true
       labels
     } finally {
-      und.unpersist(); nodes.unpersist()
       if (!completed) org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
     }
   }
@@ -360,29 +388,40 @@ object Graph {
     // |communities|-sized result materializes eagerly so `und` (persisted
     // for its three consumers within the one job) is released before
     // returning — same cache discipline as [[pagerank]].
-    try {
-      val lab  = labels.select(col(idCol).as("__nid"), col(labelCol).as("__lbl"))
-      val mTab = und.agg(count(lit(1)).cast("long").as("__m"))
-      val eIn = und
-        .join(lab.select(col("__nid").as("u"), col("__lbl").as("__lu")), "u")
-        .join(lab.select(col("__nid").as("v"), col("__lbl").as("__lv")), "v")
-        .where(col("__lu") === col("__lv"))
-        .groupBy(col("__lu").as("label"))
-        .agg(count(lit(1)).cast("long").as("m_in"))
-      val deg = und.select(col("u").as("__nid")).unionByName(und.select(col("v").as("__nid")))
-        .groupBy(col("__nid")).agg(count(lit(1)).cast("long").as("__deg"))
-      val dTot = deg.join(lab, "__nid")
-        .groupBy(col("__lbl").as("label"))
-        .agg(count(lit(1)).cast("long").as("n_nodes"), sum(col("__deg")).cast("long").as("d_tot"))
-      val half = col("d_tot") / (col("__m") * 2)
-      dTot
-        .join(eIn, Seq("label"), "left")
-        .na.fill(0L, Seq("m_in"))
-        .crossJoin(broadcast(mTab))
-        .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
-          (col("m_in") / col("__m") - half * half).as("q"))
-        .localCheckpoint(true)
-    } finally und.unpersist()
+    try modularityOn(und, labels, idCol, labelCol)
+    finally und.unpersist()
+  }
+
+  /** Modularity over a CALLER-OWNED canonical undirected edge set —
+    * shared by the one-shot path and [[Context]].
+    */
+  private def modularityOn(
+      und: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      labelCol: String,
+  ): DataFrame = {
+    val lab  = labels.select(col(idCol).as("__nid"), col(labelCol).as("__lbl"))
+    val mTab = und.agg(count(lit(1)).cast("long").as("__m"))
+    val eIn = und
+      .join(lab.select(col("__nid").as("u"), col("__lbl").as("__lu")), "u")
+      .join(lab.select(col("__nid").as("v"), col("__lbl").as("__lv")), "v")
+      .where(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("label"))
+      .agg(count(lit(1)).cast("long").as("m_in"))
+    val deg = und.select(col("u").as("__nid")).unionByName(und.select(col("v").as("__nid")))
+      .groupBy(col("__nid")).agg(count(lit(1)).cast("long").as("__deg"))
+    val dTot = deg.join(lab, "__nid")
+      .groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"), sum(col("__deg")).cast("long").as("d_tot"))
+    val half = col("d_tot") / (col("__m") * 2)
+    dTot
+      .join(eIn, Seq("label"), "left")
+      .na.fill(0L, Seq("m_in"))
+      .crossJoin(broadcast(mTab))
+      .select(col("label"), col("n_nodes"), col("m_in"), col("d_tot"),
+        (col("m_in") / col("__m") - half * half).as("q"))
+      .localCheckpoint(true)
   }
 
   /** One power-method round: contributions in, teleport + optional
@@ -498,34 +537,41 @@ object Graph {
       when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")), col("v")).otherwise(col("u")).as("hi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // wedges at a: (a→b, a→c), unordered pair kept once via b < c; the
-    // closing edge {b,c} is oriented SOMEHOW (both orders checked with a
-    // canonical (min,max) key so the semi-join is a plain equi-join).
     // Node-sized result materializes eagerly so the three static caches
     // (e, deg, o — each multi-consumer within the one job) release here
     // instead of pinning CacheManager entries until session end.
-    try {
-      val wedges = o.select(col("lo").as("a"), col("hi").as("b"))
-        .join(o.select(col("lo").as("a"), col("hi").as("c")), "a")
-        .where(col("b") < col("c"))
-      val closing = o.select(least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
-      val tris = wedges
-        .join(closing.select(least(col("b"), col("c")).as("b"), greatest(col("b"), col("c")).as("c")), Seq("b", "c"), "left_semi")
-
-      // every triangle credits all three corners; degree rides along so the
-      // clustering coefficient derives without a second pass over edges
-      val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-      deg
-        .join(corners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-          col("__deg").as("degree"))
-        .localCheckpoint(true)
-    } finally {
+    try trianglesOn(deg, o)
+    finally {
       e.unpersist()
       deg.unpersist()
       o.unpersist()
     }
+  }
+
+  /** The wedge-close body over CALLER-OWNED statics (`deg` per-node
+    * degrees, `o` the (degree, id)-oriented edge set) — shared by the
+    * one-shot path and [[Context]]. Wedges at a: (a→b, a→c), unordered
+    * pair kept once via b < c; the closing edge {b,c} is oriented SOMEHOW
+    * (both orders checked with a canonical (min,max) key so the semi-join
+    * is a plain equi-join).
+    */
+  private def trianglesOn(deg: DataFrame, o: DataFrame): DataFrame = {
+    val wedges = o.select(col("lo").as("a"), col("hi").as("b"))
+      .join(o.select(col("lo").as("a"), col("hi").as("c")), "a")
+      .where(col("b") < col("c"))
+    val closing = o.select(least(col("lo"), col("hi")).as("b"), greatest(col("lo"), col("hi")).as("c"))
+    val tris = wedges
+      .join(closing.select(least(col("b"), col("c")).as("b"), greatest(col("b"), col("c")).as("c")), Seq("b", "c"), "left_semi")
+
+    // every triangle credits all three corners; degree rides along so the
+    // clustering coefficient derives without a second pass over edges
+    val corners = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg
+      .join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        col("__deg").as("degree"))
+      .localCheckpoint(true)
   }
 
   /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1)),
@@ -545,4 +591,145 @@ object Graph {
         when(col("degree") < 2, lit(0.0))
           .otherwise(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1)))
           .as("coefficient"))
+
+  /** Amortized multi-query context over ONE standing edge frame — the
+    * first-class API for the cross-call reuse the round-13 honest cache
+    * release removed. The one-shot functions price every call truthfully
+    * (build statics → answer → release), which is right for a pipeline
+    * that asks once; a standing-corpus caller asking MANY questions of
+    * the same graph was left re-deriving the edge/node/degree frames per
+    * call, with "persist your own edge frame" as a workaround that only
+    * amortizes the INPUT scan, not the distinct/repartition/degree work.
+    *
+    * `Graph.context(edges, src, dst)` pins each derived static ONCE, on
+    * first use (directed src-partitioned edges + nodes + out-degrees for
+    * pagerank; the v-partitioned undirected set for label propagation;
+    * the canonical undirected set, degrees and the (degree, id)-oriented
+    * edges for triangles/coefficient/modularity — families a call never
+    * touches are never built), serves every query method from the pinned
+    * frames, and releases them all DETERMINISTICALLY on `close()`. Each
+    * query result is an eager localCheckpoint, so results never read the
+    * pinned caches after return and stay valid after close. Per-call
+    * ITERATE caches (the redistributing pagerank chain) are still created
+    * and released inside each call — CacheManager entry count is FLAT
+    * across N calls and returns to baseline at close (GraphContextSpec).
+    *
+    * Usage: {{{
+    *   val ctx = Graph.context(edges, "src", "dst")
+    *   try { val pr = ctx.pagerank(); val tc = ctx.triangleCounts(); ... }
+    *   finally ctx.close()
+    * }}}
+    */
+  def context(edges: DataFrame, srcCol: String, dstCol: String): Context =
+    new Context(edges, srcCol, dstCol)
+
+  final class Context private[Graph] (edges0: DataFrame, srcCol: String, dstCol: String)
+      extends AutoCloseable {
+    validateIds(edges0, srcCol, dstCol)
+    private val pinnedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    @volatile private var closed = false
+    private def pin(df: DataFrame): DataFrame = synchronized {
+      require(!closed, "Graph.Context is closed — build a new one")
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinnedFrames += p
+      p
+    }
+    private def guard(): Unit = require(!closed, "Graph.Context is closed — build a new one")
+
+    // ---- pagerank statics (built on first pagerank call) ----------------
+    private lazy val e = pin(edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src")))
+    private lazy val nodes = pin(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    private lazy val nCount = nodes.count().toDouble
+    private lazy val outdeg = pin(
+      e.groupBy("src").agg(count(lit(1)).cast("double").as("__od")))
+
+    // ---- LPA statics (v-partitioned undirected + its node set) ----------
+    private lazy val lpaUnd = {
+      val e0 = edges0.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      pin(e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .repartition(col("v")))
+    }
+    private lazy val lpaNodes = pin(lpaUnd.select(col("u").as("id")).distinct())
+
+    // ---- canonical undirected statics (triangles / modularity) ----------
+    private lazy val cund = pin(edges0
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull && col("__s") =!= col("__d"))
+      .select(least(col("__s"), col("__d")).as("u"), greatest(col("__s"), col("__d")).as("v"))
+      .distinct())
+    private lazy val cdeg = pin(
+      cund.select(col("u").as("id")).union(cund.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("__deg")))
+    private lazy val oriented = {
+      val withDeg = cund
+        .join(cdeg.select(col("id").as("u"), col("__deg").as("__du")), "u")
+        .join(cdeg.select(col("id").as("v"), col("__deg").as("__dv")), "v")
+      pin(withDeg.select(
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")), col("u")).otherwise(col("v")).as("lo"),
+        when(struct(col("__du"), col("u")) < struct(col("__dv"), col("v")), col("v")).otherwise(col("u")).as("hi")))
+    }
+
+    /** [[Graph.pagerank]] from the pinned statics: per-call cost is the
+      * iterate work only. Result is an eager localCheckpoint; the
+      * redistributing chain's per-iterate caches release before return.
+      */
+    def pagerank(
+        iters: Int = 3,
+        dampingBp: Int = 8500,
+        redistributeDangling: Boolean = false,
+    ): DataFrame = {
+      guard()
+      require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
+      require(dampingBp >= 0 && dampingBp <= 10000, s"dampingBp out of range: $dampingBp")
+      val d  = dampingBp / 10000d
+      val td = (10000 - dampingBp) / 10000d
+      val (ranks, releaseIters) =
+        pagerankChain(e, nodes, outdeg, nCount, iters, d, td, redistributeDangling)
+      try ranks.localCheckpoint(true)
+      finally releaseIters()
+    }
+
+    /** [[Graph.labelPropagation]] from the pinned statics. */
+    def labelPropagation(iters: Int = 5): DataFrame = {
+      guard()
+      require(iters >= 1 && iters <= 20, s"iters must be in [1, 20]: $iters")
+      lpaChain(lpaUnd, lpaNodes, iters)
+    }
+
+    /** [[Graph.triangleCounts]] from the pinned statics. */
+    def triangleCounts(): DataFrame = { guard(); trianglesOn(cdeg, oriented) }
+
+    /** [[Graph.clusteringCoefficient]] from the pinned statics. */
+    def clusteringCoefficient(): DataFrame =
+      triangleCounts()
+        .select(col("id"), col("n_triangles"), col("degree"),
+          when(col("degree") < 2, lit(0.0))
+            .otherwise(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1)))
+            .as("coefficient"))
+
+    /** [[Graph.modularity]] from the pinned canonical edge set. */
+    def modularity(
+        labels: DataFrame,
+        idCol: String = "id",
+        labelCol: String = "label",
+    ): DataFrame = { guard(); modularityOn(cund, labels, idCol, labelCol) }
+
+    /** Release every pinned static deterministically. Idempotent. Results
+      * already returned stay valid (they are eager localCheckpoints).
+      */
+    override def close(): Unit = synchronized {
+      if (!closed) {
+        closed = true
+        pinnedFrames.foreach(_.unpersist())
+        pinnedFrames.clear()
+      }
+    }
+  }
 }

@@ -992,7 +992,30 @@ object Hnsw {
         .join(flags, Seq("shard", "ord"), "left")
         .select(col("shard"), col("ord"), col("id"), col("level"), col("vec"),
           col("links"), col("entry"), col("max_level"), col("__ok"))
-      val candidates = joined
+      // Layout guard: the mapPartitions graph rebuild REQUIRES every shard's
+      // rows in one partition but declares no distribution the planner could
+      // enforce. The common path holds structurally — the store side is
+      // hash(shard), the flags side is explicitly repartitioned to the same
+      // (key, count), so the SMJ elides the store exchange and its output
+      // inherits hash(shard); AQE's OptimizeSkewedJoin cannot split it
+      // either, because that rule only rewrites ENSURE_REQUIREMENTS shuffles
+      // and the flags exchange is REPARTITION_BY_COL (user-specified
+      // layouts are never skew-split, on either side of the pattern). The
+      // residual hazard is a store frame whose layout the planner can NOT
+      // prove: EnsureRequirements then keys fresh exchanges on (shard, ord),
+      // silently spreading one shard across partitions and tripping
+      // graphOf's "store hole" on a valid store — so re-assert hash(shard)
+      // in exactly that case. HnswSpec's zero-wide-exchange assertion pins
+      // the common path to the no-repartition branch.
+      val shardLocal =
+        try joined.queryExecution.executedPlan.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.forall(e =>
+              e.references.nonEmpty && e.references.forall(_.name.equalsIgnoreCase("shard")))
+          case _ => false
+        } catch { case scala.util.control.NonFatal(_) => false }
+      val layoutSafe = if (shardLocal) joined else joined.repartition(nParts, col("shard"))
+      val candidates = layoutSafe
         .mapPartitions { rows =>
           rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, shardRows) =>
             val g  = graphOf(shardRows)

@@ -863,6 +863,38 @@ object Ivf {
     * `indexed` comes from [[indexFor]]/[[writeIndexed]], the `isin` lands in
     * the scan's `PartitionFilters`, so only nProbe/nList of the store's files
     * are listed and read.
+    *
+    * FILTERED search runs behind the same CARDINALITY GATE as
+    * [[knnJoin]]/[[Hnsw.searchIndex]] (the reference's canonical query is
+    * filtered k-NN — backend/vector_db.py:131-170): a fixed-width probe
+    * under a selective predicate reads nProbe/nList of the corpus but
+    * keeps only `sel` of it, so the filtered candidate mass collapses and
+    * recall falls off a cliff. The gate WIDENS the probe to
+    * `ceil(nProbe/sel)` — expected allowed mass per probe preserved — and
+    * when the widened probe reaches nList (probing everything anyway, so
+    * pruning buys nothing) routes to the strictly-cheaper EXACT branch:
+    * brute-force [[Search.topK]] over the allowed survivors, exact by
+    * construction at any scale. `sel == 0` (nothing passes) degenerates
+    * into that same exact branch and returns empty for free.
+    *
+    * Two predicate carriers, matching how quantized stores split payload
+    * from codes: with `payload == null` the filters reference the store's
+    * OWN columns (applied as pushed `where`s on both branches); with a
+    * `payload` frame (carrying `payloadIdCol` + the filter columns — e.g.
+    * an SQ8 codes store whose labels live in the source table) the
+    * allowed ids semi-join the store, landing on the PRUNED probe scan on
+    * the probe branch, never on the full store. `selectivityHint` skips
+    * the one-aggregate estimate scan, same contract as [[knnJoin]].
+    * With `filters` empty the body is the pre-gate implementation
+    * verbatim — same plan, no estimate scan.
+    *
+    * `routeVec` (default: `queryVec`) is the vector the PROBE ranks
+    * centroids against, separate from the one candidates are SCORED
+    * against. Needed when the store is indexed in a transformed space —
+    * an SQ8 codes store's centroids live in int8 code space, where a raw
+    * float query's L2 ranking degenerates to centroid-norm ordering (see
+    * [[Quant.sq8QueryCodes]] for the measured failure); scoring stays on
+    * `queryVec`, exact under cosine's scale cancellation.
     */
   def search(
       indexed: DataFrame,
@@ -873,16 +905,39 @@ object Ivf {
       k: Int,
       nProbe: Int,
       filters: Seq[Column] = Nil,
+      payload: DataFrame = null,
+      payloadIdCol: String = "id",
+      selectivityHint: Double = Double.NaN,
+      routeVec: Seq[Double] = null,
   ): DataFrame = {
-    val lists = model.probeLists(queryVec, nProbe)
-    Search.topK(
-      indexed.where(col("list_id").isin(lists: _*)),
-      vecCol,
-      idCol,
-      queryVec,
-      k,
-      filters,
-    )
+    var nP = math.min(nProbe, model.centroids.length)
+    var allowed: DataFrame = null
+    var storeFilters: Seq[Column] = Nil
+    if (filters.nonEmpty) {
+      val pred = filters.reduce(_ && _)
+      val sel  = Search.estimatedSelectivity(
+        if (payload == null) indexed else payload, pred, selectivityHint)
+      // ceil(nP/0) = Infinity >= nList, so the nothing-passes case rides
+      // the exact branch and returns empty with the right schema for free
+      val widened = if (sel == 0d) Double.PositiveInfinity else math.ceil(nP.toDouble / sel)
+      val gatedStore =
+        if (payload == null) indexed
+        else indexed.join(
+          payload.where(pred).select(col(payloadIdCol).as("__aid")),
+          col(idCol) === col("__aid"), "left_semi")
+      if (widened >= model.centroids.length)
+        return Search.topK(gatedStore, vecCol, idCol, queryVec, k,
+          if (payload == null) filters else Nil)
+      nP = widened.toInt
+      if (payload == null) storeFilters = filters
+      else allowed = payload.where(pred).select(col(payloadIdCol).as("__aid"))
+    }
+    val lists = model.probeLists(if (routeVec == null) queryVec else routeVec, nP)
+    val pruned = indexed.where(col("list_id").isin(lists: _*))
+    val gated =
+      if (allowed == null) pruned
+      else pruned.join(allowed, col(idCol) === col("__aid"), "left_semi")
+    Search.topK(gated, vecCol, idCol, queryVec, k, storeFilters)
   }
 
   /** [[search]] with the probe width chosen per query by

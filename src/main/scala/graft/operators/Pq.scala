@@ -218,6 +218,26 @@ object Pq {
   /** Probe: prune lists → ADC top k·refine over codes → exact re-rank of
     * just those candidates against the float store (pruned to the SAME
     * lists — a candidate's vector lives in the list its code came from).
+    *
+    * FILTERED search runs behind the same CARDINALITY GATE as
+    * [[Ivf.search]]/[[Hnsw.searchIndex]] (the reference's canonical query
+    * is filtered k-NN — backend/vector_db.py:131-170, and the compressed
+    * store is exactly what a 100 TB deployment runs it on): `filters` are
+    * predicates over `payload` (carrying `payloadIdCol` + the filter
+    * columns — the code store holds only ids and codes). The probe
+    * compensates selectivity by WIDENING (nProbe ← ceil(nProbe/sel), so
+    * the expected allowed candidate mass is preserved), with the
+    * allowed-id semi-join landing on the PRUNED code scan BEFORE the ADC
+    * top-k·refine cut — filtering after the cut would silently shrink the
+    * candidate pool instead of the corpus. When the widened probe reaches
+    * nList (a full scan anyway), the gate routes to the strictly-cheaper
+    * EXACT branch: brute-force float-precision [[Search.topK]] over the
+    * allowed survivors — exact by construction, no recall cliff, and it
+    * reads floats only for rows that pass (few, by the gate's own
+    * premise). `sel == 0` degenerates into that exact branch and returns
+    * empty for free. `selectivityHint` skips the estimate scan, same
+    * contract as the other gates. With `filters` empty the body is the
+    * pre-gate implementation verbatim.
     */
   def searchIvfPq(
       codes: DataFrame,
@@ -230,10 +250,36 @@ object Pq {
       k: Int,
       nProbe: Int,
       refine: Int = 4,
+      filters: Seq[Column] = Nil,
+      payload: DataFrame = null,
+      payloadIdCol: String = "id",
+      selectivityHint: Double = Double.NaN,
   ): DataFrame = {
-    val lists = ivfModel.probeLists(queryVec, math.min(nProbe, ivfModel.centroids.length))
-    val cand = topKOnCodes(
-      codes.where(col("list_id").isin(lists: _*)), "pq_codes", idCol, queryVec, k * refine, pqModel)
+    var nP = math.min(nProbe, ivfModel.centroids.length)
+    var allowed: DataFrame = null
+    if (filters.nonEmpty) {
+      require(payload != null,
+        "filtered searchIvfPq needs the payload frame carrying payloadIdCol + the filter " +
+          "columns (the code store holds only ids and codes)")
+      val pred = filters.reduce(_ && _)
+      val sel  = Search.estimatedSelectivity(payload, pred, selectivityHint)
+      // ceil(nP/0) = Infinity >= nList: the nothing-passes case rides the
+      // exact branch and returns empty with the right schema for free
+      val widened = if (sel == 0d) Double.PositiveInfinity else math.ceil(nP.toDouble / sel)
+      val allowedIds = payload.where(pred).select(col(payloadIdCol).as("__aid"))
+      if (widened >= ivfModel.centroids.length)
+        return Search.topK(
+          floats.join(allowedIds, col(idCol) === col("__aid"), "left_semi"),
+          vecCol, idCol, queryVec, k)
+      nP = widened.toInt
+      allowed = allowedIds
+    }
+    val lists = ivfModel.probeLists(queryVec, nP)
+    val prunedCodes = codes.where(col("list_id").isin(lists: _*))
+    val gatedCodes =
+      if (allowed == null) prunedCodes
+      else prunedCodes.join(allowed, col(idCol) === col("__aid"), "left_semi")
+    val cand = topKOnCodes(gatedCodes, "pq_codes", idCol, queryVec, k * refine, pqModel)
       .select(idCol)
     Search.topK(
       floats.where(col("list_id").isin(lists: _*)).join(broadcast(cand), Seq(idCol)),

@@ -53,6 +53,24 @@ object Quant {
         when(s === 0.0, transform(v, _ => lit(0)))
           .otherwise(transform(v, x => floor(x / s * 127 + 0.5).cast("int")))), 1)
 
+  /** Driver-side query quantization — the ROUTING companion for searches
+    * against an SQ8-indexed store. An IVF index fitted ON CODES has
+    * centroids in code space (norms ~127·√dim·E|u|), so ranking them by L2
+    * against a raw float query (norm ~1) degenerates to ranking by
+    * centroid NORM: the −2·q·c term that carries the direction signal is
+    * orders of magnitude under the ‖c‖² term. Measured, not hypothetical —
+    * the 768-d/100k ScaleBench tier's 50%-filtered probe (62 of 316 lists)
+    * recalled 0/10 with float routing and ≥8/10 with the query mapped into
+    * the same code space first. Pass this as `routeVec` to [[Ivf.search]];
+    * SCORING should stay float-precision (asymmetric, the scale cancels
+    * under cosine) — only the routing needs the space match.
+    */
+  def sq8QueryCodes(q: Seq[Double]): Seq[Double] = {
+    val s = q.foldLeft(0.0)((m, x) => math.max(m, math.abs(x)))
+    if (s == 0.0) q.map(_ => 0.0)
+    else q.map(x => math.floor(x / s * 127 + 0.5))
+  }
+
   /** Quantize an embedding table: adds `codes` (int8 range) and `scale`.
     * Written to parquet the codes column is the 4–8× storage win; keep the
     * original embedding column out of the projection for stores that

@@ -67,19 +67,30 @@ object RecrawlStream {
     * inherited conf is a snapshot at the source session's FIRST lifecycle
     * call — conf changed on the source afterwards does not propagate into
     * later batches (a stream's batches should not silently change plans
-    * mid-run anyway). Weak keys, so short-lived test sessions don't pin.
+    * mid-run anyway).
+    *
+    * The value sits behind a SoftReference, NOT directly in the map: a
+    * clone strongly references its parent (cloneSession shares
+    * SharedState and closes over the parent's SessionState), so a direct
+    * `WeakHashMap[parent, clone]` entry has a value that reaches its own
+    * key and is therefore NEVER collected — every test session plus its
+    * clone would pin for the JVM lifetime. With the soft indirection the
+    * clone (and through it the parent) stays collectable under memory
+    * pressure; a cleared reference just rebuilds the clone on the next
+    * batch, trading one ~1 s SessionState build for not leaking.
     */
   private val lifecycleClones =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[SparkSession]]()
 
   private def lifecycleSession(spark: SparkSession): SparkSession =
     lifecycleClones.synchronized {
-      val hit = lifecycleClones.get(spark)
+      val ref = lifecycleClones.get(spark)
+      val hit = if (ref != null) ref.get else null
       if (hit != null) hit
       else {
         val s2 = org.apache.spark.sql.GraftBridge.cloneSession(spark)
         s2.conf.set("spark.sql.adaptive.enabled", "false")
-        lifecycleClones.put(spark, s2)
+        lifecycleClones.put(spark, new java.lang.ref.SoftReference(s2))
         s2
       }
     }

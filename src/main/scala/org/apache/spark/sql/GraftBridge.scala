@@ -54,6 +54,19 @@ object GraftBridge {
     classic.Dataset.ofRows(t, d.queryExecution.analyzed)
   }
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the splice surface
+    * [[graft.plans.HnswAutoProbe]] needs: an optimizer rule that rewrites a
+    * declarative top-k into the sharded beam search must build the beam
+    * plan through the DataFrame API over the matched relation, then return
+    * its logical plan. `Dataset.ofRows` is private[sql].
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (the inverse splice surface). */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
   /** Register graft's native expressions on a live session so `spark.sql`
     * can call them by name (the runtime analog of [[graft.GraftExtensions]],
     * which does the same at session build time for spark-submit users).

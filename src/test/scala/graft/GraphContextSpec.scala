@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph.Context contract (VERDICT r13 task 3): the amortized standing-
+  * corpus API must (a) answer every family identically to the one-shot
+  * functions, (b) pin its statics ONCE — persistent-RDD count FLAT across
+  * N calls — and (c) release everything deterministically on close(),
+  * with already-returned results staying valid (they are eager
+  * localCheckpoints, not views over the pinned caches).
+  */
+class GraphContextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Two communities bridged once, plus a dangling sink — exercises the
+    * contribution join, the dangling reduce, LPA convergence, triangles
+    * and modularity on one small deterministic graph.
+    */
+  private def edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L),       // triangle A
+    (4L, 5L), (5L, 6L), (6L, 4L),       // triangle B
+    (3L, 4L),                           // bridge
+    (6L, 7L),                           // dangling sink 7
+  ).toDF("src", "dst")
+
+  private def prMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.as[(Long, Double)].collect().toMap
+
+  test("every family matches the one-shot API value-for-value") {
+    val ctx = Graph.context(edges, "src", "dst")
+    try {
+      assert(prMap(ctx.pagerank(iters = 3)) == prMap(Graph.pagerank(edges, "src", "dst", iters = 3)))
+      assert(prMap(ctx.pagerank(iters = 2, redistributeDangling = true)) ==
+        prMap(Graph.pagerank(edges, "src", "dst", iters = 2, redistributeDangling = true)))
+      assert(ctx.labelPropagation(iters = 4).as[(Long, Long)].collect().toMap ==
+        Graph.labelPropagation(edges, "src", "dst", iters = 4).as[(Long, Long)].collect().toMap)
+      assert(ctx.triangleCounts().as[(Long, Long, Long)].collect().toSet ==
+        Graph.triangleCounts(edges, "src", "dst").as[(Long, Long, Long)].collect().toSet)
+      assert(ctx.clusteringCoefficient().collect().map(_.toSeq).toSet ==
+        Graph.clusteringCoefficient(edges, "src", "dst").collect().map(_.toSeq).toSet)
+      val labels = ctx.labelPropagation(iters = 4)
+      assert(ctx.modularity(labels).collect().map(_.toSeq).toSet ==
+        Graph.modularity(edges, "src", "dst", labels).collect().map(_.toSeq).toSet)
+    } finally ctx.close()
+  }
+
+  test("statics pin once: persistent-RDD count is flat across N calls, baseline after close") {
+    def live: Int = spark.sparkContext.getPersistentRDDs.size
+    // other suites share this session; measure relative to OUR baseline
+    val baseline = live
+    val ctx = Graph.context(edges, "src", "dst")
+    // first calls build + pin each family's statics (results are local
+    // checkpoints — drop them immediately so only statics remain counted)
+    def drop(df: org.apache.spark.sql.DataFrame): Unit =
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(df)
+    try {
+      drop(ctx.pagerank(iters = 2, redistributeDangling = true))
+      drop(ctx.triangleCounts())
+      drop(ctx.labelPropagation(iters = 2))
+      val afterFirst = live
+      assert(afterFirst > baseline, "statics should be pinned after the first calls")
+      // N more calls across the families: count must NOT grow — per-call
+      // iterate caches release inside each call, statics are reused
+      for (_ <- 1 to 3) {
+        drop(ctx.pagerank(iters = 2, redistributeDangling = true))
+        drop(ctx.triangleCounts())
+        drop(ctx.labelPropagation(iters = 2))
+      }
+      // one-sided: growth is the leak under test; a background
+      // ContextCleaner pass shrinking earlier suites' leftovers is benign
+      assert(live <= afterFirst,
+        s"persistent RDDs grew across repeated calls: $afterFirst -> $live")
+      // a result returned BEFORE close must stay readable AFTER close
+      val keep = ctx.pagerank(iters = 1)
+      ctx.close()
+      assert(live <= baseline + 1, // + the kept result's checkpoint
+        s"close() must release the pinned statics: baseline $baseline, after close $live")
+      assert(keep.count() == 7)
+      drop(keep)
+    } finally ctx.close()
+  }
+
+  test("close is idempotent and a closed context refuses new queries") {
+    val ctx = Graph.context(edges, "src", "dst")
+    ctx.pagerank(iters = 1).collect()
+    ctx.close()
+    ctx.close()
+    val ex = intercept[IllegalArgumentException](ctx.pagerank(iters = 1))
+    assert(ex.getMessage.contains("closed"))
+  }
+}

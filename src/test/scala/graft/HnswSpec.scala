@@ -118,6 +118,54 @@ class HnswSpec extends AnyFunSuite {
     assert(fromStore == oneShot, s"store $fromStore vs one-shot $oneShot")
   }
 
+  test("HnswAutoProbe: declarative cosine top-k over a stored index becomes the beam search") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val q   = items(3)._2.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-auto").toString + "/store"
+    Hnsw.writeIndex(df, "vec", "id", dir, nShards = 3)
+    val store   = Hnsw.readIndex(spark, dir)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.HnswAutoProbe(spark))
+    spark.conf.set("spark.graft.hnsw.autoProbe", "true")
+    spark.conf.set("spark.graft.hnsw.efSearch", "64")
+    try {
+      // the user writes plain sort-by-cosine + limit — no Hnsw API in sight
+      val brute = Search.topK(store, "vec", "id", q, 5).select("id", "score")
+      val plan  = brute.queryExecution.optimizedPlan.toString
+      // plan shape: the brute-force cosine projection over the store is
+      // GONE (no full-store scoring scan) — the beam's per-shard
+      // mapPartitions serves the query instead
+      assert(!plan.contains("cosine_similarity"), s"rewrite must remove the scoring scan:\n$plan")
+      assert(plan.contains("MapPartitions"), s"expected the beam plan:\n$plan")
+      // values ARE searchIndex's (same efSearch → same algorithm, row for row)
+      val viaApi = Hnsw.searchIndex(store, q, "id", 5, efSearch = 64)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(brute.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi)
+      // a non-store frame is untouched even with the rule enabled (it is a
+      // LocalRelation here, whose cosine projection constant-folds — the
+      // discriminator is that no beam plan appeared)
+      val plain = Search.topK(df, "vec", "id", q, 5)
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
+      assert(plain.count() == 5)
+      // a query with a REAL predicate must not be rewritten (substitution
+      // would drop it): the filter survives and so does the scoring scan
+      val filtered = Search.topK(store, "vec", "id", q, 5, filters = Seq(col("id") % 2 === 0))
+      assert(filtered.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      assert(filtered.select("id").as[Long].collect().forall(_ % 2 == 0))
+      // a consumer reading store columns beyond (id, score) keeps the scan
+      val wide = Search.topK(store, "vec", "id", q, 5).select("id", "vec", "score")
+      assert(wide.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      // switched off → untouched
+      spark.conf.set("spark.graft.hnsw.autoProbe", "false")
+      val off = Search.topK(store, "vec", "id", q, 5)
+      assert(off.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+    } finally {
+      spark.conf.set("spark.graft.hnsw.autoProbe", "false")
+      spark.conf.unset("spark.graft.hnsw.efSearch")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("stored index survives splits that cut a shard across scan tasks") {
     // force tiny splits so one shard's rows span MANY scan partitions —
     // the regression that produced partial graphs at the 768-d scale tier

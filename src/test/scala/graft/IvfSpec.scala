@@ -33,6 +33,53 @@ class IvfSpec extends AnyFunSuite {
     assert(pf.contains("IN"), s"probe must prune with an IN over probed lists: $pf")
   }
 
+  test("filtered search gate: broad widens the pruned probe, selective routes exact, both carriers") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
+    val payload = corpus.select(col("id"), (col("id") % 10).as("grp"))
+
+    // payload carrier, BROAD (sel 0.8): ceil(2/0.8) = 3 of 6 lists — the
+    // probe stays pruned at the widened width and every hit is allowed
+    val broad = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2,
+      filters = Seq(col("grp") < 8), payload = payload, payloadIdCol = "id")
+    val bplan = TestSpark.formattedPlan(broad)
+    val inLists = "list_id#?\\d* IN \\(([^)]*)\\)".r.findFirstMatchIn(bplan).map(_.group(1))
+    assert(inLists.exists(_.split(",").length == 3), s"expected 3 probed lists, got $inLists")
+    val bids = broad.select("id").as[Long].collect().toSeq
+    assert(bids.nonEmpty && bids.forall(_ % 10 < 8), "probe-branch hit escaped the filter")
+
+    // payload carrier, SELECTIVE: widened past nList → exact branch,
+    // VALUE-equal to the filtered brute force, no list pruning in the plan
+    val selPred = Seq(col("grp") === 0, col("id") % 7 === 0)
+    val ex = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2,
+      filters = selPred, payload = payload, payloadIdCol = "id")
+    val truth = Search.topK(
+      corpus.join(payload.where(selPred.reduce(_ && _)).select("id"), Seq("id"), "left_semi"),
+      "vec", "id", qVec, 5)
+    assert(ex.select("id", "score").collect().toSeq == truth.select("id", "score").collect().toSeq)
+    assert("list_id#?\\d* IN ".r.findFirstIn(TestSpark.formattedPlan(ex)).isEmpty,
+      "exact branch must not probe — it scans the allowed survivors")
+
+    // store-column carrier (payload = null): same gate, predicate applied
+    // as a pushed where on the pruned scan; broad widens identically
+    val storeBroad = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2,
+      filters = Seq(col("id") % 10 < 8))
+    val sLists = "list_id#?\\d* IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(TestSpark.formattedPlan(storeBroad)).map(_.group(1))
+    assert(sLists.exists(_.split(",").length == 3), s"store-carrier must widen too, got $sLists")
+    assert(storeBroad.select("id").as[Long].collect().forall(_ % 10 < 8))
+    // store-column carrier, selective → exact fallback equals brute force
+    val storeEx = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2,
+      filters = Seq(col("id") % 10 === 0, col("id") % 7 === 0))
+    val storeTruth = Search.topK(corpus.where(col("id") % 10 === 0 && col("id") % 7 === 0),
+      "vec", "id", qVec, 5)
+    assert(storeEx.select("id", "score").collect().toSeq ==
+      storeTruth.select("id", "score").collect().toSeq)
+
+    // nothing passes → exact branch degenerates to empty
+    assert(Ivf.search(indexed, model, "vec", "id", qVec, 5, 2,
+      filters = Seq(col("grp") === 42), payload = payload, payloadIdCol = "id").count() == 0)
+  }
+
   test("probing all lists equals exact search (pruning is the only approximation)") {
     val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec")
     val ivfAll = Ivf.search(indexed, model, "vec", "id", qVec, 10, 6)

@@ -142,6 +142,59 @@ class PqSpec extends AnyFunSuite {
     assert((all.toSet & exact).size >= 8, s"recall ${(all.toSet & exact).size}/10")
   }
 
+  test("filtered IVF-PQ gate: broad widens the pruned probe, selective routes exact, sel=0 empty") {
+    val (codes, floats, ivfm, pqm) =
+      Pq.ivfPqIndexFor(corpus, "vec", "id", nList = 6, m = 8, ksub = 16, cacheKey = "pqspec-filt")
+    val payload = corpus.select(col("id"), (col("id") % 10).as("grp"))
+
+    // BROAD (sel = 0.8): widened probe = ceil(2/0.8) = 3 of 6 lists — the
+    // scan must STAY pruned (the gate widens, it does not fall open), and
+    // the allowed semi-join must land before the ADC cut so every hit is
+    // allowed
+    val broad = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, nProbe = 2,
+      filters = Seq(col("grp") < 8), payload = payload, payloadIdCol = "id")
+    val bplan = TestSpark.formattedPlan(broad)
+    val pfs = bplan.linesIterator.filter(_.contains("PartitionFilters")).toVector
+    assert(pfs.nonEmpty && pfs.forall(pf => pf.contains("list_id") && pf.contains("IN")),
+      s"broad branch must keep the pruned probe:\n${pfs.mkString("\n")}")
+    // widened width is visible in the isin literal: 3 probed lists, not 2
+    val inLists = "list_id#?\\d* IN \\(([^)]*)\\)".r.findFirstMatchIn(bplan).map(_.group(1))
+    assert(inLists.exists(_.split(",").length == 3), s"expected 3 probed lists, got $inLists")
+    val bids = broad.select("id").as[Long].collect().toSeq
+    assert(bids.nonEmpty && bids.forall(_ % 10 < 8), "probe-branch hit escaped the filter")
+    // recall vs the filtered brute force at the same k
+    val btruth = Search.topK(corpus.join(payload.where(col("grp") < 8), Seq("id"), "left_semi"),
+      "vec", "id", qVec, 5).select("id").as[Long].collect().toSet
+    assert((bids.toSet & btruth).size >= 3, s"broad recall ${(bids.toSet & btruth).size}/5")
+
+    // SELECTIVE (sel ≈ 0.014): widened = ceil(2/sel) ≥ 6 = nList → exact
+    // branch, VALUE-equal to the filtered brute force (float precision,
+    // no ADC in the result) and free of any list pruning
+    val selPred = Seq(col("grp") === 0, col("id") % 7 === 0)
+    val ex = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, nProbe = 2,
+      filters = selPred, payload = payload, payloadIdCol = "id")
+    val truth = Search.topK(
+      corpus.join(payload.where(selPred.reduce(_ && _)).select("id"), Seq("id"), "left_semi"),
+      "vec", "id", qVec, 5)
+    assert(ex.select("id", "score").collect().toSeq == truth.select("id", "score").collect().toSeq)
+    assert("list_id#?\\d* IN ".r.findFirstIn(TestSpark.formattedPlan(ex)).isEmpty,
+      "exact branch must not probe — it scans the allowed survivors")
+
+    // sel == 0 (nothing passes) degenerates into the exact branch → empty
+    val none = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, nProbe = 2,
+      filters = Seq(col("grp") === 42), payload = payload, payloadIdCol = "id")
+    assert(none.count() == 0)
+
+    // selectivityHint skips the estimate scan and picks the branch: hint
+    // 1.0 keeps the caller's own width (2 lists, no widening)
+    val hinted = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, nProbe = 2,
+      filters = Seq(col("grp") < 8), payload = payload, payloadIdCol = "id",
+      selectivityHint = 1.0)
+    val hLists = "list_id#?\\d* IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(TestSpark.formattedPlan(hinted)).map(_.group(1))
+    assert(hLists.exists(_.split(",").length == 2), s"hint=1.0 must not widen, got $hLists")
+  }
+
   test("null and zero vectors: null codes propagate, zero vector encodes deterministically") {
     val model = Pq.fit(corpus, "vec", m = 8, ksub = 16)
     val df = Seq(

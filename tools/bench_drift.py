@@ -64,6 +64,21 @@ def main() -> int:
     ffresh, fcomm = fresh.get("floor"), committed.get("floor")
     floor_ratio = (ffresh / fcomm) if ffresh and fcomm else 1.0
 
+    # Contention telemetry (round-14, codifying the rule SCALE.md r13
+    # applied by hand): Bench records the START-of-run floor probe and the
+    # 1-min load average at both ends. The tail floor conflates ambient
+    # steal with the run's own GC wake, so the gate reads the start floor
+    # (ambient-only) and the start load (steal shows as load with no local
+    # processes). A round-close bench is REFUSED when either says the
+    # window was contended -- r13's three closing benches all ran under
+    # hypervisor steal and only a hand-written caveat kept the round
+    # honest.
+    fs, l0, l1 = (fresh.get("floor_start"), fresh.get("load1_start"),
+                  fresh.get("load1_end"))
+    if fs is not None:
+        print(f"contention: floor_start {fs:.3f}s, tail floor {ffresh:.3f}s, "
+              f"load1 {l0:.2f} -> {l1:.2f}")
+
     print(f"drift: {len(common)} common queries, median ratio {med:.2f}, "
           f"floor ratio {floor_ratio:.2f}, {len(drifters)} query drifts >1.5x")
     for n, r in sorted(drifters.items(), key=lambda kv: -abs(kv[1] - 1))[:20]:
@@ -99,6 +114,14 @@ def main() -> int:
         fail.append(f"floor moved {floor_ratio:.2f}x slower -- machine/load changed")
     elif floor_ratio < 1 / 1.5:
         print(f"note: floor moved {floor_ratio:.2f}x FASTER -- rebaselining")
+    # hard contention gate on the fresh run's own telemetry (independent of
+    # the committed reference, so a contaminated reference can't grandfather
+    # a contaminated fresh run)
+    if fs is not None and fs > 0.05:
+        fail.append(f"start-of-run floor probe {fs:.3f}s > 0.05s -- contended window")
+    if l0 is not None and l0 >= 0 and l0 > 4.0:
+        fail.append(f"load1 {l0:.2f} at bench start with a cold JVM -- "
+                    "hypervisor steal or a co-tenant; rerun in a quiet window")
     slow = sum(1 for r in drifters.values() if r > 1)
     if slow > 0.2 * len(ratios):
         fail.append(f"{slow}/{len(ratios)} queries got >1.5x SLOWER")
