@@ -45,6 +45,22 @@ object ScaleBench {
       (p, vecs.count())
     })
 
+  /** Per-scale Graph.Context for the *_ctx amortized rows: builds (and
+    * pins statics) on first use within a scale, closed by the per-scale
+    * loop before clearCache so the pinned frames release through the
+    * context's own discipline, not a global cache sweep.
+    */
+  private val graphCtxs = scala.collection.concurrent.TrieMap.empty[Int, graft.operators.Graph.Context]
+  private def graphCtx(scale: Int, docs: org.apache.spark.sql.DataFrame): graft.operators.Graph.Context =
+    graphCtxs.getOrElseUpdate(scale, {
+      import org.apache.spark.sql.functions._
+      val e = docs.select(col("doc_id").as("src"),
+        pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
+      graft.operators.Graph.context(e, "src", "dst")
+    })
+  private def closeGraphCtx(scale: Int): Unit =
+    graphCtxs.remove(scale).foreach(_.close())
+
   /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
   private lazy val onnxFixture: (String, String) =
     graft.onnx.TinyMpnet.writeTo(java.nio.file.Files.createTempDirectory("sb-onnx").toString)
@@ -1157,6 +1173,34 @@ object ScaleBench {
           Graph.triangleCounts(chain.unionByName(skip), "src", "dst")
             .agg(sum(col("n_triangles"))).head().getLong(0)
         }),
+        // round-14 (VERDICT r13 tasks 3+7): the Context-amortized column —
+        // the standing-corpus caller's price. The context (and its pinned
+        // edge/node/degree statics) builds on the COLD rep via the
+        // per-scale cache; the warm rep prices the per-call iterate work
+        // alone, the number the one-shot rows paid extra for after the
+        // r13 honest cache release. Results are localCheckpoints, dropped
+        // after counting so reps don't accumulate blocks.
+        "pagerank_ctx" -> (() => {
+          val ctx = graphCtx(scale, docs)
+          val r = ctx.pagerank(iters = 3)
+          val n = r.count()
+          org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(r)
+          n
+        }),
+        "pagerank_redist_ctx" -> (() => {
+          val ctx = graphCtx(scale, docs)
+          val r = ctx.pagerank(iters = 3, redistributeDangling = true)
+          val n = r.count()
+          org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(r)
+          n
+        }),
+        "label_propagation_ctx" -> (() => {
+          val ctx = graphCtx(scale, docs)
+          val r = ctx.labelPropagation(iters = 3)
+          val n = r.count()
+          org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(r)
+          n
+        }),
         // round-8: full Page et al. variant — adds one scalar reduce +
         // broadcast per round over the persisted iterate; curve should
         // stay within ~1.5x of plain pagerank
@@ -1248,6 +1292,7 @@ object ScaleBench {
         val t0 = System.nanoTime(); val rows = run(); val warm = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"$name","scale":$scale,"sec":$warm%.3f,"rows":$rows}""")
       }
+      closeGraphCtx(scale)
       spark.catalog.clearCache()
     }
     spark.stop()

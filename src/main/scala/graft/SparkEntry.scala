@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.functions.{TextOps, VectorOps}
-import graft.streaming.EventWindows
+import graft.streaming.{EventWindows, HnswStream}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -38,6 +38,14 @@ object SparkEntry {
     Seq("engine", "vector", "search quality", "stream")
       .map(t => Embedder.default.embed(t).map(_.toDouble).toSeq)
   private def qTokSql(i: Int): String = qTokVecs(i).mkString("[", ", ", "]")
+
+  /** g8's per-(query, sfDir) amortized graph context — v33's indexFor
+    * device: statics build once per JVM, warm bench reps price per-call
+    * work. Never closed (JVM-lifetime, like the index caches); a session
+    * end releases the blocks with the executors.
+    */
+  private val graphCtxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Graph.Context]()
 
   /** Eight query vectors for the A/B significance test (v32) — a paired
     * sign-flip test needs enough topics for the permutation distribution
@@ -2510,6 +2518,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G8 — g1 through the AMORTIZED Graph.Context (round 14): the
+    // standing-corpus caller's price. The context (edge/node/outdeg
+    // statics pinned once) memoizes per (query, sfDir) in a JVM cache —
+    // v33's indexFor device — so the bench's COLD rep pays the statics
+    // build and every WARM rep prices the per-call iterate work alone,
+    // the cross-call reuse the round-13 honest cache release removed from
+    // g1. Values identical to g1 (same oracle); the result is an eager
+    // localCheckpoint, so reps never read the pinned caches.
+    "g8_pagerank_ctx" -> ((s, d) => {
+      val ctx = graphCtxCache.computeIfAbsent(s"g8:$d",
+        _ => Graph.context(fulfillmentEdges(s, d), "src", "dst"))
+      ctx.pagerank(iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
+    }),
+
     // G2 — full Page et al. variant: dangling mass (suppliers are pure
     // sinks in this bipartite customer→supplier graph, so MOST mass
     // parks there) re-enters uniformly each round; total rank mass is
@@ -3462,6 +3486,44 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // W7 — HnswStream end-to-end (round 14): v22's planted delta DELIVERED
+    // AS A CDC STREAM — two micro-batches (upserts, then deletes) through
+    // streaming/HnswStream.scala's foreachBatch → Hnsw.applyDelta, against
+    // a live store a probe can hit between batches. The final exhaustive
+    // search must land on the SAME brute-force post-delta top-10 as v22
+    // (identical oracle SQL) — batch applyDelta, streamed applyDelta and
+    // the relational replay all converge. The driver-side collects here
+    // feed the MemoryStream test source (delta-sized, the harness side of
+    // the stream, not the operator — a deployment's feed is external).
+    "w7_hnsw_stream" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-w7").toString
+      Hnsw.writeIndex(emb, "embedding", "vec_id", s"$dir/store", nShards = 4)
+      val changed = emb.where(col("vec_id") % 17 === 0 && col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"), transform(col("embedding").cast("array<double>"), x => -x).as("v"))
+      val added = emb.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          reverse(col("embedding").cast("array<double>")).as("v"))
+      val removedIds = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+      val mem = MemoryStream[(Long, Seq[Double], String)]
+      val q = HnswStream.into(mem.toDF().toDF("vec_id", "v", "op"),
+        s"$dir/store", s"$dir/ckpt", "v", "vec_id", opCol = "op", availableNow = false)
+      try {
+        mem.addData(changed.unionByName(added).as[(Long, Seq[Double])].collect()
+          .map { case (i, v) => (i, v, "upsert") }.toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(removedIds.as[Long].collect()
+          .map(i => (i, Seq.empty[Double], "delete")).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      Hnsw.searchIndex(s.read.parquet(s"$dir/store"), qVec, "vec_id", 10, efSearch = 65536)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     // V23 — the IVF twin of v22, SAME oracle answer through a different
     // index structure: build a sidecar'd IVF store, run the identical
     // planted delta through Ivf.applyDelta (selective list-partition
@@ -4238,6 +4300,7 @@ object SparkEntry {
       s"""WITH scored AS (SELECT vec_id, label, list_cosine_similarity(embedding::DOUBLE[], $qVecSql) AS sim FROM embeddings),
          | topk AS (SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10)
          | SELECT t.vec_id, round(t.sim, 4) AS score, s.label FROM topk t JOIN scored s ON t.vec_id = s.vec_id ORDER BY t.sim DESC, t.vec_id""".stripMargin,
+
     "j3_zip" ->
       """WITH l AS (SELECT doc_id, n_chars, row_number() OVER (ORDER BY doc_id ASC) AS pos FROM documents),
         | r AS (SELECT vec_id, label, row_number() OVER (ORDER BY vec_id DESC) AS pos FROM embeddings)
@@ -6438,6 +6501,23 @@ object SparkEntry {
         | c3 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
         | r3 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c3 ON v.id = c3.id)
         | SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    // g8 — identical values to g1 (the context changes WHO pays for the
+    // statics, never the answer)
+    "g8_pagerank_ctx" ->
+      """WITH e AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst
+        |   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        | v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        | nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+        | deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY 1),
+        | r0 AS (SELECT id, 1.0 / n AS r FROM v CROSS JOIN nn),
+        | c1 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r1 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c1 ON v.id = c1.id),
+        | c2 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r2 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c2 ON v.id = c2.id),
+        | c3 AS (SELECT dst AS id, sum(r / od) AS m FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+        | r3 AS (SELECT v.id, 0.15 / n + 0.85 * coalesce(m, 0) AS r FROM v CROSS JOIN nn LEFT JOIN c3 ON v.id = c3.id)
+        | SELECT id, round(r, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
     // g2 — same rounds plus a dangling-mass scalar per iteration: nodes
     // absent from deg are sinks; their mass re-enters uniformly.
     "g2_pagerank_redistributed" ->
@@ -6736,6 +6816,19 @@ object SparkEntry {
     // v22 — the post-delta vector set rebuilt relationally, brute-force
     // cosine top-10 with the same (score desc, id) tie-break
     "v22_hnsw_recrawl" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | post AS (
+         |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |   FROM base WHERE vec_id % 13 <> 0
+         |   UNION ALL
+         |   SELECT vec_id + 100000, list_reverse(e) FROM base WHERE vec_id % 19 = 0)
+         | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         | FROM post ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // w7 — the SAME planted delta as v22, delivered as a CDC stream:
+    // batch applyDelta, streamed applyDelta and the relational replay
+    // must converge on one answer
+    "w7_hnsw_stream" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          | post AS (
          |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e

@@ -195,6 +195,31 @@ class PlanSpec extends AnyFunSuite {
       s"MRL search must not shuffle the corpus:\n${plan.take(1400)}")
   }
 
+  test("filtered two-stage retrieval: the predicate pushes to the CANDIDATE scan on both paths") {
+    // VERDICT r13 task 6: filters on the MRL / binary-rerank entry points
+    // must reach the candidate stage's parquet scan (PushedFilters), not
+    // ride as a post-scan residual — at 100 TB the candidate scan IS the
+    // corpus-proportional cost, and a pushed predicate is what lets row
+    // groups skip. The rerank stage inherits the filter for free (its
+    // input is the <=C filtered candidate ids broadcast back).
+    val q = Seq.fill(64)(0.1)
+    val mrl = Search.topKTruncated(Tables(spark, dir).embeddings, "embedding", "vec_id",
+      q, 10, 16, 50, filters = Seq(col("label") === 3))
+    val mrlScan = TestSpark.formattedPlan(mrl).linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(mrlScan.contains("EqualTo(label,3)"),
+      s"MRL candidate scan must push the predicate:\n$mrlScan")
+    val bq = graft.operators.Quant.topKBinaryRerank(Tables(spark, dir).embeddings,
+      "embedding", "vec_id", q, 10, 50, filters = Seq(col("label") === 3))
+    val bqScan = TestSpark.formattedPlan(bq).linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(bqScan.contains("EqualTo(label,3)"),
+      s"BQ candidate scan must push the predicate:\n$bqScan")
+    // results actually honor the filter (both stages)
+    assert(mrl.select("label").collect().forall(_.getInt(0) == 3))
+    assert(bq.select("label").collect().forall(_.getInt(0) == 3))
+  }
+
   test("late-interaction top-k: fused maxsim scoring + TakeOrderedAndProject, no post-group shuffle") {
     val q = Seq(Seq.fill(64)(0.1), Seq.fill(64)(-0.2))
     val docs = Tables(spark, dir).embeddings
