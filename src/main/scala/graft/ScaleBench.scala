@@ -177,6 +177,14 @@ object ScaleBench {
         Search.topK(vecs.where(pmod(col("vec_id"), lit(100)) < band),
           "embedding", "vec_id", qVec, 10)
           .select("vec_id").as[Long].collect().toSet)
+      // batch-join truth for the filtered 50% band (64 queries × top-10),
+      // computed once per scale so the fknn rows time the OPERATOR, not
+      // the brute-force baseline
+      lazy val fknnTruth50: Set[(Long, Long)] = Search.knnJoin(
+        vecs.where(col("vec_id") < 64),
+        vecs.where(pmod(col("vec_id"), lit(100)) < 50), "embedding", "vec_id",
+        "embedding", "vec_id", 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       val ops: Seq[(String, () => Long)] = Seq(
         "cosine_topk_768"  -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
         "knn_join_32q_768" -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs,
@@ -368,6 +376,24 @@ object ScaleBench {
             filters = Seq(pmod(col("vec_id"), lit(100)) < 1),
             payload = filtPayload, payloadIdCol = "vec_id")
             .select("vec_id").as[Long].collect().count(filtExact(1)).toLong
+        }),
+        // round 14: the FILTERED batch join on the compressed tier — 64
+        // queries through Pq.knnJoinIvfPq's widened probe + pair-form ADC
+        // + probed-list-pruned float rerank; compare ivf_fknn_join_768
+        // (float store, same batch): the PQ candidate stage reads m bytes
+        // per vector instead of 6 KB. rows = matched truth pairs vs the
+        // filtered brute-force join (gate: >= 60%).
+        "ivfpq_fknn_join_768" -> (() => {
+          val (c768, f768, ivfm, pqm) = Pq.ivfPqIndexFor(
+            vecs, "embedding", "vec_id", nList, m = 96, ksub = 64,
+            cacheKey = s"scale768-ivfpq-$scale")
+          val qs = vecs.where(col("vec_id") < 64)
+          val got = Pq.knnJoinIvfPq(c768, f768, ivfm, pqm, qs,
+            "embedding", "vec_id", "embedding", "vec_id", 10, nProbe, refine = 32,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 50),
+            payload = filtPayload, payloadIdCol = "vec_id")
+            .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+          (got & fknnTruth50).size.toLong
         }),
         "ivfsq8_filt50_768" -> (() => {
           val qt = Quant.sq8Table(vecs.select(col("vec_id"), col("embedding")), "embedding")

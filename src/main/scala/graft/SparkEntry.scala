@@ -3869,6 +3869,82 @@ object SparkEntry {
         .orderBy("path", "query_id", "rank")
     }),
 
+    // V42 — FILTERED batch k-NN join on the IVF-SQ8 store (round 14): the
+    // v38 device moved to the int8 tier, and every leg stays VALUE-
+    // replayable — explicit centroids are the first 4 rows' CODE vectors
+    // (the v13 sq8 CTE re-derives them), the queries probe and score in
+    // code space (symmetric quantized cosine over integer-valued doubles —
+    // bit-stable across engines), the widened probe count derives from the
+    // measured selectivity, and the selective leg routes to the exact
+    // brute-force join over allowed code rows. The whole filtered
+    // quantized BATCH path is hash-checked, not recall-gated.
+    "v42_ivfsq8_filtered_knn_join" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      val qt = Quant.sq8Table(emb.select("vec_id", "embedding"), "embedding")
+        .select(col("vec_id"), col("codes"))
+      val cents = qt.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("codes").cast("array<double>")).as[Seq[Double]].collect()
+        .map(_.toArray)
+      val model   = Ivf.Model(cents)
+      val indexed = Ivf.withListId(qt, model, "codes")
+      val payload = emb.select(col("vec_id"), col("label"))
+      val queries = qt.where(col("vec_id") % 101 === 0)
+      val probe = Ivf.knnJoin(indexed, model, queries, "codes", "vec_id",
+        "codes", "vec_id", 5, nProbe = 1,
+        filters = Seq(col("label") >= 2), payload = payload, payloadIdCol = "vec_id")
+        .withColumn("path", lit("probe"))
+      val exact = Ivf.knnJoin(indexed, model, queries, "codes", "vec_id",
+        "codes", "vec_id", 5, nProbe = 1,
+        filters = Seq(col("label") === 3, col("vec_id") % 7 === 0),
+        payload = payload, payloadIdCol = "vec_id")
+        .withColumn("path", lit("exact"))
+      probe.unionByName(exact)
+        .select(col("path"), col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("path", "query_id", "rank")
+    }),
+
+    // V43 — FILTERED batch k-NN join on the IVF-PQ store (round 14):
+    // Pq.knnJoinIvfPq — queries fan to their widened lists, the pair-form
+    // ADC (PqAdcPair, bit-identical to the single-query lookup table)
+    // scores the code candidates, k·refine survive per query, the float
+    // re-rank reads only the probed-list union. The selective leg routes
+    // to the exact brute-force float join (VALUE-replayable); the broad
+    // leg's codebooks are k-means state DuckDB can't replay, so it is an
+    // aggregate recall gate vs the filtered brute-force join (≥ 60% of
+    // the truth pairs — measured 88% (22/25) at sf0.001 and 84% (21/25)
+    // at sf0.01, widened 5/8 lists, refine 8; v9's device at the
+    // compressed tier).
+    "v43_ivfpq_filtered_knn_join" -> ((s, d) => {
+      val t   = Tables(s, d)
+      val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+      val (codes, floats, ivfm, pqm) = Pq.ivfPqIndexFor(
+        emb, "embedding", "vec_id", nList = 8, m = 16, ksub = 64, cacheKey = s"$d/embeddings#pq")
+      val payload = t.embeddings.select(col("vec_id"), col("label"))
+      val queries = t.embeddings.where(col("vec_id") % 101 === 0)
+      val exact = Pq.knnJoinIvfPq(codes, floats, ivfm, pqm, queries,
+        "embedding", "vec_id", "embedding", "vec_id", 5, nProbe = 4, refine = 8,
+        filters = Seq(col("label") === 3, col("vec_id") % 7 === 0),
+        payload = payload, payloadIdCol = "vec_id")
+        .select(lit("exact").as("path"), col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+      val probe = Pq.knnJoinIvfPq(codes, floats, ivfm, pqm, queries,
+        "embedding", "vec_id", "embedding", "vec_id", 5, nProbe = 4, refine = 8,
+        filters = Seq(col("label") >= 2), payload = payload, payloadIdCol = "vec_id")
+      val truth = Search.knnJoin(queries, t.embeddings.where(col("label") >= 2),
+        "embedding", "vec_id", "embedding", "vec_id", 5)
+      val gate = probe.select("query_id", "neighbor_id")
+        .join(truth.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("__found"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("__total"))))
+        .select(lit("probe_recall_ge60pct").as("path"), lit(0L).as("query_id"),
+          when(col("__found") * 10 >= col("__total") * 6, lit(1L)).otherwise(lit(0L)).as("neighbor_id"),
+          lit(null).cast("double").as("score"), lit(0L).as("rank"))
+      exact.unionByName(gate)
+        .orderBy("path", "query_id", "rank")
+    }),
+
     // V39 — FILTERED search on the IVF-PQ store (round 14): the v38
     // cardinality gate extended to the COMPRESSED tier — the reference's
     // canonical filtered k-NN (backend/vector_db.py:131-170) on the store
@@ -7136,6 +7212,62 @@ object SparkEntry {
         | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
         | FROM (SELECT * FROM probe UNION ALL SELECT * FROM ex)
         | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v42 — the whole filtered quantized batch path replayed: sq8 codes
+    // via the v13 CTE, explicit code-space centroids (vec_id < 4),
+    // argmin assignment, measured selectivity -> widened probe count,
+    // symmetric code cosine (integer-valued doubles, bit-stable), exact
+    // leg brute-forced over allowed code rows
+    "v42_ivfsq8_filtered_knn_join" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS raw FROM embeddings),
+        | s0 AS (SELECT vec_id, label, raw, list_max(list_transform(raw, x -> abs(x))) AS sc FROM e0),
+        | base AS (SELECT vec_id, label, CASE WHEN sc = 0 THEN list_transform(raw, x -> 0.0)
+        |     ELSE list_transform(raw, x -> (floor(x / sc * 127 + 0.5))::INT::DOUBLE) END AS v FROM s0),
+        | cents AS (SELECT vec_id AS cid, v AS cv, list_inner_product(v, v) AS cc
+        |   FROM base WHERE vec_id < 4),
+        | asg AS (SELECT vec_id, label, v,
+        |     (SELECT cid FROM cents
+        |      ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, cv) + cc, cid
+        |      LIMIT 1) AS list_id
+        |   FROM base),
+        | q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 101 = 0),
+        | selv AS (SELECT CAST(ceil(1.0 /
+        |     (count(*) FILTER (WHERE label >= 2)::DOUBLE / count(*))) AS BIGINT) AS w
+        |   FROM base),
+        | probes AS (SELECT query_id, cid FROM (
+        |     SELECT q.query_id, c.cid,
+        |       row_number() OVER (PARTITION BY q.query_id
+        |         ORDER BY list_inner_product(q.qv, q.qv) - 2 * list_inner_product(q.qv, c.cv) + c.cc, c.cid) AS rn
+        |     FROM q CROSS JOIN cents c), selv WHERE rn <= selv.w),
+        | probe AS (SELECT 'probe' AS path, p.query_id, a.vec_id AS neighbor_id,
+        |     list_cosine_similarity(a.v, q.qv) AS sim,
+        |     row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
+        |   FROM probes p JOIN q ON q.query_id = p.query_id
+        |     JOIN asg a ON a.list_id = p.cid
+        |   WHERE a.label >= 2 AND a.vec_id <> p.query_id
+        |   QUALIFY rank <= 5),
+        | ex AS (SELECT 'exact' AS path, q.query_id, a.vec_id AS neighbor_id,
+        |     list_cosine_similarity(a.v, q.qv) AS sim,
+        |     row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
+        |   FROM q JOIN base a ON a.vec_id <> q.query_id AND a.label = 3 AND a.vec_id % 7 = 0
+        |   QUALIFY rank <= 5)
+        | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
+        | FROM (SELECT * FROM probe UNION ALL SELECT * FROM ex)
+        | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v43 — exact leg brute-forced over the allowed float rows (value
+    // parity); the widened-probe leg is an aggregate recall-gate flag row
+    "v43_ivfpq_filtered_knn_join" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 101 = 0),
+         | ex AS (SELECT 'exact' AS path, q.query_id, a.vec_id AS neighbor_id,
+         |     list_cosine_similarity(a.v, q.qv) AS sim,
+         |     row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
+         |   FROM q JOIN base a ON a.vec_id <> q.query_id AND a.label = 3 AND a.vec_id % 7 = 0
+         |   QUALIFY rank <= 5)
+         | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM ex
+         | UNION ALL SELECT 'probe_recall_ge60pct', 0::BIGINT, 1::BIGINT, NULL::DOUBLE, 0::BIGINT
+         | ORDER BY path, query_id, rank""".stripMargin,
 
     // v39 — exact leg fully VALUE-replayed (the gate's exact branch is a
     // filtered brute-force float top-10, no codebook geometry in the

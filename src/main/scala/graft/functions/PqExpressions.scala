@@ -66,7 +66,76 @@ case class PqAdc(child: Expression, table: Array[Double], ksub: Int) extends Una
     copy(child = newChild)
 }
 
+/** Pair-form ADC for BATCH joins: score(codes, query) = q̂ · reconstruct
+  * (codes), computed per (candidate, query) row without a per-query driver
+  * table — the single-query path precomputes the m×ksub lookup table once
+  * ([[PqAdc]]), which a batch join cannot (the query is a COLUMN). The
+  * accumulation order matches [[Pq.Model.adcTable]] + [[PqCodec.adc]]
+  * exactly (per-subspace subtotal, then the subspace sum), so the two
+  * forms are bit-identical and the batch join ranks candidates exactly as
+  * the single-query probe would.
+  */
+case class PqAdcPair(
+    left: Expression,
+    right: Expression,
+    flat: Array[Double],
+    m: Int,
+    ksub: Int,
+    dsub: Int,
+) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires (binary, array<double>), got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_pair"
+
+  override protected def nullSafeEval(codes: Any, q: Any): Any =
+    PqCodec.adcPair(codes.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData], flat, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.PqCodec$$.MODULE$$.adcPair($c, $q, $ref, $m, $ksub, $dsub)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcPair =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqCodec {
+
+  /** Pair-form ADC: normalize the query, then per subspace the
+    * inner product of its (normalized) slice with the coded codebook
+    * entry — subtotal per subspace, summed in subspace order, matching
+    * [[graft.operators.Pq.Model.adcTable]]'s entry arithmetic + [[adc]]'s
+    * summation bit for bit.
+    */
+  def adcPair(codes: Array[Byte], q: ArrayData, flat: Array[Double], m: Int, ksub: Int, dsub: Int): Double = {
+    val n  = q.numElements()
+    var nn = 0.0
+    var i  = 0
+    while (i < n) { val x = q.getDouble(i); nn += x * x; i += 1 }
+    val inv = if (nn > 0) 1.0 / math.sqrt(nn) else 0.0
+    var s = 0.0
+    var j = 0
+    val mj = math.min(m, codes.length)
+    while (j < mj) {
+      val base = (j * ksub + (codes(j) & 0xff)) * dsub
+      var sub  = 0.0
+      var t    = 0
+      while (t < dsub) {
+        val idx = j * dsub + t
+        if (idx < n) sub += q.getDouble(idx) * inv * flat(base + t)
+        t += 1
+      }
+      s += sub
+      j += 1
+    }
+    s
+  }
 
   /** Encode one vector: L2-normalize, then per subspace the argmin-distance
     * codebook entry (ties → lowest index). Vectors shorter than m·dsub are
@@ -122,4 +191,9 @@ object PqExpressions {
   /** Codegen'd ADC score of a code column against a query lookup table. */
   def pqAdc(codes: Column, table: Array[Double], ksub: Int): Column =
     GraftBridge.column(PqAdc(GraftBridge.expression(codes), table, ksub))
+
+  /** Pair-form ADC for batch joins: codes column × query-vector column. */
+  def pqAdcPair(codes: Column, query: Column, flat: Array[Double], m: Int, ksub: Int, dsub: Int): Column =
+    GraftBridge.column(PqAdcPair(
+      GraftBridge.expression(codes), GraftBridge.expression(query), flat, m, ksub, dsub))
 }

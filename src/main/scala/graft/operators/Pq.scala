@@ -285,4 +285,132 @@ object Pq {
       floats.where(col("list_id").isin(lists: _*)).join(broadcast(cand), Seq(idCol)),
       vecCol, idCol, queryVec, k)
   }
+
+  /** Batch ANN against the IVF-PQ store — the k-NN JOIN form of
+    * [[searchIvfPq]] ([[Ivf.knnJoin]]'s shape on the compressed tier): a
+    * pipeline attaching neighbors to a whole query FRAME must not pay |q|
+    * job launches, so queries fan out to their nProbe lists as narrow
+    * rows, candidates equi-join on `list_id`, and the ADC scoring runs as
+    * ONE codegen'd pass ([[graft.functions.PqAdcPair]] — the single-query
+    * path's driver-precomputed lookup table cannot exist when the query
+    * is a COLUMN; the pair form reproduces its arithmetic bit for bit, so
+    * the batch ranks candidates exactly as per-query probes would).
+    *
+    *  1. fan-out: |q|·nProbe narrow (query_id, qvec, list_id) rows, no
+    *     driver collect of data;
+    *  2. candidate stage reads ONLY the code store (m bytes/vector),
+    *     volume |q|·n·(nProbe/nList); per-query ADC top k·refine via the
+    *     map-side-combined [[graft.functions.TopKScored]] — the shuffle
+    *     carries ≤ k·refine rows per (query, partition);
+    *  3. exact re-rank: the bounded candidate frame joins the FLOAT
+    *     store pruned to the batch's probed-list UNION (one bounded
+    *     driver collect of list ids, the same class as shard-id lists —
+    *     static partition pruning; diverse query batches degrade to all
+    *     lists, the documented plateau) + the query vectors re-join by
+    *     id; exact cosine, then the final top-k per query.
+    *
+    * FILTERED batch search — the same cardinality gate as [[searchIvfPq]]:
+    * `filters` over `payload`, probe WIDENED by 1/sel with the allowed-id
+    * semi-join landing on the candidate frame BEFORE the ADC cut, exact
+    * fallback (brute-force [[Search.knnJoin]] over allowed float rows)
+    * when the widened probe reaches nList. One gate decision per batch;
+    * `selectivityHint` skips the estimate scan.
+    *
+    * Output: (query_id, neighbor_id, score, rank) — [[Search.knnJoin]]'s
+    * contract, scores float-precision from the re-rank.
+    */
+  def knnJoinIvfPq(
+      codes: DataFrame,
+      floats: DataFrame,
+      ivfModel: Ivf.Model,
+      pqModel: Model,
+      queries: DataFrame,
+      queryVecCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nProbe: Int,
+      refine: Int = 4,
+      excludeSelf: Boolean = true,
+      filters: Seq[Column] = Nil,
+      payload: DataFrame = null,
+      payloadIdCol: String = "id",
+      selectivityHint: Double = Double.NaN,
+  ): DataFrame = {
+    import graft.functions.VectorOps._
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(ivfModel.centroids.nonEmpty, "knnJoinIvfPq needs a fitted index (empty centroid set)")
+    var nP = math.min(nProbe, ivfModel.centroids.length)
+    var allowed: DataFrame = null
+    if (filters.nonEmpty) {
+      require(payload != null,
+        "filtered knnJoinIvfPq needs the payload frame carrying payloadIdCol + the filter " +
+          "columns (the code store holds only ids and codes)")
+      val pred = filters.reduce(_ && _)
+      val sel  = Search.estimatedSelectivity(payload, pred, selectivityHint)
+      val widened = if (sel == 0d) Double.PositiveInfinity else math.ceil(nP.toDouble / sel)
+      val allowedIds = payload.where(pred).select(col(payloadIdCol).cast("long").as("__aid"))
+      if (widened >= ivfModel.centroids.length)
+        // exact branch: brute-force float-precision join over the allowed
+        // survivors — ids pre-cast to long so both branches emit ONE schema
+        return Search.knnJoin(
+          queries.select(col(queryIdCol).cast("long").as(queryIdCol), col(queryVecCol)),
+          floats.select(col(idCol).cast("long").as(idCol), col(vecCol)).join(
+            allowedIds, col(idCol) === col("__aid"), "left_semi"),
+          queryVecCol, queryIdCol, vecCol, idCol, k, excludeSelf)
+      nP = widened.toInt
+      allowed = allowedIds
+    }
+    val bcModel = spark.sparkContext.broadcast(ivfModel)
+    val nPF     = nP
+    val fanned = graft.Par.fanOut(
+      queries.select(col(queryIdCol).cast("long").as("query_id"), asDouble(col(queryVecCol)).as("__qv")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, v) =>
+        bcModel.value.probeLists(v, nPF).iterator.map(l => (qid, v, l))
+      }
+      .toDF("query_id", "__qv", "list_id")
+    val candBase = codes
+      .select(col(idCol).cast("long").as("neighbor_id"), col("pq_codes"), col("list_id"))
+      .join(fanned, Seq("list_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val gated =
+      if (allowed == null) candBase
+      else candBase.join(allowed, col("neighbor_id") === col("__aid"), "left_semi")
+    val scored = gated.select(col("query_id"), col("neighbor_id"),
+      graft.functions.PqExpressions.pqAdcPair(col("pq_codes"), col("__qv"),
+        pqModel.flat, pqModel.m, pqModel.ksub, pqModel.dsub).as("__adc"))
+    val topC = graft.functions.TopKScored.udafFor(k * refine)
+    val cands = scored
+      .groupBy("query_id")
+      .agg(topC(col("neighbor_id"), col("__adc")).as("nns"))
+      .select(col("query_id"), explode(col("nns")).as("nn"))
+      .select(col("query_id"), col("nn.id").as("neighbor_id"))
+    // probed-list union: bounded by nList (list IDS, never data rows) —
+    // prunes the float store's re-rank scan to the lists any query probed
+    val probedLists = fanned.select("list_id").distinct().as[Int].collect().toSeq
+    val qv = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      asDouble(col(queryVecCol)).as("__qv2"))
+    val rer = cands
+      .join(floats.where(col("list_id").isin(probedLists: _*))
+        .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("__cv")),
+        Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VectorExpressions.cosineFast(col("__cv"), col("__qv2")).as("score"))
+      .where(col("score").isNotNull && !isnan(col("score")))
+    val topk = graft.functions.TopKScored.udafFor(k)
+    rer
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("score")).as("nns"))
+      .select(col("query_id"), posexplode(col("nns")).as(Seq("pos", "nn")))
+      .select(
+        col("query_id"),
+        col("nn.id").as("neighbor_id"),
+        col("nn.score").as("score"),
+        (col("pos") + 1).as("rank"),
+      )
+  }
 }

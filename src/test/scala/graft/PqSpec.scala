@@ -195,6 +195,60 @@ class PqSpec extends AnyFunSuite {
     assert(hLists.exists(_.split(",").length == 2), s"hint=1.0 must not widen, got $hLists")
   }
 
+  test("batch IVF-PQ join: pair-form ADC is bit-identical to the table form; batch == per-query probes; filter gate routes") {
+    val (codes, floats, ivfm, pqm) =
+      Pq.ivfPqIndexFor(corpus, "vec", "id", nList = 6, m = 8, ksub = 16, cacheKey = "pqspec-knn")
+
+    // pair-form ADC == the single-query lookup-table form, bit for bit
+    // (the batch join ranks candidates exactly as per-query probes would)
+    val table = pqm.adcTable(qVec)
+    val pairRows = codes.select(col("id"),
+      graft.functions.PqExpressions.pqAdcPair(col("pq_codes"), typedLit(qVec),
+        pqm.flat, pqm.m, pqm.ksub, pqm.dsub).as("pair"),
+      graft.functions.PqExpressions.pqAdc(col("pq_codes"), table, pqm.ksub).as("tab"))
+      .collect()
+    pairRows.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"id=${r.get(0)}"))
+
+    // batch join at full probe width == per-query searchIvfPq at the same
+    // width — excludeSelf=false so both paths see the IDENTICAL candidate
+    // pool (self-exclusion changes the k·refine ADC cut's membership)
+    val queries = corpus.where(col("id") % 37 === 0)
+    val batch = Pq.knnJoinIvfPq(codes, floats, ivfm, pqm, queries, "vec", "id", "vec", "id",
+      k = 5, nProbe = 6, refine = 4, excludeSelf = false)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    queries.select("id").as[Long].collect().foreach { qid =>
+      val qv = corpus.where(col("id") === qid).select(col("vec")).as[Seq[Double]].head()
+      val single = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qv, 5, nProbe = 6, refine = 4)
+        .select("id").as[Long].collect().toSeq
+      assert(batch(qid) == single, s"qid=$qid: batch ${batch(qid)} vs single $single")
+    }
+
+    // filtered: broad predicate widens (results all allowed, recall holds
+    // vs the filtered brute-force join); selective routes exact (== the
+    // brute-force join over allowed float rows)
+    val payload = corpus.select(col("id"), (col("id") % 10).as("grp"))
+    val broad = Pq.knnJoinIvfPq(codes, floats, ivfm, pqm, queries, "vec", "id", "vec", "id",
+      k = 5, nProbe = 2, refine = 4,
+      filters = Seq(col("grp") < 8), payload = payload, payloadIdCol = "id")
+    assert(broad.select("neighbor_id").as[Long].collect().forall(_ % 10 < 8))
+    val truthBroad = Search.knnJoin(queries, corpus.where(col("id") % 10 < 8),
+      "vec", "id", "vec", "id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val gotBroad = broad.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((gotBroad & truthBroad).size >= (truthBroad.size * 6) / 10,
+      s"broad batch recall ${(gotBroad & truthBroad).size}/${truthBroad.size}")
+    val selPred = Seq(col("grp") === 0, col("id") % 7 === 0)
+    val ex = Pq.knnJoinIvfPq(codes, floats, ivfm, pqm, queries, "vec", "id", "vec", "id",
+      k = 5, nProbe = 2, refine = 4,
+      filters = selPred, payload = payload, payloadIdCol = "id")
+      .select("query_id", "neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exTruth = Search.knnJoin(queries, corpus.where(col("id") % 10 === 0 && col("id") % 7 === 0),
+      "vec", "id", "vec", "id", 5)
+      .select("query_id", "neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ex == exTruth, "exact branch must equal the brute-force filtered join")
+  }
+
   test("null and zero vectors: null codes propagate, zero vector encodes deterministically") {
     val model = Pq.fit(corpus, "vec", m = 8, ksub = 16)
     val df = Seq(
