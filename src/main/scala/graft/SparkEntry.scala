@@ -3524,6 +3524,33 @@ object SparkEntry {
         .orderBy(desc("score"), col("vec_id"))
     }),
 
+    // V44 — the PQ-store twin of v22/v23 (round 14): the compressed tier
+    // gets the SAME recrawl-maintenance contract. Pq.writeStore persists
+    // the two-store layout + BOTH sidecars (IVF centroids at floats/,
+    // PQ codebooks at the root), the planted delta routes through
+    // Pq.applyDelta (affected-list-only rewrite of codes AND floats,
+    // floats-first swap ordering), and the full-width probe with an
+    // exhaustive refine pool (k·refine ≥ post-delta corpus → the ADC cut
+    // keeps everything, the rerank is exact brute force over floats)
+    // lands on the IDENTICAL brute-force oracle — three index structures,
+    // one relational answer.
+    "v44_pq_recrawl" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-v44").toString + "/store"
+      Pq.writeStore(emb, "embedding", "vec_id", dir, nList = 8, m = 16, ksub = 64)
+      val removed = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+      val changed = emb.where(col("vec_id") % 17 === 0 && col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+      val added = emb.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), reverse(col("embedding")).as("embedding"))
+      Pq.applyDelta(s, dir, removed, changed.unionByName(added), "embedding", "vec_id")
+      val (codes, floats, ivfm, pqm) = Pq.readStore(s, dir)
+      Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec, 10,
+        nProbe = 8, refine = 200)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
     // V23 — the IVF twin of v22, SAME oracle answer through a different
     // index structure: build a sidecar'd IVF store, run the identical
     // planted delta through Ivf.applyDelta (selective list-partition
@@ -6892,6 +6919,18 @@ object SparkEntry {
     // v22 — the post-delta vector set rebuilt relationally, brute-force
     // cosine top-10 with the same (score desc, id) tie-break
     "v22_hnsw_recrawl" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | post AS (
+         |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |   FROM base WHERE vec_id % 13 <> 0
+         |   UNION ALL
+         |   SELECT vec_id + 100000, list_reverse(e) FROM base WHERE vec_id % 19 = 0)
+         | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         | FROM post ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v44 — same planted delta, same relational answer, third index
+    // structure (the PQ store's maintenance path)
+    "v44_pq_recrawl" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          | post AS (
          |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e

@@ -781,6 +781,15 @@ object Ivf {
     * probe branch the allowed-id semi-join lands on the CANDIDATE frame
     * (bounded at |q|·n·nProbe'/nList rows), never on the store. One gate
     * decision per batch; `selectivityHint` skips the estimate scan.
+    *
+    * QUANTIZED stores: each query row routes by ITS OWN vector, so against
+    * an index fitted on SQ8 codes the query column must be in the same
+    * code space — pass pre-quantized query vectors (the batch analog of
+    * [[search]]'s `routeVec`; see [[Quant.sq8QueryCodes]] for why float
+    * routing against code-space centroids collapses recall). Scoring then
+    * runs symmetric quantized cosine, which the per-vector scale
+    * cancellation keeps within the int8 rounding error — the v42 oracle
+    * value-checks the whole shape.
     */
   def knnJoin(
       indexed: DataFrame,
@@ -942,7 +951,10 @@ object Ivf {
 
   /** [[search]] with the probe width chosen per query by
     * [[Model.adaptiveProbeLists]] — geometry decides, not a global
-    * constant. Same partition-pruned scan shape.
+    * constant. Same partition-pruned scan shape. `routeVec` is
+    * [[search]]'s contract: the vector the margin geometry runs in —
+    * a quantized store's margins are meaningless against a raw float
+    * query ([[Quant.sq8QueryCodes]]).
     */
   def searchAdaptive(
       indexed: DataFrame,
@@ -955,8 +967,10 @@ object Ivf {
       minProbe: Int = 1,
       maxProbe: Int = Int.MaxValue,
       filters: Seq[Column] = Nil,
+      routeVec: Seq[Double] = null,
   ): DataFrame = {
-    val lists = model.adaptiveProbeLists(queryVec, margin, minProbe, maxProbe)
+    val lists = model.adaptiveProbeLists(
+      if (routeVec == null) queryVec else routeVec, margin, minProbe, maxProbe)
     Search.topK(
       indexed.where(col("list_id").isin(lists: _*)),
       vecCol, idCol, queryVec, k, filters)

@@ -215,6 +215,180 @@ object Pq {
       (s.read.parquet(root + "/codes"), s.read.parquet(root + "/floats"), ivfm, pqm)
     })
 
+  // ---- persistent IVF-PQ store + incremental maintenance ----------------
+
+  /** Underscore prefix: Spark's file index ignores the sidecar. */
+  private val CodebooksFile = "_pq_codebooks.txt"
+
+  /** Persist the PQ codebooks beside the store — what makes an IVF-PQ
+    * store durable and self-describing like its IVF (`_graft_centroids
+    * .txt`) and HNSW (`_hnsw_meta`) siblings: without it the codebooks
+    * lived only in [[ivfPqIndexFor]]'s JVM cache, so the compressed-tier
+    * store could not be reopened, let alone incrementally maintained.
+    * Format: one `m,ksub,dsub` header line, then m·ksub lines of dsub
+    * comma-separated doubles (Double.toString round-trips exactly).
+    * Temp-file + rename so a concurrent reader never sees a partial file.
+    */
+  private def writeCodebooks(conf: org.apache.hadoop.conf.Configuration, root: String, model: Model): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs  = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val p   = new org.apache.hadoop.fs.Path(dir, CodebooksFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, CodebooksFile + ".tmp")
+    val w   = new java.io.PrintWriter(fs.create(tmp, true))
+    try {
+      w.println(s"${model.m},${model.ksub},${model.dsub}")
+      model.codebooks.foreach(_.foreach(entry => w.println(entry.mkString(","))))
+    } finally w.close()
+    if (w.checkError()) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"codebook sidecar write failed: $tmp")
+    }
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** Fail-closed reader ([[Ivf.readCentroids]]'s contract): a torn or
+    * ragged sidecar yields None, never an exception.
+    */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession, root: String): Option[Model] = {
+    val p  = new org.apache.hadoop.fs.Path(root, CodebooksFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    scala.util.Try {
+      val in = fs.open(p)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        val Array(m, ksub, dsub) = lines.head.split(",").map(_.toInt)
+        val entries = lines.drop(1).map(_.split(",").map(_.toDouble))
+        if (entries.length != m * ksub || entries.exists(_.length != dsub)) None
+        else Some(Model(Array.tabulate(m)(j => Array.tabulate(ksub)(c => entries(j * ksub + c)))))
+      } finally in.close()
+    }.toOption.flatten
+  }
+
+  /** Write a durable two-store IVF-PQ index at `root`: `root/codes` (id +
+    * m-byte code, list-partitioned — the hot probe store), `root/floats`
+    * (the cold exact-rerank store, SAME list layout, carrying the IVF
+    * sidecar so it is auto-probe-discoverable like any IVF store), and the
+    * codebook sidecar at the root. This is [[ivfPqIndexFor]]'s layout made
+    * persistent + self-describing — reopen with [[readStore]], maintain
+    * with [[applyDelta]].
+    */
+  def writeStore(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      root: String,
+      nList: Int,
+      m: Int,
+      ksub: Int = 256,
+      seed: Long = 42L,
+  ): Unit = {
+    val pqm              = fit(df, vecCol, m, ksub, seed)
+    val (assigned, ivfm) = Ivf.assign(df, vecCol, nList, seed = seed)
+    val coded            = pqTable(assigned, vecCol, pqm)
+    coded.select(col(idCol), col("pq_codes"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(root + "/codes")
+    Ivf.writeIndexed(assigned, root + "/floats", ivfm, vecCol)
+    writeCodebooks(df.sparkSession.sparkContext.hadoopConfiguration, root, pqm)
+  }
+
+  /** Reopen a [[writeStore]] store: (codes, floats, ivf model, pq model). */
+  def readStore(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+  ): (DataFrame, DataFrame, Ivf.Model, Model) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val st = Ivf.readCentroids(root + "/floats", conf).getOrElse(
+      throw new IllegalStateException(s"no IVF sidecar under $root/floats — not a PQ store?"))
+    val pqm = readCodebooks(spark, root).getOrElse(
+      throw new IllegalStateException(s"no codebook sidecar under $root — not a PQ store?"))
+    (spark.read.parquet(root + "/codes"), spark.read.parquet(root + "/floats"), st.model, pqm)
+  }
+
+  /** Recrawl maintenance for the two-store layout — [[Ivf.applyDelta]]'s
+    * contract (removals + id-keyed upsert additions, affected-list-only
+    * rewrite, staged `.delta` write + per-list swap, crashed-swap recovery
+    * at entry) applied to BOTH stores in one pass: added rows assign their
+    * list with the STORED centroids and encode with the STORED codebooks
+    * (no refit — drift is [[Ivf.maintain]]'s job on the floats store), and
+    * only the affected `list_id=` directories of either store are read or
+    * written.
+    *
+    * Cross-store ordering: the FLOAT store swaps first. A crash between
+    * the two swaps leaves codes one delta stale, which degrades gracefully
+    * — removed ids may still surface as CANDIDATES but the rerank join
+    * against the already-swapped floats drops them (no ghost results), and
+    * fresh ids are invisible until the replayed batch completes the codes
+    * swap. The reverse order could serve a candidate whose float row does
+    * not exist yet, silently vacating a result slot. Replays are
+    * idempotent (upsert semantics on both stores).
+    *
+    * Returns the number of affected lists.
+    */
+  def applyDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      removedIds: DataFrame,
+      added: DataFrame,
+      vecCol: String,
+      idCol: String,
+  ): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs   = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    // complete any crashed swap on EITHER store before listing files
+    Ivf.recoverDeltaSwap(fs, new org.apache.hadoop.fs.Path(root + "/floats"),
+      new org.apache.hadoop.fs.Path(root + "/floats.delta"), "list_id=")
+    Ivf.recoverDeltaSwap(fs, new org.apache.hadoop.fs.Path(root + "/codes"),
+      new org.apache.hadoop.fs.Path(root + "/codes.delta"), "list_id=")
+    val (codes, floats, ivfm, pqm) = readStore(spark, root)
+    require(added.columns.contains(vecCol),
+      s"added frame must carry the store's float column '$vecCol' (has: ${added.columns.mkString(", ")})")
+    val dupAdds = added.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
+    require(dupAdds == 0, s"Pq.applyDelta: duplicate ids within `added` (column $idCol)")
+    // upsert semantics: stored rows with an added id vacate first
+    val rem = removedIds.select(col(idCol)).union(added.select(col(idCol))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = Ivf.withListId(added.select(col(idCol), col(vecCol)), ivfm, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // affected lists: one bounded-by-nList collect (removed rows located
+      // via a column-pruned scan of the float store, the id-keyed side)
+      val affected = floats.select(col(idCol), col("list_id"))
+        .join(rem, Seq(idCol), "left_semi")
+        .select("list_id")
+        .union(assigned.select("list_id"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return 0L
+      val lists = affected.map(Integer.valueOf).toIndexedSeq
+
+      val keptF = floats.where(col("list_id").isin(lists: _*)).join(rem, Seq(idCol), "left_anti")
+      val newF  = assigned.select(floats.columns.map(col).toIndexedSeq: _*)
+      val keptC = codes.where(col("list_id").isin(lists: _*)).join(rem, Seq(idCol), "left_anti")
+      val newC  = pqTable(assigned, vecCol, pqm)
+        .select(col(idCol), col("pq_codes"), col("list_id"))
+
+      def stageAndSwap(sub: String, frame: DataFrame): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(root + s"/$sub.delta")
+        frame.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+        Ivf.assertCommitMarker(fs, tmp)
+        affected.foreach { l =>
+          val dst = new org.apache.hadoop.fs.Path(root + s"/$sub", s"list_id=$l")
+          val src = new org.apache.hadoop.fs.Path(tmp, s"list_id=$l")
+          fs.delete(dst, true)
+          if (fs.exists(src)) fs.rename(src, dst)
+        }
+        fs.delete(tmp, true)
+      }
+      // floats FIRST (see ordering rationale above)
+      stageAndSwap("floats", keptF.unionByName(newF))
+      stageAndSwap("codes", keptC.unionByName(newC.select(codes.columns.map(col).toIndexedSeq: _*)))
+      affected.length.toLong
+    } finally {
+      rem.unpersist(); assigned.unpersist()
+    }
+  }
+
   /** Probe: prune lists → ADC top k·refine over codes → exact re-rank of
     * just those candidates against the float store (pruned to the SAME
     * lists — a candidate's vector lives in the list its code came from).

@@ -249,6 +249,65 @@ class PqSpec extends AnyFunSuite {
     assert(ex == exTruth, "exact branch must equal the brute-force filtered join")
   }
 
+  test("persistent store: sidecars round-trip; applyDelta touches only affected lists on BOTH stores; replay idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("pq-store").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val (codes0, floats0, ivfm, pqm) = Pq.readStore(spark, tmp)
+    // codebooks and centroids round-trip bit-exactly (same seeds → same fit)
+    assert(pqm.flat.toSeq == Pq.fit(corpus, "vec", 8, 16).flat.toSeq)
+    assert(codes0.count() == 400 && floats0.count() == 400)
+    // search over the reopened store behaves like the cached-index path
+    val viaStore = Pq.searchIvfPq(codes0, floats0, ivfm, pqm, "vec", "id", qVec, 5, nProbe = 6)
+      .select("id").as[Long].collect().toSeq
+    assert(viaStore.nonEmpty)
+
+    // planted delta: remove %9, negate %11 (upsert), add +10000 reversed %23
+    val removed = corpus.where(col("id") % 9 === 0).select("id")
+    val changed = corpus.where(col("id") % 11 === 0 && col("id") % 9 =!= 0)
+      .select(col("id"), transform(col("vec"), x => -x).as("vec"))
+    val added = corpus.where(col("id") % 23 === 0)
+      .select((col("id") + 10000L).as("id"), reverse(col("vec")).as("vec"))
+    val delta = changed.unionByName(added)
+    // affected lists derived independently so untouched dirs can be checked
+    val remIds = removed.as[Long].collect().toSet ++ delta.select("id").as[Long].collect().toSet
+    val affected =
+      floats0.where(col("id").isin(remIds.toSeq: _*)).select("list_id").as[Int].collect().toSet ++
+        Ivf.withListId(delta, ivfm, "vec").select("list_id").as[Int].collect().toSet
+    def mtimes(sub: String): Map[String, Long] =
+      new java.io.File(s"$tmp/$sub").listFiles().filter(_.getName.startsWith("list_id="))
+        .map(d => d.getName -> d.lastModified()).toMap
+    val (mc0, mf0) = (mtimes("codes"), mtimes("floats"))
+    val touched = Pq.applyDelta(spark, tmp, removed, delta, "vec", "id")
+    assert(touched == affected.size.toLong)
+    val (mc1, mf1) = (mtimes("codes"), mtimes("floats"))
+    (mc0.keySet -- affected.map(l => s"list_id=$l")).foreach { d =>
+      assert(mc0(d) == mc1(d), s"untouched codes dir $d was rewritten")
+      assert(mf0(d) == mf1(d), s"untouched floats dir $d was rewritten")
+    }
+
+    // post-delta exhaustive probe (all lists, refine pool ≥ corpus) equals
+    // the brute force over the post-delta vector set; removed never surface
+    val (codes1, floats1, _, _) = Pq.readStore(spark, tmp)
+    val postTruth = corpus.where(col("id") % 9 =!= 0 && col("id") % 11 =!= 0)
+      .select(col("id"), col("vec"))
+      .unionByName(changed.where(col("id") % 9 =!= 0))
+      .unionByName(added)
+    def searchNow(c: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.DataFrame) =
+      Pq.searchIvfPq(c, f, ivfm, pqm, "vec", "id", qVec, 10, nProbe = 6, refine = 100)
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = searchNow(codes1, floats1)
+    val truth = Search.topK(postTruth, "vec", "id", qVec, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == truth, s"post-delta search\n got $got\n want $truth")
+    assert(floats1.where(col("id") % 9 === 0 && col("id") < 10000).count() == 0)
+    assert(codes1.where(col("id") % 9 === 0 && col("id") < 10000).count() == 0)
+
+    // replay idempotence (at-least-once retry): same delta, same answer
+    Pq.applyDelta(spark, tmp, removed, delta, "vec", "id")
+    val (codes2, floats2, _, _) = Pq.readStore(spark, tmp)
+    assert(searchNow(codes2, floats2) == truth)
+  }
+
   test("null and zero vectors: null codes propagate, zero vector encodes deterministically") {
     val model = Pq.fit(corpus, "vec", m = 8, ksub = 16)
     val df = Seq(

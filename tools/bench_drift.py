@@ -66,18 +66,20 @@ def main() -> int:
 
     # Contention telemetry (round-14, codifying the rule SCALE.md r13
     # applied by hand): Bench records the START-of-run floor probe and the
-    # 1-min load average at both ends. The tail floor conflates ambient
-    # steal with the run's own GC wake, so the gate reads the start floor
-    # (ambient-only) and the start load (steal shows as load with no local
-    # processes). A round-close bench is REFUSED when either says the
-    # window was contended -- r13's three closing benches all ran under
-    # hypervisor steal and only a hand-written caveat kept the round
-    # honest.
+    # 1-min load average at both ends. floor_start is TELEMETRY ONLY — on
+    # a cold JVM it reads ~0.3s of JIT warm-up regardless of contention
+    # (measured: 0.32s at load 0.27), so the gate reads (a) the start load
+    # (hypervisor steal shows as load with no local processes — the r13
+    # signature) and (b) the TAIL floor against an absolute bar: a quiet
+    # full run ends at 0.05-0.07s; the one steal-polluted r14 run ended at
+    # 0.134s. A round-close bench is REFUSED when either says the window
+    # was contended — r13's three closing benches all ran under steal and
+    # only a hand-written caveat kept the round honest.
     fs, l0, l1 = (fresh.get("floor_start"), fresh.get("load1_start"),
                   fresh.get("load1_end"))
     if fs is not None:
-        print(f"contention: floor_start {fs:.3f}s, tail floor {ffresh:.3f}s, "
-              f"load1 {l0:.2f} -> {l1:.2f}")
+        print(f"contention: floor_start {fs:.3f}s (cold-JVM, telemetry only), "
+              f"tail floor {ffresh:.3f}s, load1 {l0:.2f} -> {l1:.2f}")
 
     print(f"drift: {len(common)} common queries, median ratio {med:.2f}, "
           f"floor ratio {floor_ratio:.2f}, {len(drifters)} query drifts >1.5x")
@@ -117,8 +119,9 @@ def main() -> int:
     # hard contention gate on the fresh run's own telemetry (independent of
     # the committed reference, so a contaminated reference can't grandfather
     # a contaminated fresh run)
-    if fs is not None and fs > 0.05:
-        fail.append(f"start-of-run floor probe {fs:.3f}s > 0.05s -- contended window")
+    if fs is not None and ffresh is not None and ffresh > 0.08:
+        fail.append(f"tail floor probe {ffresh:.3f}s > 0.08s -- contended window "
+                    "(quiet runs end at 0.05-0.07s)")
     if l0 is not None and l0 >= 0 and l0 > 4.0:
         fail.append(f"load1 {l0:.2f} at bench start with a cold JVM -- "
                     "hypervisor steal or a co-tenant; rerun in a quiet window")
