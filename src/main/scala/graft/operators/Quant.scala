@@ -99,11 +99,16 @@ object Quant {
       idCol: String,
       query: Seq[Double],
       k: Int,
+      filters: Seq[Column] = Nil,
   ): DataFrame = {
     require(!quantized.columns.contains("__sq8_d"), "input already has a '__sq8_d' column")
+    // flat scan, so filters stay EXACT (plain pushed wheres — the same
+    // contract as Search.topK; the reference's filter interface,
+    // backend/vector_db.py:131-170). The pruned-probe quantized paths get
+    // the cardinality gate instead (Ivf.search / Pq.searchIvfPq).
     Search.topK(
       quantized.withColumn("__sq8_d", col(codesCol).cast("array<double>")),
-      "__sq8_d", idCol, query, k,
+      "__sq8_d", idCol, query, k, filters,
     ).drop("__sq8_d")
   }
 
