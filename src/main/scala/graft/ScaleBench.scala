@@ -520,6 +520,17 @@ object ScaleBench {
       Hnsw.writeIndex(vecs, "embedding", "vec_id", p, nShards = 8 * scale)
       p
     })
+    // round 14: the compressed tier's maintenance path (Pq.applyDelta
+    // rewrites affected lists of BOTH stores — codes AND floats — so its
+    // churn curve should track ivf_apply_delta at roughly the float
+    // store's cost plus the narrow codes rewrite)
+    def pqStore(scale: Int): String = stores.getOrElseUpdate(("pq", scale), {
+      val vecs  = gen768(spark, scale, root)
+      val nList = math.max(32, math.sqrt(25000.0 * scale).toInt)
+      val p = java.nio.file.Files.createTempDirectory(s"sb-churn-pq$scale").toString + "/store"
+      Pq.writeStore(vecs, "embedding", "vec_id", p, nList, m = 96, ksub = 64)
+      p
+    })
     // fresh disjoint delta per (scale, churn, round): removals from one
     // residue class, inserts into an unused id range
     var round = 0
@@ -541,6 +552,10 @@ object ScaleBench {
         case "ivf" => () => {
           val (rem, add) = delta(scale, churn)
           Ivf.applyDelta(spark, ivfStore(scale), rem, add, "vec_id")
+        }
+        case "pq" => () => {
+          val (rem, add) = delta(scale, churn)
+          Pq.applyDelta(spark, pqStore(scale), rem, add, "embedding", "vec_id")
         }
         case _ => () => {
           val (rem, add) = delta(scale, churn)
@@ -568,6 +583,10 @@ object ScaleBench {
     if (want("hnsw")) {
       for (scale <- Seq(1, 4, 16).filter(_ <= maxScale).distinct) measure("hnsw", scale, 4)
       for (churn <- Seq(4, 16, 128)) measure("hnsw", hi, churn)
+    }
+    if (want("pq")) {
+      for (scale <- Seq(1, 4).filter(_ <= maxScale).distinct) measure("pq", scale, 128)
+      for (churn <- Seq(32, 256, 2048)) measure("pq", hi, churn)
     }
   }
 
