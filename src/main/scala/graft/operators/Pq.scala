@@ -322,7 +322,11 @@ object Pq {
     * fresh ids are invisible until the replayed batch completes the codes
     * swap. The reverse order could serve a candidate whose float row does
     * not exist yet, silently vacating a result slot. Replays are
-    * idempotent (upsert semantics on both stores).
+    * idempotent (upsert semantics on both stores) AND self-healing: the
+    * affected-list detection locates removals in BOTH stores, so lists
+    * whose floats swap completed before the crash still get their codes
+    * rewritten on the replay (floats-only detection would orphan those
+    * removed ids in codes permanently).
     *
     * Returns the number of affected lists.
     */
@@ -352,11 +356,20 @@ object Pq {
     val assigned = Ivf.withListId(added.select(col(idCol), col(vecCol)), ivfm, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // affected lists: one bounded-by-nList collect (removed rows located
-      // via a column-pruned scan of the float store, the id-keyed side)
+      // affected lists: one bounded-by-nList collect. Removed rows are
+      // located in BOTH stores, not just floats — after a crash between
+      // the floats swap and the codes swap, a replayed batch would find
+      // nothing left to remove in floats for the already-swapped lists and
+      // silently leave the removed ids in codes FOREVER (permanent stale
+      // candidates eating k·refine slots); the codes-side scan makes the
+      // replay self-healing at the cost of one column-pruned scan of the
+      // narrow code store.
       val affected = floats.select(col(idCol), col("list_id"))
         .join(rem, Seq(idCol), "left_semi")
         .select("list_id")
+        .union(codes.select(col(idCol), col("list_id"))
+          .join(rem, Seq(idCol), "left_semi")
+          .select("list_id"))
         .union(assigned.select("list_id"))
         .distinct().collect().map(_.getInt(0)).sorted
       if (affected.isEmpty) return 0L

@@ -308,6 +308,35 @@ class PqSpec extends AnyFunSuite {
     assert(searchNow(codes2, floats2) == truth)
   }
 
+  test("applyDelta replay self-heals a floats/codes divergence (crash between the two swaps)") {
+    val tmp = java.nio.file.Files.createTempDirectory("pq-heal").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val (_, floats0, _, _) = Pq.readStore(spark, tmp)
+    // plant the crash residue: id 42 vacates ITS FLOATS LIST ONLY (the
+    // state a kill between the floats swap and the codes swap leaves) —
+    // rewrite that one list dir without the row, codes untouched
+    val lid = floats0.where(col("id") === 42).select("list_id").as[Int].head()
+    val stage = java.nio.file.Files.createTempDirectory("pq-heal-stage").toString
+    floats0.where(col("list_id") === lid && col("id") =!= 42)
+      .drop("list_id").write.parquet(s"$stage/out")
+    val dir = new java.io.File(s"$tmp/floats/list_id=$lid")
+    dir.listFiles().foreach(_.delete())
+    new java.io.File(s"$stage/out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dir, f.getName).toPath))
+    val (codesD, floatsD, _, _) = Pq.readStore(spark, tmp)
+    assert(floatsD.where(col("id") === 42).count() == 0, "divergence planted")
+    assert(codesD.where(col("id") === 42).count() == 1, "codes still hold the ghost")
+    // the REPLAYED batch (id 42 among its removals) must rewrite the
+    // codes list even though floats has nothing left to remove there
+    val touched = Pq.applyDelta(spark, tmp, Seq(42L).toDF("id"), corpus.limit(0), "vec", "id")
+    assert(touched >= 1, "codes-side detection must flag the ghost's list")
+    val (codesH, floatsH, _, _) = Pq.readStore(spark, tmp)
+    assert(codesH.where(col("id") === 42).count() == 0, "ghost candidate must be healed")
+    assert(floatsH.where(col("id") === 42).count() == 0)
+  }
+
   test("null and zero vectors: null codes propagate, zero vector encodes deterministically") {
     val model = Pq.fit(corpus, "vec", m = 8, ksub = 16)
     val df = Seq(
