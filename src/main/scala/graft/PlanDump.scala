@@ -32,7 +32,7 @@ object PlanDump {
     "v10_bm25" -> "round 12: the doc length RIDES the term-filtered exploded stream (the token array materializes once; size() and explode() read the SAME array, the tf aggregate max-combines dl) — the corpus-wide (id, dl) lens join is GONE: no shuffle-join anywhere, every hash exchange moves |matching docs| rows",
     "v31_rerank_eval" -> "round 12 (closes the r11 weak): both retrieval legs cut top-10 via orderBy+limit = TakeOrderedAndProject (per-partition partial top-k, no full sort); the rank windows see <=10 rows, and PlanSpec asserts every UNPARTITIONED window in the query sits above a GlobalLimit; rankingMetrics' duplicate guards are inline raise_error aggregates, so neither retrieval pipeline re-executes for validation",
     "dq1_expectations" -> "round 12: five row-level rules compile into ONE shared 1-row aggregate over a single scan (stack-unpivoted); the uniqueness rule adds one key-grouped aggregate and the FK rule one anti-join count — rule count does not multiply scans",
-    "v33_hnsw_filtered" -> "round 13 (filtered HNSW): the broad-predicate leg semi-joins the allowed ids against a COLUMN-PRUNED (shard, ord, id) store projection (vectors/adjacency never move through the flag join), then the narrow (shard, ord, __ok) flags hash-repartition to the store's own (shard, numPartitions) layout and LEFT-JOIN back onto the wide rows — co-partitioning is planner-proven, so a persisted colocated store re-shuffles NOTHING (HnswSpec walks the executed plan: no ShuffleExchange outputs vec/links); per-shard filter-aware beams merge via TakeOrderedAndProject; the selective leg's cardinality gate routes to an exact allowed-id semi-join + brute-force top-k — and the UNFILTERED searchIndex plan stays join-free (asserted in HnswSpec)",
+    "v33_hnsw_filtered" -> "rounds 13+14 (filtered HNSW): the broad-predicate leg semi-joins the allowed ids against a COLUMN-PRUNED (shard, ord, id) store projection (vectors/adjacency never move through the flag join), then the narrow flag rows UNION with the store rows into ONE explicit shard repartition (REPARTITION_BY_COL — never rewritten by EnsureRequirements, never skew-split) and per-shard filter-aware beams merge via TakeOrderedAndProject. Round 14 replaced the round-13 flag-LEFT-JOIN formulation: under requireAllClusterKeysForCoPartition=true the planner rewrote both join inputs to hash(shard, ord) at the 768-d/100k tier — breaking shard-locality and moving the wide rows anyway (its zero-exchange plan at small scale was a broadcast-threshold artifact). The selective leg's cardinality gate routes to an exact allowed-id semi-join + brute-force top-k — and the UNFILTERED searchIndex plan stays join-free (asserted in HnswSpec)",
     "j13_bucketed_join" -> "round 13 (bucketed co-located join): both sides written bucketBy(8, doc_id)+sortBy as catalog tables, so the join on the bucket key needs NO shuffle exchange at any size — at this SF Catalyst broadcasts the tiny label side (also exchange-free); with broadcast disabled the bucket layout carries a SortMergeJoin with zero Exchange nodes (asserted in OperatorsSpec), the storage-level amortization of every later join on that key — note both scans report Bucketed: true, SelectedBucketsCount 8/8",
     "v40_ivfsq8_filtered" -> "round 14 (filtered search on the int8 store): the BROAD leg's scan stays PARTITION-PRUNED at the widened width (list_id IN over 7 of 8 lists lands in PartitionFilters) with the allowed-id semi-join on the pruned scan — the store never shuffles, only the narrow allowed ids move; the SELECTIVE leg's cardinality gate routes to the exact branch: a full (unpruned) code scan semi-joined to the few allowed survivors + TakeOrderedAndProject — exact by construction, cheap because the filter is what bounds it",
     "v42_ivfsq8_filtered_knn_join" -> "round 14 (filtered batch join, quantized): queries fan out to their widened lists as narrow rows and equi-join the code store on list_id (candidate volume |q|·n·nProbe'/nList, never all-pairs); the allowed-id semi-join lands on the bounded candidate frame; per-query top-k via the map-side-combined TopKScored aggregate, so the final exchange carries ≤ k rows per (query, partition); the exact leg is the brute-force join over allowed code rows with the same aggregate bound",

@@ -899,18 +899,34 @@ object Hnsw {
     *  3. broad predicates run the filter-aware beam: allowed ids
     *     semi-join a COLUMN-PRUNED (shard, ord, id) projection of the
     *     store (vectors and adjacency never move through the flag join),
-    *     and the resulting NARROW (shard, ord) flags — hash-repartitioned
-    *     to the store's own (shard, numPartitions) layout — left-join back
-    *     onto the wide rows as an `__ok` tag. Because both sides then hash
-    *     on shard with equal partition counts, the join plans with ZERO
-    *     exchange on the store side: a persisted `colocated(index)` never
-    *     re-shuffles its ~7 KB/node rows per query (only the flags move),
-    *     and an un-colocated store pays the one shard shuffle the
-    *     unfiltered path pays too. Each shard's traversal passes THROUGH
-    *     blocked nodes but admits only allowed ones to its beam
+    *     and the resulting NARROW (shard, ord) flag rows UNION with the
+    *     store rows into ONE explicit `repartition(shard)` — [[knnJoin]]'s
+    *     device — so every shard's nodes and flags land in one task by
+    *     construction. Each shard's traversal passes THROUGH blocked
+    *     nodes but admits only allowed ones to its beam
     *     ([[searchGraphFiltered]]), with the beam width oversampled to
     *     that same `ceil(max(efSearch,k)/sel)` so the expected allowed
     *     mass in the beam stays ≥ efSearch.
+    *
+    *     Round-14 note — why this REPLACED the round-13 formulation that
+    *     LEFT-JOINED the flags onto the store on (shard, ord): under
+    *     Spark's default `requireAllClusterKeysForCoPartition=true`, two
+    *     sides hash-partitioned on `shard` alone do NOT count as
+    *     co-partitioned for a (shard, ord)-keyed join, and
+    *     EnsureRequirements REWRITES the user repartitions to
+    *     hash(shard, ord) — silently spreading each shard across
+    *     partitions (the graph rebuild's correctness invariant) and
+    *     moving the wide rows anyway; with the defensive re-assert that
+    *     kept it correct, the join formulation paid TWO wide shuffles
+    *     (measured 16.1 s vs 4.5 s claimed at the 768-d/100k tier). The
+    *     small-scale plan looked fine because the flags side BROADCASTS
+    *     below the join threshold — the zero-exchange property was an
+    *     estimate-size artifact, not a guarantee. The union device pays
+    *     exactly ONE wide exchange (REPARTITION_BY_COL — never rewritten,
+    *     no downstream requirement to rewrite toward; never skew-split,
+    *     AQE only splits ENSURE_REQUIREMENTS shuffles), the same
+    *     co-locating exchange the unfiltered path pays on an
+    *     un-colocated store.
     *
     * `selectivityHint` (0, 1] skips step 1's estimate scan entirely — a
     * caller issuing many queries with a known-selectivity predicate class
@@ -963,65 +979,36 @@ object Hnsw {
         .select(col("id").as(idCol), col("score"))
     } else {
       val efF = needEf.toInt
-      // Allowed-node flags are computed on a COLUMN-PRUNED (shard, ord, id)
-      // projection of the store — the id semi-join never moves vectors or
-      // adjacency (joining the WIDE rows instead shuffled ~7 KB/node and
-      // tripled the broad-filter search time at the 768-d/100k tier). The
-      // narrow flags then hash-repartition to the store's OWN layout
-      // (shard key, matching partition count) and left-join back onto the
-      // wide rows: both sides hash on shard with equal counts, so the
-      // planner proves co-partitioning and inserts NO exchange on the
-      // store side — a persisted colocated(index) serves repeated filtered
-      // queries with only the flags moving (the union-and-repartition
-      // formulation this replaces re-shuffled every wide row per query).
-      val store = colocated(index)
-      val nParts =
-        try store.queryExecution.executedPlan.outputPartitioning match {
-          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-            h.numPartitions
-          case _ => spark.sessionState.conf.numShufflePartitions
-        } catch {
-          case scala.util.control.NonFatal(_) => spark.sessionState.conf.numShufflePartitions
-        }
-      val flags = pinnedStore(index)
+      // UNION DEVICE ([[knnJoin]]'s shape — see the scaladoc's round-14
+      // note for why this replaced the flag-JOIN formulation): allowed-node
+      // flags are computed on a COLUMN-PRUNED (shard, ord, id) projection
+      // of the store (the id semi-join never moves vectors or adjacency),
+      // then the narrow flag rows union with the store rows into ONE
+      // explicit shard repartition — shard-locality of nodes AND flags is
+      // guaranteed by construction, immune to join-strategy and
+      // co-partitioning planning at any scale. kinds: 0 = store row,
+      // 2 = allowed-flag marker (knnJoin's encoding).
+      val flagRows = pinnedStore(index)
         .select(col("shard"), col("ord"), col("id"))
         .join(allowed, Seq("id"), "left_semi")
-        .select(col("shard"), col("ord"), lit(1).as("__ok"))
-        .repartition(nParts, col("shard"))
-      val joined = store
-        .join(flags, Seq("shard", "ord"), "left")
-        .select(col("shard"), col("ord"), col("id"), col("level"), col("vec"),
-          col("links"), col("entry"), col("max_level"), col("__ok"))
-      // Layout guard: the mapPartitions graph rebuild REQUIRES every shard's
-      // rows in one partition but declares no distribution the planner could
-      // enforce. The common path holds structurally — the store side is
-      // hash(shard), the flags side is explicitly repartitioned to the same
-      // (key, count), so the SMJ elides the store exchange and its output
-      // inherits hash(shard); AQE's OptimizeSkewedJoin cannot split it
-      // either, because that rule only rewrites ENSURE_REQUIREMENTS shuffles
-      // and the flags exchange is REPARTITION_BY_COL (user-specified
-      // layouts are never skew-split, on either side of the pattern). The
-      // residual hazard is a store frame whose layout the planner can NOT
-      // prove: EnsureRequirements then keys fresh exchanges on (shard, ord),
-      // silently spreading one shard across partitions and tripping
-      // graphOf's "store hole" on a valid store — so re-assert hash(shard)
-      // in exactly that case. HnswSpec's zero-wide-exchange assertion pins
-      // the common path to the no-repartition branch.
-      val shardLocal =
-        try joined.queryExecution.executedPlan.outputPartitioning match {
-          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-            h.expressions.forall(e =>
-              e.references.nonEmpty && e.references.forall(_.name.equalsIgnoreCase("shard")))
-          case _ => false
-        } catch { case scala.util.control.NonFatal(_) => false }
-      val layoutSafe = if (shardLocal) joined else joined.repartition(nParts, col("shard"))
-      val candidates = layoutSafe
+        .select(col("shard"), col("ord"), lit(0L).as("id"), lit(0).as("level"),
+          typedLit(Seq.empty[Double]).as("vec"), typedLit(Seq.empty[Seq[Int]]).as("links"),
+          lit(0).as("entry"), lit(0).as("max_level"), lit(2).as("__kind"))
+      val unioned = pinnedStore(index).withColumn("__kind", lit(0))
+        .unionByName(flagRows)
+        .repartition(col("shard"))
+      val candidates = unioned
         .mapPartitions { rows =>
           rows.toSeq.groupBy(_.getLong(0)).iterator.flatMap { case (_, shardRows) =>
-            val g  = graphOf(shardRows)
-            val ok = new java.util.BitSet(g.size)
-            shardRows.foreach(r => if (!r.isNullAt(8)) ok.set(r.getInt(1)))
-            searchGraphFiltered(g, q, k, efF, ok).iterator
+            val byKind   = shardRows.groupBy(_.getInt(8))
+            val nodeRows = byKind.getOrElse(0, Seq.empty)
+            if (nodeRows.isEmpty) Iterator.empty
+            else {
+              val g  = graphOf(nodeRows)
+              val ok = new java.util.BitSet(g.size)
+              byKind.getOrElse(2, Seq.empty).foreach(r => ok.set(r.getInt(1)))
+              searchGraphFiltered(g, q, k, efF, ok).iterator
+            }
           }
         }
         .toDF(idCol, "score")
@@ -1191,8 +1178,14 @@ object Hnsw {
 
   def colocated(index: DataFrame): DataFrame = {
     val pinned = pinnedStore(index)
+    // sparkPlan, NOT executedPlan: with AQE on, executedPlan is an
+    // AdaptiveSparkPlanExec LEAF whose outputPartitioning is
+    // UnknownPartitioning(0) before execution, so the old executedPlan
+    // read made this check ALWAYS false under AQE — every call silently
+    // re-shuffled an already-colocated (e.g. persisted) store. The
+    // pre-adaptive physical plan reports the static layout.
     val already =
-      try index.queryExecution.executedPlan.outputPartitioning match {
+      try index.queryExecution.sparkPlan.outputPartitioning match {
         case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
           h.expressions.map(_.sql.toLowerCase(java.util.Locale.ROOT)).exists(_.contains("shard"))
         case _ => false

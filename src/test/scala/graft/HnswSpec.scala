@@ -395,7 +395,17 @@ class HnswSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean filtered recall $mean: $recalls")
   }
 
-  test("filtered beam against a persisted colocated store: no exchange moves the wide rows") {
+  test("filtered beam: exactly ONE wide exchange (the explicit shard union), never a planner-keyed rewrite") {
+    // Round-14 contract (replacing the round-13 zero-wide-exchange
+    // aspiration, which was an estimate-size artifact: the flag JOIN's
+    // store side only stayed unshuffled when the flags side broadcast;
+    // under requireAllClusterKeysForCoPartition=true EnsureRequirements
+    // rewrote both sides to hash(shard, ord) at the 768-d/100k tier —
+    // breaking shard-locality and costing TWO wide shuffles once
+    // re-asserted). The union device pays exactly ONE wide exchange: the
+    // explicit REPARTITION_BY_COL on shard, whose layout the graph
+    // rebuild's correctness rests on — assert both the count and that no
+    // wide exchange is keyed on anything beyond shard.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -410,9 +420,6 @@ class HnswSpec extends AnyFunSuite {
         filters = Seq(col("grp") === 1), payload = payloadDf, maxEf = 4096)
       val got = res.select("id").as[Long].collect().toSet
       assert(got.nonEmpty && got.forall(_ % 4 == 1), s"disallowed ids surfaced: $got")
-      // every shuffle in the executed plan must be NARROW: the store's
-      // vectors and adjacency never re-exchange on a pre-colocated store —
-      // only the (shard, ord, __ok) flags and the final top-k rows move
       def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = {
         val kids = p match {
           case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -424,8 +431,15 @@ class HnswSpec extends AnyFunSuite {
       }
       val wide = exchanges(res.queryExecution.executedPlan)
         .filter(_.output.exists(a => a.name == "vec" || a.name == "links"))
-      assert(wide.isEmpty,
-        s"an exchange moved the wide store rows:\n${wide.map(_.treeString).mkString("\n")}")
+      assert(wide.size <= 1,
+        s"expected at most the one shard-union exchange, got ${wide.size}:\n${wide.map(_.treeString).mkString("\n")}")
+      wide.foreach(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          assert(h.expressions.forall(
+            _.references.forall(_.name.equalsIgnoreCase("shard"))),
+            s"wide exchange keyed beyond shard (planner rewrite!): ${h.expressions}")
+        case other => fail(s"wide exchange is not hash-partitioned: $other")
+      })
     } finally { coloc.unpersist(); () }
   }
 
