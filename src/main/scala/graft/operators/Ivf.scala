@@ -955,6 +955,15 @@ object Ivf {
     * [[search]]'s contract: the vector the margin geometry runs in —
     * a quantized store's margins are meaningless against a raw float
     * query ([[Quant.sq8QueryCodes]]).
+    *
+    * Filtered queries run behind [[search]]'s CARDINALITY GATE (the rest
+    * of the family gained it in rounds 13–14; this entry point silently
+    * kept the geometry-chosen width and hit the same recall cliff): the
+    * geometry picks the base width, the gate widens it by `1/sel` —
+    * overriding `maxProbe`, which bounds the GEOMETRY's appetite, not the
+    * floor the predicate imposes — and routes to the exact brute-force
+    * branch once the widened probe reaches nList. Filters here reference
+    * the store's own columns ([[search]]'s `payload == null` carrier).
     */
   def searchAdaptive(
       indexed: DataFrame,
@@ -968,9 +977,21 @@ object Ivf {
       maxProbe: Int = Int.MaxValue,
       filters: Seq[Column] = Nil,
       routeVec: Seq[Double] = null,
+      selectivityHint: Double = Double.NaN,
   ): DataFrame = {
-    val lists = model.adaptiveProbeLists(
-      if (routeVec == null) queryVec else routeVec, margin, minProbe, maxProbe)
+    val rv = if (routeVec == null) queryVec else routeVec
+    var lists = model.adaptiveProbeLists(rv, margin, minProbe, maxProbe)
+    if (filters.nonEmpty && lists.nonEmpty) {
+      val pred = filters.reduce(_ && _)
+      val sel  = Search.estimatedSelectivity(indexed, pred, selectivityHint)
+      val widened =
+        if (sel == 0d) Double.PositiveInfinity
+        else math.ceil(lists.length.toDouble / sel)
+      if (widened >= model.centroids.length)
+        return Search.topK(indexed, vecCol, idCol, queryVec, k, filters)
+      if (widened > lists.length)
+        lists = model.adaptiveProbeLists(rv, margin, widened.toInt, widened.toInt)
+    }
     Search.topK(
       indexed.where(col("list_id").isin(lists: _*)),
       vecCol, idCol, queryVec, k, filters)

@@ -284,8 +284,14 @@ object Pq {
       ksub: Int = 256,
       seed: Long = 42L,
   ): Unit = {
-    val pqm              = fit(df, vecCol, m, ksub, seed)
-    val (assigned, ivfm) = Ivf.assign(df, vecCol, nList, seed = seed)
+    // Project to exactly (id, vec) before assignment: applyDelta rebuilds
+    // added rows from only these two columns, so a floats store persisted
+    // with payload columns could be created but never maintained
+    // (`assigned.select(floats.columns…)` would throw). Payload belongs in
+    // the source table, joined back by id after the probe.
+    val proj             = df.select(col(idCol), col(vecCol))
+    val pqm              = fit(proj, vecCol, m, ksub, seed)
+    val (assigned, ivfm) = Ivf.assign(proj, vecCol, nList, seed = seed)
     val coded            = pqTable(assigned, vecCol, pqm)
     coded.select(col(idCol), col("pq_codes"), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(root + "/codes")

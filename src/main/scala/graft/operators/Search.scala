@@ -273,7 +273,7 @@ object Search {
     * same), corpus-proportional only in scan bytes, never in shuffle.
     * 0.0 means NOTHING passes (callers short-circuit to an empty result).
     */
-  private[operators] def estimatedSelectivity(
+  private[graft] def estimatedSelectivity(
       payload: DataFrame, pred: Column, hint: Double): Double =
     if (!hint.isNaN) {
       require(hint > 0d && hint <= 1d, s"selectivityHint must be in (0, 1]: $hint")

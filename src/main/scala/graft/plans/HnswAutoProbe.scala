@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.CosineSimilarity
-import graft.operators.Hnsw
+import graft.operators.{Hnsw, Search}
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -27,21 +27,41 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
   * beam output re-aliased to the original output attribute ids, so
   * downstream operators resolve unchanged.
   *
-  * Unlike the IVF rule (which only INJECTS a partition filter, so any
-  * user predicate survives), this rewrite SUBSTITUTES the subtree, so the
-  * match is strictly conservative:
+  * FILTERED queries route too (round 15 — the reference's CANONICAL query
+  * is *filtered* k-NN, `backend/vector_db.py:131-170`, and until now the
+  * declarative form silently kept the exact scan):
+  * `store.where(pred).orderBy(cos.desc).limit(k)` rewrites to
+  * [[Hnsw.searchIndex]] with `filters = pred` and the store itself
+  * (column-pruned to id + the predicate's columns) as the payload frame —
+  * so the declarative query inherits the CARDINALITY GATE verbatim:
+  * selective predicates take the exact semi-join branch, broad ones the
+  * flag-aware beam with the oversampled width. Both branches are the
+  * explicit API's plans, value-identical to calling searchIndex directly.
   *
-  *  - sort key: descending cosine against a literal query vector over the
-  *    relation's own `vec` column (directly or through one Project alias);
+  * Because this rewrite SUBSTITUTES the subtree, the match is strictly
+  * conservative:
+  *
+  *  - sort: EXACTLY descending cosine against a literal query vector over
+  *    the relation's own `vec` column (directly or through one Project
+  *    alias), alone or with the beam's own id-ascending tiebreak as the
+  *    only secondary key — any other secondary sort would be silently
+  *    replaced by the beam's (score, id) ordering, so it refuses;
   *  - the path from the sort to the relation may contain only Projects
-  *    and the NaN/null guards `Search.topK` plants (any other filter or a
-  *    join would be silently dropped by a substitution — refused);
+  *    and Filters; every Filter conjunct must be either one of the guards
+  *    `Search.topK` plants — `NOT isnan(score)` / `IS NOT NULL` REFERENCING
+  *    THE SCORE OR VECTOR column (an inferred not-null on an unrelated
+  *    column is a user predicate, not a guard) — or a predicate over the
+  *    store's own non-vector columns, which routes through the gate;
+  *    anything else (a join, a predicate on the score, a predicate
+  *    touching `vec`) keeps the exact scan;
   *  - the subtree's OUTPUT must reach only the store's `id` and the
   *    cosine alias (the searchIndex contract); a consumer reading `vec`
   *    or adjacency columns keeps the exact scan.
   *
   * Same recall trade as [[Hnsw.searchIndex]] (beam width
-  * `spark.graft.hnsw.efSearch`, default 64), so it is OPT-IN:
+  * `spark.graft.hnsw.efSearch`, default 64; filtered-branch cap
+  * `spark.graft.hnsw.maxEf`, default 4096; optional estimate-scan skip
+  * `spark.graft.hnsw.selectivityHint`), so it is OPT-IN:
   * `spark.graft.hnsw.autoProbe=true`. Registered via
   * [[graft.GraftExtensions]] (spark-submit) or
   * `spark.experimental.extraOptimizations` (live session).
@@ -52,6 +72,10 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("spark.graft.hnsw.autoProbe").exists(_.toBoolean)
   private def efSearch: Int =
     spark.conf.getOption("spark.graft.hnsw.efSearch").map(_.toInt).getOrElse(64)
+  private def maxEf: Int =
+    spark.conf.getOption("spark.graft.hnsw.maxEf").map(_.toInt).getOrElse(4096)
+  private def selectivityHint: Double =
+    spark.conf.getOption("spark.graft.hnsw.selectivityHint").map(_.toDouble).getOrElse(Double.NaN)
 
   /** The sort under the limit pair, looking through one column-pruning
     * Project — `Search.topK(...).select("id", "score")`'s optimized shape.
@@ -72,7 +96,6 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
         val rewritten = for {
           (qv, vecExpr) <- queryVector(s.order.head.child, child)
           (rel, root)   <- hnswStore(child)
-          if benignPath(child, rel)
           // the ranked column must BE the store's vector column — beam
           // geometry over a different column would be uncorrelated with
           // the sort and silently destroy recall
@@ -82,19 +105,43 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           if rel.output.exists(a => a.exprId == vecAttr.exprId && a.name == "vec")
           idAttr <- rel.output.collectFirst { case a: AttributeReference if a.name == "id" => a }
+          // the ONLY admissible secondary sort key is the beam's own
+          // tiebreak (id ascending) — any other would be silently replaced
+          // by the substitution's (score, id) ordering
+          if s.order.length == 1 || (s.order.length == 2 &&
+            s.order(1).direction == Ascending && (s.order(1).child match {
+              case a: AttributeReference => a.exprId == idAttr.exprId
+              case _                     => false
+            }))
           scoreId = s.order.head.child match {
             case a: AttributeReference => Some(a.exprId)
             case _                     => None
           }
+          preds <- pathPredicates(child, rel, vecAttr, scoreId)
+          if preds.forall(p =>
+            p.references.nonEmpty &&
+              p.references.forall(a => rel.outputSet.contains(a) && a.exprId != vecAttr.exprId))
           // substitution contract: every output must map onto the beam's
           // (id, score) — anything else keeps the exact scan
           if orig.output.forall(a =>
             a.exprId == idAttr.exprId || scoreId.contains(a.exprId))
         } yield {
-          val hits = Hnsw.searchIndex(
-            GraftBridge.ofRows(spark, rel), qv.toSeq, "id", k, efSearch)
-          val hplan              = GraftBridge.analyzed(hits)
-          val Seq(hId, hScore)   = hplan.output.take(2)
+          val store = GraftBridge.ofRows(spark, rel)
+          val hits =
+            if (preds.isEmpty) Hnsw.searchIndex(store, qv.toSeq, "id", k, efSearch)
+            else {
+              // the store itself is the payload carrier: prune to id + the
+              // predicate's columns so the gate's estimate scan and the
+              // allowed-id semi-join never move vectors or adjacency
+              val payloadAttrs = idAttr +: preds.flatMap(_.references)
+                .filter(_.exprId != idAttr.exprId).distinct.toSeq
+              val payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*)
+              Hnsw.searchIndex(store, qv.toSeq, "id", k, efSearch,
+                filters = preds.map(GraftBridge.column),
+                payload = payload, maxEf = maxEf, selectivityHint = selectivityHint)
+            }
+          val hplan            = GraftBridge.analyzed(hits)
+          val Seq(hId, hScore) = hplan.output.take(2)
           val aliased = orig.output.map { a =>
             val src = if (a.exprId == idAttr.exprId) hId else hScore
             Alias(src, a.name)(exprId = a.exprId)
@@ -146,21 +193,46 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     }.flatten
 
   /** Substitution safety: the path from the sort's child to the relation
-    * may contain only Projects and the NaN/null guards `Search.topK`
-    * plants — any other predicate (or a join) would be dropped by the
-    * substitution, so the rewrite refuses.
+    * may contain only Projects and Filters. Returns the USER predicate
+    * conjuncts (to route through the filtered gate) with `Search.topK`'s
+    * own guards stripped; None means the path holds something a
+    * substitution would drop (a join, a set op) — refuse.
+    *
+    * A guard is benign ONLY when it references the score or the vector
+    * (ADVICE r14: the old version accepted `NOT isnan(x)` / `x IS NOT
+    * NULL` on ANY column and silently dropped user guards): after filter
+    * pushdown the planted `NOT isnan(score)` may reference the score
+    * alias OR the inlined cosine over `vec`, and constraint inference
+    * plants `vec IS NOT NULL` — both shapes resolve to {vec, score}.
     */
-  private def benignPath(p: LogicalPlan, rel: LogicalRelation): Boolean = p match {
-    case r: LogicalRelation         => r eq rel
-    case Project(_, c)              => benignPath(c, rel)
-    case Filter(cond, c)            => benignCond(cond) && benignPath(c, rel)
-    case _                          => false
+  private def pathPredicates(
+      p: LogicalPlan,
+      rel: LogicalRelation,
+      vecAttr: AttributeReference,
+      scoreId: Option[ExprId],
+  ): Option[Seq[Expression]] = {
+    def benign(c: Expression): Boolean = {
+      def scoreOrVec(e: Expression): Boolean =
+        e.references.nonEmpty && e.references.forall(a =>
+          a.exprId == vecAttr.exprId || scoreId.contains(a.exprId))
+      c match {
+        case Not(IsNaN(e)) => scoreOrVec(e)
+        case IsNotNull(e)  => scoreOrVec(e)
+        case _             => false
+      }
+    }
+    p match {
+      case r: LogicalRelation if r eq rel => Some(Nil)
+      case Project(_, c)                  => pathPredicates(c, rel, vecAttr, scoreId)
+      case Filter(cond, c) =>
+        pathPredicates(c, rel, vecAttr, scoreId)
+          .map(splitConjunctivePredicates(cond).filterNot(benign) ++ _)
+      case _ => None
+    }
   }
 
-  private def benignCond(c: Expression): Boolean = c match {
-    case And(a, b)     => benignCond(a) && benignCond(b)
-    case Not(IsNaN(_)) => true
-    case IsNotNull(_)  => true
-    case _             => false
+  private def splitConjunctivePredicates(c: Expression): Seq[Expression] = c match {
+    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
+    case other     => Seq(other)
   }
 }

@@ -1,8 +1,8 @@
 package graft.plans
 
 import graft.functions.CosineSimilarity
-import graft.operators.Ivf
-import org.apache.spark.sql.SparkSession
+import graft.operators.{Ivf, Search}
+import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -24,6 +24,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * it lands in the scan's `PartitionFilters`: only nProbe/nList of a
   * 100 TB store's files are listed and read.
   *
+  * FILTERED queries get [[Ivf.search]]'s CARDINALITY GATE (round 15 — the
+  * reference's canonical query is filtered k-NN, `backend/vector_db.py:
+  * 131-170`, and a fixed-width probe under a selective predicate keeps
+  * only `sel` of the probed mass: recall cliff): when user predicates sit
+  * between the sort and the relation, the probe width widens to
+  * `ceil(nProbe/sel)` (sel from the gate's shared one-aggregate estimate,
+  * or `spark.graft.ivf.selectivityHint`), and once the widened probe
+  * reaches nList the rule DECLINES — the user's own plan IS the exact
+  * branch (brute-force over the filtered store), strictly cheaper than a
+  * prune that reads everything anyway. Because this rule only INJECTS a
+  * filter, user predicates always survive verbatim on either path; the
+  * gate merely picks the width, exactly like the explicit
+  * `Ivf.search(filters = …)` call.
+  *
   * The rewrite trades exactness for recall exactly like [[Ivf.search]], so
   * it is OPT-IN: `spark.graft.ivf.autoProbe=true` (probe width
   * `spark.graft.ivf.nProbe`, default 4). Registered via
@@ -42,6 +56,8 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("spark.graft.ivf.autoProbe").exists(_.toBoolean)
   private def nProbe: Int =
     spark.conf.getOption("spark.graft.ivf.nProbe").map(_.toInt).getOrElse(4)
+  private def selectivityHint: Double =
+    spark.conf.getOption("spark.graft.ivf.selectivityHint").map(_.toDouble).getOrElse(Double.NaN)
 
   /** The sort under the limit pair, looking through one column-pruning
     * Project: `topK(...).select(cols)` optimizes to
@@ -81,17 +97,65 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           if stored.column.forall(_ == relVec.name)
           model = stored.model
           if model.centroids.nonEmpty && model.centroids.head.length == qv.length
+          width <- gatedWidth(child, rel, relVec, listAttr, model.centroids.length)
         } yield {
-          val probes = model.probeLists(qv.toSeq, nProbe)
-          val pruned = child.transformUp {
-            case r: LogicalRelation if r eq rel =>
-              Filter(In(listAttr, probes.map(i => Literal(i))), r)
+          if (width >= model.centroids.length) orig // probing everything — the user's exact plan wins
+          else {
+            val probes = model.probeLists(qv.toSeq, width)
+            val pruned = child.transformUp {
+              case r: LogicalRelation if r eq rel =>
+                Filter(In(listAttr, probes.map(i => Literal(i))), r)
+            }
+            val newSort = s.copy(child = pruned)
+            GlobalLimit(gl, LocalLimit(ll, proj.map(p => p.copy(child = newSort)).getOrElse(newSort)))
           }
-          val newSort = s.copy(child = pruned)
-          GlobalLimit(gl, LocalLimit(ll, proj.map(p => p.copy(child = newSort)).getOrElse(newSort)))
         }
         rewritten.getOrElse(orig)
     }
+
+  /** [[Ivf.search]]'s cardinality gate in rule form. User predicates are
+    * the Filter conjuncts between the sort and the relation whose
+    * references live entirely in the relation, excluding the guards
+    * `Search.topK` plants (NOT-isnan / not-null on the vector or a
+    * non-relation score alias resolves to references outside `rel` or on
+    * `relVec` — both skipped, they don't cut candidate mass). With no user
+    * predicates the width is the configured nProbe unchanged; `None` is
+    * never returned here (injection drops nothing), the Option is just
+    * for-comprehension plumbing.
+    */
+  private def gatedWidth(
+      child: LogicalPlan,
+      rel: LogicalRelation,
+      relVec: AttributeReference,
+      listAttr: AttributeReference,
+      nList: Int,
+  ): Option[Int] = {
+    def split(c: Expression): Seq[Expression] = c match {
+      case And(a, b) => split(a) ++ split(b)
+      case other     => Seq(other)
+    }
+    def onPath(p: LogicalPlan): Seq[Expression] = p match {
+      case r: LogicalRelation if r eq rel => Nil
+      case Project(_, c)                  => onPath(c)
+      case Filter(cond, c)                => split(cond) ++ onPath(c)
+      case other                          => other.children.flatMap(onPath)
+    }
+    val userPreds = onPath(child).filter { c =>
+      c.references.nonEmpty &&
+        c.references.forall(a => rel.outputSet.contains(a)) &&
+        !c.references.contains(relVec) && !c.references.contains(listAttr) &&
+        !(c match { case Not(IsNaN(_)) => true; case _ => false })
+    }
+    if (userPreds.isEmpty) Some(math.min(nProbe, nList))
+    else {
+      val store = GraftBridge.ofRows(spark, rel)
+      val pred  = userPreds.map(GraftBridge.column).reduce(_ && _)
+      val sel   = Search.estimatedSelectivity(store, pred, selectivityHint)
+      val base  = math.min(nProbe, nList)
+      if (sel == 0d) Some(nList) // nothing passes — decline, exact plan returns empty for free
+      else Some(math.min(math.ceil(base.toDouble / sel), nList.toDouble).toInt)
+    }
+  }
 
   private def stripCasts(e: Expression): Expression = e match {
     case Cast(c, _, _, _) => stripCasts(c)

@@ -33,8 +33,42 @@ import org.apache.spark.sql.functions._
   * With `opCol` set, the stream is a CDC feed: rows whose `opCol` equals
   * `deleteOp` are removals (vector column ignored), everything else
   * upserts. With `opCol` null every row is an upsert.
+  *
+  * INTRA-batch ordering: applyDelta takes (removed, added) SETS and lets
+  * adds win, so an id that is upserted then deleted within the SAME
+  * micro-batch would be resurrected if both rows reached the split. A
+  * DataFrame carries no row order, so "last op" needs an explicit
+  * sequence: pass `seqCol` (monotone per id — a CDC LSN, kafka offset,
+  * event timestamp) and each id's highest-sequence row alone decides its
+  * fate. Without `seqCol`, an id MUST appear at most once per micro-batch
+  * — enforced here (fail-fast) rather than silently undoing a delete.
+  * Inter-batch ordering holds either way (batches apply serially).
   */
 object HnswStream {
+
+  /** Collapse a CDC micro-batch to one row per id — the `seqCol`-max row
+    * wins (ties broken toward the delete: equal-sequence upsert+delete is
+    * producer misbehavior, and dropping the id is the recoverable side —
+    * a resurrected ghost id is not). Shared with [[PqStream]].
+    */
+  private[streaming] def lastOpPerId(
+      batch: DataFrame,
+      idCol: String,
+      seqCol: String,
+      opCol: String,
+      deleteOp: String,
+  ): DataFrame = {
+    val cols = struct(
+      col(seqCol).as("_seq"),
+      (col(opCol) === deleteOp).as("_del"),
+      col("*"),
+    )
+    batch
+      .groupBy(col(idCol).as("_gid"))
+      .agg(max(cols).as("_last")) // (seq, del) lexicographic: max seq, delete wins ties
+      .select(col("_last.*"))
+      .drop("_seq", "_del", "_gid")
+  }
 
   def into(
       stream: DataFrame,
@@ -44,11 +78,22 @@ object HnswStream {
       idCol: String,
       opCol: String = null,
       deleteOp: String = "delete",
+      seqCol: String = null,
       availableNow: Boolean = true,
   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(seqCol == null || opCol != null, "seqCol requires opCol (pure upserts need no ordering)")
     val w = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        val batch =
+          if (seqCol != null) lastOpPerId(raw, idCol, seqCol, opCol, deleteOp)
+          else raw
+        if (seqCol == null && opCol != null) {
+          val dup = batch.groupBy(col(idCol)).count().where(col("count") > 1).limit(1).count()
+          require(dup == 0,
+            s"HnswStream: id appears more than once in a micro-batch with no seqCol — " +
+              "intra-batch op order is undefined; pass seqCol to resolve")
+        }
         val (removed, added) =
           if (opCol == null)
             (batch.limit(0).select(col(idCol)), batch.select(col(idCol), col(vecCol)))

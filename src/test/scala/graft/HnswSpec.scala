@@ -147,11 +147,54 @@ class HnswSpec extends AnyFunSuite {
       val plain = Search.topK(df, "vec", "id", q, 5)
       assert(!plain.queryExecution.optimizedPlan.toString.contains("MapPartitions"))
       assert(plain.count() == 5)
-      // a query with a REAL predicate must not be rewritten (substitution
-      // would drop it): the filter survives and so does the scoring scan
-      val filtered = Search.topK(store, "vec", "id", q, 5, filters = Seq(col("id") % 2 === 0))
-      assert(filtered.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      // a query with a REAL predicate routes through the GATED filtered
+      // search (round 15 — before, it silently kept the exact scan): broad
+      // predicate (sel 0.5, needEf 128 ≤ maxEf) → the flag-aware beam, no
+      // scoring scan, values exactly the explicit searchIndex call's
+      val fpred    = col("id") % 2 === 0
+      val filtered = Search.topK(store, "vec", "id", q, 5, filters = Seq(fpred))
+        .select("id", "score")
+      val fplan = filtered.queryExecution.optimizedPlan.toString
+      assert(!fplan.contains("cosine_similarity"), s"broad filter must ride the beam:\n$fplan")
+      val viaFilteredApi = Hnsw.searchIndex(store, q, "id", 5, efSearch = 64,
+        filters = Seq(fpred), payload = store.select("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(filtered.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaFilteredApi)
       assert(filtered.select("id").as[Long].collect().forall(_ % 2 == 0))
+      // selective predicate (sel 0.01 → needEf 6400 > maxEf 4096) → the
+      // EXACT branch: allowed-id semi-join + brute force over survivors,
+      // value-identical to the filtered brute force over the corpus
+      val spred  = col("id") % 100 === 0
+      val selective = Search.topK(store, "vec", "id", q, 4, filters = Seq(spred))
+        .select("id", "score")
+      assert(selective.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "selective filter must take the exact semi-join branch")
+      // values: exactly the explicit call's (same plan); ids: the filtered
+      // brute force (score ULPs can differ between the store scan's codegen
+      // and the LocalRelation's constant-folded interpreted eval, so the
+      // cross-engine comparison is on ids)
+      val viaSelApi = Hnsw.searchIndex(store, q, "id", 4, efSearch = 64,
+        filters = Seq(spred), payload = store.select("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(selective.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaSelApi)
+      val truthIds = Search.topK(df.where(spred), "vec", "id", q, 4)
+        .select("id").as[Long].collect().toSeq
+      assert(selective.select("id").as[Long].collect().toSeq == truthIds)
+      // a predicate on the SCORE cannot be pushed through the substitution
+      // — refused, the scoring scan stays
+      val onScore = store
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          graft.functions.VectorOps.asDouble(col("vec")), typedLit(q)))
+        .where(col("score") > 0.0)
+        .orderBy(desc("score"), col("id")).limit(5).select("id", "score")
+      assert(onScore.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      // a secondary sort key other than the beam's id-ascending tiebreak
+      // would be silently replaced by the substitution — refused (ADVICE r14)
+      val badTie = store
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          graft.functions.VectorOps.asDouble(col("vec")), typedLit(q)))
+        .orderBy(desc("score"), col("level")).limit(5).select("id", "score")
+      assert(badTie.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
       // a consumer reading store columns beyond (id, score) keeps the scan
       val wide = Search.topK(store, "vec", "id", q, 5).select("id", "vec", "score")
       assert(wide.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))

@@ -77,4 +77,49 @@ class HnswStreamSpec extends AnyFunSuite {
     assert(topIds(s"$tmp/batch", 10) == topIds(s"$tmp/streamed", 10),
       "applyDelta replay must be idempotent (at-least-once safety)")
   }
+
+  test("intra-batch CDC order (ADVICE r14): seqCol resolves per-id op order; without it duplicates fail fast") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hnsw-stream-seq").toString
+
+    Hnsw.writeIndex(base, "v", "id", s"$tmp/seq", nShards = 2)
+    val mem = MemoryStream[(Long, Seq[Double], String, Long)]
+    val q = HnswStream.into(mem.toDF().toDF("id", "v", "op", "seq"), s"$tmp/seq", s"$tmp/ckpt-seq",
+      "v", "id", opCol = "op", seqCol = "seq", availableNow = false)
+    try {
+      // ONE micro-batch carrying, per id, the full little CDC drama:
+      //  id 7:    upsert(seq 1) then delete(seq 2) — must vacate, NOT resurrect
+      //  id 8:    delete(seq 1) then upsert(seq 2, = query) — must survive as top-1
+      //  id 5000: upsert(seq 1) then upsert(seq 2, = query) — last write wins
+      //  id 9:    upsert + delete at EQUAL seq — tie breaks toward the delete
+      mem.addData(
+        (7L, vec(7L).map(_ + 0.001), "upsert", 1L), (7L, Seq.empty[Double], "delete", 2L),
+        (8L, Seq.empty[Double], "delete", 1L), (8L, qVec, "upsert", 2L),
+        (5000L, vec(5000L), "upsert", 1L), (5000L, qVec.map(_ * 0.999), "upsert", 2L),
+        (9L, vec(9L), "upsert", 3L), (9L, Seq.empty[Double], "delete", 3L),
+      )
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$tmp/seq").select("id").as[Long].collect().toSet
+      assert(!ids.contains(7L), "upsert-then-delete within one batch must vacate (the r14 resurrection bug)")
+      assert(!ids.contains(9L), "equal-seq tie must break toward the delete")
+      assert(ids.contains(8L) && ids.contains(5000L))
+      val top = topIds(s"$tmp/seq", 2)
+      assert(top.map(_._1) == Seq(8L, 5000L), s"last-op-per-id vectors must win: $top")
+    } finally q.stop()
+
+    // without seqCol, a micro-batch with a repeated id has UNDEFINED op
+    // order — refused loudly instead of silently undoing the delete
+    val mem2 = MemoryStream[(Long, Seq[Double], String)]
+    val q2 = HnswStream.into(mem2.toDF().toDF("id", "v", "op"), s"$tmp/seq", s"$tmp/ckpt-dup",
+      "v", "id", opCol = "op", availableNow = false)
+    try {
+      mem2.addData((42L, qVec, "upsert"), (42L, Seq.empty[Double], "delete"))
+      val ex = intercept[Exception](q2.processAllAvailable())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => Option(c.getMessage).exists(_.contains("seqCol"))),
+        s"expected the fail-fast duplicate-id message, got $ex")
+    } finally q2.stop()
+  }
 }

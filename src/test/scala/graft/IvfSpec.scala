@@ -168,6 +168,69 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfAutoProbe: user predicates gate the probe width — broad widens, selective declines") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-fgate")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    spark.conf.set("spark.graft.ivf.nProbe", "2")
+    try {
+      // BROAD (sel 0.8): the injected probe widens to ceil(2/0.8) = 3 of 6
+      // lists and the user predicate survives the injection verbatim
+      val bpred = col("id") % 10 < 8
+      val broad = Search.topK(indexed, "vec", "id", qVec, 5, filters = Seq(bpred))
+      val pf = "list_id#?\\d* IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(TestSpark.formattedPlan(broad)).map(_.group(1))
+      assert(pf.exists(_.split(",").length == 3), s"expected the widened 3-list probe, got $pf")
+      assert(broad.select("id").as[Long].collect().forall(_ % 10 < 8))
+      // the rewrite IS Ivf.search's store-carrier gate at the same width
+      val viaApi = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2, filters = Seq(bpred))
+        .select("id", "score").collect().toSeq
+      assert(broad.select("id", "score").collect().toSeq == viaApi)
+      // SELECTIVE (sel ~1/70): widened past nList → the rule DECLINES and
+      // the user's own exact plan runs — no probe filter, brute-force values
+      val spred = Seq(col("id") % 10 === 0, col("id") % 7 === 0)
+      val sel   = Search.topK(indexed, "vec", "id", qVec, 5, filters = spred)
+      assert("list_id#?\\d* IN ".r.findFirstIn(TestSpark.formattedPlan(sel)).isEmpty,
+        "selective predicate must decline the probe — the exact plan IS the exact branch")
+      val truth = Search.topK(corpus.where(spred.reduce(_ && _)), "vec", "id", qVec, 5)
+      assert(sel.select("id", "score").collect().toSeq ==
+        truth.select("id", "score").collect().toSeq)
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      spark.conf.unset("spark.graft.ivf.selectivityHint")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("searchAdaptive: filters ride the same cardinality gate as search (ADVICE r14)") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-adaptgate")
+    // geometry alone picks width w; a sel-0.5 predicate (exactly 150/300
+    // even ids) must widen to ceil(w/0.5) = 2w nearest lists, not keep the
+    // geometry width and eat the recall cliff
+    val bpred = col("id") % 2 === 0
+    val base  = model.adaptiveProbeLists(qVec, 0.0)
+    val w2    = math.ceil(base.length / 0.5).toInt
+    assert(w2 < 6, s"test geometry broke: widened $w2 must stay below nList")
+    val broad = Ivf.searchAdaptive(indexed, model, "vec", "id", qVec, 5, 0.0,
+      filters = Seq(bpred))
+    val expectLists = model.adaptiveProbeLists(qVec, 0.0, minProbe = w2, maxProbe = w2)
+    val atWidth = Search.topK(indexed.where(col("list_id").isin(expectLists: _*)),
+      "vec", "id", qVec, 5, Seq(bpred))
+    assert(broad.select("id", "score").collect().toSeq ==
+      atWidth.select("id", "score").collect().toSeq)
+    assert(broad.select("id").as[Long].collect().forall(_ % 2 == 0))
+    // selective (sel 5/300): widened past nList → exact brute force
+    val spred = Seq(col("id") % 10 === 0, col("id") % 7 === 0)
+    val ex    = Ivf.searchAdaptive(indexed, model, "vec", "id", qVec, 5, 0.0, filters = spred)
+    val truth = Search.topK(corpus.where(spred.reduce(_ && _)), "vec", "id", qVec, 5)
+    assert(ex.select("id", "score").collect().toSeq ==
+      truth.select("id", "score").collect().toSeq)
+    // nothing passes → empty, not an error
+    assert(Ivf.searchAdaptive(indexed, model, "vec", "id", qVec, 5, 0.0,
+      filters = Seq(col("id") < 0)).count() == 0)
+  }
+
   test("IvfAutoProbe: ranking a DIFFERENT vector column of the store must not prune") {
     // store indexed on "vec" but carrying a second 64-d column "vec2":
     // pruning a vec2 ranking with vec centroids would silently lose recall
