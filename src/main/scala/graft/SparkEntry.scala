@@ -4098,6 +4098,116 @@ object SparkEntry {
       }
     }),
 
+    // V45 — DECLARATIVE filtered k-NN over the HNSW store (round 15, the
+    // r14 verdict's #1): the reference's canonical query is filtered
+    // search (backend/vector_db.py:131-170), and HnswAutoProbe now routes
+    // a plain `where(pred) + sort-by-cosine + limit` through searchIndex's
+    // cardinality gate instead of refusing. Both gate branches exercised
+    // and value-checked: the selective leg (sel ~1/7 → needEf ≈ 459k >
+    // maxEf 4096) takes the EXACT semi-join branch — brute-force over the
+    // allowed ids, DuckDB-replayable; the broad leg (sel ~1/2, maxEf
+    // lifted) rides the flag-aware beam OVERSAMPLED past the corpus
+    // (efF = 131072), making the beam exhaustive — also exactly the
+    // filtered brute force. The `rule_eq_call` flags pin the rewrite to
+    // the explicit searchIndex call row-for-row (v41's device). Session
+    // mutations scoped like v41: materialize in try, reset in finally.
+    "v45_hnsw_filtered_auto" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val idx = Hnsw.indexFor(emb, "embedding", "vec_id", cacheKey = s"v45:$d", nShards = 4)
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev   = classic.experimental.extraOptimizations
+      val prevEf = s.conf.getOption("spark.graft.hnsw.efSearch")
+      classic.experimental.extraOptimizations = prev :+ graft.plans.HnswAutoProbe(s)
+      s.conf.set("spark.graft.hnsw.autoProbe", "true")
+      s.conf.set("spark.graft.hnsw.efSearch", "65536")
+      try {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+          df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val epred  = col("id") % 7 === 0
+        val exRule = rows(Search.topK(idx, "vec", "id", qVec, 10, Seq(epred)).select("id", "score"))
+        val exApi  = rows(Hnsw.searchIndex(idx, qVec, "id", 10, efSearch = 65536,
+          filters = Seq(epred), payload = idx.select("id")))
+        val exSame = exRule == exApi
+        s.conf.set("spark.graft.hnsw.maxEf", "1000000000")
+        val bpred    = col("id") % 2 === 0
+        val beamRule = rows(Search.topK(idx, "vec", "id", qVec, 10, Seq(bpred)).select("id", "score"))
+        val beamApi  = rows(Hnsw.searchIndex(idx, qVec, "id", 10, efSearch = 65536,
+          filters = Seq(bpred), payload = idx.select("id"), maxEf = 1000000000))
+        val beamSame = beamRule == beamApi
+        (exRule.map { case (id, sc) => ("exact", id, math.rint(sc * 1e4) / 1e4, exSame) } ++
+          beamRule.map { case (id, sc) => ("beam", id, math.rint(sc * 1e4) / 1e4, beamSame) })
+          .toDF("path", "vec_id", "score", "rule_eq_call")
+          .orderBy(col("path"), desc("score"), col("vec_id"))
+      } finally {
+        s.conf.unset("spark.graft.hnsw.autoProbe")
+        s.conf.unset("spark.graft.hnsw.maxEf")
+        prevEf match {
+          case Some(v) => s.conf.set("spark.graft.hnsw.efSearch", v)
+          case None    => s.conf.unset("spark.graft.hnsw.efSearch")
+        }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
+    // V46 — DECLARATIVE filtered k-NN over the IVF store (round 15, the
+    // r14 verdict's #1, IVF side): IvfAutoProbe now gates the injected
+    // probe width on predicate selectivity. The selective leg (sel ≈
+    // 0.2/7 → widened ≈ 70 ≥ nList 8) DECLINES the injection — the
+    // declarative plan already IS the exact branch, so its values are the
+    // filtered brute force, DuckDB-replayable. The broad leg (sel ≈ 0.6,
+    // nProbe 4 → widened 7 < 8) keeps the pruned probe at the widened
+    // width — approximate by design, so it contributes the v40-style
+    // recall flag (≥8/10 of the filtered truth at 7/8 lists) plus the
+    // rule≡call flag: the rewrite and the explicit Ivf.search share the
+    // estimate, the widened width, and the probe geometry, so their
+    // results must match row-for-row.
+    "v46_ivf_filtered_auto" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v46")
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev      = classic.experimental.extraOptimizations
+      val prevProbe = s.conf.getOption("spark.graft.ivf.nProbe")
+      classic.experimental.extraOptimizations = prev :+ graft.plans.IvfAutoProbe(s)
+      s.conf.set("spark.graft.ivf.autoProbe", "true")
+      try {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+          df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        s.conf.set("spark.graft.ivf.nProbe", "2")
+        val spred  = Seq(col("label") === 3, col("vec_id") % 7 === 0)
+        val exRule = rows(Search.topK(indexed, "embedding", "vec_id", qVec, 10, spred)
+          .select("vec_id", "score"))
+        val exApi = rows(Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 2,
+          filters = spred).select("vec_id", "score"))
+        val exSame = exRule == exApi
+        s.conf.set("spark.graft.ivf.nProbe", "4")
+        val bpred = Seq(col("label") >= 2)
+        val bRule = rows(Search.topK(indexed, "embedding", "vec_id", qVec, 10, bpred)
+          .select("vec_id", "score"))
+        val bApi = rows(Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, 4,
+          filters = bpred).select("vec_id", "score"))
+        val bSame = bRule == bApi
+        val truth = Search.topK(t.embeddings.where(col("label") >= 2),
+          "embedding", "vec_id", qVec, 10).select("vec_id").as[Long].collect().toSet
+        val recall = bRule.map(_._1).count(truth)
+        (exRule.map { case (id, sc) => ("exact", id, math.rint(sc * 1e4) / 1e4) } :+
+          ("probe_recall_ge8", if (recall >= 8) 1L else 0L, Double.NaN) :+
+          ("rule_eq_call", if (exSame && bSame) 1L else 0L, Double.NaN))
+          .toDF("path", "vec_id", "score")
+          .select(col("path"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"))
+          .orderBy(col("path"), desc("score"), col("vec_id"))
+      } finally {
+        s.conf.unset("spark.graft.ivf.autoProbe")
+        prevProbe match {
+          case Some(v) => s.conf.set("spark.graft.ivf.nProbe", v)
+          case None    => s.conf.unset("spark.graft.ivf.nProbe")
+        }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -7345,6 +7455,35 @@ object SparkEntry {
          |   true AS matches_search_index
          | FROM base
          | ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // v45 — both gate branches of the DECLARATIVE filtered HNSW search are
+    // exact by construction here (exact semi-join branch; beam oversampled
+    // past the corpus), so the oracle replays both as filtered brute-force
+    // top-10s; the rule≡call flags are pinned true
+    "v45_hnsw_filtered_auto" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | ex AS (SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score, true AS rule_eq_call
+         |   FROM base WHERE vec_id % 7 = 0
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10),
+         | bm AS (SELECT 'beam' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score, true AS rule_eq_call
+         |   FROM base WHERE vec_id % 2 = 0
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT * FROM ex UNION ALL SELECT * FROM bm""".stripMargin,
+
+    // v46 — the selective leg DECLINES the probe injection, so the
+    // declarative plan is the exact filtered brute force (replayed here);
+    // the broad widened probe is approximate → recall + rule≡call flags
+    "v46_ivf_filtered_auto" ->
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         | ex AS (SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base WHERE label = 3 AND vec_id % 7 = 0
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT path, vec_id, score FROM ex
+         | UNION ALL SELECT 'probe_recall_ge8', 1::BIGINT, NULL::DOUBLE
+         | UNION ALL SELECT 'rule_eq_call', 1::BIGINT, NULL::DOUBLE""".stripMargin,
 
     // v35 — the planted far-ball drift makes the refit decision constant
     // (skew ≥ 8/3 > 2 at any SF, independent of the k-means geometry);
