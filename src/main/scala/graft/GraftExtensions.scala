@@ -17,6 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in ANN rewrite (spark.graft.pq.autoProbe=true): brute-force
+    // cosine top-k over a persistent IVF-PQ store's floats becomes the ADC
+    // probe over the code store. Injected BEFORE the IVF rule: the floats
+    // store also carries the IVF sidecar, and the ADC probe (m bytes/vec)
+    // beats the pruned float scan; the IVF rule declines PQ floats stores
+    // while this rule is enabled.
+    ext.injectOptimizerRule(graft.plans.PqAutoProbe.apply)
     // opt-in ANN rewrite (spark.graft.ivf.autoProbe=true): brute-force
     // cosine top-k over an IVF store becomes a partition-pruned probe
     ext.injectOptimizerRule(graft.plans.IvfAutoProbe.apply)

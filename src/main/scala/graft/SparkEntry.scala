@@ -47,6 +47,13 @@ object SparkEntry {
   private val graphCtxCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Graph.Context]()
 
+  /** v47's per-(query, sfDir) persistent PQ store — the measured operator
+    * is the DECLARATIVE probe, so the two-store bootstrap builds once per
+    * JVM (indexFor's device); v44 keeps pricing the store write itself.
+    */
+  private val pqStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Eight query vectors for the A/B significance test (v32) — a paired
     * sign-flip test needs enough topics for the permutation distribution
     * to resolve. Every phrase hashes to >= 2 nonzero components inside
@@ -4208,6 +4215,60 @@ object SparkEntry {
       }
     }),
 
+    // V47 — PqAutoProbe end-to-end (round 15, the r14 verdict's #2): the
+    // persistent IVF-PQ store's floats half carries the IVF sidecar, so a
+    // declarative sort-by-cosine + limit used to full-scan (or at best
+    // IVF-prune) 6 KB/vector floats; the rule substitutes Pq.searchIvfPq —
+    // candidates from the 16 B/vector CODE store, exact float re-rank of
+    // k·refine survivors (plan shape asserted in PqSpec: every scan
+    // list_id-pruned, pq_codes is the candidate stage). Two legs: the
+    // pruned probe (nProbe 2, refine 4) pins rule ≡ explicit call
+    // bit-for-bit; the exhaustive probe (nProbe = nList, k·refine ≥
+    // corpus) makes the ADC cut lossless, so its values are the
+    // brute-force top-10 the DuckDB oracle replays. The store bootstraps
+    // once per JVM (pqStoreCache) — the measured operator is the probe,
+    // v44 prices the store lifecycle.
+    "v47_pq_auto_probe" -> ((s, d) => {
+      import s.implicits._
+      val dir = pqStoreCache.computeIfAbsent(s"v47:$d", _ => {
+        val p   = java.nio.file.Files.createTempDirectory("graft-v47").toString + "/store"
+        val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+        Pq.writeStore(emb, "embedding", "vec_id", p, nList = 8, m = 16, ksub = 64)
+        p
+      })
+      val (codes, floats, ivfm, pqm) = Pq.readStore(s, dir)
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev = classic.experimental.extraOptimizations
+      classic.experimental.extraOptimizations = prev :+ graft.plans.PqAutoProbe(s)
+      s.conf.set("spark.graft.pq.autoProbe", "true")
+      try {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+          df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        s.conf.set("spark.graft.pq.nProbe", "2")
+        s.conf.set("spark.graft.pq.refine", "4")
+        val pRule = rows(Search.topK(floats, "embedding", "vec_id", qVec, 10)
+          .select("vec_id", "score"))
+        val pApi = rows(Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id",
+          qVec, 10, 2, 4).select("vec_id", "score"))
+        val pSame = pRule == pApi
+        s.conf.set("spark.graft.pq.nProbe", "8")
+        s.conf.set("spark.graft.pq.refine", "10000")
+        val exRule = rows(Search.topK(floats, "embedding", "vec_id", qVec, 10)
+          .select("vec_id", "score"))
+        (exRule.map { case (id, sc) => ("exact", id, math.rint(sc * 1e4) / 1e4) } :+
+          (("rule_eq_call", if (pSame) 1L else 0L, Double.NaN)))
+          .toDF("path", "vec_id", "score")
+          .select(col("path"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"))
+          .orderBy(col("path"), desc("score"), col("vec_id"))
+      } finally {
+        s.conf.unset("spark.graft.pq.autoProbe")
+        s.conf.unset("spark.graft.pq.nProbe")
+        s.conf.unset("spark.graft.pq.refine")
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -7471,6 +7532,19 @@ object SparkEntry {
          |   FROM base WHERE vec_id % 2 = 0
          |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
          | SELECT * FROM ex UNION ALL SELECT * FROM bm""".stripMargin,
+
+    // v47 — the exhaustive-probe leg (nProbe = nList, k·refine ≥ corpus)
+    // makes the ADC candidate cut lossless, so the declarative PQ-store
+    // probe is the float-precision brute-force top-10; the pruned leg's
+    // rule≡call flag is pinned true
+    "v47_pq_auto_probe" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | ex AS (SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT path, vec_id, score FROM ex
+         | UNION ALL SELECT 'rule_eq_call', 1::BIGINT, NULL::DOUBLE""".stripMargin,
 
     // v46 — the selective leg DECLINES the probe injection, so the
     // declarative plan is the exact filtered brute force (replayed here);

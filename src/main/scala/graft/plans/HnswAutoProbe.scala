@@ -1,14 +1,11 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
-import graft.operators.{Hnsw, Search}
+import graft.operators.Hnsw
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule turning a brute-force cosine top-k over an HNSW store
   * into the sharded beam search — [[IvfAutoProbe]]'s twin for the graph
@@ -77,29 +74,21 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
   private def selectivityHint: Double =
     spark.conf.getOption("spark.graft.hnsw.selectivityHint").map(_.toDouble).getOrElse(Double.NaN)
 
-  /** The sort under the limit pair, looking through one column-pruning
-    * Project — `Search.topK(...).select("id", "score")`'s optimized shape.
-    */
-  private def sortUnderLimit(rest: LogicalPlan): Option[Sort] = rest match {
-    case s: Sort if s.global             => Some(s)
-    case Project(_, s: Sort) if s.global => Some(s)
-    case _                               => None
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformDown {
       case orig @ GlobalLimit(Literal(k: Int, IntegerType), LocalLimit(_, rest))
-          if sortUnderLimit(rest).exists(_.order.headOption.exists(_.direction == Descending)) =>
-        val s     = sortUnderLimit(rest).get
+          if TopKMatch.sortUnderLimit(rest).exists(_._2.order.headOption.exists(_.direction == Descending)) =>
+        val s     = TopKMatch.sortUnderLimit(rest).get._2
         val child = s.child
         val rewritten = for {
-          (qv, vecExpr) <- queryVector(s.order.head.child, child)
-          (rel, root)   <- hnswStore(child)
+          (qv, vecExpr)      <- TopKMatch.queryVector(s.order.head.child, child)
+          (rel, _, root)     <- TopKMatch.partitionedStore(child, "shard")
+          if TopKMatch.sidecarExists(spark.sparkContext.hadoopConfiguration, root, "_hnsw_meta")
           // the ranked column must BE the store's vector column — beam
           // geometry over a different column would be uncorrelated with
           // the sort and silently destroy recall
-          vecAttr <- stripCasts(vecExpr) match {
+          vecAttr <- TopKMatch.stripCasts(vecExpr) match {
             case a: AttributeReference => Some(a)
             case _                     => None
           }
@@ -107,17 +96,13 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           idAttr <- rel.output.collectFirst { case a: AttributeReference if a.name == "id" => a }
           // the ONLY admissible secondary sort key is the beam's own
           // tiebreak (id ascending) — any other would be silently replaced
-          // by the substitution's (score, id) ordering
-          if s.order.length == 1 || (s.order.length == 2 &&
-            s.order(1).direction == Ascending && (s.order(1).child match {
-              case a: AttributeReference => a.exprId == idAttr.exprId
-              case _                     => false
-            }))
+          // by the substitution's (score, id) ordering (ADVICE r14)
+          if TopKMatch.tiebreakOnly(s.order, idAttr)
           scoreId = s.order.head.child match {
             case a: AttributeReference => Some(a.exprId)
             case _                     => None
           }
-          preds <- pathPredicates(child, rel, vecAttr, scoreId)
+          preds <- TopKMatch.pathPredicates(child, rel, vecAttr, scoreId)
           if preds.forall(p =>
             p.references.nonEmpty &&
               p.references.forall(a => rel.outputSet.contains(a) && a.exprId != vecAttr.exprId))
@@ -140,7 +125,7 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
                 filters = preds.map(GraftBridge.column),
                 payload = payload, maxEf = maxEf, selectivityHint = selectivityHint)
             }
-          val hplan            = GraftBridge.analyzed(hits)
+          val hplan            = GraftBridge.optimized(hits)
           val Seq(hId, hScore) = hplan.output.take(2)
           val aliased = orig.output.map { a =>
             val src = if (a.exprId == idAttr.exprId) hId else hScore
@@ -150,89 +135,4 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         rewritten.getOrElse(orig)
     }
-
-  private def stripCasts(e: Expression): Expression = e match {
-    case Cast(c, _, _, _) => stripCasts(c)
-    case other            => other
-  }
-
-  /** The literal query vector AND the expression it is ranked against —
-    * matched on the sort key itself or through one Project alias
-    * (`topK`'s withColumn shape).
-    */
-  private def queryVector(key: Expression, child: LogicalPlan): Option[(Array[Double], Expression)] = {
-    def direct(e: Expression): Option[(Array[Double], Expression)] = e match {
-      case CosineSimilarity(v, Literal(q: ArrayData, ArrayType(DoubleType, _))) => Some((q.toDoubleArray(), v))
-      case CosineSimilarity(Literal(q: ArrayData, ArrayType(DoubleType, _)), v) => Some((q.toDoubleArray(), v))
-      case _ => None
-    }
-    key match {
-      case a: AttributeReference =>
-        child.collect { case p: Project => p.projectList }.flatten.collectFirst {
-          case al @ Alias(inner, _) if al.exprId == a.exprId => direct(inner)
-        }.flatten
-      case other => direct(other)
-    }
-  }
-
-  /** The HNSW store relation under the sort: `shard`-partitioned parquet
-    * whose root carries the `_hnsw_meta` sidecar ([[Hnsw.writeIndex]]'s
-    * signature, like `_graft_centroids.txt` for IVF stores).
-    */
-  private def hnswStore(child: LogicalPlan): Option[(LogicalRelation, String)] =
-    child.collectFirst {
-      case r: LogicalRelation if r.relation.isInstanceOf[HadoopFsRelation] &&
-          r.relation.asInstanceOf[HadoopFsRelation].partitionSchema.fieldNames.contains("shard") =>
-        val root = r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.head.toString
-        val has =
-          try {
-            val p  = new org.apache.hadoop.fs.Path(root, "_hnsw_meta")
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-          } catch { case scala.util.control.NonFatal(_) => false }
-        if (has) Some((r, root)) else None
-    }.flatten
-
-  /** Substitution safety: the path from the sort's child to the relation
-    * may contain only Projects and Filters. Returns the USER predicate
-    * conjuncts (to route through the filtered gate) with `Search.topK`'s
-    * own guards stripped; None means the path holds something a
-    * substitution would drop (a join, a set op) — refuse.
-    *
-    * A guard is benign ONLY when it references the score or the vector
-    * (ADVICE r14: the old version accepted `NOT isnan(x)` / `x IS NOT
-    * NULL` on ANY column and silently dropped user guards): after filter
-    * pushdown the planted `NOT isnan(score)` may reference the score
-    * alias OR the inlined cosine over `vec`, and constraint inference
-    * plants `vec IS NOT NULL` — both shapes resolve to {vec, score}.
-    */
-  private def pathPredicates(
-      p: LogicalPlan,
-      rel: LogicalRelation,
-      vecAttr: AttributeReference,
-      scoreId: Option[ExprId],
-  ): Option[Seq[Expression]] = {
-    def benign(c: Expression): Boolean = {
-      def scoreOrVec(e: Expression): Boolean =
-        e.references.nonEmpty && e.references.forall(a =>
-          a.exprId == vecAttr.exprId || scoreId.contains(a.exprId))
-      c match {
-        case Not(IsNaN(e)) => scoreOrVec(e)
-        case IsNotNull(e)  => scoreOrVec(e)
-        case _             => false
-      }
-    }
-    p match {
-      case r: LogicalRelation if r eq rel => Some(Nil)
-      case Project(_, c)                  => pathPredicates(c, rel, vecAttr, scoreId)
-      case Filter(cond, c) =>
-        pathPredicates(c, rel, vecAttr, scoreId)
-          .map(splitConjunctivePredicates(cond).filterNot(benign) ++ _)
-      case _ => None
-    }
-  }
-
-  private def splitConjunctivePredicates(c: Expression): Seq[Expression] = c match {
-    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
-    case other     => Seq(other)
-  }
 }

@@ -1,14 +1,11 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
 import graft.operators.{Ivf, Search}
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Optimizer rule turning a brute-force cosine top-k over an IVF store into
   * a partition-pruned probe — the (c)-level Catalyst path of SURVEY §2.5:
@@ -59,34 +56,30 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
   private def selectivityHint: Double =
     spark.conf.getOption("spark.graft.ivf.selectivityHint").map(_.toDouble).getOrElse(Double.NaN)
 
-  /** The sort under the limit pair, looking through one column-pruning
-    * Project: `topK(...).select(cols)` optimizes to
-    * `GlobalLimit(LocalLimit(Project(Sort(...))))` — without this the most
-    * common consumer shape silently loses pruning and full-scans the store.
-    */
-  private def sortUnderLimit(rest: LogicalPlan): Option[(Option[Project], Sort)] = rest match {
-    case s: Sort if s.global                      => Some((None, s))
-    case p @ Project(_, s: Sort) if s.global      => Some((Some(p), s))
-    case _                                        => None
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformDown {
       case orig @ GlobalLimit(gl, LocalLimit(ll, rest))
-          if sortUnderLimit(rest).exists(_._2.order.headOption.exists(_.direction == Descending)) =>
-        val (proj, s) = sortUnderLimit(rest).get
+          if TopKMatch.sortUnderLimit(rest).exists(_._2.order.headOption.exists(_.direction == Descending)) =>
+        val (proj, s) = TopKMatch.sortUnderLimit(rest).get
         val order     = s.order
         val child     = s.child
         val rewritten = for {
-          (qv, vecExpr) <- queryVector(order.head.child, child)
-          (rel, listAttr, root) <- ivfStore(child)
+          (qv, vecExpr) <- TopKMatch.queryVector(order.head.child, child)
+          (rel, listAttr, root) <- TopKMatch.partitionedStore(child, "list_id")
           if !alreadyPruned(child, listAttr)
+          // a PQ floats store is PqAutoProbe's territory while that rule is
+          // enabled — its ADC probe reads m bytes/vector where this rule's
+          // pruned float scan reads the full vectors
+          if !(root.endsWith("/floats") &&
+            spark.conf.getOption("spark.graft.pq.autoProbe").exists(_.toBoolean) &&
+            TopKMatch.sidecarExists(spark.sparkContext.hadoopConfiguration,
+              root.stripSuffix("/floats"), "_pq_codebooks.txt"))
           // The ranked column must BE the relation's indexed column: pruning
           // on centroids of a different column (a second vector column, or
           // one from a joined table) would be uncorrelated with the sort and
           // silently destroy recall.
-          vecAttr <- stripCasts(vecExpr) match {
+          vecAttr <- TopKMatch.stripCasts(vecExpr) match {
             case a: AttributeReference => Some(a)
             case _                     => None
           }
@@ -130,14 +123,10 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       listAttr: AttributeReference,
       nList: Int,
   ): Option[Int] = {
-    def split(c: Expression): Seq[Expression] = c match {
-      case And(a, b) => split(a) ++ split(b)
-      case other     => Seq(other)
-    }
     def onPath(p: LogicalPlan): Seq[Expression] = p match {
       case r: LogicalRelation if r eq rel => Nil
       case Project(_, c)                  => onPath(c)
-      case Filter(cond, c)                => split(cond) ++ onPath(c)
+      case Filter(cond, c)                => TopKMatch.splitConjuncts(cond) ++ onPath(c)
       case other                          => other.children.flatMap(onPath)
     }
     val userPreds = onPath(child).filter { c =>
@@ -156,42 +145,6 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       else Some(math.min(math.ceil(base.toDouble / sel), nList.toDouble).toInt)
     }
   }
-
-  private def stripCasts(e: Expression): Expression = e match {
-    case Cast(c, _, _, _) => stripCasts(c)
-    case other            => other
-  }
-
-  /** The literal query vector AND the expression it is ranked against, if
-    * the sort key is cosine similarity against a literal — matched on the
-    * expression itself or through one Project alias.
-    */
-  private def queryVector(key: Expression, child: LogicalPlan): Option[(Array[Double], Expression)] = {
-    def direct(e: Expression): Option[(Array[Double], Expression)] = e match {
-      case CosineSimilarity(v, Literal(q: ArrayData, ArrayType(DoubleType, _))) => Some((q.toDoubleArray(), v))
-      case CosineSimilarity(Literal(q: ArrayData, ArrayType(DoubleType, _)), v) => Some((q.toDoubleArray(), v))
-      case _ => None
-    }
-    key match {
-      case a: AttributeReference =>
-        child.collect { case p: Project => p.projectList }.flatten.collectFirst {
-          case al @ Alias(inner, _) if al.exprId == a.exprId => direct(inner)
-        }.flatten
-      case other => direct(other)
-    }
-  }
-
-  /** The IVF-partitioned relation under the sort, with its list_id output
-    * attribute and root path.
-    */
-  private def ivfStore(child: LogicalPlan): Option[(LogicalRelation, AttributeReference, String)] =
-    child.collectFirst {
-      case r: LogicalRelation if r.relation.isInstanceOf[HadoopFsRelation] &&
-          r.relation.asInstanceOf[HadoopFsRelation].partitionSchema.fieldNames.contains("list_id") =>
-        r.output.collectFirst { case a: AttributeReference if a.name == "list_id" =>
-          (r, a, r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.head.toString)
-        }
-    }.flatten
 
   /** Idempotency / user-intent guard: any IN or = filter on list_id below
     * the sort means the probe (ours or the user's) already exists.

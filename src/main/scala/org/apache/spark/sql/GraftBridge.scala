@@ -63,6 +63,17 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Dataset[Row] =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The OPTIMIZED logical plan of a DataFrame — the splice surface for
+    * rules that substitute whole subtrees ([[graft.plans.PqAutoProbe]],
+    * [[graft.plans.HnswAutoProbe]]): a rule runs mid-optimization, after
+    * EliminateResolvedHint and the operator-optimization batches, so an
+    * ANALYZED splice would ship un-eliminated broadcast hints (planner
+    * INTERNAL_ERROR) and unpushed filters. Optimizing the inner frame is
+    * re-entrant (a fresh QueryExecution) and preserves output exprIds.
+    */
+  def optimized(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
+
   /** The analyzed logical plan of a DataFrame (the inverse splice surface). */
   def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed

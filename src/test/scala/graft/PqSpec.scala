@@ -19,6 +19,72 @@ class PqSpec extends AnyFunSuite {
 
   private val qVec: Seq[Double] = Embedder.default.embed("topic 3 probe").map(_.toDouble).toSeq
 
+  test("PqAutoProbe: declarative cosine top-k over the floats store becomes the ADC probe") {
+    val tmp = java.nio.file.Files.createTempDirectory("pq-auto").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val (codes, floats, ivfm, pqm) = Pq.readStore(spark, tmp)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.PqAutoProbe(spark))
+    spark.conf.set("spark.graft.pq.autoProbe", "true")
+    spark.conf.set("spark.graft.pq.nProbe", "2")
+    try {
+      // the user writes plain sort-by-cosine + limit over the FLOAT store —
+      // the rewrite must serve candidates from the CODE store (m bytes/vec)
+      val auto = Search.topK(floats, "vec", "id", qVec, 5).select("id", "score")
+      val plan = TestSpark.formattedPlan(auto)
+      assert(plan.contains("pq_codes"), s"candidate stage must read the code store:\n${plan.take(1500)}")
+      // BOTH scans stay partition-pruned (the 100 TB property): every
+      // PartitionFilters line in the plan carries a list_id IN
+      val pfs = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+      assert(pfs.nonEmpty && pfs.forall(l => l.contains("list_id") && l.contains("IN")),
+        s"every scan must prune on list_id: $pfs")
+      // values ARE searchIvfPq's at the same (nProbe, refine)
+      val viaApi = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, 2)
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(auto.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi)
+
+      // FILTERED routing — broad predicate (sel 0.5) rides the widened
+      // probe, values exactly the explicit gated call's
+      val bpred = col("id") % 2 === 0
+      val fAuto = Search.topK(floats, "vec", "id", qVec, 5, Seq(bpred)).select("id", "score")
+      val fApi = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, 2,
+        filters = Seq(bpred), payload = floats.select("id"), payloadIdCol = "id")
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fAuto.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == fApi)
+      assert(fAuto.select("id").as[Long].collect().forall(_ % 2 == 0))
+      // selective predicate (sel ~1/70) → the gate's exact branch: float
+      // semi-join over the allowed ids, equal to filtered brute force
+      val spred = Seq(col("id") % 10 === 0, col("id") % 7 === 0)
+      val sAuto = Search.topK(floats, "vec", "id", qVec, 5, spred).select("id", "score")
+      assert(sAuto.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val sTruth = Search.topK(floats.where(spred.reduce(_ && _)), "vec", "id", qVec, 5)
+        .select("id").as[Long].collect().toSeq
+      assert(sAuto.select("id").as[Long].collect().toSeq == sTruth)
+
+      // a consumer reading more than (id, score) keeps the user's plan
+      val wide = Search.topK(floats, "vec", "id", qVec, 5).select("id", "vec", "score")
+      assert(!TestSpark.formattedPlan(wide).contains("pq_codes"))
+      // switched off → untouched
+      spark.conf.set("spark.graft.pq.autoProbe", "false")
+      assert(!TestSpark.formattedPlan(Search.topK(floats, "vec", "id", qVec, 5)).contains("pq_codes"))
+      // IvfAutoProbe yields the floats store to this rule when both are on:
+      // with pq.autoProbe re-enabled and BOTH rules registered, the ADC
+      // probe wins and the float scan is not the candidate stage
+      spark.conf.set("spark.graft.pq.autoProbe", "true")
+      spark.conf.set("spark.graft.ivf.autoProbe", "true")
+      classic.experimental.extraOptimizations =
+        Seq(graft.plans.PqAutoProbe(spark), graft.plans.IvfAutoProbe(spark))
+      val both = Search.topK(floats, "vec", "id", qVec, 5).select("id", "score")
+      assert(TestSpark.formattedPlan(both).contains("pq_codes"))
+      assert(both.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi)
+    } finally {
+      spark.conf.unset("spark.graft.pq.autoProbe")
+      spark.conf.unset("spark.graft.pq.nProbe")
+      spark.conf.unset("spark.graft.ivf.autoProbe")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("codes are m bytes; codegen'd encode agrees with a scala re-encode") {
     val m     = 8
     val model = Pq.fit(corpus, "vec", m = m, ksub = 16)
