@@ -2,7 +2,7 @@ package graft
 
 import graft.operators._
 import graft.functions.{TextOps, VectorOps}
-import graft.streaming.{EventWindows, HnswStream}
+import graft.streaming.{EventWindows, HnswStream, PqStream}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -3527,6 +3527,55 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
       Hnsw.searchIndex(s.read.parquet(s"$dir/store"), qVec, "vec_id", 10, efSearch = 65536)
+        .select(col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
+    // W8 — PqStream end-to-end (round 15, the r14 verdict's #3): v44's
+    // planted delta DELIVERED AS A CDC STREAM through streaming/PqStream's
+    // foreachBatch → Pq.applyDelta, against a live two-store index. Two
+    // micro-batches (upserts with a seq column exercising the intra-batch
+    // last-op-wins dedupe, then deletes); the final exhaustive probe
+    // (nProbe = nList, k·refine ≥ post-delta corpus) must land on the SAME
+    // brute-force post-delta top-10 as v44/v23/v22/w7 — five index
+    // lifecycles, one relational answer. The first batch plants a decoy
+    // upsert for one id at a LOWER seq than its real vector: if the
+    // seqCol dedupe ever regressed to set-semantics the decoy would
+    // shift a value-checked score.
+    "w8_pq_stream" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-w8").toString
+      Pq.writeStore(emb, "embedding", "vec_id", s"$dir/store", nList = 8, m = 16, ksub = 64)
+      // the delta's vector column must carry the STORE's float column name
+      // (applyDelta rebuilds floats rows by schema, unlike the HNSW store
+      // whose columns are normalized to (id, vec) at writeIndex time)
+      val changed = emb.where(col("vec_id") % 17 === 0 && col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"), transform(col("embedding").cast("array<double>"), x => -x).as("embedding"))
+      val added = emb.where(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          reverse(col("embedding").cast("array<double>")).as("embedding"))
+      val removedIds = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+      val mem = MemoryStream[(Long, Seq[Double], String, Long)]
+      val q = PqStream.into(mem.toDF().toDF("vec_id", "embedding", "op", "seq"),
+        s"$dir/store", s"$dir/ckpt", "embedding", "vec_id",
+        opCol = "op", seqCol = "seq", availableNow = false)
+      try {
+        val ups = changed.unionByName(added).as[(Long, Seq[Double])].collect()
+        // decoy: the first upserted id ALSO arrives at seq 1 with a zero
+        // vector — the seq-2 real row must win inside the same batch
+        val decoy = ups.headOption.map { case (i, v) => (i, v.map(_ => 0.0), "upsert", 1L) }.toSeq
+        mem.addData(decoy ++ ups.map { case (i, v) => (i, v, "upsert", 2L) }: _*)
+        q.processAllAvailable()
+        mem.addData(removedIds.as[Long].collect()
+          .map(i => (i, Seq.empty[Double], "delete", 3L)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val (codes, floats, ivfm, pqm) = Pq.readStore(s, s"$dir/store")
+      Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec, 10,
+        nProbe = 8, refine = 200)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy(desc("score"), col("vec_id"))
     }),
@@ -7102,6 +7151,20 @@ object SparkEntry {
     // v44 — same planted delta, same relational answer, third index
     // structure (the PQ store's maintenance path)
     "v44_pq_recrawl" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | post AS (
+         |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |   FROM base WHERE vec_id % 13 <> 0
+         |   UNION ALL
+         |   SELECT vec_id + 100000, list_reverse(e) FROM base WHERE vec_id % 19 = 0)
+         | SELECT vec_id, round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         | FROM post ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // w8 — the SAME planted delta as v44, delivered as a CDC stream
+    // through PqStream (with a lower-seq decoy upsert the intra-batch
+    // dedupe must discard): batch applyDelta, streamed applyDelta and the
+    // relational replay converge on one answer
+    "w8_pq_stream" ->
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          | post AS (
          |   SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_transform(e, x -> -x) ELSE e END AS e
