@@ -58,8 +58,23 @@ object ScaleBench {
         pmod(hash(col("doc_id") * 31L), lit(500L * scale)).as("dst"))
       graft.operators.Graph.context(e, "src", "dst")
     })
-  private def closeGraphCtx(scale: Int): Unit =
+  /** Per-scale context over the decade-chain CC graph — cc_ctx's pinned
+    * labeling, apples-to-apples with the conn_components / cc_driver
+    * one-shot rows (same graph, same node frame).
+    */
+  private val ccCtxs = scala.collection.concurrent.TrieMap.empty[Int, graft.operators.Graph.Context]
+  private def ccCtx(scale: Int, docs: org.apache.spark.sql.DataFrame): graft.operators.Graph.Context =
+    ccCtxs.getOrElseUpdate(scale, {
+      import org.apache.spark.sql.functions._
+      val e = docs.where(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+      graft.operators.Graph.context(e, "u", "v")
+    })
+
+  private def closeGraphCtx(scale: Int): Unit = {
     graphCtxs.remove(scale).foreach(_.close())
+    ccCtxs.remove(scale).foreach(_.close())
+  }
 
   /** onnx_embed's model.onnx + vocab.txt fixture, written once per JVM. */
   private lazy val onnxFixture: (String, String) =
@@ -1029,6 +1044,17 @@ object ScaleBench {
           val e = ids.where(col("doc_id") % 10 =!= 9)
             .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
           Dedup.connectedComponents(ids, e, "doc_id", "u", "v").count()
+        }),
+        // round-15 (VERDICT r14 task 4): the Context-amortized CC column —
+        // same graph and node frame as cc_driver/conn_components, but the
+        // labeling pins on the COLD rep and warm reps pay one distinct +
+        // anti-join for the singletons, the standing-dedup-corpus price
+        "cc_ctx"          -> (() => {
+          val ctx = ccCtx(scale, docs)
+          val r = ctx.connectedComponents(docs.select(col("doc_id")), "doc_id")
+          val n = r.count()
+          org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(r)
+          n
         }),
         // new-batch = every 16th doc; the Bloom gate should route the
         // overwhelmingly-duplicate batch into the confirm join and the

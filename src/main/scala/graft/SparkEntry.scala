@@ -1308,6 +1308,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G9 — d9's connected components through the AMORTIZED Graph.Context
+    // (round 15, the r14 verdict's #4): the dedup pipelines' hottest graph
+    // call served from the context's PINNED labeling — the propagation
+    // loop (or driver union-find) runs once per (query, sfDir) JVM cache
+    // entry, each call pays one distinct + anti-join for its node frame's
+    // singletons. Same oracle as d9: value parity is the contract
+    // (GraphContextSpec pins it on both execution paths + the flat
+    // persistent-RDD count).
+    "g9_cc_ctx" -> ((s, d) => {
+      val ids = Tables(s, d).documents.select(col("doc_id"))
+      val ctx = graphCtxCache.computeIfAbsent(s"g9:$d", _ => {
+        val e0 = ids.as("i1")
+          .join(ids.select(col("doc_id").as("__next")).as("i2"), col("doc_id") + 1 === col("__next"))
+          .where(col("doc_id") % 10 =!= 9)
+          .select(col("doc_id").as("u"), (col("doc_id") + 1).as("v"))
+        Graph.context(e0, "u", "v")
+      })
+      ctx.connectedComponents(ids, "doc_id")
+        .orderBy("id")
+    }),
+
     // D10 — incremental near-dup: a new batch (ids +20000, texts reused from
     // doc_id < 500) matches against the corpus via the signature-store join —
     // only the batch is signatured, the corpus side joins on stored band
@@ -5494,6 +5515,15 @@ object SparkEntry {
            |   md5(array_to_string(list_sort(fps), ',')) AS fps_md5
            | FROM f ORDER BY doc_id""".stripMargin,
     "d9_connected_components" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        | e0 AS (SELECT i1.doc_id AS u, i1.doc_id + 1 AS v FROM ids i1
+        |   WHERE i1.doc_id % 10 != 9 AND EXISTS (SELECT 1 FROM ids i2 WHERE i2.doc_id = i1.doc_id + 1)),
+        | e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        | r(u, v) AS (SELECT doc_id, doc_id FROM ids UNION SELECT e.u, r.v FROM e JOIN r ON e.v = r.u)
+        | SELECT u AS id, min(v)::BIGINT AS component FROM r GROUP BY u ORDER BY id""".stripMargin,
+
+    // g9 — d9 through the amortized context: identical relational answer
+    "g9_cc_ctx" ->
       """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
         | e0 AS (SELECT i1.doc_id AS u, i1.doc_id + 1 AS v FROM ids i1
         |   WHERE i1.doc_id % 10 != 9 AND EXISTS (SELECT 1 FROM ids i2 WHERE i2.doc_id = i1.doc_id + 1)),

@@ -82,6 +82,69 @@ class GraphContextSpec extends AnyFunSuite {
     } finally ctx.close()
   }
 
+  test("connectedComponents: labeling pins once — persistent-RDD count flat across N calls") {
+    def live: Int = spark.sparkContext.getPersistentRDDs.size
+    def drop(df: org.apache.spark.sql.DataFrame): Unit =
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(df)
+    val baseline = live
+    val nodes = (1L to 10L).toDF("id")
+    val ctx = Graph.context(edges, "src", "dst")
+    try {
+      drop(ctx.connectedComponents(nodes, "id"))
+      val afterFirst = live
+      assert(afterFirst > baseline, "the labeling should be pinned after the first call")
+      for (_ <- 1 to 3) drop(ctx.connectedComponents(nodes, "id"))
+      assert(live <= afterFirst,
+        s"persistent RDDs grew across repeated CC calls: $afterFirst -> $live")
+      val keep = ctx.connectedComponents(nodes, "id")
+      ctx.close()
+      assert(live <= baseline + 1,
+        s"close() must release the pinned labeling: baseline $baseline, after close $live")
+      assert(keep.count() == 10)
+      drop(keep)
+    } finally ctx.close()
+  }
+
+  test("connectedComponents: value parity with the one-shot path on BOTH execution paths") {
+    import graft.operators.Dedup
+    // chain 1-2-3-4 bridged to triangle 4-5-6, sink 7; node 99 isolated
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 99L)).toDF("id")
+    val ctx = Graph.context(edges, "src", "dst")
+    try {
+      def dropped(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+        val m = df.as[(Long, Long)].collect().toMap
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(df)
+        m
+      }
+      val got = dropped(ctx.connectedComponents(nodes, "id"))
+      val oneShot = Dedup.connectedComponents(nodes, edges, "id", "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == oneShot)
+      assert(got(99L) == 99L, "isolated node must be a singleton")
+      // a DIFFERENT node frame against the same pinned labeling
+      val nodes2 = (Seq(1L, 7L, 42L, 43L)).toDF("id")
+      val got2 = dropped(ctx.connectedComponents(nodes2, "id"))
+      assert(got2(42L) == 42L && got2(43L) == 43L && got2(1L) == 1L)
+      // loop params are fixed by the first call
+      val ex = intercept[IllegalArgumentException](
+        ctx.connectedComponents(nodes, "id", maxDriverEdges = 0L))
+      assert(ex.getMessage.contains("fixed"))
+    } finally ctx.close()
+    // distributed path (maxDriverEdges = 0 forces label propagation)
+    val ctx2 = Graph.context(edges, "src", "dst")
+    try {
+      val got = {
+        val df = ctx2.connectedComponents(nodes, "id", maxDriverEdges = 0L)
+        val m  = df.as[(Long, Long)].collect().toMap
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(df)
+        m
+      }
+      val oneShot = Dedup.connectedComponents(nodes, edges, "id", "src", "dst",
+        maxDriverEdges = 0L).as[(Long, Long)].collect().toMap
+      assert(got == oneShot)
+    } finally ctx2.close()
+  }
+
   test("close is idempotent and a closed context refuses new queries") {
     val ctx = Graph.context(edges, "src", "dst")
     ctx.pagerank(iters = 1).collect()
