@@ -4009,6 +4009,41 @@ object SparkEntry {
         .orderBy("path", "query_id", "rank")
     }),
 
+    // V48 — PER-QUERY heterogeneous filters in the batch join (round 15,
+    // the r14 verdict's #6): real retrieval batches carry each user's own
+    // ACL window, not one batch-wide predicate. Queries carry an `acl`
+    // group key (even ids → the selective window, odd → the broad one);
+    // Search.perQueryFiltered partitions the batch by key and runs v38's
+    // explicit-centroid IVF join once per GROUP — so the broad group's
+    // widened probe and the selective group's exact branch coexist in one
+    // batch, with ≤ one gate decision per distinct predicate (asserted
+    // against Search.gateDecisions in IvfSpec). The v38 device keeps BOTH
+    // legs fully value-replayable: DuckDB re-derives the widened probe
+    // count from measured selectivity, each query's probed lists, the
+    // argmin assignment, and the exact leg's brute force — split by query
+    // parity exactly as the group key splits them.
+    "v48_per_query_filtered_join" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      val cents = emb.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+        .map(_.toArray)
+      val model   = Ivf.Model(cents)
+      val indexed = Ivf.withListId(emb.select(col("vec_id"), col("embedding")), model, "embedding")
+      val payload = emb.select(col("vec_id"), col("label"))
+      val queries = emb.where(col("vec_id") % 101 === 0)
+        .withColumn("acl", when(col("vec_id") % 2 === 0, lit("sel")).otherwise(lit("broad")))
+      Search.perQueryFiltered(queries, "acl",
+        Seq("broad" -> Seq(col("label") >= 2),
+          "sel" -> Seq(col("label") === 3, col("vec_id") % 7 === 0)),
+        (group, filters) => Ivf.knnJoin(indexed, model, group, "embedding", "vec_id",
+          "embedding", "vec_id", 5, nProbe = 1,
+          filters = filters, payload = payload, payloadIdCol = "vec_id"))
+        .select(col("__pred").as("path"), col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("path", "query_id", "rank")
+    }),
+
     // V43 — FILTERED batch k-NN join on the IVF-PQ store (round 14):
     // Pq.knnJoinIvfPq — queries fan to their widened lists, the pair-form
     // ADC (PqAdcPair, bit-identical to the single-query lookup table)
@@ -7511,6 +7546,45 @@ object SparkEntry {
         |     list_cosine_similarity(a.v, q.qv) AS sim,
         |     row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
         |   FROM q JOIN base a ON a.vec_id <> q.query_id AND a.label = 3 AND a.vec_id % 7 = 0
+        |   QUALIFY rank <= 5)
+        | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
+        | FROM (SELECT * FROM probe UNION ALL SELECT * FROM ex)
+        | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v48 — v38's full replay split by the per-query group key: broad
+    // (odd query ids) re-derives the widened probe + assignment, sel
+    // (even ids) is the exact brute force over its allowed survivors
+    "v48_per_query_filtered_join" ->
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+        |     list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+        |   FROM embeddings WHERE vec_id < 4),
+        | asg AS (SELECT vec_id, label, v,
+        |     (SELECT cid FROM cents
+        |      ORDER BY list_inner_product(v, v) - 2 * list_inner_product(v, cv) + cc, cid
+        |      LIMIT 1) AS list_id
+        |   FROM base),
+        | q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id % 101 = 0),
+        | selv AS (SELECT CAST(ceil(1.0 /
+        |     (count(*) FILTER (WHERE label >= 2)::DOUBLE / count(*))) AS BIGINT) AS w
+        |   FROM base),
+        | probes AS (SELECT query_id, cid FROM (
+        |     SELECT q.query_id, c.cid,
+        |       row_number() OVER (PARTITION BY q.query_id
+        |         ORDER BY list_inner_product(q.qv, q.qv) - 2 * list_inner_product(q.qv, c.cv) + c.cc, c.cid) AS rn
+        |     FROM q CROSS JOIN cents c), selv WHERE rn <= selv.w),
+        | probe AS (SELECT 'broad' AS path, p.query_id, a.vec_id AS neighbor_id,
+        |     list_cosine_similarity(a.v, q.qv) AS sim,
+        |     row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
+        |   FROM probes p JOIN q ON q.query_id = p.query_id
+        |     JOIN asg a ON a.list_id = p.cid
+        |   WHERE q.query_id % 2 = 1 AND a.label >= 2 AND a.vec_id <> p.query_id
+        |   QUALIFY rank <= 5),
+        | ex AS (SELECT 'sel' AS path, q.query_id, a.vec_id AS neighbor_id,
+        |     list_cosine_similarity(a.v, q.qv) AS sim,
+        |     row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id) AS rank
+        |   FROM q JOIN base a ON a.vec_id <> q.query_id AND a.label = 3 AND a.vec_id % 7 = 0
+        |   WHERE q.query_id % 2 = 0
         |   QUALIFY rank <= 5)
         | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
         | FROM (SELECT * FROM probe UNION ALL SELECT * FROM ex)

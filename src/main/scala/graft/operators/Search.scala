@@ -266,6 +266,14 @@ object Search {
   def formatHits(hits: DataFrame, idCol: String, payloadCols: Seq[String]): DataFrame =
     hits.select((col(idCol) +: col("score") +: payloadCols.map(col)): _*)
 
+  /** Gate-decision telemetry: bumped once per [[estimatedSelectivity]]
+    * call (hinted or measured) — i.e. once per cardinality-gate DECISION.
+    * [[perQueryFiltered]]'s contract ("≤ one gate decision per distinct
+    * predicate group, never per query") is asserted against this counter
+    * in the specs; it is monotone and never reset.
+    */
+  private[graft] val gateDecisions = new java.util.concurrent.atomic.AtomicLong()
+
   /** The filtered-ANN cardinality-gate selectivity, shared by the HNSW and
     * IVF gates (so the hint contract and the estimate scan cannot drift):
     * `hint` when given (validated), else ONE column-pruned payload scan —
@@ -274,7 +282,8 @@ object Search {
     * 0.0 means NOTHING passes (callers short-circuit to an empty result).
     */
   private[graft] def estimatedSelectivity(
-      payload: DataFrame, pred: Column, hint: Double): Double =
+      payload: DataFrame, pred: Column, hint: Double): Double = {
+    gateDecisions.incrementAndGet()
     if (!hint.isNaN) {
       require(hint > 0d && hint <= 1d, s"selectivityHint must be in (0, 1]: $hint")
       hint
@@ -285,4 +294,56 @@ object Search {
       val allowedN = cardRow.getLong(1)
       if (allowedN == 0L) 0d else allowedN.toDouble / cardRow.getLong(0).toDouble
     }
+  }
+
+  /** PER-QUERY heterogeneous filters for the batch ANN joins (round 15,
+    * VERDICT r14 task 6): all four filtered batch joins take ONE predicate
+    * shared by the whole batch, but real retrieval batches carry each
+    * user's own ACL/date window. This device composes with any of them —
+    * [[graft.operators.Ivf.knnJoin]], [[graft.operators.Hnsw.knnJoin]],
+    * [[graft.operators.Pq.knnJoinIvfPq]], [[Search.knnJoin]] — without
+    * per-family surgery: query rows carry a PREDICATE-GROUP key in
+    * `predCol`, `predicates` maps each key to its filter conjuncts, and
+    * `run` is the family call. Each group runs the family's gated join
+    * once, so the gate makes ≤ ONE decision per DISTINCT predicate (never
+    * per query — asserted against [[gateDecisions]] in the specs) and each
+    * group independently takes the branch its own selectivity earns:
+    * a tight-ACL user's queries ride the exact semi-join while the
+    * broad-filter users keep the widened probe.
+    *
+    * Scale shape: the plan fans out once per predicate GROUP, bounded by
+    * the number of predicate classes (ACL tiers, language walls, date
+    * windows) — never by |q|. Groups absent from the batch cost nothing
+    * (one bounded distinct decides presence); a query key with no entry in
+    * `predicates` fails loudly — silently dropping those rows would be an
+    * answer to a different question.
+    *
+    * Output: the family's rows plus `__pred` (the group key), so callers
+    * can route or audit per group.
+    */
+  def perQueryFiltered(
+      queries: DataFrame,
+      predCol: String,
+      predicates: Seq[(String, Seq[Column])],
+      run: (DataFrame, Seq[Column]) => DataFrame,
+  ): DataFrame = {
+    require(predicates.nonEmpty, "need at least one predicate group")
+    val keys = predicates.map(_._1)
+    require(keys.distinct.length == keys.length, s"duplicate predicate-group keys: $keys")
+    val present = queries.select(col(predCol).cast("string").as("__p")).distinct()
+      .limit(keys.length + 2).collect().map(r => Option(r.getString(0))).toSet
+    val unknown = present.diff(keys.map(Option(_)).toSet)
+    require(unknown.isEmpty,
+      s"query rows carry predicate keys with no entry in `predicates`: " +
+        s"${unknown.map(_.getOrElse("null")).mkString(", ")}")
+    val parts = predicates.collect {
+      case (pv, filters) if present.contains(Some(pv)) =>
+        run(queries.where(col(predCol).cast("string") === pv), filters)
+          .withColumn("__pred", lit(pv))
+    }
+    if (parts.isEmpty)
+      run(queries.where(lit(false)), predicates.head._2)
+        .withColumn("__pred", lit(null).cast("string"))
+    else parts.reduce(_ unionByName _)
+  }
 }

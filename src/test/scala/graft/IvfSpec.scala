@@ -252,6 +252,47 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("perQueryFiltered: one gate decision per predicate GROUP, per-group branch choice, loud unknown keys") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-pqf")
+    val payload = corpus.select(col("id"), (col("id") % 10).as("grp"))
+    val queries = corpus.where(col("id") < 12)
+      .withColumn("acl", when(col("id") % 2 === 0, "sel").otherwise("broad"))
+    val preds = Seq(
+      "broad"  -> Seq(col("grp") < 8),
+      "sel"    -> Seq(col("grp") === 0, col("id") % 7 === 0),
+      "unused" -> Seq(col("grp") === 42),
+    )
+    def join(group: org.apache.spark.sql.DataFrame, filters: Seq[org.apache.spark.sql.Column]) =
+      Ivf.knnJoin(indexed, model, group, "vec", "id", "vec", "id", 3, nProbe = 2,
+        filters = filters, payload = payload, payloadIdCol = "id")
+    val before = Search.gateDecisions.get()
+    val got = Search.perQueryFiltered(queries, "acl", preds, join)
+      .select(col("__pred"), col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // ≤ one gate decision per DISTINCT predicate group present in the
+    // batch — 2 here (the unused group costs nothing), never per query (12)
+    val decisions = Search.gateDecisions.get() - before
+    assert(decisions == 2, s"expected 2 gate decisions (one per present group), got $decisions")
+    // value parity: each group IS the family call on its query slice
+    val wantBroad = join(queries.where(col("acl") === "sel").limit(0).unionByName(
+      queries.where(col("acl") === "broad")), preds(0)._2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => ("broad", r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val wantSel = join(queries.where(col("acl") === "sel"), preds(1)._2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => ("sel", r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == wantBroad ++ wantSel)
+    // every broad-group hit honors ITS filter, every sel-group hit ITS own
+    assert(got.collect { case ("broad", _, n, _) => n }.forall(_ % 10 < 8))
+    assert(got.collect { case ("sel", _, n, _) => n }.forall(n => n % 10 == 0 && n % 7 == 0))
+    // a query key with no predicate entry fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Search.perQueryFiltered(
+        queries.withColumn("acl", lit("mystery")), "acl", preds, join).count()
+    }
+    assert(ex.getMessage.contains("mystery"))
+  }
+
   test("Ivf.knnJoin: full-probe batch ANN equals the brute-force knn join; pruned keeps recall") {
     val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-knn")
     val queries = corpus.where(col("id") < 8)
