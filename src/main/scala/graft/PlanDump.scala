@@ -36,6 +36,8 @@ object PlanDump {
     "j13_bucketed_join" -> "round 13 (bucketed co-located join): both sides written bucketBy(8, doc_id)+sortBy as catalog tables, so the join on the bucket key needs NO shuffle exchange at any size — at this SF Catalyst broadcasts the tiny label side (also exchange-free); with broadcast disabled the bucket layout carries a SortMergeJoin with zero Exchange nodes (asserted in OperatorsSpec), the storage-level amortization of every later join on that key — note both scans report Bucketed: true, SelectedBucketsCount 8/8",
     "v40_ivfsq8_filtered" -> "round 14 (filtered search on the int8 store): the BROAD leg's scan stays PARTITION-PRUNED at the widened width (list_id IN over 7 of 8 lists lands in PartitionFilters) with the allowed-id semi-join on the pruned scan — the store never shuffles, only the narrow allowed ids move; the SELECTIVE leg's cardinality gate routes to the exact branch: a full (unpruned) code scan semi-joined to the few allowed survivors + TakeOrderedAndProject — exact by construction, cheap because the filter is what bounds it",
     "v42_ivfsq8_filtered_knn_join" -> "round 14 (filtered batch join, quantized): queries fan out to their widened lists as narrow rows and equi-join the code store on list_id (candidate volume |q|·n·nProbe'/nList, never all-pairs); the allowed-id semi-join lands on the bounded candidate frame; per-query top-k via the map-side-combined TopKScored aggregate, so the final exchange carries ≤ k rows per (query, partition); the exact leg is the brute-force join over allowed code rows with the same aggregate bound",
+    "v47_pq_auto_probe" -> "round 15 (PQ-store auto-probe, dumped as the DECLARATIVE plan the rule rewrites — the declared query collects rule-vs-call parity rows, which would show only a LocalRelation): the user's sort-by-cosine+limit over the floats store is SUBSTITUTED by Pq.searchIvfPq — the candidate stage scans the CODE store's pq_codes (16 B/vector) pruned to the probed list_id directories (PartitionFilters), the ≤ k·refine ADC survivors broadcast back, and the float re-rank reads the float store pruned to the SAME lists + TakeOrderedAndProject; no scan in the plan is unpruned",
+    "v48_per_query_filtered_join" -> "round 15 (per-query heterogeneous filtered batch join): ONE plan unions one gated Ivf.knnJoin per predicate GROUP (bounded by predicate classes, never |q|) — the broad group's query fan-out equi-joins the store on list_id at its own widened width with its filter pushed to the scan, the selective group routes to its exact brute-force leg, and each group's per-query top-k is the map-side-combined TopKScored aggregate (≤ k rows per (query, partition) into each final exchange)",
   )
 
   def main(args: Array[String]): Unit = {
@@ -66,6 +68,26 @@ object PlanDump {
             SparkEntry.fulfillmentEdges(spark, sfDir), "src", "dst", iters = 3)
           release = rel
           ranks
+        } else if (name == "v47_pq_auto_probe") {
+          // the declared query returns COLLECTED parity rows (LocalRelation
+          // plan) — audit the declarative query the rule rewrites instead
+          import org.apache.spark.sql.functions.col
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))
+          val dir = java.nio.file.Files.createTempDirectory("plandump-v47").toString + "/store"
+          graft.operators.Pq.writeStore(emb, "embedding", "vec_id", dir, nList = 8, m = 16, ksub = 64)
+          val (_, floats, _, _) = graft.operators.Pq.readStore(spark, dir)
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.PqAutoProbe(spark)
+          spark.conf.set("spark.graft.pq.autoProbe", "true")
+          release = () => {
+            spark.conf.unset("spark.graft.pq.autoProbe")
+            classic.experimental.extraOptimizations = prev
+          }
+          val q = graft.operators.Embedder.default.embed("plan audit probe").map(_.toDouble).toSeq
+          graft.operators.Search.topK(floats, "embedding", "vec_id", q, 10)
+            .select("vec_id", "score")
         } else SparkEntry.queries(name)(spark, sfDir)
       // release in a finally: an explain failure must not leave the
       // chain's edge/node caches pinned for the rest of the dump
