@@ -209,6 +209,45 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("HnswAutoProbe fires on spark.sql text too — unfiltered beam and the filtered gate") {
+    val df  = items.toSeq.toDF("id", "vec")
+    val q   = items(5)._2.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-auto-sql").toString + "/store"
+    Hnsw.writeIndex(df, "vec", "id", dir, nShards = 3)
+    val store = Hnsw.readIndex(spark, dir)
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    store.createOrReplaceTempView("hnsw_store_sql")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.HnswAutoProbe(spark))
+    spark.conf.set("spark.graft.hnsw.autoProbe", "true")
+    spark.conf.set("spark.graft.hnsw.efSearch", "64")
+    try {
+      val qSql = "CAST(" + q.mkString("array(", ", ", ")") + " AS ARRAY<DOUBLE>)"
+      val beam = spark.sql(
+        s"SELECT id, cosine_similarity(vec, $qSql) AS score FROM hnsw_store_sql ORDER BY score DESC, id LIMIT 5")
+      val bplan = beam.queryExecution.optimizedPlan.toString
+      assert(!bplan.contains("cosine_similarity") && bplan.contains("MapPartitions"),
+        s"SQL top-k must substitute the beam plan:\n$bplan")
+      val viaApi = Hnsw.searchIndex(store, q, "id", 5, efSearch = 64)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(beam.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi)
+      // filtered SQL routes through the gate (broad → flag-aware beam)
+      val filtered = spark.sql(
+        s"SELECT id, cosine_similarity(vec, $qSql) AS score FROM hnsw_store_sql " +
+          "WHERE id % 2 = 0 ORDER BY score DESC, id LIMIT 5")
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      val viaFilteredApi = Hnsw.searchIndex(store, q, "id", 5, efSearch = 64,
+        filters = Seq(col("id") % 2 === 0), payload = store.select("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(filtered.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaFilteredApi)
+    } finally {
+      spark.conf.set("spark.graft.hnsw.autoProbe", "false")
+      spark.conf.unset("spark.graft.hnsw.efSearch")
+      classic.experimental.extraOptimizations = Nil
+      spark.catalog.dropTempView("hnsw_store_sql")
+    }
+  }
+
   test("stored index survives splits that cut a shard across scan tasks") {
     // force tiny splits so one shard's rows span MANY scan partitions —
     // the regression that produced partial graphs at the 768-d scale tier

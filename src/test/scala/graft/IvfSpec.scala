@@ -168,6 +168,45 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfAutoProbe fires on spark.sql text too — including the filtered gate") {
+    // the declarative promise isn't DataFrame-only: a SQL user writing
+    // ORDER BY cosine_similarity(...) DESC LIMIT k over the store view
+    // gets the same pruned (and gated) probe — the array literal constant-
+    // folds before the rule runs, so the same matcher sees the same shape
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-sql")
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    indexed.createOrReplaceTempView("ivf_store_sql")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    spark.conf.set("spark.graft.ivf.nProbe", "2")
+    try {
+      // SQL numeric literals parse as decimals and the store's vec is
+      // float — cast both sides, exactly what a SQL user must write
+      val qSql = "CAST(" + qVec.mkString("array(", ", ", ")") + " AS ARRAY<DOUBLE>)"
+      val plain = spark.sql(
+        s"SELECT id, cosine_similarity(CAST(vec AS ARRAY<DOUBLE>), $qSql) AS score " +
+          "FROM ivf_store_sql ORDER BY score DESC, id LIMIT 5")
+      val pf = TestSpark.formattedPlan(plain).linesIterator.find(_.contains("PartitionFilters")).get
+      assert(pf.contains("list_id") && pf.contains("IN"), s"SQL top-k must auto-prune: $pf")
+      assert(plain.select("id").as[Long].collect().toSeq ==
+        Ivf.search(indexed, model, "vec", "id", qVec, 5, 2).select("id").as[Long].collect().toSeq)
+      // filtered SQL rides the gate: sel 0.8 widens 2 → 3 lists
+      val filtered = spark.sql(
+        s"SELECT id, cosine_similarity(CAST(vec AS ARRAY<DOUBLE>), $qSql) AS score " +
+          "FROM ivf_store_sql WHERE id % 10 < 8 ORDER BY score DESC, id LIMIT 5")
+      val fpf = "list_id#?\\d* IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(TestSpark.formattedPlan(filtered)).map(_.group(1))
+      assert(fpf.exists(_.split(",").length == 3), s"filtered SQL must widen the probe: $fpf")
+      assert(filtered.select("id").as[Long].collect().forall(_ % 10 < 8))
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      spark.conf.unset("spark.graft.ivf.nProbe")
+      classic.experimental.extraOptimizations = Nil
+      spark.catalog.dropTempView("ivf_store_sql")
+    }
+  }
+
   test("IvfAutoProbe: user predicates gate the probe width — broad widens, selective declines") {
     val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-fgate")
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
