@@ -173,6 +173,19 @@ object ScaleBench {
     val root = sys.props("java.io.tmpdir") + "/graft-scale"
     val qvCache = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Double]]()
     val pqCache = new java.util.concurrent.ConcurrentHashMap[Int, (Pq.Model, org.apache.spark.sql.DataFrame)]()
+    // round 15: the PERSISTENT two-store IVF-PQ index (sidecars on disk) —
+    // what PqAutoProbe detects; built once per scale, survives across runs
+    // in one boot via the sidecar existence check
+    val pqStoreCache = new java.util.concurrent.ConcurrentHashMap[Int, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Ivf.Model, Pq.Model)]()
+    def pqStore(scale: Int, vecs: org.apache.spark.sql.DataFrame, nList: Int) =
+      pqStoreCache.computeIfAbsent(scale, _ => {
+        val dir = root + s"/pqstore768-$scale"
+        val sidecar = new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt")
+        val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(sidecar))
+          Pq.writeStore(vecs, "embedding", "vec_id", dir, nList, m = 96, ksub = 64)
+        Pq.readStore(spark, dir)
+      })
     for (scale <- Seq(1, 4).filter(_ <= maxScale)) {
       val vecs   = gen768(spark, scale, root)
       val n      = 25000L * scale
@@ -202,6 +215,35 @@ object ScaleBench {
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       val ops: Seq[(String, () => Long)] = Seq(
         "cosine_topk_768"  -> (() => Search.topK(vecs, "embedding", "vec_id", qVec, 10).count()),
+        // round 15 (PqAutoProbe at the reference shape): build the
+        // PERSISTENT store once (build row prices it), then the explicit
+        // probe and the DECLARATIVE rewrite — their warm prices should be
+        // indistinguishable (the rule's cost is driver-side plan surgery)
+        // and both recall-gated against the exact ids
+        "pq_store_build_768" -> (() => { pqStore(scale, vecs, nList); 1L }),
+        "pq_store_probe_768" -> (() => {
+          val (codes, floats, ivfm, pqm) = pqStore(scale, vecs, nList)
+          Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id", qVec, 10,
+            nProbe, refine = 32)
+            .select("vec_id").as[Long].collect().count(exactIds).toLong
+        }),
+        "pq_auto_probe_768" -> (() => {
+          val (_, floats, _, _) = pqStore(scale, vecs, nList)
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.PqAutoProbe(spark)
+          spark.conf.set("spark.graft.pq.autoProbe", "true")
+          spark.conf.set("spark.graft.pq.nProbe", nProbe.toString)
+          spark.conf.set("spark.graft.pq.refine", "32")
+          try Search.topK(floats, "embedding", "vec_id", qVec, 10)
+            .select("vec_id").as[Long].collect().count(exactIds).toLong
+          finally {
+            spark.conf.unset("spark.graft.pq.autoProbe")
+            spark.conf.unset("spark.graft.pq.nProbe")
+            spark.conf.unset("spark.graft.pq.refine")
+            classic.experimental.extraOptimizations = prev
+          }
+        }),
         "knn_join_32q_768" -> (() => Search.knnJoin(vecs.where(col("vec_id") < 32), vecs,
           "embedding", "vec_id", "embedding", "vec_id", 10).count()),
         // round-13 v38 at the real shape: the FILTERED IVF batch join (50%
