@@ -42,6 +42,46 @@ import org.apache.spark.sql.types.IntegerType
   * this one FIRST), the IVF rule declines PQ floats stores while this
   * rule is enabled, so the two never fight over the same scan.
   */
+object PqAutoProbe {
+  /** Per-(session, store) cache of the reopened store — the 768-d tier
+    * measured the UNCACHED rule at 3–5× the explicit call: re-listing the
+    * nList partition directories of the code store and re-parsing both
+    * sidecars ON EVERY QUERY dominates the probe itself. Freshness is a
+    * token over the two sidecar mtimes plus the codes directory mtime
+    * ([[graft.operators.Pq.applyDelta]]'s per-list swaps touch the codes
+    * dir), so a maintained store invalidates its entry; a stale-token hit
+    * reloads. Keyed by session too — DataFrames are session-bound.
+    */
+  private val storeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (Long, (graft.operators.Ivf.StoredIndex, graft.operators.Pq.Model, org.apache.spark.sql.DataFrame))]()
+
+  private def mtime(conf: org.apache.hadoop.conf.Configuration, p: String): Long =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).getFileStatus(hp).getModificationTime
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  private[plans] def storeFor(
+      spark: SparkSession, parent: String, floatsRoot: String,
+  ): Option[(graft.operators.Ivf.StoredIndex, graft.operators.Pq.Model, org.apache.spark.sql.DataFrame)] = {
+    val conf  = spark.sparkContext.hadoopConfiguration
+    val token = mtime(conf, s"$parent/_pq_codebooks.txt") ^
+      java.lang.Long.rotateLeft(mtime(conf, s"$floatsRoot/_graft_centroids.txt"), 21) ^
+      java.lang.Long.rotateLeft(mtime(conf, s"$parent/codes"), 42)
+    val key = (System.identityHashCode(spark), parent)
+    val cur = storeCache.get(key)
+    if (cur != null && cur._1 == token) Some(cur._2)
+    else {
+      val loaded = for {
+        stored <- graft.operators.Ivf.readCentroids(floatsRoot, conf)
+        pqm    <- graft.operators.Pq.readCodebooks(spark, parent)
+      } yield (stored, pqm, spark.read.parquet(parent + "/codes"))
+      loaded.foreach(v => storeCache.put(key, (token, v)))
+      loaded
+    }
+  }
+}
+
 case class PqAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
@@ -74,11 +114,9 @@ case class PqAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           relVec <- rel.output.collectFirst {
             case a: AttributeReference if a.exprId == vecAttr.exprId => a
           }
-          stored <- Ivf.readCentroids(root, conf)
+          (stored, pqm, codes) <- PqAutoProbe.storeFor(spark, parent, root)
           if stored.column.forall(_ == relVec.name)
-          pqm <- Pq.readCodebooks(spark, parent)
           if stored.model.centroids.nonEmpty && stored.model.centroids.head.length == qv.length
-          codes = spark.read.parquet(parent + "/codes")
           idCol <- codes.columns.filterNot(c => c == "pq_codes" || c == "list_id") match {
             case Array(one) => Some(one)
             case _          => None

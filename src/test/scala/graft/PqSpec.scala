@@ -77,6 +77,20 @@ class PqSpec extends AnyFunSuite {
       val both = Search.topK(floats, "vec", "id", qVec, 5).select("id", "score")
       assert(TestSpark.formattedPlan(both).contains("pq_codes"))
       assert(both.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi)
+      // MAINTAINED store: the rule's per-store cache (the 768-d tier's
+      // catch — uncached, the rule re-listed the code store per query at
+      // 3-5x the explicit call) must INVALIDATE on applyDelta, never serve
+      // pre-delta codes. Delete the current top hit; the declarative probe
+      // over the REOPENED store must not surface it.
+      val top1 = viaApi.head._1
+      Pq.applyDelta(spark, tmp, Seq(top1).toDF("id"),
+        Seq.empty[(Long, Seq[Double])].toDF("id", "vec"), "vec", "id")
+      val (_, floatsAfter, _, _) = Pq.readStore(spark, tmp)
+      val afterDelta = Search.topK(floatsAfter, "vec", "id", qVec, 5).select("id", "score")
+      assert(TestSpark.formattedPlan(afterDelta).contains("pq_codes"),
+        "the rule must still fire on the maintained store")
+      assert(!afterDelta.select("id").as[Long].collect().contains(top1),
+        "stale store cache: the rule served pre-delta codes after applyDelta")
     } finally {
       spark.conf.unset("spark.graft.pq.autoProbe")
       spark.conf.unset("spark.graft.pq.nProbe")
