@@ -374,6 +374,48 @@ object ScaleBench {
         // rows = recall@10 vs the FILTERED brute force (gate >= 8 on the
         // beam bands; the 1% band trips the cardinality gate's exact
         // branch — needEf 6400 > maxEf 4096 — so its gate is == 10).
+        // round 15: the DECLARATIVE filtered paths at the reference shape —
+        // the rules' price must track the explicit gated calls they rewrite
+        // to (the estimate scan is the only addition; hint-able)
+        "ivf_filt50_768" -> (() => {
+          val (indexed, model) = index()
+          Ivf.search(indexed, model, "embedding", "vec_id", qVec, 10, nProbe,
+            filters = Seq(pmod(col("vec_id"), lit(100)) < 50))
+            .select("vec_id").as[Long].collect().count(filtExact(50)).toLong
+        }),
+        "ivf_auto_filt50_768" -> (() => {
+          val (indexed, _) = index()
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.IvfAutoProbe(spark)
+          spark.conf.set("spark.graft.ivf.autoProbe", "true")
+          spark.conf.set("spark.graft.ivf.nProbe", nProbe.toString)
+          try Search.topK(indexed, "embedding", "vec_id", qVec, 10,
+            Seq(pmod(col("vec_id"), lit(100)) < 50))
+            .select("vec_id").as[Long].collect().count(filtExact(50)).toLong
+          finally {
+            spark.conf.unset("spark.graft.ivf.autoProbe")
+            spark.conf.unset("spark.graft.ivf.nProbe")
+            classic.experimental.extraOptimizations = prev
+          }
+        }),
+        "hnsw_auto_filt50_768" -> (() => {
+          val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
+            cacheKey = s"scale768-hnsw-$scale", nShards = 4)
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.HnswAutoProbe(spark)
+          spark.conf.set("spark.graft.hnsw.autoProbe", "true")
+          spark.conf.set("spark.graft.hnsw.efSearch", "64")
+          try Search.topK(idx, "vec", "id", qVec, 10,
+            Seq(pmod(col("id"), lit(100)) < 50))
+            .select("id").as[Long].collect().count(filtExact(50)).toLong
+          finally {
+            spark.conf.unset("spark.graft.hnsw.autoProbe")
+            spark.conf.unset("spark.graft.hnsw.efSearch")
+            classic.experimental.extraOptimizations = prev
+          }
+        }),
         "hnsw_filt50_768" -> (() => {
           val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
             cacheKey = s"scale768-hnsw-$scale", nShards = 4)

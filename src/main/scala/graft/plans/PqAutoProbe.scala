@@ -51,9 +51,24 @@ object PqAutoProbe {
     * ([[graft.operators.Pq.applyDelta]]'s per-list swaps touch the codes
     * dir), so a maintained store invalidates its entry; a stale-token hit
     * reloads. Keyed by session too — DataFrames are session-bound.
+    *
+    * LIMITATION, stated plainly: object stores without real directory
+    * mtimes (S3 prefixes report none) make the token constant, so a store
+    * maintained in place there would keep serving the cached file listing
+    * — the same staleness any user-held DataFrame over a rewritten store
+    * has. Call [[invalidate]] after maintenance on such filesystems.
     */
   private val storeCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (Long, (graft.operators.Ivf.StoredIndex, graft.operators.Pq.Model, org.apache.spark.sql.DataFrame))]()
+
+  /** Drop every session's cached entry for `root` (the store root passed
+    * to [[graft.operators.Pq.writeStore]]) — the explicit escape hatch for
+    * filesystems whose directory mtimes cannot carry the freshness token.
+    */
+  def invalidate(root: String): Unit = {
+    val it = storeCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._2 == root) it.remove()
+  }
 
   private def mtime(conf: org.apache.hadoop.conf.Configuration, p: String): Long =
     try {
