@@ -91,6 +91,13 @@ class PqSpec extends AnyFunSuite {
         "the rule must still fire on the maintained store")
       assert(!afterDelta.select("id").as[Long].collect().contains(top1),
         "stale store cache: the rule served pre-delta codes after applyDelta")
+      // the explicit escape hatch (object stores without dir mtimes):
+      // invalidate + re-query reloads and still answers correctly
+      graft.plans.PqAutoProbe.invalidate(tmp)
+      val reloaded = Search.topK(floatsAfter, "vec", "id", qVec, 5).select("id", "score")
+      assert(TestSpark.formattedPlan(reloaded).contains("pq_codes"))
+      assert(reloaded.select("id").as[Long].collect().toSeq ==
+        afterDelta.select("id").as[Long].collect().toSeq)
     } finally {
       spark.conf.unset("spark.graft.pq.autoProbe")
       spark.conf.unset("spark.graft.pq.nProbe")
