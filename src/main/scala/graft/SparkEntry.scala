@@ -4036,6 +4036,32 @@ object SparkEntry {
         .orderBy("path", "query_id", "rank")
     }),
 
+    // V49 — per-query heterogeneous filters on the HNSW batch join
+    // (round 15): Search.perQueryFiltered is family-agnostic, and v48
+    // demonstrates it on IVF — this is the SAME device composed with
+    // Hnsw.knnJoin, both groups value-exact by v37's construction (broad
+    // group: oversampled beam at needEf ≈ 328k ≤ maxEf 2^20 with
+    // efSearch ≥ corpus → exhaustive; selective group: needEf > maxEf →
+    // the exact semi-join branch). One gate decision per group; the
+    // oracle is v37's filtered brute-force join split by the group key.
+    "v49_per_query_filtered_hnsw" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      val idx = Hnsw.indexFor(emb.select(col("vec_id"), col("embedding")),
+        "embedding", "vec_id", cacheKey = s"v37:$d", nShards = 4)
+      val payload = emb.select(col("vec_id"), col("label"))
+      val queries = emb.where(col("vec_id") % 101 === 0)
+        .withColumn("acl", when(col("vec_id") % 2 === 0, lit("sel")).otherwise(lit("broad")))
+      Search.perQueryFiltered(queries, "acl",
+        Seq("broad" -> Seq(col("label") === 3),
+          "sel" -> Seq(col("label") === 3, col("vec_id") % 7 === 0)),
+        (group, filters) => Hnsw.knnJoin(idx, group, "embedding", "vec_id", 5,
+          efSearch = 65536, filters = filters,
+          payload = payload, payloadIdCol = "vec_id", maxEf = 1 << 20))
+        .select(col("__pred").as("path"), col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy("path", "query_id", "rank")
+    }),
+
     // V48 — PER-QUERY heterogeneous filters in the batch join (round 15,
     // the r14 verdict's #6): real retrieval batches carry each user's own
     // ACL window, not one batch-wide predicate. Queries carry an `acl`
@@ -7577,6 +7603,25 @@ object SparkEntry {
         | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
         | FROM (SELECT * FROM probe UNION ALL SELECT * FROM ex)
         | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v49 — v37's filtered brute-force join replay split by the per-query
+    // group key (both groups exact by construction on the HNSW side)
+    "v49_per_query_filtered_hnsw" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 101 = 0),
+         | c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+         | broad AS (SELECT 'broad' AS path, query_id, neighbor_id,
+         |     list_cosine_similarity(cv, qv) AS sim,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
+         |   FROM q JOIN c ON query_id <> neighbor_id AND label = 3
+         |   WHERE query_id % 2 = 1 QUALIFY rank <= 5),
+         | ex AS (SELECT 'sel' AS path, query_id, neighbor_id,
+         |     list_cosine_similarity(cv, qv) AS sim,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
+         |   FROM q JOIN c ON query_id <> neighbor_id AND label = 3 AND neighbor_id % 7 = 0
+         |   WHERE query_id % 2 = 0 QUALIFY rank <= 5)
+         | SELECT path, query_id, neighbor_id, round(sim, 4) AS score, rank
+         | FROM (SELECT * FROM broad UNION ALL SELECT * FROM ex)
+         | ORDER BY path, query_id, rank""".stripMargin,
 
     // v48 — v38's full replay split by the per-query group key: broad
     // (odd query ids) re-derives the widened probe + assignment, sel
