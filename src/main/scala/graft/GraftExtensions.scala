@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in ANN rewrite (spark.graft.hnsw.autoProbe=true): brute-force
     // cosine top-k over an HNSW store becomes the sharded beam search
     ext.injectOptimizerRule(graft.plans.HnswAutoProbe.apply)
+    // opt-in BATCH ANN rewrite (each family's flag governs its stores):
+    // per-query top-k window over queries × store becomes the family's
+    // gated batch knnJoin instead of a scored cartesian
+    ext.injectOptimizerRule(graft.plans.KnnJoinAuto.apply)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -560,6 +560,58 @@ object ScaleBench {
             .join(a.select(col("vec_id").as("src_id"), col("label").as("src_label")), "src_id")
             .where(col("label") =!= col("src_label")).count()
         }),
+        // round 16 (VERDICT r15 task 5): PER-QUERY heterogeneous filters
+        // at the reference shape — 64 queries in 8 predicate classes of
+        // mixed selectivity (100%…1%: broad bands keep the widened pruned
+        // probe, the 2%/1% bands trip the gate's exact branch) through
+        // Search.perQueryFiltered over the gated IVF batch join. The cost
+        // to watch is the per-GROUP plan fan-out: 8 gated joins + 8
+        // estimate scans REGARDLESS of |q| — flat in queries, linear in
+        // predicate classes. rows = 640 (64 × top-10; every band holds
+        // ≥ 10 allowed rows at scale 1).
+        "per_query_filt_768" -> (() => {
+          val (indexed, model) = index()
+          val qs = vecs.where(col("vec_id") < 64)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+              concat(lit("g"), pmod(col("vec_id"), lit(8))).as("band"))
+          val bands  = Seq(100, 75, 50, 25, 10, 5, 2, 1)
+          val groups = bands.zipWithIndex.map { case (b, i) =>
+            s"g$i" -> Seq(col("pct") < b) }
+          Search.perQueryFiltered(qs, "band", groups, (q, f) =>
+            Ivf.knnJoin(indexed, model, q, "qvec", "qid", "embedding", "vec_id",
+              10, nProbe, excludeSelf = false,
+              filters = f, payload = filtPayload, payloadIdCol = "vec_id")).count()
+        }),
+        // round 16 (v50 at the reference shape): the DECLARATIVE batch-ANN
+        // window over 64 queries × the store, rewritten by KnnJoinAuto into
+        // the gated Ivf.knnJoin — its warm price must track
+        // ivf_knn_join_768 (the explicit call it substitutes; the rule's
+        // own cost is driver-side plan surgery + the cached centroid
+        // sidecar read). Without the rule this query is a |q|·n cartesian.
+        "knn_join_auto_768" -> (() => {
+          val (indexed, _) = index()
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.KnnJoinAuto(spark)
+          spark.conf.set("spark.graft.ivf.autoProbe", "true")
+          spark.conf.set("spark.graft.ivf.nProbe", nProbe.toString)
+          try {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+            vecs.where(col("vec_id") < 64)
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+              .crossJoin(indexed)
+              .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+                col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
+              .withColumn("rank", row_number().over(w))
+              .where(col("rank") <= 10)
+              .select("qid", "vec_id", "score", "rank").count()
+          } finally {
+            spark.conf.unset("spark.graft.ivf.autoProbe")
+            spark.conf.unset("spark.graft.ivf.nProbe")
+            classic.experimental.extraOptimizations = prev
+          }
+        }),
       )
       val selected = if (onlyOps.isEmpty) ops else ops.filter(o => onlyOps.contains(o._1))
       selected.foreach { case (name, run) =>

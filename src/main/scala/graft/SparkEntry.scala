@@ -1338,6 +1338,36 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // G10 — context-served INCREMENTAL connected components (round 16,
+    // VERDICT r15 task 7): d16's exact-dup labeling + delta-edge batch,
+    // but the base labeling is PINNED in a standing Graph.Context (built
+    // from star edges doc→group-min, the same components as d16's groupBy)
+    // and each call ABSORBS the delta into the pin — historical edges are
+    // never re-read, per-batch cost is the contracted CC + one broadcast
+    // relabel join over the pinned labeling. Replaying the same batch is
+    // a fixpoint (warm bench reps exercise exactly the at-least-once
+    // absorb), so the output equals d16's oracle on every rep.
+    "g10_cc_incremental_ctx" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val ctx = graphCtxCache.computeIfAbsent(s"g10:$d", _ => {
+        val clustered = docs.select(col("doc_id"), Dedup.exactKey(col("text")).as("k"))
+        val e0 = clustered
+          .join(clustered.groupBy("k").agg(min(col("doc_id")).as("m")), Seq("k"))
+          .where(col("doc_id") =!= col("m"))
+          .select(col("doc_id").as("u"), col("m").as("v"))
+        Graph.context(e0, "u", "v")
+      })
+      val newE = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("u"), (col("doc_id") + 250).as("v"))
+        .unionByName(docs.where(col("doc_id") % 77 === 0)
+          .select(col("doc_id").as("u"), (col("doc_id") + 100000).as("v")))
+      val nodes = docs.select(col("doc_id").as("id"))
+        .unionByName(newE.select(col("u").as("id")))
+        .unionByName(newE.select(col("v").as("id")))
+      ctx.incrementalComponents(nodes, "id", newE, "u", "v")
+        .orderBy("id")
+    }),
+
     // D10 — incremental near-dup: a new batch (ids +20000, texts reused from
     // doc_id < 500) matches against the corpus via the signature-store join —
     // only the batch is signatured, the corpus side joins on stored band
@@ -2226,10 +2256,24 @@ object SparkEntry {
     // the live IVF store's membership: DuckDB re-derives every final text
     // state and its md5 relationally, and any lost/ghost/stale index row
     // breaks the value check.
+    //
+    // Lifecycle decoupling (round 16, VERDICT r15 task 3 — w6 was the
+    // single most expensive bench row at 7.6 s, still bootstrapping its
+    // corpus per rep): the bootstrap runs ONCE per JVM via storeCache;
+    // warm reps replay b1+b2 against the post-b2 state, which is a
+    // FIXPOINT of that replay — b1's removals hit absent ids (no-op), its
+    // redelivered updates hash-equal (no-op), its re-adds of the +10M ids
+    // are re-mutated/re-deleted by b2, so every rep converges to the same
+    // snapshot and the oracle answer is invariant, while warm reps price
+    // exactly the per-batch diff→embed→applyDelta work (the cold rep
+    // keeps the lifecycle truth — same device as w7/w8/v44).
     "w6_recrawl_stream" -> ((s, d) => {
       val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("graft-w6").toString
-      graft.streaming.RecrawlStream.bootstrap(s, docs, "doc_id", "text", root, nList = 8)
+      val root = storeCache.computeIfAbsent(s"w6:$d", _ => {
+        val r = java.nio.file.Files.createTempDirectory("graft-w6").toString
+        graft.streaming.RecrawlStream.bootstrap(s, docs, "doc_id", "text", r, nList = 8)
+        r
+      })
       val b1 = docs.where(col("doc_id") % 97 === 0)
         .select(col("doc_id"), lit(null).cast("string").as("text"))
         .unionByName(docs.where(col("doc_id") % 91 === 0 && col("doc_id") % 97 =!= 0)
@@ -4427,6 +4471,82 @@ object SparkEntry {
       }
     }),
 
+    // V50 — declarative BATCH ANN (round 16, the r15 verdict's #1): the
+    // per-query top-k WINDOW over queries × store — row_number() OVER
+    // (PARTITION BY qid ORDER BY cosine DESC, id) <= k — is the batch
+    // analog of the reference's only query (backend/vector_db.py:131-170)
+    // and used to plan a CARTESIAN (|q|·|corpus| cosines; WindowGroupLimit
+    // saves the sort, never the scoring). KnnJoinAuto substitutes the
+    // store family's gated batch join. Three legs: the EXHAUSTIVE probe
+    // (nProbe = nList 8) makes the substitution value-exact, so its rows
+    // are the brute-force per-query top-5 the DuckDB oracle replays; the
+    // PRUNED leg (nProbe 2) pins rule ≡ explicit Ivf.knnJoin bit-for-bit;
+    // the FILTERED leg routes a store-side predicate through the
+    // per-batch cardinality gate and pins rule ≡ the explicit gated call.
+    // rule_fired asserts the window actually left the plan (a silently
+    // declined rewrite would still pass the value checks — v45's device).
+    "v50_knn_join_auto" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v46")
+      val classic   = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev      = classic.experimental.extraOptimizations
+      val prevProbe = s.conf.getOption("spark.graft.ivf.nProbe")
+      classic.experimental.extraOptimizations = prev :+ graft.plans.KnnJoinAuto(s)
+      s.conf.set("spark.graft.ivf.autoProbe", "true")
+      try {
+        val qs = t.embeddings.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        def windowForm(preds: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+          qs.crossJoin(preds.foldLeft(indexed)((df, p) => df.where(p)))
+            .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+              col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 5)
+            .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+        }
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.get(3) match { case i: Int => i.toLong; case l: Long => l }))
+            .sortBy(x => (x._1, x._4)).toSeq
+        def apiRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          rows(df.select(col("query_id"), col("neighbor_id"), col("score"), col("rank")))
+        s.conf.set("spark.graft.ivf.nProbe", "8")
+        val exPlan = windowForm(Nil)
+        val fired  = !exPlan.queryExecution.optimizedPlan.toString.contains("Window")
+        val exRule = rows(exPlan)
+        val exSame = exRule == apiRows(Ivf.knnJoin(indexed, model, qs, "qvec", "qid",
+          "embedding", "vec_id", 5, 8, excludeSelf = false))
+        s.conf.set("spark.graft.ivf.nProbe", "2")
+        val pSame = rows(windowForm(Nil)) == apiRows(Ivf.knnJoin(indexed, model, qs,
+          "qvec", "qid", "embedding", "vec_id", 5, 2, excludeSelf = false))
+        val fpred = col("label") >= 2
+        val fSame = rows(windowForm(Seq(fpred))) == apiRows(Ivf.knnJoin(indexed, model, qs,
+          "qvec", "qid", "embedding", "vec_id", 5, 2, excludeSelf = false,
+          filters = Seq(fpred), payload = indexed.select("vec_id", "label"),
+          payloadIdCol = "vec_id"))
+        (exRule.map { case (q, n, sc, r) => ("exact", q, n, math.rint(sc * 1e4) / 1e4, r) } ++
+          Seq(("rule_fired", -1L, if (fired) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call_exact", -1L, if (exSame) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call_pruned", -1L, if (pSame) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call_filtered", -1L, if (fSame) 1L else 0L, Double.NaN, -1L)))
+          .toDF("path", "query_id", "vec_id", "score", "rank")
+          .select(col("path"), col("query_id"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"),
+            col("rank"))
+          .orderBy(col("path"), col("query_id"), col("rank"))
+      } finally {
+        s.conf.unset("spark.graft.ivf.autoProbe")
+        prevProbe match {
+          case Some(v) => s.conf.set("spark.graft.ivf.nProbe", v)
+          case None    => s.conf.unset("spark.graft.ivf.nProbe")
+        }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -5618,6 +5738,20 @@ object SparkEntry {
         | e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
         | r(u, v) AS (SELECT doc_id, doc_id FROM ids UNION SELECT e.u, r.v FROM e JOIN r ON e.v = r.u)
         | SELECT u AS id, min(v)::BIGINT AS component FROM r GROUP BY u ORDER BY id""".stripMargin,
+
+    // g10 — d16's oracle verbatim: the context's star-edge base graph has
+    // exactly the same components as the exact-dup grouping, and the
+    // absorbed delta must land on the same labeling however many times
+    // the batch replays
+    "g10_cc_incremental_ctx" ->
+      raw"""WITH RECURSIVE k AS (SELECT doc_id, md5(text) AS h FROM documents),
+           | p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id),
+           | extra AS (SELECT doc_id AS u, doc_id + 250 AS v FROM documents WHERE doc_id % 100 = 0
+           |           UNION ALL SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id % 77 = 0),
+           | alle AS (SELECT u, v FROM p UNION SELECT v, u FROM p UNION SELECT u, v FROM extra UNION SELECT v, u FROM extra),
+           | nodes AS (SELECT doc_id AS id FROM documents UNION SELECT u FROM extra UNION SELECT v FROM extra),
+           | r(u, v) AS (SELECT id, id FROM nodes UNION SELECT e.u, r.v FROM alle e JOIN r ON e.v = r.u)
+           | SELECT u AS id, min(v)::BIGINT AS component FROM r GROUP BY u ORDER BY id""".stripMargin,
     "d4_ngram_jaccard" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 200),
            | sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t WHERE len(toks) >= 3),
@@ -7784,6 +7918,23 @@ object SparkEntry {
          |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
          | SELECT path, vec_id, score FROM ex
          | UNION ALL SELECT 'rule_eq_call', 1::BIGINT, NULL::DOUBLE""".stripMargin,
+
+    // v50 — the exhaustive-probe leg (nProbe = nList) makes the batch
+    // substitution value-exact, so the window form's rows ARE the
+    // brute-force per-query top-5 replayed here with the same window;
+    // the pruned/filtered rule≡call flags are pinned true
+    "v50_knn_join_auto" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        | s AS (SELECT qid, vec_id, list_cosine_similarity(cv, qv) AS sim,
+        |   row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(cv, qv) DESC, vec_id) AS rank
+        |   FROM q CROSS JOIN c QUALIFY rank <= 5)
+        | SELECT 'exact' AS path, qid AS query_id, vec_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM s
+        | UNION ALL SELECT 'rule_fired', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call_exact', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call_pruned', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call_filtered', -1, 1, NULL, -1
+        | ORDER BY path, query_id, rank""".stripMargin,
 
     // v46 — the selective leg DECLINES the probe injection, so the
     // declarative plan is the exact filtered brute force (replayed here);

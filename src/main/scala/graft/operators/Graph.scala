@@ -734,19 +734,34 @@ object Graph {
     private val ccParams =
       new java.util.concurrent.atomic.AtomicReference[(Int, Long)]()
     private val ccCheckpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    private lazy val ccEdgeLabels: DataFrame = {
-      val (maxIters, maxDriverEdges) = ccParams.get()
-      val endpoints = edges0.select(col(srcCol).cast("long").as("id"))
-        .union(edges0.select(col(dstCol).cast("long").as("id")))
-        .where(col("id").isNotNull).distinct()
-      val (labels, _) = Dedup.connectedComponentsStats(
-        endpoints, edges0, "id", srcCol, dstCol, maxIters, maxDriverEdges)
-      val ck = labels.localCheckpoint(true)
-      synchronized {
-        require(!closed, "Graph.Context is closed — build a new one")
-        ccCheckpoints += ck
+    // the pinned labeling is a swappable checkpoint, not a lazy val:
+    // incrementalComponents ABSORBS delta batches by replacing it (round
+    // 16, VERDICT r15 task 7 — the streaming-CC analog)
+    @volatile private var ccLabels: DataFrame = null
+    private def ccPinnedLabels(): DataFrame = {
+      val cur = ccLabels
+      if (cur != null) cur
+      else synchronized {
+        if (ccLabels == null) {
+          val (maxIters, maxDriverEdges) = ccParams.get()
+          val endpoints = edges0.select(col(srcCol).cast("long").as("id"))
+            .union(edges0.select(col(dstCol).cast("long").as("id")))
+            .where(col("id").isNotNull).distinct()
+          val (labels, stats) = Dedup.connectedComponentsStats(
+            endpoints, edges0, "id", srcCol, dstCol, maxIters, maxDriverEdges)
+          // same loud-failure contract as Dedup.connectedComponents (ADVICE
+          // r15): pinning a truncated labeling would silently serve
+          // split-cluster components to EVERY subsequent call on this context
+          require(stats.converged,
+            s"connected components did not converge within maxIters=$maxIters rounds — " +
+              "refusing to pin a truncated labeling; raise maxIters on the first call")
+          val ck = labels.localCheckpoint(true)
+          require(!closed, "Graph.Context is closed — build a new one")
+          ccCheckpoints += ck
+          ccLabels = ck
+        }
+        ccLabels
       }
-      ck
     }
 
     /** [[graft.operators.Dedup.connectedComponents]] from the pinned
@@ -768,13 +783,70 @@ object Graph {
       if (!ccParams.compareAndSet(null, p))
         require(ccParams.get() == p,
           s"Context CC loop params are fixed by the first call (${ccParams.get()}); got $p")
-      val labels = ccEdgeLabels
+      // a failed pin (e.g. maxIters ran out — the converged guard) must
+      // not poison the context: release the params so a retry with a
+      // workable setting can pin
+      val labels =
+        try ccPinnedLabels()
+        catch { case t: Throwable => ccParams.compareAndSet(p, null); throw t }
+      serveFrom(labels, nodes, idCol)
+    }
+
+    private def serveFrom(labels: DataFrame, nodes: DataFrame, idCol: String): DataFrame = {
       val singles = nodes.select(col(idCol).cast("long").as("id")).distinct()
         .join(labels.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component"))
       // toDF: projection barrier over the Union (the Spark 4.1 constraint-
       // rewrite trap documented at Dedup.connectedComponentsStats)
       labels.unionByName(singles).toDF("id", "component").localCheckpoint(true)
+    }
+
+    /** [[graft.operators.Dedup.incrementalComponents]] from (and INTO) the
+      * pinned labeling — the streaming-CC analog (round 16, VERDICT r15
+      * task 7): fold a batch of new edges into the standing labeling
+      * without re-reading the historical edge set, REPLACE the pin with
+      * the absorbed result (old checkpoint blocks freed), and serve the
+      * caller's node frame from it exactly like [[connectedComponents]].
+      * Subsequent calls — either method — see the absorbed state.
+      *
+      * Per-batch cost: the contracted-graph CC is |labels touched by new
+      * edges| + |new ids| (the driver fast path in practice), the
+      * relabel is one broadcast join over the pinned labeling (narrow —
+      * the corpus never shuffles), and the historical edges are never
+      * read. Replaying the SAME batch is a fixpoint (endpoints already
+      * co-labeled contract to a self-loop; known ids relabel to
+      * themselves), so at-least-once delivery converges — the property
+      * the bench's warm reps exercise.
+      */
+    def incrementalComponents(
+        nodes: DataFrame,
+        idCol: String,
+        newEdges: DataFrame,
+        newSrcCol: String,
+        newDstCol: String,
+        maxIters: Int = 20,
+        maxDriverEdges: Long = 500000L,
+    ): DataFrame = {
+      guard()
+      val p = (maxIters, maxDriverEdges)
+      if (!ccParams.compareAndSet(null, p))
+        require(ccParams.get() == p,
+          s"Context CC loop params are fixed by the first call (${ccParams.get()}); got $p")
+      val base =
+        try ccPinnedLabels()
+        catch { case t: Throwable => ccParams.compareAndSet(p, null); throw t }
+      val absorbed = Dedup.incrementalComponents(
+        base, newEdges, "id", "component", newSrcCol, newDstCol)
+      val ck = absorbed.localCheckpoint(true)
+      synchronized {
+        require(!closed, "Graft.Context is closed — build a new one")
+        val i = ccCheckpoints.indexWhere(_ eq base)
+        if (i >= 0) ccCheckpoints.remove(i)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(base)
+        ccCheckpoints += ck
+        ccLabels = ck
+      }
+      serveFrom(ck, nodes, idCol)
     }
 
     /** Release every pinned static deterministically. Idempotent. Results

@@ -220,6 +220,47 @@ object Pq {
   /** Underscore prefix: Spark's file index ignores the sidecar. */
   private val CodebooksFile = "_pq_codebooks.txt"
 
+  /** Monotonic store-version sidecar (VERDICT r15 task 2) — the
+    * filesystem-INDEPENDENT freshness token: [[writeStore]] stamps 1 and
+    * every [[applyDelta]] that changed any list bumps it AFTER both swaps
+    * complete, so a reader cache (e.g. [[graft.plans.PqAutoProbe]]) keyed
+    * on the version is correct on object stores whose prefixes report no
+    * directory mtime (S3) and on filesystems with coarse (1 s) mtime
+    * ticks where a same-tick rewrite is mtime-invisible (ADVICE r15).
+    * Absent file = a pre-version store; readers fall back to mtimes and
+    * the first applyDelta self-upgrades it (absent reads as 1, bump
+    * writes 2). Same temp-file + rename discipline as the codebooks: a
+    * concurrent reader never sees a partial token.
+    */
+  private[graft] val VersionFile = "_graft_version"
+
+  /** Fail-closed version reader: None = no/unreadable sidecar. */
+  def readVersion(conf: org.apache.hadoop.conf.Configuration, root: String): Option[Long] =
+    scala.util.Try {
+      val p  = new org.apache.hadoop.fs.Path(root, VersionFile)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next().trim.toLong
+      finally in.close()
+    }.toOption
+
+  private def writeVersion(
+      conf: org.apache.hadoop.conf.Configuration, root: String, v: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs  = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val p   = new org.apache.hadoop.fs.Path(dir, VersionFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, VersionFile + ".tmp")
+    val w   = new java.io.PrintWriter(fs.create(tmp, true))
+    try w.println(v.toString) finally w.close()
+    if (w.checkError()) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"version sidecar write failed: $tmp")
+    }
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
   /** Persist the PQ codebooks beside the store — what makes an IVF-PQ
     * store durable and self-describing like its IVF (`_graft_centroids
     * .txt`) and HNSW (`_hnsw_meta`) siblings: without it the codebooks
@@ -296,7 +337,9 @@ object Pq {
     coded.select(col(idCol), col("pq_codes"), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(root + "/codes")
     Ivf.writeIndexed(assigned, root + "/floats", ivfm, vecCol)
-    writeCodebooks(df.sparkSession.sparkContext.hadoopConfiguration, root, pqm)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    writeCodebooks(conf, root, pqm)
+    writeVersion(conf, root, 1L)
   }
 
   /** Reopen a [[writeStore]] store: (codes, floats, ivf model, pq model). */
@@ -402,6 +445,12 @@ object Pq {
       // floats FIRST (see ordering rationale above)
       stageAndSwap("floats", keptF.unionByName(newF))
       stageAndSwap("codes", keptC.unionByName(newC.select(codes.columns.map(col).toIndexedSeq: _*)))
+      // version bump LAST: a crash before this line leaves the token one
+      // behind, and the batch's replay (idempotent, self-healing swaps
+      // above) lands the bump — caches are never told "fresh" about a
+      // store whose swaps haven't completed. Pre-version stores read as 1
+      // and self-upgrade here.
+      writeVersion(conf, root, readVersion(conf, root).getOrElse(1L) + 1L)
       affected.length.toLong
     } finally {
       rem.unpersist(); assigned.unpersist()

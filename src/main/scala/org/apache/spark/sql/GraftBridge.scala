@@ -12,6 +12,13 @@ object GraftBridge {
   def column(e: Expression): Column     = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The session's unique id (`sessionUUID` is private[sql]) — the stable
+    * cache key for per-session caches; identity hashes can collide across
+    * sessions (ADVICE r15).
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Free the storage behind an eager `localCheckpoint` once the frame is
     * superseded (e.g. a previous iteration's labels in a fixpoint loop).
     * `Dataset.unpersist` only covers `cache()`d plans; a local checkpoint's

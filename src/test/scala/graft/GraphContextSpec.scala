@@ -145,6 +145,60 @@ class GraphContextSpec extends AnyFunSuite {
     } finally ctx2.close()
   }
 
+  test("incrementalComponents: absorbs the delta into the pin — parity, fixpoint, flat RDD count") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    def live: Int = spark.sparkContext.getPersistentRDDs.size
+    def dropped(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val m = df.as[(Long, Long)].collect().toMap
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(df)
+      m
+    }
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 42L, 99L)).toDF("id")
+    val delta = Seq((7L, 42L), (100L, 101L)).toDF("u", "v") // bridge 7 to 42; all-new island
+    val ctx   = Graph.context(edges, "src", "dst")
+    try {
+      // parity: absorb == one-shot incremental over the same base labeling
+      val base = Dedup.connectedComponents(
+        edges.select(col("src").as("id")).union(edges.select(col("dst").as("id"))).distinct(),
+        edges, "id", "src", "dst")
+      val oneShot = Dedup.incrementalComponents(base, delta, "id", "component", "u", "v")
+        .as[(Long, Long)].collect().toMap
+      val got = dropped(ctx.incrementalComponents(nodes, "id", delta, "u", "v"))
+      nodes.as[Long].collect().foreach { id =>
+        assert(got(id) == oneShot.getOrElse(id, id), s"node $id") }
+      assert(got(42L) == got(7L) && got(42L) == got(1L), "delta must bridge 42 into the chain")
+      // the absorbed state SERVES subsequent connectedComponents calls
+      // (same node frame → same coverage: absorbed pin ∪ singletons)
+      val after = dropped(ctx.connectedComponents(nodes, "id"))
+      assert(after == got, "the pin must hold the absorbed labeling")
+      // fixpoint: replaying the same batch changes nothing (at-least-once)
+      val n0     = live
+      val replay = dropped(ctx.incrementalComponents(nodes, "id", delta, "u", "v"))
+      assert(replay == got, "replaying the same delta must be a no-op on values")
+      assert(live <= n0, s"persistent RDDs grew across replays: $n0 -> $live (old pin not freed)")
+    } finally ctx.close()
+  }
+
+  test("connectedComponents: a non-converged loop refuses to pin (ADVICE r15); retry can re-pin") {
+    import org.apache.spark.sql.functions.col
+    // a 40-node chain with maxIters=1 on the distributed path cannot reach
+    // the fixpoint; the one-shot API throws, and the context must throw
+    // the same way rather than pin (and forever serve) a truncated labeling
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    val nodes = (0L until 40L).toDF("id")
+    val ctx   = Graph.context(chain, "src", "dst")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        ctx.connectedComponents(nodes, "id", maxIters = 1, maxDriverEdges = 0L))
+      assert(ex.getMessage.contains("converge"))
+      // the failed pin must not poison the context: workable params re-pin
+      val ok = ctx.connectedComponents(nodes, "id", maxIters = 20, maxDriverEdges = 0L)
+      assert(ok.where(col("component") =!= 0L).count() == 0, "one chain, one component")
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(ok)
+    } finally ctx.close()
+  }
+
   test("close is idempotent and a closed context refuses new queries") {
     val ctx = Graph.context(edges, "src", "dst")
     ctx.pagerank(iters = 1).collect()

@@ -237,7 +237,9 @@ class IvfSpec extends AnyFunSuite {
         truth.select("id", "score").collect().toSeq)
     } finally {
       spark.conf.set("spark.graft.ivf.autoProbe", "false")
-      spark.conf.unset("spark.graft.ivf.selectivityHint")
+      // nProbe is what this test actually set — leaving it at 2 made later
+      // suites in the shared session order-dependent (ADVICE r15)
+      spark.conf.unset("spark.graft.ivf.nProbe")
       classic.experimental.extraOptimizations = Nil
     }
   }

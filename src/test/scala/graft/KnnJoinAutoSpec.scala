@@ -1,0 +1,250 @@
+package graft
+
+import graft.operators.{Embedder, Hnsw, Ivf, Pq, Search}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Declarative batch ANN (round 16, VERDICT r15 task 1): the per-query
+  * top-k window over a queries × store cross join must rewrite to the
+  * store family's gated batch join — and refuse everything that is not
+  * exactly that shape.
+  */
+class KnnJoinAutoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus =
+    (0L until 400L).map(i => (i, Embedder.default.embed(s"doc $i topic ${i % 7}").map(_.toDouble).toSeq))
+      .toDF("id", "vec")
+
+  private lazy val queries =
+    (0L until 8L).map(q => (q, Embedder.default.embed(s"probe topic $q").map(_.toDouble).toSeq))
+      .toDF("qid", "qvec")
+
+  /** The user's declarative batch shape over `store` (vecCol = the store's
+    * vector column name). Tiebreak on the store id, the families' order.
+    */
+  private def declarative(store: org.apache.spark.sql.DataFrame, vecCol: String,
+      idCol: String, k: Int, preds: Seq[org.apache.spark.sql.Column] = Nil) = {
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col(idCol))
+    val base = preds.foldLeft(store)((df, p) => df.where(p))
+    queries.crossJoin(base)
+      .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+        col(vecCol).cast("array<double>"), col("qvec").cast("array<double>")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", idCol, "score", "rank")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  private def famRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  private def withRule[T](confs: (String, String)*)(body: => T): T = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.KnnJoinAuto(spark))
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally {
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("IVF store: the window shape becomes the gated batch join (exact + pruned legs)") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "6") {
+      // exhaustive probe (nProbe = nList): the substitution is EXACT, so
+      // its values must equal the user's own cartesian-window plan
+      val auto = declarative(indexed, "vec", "id", 5)
+      val plan = TestSpark.formattedPlan(auto)
+      assert(!plan.contains("Window"), s"window must be substituted:\n${plan.take(1200)}")
+      val truth = withRuleOff { rows(declarative(indexed, "vec", "id", 5)) }
+      assert(rows(auto) == truth, "exhaustive-probe substitution must be value-exact")
+      // pruned probe: rule ≡ the explicit gated knnJoin at the same width
+      spark.conf.set("spark.graft.ivf.nProbe", "2")
+      val pruned = rows(declarative(indexed, "vec", "id", 5))
+      val viaApi = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+        "vec", "id", 5, 2, excludeSelf = false))
+      assert(pruned == viaApi, "rule must equal the explicit knnJoin at nProbe=2")
+    }
+  }
+
+  test("IVF store: store-side predicates route through the per-batch cardinality gate") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "2") {
+      val pred = col("id") % 2 === 0
+      val before = graft.operators.Search.gateDecisions.get()
+      val auto   = declarative(indexed, "vec", "id", 5, preds = Seq(pred))
+      assert(!TestSpark.formattedPlan(auto).contains("Window"))
+      val got = rows(auto)
+      assert(got.forall(_._2 % 2 == 0), "the predicate must survive the substitution")
+      val viaApi = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+        "vec", "id", 5, 2, excludeSelf = false,
+        filters = Seq(pred), payload = indexed.select("id"), payloadIdCol = "id"))
+      assert(got == viaApi, "filtered rule must equal the explicit gated knnJoin")
+      // ONE gate decision per batch on each side (rule once, explicit once)
+      assert(graft.operators.Search.gateDecisions.get() - before == 2,
+        "the batch predicate must cost exactly one gate decision per run")
+    }
+  }
+
+  test("HNSW store: the window shape becomes the sharded beam batch join") {
+    val idx = Hnsw.indexFor(corpus, "vec", "id", cacheKey = "knnauto-hnsw", nShards = 4)
+    withRule("spark.graft.hnsw.autoProbe" -> "true", "spark.graft.hnsw.efSearch" -> "65536") {
+      // beam wide enough to be exact on 400 rows
+      val auto = declarative(idx, "vec", "id", 5)
+      assert(!TestSpark.formattedPlan(auto).contains("Window"))
+      val viaApi = famRows(Hnsw.knnJoin(idx, queries, "qvec", "qid", 5,
+        efSearch = 65536, excludeSelf = false))
+      assert(rows(auto) == viaApi, "rule must equal the explicit Hnsw.knnJoin")
+      // the beam's in-task cosine and the codegen'd expression differ by
+      // 1 ULP on some pairs (the round-15 LocalRelation trap: compare ids
+      // cross-engine, values only plan-vs-plan) — ids/ranks exact, scores
+      // at 1e-9
+      def ulp(s: Seq[(Long, Long, Double, Int)]) =
+        s.map { case (q, n, sc, r) => (q, n, math.rint(sc * 1e9) / 1e9, r) }
+      val truth = withRuleOff { rows(declarative(idx, "vec", "id", 5)) }
+      assert(ulp(rows(auto)) == ulp(truth),
+        "saturated beam must match the cartesian window (ids exact, scores to 1e-9)")
+    }
+  }
+
+  test("PQ floats store: the window shape becomes the ADC batch join") {
+    val tmp = java.nio.file.Files.createTempDirectory("knnauto-pq").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val (codes, floats, ivfm, pqm) = Pq.readStore(spark, tmp)
+    withRule("spark.graft.pq.autoProbe" -> "true",
+      "spark.graft.pq.nProbe" -> "2", "spark.graft.pq.refine" -> "4") {
+      val auto = declarative(floats, "vec", "id", 5)
+      val plan = TestSpark.formattedPlan(auto)
+      assert(!plan.contains("Window"))
+      assert(plan.contains("pq_codes"), "candidates must come from the code store")
+      val viaApi = famRows(Pq.knnJoinIvfPq(codes, floats, ivfm, pqm, queries,
+        "qvec", "qid", "vec", "id", 5, 2, 4, excludeSelf = false))
+      assert(rows(auto) == viaApi, "rule must equal the explicit knnJoinIvfPq")
+    }
+  }
+
+  test("refusals: every non-contract shape keeps the user's window plan") {
+    val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    withRule("spark.graft.ivf.autoProbe" -> "true") {
+      def keepsWindow(df: org.apache.spark.sql.DataFrame, what: String): Unit =
+        assert(TestSpark.formattedPlan(df).contains("Window"), s"$what must refuse")
+
+      // extra window partition key: changes which rows compete per slot
+      val w2 = Window.partitionBy("qid", "bucket").orderBy(desc("score"), col("id"))
+      keepsWindow(queries.withColumn("bucket", col("qid") % 2).crossJoin(indexed)
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(w2)).where(col("rank") <= 3)
+        .select("qid", "id", "score", "rank"), "extra partition key")
+
+      // join with a condition is not the batch-ANN cross join
+      val wc = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      keepsWindow(queries.join(indexed, col("qid") =!= col("id"))
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(wc)).where(col("rank") <= 3)
+        .select("qid", "id", "score", "rank"), "conditioned join")
+
+      // non-store side: a plain in-memory corpus has no sidecar
+      keepsWindow(declarative(corpus, "vec", "id", 3), "sidecar-less corpus")
+
+      // wide output: a consumer reading the vector column
+      val ww = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      keepsWindow(queries.crossJoin(indexed)
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(ww)).where(col("rank") <= 3)
+        .select("qid", "id", "vec", "score", "rank"), "vector-reading output")
+
+      // rank() is not row_number(): ties admit more than k rows
+      val wr = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      keepsWindow(queries.crossJoin(indexed)
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", rank().over(wr)).where(col("rank") <= 3)
+        .select("qid", "id", "score", "rank"), "rank() window function")
+
+      // a non-tiebreak secondary sort key would be silently replaced
+      val wt = Window.partitionBy("qid").orderBy(desc("score"), desc("id"))
+      keepsWindow(queries.crossJoin(indexed)
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(wt)).where(col("rank") <= 3)
+        .select("qid", "id", "score", "rank"), "descending-id secondary sort")
+
+      // flag off: untouched even for the canonical shape
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      keepsWindow(declarative(indexed, "vec", "id", 3), "disabled flag")
+    }
+  }
+
+  test("KnnJoinAuto fires on spark.sql text — batch window + per-class filtered legs (r15 task 6)") {
+    // the natural SQL formulation (score computed once in a subquery, the
+    // window ordering by its alias) is exactly the matched shape; and the
+    // SQL analog of perQueryFiltered is one statement per predicate CLASS
+    // with the group key as a plain queries-table column — each statement
+    // substitutes independently and takes its own gate decision
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    indexed.createOrReplaceTempView("knn_store_sql")
+    queries.withColumn("band", concat(lit("g"), pmod(col("qid"), lit(2))))
+      .createOrReplaceTempView("knn_queries_sql")
+    def batchSql(where: String): String =
+      s"""SELECT qid, id, score, rank FROM (
+         |  SELECT qid, id, score,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |  FROM (SELECT q.qid, s.id,
+         |          cosine_similarity(CAST(s.vec AS ARRAY<DOUBLE>), CAST(q.qvec AS ARRAY<DOUBLE>)) AS score
+         |        FROM knn_queries_sql q CROSS JOIN knn_store_sql s $where)
+         |) WHERE rank <= 5""".stripMargin
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "2") {
+      try {
+        val plain = spark.sql(batchSql(""))
+        assert(!TestSpark.formattedPlan(plain).contains("Window"),
+          "the SQL batch window must substitute")
+        val viaApi = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+          "vec", "id", 5, 2, excludeSelf = false))
+        assert(rows(plain.select(col("qid"), col("id"), col("score"),
+          col("rank").cast("int"))) == viaApi)
+        // per-class legs: band g0 under an even-id wall, g1 under a
+        // multiples-of-7 wall — each statement equals its perQueryFiltered
+        // group (same gated join, same per-group decision)
+        val preds = Seq("g0" -> Seq(col("id") % 2 === 0), "g1" -> Seq(col("id") % 7 === 0))
+        val ref = Search.perQueryFiltered(
+          queries.withColumn("band", concat(lit("g"), pmod(col("qid"), lit(2)))),
+          "band", preds,
+          (q, f) => Ivf.knnJoin(indexed, model, q, "qvec", "qid", "vec", "id", 5, 2,
+            excludeSelf = false, filters = f, payload = indexed.select("id"),
+            payloadIdCol = "id"))
+        for ((band, wall) <- Seq(("g0", "s.id % 2 = 0"), ("g1", "s.id % 7 = 0"))) {
+          val leg = spark.sql(batchSql(s"WHERE q.band = '$band' AND $wall"))
+          assert(!TestSpark.formattedPlan(leg).contains("Window"),
+            s"the $band filtered SQL leg must substitute")
+          val refRows = rows(ref.where(col("__pred") === band)
+            .select(col("query_id"), col("neighbor_id"), col("score"), col("rank")))
+          assert(rows(leg.select(col("qid"), col("id"), col("score"),
+            col("rank").cast("int"))) == refRows, s"$band leg must equal perQueryFiltered")
+        }
+      } finally {
+        spark.catalog.dropTempView("knn_store_sql")
+        spark.catalog.dropTempView("knn_queries_sql")
+      }
+    }
+  }
+
+  private def withRuleOff[T](body: => T): T = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val prev    = classic.experimental.extraOptimizations
+    classic.experimental.extraOptimizations = Nil
+    try body finally classic.experimental.extraOptimizations = prev
+  }
+}

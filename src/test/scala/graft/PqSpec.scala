@@ -106,6 +106,122 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("PqAutoProbe fires on spark.sql text too (r15 task 6)") {
+    // the declarative promise isn't DataFrame-only: a SQL user writing
+    // ORDER BY cosine_similarity(...) DESC LIMIT k over the floats view
+    // gets the ADC code-store probe — the array literal constant-folds
+    // before the rule runs, so the same matcher sees the same shape
+    val tmp = java.nio.file.Files.createTempDirectory("pq-sql").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val (codes, floats, ivfm, pqm) = Pq.readStore(spark, tmp)
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    floats.createOrReplaceTempView("pq_floats_sql")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.PqAutoProbe(spark))
+    spark.conf.set("spark.graft.pq.autoProbe", "true")
+    spark.conf.set("spark.graft.pq.nProbe", "2")
+    spark.conf.set("spark.graft.pq.refine", "4")
+    try {
+      val qSql = "CAST(" + qVec.mkString("array(", ", ", ")") + " AS ARRAY<DOUBLE>)"
+      val probe = spark.sql(
+        s"SELECT id, cosine_similarity(CAST(vec AS ARRAY<DOUBLE>), $qSql) AS score " +
+          "FROM pq_floats_sql ORDER BY score DESC, id LIMIT 5")
+      assert(TestSpark.formattedPlan(probe).contains("pq_codes"),
+        "SQL top-k over the floats view must serve candidates from the code store")
+      val viaApi = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, 2, 4)
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi)
+      // filtered SQL rides the same gate as the DataFrame path
+      val filtered = spark.sql(
+        s"SELECT id, cosine_similarity(CAST(vec AS ARRAY<DOUBLE>), $qSql) AS score " +
+          "FROM pq_floats_sql WHERE id % 2 = 0 ORDER BY score DESC, id LIMIT 5")
+      assert(TestSpark.formattedPlan(filtered).contains("pq_codes"))
+      val viaFilteredApi = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, 2, 4,
+        filters = Seq(col("id") % 2 === 0), payload = floats.select("id"), payloadIdCol = "id")
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(filtered.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaFilteredApi)
+    } finally {
+      spark.conf.unset("spark.graft.pq.autoProbe")
+      spark.conf.unset("spark.graft.pq.nProbe")
+      spark.conf.unset("spark.graft.pq.refine")
+      classic.experimental.extraOptimizations = Nil
+      spark.catalog.dropTempView("pq_floats_sql")
+    }
+  }
+
+  test("version token: frozen mtimes still invalidate the rule cache after applyDelta (r15 task 2)") {
+    // the ADVICE-r15 staleness windows made concrete: pin every mtime the
+    // legacy token read (both sidecar files + the codes dir) to their
+    // pre-delta values — the S3 no-dir-mtime / same-tick cases — and the
+    // declarative probe must STILL see the delta, because freshness now
+    // rides the monotonic _graft_version the Pq writers stamp.
+    val tmp = java.nio.file.Files.createTempDirectory("pq-ver").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(Pq.readVersion(conf, tmp).contains(1L), "writeStore must stamp version 1")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.PqAutoProbe(spark))
+    spark.conf.set("spark.graft.pq.autoProbe", "true")
+    spark.conf.set("spark.graft.pq.nProbe", "6")
+    try {
+      val (_, floats, _, _) = Pq.readStore(spark, tmp)
+      val before = Search.topK(floats, "vec", "id", qVec, 5).select("id", "score")
+      assert(TestSpark.formattedPlan(before).contains("pq_codes"))
+      val top1 = before.select("id").as[Long].collect().head
+      val mtimeTargets = Seq(
+        java.nio.file.Paths.get(tmp, "_pq_codebooks.txt"),
+        java.nio.file.Paths.get(tmp, "floats", "_graft_centroids.txt"),
+        java.nio.file.Paths.get(tmp, "codes"))
+      val pinned = mtimeTargets.map(p => p -> java.nio.file.Files.getLastModifiedTime(p))
+      Pq.applyDelta(spark, tmp, Seq(top1).toDF("id"),
+        Seq.empty[(Long, Seq[Double])].toDF("id", "vec"), "vec", "id")
+      assert(Pq.readVersion(conf, tmp).contains(2L), "applyDelta must bump the version")
+      pinned.foreach { case (p, t) => java.nio.file.Files.setLastModifiedTime(p, t) }
+      // every legacy mtime input is now byte-identical to the cached load;
+      // only the version sidecar says the store moved
+      val (_, floatsAfter, _, _) = Pq.readStore(spark, tmp)
+      val after = Search.topK(floatsAfter, "vec", "id", qVec, 5).select("id", "score")
+      assert(TestSpark.formattedPlan(after).contains("pq_codes"),
+        "the rule must still fire on the maintained store")
+      assert(!after.select("id").as[Long].collect().contains(top1),
+        "mtime-blind staleness: the rule served pre-delta codes despite the version bump")
+    } finally {
+      spark.conf.unset("spark.graft.pq.autoProbe")
+      spark.conf.unset("spark.graft.pq.nProbe")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("IvfAutoProbe prunes floats-store shapes PqAutoProbe refuses (ADVICE r15)") {
+    // wide output (id, vec, score): the ADC substitution refuses — with
+    // pq.autoProbe ON, the IVF rule used to decline too and the query
+    // silently full-scanned. The narrowed decline keeps partition pruning.
+    val tmp = java.nio.file.Files.createTempDirectory("pq-narrow").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      Seq(graft.plans.PqAutoProbe(spark), graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.pq.autoProbe", "true")
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    try {
+      val (_, floats, _, _) = Pq.readStore(spark, tmp)
+      val wide = Search.topK(floats, "vec", "id", qVec, 5).select("id", "vec", "score")
+      val plan = TestSpark.formattedPlan(wide)
+      assert(!plan.contains("pq_codes"), "wide output must refuse the ADC substitution")
+      val pfs = plan.linesIterator.filter(_.contains("PartitionFilters: [")).toSeq
+      assert(pfs.nonEmpty && pfs.forall(l => l.contains("list_id") && l.contains("IN")),
+        s"the IVF rule must still prune the floats scan for refused shapes: $pfs")
+      // and the narrow (id, score) shape still goes to the ADC probe —
+      // the decline stays in force exactly where the PQ rule fires
+      assert(TestSpark.formattedPlan(
+        Search.topK(floats, "vec", "id", qVec, 5).select("id", "score")).contains("pq_codes"))
+    } finally {
+      spark.conf.unset("spark.graft.pq.autoProbe")
+      spark.conf.unset("spark.graft.ivf.autoProbe")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("codes are m bytes; codegen'd encode agrees with a scala re-encode") {
     val m     = 8
     val model = Pq.fit(corpus, "vec", m = m, ksub = 16)

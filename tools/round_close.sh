@@ -76,7 +76,13 @@ EOF
     # reproduced; see tools/bench_drift.py. The Bench run above rewrote
     # bench_full.json in the worktree, so the reference comes from HEAD.
     if git show HEAD:bench_full.json > /tmp/round_close_bench_ref.json 2>/dev/null; then
-      if ! python3 tools/bench_drift.py bench_full.json /tmp/round_close_bench_ref.json; then
+      # name the reference in the gate transcript (r15 task 4: a
+      # recalibrated or contested close must be auditable from the log)
+      echo "drift reference: bench_full.json @ HEAD ($(git log -1 --format='%h %s' -- bench_full.json))"
+      # GRAFT_REBASELINE=1 routes through bench_drift's --rebaseline mode,
+      # which refuses unless a RECALIBRATION note is committed in SCALE.md
+      if ! python3 tools/bench_drift.py bench_full.json /tmp/round_close_bench_ref.json \
+          ${GRAFT_REBASELINE:+--rebaseline}; then
         echo "FAIL: bench drift"; fail=1
       fi
     else
