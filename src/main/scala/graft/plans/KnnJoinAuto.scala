@@ -103,10 +103,17 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(orig: Filter, w: Window): Option[LogicalPlan] = {
     // ---- 1. the rank bound ------------------------------------------------
+    // all the user spellings of "top k per group" over row_number: <=, <,
+    // their literal-on-left mirrors, and = 1 (top-1; = k for k > 1 keeps
+    // only the k-th row — a different question, refused)
     val bound = orig.condition match {
-      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) => Some((a.exprId, k))
-      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))        => Some((a.exprId, k - 1))
-      case _                                                                    => None
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))    => Some((a.exprId, k))
+      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))           => Some((a.exprId, k - 1))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference) => Some((a.exprId, k))
+      case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference)        => Some((a.exprId, k - 1))
+      case EqualTo(a: AttributeReference, Literal(1, IntegerType))                 => Some((a.exprId, 1))
+      case EqualTo(Literal(1, IntegerType), a: AttributeReference)                 => Some((a.exprId, 1))
+      case _                                                                       => None
     }
     val (rankId, k) = bound.getOrElse(return None)
     if (k < 1) return None

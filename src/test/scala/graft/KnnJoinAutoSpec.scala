@@ -73,6 +73,16 @@ class KnnJoinAutoSpec extends AnyFunSuite {
       val viaApi = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
         "vec", "id", 5, 2, excludeSelf = false))
       assert(pruned == viaApi, "rule must equal the explicit knnJoin at nProbe=2")
+      // the top-1 spelling (rank === 1) is <= 1 for row_number
+      val w1 = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      val top1 = queries.crossJoin(indexed)
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(w1)).where(col("rank") === 1)
+        .select("qid", "id", "score", "rank")
+      assert(!TestSpark.formattedPlan(top1).contains("Window"), "rank === 1 must substitute")
+      assert(rows(top1) == famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+        "vec", "id", 1, 2, excludeSelf = false)))
     }
   }
 
