@@ -63,6 +63,19 @@ object SparkEntry {
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50/v51):
+    * Verify runs the sweep on a 4-thread pool over ONE session, and both
+    * `experimental.extraOptimizations` and the `spark.graft.*` flags are
+    * session-global — two rule queries racing can clobber each other's
+    * registration mid-plan (caught in round 16: v51's finally-restore
+    * unregistered v50's rule between its legs in a two-query sweep, so
+    * the pruned leg silently planned the exact window and failed the
+    * rule≡call flag; the same channel existed for v7/v41/v45–v47 since
+    * they landed, it just never had two rule queries collide). Only
+    * these seven serialize — the rest of the sweep stays parallel.
+    */
+  private val ruleLock = new Object
+
   /** Eight query vectors for the A/B significance test (v32) — a paired
     * sign-flip test needs enough topics for the permutation distribution
     * to resolve. Every phrase hashes to >= 2 nonzero components inside
@@ -1226,7 +1239,7 @@ object SparkEntry {
         .select(lit(100L).as("k_total"), (col("__found") >= 85).as("recall_ok"))
     }),
 
-    "v7_auto_probe" -> ((s, d) => {
+    "v7_auto_probe" -> ((s, d) => ruleLock.synchronized {
       import s.implicits._
       val t = Tables(s, d)
       // dedicated cacheKey: sharing v6's would race two writeIndexed
@@ -4278,7 +4291,7 @@ object SparkEntry {
     // Hnsw.searchIndex in-query (the `matches_search_index` flag).
     // Session mutations scoped exactly like v7: results materialize
     // inside the try, confs/rules reset in finally.
-    "v41_hnsw_auto_probe" -> ((s, d) => {
+    "v41_hnsw_auto_probe" -> ((s, d) => ruleLock.synchronized {
       import s.implicits._
       val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
       val idx = Hnsw.indexFor(emb, "embedding", "vec_id", cacheKey = s"v41:$d", nShards = 4)
@@ -4320,7 +4333,7 @@ object SparkEntry {
     // filtered brute force. The `rule_eq_call` flags pin the rewrite to
     // the explicit searchIndex call row-for-row (v41's device). Session
     // mutations scoped like v41: materialize in try, reset in finally.
-    "v45_hnsw_filtered_auto" -> ((s, d) => {
+    "v45_hnsw_filtered_auto" -> ((s, d) => ruleLock.synchronized {
       import s.implicits._
       val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
       val idx = Hnsw.indexFor(emb, "embedding", "vec_id", cacheKey = s"v45:$d", nShards = 4)
@@ -4371,7 +4384,7 @@ object SparkEntry {
     // rule≡call flag: the rewrite and the explicit Ivf.search share the
     // estimate, the widened width, and the probe geometry, so their
     // results must match row-for-row.
-    "v46_ivf_filtered_auto" -> ((s, d) => {
+    "v46_ivf_filtered_auto" -> ((s, d) => ruleLock.synchronized {
       import s.implicits._
       val t = Tables(s, d)
       val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v46")
@@ -4430,7 +4443,7 @@ object SparkEntry {
     // brute-force top-10 the DuckDB oracle replays. The store bootstraps
     // once per JVM (pqStoreCache) — the measured operator is the probe,
     // v44 prices the store lifecycle.
-    "v47_pq_auto_probe" -> ((s, d) => {
+    "v47_pq_auto_probe" -> ((s, d) => ruleLock.synchronized {
       import s.implicits._
       val dir = storeCache.computeIfAbsent(s"v47:$d", _ => {
         val p   = java.nio.file.Files.createTempDirectory("graft-v47").toString + "/store"
@@ -4485,7 +4498,7 @@ object SparkEntry {
     // per-batch cardinality gate and pins rule ≡ the explicit gated call.
     // rule_fired asserts the window actually left the plan (a silently
     // declined rewrite would still pass the value checks — v45's device).
-    "v50_knn_join_auto" -> ((s, d) => {
+    "v50_knn_join_auto" -> ((s, d) => ruleLock.synchronized {
       import s.implicits._
       val t = Tables(s, d)
       val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v46")
@@ -4543,6 +4556,59 @@ object SparkEntry {
           case Some(v) => s.conf.set("spark.graft.ivf.nProbe", v)
           case None    => s.conf.unset("spark.graft.ivf.nProbe")
         }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
+    // V51 — the EXACT brute fallback of the batch-ANN rule (round 16):
+    // with no index anywhere and knnJoin.bruteAuto on, the same window
+    // shape substitutes Search.knnJoin — identical cosines, but the
+    // per-group top-k is the map-side-combined TopKScored aggregate
+    // instead of a full per-group sort, so the shuffle carries ≤ k rows
+    // per (query, partition) rather than the scored cross product. The
+    // substitution is value-EXACT (clean corpus: no NaN/null vectors;
+    // id-ascending tiebreak on both paths), so every row is
+    // DuckDB-replayed — no approximation legs, no recall gates.
+    // rule_fired pins that the Window actually left the plan; rule_eq_call
+    // pins the substituted values against the explicit Search.knnJoin.
+    "v51_brute_knn_auto" -> ((s, d) => ruleLock.synchronized {
+      import s.implicits._
+      val t  = Tables(s, d)
+      val qs = t.embeddings.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus  = t.embeddings.select(col("vec_id"), col("embedding"))
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev    = classic.experimental.extraOptimizations
+      classic.experimental.extraOptimizations = prev :+ graft.plans.KnnJoinAuto(s)
+      s.conf.set("spark.graft.knnJoin.bruteAuto", "true")
+      try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+        val auto = qs.crossJoin(corpus)
+          .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+            col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+        val fired = !auto.queryExecution.optimizedPlan.toString.contains("Window")
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.get(3) match { case i: Int => i.toLong; case l: Long => l }))
+            .sortBy(x => (x._1, x._4)).toSeq
+        val got = rows(auto)
+        val viaApi = rows(Search.knnJoin(qs, corpus, "qvec", "qid", "embedding", "vec_id",
+          5, excludeSelf = false)
+          .select(col("query_id"), col("neighbor_id"), col("score"), col("rank")))
+        (got.map { case (q, n, sc, r) => ("exact", q, n, math.rint(sc * 1e4) / 1e4, r) } ++
+          Seq(("rule_fired", -1L, if (fired) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call", -1L, if (got == viaApi) 1L else 0L, Double.NaN, -1L)))
+          .toDF("path", "query_id", "vec_id", "score", "rank")
+          .select(col("path"), col("query_id"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"),
+            col("rank"))
+          .orderBy(col("path"), col("query_id"), col("rank"))
+      } finally {
+        s.conf.unset("spark.graft.knnJoin.bruteAuto")
         classic.experimental.extraOptimizations = prev
       }
     }),
@@ -7934,6 +8000,19 @@ object SparkEntry {
         | UNION ALL SELECT 'rule_eq_call_exact', -1, 1, NULL, -1
         | UNION ALL SELECT 'rule_eq_call_pruned', -1, 1, NULL, -1
         | UNION ALL SELECT 'rule_eq_call_filtered', -1, 1, NULL, -1
+        | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v51 — the brute fallback is EXACT, so the whole result replays as
+    // the same window over the same cross join; flags pinned true
+    "v51_brute_knn_auto" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        | s AS (SELECT qid, vec_id, list_cosine_similarity(cv, qv) AS sim,
+        |   row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(cv, qv) DESC, vec_id) AS rank
+        |   FROM q CROSS JOIN c QUALIFY rank <= 5)
+        | SELECT 'exact' AS path, qid AS query_id, vec_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM s
+        | UNION ALL SELECT 'rule_fired', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call', -1, 1, NULL, -1
         | ORDER BY path, query_id, rank""".stripMargin,
 
     // v46 — the selective leg DECLINES the probe injection, so the

@@ -38,7 +38,11 @@ import org.apache.spark.sql.types._
   * (`spark.graft.{ivf,hnsw,pq}.autoProbe`, widths
   * `ivf.nProbe`/`hnsw.efSearch`+`hnsw.maxEf`/`pq.nProbe`+`pq.refine`,
   * `*.selectivityHint`), so a SQL user gets the identical implicit-index
-  * behavior whether they write one query or a batch.
+  * behavior whether they write one query or a batch. A fourth, EXACT
+  * fallback (`spark.graft.knnJoin.bruteAuto`) substitutes
+  * [[graft.operators.Search.knnJoin]] for corpora with no index at all —
+  * same cosines, but the per-group top-k cut is the map-side-combined
+  * aggregate instead of a full per-group sort (see [[bruteFor]]).
   *
   * Because the rewrite SUBSTITUTES the whole Filter(Window(...)) subtree,
   * the match is strictly conservative; anything else keeps the user's
@@ -87,7 +91,7 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def anyEnabled: Boolean =
     flag("spark.graft.ivf.autoProbe") || flag("spark.graft.hnsw.autoProbe") ||
-      flag("spark.graft.pq.autoProbe")
+      flag("spark.graft.pq.autoProbe") || flag("spark.graft.knnJoin.bruteAuto")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!anyEnabled) plan
@@ -163,9 +167,13 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // ---- 5. which side is the store? --------------------------------------
     val sides = Seq(join.left -> join.right, join.right -> join.left)
+    // indexed families first in BOTH orientations — the brute fallback
+    // must never shadow a real store sitting on the other join side
     val matched = sides.view.flatMap { case (storeSide, querySide) =>
       familyFor(storeSide, querySide, va, vb, partKey, scoreId, orderSpec, orig.output, k)
-    }.headOption
+    }.headOption.orElse(sides.view.flatMap { case (corpusSide, querySide) =>
+      bruteFor(corpusSide, querySide, va, vb, partKey, orderSpec, orig.output, k)
+    }.headOption)
     val fam = matched.getOrElse(return None)
 
     // ---- 6. path guards above the join must be benign ---------------------
@@ -361,6 +369,58 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
           payloadIdCol = idAttr.name,
           selectivityHint = hintOf("spark.graft.ivf.selectivityHint"))
       }
+    })
+  }
+
+  /** EXACT brute-force fallback (opt-in: `spark.graft.knnJoin.bruteAuto`)
+    * for corpora with no index at all: the window cartesian scores
+    * |q|·n cosines AND full-sorts every group, while [[Search.knnJoin]]
+    * scores the same cosines but cuts top-k with the map-side-combined
+    * TopKScored aggregate — the shuffle carries ≤ k rows per
+    * (query, partition) instead of the scored cross product through a
+    * sort. Values are the exact per-group top-k; the engine contract
+    * (NaN-scored and null-vector rows never surface, ties by id) is the
+    * documented difference, same as every family above. The corpus side
+    * is taken WHOLESALE — its own filters ride along inside the wrapped
+    * subtree — so this needs no relation, no sidecar, and no predicate
+    * routing; the queries side is identified by the window partition key.
+    */
+  private def bruteFor(
+      corpusSide: LogicalPlan,
+      querySide: LogicalPlan,
+      va: AttributeReference,
+      vb: AttributeReference,
+      partKey: AttributeReference,
+      orderSpec: Seq[SortOrder],
+      origOutput: Seq[Attribute],
+      k: Int,
+  ): Option[Fam] = {
+    if (!flag("spark.graft.knnJoin.bruteAuto")) return None
+    for {
+      pair <- Seq(va, vb).filter(a => corpusSide.outputSet.contains(a)) match {
+        case Seq(cv) =>
+          val qv = if (cv eq va) vb else va
+          if (querySide.outputSet.contains(qv) && querySide.outputSet.contains(partKey))
+            Some((cv, qv))
+          else None
+        case _ => None
+      }
+      (cv, qv) = pair
+      idAttr <- origOutput.flatMap(a => corpusSide.output.collect {
+        case r: AttributeReference if r.exprId == a.exprId && r.exprId != cv.exprId => r
+      }).distinct match {
+        case Seq(one) => Some(one)
+        case _        => None
+      }
+      if integral(partKey.dataType) && integral(idAttr.dataType)
+      if TopKMatch.tiebreakOnly(orderSpec, idAttr)
+    } yield Fam(idAttr, () => {
+      val corpus = GraftBridge.ofRows(spark, corpusSide).select(
+        GraftBridge.column(idAttr).as("__gcid"), GraftBridge.column(cv).as("__gcv"))
+      val queries = GraftBridge.ofRows(spark, querySide).select(
+        GraftBridge.column(partKey).as("__gqid"), GraftBridge.column(qv).as("__gqv"))
+      graft.operators.Search.knnJoin(queries, corpus, "__gqv", "__gqid",
+        "__gcv", "__gcid", k, excludeSelf = false)
     })
   }
 

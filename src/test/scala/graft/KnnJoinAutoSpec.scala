@@ -142,6 +142,38 @@ class KnnJoinAutoSpec extends AnyFunSuite {
     }
   }
 
+  test("brute fallback: exact substitution for a sidecar-less corpus; indexed store still wins") {
+    // no index anywhere: with knnJoin.bruteAuto on, the cartesian window
+    // becomes Search.knnJoin — same cosines, but the per-group top-k is
+    // the map-side-combined aggregate instead of a full per-group sort,
+    // and the values are EXACTLY the user's plan's (clean corpus: no NaN/
+    // null rows, tiebreak on id)
+    withRule("spark.graft.knnJoin.bruteAuto" -> "true") {
+      val auto = declarative(corpus, "vec", "id", 5)
+      val plan = TestSpark.formattedPlan(auto)
+      assert(!plan.contains("Window"), s"brute fallback must substitute:\n${plan.take(1200)}")
+      val truth = withRuleOff { rows(declarative(corpus, "vec", "id", 5)) }
+      assert(rows(auto) == truth, "brute substitution must be value-exact")
+      // corpus-side filters ride along inside the wrapped subtree
+      val filtered = declarative(corpus, "vec", "id", 5, preds = Seq(col("id") % 3 === 0))
+      assert(!TestSpark.formattedPlan(filtered).contains("Window"))
+      assert(rows(filtered).forall(_._2 % 3 == 0))
+      val ftruth = withRuleOff {
+        rows(declarative(corpus, "vec", "id", 5, preds = Seq(col("id") % 3 === 0))) }
+      assert(rows(filtered) == ftruth)
+    }
+    // an indexed store on the other side must take the probe, not the
+    // brute fallback, whatever the orientation tried first
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    withRule("spark.graft.knnJoin.bruteAuto" -> "true",
+      "spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "2") {
+      val auto = rows(declarative(indexed, "vec", "id", 5))
+      val viaIvf = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+        "vec", "id", 5, 2, excludeSelf = false))
+      assert(auto == viaIvf, "the IVF probe must win over the brute fallback")
+    }
+  }
+
   test("refusals: every non-contract shape keeps the user's window plan") {
     val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
     withRule("spark.graft.ivf.autoProbe" -> "true") {
