@@ -612,6 +612,43 @@ object ScaleBench {
             classic.experimental.extraOptimizations = prev
           }
         }),
+        // round 16 (v52 at the reference shape): the DECLARATIVE spelling
+        // of per-query filters — knn_join_auto_768's window with a JOIN
+        // CONDITION store.cls = queries.want (8 equality classes, 12.5%
+        // each). KnnJoinAuto enumerates the distinct key tuples (ONE
+        // bounded scan of the 64-row queries side) and routes through
+        // Search.perQueryFiltered: 8 gated joins + 8 estimate scans
+        // REGARDLESS of |q|. The warm price must track
+        // per_query_filt_768's shape — |classes| × a per-group floor,
+        // flat in queries — the rule itself adds only plan surgery.
+        // rows = 640 (64 × top-10; every class holds ≥ 10 rows).
+        "per_query_auto_768" -> (() => {
+          val (indexed, _) = Ivf.indexFor(
+            vecs.withColumn("cls", pmod(col("vec_id"), lit(8)).cast("int")),
+            "embedding", nList, cacheKey = s"scale768-cls-$scale")
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.KnnJoinAuto(spark)
+          spark.conf.set("spark.graft.ivf.autoProbe", "true")
+          spark.conf.set("spark.graft.ivf.nProbe", nProbe.toString)
+          try {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+            vecs.where(col("vec_id") < 64)
+              .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+                pmod(col("vec_id"), lit(8)).cast("int").as("want"))
+              .join(indexed, col("cls") === col("want"))
+              .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+                col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
+              .withColumn("rank", row_number().over(w))
+              .where(col("rank") <= 10)
+              .select("qid", "vec_id", "score", "rank").count()
+          } finally {
+            spark.conf.unset("spark.graft.ivf.autoProbe")
+            spark.conf.unset("spark.graft.ivf.nProbe")
+            classic.experimental.extraOptimizations = prev
+          }
+        }),
       )
       val selected = if (onlyOps.isEmpty) ops else ops.filter(o => onlyOps.contains(o._1))
       selected.foreach { case (name, run) =>

@@ -63,7 +63,7 @@ object SparkEntry {
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50/v51):
+  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50/v51/v52):
     * Verify runs the sweep on a 4-thread pool over ONE session, and both
     * `experimental.extraOptimizations` and the `spark.graft.*` flags are
     * session-global — two rule queries racing can clobber each other's
@@ -72,7 +72,7 @@ object SparkEntry {
     * the pruned leg silently planned the exact window and failed the
     * rule≡call flag; the same channel existed for v7/v41/v45–v47 since
     * they landed, it just never had two rule queries collide). Only
-    * these seven serialize — the rest of the sweep stays parallel.
+    * these eight serialize — the rest of the sweep stays parallel.
     */
   private val ruleLock = new Object
 
@@ -4613,6 +4613,83 @@ object SparkEntry {
       }
     }),
 
+    // V52 — declarative PER-QUERY filtered batch ANN (round 16): the
+    // window shape of v50 with a JOIN CONDITION — each query row carries
+    // its own category (want = qid % 5) and the join demands
+    // store.label = queries.want, the declarative spelling of v48's
+    // per-query heterogeneous filters. KnnJoinAuto routes the equality
+    // through Search.perQueryFiltered: ONE gated join per predicate
+    // GROUP (5 label classes here), never per query, each group taking
+    // the gate branch its own selectivity earns. The EXACT leg
+    // (exhaustive probe) is DuckDB-replayed row-for-row with the same
+    // conditioned window; the pruned and mixed (per-query + static
+    // store predicate) legs pin rule ≡ the explicit perQueryFiltered
+    // composition. rule_fired asserts the Window actually left the plan.
+    "v52_per_query_knn_auto" -> ((s, d) => ruleLock.synchronized {
+      import s.implicits._
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v46")
+      val classic   = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev      = classic.experimental.extraOptimizations
+      val prevProbe = s.conf.getOption("spark.graft.ivf.nProbe")
+      classic.experimental.extraOptimizations = prev :+ graft.plans.KnnJoinAuto(s)
+      s.conf.set("spark.graft.ivf.autoProbe", "true")
+      try {
+        val qs = t.embeddings.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            (col("vec_id") % 5).cast("int").as("want"))
+        def windowForm(preds: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+          qs.join(preds.foldLeft(indexed)((df, p) => df.where(p)),
+              col("label") === col("want"))
+            .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+              col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 5)
+            .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+        }
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.get(3) match { case i: Int => i.toLong; case l: Long => l }))
+            .sortBy(x => (x._1, x._4)).toSeq
+        def explicitCall(extra: Seq[org.apache.spark.sql.Column], nProbe: Int) =
+          graft.operators.Search.perQueryFiltered(
+            qs.select(col("qid").as("__gqid"), col("qvec").as("__gqv"),
+              col("want").cast("string").as("band")),
+            "band",
+            (0 until 5).map(v => v.toString -> ((col("label") === lit(v)) +: extra)),
+            (q, f) => Ivf.knnJoin(indexed, model, q, "__gqv", "__gqid",
+              "embedding", "vec_id", 5, nProbe, excludeSelf = false, filters = f,
+              payload = indexed.select("vec_id", "label"), payloadIdCol = "vec_id"))
+            .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+        s.conf.set("spark.graft.ivf.nProbe", "8")
+        val exPlan = windowForm(Nil)
+        val fired  = !exPlan.queryExecution.optimizedPlan.toString.contains("Window")
+        val exRule = rows(exPlan)
+        s.conf.set("spark.graft.ivf.nProbe", "2")
+        val pSame = rows(windowForm(Nil)) == rows(explicitCall(Nil, 2))
+        val mpred = col("vec_id") % 3 === 0
+        val mSame = rows(windowForm(Seq(mpred))) == rows(explicitCall(Seq(mpred), 2))
+        (exRule.map { case (q, n, sc, r) => ("exact", q, n, math.rint(sc * 1e4) / 1e4, r) } ++
+          Seq(("rule_fired", -1L, if (fired) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call_pruned", -1L, if (pSame) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call_mixed", -1L, if (mSame) 1L else 0L, Double.NaN, -1L)))
+          .toDF("path", "query_id", "vec_id", "score", "rank")
+          .select(col("path"), col("query_id"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"),
+            col("rank"))
+          .orderBy(col("path"), col("query_id"), col("rank"))
+      } finally {
+        s.conf.unset("spark.graft.ivf.autoProbe")
+        prevProbe match {
+          case Some(v) => s.conf.set("spark.graft.ivf.nProbe", v)
+          case None    => s.conf.unset("spark.graft.ivf.nProbe")
+        }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -8013,6 +8090,22 @@ object SparkEntry {
         | SELECT 'exact' AS path, qid AS query_id, vec_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM s
         | UNION ALL SELECT 'rule_fired', -1, 1, NULL, -1
         | UNION ALL SELECT 'rule_eq_call', -1, 1, NULL, -1
+        | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v52 — the conditioned window (per-query label wall) at exhaustive
+    // probe is exact, so the rows replay as the same JOIN + window; the
+    // pruned/mixed rule≡perQueryFiltered flags are pinned true
+    "v52_per_query_knn_auto" ->
+      """WITH q AS (SELECT vec_id AS qid, vec_id % 5 AS want, embedding::DOUBLE[] AS qv
+        |   FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+        | s AS (SELECT qid, c.vec_id, list_cosine_similarity(cv, qv) AS sim,
+        |   row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(cv, qv) DESC, c.vec_id) AS rank
+        |   FROM q JOIN c ON c.label = q.want QUALIFY rank <= 5)
+        | SELECT 'exact' AS path, qid AS query_id, vec_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM s
+        | UNION ALL SELECT 'rule_fired', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call_pruned', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call_mixed', -1, 1, NULL, -1
         | ORDER BY path, query_id, rank""".stripMargin,
 
     // v46 — the selective leg DECLINES the probe injection, so the

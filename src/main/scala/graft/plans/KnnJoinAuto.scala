@@ -60,9 +60,27 @@ import org.apache.spark.sql.types._
   *    replaced);
   *  - under the window (through Projects, the optimizer's own
   *    `WindowGroupLimit`, and benign NaN/null guards on the score or the
-  *    two vector columns) sits ONE equi-condition-free Inner/Cross join;
-  *    a join with a condition, a second join, or any other operator on
-  *    the path refuses;
+  *    two vector columns) sits ONE Inner/Cross join; a second join or any
+  *    other operator on the path refuses. The join may carry a CONDITION
+  *    iff every conjunct is an equality between two plain columns from
+  *    opposite sides — the declarative spelling of PER-QUERY filters
+  *    (`store.lang = queries.lang`, round 16). Those conjuncts route
+  *    through [[graft.operators.Search.perQueryFiltered]]: the batch's
+  *    distinct key tuples are enumerated (bounded —
+  *    `spark.graft.knnJoin.maxPredGroups`, default 16; more distinct
+  *    tuples REFUSES the rewrite, because the engine's contract is plan
+  *    fan-out bounded by predicate CLASSES, never |q|) and each group
+  *    runs the family's gated join once with the store-side literal
+  *    equalities as its filters, so every group independently takes the
+  *    gate branch its own selectivity earns. The brute fallback honors
+  *    the same shape exactly — each group's literal equalities
+  *    pre-filter the corpus before its exact knnJoin. Key columns must
+  *    be string/integral/boolean (types whose driver-side `toString` is
+  *    exactly Spark's string cast — the group key must be exact) and,
+  *    for the indexed families, PHYSICAL store columns (an HNSW graph
+  *    store or a PQ floats store carries no payload columns by design,
+  *    so payload-keyed conditions there refuse and keep the user's
+  *    plan); any other conjunct shape or type refuses;
   *  - one join side reaches a store relation through only
   *    Projects/Filters ([[TopKMatch.pathPredicates]]); its non-guard
   *    conjuncts become the family's gated `filters` with the store
@@ -144,7 +162,19 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       case _                     => None
     }
     val join = findJoin(w.child).getOrElse(return None)
-    if (join.condition.nonEmpty || (join.joinType != Inner && join.joinType != Cross)) return None
+    if (join.joinType != Inner && join.joinType != Cross) return None
+    // a condition is accepted iff every conjunct is column = column (the
+    // per-query filter spelling — orientation resolved per family, where
+    // the store relation is known); anything else keeps the user's plan
+    val rawPairs: Seq[(AttributeReference, AttributeReference)] =
+      join.condition.map(TopKMatch.splitConjuncts).getOrElse(Nil).map {
+        case EqualTo(x, y) =>
+          (TopKMatch.stripCasts(x), TopKMatch.stripCasts(y)) match {
+            case (a: AttributeReference, b: AttributeReference) => (a, b)
+            case _                                              => return None
+          }
+        case _ => return None
+      }
 
     // ---- 4. the score: descending cosine(store vec, query vec) ------------
     val scoreId = TopKMatch.stripCasts(orderSpec.head.child) match {
@@ -170,9 +200,9 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
     // indexed families first in BOTH orientations — the brute fallback
     // must never shadow a real store sitting on the other join side
     val matched = sides.view.flatMap { case (storeSide, querySide) =>
-      familyFor(storeSide, querySide, va, vb, partKey, scoreId, orderSpec, orig.output, k)
+      familyFor(storeSide, querySide, va, vb, partKey, scoreId, orderSpec, orig.output, k, rawPairs)
     }.headOption.orElse(sides.view.flatMap { case (corpusSide, querySide) =>
-      bruteFor(corpusSide, querySide, va, vb, partKey, orderSpec, orig.output, k)
+      bruteFor(corpusSide, querySide, va, vb, partKey, orderSpec, orig.output, k, rawPairs)
     }.headOption)
     val fam = matched.getOrElse(return None)
 
@@ -214,6 +244,101 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private case class Fam(idAttr: AttributeReference, run: () => DataFrame)
 
+  /** Per-query key columns must round-trip exactly between the Spark-side
+    * group-key string (`cast(c as string)`) and the driver-side encoding
+    * of the collected value (`toString`) — true for these, NOT for
+    * float/decimal/timestamp formatting.
+    */
+  private def keyType(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType => true
+    case other                    => integral(other)
+  }
+
+  /** Orient the join-condition equality conjuncts once the store side is
+    * known: each must pair one store-side column (never the vector or the
+    * partition-layout column; for the indexed families `storeSide` is the
+    * RELATION itself, so the key is guaranteed to be a physical store
+    * column) with one queries-side column (never the query vector), both
+    * key-typed. None = some conjunct doesn't fit — the family refuses.
+    */
+  private def resolvePairs(
+      raw: Seq[(AttributeReference, AttributeReference)],
+      storeSide: LogicalPlan,
+      storeExcluded: Set[ExprId],
+      querySide: LogicalPlan,
+      qv: AttributeReference,
+  ): Option[Seq[(AttributeReference, AttributeReference)]] = {
+    val oriented = raw.map { case (a, b) =>
+      (Seq(a, b).filter(storeSide.outputSet.contains), Seq(a, b).filter(querySide.outputSet.contains)) match {
+        case (Seq(sa), Seq(qa))
+            if !storeExcluded.contains(sa.exprId) && qa.exprId != qv.exprId &&
+              keyType(sa.dataType) && keyType(qa.dataType) =>
+          Some((sa, qa))
+        case _ => None
+      }
+    }
+    if (oriented.forall(_.isDefined)) Some(oriented.flatten) else None
+  }
+
+  /** The perQueryFiltered inputs for a resolved pair set: the queries
+    * frame carrying an EXACT group-key string (`n` marks a null cell, `v`
+    * prefixes a value — an inner-join null key matches nothing, so its
+    * group gets `lit(false)`), and per distinct tuple the store-side
+    * literal equality conjuncts plus the static path predicates
+    * (IsNotNull guards on pair columns are dropped — every group literal
+    * implies them). Enumeration is the rule's only data touch: ONE
+    * distinct scan of the queries side bounded by `maxPredGroups + 1`
+    * rows; more distinct tuples (or a separator byte inside a key value,
+    * which could alias two tuples to one key) returns None — refuse,
+    * because fan-out must stay bounded by predicate classes, never |q|.
+    */
+  private case class PerQuery(queries: DataFrame, groups: Seq[(String, Seq[org.apache.spark.sql.Column])])
+
+  private def perQueryOf(
+      pairs: Seq[(AttributeReference, AttributeReference)],
+      querySide: LogicalPlan,
+      partKey: AttributeReference,
+      qv: AttributeReference,
+      staticPreds: Seq[Expression],
+  ): Option[PerQuery] = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, when}
+    val cap = intOf("spark.graft.knnJoin.maxPredGroups", 16)
+    // a non-deterministic queries side (rand()-derived keys) would make
+    // this enumeration disagree with the later execution — refuse rather
+    // than fail the group-membership check mid-query
+    if (querySide.collect { case p => p.expressions }.flatten.exists(e => !e.deterministic))
+      return None
+    val qdf = GraftBridge.ofRows(spark, querySide)
+    val tuples = qdf.select(pairs.map(p => GraftBridge.column(p._2)): _*)
+      .distinct().limit(cap + 1).collect()
+    if (tuples.length > cap) return None
+    def encCell(v: Any): String = if (v == null) "n" else "v" + v.toString
+    if (tuples.exists(r => pairs.indices.exists(i => encCell(r.get(i)).contains('\u0001'))))
+      return None
+    val statics = staticPreds.filterNot {
+      case IsNotNull(a: AttributeReference) => pairs.exists(_._1.exprId == a.exprId)
+      case _                                => false
+    }.map(GraftBridge.column)
+    val groups = tuples.toSeq.map { r =>
+      val key = pairs.indices.map(i => encCell(r.get(i))).mkString("\u0001")
+      val filters = pairs.zipWithIndex.map { case ((sa, qa), i) =>
+        r.get(i) match {
+          case null => GraftBridge.column(Literal(false))
+          case v    => GraftBridge.column(EqualTo(sa, Literal.create(v, qa.dataType)))
+        }
+      } ++ statics
+      key -> filters
+    }
+    val keyCol = concat_ws("\u0001", pairs.map { case (_, qa) =>
+      val c = GraftBridge.column(qa)
+      when(c.isNull, lit("n")).otherwise(concat(lit("v"), c.cast("string")))
+    }: _*)
+    Some(PerQuery(
+      qdf.select(GraftBridge.column(partKey).as("__gqid"),
+        GraftBridge.column(qv).as("__gqv"), keyCol.as("__gpred")),
+      groups))
+  }
+
   /** Try to interpret `storeSide` as an indexed store scanned by a
     * relation whose indexed vector column is one of `va`/`vb` (the other
     * being the queries-side vector) — IVF, HNSW, or PQ-floats by
@@ -229,6 +354,7 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       orderSpec: Seq[SortOrder],
       origOutput: Seq[Attribute],
       k: Int,
+      rawPairs: Seq[(AttributeReference, AttributeReference)],
   ): Option[Fam] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     import org.apache.spark.sql.functions.col
@@ -259,7 +385,7 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
     // -------- HNSW: shard-partitioned + _hnsw_meta ------------------------
     val hnsw = for {
       _ <- Some(()) if flag("spark.graft.hnsw.autoProbe")
-      (rel, _, root) <- TopKMatch.partitionedStore(storeSide, "shard")
+      (rel, shardAttr, root) <- TopKMatch.partitionedStore(storeSide, "shard")
       if TopKMatch.sidecarExists(hconf, root, "_hnsw_meta")
       (sv, qv) <- vecOf(rel)
       if sv.name == "vec"
@@ -269,21 +395,31 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       preds <- storePreds(rel, sv)
       if preds.forall(p => p.references.nonEmpty &&
         p.references.forall(a => rel.outputSet.contains(a) && a.exprId != sv.exprId))
+      pairs <- resolvePairs(rawPairs, rel, Set(sv.exprId, shardAttr.exprId), querySide, qv)
+      pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
+               else perQueryOf(pairs, querySide, partKey, qv, preds).map(Some(_))
     } yield Fam(idAttr, () => {
       val store = GraftBridge.ofRows(spark, rel)
-      if (preds.isEmpty)
-        Hnsw.knnJoin(store, queriesDf(qv), "__gqv", "__gqid", k,
-          efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false)
-      else {
-        val payloadAttrs = idAttr +: preds.flatMap(_.references)
-          .filter(_.exprId != idAttr.exprId).distinct.toSeq
-        Hnsw.knnJoin(store, queriesDf(qv), "__gqv", "__gqid", k,
-          efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false,
-          filters = preds.map(GraftBridge.column),
-          payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
-          payloadIdCol = "id",
-          maxEf = intOf("spark.graft.hnsw.maxEf", 4096),
-          selectivityHint = hintOf("spark.graft.hnsw.selectivityHint"))
+      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+        if (fs.isEmpty)
+          Hnsw.knnJoin(store, qs, "__gqv", "__gqid", k,
+            efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false)
+        else {
+          val payloadAttrs = idAttr +: (preds.flatMap(_.references) ++ pairs.map(_._1))
+            .filter(_.exprId != idAttr.exprId).distinct.toSeq
+          Hnsw.knnJoin(store, qs, "__gqv", "__gqid", k,
+            efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false,
+            filters = fs,
+            payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
+            payloadIdCol = "id",
+            maxEf = intOf("spark.graft.hnsw.maxEf", 4096),
+            selectivityHint = hintOf("spark.graft.hnsw.selectivityHint"))
+        }
+      pqOpt match {
+        case Some(pq) if pq.groups.nonEmpty =>
+          graft.operators.Search.perQueryFiltered(pq.queries, "__gpred", pq.groups,
+            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
+        case _ => run(queriesDf(qv), preds.map(GraftBridge.column))
       }
     })
     if (hnsw.isDefined) return hnsw
@@ -309,22 +445,32 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       preds <- storePreds(rel, sv)
       if preds.forall(p => p.references.nonEmpty && p.references.forall(a =>
         rel.outputSet.contains(a) && a.exprId != sv.exprId && a.exprId != listAttr.exprId))
+      pairs <- resolvePairs(rawPairs, rel, Set(sv.exprId, listAttr.exprId), querySide, qv)
+      pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
+               else perQueryOf(pairs, querySide, partKey, qv, preds).map(Some(_))
     } yield Fam(idAttr, () => {
       val floats = GraftBridge.ofRows(spark, rel)
       val nProbe = intOf("spark.graft.pq.nProbe", 4)
       val refine = intOf("spark.graft.pq.refine", 4)
-      if (preds.isEmpty)
-        Pq.knnJoinIvfPq(codes, floats, stored.model, pqm, queriesDf(qv),
-          "__gqv", "__gqid", sv.name, idCol, k, nProbe, refine, excludeSelf = false)
-      else {
-        val payloadAttrs = idAttr +: preds.flatMap(_.references)
-          .filter(_.exprId != idAttr.exprId).distinct.toSeq
-        Pq.knnJoinIvfPq(codes, floats, stored.model, pqm, queriesDf(qv),
-          "__gqv", "__gqid", sv.name, idCol, k, nProbe, refine, excludeSelf = false,
-          filters = preds.map(GraftBridge.column),
-          payload = floats.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
-          payloadIdCol = idCol,
-          selectivityHint = hintOf("spark.graft.pq.selectivityHint"))
+      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+        if (fs.isEmpty)
+          Pq.knnJoinIvfPq(codes, floats, stored.model, pqm, qs,
+            "__gqv", "__gqid", sv.name, idCol, k, nProbe, refine, excludeSelf = false)
+        else {
+          val payloadAttrs = idAttr +: (preds.flatMap(_.references) ++ pairs.map(_._1))
+            .filter(_.exprId != idAttr.exprId).distinct.toSeq
+          Pq.knnJoinIvfPq(codes, floats, stored.model, pqm, qs,
+            "__gqv", "__gqid", sv.name, idCol, k, nProbe, refine, excludeSelf = false,
+            filters = fs,
+            payload = floats.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
+            payloadIdCol = idCol,
+            selectivityHint = hintOf("spark.graft.pq.selectivityHint"))
+        }
+      pqOpt match {
+        case Some(pqf) if pqf.groups.nonEmpty =>
+          graft.operators.Search.perQueryFiltered(pqf.queries, "__gpred", pqf.groups,
+            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
+        case _ => run(queriesDf(qv), preds.map(GraftBridge.column))
       }
     })
     if (pq.isDefined) return pq
@@ -353,21 +499,31 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       preds <- storePreds(rel, sv)
       if preds.forall(p => p.references.nonEmpty && p.references.forall(a =>
         rel.outputSet.contains(a) && a.exprId != sv.exprId && a.exprId != listAttr.exprId))
+      pairs <- resolvePairs(rawPairs, rel, Set(sv.exprId, listAttr.exprId), querySide, qv)
+      pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
+               else perQueryOf(pairs, querySide, partKey, qv, preds).map(Some(_))
     } yield Fam(idAttr, () => {
       val store = GraftBridge.ofRows(spark, rel)
       val nProbe = intOf("spark.graft.ivf.nProbe", 4)
-      if (preds.isEmpty)
-        Ivf.knnJoin(store, stored.model, queriesDf(qv), "__gqv", "__gqid",
-          sv.name, idAttr.name, k, nProbe, excludeSelf = false)
-      else {
-        val payloadAttrs = idAttr +: preds.flatMap(_.references)
-          .filter(_.exprId != idAttr.exprId).distinct.toSeq
-        Ivf.knnJoin(store, stored.model, queriesDf(qv), "__gqv", "__gqid",
-          sv.name, idAttr.name, k, nProbe, excludeSelf = false,
-          filters = preds.map(GraftBridge.column),
-          payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
-          payloadIdCol = idAttr.name,
-          selectivityHint = hintOf("spark.graft.ivf.selectivityHint"))
+      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+        if (fs.isEmpty)
+          Ivf.knnJoin(store, stored.model, qs, "__gqv", "__gqid",
+            sv.name, idAttr.name, k, nProbe, excludeSelf = false)
+        else {
+          val payloadAttrs = idAttr +: (preds.flatMap(_.references) ++ pairs.map(_._1))
+            .filter(_.exprId != idAttr.exprId).distinct.toSeq
+          Ivf.knnJoin(store, stored.model, qs, "__gqv", "__gqid",
+            sv.name, idAttr.name, k, nProbe, excludeSelf = false,
+            filters = fs,
+            payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
+            payloadIdCol = idAttr.name,
+            selectivityHint = hintOf("spark.graft.ivf.selectivityHint"))
+        }
+      pqOpt match {
+        case Some(pq) if pq.groups.nonEmpty =>
+          graft.operators.Search.perQueryFiltered(pq.queries, "__gpred", pq.groups,
+            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
+        case _ => run(queriesDf(qv), preds.map(GraftBridge.column))
       }
     })
   }
@@ -384,6 +540,11 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
     * is taken WHOLESALE — its own filters ride along inside the wrapped
     * subtree — so this needs no relation, no sidecar, and no predicate
     * routing; the queries side is identified by the window partition key.
+    * A per-query JOIN CONDITION routes through the same
+    * [[graft.operators.Search.perQueryFiltered]] device as the indexed
+    * families — each group's literal equalities pre-filter the corpus
+    * before its exact knnJoin, so the substitution stays value-exact and
+    * the fan-out stays bounded by distinct key tuples.
     */
   private def bruteFor(
       corpusSide: LogicalPlan,
@@ -394,6 +555,7 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       orderSpec: Seq[SortOrder],
       origOutput: Seq[Attribute],
       k: Int,
+      rawPairs: Seq[(AttributeReference, AttributeReference)],
   ): Option[Fam] = {
     if (!flag("spark.graft.knnJoin.bruteAuto")) return None
     for {
@@ -414,13 +576,25 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if integral(partKey.dataType) && integral(idAttr.dataType)
       if TopKMatch.tiebreakOnly(orderSpec, idAttr)
+      pairs <- resolvePairs(rawPairs, corpusSide, Set(cv.exprId), querySide, qv)
+      pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
+               else perQueryOf(pairs, querySide, partKey, qv, Nil).map(Some(_))
     } yield Fam(idAttr, () => {
-      val corpus = GraftBridge.ofRows(spark, corpusSide).select(
-        GraftBridge.column(idAttr).as("__gcid"), GraftBridge.column(cv).as("__gcv"))
-      val queries = GraftBridge.ofRows(spark, querySide).select(
-        GraftBridge.column(partKey).as("__gqid"), GraftBridge.column(qv).as("__gqv"))
-      graft.operators.Search.knnJoin(queries, corpus, "__gqv", "__gqid",
-        "__gcv", "__gcid", k, excludeSelf = false)
+      import org.apache.spark.sql.functions.col
+      val corpusAll = GraftBridge.ofRows(spark, corpusSide)
+      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+        graft.operators.Search.knnJoin(qs,
+          fs.foldLeft(corpusAll)((df, f) => df.where(f)).select(
+            GraftBridge.column(idAttr).as("__gcid"), GraftBridge.column(cv).as("__gcv")),
+          "__gqv", "__gqid", "__gcv", "__gcid", k, excludeSelf = false)
+      pqOpt match {
+        case Some(pq) if pq.groups.nonEmpty =>
+          graft.operators.Search.perQueryFiltered(pq.queries, "__gpred", pq.groups,
+            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
+        case _ =>
+          run(GraftBridge.ofRows(spark, querySide).select(
+            GraftBridge.column(partKey).as("__gqid"), GraftBridge.column(qv).as("__gqv")), Nil)
+      }
     })
   }
 

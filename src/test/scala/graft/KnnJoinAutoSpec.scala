@@ -188,7 +188,7 @@ class KnnJoinAutoSpec extends AnyFunSuite {
         .withColumn("rank", row_number().over(w2)).where(col("rank") <= 3)
         .select("qid", "id", "score", "rank"), "extra partition key")
 
-      // join with a condition is not the batch-ANN cross join
+      // a NON-equality join condition is not the per-query filter shape
       val wc = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
       keepsWindow(queries.join(indexed, col("qid") =!= col("id"))
         .withColumn("score", graft.functions.VectorExpressions.cosineFast(
@@ -280,6 +280,165 @@ class KnnJoinAutoSpec extends AnyFunSuite {
         spark.catalog.dropTempView("knn_store_sql")
         spark.catalog.dropTempView("knn_queries_sql")
       }
+    }
+  }
+
+  test("per-query filters fire from spark.sql text — the ON clause IS the per-query spelling") {
+    val catCorpus = corpus.withColumn("cat", pmod(col("id"), lit(3)))
+    val (indexed, model) = Ivf.indexFor(catCorpus, "vec", 6, cacheKey = "knnauto-ivf-cat")
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    indexed.createOrReplaceTempView("knn_cat_store_sql")
+    queries.withColumn("want", pmod(col("qid"), lit(3)))
+      .createOrReplaceTempView("knn_cat_queries_sql")
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "2") {
+      try {
+        val df = spark.sql(
+          """SELECT qid, id, score, rank FROM (
+            |  SELECT qid, id, score,
+            |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+            |  FROM (SELECT q.qid, s.id,
+            |          cosine_similarity(CAST(s.vec AS ARRAY<DOUBLE>), CAST(q.qvec AS ARRAY<DOUBLE>)) AS score
+            |        FROM knn_cat_queries_sql q JOIN knn_cat_store_sql s ON s.cat = q.want)
+            |) WHERE rank <= 5""".stripMargin)
+        assert(!TestSpark.formattedPlan(df).contains("Window"),
+          "the SQL ON-clause per-query shape must substitute")
+        val viaApi = Search.perQueryFiltered(
+          queries.select(col("qid").as("__gqid"), col("qvec").as("__gqv"),
+            pmod(col("qid"), lit(3)).cast("string").as("band")),
+          "band",
+          Seq(0L, 1L, 2L).map(v => v.toString -> Seq(col("cat") === lit(v))),
+          (q, f) => Ivf.knnJoin(indexed, model, q, "__gqv", "__gqid", "vec", "id", 5, 2,
+            excludeSelf = false, filters = f,
+            payload = indexed.select("id", "cat"), payloadIdCol = "id"))
+        assert(rows(df.select(col("qid"), col("id"), col("score"),
+          col("rank").cast("int"))) == famRows(viaApi),
+          "the SQL per-query form must equal the explicit perQueryFiltered")
+      } finally {
+        spark.catalog.dropTempView("knn_cat_store_sql")
+        spark.catalog.dropTempView("knn_cat_queries_sql")
+      }
+    }
+  }
+
+  test("per-query filters: an equality join condition routes through perQueryFiltered (r16)") {
+    // store rows carry a category; each query wants its own — the
+    // declarative spelling is a JOIN CONDITION (store.cat = queries.want),
+    // the engine path is one gated join per predicate GROUP, never per
+    // query (Search.perQueryFiltered underneath)
+    val catCorpus = corpus.withColumn("cat", pmod(col("id"), lit(3)))
+    val (indexed, model) = Ivf.indexFor(catCorpus, "vec", 6, cacheKey = "knnauto-ivf-cat")
+    val qs = queries.withColumn("want", pmod(col("qid"), lit(3)))
+    def perQueryForm(k: Int) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      qs.join(indexed, col("cat") === col("want"))
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    }
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "6") {
+      // exhaustive probe: the substitution must be value-exact vs the
+      // user's own conditioned-window plan
+      val auto = perQueryForm(5)
+      assert(!TestSpark.formattedPlan(auto).contains("Window"),
+        "the conditioned window must substitute")
+      val truth = withRuleOff { rows(perQueryForm(5)) }
+      assert(rows(auto) == truth, "per-query substitution must be value-exact")
+      // pruned probe: rule ≡ the explicit perQueryFiltered composition,
+      // and the gate decides once per GROUP per run (3 present groups)
+      spark.conf.set("spark.graft.ivf.nProbe", "2")
+      val before = graft.operators.Search.gateDecisions.get()
+      val pruned = rows(perQueryForm(5))
+      assert(graft.operators.Search.gateDecisions.get() - before == 3,
+        "three predicate groups must cost exactly three gate decisions")
+      val viaApi = Search.perQueryFiltered(
+        qs.select(col("qid").as("__gqid"), col("qvec").as("__gqv"),
+          concat(lit("v"), col("want").cast("string")).as("band")),
+        "band",
+        Seq(0, 1, 2).map(v => s"v$v" -> Seq(col("cat") === lit(v.toLong))),
+        (q, f) => Ivf.knnJoin(indexed, model, q, "__gqv", "__gqid", "vec", "id", 5, 2,
+          excludeSelf = false, filters = f,
+          payload = indexed.select("id", "cat"), payloadIdCol = "id"))
+      assert(pruned == famRows(viaApi), "rule must equal the explicit perQueryFiltered")
+    }
+  }
+
+  test("per-query filters: brute fallback honors the condition exactly; HNSW keys on store columns") {
+    // no index: the conditioned window substitutes Search.knnJoin per
+    // predicate group, each group's corpus pre-filtered by its literal
+    // equality — value-EXACT, so the truth is the user's own plan
+    val catCorpus = corpus.withColumn("cat", pmod(col("id"), lit(3)))
+    def brutePerQuery(k: Int) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      queries.withColumn("want", pmod(col("qid"), lit(3)))
+        .join(catCorpus, col("cat") === col("want"))
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    }
+    withRule("spark.graft.knnJoin.bruteAuto" -> "true") {
+      val auto = brutePerQuery(5)
+      assert(!TestSpark.formattedPlan(auto).contains("Window"),
+        "the conditioned window must take the brute per-query substitution")
+      val truth = withRuleOff { rows(brutePerQuery(5)) }
+      assert(rows(auto) == truth, "brute per-query substitution must be value-exact")
+    }
+    // HNSW: the graph store carries no payload columns, so a per-query
+    // key must be a PHYSICAL store column — id works (per-query point
+    // retrieval); a payload-named column can't resolve and refuses
+    val idx = Hnsw.indexFor(corpus, "vec", "id", cacheKey = "knnauto-hnsw", nShards = 4)
+    def hnswIdKeyed(k: Int) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      queries.withColumn("want", col("qid") * 7)
+        .join(idx, col("id") === col("want"))
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "id", "score", "rank")
+    }
+    withRule("spark.graft.hnsw.autoProbe" -> "true", "spark.graft.hnsw.efSearch" -> "65536") {
+      val auto = hnswIdKeyed(3)
+      assert(!TestSpark.formattedPlan(auto).contains("Window"),
+        "an id-keyed condition over the HNSW store must substitute")
+      def ulp(s: Seq[(Long, Long, Double, Int)]) =
+        s.map { case (q, n, sc, r) => (q, n, math.rint(sc * 1e9) / 1e9, r) }
+      val truth = withRuleOff { rows(hnswIdKeyed(3)) }
+      assert(ulp(rows(auto)) == ulp(truth),
+        "each query must retrieve exactly its own id (ids exact, scores to 1e-9)")
+    }
+  }
+
+  test("per-query filters: fan-out stays bounded by predicate classes — cap and type refusals") {
+    val catCorpus = corpus.withColumn("cat", pmod(col("id"), lit(3)))
+      .withColumn("catf", pmod(col("id"), lit(3)).cast("double"))
+    val (indexed, _) = Ivf.indexFor(catCorpus, "vec", 6, cacheKey = "knnauto-ivf-catf")
+    def form(qcol: org.apache.spark.sql.Column, scol: String) = {
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+      queries.withColumn("want", qcol)
+        .join(indexed, col(scol) === col("want"))
+        .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+          col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("qid", "id", "score", "rank")
+    }
+    withRule("spark.graft.ivf.autoProbe" -> "true",
+      "spark.graft.knnJoin.maxPredGroups" -> "2") {
+      // 3 distinct key values > cap 2: the rewrite must refuse — the
+      // engine never fans out past the declared class bound
+      assert(TestSpark.formattedPlan(form(pmod(col("qid"), lit(3)), "cat"))
+        .contains("Window"), "distinct keys beyond maxPredGroups must refuse")
+      // under the cap the same shape substitutes
+      assert(!TestSpark.formattedPlan(form(pmod(col("qid"), lit(2)), "cat"))
+        .contains("Window"), "two groups under the cap must substitute")
+      // a double-typed key can't round-trip the group key exactly: refuse
+      assert(TestSpark.formattedPlan(
+        form(pmod(col("qid"), lit(3)).cast("double"), "catf"))
+        .contains("Window"), "non-key-typed join columns must refuse")
     }
   }
 
