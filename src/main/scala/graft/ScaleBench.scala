@@ -612,6 +612,25 @@ object ScaleBench {
             classic.experimental.extraOptimizations = prev
           }
         }),
+        // round 16: the EXPLICIT twin of per_query_auto_768 — the same 8
+        // equality classes (12.5% each; the gate widens every group's
+        // probe to ~nList, the honest mid-selectivity price) through
+        // Search.perQueryFiltered directly. per_query_auto_768 minus this
+        // row is the RULE's own overhead (plan surgery + one bounded
+        // distinct scan); the workload is identical by construction.
+        "per_query_eq_768" -> (() => {
+          val (indexed, model) = Ivf.indexFor(
+            vecs.withColumn("cls", pmod(col("vec_id"), lit(8)).cast("int")),
+            "embedding", nList, cacheKey = s"scale768-cls-$scale")
+          val qs = vecs.where(col("vec_id") < 64)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+              pmod(col("vec_id"), lit(8)).cast("string").as("band"))
+          val groups = (0 until 8).map(v => v.toString -> Seq(col("cls") === lit(v)))
+          Search.perQueryFiltered(qs, "band", groups, (q, f) =>
+            Ivf.knnJoin(indexed, model, q, "qvec", "qid", "embedding", "vec_id",
+              10, nProbe, excludeSelf = false, filters = f,
+              payload = indexed.select("vec_id", "cls"), payloadIdCol = "vec_id")).count()
+        }),
         // round 16 (v52 at the reference shape): the DECLARATIVE spelling
         // of per-query filters — knn_join_auto_768's window with a JOIN
         // CONDITION store.cls = queries.want (8 equality classes, 12.5%
