@@ -40,6 +40,7 @@ object PlanDump {
     "v48_per_query_filtered_join" -> "round 15 (per-query heterogeneous filtered batch join): ONE plan unions one gated Ivf.knnJoin per predicate GROUP (bounded by predicate classes, never |q|) — the broad group's query fan-out equi-joins the store on list_id at its own widened width with its filter pushed to the scan, the selective group routes to its exact brute-force leg, and each group's per-query top-k is the map-side-combined TopKScored aggregate (≤ k rows per (query, partition) into each final exchange)",
     "v50_knn_join_auto" -> "round 16 (declarative batch ANN, dumped as the DECLARATIVE window plan the rule rewrites — the declared query collects parity rows, which would show only a LocalRelation): the per-query top-k window over queries × store — the shape that otherwise plans a |q|·n CARTESIAN with every cosine scored — is SUBSTITUTED by the gated Ivf.knnJoin: NO Window and NO cross join in the plan; queries fan out to their nProbe nearest lists as narrow (qid, vec, list_id) rows and equi-join the store on list_id (candidate volume |q|·n·nProbe/nList, never all-pairs), and the per-query top-k is the map-side-combined TopKScored aggregate, so the final exchange carries ≤ k rows per (query, partition)",
     "v52_per_query_knn_auto" -> "round 16 (declarative PER-QUERY filtered batch ANN — v50's window with a JOIN CONDITION store.label = queries.want): KnnJoinAuto routes the equality through Search.perQueryFiltered — NO Window and NO conditioned cross product in the plan; instead a UNION of per-predicate-GROUP gated joins (fan-out bounded by distinct key tuples ≤ spark.graft.knnJoin.maxPredGroups, never |q|), each group's EqualTo(label, <literal>) pushed all the way into its store scan as PushedFilters, each group taking its own cardinality-gate branch",
+    "v53_hydrated_knn_auto" -> "round 16 (declarative HYDRATED filtered batch ANN — the window over queries × (store ⋈ metadata) with the predicate on the METADATA table): KnnJoinAuto recognizes the single equi-keyed hydration join and substitutes the gated Ivf.knnJoin with the column-pruned metadata leaf as the payload carrier — NO Window and NO hydration join riding the scored path; the metadata predicate reaches the METADATA scan as PushedFilters (never the store scan — the store has no such column), the allowed-id set semi-joins the candidates, and the store scan stays list_id-pruned at the gate's widened width",
   )
 
   def main(args: Array[String]): Unit = {
@@ -145,6 +146,38 @@ object PlanDump {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
           qs.join(indexed, col("label") === col("want"))
+            .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+              col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 5)
+            .select("qid", "vec_id", "score", "rank")
+        } else if (name == "v53_hydrated_knn_auto") {
+          // v50's device with a separate metadata scan hydrating the store
+          import org.apache.spark.sql.functions._
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))
+          val meta = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id").as("mid"), col("label").as("grade"))
+          val dir = java.nio.file.Files.createTempDirectory("plandump-v53").toString + "/store"
+          val (assigned, model) = graft.operators.Ivf.assign(emb, "embedding", 8)
+          graft.operators.Ivf.writeIndexed(assigned, dir, model, "embedding")
+          val indexed = spark.read.parquet(dir)
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.KnnJoinAuto(spark)
+          spark.conf.set("spark.graft.ivf.autoProbe", "true")
+          spark.conf.set("spark.graft.ivf.nProbe", "2")
+          release = () => {
+            spark.conf.unset("spark.graft.ivf.autoProbe")
+            spark.conf.unset("spark.graft.ivf.nProbe")
+            classic.experimental.extraOptimizations = prev
+          }
+          val qs = emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+          qs.crossJoin(indexed.join(meta, col("vec_id") === col("mid"))
+              .where(col("grade") >= 5))
             .withColumn("score", graft.functions.VectorExpressions.cosineFast(
               col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
             .withColumn("rank", row_number().over(w))

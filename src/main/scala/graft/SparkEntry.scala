@@ -63,7 +63,7 @@ object SparkEntry {
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50/v51/v52):
+  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50-v53):
     * Verify runs the sweep on a 4-thread pool over ONE session, and both
     * `experimental.extraOptimizations` and the `spark.graft.*` flags are
     * session-global — two rule queries racing can clobber each other's
@@ -72,7 +72,7 @@ object SparkEntry {
     * the pruned leg silently planned the exact window and failed the
     * rule≡call flag; the same channel existed for v7/v41/v45–v47 since
     * they landed, it just never had two rule queries collide). Only
-    * these eight serialize — the rest of the sweep stays parallel.
+    * these nine serialize — the rest of the sweep stays parallel.
     */
   private val ruleLock = new Object
 
@@ -4690,6 +4690,91 @@ object SparkEntry {
       }
     }),
 
+    // V53 — declarative HYDRATED filtered batch ANN (round 16): the
+    // batch window over queries × (store ⋈ metadata) — predicates live in
+    // a SEPARATE metadata table, the real retrieval shape and exactly
+    // what the gated joins' payload/payloadIdCol parameters exist for.
+    // KnnJoinAuto recognizes the single equi-keyed hydration join
+    // (unique-keyed, checked by one rule-time aggregate), routes the
+    // metadata predicates through the cardinality gate with the
+    // column-pruned metadata leaf as the payload carrier, and — for the
+    // per-query leg — keys the predicate groups on METADATA columns.
+    // The EXACT leg (exhaustive probe) is DuckDB-replayed through the
+    // same hydrated window; the pruned and per-query legs pin rule ≡ the
+    // explicit payload call / perQueryFiltered composition.
+    "v53_hydrated_knn_auto" -> ((s, d) => ruleLock.synchronized {
+      import s.implicits._
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v46")
+      // metadata: its own scan of the table (distinct relation), unique key
+      val meta = t.embeddings.select(col("vec_id").as("mid"), col("label").as("grade"))
+      val classic   = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev      = classic.experimental.extraOptimizations
+      val prevProbe = s.conf.getOption("spark.graft.ivf.nProbe")
+      classic.experimental.extraOptimizations = prev :+ graft.plans.KnnJoinAuto(s)
+      s.conf.set("spark.graft.ivf.autoProbe", "true")
+      try {
+        val qs = t.embeddings.where(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            (col("vec_id") % 5).cast("int").as("want"))
+        def windowOver(joined: org.apache.spark.sql.DataFrame,
+            cond: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+          cond.map(c => qs.join(joined, c)).getOrElse(qs.crossJoin(joined))
+            .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+              col("embedding").cast("array<double>"), col("qvec").cast("array<double>")))
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 5)
+            .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+        }
+        def hydForm(pred: org.apache.spark.sql.Column) =
+          windowOver(indexed.join(meta, col("vec_id") === col("mid")).where(pred), None)
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Long)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.get(3) match { case i: Int => i.toLong; case l: Long => l }))
+            .sortBy(x => (x._1, x._4)).toSeq
+        s.conf.set("spark.graft.ivf.nProbe", "8")
+        val exPlan = hydForm(col("grade") >= 5)
+        val fired  = !exPlan.queryExecution.optimizedPlan.toString.contains("Window")
+        val exRule = rows(exPlan)
+        s.conf.set("spark.graft.ivf.nProbe", "2")
+        val pSame = rows(hydForm(col("grade") >= 5)) ==
+          rows(Ivf.knnJoin(indexed, model, qs, "qvec", "qid", "embedding", "vec_id", 5, 2,
+            excludeSelf = false, filters = Seq(col("grade") >= 5),
+            payload = meta, payloadIdCol = "mid")
+            .select(col("query_id"), col("neighbor_id"), col("score"), col("rank")))
+        // per-query ON metadata: each query's own grade class
+        val qSame = rows(windowOver(indexed.join(meta, col("vec_id") === col("mid")),
+          Some(col("grade") === col("want")))) ==
+          rows(graft.operators.Search.perQueryFiltered(
+            qs.select(col("qid").as("__gqid"), col("qvec").as("__gqv"),
+              col("want").cast("string").as("band")),
+            "band",
+            (0 until 5).map(v => v.toString -> Seq(col("grade") === lit(v))),
+            (q, f) => Ivf.knnJoin(indexed, model, q, "__gqv", "__gqid",
+              "embedding", "vec_id", 5, 2, excludeSelf = false, filters = f,
+              payload = meta, payloadIdCol = "mid"))
+            .select(col("query_id"), col("neighbor_id"), col("score"), col("rank")))
+        (exRule.map { case (q, n, sc, r) => ("exact", q, n, math.rint(sc * 1e4) / 1e4, r) } ++
+          Seq(("rule_fired", -1L, if (fired) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call_pruned", -1L, if (pSame) 1L else 0L, Double.NaN, -1L),
+            ("rule_eq_call_perquery", -1L, if (qSame) 1L else 0L, Double.NaN, -1L)))
+          .toDF("path", "query_id", "vec_id", "score", "rank")
+          .select(col("path"), col("query_id"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"),
+            col("rank"))
+          .orderBy(col("path"), col("query_id"), col("rank"))
+      } finally {
+        s.conf.unset("spark.graft.ivf.autoProbe")
+        prevProbe match {
+          case Some(v) => s.conf.set("spark.graft.ivf.nProbe", v)
+          case None    => s.conf.unset("spark.graft.ivf.nProbe")
+        }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -8106,6 +8191,23 @@ object SparkEntry {
         | UNION ALL SELECT 'rule_fired', -1, 1, NULL, -1
         | UNION ALL SELECT 'rule_eq_call_pruned', -1, 1, NULL, -1
         | UNION ALL SELECT 'rule_eq_call_mixed', -1, 1, NULL, -1
+        | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v53 — the hydrated window (store ⋈ metadata, predicate on the
+    // metadata table) at exhaustive probe is exact: the rows replay as
+    // the same hydration join + window; pruned/per-query flags pinned
+    "v53_hydrated_knn_auto" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS cv FROM embeddings e
+        |   JOIN (SELECT vec_id AS mid, label AS grade FROM embeddings) m ON e.vec_id = m.mid
+        |   WHERE m.grade >= 5),
+        | s AS (SELECT qid, vec_id, list_cosine_similarity(cv, qv) AS sim,
+        |   row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(cv, qv) DESC, vec_id) AS rank
+        |   FROM q CROSS JOIN c QUALIFY rank <= 5)
+        | SELECT 'exact' AS path, qid AS query_id, vec_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM s
+        | UNION ALL SELECT 'rule_fired', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call_pruned', -1, 1, NULL, -1
+        | UNION ALL SELECT 'rule_eq_call_perquery', -1, 1, NULL, -1
         | ORDER BY path, query_id, rank""".stripMargin,
 
     // v46 — the selective leg DECLINES the probe injection, so the

@@ -82,12 +82,24 @@ import org.apache.spark.sql.types._
   *    so payload-keyed conditions there refuse and keep the user's
   *    plan); any other conjunct shape or type refuses;
   *  - one join side reaches a store relation through only
-  *    Projects/Filters ([[TopKMatch.pathPredicates]]); its non-guard
-  *    conjuncts become the family's gated `filters` with the store
-  *    itself, column-pruned, as the payload carrier — so per-batch
-  *    predicates inherit the CARDINALITY GATE verbatim (selective → exact
-  *    semi-join branch, broad → widened probe). The other side is the
-  *    queries frame, passed wholesale;
+  *    Projects/Filters — or through at most ONE HYDRATION JOIN
+  *    ([[TopKMatch.hydratedPredicates]], round 16): `store ⋈ metadata`,
+  *    Inner, keyed on a single equality between the store's id column
+  *    and a unique-keyed metadata column (uniqueness checked by one
+  *    rule-time aggregate — a dup-keyed payload would rank duplicates in
+  *    the user's plan but not in the engine's semi-joined path). The
+  *    path's non-guard conjuncts become the family's gated `filters`
+  *    with ONE payload carrier — the metadata leaf column-pruned when
+  *    hydrated (the real retrieval shape: predicates live in the
+  *    metadata table, exactly what the explicit joins' `payload`
+  *    parameter exists for; a metadata-only filter gets
+  *    `IsNotNull(key)` so the semi-join still enforces the inner join's
+  *    row set), else the store itself — so per-batch predicates inherit
+  *    the CARDINALITY GATE verbatim (selective → exact semi-join branch,
+  *    broad → widened probe). Mixing store-column predicates WITH a
+  *    hydration join refuses (two filter frames); per-query pairs key on
+  *    metadata columns when hydrated. The other side is the queries
+  *    frame, passed wholesale;
   *  - both id columns are integral (the families' join keys are longs —
   *    a string id would be nulled by the cast, silently collapsing
   *    groups; the substituted output casts back to the original types);
@@ -267,13 +279,26 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       storeExcluded: Set[ExprId],
       querySide: LogicalPlan,
       qv: AttributeReference,
+      hyd: Option[TopKMatch.Hydration] = None,
   ): Option[Seq[(AttributeReference, AttributeReference)]] = {
+    // when hydrated, a per-query key must resolve (through plain renames)
+    // to a payload LEAF column — the group filters and the gate run
+    // against the leaf frame; a store-relation key would mix frames and
+    // refuses by not resolving here
+    def storeLeaf(x: AttributeReference): Option[AttributeReference] = hyd match {
+      case Some(h) => h.leafOf(x)
+      case None    => if (storeSide.outputSet.contains(x)) Some(x) else None
+    }
     val oriented = raw.map { case (a, b) =>
-      (Seq(a, b).filter(storeSide.outputSet.contains), Seq(a, b).filter(querySide.outputSet.contains)) match {
-        case (Seq(sa), Seq(qa))
-            if !storeExcluded.contains(sa.exprId) && qa.exprId != qv.exprId &&
-              keyType(sa.dataType) && keyType(qa.dataType) =>
-          Some((sa, qa))
+      (storeLeaf(a), storeLeaf(b)) match {
+        case (Some(sa), None)
+            if querySide.outputSet.contains(b) && !storeExcluded.contains(sa.exprId) &&
+              b.exprId != qv.exprId && keyType(sa.dataType) && keyType(b.dataType) =>
+          Some((sa, b))
+        case (None, Some(sb))
+            if querySide.outputSet.contains(a) && !storeExcluded.contains(sb.exprId) &&
+              a.exprId != qv.exprId && keyType(sb.dataType) && keyType(a.dataType) =>
+          Some((sb, a))
         case _ => None
       }
     }
@@ -376,8 +401,67 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftBridge.ofRows(spark, querySide).select(
         GraftBridge.column(partKey).as("__gqid"), GraftBridge.column(qv).as("__gqv"))
 
-    def storePreds(rel: LogicalRelationShim, sv: AttributeReference): Option[Seq[Expression]] =
-      TopKMatch.pathPredicates(storeSide, rel, sv, scoreId)
+    def hydratedPreds(rel: LogicalRelationShim, sv: AttributeReference)
+        : Option[(Seq[Expression], Option[TopKMatch.Hydration])] =
+      TopKMatch.hydratedPredicates(storeSide, rel, sv, scoreId)
+
+    // a dup-keyed payload would rank duplicate hits in the user's inner
+    // join but not in the engine's semi-joined path — one rule-time agg
+    // (same order as the gate's estimate scan) keeps the substitution
+    // exact by refusing duplicates; null keys are harmless (neither the
+    // inner join nor the semi-join matches them)
+    def payloadUnique(h: TopKMatch.Hydration): Boolean = {
+      import org.apache.spark.sql.functions.{count, countDistinct}
+      val kc = GraftBridge.column(h.payloadKey)
+      val r  = GraftBridge.ofRows(spark, h.payloadRel).agg(count(kc), countDistinct(kc)).head()
+      r.getLong(0) == r.getLong(1)
+    }
+
+    // the family's filter set: the hydration predicates (IsNotNull on the
+    // payload key when the user filtered nothing — it keeps the gated
+    // path, whose semi-join IS the inner hydration's semantics), or the
+    // store-path predicates
+    def filtersBaseOf(hydOpt: Option[TopKMatch.Hydration], preds: Seq[Expression]): Seq[Expression] =
+      hydOpt.map(h => if (h.preds.nonEmpty) h.preds else Seq(IsNotNull(h.payloadKey))).getOrElse(preds)
+
+    /** Shared deferred-runner assembly: resolves the payload frame (the
+      * hydration leaf column-pruned to key + filter + pair columns, or
+      * the store itself), composes the per-query groups, and hands the
+      * family ONE `(queries, filters, payload, payloadIdCol)` call per
+      * group (payload null ⇔ filters empty ⇔ the family's plain form).
+      */
+    def assemble(
+        rel: LogicalRelationShim,
+        idAttr: AttributeReference,
+        preds: Seq[Expression],
+        hydOpt: Option[TopKMatch.Hydration],
+        pairs: Seq[(AttributeReference, AttributeReference)],
+        pqOpt: Option[PerQuery],
+        qv: AttributeReference,
+        storeIdName: String,
+        call: (DataFrame, Seq[org.apache.spark.sql.Column], DataFrame, String) => DataFrame,
+    ): () => DataFrame = () => {
+      val filtersBase = filtersBaseOf(hydOpt, preds)
+      val extraAttrs  = filtersBase.flatMap(_.references) ++ pairs.map(_._1)
+      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+        if (fs.isEmpty) call(qs, Nil, null, storeIdName)
+        else hydOpt match {
+          case Some(h) =>
+            val attrs = h.payloadKey +: extraAttrs.filter(_.exprId != h.payloadKey.exprId).distinct
+            call(qs, fs, GraftBridge.ofRows(spark, h.payloadRel)
+              .select(attrs.map(a => GraftBridge.column(a)): _*), h.payloadKey.name)
+          case None =>
+            val attrs = idAttr +: extraAttrs.filter(_.exprId != idAttr.exprId).distinct
+            call(qs, fs, GraftBridge.ofRows(spark, rel)
+              .select(attrs.map(a => GraftBridge.column(a)): _*), storeIdName)
+        }
+      pqOpt match {
+        case Some(pq) if pq.groups.nonEmpty =>
+          graft.operators.Search.perQueryFiltered(pq.queries, "__gpred", pq.groups,
+            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
+        case _ => run(queriesDf(qv), filtersBase.map(GraftBridge.column))
+      }
+    }
 
     def intIds(ids: AttributeReference*): Boolean =
       integral(partKey.dataType) && ids.forall(a => integral(a.dataType))
@@ -392,36 +476,27 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       idAttr <- rel.output.collectFirst { case a: AttributeReference if a.name == "id" => a }
       if intIds(idAttr)
       if TopKMatch.tiebreakOnly(orderSpec, idAttr)
-      preds <- storePreds(rel, sv)
+      (preds, hydOpt) <- hydratedPreds(rel, sv)
+      if hydOpt.forall(h => preds.isEmpty && h.storeKey.exprId == idAttr.exprId &&
+        integral(h.payloadKey.dataType) && payloadUnique(h))
       if preds.forall(p => p.references.nonEmpty &&
         p.references.forall(a => rel.outputSet.contains(a) && a.exprId != sv.exprId))
-      pairs <- resolvePairs(rawPairs, rel, Set(sv.exprId, shardAttr.exprId), querySide, qv)
+      pairs <- resolvePairs(rawPairs, rel,
+        if (hydOpt.isDefined) Set.empty[ExprId] else Set(sv.exprId, shardAttr.exprId),
+        querySide, qv, hydOpt)
       pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
-               else perQueryOf(pairs, querySide, partKey, qv, preds).map(Some(_))
-    } yield Fam(idAttr, () => {
-      val store = GraftBridge.ofRows(spark, rel)
-      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+               else perQueryOf(pairs, querySide, partKey, qv, filtersBaseOf(hydOpt, preds)).map(Some(_))
+    } yield Fam(idAttr, assemble(rel, idAttr, preds, hydOpt, pairs, pqOpt, qv, "id",
+      (qs, fs, p, pid) =>
         if (fs.isEmpty)
-          Hnsw.knnJoin(store, qs, "__gqv", "__gqid", k,
+          Hnsw.knnJoin(GraftBridge.ofRows(spark, rel), qs, "__gqv", "__gqid", k,
             efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false)
-        else {
-          val payloadAttrs = idAttr +: (preds.flatMap(_.references) ++ pairs.map(_._1))
-            .filter(_.exprId != idAttr.exprId).distinct.toSeq
-          Hnsw.knnJoin(store, qs, "__gqv", "__gqid", k,
+        else
+          Hnsw.knnJoin(GraftBridge.ofRows(spark, rel), qs, "__gqv", "__gqid", k,
             efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false,
-            filters = fs,
-            payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
-            payloadIdCol = "id",
+            filters = fs, payload = p, payloadIdCol = pid,
             maxEf = intOf("spark.graft.hnsw.maxEf", 4096),
-            selectivityHint = hintOf("spark.graft.hnsw.selectivityHint"))
-        }
-      pqOpt match {
-        case Some(pq) if pq.groups.nonEmpty =>
-          graft.operators.Search.perQueryFiltered(pq.queries, "__gpred", pq.groups,
-            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
-        case _ => run(queriesDf(qv), preds.map(GraftBridge.column))
-      }
-    })
+            selectivityHint = hintOf("spark.graft.hnsw.selectivityHint"))))
     if (hnsw.isDefined) return hnsw
 
     // -------- PQ floats: list_id-partitioned + parent codebooks ----------
@@ -442,37 +517,29 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       idAttr <- rel.output.collectFirst { case a: AttributeReference if a.name == idCol => a }
       if intIds(idAttr)
       if TopKMatch.tiebreakOnly(orderSpec, idAttr)
-      preds <- storePreds(rel, sv)
+      (preds, hydOpt) <- hydratedPreds(rel, sv)
+      if hydOpt.forall(h => preds.isEmpty && h.storeKey.exprId == idAttr.exprId &&
+        integral(h.payloadKey.dataType) && payloadUnique(h))
       if preds.forall(p => p.references.nonEmpty && p.references.forall(a =>
         rel.outputSet.contains(a) && a.exprId != sv.exprId && a.exprId != listAttr.exprId))
-      pairs <- resolvePairs(rawPairs, rel, Set(sv.exprId, listAttr.exprId), querySide, qv)
+      pairs <- resolvePairs(rawPairs, rel,
+        if (hydOpt.isDefined) Set.empty[ExprId] else Set(sv.exprId, listAttr.exprId),
+        querySide, qv, hydOpt)
       pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
-               else perQueryOf(pairs, querySide, partKey, qv, preds).map(Some(_))
-    } yield Fam(idAttr, () => {
-      val floats = GraftBridge.ofRows(spark, rel)
-      val nProbe = intOf("spark.graft.pq.nProbe", 4)
-      val refine = intOf("spark.graft.pq.refine", 4)
-      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+               else perQueryOf(pairs, querySide, partKey, qv, filtersBaseOf(hydOpt, preds)).map(Some(_))
+    } yield Fam(idAttr, assemble(rel, idAttr, preds, hydOpt, pairs, pqOpt, qv, idCol,
+      (qs, fs, p, pid) => {
+        val nProbe = intOf("spark.graft.pq.nProbe", 4)
+        val refine = intOf("spark.graft.pq.refine", 4)
         if (fs.isEmpty)
-          Pq.knnJoinIvfPq(codes, floats, stored.model, pqm, qs,
+          Pq.knnJoinIvfPq(codes, GraftBridge.ofRows(spark, rel), stored.model, pqm, qs,
             "__gqv", "__gqid", sv.name, idCol, k, nProbe, refine, excludeSelf = false)
-        else {
-          val payloadAttrs = idAttr +: (preds.flatMap(_.references) ++ pairs.map(_._1))
-            .filter(_.exprId != idAttr.exprId).distinct.toSeq
-          Pq.knnJoinIvfPq(codes, floats, stored.model, pqm, qs,
+        else
+          Pq.knnJoinIvfPq(codes, GraftBridge.ofRows(spark, rel), stored.model, pqm, qs,
             "__gqv", "__gqid", sv.name, idCol, k, nProbe, refine, excludeSelf = false,
-            filters = fs,
-            payload = floats.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
-            payloadIdCol = idCol,
+            filters = fs, payload = p, payloadIdCol = pid,
             selectivityHint = hintOf("spark.graft.pq.selectivityHint"))
-        }
-      pqOpt match {
-        case Some(pqf) if pqf.groups.nonEmpty =>
-          graft.operators.Search.perQueryFiltered(pqf.queries, "__gpred", pqf.groups,
-            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
-        case _ => run(queriesDf(qv), preds.map(GraftBridge.column))
-      }
-    })
+      }))
     if (pq.isDefined) return pq
 
     // -------- IVF: list_id-partitioned + centroids sidecar ----------------
@@ -496,36 +563,28 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if intIds(idAttr)
       if TopKMatch.tiebreakOnly(orderSpec, idAttr)
-      preds <- storePreds(rel, sv)
+      (preds, hydOpt) <- hydratedPreds(rel, sv)
+      if hydOpt.forall(h => preds.isEmpty && h.storeKey.exprId == idAttr.exprId &&
+        integral(h.payloadKey.dataType) && payloadUnique(h))
       if preds.forall(p => p.references.nonEmpty && p.references.forall(a =>
         rel.outputSet.contains(a) && a.exprId != sv.exprId && a.exprId != listAttr.exprId))
-      pairs <- resolvePairs(rawPairs, rel, Set(sv.exprId, listAttr.exprId), querySide, qv)
+      pairs <- resolvePairs(rawPairs, rel,
+        if (hydOpt.isDefined) Set.empty[ExprId] else Set(sv.exprId, listAttr.exprId),
+        querySide, qv, hydOpt)
       pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
-               else perQueryOf(pairs, querySide, partKey, qv, preds).map(Some(_))
-    } yield Fam(idAttr, () => {
-      val store = GraftBridge.ofRows(spark, rel)
-      val nProbe = intOf("spark.graft.ivf.nProbe", 4)
-      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
+               else perQueryOf(pairs, querySide, partKey, qv, filtersBaseOf(hydOpt, preds)).map(Some(_))
+    } yield Fam(idAttr, assemble(rel, idAttr, preds, hydOpt, pairs, pqOpt, qv, idAttr.name,
+      (qs, fs, p, pid) => {
+        val nProbe = intOf("spark.graft.ivf.nProbe", 4)
         if (fs.isEmpty)
-          Ivf.knnJoin(store, stored.model, qs, "__gqv", "__gqid",
+          Ivf.knnJoin(GraftBridge.ofRows(spark, rel), stored.model, qs, "__gqv", "__gqid",
             sv.name, idAttr.name, k, nProbe, excludeSelf = false)
-        else {
-          val payloadAttrs = idAttr +: (preds.flatMap(_.references) ++ pairs.map(_._1))
-            .filter(_.exprId != idAttr.exprId).distinct.toSeq
-          Ivf.knnJoin(store, stored.model, qs, "__gqv", "__gqid",
+        else
+          Ivf.knnJoin(GraftBridge.ofRows(spark, rel), stored.model, qs, "__gqv", "__gqid",
             sv.name, idAttr.name, k, nProbe, excludeSelf = false,
-            filters = fs,
-            payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*),
-            payloadIdCol = idAttr.name,
+            filters = fs, payload = p, payloadIdCol = pid,
             selectivityHint = hintOf("spark.graft.ivf.selectivityHint"))
-        }
-      pqOpt match {
-        case Some(pq) if pq.groups.nonEmpty =>
-          graft.operators.Search.perQueryFiltered(pq.queries, "__gpred", pq.groups,
-            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
-        case _ => run(queriesDf(qv), preds.map(GraftBridge.column))
-      }
-    })
+      }))
   }
 
   /** EXACT brute-force fallback (opt-in: `spark.graft.knnJoin.bruteAuto`)

@@ -106,6 +106,122 @@ private[plans] object TopKMatch {
     }
   }
 
+  /** One matched hydration join on the store path (round 16): the store
+    * relation inner-joined to a payload/metadata table, keyed on a single
+    * equality between a store column and a payload column. `payloadRel`
+    * is the RAW payload leaf (its predicates are returned separately so
+    * the cardinality gate can estimate selectivity against the UNFILTERED
+    * payload — pre-filtering the frame would read as selectivity 1.0 and
+    * skip the probe widening).
+    */
+  final case class Hydration(
+      payloadRel: LogicalPlan,
+      storeKey: AttributeReference,
+      payloadKey: AttributeReference,
+      preds: Seq[Expression],
+      aliases: Map[ExprId, Expression]) {
+    /** Resolve a payload-leg output attribute (possibly a Project alias —
+      * `meta.select(col("vec_id").as("mid"))`) to the LEAF relation
+      * column it renames; None when it isn't a PLAIN rename of a leaf
+      * column (a cast- or expression-alias changes equality semantics —
+      * `cast(id as string) = '05'` is not `id = '05'` — so those refuse)
+      * or is a store-side attribute (the caller's refusal).
+      */
+    def leafOf(a: AttributeReference): Option[AttributeReference] =
+      if (payloadRel.outputSet.contains(a)) Some(a)
+      else aliases.get(a.exprId).collect {
+        case l: AttributeReference if payloadRel.outputSet.contains(l) => l
+      }
+  }
+
+  /** [[pathPredicates]] extended across at most ONE hydration join — the
+    * real retrieval shape (`store ⋈ metadata` filtered on metadata
+    * columns, the exact thing the gated joins' `payload`/`payloadIdCol`
+    * parameters exist for). Returns the store-leg non-benign conjuncts
+    * (callers refuse a hydrated match when these are non-empty: the gated
+    * joins evaluate filters against ONE payload frame) plus the hydration
+    * match, or None when the path holds anything a substitution would
+    * drop. The store leg's join-inferred `IsNotNull(storeKey)` guard is
+    * benign — the substituted semi-join never surfaces a null-keyed or
+    * unmatched store row, which is exactly the inner join's behavior.
+    * The payload leg must be Projects/Filters over ONE leaf relation;
+    * its conjuncts (including a join-inferred `IsNotNull(payloadKey)` —
+    * a genuine predicate over the payload frame) become the gated
+    * filters.
+    */
+  def hydratedPredicates(
+      p: LogicalPlan,
+      rel: LogicalRelation,
+      vecAttr: AttributeReference,
+      scoreId: Option[ExprId],
+  ): Option[(Seq[Expression], Option[Hydration])] = {
+    def benignGuard(c: Expression, okIds: Set[ExprId]): Boolean = c match {
+      case Not(IsNaN(e)) => e.references.nonEmpty && e.references.forall(a => okIds.contains(a.exprId))
+      case IsNotNull(e)  => e.references.nonEmpty && e.references.forall(a => okIds.contains(a.exprId))
+      case _             => false
+    }
+    val baseOk = Set(vecAttr.exprId) ++ scoreId
+    def payloadLeg(q: LogicalPlan): Option[(LogicalPlan, Seq[Expression], Map[ExprId, Expression])] =
+      q match {
+        case r: LogicalRelation => Some((r, Nil, Map.empty))
+        case r: LocalRelation   => Some((r, Nil, Map.empty))
+        case Project(pl, c) =>
+          payloadLeg(c).map { case (r, ps, al) =>
+            (r, ps, al ++ pl.collect { case a: Alias => a.exprId -> a.child })
+          }
+        case Filter(cond, c) =>
+          payloadLeg(c).map { case (r, ps, al) => (r, splitConjuncts(cond) ++ ps, al) }
+        case _ => None
+      }
+    def storeLegPreds(q: LogicalPlan, ok: Set[ExprId]): Option[Seq[Expression]] = q match {
+      case r: LogicalRelation if r eq rel => Some(Nil)
+      case Project(_, c)                  => storeLegPreds(c, ok)
+      case Filter(cond, c) =>
+        storeLegPreds(c, ok).map(splitConjuncts(cond).filterNot(benignGuard(_, ok)) ++ _)
+      case _ => None
+    }
+    def walk(q: LogicalPlan, acc: Seq[Expression]): Option[(Seq[Expression], Option[Hydration])] =
+      q match {
+        case r: LogicalRelation if r eq rel =>
+          Some((acc.filterNot(benignGuard(_, baseOk)), None))
+        case Project(_, c)   => walk(c, acc)
+        case Filter(cond, c) => walk(c, acc ++ splitConjuncts(cond))
+        case j: Join if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+          for {
+            cond <- j.condition
+            underLeft = j.left.collectFirst { case x: LogicalRelation if x eq rel => x }.isDefined
+            (storeLeg, payLeg) = if (underLeft) (j.left, j.right) else (j.right, j.left)
+            keys <- cond match {
+              case EqualTo(x, y) =>
+                (stripCasts(x), stripCasts(y)) match {
+                  case (a: AttributeReference, b: AttributeReference) =>
+                    if (rel.outputSet.contains(a) && payLeg.outputSet.contains(b)) Some((a, b))
+                    else if (rel.outputSet.contains(b) && payLeg.outputSet.contains(a)) Some((b, a))
+                    else None
+                  case _ => None
+                }
+              case _ => None
+            }
+            (sk, pk) = keys
+            if sk.exprId != vecAttr.exprId
+            (pRel, pRaw, aliases) <- payloadLeg(payLeg)
+            pPreds = pRaw.filterNot(benignGuard(_, baseOk))
+            if pPreds.forall(c => c.references.nonEmpty &&
+              c.references.forall(a => pRel.outputSet.contains(a)))
+            hyd = Hydration(pRel, sk, pk, pPreds, aliases)
+            // the join key must resolve to a LEAF payload column — the
+            // payload frame handed to the gate is the raw leaf, so an
+            // expression-aliased key (mid = vec_id + 1) has no column
+            // there and must refuse
+            pkLeaf <- hyd.leafOf(pk)
+            storePs <- storeLegPreds(storeLeg, baseOk + sk.exprId)
+          } yield ((acc.filterNot(benignGuard(_, baseOk)) ++ storePs,
+            Some(hyd.copy(payloadKey = pkLeaf))))
+        case _ => None
+      }
+    walk(p, Nil)
+  }
+
   /** The first parquet relation under `child` whose partition schema
     * carries `partCol`, with that column's output attribute and the scan
     * root.

@@ -442,6 +442,108 @@ class KnnJoinAutoSpec extends AnyFunSuite {
     }
   }
 
+  test("hydration join: store ⋈ metadata with metadata predicates routes the payload through the gate") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    // metadata lives in its OWN table (the real retrieval shape) — unique
+    // integral keys, predicates on metadata columns only
+    val meta = (0L until 400L).map(i => (i, i % 5, s"d$i")).toDF("mid", "grade", "tag")
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "6") {
+      // exhaustive probe: the hydrated substitution must be value-exact
+      val hyd = indexed.join(meta, col("id") === col("mid"))
+      val auto = declarative(hyd, "vec", "id", 5, preds = Seq(col("grade") >= 3))
+      assert(!TestSpark.formattedPlan(auto).contains("Window"),
+        "the hydrated filtered window must substitute")
+      val truth = withRuleOff {
+        rows(declarative(hyd, "vec", "id", 5, preds = Seq(col("grade") >= 3))) }
+      assert(rows(auto) == truth, "hydrated substitution must be value-exact")
+      // pruned probe: rule ≡ the explicit call with payload = the metadata
+      spark.conf.set("spark.graft.ivf.nProbe", "2")
+      val pruned = rows(declarative(hyd, "vec", "id", 5, preds = Seq(col("grade") >= 3)))
+      val viaApi = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+        "vec", "id", 5, 2, excludeSelf = false,
+        filters = Seq(col("grade") >= 3),
+        payload = meta.select("mid", "grade"), payloadIdCol = "mid"))
+      assert(pruned == viaApi, "hydrated rule must equal the explicit payload call")
+    }
+  }
+
+  test("hydration join: the inner join's row set is enforced, duplicates refuse, per-query composes") {
+    val (indexed, _) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "6") {
+      // PURE hydration (no predicate at all): metadata covers only even
+      // ids — the inner join's row set must survive the substitution
+      // (the synthesized IsNotNull(key) keeps the semi-joined gated path)
+      val metaHalf = (0L until 400L by 2).map(i => (i, i % 5)).toDF("mid", "grade")
+      val pure = declarative(indexed.join(metaHalf, col("id") === col("mid")), "vec", "id", 5)
+      assert(!TestSpark.formattedPlan(pure).contains("Window"),
+        "pure hydration must substitute")
+      val got = rows(pure)
+      assert(got.nonEmpty && got.forall(_._2 % 2 == 0),
+        "store rows without a metadata match must never surface")
+      val truth = withRuleOff {
+        rows(declarative(indexed.join(metaHalf, col("id") === col("mid")), "vec", "id", 5)) }
+      assert(got == truth, "pure hydration must be value-exact")
+      // a dup-keyed payload would rank duplicates in the user's plan but
+      // not in the engine's semi-join: refuse
+      val metaDup = metaHalf.unionByName(metaHalf.limit(1))
+      assert(TestSpark.formattedPlan(
+        declarative(indexed.join(metaDup, col("id") === col("mid")), "vec", "id", 5))
+        .contains("Window"), "a dup-keyed payload must refuse")
+      // per-query filters key on METADATA columns when hydrated: each
+      // query wants its own grade class
+      val meta5 = (0L until 400L).map(i => (i, i % 5)).toDF("mid", "grade")
+      def perQueryHyd(k: Int) = {
+        val w = Window.partitionBy("qid").orderBy(desc("score"), col("id"))
+        queries.withColumn("want", pmod(col("qid"), lit(5)))
+          .join(indexed.join(meta5, col("id") === col("mid")), col("grade") === col("want"))
+          .withColumn("score", graft.functions.VectorExpressions.cosineFast(
+            col("vec").cast("array<double>"), col("qvec").cast("array<double>")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
+          .select("qid", "id", "score", "rank")
+      }
+      val pq = perQueryHyd(3)
+      assert(!TestSpark.formattedPlan(pq).contains("Window"),
+        "per-query over a hydrated store must substitute")
+      val pqTruth = withRuleOff { rows(perQueryHyd(3)) }
+      assert(rows(pq) == pqTruth, "hydrated per-query substitution must be value-exact")
+    }
+  }
+
+  test("hydration join: parquet-backed aliased metadata resolves to leaf columns; cast-aliases refuse") {
+    // a parquet metadata table keeps its Project aliases in the optimized
+    // plan (unlike a LocalRelation, which collapses them) — the rule must
+    // resolve the key and the per-query pair columns through the renames
+    // down to LEAF columns, because the gate runs against the raw leaf
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    val metaDir = java.nio.file.Files.createTempDirectory("knnauto-meta").toString
+    (0L until 400L).map(i => (i, i % 5)).toDF("raw_id", "raw_grade")
+      .write.mode("overwrite").parquet(metaDir)
+    val meta = spark.read.parquet(metaDir)
+      .select(col("raw_id").as("mid"), col("raw_grade").as("grade"))
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "2") {
+      val hyd  = indexed.join(meta, col("id") === col("mid"))
+      val auto = declarative(hyd, "vec", "id", 5, preds = Seq(col("grade") >= 3))
+      assert(!TestSpark.formattedPlan(auto).contains("Window"),
+        "aliased parquet metadata must still substitute")
+      val viaApi = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+        "vec", "id", 5, 2, excludeSelf = false,
+        filters = Seq(col("raw_grade") >= 3),
+        payload = spark.read.parquet(metaDir), payloadIdCol = "raw_id"))
+      // leaf-level filters: same rows whichever naming layer you call with
+      assert(rows(auto).map(t => (t._1, t._2, t._4)) ==
+        viaApi.map(t => (t._1, t._2, t._4)),
+        "alias resolution must reach the same leaf predicate")
+      // a CAST-aliased key changes equality semantics — must refuse
+      val metaCast = spark.read.parquet(metaDir)
+        .select(col("raw_id").cast("int").as("mid"), col("raw_grade").as("grade"))
+      assert(TestSpark.formattedPlan(
+        declarative(indexed.join(metaCast, col("id") === col("mid")), "vec", "id", 5,
+          preds = Seq(col("grade") >= 3))).contains("Window"),
+        "a cast-aliased hydration key must refuse")
+    }
+  }
+
   private def withRuleOff[T](body: => T): T = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val prev    = classic.experimental.extraOptimizations
