@@ -91,7 +91,11 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
           if stored.column.forall(_ == relVec.name)
           model = stored.model
           if model.centroids.nonEmpty && model.centroids.head.length == qv.length
-          width <- gatedWidth(child, rel, relVec, listAttr, model.centroids.length)
+          scoreId = order.head.child match {
+            case a: AttributeReference => Some(a.exprId)
+            case _                     => None
+          }
+          width <- gatedWidth(child, rel, relVec, listAttr, model.centroids.length, scoreId)
         } yield {
           if (width >= model.centroids.length) orig // probing everything — the user's exact plan wins
           else {
@@ -107,15 +111,31 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
         rewritten.getOrElse(orig)
     }
 
-  /** [[Ivf.search]]'s cardinality gate in rule form. User predicates are
-    * the Filter conjuncts between the sort and the relation whose
-    * references live entirely in the relation, excluding the guards
-    * `Search.topK` plants (NOT-isnan / not-null on the vector or a
-    * non-relation score alias resolves to references outside `rel` or on
-    * `relVec` — both skipped, they don't cut candidate mass). With no user
-    * predicates the width is the configured nProbe unchanged; `None` is
-    * never returned here (injection drops nothing), the Option is just
-    * for-comprehension plumbing.
+  /** [[Ivf.search]]'s cardinality gate in rule form, hydration-aware
+    * (round 16). The path from the sort to the relation goes through
+    * [[TopKMatch.hydratedPredicates]] — Projects, Filters, and at most
+    * ONE `store ⋈ metadata` hydration join:
+    *
+    *  - plain path: user predicates on store columns gate the width as
+    *    before (a conjunct on the vector / list_id column is ignored for
+    *    gating, not a cut);
+    *  - hydrated path: the METADATA predicates gate the width, estimated
+    *    against the column-pruned metadata leaf (a predicate-free
+    *    hydration gates on `IsNotNull(key)` — a non-covering metadata
+    *    table cuts candidate mass too). Unlike the substitution rules,
+    *    injection needs NO key-uniqueness or id-keyed checks: the user's
+    *    join still executes verbatim, the rule only picks the probe
+    *    width. Mixing store-column predicates with a hydration declines
+    *    (one estimate frame);
+    *  - anything else — a second join, a union, a predicate referencing
+    *    columns the walk can't account for — REFUSES the injection
+    *    outright. Before round 16 those shapes injected an UNWIDENED
+    *    probe (the walk skipped predicates it couldn't attribute to the
+    *    store), so a selective predicate on a joined metadata table kept
+    *    only `sel` of the probed mass: the exact recall cliff the gate
+    *    exists to prevent. Unaccounted mass now means no pruning.
+    *
+    * `None` = decline the injection (the user's exact plan runs).
     */
   private def gatedWidth(
       child: LogicalPlan,
@@ -123,27 +143,60 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       relVec: AttributeReference,
       listAttr: AttributeReference,
       nList: Int,
+      scoreId: Option[ExprId],
   ): Option[Int] = {
-    def onPath(p: LogicalPlan): Seq[Expression] = p match {
-      case r: LogicalRelation if r eq rel => Nil
-      case Project(_, c)                  => onPath(c)
-      case Filter(cond, c)                => TopKMatch.splitConjuncts(cond) ++ onPath(c)
-      case other                          => other.children.flatMap(onPath)
+    val base = math.min(nProbe, nList)
+    def widthFrom(frame: org.apache.spark.sql.DataFrame, preds: Seq[Expression]): Int = {
+      val sel = Search.estimatedSelectivity(
+        frame, preds.map(GraftBridge.column).reduce(_ && _), selectivityHint)
+      if (sel == 0d) nList // nothing passes — decline, exact plan returns empty for free
+      else math.min(math.ceil(base.toDouble / sel), nList.toDouble).toInt
     }
-    val userPreds = onPath(child).filter { c =>
-      c.references.nonEmpty &&
-        c.references.forall(a => rel.outputSet.contains(a)) &&
-        !c.references.contains(relVec) && !c.references.contains(listAttr) &&
-        !(c match { case Not(IsNaN(_)) => true; case _ => false })
-    }
-    if (userPreds.isEmpty) Some(math.min(nProbe, nList))
-    else {
-      val store = GraftBridge.ofRows(spark, rel)
-      val pred  = userPreds.map(GraftBridge.column).reduce(_ && _)
-      val sel   = Search.estimatedSelectivity(store, pred, selectivityHint)
-      val base  = math.min(nProbe, nList)
-      if (sel == 0d) Some(nList) // nothing passes — decline, exact plan returns empty for free
-      else Some(math.min(math.ceil(base.toDouble / sel), nList.toDouble).toInt)
+    TopKMatch.hydratedPredicates(child, rel, relVec, scoreId).flatMap { case (storeRaw, hydOpt) =>
+      // conjuncts on the vector or list_id columns don't cut candidate
+      // mass (the vector feeds the score; list_id guards are the user's
+      // own pruning, handled by alreadyPruned) — ignored for gating
+      val (ignorable, gateable) = storeRaw.partition(c =>
+        c.references.exists(a => a.exprId == relVec.exprId || a.exprId == listAttr.exprId))
+      val _ = ignorable
+      hydOpt match {
+        case None =>
+          if (gateable.isEmpty) Some(base)
+          else if (!gateable.forall(p => p.references.nonEmpty &&
+            p.references.forall(a => rel.outputSet.contains(a)))) None
+          else Some(widthFrom(GraftBridge.ofRows(spark, rel), gateable))
+        case Some(h) =>
+          if (gateable.nonEmpty) None
+          else {
+            // the hydrated selectivity is |allowed payload rows| / |store
+            // rows| — NOT the payload's own pass ratio: a pre-filtered
+            // payload (the optimizer folds LocalRelation filters into the
+            // data), a non-covering metadata table, or null keys all cut
+            // candidate mass without leaving a predicate to measure, and
+            // the payload-ratio denominator would read them as sel 1.0
+            // and keep the unwidened probe. The store count is a
+            // metadata-weight parquet job; the hint skips both scans.
+            val sel =
+              if (!selectivityHint.isNaN) {
+                require(selectivityHint > 0d && selectivityHint <= 1d,
+                  s"selectivityHint must be in (0, 1]: $selectivityHint")
+                Search.gateDecisions.incrementAndGet()
+                selectivityHint
+              } else {
+                Search.gateDecisions.incrementAndGet()
+                val preds = if (h.preds.nonEmpty) h.preds else Seq(IsNotNull(h.payloadKey))
+                val attrs = (h.payloadKey +: preds.flatMap(_.references)
+                  .filter(_.exprId != h.payloadKey.exprId)).distinct
+                val allowed = GraftBridge.ofRows(spark, h.payloadRel)
+                  .select(attrs.map(a => GraftBridge.column(a)): _*)
+                  .where(preds.map(GraftBridge.column).reduce(_ && _)).count().toDouble
+                if (allowed == 0d) 0d
+                else math.min(allowed / GraftBridge.ofRows(spark, rel).count().toDouble, 1d)
+              }
+            if (sel == 0d) Some(nList) // nothing passes — decline, exact plan is free
+            else Some(math.min(math.ceil(base.toDouble / sel), nList.toDouble).toInt)
+          }
+      }
     }
   }
 

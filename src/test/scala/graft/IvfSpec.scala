@@ -244,6 +244,63 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfAutoProbe: predicates on a JOINED metadata table gate the width (hydration, r16)") {
+    // before round 16 the walk skipped predicates it couldn't attribute
+    // to the store relation, so a selective predicate on a joined
+    // metadata table injected an UNWIDENED probe — the recall cliff the
+    // gate exists to prevent. Now the metadata leg gates the width.
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-hyd")
+    val meta = (0L until 300L).map(i => (i, i % 10)).toDF("mid", "grp")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    spark.conf.set("spark.graft.ivf.nProbe", "2")
+    try {
+      def hydTopK(preds: Seq[org.apache.spark.sql.Column]) =
+        Search.topK(indexed.join(meta, col("id") === col("mid")), "vec", "id", qVec, 5,
+          filters = preds)
+      // BROAD metadata predicate (sel 0.8): widened to ceil(2/0.8) = 3
+      // lists, injected; the user's own join + filter still execute, so
+      // values equal the explicit payload-carrier search at width 3
+      val broad = hydTopK(Seq(col("grp") < 8))
+      val pf = "list_id#?\\d* IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(TestSpark.formattedPlan(broad)).map(_.group(1))
+      assert(pf.exists(_.split(",").length == 3),
+        s"metadata predicate must widen the injected probe to 3 lists, got $pf")
+      val viaApi = Ivf.search(indexed, model, "vec", "id", qVec, 5, 2,
+        filters = Seq(col("grp") < 8),
+        payload = meta.select(col("mid"), col("grp")), payloadIdCol = "mid")
+      assert(broad.select("id", "score").collect().toSeq ==
+        viaApi.select("id", "score").collect().toSeq)
+      // SELECTIVE metadata predicate (sel ~1/70): widened past nList →
+      // decline, the user's exact hydrated plan runs unpruned
+      val sel = hydTopK(Seq(col("grp") === 0, col("mid") % 7 === 0))
+      assert("list_id#?\\d* IN ".r.findFirstIn(TestSpark.formattedPlan(sel)).isEmpty,
+        "selective metadata predicate must decline the injection")
+      // PURE hydration over a NON-COVERING metadata table (150 of 300
+      // ids): sel = |allowed payload| / |store rows| = 0.5 — the inner
+      // join halves the candidate mass with no predicate to measure, and
+      // the width must double to 4 anyway
+      val metaHalf = (0L until 300L by 2).map(i => (i, i % 10)).toDF("mid", "grp")
+      val pure = Search.topK(indexed.join(metaHalf, col("id") === col("mid")),
+        "vec", "id", qVec, 5)
+      val pf2 = "list_id#?\\d* IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(TestSpark.formattedPlan(pure)).map(_.group(1))
+      assert(pf2.exists(_.split(",").length == 4),
+        s"a non-covering metadata table must double the injected width, got $pf2")
+      // a SECOND join on the path — unaccounted structure — must refuse
+      val two = Search.topK(indexed.join(meta, col("id") === col("mid"))
+        .join(metaHalf.select(col("mid").as("mid2")), col("id") === col("mid2")),
+        "vec", "id", qVec, 5)
+      assert("list_id#?\\d* IN ".r.findFirstIn(TestSpark.formattedPlan(two)).isEmpty,
+        "a second join on the path must refuse the injection")
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      spark.conf.unset("spark.graft.ivf.nProbe")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("searchAdaptive: filters ride the same cardinality gate as search (ADVICE r14)") {
     val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-adaptgate")
     // geometry alone picks width w; a sel-0.5 predicate (exactly 150/300
