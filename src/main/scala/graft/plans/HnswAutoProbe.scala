@@ -102,7 +102,22 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: AttributeReference => Some(a.exprId)
             case _                     => None
           }
-          preds <- TopKMatch.pathPredicates(child, rel, vecAttr, scoreId)
+          (preds, hydOpt) <- TopKMatch.hydratedPredicates(child, rel, vecAttr, scoreId)
+          // a hydrated path (round 16: store ⋈ metadata, predicates on the
+          // metadata table): filters live in ONE payload frame keyed on
+          // the store id, unique keys (a dup-keyed payload would rank
+          // duplicates the semi-join collapses), and — searchIndex's
+          // payload contract names its key column "id" — no OTHER
+          // metadata column riding the filters may be named "id"
+          if hydOpt.forall(h => preds.isEmpty && h.storeKey.exprId == idAttr.exprId &&
+            (h.payloadKey.dataType match {
+              case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }) &&
+            h.preds.flatMap(_.references).filter(_.exprId != h.payloadKey.exprId)
+              .forall(_.name != "id") &&
+            TopKMatch.payloadUnique(spark, h))
           if preds.forall(p =>
             p.references.nonEmpty &&
               p.references.forall(a => rel.outputSet.contains(a) && a.exprId != vecAttr.exprId))
@@ -112,19 +127,37 @@ case class HnswAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
             a.exprId == idAttr.exprId || scoreId.contains(a.exprId))
         } yield {
           val store = GraftBridge.ofRows(spark, rel)
-          val hits =
-            if (preds.isEmpty) Hnsw.searchIndex(store, qv.toSeq, "id", k, efSearch)
-            else {
+          val hits = (preds, hydOpt) match {
+            case (Nil, None) => Hnsw.searchIndex(store, qv.toSeq, "id", k, efSearch)
+            case (ps, None) =>
               // the store itself is the payload carrier: prune to id + the
               // predicate's columns so the gate's estimate scan and the
               // allowed-id semi-join never move vectors or adjacency
-              val payloadAttrs = idAttr +: preds.flatMap(_.references)
+              val payloadAttrs = idAttr +: ps.flatMap(_.references)
                 .filter(_.exprId != idAttr.exprId).distinct.toSeq
               val payload = store.select(payloadAttrs.map(a => GraftBridge.column(a)): _*)
               Hnsw.searchIndex(store, qv.toSeq, "id", k, efSearch,
-                filters = preds.map(GraftBridge.column),
+                filters = ps.map(GraftBridge.column),
                 payload = payload, maxEf = maxEf, selectivityHint = selectivityHint)
-            }
+            case (_, Some(h)) =>
+              // metadata payload. searchIndex reads its key by NAME
+              // ("id") while the filters are bound by exprId, so the
+              // frame carries the original key column (filter resolution)
+              // plus an "id"-named copy when the key is named otherwise;
+              // a predicate-free hydration gates on IsNotNull(key) so the
+              // semi-join still enforces the inner join's row set
+              val fs = if (h.preds.nonEmpty) h.preds else Seq(IsNotNull(h.payloadKey))
+              val extra = fs.flatMap(_.references)
+                .filter(_.exprId != h.payloadKey.exprId).distinct.toSeq
+              val kc = GraftBridge.column(h.payloadKey)
+              val payloadCols =
+                if (h.payloadKey.name == "id") kc +: extra.map(a => GraftBridge.column(a))
+                else kc +: kc.as("id") +: extra.map(a => GraftBridge.column(a))
+              val payload = GraftBridge.ofRows(spark, h.payloadRel).select(payloadCols: _*)
+              Hnsw.searchIndex(store, qv.toSeq, "id", k, efSearch,
+                filters = fs.map(GraftBridge.column),
+                payload = payload, maxEf = maxEf, selectivityHint = selectivityHint)
+          }
           val hplan            = GraftBridge.optimized(hits)
           val Seq(hId, hScore) = hplan.output.take(2)
           val aliased = orig.output.map { a =>

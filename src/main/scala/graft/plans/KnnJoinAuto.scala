@@ -405,17 +405,8 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
         : Option[(Seq[Expression], Option[TopKMatch.Hydration])] =
       TopKMatch.hydratedPredicates(storeSide, rel, sv, scoreId)
 
-    // a dup-keyed payload would rank duplicate hits in the user's inner
-    // join but not in the engine's semi-joined path — one rule-time agg
-    // (same order as the gate's estimate scan) keeps the substitution
-    // exact by refusing duplicates; null keys are harmless (neither the
-    // inner join nor the semi-join matches them)
-    def payloadUnique(h: TopKMatch.Hydration): Boolean = {
-      import org.apache.spark.sql.functions.{count, countDistinct}
-      val kc = GraftBridge.column(h.payloadKey)
-      val r  = GraftBridge.ofRows(spark, h.payloadRel).agg(count(kc), countDistinct(kc)).head()
-      r.getLong(0) == r.getLong(1)
-    }
+    def payloadUnique(h: TopKMatch.Hydration): Boolean =
+      TopKMatch.payloadUnique(spark, h)
 
     // the family's filter set: the hydration predicates (IsNotNull on the
     // payload key when the user filtered nothing — it keeps the gated

@@ -203,7 +203,19 @@ case class PqAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: AttributeReference => Some(a.exprId)
             case _                     => None
           }
-          preds <- TopKMatch.pathPredicates(child, rel, vecAttr, scoreId)
+          (preds, hydOpt) <- TopKMatch.hydratedPredicates(child, rel, vecAttr, scoreId)
+          // a hydrated path (round 16: floats store ⋈ metadata — the PQ
+          // floats store carries no payload columns BY DESIGN, so the
+          // metadata table is the only way a declarative filtered query
+          // over it can exist): filters live in the metadata frame, keyed
+          // on the store id, unique integral keys
+          if hydOpt.forall(h => preds.isEmpty && h.storeKey.exprId == idAttr.exprId &&
+            (h.payloadKey.dataType match {
+              case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }) &&
+            TopKMatch.payloadUnique(spark, h))
           // user predicates must be expressible over the store (and not
           // touch the vector or the partition column — a manual list_id
           // restriction means the user is doing their own pruning)
@@ -215,19 +227,32 @@ case class PqAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
             a.exprId == idAttr.exprId || scoreId.contains(a.exprId))
         } yield () => {
           val floats = GraftBridge.ofRows(spark, rel)
-          val hits =
-            if (preds.isEmpty)
+          val hits = (preds, hydOpt) match {
+            case (Nil, None) =>
               Pq.searchIvfPq(codes, floats, stored.model, pqm, relVec.name, idCol,
                 qv.toSeq, k, nProbe, refine)
-            else {
-              val payloadAttrs = idAttr +: preds.flatMap(_.references)
+            case (ps, None) =>
+              val payloadAttrs = idAttr +: ps.flatMap(_.references)
                 .filter(_.exprId != idAttr.exprId).distinct.toSeq
               val payload = floats.select(payloadAttrs.map(a => GraftBridge.column(a)): _*)
               Pq.searchIvfPq(codes, floats, stored.model, pqm, relVec.name, idCol,
                 qv.toSeq, k, nProbe, refine,
-                filters = preds.map(GraftBridge.column),
+                filters = ps.map(GraftBridge.column),
                 payload = payload, payloadIdCol = idCol, selectivityHint = selectivityHint)
-            }
+            case (_, Some(h)) =>
+              // a predicate-free hydration gates on IsNotNull(key) so the
+              // semi-join still enforces the inner join's row set
+              val fs = if (h.preds.nonEmpty) h.preds else Seq(IsNotNull(h.payloadKey))
+              val attrs = h.payloadKey +: fs.flatMap(_.references)
+                .filter(_.exprId != h.payloadKey.exprId).distinct.toSeq
+              val payload = GraftBridge.ofRows(spark, h.payloadRel)
+                .select(attrs.map(a => GraftBridge.column(a)): _*)
+              Pq.searchIvfPq(codes, floats, stored.model, pqm, relVec.name, idCol,
+                qv.toSeq, k, nProbe, refine,
+                filters = fs.map(GraftBridge.column),
+                payload = payload, payloadIdCol = h.payloadKey.name,
+                selectivityHint = selectivityHint)
+          }
           val pruned = hits.select(
             org.apache.spark.sql.functions.col(idCol),
             org.apache.spark.sql.functions.col("score"))

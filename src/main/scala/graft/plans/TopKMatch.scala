@@ -222,6 +222,22 @@ private[plans] object TopKMatch {
     walk(p, Nil)
   }
 
+  /** Substitution-exactness guard shared by the hydration-aware rules: a
+    * dup-keyed payload would rank duplicate hits in the user's inner join
+    * but not in the engine's semi-joined path, so substituting rules must
+    * refuse it (one rule-time aggregate, the same order as the gate's
+    * estimate scan; null keys are harmless — neither join matches them).
+    * The injection rule ([[IvfAutoProbe]]) needs no such check: the
+    * user's join still executes verbatim there.
+    */
+  def payloadUnique(spark: org.apache.spark.sql.SparkSession, h: Hydration): Boolean = {
+    import org.apache.spark.sql.functions.{count, countDistinct}
+    val kc = org.apache.spark.sql.GraftBridge.column(h.payloadKey)
+    val r = org.apache.spark.sql.GraftBridge.ofRows(spark, h.payloadRel)
+      .agg(count(kc), countDistinct(kc)).head()
+    r.getLong(0) == r.getLong(1)
+  }
+
   /** The first parquet relation under `child` whose partition schema
     * carries `partCol`, with that column's output attribute and the scan
     * root.

@@ -209,6 +209,53 @@ class HnswSpec extends AnyFunSuite {
     }
   }
 
+  test("HnswAutoProbe: hydrated filtered top-k — metadata predicates route through the gate (r16)") {
+    // the graph store carries only ids/vectors/adjacency, so the ONLY way
+    // a declarative filtered query over it can exist is a joined metadata
+    // table — exactly the payload parameter's job
+    val df  = items.toSeq.toDF("id", "vec")
+    val q   = items(3)._2.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("hnsw-hyd").toString + "/store"
+    Hnsw.writeIndex(df, "vec", "id", dir, nShards = 3)
+    val store   = Hnsw.readIndex(spark, dir)
+    val meta    = items.toSeq.map { case (i, _) => (i, i % 2) }.toDF("mid", "par")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.HnswAutoProbe(spark))
+    spark.conf.set("spark.graft.hnsw.autoProbe", "true")
+    spark.conf.set("spark.graft.hnsw.efSearch", "64")
+    try {
+      val hyd = Search.topK(store.join(meta, col("id") === col("mid")), "vec", "id", q, 5,
+        filters = Seq(col("par") === 0)).select("id", "score")
+      assert(!hyd.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+        "hydrated metadata filter must ride the beam, not the scoring scan")
+      val viaApi = Hnsw.searchIndex(store, q, "id", 5, efSearch = 64,
+        filters = Seq(col("par") === 0),
+        payload = meta.select(col("mid").as("id"), col("par")))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(hyd.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi,
+        "hydrated rule must equal the explicit metadata-payload call")
+      assert(hyd.select("id").as[Long].collect().forall(_ % 2 == 0))
+      // PURE hydration over a non-covering metadata table: the inner
+      // join's row set survives the substitution (IsNotNull(key) gate)
+      val metaHalf = items.toSeq.collect { case (i, _) if i % 2 == 0 => (i, i % 4) }
+        .toDF("mid", "par")
+      val pure = Search.topK(store.join(metaHalf, col("id") === col("mid")),
+        "vec", "id", q, 5).select("id", "score")
+      assert(!pure.queryExecution.optimizedPlan.toString.contains("cosine_similarity"))
+      assert(pure.select("id").as[Long].collect().forall(_ % 2 == 0),
+        "store rows without a metadata match must never surface")
+      // dup-keyed payload refuses (the user's join would rank duplicates)
+      val dup = Search.topK(store.join(metaHalf.unionByName(metaHalf.limit(1)),
+        col("id") === col("mid")), "vec", "id", q, 5).select("id", "score")
+      assert(dup.queryExecution.optimizedPlan.toString.contains("cosine_similarity"),
+        "a dup-keyed metadata table must refuse the substitution")
+    } finally {
+      spark.conf.set("spark.graft.hnsw.autoProbe", "false")
+      spark.conf.unset("spark.graft.hnsw.efSearch")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("HnswAutoProbe fires on spark.sql text too — unfiltered beam and the filtered gate") {
     val df  = items.toSeq.toDF("id", "vec")
     val q   = items(5)._2.toSeq

@@ -106,6 +106,38 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("PqAutoProbe: hydrated filtered top-k — the floats store has no payload columns BY DESIGN (r16)") {
+    // writeStore projects to exactly (id, vec), so metadata predicates on
+    // a PQ store can ONLY arrive through a hydration join
+    val tmp = java.nio.file.Files.createTempDirectory("pq-hyd").toString + "/store"
+    Pq.writeStore(corpus, "vec", "id", tmp, nList = 6, m = 8, ksub = 16)
+    val (codes, floats, ivfm, pqm) = Pq.readStore(spark, tmp)
+    val meta = (0L until 300L).map(i => (i, i % 2)).toDF("mid", "par")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.PqAutoProbe(spark))
+    spark.conf.set("spark.graft.pq.autoProbe", "true")
+    spark.conf.set("spark.graft.pq.nProbe", "2")
+    try {
+      val hyd = Search.topK(floats.join(meta, col("id") === col("mid")), "vec", "id", qVec, 5,
+        filters = Seq(col("par") === 0)).select("id", "score")
+      val plan = TestSpark.formattedPlan(hyd)
+      assert(plan.contains("pq_codes"),
+        s"hydrated filter must still serve candidates from the code store:\n${plan.take(1200)}")
+      val viaApi = Pq.searchIvfPq(codes, floats, ivfm, pqm, "vec", "id", qVec, 5, 2,
+        filters = Seq(col("par") === 0),
+        payload = meta.select(col("mid"), col("par")), payloadIdCol = "mid")
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(hyd.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == viaApi,
+        "hydrated rule must equal the explicit metadata-payload call")
+      assert(hyd.select("id").as[Long].collect().forall(_ % 2 == 0))
+    } finally {
+      spark.conf.unset("spark.graft.pq.autoProbe")
+      spark.conf.unset("spark.graft.pq.nProbe")
+      classic.experimental.extraOptimizations = Nil
+      graft.plans.PqAutoProbe.invalidate(tmp)
+    }
+  }
+
   test("PqAutoProbe fires on spark.sql text too (r15 task 6)") {
     // the declarative promise isn't DataFrame-only: a SQL user writing
     // ORDER BY cosine_similarity(...) DESC LIMIT k over the floats view
