@@ -399,6 +399,32 @@ object ScaleBench {
             classic.experimental.extraOptimizations = prev
           }
         }),
+        // round 16: the HYDRATED declarative filtered probe — the same
+        // sel-50% predicate but living in a JOINED metadata table, gated
+        // by IvfAutoProbe's hydration path (sel = |allowed| / |store
+        // rows|, one metadata count + one metadata-weight store count per
+        // planning). Must track ivf_auto_filt50_768 (the store-carrier
+        // declarative form): same widened width, same probed lists; the
+        // deltas are the two gate count jobs + the user's own hydration
+        // join riding the pruned scan.
+        "ivf_hyd_filt50_768" -> (() => {
+          val (indexed, _) = index()
+          val meta = vecs.select(col("vec_id").as("mid"),
+            pmod(col("vec_id"), lit(100)).as("pct"))
+          val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val prev    = classic.experimental.extraOptimizations
+          classic.experimental.extraOptimizations = prev :+ graft.plans.IvfAutoProbe(spark)
+          spark.conf.set("spark.graft.ivf.autoProbe", "true")
+          spark.conf.set("spark.graft.ivf.nProbe", nProbe.toString)
+          try Search.topK(indexed.join(meta, col("vec_id") === col("mid")),
+            "embedding", "vec_id", qVec, 10, Seq(col("pct") < 50))
+            .select("vec_id").as[Long].collect().count(filtExact(50)).toLong
+          finally {
+            spark.conf.unset("spark.graft.ivf.autoProbe")
+            spark.conf.unset("spark.graft.ivf.nProbe")
+            classic.experimental.extraOptimizations = prev
+          }
+        }),
         "hnsw_auto_filt50_768" -> (() => {
           val idx = Hnsw.indexFor(vecs, "embedding", "vec_id",
             cacheKey = s"scale768-hnsw-$scale", nShards = 4)
