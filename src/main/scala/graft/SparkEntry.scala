@@ -63,7 +63,7 @@ object SparkEntry {
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50-v53):
+  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50-v54):
     * Verify runs the sweep on a 4-thread pool over ONE session, and both
     * `experimental.extraOptimizations` and the `spark.graft.*` flags are
     * session-global — two rule queries racing can clobber each other's
@@ -72,7 +72,7 @@ object SparkEntry {
     * the pruned leg silently planned the exact window and failed the
     * rule≡call flag; the same channel existed for v7/v41/v45–v47 since
     * they landed, it just never had two rule queries collide). Only
-    * these nine serialize — the rest of the sweep stays parallel.
+    * these ten serialize — the rest of the sweep stays parallel.
     */
   private val ruleLock = new Object
 
@@ -4775,6 +4775,63 @@ object SparkEntry {
       }
     }),
 
+    // V54 — declarative HYDRATED filtered top-k over the persistent PQ
+    // store (round 16): writeStore projects the floats store to exactly
+    // (id, vec) BY DESIGN, so a metadata predicate can ONLY reach a
+    // declarative query over it through a hydration join — the shape
+    // PqAutoProbe now routes through the gate with the metadata table as
+    // the payload carrier. Shares v47's per-JVM store. The EXACT leg
+    // (exhaustive probe + unbounded refine under a sel-0.5 predicate →
+    // the gate's exact branch) is DuckDB-replayed as the filtered brute
+    // force; the pruned leg pins rule ≡ the explicit searchIvfPq payload
+    // call; rule_fired pins that candidates came from the code store.
+    "v54_pq_hydrated_auto" -> ((s, d) => ruleLock.synchronized {
+      import s.implicits._
+      val dir = storeCache.computeIfAbsent(s"v47:$d", _ => {
+        val p   = java.nio.file.Files.createTempDirectory("graft-v47").toString + "/store"
+        val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+        Pq.writeStore(emb, "embedding", "vec_id", p, nList = 8, m = 16, ksub = 64)
+        p
+      })
+      val (codes, floats, ivfm, pqm) = Pq.readStore(s, dir)
+      val meta = Tables(s, d).embeddings.select(col("vec_id").as("mid"), col("label").as("grade"))
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev = classic.experimental.extraOptimizations
+      classic.experimental.extraOptimizations = prev :+ graft.plans.PqAutoProbe(s)
+      s.conf.set("spark.graft.pq.autoProbe", "true")
+      try {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+          df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        def hydForm() = Search.topK(floats.join(meta, col("vec_id") === col("mid")),
+          "embedding", "vec_id", qVec, 10, filters = Seq(col("grade") >= 5))
+          .select("vec_id", "score")
+        s.conf.set("spark.graft.pq.nProbe", "2")
+        s.conf.set("spark.graft.pq.refine", "4")
+        val pPlan = hydForm()
+        val fired = pPlan.queryExecution.optimizedPlan.toString.contains("pq_codes")
+        val pRule = rows(pPlan)
+        val pApi = rows(Pq.searchIvfPq(codes, floats, ivfm, pqm, "embedding", "vec_id",
+          qVec, 10, 2, 4, filters = Seq(col("grade") >= 5),
+          payload = meta, payloadIdCol = "mid").select("vec_id", "score"))
+        val pSame = pRule == pApi
+        s.conf.set("spark.graft.pq.nProbe", "8")
+        s.conf.set("spark.graft.pq.refine", "10000")
+        val exRule = rows(hydForm())
+        (exRule.map { case (id, sc) => ("exact", id, math.rint(sc * 1e4) / 1e4) } ++
+          Seq(("rule_eq_call", if (pSame) 1L else 0L, Double.NaN),
+            ("rule_fired", if (fired) 1L else 0L, Double.NaN)))
+          .toDF("path", "vec_id", "score")
+          .select(col("path"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"))
+          .orderBy(col("path"), desc("score"), col("vec_id"))
+      } finally {
+        s.conf.unset("spark.graft.pq.autoProbe")
+        s.conf.unset("spark.graft.pq.nProbe")
+        s.conf.unset("spark.graft.pq.refine")
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
     // V35 — IVF auto-maintenance (round 13): the drift twin of v34.
     // Planted drift: two far batches (2n rows in a tiny ball around the
     // all-20s point, distinct ids) applyDelta onto an n-row 4-list store —
@@ -8209,6 +8266,21 @@ object SparkEntry {
         | UNION ALL SELECT 'rule_eq_call_pruned', -1, 1, NULL, -1
         | UNION ALL SELECT 'rule_eq_call_perquery', -1, 1, NULL, -1
         | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v54 — the hydrated PQ probe's exact leg (exhaustive + sel-0.5
+    // predicate → the gate's exact branch) is the filtered brute force;
+    // pruned-parity and fired flags pinned
+    "v54_pq_hydrated_auto" ->
+      s"""WITH base AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS e
+         |   FROM embeddings e JOIN (SELECT vec_id AS mid, label AS grade FROM embeddings) m
+         |     ON e.vec_id = m.mid WHERE m.grade >= 5),
+         | ex AS (SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT path, vec_id, score FROM ex
+         | UNION ALL SELECT 'rule_eq_call', 1::BIGINT, NULL::DOUBLE
+         | UNION ALL SELECT 'rule_fired', 1::BIGINT, NULL::DOUBLE""".stripMargin,
 
     // v46 — the selective leg DECLINES the probe injection, so the
     // declarative plan is the exact filtered brute force (replayed here);
