@@ -544,6 +544,43 @@ class KnnJoinAutoSpec extends AnyFunSuite {
     }
   }
 
+  test("hydration fires from spark.sql text — batch window over store JOIN metadata") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "knnauto-ivf")
+    val meta = (0L until 400L).map(i => (i, i % 5)).toDF("mid", "grade")
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    indexed.createOrReplaceTempView("knn_hyd_store_sql")
+    meta.createOrReplaceTempView("knn_hyd_meta_sql")
+    queries.createOrReplaceTempView("knn_hyd_queries_sql")
+    withRule("spark.graft.ivf.autoProbe" -> "true", "spark.graft.ivf.nProbe" -> "2") {
+      try {
+        val df = spark.sql(
+          """SELECT qid, id, score, rank FROM (
+            |  SELECT qid, id, score,
+            |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+            |  FROM (SELECT q.qid, s.id,
+            |          cosine_similarity(CAST(s.vec AS ARRAY<DOUBLE>), CAST(q.qvec AS ARRAY<DOUBLE>)) AS score
+            |        FROM knn_hyd_queries_sql q
+            |        CROSS JOIN (SELECT s.* FROM knn_hyd_store_sql s
+            |                    JOIN knn_hyd_meta_sql m ON s.id = m.mid
+            |                    WHERE m.grade >= 3) s)
+            |) WHERE rank <= 5""".stripMargin)
+        assert(!TestSpark.formattedPlan(df).contains("Window"),
+          "the SQL hydrated batch window must substitute")
+        val viaApi = famRows(Ivf.knnJoin(indexed, model, queries, "qvec", "qid",
+          "vec", "id", 5, 2, excludeSelf = false,
+          filters = Seq(col("grade") >= 3),
+          payload = meta.select("mid", "grade"), payloadIdCol = "mid"))
+        assert(rows(df.select(col("qid"), col("id"), col("score"),
+          col("rank").cast("int"))) == viaApi,
+          "the SQL hydrated form must equal the explicit payload call")
+      } finally {
+        spark.catalog.dropTempView("knn_hyd_store_sql")
+        spark.catalog.dropTempView("knn_hyd_meta_sql")
+        spark.catalog.dropTempView("knn_hyd_queries_sql")
+      }
+    }
+  }
+
   private def withRuleOff[T](body: => T): T = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val prev    = classic.experimental.extraOptimizations
