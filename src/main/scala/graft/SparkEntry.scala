@@ -63,7 +63,7 @@ object SparkEntry {
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50-v54):
+  /** Serializes the rule-toggling queries (v7/v41/v45/v46/v47/v50-v55):
     * Verify runs the sweep on a 4-thread pool over ONE session, and both
     * `experimental.extraOptimizations` and the `spark.graft.*` flags are
     * session-global — two rule queries racing can clobber each other's
@@ -72,7 +72,7 @@ object SparkEntry {
     * the pruned leg silently planned the exact window and failed the
     * rule≡call flag; the same channel existed for v7/v41/v45–v47 since
     * they landed, it just never had two rule queries collide). Only
-    * these ten serialize — the rest of the sweep stays parallel.
+    * these eleven serialize — the rest of the sweep stays parallel.
     */
   private val ruleLock = new Object
 
@@ -1263,6 +1263,54 @@ object SparkEntry {
           case Some(v) => s.conf.set("spark.graft.ivf.nProbe", v)
           case None    => s.conf.unset("spark.graft.ivf.nProbe")
         }
+        classic.experimental.extraOptimizations = prev
+      }
+    }),
+
+    // V55 — geometry-aware DECLARATIVE probe width (round 16): with
+    // spark.graft.ivf.adaptiveMargin set, IvfAutoProbe's injected base
+    // width is the centroid-margin rule (tight queries probe few lists,
+    // boundary queries widen) instead of the fixed nProbe — the
+    // declarative twin of Ivf.searchAdaptive, sharing its ranked-centroid
+    // derivation so the injected set at width w IS searchAdaptive's.
+    // rule ≡ searchAdaptive pinned unfiltered AND through the cardinality
+    // gate (the gate widens the ADAPTIVE base by 1/sel); the exact leg
+    // (margin 1e9 reaches every list → the rule declines and the user's
+    // exact plan runs) is DuckDB-replayed as the brute-force top-10.
+    "v55_adaptive_auto" -> ((s, d) => ruleLock.synchronized {
+      import s.implicits._
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v7")
+      val classic = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val prev    = classic.experimental.extraOptimizations
+      classic.experimental.extraOptimizations = prev :+ graft.plans.IvfAutoProbe(s)
+      s.conf.set("spark.graft.ivf.autoProbe", "true")
+      s.conf.set("spark.graft.ivf.adaptiveMargin", "0.15")
+      try {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+          df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val aSame = rows(Search.topK(indexed, "embedding", "vec_id", qVec, 10)
+          .select("vec_id", "score")) ==
+          rows(Ivf.searchAdaptive(indexed, model, "embedding", "vec_id", qVec, 10, 0.15)
+            .select("vec_id", "score"))
+        val fpred = col("label") >= 2
+        val fSame = rows(Search.topK(indexed, "embedding", "vec_id", qVec, 10, Seq(fpred))
+          .select("vec_id", "score")) ==
+          rows(Ivf.searchAdaptive(indexed, model, "embedding", "vec_id", qVec, 10, 0.15,
+            filters = Seq(fpred)).select("vec_id", "score"))
+        s.conf.set("spark.graft.ivf.adaptiveMargin", "1.0E9")
+        val exact = rows(Search.topK(indexed, "embedding", "vec_id", qVec, 10)
+          .select("vec_id", "score"))
+        (exact.map { case (id, sc) => ("exact", id, math.rint(sc * 1e4) / 1e4) } ++
+          Seq(("rule_eq_adaptive", if (aSame) 1L else 0L, Double.NaN),
+            ("rule_eq_adaptive_filtered", if (fSame) 1L else 0L, Double.NaN)))
+          .toDF("path", "vec_id", "score")
+          .select(col("path"), col("vec_id"),
+            when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"))
+          .orderBy(col("path"), desc("score"), col("vec_id"))
+      } finally {
+        s.conf.unset("spark.graft.ivf.autoProbe")
+        s.conf.unset("spark.graft.ivf.adaptiveMargin")
         classic.experimental.extraOptimizations = prev
       }
     }),
@@ -5800,6 +5848,17 @@ object SparkEntry {
       "SELECT 100::BIGINT AS k_total, true AS recall_ok",
     "v7_auto_probe" ->
       "SELECT 10::BIGINT AS k, true AS recall_ok",
+    // v55 — the declined-injection leg (all-lists margin) is the exact
+    // brute force, replayed; adaptive rule≡searchAdaptive flags pinned
+    "v55_adaptive_auto" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         | ex AS (SELECT 'exact' AS path, vec_id,
+         |     round(list_cosine_similarity(e, $qVecSql), 4) AS score
+         |   FROM base
+         |   ORDER BY list_cosine_similarity(e, $qVecSql) DESC, vec_id LIMIT 10)
+         | SELECT path, vec_id, score FROM ex
+         | UNION ALL SELECT 'rule_eq_adaptive', 1::BIGINT, NULL::DOUBLE
+         | UNION ALL SELECT 'rule_eq_adaptive_filtered', 1::BIGINT, NULL::DOUBLE""".stripMargin,
     // m1/m2 — noise_n is recomputed INDEPENDENTLY: the 0.95-quantile cut
     // marks n−1−⌊0.95·n⌋ points as noise (distances are distinct: the
     // testdata has no duplicate vectors). trunc() mirrors Scala's .toInt on

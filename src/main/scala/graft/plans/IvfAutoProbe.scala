@@ -55,6 +55,15 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("spark.graft.ivf.nProbe").map(_.toInt).getOrElse(4)
   private def selectivityHint: Double =
     spark.conf.getOption("spark.graft.ivf.selectivityHint").map(_.toDouble).getOrElse(Double.NaN)
+  // round 16: geometry-aware base width — when set, the injected probe's
+  // BASE width is [[Ivf.Model.adaptiveProbeLists]]' margin rule (tight
+  // queries probe few lists, boundary queries widen) instead of the fixed
+  // nProbe, exactly like the explicit [[Ivf.searchAdaptive]]; the
+  // cardinality gate then widens that base by 1/sel as usual. Both
+  // derivations rank centroids identically (distance asc, tie by id), so
+  // the injected set at width w IS searchAdaptive's at min=max=w.
+  private def adaptiveMargin: Option[Double] =
+    spark.conf.getOption("spark.graft.ivf.adaptiveMargin").map(_.toDouble)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
@@ -95,7 +104,11 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
             case a: AttributeReference => Some(a.exprId)
             case _                     => None
           }
-          width <- gatedWidth(child, rel, relVec, listAttr, model.centroids.length, scoreId)
+          base = adaptiveMargin match {
+            case Some(m) => math.max(1, model.adaptiveProbeLists(qv.toSeq, m).length)
+            case None    => math.min(nProbe, model.centroids.length)
+          }
+          width <- gatedWidth(child, rel, relVec, listAttr, model.centroids.length, scoreId, base)
         } yield {
           if (width >= model.centroids.length) orig // probing everything — the user's exact plan wins
           else {
@@ -144,8 +157,8 @@ case class IvfAutoProbe(spark: SparkSession) extends Rule[LogicalPlan] {
       listAttr: AttributeReference,
       nList: Int,
       scoreId: Option[ExprId],
+      base: Int,
   ): Option[Int] = {
-    val base = math.min(nProbe, nList)
     def widthFrom(frame: org.apache.spark.sql.DataFrame, preds: Seq[Expression]): Int = {
       val sel = Search.estimatedSelectivity(
         frame, preds.map(GraftBridge.column).reduce(_ && _), selectivityHint)

@@ -301,6 +301,53 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("IvfAutoProbe: adaptiveMargin makes the injected base width geometry-aware (r16)") {
+    // the declarative twin of searchAdaptive: with the margin conf set,
+    // the injected probe's base width comes from the centroid-margin rule
+    // instead of the fixed nProbe, and the gate still widens it by 1/sel
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-adaptauto")
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations = Seq(graft.plans.IvfAutoProbe(spark))
+    spark.conf.set("spark.graft.ivf.autoProbe", "true")
+    spark.conf.set("spark.graft.ivf.adaptiveMargin", "0.15")
+    try {
+      val w = model.adaptiveProbeLists(qVec, 0.15).length
+      assume(w < 6, s"test geometry broke: adaptive width $w must stay below nList")
+      // unfiltered: injected width = the adaptive width, values ≡ the
+      // explicit searchAdaptive at the same margin
+      val auto = Search.topK(indexed, "vec", "id", qVec, 5)
+      val pf = "list_id#?\\d* IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(TestSpark.formattedPlan(auto)).map(_.group(1))
+      assert(pf.exists(_.split(",").length == w),
+        s"expected the adaptive $w-list probe, got $pf")
+      val viaApi = Ivf.searchAdaptive(indexed, model, "vec", "id", qVec, 5, 0.15)
+      assert(auto.select("id", "score").collect().toSeq ==
+        viaApi.select("id", "score").collect().toSeq,
+        "declarative adaptive probe must equal the explicit searchAdaptive")
+      // filtered (sel 0.5): the gate widens the ADAPTIVE base — values ≡
+      // searchAdaptive's own gated form
+      val bpred = col("id") % 2 === 0
+      if (math.ceil(w / 0.5).toInt < 6) {
+        val fAuto = Search.topK(indexed, "vec", "id", qVec, 5, filters = Seq(bpred))
+        val fApi  = Ivf.searchAdaptive(indexed, model, "vec", "id", qVec, 5, 0.15,
+          filters = Seq(bpred))
+        assert(fAuto.select("id", "score").collect().toSeq ==
+          fApi.select("id", "score").collect().toSeq,
+          "the gate must widen the adaptive base exactly like searchAdaptive")
+      }
+      // a margin wide enough to reach every list declines the injection —
+      // the user's exact plan IS searchAdaptive's full-probe answer
+      spark.conf.set("spark.graft.ivf.adaptiveMargin", "1e9")
+      assert("list_id#?\\d* IN ".r
+        .findFirstIn(TestSpark.formattedPlan(Search.topK(indexed, "vec", "id", qVec, 5))).isEmpty,
+        "an all-lists margin must decline the injection")
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoProbe", "false")
+      spark.conf.unset("spark.graft.ivf.adaptiveMargin")
+      classic.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("searchAdaptive: filters ride the same cardinality gate as search (ADVICE r14)") {
     val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-adaptgate")
     // geometry alone picks width w; a sel-0.5 predicate (exactly 150/300
