@@ -841,7 +841,14 @@ object Graph {
       synchronized {
         require(!closed, "Graft.Context is closed — build a new one")
         val i = ccCheckpoints.indexWhere(_ eq base)
-        if (i >= 0) ccCheckpoints.remove(i)
+        // a second absorption racing this one would have swapped the base
+        // out already — committing ours anyway would SILENTLY DROP its
+        // delta (each absorption builds on the labeling it read). Fail
+        // loudly: delta absorption is single-writer by contract.
+        require(i >= 0,
+          "concurrent incrementalComponents absorptions raced — absorb delta batches " +
+            "single-writer (each call builds on the previous pinned labeling)")
+        ccCheckpoints.remove(i)
         org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(base)
         ccCheckpoints += ck
         ccLabels = ck
