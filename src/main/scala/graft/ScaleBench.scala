@@ -311,6 +311,18 @@ object ScaleBench {
           Ivf.knnJoin(indexed, model, vecs.where(col("vec_id") < 64),
             "embedding", "vec_id", "embedding", "vec_id", 10, nProbe).count()
         }),
+        // round 16 (v56): the adaptive batch join — each query's probe
+        // width from its own centroid-margin cut instead of the fixed
+        // nProbe. Compare against ivf_knn_join_768: the price difference
+        // is the per-query geometry (two centroid rankings per query in
+        // the fan-out task) plus whatever widths the margin actually
+        // yields on this corpus; rows = 640 either way (64 × top-10).
+        "ivf_knn_join_adaptive_768" -> (() => {
+          val (indexed, model) = index()
+          Ivf.knnJoinAdaptive(indexed, model, vecs.where(col("vec_id") < 64),
+            "embedding", "vec_id", "embedding", "vec_id", 10, margin = 0.15,
+            excludeSelf = false).count()
+        }),
         // SQ8 at the real shape: top-k from int8 codes (4-8x smaller scan)
         // vs the float search; rows = recall@10 (gate >= 8)
         "sq8_topk_768" -> (() => {

@@ -1315,6 +1315,57 @@ object SparkEntry {
       }
     }),
 
+    // V56 — adaptive batch ANN (round 16): Ivf.knnJoinAdaptive gives the
+    // BATCH join searchAdaptive's per-query geometry-aware widths — each
+    // query fans to the lists inside its own centroid-margin cut, widened
+    // per query by the shared gate decision under filters; a query whose
+    // widened cut reaches nList probes everything through the SAME plan
+    // (no per-query plan split). The exact leg (all-lists margin) is the
+    // brute-force batch join, DuckDB-replayed per row; the adaptive and
+    // filtered legs pin batch ≡ the per-query explicit searchAdaptive.
+    "v56_adaptive_knn_join" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables(s, d)
+      val (indexed, model) = Ivf.indexFor(t.embeddings, "embedding", 8, cacheKey = s"$d/embeddings#v7")
+      val qs = t.embeddings.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qvecs = qs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+      def grouped(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+        df.select("query_id", "neighbor_id", "score", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.get(3) match { case i: Int => i; case l: Long => l.toInt }))
+          .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(x => (x._2, x._3)).toSeq).toMap
+      def soloRows(margin: Double, fs: Seq[org.apache.spark.sql.Column]): Map[Long, Seq[(Long, Double)]] =
+        qvecs.map { case (qid, qv) =>
+          qid -> Ivf.searchAdaptive(indexed, model, "embedding", "vec_id", qv, 5, margin,
+            filters = fs)
+            .select("vec_id", "score").collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        }
+      val aSame = grouped(Ivf.knnJoinAdaptive(indexed, model, qs, "qvec", "qid",
+        "embedding", "vec_id", 5, 0.15, excludeSelf = false)) == soloRows(0.15, Nil)
+      val fpred = col("label") >= 2
+      val fSame = grouped(Ivf.knnJoinAdaptive(indexed, model, qs, "qvec", "qid",
+        "embedding", "vec_id", 5, 0.15, excludeSelf = false,
+        filters = Seq(fpred), payload = indexed.select("vec_id", "label"),
+        payloadIdCol = "vec_id")) == soloRows(0.15, Seq(fpred))
+      val exact = Ivf.knnJoinAdaptive(indexed, model, qs, "qvec", "qid",
+        "embedding", "vec_id", 5, 1e9, excludeSelf = false)
+        .select("query_id", "neighbor_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.get(3) match { case i: Int => i.toLong; case l: Long => l }))
+        .sortBy(x => (x._1, x._4)).toSeq
+      (exact.map { case (q, n, sc, r) => ("exact", q, n, math.rint(sc * 1e4) / 1e4, r) } ++
+        Seq(("batch_eq_solo_adaptive", -1L, if (aSame) 1L else 0L, Double.NaN, -1L),
+          ("batch_eq_solo_filtered", -1L, if (fSame) 1L else 0L, Double.NaN, -1L)))
+        .toDF("path", "query_id", "vec_id", "score", "rank")
+        .select(col("path"), col("query_id"), col("vec_id"),
+          when(isnan(col("score")), lit(null).cast("double")).otherwise(col("score")).as("score"),
+          col("rank"))
+        .orderBy(col("path"), col("query_id"), col("rank"))
+    }),
+
     // ---------------- D: dedup suite ----------------------------------------
     "d1_exact_groups" -> ((s, d) => Dedup.exactDupGroups(
       Tables(s, d).documents.withColumn("text", concat(col("lang"), lit(" "), col("source"))),
@@ -8291,6 +8342,20 @@ object SparkEntry {
         | SELECT 'exact' AS path, qid AS query_id, vec_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM s
         | UNION ALL SELECT 'rule_fired', -1, 1, NULL, -1
         | UNION ALL SELECT 'rule_eq_call', -1, 1, NULL, -1
+        | ORDER BY path, query_id, rank""".stripMargin,
+
+    // v56 — the all-lists margin makes the adaptive batch join the exact
+    // brute force, replayed as the same per-query window; parity flags
+    // (batch ≡ solo searchAdaptive, unfiltered + gated) pinned true
+    "v56_adaptive_knn_join" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        | s AS (SELECT qid, vec_id, list_cosine_similarity(cv, qv) AS sim,
+        |   row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(cv, qv) DESC, vec_id) AS rank
+        |   FROM q CROSS JOIN c QUALIFY rank <= 5)
+        | SELECT 'exact' AS path, qid AS query_id, vec_id, round(sim, 4) AS score, rank::BIGINT AS rank FROM s
+        | UNION ALL SELECT 'batch_eq_solo_adaptive', -1, 1, NULL, -1
+        | UNION ALL SELECT 'batch_eq_solo_filtered', -1, 1, NULL, -1
         | ORDER BY path, query_id, rank""".stripMargin,
 
     // v52 — the conditioned window (per-query label wall) at exhaustive

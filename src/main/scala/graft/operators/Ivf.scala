@@ -844,6 +844,26 @@ object Ivf {
         bcModel.value.probeLists(v, nPF).iterator.map(l => (qid, v, l))
       }
       .toDF("query_id", "__qv", "list_id")
+    probeJoinTail(indexed, fanned, idCol, vecCol, excludeSelf, allowed, k)
+  }
+
+  /** The batch probe's scoring tail shared by [[knnJoin]] and
+    * [[knnJoinAdaptive]]: store ⋈ fanned on `list_id` (candidate volume
+    * bounded by the fan-out, co-located by whole lists), the optional
+    * allowed-id semi-join on the CANDIDATE frame (never the store), exact
+    * cosine with the NaN guard, and the map-side-combined TopKScored cut
+    * so the final shuffle carries ≤ k rows per (query, partition).
+    */
+  private def probeJoinTail(
+      indexed: DataFrame,
+      fanned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      excludeSelf: Boolean,
+      allowed: DataFrame,
+      k: Int,
+  ): DataFrame = {
+    import graft.functions.VectorOps._
     val hydrated = indexed
       .select(col(idCol).cast("long").as("neighbor_id"), asDouble(col(vecCol)).as("__cv"), col("list_id"))
       .join(fanned, Seq("list_id"))
@@ -866,6 +886,72 @@ object Ivf {
         col("nn.score").as("score"),
         (col("pos") + 1).as("rank"),
       )
+  }
+
+  /** [[knnJoin]] with PER-QUERY geometry-aware probe widths — the batch
+    * form of [[searchAdaptive]] (round 16): each query fans out to the
+    * lists inside its own centroid-margin cut (tight queries probe few
+    * lists, boundary queries widen), so a mixed batch spends its
+    * candidate budget where the geometry needs it instead of a fixed
+    * nProbe everywhere. Filters ride the same cardinality gate, applied
+    * PER QUERY to the adaptive base: one shared estimate decision per
+    * batch, then each query's width widens to ceil(base_q/sel); a query
+    * whose widened cut reaches nList probes every list — its rows are
+    * EXACT through the same plan, no separate branch (the batch analog
+    * of searchAdaptive's exact fallback; a per-query plan split would
+    * fan out per QUERY, the scale-killer this family refuses). sel == 0
+    * short-circuits to the empty frame like [[knnJoin]].
+    */
+  def knnJoinAdaptive(
+      indexed: DataFrame,
+      model: Model,
+      queries: DataFrame,
+      queryVecCol: String,
+      queryIdCol: String,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      margin: Double,
+      minProbe: Int = 1,
+      maxProbe: Int = Int.MaxValue,
+      excludeSelf: Boolean = true,
+      filters: Seq[Column] = Nil,
+      payload: DataFrame = null,
+      payloadIdCol: String = "id",
+      selectivityHint: Double = Double.NaN,
+  ): DataFrame = {
+    import graft.functions.VectorOps._
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    require(model.centroids.nonEmpty, "knnJoinAdaptive needs a fitted index (empty centroid set)")
+    var allowed: DataFrame = null
+    var sel    = Double.NaN
+    if (filters.nonEmpty) {
+      require(payload != null,
+        "filtered knnJoinAdaptive needs the payload frame carrying payloadIdCol + the filter columns")
+      val pred = filters.reduce(_ && _)
+      sel = Search.estimatedSelectivity(payload, pred, selectivityHint)
+      if (sel == 0d)
+        return Seq.empty[(Long, Long, Double, Int)]
+          .toDF("query_id", "neighbor_id", "score", "rank")
+      allowed = payload.where(pred)
+        .select(col(payloadIdCol).cast("long").as("neighbor_id"))
+    }
+    val bcModel = spark.sparkContext.broadcast(model)
+    val (selF, mF, minF, maxF) = (sel, margin, minProbe, maxProbe)
+    val fanned = graft.Par.fanOut(
+      queries.select(col(queryIdCol).cast("long").as("query_id"), asDouble(col(queryVecCol)).as("__qv")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (qid, v) =>
+        val m    = bcModel.value
+        val base = m.adaptiveProbeLists(v, mF, minF, maxF).length
+        val w =
+          if (selF.isNaN) base
+          else math.min(math.ceil(base.toDouble / selF), m.centroids.length.toDouble).toInt
+        m.adaptiveProbeLists(v, mF, w, w).iterator.map(l => (qid, v, l))
+      }
+      .toDF("query_id", "__qv", "list_id")
+    probeJoinTail(indexed, fanned, idCol, vecCol, excludeSelf, allowed, k)
   }
 
   /** ANN top-k: exact search restricted to the nProbe nearest lists. When

@@ -348,6 +348,47 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoinAdaptive: per-query geometry widths — batch ≡ per-query searchAdaptive (r16)") {
+    val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-kja")
+    val queries = corpus.where(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    val qvecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toMap
+    def grouped(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.select("query_id", "neighbor_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    // unfiltered: every query's batch rows equal ITS OWN searchAdaptive
+    // at the same margin — tight queries probed few lists, boundary
+    // queries widened, each by its own geometry
+    val batch = grouped(Ivf.knnJoinAdaptive(indexed, model, queries,
+      "qvec", "qid", "vec", "id", 5, 0.15, excludeSelf = false))
+    for ((qid, qv) <- qvecs) {
+      val solo = Ivf.searchAdaptive(indexed, model, "vec", "id", qv, 5, 0.15)
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == solo, s"query $qid: batch adaptive must equal its solo searchAdaptive")
+    }
+    // filtered (sel 0.5): the gate widens each query's ADAPTIVE base; a
+    // query whose widened cut reaches nList probes everything — exact
+    // through the same plan, matching searchAdaptive's exact fallback
+    val pred = col("id") % 2 === 0
+    val fBatch = grouped(Ivf.knnJoinAdaptive(indexed, model, queries,
+      "qvec", "qid", "vec", "id", 5, 0.15, excludeSelf = false,
+      filters = Seq(pred), payload = indexed.select("id")))
+    for ((qid, qv) <- qvecs) {
+      val solo = Ivf.searchAdaptive(indexed, model, "vec", "id", qv, 5, 0.15,
+        filters = Seq(pred))
+        .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fBatch(qid) == solo, s"query $qid: filtered batch adaptive must equal its solo form")
+      assert(fBatch(qid).forall(_._1 % 2 == 0))
+    }
+    // an all-lists margin makes the batch EXACT — equal to the brute join
+    val exact = grouped(Ivf.knnJoinAdaptive(indexed, model, queries,
+      "qvec", "qid", "vec", "id", 5, 1e9, excludeSelf = false))
+    val brute = grouped(Search.knnJoin(queries, corpus, "qvec", "qid", "vec", "id", 5,
+      excludeSelf = false))
+    assert(exact == brute, "all-lists margin must equal the exact brute join")
+  }
+
   test("searchAdaptive: filters ride the same cardinality gate as search (ADVICE r14)") {
     val (indexed, model) = Ivf.indexFor(corpus, "vec", 6, cacheKey = "ivfspec-adaptgate")
     // geometry alone picks width w; a sel-0.5 predicate (exactly 150/300
