@@ -237,11 +237,34 @@ object Ivf {
     }
   }
 
+  /** Write-layout discipline for every `partitionBy("list_id")` store write
+    * (optimization guide §6 — file sizing): cluster rows by their partition
+    * directory BEFORE the write, so each list directory's file count is set
+    * by data volume, not by upstream task count. Without this every upstream
+    * task opens a parquet writer for every list it happens to hold rows of:
+    * a single sf0.1 applyDelta left 52 ~KB files in ONE list directory
+    * (~480 writer open/close cycles per delta batch), and every subsequent
+    * probe or rewrite of the store paid the per-file open cost again — the
+    * write stage profiled at ~470 ms/task blocked with ~44 ms CPU.
+    * The REBALANCE hint is the scale-adaptive form: under AQE it coalesces
+    * small lists into shared writer tasks AND splits an oversized list into
+    * several advisory-sized files. On an AQE-off session (the lifecycle
+    * clones) the hint silently degrades to ROUND-ROBIN partitioning
+    * (measured: 30 files/list — worse than nothing), so that branch gets an
+    * explicit hash repartition on list_id instead — one right-sized file
+    * per list at delta scale. Both ends stay correct at 100 TB: file count
+    * tracks bytes, never task count.
+    */
+  private[graft] def clusterByDir(df: DataFrame, c: String = "list_id"): DataFrame =
+    if (df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true") == "true")
+      df.hint("rebalance", col(c))
+    else df.repartition(col(c))
+
   /** Persist the indexed corpus partitioned by list — this is what makes the
     * probe a partition-pruned scan instead of a filter over everything.
     */
   def writeIndexed(assigned: DataFrame, path: String): Unit =
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    clusterByDir(assigned).write.mode("overwrite").partitionBy("list_id").parquet(path)
 
   /** What a store's sidecar declares: the centroids and WHICH column they
     * index — [[graft.plans.IvfAutoProbe]] must refuse to prune when the
@@ -319,7 +342,7 @@ object Ivf {
     val w = assigned.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("list_id").parquet(path)
+        clusterByDir(batch).write.mode("append").partitionBy("list_id").parquet(path)
       }
     (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w).start()
   }
@@ -537,7 +560,7 @@ object Ivf {
       // replays the batch idempotently.
       val fs  = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(path + ".delta")
-      rewrite.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+      clusterByDir(rewrite).write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
       assertCommitMarker(fs, tmp)
       affected.foreach { l =>
         val dst = new org.apache.hadoop.fs.Path(path, s"list_id=$l")
@@ -614,7 +637,7 @@ object Ivf {
     val tmp  = new org.apache.hadoop.fs.Path(path + ".compact")
     fs.delete(tmp, true)
     val df = spark.read.parquet(path)
-    df.repartition(col("list_id"))
+    clusterByDir(df)
       .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
     val stored = readCentroids(path, conf)
     val old    = new org.apache.hadoop.fs.Path(path + ".old")
@@ -692,7 +715,7 @@ object Ivf {
     fs.delete(tmp, true)
     // stage into a sibling dir: the scan of the live store completes
     // before any rename touches it (no dynamic-overwrite self-read)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    clusterByDir(assigned).write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
     // the staged dir must be a COMPLETE store (data + sidecar) before any
     // rename: a crash after fs.rename(root, old) then leaves either the
     // old store or the fully-described new one, never a sidecar-less dir

@@ -208,9 +208,9 @@ object Pq {
       val root = sys.props("java.io.tmpdir") + s"/graft-ivfpq/$jvmToken/" + java.lang.Long.toHexString(
         (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 42).toLong << 32) |
           (scala.util.hashing.MurmurHash3.stringHash(cacheKey, 4242).toLong & 0xffffffffL))
-      coded.select(col(idCol), col("pq_codes"), col("list_id"))
+      Ivf.clusterByDir(coded.select(col(idCol), col("pq_codes"), col("list_id")))
         .write.mode("overwrite").partitionBy("list_id").parquet(root + "/codes")
-      assigned.write.mode("overwrite").partitionBy("list_id").parquet(root + "/floats")
+      Ivf.clusterByDir(assigned).write.mode("overwrite").partitionBy("list_id").parquet(root + "/floats")
       val s = df.sparkSession
       (s.read.parquet(root + "/codes"), s.read.parquet(root + "/floats"), ivfm, pqm)
     })
@@ -334,7 +334,7 @@ object Pq {
     val pqm              = fit(proj, vecCol, m, ksub, seed)
     val (assigned, ivfm) = Ivf.assign(proj, vecCol, nList, seed = seed)
     val coded            = pqTable(assigned, vecCol, pqm)
-    coded.select(col(idCol), col("pq_codes"), col("list_id"))
+    Ivf.clusterByDir(coded.select(col(idCol), col("pq_codes"), col("list_id")))
       .write.mode("overwrite").partitionBy("list_id").parquet(root + "/codes")
     Ivf.writeIndexed(assigned, root + "/floats", ivfm, vecCol)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -432,7 +432,7 @@ object Pq {
 
       def stageAndSwap(sub: String, frame: DataFrame): Unit = {
         val tmp = new org.apache.hadoop.fs.Path(root + s"/$sub.delta")
-        frame.write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+        Ivf.clusterByDir(frame).write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
         Ivf.assertCommitMarker(fs, tmp)
         affected.foreach { l =>
           val dst = new org.apache.hadoop.fs.Path(root + s"/$sub", s"list_id=$l")
