@@ -10,9 +10,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * session time zone for oracle parity.
   */
 object Engine {
+  /** Scratch space for shuffle files / spills / disk-cached blocks
+    * (optimization guide §2.1: "local disk bandwidth for shuffle files can
+    * be the tighter limit — check both"). Thread dumps under the bench
+    * showed map tasks RUNNABLE inside `FileOutputStream.open0` creating
+    * shuffle partials: the default local dir sits on an ext4 volume
+    * mounted with `discard`, so the constant create/unlink churn of tiny
+    * shuffle files pays journal+TRIM latency (~ms per open) — at 32
+    * concurrent writers that was a measurable per-task floor. Prefer the
+    * RAM-backed tmpfs when present (the standard fast-scratch deployment
+    * choice — at cluster scale this is the NVMe/ramdisk local-dir
+    * setting); `SPARK_GRAFT_LOCAL_DIR` overrides, and boxes without a
+    * writable /dev/shm keep Spark's default.
+    */
+  private def scratchDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some("/dev/shm/graft-spark-local")
+      else None
+    }
+
   def session(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession
+    val b0 = SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -20,6 +41,15 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; this workload's
+      // query surface compiles hundreds of distinct codegen units (plus a
+      // ColumnAccessor per cached-frame schema), so the cache churned and
+      // every stage start recompiled while its sibling tasks queued on the
+      // compile KeyLock — thread dumps showed `CodeGenerator.compile` via
+      // `NonFateSharingLoadingCache` as the single largest blocked state.
+      // Sized to hold the whole surface; entries are soft-referenced
+      // bytecode, so the ceiling costs nothing when memory is tight.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // wide array columns (768-d embeddings) make the default 4096-row
       // columnar batch a ~25 MB/task transient; at 32 task slots that is
       // ~800 MB of read buffers before any compute, enough to OOM the
@@ -28,7 +58,7 @@ object Engine {
       // narrow tables.
       .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = scratchDir.fold(b0)(d => b0.config("spark.local.dir", d)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
