@@ -49,7 +49,8 @@ object Engine {
       // `NonFateSharingLoadingCache` as the single largest blocked state.
       // Sized to hold the whole surface; entries are soft-referenced
       // bytecode, so the ceiling costs nothing when memory is tight.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // wide array columns (768-d embeddings) make the default 4096-row
       // columnar batch a ~25 MB/task transient; at 32 task slots that is
       // ~800 MB of read buffers before any compute, enough to OOM the

@@ -11,6 +11,8 @@ package graft
   * Measurement-only harness: changes nothing any query computes.
   */
 object PlanSnap {
+  import org.apache.spark.sql.functions.col
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PlanSnap <tag> <query> [query ...]")
     val tag    = args.head
@@ -19,16 +21,32 @@ object PlanSnap {
     val outDir = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16"))
     java.nio.file.Files.createDirectories(outDir)
     val spark   = Engine.session("graft-plansnap")
-    val all     = SparkEntry.queries
-    val unknown = names.filterNot(all.contains)
-    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    names.foreach { name =>
-      val df   = all(name)(spark, sfDir)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      java.nio.file.Files.write(outDir.resolve(s"${name}_$tag.txt"),
+    def put(file: String, plan: String): Unit = {
+      java.nio.file.Files.write(outDir.resolve(file),
         plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[plansnap] wrote ${name}_$tag.txt (${plan.length} chars)")
+      System.err.println(s"[plansnap] wrote $file (${plan.length} chars)")
+    }
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val all     = SparkEntry.queries
+    val unknown = names.filterNot(n => all.contains(n) || n == "ivf_write_layout")
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    names.foreach {
+      case "ivf_write_layout" =>
+        // The round-16 write-layout change (Ivf.clusterByDir) alters the
+        // frame fed into every partitionBy("list_id") store write, not any
+        // declared query's returned plan — dump the write-side frame as it
+        // was (raw upstream rows) and as it is now (clustered by the
+        // partition directory) so the plan diff is reviewable: the `after`
+        // carries the RebalancePartitions (AQE) / hashpartitioning
+        // Exchange on list_id that sets file count by data volume.
+        val emb = Tables(spark, sfDir).embeddings.select(col("vec_id"), col("embedding"))
+        val (assigned, _) = graft.operators.Ivf.assign(emb, "embedding", 8)
+        put(s"ivf_write_layout_$tag-raw.txt", fmt(assigned))
+        put(s"ivf_write_layout_$tag-clustered.txt",
+          fmt(graft.operators.Ivf.clusterByDir(assigned)))
+      case name =>
+        put(s"${name}_$tag.txt", fmt(all(name)(spark, sfDir)))
     }
     spark.stop()
   }
