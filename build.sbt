@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. sbt's default LoggedOutput decorates every forked-process line with
+// an `[info] ` prefix and appends its own `[success] Total time…` line, so
+// the digest has arrived unparseable every round since r09 (BENCH_rNN
+// `parsed: null`). StdoutOutput passes the forked JVM's stdout/stderr
+// through verbatim; showSuccess drops the trailing [success] line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

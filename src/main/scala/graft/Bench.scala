@@ -140,7 +140,15 @@ object Bench {
     val slowest  = warmOf.toSeq.sortBy(-_._2).take(5).map(_._1)
     val digest = (headline ++ slowest).distinct.flatMap(k => warmOf.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$digest,"n_queries":${results.size},"errors":$nErr,"contaminated":$contaminated,"cold_total":${r3(cold)},"floor":${r3(floor)}$fullRef,"sf":"$sfDir"}""")
+    // Print the digest AFTER spark.stop(): it must be the absolutely last
+    // stdout line of the run (the driver parses the tail of stdout as JSON;
+    // build.sbt's StdoutOutput/showSuccess strip sbt's decoration around it).
+    // Spark's own shutdown chatter goes to stderr, but stopping first makes
+    // the ordering independent of log4j configuration.
+    val digestLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$digest,"n_queries":${results.size},"errors":$nErr,"contaminated":$contaminated,"cold_total":${r3(cold)},"floor":${r3(floor)}$fullRef,"sf":"$sfDir"}"""
     spark.stop()
+    println(digestLine)
+    System.out.flush()
   }
 }

@@ -26,9 +26,19 @@ object Engine {
   private def scratchDir: Option[String] =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        Some("/dev/shm/graft-spark-local")
-      else None
+      // Capacity gate (r16 advisor): containers commonly mount a 64 MB
+      // /dev/shm — defaulting shuffle scratch there would ENOSPC the first
+      // real shuffle and turn disk spill into RAM pressure. Only prefer the
+      // tmpfs when it has real headroom; anything smaller keeps Spark's
+      // default local dir. SPARK_GRAFT_LOCAL_DIR still overrides outright.
+      val minBytes = 8L << 30
+      val usable =
+        try {
+          if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.getFileStore(shm).getUsableSpace
+          else 0L
+        } catch { case scala.util.control.NonFatal(_) => 0L }
+      if (usable >= minBytes) Some("/dev/shm/graft-spark-local") else None
     }
 
   def session(appName: String = "graft"): SparkSession = {
@@ -131,11 +141,92 @@ object Par {
     * parquet file plans as ONE input split, which would run the whole
     * per-row compute on one core; at real scale inputs arrive in thousands
     * of splits and this is a no-op (the guard keeps it shuffle-free there).
-    * `getNumPartitions` only plans — nothing executes.
     */
   def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch sizing belongs to the source
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (estimatedPartitions(df) < target) df.repartition(target) else df
+  }
+
+  /** Execution partition count estimated from the ANALYZED logical plan —
+    * zero physical planning, zero jobs. The previous guard probed
+    * `df.rdd.getNumPartitions`, which pays a full physical-planning pass
+    * per call on a demonstrably planning-bound suite, and worse: under AQE
+    * `Dataset.rdd` EXECUTES every upstream query stage eagerly
+    * (AdaptiveSparkPlanExec materializes its shuffles to pick the final
+    * plan), so fanning out a join-derived frame ran the join's shuffles
+    * twice per action. The estimate only steers the repartition guard —
+    * small inputs must fan out, already-parallel inputs must stay
+    * shuffle-free; the `< target` decision is what matters, not the exact
+    * count, and both mis-directions only cost performance, never values.
+    */
+  private[graft] def estimatedPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.internal.SQLConf
+    // the df's own session conf, not SQLConf.get: the thread-local active
+    // conf is unset inside Verify's worker pool threads
+    val sqlConf     = df.sparkSession.sessionState.conf
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+
+    // Mirror of FilePartition.maxSplitBytes packing, from the relation's
+    // cached listing metadata only (no job, no physical planning).
+    def scanSplits(fs: HadoopFsRelation): Int = {
+      val openCost   = sqlConf.filesOpenCostInBytes
+      val maxSplit   = sqlConf.filesMaxPartitionBytes
+      val minParts   = sqlConf.filesMinPartitionNum.getOrElse(parallelism)
+      val nFiles     = fs.location.inputFiles.length
+      if (nFiles == 0) return 1
+      val totalBytes = fs.location.sizeInBytes + nFiles.toLong * openCost
+      val perCore    = totalBytes / math.max(1, minParts)
+      val split      = math.min(maxSplit, math.max(openCost, perCore))
+      math.max(1, math.ceil(totalBytes.toDouble / math.max(1L, split)).toInt)
+    }
+
+    def leafBytes(p: LogicalPlan): Long = p.collectLeaves().map {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => math.max(0L, fs.location.sizeInBytes)
+          case r                    => math.max(0L, r.sizeInBytes)
+        }
+      case leaf => leaf.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+    }.sum
+
+    // Post-shuffle parallelism starts at shuffle.partitions; with AQE
+    // coalescing on, small outputs shrink toward totalBytes/advisory — leaf
+    // bytes are the cheap (over-)estimate of that volume, which errs toward
+    // skipping the extra exchange at scale.
+    def shuffled(p: LogicalPlan): Int =
+      if (sqlConf.adaptiveExecutionEnabled && sqlConf.coalesceShufflePartitionsEnabled) {
+        val advisory = math.max(1L, sqlConf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+        math.min(sqlConf.numShufflePartitions.toLong, math.max(1L, leafBytes(p) / advisory)).toInt
+      } else sqlConf.numShufflePartitions
+
+    def estimate(p: LogicalPlan): Int = p match {
+      // explicit numPartitions pins the count (AQE never coalesces a
+      // user-specified n — so a frame already fanned out reports `target`
+      // and a second fanOut stays the identity)
+      case r: Repartition =>
+        if (r.shuffle) r.numPartitions else math.min(estimate(r.child), r.numPartitions)
+      case r: RepartitionByExpression => r.optNumPartitions.getOrElse(shuffled(p))
+      case r: RebalancePartitions     => r.optNumPartitions.getOrElse(shuffled(p))
+      case _: GlobalLimit             => 1 // collapses to one partition
+      case _: Join | _: Aggregate | _: Distinct | _: Deduplicate | _: Window |
+          _: SetOperation => shuffled(p)
+      case s: Sort if s.global => shuffled(p)
+      case u: Union            => math.max(1, u.children.map(estimate).sum)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => scanSplits(fs)
+          case _                    => 1
+        }
+      case l: LocalRelation => math.min(math.max(l.data.length, 1), parallelism)
+      case r: Range         => r.numSlices.getOrElse(parallelism)
+      case l: LogicalRDD    => l.rdd.getNumPartitions
+      case u: UnaryNode     => estimate(u.child) // Project/Filter/Generate/…: narrow
+      case _                => parallelism // unknown leaf/shape: assume parallel enough
+    }
+    estimate(df.queryExecution.analyzed)
   }
 }

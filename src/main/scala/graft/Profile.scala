@@ -24,31 +24,39 @@ object Profile {
     final case class StageRow(var name: String, var tasks: Int = 0, var runMs: Long = 0,
         var cpuMs: Long = 0, var gcMs: Long = 0, var shRead: Long = 0, var shWrite: Long = 0,
         var inBytes: Long = 0, var wallMs: Long = 0)
-    val stages = mutable.LinkedHashMap.empty[Int, StageRow]
+    // keyed by (stageId, attemptNumber): merging attempts summed wall across
+    // retries and counted failed-attempt task metrics into one row (r16
+    // advisor) — per-attempt rows make retry inflation visible instead
+    val stages = mutable.LinkedHashMap.empty[(Int, Int), StageRow]
     var jobs = 0
     var jobMs = 0L
     private val jobStart = mutable.Map.empty[Int, Long]
+    /** Monotone change counter so the harness can poll for quiescence. */
+    @volatile var events = 0L
     override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
-      jobs += 1; jobStart(e.jobId) = e.time
+      jobs += 1; jobStart(e.jobId) = e.time; events += 1
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
-      jobStart.remove(e.jobId).foreach(t0 => jobMs += e.time - t0)
+      jobStart.remove(e.jobId).foreach(t0 => jobMs += e.time - t0); events += 1
     }
     override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = synchronized {
       val si = e.stageInfo
-      val row = stages.getOrElseUpdate(si.stageId, StageRow(si.name))
+      val row = stages.getOrElseUpdate((si.stageId, si.attemptNumber), StageRow(si.name))
       if (row.name == "?") row.name = si.name
+      events += 1
     }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = synchronized {
       val si = e.stageInfo
-      val row = stages.getOrElseUpdate(si.stageId, StageRow(si.name))
+      val row = stages.getOrElseUpdate((si.stageId, si.attemptNumber), StageRow(si.name))
       if (row.name == "?") row.name = si.name
       row.wallMs += (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(0L)
+      events += 1
     }
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      events += 1
       val m = e.taskMetrics
       if (m != null) {
-        val row = stages.getOrElseUpdate(e.stageId, StageRow("?"))
+        val row = stages.getOrElseUpdate((e.stageId, e.stageAttemptId), StageRow("?"))
         row.tasks += 1
         row.runMs += m.executorRunTime
         row.cpuMs += m.executorCpuTime / 1000000L
@@ -80,10 +88,20 @@ object Profile {
       val t0 = System.nanoTime()
       (1 to reps).foreach(_ => materialize(fn(spark, sfDir)))
       val wallMs = (System.nanoTime() - t0) / 1e6
-      // let straggler listener events drain before reading the aggregates
-      // (listenerBus.waitUntilEmpty is private[spark]; a short sleep is
-      // enough for a measurement harness)
-      Thread.sleep(300)
+      // let straggler listener events drain before reading the aggregates:
+      // poll until the aggregate stops changing for two consecutive probes
+      // (r16 advisor: a fixed sleep silently dropped late onTaskEnd events
+      // under load, understating the profiled totals)
+      locally {
+        var last   = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val cur = agg.events
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+      }
       spark.sparkContext.removeSparkListener(agg)
       p(f"===== $name: warm wall ${wallMs / 1000 / reps}%.3f s/rep x $reps reps, " +
         f"${agg.jobs} jobs, job-scheduled ${agg.jobMs / 1000.0}%.2f s, " +

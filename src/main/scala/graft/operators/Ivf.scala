@@ -258,7 +258,24 @@ object Ivf {
   private[graft] def clusterByDir(df: DataFrame, c: String = "list_id"): DataFrame =
     if (df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true") == "true")
       df.hint("rebalance", col(c))
-    else df.repartition(col(c))
+    else {
+      // Skew guard for the AQE-off fallback (guide §2.5): a bare
+      // repartition(list_id) is ONE task per hash bucket, so a single hot
+      // list serializes its writer at scale (the REBALANCE branch splits
+      // oversized partitions at runtime; this branch can't). When the
+      // frame's size estimate — free, from the analyzed plan, no job —
+      // says the write spans several advisory-sized partitions, add a
+      // deterministic within-list salt so writers can share a hot list.
+      // Small writes keep n = 1 (today's one-task-per-list layout), and
+      // file count tracks bytes either way, never task count.
+      val conf = df.sparkSession.sessionState.conf
+      val advisory = math.max(1L, conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+      val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+      val n = bytes./(advisory).min(BigInt(conf.numShufflePartitions)).max(1).toInt
+      if (n <= 1) df.repartition(col(c))
+      else df.repartition(col(c), pmod(xxhash64(df.columns.map(col): _*), lit(n)))
+    }
 
   /** Persist the indexed corpus partitioned by list — this is what makes the
     * probe a partition-pruned scan instead of a filter over everything.

@@ -938,4 +938,26 @@ class IvfSpec extends AnyFunSuite {
     fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
     Ivf.assertCommitMarker(fs, tmp) // with the marker: no-op
   }
+
+  test("clusterByDir AQE-off fallback salts within a list only when the write is large") {
+    val s2 = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    // small write (stats well under the advisory size): plain list_id
+    // partitioning, one task per list, no salt expression in the plan
+    val small = s2.range(10).selectExpr("id % 4 as list_id", "id")
+    val plainPlan = Ivf.clusterByDir(small).queryExecution.logical.toString
+    assert(!plainPlan.contains("xxhash64"), plainPlan.take(500))
+    // large write (advisory shrunk below the stats estimate): the
+    // repartition key must become (list_id, pmod(xxhash64(...), n)) so a
+    // hot list cannot serialize one writer task
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64")
+    val salted = Ivf.clusterByDir(s2.range(1000).selectExpr("id % 4 as list_id", "id"))
+    val saltedPlan = salted.queryExecution.logical.toString
+    assert(saltedPlan.contains("xxhash64") && saltedPlan.contains("pmod"), saltedPlan.take(500))
+    s2.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    // rows are only relocated, never changed: same multiset either way
+    assert(salted.groupBy("list_id").count().orderBy("list_id").collect().toSeq ==
+      small.sparkSession.range(1000).selectExpr("id % 4 as list_id", "id")
+        .groupBy("list_id").count().orderBy("list_id").collect().toSeq)
+  }
 }
