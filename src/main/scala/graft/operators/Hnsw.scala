@@ -103,6 +103,77 @@ object Hnsw {
   private val nearFirst: Ordering[(Double, Int)] =
     Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
 
+  /** Primitive binary heap of (distance, ord) pairs — the beam queues.
+    * `farFirst = false` dequeues nearest-first ((d, ord) ascending: the
+    * candidate queue); `farFirst = true` farthest-first (the result beam).
+    * Priority is `java.lang.Double.compare` + ord tiebreak — exactly
+    * [[nearFirst]] (`Ordering.Double.TotalOrdering` IS Double.compare), and
+    * (d, ord) pairs are unique within a queue (the visited bitset admits
+    * each ord once), so the dequeue sequence is a total order: identical to
+    * the boxed `mutable.PriorityQueue[(Double, Int)]` this replaces. The
+    * rewrite only removes the Tuple2 + 2 boxes allocated per visited node
+    * and the megamorphic Ordering calls in the engine's hottest loop
+    * (per-node, per-layer beam search in every HNSW build and probe —
+    * profiled at ~2.9 s/rep of executor CPU on the v29 lifecycle).
+    */
+  private final class DistHeap(farFirst: Boolean, initCap: Int = 64) {
+    private var ds = new Array[Double](initCap)
+    private var os = new Array[Int](initCap)
+    private var n  = 0
+    def size: Int         = n
+    def nonEmpty: Boolean = n > 0
+    def headDist: Double  = ds(0)
+    def headOrd: Int      = os(0)
+    def clear(): Unit     = n = 0
+    private def prior(d1: Double, o1: Int, d2: Double, o2: Int): Boolean = {
+      val c = java.lang.Double.compare(d1, d2)
+      if (c != 0) { if (farFirst) c > 0 else c < 0 }
+      else { if (farFirst) o1 > o2 else o1 < o2 }
+    }
+    def enqueue(d: Double, o: Int): Unit = {
+      if (n == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, n * 2)
+        os = java.util.Arrays.copyOf(os, n * 2)
+      }
+      var i = n
+      n += 1
+      var sifting = true
+      while (sifting && i > 0) {
+        val p = (i - 1) >> 1
+        if (prior(d, o, ds(p), os(p))) { ds(i) = ds(p); os(i) = os(p); i = p }
+        else sifting = false
+      }
+      ds(i) = d; os(i) = o
+    }
+    /** Remove the head (callers read headDist/headOrd first). */
+    def pop(): Unit = {
+      n -= 1
+      val d = ds(n)
+      val o = os(n)
+      var i = 0
+      var sifting = true
+      while (sifting) {
+        val l = 2 * i + 1
+        if (l >= n) sifting = false
+        else {
+          var c = l
+          val r = l + 1
+          if (r < n && prior(ds(r), os(r), ds(l), os(l))) c = r
+          if (prior(ds(c), os(c), d, o)) { ds(i) = ds(c); os(i) = os(c); i = c }
+          else sifting = false
+        }
+      }
+      if (n > 0) { ds(i) = d; os(i) = o }
+    }
+    /** Contents as (distance, ord) sorted ascending by [[nearFirst]]. */
+    def toSortedNearFirst: Array[(Double, Int)] = {
+      val out = new Array[(Double, Int)](n)
+      var i = 0
+      while (i < n) { out(i) = (ds(i), os(i)); i += 1 }
+      out.sorted(nearFirst)
+    }
+  }
+
   /** Beam search over one layer: returns up to `ef` nearest (distance, ord),
     * ascending. `eps` seed the beam. Classic Algorithm 2 with a visited
     * bitset, a nearest-first candidate heap and a farthest-first result heap.
@@ -126,23 +197,25 @@ object Hnsw {
       allowed: java.util.BitSet = null,
   ): Array[(Double, Int)] = {
     val visited    = new java.util.BitSet(vecs.length)
-    val candidates = collection.mutable.PriorityQueue.empty[(Double, Int)](nearFirst.reverse)
-    val results    = collection.mutable.PriorityQueue.empty[(Double, Int)](nearFirst)
+    val candidates = new DistHeap(farFirst = false)
+    val results    = new DistHeap(farFirst = true)
     var i = 0
     while (i < eps.length) {
       val e = eps(i)
       if (!visited.get(e)) {
         visited.set(e)
         val d = 1.0 - dot(q, vecs(e))
-        candidates.enqueue((d, e))
-        if (allowed == null || allowed.get(e)) results.enqueue((d, e))
+        candidates.enqueue(d, e)
+        if (allowed == null || allowed.get(e)) results.enqueue(d, e)
       }
       i += 1
     }
     while (candidates.nonEmpty) {
-      val (cd, c) = candidates.dequeue()
+      val cd = candidates.headDist
+      val c  = candidates.headOrd
+      candidates.pop()
       // results is farthest-first, so head is the current worst of the beam
-      if (results.size >= ef && cd > results.head._1) {
+      if (results.size >= ef && cd > results.headDist) {
         candidates.clear()
       } else {
         val nbrs = links(c)(layer)
@@ -152,12 +225,12 @@ object Hnsw {
           if (!visited.get(e)) {
             visited.set(e)
             val d = 1.0 - dot(q, vecs(e))
-            if (results.size < ef || d < results.head._1 ||
-                (d == results.head._1 && e < results.head._2)) {
-              candidates.enqueue((d, e))
+            if (results.size < ef || d < results.headDist ||
+                (d == results.headDist && e < results.headOrd)) {
+              candidates.enqueue(d, e)
               if (allowed == null || allowed.get(e)) {
-                results.enqueue((d, e))
-                if (results.size > ef) results.dequeue()
+                results.enqueue(d, e)
+                if (results.size > ef) results.pop()
               }
             }
           }
@@ -165,7 +238,7 @@ object Hnsw {
         }
       }
     }
-    results.dequeueAll.toArray.sorted(nearFirst)
+    results.toSortedNearFirst
   }
 
   /** Greedy single-step descent used on the layers above the insertion /
@@ -306,22 +379,24 @@ object Hnsw {
 
     private def searchLayerB(layer: Int, q: Array[Double], eps: Array[Int], ef: Int): Array[(Double, Int)] = {
       val visited    = new java.util.BitSet(ids.length)
-      val candidates = collection.mutable.PriorityQueue.empty[(Double, Int)](nearFirst.reverse)
-      val results    = collection.mutable.PriorityQueue.empty[(Double, Int)](nearFirst)
+      val candidates = new DistHeap(farFirst = false)
+      val results    = new DistHeap(farFirst = true)
       var i = 0
       while (i < eps.length) {
         val e = eps(i)
         if (!visited.get(e)) {
           visited.set(e)
           val d = 1.0 - dot(q, vecs(e))
-          candidates.enqueue((d, e))
-          results.enqueue((d, e))
+          candidates.enqueue(d, e)
+          results.enqueue(d, e)
         }
         i += 1
       }
       while (candidates.nonEmpty) {
-        val (cd, c) = candidates.dequeue()
-        if (cd > results.head._1 && results.size >= ef) {
+        val cd = candidates.headDist
+        val c  = candidates.headOrd
+        candidates.pop()
+        if (cd > results.headDist && results.size >= ef) {
           candidates.clear()
         } else {
           val nbrs = links(c)(layer)
@@ -331,18 +406,18 @@ object Hnsw {
             if (!visited.get(e)) {
               visited.set(e)
               val d = 1.0 - dot(q, vecs(e))
-              if (results.size < ef || d < results.head._1 ||
-                  (d == results.head._1 && e < results.head._2)) {
-                candidates.enqueue((d, e))
-                results.enqueue((d, e))
-                if (results.size > ef) results.dequeue()
+              if (results.size < ef || d < results.headDist ||
+                  (d == results.headDist && e < results.headOrd)) {
+                candidates.enqueue(d, e)
+                results.enqueue(d, e)
+                if (results.size > ef) results.pop()
               }
             }
             j += 1
           }
         }
       }
-      results.dequeueAll.toArray.sorted(nearFirst)
+      results.toSortedNearFirst
     }
 
     private def selectHeuristicB(candidates: Array[(Double, Int)], m: Int): Array[Int] = {

@@ -326,6 +326,19 @@ object Search {
       predCol: String,
       predicates: Seq[(String, Seq[Column])],
       run: (DataFrame, Seq[Column]) => DataFrame,
+  ): DataFrame =
+    perQueryFilteredKeyed(queries, predCol, predicates, (_, qs, fs) => run(qs, fs))
+
+  /** [[perQueryFiltered]] whose `run` also receives the GROUP KEY — lets a
+    * caller that precomputed per-group facts (e.g. [[graft.plans.KnnJoinAuto]]'s
+    * one-scan gate selectivities) route them to the right family call.
+    * Semantics otherwise identical.
+    */
+  private[graft] def perQueryFilteredKeyed(
+      queries: DataFrame,
+      predCol: String,
+      predicates: Seq[(String, Seq[Column])],
+      run: (String, DataFrame, Seq[Column]) => DataFrame,
   ): DataFrame = {
     require(predicates.nonEmpty, "need at least one predicate group")
     val keys = predicates.map(_._1)
@@ -338,11 +351,11 @@ object Search {
         s"${unknown.map(_.getOrElse("null")).mkString(", ")}")
     val parts = predicates.collect {
       case (pv, filters) if present.contains(Some(pv)) =>
-        run(queries.where(col(predCol).cast("string") === pv), filters)
+        run(pv, queries.where(col(predCol).cast("string") === pv), filters)
           .withColumn("__pred", lit(pv))
     }
     if (parts.isEmpty)
-      run(queries.where(lit(false)), predicates.head._2)
+      run(predicates.head._1, queries.where(lit(false)), predicates.head._2)
         .withColumn("__pred", lit(null).cast("string"))
     else parts.reduce(_ unionByName _)
   }

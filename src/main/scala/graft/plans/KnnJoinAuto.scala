@@ -430,27 +430,51 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
         pqOpt: Option[PerQuery],
         qv: AttributeReference,
         storeIdName: String,
-        call: (DataFrame, Seq[org.apache.spark.sql.Column], DataFrame, String) => DataFrame,
+        userHint: Double,
+        call: (DataFrame, Seq[org.apache.spark.sql.Column], DataFrame, String, Double) => DataFrame,
     ): () => DataFrame = () => {
       val filtersBase = filtersBaseOf(hydOpt, preds)
       val extraAttrs  = filtersBase.flatMap(_.references) ++ pairs.map(_._1)
-      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column]): DataFrame =
-        if (fs.isEmpty) call(qs, Nil, null, storeIdName)
-        else hydOpt match {
-          case Some(h) =>
-            val attrs = h.payloadKey +: extraAttrs.filter(_.exprId != h.payloadKey.exprId).distinct
-            call(qs, fs, GraftBridge.ofRows(spark, h.payloadRel)
-              .select(attrs.map(a => GraftBridge.column(a)): _*), h.payloadKey.name)
-          case None =>
-            val attrs = idAttr +: extraAttrs.filter(_.exprId != idAttr.exprId).distinct
-            call(qs, fs, GraftBridge.ofRows(spark, rel)
-              .select(attrs.map(a => GraftBridge.column(a)): _*), storeIdName)
-        }
+      def payloadFrame: (DataFrame, String) = hydOpt match {
+        case Some(h) =>
+          val attrs = h.payloadKey +: extraAttrs.filter(_.exprId != h.payloadKey.exprId).distinct
+          (GraftBridge.ofRows(spark, h.payloadRel)
+            .select(attrs.map(a => GraftBridge.column(a)): _*), h.payloadKey.name)
+        case None =>
+          val attrs = idAttr +: extraAttrs.filter(_.exprId != idAttr.exprId).distinct
+          (GraftBridge.ofRows(spark, rel)
+            .select(attrs.map(a => GraftBridge.column(a)): _*), storeIdName)
+      }
+      def run(qs: DataFrame, fs: Seq[org.apache.spark.sql.Column], hint: Double): DataFrame =
+        if (fs.isEmpty) call(qs, Nil, null, storeIdName, Double.NaN)
+        else { val (p, pid) = payloadFrame; call(qs, fs, p, pid, hint) }
       pqOpt match {
         case Some(pq) if pq.groups.nonEmpty =>
-          graft.operators.Search.perQueryFiltered(pq.queries, "__gpred", pq.groups,
-            (qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs))
-        case _ => run(queriesDf(qv), filtersBase.map(GraftBridge.column))
+          // ONE column-pruned payload scan computes every group's gate
+          // selectivity (was: one estimate job per predicate group — the
+          // per-group aggregates are identical to the family's own
+          // count/count(when) scan, so each group's decision and widening
+          // are bit-identical; the values are still computed fresh from
+          // the store every run, nothing is memoized). Groups whose count
+          // is 0 fall back to the family's own scan (a hint must be > 0),
+          // and a user-configured selectivityHint wins untouched.
+          val hintByKey: Map[String, Double] =
+            if (!userHint.isNaN) Map.empty
+            else {
+              import org.apache.spark.sql.functions.{count, lit, when}
+              val (p, _) = payloadFrame
+              val row = p.agg(count(lit(1)),
+                pq.groups.map { case (_, fs) => count(when(fs.reduce(_ && _), lit(1))) }: _*).head()
+              val total = row.getLong(0)
+              pq.groups.zipWithIndex.map { case ((key, _), i) =>
+                val a = row.getLong(i + 1)
+                key -> (if (a == 0L || total == 0L) Double.NaN else a.toDouble / total.toDouble)
+              }.toMap
+            }
+          graft.operators.Search.perQueryFilteredKeyed(pq.queries, "__gpred", pq.groups,
+            (key, qs, fs) => run(qs.select(col("__gqid"), col("__gqv")), fs,
+              hintByKey.getOrElse(key, userHint)))
+        case _ => run(queriesDf(qv), filtersBase.map(GraftBridge.column), userHint)
       }
     }
 
@@ -478,7 +502,8 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
                else perQueryOf(pairs, querySide, partKey, qv, filtersBaseOf(hydOpt, preds)).map(Some(_))
     } yield Fam(idAttr, assemble(rel, idAttr, preds, hydOpt, pairs, pqOpt, qv, "id",
-      (qs, fs, p, pid) =>
+      hintOf("spark.graft.hnsw.selectivityHint"),
+      (qs, fs, p, pid, hint) =>
         if (fs.isEmpty)
           Hnsw.knnJoin(GraftBridge.ofRows(spark, rel), qs, "__gqv", "__gqid", k,
             efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false)
@@ -487,7 +512,7 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
             efSearch = intOf("spark.graft.hnsw.efSearch", 64), excludeSelf = false,
             filters = fs, payload = p, payloadIdCol = pid,
             maxEf = intOf("spark.graft.hnsw.maxEf", 4096),
-            selectivityHint = hintOf("spark.graft.hnsw.selectivityHint"))))
+            selectivityHint = hint)))
     if (hnsw.isDefined) return hnsw
 
     // -------- PQ floats: list_id-partitioned + parent codebooks ----------
@@ -519,7 +544,8 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
                else perQueryOf(pairs, querySide, partKey, qv, filtersBaseOf(hydOpt, preds)).map(Some(_))
     } yield Fam(idAttr, assemble(rel, idAttr, preds, hydOpt, pairs, pqOpt, qv, idCol,
-      (qs, fs, p, pid) => {
+      hintOf("spark.graft.pq.selectivityHint"),
+      (qs, fs, p, pid, hint) => {
         val nProbe = intOf("spark.graft.pq.nProbe", 4)
         val refine = intOf("spark.graft.pq.refine", 4)
         if (fs.isEmpty)
@@ -529,7 +555,7 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
           Pq.knnJoinIvfPq(codes, GraftBridge.ofRows(spark, rel), stored.model, pqm, qs,
             "__gqv", "__gqid", sv.name, idCol, k, nProbe, refine, excludeSelf = false,
             filters = fs, payload = p, payloadIdCol = pid,
-            selectivityHint = hintOf("spark.graft.pq.selectivityHint"))
+            selectivityHint = hint)
       }))
     if (pq.isDefined) return pq
 
@@ -565,7 +591,8 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
       pqOpt <- if (pairs.isEmpty) Some(Option.empty[PerQuery])
                else perQueryOf(pairs, querySide, partKey, qv, filtersBaseOf(hydOpt, preds)).map(Some(_))
     } yield Fam(idAttr, assemble(rel, idAttr, preds, hydOpt, pairs, pqOpt, qv, idAttr.name,
-      (qs, fs, p, pid) => {
+      hintOf("spark.graft.ivf.selectivityHint"),
+      (qs, fs, p, pid, hint) => {
         val nProbe = intOf("spark.graft.ivf.nProbe", 4)
         if (fs.isEmpty)
           Ivf.knnJoin(GraftBridge.ofRows(spark, rel), stored.model, qs, "__gqv", "__gqid",
@@ -574,7 +601,7 @@ case class KnnJoinAuto(spark: SparkSession) extends Rule[LogicalPlan] {
           Ivf.knnJoin(GraftBridge.ofRows(spark, rel), stored.model, qs, "__gqv", "__gqid",
             sv.name, idAttr.name, k, nProbe, excludeSelf = false,
             filters = fs, payload = p, payloadIdCol = pid,
-            selectivityHint = hintOf("spark.graft.ivf.selectivityHint"))
+            selectivityHint = hint)
       }))
   }
 

@@ -81,6 +81,35 @@ class HnswSpec extends AnyFunSuite {
     assert(seen.size >= g.size - 2, s"reachable ${seen.size} of ${g.size}")
   }
 
+  test("tie-heavy corpus: exhaustive beam equals brute force (primitive beam-heap pin)") {
+    // duplicated vectors make (distance, ord) ties the COMMON case, driving
+    // the beam queues through their ord-tiebreak path — the invariant the
+    // r17 primitive-heap rewrite (DistHeap replacing the boxed
+    // PriorityQueue) must preserve exactly; ef >= corpus makes the beam
+    // exhaustive, so any ordering slip surfaces as a value diff, not recall.
+    // Each vector appears exactly TWICE (a 12-way identical clique would
+    // legitimately disconnect the graph — selectHeuristic rejects same-spot
+    // neighbors; verified the pre-rewrite code returns the identical rows
+    // on that corpus too, but brute-force is only a fair oracle when the
+    // graph stays connected).
+    val dup = (0L until 120L).map { i =>
+      val base = Array.tabulate(8)(j => math.cos((i / 2) * (j + 1) * 0.37) + 0.1 * j)
+      (i, base)
+    }.toArray
+    val g = Hnsw.build(dup, m = 8, efConstruction = 256)
+    (0 until 10).foreach { qi =>
+      val q     = dup(qi * 13 % dup.length)._2
+      val got   = Hnsw.searchGraph(g, q, 15, efSearch = 4096).map(_._1).toSeq
+      val exact = dup.map { case (id, v) =>
+        val d  = q.zip(v).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(q.map(x => x * x).sum)
+        val nb = math.sqrt(v.map(x => x * x).sum)
+        (id, d / (na * nb))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(15).map(_._1).toSeq
+      assert(got == exact, s"query $qi: $got vs $exact")
+    }
+  }
+
   test("in-memory recall@10 >= 0.9 averaged over 20 queries") {
     val g = Hnsw.build(items, m = 16, efConstruction = 128)
     val recalls = (0 until 20).map { qi =>
